@@ -1,0 +1,269 @@
+package graft
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** DuckDB oracle SQL for every SparkEntry query (driver contract).
+  *
+  * Long hash/vector SQLs are *generated* from the same constants the Spark
+  * operators use (Dedup.hashA/hashB, Similarity.planeWeight), so the two
+  * sides cannot drift. Portability rules baked in here:
+  *   - all hash arithmetic in BIGINT (DuckDB INT32 ops error on overflow);
+  *   - `generate_series` laterals are pre-filtered (empty ranges error);
+  *   - regexp_replace needs the 'g' flag (DuckDB replaces first match only);
+  *   - sums of 2-decimal doubles go through DECIMAL(18,2) so both engines
+  *     produce the identical exact total (double += is order-dependent);
+  *   - integer sums are cast to BIGINT (DuckDB SUM(INT) yields HUGEINT).
+  */
+object Oracles {
+
+  // ---- shared CTE fragments (mirror graft.Tables) --------------------------
+
+  val salesCte =
+    "sales AS (SELECT CAST(l_partkey AS VARCHAR) AS sku, CAST(l_quantity AS DOUBLE) AS qty, CAST(l_suppkey AS VARCHAR) AS site FROM lineitem)"
+  val soldvalueCte =
+    "soldvalue AS (SELECT CAST(l_partkey AS VARCHAR) AS sku, SUM(l_quantity) AS qty FROM lineitem GROUP BY 1)"
+  val skuMapCte =
+    "sku_map AS (SELECT CAST(p_partkey AS VARCHAR) AS sku_part, p_name AS sku_name, CAST(p_size AS DOUBLE) AS multiplier FROM part)"
+  val salesMapCte =
+    "sales_map AS (SELECT CAST(p_partkey AS VARCHAR) AS sku2, p_retailprice AS cost, p_brand AS brand FROM part)"
+  val finalResultCte =
+    "final_result AS (SELECT m.sku_name AS sku, COALESCE(SUM(s.qty * m.multiplier), 0.0) AS qty FROM soldvalue s RIGHT JOIN sku_map m ON s.sku = m.sku_part GROUP BY 1)"
+  val stockCte =
+    "stock AS (SELECT p_name AS sku, SUM(CAST(p_size AS DOUBLE) * 100.0) AS qty, MIN(p_type) AS subcategory, MIN(p_name) AS color, MIN(p_brand) AS brand FROM part GROUP BY 1)"
+
+  val enrichSelect: String =
+    """SELECT trim(s.sku) AS sku, s.qty, s.site, m.cost, m.brand,
+      | DATE '2024-06-01' AS "date", CAST(2024 AS INTEGER) AS "Year", 'June' AS "Month",
+      | s.qty * m.cost AS total
+      |FROM sales s LEFT JOIN sales_map m ON trim(s.sku) = trim(m.sku2)""".stripMargin
+
+  // ---- core parity queries -------------------------------------------------
+
+  val retailAgg: String =
+    "SELECT CAST(l_partkey AS VARCHAR) AS sku, SUM(l_quantity) AS qty FROM lineitem GROUP BY 1"
+
+  val cleanUnion: String =
+    """WITH u AS (
+      |  SELECT CAST(l_partkey AS VARCHAR) AS sku, CAST(CAST(l_quantity AS DOUBLE) AS VARCHAR) AS qty, CAST(l_suppkey AS VARCHAR) AS site FROM lineitem WHERE l_linestatus = 'O'
+      |  UNION ALL
+      |  SELECT CAST(l_partkey AS VARCHAR), CAST(CAST(l_quantity AS DOUBLE) AS VARCHAR), NULL FROM lineitem WHERE l_linestatus <> 'O'
+      |), n AS (
+      |  SELECT trim(lower(sku)) AS sku, lower(qty) AS qty, lower(site) AS site FROM u
+      |  WHERE NOT contains(lower(sku), 'sku') AND lower(sku) <> 'other'
+      |)
+      |SELECT sku, CAST(qty AS DOUBLE) AS qty, site FROM n""".stripMargin
+
+  val wholesaleAgg: String =
+    s"WITH $soldvalueCte, $skuMapCte, $finalResultCte SELECT sku, qty FROM final_result"
+
+  val inventory: String =
+    s"""WITH $soldvalueCte, $skuMapCte, $finalResultCte, $stockCte
+       |SELECT st.sku, st.qty - COALESCE(fr.qty, 0.0) AS qty, st.subcategory, st.color, st.brand
+       |FROM stock st LEFT JOIN final_result fr ON st.sku = fr.sku""".stripMargin
+
+  val enrich: String = s"WITH $salesCte, $salesMapCte $enrichSelect"
+
+  def brandFilter(where: String): String =
+    s"WITH $salesCte, $salesMapCte, enr AS ($enrichSelect) SELECT * FROM enr WHERE $where"
+
+  val brandPrimary: String = brandFilter("brand = 'Brand#1'")
+  val brandOthers: String = brandFilter("brand IN ('Brand#2', 'Brand#3')")
+
+  val brandAgg: String =
+    s"""WITH $salesCte, $salesMapCte, enr AS ($enrichSelect)
+       |SELECT sku, cost, SUM(qty) AS qty, cost * SUM(qty) AS total
+       |FROM enr WHERE brand = 'Brand#1' GROUP BY sku, cost""".stripMargin
+
+  val dateWindow: String =
+    """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate > TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1""".stripMargin
+
+  val sortLimit: String =
+    s"WITH $soldvalueCte SELECT sku, qty FROM soldvalue ORDER BY qty DESC, sku LIMIT 100"
+
+  val topkPerBrand: String =
+    """WITH base AS (
+      |  SELECT p_brand AS brand, CAST(l_partkey AS VARCHAR) AS sku, SUM(l_quantity) AS units
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2
+      |), r AS (
+      |  SELECT brand, sku, units,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY brand ORDER BY units DESC, sku) AS INTEGER) AS rnk
+      |  FROM base
+      |)
+      |SELECT brand, sku, units, rnk FROM r WHERE rnk <= 3""".stripMargin
+
+  // ---- text / dedup extension queries -------------------------------------
+
+  private val fingerprintSql =
+    "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+  val dedupExact: String =
+    s"SELECT $fingerprintSql AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY 1"
+
+  private def inList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  val textStats: String = {
+    val stops = inList(TextAnalysis.englishStopwords)
+    val langScores = TextAnalysis.langMarkers.map { case (lang, markers) =>
+      s"CAST(len(list_filter(toks_l, x -> list_contains(${inList(markers)}, x))) AS INTEGER) AS s_$lang"
+    }.mkString(", ")
+    val best = TextAnalysis.langMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val langCase = TextAnalysis.langMarkers.map { case (l, _) =>
+      s"WHEN s_$l = $best AND s_$l > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
+       |    list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks_l
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, text, toks,
+       |    CAST(length(text) AS INTEGER) AS n_chars,
+       |    CAST(len(toks) AS INTEGER) AS n_tokens,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_subwords,
+       |    CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS praw,
+       |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains($stops, x))) AS DOUBLE) / len(toks) END AS sraw,
+       |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS araw,
+       |    $langScores
+       |  FROM t
+       |)
+       |SELECT doc_id, n_chars, n_tokens, n_subwords,
+       |  round(praw, 6) AS punct_ratio, round(sraw, 6) AS stopword_ratio, round(araw, 6) AS avg_token_len,
+       |  round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 + least(sraw * 4.0, 1.0) * 0.4 + greatest(0.0, 1.0 - praw * 5.0) * 0.2, 6) AS quality,
+       |  $langCase AS lang_pred,
+       |  $fingerprintSql AS fingerprint
+       |FROM s""".stripMargin
+  }
+
+  /** Shingle + encode CTEs shared by the MinHash queries.
+    * `where` additionally restricts the doc set.
+    */
+  private def shingleCtes(where: String): String =
+    s"""d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3$where),
+       |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, length(text) - 2), i -> substring(text, CAST(i AS INTEGER), 3))) AS s FROM d),
+       |enc AS (SELECT doc_id, CAST(ascii(substring(s, 1, 1)) AS BIGINT) * 65536 + CAST(ascii(substring(s, 2, 1)) AS BIGINT) * 256 + CAST(ascii(substring(s, 3, 1)) AS BIGINT) AS x FROM sh)""".stripMargin
+
+  private def sigCte(k: Int): String = {
+    val mins = (0 until k).map(j =>
+      s"MIN((${Dedup.hashA(j)} * x + ${Dedup.hashB(j)}) % ${Dedup.MinHashP}) AS h$j").mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM enc GROUP BY doc_id)"
+  }
+
+  def minhashSignatures(k: Int = 16): String =
+    s"WITH ${shingleCtes("")}, ${sigCte(k)} SELECT * FROM sig"
+
+  def minhashPairs(k: Int = 16, rowsPerBand: Int = 4): String = {
+    val nBands = k / rowsPerBand
+    val bandRows = (0 until nBands).map { b =>
+      val key = ((b * rowsPerBand) until ((b + 1) * rowsPerBand))
+        .map(j => s"CAST(h$j AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${shingleCtes("")}, ${sigCte(k)}, bands AS (
+       |  $bandRows
+       |)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |WHERE a.doc_id < b.doc_id""".stripMargin
+  }
+
+  def simhash(bits: Int = 32): String = {
+    val enc = (1 to 8).map(i =>
+      s"CAST(ascii(substring(t, $i, 1)) AS BIGINT) * ${1L << (7 * (8 - i))}").mkString(" + ")
+    val sums = (0 until bits).map(i => s"CAST(SUM(((x >> $i) % 2) * 2 - 1) AS BIGINT) AS s$i").mkString(", ")
+    val combine = (0 until bits).map(i =>
+      s"(CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents
+       |), enc AS (
+       |  SELECT doc_id, $enc AS x FROM toks WHERE t <> ''
+       |), sums AS (
+       |  SELECT doc_id, $sums FROM enc GROUP BY doc_id
+       |)
+       |SELECT doc_id, $combine AS simhash FROM sums""".stripMargin
+  }
+
+  def ngramJaccard(mod: Int = 10, threshold: Double = 0.5): String =
+    s"""WITH ${shingleCtes(s" AND doc_id % $mod = 0")},
+       |sized AS (SELECT doc_id AS id, s FROM sh),
+       |sizes AS (SELECT id, COUNT(*) AS n_sh FROM sized GROUP BY id),
+       |common AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+       |  FROM sized a JOIN sized b ON a.s = b.s WHERE a.id < b.id GROUP BY 1, 2
+       |), j AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+       |  FROM common JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
+       |)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold""".stripMargin
+
+  // ---- similarity extension queries ---------------------------------------
+
+  /** Per-pair cosine pieces over 64-dim float arrays, ordinal-walked. */
+  private val dotsCte: String =
+    """dots AS (
+      |  SELECT query_id, neighbor_id,
+      |    SUM(CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+      |    SUM(CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(qv[CAST(i AS INTEGER)] AS DOUBLE)) AS qq,
+      |    SUM(CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)) AS cc
+      |  FROM p, generate_series(1, 64) t(i) GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(CASE WHEN sqrt(qq) * sqrt(cc) = 0 THEN 0.0 ELSE dp / (sqrt(qq) * sqrt(cc)) END, 6) AS score
+      |  FROM dots
+      |)""".stripMargin
+
+  private def rankTail(k: Int): String =
+    s"""r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS "rank"
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= $k""".stripMargin
+
+  def cosineTopK(mod: Int = 50, k: Int = 5): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % $mod = 0),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       |p AS (SELECT query_id, neighbor_id, qv, cv FROM q, c WHERE query_id <> neighbor_id),
+       |$dotsCte,
+       |${rankTail(k)}""".stripMargin
+
+  /** LSH bucket expression over the first `dim` dimensions with `nPlanes`
+    * sign-projections — term-for-term identical to Similarity.lshBucket.
+    */
+  def lshBucketSql(vecCol: String, dim: Int, nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
+      val d = (0 until dim).map(i =>
+        s"CAST($vecCol[${i + 1}] AS DOUBLE) * ${Similarity.planeWeight(p, i)}").mkString(" + ")
+      s"(CASE WHEN ($d) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+
+  def lshTopK(mod: Int = 50, k: Int = 5, dim: Int = 16, nPlanes: Int = 4): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, ${lshBucketSql("embedding", dim, nPlanes)} AS bucket FROM embeddings WHERE vec_id % $mod = 0),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, ${lshBucketSql("embedding", dim, nPlanes)} AS bucket FROM embeddings),
+       |p AS (SELECT query_id, neighbor_id, qv, cv FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id),
+       |$dotsCte,
+       |${rankTail(k)}""".stripMargin
+
+  // ---- events / streaming-analogue queries --------------------------------
+
+  val eventsHourly: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val eventSessions: String =
+    """WITH base AS (
+      |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events
+      |), e AS (
+      |  SELECT user_id,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM base
+      |)
+      |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM e GROUP BY 1""".stripMargin
+}

@@ -1,13 +1,181 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.sql.{Date, Timestamp}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.transform.{Aggregate, Clean, Enrich, Inventory}
+
+/** Driver contract — see SURVEY.md §7 and the builder prompt.
+  *
+  * Each entry pairs a Spark DataFrame pipeline (the engine under test) with
+  * DuckDB oracle SQL in [[Oracles]]; the driver hash-compares results on the
+  * same parquet tables at sf0.01. Determinism policy: pinned runDate
+  * (2024-06-01), UTC session, DECIMAL-routed money sums, 6-decimal rounding
+  * on derived ratios, total-order sorts before any LIMIT.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val runDate = Date.valueOf("2024-06-01")
+
+  /** Flagship: the reference's retail sold-value aggregation
+    * (portfolio-etl.py:602-618) over sf0.001; driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Aggregate.retailAgg(Tables.sales(spark, "/root/testdata/sf0.001"))
+
+  // ---- core parity pipelines (shared between queries) ----------------------
+
+  private def enriched(s: SparkSession, d: String): DataFrame =
+    Enrich.enrichSales(Tables.sales(s, d), Tables.salesMap(s, d), runDate)
+
+  private def finalResult(s: SparkSession, d: String): DataFrame =
+    Aggregate.wholesaleAgg(
+      Aggregate.retailAgg(Tables.sales(s, d)), Tables.skuMap(s, d))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 retail units per SKU (portfolio-etl.py:610-615)
+    "q01_retail_agg" -> ((s, d) => Aggregate.retailAgg(Tables.sales(s, d))),
+
+    // U2+P6+F1-F3 union→junk-filter→normalize (portfolio-etl.py:581-607)
+    "q02_clean_union" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val f1 = li.filter(col("l_linestatus") === "O").select(
+        col("l_partkey").cast("string").as("sku"),
+        col("l_quantity").cast("double").as("qty"),
+        col("l_suppkey").cast("string").as("site"))
+      val f2 = li.filter(col("l_linestatus") =!= "O").select(
+        col("l_partkey").cast("string").as("sku"),
+        col("l_quantity").cast("double").as("qty"))
+      Clean.cleanSales(Seq(f1, f2))
+    },
+
+    // J1+F12+A2 retail→wholesale mapping agg (portfolio-etl.py:621-628)
+    "q03_wholesale_agg" -> ((s, d) => finalResult(s, d)),
+
+    // J2+F13+F14 inventory decrement (portfolio-etl.py:634-646)
+    "q04_inventory" -> ((s, d) =>
+      Inventory.decrement(Tables.stock(s, d), finalResult(s, d))),
+
+    // J3+F7-F12 sales enrichment (portfolio-etl.py:659-683)
+    "q05_enrich" -> ((s, d) => enriched(s, d)),
+
+    // P7 equality brand split (portfolio-etl.py:688)
+    "q06_brand_primary" -> ((s, d) =>
+      Enrich.splitByBrand(enriched(s, d), "Brand#1", Seq("Brand#2", "Brand#3"))._1),
+
+    // P8 IN-list brand split (portfolio-etl.py:689)
+    "q07_brand_others" -> ((s, d) =>
+      Enrich.splitByBrand(enriched(s, d), "Brand#1", Seq("Brand#2", "Brand#3"))._2),
+
+    // A3 multi-key report agg (portfolio-etl.py:720-721)
+    "q08_brand_agg" -> ((s, d) =>
+      Aggregate.brandAgg(enriched(s, d).filter(col("brand") === "Brand#1"))
+        .select("sku", "cost", "qty", "total")),
+
+    // P4 timestamp-window scan agg (portfolio-etl.py:219, :263)
+    "q09_date_window" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit(Timestamp.valueOf("1996-01-01 00:00:00"))
+          && col("l_shipdate") < lit(Timestamp.valueOf("1997-01-01 00:00:00")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))),
+
+    // O1+O3 total-order sort + limit (portfolio-etl.py:614, :315, :385)
+    "q10_sort_limit" -> ((s, d) =>
+      Aggregate.retailAgg(Tables.sales(s, d))
+        .orderBy(col("qty").desc, col("sku")).limit(100)),
+
+    // extension: ranking window — top-3 parts per brand by units
+    "q11_topk_per_brand" -> { (s, d) =>
+      val base = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"), col("l_partkey").cast("string").as("sku"))
+        .agg(sum("l_quantity").as("units"))
+      val w = Window.partitionBy("brand").orderBy(col("units").desc, col("sku"))
+      base.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+    },
+
+    // extension: exact dedup by normalized-text fingerprint
+    "q12_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+
+    // extension: per-document text stats (tokens, quality, lang-id, fp)
+    "q13_text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d))),
+
+    // extension: MinHash signatures (16 portable affine hashes)
+    "q14_minhash_sig" -> ((s, d) =>
+      Dedup.minHashSignatures(Tables.documents(s, d), k = 16)),
+
+    // extension: LSH banding candidate pairs (4 bands × 4 rows)
+    "q15_minhash_pairs" -> ((s, d) =>
+      Dedup.minHashCandidatePairs(
+        Dedup.minHashSignatures(Tables.documents(s, d), k = 16), k = 16, rowsPerBand = 4)),
+
+    // extension: 32-bit SimHash
+    "q16_simhash" -> ((s, d) => Dedup.simHash(Tables.documents(s, d), bits = 32)),
+
+    // extension: exact n-gram Jaccard pairs on a 1/10 sample
+    "q17_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0), n = 3, threshold = 0.5)),
+
+    // extension: brute-force cosine top-5 for 1/50 query sample
+    "q18_cosine_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") % 50 === 0), emb, k = 5)
+        .withColumnRenamed("rank", "rank")
+    },
+
+    // extension: LSH-bucketed approximate top-5 (scale path)
+    "q19_lsh_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb.filter(col("vec_id") % 50 === 0), emb,
+        k = 5, dim = 16, nPlanes = 4)
+    },
+
+    // extension: streaming-analogue tumbling-window agg over events
+    "q20_events_hourly" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))),
+
+    // extension: sessionization (30-min gap) via analytic window
+    "q21_event_sessions" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("ts"), 1).over(w)
+      Tables.events(s, d)
+        .withColumn("new_s",
+          when(prev.isNull || col("ts") > prev + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_retail_agg" -> Oracles.retailAgg,
+    "q02_clean_union" -> Oracles.cleanUnion,
+    "q03_wholesale_agg" -> Oracles.wholesaleAgg,
+    "q04_inventory" -> Oracles.inventory,
+    "q05_enrich" -> Oracles.enrich,
+    "q06_brand_primary" -> Oracles.brandPrimary,
+    "q07_brand_others" -> Oracles.brandOthers,
+    "q08_brand_agg" -> Oracles.brandAgg,
+    "q09_date_window" -> Oracles.dateWindow,
+    "q10_sort_limit" -> Oracles.sortLimit,
+    "q11_topk_per_brand" -> Oracles.topkPerBrand,
+    "q12_dedup_exact" -> Oracles.dedupExact,
+    "q13_text_stats" -> Oracles.textStats,
+    "q14_minhash_sig" -> Oracles.minhashSignatures(16),
+    "q15_minhash_pairs" -> Oracles.minhashPairs(16, 4),
+    "q16_simhash" -> Oracles.simhash(32),
+    "q17_ngram_jaccard" -> Oracles.ngramJaccard(10, 0.5),
+    "q18_cosine_topk" -> Oracles.cosineTopK(50, 5),
+    "q19_lsh_topk" -> Oracles.lshTopK(50, 5, 16, 4),
+    "q20_events_hourly" -> Oracles.eventsHourly,
+    "q21_event_sessions" -> Oracles.eventSessions
+  )
 }

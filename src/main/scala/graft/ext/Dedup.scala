@@ -1,0 +1,148 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §7.5):
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Hash functions are engine-portable by construction: character-code
+  * polynomial encodings + modular affine hashes (no JVM `hashCode`,
+  * no Spark `hash()`), so a SQL oracle computes bit-identical values.
+  *
+  * Scale design: every stage is explode → hash-aggregate (map-side partial
+  * first) or an equi-join on a hash/band key — the natural shuffle keys a
+  * 1000-executor cluster needs. Candidate generation (LSH banding) keeps the
+  * pair space near-linear; the quadratic all-pairs comparison only ever runs
+  * inside a bucket.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical normalized text, keep the smallest id as
+    * the canonical row (deterministic, unlike dropDuplicates' arbitrary
+    * pick), count the clones.
+    */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Large prime modulus for the affine hash family (2^31 − 1). */
+  val MinHashP: Long = 2147483647L
+  def hashA(j: Int): Long = 37L * j + 11L
+  def hashB(j: Int): Long = 101L * j + 31L
+
+  /** Distinct character n-gram shingles of a text column; empty array when
+    * the text is shorter than n (guarded: Spark's `sequence(1,0)` would
+    * descend, not return empty).
+    */
+  def shingles(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Integer encoding of a ≤3-char shingle: base-2^16/2^8 positional code of
+    * the character codepoints — cheap, deterministic, SQL-portable.
+    */
+  def encodeShingle3(sh: Column): Column =
+    (ascii(sh.substr(lit(1), lit(1))).cast("long") * 65536L
+      + ascii(sh.substr(lit(2), lit(1))).cast("long") * 256L
+      + ascii(sh.substr(lit(3), lit(1))).cast("long"))
+
+  /** MinHash signatures: k affine min-hashes over distinct 3-shingles.
+    * Output: (idCol, h0..h{k-1}); docs shorter than 3 chars have no
+    * shingles and drop out (documented).
+    *
+    * Plan shape: explode → partial min-agg per partition → single shuffle on
+    * doc id → final min-agg. The k hashes ride one aggregation.
+    */
+  def minHashSignatures(docs: DataFrame, k: Int = 16,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol), explode(shingles(col(textCol), 3)).as("sh"))
+      .withColumn("x", encodeShingle3(col("sh")))
+    val aggs = (0 until k).map(j =>
+      min((lit(hashA(j)) * col("x") + lit(hashB(j))) % MinHashP).as(s"h$j"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over MinHash signatures: k hashes split into bands of
+    * `rowsPerBand`; docs sharing any full band are candidate near-dups.
+    * Returns distinct candidate pairs (id_a < id_b).
+    *
+    * The self-join is on the band key — a proper shuffle key; bucket sizes
+    * stay small for non-degenerate corpora, keeping the join near-linear.
+    */
+  def minHashCandidatePairs(signatures: DataFrame, k: Int = 16, rowsPerBand: Int = 4,
+                            idCol: String = "doc_id"): DataFrame = {
+    val nBands = k / rowsPerBand
+    val banded = signatures.select(
+      col(idCol),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", ((b * rowsPerBand) until ((b + 1) * rowsPerBand)).map(j => col(s"h$j")): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
+    val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** Portable token hash: base-128 positional code of the first 8
+    * codepoints (0-padded). Fits a long with headroom; identical SQL exists
+    * in any engine with ascii()/substring().
+    */
+  def encodeToken(t: Column): Column =
+    (1 to 8).map(i => ascii(t.substr(lit(i), lit(1))).cast("long") * (1L << (7 * (8 - i))))
+      .reduce(_ + _)
+
+  /** 32-bit SimHash over whitespace tokens (frequency-weighted): bit i of
+    * the output is the sign of Σ_tokens (2·bit_i(hash(token)) − 1).
+    */
+  def simHash(docs: DataFrame, bits: Int = 32,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .withColumn("x", encodeToken(col("t")))
+    val sums = (0 until bits).map(i =>
+      sum(shiftright(col("x"), i) % 2L * 2L - 1L).as(s"s$i"))
+    val agg = toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    agg.select(col(idCol),
+      (0 until bits).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** Hamming distance between two simhash longs (for pairing buckets). */
+  def hammingDist(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  // ---------------------------------------------------------- n-gram Jaccard
+
+  /** Exact n-gram Jaccard similarity for all pairs within `docs` (apply to a
+    * pre-filtered candidate set or sampled subset — this is the quadratic
+    * verifier that LSH banding feeds at scale, not a whole-corpus op).
+    * Returns pairs (id_a < id_b, jaccard) with jaccard ≥ threshold.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.select(col("id").as("id_a"), col("sh"))
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`), extension
+  * surface SURVEY.md §7.5.
+  *
+  * Vector math uses higher-order array functions (`zip_with` + `aggregate`)
+  * — codegen-free but JVM-vectorizable, no UDF/serde cost, and the
+  * summation order is the array order, so results are deterministic and
+  * reproducible by an oracle that walks the array in ordinal order.
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set and
+  * scans the corpus once — linear, shuffle-free until the final per-query
+  * top-k (tiny). The LSH variant buckets both sides by sign-random
+  * projections so candidate generation is an equi-join on bucket id.
+  */
+object Similarity {
+
+  /** Dot product of two equal-length numeric arrays (summed in array
+    * order — deterministic).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Brute-force cosine top-k: for every query vector, the k most similar
+    * corpus vectors. Queries are broadcast (small side); the corpus is
+    * scanned exactly once; ties break on corpus id for determinism.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Deterministic integer "random" hyperplanes: weight of plane p at
+    * dimension i is ((p·31 + i·17) mod 7) − 3 ∈ [−3, 3]. Integer-exact in
+    * any engine — no RNG, no float divergence.
+    */
+  def planeWeight(p: Int, i: Int): Int = ((p * 31 + i * 17) % 7) - 3
+
+  /** Sign-random-projection LSH bucket id over `nPlanes` hyperplanes:
+    * bit p = [dot(v, plane_p) > 0]. Same-bucket vectors are cosine-close
+    * candidates.
+    */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int = 8): Column =
+    (0 until nPlanes).map { p =>
+      val d = (0 until dim).map(i =>
+        element_at(vec, i + 1).cast("double") * planeWeight(p, i)).reduce(_ + _)
+      when(d > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed approximate top-k: candidates come only from the query's LSH
+    * bucket (equi-join on bucket id → shuffle-partitionable at any corpus
+    * size), then exact cosine re-rank inside the bucket. Recall is tunable
+    * via nPlanes (fewer planes ⇒ bigger buckets ⇒ higher recall).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int, nPlanes: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), dim, nPlanes))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), dim, nPlanes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: same-bucket pairs with cosine above
+    * `threshold` (id_a < id_b). The LSH bucket join keeps this near-linear.
+    */
+  def embeddingNearDupPairs(vectors: DataFrame, threshold: Double, dim: Int, nPlanes: Int = 8,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), dim, nPlanes))
+    val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (extension surface,
+  * SURVEY.md §7.5), over the `documents` table.
+  *
+  * Everything here is built-in codegen'd expressions — no UDFs — so the hot
+  * path stays inside whole-stage codegen and scales linearly with input
+  * splits: per-document work, zero shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; empty text ⇒ zero tokens (not [""]). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword count: alpha runs, digit runs, and single
+    * non-alphanumeric marks each count as one token (regex approximation of
+    * byte-pair pretokenization).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])(?=[a-zA-Z0-9])|\\s+"),
+      t => length(trim(t)) > 0))
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, lit(0.0)).otherwise(
+      (n - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") / n)
+  }
+
+  val englishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on", "with", "as")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isin(englishStopwords.map(lit): _*))).cast("double") / n)
+  }
+
+  /** Mean token length (0 for empty). */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Heuristic quality score in [0,1]: rewards mid-length documents and a
+    * healthy stopword ratio, penalizes punctuation soup. Deterministic,
+    * closed-form — the same formula is expressible as oracle SQL.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    round((lenScore * 0.4 + stopScore * 0.4 + punctPenalty * 0.2), 6)
+  }
+
+  /** Stopword marker sets for a tiny deterministic language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "es"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "de", "et"))
+
+  /** N-gram/stopword language ID: count marker hits per language, argmax
+    * with deterministic tie-break (marker-list order), "und" (undetermined)
+    * when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text —
+    * the canonical exact-dup key (identical in DuckDB: md5()).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Full per-document stats frame. */
+  def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      length(t).as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      subwordCount(t).as("n_subwords"),
+      round(punctRatio(t), 6).as("punct_ratio"),
+      round(stopwordRatio(t), 6).as("stopword_ratio"),
+      round(avgTokenLen(t), 6).as("avg_token_len"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_pred"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

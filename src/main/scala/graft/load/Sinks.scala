@@ -1,0 +1,47 @@
+package graft.load
+
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+import org.apache.spark.sql.DataFrame
+
+/** Sinks (K1-K3, reference portfolio-etl.py:618-650, :700-775).
+  *
+  * The reference writes ~12 small CSV reports. At 100 TB the report outputs
+  * stay small (they are aggregates), so `coalesce(1)` single-file CSV is the
+  * right call for them — the *fact* data path should use partitioned Parquet
+  * ([[parquet]]).
+  */
+object Sinks {
+
+  private val mdY = DateTimeFormatter.ofPattern("MM-dd-yyyy") // strftime :678
+
+  /** Single-file CSV report (K1). The reference writes pandas' index as an
+    * unnamed first column in some sinks (:618, :632); the new engine drops
+    * it — documented divergence (SURVEY.md §2.9 K1).
+    */
+  def csvReport(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Fan-out one computed frame to several paths (K2, :648-650). The
+    * reference overwrites `newstock.csv` — the file it *read* at :634;
+    * under lazy evaluation that would truncate the input mid-read, so the
+    * plan is materialized (cache + count) before any overwrite
+    * (SURVEY.md §7.4-d).
+    */
+  def csvFanOut(df: DataFrame, paths: Seq[String]): Unit = {
+    val pinned = df.cache()
+    pinned.count() // force materialization before any target is touched
+    try paths.foreach(p => csvReport(pinned, p))
+    finally pinned.unpersist()
+  }
+
+  /** Dated report path `{dir}/{MM-dd-yyyy}.csv` (K3, :700-717, :772-775). */
+  def datedCsv(df: DataFrame, dir: String, runDate: LocalDate, suffix: String = ""): Unit =
+    csvReport(df, s"$dir/${runDate.format(mdY)}$suffix.csv")
+
+  /** Scale-path sink: partitioned Parquet for fact-sized outputs. */
+  def parquet(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+}

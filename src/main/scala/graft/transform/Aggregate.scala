@@ -1,0 +1,50 @@
+package graft.transform
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Aggregation stage (reference portfolio-etl.py:610-632).
+  *
+  * Both aggregations are partial+final hash aggs in Spark: map-side combine
+  * runs before the single shuffle, so at 100 TB the shuffle carries only one
+  * row per (partition × key), not the raw fact rows.
+  */
+object Aggregate {
+
+  /** Retail units sold per SKU (A1, portfolio-etl.py:610-615):
+    * project → coerce qty → groupBy(sku).sum(qty). The reference's
+    * `sort_values(by='sku')` at :614 is semantically dead (feeds a groupby)
+    * and intentionally dropped (SURVEY.md §2.8 O1).
+    */
+  def retailAgg(sales: DataFrame): DataFrame =
+    sales.select(col("sku"), col("qty").cast("double").as("qty"))
+      .groupBy("sku")
+      .agg(sum("qty").as("qty"))
+
+  /** Retail→wholesale mapping + aggregation (J1+F12+A2,
+    * portfolio-etl.py:621-628): RIGHT OUTER join to the mapping table keeps
+    * every mapping row (unmatched → null qty), multiplies by the set
+    * multiplier, then sums per wholesale SKU.
+    *
+    * Pandas sums an all-NaN group to 0.0 while Spark sums all-null to null —
+    * `coalesce(sum, 0.0)` pins the pandas behavior (SURVEY.md §7.4-a).
+    *
+    * The mapping table is a small dim → broadcast hint: the join is
+    * shuffle-free at any fact-side scale.
+    */
+  def wholesaleAgg(soldValue: DataFrame, skuMap: DataFrame): DataFrame =
+    soldValue
+      .join(broadcast(skuMap), col("sku") === col("sku_part"), "right_outer")
+      .withColumn("result", col("qty") * col("multiplier"))
+      .groupBy("sku_name")
+      .agg(coalesce(sum("result"), lit(0.0)).as("qty"))
+      .withColumnRenamed("sku_name", "sku")
+
+  /** Multi-key brand report aggregation (A3, portfolio-etl.py:720-721,
+    * :733-734): groupBy(sku, cost).sum(qty), then total = cost × qty.
+    */
+  def brandAgg(enriched: DataFrame): DataFrame =
+    enriched.groupBy("sku", "cost")
+      .agg(sum("qty").as("qty"))
+      .withColumn("total", col("cost") * col("qty"))
+}

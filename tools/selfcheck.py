@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB over the same parquet tables and compare against the Spark result
+parquet written by graft.Verify (columns sorted by name, rows sorted, values
+compared with a small float tolerance report AND exact-hash report)."""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize types for comparison
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+fails = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not spark_files:
+        print(f"{name}: MISSING spark output"); fails += 1; continue
+    try:
+        odf = canon(con.sql(sql).df())
+    except Exception as e:
+        print(f"{name}: ORACLE ERROR {e}"); fails += 1; continue
+    sdf = canon(pd.concat([pd.read_parquet(f) for f in spark_files]))
+    if list(sdf.columns) != list(odf.columns):
+        print(f"{name}: COLUMN MISMATCH spark={list(sdf.columns)} oracle={list(odf.columns)}"); fails += 1; continue
+    if len(sdf) != len(odf):
+        print(f"{name}: ROWCOUNT MISMATCH spark={len(sdf)} oracle={len(odf)}"); fails += 1; continue
+    exact = True; approx = True
+    for c in sdf.columns:
+        s, o = sdf[c], odf[c]
+        if pd.api.types.is_float_dtype(s) or pd.api.types.is_float_dtype(o):
+            se, oe = s.fillna(-1e308).to_numpy(dtype=float), o.fillna(-1e308).to_numpy(dtype=float)
+            if not np.array_equal(se, oe):
+                exact = False
+                if not np.allclose(se, oe, rtol=1e-9, atol=1e-12, equal_nan=True):
+                    approx = False
+                    bad = np.where(~np.isclose(se, oe, rtol=1e-9, atol=1e-12))[0][:3]
+                    print(f"  {name}.{c} diff rows {bad}: spark={se[bad]} oracle={oe[bad]}")
+        else:
+            if not s.astype(str).equals(o.astype(str)):
+                exact = False; approx = False
+                neq = (s.astype(str) != o.astype(str))
+                idx = list(s.index[neq])[:3]
+                print(f"  {name}.{c} diff rows {idx}: spark={list(s[neq][:3])} oracle={list(o[neq][:3])}")
+    status = "OK-exact" if exact else ("OK-approx" if approx else "FAIL")
+    if status == "FAIL": fails += 1
+    print(f"{name}: {status} ({len(sdf)} rows, {len(sdf.columns)} cols)")
+print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
+sys.exit(1 if fails else 0)
