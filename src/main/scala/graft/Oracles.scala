@@ -155,20 +155,34 @@ object Oracles {
   def minhashSignatures(k: Int = 16): String =
     s"WITH ${shingleCtes("")}, ${sigCte(k)} SELECT * FROM sig"
 
-  def minhashPairs(k: Int = 16, rowsPerBand: Int = 4): String = {
+  /** Band-key list + exploded band rows, shared by pairs/clusters SQL. */
+  private def bandedCtes(k: Int, rowsPerBand: Int): String = {
     val nBands = k / rowsPerBand
-    val bandRows = (0 until nBands).map { b =>
-      val key = ((b * rowsPerBand) until ((b + 1) * rowsPerBand))
+    val keyList = (0 until nBands).map { b =>
+      ((b * rowsPerBand) until ((b + 1) * rowsPerBand))
         .map(j => s"CAST(h$j AS VARCHAR)").mkString(" || '_' || ")
-      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH ${shingleCtes("")}, ${sigCte(k)}, bands AS (
-       |  $bandRows
-       |)
-       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-       |WHERE a.doc_id < b.doc_id""".stripMargin
+    }.mkString("[", ", ", "]")
+    s"""keyed AS (SELECT doc_id, $keyList AS keys FROM sig),
+       |banded AS (SELECT doc_id, keys, unnest(generate_series(0, ${nBands - 1})) AS band FROM keyed),
+       |b2 AS (SELECT doc_id, keys, band, keys[band + 1] AS bkey FROM banded)""".stripMargin
   }
+
+  /** Mirrors Dedup.minHashCandidatePairs: each pair emitted once, from the
+    * first band the two docs agree on (no DISTINCT).
+    */
+  def minhashPairs(k: Int = 16, rowsPerBand: Int = 4): String =
+    s"""WITH ${shingleCtes("")}, ${sigCte(k)}, ${bandedCtes(k, rowsPerBand)}
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM b2 a JOIN b2 b ON a.band = b.band AND a.bkey = b.bkey
+       |WHERE a.doc_id < b.doc_id
+       |  AND len(list_filter(generate_series(1, a.band), i -> a.keys[i] = b.keys[i])) = 0""".stripMargin
+
+  /** Mirrors Dedup.minHashClusters: cluster rep = min doc id over buckets. */
+  def minhashClusters(k: Int = 16, rowsPerBand: Int = 4): String =
+    s"""WITH ${shingleCtes("")}, ${sigCte(k)}, ${bandedCtes(k, rowsPerBand)},
+       |bucket AS (SELECT band, bkey, MIN(doc_id) AS bucket_rep FROM b2 GROUP BY 1, 2)
+       |SELECT a.doc_id, MIN(bucket_rep) AS cluster_rep
+       |FROM b2 a JOIN bucket USING (band, bkey) GROUP BY 1""".stripMargin
 
   def simhash(bits: Int = 32): String = {
     val enc = (1 to 8).map(i =>

@@ -152,7 +152,17 @@ object SparkEntry {
           when(prev.isNull || col("ts") > prev + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
         .groupBy("user_id")
         .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
-    }
+    },
+
+    // extension: near-linear LSH dedup — one cluster representative per doc
+    "q22_dedup_clusters" -> ((s, d) =>
+      Dedup.minHashClusters(
+        Dedup.minHashSignatures(Tables.documents(s, d), k = 16), k = 16, rowsPerBand = 4)),
+
+    // extension: multimodal binary-column feature extraction (stub codec;
+    // no SQL oracle — mapPartitions path, driver records rows-only check)
+    "q23_media_features" -> ((s, d) =>
+      graft.ext.Multimodal.mediaFeatures(Tables.documents(s, d))(s))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -176,6 +186,7 @@ object SparkEntry {
     "q18_cosine_topk" -> Oracles.cosineTopK(50, 5),
     "q19_lsh_topk" -> Oracles.lshTopK(50, 5, 16, 4),
     "q20_events_hourly" -> Oracles.eventsHourly,
-    "q21_event_sessions" -> Oracles.eventSessions
+    "q21_event_sessions" -> Oracles.eventSessions,
+    "q22_dedup_clusters" -> Oracles.minhashClusters(16, 4)
   )
 }

@@ -20,11 +20,12 @@ object TextAnalysis {
 
   /** A BPE-ish subword count: alpha runs, digit runs, and single
     * non-alphanumeric marks each count as one token (regex approximation of
-    * byte-pair pretokenization).
+    * byte-pair pretokenization). Match-counting, not splitting — "ab12" is
+    * two subwords ("ab", "12"), same as the SQL oracle's
+    * regexp_extract_all.
     */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])(?=[a-zA-Z0-9])|\\s+"),
-      t => length(trim(t)) > 0))
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
   /** Ratio of punctuation characters to total characters (0 for empty). */
   def punctRatio(text: Column): Column = {

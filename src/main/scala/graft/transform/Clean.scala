@@ -41,10 +41,11 @@ object Clean {
   }
 
   /** `pd.to_numeric(errors='coerce')` (portfolio-etl.py:613, :680-681):
-    * Spark's cast-to-null on parse failure is the identical semantic
-    * (SURVEY.md §7.4-e).
+    * null on parse failure. Spark 4 runs ANSI mode by default, where a plain
+    * cast THROWS on malformed input — `try_cast` restores the coerce
+    * semantic (SURVEY.md §7.4-e).
     */
-  def coerceDouble(c: Column): Column = c.cast("double")
+  def coerceDouble(c: Column): Column = c.try_cast("double")
 
   /** The full clean stage: union → junk filter → normalize → qty re-coerce.
     * One narrow, whole-stage-codegen'd pipeline.

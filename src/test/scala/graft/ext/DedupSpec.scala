@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): org.apache.spark.sql.DataFrame =
+    df("doc_id BIGINT, text STRING", rows.map { case (i, t) => Row(i, t) })
+
+  test("exactDedup groups normalized text and keeps smallest id deterministically") {
+    val d = docs(
+      1L -> "Hello  World", 2L -> "  hello world ", 3L -> "HELLO WORLD", 4L -> "different")
+    val out = Dedup.exactDedup(d).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap  // keep_id -> n_copies
+    assert(out == Map(1L -> 3L, 4L -> 1L))
+  }
+
+  test("minHashSignatures: identical texts get identical signatures; short docs drop") {
+    val d = docs(1L -> "abcdefgh", 2L -> "abcdefgh", 3L -> "zzzzzzzz", 4L -> "ab")
+    val sig = Dedup.minHashSignatures(d, k = 8).collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+    assert(!sig.contains(4L)) // < 3 chars ⇒ no shingles
+  }
+
+  test("minHashCandidatePairs emits near-dup pairs exactly once (no per-band dups)") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",  // exact dup: all bands agree
+      3L -> "completely unrelated text about spark engines")
+    val sig = Dedup.minHashSignatures(d, k = 16)
+    val pairs = Dedup.minHashCandidatePairs(sig, k = 16, rowsPerBand = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.count(_ == (1L, 2L)) == 1) // first-agreeing-band: once, not 4×
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("minHashClusters assigns dup docs the same representative") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      5L -> "the quick brown fox jumps over the lazy dog",
+      9L -> "completely unrelated text about spark engines")
+    val sig = Dedup.minHashSignatures(d, k = 16)
+    val cl = Dedup.minHashClusters(sig, k = 16, rowsPerBand = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(1L) == 1L && cl(5L) == 1L) // both point at smallest dup id
+    assert(cl(9L) == 9L)                 // singleton is its own rep
+  }
+
+  test("simHash: identical docs equal; near docs closer than far docs (hamming)") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "alpha beta gamma delta epsilon eta",     // 1 token differs
+      4L -> "one two three four five six")            // all differ
+    val h = Dedup.simHash(d, bits = 32).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L) == h(2L))
+    assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
+  }
+
+  test("ngramJaccardPairs: exact dup scores 1.0; threshold excludes dissimilar") {
+    val d = docs(
+      1L -> "abcdefghij", 2L -> "abcdefghij", 3L -> "qrstuvwxyz")
+    val out = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out == Map((1L, 2L) -> 1.0))
+  }
+
+  test("candidate pairs plan has no DISTINCT exchange (first-band dedup instead)") {
+    val d = docs(1L -> "aaa bbb ccc", 2L -> "aaa bbb ddd")
+    val sig = Dedup.minHashSignatures(d, k = 16)
+    val plan = Dedup.minHashCandidatePairs(sig).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Deduplicate"), s"unexpected distinct in:\n$plan")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs(rows: (Long, Seq[Double])*): org.apache.spark.sql.DataFrame =
+    df("vec_id BIGINT, embedding ARRAY<DOUBLE>", rows.map { case (i, v) => Row(i, v) })
+
+  test("cosine: orthogonal → 0, identical → 1, zero-norm → 0") {
+    val d = vecs(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0), 3L -> Seq(2.0, 0.0), 4L -> Seq(0.0, 0.0))
+    val out = d.as("a").crossJoin(d.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 0.0)
+    assert(out((1L, 3L)) == 1.0)
+    assert(out((1L, 4L)) == 0.0)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tie-break; excludes self") {
+    val d = vecs(
+      0L -> Seq(1.0, 0.0),
+      1L -> Seq(1.0, 0.1),   // closest to 0
+      2L -> Seq(1.0, 0.5),   // second
+      3L -> Seq(0.0, 1.0))   // far
+    val out = Similarity.bruteForceTopK(d.filter(col("vec_id") === 0), d, k = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.toSeq == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("lshBucket: identical vectors always same bucket; deterministic") {
+    val d = vecs(1L -> Seq(1.0, 2.0, -1.0, 0.5), 2L -> Seq(1.0, 2.0, -1.0, 0.5))
+    val b = d.select(Similarity.lshBucket(col("embedding"), dim = 4, nPlanes = 8).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b(0) == b(1))
+  }
+
+  test("lshTopK finds the exact-dup neighbor (same bucket by construction)") {
+    val d = vecs(
+      0L -> Seq(1.0, 2.0, -1.0, 0.5),
+      1L -> Seq(1.0, 2.0, -1.0, 0.5),
+      2L -> Seq(-9.0, 1.0, 8.0, -7.0))
+    val out = Similarity.lshTopK(d.filter(col("vec_id") === 0), d, k = 3, dim = 4, nPlanes = 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out.contains(1L) && out(1L) == 1.0)
+  }
+
+  test("embeddingNearDupPairs finds dup pair above threshold") {
+    val d = vecs(
+      1L -> Seq(1.0, 2.0, -1.0, 0.5),
+      2L -> Seq(1.0, 2.0, -1.0, 0.5),
+      3L -> Seq(-9.0, 1.0, 8.0, -7.0))
+    val out = Similarity.embeddingNearDupPairs(d, threshold = 0.95, dim = 4, nPlanes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.contains((1L, 2L)))
+  }
+
+  test("bruteForceTopK plan broadcasts the query side (no corpus shuffle)") {
+    val d = vecs(0L -> Seq(1.0, 0.0), 1L -> Seq(0.5, 0.5))
+    val plan = Similarity.bruteForceTopK(d.filter(col("vec_id") === 0), d, k = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected broadcast join in:\n$plan")
+  }
+}

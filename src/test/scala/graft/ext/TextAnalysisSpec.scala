@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def one(text: String): org.apache.spark.sql.DataFrame =
+    df("doc_id BIGINT, text STRING", Seq(Row(1L, text)))
+
+  test("tokenCount: whitespace runs, empty text → 0") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "a  b\tc"), Row(2L, ""), Row(3L, "   "), Row(4L, "single")))
+    val out = d.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 0, 3L -> 0, 4L -> 1))
+  }
+
+  test("subwordCount: alpha runs, digit runs, punct marks count separately") {
+    val out = one("ab12 cd!").select(TextAnalysis.subwordCount(col("text")))
+      .collect()(0).getInt(0)
+    assert(out == 4) // "ab", "12", "cd", "!"
+  }
+
+  test("punctRatio and stopwordRatio bounded in [0,1]") {
+    val d = one("the cat, the hat!!")
+    val r = d.select(
+      TextAnalysis.punctRatio(col("text")).as("p"),
+      TextAnalysis.stopwordRatio(col("text")).as("s")).collect()(0)
+    assert(r.getDouble(0) > 0 && r.getDouble(0) < 1)
+    assert(r.getDouble(1) == 0.5) // 2 of 4 tokens are "the"
+  }
+
+  test("langId picks marker-richest language, 'und' when no markers") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "the cat and the dog is here"),
+      Row(2L, "el gato es la casa de madrid"),
+      Row(3L, "der hund und die katze das haus"),
+      Row(4L, "xyz qqq zzz")))
+    val out = d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "und"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive md5") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "Hello   World"), Row(2L, "  hello world")))
+    val fps = d.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0).matches("[0-9a-f]{32}"))
+  }
+
+  test("qualityScore in [0,1]; richer docs score higher than empty") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "the quick brown fox jumps over the lazy dog and runs on for a while in the sun"),
+      Row(2L, "")))
+    val q = d.orderBy("doc_id").select(TextAnalysis.qualityScore(col("text")))
+      .collect().map(_.getDouble(0))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0) > q(1))
+  }
+
+  test("stats frame has the full column contract") {
+    val out = TextAnalysis.stats(one("the cat sat"))
+    assert(out.columns.toSeq == Seq("doc_id", "n_chars", "n_tokens", "n_subwords",
+      "punct_ratio", "stopword_ratio", "avg_token_len", "quality", "lang_pred", "fingerprint"))
+    assert(out.count() == 1)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+
+class StreamsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourlyByType on a stream: watermarked tumbling windows emit closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val agg = Streams.hourlyByType(mem.toDF(), watermark = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Streams.Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Streams.Event(2, ts("2024-01-01 10:45:00"), 1, "click", 2.0),
+        Streams.Event(3, ts("2024-01-01 10:50:00"), 2, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 window
+      mem.addData(Streams.Event(9, ts("2024-01-01 13:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 10:00:00.0", "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize with explicit state: 30-min gap closes a session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val sessions = Streams.sessionize(mem.toDS())
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Streams.Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Streams.Event(2, ts("2024-01-01 10:10:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // > 30 min later: closes session 1 (2 events), opens session 2
+      mem.addData(Streams.Event(3, ts("2024-01-01 11:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(3)))
+      assert(rows.toSeq == Seq((7L, "2024-01-01 10:00:00.0", 2)))
+    } finally q.stop()
+  }
+
+  test("batch equivalence: hourlyByType on a static frame matches a plain groupBy") {
+    import spark.implicits._
+    val events = Seq(
+      Streams.Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.5),
+      Streams.Event(2, ts("2024-01-01 10:45:00"), 1, "click", 2.5),
+      Streams.Event(3, ts("2024-01-01 11:05:00"), 2, "view", 1.0)).toDF()
+    val out = Streams.hourlyByType(events).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      ("2024-01-01 10:00:00.0", "click") -> (2L, 4.0),
+      ("2024-01-01 11:00:00.0", "view") -> (1L, 1.0)))
+  }
+}
