@@ -91,19 +91,45 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Full per-document stats frame. */
+  /** Full per-document stats frame.
+    *
+    * The token array is materialized once per row (`toks` projection) and
+    * shared by every downstream expression — Catalyst does not eliminate
+    * common subexpressions across independent select items, so the naive
+    * form re-tokenizes the document ~8×.
+    */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    docs.select(
-      col("doc_id"),
-      length(t).as("n_chars"),
-      tokenCount(t).as("n_tokens"),
-      subwordCount(t).as("n_subwords"),
-      round(punctRatio(t), 6).as("punct_ratio"),
-      round(stopwordRatio(t), 6).as("stopword_ratio"),
-      round(avgTokenLen(t), 6).as("avg_token_len"),
-      qualityScore(t).as("quality"),
-      langId(t).as("lang_pred"),
-      fingerprint(t).as("fingerprint"))
+    val toks = col("__toks")
+    val nToks = size(toks)
+    val stopRatio = when(nToks === 0, lit(0.0)).otherwise(
+      size(filter(toks, x => x.isin(englishStopwords.map(lit): _*))).cast("double") / nToks)
+    val pRatio = punctRatio(t)
+    val langToks = col("__ltoks")
+    val langScores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(langToks, x => x.isin(markers.map(lit): _*)))
+    }
+    val best = langScores.map(_._2).reduce((a, b) => greatest(a, b))
+    val lang = langScores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+    docs
+      .withColumn("__toks", tokens(t))
+      .withColumn("__ltoks", tokens(lower(t)))
+      .select(
+        col("doc_id"),
+        length(t).as("n_chars"),
+        nToks.as("n_tokens"),
+        subwordCount(t).as("n_subwords"),
+        round(pRatio, 6).as("punct_ratio"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        round(when(nToks === 0, lit(0.0)).otherwise(
+          aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / nToks), 6)
+          .as("avg_token_len"),
+        round(least(nToks.cast("double") / 50.0, lit(1.0)) * 0.4
+          + least(stopRatio * 4.0, lit(1.0)) * 0.4
+          + greatest(lit(0.0), lit(1.0) - pRatio * 5.0) * 0.2, 6).as("quality"),
+        lang.as("lang_pred"),
+        fingerprint(t).as("fingerprint"))
   }
 }
