@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, DotProduct, VectorFunctions}
+
+/** SparkSessionExtensions installer for the engine's native expressions.
+  *
+  * Usable both programmatically (`GraftSession.builder(...)`) and via
+  * config (`--conf spark.sql.extensions=graft.GraftExtensions`), so SQL
+  * users get `graft_dot`/`graft_cosine` too.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(VectorFunctions.DotName),
+      new ExpressionInfo(classOf[DotProduct].getName, VectorFunctions.DotName),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier(VectorFunctions.CosineName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, VectorFunctions.CosineName),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+  }
+}
+
+/** Session factory with the engine's scale-tuned defaults: AQE (runtime
+  * re-plan, partition coalescing, skew-join splitting), UTC, nanos-tolerant
+  * parquet reads, and shuffle partitions sized to the local core count —
+  * on a real cluster set shuffle partitions ≈ 2-3× total executor cores
+  * instead.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[*]", shufflePartitions: Int = 0,
+              appName: String = "graft"): SparkSession.Builder = {
+    val parts =
+      if (shufflePartitions > 0) shufflePartitions
+      else Runtime.getRuntime.availableProcessors()
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", parts.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+  }
+}

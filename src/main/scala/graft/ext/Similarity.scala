@@ -19,19 +19,32 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two equal-length numeric arrays (summed in array
-    * order — deterministic).
+  /** Dot product via higher-order functions (portable fallback; summed in
+    * array order — deterministic). The hot path uses the fused codegen
+    * expression below.
     */
-  def dot(a: Column, b: Column): Column =
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Dot product as a native codegen expression (one primitive loop). */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dotProduct(a, b)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  /** Cosine similarity; 0 when either vector has zero norm. One fused
+    * codegen pass (dot + both norms in a single loop) — bit-identical to
+    * the three-pass formulation because each accumulator still sums in
+    * ascending index order.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineSim(a, b)
+
+  /** Higher-order-function cosine (portable fallback, 3 array walks). */
+  def cosineHof(a: Column, b: Column): Column = {
+    val d = sqrt(dotHof(a, a)) * sqrt(dotHof(b, b))
+    when(d === 0.0, lit(0.0)).otherwise(dotHof(a, b) / d)
   }
 
   /** Brute-force cosine top-k: for every query vector, the k most similar

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for vector math over `array<float|double>`
+  * columns (extension surface, SURVEY.md §7.5).
+  *
+  * Rationale: the higher-order-function formulation
+  * (`aggregate(zip_with(a,b,*),0d,+)`) allocates an intermediate array and
+  * evaluates interpreted lambdas per element — and computing cosine that
+  * way walks both arrays three times (dot, ‖a‖, ‖b‖). These expressions
+  * run one fused loop with primitive accumulators and participate in
+  * whole-stage codegen via doGenCode, so a 64-dim cosine inside a join is
+  * a tight JIT'd loop instead of three lambda-driven array traversals.
+  *
+  * Summation order is ascending index — identical to the SQL oracle's
+  * per-index SUM, so results are bit-identical to the portable reference.
+  */
+abstract class VectorFoldExpression extends BinaryExpression with Serializable {
+
+  override def nullIntolerant: Boolean = true
+
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+
+  protected def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  protected def getD(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** codegen fragment reading element i of `arr` as double */
+  protected def genGet(arr: String, i: String, isFloat: Boolean): String =
+    if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+}
+
+/** dot(a, b) = Σ a_i·b_i over min(len(a), len(b)) elements. */
+case class DotProduct(left: Expression, right: Expression) extends VectorFoldExpression {
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val fa = elemIsFloat(left); val fb = elemIsFloat(right)
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += getD(a, i, fa) * getD(b, i, fb); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${genGet(a, i, elemIsFloat(left))} * ${genGet(b, i, elemIsFloat(right))};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** cosine(a, b) = dot/(‖a‖·‖b‖) in ONE fused pass; 0.0 when either norm is
+  * 0 (matches the engine's null/zero policy and the SQL oracle's CASE).
+  */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorFoldExpression {
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val fa = elemIsFloat(left); val fb = elemIsFloat(right)
+    val n = math.min(a.numElements(), b.numElements())
+    var dp = 0.0; var qq = 0.0; var cc = 0.0; var i = 0
+    while (i < n) {
+      val x = getD(a, i, fa); val y = getD(b, i, fb)
+      dp += x * y; qq += x * x; cc += y * y; i += 1
+    }
+    val d = math.sqrt(qq) * math.sqrt(cc)
+    if (d == 0.0) 0.0 else dp / d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dp = ctx.freshName("dp"); val qq = ctx.freshName("qq"); val cc = ctx.freshName("cc")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dp = 0.0; double $qq = 0.0; double $cc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${genGet(a, i, elemIsFloat(left))};
+         |  double $y = ${genGet(b, i, elemIsFloat(right))};
+         |  $dp += $x * $y; $qq += $x * $x; $cc += $y * $y;
+         |}
+         |double $d = java.lang.Math.sqrt($qq) * java.lang.Math.sqrt($cc);
+         |${ev.value} = ($d == 0.0) ? 0.0 : $dp / $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** Column-API entry points. The Column↔Expression bridge is private[sql]
+  * in Spark 4, so these route through the session FunctionRegistry — the
+  * functions are injected by [[graft.GraftExtensions]]
+  * (SparkSessionExtensions), the public integration point.
+  */
+object VectorFunctions {
+  val DotName = "graft_dot"
+  val CosineName = "graft_cosine"
+  def dotProduct(a: Column, b: Column): Column = call_function(DotName, a, b)
+  def cosineSim(a: Column, b: Column): Column = call_function(CosineName, a, b)
+}

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ext.Similarity
+
+class VectorExpressionsSpec extends SparkSpec {
+
+  private def pairs(rows: (Seq[Double], Seq[Double])*): org.apache.spark.sql.DataFrame =
+    df("a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", rows.map { case (x, y) => Row(x, y) })
+
+  test("DotProduct matches the higher-order formulation bit-for-bit") {
+    val d = pairs(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, -0.2), Seq(0.3, 0.7)),
+      (Seq(0.0, 0.0), Seq(0.0, 0.0)))
+    val out = d.select(
+      VectorFunctions.dotProduct(col("a"), col("b")).as("fast"),
+      Similarity.dotHof(col("a"), col("b")).as("hof")).collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(out(0).getDouble(0) == 32.0)
+  }
+
+  test("CosineSimilarity: fused pass equals three-pass HOF; zero-norm → 0.0") {
+    val d = pairs(
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(3.0, 4.0), Seq(3.0, 4.0)),   // norms exact → cosine exactly 1.0
+      (Seq(1.0, 2.0), Seq(2.0, 4.0)),   // parallel but inexact norms
+      (Seq(0.0, 0.0), Seq(1.0, 1.0)))
+    val out = d.select(
+      VectorFunctions.cosineSim(col("a"), col("b")).as("fast"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof")).collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bit-identical
+    assert(out(0).getDouble(0) == 0.0)
+    assert(out(1).getDouble(0) == 1.0)
+    assert(out(3).getDouble(0) == 0.0)
+  }
+
+  test("float arrays work and nulls propagate") {
+    val d = df("a ARRAY<FLOAT>, b ARRAY<FLOAT>", Seq(
+      Row(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)), Row(null, Seq(1.0f))))
+    val out = d.select(VectorFunctions.dotProduct(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0))
+  }
+
+  test("expression participates in whole-stage codegen (no fallback)") {
+    // build from a Range source — a LocalTableScan would be computed
+    // driver-side without any codegen stage at all
+    val d = spark.range(4).select(
+      array(col("id").cast("double"), lit(1.0)).as("a"),
+      array(lit(2.0), col("id").cast("double")).as("b"))
+    val plan = d.select(VectorFunctions.cosineSim(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen span
+    assert(plan.contains("*(1) Project"), s"no codegen span in:\n$plan")
+  }
+}
