@@ -262,6 +262,42 @@ object Oracles {
        |$dotsCte,
        |${rankTail(k)}""".stripMargin
 
+  /** Mirrors Similarity.embeddingNearDupPairs (LSH bucket join + exact
+    * cosine re-check ≥ threshold).
+    */
+  def embeddingNearDup(threshold: Double, dim: Int = 16, nPlanes: Int = 4): String =
+    s"""WITH v AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", dim, nPlanes)} AS bucket FROM embeddings),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS qv, b.embedding AS cv
+       |      FROM v a JOIN v b ON a.bucket = b.bucket WHERE a.vec_id < b.vec_id),
+       |dots AS (
+       |  SELECT id_a, id_b,
+       |    SUM(CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+       |    SUM(CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(qv[CAST(i AS INTEGER)] AS DOUBLE)) AS qq,
+       |    SUM(CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)) AS cc
+       |  FROM p, generate_series(1, 64) t(i) GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT id_a, id_b,
+       |    round(CASE WHEN sqrt(qq) * sqrt(cc) = 0 THEN 0.0 ELSE dp / (sqrt(qq) * sqrt(cc)) END, 6) AS score
+       |  FROM dots
+       |)
+       |SELECT id_a, id_b, score FROM scored WHERE score >= $threshold""".stripMargin
+
+  /** Sliding 10-minute windows every 5 minutes, mirrored by explicit
+    * epoch-µs window arithmetic (each event lands in exactly two windows;
+    * µs granularity matches Spark's ns→µs truncation bit-for-bit).
+    */
+  val slidingWindows: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+      |cand AS (
+      |  SELECT event_type, us,
+      |    unnest([(us // 300000000) * 300000000, (us // 300000000) * 300000000 - 300000000]) AS ws
+      |  FROM e
+      |), hit AS (
+      |  SELECT event_type, make_timestamp(ws) AS window_start FROM cand
+      |  WHERE us >= ws AND us < ws + 600000000
+      |)
+      |SELECT window_start, event_type, COUNT(*) AS n FROM hit GROUP BY 1, 2""".stripMargin
+
   // ---- events / streaming-analogue queries --------------------------------
 
   val eventsHourly: String =

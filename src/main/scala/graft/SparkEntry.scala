@@ -162,7 +162,16 @@ object SparkEntry {
     // extension: multimodal binary-column feature extraction (stub codec;
     // no SQL oracle — mapPartitions path, driver records rows-only check)
     "q23_media_features" -> ((s, d) =>
-      graft.ext.Multimodal.mediaFeatures(Tables.documents(s, d))(s))
+      graft.ext.Multimodal.mediaFeatures(Tables.documents(s, d))(s)),
+
+    // extension: embedding near-duplicate pairs (LSH bucket + cosine)
+    "q24_embedding_neardup" -> ((s, d) =>
+      Similarity.embeddingNearDupPairs(Tables.embeddings(s, d),
+        threshold = 0.3, dim = 16, nPlanes = 4)),
+
+    // extension: sliding-window rates (streaming transform on batch frame)
+    "q25_sliding_windows" -> ((s, d) =>
+      graft.streaming.Streams.slidingRates(Tables.events(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -187,6 +196,8 @@ object SparkEntry {
     "q19_lsh_topk" -> Oracles.lshTopK(50, 5, 16, 4),
     "q20_events_hourly" -> Oracles.eventsHourly,
     "q21_event_sessions" -> Oracles.eventSessions,
-    "q22_dedup_clusters" -> Oracles.minhashClusters(16, 4)
+    "q22_dedup_clusters" -> Oracles.minhashClusters(16, 4),
+    "q24_embedding_neardup" -> Oracles.embeddingNearDup(0.3, 16, 4),
+    "q25_sliding_windows" -> Oracles.slidingWindows
   )
 }
