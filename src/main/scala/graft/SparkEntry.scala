@@ -171,7 +171,14 @@ object SparkEntry {
 
     // extension: sliding-window rates (streaming transform on batch frame)
     "q25_sliding_windows" -> ((s, d) =>
-      graft.streaming.Streams.slidingRates(Tables.events(s, d)))
+      graft.streaming.Streams.slidingRates(Tables.events(s, d))),
+
+    // extension: top-k via bounded typed Aggregator (partial-agg scale
+    // path; must equal q18's window formulation — same oracle)
+    "q26_cosine_topk_agg" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopKAgg(emb.filter(col("vec_id") % 50 === 0), emb, k = 5)
+    }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -198,6 +205,7 @@ object SparkEntry {
     "q21_event_sessions" -> Oracles.eventSessions,
     "q22_dedup_clusters" -> Oracles.minhashClusters(16, 4),
     "q24_embedding_neardup" -> Oracles.embeddingNearDup(0.3, 16, 4),
-    "q25_sliding_windows" -> Oracles.slidingWindows
+    "q25_sliding_windows" -> Oracles.slidingWindows,
+    "q26_cosine_topk_agg" -> Oracles.cosineTopK(50, 5)
   )
 }

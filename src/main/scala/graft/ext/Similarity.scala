@@ -47,22 +47,36 @@ object Similarity {
     when(d === 0.0, lit(0.0)).otherwise(dotHof(a, b) / d)
   }
 
+  /** Scored (query × corpus) candidate pairs, self-pairs excluded. */
+  def scoredPairs(queries: DataFrame, corpus: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+  }
+
   /** Brute-force cosine top-k: for every query vector, the k most similar
     * corpus vectors. Queries are broadcast (small side); the corpus is
     * scanned exactly once; ties break on corpus id for determinism.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+    val scored = scoredPairs(queries, corpus, idCol, vecCol)
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "score", "rank")
   }
+
+  /** Same result as [[bruteForceTopK]] via the bounded TopK Aggregator:
+    * partial aggregation prunes to k rows per partition per query BEFORE
+    * the shuffle — the scale path when the candidate set is huge.
+    */
+  def bruteForceTopKAgg(queries: DataFrame, corpus: DataFrame, k: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    TopK.perGroupTopK(scoredPairs(queries, corpus, idCol, vecCol), k)
 
   /** Deterministic integer "random" hyperplanes: weight of plane p at
     * dimension i is ((p·31 + i·17) mod 7) − 3 ∈ [−3, 3]. Integer-exact in

@@ -47,4 +47,24 @@ object Aggregate {
     enriched.groupBy("sku", "cost")
       .agg(sum("qty").as("qty"))
       .withColumn("total", col("cost") * col("qty"))
+
+  /** Skew-spreading two-phase aggregation pattern (shown for sum; use the
+    * same shape for large-buffer aggs like collect_set/percentile sketches).
+    *
+    * For algebraic sums Spark's map-side partial aggregation already caps
+    * shuffle volume at one row per (partition × key); salting additionally
+    * spreads a hot key's FINAL merge across `salt` reducers — relevant
+    * when per-key merge state is big, or upstream explodes concentrate a
+    * key in few partitions. AQE's skew handling splits skewed JOIN
+    * partitions, not skewed aggregation keys, so this is the aggregation-
+    * side tool. Result is identical to a direct groupBy (associativity).
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                salt: Int = 16): DataFrame = {
+    val keyCols = keys.map(col)
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    val partial = salted.groupBy(keyCols :+ col("__salt"): _*)
+      .agg(sum(valueCol).as(valueCol))
+    partial.groupBy(keyCols: _*).agg(sum(valueCol).as(valueCol))
+  }
 }
