@@ -262,6 +262,56 @@ object Oracles {
        |$dotsCte,
        |${rankTail(k)}""".stripMargin
 
+  /** Parametrized cosine-over-pairs CTE pair: `<out>_dots` + `<out>`
+    * (keys k1,k2; vectors av,bv; 64 dims in ordinal order).
+    */
+  private def cosineCtes(pairs: String, k1: String, k2: String,
+                         av: String, bv: String, out: String): String =
+    s"""${out}_dots AS (
+       |  SELECT $k1, $k2,
+       |    SUM(CAST($av[CAST(i AS INTEGER)] AS DOUBLE) * CAST($bv[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+       |    SUM(CAST($av[CAST(i AS INTEGER)] AS DOUBLE) * CAST($av[CAST(i AS INTEGER)] AS DOUBLE)) AS qq,
+       |    SUM(CAST($bv[CAST(i AS INTEGER)] AS DOUBLE) * CAST($bv[CAST(i AS INTEGER)] AS DOUBLE)) AS cc
+       |  FROM $pairs, generate_series(1, 64) t(i) GROUP BY 1, 2
+       |), $out AS (
+       |  SELECT $k1, $k2,
+       |    round(CASE WHEN sqrt(qq) * sqrt(cc) = 0 THEN 0.0 ELSE dp / (sqrt(qq) * sqrt(cc)) END, 6) AS s
+       |  FROM ${out}_dots
+       |)""".stripMargin
+
+  /** Mirrors Similarity.ivfTopK: centroid assignment → nProbe probes →
+    * candidate join on centroid id → exact re-rank.
+    */
+  def ivfTopK(centMod: Int = 37, queryMod: Int = 50, nProbe: Int = 3, k: Int = 5): String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % $centMod = 0),
+       |corp AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+       |ap AS (SELECT neighbor_id, cid, nv, cv FROM corp, cent),
+       |${cosineCtes("ap", "neighbor_id", "cid", "nv", "cv", "ascore")},
+       |assign AS (
+       |  SELECT neighbor_id, cid FROM (
+       |    SELECT neighbor_id, cid, ROW_NUMBER() OVER (PARTITION BY neighbor_id ORDER BY s DESC, cid) AS rn
+       |    FROM ascore) WHERE rn = 1
+       |),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % $queryMod = 0),
+       |qp AS (SELECT query_id, cid, qv, cv FROM q, cent),
+       |${cosineCtes("qp", "query_id", "cid", "qv", "cv", "qscore")},
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT query_id, cid, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, cid) AS rn
+       |    FROM qscore) WHERE rn <= $nProbe
+       |),
+       |p AS (
+       |  SELECT query_id, neighbor_id, qv, cv FROM (
+       |    SELECT pr.query_id AS query_id, a.neighbor_id AS neighbor_id, qq2.qv AS qv, c.nv AS cv
+       |    FROM probes pr
+       |    JOIN assign a ON pr.cid = a.cid
+       |    JOIN q qq2 ON pr.query_id = qq2.query_id
+       |    JOIN corp c ON a.neighbor_id = c.neighbor_id
+       |    WHERE pr.query_id <> a.neighbor_id)
+       |),
+       |$dotsCte,
+       |${rankTail(k)}""".stripMargin
+
   /** Mirrors Similarity.embeddingNearDupPairs (LSH bucket join + exact
     * cosine re-check ≥ threshold).
     */

@@ -178,6 +178,13 @@ object SparkEntry {
     "q26_cosine_topk_agg" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopKAgg(emb.filter(col("vec_id") % 50 === 0), emb, k = 5)
+    },
+
+    // extension: IVF coarse-quantizer ANN (centroid probe scale path)
+    "q27_ivf_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb.filter(col("vec_id") % 50 === 0), emb, k = 5,
+        centroids = emb.filter(col("vec_id") % 37 === 0), nProbe = 3)
     }
   )
 
@@ -206,6 +213,7 @@ object SparkEntry {
     "q22_dedup_clusters" -> Oracles.minhashClusters(16, 4),
     "q24_embedding_neardup" -> Oracles.embeddingNearDup(0.3, 16, 4),
     "q25_sliding_windows" -> Oracles.slidingWindows,
-    "q26_cosine_topk_agg" -> Oracles.cosineTopK(50, 5)
+    "q26_cosine_topk_agg" -> Oracles.cosineTopK(50, 5),
+    "q27_ivf_topk" -> Oracles.ivfTopK(37, 50, 3, 5)
   )
 }

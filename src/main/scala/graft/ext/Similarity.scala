@@ -115,6 +115,43 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** IVF-style approximate top-k (the coarse-quantizer scale path):
+    *   1. every corpus vector is assigned to its nearest centroid
+    *      (broadcast centroid set — linear scan, no shuffle);
+    *   2. each query probes its `nProbe` nearest centroids;
+    *   3. candidates = corpus vectors in probed cells (equi-join on
+    *      centroid id — a proper shuffle key), re-ranked by exact cosine.
+    * Deterministic: centroids are a fixed id-based subset, all ranks order
+    * by (rounded score desc, id asc).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroids: DataFrame, nProbe: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val corp = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+
+    val aw = Window.partitionBy("neighbor_id").orderBy(col("s").desc, col("cid"))
+    val assign = corp.crossJoin(broadcast(cent))
+      .withColumn("s", round(cosine(col("nv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+      .select("cid", "neighbor_id", "nv")
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qw = Window.partitionBy("query_id").orderBy(col("s").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("s", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(qw)).filter(col("rn") <= nProbe)
+      .select("cid", "query_id", "qv")
+
+    val scored = probes.join(assign, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** Embedding near-duplicate pairs: same-bucket pairs with cosine above
     * `threshold` (id_a < id_b). The LSH bucket join keeps this near-linear.
     */

@@ -58,6 +58,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.contains((1L, 2L)))
   }
 
+  test("ivfTopK: exact-dup neighbor found via its centroid cell; ranks deterministic") {
+    val d = vecs(
+      0L -> Seq(1.0, 2.0, -1.0, 0.5),
+      1L -> Seq(1.0, 2.0, -1.0, 0.5),    // dup of 0 → same cell
+      2L -> Seq(0.9, 2.1, -0.9, 0.6),    // near 0
+      3L -> Seq(-9.0, 1.0, 8.0, -7.0),   // far
+      4L -> Seq(-8.0, 0.5, 7.0, -6.0))   // far, near 3
+    val out = Similarity.ivfTopK(
+      d.filter(col("vec_id") === 0), d, k = 2,
+      centroids = d.filter(col("vec_id").isin(1L, 3L)), nProbe = 1)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.head == (1L, 1)) // dup found first via probed cell
+    assert(out.map(_._1).forall(id => id != 3L && id != 4L)) // far cell not probed
+  }
+
   test("bruteForceTopK plan broadcasts the query side (no corpus shuffle)") {
     val d = vecs(0L -> Seq(1.0, 0.0), 1L -> Seq(0.5, 0.5))
     val plan = Similarity.bruteForceTopK(d.filter(col("vec_id") === 0), d, k = 1)
