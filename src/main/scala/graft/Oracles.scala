@@ -95,6 +95,19 @@ object Oracles {
       |)
       |SELECT brand, sku, units, rnk FROM r WHERE rnk <= 3""".stripMargin
 
+  /** Full wholesale reporting branch (portfolio-etl.py:748-775): the whole
+    * §3.3 branch-A2 composition — union-clean → retail agg → wholesale
+    * mapping → brand enrich → date parts → intended-semantics brand split
+    * (§7.4-h) — as one statement.
+    */
+  val wholesaleReport: String =
+    s"""WITH $soldvalueCte, $skuMapCte, $finalResultCte,
+       |wsm AS (SELECT p_name AS sku2, MIN(p_brand) AS brand FROM part GROUP BY 1)
+       |SELECT trim(f.sku) AS sku, f.qty, m.brand,
+       |  DATE '2024-06-01' AS "date", CAST(2024 AS INTEGER) AS "Year", 'June' AS "Month"
+       |FROM final_result f LEFT JOIN wsm m ON trim(f.sku) = trim(m.sku2)
+       |WHERE m.brand = 'Brand#1'""".stripMargin
+
   // ---- text / dedup extension queries -------------------------------------
 
   private val fingerprintSql =

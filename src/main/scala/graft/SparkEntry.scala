@@ -185,7 +185,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb.filter(col("vec_id") % 50 === 0), emb, k = 5,
         centroids = emb.filter(col("vec_id") % 37 === 0), nProbe = 3)
-    }
+    },
+
+    // full §3.3 branch-A2 composition: wholesale report (J4+F7-F11+P7)
+    "q28_wholesale_report" -> ((s, d) =>
+      Enrich.splitByBrand(
+        Enrich.enrichWholesale(finalResult(s, d), Tables.wholesaleMap(s, d), runDate),
+        "Brand#1", Seq("Brand#2", "Brand#3"))._1)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -214,6 +220,7 @@ object SparkEntry {
     "q24_embedding_neardup" -> Oracles.embeddingNearDup(0.3, 16, 4),
     "q25_sliding_windows" -> Oracles.slidingWindows,
     "q26_cosine_topk_agg" -> Oracles.cosineTopK(50, 5),
-    "q27_ivf_topk" -> Oracles.ivfTopK(37, 50, 3, 5)
+    "q27_ivf_topk" -> Oracles.ivfTopK(37, 50, 3, 5),
+    "q28_wholesale_report" -> Oracles.wholesaleReport
   )
 }
