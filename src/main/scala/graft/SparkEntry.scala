@@ -191,7 +191,27 @@ object SparkEntry {
     "q28_wholesale_report" -> ((s, d) =>
       Enrich.splitByBrand(
         Enrich.enrichWholesale(finalResult(s, d), Tables.wholesaleMap(s, d), runDate),
-        "Brand#1", Seq("Brand#2", "Brand#3"))._1)
+        "Brand#1", Seq("Brand#2", "Brand#3"))._1),
+
+    // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
+    // retail agg via a typed Aggregator — same semantics and oracle as q01
+    "q29_typed_retail_agg" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.{Encoder, Encoders}
+      import graft.model.Schemas.SaleLine
+      val sumQty = new org.apache.spark.sql.expressions.Aggregator[SaleLine, Double, Double] {
+        override def zero: Double = 0.0
+        override def reduce(b: Double, a: SaleLine): Double = b + a.qty
+        override def merge(x: Double, y: Double): Double = x + y
+        override def finish(r: Double): Double = r
+        override def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
+        override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+      }.toColumn
+      Tables.sales(s, d).as[SaleLine]
+        .groupByKey(_.sku)
+        .agg(sumQty)
+        .toDF("sku", "qty")
+    }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -221,6 +241,7 @@ object SparkEntry {
     "q25_sliding_windows" -> Oracles.slidingWindows,
     "q26_cosine_topk_agg" -> Oracles.cosineTopK(50, 5),
     "q27_ivf_topk" -> Oracles.ivfTopK(37, 50, 3, 5),
-    "q28_wholesale_report" -> Oracles.wholesaleReport
+    "q28_wholesale_report" -> Oracles.wholesaleReport,
+    "q29_typed_retail_agg" -> Oracles.retailAgg
   )
 }
