@@ -39,10 +39,17 @@ object Payloads {
 
   /** Houzz (S4+N6, portfolio-etl.py:98-135): XML `<Order><OrderItem>`;
     * built-in XML source (Spark ≥4.0), rowTag=Order, explode OrderItem.
+    * XML inference yields a bare STRUCT when every order has exactly one
+    * item — wrap it so single- and multi-item orders both explode (the
+    * reference's findall handles both shapes, :129).
     */
   def houzz(spark: SparkSession, path: String): DataFrame = {
     val orders = spark.read.format("xml").option("rowTag", "Order").load(path)
-    val items = orders.select(explode(col("OrderItem")).as("i"))
+    val itemsCol = orders.schema("OrderItem").dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => col("OrderItem")
+      case _ => array(col("OrderItem"))
+    }
+    val items = orders.select(explode(itemsCol).as("i"))
     canon(items, col("i.SKU"), col("i.Quantity"), "houzz")
   }
 

@@ -82,4 +82,20 @@ object Streams {
     spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
+
+  /** Checkpointed parquet sink for the hourly aggregation: processes all
+    * currently-available input (AvailableNow) and stops — the incremental
+    * re-batch replacement for the reference's 7-day re-run loop
+    * (portfolio-etl.py:42): re-invoking resumes from the checkpoint and
+    * only new files are read.
+    */
+  def writeHourlyParquet(events: DataFrame, outDir: String,
+                         checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    hourlyByType(events).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -53,6 +53,27 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-to-file: readStream → hourly agg → checkpointed parquet sink (AvailableNow)") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("ev_in").toString
+    val out = Files.createTempDirectory("ev_out").toString
+    val ckpt = Files.createTempDirectory("ev_ckpt").toString
+    // µs-normalized events from the corpus as the stream input
+    graft.Tables.events(spark, "/root/testdata/sf0.001").write.mode("overwrite").parquet(in)
+    val q = Streams.writeHourlyParquet(Streams.readEventsStream(spark, in), out, ckpt)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+    // append mode emits only watermark-closed windows: all but the tail
+    val batch = Streams.hourlyByType(graft.Tables.events(spark, "/root/testdata/sf0.001"))
+    assert(streamed.count() > 0)
+    assert(streamed.count() <= batch.count())
+    // every emitted row must agree with the batch computation
+    val b = batch.collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    streamed.collect().foreach { r =>
+      assert(b((r.getTimestamp(0), r.getString(1))) == ((r.getLong(2), r.getDouble(3))))
+    }
+  }
+
   test("batch equivalence: hourlyByType on a static frame matches a plain groupBy") {
     import spark.implicits._
     val events = Seq(
