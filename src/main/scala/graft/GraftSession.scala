@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(VectorFunctions.CosineName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, VectorFunctions.CosineName),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    // HOF dot-product pattern → fused native loop (pure perf rewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
   }
 }
 

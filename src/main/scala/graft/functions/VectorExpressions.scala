@@ -19,6 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * whole-stage codegen via doGenCode, so a 64-dim cosine inside a join is
   * a tight JIT'd loop instead of three lambda-driven array traversals.
   *
+  * Null semantics deliberately match the HOF formulation exactly so the
+  * [[graft.plans.RewriteHofDotProduct]] optimizer rule is a pure
+  * performance rewrite: unequal lengths → null (zip_with pads with null),
+  * any null element → null (null poisons the multiply then the sum).
   * Summation order is ascending index — identical to the SQL oracle's
   * per-index SUM, so results are bit-identical to the portable reference.
   */
@@ -38,9 +42,12 @@ abstract class VectorFoldExpression extends BinaryExpression with Serializable {
         s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   protected def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  protected def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
 
   protected def getD(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
@@ -48,28 +55,54 @@ abstract class VectorFoldExpression extends BinaryExpression with Serializable {
   /** codegen fragment reading element i of `arr` as double */
   protected def genGet(arr: String, i: String, isFloat: Boolean): String =
     if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+
+  /** codegen guard: null-out the result on length mismatch / null element.
+    * Emitted per static schema — vectors declared non-null skip the
+    * per-element check entirely.
+    */
+  protected def genGuards(ctx: CodegenContext, ev: ExprCode,
+                          a: String, b: String, i: String, n: String): (String, String) = {
+    val lenGuard =
+      s"""if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |int $n = $a.numElements();""".stripMargin
+    val nullChecks = Seq(
+      if (elemNullable(left)) Some(s"$a.isNullAt($i)") else None,
+      if (elemNullable(right)) Some(s"$b.isNullAt($i)") else None).flatten
+    val elemGuard =
+      if (nullChecks.isEmpty) ""
+      else s"if (${nullChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
+    (lenGuard, elemGuard)
+  }
 }
 
-/** dot(a, b) = Σ a_i·b_i over min(len(a), len(b)) elements. */
+/** dot(a, b) = Σ a_i·b_i; null on length mismatch or null element. */
 case class DotProduct(left: Expression, right: Expression) extends VectorFoldExpression {
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val fa = elemIsFloat(left); val fb = elemIsFloat(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0; var i = 0
-    while (i < n) { acc += getD(a, i, fa) * getD(b, i, fb); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += getD(a, i, fa) * getD(b, i, fb); i += 1
+    }
     acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val (lenGuard, elemGuard) = genGuards(ctx, ev, a, b, i, n)
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |$lenGuard
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${genGet(a, i, elemIsFloat(left))} * ${genGet(b, i, elemIsFloat(right))};
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemGuard
+         |    $acc += ${genGet(a, i, elemIsFloat(left))} * ${genGet(b, i, elemIsFloat(right))};
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -80,16 +113,18 @@ case class DotProduct(left: Expression, right: Expression) extends VectorFoldExp
 }
 
 /** cosine(a, b) = dot/(‖a‖·‖b‖) in ONE fused pass; 0.0 when either norm is
-  * 0 (matches the engine's null/zero policy and the SQL oracle's CASE).
+  * 0; null on length mismatch or null element (mirrors the HOF form).
   */
 case class CosineSimilarity(left: Expression, right: Expression) extends VectorFoldExpression {
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val fa = elemIsFloat(left); val fb = elemIsFloat(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dp = 0.0; var qq = 0.0; var cc = 0.0; var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = getD(a, i, fa); val y = getD(b, i, fb)
       dp += x * y; qq += x * x; cc += y * y; i += 1
     }
@@ -102,13 +137,17 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorF
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dp = ctx.freshName("dp"); val qq = ctx.freshName("qq"); val cc = ctx.freshName("cc")
       val x = ctx.freshName("x"); val y = ctx.freshName("y"); val d = ctx.freshName("d")
+      val (lenGuard, elemGuard) = genGuards(ctx, ev, a, b, i, n)
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |$lenGuard
          |double $dp = 0.0; double $qq = 0.0; double $cc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = ${genGet(a, i, elemIsFloat(left))};
-         |  double $y = ${genGet(b, i, elemIsFloat(right))};
-         |  $dp += $x * $y; $qq += $x * $x; $cc += $y * $y;
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemGuard
+         |    double $x = ${genGet(a, i, elemIsFloat(left))};
+         |    double $y = ${genGet(b, i, elemIsFloat(right))};
+         |    $dp += $x * $y; $qq += $x * $x; $cc += $y * $y;
+         |  }
          |}
          |double $d = java.lang.Math.sqrt($qq) * java.lang.Math.sqrt($cc);
          |${ev.value} = ($d == 0.0) ? 0.0 : $dp / $d;
