@@ -147,7 +147,13 @@ object Oracles {
        |  round(praw, 6) AS punct_ratio, round(sraw, 6) AS stopword_ratio, round(araw, 6) AS avg_token_len,
        |  round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 + least(sraw * 4.0, 1.0) * 0.4 + greatest(0.0, 1.0 - praw * 5.0) * 0.2, 6) AS quality,
        |  $langCase AS lang_pred,
-       |  $fingerprintSql AS fingerprint
+       |  $fingerprintSql AS fingerprint,
+       |  CAST(CASE WHEN length(text) < 3 THEN 0 ELSE
+       |    list_sum(list_transform(generate_series(1, length(text) - 2),
+       |      i -> CAST(i AS BIGINT) * (CAST(ascii(substring(text, CAST(i AS INTEGER), 1)) AS BIGINT) * 65536
+       |           + CAST(ascii(substring(text, CAST(i AS INTEGER) + 1, 1)) AS BIGINT) * 256
+       |           + CAST(ascii(substring(text, CAST(i AS INTEGER) + 2, 1)) AS BIGINT))))
+       |    % ${Dedup.MinHashP} END AS BIGINT) AS roll_fp
        |FROM s""".stripMargin
   }
 

@@ -91,6 +91,22 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Position-weighted rolling fingerprint: Σ_i i · enc(shingle_i) mod P
+    * over ALL 3-char shingles in order (not distinct — order and
+    * multiplicity both matter, unlike the md5 of normalized text which
+    * collapses whitespace). Engine-portable: the same integer arithmetic
+    * runs in any SQL engine. Terms < 2^31 × ~600 positions < 2^41 — no
+    * overflow. Null-safe: docs shorter than 3 chars fingerprint to 0.
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val p = Dedup.MinHashP
+    when(length(text) < 3, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(text) - 2),
+          i => i.cast("long") * Dedup.encodeShingle3(text.substr(i, lit(3)))),
+        lit(0L), (acc, t) => acc + t) % p)
+  }
+
   /** Full per-document stats frame.
     *
     * The token array is materialized once per row (`toks` projection) and
@@ -130,6 +146,7 @@ object TextAnalysis {
           + least(stopRatio * 4.0, lit(1.0)) * 0.4
           + greatest(lit(0.0), lit(1.0) - pRatio * 5.0) * 0.2, 6).as("quality"),
         lang.as("lang_pred"),
-        fingerprint(t).as("fingerprint"))
+        fingerprint(t).as("fingerprint"),
+        rollingFingerprint(t).as("roll_fp"))
   }
 }

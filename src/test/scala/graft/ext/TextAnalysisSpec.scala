@@ -64,7 +64,20 @@ class TextAnalysisSpec extends SparkSpec {
   test("stats frame has the full column contract") {
     val out = TextAnalysis.stats(one("the cat sat"))
     assert(out.columns.toSeq == Seq("doc_id", "n_chars", "n_tokens", "n_subwords",
-      "punct_ratio", "stopword_ratio", "avg_token_len", "quality", "lang_pred", "fingerprint"))
+      "punct_ratio", "stopword_ratio", "avg_token_len", "quality", "lang_pred",
+      "fingerprint", "roll_fp"))
     assert(out.count() == 1)
+  }
+
+  test("rollingFingerprint is order- and multiplicity-sensitive; short docs → 0") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "abcdef"), Row(2L, "fedcba"), // same chars, different order
+      Row(3L, "abcdef"),                    // dup of 1
+      Row(4L, "ab")))                       // too short
+    val fp = d.select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(2L))
+    assert(fp(4L) == 0L)
   }
 }
