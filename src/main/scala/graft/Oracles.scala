@@ -150,12 +150,16 @@ object Oracles {
        |  $fingerprintSql AS fingerprint,
        |  CAST(CASE WHEN length(text) < 3 THEN 0 ELSE
        |    list_sum(list_transform(generate_series(1, length(text) - 2),
-       |      i -> CAST(i AS BIGINT) * (CAST(ascii(substring(text, CAST(i AS INTEGER), 1)) AS BIGINT) * 65536
-       |           + CAST(ascii(substring(text, CAST(i AS INTEGER) + 1, 1)) AS BIGINT) * 256
-       |           + CAST(ascii(substring(text, CAST(i AS INTEGER) + 2, 1)) AS BIGINT))))
+       |      i -> ((CAST(i AS BIGINT) % ${Dedup.MinHashP}) * ((${encodeShingle3Sql(k => s"substring(text, CAST(i AS INTEGER) + ${k - 1}, 1)")}) % ${Dedup.MinHashP})) % ${Dedup.MinHashP}))
        |    % ${Dedup.MinHashP} END AS BIGINT) AS roll_fp
        |FROM s""".stripMargin
   }
+
+  /** Base-2^16/2^8 positional code of a 3-char shingle (mirrors
+    * Dedup.encodeShingle3); `c(k)` supplies the SQL for character k ∈ 1..3.
+    */
+  private def encodeShingle3Sql(c: Int => String): String =
+    s"CAST(ascii(${c(1)}) AS BIGINT) * 65536 + CAST(ascii(${c(2)}) AS BIGINT) * 256 + CAST(ascii(${c(3)}) AS BIGINT)"
 
   /** Shingle + encode CTEs shared by the MinHash queries.
     * `where` additionally restricts the doc set.
@@ -163,7 +167,7 @@ object Oracles {
   private def shingleCtes(where: String): String =
     s"""d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3$where),
        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, length(text) - 2), i -> substring(text, CAST(i AS INTEGER), 3))) AS s FROM d),
-       |enc AS (SELECT doc_id, CAST(ascii(substring(s, 1, 1)) AS BIGINT) * 65536 + CAST(ascii(substring(s, 2, 1)) AS BIGINT) * 256 + CAST(ascii(substring(s, 3, 1)) AS BIGINT) AS x FROM sh)""".stripMargin
+       |enc AS (SELECT doc_id, ${encodeShingle3Sql(k => s"substring(s, $k, 1)")} AS x FROM sh)""".stripMargin
 
   private def sigCte(k: Int): String = {
     val mins = (0 until k).map(j =>

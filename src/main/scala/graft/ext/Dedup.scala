@@ -35,13 +35,17 @@ object Dedup {
 
   /** Distinct character n-gram shingles of a text column; empty array when
     * the text is shorter than n (guarded: Spark's `sequence(1,0)` would
-    * descend, not return empty).
+    * descend, not return empty). Characters come from a pre-split array so
+    * shingle construction is O(L), not O(L²) — `substr(i, n)` rescans the
+    * string from the start for every position.
     */
-  def shingles(text: Column, n: Int): Column =
+  def shingles(text: Column, n: Int): Column = {
+    val chars = split(text, "")
     when(length(text) >= n,
       array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
-        i => text.substr(i, lit(n)))))
+        i => concat((0 until n).map(j => element_at(chars, i + j)): _*))))
       .otherwise(array().cast("array<string>"))
+  }
 
   /** Integer encoding of a ≤3-char shingle: base-2^16/2^8 positional code of
     * the character codepoints — cheap, deterministic, SQL-portable.

@@ -95,16 +95,27 @@ object TextAnalysis {
     * over ALL 3-char shingles in order (not distinct — order and
     * multiplicity both matter, unlike the md5 of normalized text which
     * collapses whitespace). Engine-portable: the same integer arithmetic
-    * runs in any SQL engine. Terms < 2^31 × ~600 positions < 2^41 — no
-    * overflow. Null-safe: docs shorter than 3 chars fingerprint to 0.
+    * runs in any SQL engine.
+    *
+    * Overflow-proof at any document length: every factor is reduced mod P
+    * (< 2^31) before multiplying, so each term fits 2^62 and the fold
+    * keeps the accumulator below P — no wraparound divergence from the
+    * oracle's exact wide-integer sum. O(L): characters come from a
+    * pre-split array (element_at is O(1); per-shingle substr would rescan
+    * the string from the start each time).
+    *
+    * Docs shorter than 3 chars fingerprint to 0; NULL text stays NULL.
     */
   def rollingFingerprint(text: Column): Column = {
     val p = Dedup.MinHashP
+    val chars = split(text, "")
+    def enc(i: Column): Column =
+      ascii(element_at(chars, i)).cast("long") * 65536L +
+        ascii(element_at(chars, i + 1)).cast("long") * 256L +
+        ascii(element_at(chars, i + 2)).cast("long")
     when(length(text) < 3, lit(0L)).otherwise(
-      aggregate(
-        transform(sequence(lit(1), length(text) - 2),
-          i => i.cast("long") * Dedup.encodeShingle3(text.substr(i, lit(3)))),
-        lit(0L), (acc, t) => acc + t) % p)
+      aggregate(sequence(lit(1), length(text) - 2), lit(0L),
+        (acc, i) => (acc + ((i.cast("long") % p) * (enc(i) % p)) % p) % p))
   }
 
   /** Full per-document stats frame.
