@@ -100,22 +100,18 @@ object TextAnalysis {
     * Overflow-proof at any document length: every factor is reduced mod P
     * (< 2^31) before multiplying, so each term fits 2^62 and the fold
     * keeps the accumulator below P — no wraparound divergence from the
-    * oracle's exact wide-integer sum. O(L): characters come from a
-    * pre-split array (element_at is O(1); per-shingle substr would rescan
-    * the string from the start each time).
+    * oracle's exact wide-integer sum. (substr, not a pre-split char array:
+    * Catalyst doesn't CSE `split` inside lambdas, so array indexing
+    * re-splits the document per element — measured ~20× slower.)
     *
     * Docs shorter than 3 chars fingerprint to 0; NULL text stays NULL.
     */
   def rollingFingerprint(text: Column): Column = {
     val p = Dedup.MinHashP
-    val chars = split(text, "")
-    def enc(i: Column): Column =
-      ascii(element_at(chars, i)).cast("long") * 65536L +
-        ascii(element_at(chars, i + 1)).cast("long") * 256L +
-        ascii(element_at(chars, i + 2)).cast("long")
     when(length(text) < 3, lit(0L)).otherwise(
       aggregate(sequence(lit(1), length(text) - 2), lit(0L),
-        (acc, i) => (acc + ((i.cast("long") % p) * (enc(i) % p)) % p) % p))
+        (acc, i) => (acc + ((i.cast("long") % p)
+          * (Dedup.encodeShingle3(text.substr(i, lit(3))) % p)) % p) % p))
   }
 
   /** Full per-document stats frame.
