@@ -208,8 +208,10 @@ object Oracles {
        |FROM b2 a JOIN bucket USING (band, bkey) GROUP BY 1""".stripMargin
 
   def simhash(bits: Int = 32): String = {
+    // mirrors Dedup.encodeToken: per-codepoint fold mod 128 (overflow-proof
+    // for non-ASCII; identity for ASCII)
     val enc = (1 to 8).map(i =>
-      s"CAST(ascii(substring(t, $i, 1)) AS BIGINT) * ${1L << (7 * (8 - i))}").mkString(" + ")
+      s"CAST(ascii(substring(t, $i, 1)) % 128 AS BIGINT) * ${1L << (7 * (8 - i))}").mkString(" + ")
     val sums = (0 until bits).map(i => s"CAST(SUM(((x >> $i) % 2) * 2 - 1) AS BIGINT) AS s$i").mkString(", ")
     val combine = (0 until bits).map(i =>
       s"(CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)").mkString(" + ")

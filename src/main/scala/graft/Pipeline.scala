@@ -9,7 +9,9 @@ import graft.load.Sinks
 import graft.transform.{Aggregate, Clean, Enrich, Inventory}
 
 /** The reference's full transform DAG (portfolio-etl.py:581-775, SURVEY.md
-  * §3.3) as one lazy Spark pipeline with 12 sink outputs.
+  * §3.3) as one lazy Spark pipeline with 11 sink outputs
+  * (2 aggregate reports, a 3-path inventory fan-out, and 6 dated brand /
+  * wholesale reports).
   *
   * Divergences from the reference, all documented in SURVEY.md §7.4:
   * the cross-frame mask bug at :769 is implemented with its intended
@@ -82,7 +84,7 @@ object Pipeline {
       wholesaleOthers = wsOthers)
   }
 
-  /** Executes the DAG and writes the reference's 12 CSV sinks under
+  /** Executes the DAG and writes the reference's 11 CSV sinks under
     * `outDir` (K1-K3). `newstock` goes through the materialize-first
     * fan-out because the reference overwrites its own input file
     * (SURVEY.md §7.4-d).

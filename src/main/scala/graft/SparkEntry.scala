@@ -126,7 +126,6 @@ object SparkEntry {
     "q18_cosine_topk" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb.filter(col("vec_id") % 50 === 0), emb, k = 5)
-        .withColumnRenamed("rank", "rank")
     },
 
     // extension: LSH-bucketed approximate top-5 (scale path)

@@ -115,9 +115,10 @@ object Dedup {
     val b = banded.select(col("band") +: col("key") +: col(idCol).as("id_b") +:
       keyCols.map(c => col(c).as(s"b_$c")): _*)
     // pair emitted only from the first band both docs agree on
+    // (single-band configs have no earlier bands → always true)
     val noEarlierAgreement = (0 until nBands - 1)
       .map(i => col("band") <= i || col(s"a_k$i") =!= col(s"b_k$i"))
-      .reduce(_ && _)
+      .reduceOption(_ && _).getOrElse(lit(true))
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b") && noEarlierAgreement)
       .select("id_a", "id_b")
@@ -144,11 +145,14 @@ object Dedup {
   // ---------------------------------------------------------------- SimHash
 
   /** Portable token hash: base-128 positional code of the first 8
-    * codepoints (0-padded). Fits a long with headroom; identical SQL exists
-    * in any engine with ascii()/substring().
+    * codepoints, each folded mod 128 (0-padded). The fold keeps every term
+    * below 2^56 for ANY codepoint — without it a CJK/astral codepoint
+    * (ascii() returns the full codepoint) overflows Long in Spark while
+    * the SQL oracle's wide/checked integers diverge or error. Identity for
+    * ASCII. Identical SQL exists in any engine with ascii()/substring().
     */
   def encodeToken(t: Column): Column =
-    (1 to 8).map(i => ascii(t.substr(lit(i), lit(1))).cast("long") * (1L << (7 * (8 - i))))
+    (1 to 8).map(i => (ascii(t.substr(lit(i), lit(1))) % 128).cast("long") * (1L << (7 * (8 - i))))
       .reduce(_ + _)
 
   /** 32-bit SimHash over whitespace tokens (frequency-weighted): bit i of

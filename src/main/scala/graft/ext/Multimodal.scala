@@ -72,7 +72,8 @@ object Multimodal {
     docs.select(
       col("doc_id").as("media_id"),
       when(col("doc_id") % 2 === 0, lit("image")).otherwise(lit("audio")).as("kind"),
-      encode(col("text"), "UTF-8").as("payload"),
+      // NULL text → empty payload: the codec contract takes non-null bytes
+      coalesce(encode(col("text"), "UTF-8"), lit(Array.empty[Byte])).as("payload"),
       (col("doc_id") % 640 + 1).cast("int").as("width"),
       (col("doc_id") % 480 + 1).cast("int").as("height"),
       lit(16000).as("sample_rate")

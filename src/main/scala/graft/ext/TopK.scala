@@ -20,12 +20,18 @@ object TopK {
 
   final case class Scored(id: Long, score: Double)
 
-  /** k best by (score desc, id asc), buffer bounded at k. */
+  /** k best by (score desc, id asc), buffer bounded at k. The buffer is
+    * kept sorted; a row worse than the current k-th is rejected in O(1)
+    * with no allocation — the common path on large candidate sets.
+    */
   class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private def beats(a: Scored, b: Scored): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
     private def best(xs: Seq[Scored]): Seq[Scored] =
       xs.sortBy(s => (-s.score, s.id)).take(k)
     override def zero: Seq[Scored] = Seq.empty
-    override def reduce(buf: Seq[Scored], x: Scored): Seq[Scored] = best(buf :+ x)
+    override def reduce(buf: Seq[Scored], x: Scored): Seq[Scored] =
+      if (buf.size >= k && !beats(x, buf.last)) buf else best(buf :+ x)
     override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] = best(a ++ b)
     override def finish(r: Seq[Scored]): Seq[Scored] = r
     override def bufferEncoder: Encoder[Seq[Scored]] =

@@ -24,15 +24,25 @@ object Sinks {
 
   /** Fan-out one computed frame to several paths (K2, :648-650). The
     * reference overwrites `newstock.csv` — the file it *read* at :634;
-    * under lazy evaluation that would truncate the input mid-read, so the
-    * plan is materialized (cache + count) before any overwrite
-    * (SURVEY.md §7.4-d).
+    * under lazy evaluation that would truncate the input mid-read.
+    *
+    * The guard is a DURABLE materialization: the frame is written to a
+    * temp parquet dir and re-read from there before any target is
+    * touched. cache()+count() is not airtight — cached blocks lost after
+    * the count (executor failure, eviction) would recompute from lineage
+    * and re-scan the by-then-overwritten source (SURVEY.md §7.4-d).
     */
   def csvFanOut(df: DataFrame, paths: Seq[String]): Unit = {
-    val pinned = df.cache()
-    pinned.count() // force materialization before any target is touched
-    try paths.foreach(p => csvReport(pinned, p))
-    finally pinned.unpersist()
+    val spark = df.sparkSession
+    val tmp = paths.head + ".__materialize_tmp__"
+    df.write.mode("overwrite").parquet(tmp)
+    try {
+      val pinned = spark.read.parquet(tmp)
+      paths.foreach(p => csvReport(pinned, p))
+    } finally {
+      val hPath = new org.apache.hadoop.fs.Path(tmp)
+      hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hPath, true)
+    }
   }
 
   /** Dated report path `{dir}/{MM-dd-yyyy}.csv` (K3, :700-717, :772-775). */

@@ -41,36 +41,56 @@ object Streams {
   final case class SessionOut(user_id: Long, session_start: Timestamp,
                               session_end: Timestamp, n_events: Int)
 
-  /** Custom sessionization with explicit state: 30-minute inactivity gap
-    * closes a session (flatMapGroupsWithState with a processing-time
-    * timeout). This is the KeyValueGroupedDataset custom-state path the
-    * built-in window functions can't express on a stream.
+  /** Custom sessionization with explicit state: a 30-minute inactivity gap
+    * closes a session. New events from the same user close prior sessions
+    * event-time-exactly; with `idleTimeout` on (the production default) a
+    * processing-time timeout additionally flushes an idle user's last open
+    * session and REMOVES their state — without it, silent users would hold
+    * state forever (unbounded for churning populations) and their final
+    * session would never be emitted. `idleTimeout = false` gives the
+    * deterministic no-timeout mode (used by synchronous tests:
+    * processAllAvailable cannot quiesce while a timeout batch is pending).
+    * This is the KeyValueGroupedDataset custom-state path the built-in
+    * window functions can't express on a stream.
     */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000)(
+  def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000,
+                 idleTimeout: Boolean = true)(
       implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout // deterministic mode for tests
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (userId, rows, state: GroupState[List[SessionState]]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var sessions = state.getOption.getOrElse(Nil)
-          val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            sessions match {
-              case cur :: rest if t - cur.last <= gapMs =>
-                sessions = cur.copy(last = t, n = cur.n + 1) :: rest
-              case cur :: rest =>
-                closed += SessionOut(userId, new Timestamp(cur.start), new Timestamp(cur.last), cur.n)
-                sessions = SessionState(t, t, 1) :: rest
-              case Nil =>
-                sessions = SessionState(t, t, 1) :: Nil
+          if (state.hasTimedOut) {
+            // idle user: flush whatever is open and free the state
+            val open = state.getOption.getOrElse(Nil)
+            state.remove()
+            open.reverseIterator.map(s =>
+              SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var sessions = state.getOption.getOrElse(Nil)
+            val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              sessions match {
+                case cur :: rest if t - cur.last <= gapMs =>
+                  sessions = cur.copy(last = t, n = cur.n + 1) :: rest
+                case cur :: rest =>
+                  closed += SessionOut(userId, new Timestamp(cur.start), new Timestamp(cur.last), cur.n)
+                  sessions = SessionState(t, t, 1) :: rest
+                case Nil =>
+                  sessions = SessionState(t, t, 1) :: Nil
+              }
             }
+            state.update(sessions)
+            if (idleTimeout) state.setTimeoutDuration(gapMs)
+            closed.iterator
           }
-          state.update(sessions)
-          closed.iterator
       }
   }
 

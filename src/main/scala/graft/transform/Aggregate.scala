@@ -29,12 +29,18 @@ object Aggregate {
     * Pandas sums an all-NaN group to 0.0 while Spark sums all-null to null —
     * `coalesce(sum, 0.0)` pins the pandas behavior (SURVEY.md §7.4-a).
     *
-    * The mapping table is a small dim → broadcast hint: the join is
-    * shuffle-free at any fact-side scale.
+    * Expressed as mapping LEFT JOIN sold (identical rows to the
+    * reference's sold RIGHT JOIN mapping) so the broadcast build side is
+    * the JOIN'S RIGHT side: Spark cannot broadcast-build the left of a
+    * left-outer (or the right of a right-outer) join, so the right_outer
+    * formulation silently degrades to a sort-merge join once inputs
+    * outgrow auto-broadcast. The sold side is the retail AGGREGATE —
+    * bounded by the SKU universe, not the fact volume — so broadcasting
+    * it keeps this shuffle-free at any fact-side scale.
     */
   def wholesaleAgg(soldValue: DataFrame, skuMap: DataFrame): DataFrame =
-    soldValue
-      .join(broadcast(skuMap), col("sku") === col("sku_part"), "right_outer")
+    skuMap
+      .join(broadcast(soldValue), col("sku") === col("sku_part"), "left_outer")
       .withColumn("result", col("qty") * col("multiplier"))
       .groupBy("sku_name")
       .agg(coalesce(sum("result"), lit(0.0)).as("qty"))

@@ -7,7 +7,7 @@ import graft.extract.{Excel, Feeds, FileFeed, Payloads}
 
 /** The whole reference program end-to-end (SURVEY.md §3): all 13 source
   * extractors (7 API payload shapes + 5 flat-file feeds + 1 Excel feed)
-  * feed the full transform DAG and its 12 sinks — the integration
+  * feed the full transform DAG and its 11 sinks — the integration
   * equivalent of running portfolio-etl.py once.
   */
 class FullEtlSpec extends SparkSpec {
@@ -17,7 +17,7 @@ class FullEtlSpec extends SparkSpec {
     val f = dir.resolve(name); Files.writeString(f, content); f.toString
   }
 
-  test("13 extractors → clean → aggregate → map → enrich → 12 sinks") {
+  test("13 extractors → clean → aggregate → map → enrich → 11 sinks") {
     val from = Timestamp.valueOf("2024-05-25 00:00:00")
     val to = Timestamp.valueOf("2024-06-01 00:00:00")
 

@@ -11,7 +11,7 @@ import graft.SparkSpec
   */
 class PipelineSpec extends SparkSpec {
 
-  test("full DAG: union→clean→agg→map→inventory→enrich→split, 12 sinks written") {
+  test("full DAG: union→clean→agg→map→inventory→enrich→split, 11 sinks written") {
     val runDate = Date.valueOf("2024-06-01")
     val outDir = Files.createTempDirectory("pipeline").toString
 

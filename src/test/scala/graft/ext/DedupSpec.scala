@@ -69,6 +69,14 @@ class DedupSpec extends SparkSpec {
     assert(out == Map((1L, 2L) -> 1.0))
   }
 
+  test("single-band config (k == rowsPerBand) is legal") {
+    val d = docs(1L -> "aaa bbb ccc", 2L -> "aaa bbb ccc")
+    val sig = Dedup.minHashSignatures(d, k = 4)
+    val pairs = Dedup.minHashCandidatePairs(sig, k = 4, rowsPerBand = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("candidate pairs plan has no DISTINCT exchange (first-band dedup instead)") {
     val d = docs(1L -> "aaa bbb ccc", 2L -> "aaa bbb ddd")
     val sig = Dedup.minHashSignatures(d, k = 16)

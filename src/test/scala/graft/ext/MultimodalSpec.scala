@@ -19,6 +19,13 @@ class MultimodalSpec extends SparkSpec {
     assert(cols == Seq("media_id", "kind", "n_bytes", "checksum", "mean_byte", "frames_sampled"))
   }
 
+  test("NULL text becomes an empty payload, not a crash") {
+    val docs = df("doc_id BIGINT, text STRING", Seq(Row(0L, null), Row(1L, "ok")))
+    val out = Multimodal.mediaFeatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out == Map(0L -> 0, 1L -> 2))
+  }
+
   test("kind split and frame sampling shape") {
     val docs = df("doc_id BIGINT, text STRING", Seq(
       Row(0L, "x" * 3000), Row(1L, "y" * 10)))

@@ -36,7 +36,11 @@ class StreamsSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]
-    val sessions = Streams.sessionize(mem.toDS())
+    // idleTimeout=false: with a processing-time timeout registered,
+    // processAllAvailable never quiesces (the engine keeps a pending
+    // timeout batch scheduled) — the deterministic path is tested here,
+    // the timeout path is production-only
+    val sessions = Streams.sessionize(mem.toDS(), idleTimeout = false)
     val q = sessions.writeStream.format("memory").queryName("sessions")
       .outputMode(OutputMode.Append).start()
     try {
