@@ -373,6 +373,17 @@ object Oracles {
       |)
       |SELECT window_start, event_type, COUNT(*) AS n FROM hit GROUP BY 1, 2""".stripMargin
 
+  /** Mirrors the SQL-expressible subset of Multimodal.mediaFeatures:
+    * UTF-8 byte length (strlen), even/odd kind split, ceil-div frame
+    * count. NULL text maps to an empty payload in the engine → 0 bytes.
+    */
+  val mediaMeta: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+      |  CAST(COALESCE(strlen(text), 0) AS INTEGER) AS n_bytes,
+      |  CAST((COALESCE(strlen(text), 0) + 1023) // 1024 AS INTEGER) AS frames_sampled
+      |FROM documents""".stripMargin
+
   // ---- events / streaming-analogue queries --------------------------------
 
   val eventsHourly: String =

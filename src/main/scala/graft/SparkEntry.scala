@@ -192,6 +192,12 @@ object SparkEntry {
         Enrich.enrichWholesale(finalResult(s, d), Tables.wholesaleMap(s, d), runDate),
         "Brand#1", Seq("Brand#2", "Brand#3"))._1),
 
+    // multimodal metadata projection: the SQL-expressible subset of q23's
+    // mapPartitions output, giving the binary-column path a value oracle
+    "q30_media_meta" -> ((s, d) =>
+      graft.ext.Multimodal.mediaFeatures(Tables.documents(s, d))(s)
+        .select("media_id", "kind", "n_bytes", "frames_sampled")),
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -241,6 +247,7 @@ object SparkEntry {
     "q26_cosine_topk_agg" -> Oracles.cosineTopK(50, 5),
     "q27_ivf_topk" -> Oracles.ivfTopK(37, 50, 3, 5),
     "q28_wholesale_report" -> Oracles.wholesaleReport,
-    "q29_typed_retail_agg" -> Oracles.retailAgg
+    "q29_typed_retail_agg" -> Oracles.retailAgg,
+    "q30_media_meta" -> Oracles.mediaMeta
   )
 }
