@@ -241,13 +241,18 @@ object Oracles {
 
   // ---- similarity extension queries ---------------------------------------
 
-  /** Per-pair cosine pieces over 64-dim float arrays, ordinal-walked. */
+  /** Per-pair cosine pieces over 64-dim float arrays. `ORDER BY i` inside
+    * each SUM pins the accumulation to ascending index order — the order
+    * Spark's fused expression sums in — rather than relying on DuckDB's
+    * (unspecified) intra-group order, so the round(…, 6) boundary can never
+    * flip on a last-ulp difference.
+    */
   private val dotsCte: String =
     """dots AS (
       |  SELECT query_id, neighbor_id,
-      |    SUM(CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
-      |    SUM(CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(qv[CAST(i AS INTEGER)] AS DOUBLE)) AS qq,
-      |    SUM(CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)) AS cc
+      |    SUM(CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i) AS dp,
+      |    SUM(CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i) AS qq,
+      |    SUM(CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i) AS cc
       |  FROM p, generate_series(1, 64) t(i) GROUP BY 1, 2
       |), scored AS (
       |  SELECT query_id, neighbor_id,
@@ -294,9 +299,9 @@ object Oracles {
                          av: String, bv: String, out: String): String =
     s"""${out}_dots AS (
        |  SELECT $k1, $k2,
-       |    SUM(CAST($av[CAST(i AS INTEGER)] AS DOUBLE) * CAST($bv[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
-       |    SUM(CAST($av[CAST(i AS INTEGER)] AS DOUBLE) * CAST($av[CAST(i AS INTEGER)] AS DOUBLE)) AS qq,
-       |    SUM(CAST($bv[CAST(i AS INTEGER)] AS DOUBLE) * CAST($bv[CAST(i AS INTEGER)] AS DOUBLE)) AS cc
+       |    SUM(CAST($av[CAST(i AS INTEGER)] AS DOUBLE) * CAST($bv[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i) AS dp,
+       |    SUM(CAST($av[CAST(i AS INTEGER)] AS DOUBLE) * CAST($av[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i) AS qq,
+       |    SUM(CAST($bv[CAST(i AS INTEGER)] AS DOUBLE) * CAST($bv[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i) AS cc
        |  FROM $pairs, generate_series(1, 64) t(i) GROUP BY 1, 2
        |), $out AS (
        |  SELECT $k1, $k2,
@@ -346,9 +351,9 @@ object Oracles {
        |      FROM v a JOIN v b ON a.bucket = b.bucket WHERE a.vec_id < b.vec_id),
        |dots AS (
        |  SELECT id_a, id_b,
-       |    SUM(CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
-       |    SUM(CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(qv[CAST(i AS INTEGER)] AS DOUBLE)) AS qq,
-       |    SUM(CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)) AS cc
+       |    SUM(CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i) AS dp,
+       |    SUM(CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i) AS qq,
+       |    SUM(CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i) AS cc
        |  FROM p, generate_series(1, 64) t(i) GROUP BY 1, 2
        |), scored AS (
        |  SELECT id_a, id_b,

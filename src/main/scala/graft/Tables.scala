@@ -24,13 +24,15 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   /** `events.ts` is parquet TIMESTAMP(NANOS): Spark reads it as a nanos
     * long (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench);
-    * converted here to a microsecond timestamp (floor division — matches
-    * DuckDB's date_trunc('microseconds') in the oracle).
+    * converted here to a microsecond timestamp with true floor division —
+    * `pmod` keeps the remainder non-negative, so pre-1970 (negative-epoch)
+    * nanos round toward −∞ exactly like DuckDB's date_trunc('microseconds')
+    * (`div` alone truncates toward zero and would diverge by 1µs there).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -22,8 +22,28 @@ import org.w3c.dom.Element
   */
 object Excel {
 
+  /** OLE2 compound-file magic — the container of legacy BIFF `.xls`. */
+  private val Ole2Magic = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte)
+
+  /** Rejects legacy `.xls` (BIFF/OLE2) with an explicit error instead of
+    * letting the ZIP open fail and be mistaken for a missing file: the
+    * reference's `pd.read_excel` (:491, :515) accepts both containers, so a
+    * user handing us its `.xls` inputs must get an actionable message, not a
+    * silently-dropped feed.
+    */
+  private def rejectLegacyXls(path: String): Unit = {
+    val in = new java.io.FileInputStream(path)
+    val head = try { val b = new Array[Byte](8); val n = in.read(b); b.take(math.max(n, 0)) }
+    finally in.close()
+    if (head.length == 8 && java.util.Arrays.equals(head, Ole2Magic))
+      throw new UnsupportedOperationException(
+        s"$path is a legacy BIFF .xls (OLE2 container); only OOXML .xlsx is supported — " +
+          "re-save the workbook as .xlsx")
+  }
+
   /** Parses the first worksheet into (header, rows) of strings. */
   def readSheet(path: String): (Seq[String], Seq[Seq[String]]) = {
+    rejectLegacyXls(path)
     val zip = new ZipFile(path)
     try {
       val dbf = DocumentBuilderFactory.newInstance()
@@ -82,10 +102,12 @@ object Excel {
   }
 
   /** Excel-backed FileFeed read: same canonical (sku, qty, site) contract
-    * and sentinel fallback as Feeds.read.
+    * and sentinel fallback as Feeds.read. A legacy-.xls rejection is NOT
+    * mapped to the sentinel — a format mismatch must surface, only a
+    * genuinely absent/broken feed degrades to the reference's 1-row marker.
     */
   def readFeed(spark: SparkSession, feed: FileFeed): DataFrame =
-    scala.util.Try {
+    try {
       val base = read(spark, feed.path)
       val renamed = feed.renames.foldLeft(base) { case (df, (from, to)) =>
         if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
@@ -99,5 +121,10 @@ object Excel {
       withSite.select(col("sku").cast("string").as("sku"),
         col("qty").try_cast("double").as("qty"),
         col("site").cast("string").as("site"))
-    }.getOrElse(Feeds.sentinel(spark, feed))
+    } catch {
+      case e: UnsupportedOperationException => throw e
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft.Excel] feed ${feed.path} unreadable (${e.getClass.getSimpleName}: ${e.getMessage}); substituting sentinel row")
+        Feeds.sentinel(spark, feed)
+    }
 }

@@ -27,27 +27,37 @@ object Feeds {
     *
     * Missing/unreadable file ⇒ the reference's 1-row sentinel
     * `('other', 0, site)` (portfolio-etl.py:477-480, :500-503, :520-523),
-    * which the clean stage later filters out (Clean.dropJunkRows).
+    * which the clean stage later filters out (Clean.dropJunkRows). The
+    * swallowed cause is logged so a present-but-broken feed (the
+    * data-dropping case) is observable, unlike the reference's bare except.
     *
     * Preamble skipping: CSV has no skip-N-rows option, so the connector
-    * pre-strips in-engine via an index filter on the raw lines — these feed
-    * files are small dims; fact-scale data arrives as Parquet, never as
-    * preambled CSV (SURVEY.md §2.1 S10).
+    * pre-strips in-engine via a distributed positional index filter on the
+    * raw lines (SURVEY.md §2.1 S10) — no driver materialization, so the
+    * path is safe even if a preambled feed arrives at fact scale.
     */
   def read(spark: SparkSession, feed: FileFeed): DataFrame =
-    Try(readRaw(spark, feed)).getOrElse(sentinel(spark, feed))
+    Try(readRaw(spark, feed)).recover { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft.Feeds] feed ${feed.path} unreadable (${e.getClass.getSimpleName}: ${e.getMessage}); substituting sentinel row")
+      sentinel(spark, feed)
+    }.get
 
   private def readRaw(spark: SparkSession, feed: FileFeed): DataFrame = {
     val base =
       if (feed.headerOffset == 0) {
         spark.read.option("header", "true").option("sep", feed.sep).csv(feed.path)
       } else {
-        // Strip N preamble lines positionally, then re-parse. Small-file
-        // path only (driver reads lines once); deterministic and testable.
+        // Strip N preamble lines positionally, then re-parse: zipWithIndex
+        // keeps split order (= file order for text), the filter runs on the
+        // executors, and only the surviving lines flow on. One extra job to
+        // size the partition offsets — no collect(), any file size.
         import spark.implicits._
-        val lines = spark.read.textFile(feed.path).collect().drop(feed.headerOffset)
-        val ds = spark.createDataset(lines.toIndexedSeq)
-        spark.read.option("header", "true").option("sep", feed.sep).csv(ds)
+        val lines = spark.read.textFile(feed.path).rdd
+          .zipWithIndex()
+          .filter(_._2 >= feed.headerOffset)
+          .map(_._1)
+          .toDS()
+        spark.read.option("header", "true").option("sep", feed.sep).csv(lines)
       }
     val renamed = feed.renames.foldLeft(base) { case (df, (from, to)) =>
       if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df

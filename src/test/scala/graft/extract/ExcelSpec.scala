@@ -63,4 +63,17 @@ class ExcelSpec extends SparkSpec {
     val feed = FileFeed("/nonexistent/book.xlsx", siteLiteral = Some("Ruelala & Gilt"))
     assert(rowSet(Excel.readFeed(spark, feed)) == rows(Seq("other", "0.0", "Ruelala & Gilt")))
   }
+
+  test("legacy BIFF .xls is rejected with an explicit error, not the sentinel") {
+    val dir = Files.createTempDirectory("xls")
+    val path = dir.resolve("book.xls").toString
+    val out = new FileOutputStream(path)
+    // OLE2 compound-file magic + padding: what a real .xls starts with
+    out.write(Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte))
+    out.write(new Array[Byte](64))
+    out.close()
+    val feed = FileFeed(path, siteLiteral = Some("hsn"))
+    val e = intercept[UnsupportedOperationException](Excel.readFeed(spark, feed))
+    assert(e.getMessage.contains(".xlsx"))
+  }
 }
