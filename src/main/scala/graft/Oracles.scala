@@ -389,6 +389,64 @@ object Oracles {
       |  CAST((COALESCE(strlen(text), 0) + 1023) // 1024 AS INTEGER) AS frames_sampled
       |FROM documents""".stripMargin
 
+  // ---- extract/flatten layer (committed payload fixtures) -----------------
+  // DuckDB flattens the SAME fixture files the Spark readers consume
+  // (Fixtures.dir), independently re-deriving the nested walk — struct
+  // unnest chains here vs lazy explodes in graft.extract.Payloads.
+
+  private val fx = Fixtures.dir
+
+  /** N1-N2: double-nested list.elements.order[].orderLines.orderLine[]. */
+  val walmartFlatten: String =
+    s"""WITH raw AS (SELECT * FROM read_json('$fx/walmart.json')),
+       |o AS (SELECT unnest(("list").elements."order") AS o FROM raw),
+       |l AS (SELECT unnest((o).orderLines.orderLine) AS l FROM o)
+       |SELECT CAST((l).item.sku AS VARCHAR) AS sku, TRY_CAST((l).orderLineQuantity.amount AS DOUBLE) AS qty, 'walmart' AS site FROM l""".stripMargin
+
+  /** N6: Houzz XML (DuckDB has no XML reader — hand-derived literal rows
+    * from fixtures/payloads/houzz.xml, independent of the engine).
+    */
+  val houzzFlatten: String =
+    """SELECT CAST(sku AS VARCHAR) AS sku, CAST(qty AS DOUBLE) AS qty, CAST(site AS VARCHAR) AS site
+      |FROM (VALUES ('HZ-1', 2.0, 'houzz'), ('HZ-2', 1.0, 'houzz'), ('HZ-3', 5.0, 'houzz')) t(sku, qty, site)""".stripMargin
+
+  /** N7: orders[].items[]; a missing quantity key nulls, not drops. */
+  val faireFlatten: String =
+    s"""WITH raw AS (SELECT * FROM read_json('$fx/faire.json')),
+       |o AS (SELECT unnest(orders) AS o FROM raw),
+       |i AS (SELECT unnest((o).items) AS i FROM o)
+       |SELECT CAST((i).sku AS VARCHAR) AS sku, TRY_CAST((i).quantity AS DOUBLE) AS qty, 'faire' AS site FROM i""".stripMargin
+
+  /** N3+P4: top-level order array, exclusive timestamp window, line_items. */
+  val wooFlatten: String =
+    s"""WITH raw AS (SELECT * FROM read_json('$fx/woocommerce.json')),
+       |w AS (SELECT * FROM raw WHERE CAST(date_created AS TIMESTAMP) > TIMESTAMP '2024-05-01 00:00:00' AND CAST(date_created AS TIMESTAMP) < TIMESTAMP '2024-06-01 00:00:00'),
+       |i AS (SELECT unnest(line_items) AS li FROM w)
+       |SELECT CAST((li).sku AS VARCHAR) AS sku, TRY_CAST((li).quantity AS DOUBLE) AS qty, 'woo_site1' AS site FROM i""".stripMargin
+
+  /** N4+S7: two tenant payloads unioned, per-order date window, lineItems. */
+  val dscoFlatten: String =
+    s"""WITH raw AS (SELECT 'dsco_t1' AS site, * FROM read_json('$fx/dsco_t1.json') UNION ALL BY NAME SELECT 'dsco_t2' AS site, * FROM read_json('$fx/dsco_t2.json')),
+       |o AS (SELECT site, unnest(orders) AS o FROM raw),
+       |w AS (SELECT site, o FROM o WHERE CAST((o).dscoCreateDate AS TIMESTAMP) > TIMESTAMP '2024-05-01 00:00:00' AND CAST((o).dscoCreateDate AS TIMESTAMP) < TIMESTAMP '2024-06-01 00:00:00'),
+       |i AS (SELECT site, unnest((o).lineItems) AS i FROM w)
+       |SELECT CAST((i).sku AS VARCHAR) AS sku, TRY_CAST((i).quantity AS DOUBLE) AS qty, site FROM i""".stripMargin
+
+  /** N5+P5: CANCELED orders dropped before the order_lines explode. */
+  val miraklFlatten: String =
+    s"""WITH raw AS (SELECT * FROM read_json('$fx/mirakl.json')),
+       |o AS (SELECT unnest(orders) AS o FROM raw),
+       |live AS (SELECT o FROM o WHERE (o).order_state <> 'CANCELED'),
+       |l AS (SELECT unnest((o).order_lines) AS l FROM live)
+       |SELECT CAST((l).offer_sku AS VARCHAR) AS sku, TRY_CAST((l).quantity AS DOUBLE) AS qty, 'mirakl_s1' AS site FROM l""".stripMargin
+
+  /** N7/S9: GraphQL envelope data.getDropshipPurchaseOrders[].products[]. */
+  val wayfairFlatten: String =
+    s"""WITH raw AS (SELECT * FROM read_json('$fx/wayfair.json')),
+       |po AS (SELECT unnest((data).getDropshipPurchaseOrders) AS po FROM raw),
+       |p AS (SELECT unnest((po).products) AS p FROM po)
+       |SELECT CAST((p).partNumber AS VARCHAR) AS sku, TRY_CAST((p).quantity AS DOUBLE) AS qty, 'wayfair' AS site FROM p""".stripMargin
+
   // ---- events / streaming-analogue queries --------------------------------
 
   val eventsHourly: String =

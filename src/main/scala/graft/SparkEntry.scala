@@ -198,6 +198,45 @@ object SparkEntry {
       graft.ext.Multimodal.mediaFeatures(Tables.documents(s, d))(s)
         .select("media_id", "kind", "n_bytes", "frames_sampled")),
 
+    // ---- extract/flatten layer over committed payload fixtures (N1-N7;
+    // the sfDir argument is unused — the connector boundary is a payload
+    // file, not the star schema; oracle = DuckDB read_json on same bytes)
+
+    // N1-N2 Walmart double-nested orderLines (portfolio-etl.py:54-78)
+    "q31_walmart_flatten" -> ((s, _) =>
+      graft.extract.Payloads.walmart(s, s"${Fixtures.dir}/walmart.json")),
+
+    // N6 Houzz XML tree walk (portfolio-etl.py:98-135)
+    "q32_houzz_flatten" -> ((s, _) =>
+      graft.extract.Payloads.houzz(s, s"${Fixtures.dir}/houzz.xml")),
+
+    // N7 Faire orders[].items[] (portfolio-etl.py:152-177)
+    "q33_faire_flatten" -> ((s, _) =>
+      graft.extract.Payloads.faire(s, s"${Fixtures.dir}/faire.json")),
+
+    // N3+P4 WooCommerce window filter + line_items (portfolio-etl.py:197-226)
+    "q34_woo_flatten" -> ((s, _) =>
+      graft.extract.Payloads.wooCommerce(s, s"${Fixtures.dir}/woocommerce.json",
+        "woo_site1", Timestamp.valueOf("2024-05-01 00:00:00"),
+        Timestamp.valueOf("2024-06-01 00:00:00"))),
+
+    // N4+S7 DSCO multi-tenant union + date window (portfolio-etl.py:241-307)
+    "q35_dsco_flatten" -> { (s, _) =>
+      val from = Timestamp.valueOf("2024-05-01 00:00:00")
+      val to = Timestamp.valueOf("2024-06-01 00:00:00")
+      graft.extract.Payloads.dsco(s, s"${Fixtures.dir}/dsco_t1.json", "dsco_t1", from, to)
+        .unionByName(
+          graft.extract.Payloads.dsco(s, s"${Fixtures.dir}/dsco_t2.json", "dsco_t2", from, to))
+    },
+
+    // N5+P5 Mirakl CANCELED drop + order_lines (portfolio-etl.py:312-329)
+    "q36_mirakl_flatten" -> ((s, _) =>
+      graft.extract.Payloads.mirakl(s, s"${Fixtures.dir}/mirakl.json", "mirakl_s1")),
+
+    // N7/S9 Wayfair GraphQL envelope (portfolio-etl.py:376-429)
+    "q37_wayfair_flatten" -> ((s, _) =>
+      graft.extract.Payloads.wayfair(s, s"${Fixtures.dir}/wayfair.json")),
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -248,6 +287,13 @@ object SparkEntry {
     "q27_ivf_topk" -> Oracles.ivfTopK(37, 50, 3, 5),
     "q28_wholesale_report" -> Oracles.wholesaleReport,
     "q29_typed_retail_agg" -> Oracles.retailAgg,
-    "q30_media_meta" -> Oracles.mediaMeta
+    "q30_media_meta" -> Oracles.mediaMeta,
+    "q31_walmart_flatten" -> Oracles.walmartFlatten,
+    "q32_houzz_flatten" -> Oracles.houzzFlatten,
+    "q33_faire_flatten" -> Oracles.faireFlatten,
+    "q34_woo_flatten" -> Oracles.wooFlatten,
+    "q35_dsco_flatten" -> Oracles.dscoFlatten,
+    "q36_mirakl_flatten" -> Oracles.miraklFlatten,
+    "q37_wayfair_flatten" -> Oracles.wayfairFlatten
   )
 }
