@@ -378,6 +378,41 @@ object Oracles {
       |)
       |SELECT window_start, event_type, COUNT(*) AS n FROM hit GROUP BY 1, 2""".stripMargin
 
+  /** Full value oracle for Multimodal.mediaFeatures (q23): re-derives every
+    * StubCodec content feature from the UTF-8 bytes in SQL —
+    *   - bytes via hex-pair decode of the encoded BLOB (no blob unnest in
+    *     DuckDB 1.0);
+    *   - FNV-1a checksum as a list_reduce fold with the 64-bit wraparound
+    *     multiply done in HUGEINT then re-signed, bit-identical to JVM Long
+    *     overflow semantics (same modular trick as the MinHash oracles);
+    *   - mean_byte = integer byte sum / length, one double division.
+    * NULL text maps to the empty payload: length 0, checksum = offset
+    * basis, mean 0.0 (matches Multimodal.fakeMediaFromDocuments coalesce).
+    */
+  val mediaFeatures: String = {
+    val m = "18446744073709551616" // 2^64
+    val h = "9223372036854775808"  // 2^63
+    val wrapped = s"((CAST(xor(acc, CAST(byte AS BIGINT)) AS HUGEINT) * 1099511628211) % $m + $m) % $m"
+    s"""WITH d AS (
+       |  SELECT doc_id, COALESCE(encode(text), ''::BLOB) AS b FROM documents
+       |), s AS (
+       |  SELECT doc_id, octet_length(b) AS n, hex(b) AS h FROM d
+       |), bytes AS (
+       |  SELECT doc_id, n,
+       |    list_transform(range(1, n + 1), i ->
+       |      (strpos('0123456789ABCDEF', h[2*i-1]) - 1) * 16 + (strpos('0123456789ABCDEF', h[2*i]) - 1)) AS bs
+       |  FROM s
+       |)
+       |SELECT doc_id AS media_id,
+       |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       |  CAST(n AS INTEGER) AS n_bytes,
+       |  list_reduce(list_prepend(1469598103934665603::BIGINT, bs), (acc, byte) ->
+       |    CAST(CASE WHEN $wrapped >= $h THEN $wrapped - $m ELSE $wrapped END AS BIGINT)) AS checksum,
+       |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(list_sum(bs) AS DOUBLE) / n END AS mean_byte,
+       |  CAST((n + 1023) // 1024 AS INTEGER) AS frames_sampled
+       |FROM bytes""".stripMargin
+  }
+
   /** Mirrors the SQL-expressible subset of Multimodal.mediaFeatures:
     * UTF-8 byte length (strlen), even/odd kind split, ceil-div frame
     * count. NULL text maps to an empty payload in the engine → 0 bytes.

@@ -158,8 +158,9 @@ object SparkEntry {
       Dedup.minHashClusters(
         Dedup.minHashSignatures(Tables.documents(s, d), k = 16), k = 16, rowsPerBand = 4)),
 
-    // extension: multimodal binary-column feature extraction (stub codec;
-    // no SQL oracle — mapPartitions path, driver records rows-only check)
+    // extension: multimodal binary-column feature extraction (stub codec
+    // via mapPartitions; full value oracle — DuckDB re-derives checksum/
+    // mean_byte from the same UTF-8 bytes with wraparound Long math)
     "q23_media_features" -> ((s, d) =>
       graft.ext.Multimodal.mediaFeatures(Tables.documents(s, d))(s)),
 
@@ -281,6 +282,7 @@ object SparkEntry {
     "q20_events_hourly" -> Oracles.eventsHourly,
     "q21_event_sessions" -> Oracles.eventSessions,
     "q22_dedup_clusters" -> Oracles.minhashClusters(16, 4),
+    "q23_media_features" -> Oracles.mediaFeatures,
     "q24_embedding_neardup" -> Oracles.embeddingNearDup(0.3, 16, 4),
     "q25_sliding_windows" -> Oracles.slidingWindows,
     "q26_cosine_topk_agg" -> Oracles.cosineTopK(50, 5),
