@@ -309,6 +309,31 @@ object Oracles {
        |  FROM ${out}_dots
        |)""".stripMargin
 
+  /** Data-dependent LSH bucket: plane count `np` (a column from the `np`
+    * CTE) is derived from COUNT(*) with the same integer-shift rule as
+    * Similarity.adaptivePlanes, and the plane weights inline the
+    * Similarity.planeWeight formula ((p·31 + i·17) mod 7 − 3) since `p` is
+    * no longer a compile-time constant.
+    */
+  private def lshBucketDynSql(vecCol: String, dim: Int): String =
+    s"CAST(list_sum(list_transform(range(0, np), p -> CASE WHEN " +
+      s"list_sum(list_transform(range(0, $dim), i -> CAST($vecCol[CAST(i AS INTEGER) + 1] AS DOUBLE) * (((p * 31 + i * 17) % 7) - 3))) > 0 " +
+      s"THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END)) AS BIGINT)"
+
+  /** Mirrors the q38 scale-hardened LSH: adaptive plane count from the
+    * corpus size + deterministic per-bucket candidate cap before rerank.
+    */
+  def lshAdaptiveTopK(queryMod: Int = 50, k: Int = 5, dim: Int = 16,
+                      targetBucket: Int = 64, maxBucket: Int = 256): String =
+    s"""WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+       |np AS (SELECT COALESCE(list_min(list_filter(range(1, 21), p -> ($targetBucket::BIGINT << p) >= n)), 20) AS np FROM cnt),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, ${lshBucketDynSql("embedding", dim)} AS bucket FROM embeddings CROSS JOIN np WHERE vec_id % $queryMod = 0),
+       |call AS (SELECT vec_id AS neighbor_id, embedding AS cv, ${lshBucketDynSql("embedding", dim)} AS bucket FROM embeddings CROSS JOIN np),
+       |c AS (SELECT neighbor_id, cv, bucket FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY neighbor_id) AS brn FROM call) WHERE brn <= $maxBucket),
+       |p AS (SELECT query_id, neighbor_id, qv, cv FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id),
+       |$dotsCte,
+       |${rankTail(k)}""".stripMargin
+
   /** Mirrors Similarity.ivfTopK: centroid assignment → nProbe probes →
     * candidate join on centroid id → exact re-rank.
     */

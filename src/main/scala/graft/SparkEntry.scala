@@ -238,6 +238,17 @@ object SparkEntry {
     "q37_wayfair_flatten" -> ((s, _) =>
       graft.extract.Payloads.wayfair(s, s"${Fixtures.dir}/wayfair.json")),
 
+    // extension: scale-hardened LSH top-k — plane count derived from the
+    // corpus size (buckets stay ~targetBucketSize at any scale) plus a
+    // deterministic per-bucket candidate cap (WindowGroupLimit prunes
+    // skewed buckets before the rerank join)
+    "q38_lsh_adaptive" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val nPlanes = Similarity.adaptivePlanes(emb.count(), targetBucketSize = 64)
+      Similarity.lshTopK(emb.filter(col("vec_id") % 50 === 0), emb, k = 5,
+        dim = 16, nPlanes = nPlanes, maxBucketCandidates = Some(256))
+    },
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -296,6 +307,7 @@ object SparkEntry {
     "q34_woo_flatten" -> Oracles.wooFlatten,
     "q35_dsco_flatten" -> Oracles.dscoFlatten,
     "q36_mirakl_flatten" -> Oracles.miraklFlatten,
-    "q37_wayfair_flatten" -> Oracles.wayfairFlatten
+    "q37_wayfair_flatten" -> Oracles.wayfairFlatten,
+    "q38_lsh_adaptive" -> Oracles.lshAdaptiveTopK(50, 5, 16, 64, 256)
   )
 }

@@ -95,17 +95,47 @@ object Similarity {
       when(d > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Smallest plane count whose bucket space holds the corpus at roughly
+    * `targetBucketSize` vectors per bucket: min p ∈ [1, 20] with
+    * targetBucketSize · 2^p ≥ corpusSize. This is the 100 TB guard against
+    * a fixed plane count — bucket population stays ~flat as the corpus
+    * grows instead of growing linearly (which would re-approach the
+    * quadratic in-bucket rerank). Integer-only shift arithmetic (no
+    * float log2 whose rounding could diverge at powers of two), so a SQL
+    * oracle derives the identical value from COUNT(*).
+    */
+  def adaptivePlanes(corpusSize: Long, targetBucketSize: Int = 64): Int =
+    (1 to 20).find(p => (targetBucketSize.toLong << p) >= corpusSize).getOrElse(20)
+
+  /** Keeps at most `m` rows per bucket (smallest ids — deterministic).
+    * The row_number window compiles to WindowGroupLimit, so the cap prunes
+    * on the map side before any join shuffle: a pathologically hot bucket
+    * (skewed LSH key) is bounded instead of going quadratic.
+    */
+  private def capPerBucket(df: DataFrame, idOrder: String, m: Option[Int]): DataFrame =
+    m match {
+      case Some(cap) =>
+        val w = Window.partitionBy("bucket").orderBy(col(idOrder))
+        df.withColumn("brn", row_number().over(w)).filter(col("brn") <= cap).drop("brn")
+      case None => df
+    }
+
   /** Bucketed approximate top-k: candidates come only from the query's LSH
     * bucket (equi-join on bucket id → shuffle-partitionable at any corpus
     * size), then exact cosine re-rank inside the bucket. Recall is tunable
-    * via nPlanes (fewer planes ⇒ bigger buckets ⇒ higher recall).
+    * via nPlanes (fewer planes ⇒ bigger buckets ⇒ higher recall); pass
+    * [[adaptivePlanes]] of the corpus count to keep buckets ~constant-size
+    * at any scale, and `maxBucketCandidates` to hard-bound skewed buckets.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int, nPlanes: Int = 8,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              maxBucketCandidates: Option[Int] = None): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("bucket", lshBucket(col("qv"), dim, nPlanes))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), dim, nPlanes))
+    val c = capPerBucket(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+        .withColumn("bucket", lshBucket(col("cv"), dim, nPlanes)),
+      "neighbor_id", maxBucketCandidates)
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
@@ -156,9 +186,12 @@ object Similarity {
     * `threshold` (id_a < id_b). The LSH bucket join keeps this near-linear.
     */
   def embeddingNearDupPairs(vectors: DataFrame, threshold: Double, dim: Int, nPlanes: Int = 8,
-                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), dim, nPlanes))
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            maxBucketCandidates: Option[Int] = None): DataFrame = {
+    val v = capPerBucket(
+      vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("bucket", lshBucket(col("v"), dim, nPlanes)),
+      "id", maxBucketCandidates)
     val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
     val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("bucket"))

@@ -73,6 +73,34 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._1).forall(id => id != 3L && id != 4L)) // far cell not probed
   }
 
+  test("adaptivePlanes: bucket space tracks corpus size, flat per-bucket load") {
+    // smallest p with 64·2^p ≥ n
+    assert(Similarity.adaptivePlanes(1) == 1)
+    assert(Similarity.adaptivePlanes(128) == 1)
+    assert(Similarity.adaptivePlanes(129) == 2)
+    assert(Similarity.adaptivePlanes(500) == 3)
+    assert(Similarity.adaptivePlanes(2000) == 5)
+    assert(Similarity.adaptivePlanes(2000000) == 15)
+    // 10× the corpus ⇒ ~10× the buckets (log2 10 ≈ 3.3 more planes)
+    assert(Similarity.adaptivePlanes(20000) - Similarity.adaptivePlanes(2000) == 4)
+    // clamped at 20 planes
+    assert(Similarity.adaptivePlanes(Long.MaxValue) == 20)
+    assert(Similarity.adaptivePlanes(100, targetBucketSize = 8) == 4)
+  }
+
+  test("maxBucketCandidates caps the per-bucket rerank set deterministically") {
+    val d = vecs((0L until 8L).map(i => i -> Seq(1.0, 1.0, 1.0, 1.0)): _*)
+    // all 8 identical vectors land in one bucket; cap 3 keeps ids 0,1,2
+    val capped = Similarity.lshTopK(d.filter(col("vec_id") === 0), d, k = 10,
+      dim = 4, nPlanes = 2, maxBucketCandidates = Some(3))
+      .collect().map(_.getLong(1)).toSet
+    assert(capped == Set(1L, 2L)) // 0 is the query (self-pair excluded)
+    val uncapped = Similarity.lshTopK(d.filter(col("vec_id") === 0), d, k = 10,
+      dim = 4, nPlanes = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(uncapped == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
   test("bruteForceTopK plan broadcasts the query side (no corpus shuffle)") {
     val d = vecs(0L -> Seq(1.0, 0.0), 1L -> Seq(0.5, 0.5))
     val plan = Similarity.bruteForceTopK(d.filter(col("vec_id") === 0), d, k = 1)
