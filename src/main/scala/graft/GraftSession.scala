@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, VectorFunctions}
+import graft.functions.{CosineSimilarity, DotProduct, ShingleCodes, ShingleFunctions, VectorFunctions}
 
 /** SparkSessionExtensions installer for the engine's native expressions.
   *
@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(VectorFunctions.CosineName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, VectorFunctions.CosineName),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier(ShingleFunctions.CodesName),
+      new ExpressionInfo(classOf[ShingleCodes].getName, ShingleFunctions.CodesName),
+      (args: Seq[Expression]) => ShingleCodes(args(0))))
     // HOF dot-product pattern → fused native loop (pure perf rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
   }

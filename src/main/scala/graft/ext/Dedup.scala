@@ -63,12 +63,16 @@ object Dedup {
     * shingles and drop out (documented).
     *
     * Plan shape: explode → partial min-agg per partition → single shuffle on
-    * doc id → final min-agg. The k hashes ride one aggregation.
+    * doc id → final min-agg. The k hashes ride one aggregation. Shingling +
+    * encoding is the native one-pass [[graft.functions.ShingleCodes]]
+    * expression (distinct encoded longs straight from the codepoints — no
+    * per-position substr rescan, no string intermediates); equivalence to
+    * the composed substr formulation is pinned by ShingleCodesSpec.
     */
   def minHashSignatures(docs: DataFrame, k: Int = 16,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol), explode(shingles(col(textCol), 3)).as("sh"))
-      .withColumn("x", encodeShingle3(col("sh")))
+    val sh = docs.select(col(idCol),
+      explode(graft.functions.ShingleFunctions.shingleCodes(col(textCol))).as("x"))
     val aggs = (0 until k).map(j =>
       min((lit(hashA(j)) * col("x") + lit(hashB(j))) % MinHashP).as(s"h$j"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)

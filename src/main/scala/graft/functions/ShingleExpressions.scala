@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass distinct encoded 3-gram shingles of a text column.
+  *
+  * Replaces the composed formulation
+  * `array_distinct(transform(sequence(1, len-2), i -> substr(text, i, 3)))`
+  * + per-shingle `encodeShingle3` arithmetic on the MinHash hot path
+  * (Dedup.minHashSignatures → q14/q15/q22, the dominant bench family):
+  * that shape re-scans the string from the start for every `substr(i, 3)`
+  * (O(L²) byte walking), allocates a UTF8String per position, and runs
+  * array_distinct + three more substr walks per shingle for the encode.
+  * Here the codepoints are decoded once, each 3-gram is encoded in three
+  * multiply-adds, and distinctness is an open-addressed primitive long set
+  * — O(L) with zero per-shingle allocation.
+  *
+  * Value semantics are EXACTLY encodeShingle3 ∘ shingles (reference
+  * portfolio-etl.py has no shingling; this is extension surface): code =
+  * cp₁·65536 + cp₂·256 + cp₃ over full codepoints, first-occurrence order,
+  * `< 3` codepoints → empty array. One deliberate difference: distinctness
+  * is on the CODE, not the string — two distinct shingles that collide to
+  * one code (possible for codepoints ≥ 256) emit once instead of twice.
+  * Every consumer is a per-document MIN aggregate, for which duplicate
+  * codes are a no-op, so q14/q15/q22 values are unchanged (proven by
+  * ShingleCodesSpec's equivalence property and the unchanged oracles).
+  */
+object ShingleUtil {
+
+  private val EmptyResult = new GenericArrayData(Array.emptyLongArray)
+
+  def codes3(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    val cps = new Array[Int](len)
+    var n = 0
+    var i = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      cps(n) = cp
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n < 3) return EmptyResult
+    val m = n - 2
+    // open-addressed set, power-of-2 capacity ≥ 2m (load factor ≤ 0.5)
+    var cap = 4
+    while (cap < (m << 1)) cap <<= 1
+    val mask = cap - 1
+    val slots = new Array[Long](cap)
+    val usedF = new Array[Boolean](cap)
+    val out = new Array[Long](m)
+    var outN = 0
+    var k = 0
+    while (k < m) {
+      val code = cps(k).toLong * 65536L + cps(k + 1).toLong * 256L + cps(k + 2).toLong
+      var idx = (mix(code) & mask).toInt
+      var continue = true
+      while (continue) {
+        if (!usedF(idx)) {
+          usedF(idx) = true
+          slots(idx) = code
+          out(outN) = code
+          outN += 1
+          continue = false
+        } else if (slots(idx) == code) {
+          continue = false
+        } else {
+          idx = (idx + 1) & mask
+        }
+      }
+      k += 1
+    }
+    new GenericArrayData(if (outN == m) out else java.util.Arrays.copyOf(out, outN))
+  }
+
+  /** Fibonacci-hash spread of the (small-range) code into the table. */
+  private def mix(x: Long): Long = (x * 0x9e3779b97f4a7c15L) >>> 32
+}
+
+/** `graft_shingle_codes(text)` → array<long>: distinct encoded 3-gram
+  * codes. Null text → null (its only consumer is `explode`, which skips
+  * null exactly like the legacy empty array).
+  */
+case class ShingleCodes(child: Expression) extends UnaryExpression with Serializable {
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleUtil.codes3(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.codes3($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleCodes =
+    copy(child = newChild)
+}
+
+object ShingleFunctions {
+  val CodesName = "graft_shingle_codes"
+  def shingleCodes(text: Column): Column = call_function(CodesName, text)
+}
