@@ -63,36 +63,45 @@ object Streams {
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
-        OutputMode.Append, timeoutConf) {
-        case (userId, rows, state: GroupState[List[SessionState]]) =>
-          if (state.hasTimedOut) {
-            // idle user: flush whatever is open and free the state
-            val open = state.getOption.getOrElse(Nil)
-            state.remove()
-            open.reverseIterator.map(s =>
-              SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
-          } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var sessions = state.getOption.getOrElse(Nil)
-            val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              sessions match {
-                case cur :: rest if t - cur.last <= gapMs =>
-                  sessions = cur.copy(last = t, n = cur.n + 1) :: rest
-                case cur :: rest =>
-                  closed += SessionOut(userId, new Timestamp(cur.start), new Timestamp(cur.last), cur.n)
-                  sessions = SessionState(t, t, 1) :: rest
-                case Nil =>
-                  sessions = SessionState(t, t, 1) :: Nil
-              }
-            }
-            state.update(sessions)
-            if (idleTimeout) state.setTimeoutDuration(gapMs)
-            closed.iterator
-          }
-      }
+        OutputMode.Append, timeoutConf)(sessionStep(gapMs, idleTimeout))
   }
+
+  /** The sessionize state transition, named so the timeout branch is
+    * unit-testable with a deterministic clock
+    * (org.apache.spark.sql.streaming.TestGroupState) — the streaming
+    * harness cannot quiesce synchronously while a processing-time timeout
+    * is pending, so that branch is pinned at this level instead
+    * (StreamsSpec "timeout flush").
+    */
+  private[streaming] def sessionStep(gapMs: Long, idleTimeout: Boolean)(
+      userId: Long, rows: Iterator[Event],
+      state: GroupState[List[SessionState]]): Iterator[SessionOut] =
+    if (state.hasTimedOut) {
+      // idle user: flush whatever is open and free the state
+      val open = state.getOption.getOrElse(Nil)
+      state.remove()
+      open.reverseIterator.map(s =>
+        SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+    } else {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var sessions = state.getOption.getOrElse(Nil)
+      val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        sessions match {
+          case cur :: rest if t - cur.last <= gapMs =>
+            sessions = cur.copy(last = t, n = cur.n + 1) :: rest
+          case cur :: rest =>
+            closed += SessionOut(userId, new Timestamp(cur.start), new Timestamp(cur.last), cur.n)
+            sessions = SessionState(t, t, 1) :: rest
+          case Nil =>
+            sessions = SessionState(t, t, 1) :: Nil
+        }
+      }
+      state.update(sessions)
+      if (idleTimeout) state.setTimeoutDuration(gapMs)
+      closed.iterator
+    }
 
   /** Wires a streaming read of the events parquet directory into any of the
     * transforms above (schema must be supplied — streaming reads don't

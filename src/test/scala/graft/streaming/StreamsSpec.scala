@@ -57,6 +57,72 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("timeout flush: hasTimedOut branch emits open sessions chronologically and frees state") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    // two open sessions in state (list head = most recent)
+    val open = List(
+      Streams.SessionState(ts("2024-01-01 11:00:00").getTime, ts("2024-01-01 11:05:00").getTime, 2),
+      Streams.SessionState(ts("2024-01-01 10:00:00").getTime, ts("2024-01-01 10:10:00").getTime, 3))
+    val state = TestGroupState.create[List[Streams.SessionState]](
+      Optional.of(open), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = true)
+    val out = Streams.sessionStep(30L * 60 * 1000, idleTimeout = true)(
+      7L, Iterator.empty, state).toSeq
+    assert(out == Seq(
+      Streams.SessionOut(7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 3),
+      Streams.SessionOut(7L, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:05:00"), 2)))
+    assert(state.isRemoved) // idle user's state is freed, not leaked
+  }
+
+  test("timeout-flushed sessions equal the batch window-lag result on a closed input") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    import spark.implicits._
+    val events = Seq(
+      Streams.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Streams.Event(2, ts("2024-01-01 10:20:00"), 1, "click", 1.0),
+      Streams.Event(3, ts("2024-01-01 11:30:00"), 1, "view", 1.0),  // > 30 min gap → new session
+      Streams.Event(4, ts("2024-01-01 11:31:00"), 1, "view", 1.0),
+      Streams.Event(5, ts("2024-01-01 09:00:00"), 2, "click", 1.0),
+      Streams.Event(6, ts("2024-01-01 09:29:00"), 2, "click", 1.0),
+      Streams.Event(7, ts("2024-01-01 09:59:00"), 2, "click", 1.0), // chained ≤30-min gaps → one session
+      Streams.Event(8, ts("2024-01-01 12:00:00"), 2, "click", 1.0))
+    val gap = 30L * 60 * 1000
+
+    // streaming semantics replay: one data batch per user, then the idle
+    // timeout fires and flushes whatever is still open
+    val streamed = events.groupBy(_.user_id).toSeq.flatMap { case (uid, evs) =>
+      val state = TestGroupState.create[List[Streams.SessionState]](
+        Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+        batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+      val closed = Streams.sessionStep(gap, idleTimeout = true)(uid, evs.iterator, state).toSeq
+      val timedOut = TestGroupState.create[List[Streams.SessionState]](
+        Optional.of(state.get), GroupStateTimeout.ProcessingTimeTimeout,
+        batchProcessingTimeMs = gap + 2000L, eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = true)
+      closed ++ Streams.sessionStep(gap, idleTimeout = true)(uid, Iterator.empty, timedOut).toSeq
+    }.map(s => (s.user_id, s.session_start.toString, s.session_end.toString, s.n_events)).toSet
+
+    // independent batch derivation: the q21 window-lag formulation, widened
+    // to full session rows (start, end, size)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(w)
+    val batch = events.toDF()
+      .withColumn("new_s",
+        when(prev.isNull || col("ts") > prev + expr(s"INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .withColumn("sid", sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"), count(lit(1)).as("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).toString, r.getTimestamp(3).toString, r.getLong(4).toInt))
+      .toSet
+
+    assert(streamed == batch)
+    assert(streamed.size == 4) // two sessions per user (chained gaps, then a late burst)
+  }
+
   test("file-to-file: readStream → hourly agg → checkpointed parquet sink (AvailableNow)") {
     import java.nio.file.Files
     val in = Files.createTempDirectory("ev_in").toString
