@@ -514,6 +514,18 @@ object Oracles {
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Mirrors graft.operators.AsOfJoin via DuckDB's native ASOF LEFT JOIN —
+    * a fully independent derivation of the same inclusive latest-≤ match.
+    * Views are pre-deduped to one row per (user, ts), the operator's
+    * determinism contract; timestamps compared at µs like eventSessions.
+    */
+  val asofJoin: String =
+    """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, event_type FROM events),
+      |c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+      |v AS (SELECT user_id, ts, MAX(event_id) AS view_id FROM e WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, c.ts, v.ts AS asof_ts, v.view_id AS asof_view_id
+      |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin
+
   val eventSessions: String =
     """WITH base AS (
       |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events

@@ -249,6 +249,18 @@ object SparkEntry {
         dim = 16, nPlanes = nPlanes, maxBucketCandidates = Some(256))
     },
 
+    // extension: as-of join — each click enriched with the user's latest
+    // view at-or-before it (tag-union-scan: one key shuffle, no range
+    // cross product; oracle = DuckDB's native ASOF LEFT JOIN)
+    "q39_asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+      graft.operators.AsOfJoin.asOf(clicks, views, Seq("user_id"), "ts")
+    },
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -308,6 +320,7 @@ object SparkEntry {
     "q35_dsco_flatten" -> Oracles.dscoFlatten,
     "q36_mirakl_flatten" -> Oracles.miraklFlatten,
     "q37_wayfair_flatten" -> Oracles.wayfairFlatten,
-    "q38_lsh_adaptive" -> Oracles.lshAdaptiveTopK(50, 5, 16, 64, 256)
+    "q38_lsh_adaptive" -> Oracles.lshAdaptiveTopK(50, 5, 16, 64, 256),
+    "q39_asof_join" -> Oracles.asofJoin
   )
 }

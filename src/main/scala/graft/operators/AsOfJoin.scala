@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Distributed as-of join (time-series enrichment): for every left row,
+  * attach the single latest right row with `right.ts ≤ left.ts` in the same
+  * key group — the operator behind "join each event to the most recent
+  * state/quote/snapshot at that moment". Spark has no native ASOF JOIN;
+  * a naive range-join formulation (`l.key = r.key AND r.ts <= l.ts` then
+  * keep the max) explodes into a per-key cross product before pruning —
+  * quadratic in rows-per-key, fatal at 100 TB.
+  *
+  * This implementation is the tag-union-scan shape: tag both sides, union,
+  * and take a running `last(right_payload, ignoreNulls)` over
+  * (key ORDER BY ts, right-before-left) — ONE shuffle on the key, one sort,
+  * linear scan, no intermediate pair blowup. Exactly the plan a
+  * hand-written MergeJoin-style SparkPlan would produce, with AQE-managed
+  * partitioning for free.
+  *
+  * Contracts: `right` must be unique per (keys, ts) — pre-aggregate
+  * duplicates first (the same requirement that makes a native ASOF JOIN
+  * deterministic). Ties `right.ts == left.ts` match (inclusive). Left rows
+  * with no earlier right row survive with null payload (left-outer).
+  * Key groups hashed to one partition each: a single pathologically hot key
+  * serializes — time-slice + boundary replication is the known extension
+  * if that arises.
+  */
+object AsOfJoin {
+
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+           prefix: String = "asof_"): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == tsCol)
+    val lvType = StructType(left.schema.fields)
+    val rvType = StructType(
+      StructField(prefix + tsCol, right.schema(tsCol).dataType, nullable = true) +:
+        payloadCols.map(c => StructField(prefix + c, right.schema(c).dataType, nullable = true)))
+
+    val lt = left.select(
+      keys.map(col) ++ Seq(
+        col(tsCol).as("__t"),
+        struct(left.columns.map(col): _*).as("__lv"),
+        lit(null).cast(rvType).as("__rv"),
+        lit(0).as("__side")): _*)
+    val rt = right.select(
+      keys.map(col) ++ Seq(
+        col(tsCol).as("__t"),
+        lit(null).cast(lvType).as("__lv"),
+        struct(col(tsCol).as(prefix + tsCol) +:
+          payloadCols.map(c => col(c).as(prefix + c)): _*).as("__rv"),
+        lit(1).as("__side")): _*)
+
+    // right sorts before left at equal ts (side desc) → inclusive match
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val outCols: Seq[Column] =
+      left.columns.map(c => col(s"__lv.$c").as(c)).toSeq ++
+        rvType.fieldNames.map(f => col(s"__m.$f").as(f)).toSeq
+
+    lt.unionByName(rt)
+      .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(outCols: _*)
+  }
+}

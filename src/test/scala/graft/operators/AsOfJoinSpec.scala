@@ -1,0 +1,58 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def frames = {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 11:00:00")),
+      (3L, 10L, ts("2024-01-01 09:00:00")), // before any right row
+      (4L, 20L, ts("2024-01-01 10:30:00")), // other key
+      (5L, 30L, ts("2024-01-01 10:30:00"))  // key with no right rows at all
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 100L),
+      (10L, ts("2024-01-01 10:00:00"), 101L), // equal ts → inclusive match
+      (10L, ts("2024-01-01 10:45:00"), 102L),
+      (20L, ts("2024-01-01 10:00:00"), 200L)
+    ).toDF("user_id", "ts", "view_id")
+    (left, right)
+  }
+
+  test("latest right row at-or-before each left row, per key; left-outer") {
+    val (left, right) = frames
+    val out = AsOfJoin.asOf(left, right, Seq("user_id"), "ts")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(out == Map(
+      1L -> Some(101L), // equal-ts right row matches (inclusive)
+      2L -> Some(102L),
+      3L -> None,       // left row earlier than all right rows
+      4L -> Some(200L), // keys don't leak across groups
+      5L -> None))      // key absent from right entirely
+  }
+
+  test("payload ts travels with the match; output keeps all left columns") {
+    val (left, right) = frames
+    val out = AsOfJoin.asOf(left, right, Seq("user_id"), "ts")
+    assert(out.columns.toSeq ==
+      Seq("event_id", "user_id", "ts", "asof_ts", "asof_view_id"))
+    val r2 = out.filter(col("event_id") === 2).head()
+    assert(r2.getTimestamp(3) == ts("2024-01-01 10:45:00"))
+  }
+
+  test("plan: one shuffle on the key, no join node (no range cross product)") {
+    val (left, right) = frames
+    val plan = AsOfJoin.asOf(left, right, Seq("user_id"), "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join node in:\n$plan")
+    assert(plan.contains("Window"), s"expected window scan in:\n$plan")
+  }
+}
