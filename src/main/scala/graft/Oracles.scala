@@ -239,6 +239,48 @@ object Oracles {
        |)
        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold""".stripMargin
 
+  /** Mirrors Dedup.bestCopyPerCluster: clusters and stats re-derived by
+    * their own oracle SQL (nested WITH subqueries), then one rank window
+    * per cluster on (quality desc, id).
+    */
+  def dedupBestCopy(k: Int = 16, rowsPerBand: Int = 4): String =
+    s"""WITH clus AS (SELECT * FROM (${minhashClusters(k, rowsPerBand)})),
+       |stats AS (SELECT doc_id, quality FROM ($textStats)),
+       |j AS (SELECT c.doc_id, c.cluster_rep, s.quality FROM clus c JOIN stats s USING (doc_id)),
+       |r AS (
+       |  SELECT doc_id, cluster_rep, quality,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster_rep ORDER BY quality DESC, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY cluster_rep) AS n_docs
+       |  FROM j
+       |)
+       |SELECT cluster_rep, doc_id AS keep_id, quality, n_docs FROM r WHERE rn = 1""".stripMargin
+
+  /** Mirrors Sampling.stratifiedHashSample (affine hash j=7, permille
+    * thresholds; CASE order = first-match-wins stratum order).
+    */
+  val stratifiedSample: String =
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ((${Dedup.hashA(7)} * doc_id + ${Dedup.hashB(7)}) % ${Dedup.MinHashP}) % 1000
+       |  < CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 200 ELSE 100 END""".stripMargin
+
+  /** Mirrors the q42 bucketized range join with DuckDB's native
+    * inequality join (IEJoin) — an independent derivation of the same
+    * point-in-interval matches.
+    */
+  val rangeJoin: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS order_day
+      |  FROM orders WHERE o_orderkey % 50 = 0
+      |), i AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS lo,
+      |         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) + 1 + CAST(l_quantity AS BIGINT) % 28 AS hi
+      |  FROM lineitem
+      |), m AS (
+      |  SELECT o.o_orderkey, COUNT(*) AS n FROM o JOIN i ON i.lo <= o.order_day AND o.order_day < i.hi GROUP BY 1
+      |)
+      |SELECT o.o_orderkey, CAST(o.order_day AS BIGINT) AS order_day, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_active
+      |FROM o LEFT JOIN m USING (o_orderkey)""".stripMargin
+
   // ---- similarity extension queries ---------------------------------------
 
   /** Per-pair cosine pieces over 64-dim float arrays. `ORDER BY i` inside

@@ -261,6 +261,42 @@ object SparkEntry {
       graft.operators.AsOfJoin.asOf(clicks, views, Seq("user_id"), "ts")
     },
 
+    // extension: quality-aware cluster dedup — keep the best copy per
+    // near-dup cluster (quality desc, id tie-break), the production
+    // curation policy on top of q22's clusters
+    "q40_dedup_best_copy" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.bestCopyPerCluster(
+        Dedup.minHashClusters(Dedup.minHashSignatures(docs, k = 16), k = 16, rowsPerBand = 4),
+        TextAnalysis.stats(docs))
+    },
+
+    // extension: deterministic stratified sampling — reproducible corpus
+    // subsets as a pure function of (id, stratum), identical in any engine
+    "q41_stratified_sample" -> ((s, d) =>
+      graft.ext.Sampling.stratifiedHashSample(
+        Tables.documents(s, d).select("doc_id", "lang"), "doc_id", "lang",
+        Seq("en" -> 500, "zh" -> 200), defaultPermille = 100)),
+
+    // extension: bucketized range join — in-transit lineitems per sampled
+    // order date (interval = shipdate + quantity-derived transit window);
+    // chunk equi-join instead of a theta-join cross product
+    "q42_range_join" -> { (s, d) =>
+      val epoch = lit(java.sql.Date.valueOf("1970-01-01"))
+      val o = Tables.orders(s, d).filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), epoch).cast("long").as("order_day"))
+      val day = datediff(col("l_shipdate"), epoch).cast("long")
+      val li = Tables.lineitem(s, d).select(day.as("lo"),
+        (day + 1L + col("l_quantity").cast("long") % 28L).as("hi"))
+      val m = graft.operators.RangeJoin
+        .pointInInterval(o, li, "order_day", "lo", "hi", chunkWidth = 16L)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_active"))
+      o.join(m, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"), col("order_day"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"))
+    },
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -321,6 +357,9 @@ object SparkEntry {
     "q36_mirakl_flatten" -> Oracles.miraklFlatten,
     "q37_wayfair_flatten" -> Oracles.wayfairFlatten,
     "q38_lsh_adaptive" -> Oracles.lshAdaptiveTopK(50, 5, 16, 64, 256),
-    "q39_asof_join" -> Oracles.asofJoin
+    "q39_asof_join" -> Oracles.asofJoin,
+    "q40_dedup_best_copy" -> Oracles.dedupBestCopy(16, 4),
+    "q41_stratified_sample" -> Oracles.stratifiedSample,
+    "q42_range_join" -> Oracles.rangeJoin
   )
 }

@@ -146,6 +146,28 @@ object Dedup {
       .agg(min("bucket_rep").as("cluster_rep"))
   }
 
+  /** Quality-aware cluster dedup — the production "keep the best copy"
+    * policy: for each near-dup cluster (from [[minHashClusters]]), survive
+    * the highest-quality member (rounded quality from TextAnalysis.stats;
+    * ties → smallest id). One row per cluster: (cluster_rep, keep_id,
+    * quality, n_docs).
+    *
+    * Scale: join on doc id + one rank window partitioned by cluster_rep —
+    * both proper shuffle keys; WindowGroupLimit prunes the rank to one row
+    * per cluster before the final exchange.
+    */
+  def bestCopyPerCluster(clusters: DataFrame, stats: DataFrame,
+                         idCol: String = "doc_id"): DataFrame = {
+    val joined = clusters.join(stats.select(col(idCol), col("quality")), Seq(idCol))
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy("cluster_rep")
+    val w = byCluster.orderBy(col("quality").desc, col(idCol))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster_rep"), col(idCol).as("keep_id"), col("quality"), col("n_docs"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** Portable token hash: base-128 positional code of the first 8

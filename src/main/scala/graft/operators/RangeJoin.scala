@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join without the theta-join trap.
+  *
+  * Spark turns `p.v >= i.lo AND p.v < i.hi` into a BroadcastNestedLoopJoin
+  * (or worse, a cartesian) — every point against every interval, quadratic
+  * at scale. Here intervals are exploded into fixed-width chunks of the
+  * value domain, points hash to their one chunk, and matching becomes an
+  * equi-join on the chunk id (a proper shuffle key) plus a residual range
+  * filter. An interval touches `⌈span/chunkWidth⌉` chunks, so candidate
+  * volume is (points per chunk) × (intervals overlapping that chunk) —
+  * local density, not the global cross product.
+  *
+  * `chunkWidth` trades replication (long intervals explode into more
+  * chunks) against selectivity (wide chunks admit more false candidates);
+  * pick ≈ the typical interval span. Values are BIGINT domain (cast dates
+  * to epoch days, timestamps to epoch seconds); `lo` inclusive, `hi`
+  * exclusive; empty intervals (hi ≤ lo) match nothing.
+  */
+object RangeJoin {
+
+  private def floorDiv(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))) / w).cast("long")
+
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, loCol: String, hiCol: String,
+                      chunkWidth: Long): DataFrame = {
+    require(chunkWidth > 0, "chunkWidth must be positive")
+    val p = points.withColumn("__chunk", floorDiv(col(pointCol), chunkWidth))
+    val iv = intervals
+      .filter(col(hiCol) > col(loCol)) // guard: sequence(lo, hi) descends if hi < lo
+      .withColumn("__chunk", explode(sequence(
+        floorDiv(col(loCol), chunkWidth),
+        floorDiv(col(hiCol) - 1, chunkWidth))))
+    p.join(iv, Seq("__chunk"))
+      .filter(col(loCol) <= col(pointCol) && col(pointCol) < col(hiCol))
+      .drop("__chunk")
+  }
+}

@@ -77,6 +77,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("bestCopyPerCluster keeps highest quality, ties break to smallest id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster_rep")
+    val stats = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (9L, 0.1))
+      .toDF("doc_id", "quality")
+    val out = Dedup.bestCopyPerCluster(clusters, stats)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // cluster 1: quality tie 0.9 between ids 2 and 3 → id 2 wins; 3 members
+    assert(out == Set((1L, 2L, 3L), (9L, 9L, 1L)))
+  }
+
   test("candidate pairs plan has no DISTINCT exchange (first-band dedup instead)") {
     val d = docs(1L -> "aaa bbb ccc", 2L -> "aaa bbb ddd")
     val sig = Dedup.minHashSignatures(d, k = 16)

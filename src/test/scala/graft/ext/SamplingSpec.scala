@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    (0L until 1000L).map(i => (i, if (i % 3 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+  }
+
+  test("survival is a pure function of (id, stratum): reproducible across runs") {
+    val a = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Seq("en" -> 500, "zh" -> 100), 50).collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedHashSample(docs.repartition(7), "doc_id", "lang",
+      Seq("en" -> 500, "zh" -> 100), 50).collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("per-stratum rates are approximately honored") {
+    val out = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Seq("en" -> 500, "zh" -> 100), 50)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 334 en docs at 50%, 666 zh at 10% — allow generous hash variance
+    assert(out("en") > 100 && out("en") < 234)
+    assert(out("zh") > 20 && out("zh") < 140)
+  }
+
+  test("sampled set is a subset; rate 0 drops a stratum entirely; 1000 keeps all") {
+    val none = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Seq("en" -> 0), 1000)
+    assert(none.filter(col("lang") === "en").count() == 0)
+    assert(none.filter(col("lang") === "zh").count() == docs.filter(col("lang") === "zh").count())
+  }
+
+  test("plan is a narrow filter — no shuffle introduced") {
+    val plan = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Seq("en" -> 500), 100).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RangeJoinSpec extends SparkSpec {
+
+  private def frames = {
+    import spark.implicits._
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 31L), (4L, 100L))
+      .toDF("pid", "v")
+    val intervals = Seq(
+      (10L, 0L, 10L),   // [0, 10)  → matches v=5 only (10 exclusive)
+      (11L, 10L, 11L),  // [10, 11) → matches v=10
+      (12L, 4L, 40L),   // [4, 40) spans chunks → matches 5, 10, 31
+      (13L, 50L, 50L),  // empty → matches nothing
+      (14L, 60L, 50L)   // inverted → matches nothing (guard, no crash)
+    ).toDF("iid", "lo", "hi")
+    (points, intervals)
+  }
+
+  test("inclusive lo, exclusive hi, cross-chunk intervals, empty/inverted guarded") {
+    val (points, intervals) = frames
+    val out = RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi", chunkWidth = 8)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L), (1L, 12L), (2L, 11L), (2L, 12L), (3L, 12L)))
+  }
+
+  test("chunk width does not change the result, only the plan") {
+    val (points, intervals) = frames
+    def run(w: Long) =
+      RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(1) == run(8) && run(8) == run(1000))
+  }
+
+  test("plan is an equi-join on the chunk, not a nested-loop cross product") {
+    val (points, intervals) = frames
+    val plan = RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join degraded to a cross product:\n$plan")
+  }
+
+  test("negative-domain values floor to the correct chunk") {
+    import spark.implicits._
+    val p = Seq((1L, -3L)).toDF("pid", "v")
+    val iv = Seq((10L, -5L, 0L)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(p, iv, "v", "lo", "hi", 8)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L)))
+  }
+}
