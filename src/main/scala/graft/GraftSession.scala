@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, ShingleCodes, ShingleFunctions, VectorFunctions}
+import graft.functions.{CosineSimilarity, DotProduct, ShingleCodes, ShingleFunctions, ShingleStrings, VectorFunctions}
 
 /** SparkSessionExtensions installer for the engine's native expressions.
   *
@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(ShingleFunctions.CodesName),
       new ExpressionInfo(classOf[ShingleCodes].getName, ShingleFunctions.CodesName),
       (args: Seq[Expression]) => ShingleCodes(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier(ShingleFunctions.StringsName),
+      new ExpressionInfo(classOf[ShingleStrings].getName, ShingleFunctions.StringsName),
+      (args: Seq[Expression]) => ShingleStrings(args(0))))
     // HOF dot-product pattern → fused native loop (pure perf rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
   }

@@ -210,7 +210,13 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    // n=3 rides the native one-pass generator (string variant — the join
+    // keys on shingle CONTENT, so code collisions are not acceptable here);
+    // other n keep the composed formulation
+    val shingleArr =
+      if (n == 3) graft.functions.ShingleFunctions.shingleStrings(col(textCol))
+      else shingles(col(textCol), n)
+    val sh = docs.select(col(idCol).as("id"), explode(shingleArr).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = sh.select(col("id").as("id_a"), col("sh"))
       .join(sh.select(col("id").as("id_b"), col("sh")), Seq("sh"))

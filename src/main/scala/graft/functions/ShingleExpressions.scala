@@ -83,6 +83,44 @@ object ShingleUtil {
 
   /** Fibonacci-hash spread of the (small-range) code into the table. */
   private def mix(x: Long): Long = (x * 0x9e3779b97f4a7c15L) >>> 32
+
+  /** Distinct 3-gram shingle STRINGS, first-occurrence order — the string
+    * variant for consumers that join on the shingle itself (n-gram Jaccard,
+    * where code collisions would corrupt intersection counts). Same
+    * one-pass walk; distinctness tracked on the encoded code is NOT enough
+    * here, so dedup keys on the string content via a HashSet of the
+    * 3-codepoint window materialized once.
+    */
+  def strings3(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    val cpStarts = new Array[Int](len + 1) // char offset of codepoint k
+    var n = 0
+    var i = 0
+    while (i < len) {
+      cpStarts(n) = i
+      n += 1
+      i += Character.charCount(str.codePointAt(i))
+    }
+    cpStarts(n) = len
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val m = n - 2
+    val seen = new java.util.HashSet[String](m * 2)
+    val out = new Array[AnyRef](m)
+    var outN = 0
+    var k = 0
+    while (k < m) {
+      val sub = str.substring(cpStarts(k), cpStarts(k + 3))
+      if (seen.add(sub)) {
+        out(outN) = UTF8String.fromString(sub)
+        outN += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(
+      if (outN == m) out.asInstanceOf[Array[Any]]
+      else java.util.Arrays.copyOf(out, outN).asInstanceOf[Array[Any]])
+  }
 }
 
 /** `graft_shingle_codes(text)` → array<long>: distinct encoded 3-gram
@@ -110,7 +148,34 @@ case class ShingleCodes(child: Expression) extends UnaryExpression with Serializ
     copy(child = newChild)
 }
 
+/** `graft_shingle_strings(text)` → array<string>: distinct 3-gram shingle
+  * strings, first-occurrence order (null text → null; explode semantics
+  * identical to the composed legacy form).
+  */
+case class ShingleStrings(child: Expression) extends UnaryExpression with Serializable {
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleUtil.strings3(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.strings3($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+}
+
 object ShingleFunctions {
   val CodesName = "graft_shingle_codes"
+  val StringsName = "graft_shingle_strings"
   def shingleCodes(text: Column): Column = call_function(CodesName, text)
+  def shingleStrings(text: Column): Column = call_function(StringsName, text)
 }

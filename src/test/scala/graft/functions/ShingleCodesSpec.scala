@@ -67,6 +67,17 @@ class ShingleCodesSpec extends SparkSpec {
     assert(ids == Set(0L))
   }
 
+  test("shingleStrings equals the legacy array_distinct(transform(substr)) exactly") {
+    val native = docs.select(col("doc_id"),
+      ShingleFunctions.shingleStrings(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val legacy = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    nasty.indices.foreach { i =>
+      assert(native(i.toLong) == legacy(i.toLong), s"doc $i (${nasty(i)})") // order too
+    }
+  }
+
   test("first-occurrence order is preserved (array semantics, not set)") {
     import spark.implicits._
     val d = Seq((0L, "abab")).toDF("doc_id", "text") // shingles aba, bab
