@@ -281,6 +281,18 @@ object Oracles {
       |SELECT o.o_orderkey, CAST(o.order_day AS BIGINT) AS order_day, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_active
       |FROM o LEFT JOIN m USING (o_orderkey)""".stripMargin
 
+  /** Mirrors TextAnalysis.topTokens (lowercased whitespace tokens, raw
+    * frequency + exact doc frequency, total-order top-k).
+    */
+  def vocabTopK(k: Int = 200): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS token
+       |  FROM documents
+       |), agg AS (
+       |  SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs FROM toks GROUP BY 1
+       |)
+       |SELECT token, n, n_docs FROM agg ORDER BY n DESC, token LIMIT $k""".stripMargin
+
   // ---- similarity extension queries ---------------------------------------
 
   /** Per-pair cosine pieces over 64-dim float arrays. `ORDER BY i` inside

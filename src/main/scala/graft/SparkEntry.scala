@@ -297,6 +297,10 @@ object SparkEntry {
           coalesce(col("n_active"), lit(0L)).as("n_active"))
     },
 
+    // extension: vocabulary sweep — global top-k tokens with doc frequency
+    "q43_vocab_topk" -> ((s, d) =>
+      TextAnalysis.topTokens(Tables.documents(s, d), k = 200)),
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -360,6 +364,7 @@ object SparkEntry {
     "q39_asof_join" -> Oracles.asofJoin,
     "q40_dedup_best_copy" -> Oracles.dedupBestCopy(16, 4),
     "q41_stratified_sample" -> Oracles.stratifiedSample,
-    "q42_range_join" -> Oracles.rangeJoin
+    "q42_range_join" -> Oracles.rangeJoin,
+    "q43_vocab_topk" -> Oracles.vocabTopK(200)
   )
 }

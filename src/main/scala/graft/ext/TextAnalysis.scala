@@ -18,6 +18,20 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Corpus vocabulary: global top-k tokens by raw frequency (ties →
+    * token asc) with per-token document frequency — the vocab/BPE-prep
+    * sweep of a training pipeline. Plan: explode → hash agg with map-side
+    * partial combine (one exchange on token) → TakeOrdered top-k, so only
+    * k rows reach the driver-side reduction regardless of vocabulary size.
+    */
+  def topTokens(docs: org.apache.spark.sql.DataFrame, k: Int,
+                idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"), countDistinct(col(idCol)).as("n_docs"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** A BPE-ish subword count: alpha runs, digit runs, and single
     * non-alphanumeric marks each count as one token (regex approximation of
     * byte-pair pretokenization). Match-counting, not splitting — "ab12" is

@@ -80,4 +80,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) != fp(2L))
     assert(fp(4L) == 0L)
   }
+
+  test("topTokens: frequency-ranked vocab with doc frequency, token tie-break") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "The cat and the dog"),
+      Row(2L, "the CAT sat"),
+      Row(3L, "dog dog")))
+    val out = TextAnalysis.topTokens(d, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "the" 3x in 2 docs; "dog" 3x in 2 docs ("dog" > "the"? tie on n=3 → token asc: dog first)
+    assert(out.toSeq == Seq(("dog", 3L, 2L), ("the", 3L, 2L), ("cat", 2L, 2L)))
+  }
 }
