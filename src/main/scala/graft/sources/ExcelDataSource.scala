@@ -1,0 +1,99 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 front-end for the OOXML reader (S11) —
+  * `spark.read.format("graft-excel").load(path)`.
+  *
+  * Upgrades `extract/Excel.read` from a driver-side `createDataFrame` to a
+  * first-class source: the workbook is parsed on the EXECUTOR inside a
+  * `PartitionReader`, column pruning is pushed into the scan
+  * (`SupportsPushDownRequiredColumns` — a `select(one_col)` reads only that
+  * header's cells into rows), and the source composes with everything a
+  * real table does (SQL `USING graft-excel`, joins, caching). All columns
+  * are strings, header = row 1, exactly like the CSV feed path — casts are
+  * the engine's job downstream.
+  *
+  * One partition per workbook: sheet XML is not splittable, and the
+  * sanctioned inputs are small dim/mapping files (README.md:19-20); the
+  * path must be visible from executors (local/NFS — same contract as the
+  * driver-side reader it replaces).
+  */
+class ExcelDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-excel"
+
+  private def path(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-excel requires .load(path)"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (header, _) = graft.extract.Excel.readSheet(path(options))
+    StructType(header.map(h => StructField(h, StringType)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ExcelTable(properties.get("path"), schema)
+}
+
+private[sources] class ExcelTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-excel($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ExcelScanBuilder(path, tableSchema)
+}
+
+private[sources] class ExcelScanBuilder(path: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new ExcelScan(path, required)
+}
+
+private[sources] class ExcelScan(path: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = Array(ExcelPartition(path))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ExcelReaderFactory(required)
+}
+
+private[sources] case class ExcelPartition(path: String) extends InputPartition
+
+private[sources] class ExcelReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val p = partition.asInstanceOf[ExcelPartition].path
+      // executor-side parse; one workbook per task
+      private val (header, rows) = graft.extract.Excel.readSheet(p)
+      // required column → header position (missing header → all-null column)
+      private val idx = required.fieldNames.map(f => header.indexOf(f))
+      private var i = -1
+
+      override def next(): Boolean = { i += 1; i < rows.length }
+
+      override def get(): InternalRow = {
+        val r = rows(i)
+        InternalRow.fromSeq(idx.toSeq.map { j =>
+          if (j >= 0 && j < r.length) UTF8String.fromString(r(j)) else null
+        })
+      }
+
+      override def close(): Unit = ()
+    }
+}
