@@ -293,6 +293,21 @@ object Oracles {
        |)
        |SELECT token, n, n_docs FROM agg ORDER BY n DESC, token LIMIT $k""".stripMargin
 
+  /** Mirrors Curation.curate end-to-end (q44): best-copy dedup →
+    * en-800‰/default-500‰ hash sample → quality ≥ 0.2 → per-doc stats.
+    */
+  def curationPipeline(k: Int = 16, rowsPerBand: Int = 4): String =
+    s"""WITH best AS (SELECT * FROM (${dedupBestCopy(k, rowsPerBand)})),
+       |st AS (SELECT doc_id, n_tokens, quality FROM ($textStats)),
+       |kept AS (SELECT d.doc_id, d.lang FROM documents d JOIN best b ON d.doc_id = b.keep_id),
+       |samp AS (
+       |  SELECT doc_id, lang FROM kept
+       |  WHERE ((${Dedup.hashA(7)} * doc_id + ${Dedup.hashB(7)}) % ${Dedup.MinHashP}) % 1000
+       |    < CASE WHEN lang = 'en' THEN 800 ELSE 500 END
+       |)
+       |SELECT s.doc_id, s.lang, st.n_tokens, st.quality
+       |FROM samp s JOIN st USING (doc_id) WHERE st.quality >= 0.2""".stripMargin
+
   // ---- similarity extension queries ---------------------------------------
 
   /** Per-pair cosine pieces over 64-dim float arrays. `ORDER BY i` inside

@@ -301,6 +301,12 @@ object SparkEntry {
     "q43_vocab_topk" -> ((s, d) =>
       TextAnalysis.topTokens(Tables.documents(s, d), k = 200)),
 
+    // flagship extension composition: full corpus curation (near-dup
+    // best-copy dedup → stratified sample → quality gate → stats)
+    "q44_curation_pipeline" -> ((s, d) =>
+      graft.ext.Curation.curate(Tables.documents(s, d),
+        permille = Seq("en" -> 800), defaultPermille = 500, minQuality = 0.2)),
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -365,6 +371,7 @@ object SparkEntry {
     "q40_dedup_best_copy" -> Oracles.dedupBestCopy(16, 4),
     "q41_stratified_sample" -> Oracles.stratifiedSample,
     "q42_range_join" -> Oracles.rangeJoin,
-    "q43_vocab_topk" -> Oracles.vocabTopK(200)
+    "q43_vocab_topk" -> Oracles.vocabTopK(200),
+    "q44_curation_pipeline" -> Oracles.curationPipeline(16, 4)
   )
 }
