@@ -15,6 +15,6 @@ package graft
   * orders at every nesting depth.
   */
 object Fixtures {
-  val dir: String =
-    sys.env.getOrElse("GRAFT_FIXTURES_DIR", "/root/repo/fixtures/payloads")
+  val dir: String = sys.env.getOrElse("GRAFT_FIXTURES_DIR",
+    new java.io.File("fixtures/payloads").getAbsolutePath)
 }

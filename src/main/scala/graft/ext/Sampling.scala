@@ -22,7 +22,10 @@ object Sampling {
   def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
                            permille: Seq[(String, Int)],
                            defaultPermille: Int): DataFrame = {
-    require(permille.forall { case (_, p) => p >= 0 && p <= 1000 })
+    require(permille.forall { case (_, p) => p >= 0 && p <= 1000 },
+      "stratum permille out of [0, 1000]")
+    require(defaultPermille >= 0 && defaultPermille <= 1000,
+      "defaultPermille out of [0, 1000]")
     val h = (lit(Dedup.hashA(7)) * col(idCol) + lit(Dedup.hashB(7))) % Dedup.MinHashP % 1000L
     val rate = permille.reverse.foldLeft(lit(defaultPermille)) {
       case (acc, (stratum, p)) => when(col(strataCol) === stratum, lit(p)).otherwise(acc)

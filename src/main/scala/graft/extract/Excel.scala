@@ -33,16 +33,29 @@ object Excel {
     */
   private def rejectLegacyXls(path: String): Unit = {
     val in = new java.io.FileInputStream(path)
-    val head = try { val b = new Array[Byte](8); val n = in.read(b); b.take(math.max(n, 0)) }
-    finally in.close()
+    // readNBytes loops until 8 bytes or EOF — a short first read (NFS/FUSE)
+    // must not let a .xls fall through to ZipFile's generic failure
+    val head = try in.readNBytes(8) finally in.close()
     if (head.length == 8 && java.util.Arrays.equals(head, Ole2Magic))
       throw new UnsupportedOperationException(
         s"$path is a legacy BIFF .xls (OLE2 container); only OOXML .xlsx is supported — " +
           "re-save the workbook as .xlsx")
   }
 
+  /** Header row only — schema inference without materializing the sheet
+    * (the DOM parse itself is unavoidable with the JDK parser, but the
+    * row→Seq conversion stops after row 1).
+    */
+  def readHeader(path: String): Seq[String] =
+    readRows(path, maxRows = 1).headOption.getOrElse(Seq.empty)
+
   /** Parses the first worksheet into (header, rows) of strings. */
   def readSheet(path: String): (Seq[String], Seq[Seq[String]]) = {
+    val rows = readRows(path, maxRows = Int.MaxValue)
+    (rows.headOption.getOrElse(Seq.empty), rows.drop(1))
+  }
+
+  private def readRows(path: String, maxRows: Int): Seq[Seq[String]] = {
     rejectLegacyXls(path)
     val zip = new ZipFile(path)
     try {
@@ -66,7 +79,7 @@ object Excel {
         letters.foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
       }
 
-      val rows = (0 until rowNodes.getLength).map { r =>
+      val rows = (0 until math.min(rowNodes.getLength, maxRows)).map { r =>
         val cells = rowNodes.item(r).asInstanceOf[Element].getElementsByTagName("c")
         val byCol = mutable.SortedMap.empty[Int, String]
         (0 until cells.getLength).foreach { ci =>
@@ -86,8 +99,7 @@ object Excel {
         val width = if (byCol.isEmpty) 0 else byCol.lastKey + 1
         (0 until width).map(i => byCol.getOrElse(i, "")): Seq[String]
       }
-      val header = rows.headOption.getOrElse(Seq.empty)
-      (header, rows.drop(1))
+      rows
     } finally zip.close()
   }
 

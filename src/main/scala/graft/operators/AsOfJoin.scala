@@ -44,7 +44,10 @@ object AsOfJoin {
         struct(left.columns.map(col): _*).as("__lv"),
         lit(null).cast(rvType).as("__rv"),
         lit(0).as("__side")): _*)
-    val rt = right.select(
+    // a right row with null ts can never be a latest-≤ match, but would
+    // sort FIRST under asc ordering and pollute the running last() for
+    // every left row — drop it (matches ASOF null-comparison semantics)
+    val rt = right.filter(col(tsCol).isNotNull).select(
       keys.map(col) ++ Seq(
         col(tsCol).as("__t"),
         lit(null).cast(lvType).as("__lv"),

@@ -36,13 +36,17 @@ class ExcelDataSource extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException("graft-excel requires .load(path)"))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (header, _) = graft.extract.Excel.readSheet(path(options))
+    // header-only parse: planning does not materialize the sheet rows
+    val header = graft.extract.Excel.readHeader(path(options))
     StructType(header.map(h => StructField(h, StringType)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new ExcelTable(properties.get("path"), schema)
+                        properties: util.Map[String, String]): Table = {
+    val p = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-excel requires .load(path)"))
+    new ExcelTable(p, schema)
+  }
 }
 
 private[sources] class ExcelTable(path: String, tableSchema: StructType)

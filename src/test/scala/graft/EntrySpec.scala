@@ -6,9 +6,8 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every registered query has oracle SQL or a documented rows-only waiver") {
-    val rowsOnly = Set("q23_media_features") // stub codec fold not SQL-expressible
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every registered query has oracle SQL (no rows-only waivers remain)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val stale = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"oracle without query: $stale")

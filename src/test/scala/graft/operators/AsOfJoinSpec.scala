@@ -48,6 +48,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r2.getTimestamp(3) == ts("2024-01-01 10:45:00"))
   }
 
+  test("null-ts right rows never match (would otherwise sort first and leak)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2024-01-01 09:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, Option.empty[Timestamp], 99L),
+      (10L, Option(ts("2024-01-01 10:00:00")), 100L))
+      .toDF("user_id", "ts", "view_id")
+    val r = AsOfJoin.asOf(left, right, Seq("user_id"), "ts").head()
+    assert(r.isNullAt(3) && r.isNullAt(4)) // 09:00 click has NO earlier view
+  }
+
   test("plan: one shuffle on the key, no join node (no range cross product)") {
     val (left, right) = frames
     val plan = AsOfJoin.asOf(left, right, Seq("user_id"), "ts")
