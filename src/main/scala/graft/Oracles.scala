@@ -225,6 +225,17 @@ object Oracles {
        |SELECT doc_id, $combine AS simhash FROM sums""".stripMargin
   }
 
+  /** Mirrors Dedup.simHashNearDupPairs — the oracle brute-forces the pair
+    * space (fine at sf0.01), independently validating that the engine's
+    * pigeonhole banding is exact, not approximate.
+    */
+  def simhashNearDup(bits: Int = 32, maxHamming: Int = 3): String =
+    s"""WITH sim AS (SELECT * FROM (${simhash(bits)}))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
+
   def ngramJaccard(mod: Int = 10, threshold: Double = 0.5): String =
     s"""WITH ${shingleCtes(s" AND doc_id % $mod = 0")},
        |sized AS (SELECT doc_id AS id, s FROM sh),

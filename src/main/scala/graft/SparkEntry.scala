@@ -301,6 +301,11 @@ object SparkEntry {
     "q43_vocab_topk" -> ((s, d) =>
       TextAnalysis.topTokens(Tables.documents(s, d), k = 200)),
 
+    // extension: SimHash near-dup pairs — EXACT hamming ≤ 3 via pigeonhole
+    // bit-bands (equi-join candidates, never all-pairs)
+    "q45_simhash_neardup" -> ((s, d) =>
+      Dedup.simHashNearDupPairs(Tables.documents(s, d), bits = 32, maxHamming = 3)),
+
     // flagship extension composition: full corpus curation (near-dup
     // best-copy dedup → stratified sample → quality gate → stats)
     "q44_curation_pipeline" -> ((s, d) =>
@@ -372,6 +377,7 @@ object SparkEntry {
     "q41_stratified_sample" -> Oracles.stratifiedSample,
     "q42_range_join" -> Oracles.rangeJoin,
     "q43_vocab_topk" -> Oracles.vocabTopK(200),
-    "q44_curation_pipeline" -> Oracles.curationPipeline(16, 4)
+    "q44_curation_pipeline" -> Oracles.curationPipeline(16, 4),
+    "q45_simhash_neardup" -> Oracles.simhashNearDup(32, 3)
   )
 }

@@ -201,6 +201,50 @@ object Dedup {
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicate pairs with hamming distance ≤ maxHamming —
+    * EXACT result via pigeonhole banding, not an approximation: the hash
+    * is split into `maxHamming + 1` bit-bands, and two hashes within
+    * `maxHamming` differing bits must agree exactly on at least one band,
+    * so candidate generation is an equi-join on (band, band-bits) — a
+    * proper shuffle key, never an all-pairs comparison — followed by the
+    * exact hamming filter. Each qualifying pair is emitted once, from the
+    * first band the two hashes agree on (same no-DISTINCT trick as
+    * [[minHashCandidatePairs]]).
+    */
+  def simHashNearDupPairs(docs: DataFrame, bits: Int = 32, maxHamming: Int = 3,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = (0 until nBands).map { b =>
+      val lo = bits * b / nBands
+      val hi = bits * (b + 1) / nBands // exclusive
+      (lo, hi - lo)
+    }
+    val sim = simHash(docs, bits, idCol, textCol)
+    val withBands = sim.select(
+      col(idCol) +: col("simhash") +: bandBits.zipWithIndex.map { case ((lo, w), b) =>
+        (shiftrightunsigned(col("simhash"), lo) % (1L << w)).as(s"b$b")
+      }: _*)
+    val banded = withBands.select(col(idCol) +: col("simhash") +:
+      (0 until nBands).map(b => col(s"b$b")) :+
+      explode(array((0 until nBands).map(lit): _*)).as("band"): _*)
+      .withColumn("key",
+        (1 until nBands).foldLeft(col("b0")) { (acc, b) =>
+          when(col("band") === b, col(s"b$b")).otherwise(acc)
+        })
+    val a = banded.select(col("band") +: col("key") +: col(idCol).as("id_a") +:
+      col("simhash").as("sim_a") +: (0 until nBands).map(b => col(s"b$b").as(s"a_b$b")): _*)
+    val bb = banded.select(col("band") +: col("key") +: col(idCol).as("id_b") +:
+      col("simhash").as("sim_b") +: (0 until nBands).map(b => col(s"b$b").as(s"b_b$b")): _*)
+    val noEarlierAgreement = (0 until nBands - 1)
+      .map(i => col("band") <= i || col(s"a_b$i") =!= col(s"b_b$i"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    a.join(bb, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b") && noEarlierAgreement)
+      .withColumn("hamming", hammingDist(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   // ---------------------------------------------------------- n-gram Jaccard
 
   /** Exact n-gram Jaccard similarity for all pairs within `docs` (apply to a

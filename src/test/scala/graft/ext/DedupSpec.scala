@@ -89,6 +89,26 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 3L), (9L, 9L, 1L)))
   }
 
+  test("simHashNearDupPairs: pigeonhole banding is exact vs brute force") {
+    import spark.implicits._
+    val docs = (0L until 40L).map { i =>
+      // clusters of 4 near-identical docs + unique tail tokens
+      val base = s"alpha beta gamma delta cluster${i / 4}"
+      (i, if (i % 4 == 0) base else s"$base extra${i % 4}")
+    }.toDF("doc_id", "text")
+    val banded = Dedup.simHashNearDupPairs(docs, bits = 32, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over all simhash pairs
+    val sims = Dedup.simHash(docs, bits = 32).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      h = java.lang.Long.bitCount(sims(a) ^ sims(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty) // the fixture actually produces near-dups
+  }
+
   test("candidate pairs plan has no DISTINCT exchange (first-band dedup instead)") {
     val d = docs(1L -> "aaa bbb ccc", 2L -> "aaa bbb ddd")
     val sig = Dedup.minHashSignatures(d, k = 16)
