@@ -103,6 +103,17 @@ object Streams {
       closed.iterator
     }
 
+  /** Streaming exact dedup: drops events whose `idCol` was already seen,
+    * with state bounded by the watermark — the streaming face of the batch
+    * exact-dedup operator (Dedup.exactDedup) for at-least-once sources
+    * that re-deliver. `dropDuplicatesWithinWatermark` frees a key's state
+    * once the watermark passes its event time, so a forever-running ingest
+    * holds state only for the in-flight window instead of the full history.
+    */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCol)
+
   /** Wires a streaming read of the events parquet directory into any of the
     * transforms above (schema must be supplied — streaming reads don't
     * infer).

@@ -123,6 +123,28 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.size == 4) // two sessions per user (chained gaps, then a late burst)
   }
 
+  test("dedupStream: re-delivered events are dropped within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.dedupStream(mem.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Streams.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Streams.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0), // same-batch dup
+        Streams.Event(2, ts("2024-01-01 10:01:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(
+        Streams.Event(1, ts("2024-01-01 10:00:30"), 1, "click", 1.0), // cross-batch redelivery
+        Streams.Event(3, ts("2024-01-01 10:02:00"), 2, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("file-to-file: readStream → hourly agg → checkpointed parquet sink (AvailableNow)") {
     import java.nio.file.Files
     val in = Files.createTempDirectory("ev_in").toString
