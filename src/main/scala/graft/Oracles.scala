@@ -319,6 +319,30 @@ object Oracles {
        |SELECT s.doc_id, s.lang, st.n_tokens, st.quality
        |FROM samp s JOIN st USING (doc_id) WHERE st.quality >= 0.2""".stripMargin
 
+  /** Mirrors Packing.packDocuments: per-bucket running token sum, pack =
+    * ⌊(cumsum − n) / budget⌋. n_tokens re-derived via the textStats CTE.
+    */
+  def docPacking(budget: Long, nBuckets: Int): String =
+    s"""WITH st AS (SELECT doc_id, n_tokens FROM ($textStats)),
+       |b AS (SELECT doc_id, n_tokens, doc_id % $nBuckets AS bucket FROM st),
+       |c AS (
+       |  SELECT doc_id, bucket, n_tokens,
+       |    SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM b
+       |)
+       |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       |  CAST((cum - n_tokens) // $budget AS BIGINT) AS pack_seq, n_tokens
+       |FROM c""".stripMargin
+
+  /** Mirrors Packing.clusterSplit over the minhashClusters derivation. */
+  def clusterSplit(trainPct: Int, k: Int = 16, rowsPerBand: Int = 4): String =
+    s"""WITH clus AS (SELECT * FROM (${minhashClusters(k, rowsPerBand)}))
+       |SELECT doc_id, cluster_rep,
+       |  CASE WHEN ((${Dedup.hashA(9)} * cluster_rep + ${Dedup.hashB(9)}) % ${Dedup.MinHashP}) % 100 < $trainPct
+       |       THEN 'train' ELSE 'eval' END AS split
+       |FROM clus""".stripMargin
+
   // ---- similarity extension queries ---------------------------------------
 
   /** Per-pair cosine pieces over 64-dim float arrays. `ORDER BY i` inside

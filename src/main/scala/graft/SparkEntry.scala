@@ -306,6 +306,20 @@ object SparkEntry {
     "q45_simhash_neardup" -> ((s, d) =>
       Dedup.simHashNearDupPairs(Tables.documents(s, d), bits = 32, maxHamming = 3)),
 
+    // extension: bucketed greedy sequence packing (≈2048-token packs)
+    "q46_doc_packing" -> ((s, d) =>
+      graft.ext.Packing.packDocuments(
+        TextAnalysis.stats(Tables.documents(s, d)).select("doc_id", "n_tokens"),
+        budget = 2048L, nBuckets = 8)),
+
+    // extension: leakage-safe train/eval split — whole near-dup clusters
+    // assigned to one side (decontamination by construction)
+    "q47_cluster_split" -> ((s, d) =>
+      graft.ext.Packing.clusterSplit(
+        Dedup.minHashClusters(
+          Dedup.minHashSignatures(Tables.documents(s, d), k = 16), k = 16, rowsPerBand = 4),
+        trainPct = 90)),
+
     // flagship extension composition: full corpus curation (near-dup
     // best-copy dedup → stratified sample → quality gate → stats)
     "q44_curation_pipeline" -> ((s, d) =>
@@ -378,6 +392,8 @@ object SparkEntry {
     "q42_range_join" -> Oracles.rangeJoin,
     "q43_vocab_topk" -> Oracles.vocabTopK(200),
     "q44_curation_pipeline" -> Oracles.curationPipeline(16, 4),
-    "q45_simhash_neardup" -> Oracles.simhashNearDup(32, 3)
+    "q45_simhash_neardup" -> Oracles.simhashNearDup(32, 3),
+    "q46_doc_packing" -> Oracles.docPacking(2048, 8),
+    "q47_cluster_split" -> Oracles.clusterSplit(90, 16, 4)
   )
 }

@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence-packing and split assignment for training-data pipelines.
+  *
+  * Both are deterministic pure functions of the input ids, so results are
+  * reproducible across engines and re-runs (same policy as
+  * [[Sampling]]), and both are SQL-mirrorable for the oracle gate.
+  */
+object Packing {
+
+  /** Greedy document packing: assign each doc to a pack of ≈ `budget`
+    * tokens (docs in id order; a pack closes when adding the next doc
+    * would exceed what fits at the running total — the standard
+    * cumsum/budget approximation: `pack = ⌊(cumsum − n) / budget⌋`).
+    *
+    * Scale: a GLOBAL running sum would serialize on one partition, so
+    * packing is bucketed — docs hash into `nBuckets` independent streams
+    * (packs never cross buckets) and each bucket's window is a bounded
+    * partition. On a cluster, nBuckets ≈ parallelism × small-constant;
+    * pack identity is the (bucket, seq) pair.
+    */
+  def packDocuments(docs: DataFrame, budget: Long, nBuckets: Int,
+                    idCol: String = "doc_id", tokensCol: String = "n_tokens"): DataFrame = {
+    require(budget > 0 && nBuckets > 0)
+    val bucket = pmod(col(idCol), lit(nBuckets.toLong))
+    val w = Window.partitionBy("bucket").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), col(tokensCol))
+      .withColumn("bucket", bucket)
+      .withColumn("cum", sum(col(tokensCol)).over(w))
+      // integer div (not double /): exact at any magnitude, non-negative here
+      .withColumn("pack_seq", expr(s"(cum - $tokensCol) div $budget"))
+      .select(col(idCol), col("bucket"), col("pack_seq"), col(tokensCol))
+  }
+
+  /** Leakage-safe train/eval split: the unit of assignment is the
+    * near-dup CLUSTER, not the document — every member of a cluster lands
+    * on the same side, so eval can never contain a near-duplicate of a
+    * training doc. Assignment hashes the cluster representative with the
+    * portable affine family (j=9): train iff hash mod 100 < trainPct.
+    */
+  def clusterSplit(clusters: DataFrame, trainPct: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100)
+    val h = (lit(Dedup.hashA(9)) * col("cluster_rep") + lit(Dedup.hashB(9))) %
+      Dedup.MinHashP % 100L
+    clusters.select(col(idCol), col("cluster_rep"),
+      when(h < trainPct, lit("train")).otherwise(lit("eval")).as("split"))
+  }
+}
