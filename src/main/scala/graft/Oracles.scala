@@ -266,12 +266,18 @@ object Oracles {
        |)
        |SELECT cluster_rep, doc_id AS keep_id, quality, n_docs FROM r WHERE rn = 1""".stripMargin
 
+  /** Mirrors Dedup.affineHash: input reduced mod P before the multiply
+    * (overflow-proof for any BIGINT; non-negative ids so % == pmod).
+    */
+  private def affineHashSql(e: String, j: Int): String =
+    s"(${Dedup.hashA(j)} * (($e) % ${Dedup.MinHashP}) + ${Dedup.hashB(j)}) % ${Dedup.MinHashP}"
+
   /** Mirrors Sampling.stratifiedHashSample (affine hash j=7, permille
     * thresholds; CASE order = first-match-wins stratum order).
     */
   val stratifiedSample: String =
     s"""SELECT doc_id, lang FROM documents
-       |WHERE ((${Dedup.hashA(7)} * doc_id + ${Dedup.hashB(7)}) % ${Dedup.MinHashP}) % 1000
+       |WHERE (${affineHashSql("doc_id", 7)}) % 1000
        |  < CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 200 ELSE 100 END""".stripMargin
 
   /** Mirrors the q42 bucketized range join with DuckDB's native
@@ -313,7 +319,7 @@ object Oracles {
        |kept AS (SELECT d.doc_id, d.lang FROM documents d JOIN best b ON d.doc_id = b.keep_id),
        |samp AS (
        |  SELECT doc_id, lang FROM kept
-       |  WHERE ((${Dedup.hashA(7)} * doc_id + ${Dedup.hashB(7)}) % ${Dedup.MinHashP}) % 1000
+       |  WHERE (${affineHashSql("doc_id", 7)}) % 1000
        |    < CASE WHEN lang = 'en' THEN 800 ELSE 500 END
        |)
        |SELECT s.doc_id, s.lang, st.n_tokens, st.quality
@@ -339,7 +345,7 @@ object Oracles {
   def clusterSplit(trainPct: Int, k: Int = 16, rowsPerBand: Int = 4): String =
     s"""WITH clus AS (SELECT * FROM (${minhashClusters(k, rowsPerBand)}))
        |SELECT doc_id, cluster_rep,
-       |  CASE WHEN ((${Dedup.hashA(9)} * cluster_rep + ${Dedup.hashB(9)}) % ${Dedup.MinHashP}) % 100 < $trainPct
+       |  CASE WHEN (${affineHashSql("cluster_rep", 9)}) % 100 < $trainPct
        |       THEN 'train' ELSE 'eval' END AS split
        |FROM clus""".stripMargin
 

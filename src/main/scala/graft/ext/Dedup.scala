@@ -33,6 +33,15 @@ object Dedup {
   def hashA(j: Int): Long = 37L * j + 11L
   def hashB(j: Int): Long = 101L * j + 31L
 
+  /** Affine hash of a BIGINT column, member j of the family. The input is
+    * reduced mod MinHashP BEFORE the multiply so `a·x` stays within Long
+    * range for ANY id — an unreduced id above ~2^63/a would throw
+    * ARITHMETIC_OVERFLOW under ANSI mode (and wrap divergently in engines
+    * that don't check). Identical values for ids < MinHashP.
+    */
+  def affineHash(c: Column, j: Int): Column =
+    (lit(hashA(j)) * pmod(c, lit(MinHashP)) + lit(hashB(j))) % MinHashP
+
   /** Distinct character n-gram shingles of a text column; empty array when
     * the text is shorter than n (guarded: Spark's `sequence(1,0)` would
     * descend, not return empty).

@@ -46,8 +46,7 @@ object Packing {
   def clusterSplit(clusters: DataFrame, trainPct: Int,
                    idCol: String = "doc_id"): DataFrame = {
     require(trainPct >= 0 && trainPct <= 100)
-    val h = (lit(Dedup.hashA(9)) * col("cluster_rep") + lit(Dedup.hashB(9))) %
-      Dedup.MinHashP % 100L
+    val h = Dedup.affineHash(col("cluster_rep"), 9) % 100L
     clusters.select(col(idCol), col("cluster_rep"),
       when(h < trainPct, lit("train")).otherwise(lit("eval")).as("split"))
   }

@@ -26,7 +26,7 @@ object Sampling {
       "stratum permille out of [0, 1000]")
     require(defaultPermille >= 0 && defaultPermille <= 1000,
       "defaultPermille out of [0, 1000]")
-    val h = (lit(Dedup.hashA(7)) * col(idCol) + lit(Dedup.hashB(7))) % Dedup.MinHashP % 1000L
+    val h = Dedup.affineHash(col(idCol), 7) % 1000L
     val rate = permille.reverse.foldLeft(lit(defaultPermille)) {
       case (acc, (stratum, p)) => when(col(strataCol) === stratum, lit(p)).otherwise(acc)
     }

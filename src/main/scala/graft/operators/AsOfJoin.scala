@@ -30,9 +30,21 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 object AsOfJoin {
 
+  /** Internal column names staged by the tag-union-scan plan; inputs must
+    * not already use them (asserted — a silent collision would produce
+    * ambiguous columns instead of a clear error).
+    */
+  private val reserved = Set("__t", "__lv", "__rv", "__side", "__m")
+
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
            prefix: String = "asof_"): DataFrame = {
     val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == tsCol)
+    val clash = (left.columns ++ right.columns).filter(reserved)
+    require(clash.isEmpty, s"asOf reserved column names present in input: ${clash.mkString(", ")}")
+    val outClash = left.columns.toSet
+      .intersect((tsCol +: payloadCols).map(prefix + _).toSet)
+    require(outClash.isEmpty,
+      s"asOf output names collide with left columns: ${outClash.mkString(", ")} (choose another prefix)")
     val lvType = StructType(left.schema.fields)
     val rvType = StructType(
       StructField(prefix + tsCol, right.schema(tsCol).dataType, nullable = true) +:
@@ -46,8 +58,13 @@ object AsOfJoin {
         lit(0).as("__side")): _*)
     // a right row with null ts can never be a latest-≤ match, but would
     // sort FIRST under asc ordering and pollute the running last() for
-    // every left row — drop it (matches ASOF null-comparison semantics)
-    val rt = right.filter(col(tsCol).isNotNull).select(
+    // every left row — drop it (matches ASOF null-comparison semantics).
+    // Same for null KEYS: Window.partitionBy groups nulls together, so a
+    // null-key right row would match null-key left rows — equi-join
+    // semantics (and the DuckDB ASOF oracle) never match nulls, so drop.
+    val rt = right
+      .filter(keys.map(col(_).isNotNull).foldLeft(col(tsCol).isNotNull)(_ && _))
+      .select(
       keys.map(col) ++ Seq(
         col(tsCol).as("__t"),
         lit(null).cast(lvType).as("__lv"),

@@ -22,19 +22,28 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  private def floorDiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / w).cast("long")
+  /** Exact floor division in the integer domain: `(c − pmod(c, w)) div w`.
+    * The numerator is an exact multiple of w so truncating `div` equals
+    * floor — and unlike Spark's `/` (double division) it never rounds
+    * through a 53-bit mantissa, so chunk ids stay exact at any BIGINT
+    * magnitude (values above ~2^53 would otherwise land in wrong chunks
+    * and silently drop matches).
+    */
+  private def floorDiv(name: String, w: Long): Column =
+    expr(s"(`$name` - pmod(`$name`, ${w}L)) div ${w}L")
 
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointCol: String, loCol: String, hiCol: String,
                       chunkWidth: Long): DataFrame = {
     require(chunkWidth > 0, "chunkWidth must be positive")
-    val p = points.withColumn("__chunk", floorDiv(col(pointCol), chunkWidth))
+    val p = points.withColumn("__chunk", floorDiv(pointCol, chunkWidth))
     val iv = intervals
       .filter(col(hiCol) > col(loCol)) // guard: sequence(lo, hi) descends if hi < lo
+      .withColumn("__hi1", col(hiCol) - 1)
       .withColumn("__chunk", explode(sequence(
-        floorDiv(col(loCol), chunkWidth),
-        floorDiv(col(hiCol) - 1, chunkWidth))))
+        floorDiv(loCol, chunkWidth),
+        floorDiv("__hi1", chunkWidth))))
+      .drop("__hi1")
     p.join(iv, Seq("__chunk"))
       .filter(col(loCol) <= col(pointCol) && col(pointCol) < col(hiCol))
       .drop("__chunk")

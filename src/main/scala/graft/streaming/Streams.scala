@@ -89,11 +89,23 @@ object Streams {
       sorted.foreach { e =>
         val t = e.ts.getTime
         sessions match {
-          case cur :: rest if t - cur.last <= gapMs =>
-            sessions = cur.copy(last = t, n = cur.n + 1) :: rest
-          case cur :: rest =>
+          // in-order or out-of-order but within the open session's reach
+          // (inside [start − gap, last + gap]): merge. The max/min guards
+          // keep `last` monotone and let a late event extend `start`
+          // backwards — without them a cross-batch late event would move
+          // `last` BACKWARDS and corrupt subsequent gap checks.
+          case cur :: rest if t - cur.last <= gapMs && cur.start - t <= gapMs =>
+            sessions = cur.copy(start = math.min(cur.start, t),
+              last = math.max(cur.last, t), n = cur.n + 1) :: rest
+          // ahead of the open session by more than the gap: close it, open new
+          case cur :: rest if t > cur.last =>
             closed += SessionOut(userId, new Timestamp(cur.start), new Timestamp(cur.last), cur.n)
             sessions = SessionState(t, t, 1) :: rest
+          // behind the open session's start by more than the gap (late
+          // across micro-batches, beyond merging): emit as its own
+          // already-closed session rather than corrupting the open one
+          case _ :: _ =>
+            closed += SessionOut(userId, new Timestamp(t), new Timestamp(t), 1)
           case Nil =>
             sessions = SessionState(t, t, 1) :: Nil
         }

@@ -59,6 +59,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r.isNullAt(3) && r.isNullAt(4)) // 09:00 click has NO earlier view
   }
 
+  test("null-KEY right rows never match (partitionBy groups nulls; equi-join semantics don't)") {
+    import spark.implicits._
+    val left = Seq((1L, Option.empty[java.lang.Long], ts("2024-01-01 11:00:00")),
+      (2L, Option(java.lang.Long.valueOf(10L)), ts("2024-01-01 11:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Option.empty[java.lang.Long], ts("2024-01-01 10:00:00"), 99L),
+      (Option(java.lang.Long.valueOf(10L)), ts("2024-01-01 10:00:00"), 100L))
+      .toDF("user_id", "ts", "view_id")
+    val out = AsOfJoin.asOf(left, right, Seq("user_id"), "ts")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    // the null-key left row must NOT pick up the null-key right row
+    assert(out == Map(1L -> None, 2L -> Some(100L)))
+  }
+
+  test("reserved internal names and output-prefix collisions are rejected up front") {
+    import spark.implicits._
+    val (left, right) = frames
+    val badLeft = left.withColumn("__side", lit(1))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(badLeft, right, Seq("user_id"), "ts")
+    }
+    val clashLeft = left.withColumn("asof_view_id", lit(1))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(clashLeft, right, Seq("user_id"), "ts")
+    }
+  }
+
   test("plan: one shuffle on the key, no join node (no range cross product)") {
     val (left, right) = frames
     val plan = AsOfJoin.asOf(left, right, Seq("user_id"), "ts")

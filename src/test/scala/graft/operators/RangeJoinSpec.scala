@@ -42,6 +42,18 @@ class RangeJoinSpec extends SparkSpec {
       s"range join degraded to a cross product:\n$plan")
   }
 
+  test("chunk ids are exact above 2^53 (double division would misassign)") {
+    import spark.implicits._
+    // 2^60 + 1: a double mantissa cannot represent the +1, so a
+    // divide-through-double floorDiv puts the point in the wrong chunk
+    val big = (1L << 60) + 1L
+    val p = Seq((1L, big)).toDF("pid", "v")
+    val iv = Seq((10L, big, big + 1L), (11L, big + 1L, big + 2L)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(p, iv, "v", "lo", "hi", chunkWidth = 7)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L)))
+  }
+
   test("negative-domain values floor to the correct chunk") {
     import spark.implicits._
     val p = Seq((1L, -3L)).toDF("pid", "v")

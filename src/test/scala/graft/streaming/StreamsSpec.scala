@@ -75,6 +75,48 @@ class StreamsSpec extends SparkSpec {
     assert(state.isRemoved) // idle user's state is freed, not leaked
   }
 
+  test("cross-batch out-of-order events merge, extend backwards, or emit standalone — never corrupt the open session") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val gap = 30L * 60 * 1000
+    def step(evs: Seq[Streams.Event], st: List[Streams.SessionState]) = {
+      val state = TestGroupState.create[List[Streams.SessionState]](
+        if (st.isEmpty) Optional.empty() else Optional.of(st),
+        GroupStateTimeout.ProcessingTimeTimeout,
+        batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = Optional.empty[Long](),
+        hasTimedOut = false)
+      val out = Streams.sessionStep(gap, idleTimeout = true)(1L, evs.iterator, state).toSeq
+      (out, state.get)
+    }
+    def ev(id: Long, t: String) = Streams.Event(id, ts(t), 1L, "click", 1.0)
+
+    // batch 1 opens a session [10:00, 10:20]
+    val (out1, st1) = step(Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:20:00")), Nil)
+    assert(out1.isEmpty && st1 == List(Streams.SessionState(
+      ts("2024-01-01 10:00:00").getTime, ts("2024-01-01 10:20:00").getTime, 2)))
+
+    // batch 2: a late event INSIDE the open span — counts, last stays monotone
+    val (out2, st2) = step(Seq(ev(3, "2024-01-01 10:10:00")), st1)
+    assert(out2.isEmpty && st2.head.last == ts("2024-01-01 10:20:00").getTime && st2.head.n == 3)
+
+    // batch 3: a late event BEFORE start but within the gap — extends start backwards
+    val (out3, st3) = step(Seq(ev(4, "2024-01-01 09:45:00")), st2)
+    assert(out3.isEmpty && st3.head.start == ts("2024-01-01 09:45:00").getTime
+      && st3.head.last == ts("2024-01-01 10:20:00").getTime && st3.head.n == 4)
+
+    // batch 4: a late event beyond the gap before start — emitted standalone,
+    // open session untouched
+    val (out4, st4) = step(Seq(ev(5, "2024-01-01 08:00:00")), st3)
+    assert(out4 == Seq(Streams.SessionOut(1L,
+      ts("2024-01-01 08:00:00"), ts("2024-01-01 08:00:00"), 1)))
+    assert(st4 == st3)
+
+    // batch 5: in-order event past the gap closes the (extended) session
+    val (out5, _) = step(Seq(ev(6, "2024-01-01 11:30:00")), st4)
+    assert(out5 == Seq(Streams.SessionOut(1L,
+      ts("2024-01-01 09:45:00"), ts("2024-01-01 10:20:00"), 4)))
+  }
+
   test("timeout-flushed sessions equal the batch window-lag result on a closed input") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
