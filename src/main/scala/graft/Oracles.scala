@@ -225,16 +225,84 @@ object Oracles {
        |SELECT doc_id, $combine AS simhash FROM sums""".stripMargin
   }
 
-  /** Mirrors Dedup.simHashNearDupPairs — the oracle brute-forces the pair
-    * space (fine at sf0.01), independently validating that the engine's
-    * pigeonhole banding is exact, not approximate.
+  /** Mirrors Dedup.simHash64: token code reduced mod P, two affine 31-bit
+    * halves (same Mix constants) packed as h1·2^31 + h2, sign-aggregated
+    * over the 62 populated bits. All arithmetic non-negative BIGINT.
     */
-  def simhashNearDup(bits: Int = 32, maxHamming: Int = 3): String =
-    s"""WITH sim AS (SELECT * FROM (${simhash(bits)}))
+  val simhash64: String = {
+    val enc = (1 to 8).map(i =>
+      s"CAST(ascii(substring(t, $i, 1)) % 128 AS BIGINT) * ${1L << (7 * (8 - i))}").mkString(" + ")
+    val bits = Dedup.SimHash64Bits
+    val P = Dedup.MinHashP
+    val sums = (0 until bits).map(i => s"CAST(SUM(((x >> $i) % 2) * 2 - 1) AS BIGINT) AS s$i").mkString(", ")
+    val combine = (0 until bits).map(i =>
+      s"(CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents
+       |), enc0 AS (
+       |  SELECT doc_id, ($enc) % $P AS xm FROM toks WHERE t <> ''
+       |), enc AS (
+       |  SELECT doc_id,
+       |    ((${Dedup.Mix1A} * xm + ${Dedup.Mix1B}) % $P) * 2147483648 +
+       |    ((${Dedup.Mix2A} * xm + ${Dedup.Mix2B}) % $P) AS x
+       |  FROM enc0
+       |), sums AS (
+       |  SELECT doc_id, $sums FROM enc GROUP BY doc_id
+       |)
+       |SELECT doc_id, $combine AS simhash FROM sums""".stripMargin
+  }
+
+  private def simhashCteFor(bits: Int): String =
+    if (bits == 64) simhash64 else simhash(bits)
+
+  /** Mirrors Dedup.simHashNearDupPairs (uncapped) — the oracle brute-forces
+    * the pair space (fine at sf0.01), independently validating that the
+    * engine's pigeonhole banding is exact, not an approximation.
+    */
+  def simhashNearDup(bits: Int = 64, maxHamming: Int = 3): String =
+    s"""WITH sim AS (SELECT * FROM (${simhashCteFor(bits)}))
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
+
+  /** Exploded (band, key) rows over the pigeonhole bit-bands — boundaries
+    * come from the same Dedup.pigeonholeBands the engine uses.
+    */
+  private def simhashBandedCtes(bits: Int, maxHamming: Int): String = {
+    val bands = Dedup.pigeonholeBands(bits, maxHamming)
+    val keyList = bands.map { case (lo, w) => s"(simhash >> $lo) % ${1L << w}" }
+      .mkString("[", ", ", "]")
+    s"""sim AS (SELECT * FROM (${simhashCteFor(bits)})),
+       |keyed AS (SELECT doc_id, simhash, $keyList AS keys FROM sim),
+       |banded AS (SELECT doc_id, simhash, keys, unnest(generate_series(0, ${bands.size - 1})) AS band FROM keyed),
+       |b2 AS (SELECT doc_id, simhash, band, keys[band + 1] AS bkey FROM banded)""".stripMargin
+  }
+
+  /** Mirrors the capped simHashNearDupPairs path: per-(band, key) buckets
+    * truncated to the `cap` smallest doc ids before the self-join, DISTINCT
+    * over the bounded pair set, exact hamming filter.
+    */
+  def simhashNearDupCapped(bits: Int, maxHamming: Int, cap: Int): String =
+    s"""WITH ${simhashBandedCtes(bits, maxHamming)},
+       |capped AS (
+       |  SELECT doc_id, simhash, band, bkey FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn FROM b2)
+       |  WHERE rn <= $cap
+       |)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
+
+  /** Mirrors Dedup.simHashClusters: cluster rep = min doc id over the
+    * doc's band buckets (same shape as minhashClusters).
+    */
+  def simhashClusters(bits: Int = 64, maxHamming: Int = 3): String =
+    s"""WITH ${simhashBandedCtes(bits, maxHamming)},
+       |bucket AS (SELECT band, bkey, MIN(doc_id) AS bucket_rep FROM b2 GROUP BY 1, 2)
+       |SELECT a.doc_id, MIN(bucket_rep) AS cluster_rep
+       |FROM b2 a JOIN bucket USING (band, bkey) GROUP BY 1""".stripMargin
 
   def ngramJaccard(mod: Int = 10, threshold: Double = 0.5): String =
     s"""WITH ${shingleCtes(s" AND doc_id % $mod = 0")},

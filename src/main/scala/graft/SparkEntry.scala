@@ -302,9 +302,24 @@ object SparkEntry {
       TextAnalysis.topTokens(Tables.documents(s, d), k = 200)),
 
     // extension: SimHash near-dup pairs — EXACT hamming ≤ 3 via pigeonhole
-    // bit-bands (equi-join candidates, never all-pairs)
+    // bit-bands (equi-join candidates, never all-pairs). 64-bit hash: 16-bit
+    // band keys (65k values, not the 8-bit/256 a 32-bit hash forces), and
+    // hamming ≤ 3 over 62 random bits only accepts true near-dups
     "q45_simhash_neardup" -> ((s, d) =>
-      Dedup.simHashNearDupPairs(Tables.documents(s, d), bits = 32, maxHamming = 3)),
+      Dedup.simHashNearDupPairs(Tables.documents(s, d), bits = 64, maxHamming = 3)),
+
+    // extension: capped SimHash candidate generation — per-(band, key)
+    // buckets truncated to the 64 smallest ids before the self-join, so a
+    // pathological bucket is skew-bounded (the 100 TB guard rail)
+    "q48_simhash_capped" -> ((s, d) =>
+      Dedup.simHashNearDupPairs(Tables.documents(s, d), bits = 64, maxHamming = 3,
+        maxBucketCandidates = Some(64))),
+
+    // extension: O(n)-output SimHash cluster dedup — one cluster
+    // representative per doc (the q22 analogue for SimHash; the scale path
+    // on corpora where the pair set itself is quadratic)
+    "q49_simhash_clusters" -> ((s, d) =>
+      Dedup.simHashClusters(Tables.documents(s, d), bits = 64, maxHamming = 3)),
 
     // extension: bucketed greedy sequence packing (≈2048-token packs)
     "q46_doc_packing" -> ((s, d) =>
@@ -392,7 +407,9 @@ object SparkEntry {
     "q42_range_join" -> Oracles.rangeJoin,
     "q43_vocab_topk" -> Oracles.vocabTopK(200),
     "q44_curation_pipeline" -> Oracles.curationPipeline(16, 4),
-    "q45_simhash_neardup" -> Oracles.simhashNearDup(32, 3),
+    "q45_simhash_neardup" -> Oracles.simhashNearDup(64, 3),
+    "q48_simhash_capped" -> Oracles.simhashNearDupCapped(64, 3, 64),
+    "q49_simhash_clusters" -> Oracles.simhashClusters(64, 3),
     "q46_doc_packing" -> Oracles.docPacking(2048, 8),
     "q47_cluster_split" -> Oracles.clusterSplit(90, 16, 4)
   )

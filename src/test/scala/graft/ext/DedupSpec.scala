@@ -109,6 +109,67 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty) // the fixture actually produces near-dups
   }
 
+  /** Clusters of 4 docs sharing 150 cluster-specific tokens, each with one
+    * unique tail token: intra-cluster hamming over the wide hash is small
+    * (only bits whose shared vote is on a knife edge flip), cross-cluster
+    * hamming is ~31 — the realistic near-dup shape 6-token fixtures can't
+    * produce at 62 bits.
+    */
+  private def wideClusters = {
+    import spark.implicits._
+    (0L until 40L).map { i =>
+      val base = (0 until 150).map(j => s"c${i / 4}w$j").mkString(" ")
+      (i, s"$base uniq$i")
+    }.toDF("doc_id", "text")
+  }
+
+  test("simHashNearDupPairs 64-bit: pigeonhole banding is exact vs brute force") {
+    val docs = wideClusters
+    val banded = Dedup.simHashNearDupPairs(docs, bits = 64, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sims = Dedup.simHash64(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      h = java.lang.Long.bitCount(sims(a) ^ sims(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty)
+    // 64-bit separates the clusters 32-bit smears together: every surviving
+    // pair is an intra-cluster pair
+    assert(brute.forall { case (a, b, _) => a / 4 == b / 4 })
+  }
+
+  test("simHash64 uses the full wide bit range (not just the low 32)") {
+    val d = docs(1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val h = Dedup.simHash64(d).head().getLong(1)
+    assert(h >>> 32 != 0L, s"no bits above 32 set in $h")
+    assert(h >>> Dedup.SimHash64Bits == 0L, "bits above the populated range must be 0")
+  }
+
+  test("capped candidate generation equals uncapped when the cap is not binding, bounds buckets when it is") {
+    val docs = wideClusters
+    def run(cap: Option[Int]) =
+      Dedup.simHashNearDupPairs(docs, bits = 64, maxHamming = 3, maxBucketCandidates = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val uncapped = run(None)
+    assert(run(Some(1000)) == uncapped) // non-binding cap: identical output
+    // binding cap: output is a subset, and survivors are still true near-dups
+    val tight = run(Some(2))
+    assert(tight.subsetOf(uncapped) && tight.size < uncapped.size)
+  }
+
+  test("simHashClusters groups exact dups under the smallest id; singletons stand alone") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      5L -> "the quick brown fox jumps over the lazy dog",
+      9L -> "completely unrelated text about spark engines")
+    val cl = Dedup.simHashClusters(d, bits = 64, maxHamming = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(1L) == 1L && cl(5L) == 1L)
+    assert(cl(9L) == 9L)
+  }
+
   test("candidate pairs plan has no DISTINCT exchange (first-band dedup instead)") {
     val d = docs(1L -> "aaa bbb ccc", 2L -> "aaa bbb ddd")
     val sig = Dedup.minHashSignatures(d, k = 16)
