@@ -304,9 +304,24 @@ object Oracles {
        |SELECT a.doc_id, MIN(bucket_rep) AS cluster_rep
        |FROM b2 a JOIN bucket USING (band, bkey) GROUP BY 1""".stripMargin
 
-  def ngramJaccard(mod: Int = 10, threshold: Double = 0.5): String =
+  def ngramJaccard(mod: Int = 10, threshold: Double = 0.5,
+                   maxDfFraction: Option[Double] = None): String = {
+    // mirrors the engine's df cap: per-shingle doc frequency vs a scalar
+    // doc count, rare-shingle set feeds BOTH the intersection and the sizes
+    // nd counts the whole input sample (including docs too short to
+    // shingle) — the engine counts its input frame, not the shingled subset
+    val sizedCte = maxDfFraction match {
+      case Some(f) =>
+        s"""sized AS (
+           |  SELECT id, s FROM (
+           |    SELECT doc_id AS id, s, COUNT(*) OVER (PARTITION BY s) AS df,
+           |      (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents WHERE doc_id % $mod = 0) AS nd
+           |    FROM sh)
+           |  WHERE df <= nd * $f)""".stripMargin
+      case None => "sized AS (SELECT doc_id AS id, s FROM sh)"
+    }
     s"""WITH ${shingleCtes(s" AND doc_id % $mod = 0")},
-       |sized AS (SELECT doc_id AS id, s FROM sh),
+       |$sizedCte,
        |sizes AS (SELECT id, COUNT(*) AS n_sh FROM sized GROUP BY id),
        |common AS (
        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
@@ -317,6 +332,7 @@ object Oracles {
        |  FROM common JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
        |)
        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold""".stripMargin
+  }
 
   /** Mirrors Dedup.bestCopyPerCluster: clusters and stats re-derived by
     * their own oracle SQL (nested WITH subqueries), then one rank window

@@ -117,10 +117,14 @@ object SparkEntry {
     // extension: 32-bit SimHash
     "q16_simhash" -> ((s, d) => Dedup.simHash(Tables.documents(s, d), bits = 32)),
 
-    // extension: exact n-gram Jaccard pairs on a 1/10 sample
+    // extension: exact n-gram Jaccard pairs on a 1/10 sample, with a
+    // document-frequency cap: shingles in > 90% of the sample ("the ") are
+    // hot join keys with no discriminating signal — dropped before the
+    // content self-join (bounds the quadratic hot-shingle blowup at scale)
     "q17_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
-        Tables.documents(s, d).filter(col("doc_id") % 10 === 0), n = 3, threshold = 0.5)),
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0), n = 3, threshold = 0.5,
+        maxDfFraction = Some(0.9))),
 
     // extension: brute-force cosine top-5 for 1/50 query sample
     "q18_cosine_topk" -> { (s, d) =>
@@ -379,7 +383,7 @@ object SparkEntry {
     "q14_minhash_sig" -> Oracles.minhashSignatures(16),
     "q15_minhash_pairs" -> Oracles.minhashPairs(16, 4),
     "q16_simhash" -> Oracles.simhash(32),
-    "q17_ngram_jaccard" -> Oracles.ngramJaccard(10, 0.5),
+    "q17_ngram_jaccard" -> Oracles.ngramJaccard(10, 0.5, Some(0.9)),
     "q18_cosine_topk" -> Oracles.cosineTopK(50, 5),
     "q19_lsh_topk" -> Oracles.lshTopK(50, 5, 16, 4),
     "q20_events_hourly" -> Oracles.eventsHourly,

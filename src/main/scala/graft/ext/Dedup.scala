@@ -379,8 +379,18 @@ object Dedup {
     * pre-filtered candidate set or sampled subset — this is the quadratic
     * verifier that LSH banding feeds at scale, not a whole-corpus op).
     * Returns pairs (id_a < id_b, jaccard) with jaccard ≥ threshold.
+    *
+    * `maxDfFraction`: drop shingles whose document frequency exceeds this
+    * fraction of the doc count BEFORE the content self-join — corpus-
+    * frequent shingles ("the ") are hot join keys that go quadratic on
+    * natural text even inside candidate sets, and carry no discriminating
+    * signal. Jaccard is then computed over the surviving (rare) shingles
+    * on BOTH sides of the ratio — a well-defined "discriminative Jaccard";
+    * docs whose every shingle is frequent drop out. Fraction-based so the
+    * same parameterization holds at any corpus scale.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                        maxDfFraction: Option[Double] = None,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // n=3 rides the native one-pass generator (string variant — the join
     // keys on shingle CONTENT, so code collisions are not acceptable here);
@@ -388,7 +398,19 @@ object Dedup {
     val shingleArr =
       if (n == 3) graft.functions.ShingleFunctions.shingleStrings(col(textCol))
       else shingles(col(textCol), n)
-    val sh = docs.select(col(idCol).as("id"), explode(shingleArr).as("sh"))
+    val sh0 = docs.select(col(idCol).as("id"), explode(shingleArr).as("sh"))
+    val sh = maxDfFraction match {
+      case Some(f) =>
+        // per-shingle df via a count window (one shuffle on sh — the same
+        // key the self-join below needs, so the exchange is reused), doc
+        // count broadcast as a 1-row frame
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+        sh0.withColumn("__df", count(lit(1)).over(w))
+          .crossJoin(broadcast(docs.select(count(lit(1)).cast("double").as("__nd"))))
+          .filter(col("__df") <= col("__nd") * f)
+          .select("id", "sh")
+      case None => sh0
+    }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = sh.select(col("id").as("id_a"), col("sh"))
       .join(sh.select(col("id").as("id_b"), col("sh")), Seq("sh"))
