@@ -265,6 +265,20 @@ object SparkEntry {
       graft.operators.AsOfJoin.asOf(clicks, views, Seq("user_id"), "ts")
     },
 
+    // extension: hot-key-hardened as-of join — same semantics as q39 (same
+    // oracle), but rows hash to (key, time-slice) so one hot user cannot
+    // serialize a partition; boundary state propagates per key over slice
+    // summaries (O(slices), not O(rows))
+    "q50_asof_sliced" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+      graft.operators.AsOfJoin.asOfSliced(clicks, views, Seq("user_id"), "ts",
+        sliceWidthMs = 24L * 3600 * 1000)
+    },
+
     // extension: quality-aware cluster dedup — keep the best copy per
     // near-dup cluster (quality desc, id tie-break), the production
     // curation policy on top of q22's clusters
@@ -406,6 +420,7 @@ object SparkEntry {
     "q37_wayfair_flatten" -> Oracles.wayfairFlatten,
     "q38_lsh_adaptive" -> Oracles.lshAdaptiveTopK(50, 5, 16, 64, 256),
     "q39_asof_join" -> Oracles.asofJoin,
+    "q50_asof_sliced" -> Oracles.asofJoin,
     "q40_dedup_best_copy" -> Oracles.dedupBestCopy(16, 4),
     "q41_stratified_sample" -> Oracles.stratifiedSample,
     "q42_range_join" -> Oracles.rangeJoin,

@@ -86,4 +86,93 @@ object AsOfJoin {
       .filter(col("__side") === 0)
       .select(outCols: _*)
   }
+
+  /** Hot-key-hardened as-of join: identical semantics to [[asOf]], but the
+    * per-key scan is TIME-SLICED so one pathologically hot key no longer
+    * serializes on a single partition.
+    *
+    * Shape: rows hash to (keys, slice) — parallelism = keys × slices. A
+    * left row's match is either inside its own slice (the same running
+    * last() as [[asOf]], now per slice) or the boundary state entering the
+    * slice: the latest right row of any EARLIER slice. Boundary propagation
+    * runs per key over one summary row per occupied slice — the per-key
+    * serial work drops from O(rows-per-key) to O(slices-per-key), which is
+    * the boundary-replication extension the unsliced scaladoc promises.
+    *
+    * `sliceWidthMs` trades parallelism (narrow slices split a hot key
+    * further) against summary volume (every occupied (key, slice) yields a
+    * boundary row); pick ≈ the hot key's rows-per-partition target × its
+    * event spacing. Same contracts as [[asOf]]; `tsCol` must be a
+    * TIMESTAMP. Slice ids floor exactly (integer div — no double rounding
+    * at any epoch magnitude).
+    */
+  def asOfSliced(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+                 sliceWidthMs: Long, prefix: String = "asof_"): DataFrame = {
+    require(sliceWidthMs > 0, "sliceWidthMs must be positive")
+    val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == tsCol)
+    val reservedSliced = reserved ++ Set("__um", "__slice", "__rn", "__sv", "__prev", "__f")
+    val clash = (left.columns ++ right.columns).filter(reservedSliced)
+    require(clash.isEmpty, s"asOfSliced reserved column names present in input: ${clash.mkString(", ")}")
+    val outClash = left.columns.toSet
+      .intersect((tsCol +: payloadCols).map(prefix + _).toSet)
+    require(outClash.isEmpty,
+      s"asOfSliced output names collide with left columns: ${outClash.mkString(", ")} (choose another prefix)")
+
+    val lvType = StructType(left.schema.fields)
+    val rvType = StructType(
+      StructField(prefix + tsCol, right.schema(tsCol).dataType, nullable = true) +:
+        payloadCols.map(c => StructField(prefix + c, right.schema(c).dataType, nullable = true)))
+    val widthUs = Math.multiplyExact(sliceWidthMs, 1000L)
+    def withSlice(df: DataFrame): DataFrame =
+      df.withColumn("__um", unix_micros(col("__t")))
+        .withColumn("__slice", expr(s"(__um - pmod(__um, ${widthUs}L)) div ${widthUs}L"))
+        .drop("__um")
+
+    val lt = withSlice(left.select(
+      keys.map(col) ++ Seq(
+        col(tsCol).as("__t"),
+        struct(left.columns.map(col): _*).as("__lv"),
+        lit(null).cast(rvType).as("__rv"),
+        lit(0).as("__side")): _*))
+    val rt = withSlice(right
+      .filter(keys.map(col(_).isNotNull).foldLeft(col(tsCol).isNotNull)(_ && _))
+      .select(
+        keys.map(col) ++ Seq(
+          col(tsCol).as("__t"),
+          lit(null).cast(lvType).as("__lv"),
+          struct(col(tsCol).as(prefix + tsCol) +:
+            payloadCols.map(c => col(c).as(prefix + c)): _*).as("__rv"),
+          lit(1).as("__side")): _*))
+
+    val keySlice = keys :+ "__slice"
+    // one summary row per occupied (key, slice): the slice's latest right payload
+    val sliceLatest = rt
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keySlice.map(col): _*).orderBy(col("__t").desc)))
+      .filter(col("__rn") === 1)
+      .select(keySlice.map(col) :+ col("__rv").as("__sv"): _*)
+    // boundary entering each slice = latest right payload of any earlier
+    // occupied slice; the per-key window runs over slice SUMMARIES, not rows
+    val allSlices = lt.select(keySlice.map(col): _*)
+      .unionByName(rt.select(keySlice.map(col): _*)).distinct()
+    val boundary = allSlices.join(sliceLatest, keySlice, "left")
+      .withColumn("__prev", last(col("__sv"), ignoreNulls = true).over(
+        Window.partitionBy(keys.map(col): _*).orderBy(col("__slice"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(keySlice.map(col) :+ col("__prev"): _*)
+
+    val w = Window.partitionBy(keySlice.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outCols: Seq[Column] =
+      left.columns.map(c => col(s"__lv.$c").as(c)).toSeq ++
+        rvType.fieldNames.map(f => col(s"__f.$f").as(f)).toSeq
+
+    lt.unionByName(rt)
+      .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .join(boundary, keySlice, "left")
+      .withColumn("__f", coalesce(col("__m"), col("__prev")))
+      .select(outCols: _*)
+  }
 }

@@ -51,6 +51,37 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("asOfSliced equals asOf on generated skew (one hot key) at several slice widths") {
+    (1 to 3).foreach { i =>
+      // hot key 1: 150 left + 120 right rows; keys 2..5 sparse — the
+      // pathological shape the slicing exists for
+      val hotLeft = sample(Gen.listOfN(150, tsGen), 500L + i).map(t => (1L, t))
+      val coldLeft = sample(Gen.listOfN(20, Gen.zip(Gen.choose(2L, 5L), tsGen)), 600L + i)
+      val leftRows = (hotLeft ++ coldLeft).zipWithIndex
+        .map { case ((k, t), id) => (id.toLong, k, new Timestamp(t * 1000)) }
+      val hotRight = sample(Gen.listOfN(120, tsGen), 700L + i).map(t => (1L, t))
+      val coldRight = sample(Gen.listOfN(15, Gen.zip(Gen.choose(2L, 5L), tsGen)), 800L + i)
+      val rightRows = (hotRight ++ coldRight).zipWithIndex
+        .map { case ((k, t), id) => (k, new Timestamp(t * 1000), id.toLong) }
+        .groupBy { case (k, t, _) => (k, t) }
+        .map { case ((k, t), grp) => (k, t, grp.map(_._3).max) }.toSeq
+
+      import spark.implicits._
+      val left = leftRows.toDF("event_id", "user_id", "ts")
+      val right = rightRows.toDF("user_id", "ts", "view_id")
+
+      val reference = AsOfJoin.asOf(left, right, Seq("user_id"), "ts")
+        .collect().map(_.toString).sorted.toSeq
+      // widths spanning sub-second slices (every row its own slice), mid,
+      // and one slice swallowing the whole range (degenerates to asOf)
+      Seq(500L, 60L * 1000, 100L * 3600 * 1000).foreach { w =>
+        val sliced = AsOfJoin.asOfSliced(left, right, Seq("user_id"), "ts", sliceWidthMs = w)
+          .collect().map(_.toString).sorted.toSeq
+        assert(sliced == reference, s"world $i width $w")
+      }
+    }
+  }
+
   // ---- range join ----------------------------------------------------------
 
   test("pointInInterval equals the brute-force theta filter on random worlds") {
