@@ -22,10 +22,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * are strings, header = row 1, exactly like the CSV feed path — casts are
   * the engine's job downstream.
   *
-  * One partition per workbook: sheet XML is not splittable, and the
-  * sanctioned inputs are small dim/mapping files (README.md:19-20); the
-  * path must be visible from executors (local/NFS — same contract as the
-  * driver-side reader it replaces).
+  * The path may be a single workbook, a DIRECTORY (all `*.xlsx` inside,
+  * sorted), or a `*`/`?` glob — one partition per workbook, so a directory
+  * of mapping files parses in parallel across executors. Sheet XML itself
+  * is not splittable, and the sanctioned inputs are small dim/mapping
+  * files (README.md:19-20); paths must be visible from executors
+  * (local/NFS — same contract as the driver-side reader this replaces).
+  * The schema comes from the first workbook's header; other workbooks are
+  * matched by header NAME per file (a column absent from a workbook reads
+  * as null — union-by-name semantics, like the CSV feed union).
   */
 class ExcelDataSource extends TableProvider with DataSourceRegister {
 
@@ -36,8 +41,10 @@ class ExcelDataSource extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException("graft-excel requires .load(path)"))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    // header-only parse: planning does not materialize the sheet rows
-    val header = graft.extract.Excel.readHeader(path(options))
+    // header-only parse of the FIRST resolved workbook: planning does not
+    // materialize sheet rows, and does not open every file
+    val first = ExcelDataSource.resolve(path(options)).head
+    val header = graft.extract.Excel.readHeader(first)
     StructType(header.map(h => StructField(h, StringType)))
   }
 
@@ -46,6 +53,35 @@ class ExcelDataSource extends TableProvider with DataSourceRegister {
     val p = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-excel requires .load(path)"))
     new ExcelTable(p, schema)
+  }
+}
+
+private[sources] object ExcelDataSource {
+  /** Expands a path spec to concrete workbook paths: a directory lists its
+    * `*.xlsx` (sorted — deterministic partition order), a glob matches
+    * within its parent directory, anything else is a single file. Empty
+    * expansion is an explicit error, not an empty table — a typo'd
+    * directory must not read as zero rows.
+    */
+  def resolve(spec: String): Seq[String] = {
+    import java.io.File
+    val f = new File(spec)
+    val matched: Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[File])
+          .filter(c => c.isFile && c.getName.toLowerCase.endsWith(".xlsx"))
+          .map(_.getPath).toSeq.sorted
+      else if (spec.exists(c => c == '*' || c == '?')) {
+        val parent = Option(f.getParentFile).getOrElse(new File("."))
+        val m = java.nio.file.FileSystems.getDefault
+          .getPathMatcher("glob:" + f.getName)
+        Option(parent.listFiles()).getOrElse(Array.empty[File])
+          .filter(c => c.isFile && m.matches(c.toPath.getFileName))
+          .map(_.getPath).toSeq.sorted
+      } else Seq(spec)
+    if (matched.isEmpty)
+      throw new IllegalArgumentException(s"graft-excel: no workbooks match '$spec'")
+    matched
   }
 }
 
@@ -70,7 +106,8 @@ private[sources] class ExcelScan(path: String, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = Array(ExcelPartition(path))
+  override def planInputPartitions(): Array[InputPartition] =
+    ExcelDataSource.resolve(path).map(ExcelPartition(_): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ExcelReaderFactory(required)
 }

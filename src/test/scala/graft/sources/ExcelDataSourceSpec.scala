@@ -40,6 +40,41 @@ class ExcelDataSourceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM xl").head().getLong(0) == 3L)
   }
 
+  test("directory of workbooks: one partition per file, union-by-name, sorted order") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("xlmulti")
+    def add(name: String, cells: Seq[Seq[Either[String, Double]]]): Unit =
+      Files.move(Paths.get(writeXlsx(cells)), dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    add("a.xlsx", Seq(Seq(Left("sku"), Left("qty")), Seq(Left("A-1"), Right(1.0))))
+    add("b.xlsx", Seq(Seq(Left("sku"), Left("qty")), Seq(Left("B-1"), Right(2.0))))
+    // c has an extra column and a different order: matched by header NAME
+    add("c.xlsx", Seq(Seq(Left("extra"), Left("qty"), Left("sku")),
+      Seq(Left("x"), Right(3.0), Left("C-1"))))
+    Files.write(dir.resolve("notes.txt"), "ignored".getBytes) // non-xlsx skipped
+
+    val df = spark.read.format("graft-excel").load(dir.toString)
+    // schema from the first (sorted) workbook
+    assert(df.schema.fieldNames.toSeq == Seq("sku", "qty"))
+    assert(df.rdd.getNumPartitions == 3, "expected one partition per workbook")
+    assert(rowSet(df) == rows(Seq("A-1", "1.0"), Seq("B-1", "2.0"), Seq("C-1", "3.0")))
+  }
+
+  test("glob path selects matching workbooks; empty match is an explicit error") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("xlglob")
+    def add(name: String, cells: Seq[Seq[Either[String, Double]]]): Unit =
+      Files.move(Paths.get(writeXlsx(cells)), dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    add("feed_1.xlsx", Seq(Seq(Left("sku")), Seq(Left("F-1"))))
+    add("feed_2.xlsx", Seq(Seq(Left("sku")), Seq(Left("F-2"))))
+    add("other.xlsx", Seq(Seq(Left("sku")), Seq(Left("X-1"))))
+
+    val df = spark.read.format("graft-excel").load(s"$dir/feed_*.xlsx")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("F-1", "F-2"))
+    val e = intercept[Exception](
+      spark.read.format("graft-excel").load(s"$dir/nope_*.xlsx").collect())
+    assert(e.getMessage.contains("no workbooks match"))
+  }
+
   test("legacy .xls rejection propagates through the source") {
     val dir = java.nio.file.Files.createTempDirectory("xlsv2")
     val p = dir.resolve("book.xls")
