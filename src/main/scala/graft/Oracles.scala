@@ -425,6 +425,30 @@ object Oracles {
        |  CAST((cum - n_tokens) // $budget AS BIGINT) AS pack_seq, n_tokens
        |FROM c""".stripMargin
 
+  /** Mirrors Curation.curateToShards (q51): the q44 curation pipeline
+    * continued through the cluster split (j=9 affine hash of the SAME
+    * cluster derivation) and per-(split, bucket) sequence packing.
+    */
+  def curationShards(trainPct: Int, budget: Long, nBuckets: Int,
+                     k: Int = 16, rowsPerBand: Int = 4): String =
+    s"""WITH cur AS (SELECT * FROM (${curationPipeline(k, rowsPerBand)})),
+       |clus2 AS (SELECT * FROM (${minhashClusters(k, rowsPerBand)})),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN (${affineHashSql("cluster_rep", 9)}) % 100 < $trainPct
+       |         THEN 'train' ELSE 'eval' END AS split
+       |  FROM clus2
+       |), j AS (SELECT cur.*, sp.split FROM cur JOIN sp USING (doc_id)),
+       |b AS (SELECT *, doc_id % $nBuckets AS bucket FROM j),
+       |c AS (
+       |  SELECT *, SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY split, bucket ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM b
+       |)
+       |SELECT doc_id, lang, n_tokens, quality, split, CAST(bucket AS BIGINT) AS bucket,
+       |  CAST((cum - n_tokens) // $budget AS BIGINT) AS pack_seq
+       |FROM c""".stripMargin
+
   /** Mirrors Packing.clusterSplit over the minhashClusters derivation. */
   def clusterSplit(trainPct: Int, k: Int = 16, rowsPerBand: Int = 4): String =
     s"""WITH clus AS (SELECT * FROM (${minhashClusters(k, rowsPerBand)}))

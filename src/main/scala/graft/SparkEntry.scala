@@ -359,6 +359,14 @@ object SparkEntry {
       graft.ext.Curation.curate(Tables.documents(s, d),
         permille = Seq("en" -> 800), defaultPermille = 500, minQuality = 0.2)),
 
+    // flagship extension, full length: q44's curation continued through the
+    // leakage-safe cluster split and per-split sequence packing — corpus in,
+    // shard addresses (split, bucket, pack_seq) out, one lazy plan
+    "q51_curation_shards" -> ((s, d) =>
+      graft.ext.Curation.curateToShards(Tables.documents(s, d),
+        permille = Seq("en" -> 800), defaultPermille = 500, minQuality = 0.2,
+        trainPct = 90, packBudget = 2048L, nBuckets = 8)),
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -426,6 +434,7 @@ object SparkEntry {
     "q42_range_join" -> Oracles.rangeJoin,
     "q43_vocab_topk" -> Oracles.vocabTopK(200),
     "q44_curation_pipeline" -> Oracles.curationPipeline(16, 4),
+    "q51_curation_shards" -> Oracles.curationShards(90, 2048L, 8),
     "q45_simhash_neardup" -> Oracles.simhashNearDup(64, 3),
     "q48_simhash_capped" -> Oracles.simhashNearDupCapped(64, 3, 64),
     "q49_simhash_clusters" -> Oracles.simhashClusters(64, 3),

@@ -24,16 +24,48 @@ object Curation {
   def curate(docs: DataFrame,
              permille: Seq[(String, Int)], defaultPermille: Int,
              minQuality: Double,
-             minHashK: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+             minHashK: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    curateWithClusters(docs, permille, defaultPermille, minQuality, minHashK, rowsPerBand)._1
+
+  private def curateWithClusters(docs: DataFrame,
+                                 permille: Seq[(String, Int)], defaultPermille: Int,
+                                 minQuality: Double,
+                                 minHashK: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
     val stats = TextAnalysis.stats(docs)
     val clusters = Dedup.minHashClusters(
       Dedup.minHashSignatures(docs, minHashK), minHashK, rowsPerBand)
     val best = Dedup.bestCopyPerCluster(clusters, stats)
     val kept = docs.select("doc_id", "lang")
       .join(best.select(col("keep_id").as("doc_id")), Seq("doc_id"))
-    Sampling.stratifiedHashSample(kept, "doc_id", "lang", permille, defaultPermille)
+    val curated = Sampling.stratifiedHashSample(kept, "doc_id", "lang", permille, defaultPermille)
       .join(stats.select("doc_id", "n_tokens", "quality"), Seq("doc_id"))
       .filter(col("quality") >= minQuality)
       .select("doc_id", "lang", "n_tokens", "quality")
+    (curated, clusters)
+  }
+
+  /** The full corpus→train-shards story: [[curate]] continued through the
+    * leakage-safe cluster split (every near-dup cluster lands wholly on one
+    * side — the SAME clusters the dedup stage derived, one subtree in the
+    * plan) and per-split sequence packing (packs never cross the split
+    * boundary). Output: one row per surviving doc with its shard address
+    * (split, bucket, pack_seq) — exactly what a writer partitioned by
+    * (split, bucket) would consume. Still ONE lazy plan; the only shuffles
+    * are the composed operators' own key exchanges.
+    */
+  def curateToShards(docs: DataFrame,
+                     permille: Seq[(String, Int)], defaultPermille: Int,
+                     minQuality: Double, trainPct: Int,
+                     packBudget: Long, nBuckets: Int,
+                     minHashK: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val (curated, clusters) = curateWithClusters(
+      docs, permille, defaultPermille, minQuality, minHashK, rowsPerBand)
+    val split = Packing.clusterSplit(clusters, trainPct)
+    val withSplit = curated.join(split.select("doc_id", "split"), Seq("doc_id"))
+    val packed = Packing.packDocuments(
+      withSplit.select("split", "doc_id", "n_tokens"),
+      packBudget, nBuckets, extraKeys = Seq("split"))
+    packed.join(curated.select("doc_id", "lang", "quality"), Seq("doc_id"))
+      .select("doc_id", "lang", "n_tokens", "quality", "split", "bucket", "pack_seq")
   }
 }

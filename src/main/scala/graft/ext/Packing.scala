@@ -23,18 +23,24 @@ object Packing {
     * partition. On a cluster, nBuckets ≈ parallelism × small-constant;
     * pack identity is the (bucket, seq) pair.
     */
+  /** `extraKeys` prepend to the pack partitioning (packs never cross an
+    * extra key's boundary — e.g. pack within each train/eval split) and
+    * ride through to the output.
+    */
   def packDocuments(docs: DataFrame, budget: Long, nBuckets: Int,
-                    idCol: String = "doc_id", tokensCol: String = "n_tokens"): DataFrame = {
+                    idCol: String = "doc_id", tokensCol: String = "n_tokens",
+                    extraKeys: Seq[String] = Nil): DataFrame = {
     require(budget > 0 && nBuckets > 0)
     val bucket = pmod(col(idCol), lit(nBuckets.toLong))
-    val w = Window.partitionBy("bucket").orderBy(col(idCol))
+    val w = Window.partitionBy((extraKeys :+ "bucket").map(col): _*).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col(idCol), col(tokensCol))
+    docs.select(extraKeys.map(col) ++ Seq(col(idCol), col(tokensCol)): _*)
       .withColumn("bucket", bucket)
       .withColumn("cum", sum(col(tokensCol)).over(w))
       // integer div (not double /): exact at any magnitude, non-negative here
       .withColumn("pack_seq", expr(s"(cum - $tokensCol) div $budget"))
-      .select(col(idCol), col("bucket"), col("pack_seq"), col(tokensCol))
+      .select(extraKeys.map(col) ++
+        Seq(col(idCol), col("bucket"), col("pack_seq"), col(tokensCol)): _*)
   }
 
   /** Leakage-safe train/eval split: the unit of assignment is the

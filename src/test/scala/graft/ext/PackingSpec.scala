@@ -40,6 +40,24 @@ class PackingSpec extends SparkSpec {
     assert(a.forall { case (id, bucket, _) => bucket == id % 8 })
   }
 
+  test("packDocuments extraKeys: packing restarts per key — packs never cross the split") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i =>
+      (if (i % 3 == 0) "eval" else "train", i, (i % 17 + 1).toInt))
+      .toDF("split", "doc_id", "n_tokens")
+    val out = Packing.packDocuments(docs, 50L, 4, extraKeys = Seq("split")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // each (split, bucket) stream packs independently from seq 0
+    out.groupBy(t => (t._1, t._3)).foreach { case (_, grp) =>
+      assert(grp.map(_._4).min == 0L)
+    }
+    // per-split result equals packing that split's docs alone
+    val trainAlone = Packing.packDocuments(
+      docs.filter($"split" === "train").drop("split"), 50L, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.filter(_._1 == "train").map(t => (t._2, t._3, t._4)).toSet == trainAlone)
+  }
+
   test("clusterSplit: every member of a cluster lands on the same side") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (9L, 9L))
