@@ -8,8 +8,11 @@ import duckdb
 import pandas as pd
 import numpy as np
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+json_out = next((a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")), None)
+sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+out_dir = args[1] if len(args) > 1 else "/tmp/verify_out"
+report = {}
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
@@ -28,21 +31,30 @@ def canon(df):
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
+def record(name, **kw):
+    report[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                    "spark_rows": None, "oracle_rows": None, "err": None, **kw}
+
 fails = 0
 for name in sorted(oracle):
     sql = oracle[name]
     spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not spark_files:
-        print(f"{name}: MISSING spark output"); fails += 1; continue
+        print(f"{name}: MISSING spark output"); fails += 1
+        record(name, err="missing spark output"); continue
     try:
         odf = canon(con.sql(sql).df())
     except Exception as e:
-        print(f"{name}: ORACLE ERROR {e}"); fails += 1; continue
+        print(f"{name}: ORACLE ERROR {e}"); fails += 1
+        record(name, err=f"oracle error: {e}"); continue
     sdf = canon(pd.concat([pd.read_parquet(f) for f in spark_files]))
     if list(sdf.columns) != list(odf.columns):
-        print(f"{name}: COLUMN MISMATCH spark={list(sdf.columns)} oracle={list(odf.columns)}"); fails += 1; continue
+        print(f"{name}: COLUMN MISMATCH spark={list(sdf.columns)} oracle={list(odf.columns)}"); fails += 1
+        record(name, schema_match=False, spark_rows=len(sdf), oracle_rows=len(odf)); continue
     if len(sdf) != len(odf):
-        print(f"{name}: ROWCOUNT MISMATCH spark={len(sdf)} oracle={len(odf)}"); fails += 1; continue
+        print(f"{name}: ROWCOUNT MISMATCH spark={len(sdf)} oracle={len(odf)}"); fails += 1
+        record(name, schema_match=True, rows_match=False,
+               spark_rows=len(sdf), oracle_rows=len(odf)); continue
     exact = True; approx = True
     for c in sdf.columns:
         s, o = sdf[c], odf[c]
@@ -62,6 +74,12 @@ for name in sorted(oracle):
                 print(f"  {name}.{c} diff rows {idx}: spark={list(s[neq][:3])} oracle={list(o[neq][:3])}")
     status = "OK-exact" if exact else ("OK-approx" if approx else "FAIL")
     if status == "FAIL": fails += 1
+    record(name, rows_match=True, schema_match=True, hash_match=exact,
+           spark_rows=len(sdf), oracle_rows=len(odf),
+           err=None if status != "FAIL" else "value mismatch")
     print(f"{name}: {status} ({len(sdf)} rows, {len(sdf.columns)} cols)")
 print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump(report, f, indent=1)
 sys.exit(1 if fails else 0)
