@@ -8,8 +8,10 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.w3c.dom.Element
 
-/** Minimal XLSX reader (S11, reference portfolio-etl.py:491, :515 uses
-  * `pd.read_excel` for hsn/rue/walmart feeds).
+/** Minimal Excel reader (S11, reference portfolio-etl.py:491, :515 uses
+  * `pd.read_excel` for hsn/rue/walmart feeds) — BOTH containers pandas
+  * accepts: OOXML `.xlsx` (this file) and legacy BIFF8 `.xls`
+  * (dispatched to [[Biff]] by magic sniff).
   *
   * Spark has no built-in Excel source; the reference's Excel inputs are
   * small mapping/feed files (README.md:19-20 sanctions flat-file mode), so
@@ -25,21 +27,17 @@ object Excel {
   /** OLE2 compound-file magic — the container of legacy BIFF `.xls`. */
   private val Ole2Magic = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte)
 
-  /** Rejects legacy `.xls` (BIFF/OLE2) with an explicit error instead of
-    * letting the ZIP open fail and be mistaken for a missing file: the
-    * reference's `pd.read_excel` (:491, :515) accepts both containers, so a
-    * user handing us its `.xls` inputs must get an actionable message, not a
-    * silently-dropped feed.
+  /** Container sniff: the reference's `pd.read_excel` (:491, :515) accepts
+    * both OOXML `.xlsx` (ZIP) and legacy BIFF `.xls` (OLE2); so do we —
+    * OLE2 dispatches to the [[Biff]] reader, everything else takes the ZIP
+    * path. Detection is by MAGIC, not extension, like pandas.
     */
-  private def rejectLegacyXls(path: String): Unit = {
+  private def isOle2(path: String): Boolean = {
     val in = new java.io.FileInputStream(path)
     // readNBytes loops until 8 bytes or EOF — a short first read (NFS/FUSE)
-    // must not let a .xls fall through to ZipFile's generic failure
+    // must not misroute the container
     val head = try in.readNBytes(8) finally in.close()
-    if (head.length == 8 && java.util.Arrays.equals(head, Ole2Magic))
-      throw new UnsupportedOperationException(
-        s"$path is a legacy BIFF .xls (OLE2 container); only OOXML .xlsx is supported — " +
-          "re-save the workbook as .xlsx")
+    head.length == 8 && java.util.Arrays.equals(head, Ole2Magic)
   }
 
   /** Header row only — schema inference without materializing the sheet
@@ -47,16 +45,20 @@ object Excel {
     * row→Seq conversion stops after row 1).
     */
   def readHeader(path: String): Seq[String] =
-    readRows(path, maxRows = 1).headOption.getOrElse(Seq.empty)
+    if (isOle2(path)) Biff.readSheet(path)._1
+    else readRows(path, maxRows = 1).headOption.getOrElse(Seq.empty)
 
-  /** Parses the first worksheet into (header, rows) of strings. */
-  def readSheet(path: String): (Seq[String], Seq[Seq[String]]) = {
-    val rows = readRows(path, maxRows = Int.MaxValue)
-    (rows.headOption.getOrElse(Seq.empty), rows.drop(1))
-  }
+  /** Parses the first worksheet into (header, rows) of strings — `.xlsx`
+    * or BIFF8 `.xls`, sniffed by magic.
+    */
+  def readSheet(path: String): (Seq[String], Seq[Seq[String]]) =
+    if (isOle2(path)) Biff.readSheet(path)
+    else {
+      val rows = readRows(path, maxRows = Int.MaxValue)
+      (rows.headOption.getOrElse(Seq.empty), rows.drop(1))
+    }
 
   private def readRows(path: String, maxRows: Int): Seq[Seq[String]] = {
-    rejectLegacyXls(path)
     val zip = new ZipFile(path)
     try {
       val dbf = DocumentBuilderFactory.newInstance()

@@ -69,7 +69,8 @@ private[sources] object ExcelDataSource {
     val matched: Seq[String] =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty[File])
-          .filter(c => c.isFile && c.getName.toLowerCase.endsWith(".xlsx"))
+          .filter(c => c.isFile &&
+            (c.getName.toLowerCase.endsWith(".xlsx") || c.getName.toLowerCase.endsWith(".xls")))
           .map(_.getPath).toSeq.sorted
       else if (spec.exists(c => c == '*' || c == '?')) {
         val parent = Option(f.getParentFile).getOrElse(new File("."))

@@ -33,16 +33,16 @@ class ExcelSpec extends SparkSpec {
     assert(rowSet(Excel.readFeed(spark, feed)) == rows(Seq("other", "0.0", "Ruelala & Gilt")))
   }
 
-  test("legacy BIFF .xls is rejected with an explicit error, not the sentinel") {
+  test("corrupt OLE2 (.xls magic, truncated body) degrades to the sentinel like any broken feed") {
     val dir = Files.createTempDirectory("xls")
     val path = dir.resolve("book.xls").toString
     val out = new FileOutputStream(path)
-    // OLE2 compound-file magic + padding: what a real .xls starts with
     out.write(Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte))
     out.write(new Array[Byte](64))
     out.close()
     val feed = FileFeed(path, siteLiteral = Some("hsn"))
-    val e = intercept[UnsupportedOperationException](Excel.readFeed(spark, feed))
-    assert(e.getMessage.contains(".xlsx"))
+    // valid BIFF8 .xls now PARSES (BiffSpec); a broken container is a
+    // broken feed → the reference's 1-row sentinel, same as a missing file
+    assert(rowSet(Excel.readFeed(spark, feed)) == rows(Seq("other", "0.0", "hsn")))
   }
 }

@@ -75,12 +75,12 @@ class ExcelDataSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("no workbooks match"))
   }
 
-  test("legacy .xls rejection propagates through the source") {
+  test("corrupt OLE2 surfaces a clear container error through the source (valid .xls now parses — BiffSpec)") {
     val dir = java.nio.file.Files.createTempDirectory("xlsv2")
     val p = dir.resolve("book.xls")
     java.nio.file.Files.write(p,
       Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte) ++ new Array[Byte](32))
     val e = intercept[Exception](spark.read.format("graft-excel").load(p.toString))
-    assert(e.getMessage != null && e.getMessage.contains(".xlsx"))
+    assert(e.getMessage != null && e.getMessage.contains("OLE2"))
   }
 }
