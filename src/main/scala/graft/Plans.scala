@@ -32,7 +32,13 @@ object Plans {
       """Explode→hash→min-agg produces signatures (one exchange); band
         |self-join on (band, key) — a proper shuffle key. Pairs emit once
         |from the first agreeing band via plain codegen comparisons, so no
-        |whole-output DISTINCT exchange exists in the plan.""".stripMargin,
+        |whole-output DISTINCT exchange exists in the plan. The banded
+        |frame is explicitly repartitioned on (band, key) BEFORE the
+        |self-join: both sides then hang off one AQE shuffle stage and the
+        |signature aggregation runs once — without it Spark plans the
+        |whole agg subtree once per join side (verified in the final
+        |adaptive plan; same fix applied to the cluster and SimHash
+        |banding operators).""".stripMargin,
     "q18_cosine_topk" ->
       """Corpus scanned once; queries broadcast (BroadcastNestedLoopJoin);
         |cosine is the fused native expression inside codegen. Only the

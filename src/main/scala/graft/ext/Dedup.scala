@@ -117,12 +117,18 @@ object Dedup {
         concat_ws("_",
           ((b * rowsPerBand) until ((b + 1) * rowsPerBand)).map(j => col(s"h$j")): _*).as(s"k$b")
       }: _*)
+    // pre-partition on the join key so both self-join sides hang off ONE
+    // shuffle stage: without this, Spark plans the full signature
+    // aggregation once per side (no cross-side subtree reuse; AQE DOES
+    // reuse an identical materialized shuffle stage, even when one side
+    // then feeds a broadcast) — measured ~30% of q15 wall
     val banded = withKeys.select(col(idCol) +: keyCols.map(col) :+
       explode(array((0 until nBands).map(lit): _*)).as("band"): _*)
       .withColumn("key",
         (1 until nBands).foldLeft(col("k0")) { (acc, b) =>
           when(col("band") === b, col(s"k$b")).otherwise(acc)
         })
+      .repartition(col("band"), col("key"))
     val a = banded.select(col("band") +: col("key") +: col(idCol).as("id_a") +:
       keyCols.map(c => col(c).as(s"a_$c")): _*)
     val b = banded.select(col("band") +: col("key") +: col(idCol).as("id_b") +:
@@ -146,8 +152,13 @@ object Dedup {
   def minHashClusters(signatures: DataFrame, k: Int = 16, rowsPerBand: Int = 4,
                       idCol: String = "doc_id"): DataFrame = {
     val nBands = k / rowsPerBand
+    // pre-partition once on (band, key): the bucket-min agg AND both sides
+    // of the join-back reuse the same shuffle stage instead of re-deriving
+    // the signature subtree per consumer (same stage-reuse note as
+    // minHashCandidatePairs)
     val banded = signatures
       .select(col(idCol), posexplode(bandKeys(k, rowsPerBand)).as(Seq("band", "key")))
+      .repartition(col("band"), col("key"))
     val bucketMin = banded.groupBy("band", "key")
       .agg(min(col(idCol)).as("bucket_rep"))
     banded.join(bucketMin, Seq("band", "key"))
@@ -306,6 +317,9 @@ object Dedup {
         (1 until nBands).foldLeft(col("b0")) { (acc, b) =>
           when(col("band") === b, col(s"b$b")).otherwise(acc)
         })
+      // one shuffle stage feeds both self-join sides (stage-reuse note in
+      // minHashCandidatePairs) — the simhash agg runs once, not twice
+      .repartition(col("band"), col("key"))
     val a = banded.select(col("band") +: col("key") +: col(idCol).as("id_a") +:
       col("simhash").as("sim_a") +: (0 until nBands).map(b => col(s"b$b").as(s"a_b$b")): _*)
     val bb = banded.select(col("band") +: col("key") +: col(idCol).as("id_b") +:
@@ -372,6 +386,8 @@ object Dedup {
       posexplode(array(pigeonholeBands(bits, maxHamming).map { case (lo, w) =>
         bandKeyExpr(lo, w)
       }: _*)).as(Seq("band", "key")))
+      // one shuffle stage feeds the bucket-min agg and the join-back
+      .repartition(col("band"), col("key"))
     val bucketMin = banded.groupBy("band", "key").agg(min(col(idCol)).as("bucket_rep"))
     banded.join(bucketMin, Seq("band", "key"))
       .groupBy(col(idCol))
