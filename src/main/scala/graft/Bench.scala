@@ -7,7 +7,7 @@ object Bench {
     // n warm runs per query, min reported: one noisy sample (GC pause,
     // plan-cache interaction from neighboring queries in the long run)
     // cannot masquerade as a regression — the round-2 q08 lesson
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -27,14 +27,16 @@ object Bench {
     }
     // (name, best seconds, ok): a throwing query is reported in `failed` and
     // its partial elapsed time excluded from `value` instead of silently
-    // counted; a query that fails any rep is failed (no silent best-of)
+    // counted; a query that fails any rep is failed (no silent best-of),
+    // and a failed rep's fast-abort elapsed never pollutes the reported min
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, times.map(_._1).min, times.forall(_._2))
+      val good = times.collect { case (t, true) => t }
+      (name, (if (good.nonEmpty) good else times.map(_._1)).min, times.forall(_._2))
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -62,10 +62,11 @@ object Curation {
       docs, permille, defaultPermille, minQuality, minHashK, rowsPerBand)
     val split = Packing.clusterSplit(clusters, trainPct)
     val withSplit = curated.join(split.select("doc_id", "split"), Seq("doc_id"))
-    val packed = Packing.packDocuments(
-      withSplit.select("split", "doc_id", "n_tokens"),
-      packBudget, nBuckets, extraKeys = Seq("split"))
-    packed.join(curated.select("doc_id", "lang", "quality"), Seq("doc_id"))
+    // lang/quality ride through packing as carry columns — a join-back to
+    // `curated` here would make Spark derive the whole curation subtree a
+    // second time (no cross-consumer reuse; the q15 lesson)
+    Packing.packDocuments(withSplit, packBudget, nBuckets,
+        extraKeys = Seq("split"), carryCols = Seq("lang", "quality"))
       .select("doc_id", "lang", "n_tokens", "quality", "split", "bucket", "pack_seq")
   }
 }

@@ -353,12 +353,18 @@ object Dedup {
     val banded = sim.select(col(idCol), col("simhash"),
       posexplode(array(bandBits.map { case (lo, w) => bandKeyExpr(lo, w) }: _*))
         .as(Seq("band", "key")))
-    // collect_list is bounded by construction: slice(sorted, cap) keeps the
-    // cap smallest ids — same semantics as the rank-window truncation
+    // rank-window truncation BEFORE collecting: the cap must bound the
+    // aggregation buffer itself, not just the output — a post-collect
+    // slice() would still buffer a whole pathological bucket in memory.
+    // WindowGroupLimit prunes rank > cap map-side, and the window + the
+    // groupBy share one (band, key) exchange.
+    val rn = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("band", "key").orderBy(col(idCol)))
     val buckets = banded
+      .withColumn("rn", rn).filter(col("rn") <= cap).drop("rn")
       .groupBy("band", "key")
-      .agg(slice(sort_array(collect_list(struct(col(idCol).as("i"), col("simhash").as("s")))),
-        1, cap).as("docs"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("i"), col("simhash").as("s"))))
+        .as("docs"))
     val pairsArr = expr(
       """flatten(transform(docs, (a, i) ->
         |  transform(slice(docs, i + 2, size(docs)), b ->

@@ -25,21 +25,24 @@ object Packing {
     */
   /** `extraKeys` prepend to the pack partitioning (packs never cross an
     * extra key's boundary — e.g. pack within each train/eval split) and
-    * ride through to the output.
+    * ride through to the output. `carryCols` pass through to the output
+    * WITHOUT joining the packing partitioning — letting a caller keep
+    * metadata columns without a join-back that would re-derive its input
+    * subtree a second time.
     */
   def packDocuments(docs: DataFrame, budget: Long, nBuckets: Int,
                     idCol: String = "doc_id", tokensCol: String = "n_tokens",
-                    extraKeys: Seq[String] = Nil): DataFrame = {
+                    extraKeys: Seq[String] = Nil, carryCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0 && nBuckets > 0)
     val bucket = pmod(col(idCol), lit(nBuckets.toLong))
     val w = Window.partitionBy((extraKeys :+ "bucket").map(col): _*).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(extraKeys.map(col) ++ Seq(col(idCol), col(tokensCol)): _*)
+    docs.select((extraKeys ++ carryCols).map(col) ++ Seq(col(idCol), col(tokensCol)): _*)
       .withColumn("bucket", bucket)
       .withColumn("cum", sum(col(tokensCol)).over(w))
       // integer div (not double /): exact at any magnitude, non-negative here
       .withColumn("pack_seq", expr(s"(cum - $tokensCol) div $budget"))
-      .select(extraKeys.map(col) ++
+      .select((extraKeys ++ carryCols).map(col) ++
         Seq(col(idCol), col("bucket"), col("pack_seq"), col(tokensCol)): _*)
   }
 

@@ -31,6 +31,16 @@ object Biff {
     (rows.headOption.getOrElse(Seq.empty), rows.drop(1))
   }
 
+  /** Header row only — schema inference stops scanning cell records at the
+    * first row-1 cell (BIFF cell records are row-major), so planning does
+    * not materialize the sheet. The SST still parses (row-0 labels index
+    * into it).
+    */
+  def readHeader(path: String): Seq[String] = {
+    val wb = workbookStream(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), path)
+    parseWorkbook(wb, path, maxRow = 0).headOption.getOrElse(Seq.empty)
+  }
+
   // ------------------------------------------------------------ OLE2 / CFB
 
   private def le(b: Array[Byte]): ByteBuffer =
@@ -95,7 +105,11 @@ object Biff {
         if (nameLen >= 2)
           new String(dirBytes, i * 128, nameLen - 2, java.nio.charset.StandardCharsets.UTF_16LE)
         else ""
-      Entry(name, dirBytes(i * 128 + 66) & 0xff, eb.getInt(116), eb.getLong(120))
+      // size is the LOW dword only: [MS-CFB] v3 writers may leave garbage
+      // in the high 4 bytes of the 8-byte field — reading getLong here
+      // misroutes mini-stream workbooks past the cutoff on real old files
+      Entry(name, dirBytes(i * 128 + 66) & 0xff, eb.getInt(116),
+        eb.getInt(120).toLong & 0xFFFFFFFFL)
     }
 
     val root = entries.find(_.objType == 5)
@@ -222,7 +236,10 @@ object Biff {
     if (div100) v / 100.0 else v
   }
 
-  private def parseWorkbook(wb: Array[Byte], path: String): Seq[Seq[String]] = {
+  private val CellRecordIds = Set(0x00FD, 0x0203, 0x027E, 0x00BD, 0x0204, 0x0205, 0x0006)
+
+  private def parseWorkbook(wb: Array[Byte], path: String,
+                            maxRow: Int = Int.MaxValue): Seq[Seq[String]] = {
     // pass 1 — workbook globals: SST (+CONTINUEs) and first BOUNDSHEET
     var sst: IndexedSeq[String] = IndexedSeq.empty
     var sheetOffset = -1
@@ -257,7 +274,10 @@ object Biff {
     while (sheetIt.hasNext && !sdone) {
       val r = sheetIt.next()
       val d = le(r.data)
-      r.id match {
+      if (maxRow != Int.MaxValue && CellRecordIds(r.id)
+          && (d.getShort(0) & 0xffff) > maxRow) {
+        sdone = true // cell records are row-major: past maxRow, stop scanning
+      } else r.id match {
         case 0x0809 => sdepth += 1
         case 0x000A => sdepth -= 1; if (sdepth <= 0) sdone = true
         case 0x00FD => // LABELSST
@@ -291,7 +311,13 @@ object Biff {
           val hi = d.getShort(12) & 0xffff
           if (hi != 0xffff) put(row, col, num(d.getDouble(6)))
           else if ((r.data(6) & 0xff) == 0) { // string result follows
-            while (sheetIt.hasNext && sheetIt.head.id != 0x0207 && sheetIt.head.id != 0x000A)
+            // STRING may be separated from FORMULA only by SHRFMLA/ARRAY/
+            // TABLE companions ([MS-XLS]); skip ONLY those — consuming
+            // arbitrary records here would silently drop cell data from a
+            // nonconforming writer, so anything else ends the scan and the
+            // formula cell is left empty instead
+            val companions = Set(0x04BC, 0x0221, 0x0236)
+            while (sheetIt.hasNext && companions(sheetIt.head.id))
               sheetIt.next()
             if (sheetIt.hasNext && sheetIt.head.id == 0x0207) {
               val sr = sheetIt.next()

@@ -45,7 +45,7 @@ object Excel {
     * row→Seq conversion stops after row 1).
     */
   def readHeader(path: String): Seq[String] =
-    if (isOle2(path)) Biff.readSheet(path)._1
+    if (isOle2(path)) Biff.readHeader(path)
     else readRows(path, maxRows = 1).headOption.getOrElse(Seq.empty)
 
   /** Parses the first worksheet into (header, rows) of strings — `.xlsx`

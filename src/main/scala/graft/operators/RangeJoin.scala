@@ -36,6 +36,11 @@ object RangeJoin {
                       pointCol: String, loCol: String, hiCol: String,
                       chunkWidth: Long): DataFrame = {
     require(chunkWidth > 0, "chunkWidth must be positive")
+    // staged internal names must not silently clobber user columns (same
+    // contract as AsOfJoin's reserved-name guard)
+    val clash = (points.columns ++ intervals.columns).filter(Set("__chunk", "__hi1"))
+    require(clash.isEmpty,
+      s"pointInInterval reserved column names present in input: ${clash.mkString(", ")}")
     val p = points.withColumn("__chunk", floorDiv(pointCol, chunkWidth))
     val iv = intervals
       .filter(col(hiCol) > col(loCol)) // guard: sequence(lo, hi) descends if hi < lo

@@ -84,8 +84,23 @@ object Streams {
         SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
     } else {
       val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      // open sessions, sorted by start DESCENDING (head = most recent);
+      // non-head entries are late sessions still extendable by further
+      // late arrivals until the idle timeout flushes them
       var sessions = state.getOption.getOrElse(Nil)
       val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+      // merge a late event into the sorted tail: extend the session whose
+      // [start − gap, last + gap] covers t, or open a new late session in
+      // place. (Two late sessions drifting within gap of each other stay
+      // separate — merging neighbors retroactively would need the same
+      // whole-history pass a batch job does; documented approximation.)
+      def place(t: Long, list: List[SessionState]): List[SessionState] = list match {
+        case s :: tail if t - s.last > gapMs => SessionState(t, t, 1) :: s :: tail
+        case s :: tail if s.start - t <= gapMs =>
+          s.copy(start = math.min(s.start, t), last = math.max(s.last, t), n = s.n + 1) :: tail
+        case s :: tail => s :: place(t, tail)
+        case Nil => SessionState(t, t, 1) :: Nil
+      }
       sorted.foreach { e =>
         val t = e.ts.getTime
         sessions match {
@@ -97,15 +112,17 @@ object Streams {
           case cur :: rest if t - cur.last <= gapMs && cur.start - t <= gapMs =>
             sessions = cur.copy(start = math.min(cur.start, t),
               last = math.max(cur.last, t), n = cur.n + 1) :: rest
-          // ahead of the open session by more than the gap: close it, open new
+          // ahead of the open session by more than the gap: close it, open
+          // new (late sessions in the tail stay open for the timeout flush)
           case cur :: rest if t > cur.last =>
             closed += SessionOut(userId, new Timestamp(cur.start), new Timestamp(cur.last), cur.n)
             sessions = SessionState(t, t, 1) :: rest
           // behind the open session's start by more than the gap (late
-          // across micro-batches, beyond merging): emit as its own
-          // already-closed session rather than corrupting the open one
-          case _ :: _ =>
-            closed += SessionOut(userId, new Timestamp(t), new Timestamp(t), 1)
+          // across micro-batches): merge into or open an EARLIER session —
+          // consecutive late events within gap of each other form one
+          // session, as the batch derivation would produce
+          case cur :: rest =>
+            sessions = cur :: place(t, rest)
           case Nil =>
             sessions = SessionState(t, t, 1) :: Nil
         }

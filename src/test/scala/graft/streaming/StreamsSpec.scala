@@ -104,17 +104,26 @@ class StreamsSpec extends SparkSpec {
     assert(out3.isEmpty && st3.head.start == ts("2024-01-01 09:45:00").getTime
       && st3.head.last == ts("2024-01-01 10:20:00").getTime && st3.head.n == 4)
 
-    // batch 4: a late event beyond the gap before start — emitted standalone,
-    // open session untouched
+    // batch 4: a late event beyond the gap before start — opens an EARLIER
+    // session in the state (emitted later by the timeout flush), head
+    // untouched
     val (out4, st4) = step(Seq(ev(5, "2024-01-01 08:00:00")), st3)
-    assert(out4 == Seq(Streams.SessionOut(1L,
-      ts("2024-01-01 08:00:00"), ts("2024-01-01 08:00:00"), 1)))
-    assert(st4 == st3)
+    assert(out4.isEmpty)
+    assert(st4 == st3 :+ Streams.SessionState(
+      ts("2024-01-01 08:00:00").getTime, ts("2024-01-01 08:00:00").getTime, 1))
 
-    // batch 5: in-order event past the gap closes the (extended) session
-    val (out5, _) = step(Seq(ev(6, "2024-01-01 11:30:00")), st4)
+    // batch 4b: another late event within the gap of the late session —
+    // merges into it (the batch derivation would make these one session)
+    val (out4b, st4b) = step(Seq(ev(6, "2024-01-01 08:05:00")), st4)
+    assert(out4b.isEmpty)
+    assert(st4b.last == Streams.SessionState(
+      ts("2024-01-01 08:00:00").getTime, ts("2024-01-01 08:05:00").getTime, 2))
+
+    // batch 5: in-order event past the gap closes the (extended) head only
+    val (out5, st5) = step(Seq(ev(7, "2024-01-01 11:30:00")), st4b)
     assert(out5 == Seq(Streams.SessionOut(1L,
       ts("2024-01-01 09:45:00"), ts("2024-01-01 10:20:00"), 4)))
+    assert(st5.last.n == 2) // late session still open for the timeout flush
   }
 
   test("timeout-flushed sessions equal the batch window-lag result on a closed input") {
