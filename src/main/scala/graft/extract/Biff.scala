@@ -7,8 +7,11 @@ import scala.collection.mutable
   * records — the second container `pd.read_excel` accepts (reference
   * portfolio-etl.py:491, :515), closing the one format gap the OOXML
   * reader left. Same contract as [[Excel.readSheet]]: first worksheet,
-  * first row = header, every cell rendered as a string (numbers via
-  * `Double.toString`, like the XLSX path's raw `<v>` text).
+  * first row = header, every cell rendered as a string. Numbers render via
+  * `Double.toString` ("4.0"), which matches the raw `<v>` text of the
+  * COMMITTED xlsx fixtures (they also write "4.0") — real Excel-written
+  * .xlsx stores integral numbers as "4", so the same sheet saved both ways
+  * by Excel can stringify differently; downstream try_cast absorbs either.
   *
   * Scope (documented, erroring elsewhere): BIFF8 only (Excel 97+ —
   * BIFF5's `Book` stream is rejected with an actionable message), cell
@@ -156,6 +159,9 @@ object Biff {
       val b = le(wb)
       val id = b.getShort(pos) & 0xffff
       val len = b.getShort(pos + 2) & 0xffff
+      // copyOfRange zero-pads past the array end, which would silently turn a
+      // clipped NUMBER record into 0.0 — fail like every other malformed path
+      require(pos + 4 + len <= wb.length, s"truncated BIFF record at $pos")
       val r = Rec(id, pos, java.util.Arrays.copyOfRange(wb, pos + 4, pos + 4 + len))
       pos += 4 + len
       r
@@ -192,6 +198,7 @@ object Biff {
       var high = highFirst
       while (left > 0) {
         if (avail == 0) {
+          require(si + 1 < segs.size, "SST data exhausted mid-string")
           si += 1; off = 0
           high = (u8() & 1) == 1 // continued character data restates width
         }
@@ -238,8 +245,8 @@ object Biff {
 
   private val CellRecordIds = Set(0x00FD, 0x0203, 0x027E, 0x00BD, 0x0204, 0x0205, 0x0006)
 
-  private def parseWorkbook(wb: Array[Byte], path: String,
-                            maxRow: Int = Int.MaxValue): Seq[Seq[String]] = {
+  private[extract] def parseWorkbook(wb: Array[Byte], path: String,
+                                     maxRow: Int = Int.MaxValue): Seq[Seq[String]] = {
     // pass 1 — workbook globals: SST (+CONTINUEs) and first BOUNDSHEET
     var sst: IndexedSeq[String] = IndexedSeq.empty
     var sheetOffset = -1

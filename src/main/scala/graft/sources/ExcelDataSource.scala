@@ -22,9 +22,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * are strings, header = row 1, exactly like the CSV feed path — casts are
   * the engine's job downstream.
   *
-  * The path may be a single workbook, a DIRECTORY (all `*.xlsx` inside,
-  * sorted), or a `*`/`?` glob — one partition per workbook, so a directory
-  * of mapping files parses in parallel across executors. Sheet XML itself
+  * The path may be a single workbook, a DIRECTORY (all `*.xlsx` AND legacy
+  * `*.xls` inside, sorted), or a `*`/`?` glob — one partition per workbook,
+  * so a directory of mapping files parses in parallel across executors.
+  * The path spec expands to concrete files ONCE, at table creation
+  * ([[ExcelDataSource.getTable]]) — the scan partitions always match that
+  * snapshot even if files appear/disappear afterwards. `inferSchema` does
+  * its own earlier expansion to find the first header; a directory whose
+  * first-sorted workbook changes between those two moments is the one
+  * (small, static mapping dirs in practice) race left undefined. Sheet XML itself
   * is not splittable, and the sanctioned inputs are small dim/mapping
   * files (README.md:19-20); paths must be visible from executors
   * (local/NFS — same contract as the driver-side reader this replaces).
@@ -52,7 +58,9 @@ class ExcelDataSource extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table = {
     val p = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-excel requires .load(path)"))
-    new ExcelTable(p, schema)
+    // resolve ONCE here: schema and partitions are planned from the same
+    // file-list snapshot (the advisor's two-resolution drift note)
+    new ExcelTable(p, ExcelDataSource.resolve(p), schema)
   }
 }
 
@@ -86,29 +94,29 @@ private[sources] object ExcelDataSource {
   }
 }
 
-private[sources] class ExcelTable(path: String, tableSchema: StructType)
+private[sources] class ExcelTable(path: String, files: Seq[String], tableSchema: StructType)
     extends Table with SupportsRead {
   override def name(): String = s"graft-excel($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ExcelScanBuilder(path, tableSchema)
+    new ExcelScanBuilder(files, tableSchema)
 }
 
-private[sources] class ExcelScanBuilder(path: String, full: StructType)
+private[sources] class ExcelScanBuilder(files: Seq[String], full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new ExcelScan(path, required)
+  override def build(): Scan = new ExcelScan(files, required)
 }
 
-private[sources] class ExcelScan(path: String, required: StructType)
+private[sources] class ExcelScan(files: Seq[String], required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    ExcelDataSource.resolve(path).map(ExcelPartition(_): InputPartition).toArray
+    files.map(ExcelPartition(_): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ExcelReaderFactory(required)
 }

@@ -61,6 +61,17 @@ class BiffSpec extends SparkSpec {
     assert(rowSet(df) == rows(Seq("A-1", "4.0", "hsn"), Seq("A-2", "2.5", "rue")))
   }
 
+  test("a clipped cell record fails loudly instead of parsing fabricated zeros") {
+    val p = writeXls(cells, mini = true)
+    val wb = Biff.workbookStream(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), p)
+    // drop the 4-byte sheet EOF plus 2 data bytes of the preceding cell
+    // record: its header now claims more payload than the stream holds —
+    // before the guard, copyOfRange zero-padded this into a fake 0.0 cell
+    val clipped = wb.dropRight(6)
+    val e = intercept[IllegalArgumentException](Biff.parseWorkbook(clipped, "clipped"))
+    assert(e.getMessage.contains("truncated BIFF record"))
+  }
+
   test(".xls feeds read via Excel.readFeed with the standard (sku, qty, site) contract") {
     val p = writeXls(Seq(
       Seq(Left("sku"), Left("qty")),
