@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => ShingleStrings(args(0))))
     // HOF dot-product pattern → fused native loop (pure perf rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
+    // whole-operator as-of join: AsOfJoinPlan → AsOfJoinExec
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

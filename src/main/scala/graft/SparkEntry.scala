@@ -279,6 +279,18 @@ object SparkEntry {
         sliceWidthMs = 24L * 3600 * 1000)
     },
 
+    // extension: the SAME as-of semantics as q39 (same oracle) through the
+    // custom whole-operator path — AsOfJoinPlan logical node planned to
+    // AsOfJoinExec (co-partitioned merge scan) by the injected strategy
+    "q52_asof_native" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+      graft.plans.NativeAsOfJoin.asOf(clicks, views, Seq("user_id"), "ts")
+    },
+
     // extension: quality-aware cluster dedup — keep the best copy per
     // near-dup cluster (quality desc, id tie-break), the production
     // curation policy on top of q22's clusters
@@ -429,6 +441,7 @@ object SparkEntry {
     "q38_lsh_adaptive" -> Oracles.lshAdaptiveTopK(50, 5, 16, 64, 256),
     "q39_asof_join" -> Oracles.asofJoin,
     "q50_asof_sliced" -> Oracles.asofJoin,
+    "q52_asof_native" -> Oracles.asofJoin,
     "q40_dedup_best_copy" -> Oracles.dedupBestCopy(16, 4),
     "q41_stratified_sample" -> Oracles.stratifiedSample,
     "q42_range_join" -> Oracles.rangeJoin,
