@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, ShingleCodes, ShingleFunctions, ShingleStrings, VectorFunctions}
+import graft.functions.{CosineSimilarity, DotProduct, RepetitionFunctions, RepetitionStats, ShingleCodes, ShingleFunctions, ShingleStrings, VectorFunctions}
 
 /** SparkSessionExtensions installer for the engine's native expressions.
   *
@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(ShingleFunctions.StringsName),
       new ExpressionInfo(classOf[ShingleStrings].getName, ShingleFunctions.StringsName),
       (args: Seq[Expression]) => ShingleStrings(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier(RepetitionFunctions.Name),
+      new ExpressionInfo(classOf[RepetitionStats].getName, RepetitionFunctions.Name),
+      (args: Seq[Expression]) => RepetitionStats(args(0))))
     // HOF dot-product pattern → fused native loop (pure perf rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     // whole-operator as-of join: AsOfJoinPlan → AsOfJoinExec

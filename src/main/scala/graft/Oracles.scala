@@ -744,6 +744,50 @@ object Oracles {
       |SELECT c.event_id, c.user_id, c.ts, v.ts AS asof_ts, v.view_id AS asof_view_id
       |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin
 
+  /** q53: word-level repetition signals. Independent formulation: DuckDB
+    * re-derives each signal from explicit unnest→GROUP BY→MAX aggregations
+    * (the very shape the native expression exists to avoid), over the SAME
+    * whitespace tokenizer as [[textStats]]. N-gram keys joined on chr(1),
+    * matching the expression's U+0001 separator.
+    */
+  val repetitionSignals: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+      |  FROM documents
+      |), base AS (
+      |  SELECT doc_id, len(ws) AS n FROM t
+      |), words AS (
+      |  SELECT doc_id, unnest(ws) AS wd FROM t
+      |), wc AS (
+      |  SELECT doc_id, wd, COUNT(*) AS c FROM words GROUP BY 1, 2
+      |), wagg AS (
+      |  SELECT doc_id, MAX(c) AS maxw, COUNT(*) AS nd FROM wc GROUP BY 1
+      |), bg AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+      |    i -> ws[i] || chr(1) || ws[i + 1])) AS g FROM t
+      |), bcnt AS (
+      |  SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2
+      |), bagg AS (
+      |  SELECT doc_id, MAX(c) AS maxb FROM bcnt GROUP BY 1
+      |), tg AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+      |    i -> ws[i] || chr(1) || ws[i + 1] || chr(1) || ws[i + 2])) AS g FROM t
+      |), tcnt AS (
+      |  SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2
+      |), tagg AS (
+      |  SELECT doc_id, MAX(c) AS maxt FROM tcnt GROUP BY 1
+      |)
+      |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_words,
+      |  CASE WHEN b.n = 0 THEN 0.0 ELSE ROUND(CAST(maxw AS DOUBLE) / b.n, 6) END AS top_word_frac,
+      |  CASE WHEN b.n = 0 THEN 0.0 ELSE ROUND(CAST(b.n - nd AS DOUBLE) / b.n, 6) END AS dup_word_frac,
+      |  CASE WHEN b.n < 2 THEN 0.0 ELSE ROUND(CAST(maxb AS DOUBLE) / (b.n - 1), 6) END AS top_bigram_frac,
+      |  CASE WHEN b.n < 3 THEN 0.0 ELSE ROUND(CAST(maxt AS DOUBLE) / (b.n - 2), 6) END AS top_trigram_frac
+      |FROM base b
+      |LEFT JOIN wagg USING (doc_id)
+      |LEFT JOIN bagg USING (doc_id)
+      |LEFT JOIN tagg USING (doc_id)""".stripMargin
+
   val eventSessions: String =
     """WITH base AS (
       |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events

@@ -331,6 +331,12 @@ object SparkEntry {
     "q43_vocab_topk" -> ((s, d) =>
       TextAnalysis.topTokens(Tables.documents(s, d), k = 200)),
 
+    // extension: Gopher-style repetition quality signals — top word/bigram/
+    // trigram fractions + duplicate-word mass, one zero-shuffle codegen
+    // pass per document (native graft_repetition expression)
+    "q53_repetition_signals" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, d))),
+
     // extension: SimHash near-dup pairs — EXACT hamming ≤ 3 via pigeonhole
     // bit-bands (equi-join candidates, never all-pairs). 64-bit hash: 16-bit
     // band keys (65k values, not the 8-bit/256 a 32-bit hash forces), and
@@ -446,6 +452,7 @@ object SparkEntry {
     "q41_stratified_sample" -> Oracles.stratifiedSample,
     "q42_range_join" -> Oracles.rangeJoin,
     "q43_vocab_topk" -> Oracles.vocabTopK(200),
+    "q53_repetition_signals" -> Oracles.repetitionSignals,
     "q44_curation_pipeline" -> Oracles.curationPipeline(16, 4),
     "q51_curation_shards" -> Oracles.curationShards(90, 2048L, 8),
     "q45_simhash_neardup" -> Oracles.simhashNearDup(64, 3),

@@ -18,6 +18,26 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Gopher-style word-level repetition signals, one narrow pass per
+    * document via the native `graft_repetition` expression
+    * ([[graft.functions.RepetitionStats]]): most-frequent word / bigram /
+    * trigram fractions and duplicate-word mass. The composed alternative
+    * is three explode→groupBy→max rounds — three shuffles of ~40× the
+    * corpus volume at scale; this is zero-shuffle whole-stage codegen.
+    * Ratios rounded to 6 decimals (cross-engine float determinism policy).
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__r", graft.functions.RepetitionFunctions.repetition(tokens(col(textCol))))
+      .select(
+        col(idCol),
+        col("__r.n_words").as("n_words"),
+        round(col("__r.top_word_frac"), 6).as("top_word_frac"),
+        round(col("__r.dup_word_frac"), 6).as("dup_word_frac"),
+        round(col("__r.top_bigram_frac"), 6).as("top_bigram_frac"),
+        round(col("__r.top_trigram_frac"), 6).as("top_trigram_frac"))
+
   /** Corpus vocabulary: global top-k tokens by raw frequency (ties →
     * token asc) with per-token document frequency — the vocab/BPE-prep
     * sweep of a training pipeline. Plan: explode → hash agg with map-side
