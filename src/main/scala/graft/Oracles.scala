@@ -788,6 +788,31 @@ object Oracles {
       |LEFT JOIN bagg USING (doc_id)
       |LEFT JOIN tagg USING (doc_id)""".stripMargin
 
+  /** q54: eval-set decontamination. Word n-gram windows re-derived with
+    * DuckDB list functions (list_slice + array_to_string over a
+    * generate_series of window starts — empty for docs shorter than n),
+    * distinct per doc, equi-joined train-vs-eval on the gram text.
+    */
+  def decontamination(n: Int): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
+       |  FROM documents
+       |), trg AS (
+       |  SELECT DISTINCT doc_id, gram FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - ${n - 1}),
+       |      i -> array_to_string(list_slice(ws, i, i + ${n - 1}), ' '))) AS gram
+       |    FROM docs WHERE doc_id % 20 <> 0)
+       |), evg AS (
+       |  SELECT DISTINCT gram FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(ws) - ${n - 1}),
+       |      i -> array_to_string(list_slice(ws, i, i + ${n - 1}), ' '))) AS gram
+       |    FROM docs WHERE doc_id % 20 = 0)
+       |)
+       |SELECT t.doc_id AS train_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM trg t JOIN evg USING (gram)
+       |GROUP BY 1""".stripMargin
+
   val eventSessions: String =
     """WITH base AS (
       |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events

@@ -337,6 +337,17 @@ object SparkEntry {
     "q53_repetition_signals" -> ((s, d) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, d))),
 
+    // extension: eval-set decontamination — train docs sharing any word
+    // 4-gram with the held-out 5% (distinct-gram equi-join, never
+    // pairwise; n=4 also surfaces template overlap on this corpus — the
+    // planted near-dup docs are caught at every n)
+    "q54_decontamination" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.crossContamination(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), n = 4)
+    },
+
     // extension: SimHash near-dup pairs — EXACT hamming ≤ 3 via pigeonhole
     // bit-bands (equi-join candidates, never all-pairs). 64-bit hash: 16-bit
     // band keys (65k values, not the 8-bit/256 a 32-bit hash forces), and
@@ -453,6 +464,7 @@ object SparkEntry {
     "q42_range_join" -> Oracles.rangeJoin,
     "q43_vocab_topk" -> Oracles.vocabTopK(200),
     "q53_repetition_signals" -> Oracles.repetitionSignals,
+    "q54_decontamination" -> Oracles.decontamination(4),
     "q44_curation_pipeline" -> Oracles.curationPipeline(16, 4),
     "q51_curation_shards" -> Oracles.curationShards(90, 2048L, 8),
     "q45_simhash_neardup" -> Oracles.simhashNearDup(64, 3),

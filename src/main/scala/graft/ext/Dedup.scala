@@ -452,4 +452,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Eval-set decontamination: every train document sharing at least one
+    * word n-gram window with ANY eval document, with the count of distinct
+    * shared windows — the benchmark-leakage sweep a training pipeline runs
+    * before cutting a corpus (an 8-gram hit against an eval question marks
+    * the train doc contaminated).
+    *
+    * Plan shape at scale: each side explodes to DISTINCT (doc, gram) pairs
+    * (word windows, first materialized as an array per row so the lambda
+    * indexes a bound array instead of re-tokenizing per element), the eval
+    * side collapses to a distinct gram set, and contamination is an
+    * equi-join on the gram followed by a per-doc count — shuffles only on
+    * (gram) and (doc). Nothing is pairwise: the eval side is typically
+    * tiny (benchmarks), so the gram join broadcasts under AQE; train-side
+    * volume is ~`words-per-doc` rows per doc, the same fan-out the MinHash
+    * shingle path already carries at 100 TB.
+    */
+  def crossContamination(train: DataFrame, eval: DataFrame, n: Int = 8,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    def grams(df: DataFrame, outId: String): DataFrame = {
+      val ws = col("__ws")
+      // sequence(1, hi) DESCENDS for hi < 1 — guard short docs to an
+      // empty window list instead
+      val windows = when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      df.withColumn("__ws", TextAnalysis.tokens(col(textCol)))
+        .select(col(idCol).as(outId), explode(array_distinct(windows)).as("gram"))
+    }
+    grams(train, "train_id")
+      .join(grams(eval, "eval_id").select("gram").distinct(), Seq("gram"))
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }
