@@ -104,7 +104,32 @@ object Plans {
         |rides a narrow hash of cluster_rep, and packing windows partition
         |by (split, bucket) — bounded partitions, no global running sum.
         |Every shuffle in the plan is one of the composed operators' own
-        |key exchanges.""".stripMargin)
+        |key exchanges.""".stripMargin,
+    "q52_asof_native" ->
+      """The whole-operator custom plan: AsOfJoinExec between two
+        |(Exchange → Sort) children — EnsureRequirements co-partitions the
+        |sides on user_id and sorts (key, ts) in-partition; the node itself
+        |is a streaming merge holding ONE buffered right payload (no
+        |null-padded union structs, no per-row window state, no post-
+        |filter). Each side shuffles only its own columns. At this SF the
+        |composed q39 wall-clock is similar (one union shuffle vs two
+        |smaller ones); the native shape wins where it matters at scale:
+        |a source bucketed on the key skips its Exchange entirely
+        |(requiredChildDistribution is satisfiable), and per-partition
+        |memory is O(1) instead of a window frame.""".stripMargin,
+    "q53_repetition_signals" ->
+      """Zero-exchange: one WholeStageCodegen span from parquet scan to
+        |output. All four repetition signals come from the single-pass
+        |native graft_repetition expression over the materialized token
+        |array — the composed alternative is three explode→groupBy→max
+        |rounds, i.e. three shuffles of ~40× the corpus volume.""".stripMargin,
+    "q54_decontamination" ->
+      """Decontamination as a distinct-gram equi-join: both sides explode
+        |to DISTINCT (doc, gram) pairs (window arrays built per row from a
+        |bound array column — no per-element re-tokenization), the eval
+        |side collapses to a gram set, and the join + per-doc count shuffle
+        |only on (gram) and (doc). Nothing is pairwise; a benchmark-sized
+        |eval side broadcasts under AQE.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
