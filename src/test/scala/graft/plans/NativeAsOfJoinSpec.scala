@@ -107,6 +107,33 @@ class NativeAsOfJoinSpec extends SparkSpec {
     assertSameRows(expect, got)
   }
 
+  test("bucketed+sorted sources satisfy the children's distribution — zero exchanges") {
+    import spark.implicits._
+    val (left, right) = frames
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    try {
+      // one file per bucket (coalesce(1)) so the scan also reports the
+      // sortBy ordering; 4 buckets on the join key on BOTH sides
+      left.coalesce(1).write.bucketBy(4, "user_id").sortBy("user_id", "ts")
+        .option("path", s"$tmp/clicks").saveAsTable("asof_clicks_b")
+      right.coalesce(1).write.bucketBy(4, "user_id").sortBy("user_id", "ts")
+        .option("path", s"$tmp/views").saveAsTable("asof_views_b")
+      val out = NativeAsOfJoin.asOf(
+        spark.table("asof_clicks_b"), spark.table("asof_views_b"), Seq("user_id"), "ts")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed sources must elide the shuffle entirely:\n$plan")
+      // and the answer is still the oracle answer
+      val got = out.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+      assert(got == Map(1L -> Some(101L), 2L -> Some(102L), 3L -> None,
+        4L -> Some(200L), 5L -> None))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS asof_clicks_b")
+      spark.sql("DROP TABLE IF EXISTS asof_views_b")
+    }
+  }
+
   test("missing columns and type mismatches fail up front with clear messages") {
     val (left, right) = frames
     val e1 = intercept[IllegalArgumentException] {
