@@ -1,6 +1,21 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
 object Bench {
+
+  /** Timed probe: whole-row xxhash64 checksum folded with bit_xor, NOT
+    * `count()`. Under `count()` ColumnPruning deletes any operator whose
+    * outputs the count never references — e.g. a composed as-of join's
+    * entire window collapses to union+filter, timing a plan that never
+    * computes the match (round-4 finding; SCALING.md). Hashing every
+    * output column forces the full operator semantics to execute; the
+    * probe itself costs O(output rows), negligible for every registered
+    * query. This makes BENCH_r04+ a step SLOWER than r01-r03 on queries
+    * whose tail was previously pruned — the honest number.
+    */
+  private def probe(df: DataFrame): Unit =
+    df.select(count(lit(1)), bit_xor(xxhash64(df.columns.map(col): _*))).head()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,7 +38,7 @@ object Bench {
       catch { case _: Throwable => () }
     }
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try probe(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     // (name, best seconds, ok): a throwing query is reported in `failed` and
     // its partial elapsed time excluded from `value` instead of silently
@@ -39,7 +54,7 @@ object Bench {
     val passes = (1 to reps).map { _ =>
       named.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val ok = try { probe(fn(spark, sfDir)); true } catch { case _: Throwable => false }
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     }
@@ -53,7 +68,7 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"probe":"xxhash64-checksum","sf":"$sfDir"}""")
     spark.stop()
   }
 }
