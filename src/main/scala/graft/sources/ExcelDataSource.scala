@@ -66,7 +66,7 @@ class ExcelDataSource extends TableProvider with DataSourceRegister {
 
 private[sources] object ExcelDataSource {
   /** Expands a path spec to concrete workbook paths: a directory lists its
-    * `*.xlsx` (sorted — deterministic partition order), a glob matches
+    * `*.xlsx` and `*.xls` (sorted — deterministic partition order), a glob matches
     * within its parent directory, anything else is a single file. Empty
     * expansion is an explicit error, not an empty table — a typo'd
     * directory must not read as zero rows.
