@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleStrings].getName, ShingleFunctions.StringsName),
       (args: Seq[Expression]) => ShingleStrings(args(0))))
     ext.injectFunction((
+      FunctionIdentifier(ShingleFunctions.RollingName),
+      new ExpressionInfo(classOf[functions.RollingFp].getName, ShingleFunctions.RollingName),
+      (args: Seq[Expression]) => functions.RollingFp(args(0))))
+    ext.injectFunction((
       FunctionIdentifier(RepetitionFunctions.Name),
       new ExpressionInfo(classOf[RepetitionStats].getName, RepetitionFunctions.Name),
       (args: Seq[Expression]) => RepetitionStats(args(0))))

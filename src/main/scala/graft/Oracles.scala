@@ -200,6 +200,26 @@ object Oracles {
        |WHERE a.doc_id < b.doc_id
        |  AND len(list_filter(generate_series(1, a.band), i -> a.keys[i] = b.keys[i])) = 0""".stripMargin
 
+  /** Mirrors Dedup.connectedComponents over Dedup.minHashStarEdges: exact
+    * components of the LSH candidate graph via recursive transitive closure
+    * (an independent algorithm — label propagation on the Spark side,
+    * reachability enumeration here — agreeing only if the components are
+    * right). Docs without shingles are isolated nodes labeled by their own
+    * id.
+    */
+  def ccClusters(k: Int = 16, rowsPerBand: Int = 4): String =
+    s"""WITH RECURSIVE ${shingleCtes("")}, ${sigCte(k)}, ${bandedCtes(k, rowsPerBand)},
+       |bucket AS (SELECT band, bkey, MIN(doc_id) AS bucket_rep FROM b2 GROUP BY 1, 2),
+       |star AS (SELECT DISTINCT a.doc_id AS src, bucket_rep AS dst
+       |         FROM b2 a JOIN bucket USING (band, bkey) WHERE a.doc_id <> bucket_rep),
+       |sym AS (SELECT src, dst FROM star UNION SELECT dst, src FROM star),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+       |)
+       |SELECT id AS doc_id, MIN(r) AS component_rep FROM reach GROUP BY id""".stripMargin
+
   /** Mirrors Dedup.minHashClusters: cluster rep = min doc id over buckets. */
   def minhashClusters(k: Int = 16, rowsPerBand: Int = 4): String =
     s"""WITH ${shingleCtes("")}, ${sigCte(k)}, ${bandedCtes(k, rowsPerBand)},

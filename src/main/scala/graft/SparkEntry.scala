@@ -368,6 +368,17 @@ object SparkEntry {
     "q49_simhash_clusters" -> ((s, d) =>
       Dedup.simHashClusters(Tables.documents(s, d), bits = 64, maxHamming = 3)),
 
+    // extension: EXACT connected components over the LSH candidate graph —
+    // the transitive closure q22's one-pass bucket-min approximates. Edges
+    // are per-bucket stars (doc ↔ bucket minimum, O(n·bands) not O(Σ
+    // bucket²)); min-label propagation + pointer jumping converges in
+    // O(log n) shuffle rounds, each an equi-join + min-agg on proper keys
+    "q55_cc_clusters" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sig = Dedup.minHashSignatures(docs, k = 16)
+      Dedup.connectedComponents(Dedup.minHashStarEdges(sig), docs.select("doc_id"))
+    },
+
     // extension: bucketed greedy sequence packing (≈2048-token packs)
     "q46_doc_packing" -> ((s, d) =>
       graft.ext.Packing.packDocuments(
@@ -470,6 +481,7 @@ object SparkEntry {
     "q45_simhash_neardup" -> Oracles.simhashNearDup(64, 3),
     "q48_simhash_capped" -> Oracles.simhashNearDupCapped(64, 3, 64),
     "q49_simhash_clusters" -> Oracles.simhashClusters(64, 3),
+    "q55_cc_clusters" -> Oracles.ccClusters(16, 4),
     "q46_doc_packing" -> Oracles.docPacking(2048, 8),
     "q47_cluster_split" -> Oracles.clusterSplit(90, 16, 4)
   )

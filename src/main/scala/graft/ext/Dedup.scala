@@ -166,6 +166,84 @@ object Dedup {
       .agg(min("bucket_rep").as("cluster_rep"))
   }
 
+  /** Linear-size edge set for exact component finding over the LSH candidate
+    * graph: each doc connects to the SMALLEST doc id in each of its buckets
+    * (a "star" per bucket). Connected components over these star edges equal
+    * components over all within-bucket pairs — every pair in a bucket is
+    * linked through the bucket's minimum — but the edge count is
+    * O(n · nBands), not O(Σ bucket²). This is what makes exact dedup
+    * clustering feasible on a 100 TB corpus where dense template families
+    * would make the pairwise candidate set quadratic.
+    * Output: (src, dst) with src > dst, distinct.
+    */
+  def minHashStarEdges(signatures: DataFrame, k: Int = 16, rowsPerBand: Int = 4,
+                       idCol: String = "doc_id"): DataFrame = {
+    val banded = signatures
+      .select(col(idCol), posexplode(bandKeys(k, rowsPerBand)).as(Seq("band", "key")))
+      .repartition(col("band"), col("key"))
+    val bucketMin = banded.groupBy("band", "key")
+      .agg(min(col(idCol)).as("dst"))
+    banded.join(bucketMin, Seq("band", "key"))
+      .filter(col(idCol) =!= col("dst"))
+      .select(col(idCol).as("src"), col("dst"))
+      .distinct()
+  }
+
+  /** EXACT connected components over an undirected edge list — the transitive
+    * closure [[minHashClusters]] approximates in one pass. A doc chain
+    * A~B (bucket 1), B~C (bucket 2) is ONE component here, where the
+    * one-pass bucket-min can leave A and C under different representatives.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping.
+    * Each round every node takes the minimum label among itself and its
+    * neighbors (one equi-join + one min-aggregate — both proper shuffle
+    * keys), then labels compress through themselves (label(v) :=
+    * label(label(v)), one more equi-join), giving O(log n) rounds on
+    * chains instead of O(diameter). Rounds materialize via
+    * `localCheckpoint` so the plan does not grow with the iteration count.
+    *
+    * Convergence proof, not heuristic: labels are node ids and only ever
+    * decrease, so the per-round SUM(label) (DECIMAL(38,0) — id sums
+    * overflow BIGINT at petabyte corpus sizes) is strictly monotone until
+    * fixpoint; an unchanged sum certifies component-stable labels. A
+    * non-converged `maxRounds` exit throws rather than returning
+    * approximate clusters.
+    *
+    * @param nodes  one row per node (isolated nodes keep their own id as rep)
+    * @return (idCol, component_rep)
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+                          srcCol: String = "src", dstCol: String = "dst",
+                          idCol: String = "doc_id", maxRounds: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .union(edges.select(col(dstCol).as("s"), col(srcCol).as("d")))
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val nbr = sym.join(labels, sym("s") === labels("id"))
+        .select(col("d").as("id"), col("label"))
+      val propagated = labels.union(nbr)
+        .groupBy("id").agg(min("label").as("label"))
+      // pointer jump: labels are always node ids, so label(label(v)) resolves
+      val l2 = propagated.select(col("id").as("rep_id"), col("label").as("rep_label"))
+      val jumped = propagated.join(l2, propagated("label") === l2("rep_id"))
+        .select(col("id"), col("rep_label").as("label"))
+        .localCheckpoint(true)
+      val s = labelSum(jumped)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = jumped
+      round += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint after $maxRounds rounds")
+    labels.select(col("id").as(idCol), col("label").as("component_rep"))
+  }
+
   /** Quality-aware cluster dedup — the production "keep the best copy"
     * policy: for each near-dup cluster (from [[minHashClusters]]), survive
     * the highest-quality member (rounded quality from TextAnalysis.stats;

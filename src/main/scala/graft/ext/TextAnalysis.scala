@@ -134,13 +134,25 @@ object TextAnalysis {
     * Overflow-proof at any document length: every factor is reduced mod P
     * (< 2^31) before multiplying, so each term fits 2^62 and the fold
     * keeps the accumulator below P — no wraparound divergence from the
-    * oracle's exact wide-integer sum. (substr, not a pre-split char array:
-    * Catalyst doesn't CSE `split` inside lambdas, so array indexing
-    * re-splits the document per element — measured ~20× slower.)
+    * oracle's exact wide-integer sum.
+    *
+    * Native one-pass codegen expression ([[graft.functions.RollingFp]]):
+    * the composed HOF form below is O(L²) per document (interpreted
+    * `aggregate` + an O(i) substr scan per position) and dominated q13
+    * once the bench probe stopped letting ColumnPruning delete the column.
     *
     * Docs shorter than 3 chars fingerprint to 0; NULL text stays NULL.
     */
-  def rollingFingerprint(text: Column): Column = {
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.ShingleFunctions.rollingFp(text)
+
+  /** The composed HOF formulation [[rollingFingerprint]]'s native expression
+    * replaces — kept as the executable specification the equivalence spec
+    * pins the native values against. Interpreted `aggregate` + an O(i)
+    * substr scan per position make it O(L²) per document; never use it on
+    * a hot path.
+    */
+  def rollingFingerprintComposed(text: Column): Column = {
     val p = Dedup.MinHashP
     when(length(text) < 3, lit(0L)).otherwise(
       aggregate(sequence(lit(1), length(text) - 2), lit(0L),

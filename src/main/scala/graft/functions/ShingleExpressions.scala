@@ -84,6 +84,41 @@ object ShingleUtil {
   /** Fibonacci-hash spread of the (small-range) code into the table. */
   private def mix(x: Long): Long = (x * 0x9e3779b97f4a7c15L) >>> 32
 
+  /** Position-weighted rolling fingerprint, one pass:
+    * Σ_i (i mod P) · (code_i mod P) mod P over ALL 3-gram shingles in
+    * order (i is the 1-based codepoint position, P = 2^31−1). Bit-exact
+    * with the composed `aggregate(sequence(...), substr ...)` form in
+    * TextAnalysis (pinned by spec), which is interpreted HOF + an O(i)
+    * substr scan per position — O(L²) per document and the single
+    * largest cost the q13 bench exposed once the probe stopped letting
+    * ColumnPruning delete the column. Here: decode codepoints once, three
+    * multiply-adds per position, O(L), inside whole-stage codegen.
+    */
+  def rollingFp(s: UTF8String): Long = {
+    val P = 2147483647L
+    val str = s.toString
+    val len = str.length
+    val cps = new Array[Int](len)
+    var n = 0
+    var i = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      cps(n) = cp
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n < 3) return 0L
+    var acc = 0L
+    var k = 0
+    val m = n - 2
+    while (k < m) {
+      val code = cps(k).toLong * 65536L + cps(k + 1).toLong * 256L + cps(k + 2).toLong
+      acc = (acc + ((k + 1).toLong % P) * (code % P) % P) % P
+      k += 1
+    }
+    acc
+  }
+
   /** Distinct 3-gram shingle STRINGS, first-occurrence order — the string
     * variant for consumers that join on the shingle itself (n-gram Jaccard,
     * where code collisions would corrupt intersection counts). Same
@@ -173,9 +208,36 @@ case class ShingleStrings(child: Expression) extends UnaryExpression with Serial
     copy(child = newChild)
 }
 
+/** `graft_rolling_fp(text)` → long: position-weighted rolling fingerprint
+  * over ordered 3-gram shingles (null text → null, < 3 codepoints → 0 —
+  * same contract as the composed TextAnalysis form it replaces).
+  */
+case class RollingFp(child: Expression) extends UnaryExpression with Serializable {
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleUtil.rollingFp(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.rollingFp($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFp =
+    copy(child = newChild)
+}
+
 object ShingleFunctions {
   val CodesName = "graft_shingle_codes"
   val StringsName = "graft_shingle_strings"
+  val RollingName = "graft_rolling_fp"
   def shingleCodes(text: Column): Column = call_function(CodesName, text)
   def shingleStrings(text: Column): Column = call_function(StringsName, text)
+  def rollingFp(text: Column): Column = call_function(RollingName, text)
 }

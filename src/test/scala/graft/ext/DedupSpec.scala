@@ -176,4 +176,44 @@ class DedupSpec extends SparkSpec {
     val plan = Dedup.minHashCandidatePairs(sig).queryExecution.optimizedPlan.toString
     assert(!plan.contains("Deduplicate"), s"unexpected distinct in:\n$plan")
   }
+
+  private def edgeDf(rows: (Long, Long)*): org.apache.spark.sql.DataFrame =
+    df("src BIGINT, dst BIGINT", rows.map { case (a, b) => Row(a, b) })
+
+  private def nodeDf(ids: Long*): org.apache.spark.sql.DataFrame =
+    df("doc_id BIGINT", ids.map(Row(_)))
+
+  test("connectedComponents closes transitive chains the one-pass bucket-min cannot") {
+    // path 1-2-3-4-5 plus isolated 9: one component labeled 1, one singleton
+    val cc = Dedup.connectedComponents(
+      edgeDf(2L -> 1L, 2L -> 3L, 4L -> 3L, 4L -> 5L), nodeDf(1L, 2L, 3L, 4L, 5L, 9L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(cc(_) == 1L), cc.toString)
+    assert(cc(9L) == 9L)
+  }
+
+  test("connectedComponents converges on a long chain (pointer jumping, not diameter rounds)") {
+    // a 64-node path needs ~6 doubling rounds, far under maxRounds
+    val n = 64L
+    val edges = edgeDf((1L until n).map(i => (i + 1) -> i): _*)
+    val cc = Dedup.connectedComponents(edges, nodeDf((1L to n): _*), maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to n).forall(cc(_) == 1L))
+  }
+
+  test("CC over star edges equals CC over all candidate pairs (star-contraction soundness)") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      4L -> "the quick brown fox jumps over the lazy dog again and again",
+      7L -> "the quick brown fox jumps over the lazy cat again and again",
+      9L -> "completely different content about distributed query engines")
+    val sig = Dedup.minHashSignatures(d, k = 16)
+    val nodes = d.select("doc_id")
+    val viaStars = Dedup.connectedComponents(
+      Dedup.minHashStarEdges(sig), nodes)
+    val viaPairs = Dedup.connectedComponents(
+      Dedup.minHashCandidatePairs(sig).withColumnsRenamed(
+        Map("id_a" -> "src", "id_b" -> "dst")), nodes)
+    assertSameRows(viaStars, viaPairs)
+  }
 }

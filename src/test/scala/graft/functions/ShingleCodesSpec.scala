@@ -86,4 +86,15 @@ class ShingleCodesSpec extends SparkSpec {
     val a = 'a'.toLong; val b = 'b'.toLong
     assert(codes == Seq(a * 65536 + b * 256 + a, b * 65536 + a * 256 + b))
   }
+
+  test("rollingFp is bit-exact with the composed HOF formulation (unicode, repeats, short, null)") {
+    import spark.implicits._
+    val d = (nasty.zipWithIndex.map { case (t, i) => (i.toLong, Option(t)) }
+      :+ (nasty.size.toLong, Option.empty[String])).toDF("doc_id", "text")
+    val native = d.select(col("doc_id"),
+      graft.ext.TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+    val composed = d.select(col("doc_id"),
+      graft.ext.TextAnalysis.rollingFingerprintComposed(col("text")).as("fp"))
+    assertSameRows(native, composed)
+  }
 }
