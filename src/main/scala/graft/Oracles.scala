@@ -833,6 +833,37 @@ object Oracles {
        |FROM trg t JOIN evg USING (gram)
        |GROUP BY 1""".stripMargin
 
+  /** q56: corpus-wide duplicated n-gram coverage. Same list-function gram
+    * derivation as [[decontamination]], plus positional windows: a doc's
+    * covered tokens = distinct positions inside any gram whose distinct
+    * document frequency is ≥ 2.
+    */
+  def dupNgramCoverage(n: Int): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
+       |  FROM documents
+       |), base AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws FROM docs
+       |), grams AS (
+       |  SELECT doc_id, start,
+       |    array_to_string(list_slice(ws, CAST(start AS INTEGER), CAST(start AS INTEGER) + ${n - 1}), ' ') AS gram
+       |  FROM (
+       |    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${n - 1})) AS start
+       |    FROM base WHERE n_tokens >= $n)
+       |), dup AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY 1) WHERE nd >= 2
+       |), cov AS (
+       |  SELECT doc_id, COUNT(DISTINCT p) AS covered FROM (
+       |    SELECT doc_id, unnest(generate_series(start, start + ${n - 1})) AS p
+       |    FROM grams WHERE gram IN (SELECT gram FROM dup)) GROUP BY 1
+       |)
+       |SELECT b.doc_id, b.n_tokens,
+       |  CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens,
+       |  ROUND(COALESCE(cov.covered, 0) / (CASE WHEN b.n_tokens = 0 THEN 1 ELSE b.n_tokens END), 6) AS dup_coverage
+       |FROM base b LEFT JOIN cov USING (doc_id)""".stripMargin
+
   val eventSessions: String =
     """WITH base AS (
       |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events

@@ -379,6 +379,13 @@ object SparkEntry {
       Dedup.connectedComponents(Dedup.minHashStarEdges(sig), docs.select("doc_id"))
     },
 
+    // extension: corpus-wide duplicated 5-gram coverage — per-doc fraction
+    // of tokens lying inside a word 5-gram that recurs in another document
+    // (the boilerplate/template signal; distinct-gram df + positional
+    // explode, never pairwise)
+    "q56_dup_ngram_coverage" -> ((s, d) =>
+      Dedup.dupNgramCoverage(Tables.documents(s, d), n = 5)),
+
     // extension: bucketed greedy sequence packing (≈2048-token packs)
     "q46_doc_packing" -> ((s, d) =>
       graft.ext.Packing.packDocuments(
@@ -482,6 +489,7 @@ object SparkEntry {
     "q48_simhash_capped" -> Oracles.simhashNearDupCapped(64, 3, 64),
     "q49_simhash_clusters" -> Oracles.simhashClusters(64, 3),
     "q55_cc_clusters" -> Oracles.ccClusters(16, 4),
+    "q56_dup_ngram_coverage" -> Oracles.dupNgramCoverage(5),
     "q46_doc_packing" -> Oracles.docPacking(2048, 8),
     "q47_cluster_split" -> Oracles.clusterSplit(90, 16, 4)
   )

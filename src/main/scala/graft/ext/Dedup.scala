@@ -566,4 +566,50 @@ object Dedup {
       .groupBy("train_id")
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Cross-document duplicated n-gram coverage — the Gopher/RefinedWeb
+    * "fraction of tokens inside duplicated n-grams" quality signal, but
+    * CORPUS-wide: a token is covered when any word n-gram through it also
+    * occurs in at least one OTHER document. Unlike [[crossContamination]]
+    * (train×eval overlap) and the intra-document `repetitionSignals`, this
+    * measures how much of each document is boilerplate shared across the
+    * corpus — the filter that catches templated spam MinHash-level
+    * similarity is too coarse to score.
+    *
+    * Output: (idCol, n_tokens, covered_tokens, dup_coverage) for EVERY doc
+    * (docs shorter than n grams have coverage 0).
+    *
+    * Scale: token windows explode to ~words-per-doc rows/doc (same volume
+    * the shingle path carries); duplicated-gram detection is a distinct +
+    * count aggregate on the gram — a proper shuffle key; coverage is a
+    * positions explode (n× the covered-gram count) + per-doc distinct
+    * count. Nothing pairwise, no self-join: corpus-frequent grams cost
+    * their row count, not its square.
+    */
+  def dupNgramCoverage(docs: DataFrame, n: Int = 5, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val ws = col("__ws")
+    val base = docs
+      .withColumn("__ws", TextAnalysis.tokens(col(textCol)))
+      .select(col(idCol), ws, size(ws).cast("long").as("n_tokens"))
+    val grams = base
+      .filter(col("n_tokens") >= n)
+      .select(col(idCol), posexplode(transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n))))).as(Seq("__p0", "gram")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("start"), col("gram"))
+    val dupGrams = grams.select(col(idCol), col("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("gram")
+    val covered = grams.join(dupGrams, Seq("gram"))
+      .select(col(idCol), explode(sequence(col("start"), col("start") + (n - 1))).as("p"))
+      .groupBy(col(idCol)).agg(countDistinct(col("p")).as("covered_tokens"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double")
+          / when(col("n_tokens") === 0, lit(1L)).otherwise(col("n_tokens")), 6)
+          .as("dup_coverage"))
+  }
 }

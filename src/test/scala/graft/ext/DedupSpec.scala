@@ -201,6 +201,31 @@ class DedupSpec extends SparkSpec {
     assert((1L to n).forall(cc(_) == 1L))
   }
 
+  test("dupNgramCoverage: covered positions are the union of shared-gram windows") {
+    // docs 1/2 share the 3-gram "a b c" (and only it); doc 3 shares nothing;
+    // doc 4 is too short for any gram
+    val d = docs(
+      1L -> "a b c x y z",   // gram "a b c" covers positions 1-3 of 6
+      2L -> "q a b c",       // covers positions 2-4 of 4
+      3L -> "u v w r s t",
+      4L -> "p q")
+    val got = Dedup.dupNgramCoverage(d, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((6L, 3L, 0.5)))
+    assert(got(2L) == ((4L, 3L, 0.75)))
+    assert(got(3L) == ((6L, 0L, 0.0)))
+    assert(got(4L) == ((2L, 0L, 0.0)))
+  }
+
+  test("dupNgramCoverage: overlapping shared grams count positions once") {
+    // "a b c d" in both docs: doc 1 grams "a b c" and "b c d" overlap on
+    // b,c — covered must be 4, not 6
+    val d = docs(1L -> "a b c d e", 2L -> "z a b c d")
+    val got = Dedup.dupNgramCoverage(d, n = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == 4L && got(2L) == 4L)
+  }
+
   test("CC over star edges equals CC over all candidate pairs (star-contraction soundness)") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog again and again",
