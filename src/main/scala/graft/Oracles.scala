@@ -506,6 +506,41 @@ object Oracles {
        |)
        |SELECT query_id, neighbor_id, score, "rank" FROM r WHERE "rank" <= $k""".stripMargin
 
+  /** q57: TF-IDF cosine top-k. The vocabulary/weight derivation mirrors
+    * TfIdf.tfidfVectors in exact integer arithmetic (rational fixed-point
+    * IDF via `//`, no ln); dense 64-wide vectors assemble via an ordered
+    * list aggregate over an index series so the shared [[dotsCte]] (which
+    * is fixed at 64 dims) applies verbatim.
+    */
+  def tfidfTopK(vocabSize: Int = 64, mod: Int = 10, k: Int = 5): String = {
+    require(vocabSize == 64, "dotsCte is fixed at 64 dims")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS token
+       |  FROM documents
+       |), vocab0 AS (
+       |  SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+       |  FROM toks GROUP BY 1 ORDER BY n DESC, token LIMIT $vocabSize
+       |), vocab AS (
+       |  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INTEGER) - 1 AS idx,
+       |    (((SELECT COUNT(*) FROM documents) + 1) * 1000) // (df + 1) AS idfq
+       |  FROM vocab0
+       |), tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+       |), wt AS (
+       |  SELECT doc_id, idx, CAST(tf * idfq AS DOUBLE) AS w FROM tf JOIN vocab USING (token)
+       |), vec AS (
+       |  SELECT d.doc_id, list(COALESCE(wt.w, 0.0) ORDER BY s.i) AS v
+       |  FROM documents d
+       |  CROSS JOIN generate_series(0, ${vocabSize - 1}) s(i)
+       |  LEFT JOIN wt ON wt.doc_id = d.doc_id AND wt.idx = s.i
+       |  GROUP BY d.doc_id
+       |), q AS (SELECT doc_id AS query_id, v AS qv FROM vec WHERE doc_id % $mod = 0),
+       |c AS (SELECT doc_id AS neighbor_id, v AS cv FROM vec),
+       |p AS (SELECT query_id, neighbor_id, qv, cv FROM q, c WHERE query_id <> neighbor_id),
+       |$dotsCte,
+       |${rankTail(k)}""".stripMargin
+  }
+
   def cosineTopK(mod: Int = 50, k: Int = 5): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % $mod = 0),
        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Similarity, TextAnalysis, TfIdf}
 import graft.transform.{Aggregate, Clean, Enrich, Inventory}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
@@ -386,6 +386,16 @@ object SparkEntry {
     "q56_dup_ngram_coverage" -> ((s, d) =>
       Dedup.dupNgramCoverage(Tables.documents(s, d), n = 5)),
 
+    // extension: TF-IDF cosine top-5 similar docs — text-side analog of
+    // q18: rational fixed-point IDF (integer div, no libm ln) over a
+    // 64-token vocabulary, then the same fused-cosine brute-force ANN;
+    // LSH/IVF compose unchanged on the same vectors for the scale path
+    "q57_tfidf_topk" -> { (s, d) =>
+      val vecs = TfIdf.tfidfVectors(Tables.documents(s, d), vocabSize = 64)
+      Similarity.bruteForceTopK(vecs.filter(col("doc_id") % 10 === 0), vecs,
+        k = 5, idCol = "doc_id", vecCol = "tfidf")
+    },
+
     // extension: bucketed greedy sequence packing (≈2048-token packs)
     "q46_doc_packing" -> ((s, d) =>
       graft.ext.Packing.packDocuments(
@@ -490,6 +500,7 @@ object SparkEntry {
     "q49_simhash_clusters" -> Oracles.simhashClusters(64, 3),
     "q55_cc_clusters" -> Oracles.ccClusters(16, 4),
     "q56_dup_ngram_coverage" -> Oracles.dupNgramCoverage(5),
+    "q57_tfidf_topk" -> Oracles.tfidfTopK(64, 10, 5),
     "q46_doc_packing" -> Oracles.docPacking(2048, 8),
     "q47_cluster_split" -> Oracles.clusterSplit(90, 16, 4)
   )
