@@ -50,7 +50,13 @@ object Bench {
     // processes) poisoning ALL consecutive reps of the early queries
     // (q02 2.1s→28.2s while late queries improved) — spacing a query's
     // reps minutes apart decorrelates the min from any one load spike
+    // SPARK_GRAFT_BENCH_ONLY=q55,q57 restricts the run to queries whose
+    // name starts with one of the comma-separated prefixes — for iterating
+    // on one query without paying the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val passes = (1 to reps).map { _ =>
       named.map { case (name, fn) =>
         val t0 = System.nanoTime()

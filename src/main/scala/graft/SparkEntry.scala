@@ -391,8 +391,22 @@ object SparkEntry {
     // 64-token vocabulary, then the same fused-cosine brute-force ANN;
     // LSH/IVF compose unchanged on the same vectors for the scale path
     "q57_tfidf_topk" -> { (s, d) =>
+      // vectors materialize ONCE (localCheckpoint): the query and corpus
+      // sides of the cosine cross-join otherwise each rebuild the whole
+      // tokenize→vocab→tf→assemble pipeline (the mod-filter pushes into
+      // the query copy, so the subtrees are not identical and AQE cannot
+      // stage-share them). The vector build already runs an action (count
+      // for N), so eagerness is not new here. The corpus side then
+      // repartitions with an EXPLICIT count (AQE does not coalesce it):
+      // the completion join pins the vectors to the parquet scan's
+      // partitioning — ONE split for a small local file — which would
+      // serialize the 2.5M-pair scoring loop on a single core. At real
+      // scale the scan arrives in thousands of splits and this repartition
+      // is a no-op to omit.
       val vecs = TfIdf.tfidfVectors(Tables.documents(s, d), vocabSize = 64)
-      Similarity.bruteForceTopK(vecs.filter(col("doc_id") % 10 === 0), vecs,
+        .localCheckpoint(true)
+      val corpus = vecs.repartition(s.sparkContext.defaultParallelism)
+      Similarity.bruteForceTopK(vecs.filter(col("doc_id") % 10 === 0), corpus,
         k = 5, idCol = "doc_id", vecCol = "tfidf")
     },
 

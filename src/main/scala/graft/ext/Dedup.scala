@@ -215,8 +215,13 @@ object Dedup {
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
                           srcCol: String = "src", dstCol: String = "dst",
                           idCol: String = "doc_id", maxRounds: Int = 25): DataFrame = {
+    // materialize the edge list ONCE: sym is joined every round, and
+    // without the checkpoint its whole upstream derivation (for q55, the
+    // MinHash signature pipeline) re-executes per round — measured as the
+    // dominant cost of the iterative loop, not the loop itself
     val sym = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .union(edges.select(col(dstCol).as("s"), col(srcCol).as("d")))
+      .localCheckpoint(true)
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint(true)
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -593,11 +598,17 @@ object Dedup {
     val base = docs
       .withColumn("__ws", TextAnalysis.tokens(col(textCol)))
       .select(col(idCol), ws, size(ws).cast("long").as("n_tokens"))
+    // pre-partition the positional gram stream on the gram key: the
+    // df-aggregate side and the coverage join-back both consume it, and the
+    // shared exchange lets AQE materialize the (tokenize + window) subtree
+    // once instead of once per consumer (same stage-reuse pattern as the
+    // LSH self-joins)
     val grams = base
       .filter(col("n_tokens") >= n)
       .select(col(idCol), posexplode(transform(sequence(lit(1), size(ws) - (n - 1)),
         i => concat_ws(" ", slice(ws, i, lit(n))))).as(Seq("__p0", "gram")))
       .select(col(idCol), (col("__p0") + 1).cast("long").as("start"), col("gram"))
+      .repartition(col("gram"))
     val dupGrams = grams.select(col(idCol), col("gram")).distinct()
       .groupBy("gram").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("gram")
