@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(RepetitionFunctions.Name),
       new ExpressionInfo(classOf[RepetitionStats].getName, RepetitionFunctions.Name),
       (args: Seq[Expression]) => RepetitionStats(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier(functions.NgramFunctions.Name),
+      new ExpressionInfo(classOf[functions.WordNgrams].getName, functions.NgramFunctions.Name),
+      (args: Seq[Expression]) => functions.WordNgrams(args(0), args(1))))
     // HOF dot-product pattern → fused native loop (pure perf rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     // whole-operator as-of join: AsOfJoinPlan → AsOfJoinExec

@@ -508,12 +508,15 @@ object Oracles {
 
   /** q57: TF-IDF cosine top-k. The vocabulary/weight derivation mirrors
     * TfIdf.tfidfVectors in exact integer arithmetic (rational fixed-point
-    * IDF via `//`, no ln); dense 64-wide vectors assemble via an ordered
-    * list aggregate over an index series so the shared [[dotsCte]] (which
-    * is fixed at 64 dims) applies verbatim.
+    * IDF via `//`, no ln); dense vectors assemble via an ordered list
+    * aggregate over an index series. Dot/norm sums are LIST-native
+    * (`list_sum ∘ list_transform` — summed in list order, the same
+    * ascending-index order Spark's fused cosine uses): the row-expansion
+    * dots CTE q18 shares would materialize pairs × dims rows with
+    * per-group ordered-aggregate buffering, which OOMs DuckDB at the
+    * sf0.1 pair count.
     */
   def tfidfTopK(vocabSize: Int = 64, mod: Int = 10, k: Int = 5): String = {
-    require(vocabSize == 64, "dotsCte is fixed at 64 dims")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS token
        |  FROM documents
@@ -534,10 +537,22 @@ object Oracles {
        |  CROSS JOIN generate_series(0, ${vocabSize - 1}) s(i)
        |  LEFT JOIN wt ON wt.doc_id = d.doc_id AND wt.idx = s.i
        |  GROUP BY d.doc_id
+       |), norms AS (
+       |  SELECT doc_id, list_sum(list_transform(generate_series(1, $vocabSize), i -> v[i] * v[i])) AS nn
+       |  FROM vec
        |), q AS (SELECT doc_id AS query_id, v AS qv FROM vec WHERE doc_id % $mod = 0),
        |c AS (SELECT doc_id AS neighbor_id, v AS cv FROM vec),
-       |p AS (SELECT query_id, neighbor_id, qv, cv FROM q, c WHERE query_id <> neighbor_id),
-       |$dotsCte,
+       |dots AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_sum(list_transform(generate_series(1, $vocabSize), i -> qv[i] * cv[i])) AS dp
+       |  FROM q, c WHERE query_id <> neighbor_id
+       |), scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(CASE WHEN sqrt(qn.nn) * sqrt(cn.nn) = 0 THEN 0.0
+       |               ELSE dp / (sqrt(qn.nn) * sqrt(cn.nn)) END, 6) AS score
+       |  FROM dots JOIN norms qn ON qn.doc_id = query_id
+       |            JOIN norms cn ON cn.doc_id = neighbor_id
+       |),
        |${rankTail(k)}""".stripMargin
   }
 

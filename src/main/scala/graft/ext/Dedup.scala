@@ -556,13 +556,10 @@ object Dedup {
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1, "n-gram size must be >= 1")
     def grams(df: DataFrame, outId: String): DataFrame = {
-      val ws = col("__ws")
-      // sequence(1, hi) DESCENDS for hi < 1 — guard short docs to an
-      // empty window list instead
-      val windows = when(size(ws) >= n,
-        transform(sequence(lit(1), size(ws) - (n - 1)),
-          i => concat_ws(" ", slice(ws, i, lit(n)))))
-        .otherwise(array().cast("array<string>"))
+      // native one-pass window builder (graft_word_ngrams): < n tokens →
+      // empty array, same contract as the composed HOF form it replaced
+      // (equivalence pinned by WordNgramsSpec)
+      val windows = graft.functions.NgramFunctions.wordNgrams(col("__ws"), n)
       df.withColumn("__ws", TextAnalysis.tokens(col(textCol)))
         .select(col(idCol).as(outId), explode(array_distinct(windows)).as("gram"))
     }
@@ -605,8 +602,8 @@ object Dedup {
     // LSH self-joins)
     val grams = base
       .filter(col("n_tokens") >= n)
-      .select(col(idCol), posexplode(transform(sequence(lit(1), size(ws) - (n - 1)),
-        i => concat_ws(" ", slice(ws, i, lit(n))))).as(Seq("__p0", "gram")))
+      .select(col(idCol),
+        posexplode(graft.functions.NgramFunctions.wordNgrams(ws, n)).as(Seq("__p0", "gram")))
       .select(col(idCol), (col("__p0") + 1).cast("long").as("start"), col("gram"))
       .repartition(col("gram"))
     val dupGrams = grams.select(col(idCol), col("gram")).distinct()
