@@ -384,6 +384,33 @@ object Oracles {
        |WHERE (${affineHashSql("doc_id", 7)}) % 1000
        |  < CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 200 ELSE 100 END""".stripMargin
 
+  /** Mirrors TextAnalysis.lengthHistogram: token-count buckets by integer
+    * division, counts + token mass per (source, bucket).
+    */
+  def lengthHistogram(bucketTokens: Int): String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS nt
+       |  FROM documents
+       |)
+       |SELECT source, nt // $bucketTokens AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(nt) AS BIGINT) AS sum_tokens
+       |FROM t GROUP BY 1, 2""".stripMargin
+
+  /** Mirrors Sampling.deterministicShuffle (seed 0): shard = affine j=7
+    * mod nShards, position = rank of affine j=11 within the shard.
+    */
+  def deterministicShuffle(nShards: Int): String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    CAST((${affineHashSql("doc_id", 7)}) % $nShards AS INTEGER) AS shard,
+       |    (${affineHashSql("doc_id", 11)}) AS ord
+       |  FROM documents
+       |)
+       |SELECT doc_id, shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+       |FROM h""".stripMargin
+
   /** Mirrors the q42 bucketized range join with DuckDB's native
     * inequality join (IEJoin) — an independent derivation of the same
     * point-in-interval matches.

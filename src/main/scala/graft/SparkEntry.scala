@@ -386,6 +386,18 @@ object SparkEntry {
     "q56_dup_ngram_coverage" -> ((s, d) =>
       Dedup.dupNgramCoverage(Tables.documents(s, d), n = 5)),
 
+    // extension: corpus length profile — docs + token mass per (source,
+    // token-count bucket); integer-div buckets, one hash agg, O(sources ×
+    // buckets) output at any corpus size
+    "q58_length_histogram" -> ((s, d) =>
+      TextAnalysis.lengthHistogram(Tables.documents(s, d), bucketTokens = 50)),
+
+    // extension: deterministic global training shuffle — (shard, pos) as
+    // pure functions of (id, seed): one exchange on shard + per-shard
+    // sort, reproducible across engines/partitionings (vs orderBy(rand()))
+    "q59_shard_shuffle" -> ((s, d) =>
+      graft.ext.Sampling.deterministicShuffle(Tables.documents(s, d), nShards = 8)),
+
     // extension: TF-IDF cosine top-5 similar docs — text-side analog of
     // q18: rational fixed-point IDF (integer div, no libm ln) over a
     // 64-token vocabulary, then the same fused-cosine brute-force ANN;
@@ -515,6 +527,8 @@ object SparkEntry {
     "q55_cc_clusters" -> Oracles.ccClusters(16, 4),
     "q56_dup_ngram_coverage" -> Oracles.dupNgramCoverage(5),
     "q57_tfidf_topk" -> Oracles.tfidfTopK(64, 10, 5),
+    "q58_length_histogram" -> Oracles.lengthHistogram(50),
+    "q59_shard_shuffle" -> Oracles.deterministicShuffle(8),
     "q46_doc_packing" -> Oracles.docPacking(2048, 8),
     "q47_cluster_split" -> Oracles.clusterSplit(90, 16, 4)
   )

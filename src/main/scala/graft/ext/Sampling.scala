@@ -32,4 +32,29 @@ object Sampling {
     }
     df.filter(h < rate)
   }
+
+  /** Deterministic global training shuffle: every row gets a shard and a
+    * position inside it, both pure functions of (id, seed) — the final
+    * "randomize the corpus before the trainer reads it" step, reproducible
+    * across engines, partitionings and reruns (unlike `orderBy(rand())`).
+    *
+    * shard = affine-hash(id; seed) mod nShards; position = rank of a
+    * SECOND independent affine hash within the shard (id tie-break for
+    * hash collisions). Output: (idCol, shard, pos).
+    *
+    * Scale: one exchange on `shard` + a per-shard sort — never a global
+    * sort. Shards are hash-balanced, so the sort is (corpus/nShards) per
+    * task; pick nShards ≈ a few × executor count at 100 TB.
+    */
+  def deterministicShuffle(df: DataFrame, nShards: Int, idCol: String = "doc_id",
+                           seed: Int = 0): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val shard = pmod(Dedup.affineHash(col(idCol), 7 + seed), lit(nShards.toLong))
+    val order = Dedup.affineHash(col(idCol), 11 + seed)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__ord"), col(idCol))
+    df.select(col(idCol), shard.cast("int").as("shard"), order.as("__ord"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

@@ -160,6 +160,21 @@ object TextAnalysis {
           * (Dedup.encodeShingle3(text.substr(i, lit(3))) % p)) % p) % p))
   }
 
+  /** Corpus length profile: document counts and token mass per
+    * (source, token-count bucket) — the reporting sweep a curation run
+    * starts from (what does each source contribute, where is the mass).
+    * Buckets are integer `div` (engine-portable, no float binning).
+    *
+    * Scale: one codegen tokenize pass + a single hash aggregate on
+    * (source, bucket) with map-side partial combine — output is
+    * O(sources × buckets), independent of corpus size.
+    */
+  def lengthHistogram(docs: DataFrame, bucketTokens: Int = 50,
+                      srcCol: String = "source", textCol: String = "text"): DataFrame =
+    docs.select(col(srcCol), tokenCount(col(textCol)).cast("long").as("__nt"))
+      .groupBy(col(srcCol), expr(s"__nt div $bucketTokens").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("sum_tokens"))
+
   /** Full per-document stats frame.
     *
     * The token array is materialized once per row (`toks` projection) and

@@ -41,4 +41,25 @@ class SamplingSpec extends SparkSpec {
       Seq("en" -> 500), 100).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("deterministicShuffle: total bijection onto (shard, 1..shardSize); rerun-identical") {
+    val out = Sampling.deterministicShuffle(docs, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == docs.count())
+    // positions within each shard are exactly 1..n, no gaps or dups
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    val again = Sampling.deterministicShuffle(docs, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSet == again.toSet)
+  }
+
+  test("deterministicShuffle: different seeds produce different orders") {
+    val a = Sampling.deterministicShuffle(docs, 2, seed = 0).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Sampling.deterministicShuffle(docs, 2, seed = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a != b)
+  }
 }

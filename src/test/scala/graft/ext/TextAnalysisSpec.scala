@@ -91,4 +91,15 @@ class TextAnalysisSpec extends SparkSpec {
     // "the" 3x in 2 docs; "dog" 3x in 2 docs ("dog" > "the"? tie on n=3 → token asc: dog first)
     assert(out.toSeq == Seq(("dog", 3L, 2L), ("the", 3L, 2L), ("cat", 2L, 2L)))
   }
+
+  test("lengthHistogram buckets by integer div and sums token mass per source") {
+    val d = df("doc_id BIGINT, source STRING, text STRING", Seq(
+      Row(1L, "a", "one two three"),     // 3 tokens → bucket 1 (div 2)
+      Row(2L, "a", "one two"),           // 2 tokens → bucket 1
+      Row(3L, "a", "one"),               // 1 token  → bucket 0
+      Row(4L, "b", "")))                 // 0 tokens → bucket 0
+    val out = TextAnalysis.lengthHistogram(d, bucketTokens = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(("a", 1L, 2L, 5L), ("a", 0L, 1L, 1L), ("b", 0L, 1L, 0L)))
+  }
 }
