@@ -143,6 +143,31 @@ object Streams {
                   watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming corpus curation — the incremental form of the batch
+    * `ext.Curation` path for a continuously-arriving document stream
+    * (doc_id, ts, text, source): quality-gate each document
+    * (`TextAnalysis.qualityScore`, same closed-form signal as batch), then
+    * drop exact content duplicates within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` on the md5 content fingerprint —
+    * state stays bounded by the horizon; near-dup MinHash joins are batch
+    * territory, documented). Emits the surviving docs with their quality
+    * and token count — ready for a parquet shard sink.
+    *
+    * Works identically on batch frames (spec oracle) and streams.
+    */
+  def curateStream(docs: DataFrame, minQuality: Double = 0.3,
+                   watermark: String = "1 hour"): DataFrame = {
+    import graft.ext.TextAnalysis
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .select(col("doc_id"), col("ts"), col("source"),
+        col("quality"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+  }
+
   /** Wires a streaming read of the events parquet directory into any of the
     * transforms above (schema must be supplied — streaming reads don't
     * infer).

@@ -226,6 +226,21 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) == 4L && got(2L) == 4L)
   }
 
+  test("connectedComponents with no edges labels every node as its own singleton") {
+    val cc = Dedup.connectedComponents(
+      edgeDf(), nodeDf(3L, 7L, 11L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(3L -> 3L, 7L -> 7L, 11L -> 11L))
+  }
+
+  test("dupNgramCoverage n=1 reduces to shared-token coverage") {
+    val d = docs(1L -> "x shared y", 2L -> "shared z")
+    val got = Dedup.dupNgramCoverage(d, n = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((1L, 0.333333)))
+    assert(got(2L) == ((1L, 0.5)))
+  }
+
   test("CC over star edges equals CC over all candidate pairs (star-contraction soundness)") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog again and again",

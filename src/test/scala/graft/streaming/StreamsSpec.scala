@@ -229,4 +229,29 @@ class StreamsSpec extends SparkSpec {
       ("2024-01-01 10:00:00.0", "click") -> (2L, 4.0),
       ("2024-01-01 11:00:00.0", "view") -> (1L, 1.0)))
   }
+
+  test("curateStream drops junk and in-horizon duplicate content, passes survivors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the cat and the dog sat on the mat with a hat and a bat for a while longer"
+    val mem = MemoryStream[(Long, Timestamp, String, String)]
+    val curated = Streams.curateStream(
+      mem.toDF().toDF("doc_id", "ts", "text", "source"), minQuality = 0.3)
+    val q = curated.writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), good, "web"),
+        (2L, ts("2024-01-01 10:01:00"), "zzz", "web"),          // junk: fails the gate
+        (3L, ts("2024-01-01 10:02:00"), good, "mirror"))        // exact dup of 1 in horizon
+      q.processAllAvailable()
+      val ids = spark.table("curated").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1L))
+      assert(!ids.contains(2L), "junk doc must fail the quality gate")
+      assert(!ids.contains(3L), "duplicate content within the watermark must drop")
+      val row1 = spark.table("curated")
+        .filter(org.apache.spark.sql.functions.col("doc_id") === 1L).head()
+      assert(row1.getAs[Int]("n_tokens") == 19)
+    } finally q.stop()
+  }
 }
