@@ -30,6 +30,20 @@ class TfIdfSpec extends SparkSpec {
     assert(v(2L) == Seq(idfCommon.toDouble, 0.0, 0.0, 0.0))
   }
 
+  test("capped LSH composes on tfidf vectors and finds the exact-dup neighbor") {
+    val d = docs(
+      10L -> "spark scala query engine optimizer",
+      20L -> "spark scala query engine optimizer",
+      30L -> "totally different words entirely here banana")
+    val vecs = TfIdf.tfidfVectors(d, vocabSize = 16)
+    // identical vectors share every LSH bucket, so the dup must surface
+    val top = Similarity.lshTopK(vecs, vecs, k = 1, dim = 16, nPlanes = 4,
+      idCol = "doc_id", vecCol = "tfidf", maxBucketCandidates = Some(8)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(top(10L) == ((20L, 1.0)))
+    assert(top(20L) == ((10L, 1.0)))
+  }
+
   test("identical docs are each other's top-1 neighbor with score 1.0") {
     val d = docs(
       10L -> "spark scala query engine optimizer",
