@@ -941,6 +941,45 @@ object Oracles {
        |  ROUND(COALESCE(cov.covered, 0) / (CASE WHEN b.n_tokens = 0 THEN 1 ELSE b.n_tokens END), 6) AS dup_coverage
        |FROM base b LEFT JOIN cov USING (doc_id)""".stripMargin
 
+  /** q60: duplicated-span trimming. Same gram/coverage derivation as
+    * [[dupNgramCoverage]]; kept tokens = positional anti-join, text
+    * rebuilt with an ordered string_agg.
+    */
+  def trimDupSpans(n: Int): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
+       |  FROM documents
+       |), base AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws FROM docs
+       |), grams AS (
+       |  SELECT doc_id, start,
+       |    array_to_string(list_slice(ws, CAST(start AS INTEGER), CAST(start AS INTEGER) + ${n - 1}), ' ') AS gram
+       |  FROM (
+       |    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${n - 1})) AS start
+       |    FROM base WHERE n_tokens >= $n)
+       |), dup AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY 1) WHERE nd >= 2
+       |), cov AS (
+       |  SELECT DISTINCT doc_id, p FROM (
+       |    SELECT doc_id, unnest(generate_series(start, start + ${n - 1})) AS p
+       |    FROM grams WHERE gram IN (SELECT gram FROM dup))
+       |), toks AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS p, ws[CAST(p AS INTEGER)] AS token FROM (
+       |    SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p FROM base WHERE n_tokens > 0)
+       |), kept AS (
+       |  SELECT t.doc_id, t.p, t.token FROM toks t
+       |  ANTI JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+       |)
+       |SELECT b.doc_id,
+       |  COALESCE(k.clean_text, '') AS clean_text,
+       |  COALESCE(k.n_kept, 0) AS n_kept
+       |FROM base b LEFT JOIN (
+       |  SELECT doc_id, string_agg(token, ' ' ORDER BY p) AS clean_text,
+       |    CAST(COUNT(*) AS BIGINT) AS n_kept
+       |  FROM kept GROUP BY 1) k USING (doc_id)""".stripMargin
+
   val eventSessions: String =
     """WITH base AS (
       |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events

@@ -386,6 +386,13 @@ object SparkEntry {
     "q56_dup_ngram_coverage" -> ((s, d) =>
       Dedup.dupNgramCoverage(Tables.documents(s, d), n = 5)),
 
+    // extension: duplicated-span trimming — text rebuilt from tokens not
+    // inside any cross-doc duplicated 5-gram (the edit half of
+    // exact-substring dedup; q56 is the signal half). Positional
+    // anti-join + per-doc ordered rebuild, never a global sort
+    "q60_trim_dup_spans" -> ((s, d) =>
+      Dedup.trimDuplicatedSpans(Tables.documents(s, d), n = 5)),
+
     // extension: corpus length profile — docs + token mass per (source,
     // token-count bucket); integer-div buckets, one hash agg, O(sources ×
     // buckets) output at any corpus size
@@ -528,6 +535,7 @@ object SparkEntry {
     "q56_dup_ngram_coverage" -> Oracles.dupNgramCoverage(5),
     "q57_tfidf_topk" -> Oracles.tfidfTopK(64, 10, 5),
     "q58_length_histogram" -> Oracles.lengthHistogram(50),
+    "q60_trim_dup_spans" -> Oracles.trimDupSpans(5),
     "q59_shard_shuffle" -> Oracles.deterministicShuffle(8),
     "q46_doc_packing" -> Oracles.docPacking(2048, 8),
     "q47_cluster_split" -> Oracles.clusterSplit(90, 16, 4)

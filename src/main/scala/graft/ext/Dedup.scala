@@ -590,6 +590,25 @@ object Dedup {
     */
   def dupNgramCoverage(docs: DataFrame, n: Int = 5, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
+    val (base, coveredPos) = dupSpanPositions(docs, n, idCol, textCol)
+    val covered = coveredPos.groupBy(col(idCol)).agg(countDistinct(col("p")).as("covered_tokens"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double")
+          / when(col("n_tokens") === 0, lit(1L)).otherwise(col("n_tokens")), 6)
+          .as("dup_coverage"))
+  }
+
+  /** Shared derivation for [[dupNgramCoverage]]/[[trimDuplicatedSpans]]:
+    * `base` = (idCol, __ws token array, n_tokens) for every doc, and the
+    * per-doc 1-based token positions lying inside any word n-gram whose
+    * distinct document frequency is ≥ 2 (with duplicates — aggregate
+    * distinct downstream).
+    */
+  private def dupSpanPositions(docs: DataFrame, n: Int, idCol: String,
+                               textCol: String): (DataFrame, DataFrame) = {
     require(n >= 1, "n-gram size must be >= 1")
     val ws = col("__ws")
     val base = docs
@@ -609,15 +628,42 @@ object Dedup {
     val dupGrams = grams.select(col(idCol), col("gram")).distinct()
       .groupBy("gram").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("gram")
-    val covered = grams.join(dupGrams, Seq("gram"))
+    val coveredPos = grams.join(dupGrams, Seq("gram"))
       .select(col(idCol), explode(sequence(col("start"), col("start") + (n - 1))).as("p"))
-      .groupBy(col(idCol)).agg(countDistinct(col("p")).as("covered_tokens"))
-    base.select(col(idCol), col("n_tokens"))
-      .join(covered, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
-        round(coalesce(col("covered_tokens"), lit(0L)).cast("double")
-          / when(col("n_tokens") === 0, lit(1L)).otherwise(col("n_tokens")), 6)
-          .as("dup_coverage"))
+    (base, coveredPos)
+  }
+
+  /** Duplicated-span TRIMMING — the transformation half of exact-substring
+    * dedup (the [[dupNgramCoverage]] signal decides, this one edits): each
+    * document's text is rebuilt from the tokens NOT inside any
+    * cross-document duplicated n-gram, preserving original token order.
+    * Boilerplate shared across docs disappears from every copy; unique
+    * content survives verbatim.
+    *
+    * Output: (idCol, clean_text, n_kept) for EVERY doc (fully-boilerplate
+    * docs come back with empty text — downstream length filters drop them).
+    *
+    * Scale: kept tokens are an anti-join of the positional token stream
+    * against the covered-position stream (both keyed on (id, position) —
+    * proper shuffle keys); text rebuilds via an ordered per-doc aggregate
+    * (sort over each doc's own kept tokens, never a global sort).
+    */
+  def trimDuplicatedSpans(docs: DataFrame, n: Int = 5, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val (base, coveredPos) = dupSpanPositions(docs, n, idCol, textCol)
+    val toksPos = base.select(col(idCol),
+      posexplode(col("__ws")).as(Seq("__p0", "token")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("p"), col("token"))
+    val kept = toksPos.join(coveredPos.distinct(), Seq(idCol, "p"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(collect_list(struct(col("p"), col("token"))).as("__kt"))
+      .select(col(idCol),
+        concat_ws(" ", transform(array_sort(col("__kt")), s => s("token"))).as("clean_text"),
+        size(col("__kt")).cast("long").as("n_kept"))
+    base.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 }

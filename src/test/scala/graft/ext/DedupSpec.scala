@@ -241,6 +241,28 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == ((1L, 0.5)))
   }
 
+  test("trimDuplicatedSpans removes shared windows, keeps unique content in order") {
+    // docs 1/2 share "a b c"; doc 1 keeps its unique tail, doc 2 its head
+    val d = docs(
+      1L -> "a b c x y z",
+      2L -> "q r s a b c",
+      3L -> "u v w")
+    val got = Dedup.trimDuplicatedSpans(d, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("x y z", 3L)))
+    assert(got(2L) == (("q r s", 3L)))
+    assert(got(3L) == (("u v w", 3L))) // nothing shared → untouched
+  }
+
+  test("trimDuplicatedSpans: fully-duplicated doc trims to empty; short docs untouched") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "xy")
+    val got = Dedup.trimDuplicatedSpans(d, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("", 0L)))
+    assert(got(2L) == (("", 0L)))
+    assert(got(3L) == (("xy", 1L)))
+  }
+
   test("CC over star edges equals CC over all candidate pairs (star-contraction soundness)") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog again and again",
