@@ -57,6 +57,10 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // an empty selection (typo'd prefix, empty var) must fail loudly — a
+    // zero-query run would print total=0 with failed=[] and read as healthy
+    require(named.nonEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY=${only.map(_.mkString(","))} matches no registered query")
     val passes = (1 to reps).map { _ =>
       named.map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -40,7 +40,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier(functions.NgramFunctions.Name),
       new ExpressionInfo(classOf[functions.WordNgrams].getName, functions.NgramFunctions.Name),
-      (args: Seq[Expression]) => functions.WordNgrams(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        // first two-arg function in this registry: guard arity so a SQL
+        // call with the wrong count gets an analysis-time message, not an
+        // IndexOutOfBoundsException from args(1)
+        require(args.length == 2,
+          s"${functions.NgramFunctions.Name} requires exactly 2 arguments (tokens, n), got ${args.length}")
+        functions.WordNgrams(args(0), args(1))
+      }))
     // HOF dot-product pattern → fused native loop (pure perf rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     // whole-operator as-of join: AsOfJoinPlan → AsOfJoinExec

@@ -397,14 +397,16 @@ object Oracles {
        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(nt) AS BIGINT) AS sum_tokens
        |FROM t GROUP BY 1, 2""".stripMargin
 
-  /** Mirrors Sampling.deterministicShuffle (seed 0): shard = affine j=7
-    * mod nShards, position = rank of affine j=11 within the shard.
+  /** Mirrors Sampling.deterministicShuffle (seed 0): shard/order are TWO
+    * composed affine steps (j=100∘101 and j=102∘103 — the single-step
+    * form never wraps mod P for small ids, leaving parity- and
+    * order-structure intact; see the Spark-side scaladoc).
     */
   def deterministicShuffle(nShards: Int): String =
     s"""WITH h AS (
        |  SELECT doc_id,
-       |    CAST((${affineHashSql("doc_id", 7)}) % $nShards AS INTEGER) AS shard,
-       |    (${affineHashSql("doc_id", 11)}) AS ord
+       |    CAST((${affineHashSql(affineHashSql("doc_id", 100), 101)}) % $nShards AS INTEGER) AS shard,
+       |    (${affineHashSql(affineHashSql("doc_id", 102), 103)}) AS ord
        |  FROM documents
        |)
        |SELECT doc_id, shard,
@@ -910,13 +912,12 @@ object Oracles {
        |FROM trg t JOIN evg USING (gram)
        |GROUP BY 1""".stripMargin
 
-  /** q56: corpus-wide duplicated n-gram coverage. Same list-function gram
-    * derivation as [[decontamination]], plus positional windows: a doc's
-    * covered tokens = distinct positions inside any gram whose distinct
-    * document frequency is ≥ 2.
+  /** docs/base/grams/dup CTE block shared by the q56/q60 oracles — the SQL
+    * mirror of Dedup.dupSpanPositions (one definition so a gram-derivation
+    * fix can never reach one oracle and miss the other).
     */
-  def dupNgramCoverage(n: Int): String =
-    s"""WITH docs AS (
+  private def dupSpanCtes(n: Int): String =
+    s"""docs AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
        |  FROM documents
@@ -931,7 +932,15 @@ object Oracles {
        |), dup AS (
        |  SELECT gram FROM (
        |    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY 1) WHERE nd >= 2
-       |), cov AS (
+       |)""".stripMargin
+
+  /** q56: corpus-wide duplicated n-gram coverage. Same list-function gram
+    * derivation as [[decontamination]], plus positional windows: a doc's
+    * covered tokens = distinct positions inside any gram whose distinct
+    * document frequency is ≥ 2.
+    */
+  def dupNgramCoverage(n: Int): String =
+    s"""WITH ${dupSpanCtes(n)}, cov AS (
        |  SELECT doc_id, COUNT(DISTINCT p) AS covered FROM (
        |    SELECT doc_id, unnest(generate_series(start, start + ${n - 1})) AS p
        |    FROM grams WHERE gram IN (SELECT gram FROM dup)) GROUP BY 1
@@ -946,22 +955,7 @@ object Oracles {
     * rebuilt with an ordered string_agg.
     */
   def trimDupSpans(n: Int): String =
-    s"""WITH docs AS (
-       |  SELECT doc_id,
-       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
-       |  FROM documents
-       |), base AS (
-       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws FROM docs
-       |), grams AS (
-       |  SELECT doc_id, start,
-       |    array_to_string(list_slice(ws, CAST(start AS INTEGER), CAST(start AS INTEGER) + ${n - 1}), ' ') AS gram
-       |  FROM (
-       |    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${n - 1})) AS start
-       |    FROM base WHERE n_tokens >= $n)
-       |), dup AS (
-       |  SELECT gram FROM (
-       |    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY 1) WHERE nd >= 2
-       |), cov AS (
+    s"""WITH ${dupSpanCtes(n)}, cov AS (
        |  SELECT DISTINCT doc_id, p FROM (
        |    SELECT doc_id, unnest(generate_series(start, start + ${n - 1})) AS p
        |    FROM grams WHERE gram IN (SELECT gram FROM dup))

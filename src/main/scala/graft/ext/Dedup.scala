@@ -224,8 +224,11 @@ object Dedup {
       .localCheckpoint(true)
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint(true)
+    // sum over zero rows is NULL — map it to 0 so an empty node set
+    // converges to an empty result instead of NPE-ing the compare
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var round = 0
@@ -242,6 +245,11 @@ object Dedup {
       val s = labelSum(jumped)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      // overwriting `labels` drops the only reference to the previous
+      // round's checkpointed RDD — the ContextCleaner then frees its
+      // storage blocks (localCheckpoint data is not a cacheManager entry,
+      // so Dataset.unpersist would be a no-op here), keeping peak label
+      // storage O(n), not O(rounds · n)
       labels = jumped
       round += 1
     }

@@ -42,6 +42,19 @@ object Sampling {
     * SECOND independent affine hash within the shard (id tie-break for
     * hash collisions). Output: (idCol, shard, pos).
     *
+    * Both hashes are TWO composed affine steps, not one: a single
+    * `a·x + b mod P` stays linear (never wraps) for ids below ~P/a, so
+    * its low bits inherit the multiplier's parity (a = 37j+11 is even for
+    * odd j — one step would put EVERY row in shard 0 for power-of-two
+    * nShards) and its order is just id order. The second step multiplies
+    * a value that ranges up to P, wrapping mod the prime almost
+    * immediately and destroying the linear structure. Family members
+    * 100+4·seed … 103+4·seed are disjoint from every other consumer
+    * (sampling j=7, packing j=9, MinHash signatures j=0..k-1): reusing
+    * the sampling member would make shard a function of the keep/drop
+    * hash, and a sampled-then-shuffled corpus would degenerate into the
+    * low shards.
+    *
     * Scale: one exchange on `shard` + a per-shard sort — never a global
     * sort. Shards are hash-balanced, so the sort is (corpus/nShards) per
     * task; pick nShards ≈ a few × executor count at 100 TB.
@@ -49,8 +62,10 @@ object Sampling {
   def deterministicShuffle(df: DataFrame, nShards: Int, idCol: String = "doc_id",
                            seed: Int = 0): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    val shard = pmod(Dedup.affineHash(col(idCol), 7 + seed), lit(nShards.toLong))
-    val order = Dedup.affineHash(col(idCol), 11 + seed)
+    def mix(j1: Int, j2: Int) =
+      Dedup.affineHash(Dedup.affineHash(col(idCol), j1), j2)
+    val shard = pmod(mix(100 + 4 * seed, 101 + 4 * seed), lit(nShards.toLong))
+    val order = mix(102 + 4 * seed, 103 + 4 * seed)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__ord"), col(idCol))
     df.select(col(idCol), shard.cast("int").as("shard"), order.as("__ord"))

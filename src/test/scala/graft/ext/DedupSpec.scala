@@ -226,6 +226,12 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) == 4L && got(2L) == 4L)
   }
 
+  test("connectedComponents on an empty node set returns empty, not NPE") {
+    val cc = Dedup.connectedComponents(edgeDf(), nodeDf())
+    assert(cc.count() == 0)
+    assert(cc.columns.toSeq == Seq("doc_id", "component_rep"))
+  }
+
   test("connectedComponents with no edges labels every node as its own singleton") {
     val cc = Dedup.connectedComponents(
       edgeDf(), nodeDf(3L, 7L, 11L))

@@ -55,6 +55,22 @@ class SamplingSpec extends SparkSpec {
     assert(out.toSet == again.toSet)
   }
 
+  test("deterministicShuffle actually permutes: shards balanced, in-shard order is not id order") {
+    val out = Sampling.deterministicShuffle(docs, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byShard = out.groupBy(_._2)
+    assert(byShard.size == 4, s"expected 4 populated shards, got ${byShard.keySet}")
+    // no shard hogs the corpus (the parity-degenerate hash put 100% in shard 0)
+    byShard.values.foreach(rows => assert(rows.length < out.length / 2))
+    // within each shard, ids ordered by position must NOT be sorted — an
+    // unwrapped affine hash is monotone in id and yields the identity order
+    val sortedShards = byShard.values.count { rows =>
+      val ids = rows.sortBy(_._3).map(_._1).toSeq
+      ids == ids.sorted
+    }
+    assert(sortedShards == 0, "in-shard order must differ from id order")
+  }
+
   test("deterministicShuffle: different seeds produce different orders") {
     val a = Sampling.deterministicShuffle(docs, 2, seed = 0).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
