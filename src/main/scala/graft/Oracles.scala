@@ -397,16 +397,17 @@ object Oracles {
        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(nt) AS BIGINT) AS sum_tokens
        |FROM t GROUP BY 1, 2""".stripMargin
 
-  /** Mirrors Sampling.deterministicShuffle (seed 0): shard/order are TWO
-    * composed affine steps (j=100∘101 and j=102∘103 — the single-step
-    * form never wraps mod P for small ids, leaving parity- and
-    * order-structure intact; see the Spark-side scaladoc).
+  /** Mirrors Sampling.deterministicShuffle (seed 0): shard/order are
+    * [[Dedup.mixHash]] hashes (members 100/101 and 104/105) — plain
+    * affine stacks compose to a single affine map mod P whose lattice
+    * leaves shard residues cycling for small ids; see the Spark-side
+    * scaladoc.
     */
   def deterministicShuffle(nShards: Int): String =
     s"""WITH h AS (
        |  SELECT doc_id,
-       |    CAST((${affineHashSql(affineHashSql("doc_id", 100), 101)}) % $nShards AS INTEGER) AS shard,
-       |    (${affineHashSql(affineHashSql("doc_id", 102), 103)}) AS ord
+       |    CAST((${mixSql("doc_id", 100)}) % $nShards AS INTEGER) AS shard,
+       |    (${mixSql("doc_id", 104)}) AS ord
        |  FROM documents
        |)
        |SELECT doc_id, shard,
@@ -973,6 +974,110 @@ object Oracles {
        |  SELECT doc_id, string_agg(token, ' ' ORDER BY p) AS clean_text,
        |    CAST(COUNT(*) AS BIGINT) AS n_kept
        |  FROM kept GROUP BY 1) k USING (doc_id)""".stripMargin
+
+  /** Mirrors [[Dedup.perm5]]: x⁵ mod P via three modular multiplies.
+    * `e` must already be a value in [0, P) — true for affineHashSql
+    * output — so no initial reduction is repeated here.
+    */
+  private def perm5Sql(e: String): String = {
+    val p = Dedup.MinHashP
+    val y2 = s"((($e) * ($e)) % $p)"
+    s"((($y2 * $y2) % $p) * ($e)) % $p"
+  }
+
+  /** Mirrors [[Dedup.mixHash]]: affine ∘ x⁵ ∘ affine, members (j, j+1). */
+  private def mixSql(e: String, j: Int): String =
+    affineHashSql(perm5Sql(affineHashSql(e, j)), j + 1)
+
+  /** Mirrors Sketch.hllRegisters over events(user_id) grouped by
+    * event_type: bucket = hash mod m, register = max rank of the remaining
+    * hash bits, rank via bin()-length (identical in DuckDB and Spark — no
+    * floating point anywhere in the sketch).
+    */
+  def hllRegisters(log2m: Int): String = {
+    val m = 1 << log2m
+    val wBits = 31 - log2m
+    val h = mixSql("user_id", ext.Sketch.HllJ)
+    s"""WITH h AS (SELECT event_type, ($h) AS h FROM events)
+       |SELECT event_type, CAST(h % $m AS INTEGER) AS bucket,
+       |  CAST(MAX(CASE WHEN h // $m = 0 THEN ${wBits + 1}
+       |               ELSE ${wBits + 1} - length(bin(h // $m)) END) AS INTEGER) AS reg
+       |FROM h GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Mirrors the q62 composition: Count-Min sketch (depth × width integer
+    * cells over encoded-token occurrences) + min-over-rows point estimates
+    * for the exact top-k tokens. Token encoding is the [[Dedup.encodeToken]]
+    * fold; hashes are the CM block of the affine family.
+    */
+  def cmHeavyHitters(k: Int, depth: Int, width: Int): String = {
+    val enc = (1 to 8).map(i =>
+      s"CAST(ascii(substring(token, $i, 1)) % 128 AS BIGINT) * ${1L << (7 * (8 - i))}").mkString(" + ")
+    val bucketCases = (0 until depth).map(r =>
+      s"WHEN $r THEN (${mixSql("x", ext.Sketch.CmJ + 2 * r)}) % $width").mkString(" ")
+    val rows = (0 until depth).map(r => s"($r)").mkString(",")
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS token
+       |  FROM documents
+       |), enc AS (SELECT token, ($enc) AS x FROM toks
+       |), buck AS (
+       |  SELECT r, CASE r $bucketCases END AS bucket
+       |  FROM enc CROSS JOIN (VALUES $rows) v(r)
+       |), sketch AS (
+       |  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM buck GROUP BY 1, 2
+       |), top AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1
+       |  ORDER BY n DESC, token LIMIT $k
+       |), qe AS (SELECT token, n, ($enc) AS x FROM top
+       |), qb AS (
+       |  SELECT token, n, r, CASE r $bucketCases END AS bucket
+       |  FROM qe CROSS JOIN (VALUES $rows) v(r)
+       |)
+       |SELECT token, n, CAST(MIN(cnt) AS BIGINT) AS est
+       |FROM qb JOIN sketch USING (r, bucket) GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Mirrors Sketch.bloomSemiJoin: orders surviving the k-hash Bloom
+    * filter of BUILDING customers' keys — set-bit positions as a DISTINCT
+    * position table, pass iff all k probe positions hit.
+    */
+  def bloomSemiJoin(k: Int, mBits: Int): String = {
+    def pos(e: String, i: Int) =
+      s"(${mixSql(e, ext.Sketch.BloomJ + 2 * i)}) % $mBits"
+    val buildPos = (0 until k).map(i => pos("c_custkey", i)).mkString(", ")
+    val probePos = (0 until k).map(i => pos("o_custkey", i)).mkString(", ")
+    s"""WITH bits AS (
+       |  SELECT DISTINCT pos FROM (
+       |    SELECT unnest([$buildPos]) AS pos
+       |    FROM customer WHERE c_mktsegment = 'BUILDING')
+       |), probe AS (
+       |  SELECT o_orderkey, o_custkey, unnest([$probePos]) AS pos FROM orders
+       |)
+       |SELECT o_orderkey, o_custkey
+       |FROM probe JOIN bits USING (pos)
+       |GROUP BY 1, 2 HAVING COUNT(*) = $k""".stripMargin
+  }
+
+  /** Mirrors the q64 ROLLUP: detail/subtotal/grand-total in one grouping-
+    * sets pass, GROUPING bitmask disambiguating subtotal NULLs. SUM of the
+    * integral-valued DOUBLE l_quantity is order-independent (< 2^53).
+    */
+  val salesRollup: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS n, SUM(l_quantity) AS qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Mirrors the q65 pivot: hour-of-day × event-type counts as conditional
+    * aggregates over the pinned type list.
+    */
+  def eventsPivot(types: Seq[String]): String = {
+    val cols = types.map(t =>
+      s"CAST(COUNT(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS $t").mkString(",\n  ")
+    s"""SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+       |  $cols
+       |FROM events GROUP BY 1""".stripMargin
+  }
 
   val eventSessions: String =
     """WITH base AS (

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity, TextAnalysis, TfIdf}
+import graft.ext.{Dedup, Similarity, Sketch, TextAnalysis, TfIdf}
 import graft.transform.{Aggregate, Clean, Enrich, Inventory}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
@@ -457,6 +457,55 @@ object SparkEntry {
         permille = Seq("en" -> 800), defaultPermille = 500, minQuality = 0.2,
         trainPct = 90, packBudget = 2048L, nBuckets = 8)),
 
+    // extension: engine-portable HyperLogLog — distinct-user registers per
+    // event type: one hash-agg over raw rows (max is idempotent, no
+    // pre-distinct), O(types · 64) mergeable state at any event volume;
+    // rank derived via bin()-length, no floating point in the sketch
+    "q61_hll_users" -> ((s, d) =>
+      Sketch.hllRegisters(Tables.events(s, d), keyCol = "user_id",
+        groupCols = Seq("event_type"), log2m = 6)),
+
+    // extension: Count-Min frequency sketch — 4×2048 integer cell table
+    // over token occurrences (one posexplode + one hash-agg), then point
+    // estimates (min over rows) for the exact top-50 tokens; est ≥ n is
+    // the sketch's one-sided error, identical in both engines
+    "q62_cm_heavy_hitters" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(
+        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      val sketch = Sketch.countMinSketch(toks, Dedup.encodeToken(col("token")))
+      val top = TextAnalysis.topTokens(docs, k = 50).select("token", "n")
+      Sketch.cmEstimate(sketch, top, Dedup.encodeToken(col("token")))
+    },
+
+    // extension: Bloom-filter semi-join — orders rows surviving a k=3,
+    // 8192-bit filter built from BUILDING customers' keys (false positives
+    // included by construction: the surviving set is a pure function of
+    // the portable hash family, so the oracle reproduces it exactly)
+    "q63_bloom_semijoin" -> ((s, d) =>
+      Sketch.bloomSemiJoin(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey"), "o_custkey",
+        Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING"), "c_custkey")),
+
+    // OLAP breadth: ROLLUP grouping sets over lineitem — detail /
+    // per-flag subtotal / grand total in one pass (Catalyst Expand), with
+    // grouping_id disambiguating subtotal rows from genuine NULL groups
+    "q64_sales_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d).rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), sum("l_quantity").as("qty"))),
+
+    // OLAP breadth: pivot — hour-of-day × event-type count matrix with a
+    // PINNED value list (open-ended pivot needs a distinct-values job and
+    // makes the schema data-dependent; at 100 TB the domain is declared)
+    "q65_events_pivot" -> { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, d)
+        .withColumn("hr", hour(col("ts")).cast("long"))
+        .groupBy("hr").pivot("event_type", types).agg(count(lit(1)))
+      p.select(col("hr") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    },
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -538,6 +587,11 @@ object SparkEntry {
     "q60_trim_dup_spans" -> Oracles.trimDupSpans(5),
     "q59_shard_shuffle" -> Oracles.deterministicShuffle(8),
     "q46_doc_packing" -> Oracles.docPacking(2048, 8),
-    "q47_cluster_split" -> Oracles.clusterSplit(90, 16, 4)
+    "q47_cluster_split" -> Oracles.clusterSplit(90, 16, 4),
+    "q61_hll_users" -> Oracles.hllRegisters(6),
+    "q62_cm_heavy_hitters" -> Oracles.cmHeavyHitters(50, 4, 2048),
+    "q63_bloom_semijoin" -> Oracles.bloomSemiJoin(3, 8192),
+    "q64_sales_rollup" -> Oracles.salesRollup,
+    "q65_events_pivot" -> Oracles.eventsPivot(Seq("click", "error", "purchase", "signup", "view"))
   )
 }

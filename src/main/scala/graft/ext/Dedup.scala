@@ -42,6 +42,37 @@ object Dedup {
   def affineHash(c: Column, j: Int): Column =
     (lit(hashA(j)) * pmod(c, lit(MinHashP)) + lit(hashB(j))) % MinHashP
 
+  /** The degree-5 power permutation x⁵ mod P — bijective because
+    * gcd(5, P−1) = 1 for the Mersenne prime P = 2³¹−1 (the same S-box
+    * construction arithmetic-friendly hashes like Poseidon use). Three
+    * modular multiplies, every intermediate < 2⁶² (ANSI-overflow-safe),
+    * and expressible identically in any SQL engine.
+    */
+  def perm5(c: Column): Column = {
+    val y = pmod(c, lit(MinHashP))
+    val y2 = (y * y) % MinHashP
+    val y4 = (y2 * y2) % MinHashP
+    (y4 * y) % MinHashP
+  }
+
+  /** affine ∘ x⁵ ∘ affine (family members j, j+1) — the mixing hash for
+    * anything that consumes hash BITS (shards, buckets, ranks) rather
+    * than hash ORDER (MinHash only needs min-stability; one affine step
+    * suffices there).
+    *
+    * Why the S-box: COMPOSING affine steps mod the same P is still affine
+    * (a₂(a₁x+b₁)+b₂ = (a₁a₂)x + c mod P), so any stack of them maps
+    * sequential keys to an arithmetic progression mod P — a lattice whose
+    * low-bit residues cycle (shard skew) and whose top-bit max-rank
+    * statistics are nothing like uniform (HLL undercounts 3×). The
+    * degree-5 step is genuinely nonlinear, breaking the lattice at every
+    * input magnitude, while the bracketing affines separate family
+    * members (different j ⇒ different permutation) and scatter the
+    * S-box output.
+    */
+  def mixHash(c: Column, j: Int): Column =
+    affineHash(perm5(affineHash(c, j)), j + 1)
+
   /** Distinct character n-gram shingles of a text column; empty array when
     * the text is shorter than n (guarded: Spark's `sequence(1,0)` would
     * descend, not return empty).

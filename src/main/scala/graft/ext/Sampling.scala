@@ -42,15 +42,15 @@ object Sampling {
     * SECOND independent affine hash within the shard (id tie-break for
     * hash collisions). Output: (idCol, shard, pos).
     *
-    * Both hashes are TWO composed affine steps, not one: a single
-    * `a·x + b mod P` stays linear (never wraps) for ids below ~P/a, so
-    * its low bits inherit the multiplier's parity (a = 37j+11 is even for
-    * odd j — one step would put EVERY row in shard 0 for power-of-two
-    * nShards) and its order is just id order. The second step multiplies
-    * a value that ranges up to P, wrapping mod the prime almost
-    * immediately and destroying the linear structure. Family members
-    * 100+4·seed … 103+4·seed are disjoint from every other consumer
-    * (sampling j=7, packing j=9, MinHash signatures j=0..k-1): reusing
+    * Both hashes are [[Dedup.mixHash]] (affine ∘ x⁵ ∘ affine): a plain
+    * affine step `a·x + b mod P` stays linear (never wraps) for ids below
+    * ~P/a, so its low bits inherit the multiplier's parity (a = 37j+11
+    * is even for odd j — one step would put EVERY row in shard 0 for
+    * power-of-two nShards) and its order is just id order — and STACKING
+    * affine steps cannot help, because their composition mod P is again
+    * affine (see the mixHash scaladoc). Family members 100+8·seed …
+    * 105+8·seed are disjoint from every other consumer (sampling j=7,
+    * packing j=9, MinHash signatures j=0..k-1, sketches 200+): reusing
     * the sampling member would make shard a function of the keep/drop
     * hash, and a sampled-then-shuffled corpus would degenerate into the
     * low shards.
@@ -62,10 +62,8 @@ object Sampling {
   def deterministicShuffle(df: DataFrame, nShards: Int, idCol: String = "doc_id",
                            seed: Int = 0): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    def mix(j1: Int, j2: Int) =
-      Dedup.affineHash(Dedup.affineHash(col(idCol), j1), j2)
-    val shard = pmod(mix(100 + 4 * seed, 101 + 4 * seed), lit(nShards.toLong))
-    val order = mix(102 + 4 * seed, 103 + 4 * seed)
+    val shard = pmod(Dedup.mixHash(col(idCol), 100 + 8 * seed), lit(nShards.toLong))
+    val order = Dedup.mixHash(col(idCol), 104 + 8 * seed)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__ord"), col(idCol))
     df.select(col(idCol), shard.cast("int").as("shard"), order.as("__ord"))

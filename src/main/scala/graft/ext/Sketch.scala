@@ -1,0 +1,190 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed, engine-portable sketches for corpus-scale profiling:
+  * HyperLogLog registers (distinct counting), Count-Min (frequency
+  * estimation), and a Bloom-filter semi-join (pre-shuffle row pruning).
+  *
+  * Like the rest of the extension surface, every hash here is the modular
+  * affine family ([[Dedup.affineHash]]) — no JVM `hashCode`, no Spark
+  * `hash()` — so a SQL oracle reproduces bit-identical sketch contents.
+  * Each consumer owns a disjoint block of family members (MinHash j=0..15,
+  * sampling 7, packing 9, shuffle 100-115; sketches take 200+) so no two
+  * pipeline stages ever share a hash.
+  *
+  * Every sketch hash is [[Dedup.mixHash]] (affine ∘ x⁵ ∘ affine): stacked
+  * affine steps compose to a single affine map mod P, whose lattice
+  * structure skews bucket residues and wrecks HLL's max-rank statistics
+  * on sequential keys — the degree-5 S-box breaks it (see the mixHash
+  * scaladoc).
+  *
+  * Scale design: all three are one narrow projection followed by one
+  * hash-aggregate with map-side partial combine (HLL `max`, CM `count`) or
+  * one broadcast equi-join (Bloom) — the sketch state is O(m), never
+  * O(rows), so 1000 executors aggregate 100 TB into a few KB per group.
+  */
+object Sketch {
+
+  // ------------------------------------------------------------ HyperLogLog
+
+  /** First family member of the HLL mixHash pair (200, 201). */
+  val HllJ: Int = 200
+
+  /** HLL registers of `COUNT(DISTINCT keyCol)` per group: bucket = low
+    * `log2m` bits of the hash, register = max over rows of the rank
+    * (leading-zero count + 1) of the remaining `31 - log2m` hash bits.
+    * Only populated buckets appear (absent bucket ⇔ register 0).
+    *
+    * The rank is derived WITHOUT floating point or `log`: the hash is
+    * < 2^31 (mod [[Dedup.MinHashP]]), so `w = h >> log2m` has
+    * `wBits = 31 - log2m` usable bits and
+    * `rank = wBits + 1 - length(bin(w))` — `bin()` (binary string, no
+    * leading zeros) exists with identical semantics in Spark and DuckDB,
+    * keeping the whole sketch integer-exact across engines.
+    *
+    * `max` is idempotent, so the input needs NO pre-distinct — the
+    * register table is one hash-aggregate with map-side partial combine
+    * over the raw rows: state O(groups · m) regardless of corpus size,
+    * and re-aggregating registers from per-partition sketches is the same
+    * `max`, i.e. the sketch is mergeable exactly as HLL requires.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, groupCols: Seq[String],
+                   log2m: Int = 6): DataFrame = {
+    require(log2m >= 2 && log2m <= 16, s"log2m out of [2, 16]: $log2m")
+    val m = 1 << log2m
+    val wBits = 31 - log2m
+    val h = Dedup.mixHash(col(keyCol), HllJ)
+    val w = shiftright(h, log2m)
+    val rank = when(w === 0, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(w)))
+    df.select(groupCols.map(col) :+ (h % m).cast("int").as("bucket") :+ rank.as("r"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("r")).cast("int").as("reg"))
+  }
+
+  /** Cardinality estimate per group from a [[hllRegisters]] table: the
+    * classic HLL harmonic mean with linear counting below 2.5m. Driver-side
+    * uses of `log`/`pow` here are fine — the ESTIMATE is a diagnostic (its
+    * spec asserts relative error); the REGISTERS are the exact-oracle
+    * artifact.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String],
+                  log2m: Int = 6): DataFrame = {
+    val m = 1 << log2m
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
+    // Σ 2^-reg over ALL m buckets: absent buckets carry register 0 (2^0=1)
+    val present = registers.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_present"),
+        sum(lit(1.0) / pow(lit(2.0), col("reg"))).as("z_present"))
+    present.select(groupCols.map(col) :+ {
+      val z = col("z_present") + (lit(m) - col("n_present"))
+      val raw = lit(alpha * m * m) / z
+      val zeros = lit(m) - col("n_present")
+      // linear-counting small-range correction (standard HLL practice)
+      when(raw <= m * 2.5 && zeros > 0,
+        round(lit(m.toDouble) * log(lit(m.toDouble) / zeros)).cast("long"))
+        .otherwise(round(raw).cast("long")).as("est")
+    }: _*)
+  }
+
+  // -------------------------------------------------------------- Count-Min
+
+  /** First family member of the CM mixHash pairs: row r uses (210+2r, 211+2r). */
+  val CmJ: Int = 210
+
+  /** Count-Min sketch of item frequencies: `depth` independent hash rows ×
+    * `width` buckets, cell = number of input rows hashing there. Input is
+    * one row per OCCURRENCE (no pre-distinct — multiplicity is the point).
+    *
+    * Plan: one `posexplode` of the depth bucket ids (single scan, no
+    * depth-way union) → one hash-aggregate on (row, bucket). State is
+    * O(depth · width) regardless of item cardinality — the table a
+    * 100 TB vocabulary sweep can afford where an exact per-token count
+    * cannot. Cells are mergeable by `+`, so per-partition partial combine
+    * is exact.
+    */
+  def countMinSketch(items: DataFrame, itemCol: Column,
+                     depth: Int = 4, width: Int = 2048): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth out of [1, 8]: $depth")
+    require(width >= 2, s"width must be >= 2: $width")
+    val buckets = array((0 until depth).map(r =>
+      Dedup.mixHash(itemCol, CmJ + 2 * r) % width): _*)
+    items.select(posexplode(buckets).as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("row").cast("int").as("row"), col("bucket"), col("cnt"))
+  }
+
+  /** Point-estimate item frequencies from a [[countMinSketch]]: for each
+    * query item, `min` over the depth rows of the cell it hashes to —
+    * an upper bound on the true count (collisions only ever inflate).
+    *
+    * `queries` carries one row per item in `itemCol`; all its columns are
+    * kept. The sketch side is O(depth·width) rows — broadcast — so the
+    * lookup is a broadcast join however large the query set.
+    */
+  def cmEstimate(sketch: DataFrame, queries: DataFrame, itemCol: Column,
+                 depth: Int = 4, width: Int = 2048): DataFrame = {
+    val buckets = array((0 until depth).map(r =>
+      Dedup.mixHash(itemCol, CmJ + 2 * r) % width): _*)
+    val keep = queries.columns
+    queries.select(queries.columns.map(col) :+ posexplode(buckets).as(Seq("row", "bucket")): _*)
+      .withColumn("bucket", col("bucket").cast("int"))
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(keep.map(col): _*)
+      .agg(min(col("cnt")).as("est"))
+  }
+
+  // ------------------------------------------------------------------ Bloom
+
+  /** First family member of the Bloom mixHash pairs: probe i uses (230+2i, 231+2i). */
+  val BloomJ: Int = 230
+
+  private def bloomPositions(key: Column, k: Int, mBits: Int): Column =
+    array((0 until k).map(i =>
+      Dedup.mixHash(key, BloomJ + 2 * i) % mBits): _*)
+
+  /** Bloom-filter semi-join: keep the `probe` rows whose `probeKey` passes
+    * a `k`-hash, `mBits`-bit Bloom filter built from `build`'s `buildKey`
+    * set — the classic pre-shuffle reduction when the build side's KEYS fit
+    * in memory but the probe side is the 100 TB fact table. Deliberately
+    * admits the filter's false positives (a pure function of the hash
+    * family, so the oracle reproduces the exact surviving row set).
+    *
+    * The filter is represented as the distinct SET-BIT POSITION table
+    * (≤ mBits rows) rather than a packed bitmap: membership is then one
+    * BROADCAST equi-join on `pos` — Catalyst's own join machinery, fully
+    * codegen — and a `count == k` per probe row. A probe row whose k
+    * positions collide still passes correctly: each of its k exploded
+    * rows either matches or not, so the count reaches k iff every
+    * position is set.
+    *
+    * Scale: build side aggregates to ≤ mBits longs (broadcast KBs); probe
+    * side is a narrow explode(k) → broadcast join → count-back — no
+    * shuffle of the fact table at all when the downstream consumes the
+    * surviving rows without regrouping.
+    */
+  def bloomSemiJoin(probe: DataFrame, probeKey: String,
+                    build: DataFrame, buildKey: String,
+                    k: Int = 3, mBits: Int = 8192): DataFrame = {
+    require(k >= 1 && k <= 8, s"k out of [1, 8]: $k")
+    require(mBits >= 64, s"mBits must be >= 64: $mBits")
+    val bits = build
+      .select(explode(bloomPositions(col(buildKey), k, mBits)).as("pos"))
+      .distinct()
+    val keep = probe.columns
+    probe.select(keep.map(col) :+ explode(bloomPositions(col(probeKey), k, mBits)).as("pos"): _*)
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy(keep.map(col): _*)
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === k)
+      .drop("__hits")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SketchSpec extends SparkSpec {
+
+  private def ids(n: Int) = {
+    import spark.implicits._
+    (0L until n.toLong).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("k", "g")
+  }
+
+  // ------------------------------------------------------------ HyperLogLog
+
+  test("hllRegisters: registers are partitioning-invariant and duplicate-insensitive") {
+    val base = Sketch.hllRegisters(ids(500), "k", Seq("g")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val repart = Sketch.hllRegisters(ids(500).repartition(7), "k", Seq("g")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val dups = Sketch.hllRegisters(ids(500).union(ids(500)), "k", Seq("g")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(base == repart, "registers must not depend on partitioning")
+    assert(base == dups, "max is idempotent: duplicates must not move registers")
+  }
+
+  test("hllRegisters: sketch merge (max of registers) equals sketch of union") {
+    val left = ids(400).filter(col("k") < 200)
+    val right = ids(400).filter(col("k") >= 100) // overlapping halves
+    val merged = Sketch.hllRegisters(left, "k", Seq("g"))
+      .union(Sketch.hllRegisters(right, "k", Seq("g")))
+      .groupBy("g", "bucket").agg(max("reg").cast("int").as("reg"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val whole = Sketch.hllRegisters(ids(400), "k", Seq("g")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(merged == whole)
+  }
+
+  test("hllEstimate: within 25% of the true cardinality at n=2000") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, "x")).toDF("k", "g")
+    val est = Sketch.hllEstimate(
+      Sketch.hllRegisters(df, "k", Seq("g")), Seq("g")).head().getLong(1)
+    // m=64 → σ ≈ 13% for ideal hashes; the 2-wise affine family is
+    // deliberately weaker (engine portability over independence) — bound
+    // loosely, this is a sanity rail not a precision claim
+    assert(est > 1500 && est < 2500, s"estimate $est too far from 2000")
+  }
+
+  test("hllEstimate: small-range linear counting stays near-exact") {
+    import spark.implicits._
+    val df = (0L until 30L).map(i => (i, "x")).toDF("k", "g")
+    val est = Sketch.hllEstimate(
+      Sketch.hllRegisters(df, "k", Seq("g")), Seq("g")).head().getLong(1)
+    assert(est >= 25 && est <= 35, s"linear-counting estimate $est far from 30")
+  }
+
+  // -------------------------------------------------------------- Count-Min
+
+  test("countMinSketch: cell totals per row equal the input row count") {
+    import spark.implicits._
+    val items = Seq.tabulate(300)(i => i.toLong % 17L).toDF("x")
+    val sk = Sketch.countMinSketch(items, col("x"), depth = 4, width = 64)
+    val perRow = sk.groupBy("row").agg(sum("cnt").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perRow.keySet == Set(0, 1, 2, 3))
+    assert(perRow.values.forall(_ == 300L), s"every row must account for all items: $perRow")
+  }
+
+  test("cmEstimate: upper-bounds the true count and is exact without collisions") {
+    import spark.implicits._
+    // 10 distinct items, width 2048 → collisions vanishingly unlikely
+    val items = (0 until 10).flatMap(i => Seq.fill(i + 1)(i.toLong)).toDF("x")
+    val truth = items.groupBy("x").agg(count(lit(1)).as("n"))
+    val sk = Sketch.countMinSketch(items, col("x"))
+    val out = Sketch.cmEstimate(sk, truth, col("x")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 10)
+    out.foreach { case (x, n, est) =>
+      assert(est >= n, s"CM estimate must never undercount: item $x est $est < $n")
+      assert(est == n, s"width 2048 with 10 items should be collision-free: $x $est vs $n")
+    }
+  }
+
+  // ------------------------------------------------------------------ Bloom
+
+  test("bloomSemiJoin: every true member survives; result is deterministic") {
+    import spark.implicits._
+    val build = (0L until 50L).map(i => i * 3).toDF("bk")
+    val probe = (0L until 300L).map(i => (i, i % 150)).toDF("id", "pk")
+    val out = Sketch.bloomSemiJoin(probe, "pk", build, "bk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val members = probe.join(build, col("pk") === col("bk"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(members.subsetOf(out), "a Bloom filter has no false negatives")
+    val again = Sketch.bloomSemiJoin(probe.repartition(5), "pk", build, "bk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == again, "surviving set is a pure function of the keys")
+  }
+
+  test("bloomSemiJoin: false-positive rate stays near theory at 8192 bits") {
+    import spark.implicits._
+    val build = (0L until 500L).toDF("bk")
+    val probe = (10000L until 14000L).map(i => (i, i)).toDF("id", "pk") // disjoint keys
+    val fp = Sketch.bloomSemiJoin(probe, "pk", build, "bk").count()
+    // k=3, m=8192, n=500 → p ≈ (1-e^(-3·500/8192))^3 ≈ 0.47% → ~19 of 4000.
+    // The affine family is only 2-wise independent; allow a wide rail.
+    assert(fp < 200, s"false-positive count $fp implausibly high")
+  }
+}
