@@ -159,17 +159,18 @@ object Sketch {
     * family, so the oracle reproduces the exact surviving row set).
     *
     * The filter is represented as the distinct SET-BIT POSITION table
-    * (≤ mBits rows) rather than a packed bitmap: membership is then one
-    * BROADCAST equi-join on `pos` — Catalyst's own join machinery, fully
-    * codegen — and a `count == k` per probe row. A probe row whose k
-    * positions collide still passes correctly: each of its k exploded
-    * rows either matches or not, so the count reaches k iff every
-    * position is set.
+    * (≤ mBits rows) rather than a packed bitmap, and membership is k
+    * successive LEFT SEMI broadcast joins — one per hash, each on a
+    * computed position column. The fact side is never exploded, never
+    * aggregated, and NEVER SHUFFLED: each semi join is a broadcast probe
+    * inside whole-stage codegen, so surviving rows flow straight to the
+    * downstream consumer. (A first cut exploded the k positions and
+    * counted matches back per row — the count-back regrouped, i.e.
+    * shuffled, the whole fact table, defeating the filter's purpose.)
     *
-    * Scale: build side aggregates to ≤ mBits longs (broadcast KBs); probe
-    * side is a narrow explode(k) → broadcast join → count-back — no
-    * shuffle of the fact table at all when the downstream consumes the
-    * surviving rows without regrouping.
+    * Scale: build side aggregates to ≤ mBits rows (broadcast KBs, and
+    * the identical subtree is planned once via exchange reuse); probe
+    * side cost is k broadcast-hash probes per row.
     */
   def bloomSemiJoin(probe: DataFrame, probeKey: String,
                     build: DataFrame, buildKey: String,
@@ -179,12 +180,9 @@ object Sketch {
     val bits = build
       .select(explode(bloomPositions(col(buildKey), k, mBits)).as("pos"))
       .distinct()
-    val keep = probe.columns
-    probe.select(keep.map(col) :+ explode(bloomPositions(col(probeKey), k, mBits)).as("pos"): _*)
-      .join(broadcast(bits), Seq("pos"))
-      .groupBy(keep.map(col): _*)
-      .agg(count(lit(1)).as("__hits"))
-      .filter(col("__hits") === k)
-      .drop("__hits")
+    (0 until k).foldLeft(probe) { (acc, i) =>
+      val pos = Dedup.mixHash(col(probeKey), BloomJ + 2 * i) % mBits
+      acc.join(broadcast(bits), pos === bits("pos"), "left_semi")
+    }
   }
 }
