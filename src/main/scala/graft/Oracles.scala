@@ -1079,6 +1079,25 @@ object Oracles {
        |FROM events GROUP BY 1""".stripMargin
   }
 
+  /** Mirrors TextAnalysis.tokenCountQuantiles: aggregate by token-count
+    * value, cumulative window over the tiny value domain, all-integer
+    * ceiling threshold selection (`cum·q >= (d+1)·N`).
+    */
+  def tokenCountQuantiles(q: Int): String =
+    s"""WITH t AS (
+       |  SELECT CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS v
+       |  FROM documents
+       |), vals AS (
+       |  SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1
+       |), cum AS (
+       |  SELECT v, CAST(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM vals
+       |), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vals)
+       |SELECT quantile, MIN(v) AS threshold, MIN(cum) AS n_le
+       |FROM cum CROSS JOIN tot CROSS JOIN (SELECT unnest(range($q)) AS quantile)
+       |WHERE cum * $q >= (quantile + 1) * n
+       |GROUP BY 1""".stripMargin
+
   val eventSessions: String =
     """WITH base AS (
       |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events

@@ -506,6 +506,13 @@ object SparkEntry {
       p.select(col("hr") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
     },
 
+    // extension: exact corpus length deciles — aggregate BY VALUE first
+    // (O(distinct token counts) rows), then a cumulative window over that
+    // tiny table: distributed-exact quantiles with no global row sort and
+    // no float sketch; all-integer ceiling thresholds
+    "q66_token_deciles" -> ((s, d) =>
+      TextAnalysis.tokenCountQuantiles(Tables.documents(s, d), q = 10)),
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -592,6 +599,7 @@ object SparkEntry {
     "q62_cm_heavy_hitters" -> Oracles.cmHeavyHitters(50, 4, 2048),
     "q63_bloom_semijoin" -> Oracles.bloomSemiJoin(3, 8192),
     "q64_sales_rollup" -> Oracles.salesRollup,
-    "q65_events_pivot" -> Oracles.eventsPivot(Seq("click", "error", "purchase", "signup", "view"))
+    "q65_events_pivot" -> Oracles.eventsPivot(Seq("click", "error", "purchase", "signup", "view")),
+    "q66_token_deciles" -> Oracles.tokenCountQuantiles(10)
   )
 }

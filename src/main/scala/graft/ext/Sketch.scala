@@ -52,16 +52,25 @@ object Sketch {
     */
   def hllRegisters(df: DataFrame, keyCol: String, groupCols: Seq[String],
                    log2m: Int = 6): DataFrame = {
+    val (bucket, rank) = hllBucketRank(col(keyCol), log2m)
+    df.select(groupCols.map(col) :+ bucket.as("bucket") :+ rank.as("r"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("r")).cast("int").as("reg"))
+  }
+
+  /** The (bucket, rank) projection under [[hllRegisters]], exposed so other
+    * groupings (e.g. a watermarked streaming window) can build the same
+    * sketch: register tables from ANY grouping merge with plain `max`.
+    */
+  def hllBucketRank(key: Column, log2m: Int = 6): (Column, Column) = {
     require(log2m >= 2 && log2m <= 16, s"log2m out of [2, 16]: $log2m")
     val m = 1 << log2m
     val wBits = 31 - log2m
-    val h = Dedup.mixHash(col(keyCol), HllJ)
+    val h = Dedup.mixHash(key, HllJ)
     val w = shiftright(h, log2m)
     val rank = when(w === 0, lit(wBits + 1))
       .otherwise(lit(wBits + 1) - length(bin(w)))
-    df.select(groupCols.map(col) :+ (h % m).cast("int").as("bucket") :+ rank.as("r"): _*)
-      .groupBy((groupCols :+ "bucket").map(col): _*)
-      .agg(max(col("r")).cast("int").as("reg"))
+    ((h % m).cast("int"), rank)
   }
 
   /** Cardinality estimate per group from a [[hllRegisters]] table: the

@@ -175,6 +175,39 @@ object TextAnalysis {
       .groupBy(col(srcCol), expr(s"__nt div $bucketTokens").as("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("sum_tokens"))
 
+  /** Exact integer quantile thresholds of the per-document token count:
+    * for each of `q` quantiles d = 0..q-1, the smallest token count whose
+    * cumulative document count reaches `(d+1)·N/q` (ceiling semantics via
+    * `cum·q >= (d+1)·N` — all-integer, engine-portable, no interpolation).
+    * Output: (quantile, threshold, n_le) where n_le is the cumulative
+    * document count at the threshold.
+    *
+    * Scale: the distributed-exact quantile pattern — aggregate BY VALUE
+    * first (one hash-agg; token counts have a small domain, so the result
+    * is O(distinct values), independent of corpus size), then a cumulative
+    * window + threshold selection over that tiny table. The unpartitioned
+    * window is deliberate and safe: it runs over the aggregated domain,
+    * never the corpus. Avoids both a global row sort (the naive
+    * `ntile(q)` plan) and float quantile sketches (not oracle-exact).
+    */
+  def tokenCountQuantiles(docs: DataFrame, q: Int = 10,
+                          textCol: String = "text"): DataFrame = {
+    require(q >= 2 && q <= 1000, s"q out of [2, 1000]: $q")
+    val vals = docs.select(tokenCount(col(textCol)).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = vals.select(col("v"), sum(col("cnt")).over(w).as("cum"))
+      .crossJoin(vals.agg(sum(col("cnt")).as("n")))
+    cum.crossJoin(spark(docs).range(q).select(col("id").as("quantile")))
+      .filter(col("cum") * q >= (col("quantile") + 1) * col("n"))
+      .groupBy(col("quantile"))
+      .agg(min(col("v")).as("threshold"), min(col("cum")).as("n_le"))
+  }
+
+  private def spark(df: DataFrame) = df.sparkSession
+
   /** Full per-document stats frame.
     *
     * The token array is materialized once per row (`toks` projection) and

@@ -132,6 +132,26 @@ object Streams {
       closed.iterator
     }
 
+  /** Streaming HyperLogLog: hourly distinct-user registers per event type
+    * — the same engine-portable sketch as the batch
+    * [[graft.ext.Sketch.hllRegisters]] (identical bucket/rank projection),
+    * grouped by a watermarked tumbling window. `max` is a supported
+    * streaming aggregate and the state is O(types · 2^log2m) per open
+    * window, so a forever-running ingest tracks approximate hourly
+    * uniques in constant memory — registers emitted on window close merge
+    * with the batch sketch by plain `max` (e.g. for a daily rollup).
+    */
+  def hllUsersHourly(events: DataFrame, log2m: Int = 6,
+                     watermark: String = "1 hour"): DataFrame = {
+    val (bucket, rank) = graft.ext.Sketch.hllBucketRank(col("user_id"), log2m)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"), bucket.as("bucket"), rank.as("r"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"), col("bucket"))
+      .agg(max(col("r")).cast("int").as("reg"))
+      .select(col("w.start").as("hour"), col("event_type"), col("bucket"), col("reg"))
+  }
+
   /** Streaming exact dedup: drops events whose `idCol` was already seen,
     * with state bounded by the watermark — the streaming face of the batch
     * exact-dedup operator (Dedup.exactDedup) for at-least-once sources

@@ -102,4 +102,24 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(out == Set(("a", 1L, 2L, 5L), ("a", 0L, 1L, 1L), ("b", 0L, 1L, 0L)))
   }
+
+  test("tokenCountQuantiles: exact ceiling thresholds on a known distribution") {
+    // token counts: 1,1,1,1,2,2,3,4 (N=8). Quartiles (q=4): threshold_d =
+    // smallest v with cum*4 >= (d+1)*8 → d0: cum>=2 → v=1 (cum 4);
+    // d1: cum>=4 → v=1; d2: cum>=6 → v=2 (cum 6); d3: cum>=8 → v=3? cum(3)=7 <8 → v=4 (cum 8)
+    val d = df("doc_id BIGINT, text STRING", (1 to 4).map(i => Row(i.toLong, "w")) ++ Seq(
+      Row(5L, "w w"), Row(6L, "w w"), Row(7L, "w w w"), Row(8L, "w w w w")))
+    val out = TextAnalysis.tokenCountQuantiles(d, q = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((0L, 1L, 4L), (1L, 1L, 4L), (2L, 2L, 6L), (3L, 4L, 8L)))
+  }
+
+  test("tokenCountQuantiles: every quantile gets a row and thresholds are monotone") {
+    val d = df("doc_id BIGINT, text STRING",
+      (1 to 100).map(i => Row(i.toLong, Seq.fill(i)("w").mkString(" "))))
+    val out = TextAnalysis.tokenCountQuantiles(d, q = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until 10L))
+    assert(out.map(_._2).toSeq == (10L to 100L by 10L), s"got ${out.toSeq}")
+  }
 }
