@@ -1098,6 +1098,23 @@ object Oracles {
        |WHERE cum * $q >= (quantile + 1) * n
        |GROUP BY 1""".stripMargin
 
+  /** q67 oracle: the PLAIN join — SkewJoin.saltedJoin must be row-for-row
+    * identical to the unsalted join or the mitigation is a correctness bug.
+    */
+  val saltedJoin: String =
+    """SELECT l_orderkey, l_linenumber, o_custkey
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
+  /** Mirrors Profile.profile: per-column row/non-null/exact-distinct
+    * counts, one UNION ALL branch per column.
+    */
+  def columnProfile(cols: Seq[String]): String =
+    cols.map(c =>
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n")
+
   val eventSessions: String =
     """WITH base AS (
       |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events

@@ -513,6 +513,21 @@ object SparkEntry {
     "q66_token_deciles" -> ((s, d) =>
       TextAnalysis.tokenCountQuantiles(Tables.documents(s, d), q = 10)),
 
+    // extension: salted skew join — lineitem⋈orders with the hot key
+    // split across 8 reducers; the oracle is the UNSALTED SQL join (a
+    // skew mitigation that changes any row is wrong)
+    "q67_salted_join" -> ((s, d) =>
+      graft.operators.SkewJoin.saltedJoin(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber"), "l_orderkey",
+        Tables.orders(s, d).select("o_orderkey", "o_custkey"), "o_orderkey", salt = 8)
+        .select("l_orderkey", "l_linenumber", "o_custkey")),
+
+    // extension: column profiling — row/non-null/exact-distinct counts per
+    // column as data (one agg pass; the exact gate next to q61's sketch)
+    "q68_profile" -> ((s, d) =>
+      graft.ext.Profile.profile(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_returnflag", "l_shipdate", "l_orderkey"))),
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -600,6 +615,8 @@ object SparkEntry {
     "q63_bloom_semijoin" -> Oracles.bloomSemiJoin(3, 8192),
     "q64_sales_rollup" -> Oracles.salesRollup,
     "q65_events_pivot" -> Oracles.eventsPivot(Seq("click", "error", "purchase", "signup", "view")),
-    "q66_token_deciles" -> Oracles.tokenCountQuantiles(10)
+    "q66_token_deciles" -> Oracles.tokenCountQuantiles(10),
+    "q67_salted_join" -> Oracles.saltedJoin,
+    "q68_profile" -> Oracles.columnProfile(Seq("l_quantity", "l_returnflag", "l_shipdate", "l_orderkey"))
   )
 }

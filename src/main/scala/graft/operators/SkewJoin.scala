@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys — the join-side companion of
+  * [[graft.transform.Aggregate.saltedSum]].
+  *
+  * When one join key carries a disproportionate share of the fact side
+  * (a viral item, a null-ish sentinel, a default tenant), hash
+  * partitioning sends the whole key to ONE reducer and the stage runs at
+  * the speed of that straggler. Salting splits the hot key across `salt`
+  * reducers: the fact side gets a per-row salt in [0, salt), the dim side
+  * is replicated once per salt value, and the join runs on (key, salt) —
+  * shuffle volume grows by salt× on the DIM side only, while the fact
+  * side (the 100 TB one) is never replicated.
+  *
+  * The salt values never reach the output, so the result is EXACTLY the
+  * plain join's row multiset — the q67 oracle is the unsalted SQL join,
+  * which is the whole point: a skew mitigation that changes any row is
+  * wrong.
+  *
+  * When to reach for this instead of AQE: AQE's skew-join handling splits
+  * oversized PARTITIONS after the map stage and needs the dim side's
+  * matching partition replicated from shuffle files it already has — it
+  * covers sort-merge joins well. Salting remains the tool when the skew
+  * is inside one KEY under hash aggregation-style joins, when AQE is off,
+  * or when the dim side must stay broadcast-free but tiny enough to
+  * replicate salt×.
+  */
+object SkewJoin {
+
+  /** `left` ⋈ `right` on `leftKey = rightKey`, salt-split. `joinType` may
+    * be `inner` or `left_outer` — each left row carries exactly ONE salt,
+    * so unmatched left rows surface exactly once; `right_outer`/`full`
+    * would see the replicated dim side and are rejected.
+    *
+    * The per-row salt is `(partition id + row position) mod salt` — cheap,
+    * deterministic within a run, and irrelevant to the result: it only
+    * chooses WHICH replica of the dim row a fact row meets.
+    */
+  def saltedJoin(left: DataFrame, leftKey: String,
+                 right: DataFrame, rightKey: String,
+                 salt: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(salt >= 1 && salt <= 1024, s"salt out of [1, 1024]: $salt")
+    require(Set("inner", "left_outer", "left").contains(joinType),
+      s"saltedJoin supports inner/left_outer, not $joinType (dim replication breaks right-preserving joins)")
+    val saltedLeft = left.withColumn("__salt",
+      pmod(spark_partition_id().cast("long") + monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+    val replicatedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedLeft
+      .join(replicatedRight,
+        saltedLeft(leftKey) === replicatedRight(rightKey) &&
+          saltedLeft("__salt") === replicatedRight("__salt"),
+        joinType)
+      .drop("__salt")
+  }
+}

@@ -30,6 +30,32 @@ class ParquetSinkSpec extends SparkSpec {
     assert(one.count() == expected && expected > 0)
   }
 
+  test("sortedParquet: files cover disjoint key ranges, rows ordered within each file") {
+    val dir = Files.createTempDirectory("psort").toString
+    val d = spark.range(10000).toDF("id")
+      .withColumn("k", pmod(col("id") * 7919, lit(10007L))) // scrambled key
+    Sinks.sortedParquet(d, dir, sortCols = Seq("k"), numFiles = 4)
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000)
+    // per-file min/max must not overlap across files (range clustering),
+    // and rows inside a file must be sorted (row-group stats useful)
+    val perFile = back.withColumn("f", input_file_name())
+      .groupBy("f").agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.length > 1, "expected multiple files")
+    perFile.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"file ranges overlap: $perFile")
+    case _ => ()
+    }
+    val files = back.withColumn("f", input_file_name())
+      .select("f").distinct().collect().map(_.getString(0))
+    files.take(2).foreach { f =>
+      val ks = spark.read.parquet(f).select("k").collect().map(_.getLong(0)).toSeq
+      assert(ks == ks.sorted, "rows inside a file must be sorted")
+    }
+  }
+
   test("unpartitioned path keeps plain overwrite semantics") {
     val dir = Files.createTempDirectory("psink2").toString
     val d = spark.range(10).toDF("id")
