@@ -1098,6 +1098,18 @@ object Oracles {
        |WHERE cum * $q >= (quantile + 1) * n
        |GROUP BY 1""".stripMargin
 
+  /** q69 oracle: Levenshtein re-verification of the q45 SimHash candidate
+    * pairs on 500-char prefixes — Wagner-Fischer is deterministic integer
+    * DP, identical in both engines.
+    */
+  def editDistVerify(bits: Int, maxHamming: Int): String =
+    s"""WITH pairs AS (SELECT * FROM (${simhashNearDup(bits, maxHamming)}))
+       |SELECT p.id_a, p.id_b, p.hamming,
+       |  CAST(levenshtein(substring(a.text, 1, 500), substring(b.text, 1, 500)) AS INTEGER) AS edit_dist
+       |FROM pairs p
+       |JOIN documents a ON p.id_a = a.doc_id
+       |JOIN documents b ON p.id_b = b.doc_id""".stripMargin
+
   /** q67 oracle: the PLAIN join — SkewJoin.saltedJoin must be row-for-row
     * identical to the unsalted join or the mitigation is a correctness bug.
     */

@@ -513,6 +513,22 @@ object SparkEntry {
     "q66_token_deciles" -> ((s, d) =>
       TextAnalysis.tokenCountQuantiles(Tables.documents(s, d), q = 10)),
 
+    // extension: edit-distance verification of near-dup candidates — the
+    // classic second stage after sketch-based candidate generation:
+    // SimHash pairs (hamming ≤ 3) re-checked with real Levenshtein on
+    // 500-char prefixes. Pairwise work runs ONLY on the sketch's
+    // near-linear candidate set (449 pairs at sf0.1), never all pairs
+    "q69_editdist_verify" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.simHashNearDupPairs(docs, bits = 64, maxHamming = 3)
+      val prefix = docs.select(col("doc_id"), substring(col("text"), 1, 500).as("pfx"))
+      pairs
+        .join(prefix.select(col("doc_id").as("id_a"), col("pfx").as("pa")), Seq("id_a"))
+        .join(prefix.select(col("doc_id").as("id_b"), col("pfx").as("pb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("hamming"),
+          levenshtein(col("pa"), col("pb")).as("edit_dist"))
+    },
+
     // extension: salted skew join — lineitem⋈orders with the hot key
     // split across 8 reducers; the oracle is the UNSALTED SQL join (a
     // skew mitigation that changes any row is wrong)
@@ -617,6 +633,7 @@ object SparkEntry {
     "q65_events_pivot" -> Oracles.eventsPivot(Seq("click", "error", "purchase", "signup", "view")),
     "q66_token_deciles" -> Oracles.tokenCountQuantiles(10),
     "q67_salted_join" -> Oracles.saltedJoin,
-    "q68_profile" -> Oracles.columnProfile(Seq("l_quantity", "l_returnflag", "l_shipdate", "l_orderkey"))
+    "q68_profile" -> Oracles.columnProfile(Seq("l_quantity", "l_returnflag", "l_shipdate", "l_orderkey")),
+    "q69_editdist_verify" -> Oracles.editDistVerify(64, 3)
   )
 }
