@@ -129,7 +129,65 @@ object Plans {
         |bound array column — no per-element re-tokenization), the eval
         |side collapses to a gram set, and the join + per-doc count shuffle
         |only on (gram) and (doc). Nothing is pairwise; a benchmark-sized
-        |eval side broadcasts under AQE.""".stripMargin)
+        |eval side broadcasts under AQE.""".stripMargin,
+    "q61_hll_users" ->
+      """One narrow projection (mixHash → bucket/rank, all codegen integer
+        |ops) + ONE hash aggregate on (event_type, bucket) with map-side
+        |partial combine: the only exchange carries ≤ types × 64 rows per
+        |map task regardless of event volume. No pre-distinct of the key —
+        |max is idempotent — so the usual count(distinct) key shuffle
+        |never exists.""".stripMargin,
+    "q62_cm_heavy_hitters" ->
+      """Sketch side: tokenize → encode ONCE (explicit Project keeps the
+        |8-op encoding from being fanned into the 4 bucket expressions) →
+        |posexplode(4) → one hash agg on (row, bucket): shuffle is ≤
+        |4×2048 cells per map task. Estimate side: top-50 via
+        |TakeOrdered, then a BROADCAST join against the ≤8k-row sketch —
+        |the only full-corpus shuffles are the two token aggregations.""".stripMargin,
+    "q63_bloom_semijoin" ->
+      """Three stacked BroadcastHashJoin LeftSemi probes over the orders
+        |scan — the fact side is never exploded, aggregated, or shuffled;
+        |the segment filter is pushed to the customer parquet scan
+        |(PushedFilters) and the distinct set-bit position table broadcasts
+        |in KBs. Surviving rows stay inside one codegen span for the
+        |downstream consumer.""".stripMargin,
+    "q64_sales_rollup" ->
+      """One Expand pass (3 grouping sets) feeding a single hash aggregate
+        |+ one exchange — detail, per-flag subtotal, and grand total in one
+        |scan of lineitem, never three.""".stripMargin,
+    "q65_events_pivot" ->
+      """Pivot with a PINNED value list compiles to conditional aggregates:
+        |one scan, one hash agg on hr, one exchange. An open-ended pivot
+        |would need a distinct-values job first and make the schema
+        |data-dependent.""".stripMargin,
+    "q66_token_deciles" ->
+      """The distributed-exact quantile shape: tokenize + hash agg BY VALUE
+        |(exchange carries one row per distinct token count), then the
+        |cumulative window + threshold selection run over that tiny
+        |aggregated table — the single-partition window is over O(distinct
+        |values), never corpus rows, and no global row sort exists.""".stripMargin,
+    "q67_salted_join" ->
+      """At this SF the replicated dim side still fits the broadcast
+        |threshold, so AQE picks BroadcastHashJoin and salting costs
+        |nothing (broadcast is itself the first-choice skew fix). When the
+        |dim side outgrows broadcast, the same plan becomes a shuffle join
+        |on (key, salt): the fact side adds a narrow per-row salt, the dim
+        |side expands salt× via explode before its exchange, and a hot
+        |orderkey hashes to `salt` distinct reducer partitions instead of
+        |one. Output drops the salt either way — the result is the plain
+        |join's multiset with the straggler sliced.""".stripMargin,
+    "q68_profile" ->
+      """Multi-distinct aggregate: Catalyst plans count(distinct c) × 4 as
+        |ONE Expand (input × 5 gutters) + two-phase aggregation — exactness
+        |costs a 5× shuffle multiplier on a 4-column projection. The
+        |per-column output shape is a literal explode of the single result
+        |row.""".stripMargin,
+    "q69_editdist_verify" ->
+      """Candidate generation is the q45 SimHash plan (banded self-join,
+        |near-linear pair count); the Levenshtein DP then runs only on the
+        |449-pair candidate set after two joins back to 500-char text
+        |prefixes — the dominant cost stays the sketch, not the pairwise
+        |verification.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
