@@ -1127,6 +1127,19 @@ object Oracles {
          |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM lineitem""".stripMargin)
       .mkString("\nUNION ALL\n")
 
+  /** q70 oracle: UNPIVOT of the q65 matrix — NOT a direct group-by, so
+    * zero-count cells survive as rows exactly like the Spark melt.
+    */
+  def eventsUnpivot(types: Seq[String]): String =
+    s"""WITH w AS (${eventsPivot(types)})
+       |SELECT hr, type, n FROM w UNPIVOT (n FOR type IN (${types.mkString(", ")}))""".stripMargin
+
+  /** q71 oracle: EXCEPT set semantics (parts shipped, but never in 1995). */
+  val partsExcept: String =
+    """SELECT DISTINCT l_partkey FROM lineitem
+      |EXCEPT
+      |SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1995""".stripMargin
+
   val eventSessions: String =
     """WITH base AS (
       |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events

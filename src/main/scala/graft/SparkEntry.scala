@@ -544,6 +544,23 @@ object SparkEntry {
       graft.ext.Profile.profile(Tables.lineitem(s, d),
         Seq("l_quantity", "l_returnflag", "l_shipdate", "l_orderkey"))),
 
+    // OLAP breadth: UNPIVOT — melt the q65 matrix back to long form with
+    // the Dataset.unpivot API (NOT a re-aggregation: zero-count cells
+    // survive as explicit rows, which a direct groupBy would drop)
+    "q70_events_unpivot" -> { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      queries("q65_events_pivot")(s, d)
+        .unpivot(Array(col("hr")), types.map(col).toArray, "type", "n")
+    },
+
+    // OLAP breadth: EXCEPT set semantics — parts shipped at some point
+    // but never in 1995 (plans as a left-anti hash aggregate, one
+    // exchange per side on the compared column)
+    "q71_parts_except" -> ((s, d) =>
+      Tables.lineitem(s, d).select("l_partkey")
+        .except(Tables.lineitem(s, d)
+          .filter(year(col("l_shipdate")) === 1995).select("l_partkey"))),
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -634,6 +651,8 @@ object SparkEntry {
     "q66_token_deciles" -> Oracles.tokenCountQuantiles(10),
     "q67_salted_join" -> Oracles.saltedJoin,
     "q68_profile" -> Oracles.columnProfile(Seq("l_quantity", "l_returnflag", "l_shipdate", "l_orderkey")),
-    "q69_editdist_verify" -> Oracles.editDistVerify(64, 3)
+    "q69_editdist_verify" -> Oracles.editDistVerify(64, 3),
+    "q70_events_unpivot" -> Oracles.eventsUnpivot(Seq("click", "error", "purchase", "signup", "view")),
+    "q71_parts_except" -> Oracles.partsExcept
   )
 }
