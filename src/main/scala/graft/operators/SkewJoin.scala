@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   * is inside one KEY under hash aggregation-style joins, when AQE is off,
   * or when the dim side must stay broadcast-free but tiny enough to
   * replicate salt×.
+  *
+  * Price tag (measured, SCALING.md round-4b): on a SKEW-FREE corpus the
+  * salted join costs ~7× the plain join at 10× scale — the replicated
+  * dim side outgrows the broadcast threshold and forces both sides to
+  * shuffle. Salt only under measured skew, size `salt` to the hot key's
+  * excess, and prefer a plain broadcast join whenever the UN-replicated
+  * dim side fits the threshold (broadcast is itself immune to key skew).
   */
 object SkewJoin {
 
