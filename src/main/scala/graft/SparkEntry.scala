@@ -471,10 +471,18 @@ object SparkEntry {
     // the sketch's one-sided error, identical in both engines
     "q62_cm_heavy_hitters" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val toks = docs.select(
+      // per-token PARTIAL counts materialize once and feed BOTH consumers:
+      // the sketch re-expands them (cnt-weighted cells ≡ per-occurrence
+      // cells, counts are additive) and the top-50 re-aggregates them —
+      // the corpus is tokenized once instead of twice, and the checkpoint
+      // holds one row per distinct token, not per occurrence
+      val tokCounts = docs.select(
         explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
-      val sketch = Sketch.countMinSketch(toks, Dedup.encodeToken(col("token")))
-      val top = TextAnalysis.topTokens(docs, k = 50).select("token", "n")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val sketch = Sketch.countMinSketchWeighted(
+        tokCounts, Dedup.encodeToken(col("token")), col("n"))
+      val top = tokCounts.orderBy(col("n").desc, col("token")).limit(50)
       Sketch.cmEstimate(sketch, top, Dedup.encodeToken(col("token")))
     },
 

@@ -66,6 +66,18 @@ class SketchSpec extends SparkSpec {
     assert(perRow.values.forall(_ == 300L), s"every row must account for all items: $perRow")
   }
 
+  test("countMinSketchWeighted over partial counts equals the per-occurrence sketch") {
+    import spark.implicits._
+    val items = Seq.tabulate(500)(i => i.toLong % 23L).toDF("x")
+    val perOcc = Sketch.countMinSketch(items, col("x"), depth = 4, width = 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val weighted = Sketch.countMinSketchWeighted(
+      items.groupBy("x").agg(count(lit(1)).as("w")), col("x"), col("w"),
+      depth = 4, width = 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(weighted == perOcc, "counts are additive: partial-count input must yield the identical sketch")
+  }
+
   test("cmEstimate: upper-bounds the true count and is exact without collisions") {
     import spark.implicits._
     // 10 distinct items, width 2048 → collisions vanishingly unlikely
