@@ -25,8 +25,13 @@ object Bench {
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
+      // a WARN mid-run (e.g. SparkStringUtils plan truncation) can land
+      // between stdout flushes and corrupt the single JSON result line the
+      // driver parses — BENCH_r03 came back "parsed: null" exactly this way.
+      // Nothing below ERROR may write to the console during a bench run.
+      .config("spark.sql.debug.maxToStringFields", "2000")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // absorb session/codegen/parquet-footer/page-cache warmup outside the
     // timings: one scan per base table (the first timed query would
     // otherwise pay the whole corpus's cold IO), then run in stable name
@@ -78,7 +83,17 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"probe":"xxhash64-checksum","sf":"$sfDir"}""")
+    // stop FIRST, then emit: executor/session shutdown must not interleave
+    // its own console output with the one line the driver machine-parses
     spark.stop()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"probe":"xxhash64-checksum","sf":"$sfDir"}"""
+    // belt and braces: the parseable artifact also lands on disk, so a log
+    // line racing the stdout flush can never lose the round's numbers
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    System.out.flush(); System.err.flush()
+    println(line)
+    System.out.flush()
   }
 }

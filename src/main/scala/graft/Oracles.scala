@@ -1140,6 +1140,96 @@ object Oracles {
       |EXCEPT
       |SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1995""".stripMargin
 
+  /** q72 oracle: JSON field extraction from the props string. DuckDB's
+    * json_extract_string plays Spark's from_json(schema) — both yield NULL
+    * for missing/malformed, and every aggregate is integer.
+    */
+  val propsJson: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(k) AS BIGINT) AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY 1""".stripMargin
+
+  /** q73 oracle: dense hourly grid (generate_series plays Spark's
+    * sequence+explode — both inclusive of the truncated max hour), left
+    * join of the per-(type, hour) counts, explicit zeros.
+    */
+  val eventsGapFill: String =
+    """WITH b AS (
+      |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events
+      |), hrs AS (
+      |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b
+      |), k AS (SELECT DISTINCT event_type FROM events
+      |), agg AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT k.event_type, hrs.hour, COALESCE(agg.n, 0) AS n_events
+      |FROM k CROSS JOIN hrs
+      |LEFT JOIN agg ON agg.event_type = k.event_type AND agg.hour = hrs.hour""".stripMargin
+
+  /** q74 oracle: INTERSECT set semantics (parts shipped in both years). */
+  val partsIntersect: String =
+    """SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1995
+      |INTERSECT
+      |SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996""".stripMargin
+
+  /** q75 oracle: CUBE grouping sets over flag × ship year — same GROUPING
+    * bitmask convention as the q64 ROLLUP (first cube column = MSB).
+    */
+  val salesCube: String =
+    """SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+      |  CAST(GROUPING(l_returnflag, year(l_shipdate)) AS BIGINT) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS n, SUM(l_quantity) AS qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, year(l_shipdate))""".stripMargin
+
+  /** q76 oracle: int8 quantization of the L2-normalized embedding
+    * (⌊x/‖x‖·127 + 0.5⌋ — floor, never a half-tie rule) then a pure
+    * INTEGER dot-product rank. Norms pin ascending-index summation with
+    * ORDER BY i, matching Spark's fused left fold; past quantization
+    * everything is integer arithmetic, so no rounding guard is needed.
+    */
+  def quantizedTopK(mod: Int = 50, k: Int = 5): String =
+    s"""WITH q0 AS (SELECT vec_id AS query_id, embedding AS v FROM embeddings WHERE vec_id % $mod = 0),
+       |c0 AS (SELECT vec_id AS neighbor_id, embedding AS v FROM embeddings),
+       |qn AS (SELECT query_id, sqrt(SUM(CAST(v[CAST(i AS INTEGER)] AS DOUBLE) * CAST(v[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i)) AS n
+       |       FROM q0, generate_series(1, 64) t(i) GROUP BY 1),
+       |cn AS (SELECT neighbor_id, sqrt(SUM(CAST(v[CAST(i AS INTEGER)] AS DOUBLE) * CAST(v[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i)) AS n
+       |       FROM c0, generate_series(1, 64) t(i) GROUP BY 1),
+       |qq AS (SELECT query_id, i,
+       |         CAST(floor(CASE WHEN n = 0 THEN 0.0 ELSE CAST(v[CAST(i AS INTEGER)] AS DOUBLE) / n * 127.0 END + 0.5) AS BIGINT) AS a
+       |       FROM q0 JOIN qn USING (query_id), generate_series(1, 64) t(i)),
+       |cq AS (SELECT neighbor_id, i,
+       |         CAST(floor(CASE WHEN n = 0 THEN 0.0 ELSE CAST(v[CAST(i AS INTEGER)] AS DOUBLE) / n * 127.0 END + 0.5) AS BIGINT) AS b
+       |       FROM c0 JOIN cn USING (neighbor_id), generate_series(1, 64) t(i)),
+       |dots AS (
+       |  SELECT query_id, neighbor_id, CAST(SUM(a * b) AS BIGINT) AS qdot
+       |  FROM qq JOIN cq USING (i)
+       |  WHERE query_id <> neighbor_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, neighbor_id, qdot, "rank" FROM (
+       |  SELECT query_id, neighbor_id, qdot,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS INTEGER) AS "rank"
+       |  FROM dots) WHERE "rank" <= $k""".stripMargin
+
+  /** q77 oracle: NTILE quartiles per event type — both engines place the
+    * remainder rows in the FIRST tiles (SQL standard), and the (value,
+    * event_id) order key is unique, so tile assignment is deterministic.
+    */
+  def valueNtile(tiles: Int): String =
+    s"""WITH t AS (
+       |  SELECT event_type, value,
+       |    ntile($tiles) OVER (PARTITION BY event_type ORDER BY value, event_id) AS tile
+       |  FROM events
+       |)
+       |SELECT event_type, CAST(tile AS BIGINT) AS tile, CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(value) AS lo, MAX(value) AS hi
+       |FROM t GROUP BY 1, 2""".stripMargin
+
   val eventSessions: String =
     """WITH base AS (
       |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events

@@ -569,6 +569,65 @@ object SparkEntry {
         .except(Tables.lineitem(s, d)
           .filter(year(col("l_shipdate")) === 1995).select("l_partkey"))),
 
+    // in-engine JSON: the reference's whole world is JSON payloads; this is
+    // the string-column variant — from_json with a DECLARED schema (no
+    // schema-inference job over 100 TB of strings), then plain typed
+    // aggregation on the extracted field. All-integer outputs → hash-exact.
+    "q72_props_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), "k BIGINT", Map.empty[String, String])
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+          sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))),
+
+    // time-series regularization: dense hourly grid per event type with
+    // explicit zero rows — the grid is built from two tiny aggregates and
+    // joined back on the (key, hour) key the count agg already shuffled on
+    // (ext/TimeSeries scaladoc has the 100 TB shape)
+    "q73_events_gapfill" -> ((s, d) =>
+      graft.ext.TimeSeries.gapFillHourly(Tables.events(s, d))),
+
+    // OLAP breadth: INTERSECT set semantics (q71's EXCEPT complement) —
+    // parts shipped in BOTH 1995 and 1996; plans as a left-semi join over
+    // per-side aggregates, one exchange per side on the compared column
+    "q74_parts_intersect" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")) === 1995).select("l_partkey")
+        .intersect(Tables.lineitem(s, d)
+          .filter(year(col("l_shipdate")) === 1996).select("l_partkey"))),
+
+    // OLAP breadth: CUBE grouping sets (q64's ROLLUP sibling — all four
+    // subtotal combinations, not just the prefix ladder) over flag × ship
+    // year, one Expand pass; grouping_id disambiguates subtotal NULLs
+    "q75_sales_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), sum("l_quantity").as("qty"))),
+
+    // extension: int8-quantized ANN — embeddings compressed 4× (normalized
+    // float32[64] → int8-valued longs) with a pure-integer dot-product
+    // score; the memory/bandwidth scale path for 100 TB vector corpora.
+    // Same plan shape as q18 (broadcast queries, one corpus scan); recall
+    // vs exact cosine is measured in QuantizedSimilaritySpec
+    "q76_quantized_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.quantizedTopK(emb.filter(col("vec_id") % 50 === 0), emb, k = 5)
+    },
+
+    // window-function breadth: NTILE quartiles of event value per type
+    // (one shuffle on event_type + in-partition sort; for a GLOBAL exact
+    // quantile at scale use q66's by-value aggregation instead)
+    "q77_value_ntile" -> { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("tile", ntile(4).over(w).cast("long"))
+        .groupBy("event_type", "tile")
+        .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+    },
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -661,6 +720,12 @@ object SparkEntry {
     "q68_profile" -> Oracles.columnProfile(Seq("l_quantity", "l_returnflag", "l_shipdate", "l_orderkey")),
     "q69_editdist_verify" -> Oracles.editDistVerify(64, 3),
     "q70_events_unpivot" -> Oracles.eventsUnpivot(Seq("click", "error", "purchase", "signup", "view")),
-    "q71_parts_except" -> Oracles.partsExcept
+    "q71_parts_except" -> Oracles.partsExcept,
+    "q72_props_json" -> Oracles.propsJson,
+    "q73_events_gapfill" -> Oracles.eventsGapFill,
+    "q74_parts_intersect" -> Oracles.partsIntersect,
+    "q75_sales_cube" -> Oracles.salesCube,
+    "q76_quantized_topk" -> Oracles.quantizedTopK(50, 5),
+    "q77_value_ntile" -> Oracles.valueNtile(4)
   )
 }

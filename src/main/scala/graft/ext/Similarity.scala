@@ -182,6 +182,45 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Int8 quantization of the L2-normalized vector: qᵢ = ⌊xᵢ/‖x‖·127 + 0.5⌋
+    * ∈ [−127, 127]; a zero vector quantizes to all zeros. `floor(x + 0.5)`
+    * instead of `round()` on purpose: floor is plain IEEE rounding toward
+    * −∞ in every engine, so the oracle reproduces each cell bit-exactly
+    * without depending on either engine's half-tie rule. The norm sums
+    * squares in ascending index order — the same left fold the oracle pins
+    * with `ORDER BY i`.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val n = norm(vec)
+    when(n === 0.0, transform(vec, _ => lit(0L)))
+      .otherwise(transform(vec, x => floor(x.cast("double") / n * 127.0 + 0.5).cast("long")))
+  }
+
+  /** Int8-quantized brute-force top-k — the memory-compression scale path:
+    * corpus vectors ship as 64 small ints instead of 64 floats (4× smaller
+    * on the wire and in executor memory at 100 TB; in a real sink the
+    * array would land as a 64-byte binary), and the score is a pure
+    * integer dot product — overflow-free (|q| ≤ 127 ⇒ |dot| ≤ 64·127² <
+    * 2²¹) and hash-exact in any engine, no float comparison anywhere past
+    * quantization. Plan shape is identical to [[bruteForceTopK]]: queries
+    * broadcast, corpus scanned once, WindowGroupLimit top-k. Ranking is
+    * approximate w.r.t. exact float cosine; QuantizedSimilaritySpec
+    * measures recall@k against [[bruteForceTopK]] ground truth.
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), quantizeInt8(col(vecCol)).as("qa"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantizeInt8(col(vecCol)).as("qb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v))
+    val w = Window.partitionBy("query_id").orderBy(col("qdot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "qdot", "rank")
+  }
+
   /** Embedding near-duplicate pairs: same-bucket pairs with cosine above
     * `threshold` (id_a < id_b). The LSH bucket join keeps this near-linear.
     */
