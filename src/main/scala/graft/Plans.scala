@@ -187,7 +187,41 @@ object Plans {
         |near-linear pair count); the Levenshtein DP then runs only on the
         |449-pair candidate set after two joins back to 500-char text
         |prefixes — the dominant cost stays the sketch, not the pairwise
-        |verification.""".stripMargin)
+        |verification.""".stripMargin,
+    "q72_props_json" ->
+      """from_json evaluates inside the scan's codegen span with a DECLARED
+        |schema — no inference pass over the corpus — and the aggregation
+        |is a plain partial/final hash agg on event_type: one exchange
+        |whose volume is the type keyspace, not the fact rows.""".stripMargin,
+    "q73_events_gapfill" ->
+      """The fact table feeds exactly two aggregates: per-(type, hour)
+        |counts (one exchange on the composite key) and a 2-row global
+        |min/max bound. The dense grid is a BroadcastNestedLoopJoin of two
+        |TINY relations (distinct types × exploded hour spine) — never a
+        |fact-row expansion — and the final left join BROADCASTS the count
+        |aggregate: every relation past the two scans is aggregate-bounded
+        |(keys × hours), so no fact row ever reaches a join at any
+        |scale.""".stripMargin,
+    "q74_parts_intersect" ->
+      """INTERSECT plans as per-side partial aggregates and a left-semi
+        |hash join — each side dedups BEFORE its exchange, so shuffle
+        |volume is distinct keys per year, not shipped line items.""".stripMargin,
+    "q75_sales_cube" ->
+      """One Expand pass (4 grouping sets) feeding a single partial/final
+        |hash agg — the subtotal matrix never re-reads the fact table, and
+        |the exchange carries (groups × 4) rows at most.""".stripMargin,
+    "q76_quantized_topk" ->
+      """Same skeleton as q18 (broadcast queries over one corpus scan) but
+        |the per-pair work is an integer dot product over int8-valued
+        |arrays — at 100 TB the quantized corpus is 4× smaller in executor
+        |memory/network, and the window top-k compiles to
+        |WindowGroupLimit so only k rows per partition survive.""".stripMargin,
+    "q77_value_ntile" ->
+      """One exchange on event_type + in-partition sort for the NTILE
+        |window, then a reuse of the same partitioning for the tile
+        |aggregation (no second exchange). A pathologically hot type would
+        |serialize its partition — the documented trade; global exact
+        |quantiles at scale are q66's by-value aggregation.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -188,6 +188,42 @@ object Streams {
         col("quality"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
   }
 
+  /** Stream-static enrichment: each micro-batch of the stream joins the
+    * static dim table (re-planned per batch, so a dim refresh is picked up
+    * on the next trigger). Broadcast by hint — the dim is the small side
+    * by definition; the stream side never shuffles, so enrichment adds no
+    * state and no exchange to a forever-running ingest. Left join keeps
+    * unmatched events (enrichment must never drop facts).
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   eventKey: String = "user_id", dimKey: String = "c_custkey"): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
+  /** Stream-stream join: view→purchase conversions — a purchase by the
+    * same user within `horizon` of a view. BOTH sides are watermarked and
+    * the join condition bounds buy_ts to [view_ts, view_ts + horizon], so
+    * each side's state is freed once the other side's watermark passes the
+    * reachable range — constant state on a forever stream, never a full
+    * history buffer. Works identically on batch frames (the spec's oracle
+    * is the same expression evaluated in batch mode).
+    */
+  def viewToPurchase(events: DataFrame, horizon: String = "30 minutes",
+                     watermark: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermark)
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"),
+        col("event_id").as("buy_id"))
+      .withWatermark("buy_ts", watermark)
+    views.join(buys,
+      col("user_id") === col("buy_user") &&
+        col("buy_ts") >= col("view_ts") &&
+        col("buy_ts") <= col("view_ts") + expr(s"interval $horizon"))
+      .select(col("user_id"), col("view_id"), col("buy_id"),
+        col("view_ts"), col("buy_ts"))
+  }
+
   /** Wires a streaming read of the events parquet directory into any of the
     * transforms above (schema must be supplied — streaming reads don't
     * infer).

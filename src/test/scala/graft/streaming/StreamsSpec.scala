@@ -241,6 +241,59 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("enrichStream: stream-static broadcast left join enriches and never drops facts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("c_custkey", "segment")
+    val mem = MemoryStream[Streams.Event]
+    val joined = Streams.enrichStream(mem.toDF(), dim)
+      .select("event_id", "user_id", "segment")
+    val q = joined.writeStream.format("memory").queryName("enriched_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Streams.Event(10, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Streams.Event(11, ts("2024-01-01 10:01:00"), 7, "view", 1.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enriched_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+      assert(rows == Set((10L, 1L, Some("GOLD")), (11L, 7L, None)))
+    } finally q.stop()
+  }
+
+  test("viewToPurchase: stream-stream interval join matches the batch evaluation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Streams.Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Streams.Event(2, ts("2024-01-01 10:10:00"), 1, "purchase", 5.0), // within 30 min of view 1
+      Streams.Event(3, ts("2024-01-01 10:50:00"), 1, "purchase", 5.0), // too late for view 1
+      Streams.Event(4, ts("2024-01-01 10:05:00"), 2, "view", 1.0), // other user, no purchase
+      Streams.Event(5, ts("2024-01-01 10:20:00"), 3, "purchase", 5.0)) // purchase without view
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.viewToPurchase(mem.toDF()).writeStream.format("memory")
+      .queryName("conversions").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      // advance both watermarks so in-flight state flushes
+      mem.addData(Streams.Event(9, ts("2024-01-01 15:00:00"), 9, "view", 1.0),
+        Streams.Event(10, ts("2024-01-01 15:00:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("conversions")
+        .filter("view_ts < timestamp '2024-01-01 14:00:00'")
+        .select("user_id", "view_id", "buy_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == Set((1L, 1L, 2L)))
+      // batch evaluation of the same expression is the oracle
+      val batch = Streams.viewToPurchase(events.toDF())
+        .filter("view_ts < timestamp '2024-01-01 14:00:00'")
+        .select("user_id", "view_id", "buy_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("batch equivalence: hourlyByType on a static frame matches a plain groupBy") {
     import spark.implicits._
     val events = Seq(
