@@ -1230,6 +1230,85 @@ object Oracles {
        |  MIN(value) AS lo, MAX(value) AS hi
        |FROM t GROUP BY 1, 2""".stripMargin
 
+  /** q78 oracle: per-source exact deciles — the q66 derivation with a
+    * PARTITION BY source on both the cumulative and total windows.
+    */
+  def sourceQuantiles(q: Int): String =
+    s"""WITH t AS (
+       |  SELECT source, CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS v
+       |  FROM documents
+       |), vals AS (
+       |  SELECT source, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT source, v,
+       |    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM vals
+       |)
+       |SELECT source, quantile, MIN(v) AS threshold, MIN(cum) AS n_le
+       |FROM cum CROSS JOIN (SELECT unnest(range($q)) AS quantile)
+       |WHERE cum * $q >= (quantile + 1) * n
+       |GROUP BY 1, 2""".stripMargin
+
+  /** q79 oracle: the PLAIN per-site sum — the salted two-phase rewrite
+    * must be row-for-row identical (l_quantity is integral-valued, so the
+    * double sum is association-order-independent below 2^53).
+    */
+  val saltedAgg: String =
+    """SELECT CAST(l_suppkey AS VARCHAR) AS site, SUM(l_quantity) AS qty
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** q80 oracle: the gap-fill grid with MAX(value) per hour (order-free,
+    * unlike a float sum) and last_value IGNORE NULLS carrying the last
+    * observation forward per type.
+    */
+  val forwardFill: String =
+    """WITH b AS (
+      |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events
+      |), hrs AS (
+      |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b
+      |), k AS (SELECT DISTINCT event_type FROM events
+      |), agg AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, MAX(value) AS v
+      |  FROM events GROUP BY 1, 2
+      |), g AS (
+      |  SELECT k.event_type, hrs.hour, agg.v
+      |  FROM k CROSS JOIN hrs
+      |  LEFT JOIN agg ON agg.event_type = k.event_type AND agg.hour = hrs.hour
+      |)
+      |SELECT event_type, hour, v,
+      |  last_value(v IGNORE NULLS) OVER (
+      |    PARTITION BY event_type ORDER BY hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+      |FROM g""".stripMargin
+
+  /** q81 oracle: arg-max re-derived as a rank window over the same (qty,
+    * sku) struct order — verifies the max_by result, not its mechanism.
+    */
+  val topSkuArgmax: String =
+    """WITH st AS (
+      |  SELECT CAST(l_suppkey AS VARCHAR) AS site, CAST(l_partkey AS VARCHAR) AS sku,
+      |    SUM(l_quantity) AS qty
+      |  FROM lineitem GROUP BY 1, 2
+      |), r AS (
+      |  SELECT site, sku, qty,
+      |    ROW_NUMBER() OVER (PARTITION BY site ORDER BY qty DESC, sku DESC) AS rn
+      |  FROM st
+      |)
+      |SELECT site, sku AS top_sku, qty AS top_qty FROM r WHERE rn = 1""".stripMargin
+
+  /** q82 oracle: the z-order bit interleave in integer arithmetic —
+    * `//` by a power of two plays Spark's arithmetic shiftright (both are
+    * floor division on the masked non-negative keys).
+    */
+  def zorderAddress(mask: Int, bits: Int): String =
+    s"""SELECT l_orderkey, l_linenumber,
+       |  CAST(list_sum(list_transform(range(0, $bits), i ->
+       |    ((((l_partkey % $mask) // (1::BIGINT << i)) % 2) * (1::BIGINT << (2 * i))) +
+       |    ((((l_suppkey % $mask) // (1::BIGINT << i)) % 2) * (1::BIGINT << (2 * i + 1)))
+       |  )) AS BIGINT) AS zaddr
+       |FROM lineitem""".stripMargin
+
   val eventSessions: String =
     """WITH base AS (
       |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events

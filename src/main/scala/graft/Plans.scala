@@ -221,7 +221,37 @@ object Plans {
         |window, then a reuse of the same partitioning for the tile
         |aggregation (no second exchange). A pathologically hot type would
         |serialize its partition — the documented trade; global exact
-        |quantiles at scale are q66's by-value aggregation.""".stripMargin)
+        |quantiles at scale are q66's by-value aggregation.""".stripMargin,
+    "q78_source_deciles" ->
+      """q66's by-value derivation with a partition key: the fact table
+        |collapses to O(sources × distinct counts) rows in one hash agg,
+        |and both windows (cumulative + per-group total) are PARTITIONED
+        |by source — unlike q66's global window there is no single-
+        |partition stage anywhere in the plan.""".stripMargin,
+    "q79_salted_agg" ->
+      """Two hash aggregations: partial sums on (site, salt) spread a hot
+        |site over 16 reducers, the final agg on site merges 16 rows per
+        |key. The exchange after phase 1 carries keyspace × salt rows —
+        |the price of immunity to a single-key hot spot that would
+        |otherwise serialize one reducer at 100 TB.""".stripMargin,
+    "q80_forward_fill" ->
+      """Same aggregate-bounded shape as q73 (counts → grid broadcast
+        |join); the LOCF window then runs per event_type over keys × hours
+        |rows — the fill never touches fact rows, so its cost is fixed by
+        |the grid, not the corpus.""".stripMargin,
+    "q81_top_sku_argmax" ->
+      """Per-(site, sku) partial sums (one exchange), then max_by over a
+        |(qty, sku) struct. The struct-typed max state is not hash-
+        |aggregable, so Spark plans a partial/final SortAggregate pair —
+        |still ONE pair of agg state per site crossing the shuffle, where
+        |the oracle's row_number-window derivation materializes and sorts
+        |every group's rows. The struct order key makes ties
+        |deterministic.""".stripMargin,
+    "q82_zorder_address" ->
+      """Pure narrow projection — 16 shift/mask terms folded into one
+        |codegen expression over the scan, no exchange at all. The same
+        |expression drives Sinks.zorderParquet's range clustering, where
+        |its value is file skipping on EITHER interleaved key.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -628,6 +628,46 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
     },
 
+    // extension: per-group exact quantiles — q66's by-value trick with a
+    // partition key (thresholds per source); windows partitioned by group,
+    // so not even the tiny value domain single-threads
+    "q78_source_deciles" -> ((s, d) =>
+      TextAnalysis.tokenCountQuantilesBy(Tables.documents(s, d), "source", q = 10)),
+
+    // extension: salted two-phase aggregation — the skew-agg pattern
+    // (AQE splits skewed JOIN partitions, not agg keys). Oracle is the
+    // PLAIN groupBy sum: a mitigation that changes any row is wrong.
+    // Exact because l_quantity is integral-valued (sums < 2^53 stay exact
+    // under any association order)
+    "q79_salted_agg" -> ((s, d) =>
+      Aggregate.saltedSum(Tables.sales(s, d), Seq("site"), "qty", salt = 16)),
+
+    // time-series forward fill (LOCF): sparse hourly observations →
+    // regular series; the running last(ignoreNulls) window runs over the
+    // aggregated grid (keys × hours), never fact rows
+    "q80_forward_fill" -> ((s, d) =>
+      graft.ext.TimeSeries.forwardFillHourly(Tables.events(s, d))),
+
+    // functions breadth: max_by/arg-max with a STRUCT order key — the
+    // (qty, sku) pair makes the winner deterministic under qty ties,
+    // which bare max_by(sku, qty) would not be
+    "q81_top_sku_argmax" -> { (s, d) =>
+      val st = Tables.sales(s, d).groupBy("site", "sku").agg(sum("qty").as("qty"))
+      st.groupBy("site").agg(
+        max_by(col("sku"), struct(col("qty"), col("sku"))).as("top_sku"),
+        max(struct(col("qty"), col("sku"))).getField("qty").as("top_qty"))
+    },
+
+    // data layout: z-order address (bit interleave of two keys) — the
+    // clustering device behind Sinks.zorderParquet, registered so the
+    // address arithmetic itself is oracle-checked; pure integer
+    // shift/mask, identical in any engine
+    "q82_zorder_address" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        graft.load.Sinks.zValue(
+          pmod(col("l_partkey"), lit(65536)),
+          pmod(col("l_suppkey"), lit(65536)), bits = 16).as("zaddr"))),
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -726,6 +766,11 @@ object SparkEntry {
     "q74_parts_intersect" -> Oracles.partsIntersect,
     "q75_sales_cube" -> Oracles.salesCube,
     "q76_quantized_topk" -> Oracles.quantizedTopK(50, 5),
-    "q77_value_ntile" -> Oracles.valueNtile(4)
+    "q77_value_ntile" -> Oracles.valueNtile(4),
+    "q78_source_deciles" -> Oracles.sourceQuantiles(10),
+    "q79_salted_agg" -> Oracles.saltedAgg,
+    "q80_forward_fill" -> Oracles.forwardFill,
+    "q81_top_sku_argmax" -> Oracles.topSkuArgmax,
+    "q82_zorder_address" -> Oracles.zorderAddress(65536, 16)
   )
 }

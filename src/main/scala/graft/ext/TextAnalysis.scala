@@ -206,6 +206,32 @@ object TextAnalysis {
       .agg(min(col("v")).as("threshold"), min(col("cum")).as("n_le"))
   }
 
+  /** Per-group exact quantiles — [[tokenCountQuantiles]] generalized with a
+    * partition key: thresholds of the token-count distribution within each
+    * `groupCol` value (e.g. per source). Same scale shape as the global
+    * variant: aggregate BY VALUE first (O(groups × distinct counts) rows),
+    * then cumulative/total windows over that tiny domain — no per-row sort
+    * anywhere, no float sketch, and the windows are PARTITIONED by group so
+    * even the tiny domain never single-threads through one partition the
+    * way a global ORDER BY window would.
+    */
+  def tokenCountQuantilesBy(docs: DataFrame, groupCol: String, q: Int = 10,
+                            textCol: String = "text"): DataFrame = {
+    require(q >= 2 && q <= 1000, s"q out of [2, 1000]: $q")
+    import org.apache.spark.sql.expressions.Window
+    val vals = docs.select(col(groupCol), tokenCount(col(textCol)).cast("long").as("v"))
+      .groupBy(col(groupCol), col("v")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(groupCol).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(groupCol)
+    val cum = vals.select(col(groupCol), col("v"),
+      sum(col("cnt")).over(w).as("cum"), sum(col("cnt")).over(tot).as("n"))
+    cum.crossJoin(spark(docs).range(q).select(col("id").as("quantile")))
+      .filter(col("cum") * q >= (col("quantile") + 1) * col("n"))
+      .groupBy(col(groupCol), col("quantile"))
+      .agg(min(col("v")).as("threshold"), min(col("cum")).as("n_le"))
+  }
+
   private def spark(df: DataFrame) = df.sparkSession
 
   /** Full per-document stats frame.

@@ -34,14 +34,46 @@ object TimeSeries {
     val hourly = events
       .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
       .agg(count(lit(1)).as("n_events"))
+    grid(events, tsCol, keyCol)
+      .join(hourly, Seq(keyCol, "hour"), "left")
+      .na.fill(0, Seq("n_events"))
+  }
+
+  /** Dense keys × hours frame from two tiny aggregates (distinct keys,
+    * exploded global hour spine) — broadcast material, never fact rows.
+    */
+  private def grid(events: DataFrame, tsCol: String, keyCol: String): DataFrame = {
     val bounds = events.agg(
       date_trunc("hour", min(col(tsCol))).as("h0"),
       date_trunc("hour", max(col(tsCol))).as("h1"))
     val hours = bounds.select(
       explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
-    val keys = events.select(col(keyCol)).distinct()
-    keys.crossJoin(hours) // two tiny aggregates — broadcast, never fact rows
+    events.select(col(keyCol)).distinct().crossJoin(hours)
+  }
+
+  /** Forward fill (last observation carried forward) on the dense hourly
+    * grid: per key and hour, the max of `valueCol` observed that hour
+    * (`v`, NULL on gap hours) and the last non-null observation at or
+    * before it (`v_ff`, NULL only before a key's first observation) — the
+    * resample→ffill step that turns sparse sensor/price events into a
+    * regular series. `max` per hour keeps the pre-fill aggregate
+    * order-independent (bit-exact in any engine, unlike a float sum); the
+    * fill itself is one `last(ignoreNulls)` running window per key over
+    * the ALREADY-AGGREGATED grid — O(keys × hours) rows, partitioned by
+    * key, so the window never sees fact rows and never single-threads.
+    */
+  def forwardFillHourly(events: DataFrame, tsCol: String = "ts",
+                        keyCol: String = "event_type",
+                        valueCol: String = "value"): DataFrame = {
+    val hourly = events
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(max(col(valueCol)).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("hour"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    grid(events, tsCol, keyCol)
       .join(hourly, Seq(keyCol, "hour"), "left")
-      .na.fill(0, Seq("n_events"))
+      .withColumn("v_ff", last(col("v"), ignoreNulls = true).over(w))
   }
 }

@@ -2,8 +2,8 @@ package graft.load
 
 import java.time.LocalDate
 import java.time.format.DateTimeFormatter
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, shiftleft, shiftright}
 
 /** Sinks (K1-K3, reference portfolio-etl.py:618-650, :700-775).
   *
@@ -72,6 +72,36 @@ object Sinks {
     require(numFiles > 0, s"numFiles must be positive: $numFiles")
     df.repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Z-order address: bit-interleave of two non-negative integer keys
+    * (bit i of `a` → bit 2i, bit i of `b` → bit 2i+1). Rows close in
+    * BOTH dimensions get close addresses, so range-clustering on the
+    * address gives row-group skipping on EITHER key — the two-dimensional
+    * generalization of [[sortedParquet]]'s single-key layout (the same
+    * trick table formats' OPTIMIZE ZORDER applies). Keys are masked to
+    * `bits` low bits first (callers with wider domains should pre-scale);
+    * pure integer shift/mask arithmetic, so any engine derives identical
+    * addresses.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits out of [1, 31]: $bits")
+    (0 until bits).map { i =>
+      (shiftleft(shiftright(a.cast("long"), i) % 2, 2 * i) +
+        shiftleft(shiftright(b.cast("long"), i) % 2, 2 * i + 1)).cast("long")
+    }.reduce(_ + _)
+  }
+
+  /** Z-order-clustered Parquet over two keys: cluster by [[zValue]], drop
+    * the address before writing (it is a layout device, not data).
+    */
+  def zorderParquet(df: DataFrame, path: String, keyA: String, keyB: String,
+                    numFiles: Int, bits: Int = 16): Unit = {
+    df.withColumn("__z", zValue(col(keyA), col(keyB), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
 }

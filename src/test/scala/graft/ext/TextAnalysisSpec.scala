@@ -122,4 +122,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == (0L until 10L))
     assert(out.map(_._2).toSeq == (10L to 100L by 10L), s"got ${out.toSeq}")
   }
+
+  test("tokenCountQuantilesBy: each group gets its own independent thresholds") {
+    // group a: counts 1..10 → quartile thresholds 3, 5, 8, 10
+    // group b: counts 10,20,30,40 → one count per quartile
+    val d = df("doc_id BIGINT, source STRING, text STRING",
+      (1 to 10).map(i => Row(i.toLong, "a", Seq.fill(i)("w").mkString(" "))) ++
+        (1 to 4).map(i => Row((100 + i).toLong, "b", Seq.fill(10 * i)("w").mkString(" "))))
+    val out = TextAnalysis.tokenCountQuantilesBy(d, "source", q = 4).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out == Map(
+      ("a", 0L) -> 3L, ("a", 1L) -> 5L, ("a", 2L) -> 8L, ("a", 3L) -> 10L,
+      ("b", 0L) -> 10L, ("b", 1L) -> 20L, ("b", 2L) -> 30L, ("b", 3L) -> 40L))
+  }
 }

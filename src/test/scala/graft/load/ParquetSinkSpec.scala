@@ -56,6 +56,39 @@ class ParquetSinkSpec extends SparkSpec {
     }
   }
 
+  test("zValue: bit interleave on known patterns; key order matters") {
+    val d = df("a BIGINT, b BIGINT", Seq(
+      org.apache.spark.sql.Row(3L, 0L), // 0b11 ⊗ 0b00 → 0b0101 = 5
+      org.apache.spark.sql.Row(0L, 3L), // 0b00 ⊗ 0b11 → 0b1010 = 10
+      org.apache.spark.sql.Row(5L, 6L), // 101 ⊗ 110 → b2a2 b1a1 b0a0 = 11 10 01 = 0b111001=57
+      org.apache.spark.sql.Row(0L, 0L)))
+    val out = d.select(Sinks.zValue(col("a"), col("b"), bits = 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(5L, 10L, 57L, 0L))
+  }
+
+  test("zorderParquet: files cover disjoint z-address ranges (skip on either key)") {
+    val dir = Files.createTempDirectory("pzord").toString
+    val d = spark.range(10000).toDF("id")
+      .withColumn("x", pmod(col("id") * 7919, lit(256L)))
+      .withColumn("y", pmod(col("id") * 104729, lit(256L)))
+    Sinks.zorderParquet(d, dir, "x", "y", numFiles = 4, bits = 8)
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000)
+    assert(back.columns.toSet == Set("id", "x", "y"), "__z must not be written")
+    // recompute the address per row: per-file z ranges must be disjoint
+    val perFile = back.withColumn("f", input_file_name())
+      .withColumn("z", Sinks.zValue(col("x"), col("y"), bits = 8))
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.length > 1, "expected multiple files")
+    perFile.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"file z-ranges overlap: ${perFile.toSeq}")
+    case _ => ()
+    }
+  }
+
   test("unpartitioned path keeps plain overwrite semantics") {
     val dir = Files.createTempDirectory("psink2").toString
     val d = spark.range(10).toDF("id")
