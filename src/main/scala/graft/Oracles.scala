@@ -1309,6 +1309,91 @@ object Oracles {
        |  )) AS BIGINT) AS zaddr
        |FROM lineitem""".stripMargin
 
+  /** Zipped positional tokenization CTE: DuckDB's parallel `unnest(w)` +
+    * `unnest(range(0, len(w)))` pairs each token with its 0-based position
+    * — the exact shape of Spark's posexplode over the shared whitespace
+    * split.
+    */
+  private val positionsCte: String =
+    """t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS w
+      |  FROM documents
+      |), pos AS (
+      |  SELECT doc_id, unnest(w) AS token, unnest(range(0, len(w))) AS p FROM t
+      |)""".stripMargin
+
+  /** q83 oracle: the inverted index re-derived with window df over the
+    * (token, doc) posting aggregate.
+    */
+  def invertedIndex(minDf: Int): String =
+    s"""WITH $positionsCte, post AS (
+       |  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+       |    CAST(MIN(p) AS INTEGER) AS first_pos, CAST(MAX(p) AS INTEGER) AS last_pos
+       |  FROM pos GROUP BY 1, 2
+       |)
+       |SELECT token, CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT) AS df,
+       |  doc_id, tf, first_pos, last_pos
+       |FROM post QUALIFY df >= $minDf""".stripMargin
+
+  /** q84 oracle: phrase occurrences as aligned-position self-joins of the
+    * positional tokenization (same alignment trick as the Spark side).
+    */
+  def phraseMatch(phrase: Seq[String]): String = {
+    val joins = phrase.zipWithIndex.tail.map { case (tok, i) =>
+      s"JOIN pos p$i ON p$i.doc_id = p0.doc_id AND p$i.token = '$tok' AND p$i.p = p0.p + $i"
+    }.mkString("\n")
+    s"""WITH $positionsCte
+       |SELECT p0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+       |FROM pos p0
+       |$joins
+       |WHERE p0.token = '${phrase.head}'
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** q85 oracle: BM25 with the Search.bm25TopK determinism policy —
+    * rational fixed-point IDF and dl/avgdl, 6-dp per-token rounding, and
+    * the cross-token sum written as FIXED-ORDER coalesce additions (one
+    * conditional aggregate per query token, each covering ≤1 row per
+    * doc). Constants k1/b interpolate from the same Scala doubles as the
+    * Spark expression, so the literals parse to identical IEEE values.
+    */
+  def bm25TopK(queryTokens: Seq[String], k: Int, k1: Double, b: Double): String = {
+    val inList = queryTokens.map(t => s"'$t'").mkString(", ")
+    val parts = queryTokens.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN token = '$t' THEN score_t END) AS __s$i"
+    }.mkString(",\n    ")
+    val total = queryTokens.indices.map(i => s"COALESCE(__s$i, 0.0)").mkString(" + ")
+    s"""WITH $positionsCte, tf AS (
+       |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM pos WHERE token IN ($inList) GROUP BY 1, 2
+       |), dft AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |), dl AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM pos GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(dl) AS BIGINT) AS tt FROM dl
+       |), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.token,
+       |    round(
+       |      CAST(((n + 1) * 1000) // (df + 1) AS DOUBLE) * CAST(tf AS DOUBLE) * ${k1 + 1} /
+       |        (CAST(tf AS DOUBLE) + $k1 * (${1 - b} + $b * (CAST((dl * n * 1000) // tt AS DOUBLE) / 1000.0))),
+       |      6) AS score_t
+       |  FROM tf JOIN dft USING (token) JOIN dl USING (doc_id)
+       |  CROSS JOIN tot CROSS JOIN nd
+       |), agg AS (
+       |  SELECT doc_id,
+       |    $parts
+       |  FROM scored GROUP BY 1
+       |), ranked AS (
+       |  SELECT doc_id, round($total, 6) AS score
+       |  FROM agg
+       |)
+       |SELECT doc_id, score,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS "rank"
+       |FROM ranked ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   val eventSessions: String =
     """WITH base AS (
       |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events

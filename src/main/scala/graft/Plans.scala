@@ -251,7 +251,24 @@ object Plans {
       """Pure narrow projection — 16 shift/mask terms folded into one
         |codegen expression over the scan, no exchange at all. The same
         |expression drives Sinks.zorderParquet's range clustering, where
-        |its value is file skipping on EITHER interleaved key.""".stripMargin)
+        |its value is file skipping on EITHER interleaved key.""".stripMargin,
+    "q83_inverted_index" ->
+      """Posexplode → one hash agg on (token, doc) — the posting shuffle
+        |key — then a token-partitioned window for df. Output is
+        |O(distinct (token, doc)) rows, the size of any real index;
+        |nothing pairwise anywhere.""".stripMargin,
+    "q84_phrase_match" ->
+      """Each phrase token's occurrences re-key to the phrase start they
+        |would imply (pos − i), so the n-token phrase is n−1 EQUI-joins on
+        |(doc, start) — work bounded by the phrase tokens' posting sizes.
+        |At 100 TB the narrow posting filters push into the token explode;
+        |no corpus-wide structure is built.""".stripMargin,
+    "q85_bm25_topk" ->
+      """tf is one hash agg over matching postings; df and the corpus
+        |totals broadcast back onto it. The ranking is orderBy+limit —
+        |TakeOrderedAndProject, k rows per partition cross the wire — with
+        |the rank window running over just the k survivors, never a global
+        |single-partition window over every matching doc.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

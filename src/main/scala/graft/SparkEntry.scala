@@ -668,6 +668,24 @@ object SparkEntry {
           pmod(col("l_partkey"), lit(65536)),
           pmod(col("l_suppkey"), lit(65536)), bits = 16).as("zaddr"))),
 
+    // extension: inverted index build — one posting row per (token, doc)
+    // with tf/positions/df, flattened to scalars; the retrieval-side
+    // primitive (dataset search, leak hunting). minDf=2 prunes hapaxes
+    "q83_inverted_index" -> ((s, d) =>
+      graft.ext.Search.invertedIndex(Tables.documents(s, d), minDf = 2)),
+
+    // extension: positional phrase match — consecutive-token search as
+    // n−1 equi-joins on (doc, aligned start); work bounded by posting
+    // sizes, never the corpus
+    "q84_phrase_match" -> ((s, d) =>
+      graft.ext.Search.phraseMatch(Tables.documents(s, d), Seq("table", "hash"))),
+
+    // extension: BM25 ranking over a fixed query — rational fixed-point
+    // IDF (no libm ln), pinned-order float policy, distributed top-k
+    "q85_bm25_topk" -> ((s, d) =>
+      graft.ext.Search.bm25TopK(Tables.documents(s, d),
+        Seq("join", "scan", "filter"), k = 10)),
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -771,6 +789,9 @@ object SparkEntry {
     "q79_salted_agg" -> Oracles.saltedAgg,
     "q80_forward_fill" -> Oracles.forwardFill,
     "q81_top_sku_argmax" -> Oracles.topSkuArgmax,
-    "q82_zorder_address" -> Oracles.zorderAddress(65536, 16)
+    "q82_zorder_address" -> Oracles.zorderAddress(65536, 16),
+    "q83_inverted_index" -> Oracles.invertedIndex(2),
+    "q84_phrase_match" -> Oracles.phraseMatch(Seq("table", "hash")),
+    "q85_bm25_topk" -> Oracles.bm25TopK(Seq("join", "scan", "filter"), 10, 1.2, 0.75)
   )
 }

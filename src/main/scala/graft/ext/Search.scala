@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mini search surface over a document corpus: inverted index, positional
+  * phrase match, BM25 ranking — the retrieval side of a training-data
+  * pipeline (dataset search, eval-leak hunting, targeted corpus slicing).
+  *
+  * Tokenization is the engine-wide whitespace policy
+  * ([[TextAnalysis.tokens]], lowercased), so index/phrase/BM25 agree with
+  * every other text operator and the DuckDB oracles re-derive positions
+  * with a zipped unnest of the same split.
+  *
+  * Determinism policy for BM25 follows [[TfIdf]]: IDF is rational
+  * fixed-point (integer div, no libm `ln`), the dl/avgdl ratio is scaled
+  * integer division, per-token partial scores round to 6 decimals, and the
+  * cross-token sum adds a FIXED number of conditional aggregates in query
+  * order — no float ever crosses an order-unstable aggregation.
+  */
+object Search {
+
+  /** (idCol, pos, token) — 0-based positions of the lowercase tokens. */
+  private def positions(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      posexplode(TextAnalysis.tokens(lower(col(textCol)))).as(Seq("pos", "token")))
+
+  /** Inverted index, flattened to scalar columns: one posting row per
+    * (token, doc) with term frequency, first/last position, and the
+    * token's document frequency. `minDf` prunes hapax noise at the source.
+    *
+    * Scale: one hash agg on (token, doc) — the posting shuffle key — then
+    * a window on token for df (second exchange, keyspace-sized input).
+    * Nothing pairwise; output is O(distinct (token, doc)) like any real
+    * index build.
+    */
+  def invertedIndex(docs: DataFrame, minDf: Int = 1,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val post = positions(docs, idCol, textCol)
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("tf"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+    post
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      .filter(col("df") >= minDf)
+      .select(col("token"), col("df"), col(idCol), col("tf"),
+        col("first_pos"), col("last_pos"))
+  }
+
+  /** Positional phrase match: docs containing the exact consecutive token
+    * sequence, with the match count. Each phrase token after the first is
+    * an EQUI-join on (doc, aligned start position) — `pos − i` re-keys
+    * every occurrence of token i to the phrase start it would imply, so an
+    * n-token phrase is n−1 hash joins on a proper composite key and the
+    * work is bounded by the phrase tokens' posting sizes, never the
+    * corpus.
+    */
+  def phraseMatch(docs: DataFrame, phrase: Seq[String],
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val pos = positions(docs, idCol, textCol)
+    def occurrences(token: String, offset: Int): DataFrame =
+      pos.filter(col("token") === token)
+        .select(col(idCol), (col("pos") - offset).as("start"))
+    val starts = phrase.zipWithIndex.tail.foldLeft(occurrences(phrase.head, 0)) {
+      case (acc, (token, i)) => acc.join(occurrences(token, i), Seq(idCol, "start"))
+    }
+    starts.groupBy(col(idCol)).agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** BM25 top-k over a fixed query-token set.
+    *
+    * score(d) = Σ_t idfQ(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
+    * with idfQ(t) = ((N+1)·1000) div (df+1) (rational fixed-point — the
+    * [[TfIdf]] policy) and dl/avgdl as (dl·N·1000) div Σdl scaled back by
+    * 1000.0. Per-token scores round to 6 decimals; the Σ_t adds one
+    * conditional aggregate per query token in FIXED query order (each
+    * covers ≤1 row per doc, so no order-unstable float sum exists).
+    *
+    * Scale: tf is one hash agg over the (tiny) matching postings; df and
+    * the corpus totals are broadcast; ranking is a row_number window that
+    * compiles to WindowGroupLimit.
+    */
+  def bm25TopK(docs: DataFrame, queryTokens: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTokens.nonEmpty, "empty query")
+    val nDocs = docs.count()
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+    val tf = toks.filter(col("token").isin(queryTokens: _*))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val tot = dl.agg(sum(col("dl")).as("tt"))
+    val scored = tf
+      .join(broadcast(dfT), Seq("token"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("idfq", expr(s"((${nDocs}L + 1L) * 1000L) div (df + 1L)"))
+      .withColumn("r", expr(s"(dl * ${nDocs}L * 1000L) div tt"))
+      .withColumn("score_t", round(
+        col("idfq").cast("double") * col("tf").cast("double") * lit(k1 + 1) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1 - b) + lit(b) * (col("r").cast("double") / lit(1000.0)))),
+        6))
+    val parts = queryTokens.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, col("score_t"))).as(s"__s$i")
+    }
+    val total: Column = queryTokens.indices
+      .map(i => coalesce(col(s"__s$i"), lit(0.0)))
+      .reduce(_ + _)
+    // distributed top-k FIRST (orderBy+limit → TakeOrderedAndProject, k
+    // rows per partition cross), THEN the rank window over just k rows —
+    // a global row_number over all scored docs would single-thread the
+    // whole match set through one partition
+    val topK = scored.groupBy(col(idCol)).agg(parts.head, parts.tail: _*)
+      .withColumn("score", round(total, 6))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+    topK.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+      .select(col(idCol), col("score"), col("rank"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.Row
+import graft.SparkSpec
+
+class SearchSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) =
+    df("doc_id BIGINT, text STRING", rows.map { case (i, t) => Row(i, t) })
+
+  test("invertedIndex: postings carry tf, positions, and df; minDf prunes") {
+    val d = docs(
+      1L -> "spark spark table",
+      2L -> "table scan",
+      3L -> "only once")
+    val out = Search.invertedIndex(d, minDf = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5))).toSet
+    // only "table" appears in ≥2 docs
+    assert(out == Set(
+      ("table", 2L, 1L, 1L, 2, 2),
+      ("table", 2L, 2L, 1L, 0, 0)))
+    val all = Search.invertedIndex(d, minDf = 1)
+    assert(all.filter("token = 'spark'").collect().map(r =>
+      (r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5))).toSeq == Seq((1L, 2L, 0, 1)))
+  }
+
+  test("phraseMatch: counts consecutive occurrences, including overlapping repeats") {
+    val d = docs(
+      1L -> "a b a b c", // "a b" twice
+      2L -> "a a a", // "a a" overlaps: positions 0-1 and 1-2
+      3L -> "b a", // reversed — no "a b" match
+      4L -> "a x b") // gap — no match
+    val ab = Search.phraseMatch(d, Seq("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ab == Map(1L -> 2L))
+    val aa = Search.phraseMatch(d, Seq("a", "a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(aa == Map(2L -> 2L))
+    // three-token phrase exercises the fold of aligned joins
+    val abc = Search.phraseMatch(d, Seq("a", "b", "c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(abc == Map(1L -> 1L))
+  }
+
+  test("bm25TopK: rare-term match outranks common-term match; k bounds output") {
+    // "rare" appears in 1 doc, "common" in 9 — doc 1 must rank first
+    val d = docs((1L -> "rare word") +: (2L to 10L).map(i => i -> "common word"): _*)
+    val out = Search.bm25TopK(d, Seq("rare", "common"), k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(2)))
+    assert(out.length == 3)
+    assert(out.head == (1L, 1), s"rare-term doc must rank 1: ${out.toSeq}")
+  }
+
+  test("bm25TopK: deterministic — two runs produce identical rows") {
+    val d = docs((1L to 20L).map(i =>
+      i -> Seq.fill((i % 5 + 1).toInt)("join scan").mkString(" ")): _*)
+    val a = Search.bm25TopK(d, Seq("join", "scan"), k = 10).collect().toSeq
+    val b = Search.bm25TopK(d, Seq("join", "scan"), k = 10).collect().toSeq
+    assert(a == b)
+  }
+}
