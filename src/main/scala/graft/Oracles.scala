@@ -1405,4 +1405,120 @@ object Oracles {
       |  FROM base
       |)
       |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM e GROUP BY 1""".stripMargin
+
+  /** q86 oracle: star-schema revenue rollup. Mirrors
+    * [[ext.Warehouse.starRevenue]]'s DECIMAL(18,2) money policy — the
+    * product's scale-4 DECIMAL sum is exact in both engines, double only
+    * at the boundary.
+    */
+  def starRevenue(regionName: String, fromDate: String, untilDate: String): String =
+    s"""SELECT n_name AS nation, COUNT(*) AS n_lines,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |           CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey  = o_orderkey
+       |JOIN customer ON o_custkey   = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE r_name = '$regionName'
+       |  AND o_orderdate >= TIMESTAMP '$fromDate 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '$untilDate 00:00:00'
+       |GROUP BY 1""".stripMargin
+
+  /** q87 oracle: trailing `days`-day revenue window over the DAILY
+    * aggregate (RANGE frame on epoch day — calendar-gap-aware, matching
+    * [[ext.Warehouse.rollingDailyRevenue]]).
+    */
+  def rollingRevenue(days: Int): String =
+    s"""WITH daily AS (
+       |  SELECT l_returnflag AS flag,
+       |    CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+       |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+       |  FROM lineitem GROUP BY 1, 2
+       |), d AS (
+       |  SELECT flag, day, rev,
+       |    date_diff('day', DATE '1970-01-01', day) AS ed
+       |  FROM daily
+       |)
+       |SELECT flag, day, CAST(rev AS DOUBLE) AS rev,
+       |  CAST(SUM(rev) OVER (PARTITION BY flag ORDER BY ed
+       |    RANGE BETWEEN ${days - 1} PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_window
+       |FROM d""".stripMargin
+
+  /** q88 oracle: strict-sequence funnel — stage i+1 counts only events
+    * strictly after the user's stage-i first qualifying time, chained CTEs
+    * exactly like [[ext.Funnel.funnel]]'s per-stage joins.
+    */
+  def funnel(stages: Seq[String]): String = {
+    val base = "SELECT user_id, event_id, event_type, " +
+      "date_trunc('microseconds', ts) AS ts FROM events"
+    val ctes = stages.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"s0 AS (SELECT user_id, min(ts) AS t FROM base WHERE event_type = '$st' GROUP BY 1)"
+      else
+        s"s$i AS (SELECT e.user_id, min(e.ts) AS t FROM base e " +
+          s"JOIN s${i - 1} p ON e.user_id = p.user_id AND e.ts > p.t " +
+          s"WHERE e.event_type = '$st' GROUP BY 1)"
+    }
+    val selects = stages.zipWithIndex.map { case (st, i) =>
+      s"SELECT CAST($i AS BIGINT) AS stage, '$st' AS event_type, COUNT(*) AS users FROM s$i"
+    }
+    s"WITH base AS ($base), ${ctes.mkString(", ")}\n${selects.mkString("\nUNION ALL ")}"
+  }
+
+  /** q89 oracle: snapshot diff over the two DERIVED order snapshots (the
+    * same deterministic derivation as the SparkEntry registration), full
+    * outer join + null-safe column compare, unchanged keys dropped.
+    */
+  val snapshotDiff: String =
+    """WITH b AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 <> 0
+      |), a AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 <> 0
+      |)
+      |SELECT * FROM (
+      |  SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+      |    CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+      |         WHEN a.o_orderkey IS NULL THEN 'delete'
+      |         WHEN b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+      |           OR b.o_totalprice IS DISTINCT FROM a.o_totalprice THEN 'update'
+      |    END AS change,
+      |    b.o_orderstatus AS b_o_orderstatus, a.o_orderstatus AS a_o_orderstatus,
+      |    b.o_totalprice AS b_o_totalprice, a.o_totalprice AS a_o_totalprice
+      |  FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey
+      |) WHERE change IS NOT NULL""".stripMargin
+
+  /** q90 oracle: the incremental stored+delta merge must equal a FULL
+    * recompute — so the oracle IS the full recompute (same DECIMAL revenue
+    * policy; partial sums merge exactly).
+    */
+  val incrementalAgg: String =
+    """SELECT CAST(l_partkey AS VARCHAR) AS sku, COUNT(*) AS n,
+      |  SUM(l_quantity) AS qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** q91 oracle: SCD2 validity intervals — consecutive-duplicate collapse
+    * via lag, interval ends via lead over the change rows, (ts, event_id)
+    * total order at every step.
+    */
+  val scd2Intervals: String =
+    """WITH base AS (
+      |  SELECT user_id, event_id, event_type, date_trunc('microseconds', ts) AS ts FROM events
+      |), c AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM base
+      |), ch AS (
+      |  SELECT user_id, event_type, ts, event_id
+      |  FROM c WHERE prev_type IS NULL OR prev_type <> event_type
+      |)
+      |SELECT user_id, event_type, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |FROM ch""".stripMargin
 }

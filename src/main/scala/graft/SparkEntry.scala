@@ -686,6 +686,62 @@ object SparkEntry {
       graft.ext.Search.bm25TopK(Tables.documents(s, d),
         Seq("join", "scan", "filter"), k = 10)),
 
+    // warehouse breadth: star-schema rollup — lineitem ⋈ orders ⋈
+    // customer ⋈ nation ⋈ region with region/date predicates pushed below
+    // the joins, tiny dims broadcast, fact shuffles only on natural keys
+    "q86_star_revenue" -> ((s, d) =>
+      graft.ext.Warehouse.starRevenue(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d),
+        "ASIA", "1996-01-01", "1998-01-01")),
+
+    // warehouse breadth: trailing 7-day revenue window — fact collapses to
+    // (flag × day) aggregates BEFORE the RANGE-frame window, so the window
+    // input is O(days), not O(rows), at any corpus size
+    "q87_rolling_revenue" -> ((s, d) =>
+      graft.ext.Warehouse.rollingDailyRevenue(Tables.lineitem(s, d), days = 7)),
+
+    // event analytics: strict-sequence funnel (view → click → purchase) —
+    // one filtered scan + user-key shuffle per stage, monotonically
+    // shrinking per-user state, never an event self-join
+    "q88_event_funnel" -> ((s, d) =>
+      graft.ext.Funnel.funnel(Tables.events(s, d),
+        Seq("view", "click", "purchase"))),
+
+    // pipeline breadth: snapshot diff (CDC) — two deterministic snapshot
+    // derivations of orders (drops, status flips, price bumps), one
+    // full-outer key join, output proportional to CHANGE volume
+    "q89_snapshot_diff" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val before = o.filter(col("o_orderkey") % 10 =!= 0)
+      val after = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 5 === 0, lit("X")).otherwise(col("o_orderstatus")))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+      graft.ext.Warehouse.snapshotDiff(before, after,
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+    },
+
+    // pipeline breadth: incremental aggregate maintenance — stored per-key
+    // aggregate + delta-batch aggregate re-aggregated; oracle is the FULL
+    // recompute, so the merge is proven exact (mergeable partial states)
+    "q90_incremental_agg" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val cut = to_timestamp(lit("1998-01-01"))
+      graft.ext.Warehouse.mergeAggregates(
+          graft.ext.Warehouse.aggState(li.filter(col("l_shipdate") < cut)),
+          graft.ext.Warehouse.aggState(li.filter(col("l_shipdate") >= cut)))
+        .select(col("sku"), col("n"), col("qty"),
+          col("revenue").cast("double").as("revenue"))
+    },
+
+    // warehouse breadth: SCD2 validity intervals from the event stream —
+    // consecutive-duplicate collapse + interval ends, one entity-key
+    // shuffle, both windows share the (user × ts) sort
+    "q91_scd2_intervals" -> ((s, d) =>
+      graft.ext.Warehouse.scd2Intervals(Tables.events(s, d))),
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -792,6 +848,12 @@ object SparkEntry {
     "q82_zorder_address" -> Oracles.zorderAddress(65536, 16),
     "q83_inverted_index" -> Oracles.invertedIndex(2),
     "q84_phrase_match" -> Oracles.phraseMatch(Seq("table", "hash")),
-    "q85_bm25_topk" -> Oracles.bm25TopK(Seq("join", "scan", "filter"), 10, 1.2, 0.75)
+    "q85_bm25_topk" -> Oracles.bm25TopK(Seq("join", "scan", "filter"), 10, 1.2, 0.75),
+    "q86_star_revenue" -> Oracles.starRevenue("ASIA", "1996-01-01", "1998-01-01"),
+    "q87_rolling_revenue" -> Oracles.rollingRevenue(7),
+    "q88_event_funnel" -> Oracles.funnel(Seq("view", "click", "purchase")),
+    "q89_snapshot_diff" -> Oracles.snapshotDiff,
+    "q90_incremental_agg" -> Oracles.incrementalAgg,
+    "q91_scd2_intervals" -> Oracles.scd2Intervals
   )
 }

@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Strict-sequence funnel analysis over an event stream: how many users
+  * reach each stage, where stage i+1 only counts events STRICTLY AFTER the
+  * user's stage-i time (a purchase logged before the first view does not
+  * convert the view).
+  *
+  * Scale shape: one filtered scan + one (user key) shuffle per stage —
+  * never a self-join of the whole event table. Each stage's state is one
+  * row per surviving user (user_id, first qualifying ts), so intermediate
+  * size shrinks monotonically down the funnel; the stage filter pushes the
+  * `event_type` predicate into the scan. Counting is a 1-row aggregate per
+  * stage unioned into the report — nothing wide ever materializes.
+  */
+object Funnel {
+
+  /** Per-user first qualifying timestamp per stage, chained strictly. */
+  private def stageTimes(events: DataFrame, stages: Seq[String],
+                         tsCol: String, userCol: String,
+                         typeCol: String): Seq[DataFrame] = {
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    stages.tail.scanLeft(first) { (prev, stage) =>
+      events.filter(col(typeCol) === stage)
+        .join(prev.select(col(userCol), col("t").as("prev_t")), Seq(userCol))
+        .filter(col(tsCol) > col("prev_t"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    }
+  }
+
+  /** Funnel report: one row per stage — (stage index, stage name, users
+    * reaching it under strict ordering).
+    */
+  def funnel(events: DataFrame, stages: Seq[String], tsCol: String = "ts",
+             userCol: String = "user_id",
+             typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "funnel requires at least one stage")
+    stageTimes(events, stages, tsCol, userCol, typeCol)
+      .zip(stages).zipWithIndex
+      .map { case ((df, stage), i) =>
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(i.toLong).as("stage"), lit(stage).as("event_type"),
+            col("users"))
+      }
+      .reduce(_ unionAll _)
+  }
+
+  /** Per-user funnel depth (how far down the stages each user got) plus
+    * the stage timestamps — the per-entity view [[funnel]] aggregates.
+    * Users who never reach stage 0 are absent.
+    */
+  def funnelUsers(events: DataFrame, stages: Seq[String], tsCol: String = "ts",
+                  userCol: String = "user_id",
+                  typeCol: String = "event_type"): DataFrame = {
+    val times = stageTimes(events, stages, tsCol, userCol, typeCol)
+    times.zipWithIndex.map { case (df, i) =>
+      df.select(col(userCol), lit(i.toLong).as("depth"), col("t"))
+    }.reduce(_ unionAll _)
+      .groupBy(col(userCol))
+      .agg(max(col("depth")).as("depth"), min(col("t")).as("t_first"),
+        max(col("t")).as("t_last"))
+  }
+}

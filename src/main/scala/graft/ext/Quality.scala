@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality operators: declarative constraint validation (the
+  * Deequ-shaped check report a pipeline runs before publishing a table)
+  * and robust statistical outlier detection (median/MAD — resistant to
+  * the very outliers it hunts, unlike mean/stddev z-scores).
+  *
+  * Exactness policy: medians here are LOWER medians picked by BY-VALUE
+  * cumulative counting — an element of the data, no interpolation
+  * arithmetic — so every derived number (median, MAD, outlier count) is
+  * bit-identical in any engine. The q66 by-value trick, generalized to
+  * double-valued columns.
+  */
+object Quality {
+
+  /** One row-local constraint: a name and a violation predicate. */
+  final case class Check(name: String, violated: Column)
+
+  /** Constraint report over one table: every [[Check]] is a conditional
+    * count folded into ONE aggregate over ONE scan (however many checks),
+    * then stacked to (constraint, violations, checked) rows. Uniqueness
+    * rides in the same pass as `count − countDistinct`.
+    *
+    * Scale shape: the whole report is a single partial-agg scan — adding
+    * a 20th check adds a column to the aggregate, not a 20th job. (A
+    * referential-integrity check needs a second relation — see
+    * [[fkViolations]] — and composes by union.)
+    */
+  def constraintReport(df: DataFrame, checks: Seq[Check],
+                       uniqueKey: Option[String] = None): DataFrame = {
+    require(checks.nonEmpty || uniqueKey.nonEmpty, "no constraints given")
+    val aggs =
+      checks.map(c => sum(when(c.violated, 1L).otherwise(0L)).as("v_" + c.name)) ++
+        uniqueKey.map(k =>
+          (count(lit(1)) - count_distinct(col(k))).as("v_unique_" + k))
+    val names = checks.map(_.name) ++ uniqueKey.map("unique_" + _)
+    val one = df.agg(count(lit(1)).as("checked"), aggs: _*)
+    val stackArgs = names
+      .map(n => s"'$n', v_$n").mkString(", ")
+    one.select(
+      expr(s"stack(${names.size}, $stackArgs) as (constraint, violations)"),
+      col("checked"))
+  }
+
+  /** Referential-integrity violation row for the report: fact keys with no
+    * match in the dimension — a left-anti join (broadcast when the dim is
+    * small), counted. Output shape matches [[constraintReport]].
+    */
+  def fkViolations(fact: DataFrame, factKey: String, dim: DataFrame,
+                   dimKey: String, name: String): DataFrame = {
+    val total = fact.agg(count(lit(1)).as("checked"))
+    fact.join(dim, col(factKey) === col(dimKey), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(name).as("constraint"), col("violations"))
+      .crossJoin(total)
+  }
+
+  /** Per-group LOWER median by value: group values, cumulative-count them
+    * in value order, pick the value whose cumulative range covers position
+    * ⌊(n+1)/2⌋. One shuffle (the value groupBy); both window functions
+    * (running and total count) share one sort. No interpolation — the
+    * result is an element of the data, bit-portable across engines.
+    */
+  def lowerMedianBy(df: DataFrame, grpCol: String, valCol: String,
+                    outCol: String): DataFrame = {
+    val counts = df.groupBy(col(grpCol), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wRun = Window.partitionBy(grpCol).orderBy(col("__v"))
+    val wAll = Window.partitionBy(grpCol)
+    counts
+      .withColumn("__cum", sum("__cnt").over(wRun))
+      .withColumn("__n", sum("__cnt").over(wAll))
+      .filter(col("__cum") - col("__cnt") < expr("(__n + 1) div 2")
+        && expr("(__n + 1) div 2") <= col("__cum"))
+      .select(col(grpCol), col("__v").as(outCol))
+  }
+
+  /** Robust per-group outlier report: median, MAD (median absolute
+    * deviation), and the count of rows beyond `k`·MAD. Three passes over
+    * the fact (median, deviation median, final count), each a hash
+    * aggregate; the tiny median/MAD relations broadcast back.
+    *
+    * With MAD = 0 (over half the group identical) every deviating row is
+    * an outlier — the conventional degenerate-MAD behavior, noted here
+    * because `k·0 = 0` makes the strict `>` the only sane comparison.
+    */
+  def madOutliers(df: DataFrame, grpCol: String, valCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val med = lowerMedianBy(df, grpCol, valCol, "med")
+    val dev = df.join(broadcast(med), grpCol)
+      .withColumn("__adev", abs(col(valCol) - col("med")))
+    val mad = lowerMedianBy(dev, grpCol, "__adev", "mad")
+    df.join(broadcast(med), grpCol).join(broadcast(mad), grpCol)
+      .groupBy(col(grpCol), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col(valCol) - col("med")) > lit(k) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+}

@@ -59,6 +59,43 @@ object Sampling {
     * sort. Shards are hash-balanced, so the sort is (corpus/nShards) per
     * task; pick nShards ≈ a few × executor count at 100 TB.
     */
+  /** Token-budgeted domain mixing: per `strataCol` domain, take documents
+    * in deterministic hash order until the domain's character/token budget
+    * is reached (the doc that crosses the boundary is included — standard
+    * take-while-cumsum-under-budget). This is the data-mixing step of an
+    * LLM corpus build: "give me ≈N tokens of web, ≈M of code, …",
+    * reproducible across engines and re-runs.
+    *
+    * Hash member j=150 (disjoint from sampling 7, packing 9, shuffle
+    * 100+, sketches 200+) orders docs WITHIN each domain; the budget
+    * decides how deep into that order the domain is read.
+    *
+    * Scale: one window per domain (cumulative sum over the hash order).
+    * Domains are few and the window input can be pre-pruned by a
+    * stratified sample when a domain vastly exceeds its budget; if one
+    * domain still dominates the corpus, the [[Packing.packDocuments]]
+    * bucketed-running-sum shape is the refinement — here the exact
+    * take-while boundary is the semantic, so the order must stay total
+    * per domain.
+    */
+  def tokenBudgetMix(docs: DataFrame, idCol: String, strataCol: String,
+                     sizeCol: String, budgets: Seq[(String, Long)],
+                     defaultBudget: Long): DataFrame = {
+    require(budgets.forall(_._2 >= 0) && defaultBudget >= 0, "negative budget")
+    val budget = budgets.reverse.foldLeft(lit(defaultBudget)) {
+      case (acc, (stratum, b)) => when(col(strataCol) === stratum, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("__h"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.select(col(idCol), col(strataCol), col(sizeCol))
+      .withColumn("__h", Dedup.mixHash(col(idCol), 150))
+      .withColumn("cum_size", sum(col(sizeCol)).over(w))
+      .filter(col("cum_size") - col(sizeCol) < budget)
+      .select(col(idCol), col(strataCol), col(sizeCol), col("cum_size"))
+  }
+
   def deterministicShuffle(df: DataFrame, nShards: Int, idCol: String = "doc_id",
                            seed: Int = 0): DataFrame = {
     require(nShards > 0, "nShards must be positive")

@@ -1,0 +1,156 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-shaped analytics the reference's retail pipeline grows into
+  * once the data outlives one pandas process: star-schema rollups across
+  * the full dimension tree, trailing time-window metrics, snapshot
+  * differencing (CDC), and incremental aggregate maintenance.
+  *
+  * Money policy (SparkEntry determinism contract): every price term is
+  * routed through DECIMAL(18,2) before arithmetic, summed as DECIMAL
+  * (exact, association-order-free), and cast to double only at the output
+  * boundary — the same engine-portable policy q09 established.
+  */
+object Warehouse {
+
+  /** Exact per-row revenue term: price × (1 − discount), both factors
+    * 2-decimal DECIMAL so the product (scale 4) and its sum are exact in
+    * any engine.
+    */
+  private def revenueTerm: Column =
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1.0) - col("l_discount")).cast("decimal(18,2)")
+
+  /** Star-schema rollup: revenue by nation for one region and order-date
+    * window — lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+    *
+    * Scale shape: the two selective predicates (region name, date window)
+    * sit on the SMALL side of each join, so Catalyst pushes them below the
+    * joins — region prunes nation before any fact row is touched, the date
+    * window prunes orders at its scan. nation/region are broadcast
+    * explicitly (25/5 rows); customer⋈orders and orders⋈lineitem shuffle
+    * on their natural keys, which AQE right-sizes. No fact column beyond
+    * the join keys + 2 money columns survives the scan (pruned schema).
+    */
+  def starRevenue(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                  nation: DataFrame, region: DataFrame, regionName: String,
+                  fromDate: String, untilDate: String): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === regionName
+        && col("o_orderdate") >= to_timestamp(lit(fromDate))
+        && col("o_orderdate") < to_timestamp(lit(untilDate)))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(revenueTerm).cast("double").as("revenue"))
+
+  /** Daily revenue per return flag with a trailing `days`-day windowed sum
+    * (RANGE frame over epoch day, so calendar gaps shorten the window
+    * instead of silently widening it the way a ROWS frame would).
+    *
+    * Scale shape: the fact table collapses to (flag × day) DAILY AGGREGATES
+    * first — one partial-agg shuffle — and the window runs over that tiny
+    * relation, partitioned by flag. The window never sees fact rows; at
+    * 100 TB the windowed input is still only flags × days.
+    */
+  def rollingDailyRevenue(lineitem: DataFrame, days: Int = 7): DataFrame = {
+    val daily = lineitem
+      .groupBy(col("l_returnflag").as("flag"),
+        date_trunc("day", col("l_shipdate")).cast("date").as("day"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy("flag").orderBy(col("epoch_day"))
+      .rangeBetween(-(days - 1).toLong, 0L)
+    daily
+      .withColumn("rev_window", sum(col("rev")).over(w).cast("double"))
+      .select(col("flag"), col("day"), col("rev").cast("double").as("rev"),
+        col("rev_window"))
+  }
+
+  /** Snapshot differencing (CDC): classify every key of two table
+    * snapshots as `insert` (new key), `delete` (gone key), or `update`
+    * (key present in both, any compared column changed). Unchanged keys
+    * are dropped — on a 100 TB snapshot pair the output is proportional to
+    * the CHANGE volume, not the table.
+    *
+    * Scale shape: one full-outer shuffle join on the key columns — the
+    * minimal possible data movement for a diff — followed by a narrow
+    * classify/filter. Null-safe equality (`<=>`) makes a null→value column
+    * transition count as a change instead of vanishing.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keys: Seq[String],
+                   compare: Seq[String]): DataFrame = {
+    val b = before.select((keys ++ compare).map(col): _*).toDF(
+      (keys ++ compare.map("b_" + _)): _*)
+    val a = after.select((keys ++ compare).map(col): _*).toDF(
+      (keys ++ compare.map("a_" + _)): _*)
+    val changed = compare.map(c => !(col("b_" + c) <=> col("a_" + c)))
+      .reduce(_ || _)
+    val inB = keys.map(k => b(k).isNotNull).reduce(_ && _)
+    val inA = keys.map(k => a(k).isNotNull).reduce(_ && _)
+    // coalesce the key out of whichever side has the row
+    val keyCols = keys.map(k => coalesce(b(k), a(k)).as(k))
+    b.join(a, keys.map(k => b(k) <=> a(k)).reduce(_ && _), "full_outer")
+      .withColumn("change",
+        when(!inB, lit("insert"))
+          .when(!inA, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change").isNotNull)
+      .select(keyCols ++ Seq(col("change")) ++
+        compare.flatMap(c => Seq(col("b_" + c), col("a_" + c))): _*)
+  }
+
+  /** Incremental aggregate maintenance: merge a STORED per-key aggregate
+    * with the aggregate of a new DELTA batch — sums/counts re-aggregate
+    * exactly (they are mergeable partial states), so the result equals a
+    * full recompute without rescanning history.
+    *
+    * Both inputs carry (key, n, qty, revenue) where revenue is the exact
+    * DECIMAL sum ([[aggState]]). At 100 TB this is THE pattern: the stored
+    * aggregate is O(keys), the delta scan is O(new data), and full-history
+    * rescans never happen.
+    */
+  def mergeAggregates(stored: DataFrame, deltaAgg: DataFrame): DataFrame =
+    stored.unionByName(deltaAgg)
+      .groupBy("sku")
+      .agg(sum("n").as("n"), sum("qty").as("qty"),
+        sum("revenue").as("revenue"))
+
+  /** Mergeable per-SKU aggregate state over lineitem rows: count, quantity
+    * sum, exact DECIMAL revenue sum. Kept as DECIMAL (not double) so that
+    * merging partial states stays association-order-free.
+    */
+  def aggState(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_partkey").cast("string").as("sku"))
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"),
+        sum(revenueTerm).as("revenue"))
+
+  /** SCD2 history build from an event stream: per user, collapse
+    * consecutive duplicate `event_type` values and emit validity intervals
+    * [valid_from, valid_to) — valid_to null for the current state. The
+    * slowly-changing-dimension shape every warehouse derives from a
+    * change-event feed.
+    *
+    * Scale shape: one shuffle on the entity key; both windows (lag to
+    * detect change points, lead for interval ends) share the same
+    * (user_id × ts) sort, so Spark plans a single Sort + two Window ops
+    * over it, no second exchange.
+    */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val changes = events
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val w2 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    changes
+      .withColumn("valid_to", lead("ts", 1).over(w2))
+      .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        col("valid_to"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ext
+
+import java.sql.Timestamp
+import org.apache.spark.sql.Row
+import graft.SparkSpec
+
+class FunnelSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val events = df(
+    "user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP",
+    Seq(
+      // user 1: full strict path
+      Row(1L, 1L, "view", ts("2024-01-01 00:00:00")),
+      Row(1L, 2L, "click", ts("2024-01-01 00:05:00")),
+      Row(1L, 3L, "purchase", ts("2024-01-01 00:10:00")),
+      // user 2: purchase BEFORE click → stops at click
+      Row(2L, 4L, "view", ts("2024-01-01 00:00:00")),
+      Row(2L, 5L, "purchase", ts("2024-01-01 00:01:00")),
+      Row(2L, 6L, "click", ts("2024-01-01 00:02:00")),
+      // user 3: click only, never viewed → not even stage 0
+      Row(3L, 7L, "click", ts("2024-01-01 00:00:00")),
+      // user 4: view only
+      Row(4L, 8L, "view", ts("2024-01-01 00:00:00"))))
+
+  test("funnel: strict ordering — events before the prior stage don't convert") {
+    val out = Funnel.funnel(events, Seq("view", "click", "purchase"))
+    assert(out.columns.toSeq == Seq("stage", "event_type", "users"))
+    assert(rowSet(out) == rows(
+      Seq("0", "view", "3"), // users 1, 2, 4
+      Seq("1", "click", "2"), // users 1, 2 (user 2's click is after the view)
+      Seq("2", "purchase", "1"))) // only user 1 purchased after clicking
+  }
+
+  test("funnel: same-timestamp event does NOT count (strictly after)") {
+    val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP",
+      Seq(
+        Row(1L, 1L, "view", ts("2024-01-01 00:00:00")),
+        Row(1L, 2L, "click", ts("2024-01-01 00:00:00")))) // simultaneous
+    val out = Funnel.funnel(ev, Seq("view", "click"))
+    assert(rowSet(out) == rows(Seq("0", "view", "1"), Seq("1", "click", "0")))
+  }
+
+  test("funnelUsers: per-user depth and first/deepest stage times") {
+    val out = Funnel.funnelUsers(events, Seq("view", "click", "purchase"))
+    assert(out.columns.toSeq == Seq("user_id", "depth", "t_first", "t_last"))
+    assert(rowSet(out) == rows(
+      Seq("1", "2", "2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0"),
+      Seq("2", "1", "2024-01-01 00:00:00.0", "2024-01-01 00:02:00.0"),
+      Seq("4", "0", "2024-01-01 00:00:00.0", "2024-01-01 00:00:00.0")))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ext
+
+import java.sql.Timestamp
+import org.apache.spark.sql.Row
+import graft.SparkSpec
+
+class WarehouseSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("snapshotDiff: classifies insert/delete/update, drops unchanged") {
+    val before = df("k BIGINT, status STRING, price DOUBLE", Seq(
+      Row(1L, "O", 10.0), // unchanged → dropped
+      Row(2L, "O", 20.0), // status flip → update
+      Row(3L, "F", 30.0), // gone in after → delete
+      Row(4L, "O", null))) // null → value → update
+    val after = df("k BIGINT, status STRING, price DOUBLE", Seq(
+      Row(1L, "O", 10.0),
+      Row(2L, "X", 20.0),
+      Row(4L, "O", 40.0),
+      Row(5L, "O", 50.0))) // new key → insert
+    val out = Warehouse.snapshotDiff(before, after, Seq("k"), Seq("status", "price"))
+    assert(out.columns.toSeq ==
+      Seq("k", "change", "b_status", "a_status", "b_price", "a_price"))
+    assert(rowSet(out) == rows(
+      Seq("2", "update", "O", "X", "20.0", "20.0"),
+      Seq("3", "delete", "F", "null", "30.0", "null"),
+      Seq("4", "update", "O", "O", "null", "40.0"),
+      Seq("5", "insert", "null", "O", "null", "50.0")))
+  }
+
+  test("mergeAggregates(stored, delta) equals the full recompute") {
+    val li = df(
+      "l_partkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, l_shipdate TIMESTAMP",
+      Seq(
+        Row(1L, 2.0, 100.0, 0.05, ts("1997-03-01 00:00:00")),
+        Row(1L, 3.0, 200.0, 0.00, ts("1998-03-01 00:00:00")),
+        Row(2L, 1.0, 50.0, 0.10, ts("1998-06-01 00:00:00"))))
+    val cut = ts("1998-01-01 00:00:00")
+    val merged = Warehouse.mergeAggregates(
+      Warehouse.aggState(li.filter(li("l_shipdate") < cut)),
+      Warehouse.aggState(li.filter(li("l_shipdate") >= cut)))
+    assertSameRows(
+      merged.selectExpr("sku", "n", "qty", "cast(revenue as double) as revenue"),
+      Warehouse.aggState(li)
+        .selectExpr("sku", "n", "qty", "cast(revenue as double) as revenue"))
+  }
+
+  test("rollingDailyRevenue: RANGE frame honors calendar gaps") {
+    val li = df(
+      "l_returnflag STRING, l_shipdate TIMESTAMP, l_extendedprice DOUBLE",
+      Seq(
+        Row("A", ts("2024-01-01 10:00:00"), 10.0),
+        Row("A", ts("2024-01-03 10:00:00"), 20.0), // within 7d of day 1
+        Row("A", ts("2024-01-20 10:00:00"), 40.0))) // 17d later → window restarts
+    val out = Warehouse.rollingDailyRevenue(li, days = 7)
+    assert(rowSet(out) == rows(
+      Seq("A", "2024-01-01", "10.0", "10.0"),
+      Seq("A", "2024-01-03", "20.0", "30.0"),
+      Seq("A", "2024-01-20", "40.0", "40.0")))
+  }
+
+  test("scd2Intervals: collapses consecutive duplicates, chains valid_to") {
+    val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP", Seq(
+      Row(1L, 1L, "view", ts("2024-01-01 00:00:00")),
+      Row(1L, 2L, "view", ts("2024-01-01 00:05:00")), // dup → collapsed
+      Row(1L, 3L, "click", ts("2024-01-01 00:10:00")),
+      Row(1L, 4L, "view", ts("2024-01-01 00:20:00")), // back to view → new interval
+      Row(2L, 5L, "signup", ts("2024-01-01 01:00:00"))))
+    val out = Warehouse.scd2Intervals(ev)
+    assert(out.columns.toSeq == Seq("user_id", "event_type", "valid_from", "valid_to"))
+    assert(rowSet(out) == rows(
+      Seq("1", "view", "2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0"),
+      Seq("1", "click", "2024-01-01 00:10:00.0", "2024-01-01 00:20:00.0"),
+      Seq("1", "view", "2024-01-01 00:20:00.0", "null"),
+      Seq("2", "signup", "2024-01-01 01:00:00.0", "null")))
+  }
+
+  test("starRevenue: joins the dimension tree, filters region + date window") {
+    val region = df("r_regionkey INT, r_name STRING",
+      Seq(Row(0, "ASIA"), Row(1, "EUROPE")))
+    val nation = df("n_nationkey INT, n_name STRING, n_regionkey INT",
+      Seq(Row(10, "JP", 0), Row(11, "DE", 1)))
+    val customer = df("c_custkey BIGINT, c_nationkey INT",
+      Seq(Row(100L, 10), Row(101L, 11)))
+    val orders = df("o_orderkey BIGINT, o_custkey BIGINT, o_orderdate TIMESTAMP", Seq(
+      Row(1000L, 100L, ts("1996-06-01 00:00:00")), // in window, ASIA
+      Row(1001L, 100L, ts("1995-06-01 00:00:00")), // before window
+      Row(1002L, 101L, ts("1996-06-01 00:00:00")))) // EUROPE
+    val li = df("l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE", Seq(
+      Row(1000L, 100.0, 0.10),
+      Row(1000L, 50.0, 0.00),
+      Row(1001L, 999.0, 0.00),
+      Row(1002L, 999.0, 0.00)))
+    val out = Warehouse.starRevenue(li, orders, customer, nation, region,
+      "ASIA", "1996-01-01", "1998-01-01")
+    assert(rowSet(out) == rows(Seq("JP", "2", "140.0")))
+  }
+}
