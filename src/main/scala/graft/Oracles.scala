@@ -1503,6 +1503,87 @@ object Oracles {
       |           CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** q92 oracle: the constraint report re-derived as one aggregate CTE +
+    * stacked selects (mirrors [[ext.Quality.constraintReport]]'s one-pass
+    * conditional counts) plus the anti-join FK count. DuckDB `SUM(int)`
+    * returns HUGEINT — cast back to BIGINT; `constraint` is reserved —
+    * quoted.
+    */
+  val qualityReport: String =
+    """WITH agg AS (
+      |  SELECT COUNT(*) AS checked,
+      |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+      |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+      |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS v5
+      |  FROM orders
+      |)
+      |SELECT 'completeness_o_orderdate' AS "constraint", v1 AS violations, checked FROM agg
+      |UNION ALL SELECT 'domain_o_orderstatus', v2, checked FROM agg
+      |UNION ALL SELECT 'range_o_totalprice_pos', v3, checked FROM agg
+      |UNION ALL SELECT 'freshness_1996', v4, checked FROM agg
+      |UNION ALL SELECT 'unique_o_orderkey', v5, checked FROM agg
+      |UNION ALL SELECT 'fk_o_custkey',
+      |  (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |   WHERE c.c_custkey IS NULL),
+      |  (SELECT checked FROM agg)""".stripMargin
+
+  /** q93 oracle: per-group median/MAD outlier report with LOWER medians
+    * picked by by-value cumulative counting (position ⌊(n+1)/2⌋) — an
+    * element of the data, no interpolation, so median, MAD and the
+    * k·MAD outlier count are bit-identical to Spark's.
+    */
+  def madOutliers(k: Double): String =
+    s"""WITH counts AS (
+       |  SELECT event_type, value AS v, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+       |), c2 AS (
+       |  SELECT event_type, v, cnt,
+       |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+       |  FROM counts
+       |), med AS (
+       |  SELECT event_type, v AS med FROM c2
+       |  WHERE cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+       |), dev AS (
+       |  SELECT e.event_type, abs(e.value - m.med) AS adev
+       |  FROM events e JOIN med m USING (event_type)
+       |), dcounts AS (
+       |  SELECT event_type, adev, COUNT(*) AS cnt FROM dev GROUP BY 1, 2
+       |), dc2 AS (
+       |  SELECT event_type, adev, cnt,
+       |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY adev) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+       |  FROM dcounts
+       |), mad AS (
+       |  SELECT event_type, adev AS mad FROM dc2
+       |  WHERE cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+       |)
+       |SELECT e.event_type, m.med, d.mad, COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN abs(e.value - m.med) > $k * d.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q94 oracle: token-budgeted domain mix — the same j=150 mix hash
+    * orders docs per source, ROWS-frame cumulative size, take-while the
+    * pre-row total is under the source's budget.
+    */
+  def domainMix(budgets: Seq[(String, Long)], defaultBudget: Long): String = {
+    val h = mixSql("doc_id", 150)
+    val budgetCase = "CASE " + budgets.map { case (s, b) =>
+      s"WHEN source = '$s' THEN $b" }.mkString(" ") + s" ELSE $defaultBudget END"
+    s"""WITH h AS (
+       |  SELECT doc_id, source, n_chars, ($h) AS hh FROM documents
+       |), c AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY hh, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_size
+       |  FROM h
+       |)
+       |SELECT doc_id, source, n_chars, cum_size FROM c
+       |WHERE cum_size - n_chars < $budgetCase""".stripMargin
+  }
+
   /** q91 oracle: SCD2 validity intervals — consecutive-duplicate collapse
     * via lag, interval ends via lead over the change rows, (ts, event_id)
     * total order at every step.

@@ -742,6 +742,40 @@ object SparkEntry {
     "q91_scd2_intervals" -> ((s, d) =>
       graft.ext.Warehouse.scd2Intervals(Tables.events(s, d))),
 
+    // pipeline breadth: declarative constraint report — every row-local
+    // check folds into ONE aggregate over ONE scan (null, domain, range,
+    // freshness, uniqueness), the FK check composes by union (anti-join)
+    "q92_quality_report" -> { (s, d) =>
+      import graft.ext.Quality
+      val o = Tables.orders(s, d)
+      Quality.constraintReport(o, Seq(
+          Quality.Check("completeness_o_orderdate", col("o_orderdate").isNull),
+          Quality.Check("domain_o_orderstatus",
+            !col("o_orderstatus").isin("O", "F", "P")),
+          Quality.Check("range_o_totalprice_pos", col("o_totalprice") <= 0),
+          Quality.Check("freshness_1996",
+            col("o_orderdate") < to_timestamp(lit("1996-01-01")))),
+          uniqueKey = Some("o_orderkey"))
+        .unionAll(Quality.fkViolations(o, "o_custkey",
+          Tables.customer(s, d), "c_custkey", "fk_o_custkey"))
+    },
+
+    // robust stats: median/MAD outlier report per event type — LOWER
+    // medians by by-value cumulative counting (no interpolation → bit
+    // portable), tiny median/MAD relations broadcast back
+    "q93_mad_outliers" -> ((s, d) =>
+      graft.ext.Quality.madOutliers(Tables.events(s, d), "event_type", "value",
+        k = 3.0)),
+
+    // LLM-pipeline breadth: token-budgeted domain mixing — per-source
+    // deterministic hash order, take-while under the domain's budget
+    // (hash member j=150); the corpus data-mixing step
+    "q94_domain_mix" -> ((s, d) =>
+      graft.ext.Sampling.tokenBudgetMix(Tables.documents(s, d), "doc_id",
+        "source", "n_chars",
+        budgets = Seq("src0" -> 4000L, "src1" -> 4000L, "src2" -> 1000L),
+        defaultBudget = 2000L)),
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -854,6 +888,10 @@ object SparkEntry {
     "q88_event_funnel" -> Oracles.funnel(Seq("view", "click", "purchase")),
     "q89_snapshot_diff" -> Oracles.snapshotDiff,
     "q90_incremental_agg" -> Oracles.incrementalAgg,
-    "q91_scd2_intervals" -> Oracles.scd2Intervals
+    "q91_scd2_intervals" -> Oracles.scd2Intervals,
+    "q92_quality_report" -> Oracles.qualityReport,
+    "q93_mad_outliers" -> Oracles.madOutliers(3.0),
+    "q94_domain_mix" -> Oracles.domainMix(
+      Seq("src0" -> 4000L, "src1" -> 4000L, "src2" -> 1000L), 2000L)
   )
 }

@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class QualitySpec extends SparkSpec {
+
+  test("constraintReport: one pass counts all violations, uniqueness included") {
+    val t = df("k BIGINT, status STRING, price DOUBLE", Seq(
+      Row(1L, "O", 10.0),
+      Row(1L, "O", 20.0), // dup key
+      Row(2L, "Z", -5.0), // bad domain AND bad range
+      Row(3L, null, 30.0))) // null status
+    val out = Quality.constraintReport(t, Seq(
+        Quality.Check("nonnull_status", col("status").isNull),
+        Quality.Check("domain_status", !col("status").isin("O", "F")),
+        Quality.Check("range_price_pos", col("price") <= 0)),
+      uniqueKey = Some("k"))
+    assert(out.columns.toSeq == Seq("constraint", "violations", "checked"))
+    assert(rowSet(out) == rows(
+      Seq("nonnull_status", "1", "4"),
+      // null status: isin → null → not counted as domain violation (only nonnull counts it)
+      Seq("domain_status", "1", "4"),
+      Seq("range_price_pos", "1", "4"),
+      Seq("unique_k", "1", "4")))
+  }
+
+  test("fkViolations: anti-join count with total checked") {
+    val fact = df("fk BIGINT", Seq(Row(1L), Row(2L), Row(9L)))
+    val dim = df("pk BIGINT", Seq(Row(1L), Row(2L)))
+    val out = Quality.fkViolations(fact, "fk", dim, "pk", "fk_check")
+    assert(rowSet(out) == rows(Seq("fk_check", "1", "3")))
+  }
+
+  test("lowerMedianBy: element of the data at position floor((n+1)/2)") {
+    val t = df("g STRING, v DOUBLE", Seq(
+      Row("a", 1.0), Row("a", 2.0), Row("a", 100.0), // odd: middle = 2.0
+      Row("b", 1.0), Row("b", 2.0), Row("b", 3.0), Row("b", 4.0))) // even: LOWER = 2.0
+    val out = Quality.lowerMedianBy(t, "g", "v", "med")
+    assert(rowSet(out) == rows(Seq("a", "2.0"), Seq("b", "2.0")))
+  }
+
+  test("madOutliers: median/MAD flag far points; ties counted by value") {
+    // g: values 1..7 plus a wild 1000 → med(1,2,3,4,5,6,7,1000)=4 (lower of 4,5)
+    // adev = 3,2,1,0,1,2,3,996 → sorted 0,1,1,2,2,3,3,996 → lower med = 2
+    // outliers: |v-4| > 3*2=6 → only 1000
+    val t = df("g STRING, v DOUBLE",
+      (1 to 7).map(i => Row("g", i.toDouble)) :+ Row("g", 1000.0))
+    val out = Quality.madOutliers(t, "g", "v", k = 3.0)
+    assert(out.columns.toSeq == Seq("g", "med", "mad", "n", "n_outliers"))
+    assert(rowSet(out) == rows(Seq("g", "4.0", "2.0", "8", "1")))
+  }
+
+  test("madOutliers: MAD=0 degenerate group — every deviation is an outlier") {
+    val t = df("g STRING, v DOUBLE",
+      Seq(Row("g", 5.0), Row("g", 5.0), Row("g", 5.0), Row("g", 7.0)))
+    val out = Quality.madOutliers(t, "g", "v", k = 3.0)
+    assert(rowSet(out) == rows(Seq("g", "5.0", "0.0", "4", "1")))
+  }
+}

@@ -78,4 +78,32 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(a != b)
   }
+
+  test("tokenBudgetMix: per-domain take-while, boundary doc included") {
+    import org.apache.spark.sql.Row
+    // uniform 100-char docs: selection count is order-independent —
+    // budget 250 → 3 docs (cum 100,200,300: pre-row totals 0,100,200 < 250),
+    // budget 200 → 2, budget 0 → 0
+    val docs = df("doc_id BIGINT, source STRING, n_chars BIGINT",
+      (1L to 10L).flatMap(i => Seq(
+        Row(i, "a", 100L), Row(i + 100L, "b", 100L), Row(i + 200L, "c", 100L))))
+    val out = Sampling.tokenBudgetMix(docs, "doc_id", "source", "n_chars",
+      budgets = Seq("a" -> 250L, "b" -> 200L), defaultBudget = 0L)
+    val bySrc = out.collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySrc == Map("a" -> 3, "b" -> 2))
+    // cum_size is consistent: max cum per source == 100 × selected count
+    val maxCum = out.collect().groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(3)).max).toMap
+    assert(maxCum == Map("a" -> 300L, "b" -> 200L))
+  }
+
+  test("tokenBudgetMix: deterministic — same input twice, identical rows") {
+    import org.apache.spark.sql.Row
+    val docs = df("doc_id BIGINT, source STRING, n_chars BIGINT",
+      (1L to 20L).map(i => Row(i, if (i % 2 == 0) "x" else "y", i * 10L)))
+    val sel = Sampling.tokenBudgetMix(docs, "doc_id", "source", "n_chars",
+      budgets = Nil, defaultBudget = 300L)
+    assert(rowSet(sel) == rowSet(Sampling.tokenBudgetMix(docs.repartition(7),
+      "doc_id", "source", "n_chars", budgets = Nil, defaultBudget = 300L)))
+  }
 }
