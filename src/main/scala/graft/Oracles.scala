@@ -1584,6 +1584,40 @@ object Oracles {
        |WHERE cum_size - n_chars < $budgetCase""".stripMargin
   }
 
+  /** q95 oracle: fixed-point integer PageRank with the iteration loop
+    * UNROLLED into chained CTEs (no recursive-CTE aggregate restrictions,
+    * and trivially the same arithmetic): bidirected supplier↔part graph
+    * from distinct lineitem pairs, node ids disambiguated as 2·part /
+    * 2·supp+1. `//` floors like Spark's `div` (all values non-negative).
+    */
+  def pageRank(iters: Int, scale: Long): String = {
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.id, CAST(${15L * scale / 100L} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT sym.dst AS id, CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS s
+         |    FROM sym JOIN pr${i - 1} p ON sym.src = p.id
+         |             JOIN deg d ON sym.src = d.src
+         |    GROUP BY 1
+         |  ) s ON n.id = s.id
+         |)""".stripMargin
+    }
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(l_suppkey * 2 + 1 AS BIGINT) AS src,
+       |                  CAST(l_partkey * 2 AS BIGINT) AS dst
+       |  FROM lineitem
+       |), sym AS (
+       |  SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+       |), deg AS (
+       |  SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY 1
+       |), nodes AS (
+       |  SELECT DISTINCT src AS id FROM sym
+       |), pr0 AS (
+       |  SELECT id, CAST($scale AS BIGINT) AS pr FROM nodes
+       |), ${steps.mkString(", ")}
+       |SELECT id AS node_id, pr FROM pr$iters""".stripMargin
+  }
+
   /** q91 oracle: SCD2 validity intervals — consecutive-duplicate collapse
     * via lag, interval ends via lead over the change rows, (ts, event_id)
     * total order at every step.

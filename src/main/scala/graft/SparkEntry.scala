@@ -776,6 +776,19 @@ object SparkEntry {
         budgets = Seq("src0" -> 4000L, "src1" -> 4000L, "src2" -> 1000L),
         defaultBudget = 2000L)),
 
+    // iterative graph analytics: fixed-point integer PageRank over the
+    // bidirected supplier↔part graph (node ids 2·part / 2·supp+1) — 5
+    // unrollable rounds, one join + one agg per round, checkpointed edges;
+    // integer damping arithmetic is bit-identical in any engine
+    "q95_pagerank" -> { (s, d) =>
+      val e = Tables.lineitem(s, d).select(
+        (col("l_suppkey") * 2 + 1).as("src"), (col("l_partkey") * 2).as("dst"))
+        .distinct()
+      graft.ext.Graph.pageRank(
+        e.unionAll(e.select(col("dst").as("src"), col("src").as("dst"))),
+        iterations = 5)
+    },
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -892,6 +905,7 @@ object SparkEntry {
     "q92_quality_report" -> Oracles.qualityReport,
     "q93_mad_outliers" -> Oracles.madOutliers(3.0),
     "q94_domain_mix" -> Oracles.domainMix(
-      Seq("src0" -> 4000L, "src1" -> 4000L, "src2" -> 1000L), 2000L)
+      Seq("src0" -> 4000L, "src1" -> 4000L, "src2" -> 1000L), 2000L),
+    "q95_pagerank" -> Oracles.pageRank(5, 1000000000000L)
   )
 }

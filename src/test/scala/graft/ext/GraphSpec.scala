@@ -1,0 +1,39 @@
+package graft.ext
+
+import org.apache.spark.sql.Row
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+
+  // 2-node cycle at scale 100: pr0 = (100, 100).
+  // Each round: contrib = pr div 1; pr' = 15 + (85 * 100) div 100 = 100.
+  // Fixed point immediately — stays (100, 100) forever.
+  test("pageRank: symmetric 2-cycle is a fixed point") {
+    val e = df("src BIGINT, dst BIGINT", Seq(Row(1L, 2L), Row(2L, 1L)))
+    val out = Graph.pageRank(e, iterations = 3, scale = 100L)
+    assert(rowSet(out) == rows(Seq("1", "100"), Seq("2", "100")))
+  }
+
+  // Star 1↔2, 1↔3 (bidirected), scale 1000:
+  //   outdeg: 1 → 2, 2 → 1, 3 → 1. pr0 = 1000 each.
+  //   r1: into 1: 1000+1000=2000 → 150 + 85*2000 div 100 = 1850
+  //       into 2: 1000 div 2 = 500 → 150 + 425 = 575; same for 3.
+  //   r2: into 1: 575+575=1150 → 150 + 85*1150 div 100 = 150+977 = 1127
+  //       into 2: 1850 div 2 = 925 → 150 + 85*925 div 100 = 150+786 = 936
+  test("pageRank: hand-computed star graph, two rounds, floor division") {
+    val e = df("src BIGINT, dst BIGINT",
+      Seq(Row(1L, 2L), Row(2L, 1L), Row(1L, 3L), Row(3L, 1L)))
+    val out = Graph.pageRank(e, iterations = 2, scale = 1000L)
+    assert(rowSet(out) == rows(
+      Seq("1", "1127"), Seq("2", "936"), Seq("3", "936")))
+  }
+
+  test("pageRank: total mass stays near N·scale (no dangling leakage)") {
+    val e = df("src BIGINT, dst BIGINT",
+      Seq(Row(1L, 2L), Row(2L, 3L), Row(3L, 1L))) // directed 3-cycle, outdeg 1
+    val out = Graph.pageRank(e, iterations = 4, scale = 1000000L)
+    val total = out.collect().map(_.getLong(1)).sum
+    // cycle: every node keeps 150000 + 850000 = scale (minus div-100 floor dust)
+    assert(math.abs(total - 3000000L) < 10L, s"mass leaked: $total")
+  }
+}
