@@ -268,7 +268,47 @@ object Plans {
         |totals broadcast back onto it. The ranking is orderBy+limit —
         |TakeOrderedAndProject, k rows per partition cross the wire — with
         |the rank window running over just the k survivors, never a global
-        |single-partition window over every matching doc.""".stripMargin)
+        |single-partition window over every matching doc.""".stripMargin,
+    "q86_star_revenue" ->
+      """The dimension tree collapses into the fact scan: region's name
+        |filter and orders' date window are PushedFilters at their own
+        |scans, nation/region broadcast explicitly, customer/orders
+        |broadcast here by size statistics (at cluster scale Spark's
+        |stats flip them to shuffle joins on the same keys — nothing in
+        |the operator assumes broadcast). One exchange total for the
+        |final nation groupBy; money stays DECIMAL until the boundary.""".stripMargin,
+    "q87_rolling_revenue" ->
+      """Fact → (flag × day) partial-agg exchange, then the RANGE-frame
+        |window over the daily aggregate partitioned by flag — the window
+        |input is O(days), not O(rows), so the second (tiny) exchange is
+        |flat at any corpus size. A ROWS frame would silently bridge
+        |calendar gaps; RANGE over epoch_day is the correct trailing-7d
+        |semantic.""".stripMargin,
+    "q89_snapshot_diff" ->
+      """Both snapshot derivations scan once each with their modulo
+        |filters, then ONE full-outer SortMergeJoin on o_orderkey — the
+        |minimum movement a diff admits. The classify/filter is narrow;
+        |output is proportional to the change set, so the operator's cost
+        |at 100 TB is the join, never the result.""".stripMargin,
+    "q90_incremental_agg" ->
+      """Each branch is a partial-agg exchange over a complementary
+        |PushedFilters scan (shipdate < / >= the cut), and the merge
+        |re-aggregates the union — the point is the STORED side is O(keys)
+        |in production (read from the last run's sink), so the recurring
+        |cost is only the delta scan + a keyspace-sized merge.""".stripMargin,
+    "q93_mad_outliers" ->
+      """Three passes over events (value counts → deviation counts →
+        |final conditional agg), each a hash aggregate with the tiny
+        |median/MAD relations broadcast back. The by-value windows run
+        |over per-group DISTINCT VALUES, not rows — bounded by value
+        |cardinality; the q66/q78 trade documented there applies.""".stripMargin,
+    "q95_pagerank" ->
+      """Per round: edge⋈rank equi-join on src, hash agg on dst, left
+        |join back to nodes — three exchanges per round on explicit keys,
+        |lineage cut by per-round localCheckpoint (task closures stay
+        |O(1) over 5 rounds). The edge relation materializes ONCE; the
+        |integer damping arithmetic keeps ranks bit-identical across
+        |engines, partitionings and reruns.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
