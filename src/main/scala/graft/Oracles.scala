@@ -1618,6 +1618,42 @@ object Oracles {
        |SELECT id AS node_id, pr FROM pr$iters""".stripMargin
   }
 
+  /** q96 oracle: the 64-bit perceptual average hash, value-exact per
+    * media row — re-derived from the UTF-8 payload bytes (hex-pair decode
+    * as in [[mediaFeatures]]; chunk-vs-global mean via integer
+    * cross-multiply — no division anywhere), bits accumulated in HUGEINT
+    * and re-signed to JVM Long semantics.
+    */
+  def mediaPerceptualHash(chunks: Int): String = {
+    val m = "18446744073709551616::HUGEINT" // 2^64
+    val hb = "9223372036854775808::HUGEINT" // 2^63
+    s"""WITH d AS (
+       |  SELECT doc_id, COALESCE(encode(text), ''::BLOB) AS b FROM documents
+       |), s AS (
+       |  SELECT doc_id, octet_length(b) AS n, hex(b) AS hx FROM d
+       |), bytes AS (
+       |  SELECT doc_id, n,
+       |    list_transform(range(1, n + 1), i ->
+       |      (strpos('0123456789ABCDEF', hx[2*i-1]) - 1) * 16 +
+       |      (strpos('0123456789ABCDEF', hx[2*i]) - 1)) AS bs
+       |  FROM s
+       |), tot AS (
+       |  SELECT doc_id, n, bs, COALESCE(list_sum(bs), 0) AS total FROM bytes
+       |), raw AS (
+       |  SELECT doc_id, n,
+       |    COALESCE(list_sum(list_transform(range(0, $chunks), j ->
+       |      CASE WHEN COALESCE(list_sum(bs[(j*n)//$chunks + 1 : ((j+1)*n)//$chunks]), 0) * n >
+       |                total * (((j+1)*n)//$chunks - (j*n)//$chunks)
+       |           THEN 1::HUGEINT << j ELSE 0::HUGEINT END)), 0::HUGEINT) AS p
+       |  FROM tot
+       |)
+       |SELECT doc_id AS media_id,
+       |  CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+       |       WHEN p >= $hb THEN CAST(p - $m AS BIGINT)
+       |       ELSE CAST(p AS BIGINT) END AS phash
+       |FROM raw""".stripMargin
+  }
+
   /** q91 oracle: SCD2 validity intervals — consecutive-duplicate collapse
     * via lag, interval ends via lead over the change rows, (ts, event_id)
     * total order at every step.

@@ -789,6 +789,18 @@ object SparkEntry {
         iterations = 5)
     },
 
+    // multimodal dedup: 64-bit perceptual (average) hash per media payload
+    // — integer cross-multiply bits, value-exact against the byte-level
+    // SQL re-derivation. Pair discovery rides the SAME banded machinery as
+    // text SimHash (Dedup.nearDupPairsFromHashes — oracle-covered by
+    // q45/q48/q49; pair behavior on constructed near-dup payloads in
+    // MultimodalSpec): candidates never touch payloads pairwise
+    "q96_media_phash" -> { (s, d) =>
+      implicit val sp: SparkSession = s
+      graft.ext.Multimodal.perceptualHash(
+        graft.ext.Multimodal.fakeMediaFromDocuments(Tables.documents(s, d)))
+    },
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -906,6 +918,7 @@ object SparkEntry {
     "q93_mad_outliers" -> Oracles.madOutliers(3.0),
     "q94_domain_mix" -> Oracles.domainMix(
       Seq("src0" -> 4000L, "src1" -> 4000L, "src2" -> 1000L), 2000L),
-    "q95_pagerank" -> Oracles.pageRank(5, 1000000000000L)
+    "q95_pagerank" -> Oracles.pageRank(5, 1000000000000L),
+    "q96_media_phash" -> Oracles.mediaPerceptualHash(64)
   )
 }

@@ -420,10 +420,26 @@ object Dedup {
     */
   def simHashNearDupPairs(docs: DataFrame, bits: Int = 64, maxHamming: Int = 3,
                           maxBucketCandidates: Option[Int] = None,
-                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    nearDupPairsFromHashes(simHashFor(docs, bits, idCol, textCol), bits,
+      maxHamming, maxBucketCandidates, idCol)
+
+  /** The banded near-dup pair machinery over a PRECOMPUTED (id, hash)
+    * relation — SimHash is one producer; perceptual hashes of media
+    * ([[Multimodal.perceptualHash]]) or any other ≤64-bit fingerprint
+    * column plug in unchanged. Same guarantees as
+    * [[simHashNearDupPairs]]: pigeonhole bands find EVERY pair within
+    * `maxHamming`, first-agreeing-band emit yields each pair exactly once
+    * (no whole-output DISTINCT), optional per-bucket cap bounds skew.
+    */
+  def nearDupPairsFromHashes(hashed: DataFrame, bits: Int = 64,
+                             maxHamming: Int = 3,
+                             maxBucketCandidates: Option[Int] = None,
+                             idCol: String = "doc_id",
+                             hashCol: String = "simhash"): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = pigeonholeBands(bits, maxHamming)
-    val sim = simHashFor(docs, bits, idCol, textCol)
+    val sim = hashed.select(col(idCol), col(hashCol).as("simhash"))
     maxBucketCandidates match {
       case Some(cap) => return simHashNearDupPairsCapped(sim, bandBits, maxHamming, cap, idCol)
       case None => ()

@@ -83,4 +83,60 @@ object Multimodal {
   /** The registered query shape: features per media row, binary pruned. */
   def mediaFeatures(docs: DataFrame)(implicit spark: SparkSession): DataFrame =
     extractFeatures(fakeMediaFromDocuments(docs)).toDF()
+
+  final case class MediaHash(media_id: Long, phash: Long)
+
+  /** 64-bit average-hash perceptual fingerprint: the payload is cut into
+    * `chunks` byte ranges (the stub's stand-in for an 8×8 luma grid — a
+    * real codec would decode + downsample first, changing nothing below),
+    * bit j = 1 iff chunk j's mean byte exceeds the whole-payload mean.
+    * The compare is an integer cross-multiply (`cs·n > total·len`) — no
+    * division, no floats, so the fingerprint is bit-identical in any
+    * engine and SQL-derivable for the oracle.
+    *
+    * Near-identical payloads (a re-encode, a few changed bytes) flip few
+    * chunk means → small Hamming distance; pairs come from
+    * [[Dedup.nearDupPairsFromHashes]], the same banded machinery SimHash
+    * uses. mapPartitions for the same codec-amortization reason as
+    * [[extractFeatures]].
+    */
+  def perceptualHash(media: Dataset[MediaRow], chunks: Int = 64)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(chunks >= 1 && chunks <= 64, "chunks must fit a 64-bit hash")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bs = r.payload
+        val n = bs.length
+        var phash = 0L
+        if (n > 0) {
+          var total = 0L
+          var i = 0
+          while (i < n) { total += bs(i) & 0xff; i += 1 }
+          var j = 0
+          while (j < chunks) {
+            val lo = (j.toLong * n / chunks).toInt
+            val hi = ((j + 1).toLong * n / chunks).toInt
+            var cs = 0L
+            var k = lo
+            while (k < hi) { cs += bs(k) & 0xff; k += 1 }
+            if (cs * n > total * (hi - lo)) phash |= (1L << j)
+            j += 1
+          }
+        }
+        MediaHash(r.media_id, phash)
+      }
+    }.toDF()
+  }
+
+  /** Media near-duplicate pairs: perceptual hash → banded Hamming pairs.
+    * The multimodal analogue of text SimHash dedup — candidate discovery
+    * never touches payloads pairwise, only 64-bit fingerprints.
+    */
+  def mediaNearDupPairs(docs: DataFrame, maxHamming: Int = 3)(
+      implicit spark: SparkSession): DataFrame =
+    Dedup.nearDupPairsFromHashes(
+      perceptualHash(fakeMediaFromDocuments(docs)),
+      bits = 64, maxHamming = maxHamming, idCol = "media_id",
+      hashCol = "phash")
 }

@@ -35,4 +35,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0L)._2 == 3)  // ceil(3000/1024) frames sampled
     assert(out(1L)._2 == 1)
   }
+
+  test("perceptualHash: hand-computed bits, empty payload is 0") {
+    // 4 chunks over 8 bytes "AAAAyyyy" = [65*4, 121*4]: total=744
+    // chunk sums (len 2): 130,130,242,242
+    // bits (cs*8 > 744*2): 1040<1488,1040<1488,1936>1488,1936>1488 -> 0b1100 = 12
+    val docs = df("doc_id BIGINT, text STRING", Seq(
+      Row(0L, "AAAAyyyy"), Row(1L, null)))
+    val out = Multimodal.perceptualHash(
+      Multimodal.fakeMediaFromDocuments(docs), chunks = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 12L, 1L -> 0L))
+  }
+
+  test("mediaNearDupPairs: identical payloads pair at hamming 0, distant don't") {
+    val base = "abcdefgh" * 32 // alternating chunk means -> odd bits set
+    val far = "a" * 128 + "z" * 128 // low half / high half -> high 32 bits set
+    val docs = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, base), Row(2L, base), Row(3L, far)))
+    val pairs = Multimodal.mediaNearDupPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(pairs.forall(p => !(p._1 == 3L || p._2 == 3L)))
+  }
 }
