@@ -1654,6 +1654,40 @@ object Oracles {
        |FROM raw""".stripMargin
   }
 
+  /** q97 oracle: plants the same deterministic identifiers, then scrubs
+    * with the same engine-portable patterns (plain classes + bounded
+    * repetition — identical in Java regex and RE2; DuckDB needs the 'g'
+    * flag for global replace, Spark replaces globally by default).
+    */
+  val piiScrub: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val num = "[0-9]{6,}"
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com ref ' ||
+       |      (doc_id * 1000003 + 123456) || ' end' AS text
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |    '$num', '<NUM>', 'g') AS clean_text,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$num')) AS BIGINT) AS n_numbers
+       |FROM planted""".stripMargin
+  }
+
+  /** q98 oracle: the same three grouping sets; GROUPING(a, b) bit order
+    * (first argument = MSB) matches Spark's grouping_id, as q64/q75
+    * established.
+    */
+  val groupingSets: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS n, SUM(l_quantity) AS qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), (l_linestatus))""".stripMargin
+
   /** q91 oracle: SCD2 validity intervals — consecutive-duplicate collapse
     * via lag, interval ends via lead over the change rows, (ts, event_id)
     * total order at every step.

@@ -801,6 +801,31 @@ object SparkEntry {
         graft.ext.Multimodal.fakeMediaFromDocuments(Tables.documents(s, d)))
     },
 
+    // pipeline breadth: PII scrubbing — the corpus has no PII, so the
+    // query plants deterministic synthetic identifiers (derived from
+    // doc_id, identically in the oracle) and verifies the REDACTION:
+    // email masks, digit-run masks, per-doc match counts, full-text hash
+    "q97_pii_scrub" -> { (s, d) =>
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com ref "), col("doc_id") * 1000003L + 123456L,
+          lit(" end")).as("text"))
+      graft.ext.TextAnalysis.scrubPii(planted)
+    },
+
+    // OLAP breadth: arbitrary GROUPING SETS (beyond q64's ROLLUP ladder /
+    // q75's full CUBE): the two one-dimension marginals plus the cross —
+    // one Expand pass, grouping_id disambiguates subtotal NULLs
+    "q98_grouping_sets" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+    },
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -919,6 +944,8 @@ object SparkEntry {
     "q94_domain_mix" -> Oracles.domainMix(
       Seq("src0" -> 4000L, "src1" -> 4000L, "src2" -> 1000L), 2000L),
     "q95_pagerank" -> Oracles.pageRank(5, 1000000000000L),
-    "q96_media_phash" -> Oracles.mediaPerceptualHash(64)
+    "q96_media_phash" -> Oracles.mediaPerceptualHash(64),
+    "q97_pii_scrub" -> Oracles.piiScrub,
+    "q98_grouping_sets" -> Oracles.groupingSets
   )
 }

@@ -18,6 +18,35 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Email-address pattern shared by scrub and count — restricted to the
+    * regex subset with identical semantics in Java regex (Spark codegen)
+    * and RE2 (DuckDB/Go engines): plain character classes and bounded
+    * repetition, no backrefs, no lookaround.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs — account/phone/SSN-shaped tokens. */
+  val NumberPattern = "[0-9]{6,}"
+
+  /** PII scrubbing: masks email addresses then long digit runs (that
+    * order — emails contain digits), and reports per-document match
+    * counts. The pre-publication redaction pass of a text corpus
+    * pipeline; the pattern set extends per deployment.
+    *
+    * Scale: per-document regex work inside whole-stage codegen — zero
+    * shuffle, prunes to (id, text) at the scan, linear in corpus bytes.
+    */
+  def scrubPii(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      regexp_replace(
+        regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+        NumberPattern, "<NUM>").as("clean_text"),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(NumberPattern), lit(0)))
+        .cast("long").as("n_numbers"))
+
   /** Gopher-style word-level repetition signals, one narrow pass per
     * document via the native `graft_repetition` expression
     * ([[graft.functions.RepetitionStats]]): most-frequent word / bigram /

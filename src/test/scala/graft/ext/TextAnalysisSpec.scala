@@ -135,4 +135,16 @@ class TextAnalysisSpec extends SparkSpec {
       ("a", 0L) -> 3L, ("a", 1L) -> 5L, ("a", 2L) -> 8L, ("a", 3L) -> 10L,
       ("b", 0L) -> 10L, ("b", 1L) -> 20L, ("b", 2L) -> 30L, ("b", 3L) -> 40L))
   }
+
+  test("scrubPii: masks emails before digit runs, counts matches") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "write a.b+c@mail-host.org or call 1234567 x"),
+      Row(2L, "two ids 111111 and 2222222 here"),
+      Row(3L, "clean text, short 12345 stays"))) // 5 digits < {6,} threshold
+    val out = TextAnalysis.scrubPii(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ("write <EMAIL> or call <NUM> x", 1L, 1L))
+    assert(out(2L) == ("two ids <NUM> and <NUM> here", 0L, 2L))
+    assert(out(3L) == ("clean text, short 12345 stays", 0L, 0L))
+  }
 }
