@@ -37,16 +37,20 @@ object Graph {
                scale: Long = 1000000000000L,
                srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    // edge relation partitioned by DST once: every round's contribution
+    // aggregate groups by dst, so the big relation crosses the wire
+    // exactly once for the whole run — per round the only data movement
+    // is broadcasting the keyspace-sized rank relation
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
+      .repartition(col("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = e.join(deg, "src").localCheckpoint(true)
+    val withDeg = e.join(broadcast(deg), "src").localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
     var pr = nodes.withColumn("pr", lit(scale))
     for (_ <- 1 to iterations) {
-      val sums = withDeg.join(pr, withDeg("src") === pr("id"))
+      val sums = withDeg.join(broadcast(pr), withDeg("src") === pr("id"))
         .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
         .groupBy("id").agg(sum("c").as("s"))
       pr = nodes.join(sums, Seq("id"), "left")
