@@ -56,6 +56,16 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** ORC sink — the second columnar container Spark ships natively; same
+    * partitioning contract as [[parquet]]. ORC also keeps per-stripe
+    * min/max plus optional bloom filters, so the same layout tricks
+    * (partition dirs, range clustering) carry over unchanged.
+    */
+  def orc(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
   /** Range-clustered Parquet: `repartitionByRange` on the sort columns +
     * `sortWithinPartitions`, so each output file covers a disjoint key
     * range and rows inside it are ordered. Parquet stores per-row-group
