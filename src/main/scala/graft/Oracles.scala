@@ -1688,6 +1688,81 @@ object Oracles {
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
       |  (l_returnflag), (l_linestatus))""".stripMargin
 
+  // ---- k-means / semantic-dedup oracles (q99, q100) -----------------------
+
+  /** Exact integer squared-L2 between two 64-dim BIGINT lists. */
+  private def l2sqSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, 64), i -> " +
+      s"($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]) * " +
+      s"($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]))) AS BIGINT)"
+
+  /** One Lloyd's assignment CTE `$name` against centroid CTE `$cent`:
+    * nearest centroid by exact integer L2², ties to the lowest cid —
+    * term-for-term the `array_min(struct(dist, cid))` rule in
+    * Clustering.kmeansAssign.
+    */
+  private def kmAssignCte(name: String, cent: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, cid, dist, v FROM (
+       |    SELECT vec_id, cid, dist, v,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM (
+       |      SELECT q.vec_id, c.cid, ${l2sqSql("q.v", "c.cv")} AS dist, q.v
+       |      FROM kmq q, $cent c))
+       |  WHERE rn = 1)""".stripMargin
+
+  /** One centroid-mean update CTE `$name` from assignment CTE `$from`:
+    * per-(cluster, dim) truncating integer mean (DuckDB `//` and Spark
+    * `div` both truncate toward zero), reassembled in dim order.
+    */
+  private def kmUpdateCte(name: String, from: String): String =
+    s"""$name AS (
+       |  SELECT cid, list(m ORDER BY i) AS cv FROM (
+       |    SELECT cid, CAST(i AS INTEGER) AS i,
+       |      CAST(SUM(v[CAST(i AS INTEGER)]) AS BIGINT) // COUNT(*) AS m
+       |    FROM $from, generate_series(1, 64) t(i) GROUP BY 1, 2)
+       |  GROUP BY cid)""".stripMargin
+
+  /** CTE chain replaying Clustering.kmeansAssign exactly: quantize →
+    * seed → `iterations` × (assign → mean update) → final assignment CTE
+    * named `kma$iterations`.
+    */
+  private def kmeansCtes(seedMod: Int, iterations: Int): String = {
+    val head = Seq(
+      s"""kmq AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
+         |  FROM embeddings)""".stripMargin,
+      s"kmc0 AS (SELECT vec_id AS cid, v AS cv FROM kmq WHERE vec_id % $seedMod = 0)")
+    val steps = (0 until iterations).flatMap { it =>
+      Seq(kmAssignCte(s"kma$it", s"kmc$it"), kmUpdateCte(s"kmc${it + 1}", s"kma$it"))
+    }
+    (head ++ steps :+ kmAssignCte(s"kma$iterations", s"kmc$iterations")).mkString(",\n")
+  }
+
+  /** q99 oracle: trained k-means assignment — all-integer output. */
+  def kmeansAssign(seedMod: Int = 64, iterations: Int = 2): String =
+    s"""WITH ${kmeansCtes(seedMod, iterations)}
+       |SELECT vec_id, cid AS cluster, dist FROM kma$iterations""".stripMargin
+
+  /** q100 oracle: SemDeDup — within-cell pairs on the ORIGINAL float
+    * vectors, cosine rounded to 6 decimals at the decision boundary,
+    * remove the higher id of any qualifying pair.
+    */
+  def semanticDedup(threshold: Double, seedMod: Int = 64, iterations: Int = 2): String =
+    s"""WITH ${kmeansCtes(seedMod, iterations)},
+       |sd AS (
+       |  SELECT a.vec_id, a.cid AS cluster, e.embedding AS fv
+       |  FROM kma$iterations a JOIN embeddings e ON e.vec_id = a.vec_id),
+       |sp AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.fv AS av, y.fv AS bv
+       |  FROM sd x JOIN sd y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+       |${cosineCtes("sp", "id_a", "id_b", "av", "bv", "sc")},
+       |removed AS (SELECT DISTINCT id_b AS vec_id FROM sc WHERE s >= $threshold)
+       |SELECT d.vec_id, d.cluster, r.vec_id IS NULL AS kept
+       |FROM sd d LEFT JOIN removed r ON r.vec_id = d.vec_id""".stripMargin
+
   /** q91 oracle: SCD2 validity intervals — consecutive-duplicate collapse
     * via lag, interval ends via lead over the change rows, (ts, event_id)
     * total order at every step.

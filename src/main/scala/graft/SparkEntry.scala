@@ -826,6 +826,19 @@ object SparkEntry {
           count(lit(1)).as("n"), sum("l_quantity").as("qty"))
     },
 
+    // extension: distributed k-means (Lloyd's) in exact fixed-point
+    // integer arithmetic — the IVF/semantic-dedup cell trainer; oracle
+    // replays the full training loop bit-exactly
+    "q99_kmeans" -> ((s, d) =>
+      graft.ext.Clustering.kmeansAssign(Tables.embeddings(s, d),
+        seedMod = 64, iterations = 2)),
+
+    // extension: SemDeDup (arXiv:2303.09540) — semantic near-dup removal
+    // with the quadratic stage confined to trained k-means cells
+    "q100_semantic_dedup" -> ((s, d) =>
+      graft.ext.Clustering.semanticDedup(Tables.embeddings(s, d),
+        threshold = 0.3, seedMod = 64, iterations = 2)),
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -946,6 +959,8 @@ object SparkEntry {
     "q95_pagerank" -> Oracles.pageRank(5, 1000000000000L),
     "q96_media_phash" -> Oracles.mediaPerceptualHash(64),
     "q97_pii_scrub" -> Oracles.piiScrub,
-    "q98_grouping_sets" -> Oracles.groupingSets
+    "q98_grouping_sets" -> Oracles.groupingSets,
+    "q99_kmeans" -> Oracles.kmeansAssign(64, 2),
+    "q100_semantic_dedup" -> Oracles.semanticDedup(0.3, 64, 2)
   )
 }

@@ -114,4 +114,27 @@ object Sinks {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Bucketed + sorted catalog table: `bucketBy(n, key).sortBy(key)` into
+    * the session warehouse. Bucketing is the PRE-PAID shuffle of the 100 TB
+    * playbook — every row lands in `hash(key) mod n` at write time, so any
+    * later equi-join or aggregation on `key` between tables bucketed the
+    * same way runs with NO Exchange (and with `sortBy`, no Sort) in the
+    * plan: the join that would move 100 TB per run moves it once, at load.
+    * `BucketedJoinSpec` asserts the exchange-free plan property.
+    */
+  def bucketedTable(df: DataFrame, table: String, buckets: Int,
+                    key: String, sorted: Boolean = true): Unit = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    // repartition on the SAME hash the bucketing applies (Murmur3 mod n),
+    // so each write task holds exactly one bucket → one file per bucket
+    // (no per-task file explosion when the input has many partitions).
+    // `sortBy` orders rows inside each file for row-group min/max skipping;
+    // joins still run a partition-local Sort on read (Spark ≥3.0 ignores
+    // bucket-file ordering unless the legacy outputOrdering flag is on)
+    // but never an Exchange — the property BucketedJoinSpec pins.
+    val w = df.repartition(buckets, col(key))
+      .write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+  }
 }

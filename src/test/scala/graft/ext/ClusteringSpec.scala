@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.Row
+import graft.SparkSpec
+
+class ClusteringSpec extends SparkSpec {
+
+  private def vecs(rows: (Long, Seq[Double])*): org.apache.spark.sql.DataFrame =
+    df("vec_id BIGINT, embedding ARRAY<DOUBLE>", rows.map { case (i, v) => Row(i, v) })
+
+  // two well-separated groups; seedMod=4 seeds centroids at ids 0 and 4,
+  // one inside each group
+  private def corpus = vecs(
+    0L -> Seq(1.0, 0.0, 0.0),
+    1L -> Seq(0.9, 0.1, 0.0),
+    2L -> Seq(0.8, 0.0, 0.1),
+    4L -> Seq(0.0, 1.0, 0.0),
+    5L -> Seq(0.1, 0.9, 0.0),
+    6L -> Seq(0.0, 0.8, 0.2))
+
+  test("kmeansAssign: converges to the two obvious cells, exact integer dist") {
+    val out = Clustering.kmeansAssign(corpus, seedMod = 4, iterations = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 4L, 5L, 6L))
+    assert(Seq(0L, 1L, 2L).map(out(_)._1).distinct == Seq(0L))
+    assert(Seq(4L, 5L, 6L).map(out(_)._1).distinct == Seq(4L))
+    // distance of the trained centroid to its own cell member is exact
+    // integer L2² in 1e6-quantized space: centroid of cell 0 is the
+    // truncated per-dim mean of the three members
+    val c0 = Seq(
+      (1000000L + 900000L + 800000L) / 3,
+      (0L + 100000L + 0L) / 3,
+      (0L + 0L + 100000L) / 3)
+    val v0 = Seq(1000000L, 0L, 0L)
+    val want = c0.zip(v0).map { case (a, b) => (a - b) * (a - b) }.sum
+    assert(out(0L)._2 == want)
+  }
+
+  test("kmeansAssign is deterministic across runs") {
+    val a = rowSet(Clustering.kmeansAssign(corpus, seedMod = 4, iterations = 2))
+    val b = rowSet(Clustering.kmeansAssign(corpus, seedMod = 4, iterations = 2))
+    assert(a == b)
+  }
+
+  test("ties break to the lowest centroid id") {
+    // both seeds are equidistant from id 1; no update rounds so the seeds
+    // stay put — the winner must be cid 0, not cid 4
+    val d = vecs(
+      0L -> Seq(1.0, 0.0),
+      4L -> Seq(0.0, 1.0),
+      1L -> Seq(0.5, 0.5))
+    val out = Clustering.kmeansAssign(d, seedMod = 4, iterations = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 0L)
+  }
+
+  test("semanticDedup removes the higher id of a near-identical pair only") {
+    val d = vecs(
+      0L -> Seq(1.0, 0.0, 0.0),
+      1L -> Seq(1.0, 0.0, 0.0), // exact dup of 0 → removed
+      2L -> Seq(-1.0, 0.5, 0.0), // negative cosine vs both → kept
+      4L -> Seq(0.0, 1.0, 0.0),
+      5L -> Seq(0.0, 1.0, 0.001)) // dup of 4 in the other cell → removed
+    val out = Clustering.semanticDedup(d, threshold = 0.9, seedMod = 4, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(0L -> true, 1L -> false, 2L -> true, 4L -> true, 5L -> false))
+  }
+}
