@@ -1688,6 +1688,34 @@ object Oracles {
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
       |  (l_returnflag), (l_linestatus))""".stripMargin
 
+  /** q101 oracle: per-node triangle counts on the part co-purchase graph —
+    * same degree-orientation as Graph.triangleCounts (row-value comparison
+    * `(d, id)` mirrors Spark's struct ordering), so each triangle is
+    * counted from its unique oriented wedge in both engines.
+    */
+  val triangleCounts: String =
+    """WITH und AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), deg AS (
+      |  SELECT n, COUNT(*) AS d FROM (
+      |    SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+      |  GROUP BY n
+      |), o AS (
+      |  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+      |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+      |  FROM und e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+      |), tri AS (
+      |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM o e1
+      |  JOIN o e2 ON e2.src = e1.dst
+      |  JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      |)
+      |SELECT node_id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+      |  SELECT unnest([a, b, c]) AS node_id FROM tri)
+      |GROUP BY node_id""".stripMargin
+
   // ---- k-means / semantic-dedup oracles (q99, q100) -----------------------
 
   /** Exact integer squared-L2 between two 64-dim BIGINT lists. */

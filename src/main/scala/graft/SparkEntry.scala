@@ -839,6 +839,14 @@ object SparkEntry {
       graft.ext.Clustering.semanticDedup(Tables.embeddings(s, d),
         threshold = 0.3, seedMod = 64, iterations = 2)),
 
+    // extension: per-node triangle counts on the part co-purchase graph,
+    // degree-oriented so hot-node join fan-in is bounded by O(sqrt(m))
+    "q101_triangles" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      graft.ext.Graph.triangleCounts(
+        graft.ext.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
+    },
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -961,6 +969,7 @@ object SparkEntry {
     "q97_pii_scrub" -> Oracles.piiScrub,
     "q98_grouping_sets" -> Oracles.groupingSets,
     "q99_kmeans" -> Oracles.kmeansAssign(64, 2),
-    "q100_semantic_dedup" -> Oracles.semanticDedup(0.3, 64, 2)
+    "q100_semantic_dedup" -> Oracles.semanticDedup(0.3, 64, 2),
+    "q101_triangles" -> Oracles.triangleCounts
   )
 }

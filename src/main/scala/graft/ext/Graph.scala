@@ -61,4 +61,49 @@ object Graph {
     }
     pr.select(col("id").as("node_id"), col("pr"))
   }
+
+  /** Undirected co-occurrence edges: distinct `(u, v), u < v` pairs of
+    * `itemCol` values sharing a `groupCol` value (e.g. parts ordered
+    * together). Pair expansion is quadratic in GROUP size, not corpus
+    * size — bounded by the natural basket width; the projection of a
+    * bipartite relation into its item side.
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+    val a = df.select(col(groupCol).as("g"), col(itemCol).as("u")).distinct()
+    val b = df.select(col(groupCol).as("g"), col(itemCol).as("v")).distinct()
+    a.join(b, "g").filter(col("u") < col("v")).select("u", "v").distinct()
+  }
+
+  /** Per-node triangle counts over an undirected edge list — the classic
+    * clustering/cohesion signal.
+    *
+    * Scale design: edges are ORIENTED from the lexicographically smaller
+    * `(degree, id)` endpoint to the larger before the path join — the
+    * standard degree-orientation bound (oriented out-degree ≤ O(√m)), so
+    * a celebrity node's join fan-in is bounded by √m instead of its full
+    * degree, and each triangle matches exactly once (its unique oriented
+    * wedge). Two equi-joins on explicit keys, no DISTINCT over wedges.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("u"), col("v"))
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient: src = smaller (deg, id), dst = larger — a total order, so
+    // the oriented graph is acyclic and every triangle has ONE wedge
+    // (a→b, a→c, b→c) with a < b < c in orientation order
+    val oriented = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+    val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val e3 = oriented.select(col("src").as("a"), col("dst").as("c"))
+    val tris = e1.join(e2, "b").join(e3, Seq("a", "c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
+      .groupBy("node_id").agg(count(lit(1)).as("triangles"))
+  }
 }

@@ -36,4 +36,34 @@ class GraphSpec extends SparkSpec {
     // cycle: every node keeps 150000 + 850000 = scale (minus div-100 floor dust)
     assert(math.abs(total - 3000000L) < 10L, s"mass leaked: $total")
   }
+
+  private def und(pairs: (Long, Long)*) =
+    df("u BIGINT, v BIGINT", pairs.map { case (a, b) => Row(a, b) })
+
+  test("triangleCounts: K4 gives every node 3 triangles") {
+    val e = und((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(rowSet(Graph.triangleCounts(e)) == rows(
+      Seq("1", "3"), Seq("2", "3"), Seq("3", "3"), Seq("4", "3")))
+  }
+
+  test("triangleCounts: square + one diagonal = two triangles sharing it") {
+    // 1-2-3-4-1 with diagonal 1-3: triangles (1,2,3) and (1,3,4)
+    val e = und((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+    assert(rowSet(Graph.triangleCounts(e)) == rows(
+      Seq("1", "2"), Seq("2", "1"), Seq("3", "2"), Seq("4", "1")))
+  }
+
+  test("triangleCounts: triangle-free graph returns no rows") {
+    val e = und((1L, 2L), (2L, 3L), (3L, 4L)) // a path
+    assert(Graph.triangleCounts(e).count() == 0)
+  }
+
+  test("coOccurrenceEdges: dedups within and across groups, u < v") {
+    val d = df("g BIGINT, item BIGINT", Seq(
+      Row(1L, 10L), Row(1L, 20L), Row(1L, 20L), // dup line within group
+      Row(2L, 20L), Row(2L, 10L),               // same pair, other order
+      Row(3L, 30L)))                            // singleton group → no pair
+    assert(rowSet(Graph.coOccurrenceEdges(d, "g", "item")) ==
+      rows(Seq("10", "20")))
+  }
 }
