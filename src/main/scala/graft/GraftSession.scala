@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, RepetitionFunctions, RepetitionStats, ShingleCodes, ShingleFunctions, ShingleStrings, VectorFunctions}
+import graft.functions.{CosineSimilarity, DotProduct, LongL2Squared, RepetitionFunctions, RepetitionStats, ShingleCodes, ShingleFunctions, ShingleStrings, VectorFunctions}
 
 /** SparkSessionExtensions installer for the engine's native expressions.
   *
@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(VectorFunctions.CosineName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, VectorFunctions.CosineName),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier(VectorFunctions.L2SqName),
+      new ExpressionInfo(classOf[LongL2Squared].getName, VectorFunctions.L2SqName),
+      (args: Seq[Expression]) => LongL2Squared(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier(ShingleFunctions.CodesName),
       new ExpressionInfo(classOf[ShingleCodes].getName, ShingleFunctions.CodesName),

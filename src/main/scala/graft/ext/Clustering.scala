@@ -48,9 +48,13 @@ object Clustering {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast(DoubleType) * Scale.toDouble + lit(0.5)).cast(LongType))
 
-  /** Integer squared-L2 between two BIGINT vectors (exact). */
+  /** Integer squared-L2 between two BIGINT vectors (exact) — the native
+    * fused loop ([[graft.functions.LongL2Squared]]); with k inlined
+    * centroids per row the HOF formulation would run 2k interpreted
+    * lambdas and k array allocations per input row.
+    */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    VectorFunctions.l2Squared(a, b)
 
   /** Trained assignment after `iterations` full Lloyd's steps
     * (assign → recompute means), plus a final assignment against the
@@ -62,9 +66,13 @@ object Clustering {
     */
   def kmeansAssign(embeddings: DataFrame, seedMod: Int = 64, iterations: Int = 2,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // the iterative working set: quantize ONCE and pin it (the standard
+    // cache-the-training-input pattern) — every Lloyd's pass re-reads
+    // these blocks instead of re-scanning and re-quantizing the source
     val q = embeddings.select(
       col(idCol).cast(LongType).as("vec_id"),
       quantize(col(vecCol)).as("qv"))
+      .localCheckpoint(true)
 
     // seed centroids: a deterministic id-spread subset, k ≈ n / seedMod
     var cent: Array[(Long, Seq[Long])] =

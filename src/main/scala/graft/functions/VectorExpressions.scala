@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expressions for vector math over `array<float|double>`
   * columns (extension surface, SURVEY.md §7.5).
@@ -158,6 +158,80 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorF
     copy(left = l, right = r)
 }
 
+/** l2sq(a, b) = Σ (a_i − b_i)² over `array<bigint>` in EXACT Long
+  * arithmetic — the k-means distance kernel ([[graft.ext.Clustering]]).
+  * One fused primitive loop in whole-stage codegen replaces the
+  * interpreted `aggregate(zip_with(…))` chain, which allocates an
+  * intermediate array and runs two lambdas per element; with k inlined
+  * centroids per row the HOF overhead multiplies k-fold. Null semantics
+  * mirror the HOF form (length mismatch / null element → null); ascending
+  * -index summation, overflow-free for quantized embeddings
+  * (64·(2·10⁶)² < 2⁵⁹).
+  */
+case class LongL2Squared(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def nullIntolerant: Boolean = true
+
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var acc = 0L; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d; i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      val nullChecks = Seq(
+        if (elemNullable(left)) Some(s"$a.isNullAt($i)") else None,
+        if (elemNullable(right)) Some(s"$b.isNullAt($i)") else None).flatten
+      val elemGuard =
+        if (nullChecks.isEmpty) ""
+        else s"if (${nullChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
+      s"""
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |int $n = $a.numElements();
+         |long $acc = 0L;
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemGuard
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LongL2Squared =
+    copy(left = l, right = r)
+}
+
 /** Column-API entry points. The Column↔Expression bridge is private[sql]
   * in Spark 4, so these route through the session FunctionRegistry — the
   * functions are injected by [[graft.GraftExtensions]]
@@ -166,6 +240,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorF
 object VectorFunctions {
   val DotName = "graft_dot"
   val CosineName = "graft_cosine"
+  val L2SqName = "graft_l2sq"
   def dotProduct(a: Column, b: Column): Column = call_function(DotName, a, b)
   def cosineSim(a: Column, b: Column): Column = call_function(CosineName, a, b)
+  def l2Squared(a: Column, b: Column): Column = call_function(L2SqName, a, b)
 }

@@ -56,4 +56,31 @@ class VectorExpressionsSpec extends SparkSpec {
     // "*(n)" prefixes mark operators inside a WholeStageCodegen span
     assert(plan.contains("*(1) Project"), s"no codegen span in:\n$plan")
   }
+
+  test("LongL2Squared: exact values, matches the HOF form, nulls propagate") {
+    val d = df("a ARRAY<BIGINT>, b ARRAY<BIGINT>", Seq(
+      Row(Seq(3L, -4L, 0L), Seq(0L, 0L, 0L)),             // 9 + 16 = 25
+      Row(Seq(1000000L, -1000000L), Seq(-1000000L, 1000000L)), // 2·(2e6)² = 8e12
+      Row(Seq(1L, 2L), Seq(1L, 2L)),                      // identical → 0
+      Row(null, Seq(1L)),                                 // null array → null
+      Row(Seq(1L), Seq(1L, 2L))))                         // length mismatch → null
+    val out = d.select(
+      VectorFunctions.l2Squared(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v).as("hof")).collect()
+    assert(out(0).getLong(0) == 25L && out(0).getLong(0) == out(0).getLong(1))
+    assert(out(1).getLong(0) == 8000000000000L && out(1).getLong(0) == out(1).getLong(1))
+    assert(out(2).getLong(0) == 0L)
+    assert(out(3).isNullAt(0))
+    assert(out(4).isNullAt(0) && out(4).isNullAt(1))
+  }
+
+  test("LongL2Squared participates in whole-stage codegen") {
+    val d = spark.range(4).select(
+      array(col("id"), lit(1L)).as("a"),
+      array(lit(2L), col("id")).as("b"))
+    val plan = d.select(VectorFunctions.l2Squared(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"no codegen span in:\n$plan")
+  }
 }
