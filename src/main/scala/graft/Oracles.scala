@@ -1756,21 +1756,35 @@ object Oracles {
     * named `kma$iterations`.
     */
   private def kmeansCtes(seedMod: Int, iterations: Int): String = {
+    // seedMod = 0 → adaptive √n sizing: smallest power-of-two m with
+    // m² ≥ n, in pure integer shift arithmetic (Clustering.adaptiveSeedMod)
+    val seedCte =
+      if (seedMod > 0)
+        s"kmc0 AS (SELECT vec_id AS cid, v AS cv FROM kmq WHERE vec_id % $seedMod = 0)"
+      else
+        s"""kmn AS (SELECT COUNT(*) AS n FROM kmq),
+           |kmm AS (
+           |  SELECT (CAST(1 AS BIGINT) << CAST(COALESCE(list_min(list_filter(range(1, 32),
+           |    j -> (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) * (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) >= n)), 31) AS INTEGER)) AS m
+           |  FROM kmn),
+           |kmc0 AS (SELECT vec_id AS cid, v AS cv FROM kmq CROSS JOIN kmm WHERE vec_id % m = 0)""".stripMargin
     val head = Seq(
       s"""kmq AS (
          |  SELECT vec_id,
          |    list_transform(embedding,
          |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
          |  FROM embeddings)""".stripMargin,
-      s"kmc0 AS (SELECT vec_id AS cid, v AS cv FROM kmq WHERE vec_id % $seedMod = 0)")
+      seedCte)
     val steps = (0 until iterations).flatMap { it =>
       Seq(kmAssignCte(s"kma$it", s"kmc$it"), kmUpdateCte(s"kmc${it + 1}", s"kma$it"))
     }
     (head ++ steps :+ kmAssignCte(s"kma$iterations", s"kmc$iterations")).mkString(",\n")
   }
 
-  /** q99 oracle: trained k-means assignment — all-integer output. */
-  def kmeansAssign(seedMod: Int = 64, iterations: Int = 2): String =
+  /** q99 oracle: trained k-means assignment — all-integer output.
+    * `seedMod = 0` derives the adaptive √n modulus from COUNT(*).
+    */
+  def kmeansAssign(seedMod: Int = 0, iterations: Int = 2): String =
     s"""WITH ${kmeansCtes(seedMod, iterations)}
        |SELECT vec_id, cid AS cluster, dist FROM kma$iterations""".stripMargin
 
@@ -1778,7 +1792,7 @@ object Oracles {
     * vectors, cosine rounded to 6 decimals at the decision boundary,
     * remove the higher id of any qualifying pair.
     */
-  def semanticDedup(threshold: Double, seedMod: Int = 64, iterations: Int = 2): String =
+  def semanticDedup(threshold: Double, seedMod: Int = 0, iterations: Int = 2): String =
     s"""WITH ${kmeansCtes(seedMod, iterations)},
        |sd AS (
        |  SELECT a.vec_id, a.cid AS cluster, e.embedding AS fv

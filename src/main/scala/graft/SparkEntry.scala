@@ -827,17 +827,18 @@ object SparkEntry {
     },
 
     // extension: distributed k-means (Lloyd's) in exact fixed-point
-    // integer arithmetic — the IVF/semantic-dedup cell trainer; oracle
-    // replays the full training loop bit-exactly
+    // integer arithmetic — the IVF/semantic-dedup cell trainer; adaptive
+    // sqrt(n) seed modulus; oracle replays the full training loop
+    // bit-exactly
     "q99_kmeans" -> ((s, d) =>
       graft.ext.Clustering.kmeansAssign(Tables.embeddings(s, d),
-        seedMod = 64, iterations = 2)),
+        iterations = 2)),
 
     // extension: SemDeDup (arXiv:2303.09540) — semantic near-dup removal
     // with the quadratic stage confined to trained k-means cells
     "q100_semantic_dedup" -> ((s, d) =>
       graft.ext.Clustering.semanticDedup(Tables.embeddings(s, d),
-        threshold = 0.3, seedMod = 64, iterations = 2)),
+        threshold = 0.3, iterations = 2)),
 
     // extension: per-node triangle counts on the part co-purchase graph,
     // degree-oriented so hot-node join fan-in is bounded by O(sqrt(m))
@@ -968,8 +969,8 @@ object SparkEntry {
     "q96_media_phash" -> Oracles.mediaPerceptualHash(64),
     "q97_pii_scrub" -> Oracles.piiScrub,
     "q98_grouping_sets" -> Oracles.groupingSets,
-    "q99_kmeans" -> Oracles.kmeansAssign(64, 2),
-    "q100_semantic_dedup" -> Oracles.semanticDedup(0.3, 64, 2),
+    "q99_kmeans" -> Oracles.kmeansAssign(0, 2),
+    "q100_semantic_dedup" -> Oracles.semanticDedup(0.3, 0, 2),
     "q101_triangles" -> Oracles.triangleCounts
   )
 }

@@ -20,19 +20,22 @@ import graft.functions.VectorFunctions
   * negative operands.
   *
   * Scale shape per Lloyd's iteration:
-  *   - assignment is a NARROW map: the k centroids inline into one
-  *     `array_min(array(struct(dist, cid)…))` expression (no crossJoin, no
-  *     per-row shuffle) — the corpus never moves;
-  *   - the update is one `(cid, dim)`-keyed partial aggregation — the only
-  *     shuffle, carrying k·dim partial sums per map task, not the corpus;
+  *   - assignment: corpus × BROADCAST centroid table (k·dim longs), the
+  *     fused-codegen distance per pair, then `min(struct(dist, cid))` per
+  *     vector — a PARTIAL aggregate, so map-side combine reduces the n·k
+  *     candidate stream to n rows before the one vec_id shuffle. (An
+  *     inlined-centroids `array_min(array(struct…))` narrow map was tried
+  *     first and measured 15-20× SLOWER past a few dozen centroids: the
+  *     giant expression falls out of whole-stage codegen and every
+  *     candidate allocates interpreted structs — SCALING.md);
+  *   - the update joins the assignment back to the pinned corpus on
+  *     vec_id and runs one `(cluster, dim)`-keyed partial aggregation;
   *   - centroids collect to the driver between iterations (k·dim longs —
   *     the standard Lloyd's driver loop, independent of corpus size).
-  * k scales with the corpus (`seeds = ids ≡ 0 mod seedMod` ⇒ k ≈
-  * n/seedMod), holding expected cell size flat as the corpus grows — the
-  * same self-scaling rule as the adaptive LSH planes. The inlined-centroid
-  * expression is the right trade up to a few thousand centroids (codegen
-  * handles k·dim constant folds); beyond that, switch the assignment to
-  * the broadcast-join form `ivfTopK` uses.
+  * k self-scales to ≈ √n (`seeds = ids ≡ 0 mod m`, m the smallest power
+  * of two with m² ≥ n) — the classic IVF sizing: cell size and cell count
+  * both grow as √n, keeping Lloyd's total work at n^1.5 instead of the n²
+  * a corpus-proportional k produces.
   */
 object Clustering {
 
@@ -56,15 +59,29 @@ object Clustering {
   private def l2sq(a: Column, b: Column): Column =
     VectorFunctions.l2Squared(a, b)
 
+  /** Smallest power of two `m` with `m² ≥ n` — the adaptive seed modulus:
+    * `k ≈ n/m ≈ √n` centroids, the classic IVF sizing (cell size AND cell
+    * count both grow as √n, so Lloyd's total work is n^1.5, not the n²
+    * a corpus-proportional k produces — measured 16× wall at 10× data
+    * before this rule, see SCALING.md). Integer shift arithmetic only, so
+    * the oracle derives the identical modulus from COUNT(*) with no float
+    * log/sqrt boundary to disagree on (same policy as
+    * [[Similarity.adaptivePlanes]]).
+    */
+  def adaptiveSeedMod(n: Long): Long =
+    (1 to 31).map(j => 1L << j).find(m => m * m >= n)
+      .getOrElse(1L << 31)
+
   /** Trained assignment after `iterations` full Lloyd's steps
     * (assign → recompute means), plus a final assignment against the
     * trained centroids: `(vec_id, cluster, dist)` — cluster is the seed id
     * of the winning centroid, dist the exact integer squared-L2 in
     * quantized space. Ties break to the lowest cid; empty clusters drop
     * out of the centroid set (both deterministic, both replayed by the
-    * oracle).
+    * oracle). `seedMod = 0` (the default) self-scales the seed modulus to
+    * `√n` cells via [[adaptiveSeedMod]].
     */
-  def kmeansAssign(embeddings: DataFrame, seedMod: Int = 64, iterations: Int = 2,
+  def kmeansAssign(embeddings: DataFrame, seedMod: Int = 0, iterations: Int = 2,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // the iterative working set: quantize ONCE and pin it (the standard
     // cache-the-training-input pattern) — every Lloyd's pass re-reads
@@ -74,30 +91,46 @@ object Clustering {
       quantize(col(vecCol)).as("qv"))
       .localCheckpoint(true)
 
-    // seed centroids: a deterministic id-spread subset, k ≈ n / seedMod
+    val mod: Long = if (seedMod > 0) seedMod.toLong else adaptiveSeedMod(q.count())
+
+    // seed centroids: a deterministic id-spread subset, k ≈ n / mod
     var cent: Array[(Long, Seq[Long])] =
-      q.filter(col("vec_id") % seedMod === 0)
+      q.filter(col("vec_id") % mod === 0)
         .select(col("vec_id"), col("qv"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1)))
         .sortBy(_._1)
 
-    // (vec_id, cluster, dist, qv) — narrow map, centroids inlined
+    val spark = embeddings.sparkSession
+
+    // (vec_id, cluster, dist): corpus × broadcast centroids through the
+    // fused-codegen distance, reduced by a PARTIAL min(struct) aggregate —
+    // map-side combine collapses the n·k candidate stream to n rows
+    // before the single vec_id shuffle. Struct ordering is field-order
+    // lexicographic ⇒ (min dist, min cid) tie-break.
     def assigned: DataFrame = {
-      val candidates = cent.map { case (cid, cv) =>
-        struct(
-          l2sq(col("qv"), typedLit(cv)).as("dist"),
-          lit(cid).as("cid"))
+      val centDf = {
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(
+          cent.map { case (cid, cv) => org.apache.spark.sql.Row(cid, cv) }
+            .toList.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("cid", LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("cv",
+              org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))))
       }
-      // struct ordering is field-order lexicographic ⇒ (min dist, min cid)
-      q.withColumn("best", array_min(array(candidates.toIndexedSeq: _*)))
+      q.crossJoin(broadcast(centDf))
+        .select(col("vec_id"), col("cid"), l2sq(col("qv"), col("cv")).as("dist"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("best"))
         .select(col("vec_id"), col("best.cid").as("cluster"),
-          col("best.dist").as("dist"), col("qv"))
+          col("best.dist").as("dist"))
     }
 
     for (_ <- 1 to iterations) {
-      // per-(cluster, dim) truncated-mean update: ONE partial-agg shuffle
-      cent = assigned
+      // per-(cluster, dim) truncated-mean update: join the assignment back
+      // to the pinned corpus on vec_id, then ONE partial-agg shuffle
+      cent = q.join(assigned.select("vec_id", "cluster"), "vec_id")
         .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy("cluster", "pos")
         .agg(expr("sum(v) div count(1)").as("m"))
@@ -109,7 +142,7 @@ object Clustering {
         .sortBy(_._1)
     }
 
-    assigned.select("vec_id", "cluster", "dist")
+    assigned
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
@@ -127,7 +160,7 @@ object Clustering {
     * the decision boundary like every cosine in this engine.
     */
   def semanticDedup(embeddings: DataFrame, threshold: Double = 0.3,
-                    seedMod: Int = 64, iterations: Int = 2,
+                    seedMod: Int = 0, iterations: Int = 2,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val assign = kmeansAssign(embeddings, seedMod, iterations, idCol, vecCol)
     val v = embeddings

@@ -36,6 +36,15 @@ class ClusteringSpec extends SparkSpec {
     assert(out(0L)._2 == want)
   }
 
+  test("adaptiveSeedMod: smallest power of two with m² ≥ n") {
+    assert(Clustering.adaptiveSeedMod(1) == 2)
+    assert(Clustering.adaptiveSeedMod(4) == 2)
+    assert(Clustering.adaptiveSeedMod(5) == 4)
+    assert(Clustering.adaptiveSeedMod(500) == 32)   // sf0.01 → ~15 cells
+    assert(Clustering.adaptiveSeedMod(2000) == 64)  // sf0.1 → ~31 cells
+    assert(Clustering.adaptiveSeedMod(20000) == 256) // 10× → ~78 cells
+  }
+
   test("kmeansAssign is deterministic across runs") {
     val a = rowSet(Clustering.kmeansAssign(corpus, seedMod = 4, iterations = 2))
     val b = rowSet(Clustering.kmeansAssign(corpus, seedMod = 4, iterations = 2))

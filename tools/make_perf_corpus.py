@@ -51,5 +51,16 @@ copy(f"""SELECT doc_id + r * {mdid} AS doc_id,
          FROM read_parquet('{SRC}/documents.parquet'), range(0, {R}) t(r)""",
      "documents")
 
-for t in ["customer", "supplier", "part", "nation", "region", "embeddings"]:
+for t in ["customer", "supplier", "part", "nation", "region"]:
     copy(f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')", t)
+
+# embeddings replicate with shifted ids and a deterministic per-replica
+# perturbation (replica r nudges every dimension by ((r*17 + 13) % 7 - 3)
+# * 1e-3), so ANN/clustering see 10x DISTINCT vectors — near-dup structure
+# survives within a replica, exact cross-replica collisions don't exist
+mvid = one(f"SELECT max(vec_id) + 1 FROM '{SRC}/embeddings.parquet'")
+copy(f"""SELECT vec_id + r * {mvid} AS vec_id,
+           list_transform(embeddings.embedding,
+             x -> CAST(x + ((r * 17 + 13) % 7 - 3) * 0.001 AS FLOAT)) AS embedding
+         FROM read_parquet('{SRC}/embeddings.parquet') embeddings, range(0, {R}) t(r)""",
+     "embeddings")
