@@ -308,7 +308,33 @@ object Plans {
         |lineage cut by per-round localCheckpoint (task closures stay
         |O(1) over 5 rounds). The edge relation materializes ONCE; the
         |integer damping arithmetic keeps ranks bit-identical across
-        |engines, partitionings and reruns.""".stripMargin)
+        |engines, partitionings and reruns.""".stripMargin,
+    "q99_kmeans" ->
+      """Final trained assignment: pinned quantized corpus ×
+        |BroadcastNestedLoopJoin against the k·dim centroid table, the
+        |fused graft_l2sq codegen distance, then partial
+        |min(struct(dist, cid)) — map-side combine reduces the n·k
+        |candidate stream to n rows before the single vec_id exchange.
+        |k ≈ √n by the adaptive seed rule, so per-row candidate work
+        |grows as √n while the shuffle stays O(n). The two training
+        |iterations behind this plan each add one (cluster, dim)
+        |partial-agg exchange; centroids cross the driver as k·dim longs
+        |only.""".stripMargin,
+    "q100_semantic_dedup" ->
+      """The q99 training plan feeds a cluster-keyed self-join — the
+        |quadratic cosine stage is confined to cells of ≈ √n, so pair
+        |volume is n^1.5 total, shuffled on an explicit cluster key.
+        |The removal set distinct + left join are keyspace-bound. Exactly
+        |the LSH-bucket near-dup shape (q24), but in trained semantic
+        |space.""".stripMargin,
+    "q101_triangles" ->
+      """Co-occurrence edges (group self-join bounded by basket width) →
+        |degree join → ORIENTED wedge join: edges directed by (degree, id)
+        |before the two-path equi-join, so a hot node's fan-in is bounded
+        |by the oriented out-degree (O(√m)) and each triangle matches
+        |exactly once — no wedge DISTINCT, no post-dedup. All exchanges on
+        |explicit endpoint keys; the final per-node count is one hash
+        |aggregate over the exploded triangle corners.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
