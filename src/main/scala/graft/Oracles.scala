@@ -1716,6 +1716,63 @@ object Oracles {
       |  SELECT unnest([a, b, c]) AS node_id FROM tri)
       |GROUP BY node_id""".stripMargin
 
+  // ---- BPE merge-training oracle (q102) -----------------------------------
+
+  /** q102 oracle: replays Bpe.learnMerges — word-frequency dict, then
+    * `nMerges` unrolled rounds of (pair count → lexicographic-tie top
+    * pair → greedy non-overlapping merge via the run-parity rule). The
+    * run-parity CTEs mirror the Spark windows term for term. Every CTE is
+    * `AS MATERIALIZED`: each round references the previous one ~4 times,
+    * and DuckDB's default CTE inlining re-evaluates every reference —
+    * exponential (4^rounds) blowup that hangs the plain form.
+    */
+  def bpeMerges(nMerges: Int): String = {
+    val head =
+      """bs0 AS MATERIALIZED (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    list_transform(generate_series(1, len(word)),
+        |      i -> substring(word, CAST(i AS INTEGER), 1)) AS syms
+        |  FROM (
+        |    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS word
+        |    FROM documents)
+        |  GROUP BY word)""".stripMargin
+    val rounds = (0 until nMerges).map { r =>
+      s"""bp$r AS MATERIALIZED (
+         |  SELECT (pr).a AS a, (pr).b AS b, SUM(freq) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
+         |      i -> struct_pack(a := syms[CAST(i AS INTEGER)],
+         |                       b := syms[CAST(i AS INTEGER) + 1]))) AS pr
+         |    FROM bs$r)
+         |  GROUP BY 1, 2),
+         |bt$r AS MATERIALIZED (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM bp$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |bx$r AS MATERIALIZED (
+         |  SELECT word, freq, syms, CAST(i AS INTEGER) AS i FROM (
+         |    SELECT word, freq, syms, unnest(generate_series(1, len(syms))) AS i FROM bs$r)),
+         |bg$r AS MATERIALIZED (
+         |  SELECT x.word, x.i FROM bx$r x, bt$r t
+         |  WHERE x.syms[x.i] = t.a AND x.i < len(x.syms) AND x.syms[x.i + 1] = t.b),
+         |bm$r AS MATERIALIZED (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word, i - rn ORDER BY i) AS k
+         |    FROM (SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS rn FROM bg$r))
+         |  WHERE k % 2 = 1),
+         |bs${r + 1} AS MATERIALIZED (
+         |  SELECT x.word, x.freq, list(
+         |      CASE WHEN m.i IS NOT NULL THEN x.syms[x.i] || x.syms[x.i + 1]
+         |           ELSE x.syms[x.i] END ORDER BY x.i) AS syms
+         |  FROM bx$r x
+         |  LEFT JOIN bm$r m ON m.word = x.word AND m.i = x.i
+         |  LEFT JOIN bm$r c ON c.word = x.word AND c.i = x.i - 1
+         |  WHERE c.i IS NULL
+         |  GROUP BY x.word, x.freq)""".stripMargin
+    }
+    val out = (0 until nMerges)
+      .map(r => s"SELECT CAST(${r + 1} AS BIGINT) AS \"rank\", a AS pair_a, b AS pair_b, cnt AS freq FROM bt$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${(head +: rounds).mkString(",\n")}\n$out"
+  }
+
   // ---- k-means / semantic-dedup oracles (q99, q100) -----------------------
 
   /** Exact integer squared-L2 between two 64-dim BIGINT lists. */

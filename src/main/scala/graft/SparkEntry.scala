@@ -848,6 +848,12 @@ object SparkEntry {
         graft.ext.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
     },
 
+    // extension: BPE merge training (tokenizer induction) on the
+    // word-frequency dict — the corpus is scanned once; every merge round
+    // runs on the vocabulary-bounded dict
+    "q102_bpe_merges" -> ((s, d) =>
+      graft.ext.Bpe.learnMerges(Tables.documents(s, d), nMerges = 6)),
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -971,6 +977,7 @@ object SparkEntry {
     "q98_grouping_sets" -> Oracles.groupingSets,
     "q99_kmeans" -> Oracles.kmeansAssign(0, 2),
     "q100_semantic_dedup" -> Oracles.semanticDedup(0.3, 0, 2),
-    "q101_triangles" -> Oracles.triangleCounts
+    "q101_triangles" -> Oracles.triangleCounts,
+    "q102_bpe_merges" -> Oracles.bpeMerges(6)
   )
 }
