@@ -844,6 +844,28 @@ object Oracles {
       |SELECT c.event_id, c.user_id, c.ts, v.ts AS asof_ts, v.view_id AS asof_view_id
       |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin
 
+  /** q103 oracle: point-in-time lookup — the SCD2 change-point derivation
+    * (same lag collapse as [[scd2Intervals]], restricted to non-purchase
+    * events) joined to purchases with DuckDB's native ASOF LEFT JOIN, an
+    * independent derivation of the inclusive latest-≤ match.
+    */
+  val pitLookup: String =
+    """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, event_type FROM events),
+      |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+      |b AS (SELECT user_id, event_type, ts, event_id FROM e WHERE event_type <> 'purchase'),
+      |c AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM b
+      |), ch AS (
+      |  SELECT user_id, event_type, ts
+      |  FROM c WHERE prev_type IS NULL OR prev_type <> event_type
+      |), st AS (
+      |  SELECT user_id, ts, MAX(event_type) AS state FROM ch GROUP BY 1, 2
+      |)
+      |SELECT p.event_id, p.user_id, p.ts, st.ts AS prior_ts, st.state AS prior_state
+      |FROM p ASOF LEFT JOIN st ON p.user_id = st.user_id AND st.ts <= p.ts""".stripMargin
+
   /** q53: word-level repetition signals. Independent formulation: DuckDB
     * re-derives each signal from explicit unnest→GROUP BY→MAX aggregations
     * (the very shape the native expression exists to avoid), over the SAME

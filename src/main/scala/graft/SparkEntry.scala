@@ -854,6 +854,24 @@ object SparkEntry {
     "q102_bpe_merges" -> ((s, d) =>
       graft.ext.Bpe.learnMerges(Tables.documents(s, d), nMerges = 6)),
 
+    // extension: point-in-time state lookup (the feature-store join) —
+    // purchases as-of the SCD2 browsing-state history, so each fact sees
+    // the dim row that was valid AT its timestamp, never a later one
+    // (composition: Warehouse.scd2Intervals → AsOfJoin.asOf)
+    "q103_pit_lookup" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val state = graft.ext.Warehouse
+        .scd2Intervals(ev.filter(col("event_type") =!= "purchase"))
+        // one row per (user, ts): simultaneous change points collapse
+        // deterministically, the as-of operator's contract (as q39)
+        .groupBy("user_id", "valid_from").agg(max("event_type").as("state"))
+        .withColumnRenamed("valid_from", "ts")
+      graft.operators.AsOfJoin.asOf(purchases, state, Seq("user_id"), "ts",
+        prefix = "prior_")
+    },
+
     // typed Dataset[SaleLine] boundary (SURVEY §1.4): compile-time-checked
     // retail agg via a typed Aggregator — same semantics and oracle as q01
     "q29_typed_retail_agg" -> { (s, d) =>
@@ -978,6 +996,7 @@ object SparkEntry {
     "q99_kmeans" -> Oracles.kmeansAssign(0, 2),
     "q100_semantic_dedup" -> Oracles.semanticDedup(0.3, 0, 2),
     "q101_triangles" -> Oracles.triangleCounts,
-    "q102_bpe_merges" -> Oracles.bpeMerges(6)
+    "q102_bpe_merges" -> Oracles.bpeMerges(6),
+    "q103_pit_lookup" -> Oracles.pitLookup
   )
 }
