@@ -1749,6 +1749,25 @@ object Oracles {
     * exponential (4^rounds) blowup that hangs the plain form.
     */
   def bpeMerges(nMerges: Int): String = {
+    val out = (0 until nMerges)
+      .map(r => s"SELECT CAST(${r + 1} AS BIGINT) AS \"rank\", a AS pair_a, b AS pair_b, cnt AS freq FROM bt$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${bpeCtes(nMerges)}\n$out"
+  }
+
+  /** q104 oracle: per-doc token counts under the trained vocabulary —
+    * each word contributes the length of its fully-merged symbol list.
+    */
+  def bpeTokenCounts(nMerges: Int): String =
+    s"""WITH ${bpeCtes(nMerges)},
+       |wc AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |    x -> x <> '')) AS word
+       |  FROM documents)
+       |SELECT doc_id, CAST(SUM(len(syms)) AS BIGINT) AS n_tokens
+       |FROM wc JOIN bs$nMerges USING (word) GROUP BY doc_id""".stripMargin
+
+  private def bpeCtes(nMerges: Int): String = {
     val head =
       """bs0 AS MATERIALIZED (
         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
@@ -1789,10 +1808,7 @@ object Oracles {
          |  WHERE c.i IS NULL
          |  GROUP BY x.word, x.freq)""".stripMargin
     }
-    val out = (0 until nMerges)
-      .map(r => s"SELECT CAST(${r + 1} AS BIGINT) AS \"rank\", a AS pair_a, b AS pair_b, cnt AS freq FROM bt$r")
-      .mkString("\nUNION ALL\n")
-    s"WITH ${(head +: rounds).mkString(",\n")}\n$out"
+    (head +: rounds).mkString(",\n")
   }
 
   // ---- k-means / semantic-dedup oracles (q99, q100) -----------------------

@@ -854,6 +854,11 @@ object SparkEntry {
     "q102_bpe_merges" -> ((s, d) =>
       graft.ext.Bpe.learnMerges(Tables.documents(s, d), nMerges = 6)),
 
+    // extension: BPE encoding — per-doc token counts under the q102
+    // vocabulary (the tokenizer's apply side; one broadcast word→len join)
+    "q104_bpe_tokens" -> ((s, d) =>
+      graft.ext.Bpe.tokenCounts(Tables.documents(s, d), nMerges = 6)),
+
     // extension: point-in-time state lookup (the feature-store join) —
     // purchases as-of the SCD2 browsing-state history, so each fact sees
     // the dim row that was valid AT its timestamp, never a later one
@@ -997,6 +1002,7 @@ object SparkEntry {
     "q100_semantic_dedup" -> Oracles.semanticDedup(0.3, 0, 2),
     "q101_triangles" -> Oracles.triangleCounts,
     "q102_bpe_merges" -> Oracles.bpeMerges(6),
-    "q103_pit_lookup" -> Oracles.pitLookup
+    "q103_pit_lookup" -> Oracles.pitLookup,
+    "q104_bpe_tokens" -> Oracles.bpeTokenCounts(6)
   )
 }

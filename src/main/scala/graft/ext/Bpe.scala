@@ -37,7 +37,29 @@ object Bpe {
   /** Learned merge table `(rank, pair_a, pair_b, freq)` after `nMerges`
     * rounds; stops early (fewer rows) if the dict runs out of pairs.
     */
-  def learnMerges(docs: DataFrame, nMerges: Int, textCol: String = "text"): DataFrame = {
+  def learnMerges(docs: DataFrame, nMerges: Int, textCol: String = "text"): DataFrame =
+    train(docs, nMerges, textCol)._1
+
+  /** Per-document BPE token counts under the `nMerges`-round vocabulary —
+    * the ENCODE side of the trainer: every word's token count is the
+    * length of its fully-merged symbol sequence, and a document's count is
+    * the sum over its words. One broadcast-able (word → len) join against
+    * the trained dict; the corpus is never re-tokenized per merge.
+    */
+  def tokenCounts(docs: DataFrame, nMerges: Int, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val dict = train(docs, nMerges, textCol)._2
+    docs.select(col(idCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(dict.select(col("word"), size(col("syms")).as("n"))), "word")
+      .groupBy(idCol).agg(sum("n").as("n_tokens"))
+  }
+
+  /** (merge table, trained dict `(word, freq, syms)`) after `nMerges`
+    * rounds.
+    */
+  private def train(docs: DataFrame, nMerges: Int, textCol: String): (DataFrame, DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1: $nMerges")
     val spark = docs.sparkSession
 
@@ -102,7 +124,7 @@ object Bpe {
     }
 
     import scala.jdk.CollectionConverters._
-    spark.createDataFrame(
+    val mergeDf = spark.createDataFrame(
       merges.map { case (r, a, b, c) =>
         org.apache.spark.sql.Row(r.toLong, a, b, c)
       }.toList.asJava,
@@ -111,5 +133,6 @@ object Bpe {
         org.apache.spark.sql.types.StructField("pair_a", org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("pair_b", org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("freq", org.apache.spark.sql.types.LongType, nullable = false))))
+    (mergeDf, dict)
   }
 }

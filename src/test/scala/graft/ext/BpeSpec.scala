@@ -40,4 +40,11 @@ class BpeSpec extends SparkSpec {
     val out = Bpe.learnMerges(docs("xy ab"), nMerges = 1)
     assert(rowSet(out) == rows(Seq("1", "a", "b", "1")))
   }
+
+  test("tokenCounts: per-doc counts shrink as merges apply") {
+    // merges from {aaab:2, ab:1}: (a,a), (a,b), (aa,ab) — aaab → 1 token,
+    // ab → [ab] → 1 token. doc0 = "aaab aaab ab" → 3; doc1 = "ab" → 1
+    val out = Bpe.tokenCounts(docs("aaab aaab ab", "ab"), nMerges = 3)
+    assert(rowSet(out) == rows(Seq("0", "3"), Seq("1", "1")))
+  }
 }
