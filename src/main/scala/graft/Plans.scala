@@ -334,7 +334,28 @@ object Plans {
         |by the oriented out-degree (O(√m)) and each triangle matches
         |exactly once — no wedge DISTINCT, no post-dedup. All exchanges on
         |explicit endpoint keys; the final per-node count is one hash
-        |aggregate over the exploded triangle corners.""".stripMargin)
+        |aggregate over the exploded triangle corners.""".stripMargin,
+    "q102_bpe_merges" ->
+      """The plan shown is the LAST round's pair count over the trained
+        |dict. The one corpus-sized stage is the initial word-frequency
+        |aggregate; every merge round after it runs on the
+        |vocabulary-bounded dict (Heaps' law): pair explode + hash agg,
+        |TakeOrdered(1) for the top pair, and the run-parity windows for
+        |the greedy rebuild — all partition-local over the tiny relation,
+        |lineage cut per round by localCheckpoint.""".stripMargin,
+    "q103_pit_lookup" ->
+      """Point-in-time lookup = SCD2 change derivation (one user shuffle,
+        |shared Sort under both lag/lead windows) feeding the as-of
+        |tag-union-scan: ONE key shuffle joins facts to the state history,
+        |and the running last() inside each partition gives every purchase
+        |the state valid AT its timestamp — no range blowup, no future
+        |leakage by construction.""".stripMargin,
+    "q104_bpe_tokens" ->
+      """Encode side: the trained dict collapses to a (word → token count)
+        |relation that BROADCASTS into the corpus word stream — one scan,
+        |one broadcast hash join, one doc_id aggregate. The corpus is
+        |never re-tokenized per merge round; all training cost lives in
+        |the dict derivation (q102's shape).""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
