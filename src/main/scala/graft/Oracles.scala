@@ -459,6 +459,16 @@ object Oracles {
        |SELECT s.doc_id, s.lang, st.n_tokens, st.quality
        |FROM samp s JOIN st USING (doc_id) WHERE st.quality >= 0.2""".stripMargin
 
+  /** q105 oracle: the q44 curation pipeline minus semantic duplicates —
+    * the q100 SemDeDup derivation's not-kept vectors anti-joined out
+    * (vec_id ≡ doc_id; docs without an embedding survive).
+    */
+  def curationSemantic(threshold: Double): String =
+    s"""WITH cur AS (SELECT * FROM (${curationPipeline()})),
+       |sem AS (SELECT * FROM (${semanticDedup(threshold)}))
+       |SELECT cur.* FROM cur
+       |WHERE cur.doc_id NOT IN (SELECT vec_id FROM sem WHERE NOT kept)""".stripMargin
+
   /** Mirrors Packing.packDocuments: per-bucket running token sum, pack =
     * ⌊(cumsum − n) / budget⌋. n_tokens re-derived via the textStats CTE.
     */

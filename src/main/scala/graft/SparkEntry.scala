@@ -859,6 +859,13 @@ object SparkEntry {
     "q104_bpe_tokens" -> ((s, d) =>
       graft.ext.Bpe.tokenCounts(Tables.documents(s, d), nMerges = 6)),
 
+    // extension: curation flagship + SemDeDup — surface-form MinHash dedup
+    // AND semantic near-dup removal in one composed pipeline (q44 ∘ q100)
+    "q105_curation_semantic" -> ((s, d) =>
+      graft.ext.Curation.curateSemantic(
+        Tables.documents(s, d), Tables.embeddings(s, d), threshold = 0.3,
+        permille = Seq("en" -> 800), defaultPermille = 500, minQuality = 0.2)),
+
     // extension: point-in-time state lookup (the feature-store join) —
     // purchases as-of the SCD2 browsing-state history, so each fact sees
     // the dim row that was valid AT its timestamp, never a later one
@@ -1003,6 +1010,7 @@ object SparkEntry {
     "q101_triangles" -> Oracles.triangleCounts,
     "q102_bpe_merges" -> Oracles.bpeMerges(6),
     "q103_pit_lookup" -> Oracles.pitLookup,
-    "q104_bpe_tokens" -> Oracles.bpeTokenCounts(6)
+    "q104_bpe_tokens" -> Oracles.bpeTokenCounts(6),
+    "q105_curation_semantic" -> Oracles.curationSemantic(0.3)
   )
 }

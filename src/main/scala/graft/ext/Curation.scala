@@ -44,6 +44,26 @@ object Curation {
     (curated, clusters)
   }
 
+  /** [[curate]] with a SEMANTIC dedup stage (SemDeDup, q100) on top of the
+    * surface-form MinHash stage: a curated doc is dropped when its
+    * embedding is a semantic near-duplicate of a lower-id vector in its
+    * trained k-means cell. Docs without an embedding pass through — the
+    * anti-join only removes known duplicates. The two dedup stages are
+    * complementary: MinHash catches byte-level/near-verbatim copies,
+    * SemDeDup catches paraphrases the surface hashes can't see.
+    */
+  def curateSemantic(docs: DataFrame, embeddings: DataFrame,
+                     threshold: Double,
+                     permille: Seq[(String, Int)], defaultPermille: Int,
+                     minQuality: Double,
+                     minHashK: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val curated = curate(docs, permille, defaultPermille, minQuality, minHashK, rowsPerBand)
+    val removed = Clustering.semanticDedup(embeddings, threshold)
+      .filter(!col("kept"))
+      .select(col("vec_id").as("doc_id"))
+    curated.join(removed, Seq("doc_id"), "left_anti")
+  }
+
   /** The full corpus→train-shards story: [[curate]] continued through the
     * leakage-safe cluster split (every near-dup cluster lands wholly on one
     * side — the SAME clusters the dedup stage derived, one subtree in the

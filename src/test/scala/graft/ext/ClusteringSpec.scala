@@ -63,6 +63,25 @@ class ClusteringSpec extends SparkSpec {
     assert(out(1L) == 0L)
   }
 
+  test("curateSemantic = curate minus the not-kept vectors; no-embedding docs survive") {
+    val spark0 = spark
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark0, sf)
+    val emb = graft.Tables.embeddings(spark0, sf)
+    val base = Curation.curate(docs, Seq("en" -> 800), 500, 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sem = Curation.curateSemantic(docs, emb, 0.3, Seq("en" -> 800), 500, 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val removed = Clustering.semanticDedup(emb, 0.3)
+      .filter(!org.apache.spark.sql.functions.col("kept"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(sem == base -- removed)
+    assert(removed.nonEmpty, "scenario should actually remove something")
+    // docs with no embedding at all must be unaffected by the stage
+    val vecIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((base -- vecIds).subsetOf(sem))
+  }
+
   test("semanticDedup removes the higher id of a near-identical pair only") {
     val d = vecs(
       0L -> Seq(1.0, 0.0, 0.0),
