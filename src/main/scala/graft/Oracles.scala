@@ -1823,67 +1823,75 @@ object Oracles {
 
   // ---- k-means / semantic-dedup oracles (q99, q100) -----------------------
 
-  /** Exact integer squared-L2 between two 64-dim BIGINT lists. */
-  private def l2sqSql(a: String, b: String): String =
-    s"CAST(list_sum(list_transform(generate_series(1, 64), i -> " +
+  /** Exact integer squared-L2 between two `dim`-length BIGINT lists. */
+  private def l2sqSql(a: String, b: String, dim: Int = 64): String =
+    s"CAST(list_sum(list_transform(generate_series(1, $dim), i -> " +
       s"($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]) * " +
       s"($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]))) AS BIGINT)"
 
   /** One Lloyd's assignment CTE `$name` against centroid CTE `$cent`:
     * nearest centroid by exact integer L2², ties to the lowest cid —
-    * term-for-term the `array_min(struct(dist, cid))` rule in
+    * term-for-term the `min(struct(dist, cid))` rule in
     * Clustering.kmeansAssign.
     */
-  private def kmAssignCte(name: String, cent: String): String =
+  private def kmAssignCte(name: String, cent: String, src: String, dim: Int): String =
     s"""$name AS (
        |  SELECT vec_id, cid, dist, v FROM (
        |    SELECT vec_id, cid, dist, v,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |    FROM (
-       |      SELECT q.vec_id, c.cid, ${l2sqSql("q.v", "c.cv")} AS dist, q.v
-       |      FROM kmq q, $cent c))
+       |      SELECT q.vec_id, c.cid, ${l2sqSql("q.v", "c.cv", dim)} AS dist, q.v
+       |      FROM $src q, $cent c))
        |  WHERE rn = 1)""".stripMargin
 
   /** One centroid-mean update CTE `$name` from assignment CTE `$from`:
     * per-(cluster, dim) truncating integer mean (DuckDB `//` and Spark
     * `div` both truncate toward zero), reassembled in dim order.
     */
-  private def kmUpdateCte(name: String, from: String): String =
+  private def kmUpdateCte(name: String, from: String, dim: Int): String =
     s"""$name AS (
        |  SELECT cid, list(m ORDER BY i) AS cv FROM (
        |    SELECT cid, CAST(i AS INTEGER) AS i,
        |      CAST(SUM(v[CAST(i AS INTEGER)]) AS BIGINT) // COUNT(*) AS m
-       |    FROM $from, generate_series(1, 64) t(i) GROUP BY 1, 2)
+       |    FROM $from, generate_series(1, $dim) t(i) GROUP BY 1, 2)
        |  GROUP BY cid)""".stripMargin
 
   /** CTE chain replaying Clustering.kmeansAssign exactly: quantize →
     * seed → `iterations` × (assign → mean update) → final assignment CTE
-    * named `kma$iterations`.
+    * named `${p}a$iterations`. `sliceFrom`/`dim` train on a subvector
+    * (the PQ per-subspace codebook); `p` prefixes every CTE name so
+    * several chains can coexist in one query.
     */
-  private def kmeansCtes(seedMod: Int, iterations: Int): String = {
+  private def kmeansCtes(seedMod: Int, iterations: Int, dim: Int = 64,
+                         sliceFrom: Int = 1, p: String = "km"): String = {
+    val vecExpr =
+      if (sliceFrom == 1 && dim == 64) "embedding"
+      else s"embedding[$sliceFrom:${sliceFrom + dim - 1}]"
     // seedMod = 0 → adaptive √n sizing: smallest power-of-two m with
     // m² ≥ n, in pure integer shift arithmetic (Clustering.adaptiveSeedMod)
     val seedCte =
       if (seedMod > 0)
-        s"kmc0 AS (SELECT vec_id AS cid, v AS cv FROM kmq WHERE vec_id % $seedMod = 0)"
+        s"${p}c0 AS (SELECT vec_id AS cid, v AS cv FROM ${p}q WHERE vec_id % $seedMod = 0)"
       else
-        s"""kmn AS (SELECT COUNT(*) AS n FROM kmq),
-           |kmm AS (
+        s"""${p}n AS (SELECT COUNT(*) AS n FROM ${p}q),
+           |${p}m AS (
            |  SELECT (CAST(1 AS BIGINT) << CAST(COALESCE(list_min(list_filter(range(1, 32),
            |    j -> (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) * (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) >= n)), 31) AS INTEGER)) AS m
-           |  FROM kmn),
-           |kmc0 AS (SELECT vec_id AS cid, v AS cv FROM kmq CROSS JOIN kmm WHERE vec_id % m = 0)""".stripMargin
+           |  FROM ${p}n),
+           |${p}c0 AS (SELECT vec_id AS cid, v AS cv FROM ${p}q CROSS JOIN ${p}m WHERE vec_id % m = 0)""".stripMargin
     val head = Seq(
-      s"""kmq AS (
+      s"""${p}q AS (
          |  SELECT vec_id,
-         |    list_transform(embedding,
+         |    list_transform($vecExpr,
          |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
          |  FROM embeddings)""".stripMargin,
       seedCte)
     val steps = (0 until iterations).flatMap { it =>
-      Seq(kmAssignCte(s"kma$it", s"kmc$it"), kmUpdateCte(s"kmc${it + 1}", s"kma$it"))
+      Seq(kmAssignCte(s"${p}a$it", s"${p}c$it", s"${p}q", dim),
+        kmUpdateCte(s"${p}c${it + 1}", s"${p}a$it", dim))
     }
-    (head ++ steps :+ kmAssignCte(s"kma$iterations", s"kmc$iterations")).mkString(",\n")
+    (head ++ steps :+ kmAssignCte(s"${p}a$iterations", s"${p}c$iterations", s"${p}q", dim))
+      .mkString(",\n")
   }
 
   /** q99 oracle: trained k-means assignment — all-integer output.
@@ -1909,6 +1917,42 @@ object Oracles {
        |removed AS (SELECT DISTINCT id_b AS vec_id FROM sc WHERE s >= $threshold)
        |SELECT d.vec_id, d.cluster, r.vec_id IS NULL AS kept
        |FROM sd d LEFT JOIN removed r ON r.vec_id = d.vec_id""".stripMargin
+
+  /** q106 oracle: product-quantization ANN — one trained codebook chain
+    * per subspace (the parameterized kmeans CTEs), corpus encoded as one
+    * code per subspace, and the query↔vector distance reconstructed as
+    * the SUM of per-subspace query→centroid distances (ADC). All-integer.
+    */
+  def pqTopK(queryMod: Int, k: Int, subspaces: Int = 4, iterations: Int = 2): String = {
+    val sub = 64 / subspaces
+    val chains = (0 until subspaces).map(s =>
+      kmeansCtes(0, iterations, sub, s * sub + 1, s"pq$s"))
+    val codes = (0 until subspaces)
+      .map(s => s"SELECT vec_id AS neighbor_id, $s AS s, cid AS code FROM pq${s}a$iterations")
+      .mkString(" UNION ALL ")
+    val cents = (0 until subspaces)
+      .map(s => s"SELECT $s AS s, cid, cv FROM pq${s}c$iterations")
+      .mkString(" UNION ALL ")
+    val qs = (0 until subspaces)
+      .map(s => s"SELECT vec_id AS query_id, $s AS s, v AS qv FROM pq${s}q WHERE vec_id % $queryMod = 0")
+      .mkString(" UNION ALL ")
+    s"""WITH ${chains.mkString(",\n")},
+       |pcodes AS ($codes),
+       |pcents AS ($cents),
+       |pqq AS ($qs),
+       |pdist AS (
+       |  SELECT query_id, s, cid, ${l2sqSql("qv", "cv", sub)} AS d
+       |  FROM pqq JOIN pcents USING (s)),
+       |padist AS (
+       |  SELECT query_id, neighbor_id, CAST(SUM(d) AS BIGINT) AS adist
+       |  FROM pcodes n JOIN pdist q ON n.s = q.s AND n.code = q.cid
+       |  WHERE query_id <> neighbor_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, adist, "rank" FROM (
+       |  SELECT query_id, neighbor_id, adist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INTEGER) AS "rank"
+       |  FROM padist) WHERE "rank" <= $k""".stripMargin
+  }
 
   /** q91 oracle: SCD2 validity intervals — consecutive-duplicate collapse
     * via lag, interval ends via lead over the change rows, (ts, event_id)

@@ -859,6 +859,14 @@ object SparkEntry {
     "q104_bpe_tokens" -> ((s, d) =>
       graft.ext.Bpe.tokenCounts(Tables.documents(s, d), nMerges = 6)),
 
+    // extension: product-quantization ANN (ADC) — per-subspace integer
+    // codebooks from the q99 trainer; corpus ships as 4 codes per vector
+    "q106_pq_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.ext.Clustering.pqTopK(emb.filter(col("vec_id") % 50 === 0), emb,
+        k = 5, subspaces = 4, iterations = 2)
+    },
+
     // extension: curation flagship + SemDeDup — surface-form MinHash dedup
     // AND semantic near-dup removal in one composed pipeline (q44 ∘ q100)
     "q105_curation_semantic" -> ((s, d) =>
@@ -1011,6 +1019,7 @@ object SparkEntry {
     "q102_bpe_merges" -> Oracles.bpeMerges(6),
     "q103_pit_lookup" -> Oracles.pitLookup,
     "q104_bpe_tokens" -> Oracles.bpeTokenCounts(6),
-    "q105_curation_semantic" -> Oracles.curationSemantic(0.3)
+    "q105_curation_semantic" -> Oracles.curationSemantic(0.3),
+    "q106_pq_topk" -> Oracles.pqTopK(50, 5, 4, 2)
   )
 }

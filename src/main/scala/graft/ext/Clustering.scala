@@ -82,7 +82,16 @@ object Clustering {
     * `√n` cells via [[adaptiveSeedMod]].
     */
   def kmeansAssign(embeddings: DataFrame, seedMod: Int = 0, iterations: Int = 2,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    kmeansTrain(embeddings, seedMod, iterations, idCol, vecCol)._1
+
+  /** [[kmeansAssign]] plus the trained centroid table itself
+    * (`(cid, quantized vector)`, sorted by cid) — the PQ codebook trainer
+    * needs the centroids, not just the assignment.
+    */
+  def kmeansTrain(embeddings: DataFrame, seedMod: Int = 0, iterations: Int = 2,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, Seq[(Long, Seq[Long])]) = {
     // the iterative working set: quantize ONCE and pin it (the standard
     // cache-the-training-input pattern) — every Lloyd's pass re-reads
     // these blocks instead of re-scanning and re-quantizing the source
@@ -142,7 +151,72 @@ object Clustering {
         .sortBy(_._1)
     }
 
-    assigned
+    (assigned, cent.toSeq)
+  }
+
+  /** Product-quantization ANN (Jégou et al. 2011, "Product quantization
+    * for nearest neighbor search" — public paper; the codebook half of
+    * FAISS's IVF-PQ): the 64-dim corpus compresses to `subspaces` small
+    * integer codes — one trained k-means codebook per dim/subspaces
+    * slice — and query↔vector distance is reconstructed as the SUM of
+    * per-subspace query→centroid distances (asymmetric distance
+    * computation). All arithmetic stays in the exact quantized-integer
+    * domain, so the oracle replays codebook training AND reconstruction
+    * hash-exactly.
+    *
+    * Scale shape: after encode, the corpus ships as `subspaces` longs per
+    * vector (the 100 TB embedding-store compression play — 8-16× smaller
+    * than the floats on the wire and in memory); reconstruction is ONE
+    * `(subspace, code)` equi-join against the broadcast query→centroid
+    * distance table plus a partial-agg SUM per (query, vector), and the
+    * float vectors are read only at training/encode time.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, subspaces: Int = 4,
+             iterations: Int = 2, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val dim = 64
+    require(subspaces > 0 && dim % subspaces == 0,
+      s"subspaces must divide $dim: $subspaces")
+    val sub = dim / subspaces
+    val spark = corpus.sparkSession
+
+    val parts = (0 until subspaces).map { s =>
+      val sliced = corpus.select(col(idCol).cast(LongType).as("vec_id"),
+        slice(col(vecCol), s * sub + 1, sub).as("embedding"))
+      val (assign, cent) = kmeansTrain(sliced, 0, iterations)
+      (s, assign, cent)
+    }
+    val codes = parts.map { case (s, a, _) =>
+      a.select(col("vec_id").as("neighbor_id"), lit(s).as("cs"), col("cluster").as("code"))
+    }.reduce(_ union _)
+    val centDf = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        parts.flatMap { case (s, _, cs) =>
+          cs.map { case (cid, cv) => org.apache.spark.sql.Row(s, cid, cv) }
+        }.toList.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("s",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("cid", LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cv",
+            org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))))
+    }
+    val qLong = (0 until subspaces).map { s =>
+      queries.select(col(idCol).cast(LongType).as("query_id"), lit(s).as("s"),
+        quantize(slice(col(vecCol), s * sub + 1, sub)).as("qv"))
+    }.reduce(_ union _)
+    val qdist = qLong.join(broadcast(centDf), Seq("s"))
+      .select(col("query_id"), col("s"), col("cid"), l2sq(col("qv"), col("cv")).as("d"))
+
+    val adist = codes
+      .join(qdist, codes("cs") === qdist("s") && codes("code") === qdist("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id").agg(sum("d").as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    adist.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):

@@ -82,6 +82,33 @@ class ClusteringSpec extends SparkSpec {
     assert((base -- vecIds).subsetOf(sem))
   }
 
+  test("pqTopK: exact duplicates share every code — equal adist, ranks 1-2") {
+    // 64-dim corpus: ids 0/4 seed-able, id 7 duplicates id 0 exactly;
+    // id 9 is far from everything. Query = id 0's vector under a fresh id.
+    def v(fill: Double, bump: Int): Seq[Double] =
+      Seq.tabulate(64)(i => if (i == bump) 1.0 else fill)
+    val corpus = vecs(
+      0L -> v(0.0, 0), 4L -> v(0.0, 32), 7L -> v(0.0, 0),
+      9L -> Seq.fill(64)(-0.5), 12L -> v(0.0, 33))
+    val queries = vecs(100L -> v(0.0, 0))
+    val out = Clustering.pqTopK(queries, corpus, k = 3, subspaces = 4, iterations = 1)
+      .orderBy("rank").collect()
+    // ids 0 and 7 share every subspace code with the query's cells →
+    // reconstructed distance equals the query→centroid distance, and both
+    // precede everything else; tie breaks to the lower id
+    assert(out(0).getLong(1) == 0L && out(1).getLong(1) == 7L)
+    assert(out(0).getLong(2) == out(1).getLong(2), "equal codes ⇒ equal adist")
+    assert(out.length == 3)
+  }
+
+  test("pqTopK is deterministic across runs") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0)
+    val a = rowSet(Clustering.pqTopK(q, emb, k = 3))
+    val b = rowSet(Clustering.pqTopK(q, emb, k = 3))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("semanticDedup removes the higher id of a near-identical pair only") {
     val d = vecs(
       0L -> Seq(1.0, 0.0, 0.0),
