@@ -1972,4 +1972,93 @@ object Oracles {
       |SELECT user_id, event_type, ts AS valid_from,
       |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
       |FROM ch""".stripMargin
+
+  /** Mirrors Dedup.segmentDedup over Dedup.wordChunkSegments: fixed-width
+    * token chunks, drop chunks whose exact text occurs in ≥ minDf distinct
+    * docs, rebuild each doc's text from survivors in original order.
+    */
+  def segmentDedup(chunkWords: Int, minDf: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS ts
+       |  FROM documents
+       |), segs AS (
+       |  SELECT doc_id, i AS seg_idx,
+       |    array_to_string(ts[i*$chunkWords+1 : i*$chunkWords+$chunkWords], ' ') AS seg
+       |  FROM toks, UNNEST(range((len(ts) + ${chunkWords - 1}) // $chunkWords)) AS u(i)
+       |  WHERE len(ts) > 0
+       |), dfc AS (
+       |  SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY 1
+       |), flagged AS (
+       |  SELECT s.doc_id, s.seg_idx, s.seg, (dfc.df < $minDf) AS keep
+       |  FROM segs s JOIN dfc USING (seg)
+       |), agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '') AS clean_text
+       |  FROM flagged GROUP BY 1
+       |)
+       |SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       |  COALESCE(a.n_segments, 0) AS n_segments, COALESCE(a.n_kept, 0) AS n_kept
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** Mirrors LangModel.scoreDocuments: add-one bigram model trained on the
+    * corpus, per-doc mean ln((c12+1)/(c1+V)) rounded to 6 decimals.
+    */
+  val lmQuality: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, ts[i-1] AS w1, ts[i] AS w2
+      |  FROM toks, UNNEST(range(2, len(ts) + 1)) AS u(i)
+      |  WHERE len(ts) >= 2
+      |), c12 AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+      |), c1 AS (
+      |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+      |), v AS (
+      |  SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(ts) AS t FROM toks)
+      |), scored AS (
+      |  SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    ROUND(AVG(LN((c12.c12 + 1) / CAST(c1.c1 + v.v AS DOUBLE))), 6) AS avg_logprob
+      |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      |  GROUP BY 1
+      |)
+      |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.avg_logprob
+      |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin
+
+  /** Mirrors Entities.resolveByName on part names: exact collapse →
+    * df-capped token blocking → levenshtein verify → recursive transitive
+    * closure (an independent algorithm from the Spark side's label
+    * propagation, as in ccClusters).
+    */
+  def entityResolution(maxEdit: Int, maxTokenDf: Int): String =
+    s"""WITH RECURSIVE base AS (
+       |  SELECT p_partkey AS id, trim(lower(p_name)) AS name FROM part
+       |), names AS (
+       |  SELECT name, MIN(id) AS name_rep FROM base GROUP BY 1
+       |), toks AS (
+       |  SELECT DISTINCT name, name_rep,
+       |    unnest(list_filter(string_split_regex(name, '\\s+'), t -> t <> '')) AS tok
+       |  FROM names
+       |), rare AS (
+       |  SELECT tok FROM (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1) WHERE df <= $maxTokenDf
+       |), blocked AS (
+       |  SELECT t.name, t.name_rep, t.tok FROM toks t JOIN rare USING (tok)
+       |), edges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT DISTINCT a.name_rep AS src, b.name_rep AS dst, a.name AS na, b.name AS nb
+       |    FROM blocked a JOIN blocked b ON a.tok = b.tok AND a.name_rep < b.name_rep
+       |  ) WHERE levenshtein(na, nb) <= $maxEdit
+       |), sym AS (
+       |  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+       |), reach AS (
+       |  SELECT name_rep AS id, name_rep AS r FROM names
+       |  UNION
+       |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+       |), comp AS (
+       |  SELECT id AS name_rep, MIN(r) AS entity_rep FROM reach GROUP BY 1
+       |)
+       |SELECT b.id AS p_partkey, b.name, c.entity_rep
+       |FROM base b JOIN names n USING (name) JOIN comp c ON n.name_rep = c.name_rep""".stripMargin
 }

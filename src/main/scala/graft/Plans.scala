@@ -355,7 +355,30 @@ object Plans {
         |relation that BROADCASTS into the corpus word stream — one scan,
         |one broadcast hash join, one doc_id aggregate. The corpus is
         |never re-tokenized per merge round; all training cost lives in
-        |the dict derivation (q102's shape).""".stripMargin)
+        |the dict derivation (q102's shape).""".stripMargin,
+    "q107_segment_dedup" ->
+      """CCNet line-hash dedup: the chunked segment stream repartitions on
+        |the segment text ONCE and both consumers — the distinct+count df
+        |aggregate and the join-back — reuse that exchange (AQE
+        |stage-share, the q56 pattern). Per-doc rebuild is one hash
+        |aggregate sorting only each doc's own kept segments. Nothing
+        |pairwise anywhere: boilerplate costs its row count.""".stripMargin,
+    "q108_lm_quality" ->
+      """Self-trained bigram LM: the model is two hash aggregates with
+        |map-side partials — (w1,w2) counts, then the vocabulary-bounded
+        |re-aggregate to context counts (never a second corpus pass).
+        |Scoring re-joins the doc bigram stream on those same keys; at
+        |these sizes AQE takes both probes as broadcasts, so the corpus
+        |is scanned once and never reshuffled until the final doc_id
+        |aggregate. V arrives as a broadcast scalar.""".stripMargin,
+    "q109_entity_resolution" ->
+      """Entity resolution runs entirely on DISTINCT names after the exact
+        |collapse (vocabulary-bounded, not row-bounded). Token blocking is
+        |an equi-join on the token with a document-frequency cap filter
+        |upstream (the q17 hot-key guard); candidates dedup before the
+        |levenshtein verify so a pair sharing k tokens verifies once. CC
+        |label propagation runs on the tiny verified-edge relation; the
+        |row stream only ever joins back by name.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

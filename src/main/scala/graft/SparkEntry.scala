@@ -910,7 +910,27 @@ object SparkEntry {
         .groupByKey(_.sku)
         .agg(sumQty)
         .toDF("sku", "qty")
-    }
+    },
+
+    // extension: segment-level boilerplate dedup (the CCNet line-hash
+    // pass) — fixed-width chunks stand in for paragraphs on the
+    // single-line corpus; one df-aggregate + join-back, nothing pairwise
+    "q107_segment_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.segmentDedup(docs, Dedup.wordChunkSegments(docs, chunkWords = 16), minDf = 2)
+    },
+
+    // extension: self-trained bigram-LM quality score (the CCNet
+    // perplexity filter) — the model is two vocabulary-bounded aggregates,
+    // scoring re-joins them on the same keys
+    "q108_lm_quality" -> ((s, d) =>
+      graft.ext.LangModel.scoreDocuments(Tables.documents(s, d))),
+
+    // extension: fuzzy entity resolution on part names — exact collapse →
+    // df-capped token blocking → levenshtein verify → connected components
+    "q109_entity_resolution" -> ((s, d) =>
+      graft.ext.Entities.resolveByName(Tables.part(s, d), "p_partkey", "p_name",
+        maxEdit = 3, maxTokenDf = 64))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1020,6 +1040,9 @@ object SparkEntry {
     "q103_pit_lookup" -> Oracles.pitLookup,
     "q104_bpe_tokens" -> Oracles.bpeTokenCounts(6),
     "q105_curation_semantic" -> Oracles.curationSemantic(0.3),
-    "q106_pq_topk" -> Oracles.pqTopK(50, 5, 4, 2)
+    "q106_pq_topk" -> Oracles.pqTopK(50, 5, 4, 2),
+    "q107_segment_dedup" -> Oracles.segmentDedup(16, 2),
+    "q108_lm_quality" -> Oracles.lmQuality,
+    "q109_entity_resolution" -> Oracles.entityResolution(3, 64)
   )
 }

@@ -688,6 +688,82 @@ object Dedup {
     (base, coveredPos)
   }
 
+  // ------------------------------------------------------ segment-level dedup
+
+  /** Disjoint fixed-width word-chunk segmentation: one row per
+    * `chunkWords`-token slice of each document (the final slice may be
+    * shorter), `seg_idx` 0-based in document order. The chunker stands in
+    * for paragraph splitting on corpora without line structure (the
+    * synthetic test corpus is single-line); [[lineSegments]] is the
+    * newline-delimited variant real web corpora feed to [[segmentDedup]].
+    * Narrow (explode only) — no shuffle.
+    */
+  def wordChunkSegments(docs: DataFrame, chunkWords: Int = 16,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkWords >= 1, "chunkWords must be >= 1")
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__ts"))
+      .withColumn("__n", size(col("__ts")))
+      .filter(col("__n") > 0)
+      .select(col(idCol),
+        posexplode(transform(
+          // `/` is double division; floor+cast keeps sequence() integral
+          sequence(lit(0), floor((col("__n") + (chunkWords - 1)) / chunkWords).cast("int") - 1),
+          i => array_join(slice(col("__ts"), i * chunkWords + 1, lit(chunkWords)), " ")))
+          .as(Seq("seg_idx", "seg")))
+  }
+
+  /** Newline-delimited segmentation (the real-corpus paragraph splitter):
+    * one row per non-blank line, `seg_idx` = original 0-based line number,
+    * lines trimmed. Narrow — no shuffle.
+    */
+  def lineSegments(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("seg_idx", "__raw")))
+      .select(col(idCol), col("seg_idx"), trim(col("__raw")).as("seg"))
+      .filter(length(col("seg")) > 0)
+
+  /** Segment-level boilerplate dedup (the CCNet/RefinedWeb line-hash pass):
+    * a segment whose exact text occurs in ≥ `minDf` DISTINCT documents is
+    * boilerplate (headers, nav bars, license blocks) and is dropped from
+    * EVERY document; each doc's text is rebuilt from its surviving segments
+    * in original order. Complements [[trimDuplicatedSpans]]: segments are
+    * disjoint, so this is the cheap first-pass filter (one aggregate, one
+    * join-back — no positional n-gram stream), while span trimming catches
+    * duplication that straddles segment boundaries.
+    *
+    * Output: (idCol, clean_text, n_segments, n_kept) for every input doc
+    * (fully-boilerplate and empty docs come back with empty text).
+    *
+    * Scale: document frequency is a distinct + count aggregate keyed on the
+    * segment text and the join-back reuses the same key — the explicit
+    * `repartition(seg)` lets AQE materialize the segmentation subtree once
+    * for both consumers (the q56 stage-share pattern). Per-doc rebuild sorts
+    * only each doc's own segments. Nothing pairwise; corpus-frequent
+    * segments cost their row count, never its square.
+    */
+  def segmentDedup(docs: DataFrame, segments: DataFrame, minDf: Int = 2,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(minDf >= 2, "minDf must be >= 2 (minDf < 2 would drop every segment)")
+    val segs = segments.repartition(col("seg"))
+    val dfCounts = segs.select(col(idCol), col("seg")).distinct()
+      .groupBy("seg").agg(count(lit(1)).as("__df"))
+    val rebuilt = segs.join(dfCounts, Seq("seg"))
+      .withColumn("__keep", col("__df") < minDf)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the nulls the when() leaves for dropped segments
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__keep"), struct(col("seg_idx"), col("seg"))))),
+          s => s("seg"))).as("clean_text"))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Duplicated-span TRIMMING — the transformation half of exact-substring
     * dedup (the [[dupNgramCoverage]] signal decides, this one edits): each
     * document's text is rebuilt from the tokens NOT inside any
