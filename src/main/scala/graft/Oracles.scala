@@ -2003,11 +2003,13 @@ object Oracles {
 
   /** Mirrors LangModel.scoreDocuments: add-one bigram model trained on the
     * corpus, per-doc mean ln((c12+1)/(c1+V)) rounded to 6 decimals.
+    * `rel` is the corpus relation — parameterized so compositions (q110)
+    * can retrain the model over a derived corpus.
     */
-  val lmQuality: String =
-    """WITH toks AS (
-      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
-      |  FROM documents
+  def lmQuality(rel: String = "documents"): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS ts
+      |  FROM $rel
       |), bg AS (
       |  SELECT doc_id, ts[i-1] AS w1, ts[i] AS w2
       |  FROM toks, UNNEST(range(2, len(ts) + 1)) AS u(i)
@@ -2025,7 +2027,19 @@ object Oracles {
       |  GROUP BY 1
       |)
       |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.avg_logprob
-      |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin
+      |FROM $rel d LEFT JOIN scored s USING (doc_id)""".stripMargin
+
+  /** Mirrors Curation.curateClean: segment boilerplate strip (q107) →
+    * retrain the bigram LM on the CLEANED corpus (q108's shape over the
+    * derived relation) → keep docs at or above the log-prob gate.
+    */
+  def cleanLmCuration(chunkWords: Int, minDf: Int, minLogprob: Double): String =
+    s"""WITH clean AS (SELECT * FROM (${segmentDedup(chunkWords, minDf)})),
+       |corpus AS (SELECT doc_id, clean_text AS text FROM clean WHERE n_kept > 0),
+       |scored AS (SELECT * FROM (${lmQuality("corpus")}))
+       |SELECT s.doc_id, c.clean_text, c.n_kept, s.n_bigrams, s.avg_logprob
+       |FROM scored s JOIN clean c USING (doc_id)
+       |WHERE s.avg_logprob >= $minLogprob""".stripMargin
 
   /** Mirrors Entities.resolveByName on part names: exact collapse →
     * df-capped token blocking → levenshtein verify → recursive transitive

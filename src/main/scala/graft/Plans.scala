@@ -378,7 +378,15 @@ object Plans {
         |upstream (the q17 hot-key guard); candidates dedup before the
         |levenshtein verify so a pair sharing k tokens verifies once. CC
         |label propagation runs on the tiny verified-edge relation; the
-        |row stream only ever joins back by name.""".stripMargin)
+        |row stream only ever joins back by name.""".stripMargin,
+    "q110_clean_lm_curation" ->
+      """Composed cleaning flagship (q107 ∘ q108) in ONE lazy plan: the
+        |segment-dedup subtree produces the cleaned text, which feeds both
+        |the LM's training aggregates AND the scoring stream — Catalyst
+        |sees the shared derivation; shuffles are only the composed
+        |operators' own keys (segment text → bigram → w1 → doc id). The
+        |LM trains on the cleaned corpus by construction, so boilerplate
+        |cannot inflate its own transition probabilities.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -930,7 +930,13 @@ object SparkEntry {
     // df-capped token blocking → levenshtein verify → connected components
     "q109_entity_resolution" -> ((s, d) =>
       graft.ext.Entities.resolveByName(Tables.part(s, d), "p_partkey", "p_name",
-        maxEdit = 3, maxTokenDf = 64))
+        maxEdit = 3, maxTokenDf = 64)),
+
+    // extension: composed cleaning flagship — boilerplate strip, then the
+    // LM retrains on the CLEANED corpus and gates each doc (q107 ∘ q108)
+    "q110_clean_lm_curation" -> ((s, d) =>
+      graft.ext.Curation.curateClean(Tables.documents(s, d),
+        chunkWords = 16, minDf = 2, minLogprob = -3.55))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1042,7 +1048,8 @@ object SparkEntry {
     "q105_curation_semantic" -> Oracles.curationSemantic(0.3),
     "q106_pq_topk" -> Oracles.pqTopK(50, 5, 4, 2),
     "q107_segment_dedup" -> Oracles.segmentDedup(16, 2),
-    "q108_lm_quality" -> Oracles.lmQuality,
-    "q109_entity_resolution" -> Oracles.entityResolution(3, 64)
+    "q108_lm_quality" -> Oracles.lmQuality(),
+    "q109_entity_resolution" -> Oracles.entityResolution(3, 64),
+    "q110_clean_lm_curation" -> Oracles.cleanLmCuration(16, 2, -3.55)
   )
 }

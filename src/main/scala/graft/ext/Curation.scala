@@ -64,6 +64,30 @@ object Curation {
     curated.join(removed, Seq("doc_id"), "left_anti")
   }
 
+  /** Boilerplate-strip + self-trained quality gate — the OTHER entry
+    * flavor of corpus cleaning, complementing [[curate]]'s near-dup path:
+    * segment-level boilerplate removal ([[Dedup.segmentDedup]]) first, then
+    * the bigram LM retrains ON THE CLEANED CORPUS (boilerplate would
+    * otherwise dominate the transition counts and score itself as
+    * high-quality) and gates each doc at `minLogprob`. Docs stripped to
+    * nothing fall out with the gate (no bigrams → null score).
+    *
+    * One lazy plan: the cleaned-text subtree feeds both the LM training
+    * aggregates and the scoring stream; shuffles are the composed
+    * operators' own keys (segment text, bigram, w1, doc id).
+    */
+  def curateClean(docs: DataFrame, chunkWords: Int, minDf: Int,
+                  minLogprob: Double): DataFrame = {
+    val cleaned = Dedup.segmentDedup(docs, Dedup.wordChunkSegments(docs, chunkWords), minDf)
+    val corpus = cleaned.filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    LangModel.scoreDocuments(corpus)
+      .join(cleaned, Seq("doc_id"))
+      .filter(col("avg_logprob") >= minLogprob)
+      .select(col("doc_id"), col("clean_text"), col("n_kept"),
+        col("n_bigrams"), col("avg_logprob"))
+  }
+
   /** The full corpus→train-shards story: [[curate]] continued through the
     * leakage-safe cluster split (every near-dup cluster lands wholly on one
     * side — the SAME clusters the dedup stage derived, one subtree in the

@@ -1,0 +1,45 @@
+package graft.ext
+
+import org.apache.spark.sql.Row
+import graft.SparkSpec
+
+class CurateCleanSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) =
+    df("doc_id BIGINT, text STRING", rows.map { case (i, t) => Row(i, t) })
+
+  test("boilerplate is stripped BEFORE the LM trains (clean text scored, not raw)") {
+    // "nav bar junk" is in every doc → boilerplate at chunk width 3; the
+    // surviving content differs per doc
+    val d = docs(
+      1L -> "nav bar junk alpha beta gamma",
+      2L -> "nav bar junk alpha beta delta", // content differs — only the nav chunk is df >= 2
+      3L -> "nav bar junk delta epsilon zeta")
+    val out = Curation.curateClean(d, chunkWords = 3, minDf = 2, minLogprob = -100.0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "alpha beta gamma" && out(3L) == "delta epsilon zeta")
+  }
+
+  test("docs stripped to nothing fall out with the gate (null score)") {
+    val d = docs(
+      1L -> "shared shared shared",
+      2L -> "shared shared shared", // both docs are ONE boilerplate chunk
+      3L -> "unique words here live")
+    val out = Curation.curateClean(d, chunkWords = 3, minDf = 2, minLogprob = -100.0)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("the log-prob gate keeps only docs at or above the threshold") {
+    // doc 3 reverses the corpus-typical transitions → lowest score
+    val d = docs(
+      1L -> "the cat sat the cat sat",
+      2L -> "the cat sat the cat sat the cat sat",
+      3L -> "sat cat the sat cat the")
+    val all = Curation.curateClean(d, 16, 2, minLogprob = -100.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(all.size == 3 && all(3L) < all(2L) && all(2L) < all(1L))
+    val gated = Curation.curateClean(d, 16, 2, minLogprob = all(2L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gated == Set(1L, 2L))
+  }
+}
