@@ -2041,6 +2041,38 @@ object Oracles {
        |FROM scored s JOIN clean c USING (doc_id)
        |WHERE s.avg_logprob >= $minLogprob""".stripMargin
 
+  /** Mirrors the q111 interval-overlap join with DuckDB's native
+    * inequality join — an independent derivation of the same overlap
+    * pairs (the engine side chunks + emits once per responsibility chunk;
+    * any double-emit or drop breaks the count).
+    */
+  val intervalOverlap: String =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS o_lo,
+      |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 15 AS o_hi
+      |  FROM orders WHERE o_orderkey % 50 = 0
+      |), i AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS i_lo,
+      |         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) + 1 + CAST(l_quantity AS BIGINT) % 28 AS i_hi
+      |  FROM lineitem
+      |), m AS (
+      |  SELECT o.o_orderkey, COUNT(*) AS n
+      |  FROM o JOIN i ON o.o_lo < i.i_hi AND i.i_lo < o.o_hi GROUP BY 1
+      |)
+      |SELECT o.o_orderkey, CAST(o.o_lo AS BIGINT) AS o_lo,
+      |  CAST(COALESCE(m.n, 0) AS BIGINT) AS n_overlap
+      |FROM o LEFT JOIN m USING (o_orderkey)""".stripMargin
+
+  /** Mirrors Sampling.weightedHashSample over the stats quality score:
+    * survive iff mixHash(doc_id) mod 10^6 < round(quality · 10^6).
+    */
+  def weightedSample(seed: Int = 0): String =
+    s"""WITH st AS (SELECT doc_id, quality FROM ($textStats))
+       |SELECT doc_id, quality FROM st
+       |WHERE (${mixSql("doc_id", 160 + 8 * seed)}) % 1000000
+       |  < CAST(ROUND(LEAST(GREATEST(quality, 0.0), 1.0) * 1000000) AS BIGINT)""".stripMargin
+
   /** Mirrors Entities.resolveByName on part names: exact collapse →
     * df-capped token blocking → levenshtein verify → recursive transitive
     * closure (an independent algorithm from the Spark side's label

@@ -386,7 +386,15 @@ object Plans {
         |sees the shared derivation; shuffles are only the composed
         |operators' own keys (segment text → bigram → w1 → doc id). The
         |LM trains on the cleaned corpus by construction, so boilerplate
-        |cannot inflate its own transition probabilities.""".stripMargin)
+        |cannot inflate its own transition probabilities.""".stripMargin,
+    "q111_interval_overlap" ->
+      """Interval×interval overlap as a chunk equi-join (the q42 shape with
+        |BOTH sides exploded): candidate volume is per-chunk local density,
+        |never the cross product. A pair sharing many chunks is emitted by
+        |exactly one — the chunk holding max(lo_l, lo_r) — via a plain
+        |codegen predicate, so dense overlap sets never pay a whole-output
+        |DISTINCT (the q15 first-agreeing-band pattern in the value
+        |domain). No BroadcastNestedLoopJoin anywhere in the plan.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -936,7 +936,33 @@ object SparkEntry {
     // LM retrains on the CLEANED corpus and gates each doc (q107 ∘ q108)
     "q110_clean_lm_curation" -> ((s, d) =>
       graft.ext.Curation.curateClean(Tables.documents(s, d),
-        chunkWords = 16, minDf = 2, minLogprob = -3.55))
+        chunkWords = 16, minDf = 2, minLogprob = -3.55)),
+
+    // extension: interval×interval overlap join — order activity windows
+    // vs shipment spans; chunk equi-join, emit-once responsibility chunk
+    "q111_interval_overlap" -> { (s, d) =>
+      val epoch = lit(java.sql.Date.valueOf("1970-01-01"))
+      val o = Tables.orders(s, d).filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), epoch).cast("long").as("o_lo"))
+        .withColumn("o_hi", col("o_lo") + 15L)
+      val day = datediff(col("l_shipdate"), epoch).cast("long")
+      val li = Tables.lineitem(s, d).select(day.as("i_lo"),
+        (day + 1L + col("l_quantity").cast("long") % 28L).as("i_hi"))
+      val m = graft.operators.RangeJoin
+        .intervalOverlap(o, li, "o_lo", "o_hi", "i_lo", "i_hi", chunkWidth = 16L)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_overlap"))
+      o.select("o_orderkey", "o_lo").join(m, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"), col("o_lo"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+    },
+
+    // extension: importance-weighted deterministic sampling — inclusion
+    // probability = the doc's own quality score, reproducible anywhere
+    "q112_weighted_sample" -> ((s, d) =>
+      graft.ext.Sampling.weightedHashSample(
+        TextAnalysis.stats(Tables.documents(s, d)).select("doc_id", "quality"),
+        "doc_id", "quality"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1050,6 +1076,8 @@ object SparkEntry {
     "q107_segment_dedup" -> Oracles.segmentDedup(16, 2),
     "q108_lm_quality" -> Oracles.lmQuality(),
     "q109_entity_resolution" -> Oracles.entityResolution(3, 64),
-    "q110_clean_lm_curation" -> Oracles.cleanLmCuration(16, 2, -3.55)
+    "q110_clean_lm_curation" -> Oracles.cleanLmCuration(16, 2, -3.55),
+    "q111_interval_overlap" -> Oracles.intervalOverlap,
+    "q112_weighted_sample" -> Oracles.weightedSample()
   )
 }

@@ -33,6 +33,24 @@ object Sampling {
     df.filter(h < rate)
   }
 
+  /** Importance-weighted deterministic sampling: a row survives iff
+    * `mixHash(id) mod 10^6 < round(weight · 10^6)` — inclusion probability
+    * equals the row's own weight in [0, 1] (values outside clamp), still a
+    * pure function of (id, weight). The continuous-weight generalization
+    * of [[stratifiedHashSample]]: quality-proportional corpus downsampling
+    * ("keep good docs more often") with exact cross-engine reproducibility.
+    * Weights should already carry the 6-decimal rounding policy (e.g. the
+    * `quality` score) so both engines derive the identical integer
+    * threshold. Narrow filter — no shuffle.
+    */
+  def weightedHashSample(df: DataFrame, idCol: String, weightCol: String,
+                         seed: Int = 0): DataFrame = {
+    val M = 1000000L
+    val h = pmod(Dedup.mixHash(col(idCol), 160 + 8 * seed), lit(M))
+    val w = least(greatest(col(weightCol), lit(0.0)), lit(1.0))
+    df.filter(h < round(w * M).cast("long"))
+  }
+
   /** Deterministic global training shuffle: every row gets a shard and a
     * position inside it, both pure functions of (id, seed) — the final
     * "randomize the corpus before the trainer reads it" step, reproducible

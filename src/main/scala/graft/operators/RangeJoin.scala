@@ -53,4 +53,44 @@ object RangeJoin {
       .filter(col(loCol) <= col(pointCol) && col(pointCol) < col(hiCol))
       .drop("__chunk")
   }
+
+  /** Interval × interval overlap join: pairs with `loL < hiR AND loR < hiL`
+    * (both half-open [lo, hi)) — the sibling of [[pointInInterval]] for
+    * session-vs-session, outage-vs-request, span-vs-span matching.
+    *
+    * Both sides explode to the chunks they cover and candidates equi-join
+    * on the chunk id. An overlapping pair shares EVERY chunk its
+    * intersection covers, so a naive chunk join double-counts; the pair is
+    * emitted exactly once — by the chunk containing the intersection's left
+    * edge `max(loL, loR)` (its "responsibility" chunk). That is a plain
+    * codegen-able predicate, replacing the whole-output DISTINCT a dense
+    * overlap set cannot afford (the q15 first-agreeing-band pattern moved
+    * into the value domain).
+    *
+    * The two sides must use distinct lo/hi column names (rename before
+    * calling); `chunkWidth` ≈ the typical interval span, as in
+    * [[pointInInterval]].
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      loL: String, hiL: String, loR: String, hiR: String,
+                      chunkWidth: Long): DataFrame = {
+    require(chunkWidth > 0, "chunkWidth must be positive")
+    require(Set(loL, hiL).intersect(Set(loR, hiR)).isEmpty,
+      "left and right interval columns must have distinct names")
+    val clash = (left.columns ++ right.columns).filter(Set("__chunk", "__hi1", "__edge"))
+    require(clash.isEmpty,
+      s"intervalOverlap reserved column names present in input: ${clash.mkString(", ")}")
+    def chunked(df: DataFrame, lo: String, hi: String): DataFrame = df
+      .filter(col(hi) > col(lo))
+      .withColumn("__hi1", col(hi) - 1)
+      .withColumn("__chunk", explode(sequence(
+        floorDiv(lo, chunkWidth), floorDiv("__hi1", chunkWidth))))
+      .drop("__hi1")
+    chunked(left, loL, hiL).join(chunked(right, loR, hiR), Seq("__chunk"))
+      .filter(col(loL) < col(hiR) && col(loR) < col(hiL))
+      // responsibility chunk: only the chunk holding the overlap's left edge emits
+      .withColumn("__edge", greatest(col(loL), col(loR)))
+      .filter(col("__chunk") === floorDiv("__edge", chunkWidth))
+      .drop("__chunk", "__edge")
+  }
 }

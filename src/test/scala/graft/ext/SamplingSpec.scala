@@ -42,6 +42,30 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("weightedHashSample: inclusion tracks the weight; deterministic; clamped") {
+    import spark.implicits._
+    val weighted = (0L until 4000L)
+      .map(i => (i, i % 4 match {
+        case 0 => 0.0; case 1 => 0.25; case 2 => 0.75; case _ => 1.0
+      }))
+      .toDF("doc_id", "w")
+    val kept = Sampling.weightedHashSample(weighted, "doc_id", "w")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val byW = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(!byW.contains(0.0)) // weight 0 never survives
+    assert(byW(1.0) == 1000)   // weight 1 always survives
+    // 0.25 / 0.75 land near their rates (1000 trials each)
+    assert(math.abs(byW(0.25) - 250) < 80 && math.abs(byW(0.75) - 750) < 80)
+    // repartitioning does not change the sampled set
+    val again = Sampling.weightedHashSample(weighted.repartition(7), "doc_id", "w")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(again == kept.map(_._1).toSet)
+    // out-of-range weights clamp instead of erroring
+    val oob = Seq((1L, -0.5), (2L, 3.0)).toDF("doc_id", "w")
+    assert(Sampling.weightedHashSample(oob, "doc_id", "w")
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("deterministicShuffle: total bijection onto (shard, 1..shardSize); rerun-identical") {
     val out = Sampling.deterministicShuffle(docs, nShards = 4).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
