@@ -83,9 +83,24 @@ object Graph {
     * a celebrity node's join fan-in is bounded by √m instead of its full
     * degree, and each triangle matches exactly once (its unique oriented
     * wedge). Two equi-joins on explicit keys, no DISTINCT over wedges.
+    *
+    * The edge list is materialized TWICE on purpose (`localCheckpoint`):
+    * `und` is referenced by the degree aggregate (2×) and the orientation
+    * join, and `oriented` by all three legs of the path join — without the
+    * cut, Spark re-derives the upstream edge derivation (for q101, the
+    * co-occurrence distinct self-join) per reference, and that re-execution
+    * dominated the wall clock 3× over (the q55 iterative-lineage lesson
+    * applied to a DAG that merely FANS OUT). Both checkpoints are O(m).
+    *
+    * `broadcastClosingEdges`: the wedge stream (the big intermediate,
+    * O(Σ out-deg²) rows) closes against the edge list; broadcasting that
+    * probe means the wedges are never reshuffled. Right whenever the edge
+    * list fits executor memory; at billions of edges pass false and the
+    * closing join becomes a partitioned equi-join on (a, c).
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("u"), col("v"))
+  def triangleCounts(edges: DataFrame,
+                     broadcastClosingEdges: Boolean = true): DataFrame = {
+    val und = edges.select(col("u"), col("v")).localCheckpoint(true)
     val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient: src = smaller (deg, id), dst = larger — a total order, so
@@ -99,10 +114,12 @@ object Graph {
           .otherwise(col("v")).as("src"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
           .otherwise(col("u")).as("dst"))
+      .localCheckpoint(true)
     val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
     val e2 = oriented.select(col("src").as("b"), col("dst").as("c"))
     val e3 = oriented.select(col("src").as("a"), col("dst").as("c"))
-    val tris = e1.join(e2, "b").join(e3, Seq("a", "c"))
+    val closing = if (broadcastClosingEdges) broadcast(e3) else e3
+    val tris = e1.join(e2, "b").join(closing, Seq("a", "c"))
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("triangles"))
   }
