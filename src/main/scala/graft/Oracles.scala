@@ -2107,4 +2107,68 @@ object Oracles {
        |)
        |SELECT b.id AS p_partkey, b.name, c.entity_rep
        |FROM base b JOIN names n USING (name) JOIN comp c ON n.name_rep = c.name_rep""".stripMargin
+
+  /** Mirrors SetSim.jaccardJoin over 3-gram shingle sets: brute-force
+    * token equi-join (the oracle needs no prefix filter — only
+    * co-occurring pairs can pass t > 0) with the same cross-multiplied
+    * integer acceptance, so neither engine has a float boundary.
+    */
+  def setSimJoin(tPermille: Int, mod: Int): String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents
+       |  WHERE length(text) >= 3 AND doc_id % $mod = 0),
+       |sh AS (SELECT DISTINCT doc_id AS id, unnest(list_transform(
+       |  generate_series(1, length(text) - 2),
+       |  i -> substring(text, CAST(i AS INTEGER), 3))) AS tok FROM d),
+       |sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       |common AS (
+       |  SELECT a.id AS ia, b.id AS ib, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
+       |SELECT ia AS id_a, ib AS id_b,
+       |  round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+       |FROM common JOIN sizes na ON na.id = ia JOIN sizes nb ON nb.id = ib
+       |WHERE 1000 * c >= $tPermille * (na.n + nb.n - c)""".stripMargin
+
+  /** Mirrors Funnel.transitionCounts: per-user lead() with the event_id
+    * tie-break, |types|²-bounded count aggregate, 6-decimal conditional
+    * probability.
+    */
+  def eventTransitions: String =
+    s"""WITH seq AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS to_type
+       |  FROM events),
+       |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT from_type, to_type, n,
+       |  round(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+       |FROM c""".stripMargin
+
+  /** Mirrors Skyline.skyline2D on parts as the NAIVE quadratic
+    * NOT-EXISTS dominance — an independent formulation of the same
+    * skyline, fine at oracle scale.
+    */
+  def skylineParts: String =
+    s"""WITH p AS (SELECT p_partkey,
+       |  CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents, p_size
+       |  FROM part)
+       |SELECT p_partkey, price_cents, p_size FROM p r
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM p s
+       |  WHERE s.price_cents <= r.price_cents AND s.p_size <= r.p_size
+       |    AND (s.price_cents < r.price_cents OR s.p_size < r.p_size))""".stripMargin
+
+  /** Mirrors Sketch.bitmapIndex ∘ bitmapOverlap on brand⇄customer: the
+    * oracle counts the distinct shared-customer SET directly — proving the
+    * packed-word popcount path computes the true intersection size.
+    */
+  def bitmapOverlap: String =
+    s"""WITH bc AS (
+       |  SELECT DISTINCT p_brand AS g, o_custkey AS c
+       |  FROM lineitem
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN part ON p_partkey = l_partkey)
+       |SELECT a.g AS group_a, b.g AS group_b, CAST(COUNT(*) AS BIGINT) AS overlap
+       |FROM bc a JOIN bc b ON a.c = b.c AND a.g < b.g
+       |GROUP BY 1, 2""".stripMargin
 }

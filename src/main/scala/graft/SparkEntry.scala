@@ -962,7 +962,47 @@ object SparkEntry {
     "q112_weighted_sample" -> ((s, d) =>
       graft.ext.Sampling.weightedHashSample(
         TextAnalysis.stats(Tables.documents(s, d)).select("doc_id", "quality"),
-        "doc_id", "quality"))
+        "doc_id", "quality")),
+
+    // extension: EXACT set-similarity self-join (AllPairs/PPJoin prefix
+    // filtering) over 3-gram shingle sets. Sampled like the q17 verifier:
+    // the synthetic corpus's 377-shingle universe defeats df-based pruning
+    // (measured — SetSim scaladoc); Zipfian natural text is the operator's
+    // habitat and SetSimSpec asserts the pruning there
+    "q113_setsim_join" -> ((s, d) =>
+      graft.ext.SetSim.jaccardJoin(
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
+        tPermille = 600,
+        tokens = graft.functions.ShingleFunctions.shingleStrings)),
+
+    // extension: first-order Markov transitions over per-user event
+    // sequences — one user-key shuffle, |types|²-bounded aggregate
+    "q114_event_transitions" -> ((s, d) =>
+      graft.ext.Funnel.transitionCounts(Tables.events(s, d))),
+
+    // extension: 2D Pareto skyline (cheapest AND smallest part) — the
+    // quadratic NOT-EXISTS collapsed to bucketed prefix minima
+    "q115_skyline_parts" -> { (s, d) =>
+      val p = Tables.part(s, d).select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+        col("p_size"))
+      graft.operators.Skyline.skyline2D(p, "price_cents", "p_size",
+        bucketWidth = 512L)
+    },
+
+    // extension: exact audience overlap via the relational bitmap index —
+    // brand⇄customer fact rows pack into per-brand bitmaps (no
+    // pre-distinct: bit_or is idempotent), pairwise ∩ is a word-aligned
+    // popcount join
+    "q116_bitmap_overlap" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val bc = li
+        .join(Tables.orders(s, d), li("l_orderkey") === col("o_orderkey"))
+        .join(Tables.part(s, d), li("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("o_custkey"))
+      graft.ext.Sketch.bitmapOverlap(
+        graft.ext.Sketch.bitmapIndex(bc, "p_brand", "o_custkey"), "p_brand")
+    }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1078,6 +1118,10 @@ object SparkEntry {
     "q109_entity_resolution" -> Oracles.entityResolution(3, 64),
     "q110_clean_lm_curation" -> Oracles.cleanLmCuration(16, 2, -3.55),
     "q111_interval_overlap" -> Oracles.intervalOverlap,
-    "q112_weighted_sample" -> Oracles.weightedSample()
+    "q112_weighted_sample" -> Oracles.weightedSample(),
+    "q113_setsim_join" -> Oracles.setSimJoin(600, 5),
+    "q114_event_transitions" -> Oracles.eventTransitions,
+    "q115_skyline_parts" -> Oracles.skylineParts,
+    "q116_bitmap_overlap" -> Oracles.bitmapOverlap
   )
 }

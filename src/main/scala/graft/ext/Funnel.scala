@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Strict-sequence funnel analysis over an event stream: how many users
@@ -62,5 +63,35 @@ object Funnel {
       .groupBy(col(userCol))
       .agg(max(col("depth")).as("depth"), min(col("t")).as("t_first"),
         max(col("t")).as("t_last"))
+  }
+
+  /** First-order Markov transition counts over each user's event sequence:
+    * for consecutive events (ordered by `(ts, idCol)` — the id tie-break
+    * makes simultaneous events a total order both engines agree on), count
+    * every `from → to` event-type step and derive the row-conditional
+    * transition probability (6-decimal rounded; exact integer ratio
+    * underneath).
+    *
+    * The sequence-mining primitive behind next-action models and
+    * session-flow sankeys. Scale shape: ONE user-key shuffle for the
+    * `lead` window (per-user state only — no global ordering), then a
+    * (from, to) aggregate whose keyspace is |event types|² — tiny at any
+    * corpus size; the per-`from` totals for the probability come from a
+    * window over that already-aggregated relation, not the events.
+    */
+  def transitionCounts(events: DataFrame, tsCol: String = "ts",
+                       userCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val steps = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = steps.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val perFrom = Window.partitionBy("from_type")
+    counts.withColumn("p",
+      round(col("n").cast("double") / sum(col("n")).over(perFrom), 6))
   }
 }

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity self-join (AllPairs/PPJoin-style prefix filtering)
+  * — every document pair whose token-SET Jaccard meets the threshold, with
+  * no approximation and no all-pairs comparison.
+  *
+  * Complements the approximate family: MinHash/LSH ([[Dedup.lshPairs]])
+  * trades recall for speed; the n-gram verifier ([[Dedup.ngramJaccard]])
+  * is exact but only over an externally bounded candidate set. This
+  * operator is exact AND self-bounding: a pair can reach Jaccard ≥ t only
+  * if the two sets share a token inside their df-rarest PREFIX, so
+  * candidate generation equi-joins on prefix tokens only.
+  *
+  * Prefix principle: order each set's tokens by ascending global document
+  * frequency (ties by token text — a total order both engines reproduce);
+  * a set of size n whose first `n − ⌈t·n⌉ + 1` tokens are all absent from
+  * the other set can share at most `⌈t·n⌉ − 1` tokens, below threshold by
+  * pigeonhole. Rarest-first ordering makes prefix tokens the LOW-df ones,
+  * so the candidate equi-join's key distribution is anti-skewed by
+  * construction — the corpus-frequent token ("the") that wrecks a naive
+  * token self-join never appears in a long set's prefix.
+  *
+  * Exactness policy: the threshold is integer permille and the acceptance
+  * test is cross-multiplied integer arithmetic
+  * (`1000·|∩| ≥ t‰·(|a|+|b|−|∩|)`) — no float boundary for a pair to sit
+  * on, so a SQL oracle reproduces the identical pair set. The reported
+  * jaccard is rounded to 6 decimals for display only.
+  *
+  * Scale shape: tokenize (narrow) → df aggregate (token-key shuffle,
+  * map-side combine) → per-doc rank window (doc-key shuffle) → prefix
+  * equi-join on rare tokens → count-common equi-join on (doc, token) →
+  * integer verify. Nothing is quadratic in the corpus; candidate volume is
+  * Σ_tok prefix-df(tok)², bounded because prefix membership caps df from
+  * above for all but the shortest sets.
+  */
+object SetSim {
+
+  /** All pairs `(id_a < id_b)` with token-set Jaccard ≥ `tPermille/1000`,
+    * as `(id_a, id_b, jaccard)` with jaccard rounded to 6 decimals.
+    *
+    * `tokens` maps the text column to its array of DISTINCT set elements —
+    * word tokens by default; pass
+    * [[graft.functions.ShingleFunctions.shingleStrings]] for character
+    * 3-gram sets (the native generator already dedups).
+    */
+  def jaccardJoin(docs: DataFrame, tPermille: Int,
+                  idCol: String = "doc_id",
+                  textCol: String = "text",
+                  tokens: Column => Column =
+                    c => array_distinct(TextAnalysis.tokens(c))): DataFrame = {
+    require(tPermille >= 1 && tPermille <= 1000,
+      s"tPermille out of [1, 1000]: $tPermille")
+    // distinct tokens per doc — SET semantics, repeats collapse
+    val toks = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+    val tokDf = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    // rank tokens inside each doc rarest-first; prefix length
+    // n − ⌈t·n⌉ + 1 (integer ceiling: (t·n + 999) div 1000)
+    val ranked = toks.join(tokDf, "tok")
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("id").orderBy(col("df"), col("tok"))))
+      .join(sizes, "id")
+    val prefix = ranked
+      .filter(col("pos") <= col("n") - expr(s"($tPermille * n + 999) div 1000") + 1)
+      .select(col("id"), col("tok"))
+    val cands = prefix.select(col("id").as("id_a"), col("tok"))
+      .join(prefix.select(col("id").as("id_b"), col("tok")), "tok")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // exact intersection size: fan candidates out over a's full token set,
+    // then equi-join on (id_b, tok) — cost |cands| · avg set size, never
+    // corpus-quadratic
+    val common = cands
+      .join(toks.select(col("id").as("id_a"), col("tok")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(lit(1000L) * col("c") >= lit(tPermille.toLong) * (col("na") + col("nb") - col("c")))
+      .select(col("id_a"), col("id_b"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6)
+          .as("jaccard"))
+  }
+}

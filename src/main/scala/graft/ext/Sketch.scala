@@ -211,4 +211,55 @@ object Sketch {
       acc.join(broadcast(bits), pos === bits("pos"), "left_semi")
     }
   }
+
+  // ------------------------------------------------ relational bitmap index
+
+  /** Bitmap index over a non-negative integer key, per group, stored
+    * RELATIONALLY: one row per (group, 64-bit word index) holding the
+    * packed word — the roaring-bitmap idea re-expressed as a relation, so
+    * it builds with one hash aggregate and composes with plain joins.
+    *
+    * `bit_or` is idempotent (the HLL-register property), so the input
+    * needs NO pre-distinct: raw fact rows aggregate straight into the
+    * bitmap with map-side partial combine, and per-partition bitmaps merge
+    * by the same `bit_or` — exactly the mergeable-sketch contract. State
+    * is O(groups · keyspace/64) words (absent word ⇔ all-zero), not
+    * O(rows); at 100 TB the fact table collapses to a few KB per group in
+    * one shuffle.
+    *
+    * Unlike the [[hllRegisters]] estimate, the bitmap is EXACT — it IS the
+    * key set — and set algebra (∩, ∪, \) becomes a word-index equi-join
+    * plus `bit_count`, all codegen built-ins.
+    */
+  def bitmapIndex(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    df.select(col(groupCol),
+        expr(s"$keyCol div 64").as("w"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($keyCol % 64 AS INT))").as("bit"))
+      .groupBy(col(groupCol), col("w"))
+      .agg(expr("bit_or(bit)").as("word"))
+
+  /** Pairwise EXACT intersection sizes between all groups of a
+    * [[bitmapIndex]]: `(group_a < group_b, |keys_a ∩ keys_b|)`, emitting
+    * only overlapping pairs. The audience-overlap / co-occurrence-matrix
+    * primitive.
+    *
+    * Scale: the self-join keys on the word index `w`, so only aligned
+    * 64-key blocks ever meet — cost Σ_w (groups sharing w)², bounded by
+    * |groups|² · keyspace/64 WORDS, not by fact rows; popcount of the
+    * ANDed words is a codegen `bit_count`, and the per-pair sum keys on
+    * the |groups|²-bounded pair space.
+    */
+  def bitmapOverlap(bitmaps: DataFrame, groupCol: String): DataFrame = {
+    val a = bitmaps.select(col(groupCol).as("group_a"), col("w"),
+      col("word").as("__wa"))
+    val b = bitmaps.select(col(groupCol).as("group_b"), col("w"),
+      col("word").as("__wb"))
+    a.join(b, Seq("w"))
+      .filter(col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        bit_count(col("__wa").bitwiseAND(col("__wb"))).cast("long").as("c"))
+      .groupBy("group_a", "group_b")
+      .agg(sum(col("c")).as("overlap"))
+      .filter(col("overlap") > 0)
+  }
 }

@@ -50,4 +50,31 @@ class FunnelSpec extends SparkSpec {
       Seq("2", "1", "2024-01-01 00:00:00.0", "2024-01-01 00:02:00.0"),
       Seq("4", "0", "2024-01-01 00:00:00.0", "2024-01-01 00:00:00.0")))
   }
+
+  test("transitionCounts: per-user consecutive steps, (types)^2 aggregate") {
+    val out = Funnel.transitionCounts(events)
+    assert(out.columns.toSeq == Seq("from_type", "to_type", "n", "p"))
+    // user 1: view→click, click→purchase; user 2: view→purchase,
+    // purchase→click; users 3/4: single events, no step
+    assert(rowSet(out.select("from_type", "to_type", "n")) == rows(
+      Seq("view", "click", "1"),
+      Seq("view", "purchase", "1"),
+      Seq("click", "purchase", "1"),
+      Seq("purchase", "click", "1")))
+    // conditional probabilities: view fans 50/50, the rest are certain
+    val p = out.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(p(("view", "click")) == 0.5 && p(("view", "purchase")) == 0.5)
+    assert(p(("click", "purchase")) == 1.0 && p(("purchase", "click")) == 1.0)
+  }
+
+  test("transitionCounts: simultaneous events ordered by the event_id tie-break") {
+    val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP",
+      Seq(
+        Row(1L, 2L, "click", ts("2024-01-01 00:00:00")),
+        Row(1L, 1L, "view", ts("2024-01-01 00:00:00")), // same ts, lower id first
+        Row(1L, 3L, "purchase", ts("2024-01-01 00:00:01"))))
+    assert(rowSet(Funnel.transitionCounts(ev).select("from_type", "to_type", "n"))
+      == rows(Seq("view", "click", "1"), Seq("click", "purchase", "1")))
+  }
 }

@@ -118,4 +118,49 @@ class SketchSpec extends SparkSpec {
     // The affine family is only 2-wise independent; allow a wide rail.
     assert(fp < 200, s"false-positive count $fp implausibly high")
   }
+
+  test("bitmapIndex: packed words encode exactly the key set; duplicates free") {
+    import spark.implicits._
+    // keys straddling a word boundary, with heavy duplication
+    val df = Seq.fill(4)(Seq(("g1", 0L), ("g1", 63L), ("g1", 64L), ("g2", 1L)))
+      .flatten.toDF("g", "k")
+    val words = Sketch.bitmapIndex(df, "g", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(words == Map(
+      ("g1", 0L) -> ((1L << 0) | (1L << 63)),
+      ("g1", 1L) -> (1L << 0),
+      ("g2", 0L) -> (1L << 1)))
+  }
+
+  test("bitmapOverlap: popcount equals the true distinct intersection size") {
+    import spark.implicits._
+    // g1 = {0..99}, g2 = {50..149}, g3 = {200..202} (disjoint from both)
+    val df = ((0L until 100L).map("g1" -> _) ++ (50L until 150L).map("g2" -> _)
+      ++ (200L until 203L).map("g3" -> _)).toDF("g", "k")
+    val bm = Sketch.bitmapIndex(df, "g", "k")
+    val out = Sketch.bitmapOverlap(bm, "g").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // only the overlapping pair appears; |{50..99}| = 50
+    assert(out == Map(("g1", "g2") -> 50L))
+  }
+
+  test("bitmap is mergeable: partitioning never changes words or overlaps") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(i => (s"g${i % 7}", (i * 37L) % 500L))
+      .toDF("g", "k")
+    val a = Sketch.bitmapOverlap(Sketch.bitmapIndex(df, "g", "k"), "g")
+      .collect().map(_.toSeq).toSet
+    val b = Sketch.bitmapOverlap(Sketch.bitmapIndex(df.repartition(11), "g", "k"), "g")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+    // and the popcounts agree with COUNT(DISTINCT) ground truth
+    val truth = df.distinct().as[(String, Long)].collect().groupBy(_._1)
+      .map { case (g, rows) => g -> rows.map(_._2).toSet }
+    val want = (for {
+      (ga, sa) <- truth; (gb, sb) <- truth if ga < gb
+      c = (sa intersect sb).size if c > 0
+    } yield (ga, gb) -> c.toLong).toMap
+    val got = a.map(s => (s(0).toString, s(1).toString) -> s(2).asInstanceOf[Long]).toMap
+    assert(got == want)
+  }
 }
