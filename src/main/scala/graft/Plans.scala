@@ -394,7 +394,39 @@ object Plans {
         |exactly one — the chunk holding max(lo_l, lo_r) — via a plain
         |codegen predicate, so dense overlap sets never pay a whole-output
         |DISTINCT (the q15 first-agreeing-band pattern in the value
-        |domain). No BroadcastNestedLoopJoin anywhere in the plan.""".stripMargin)
+        |domain). No BroadcastNestedLoopJoin anywhere in the plan.""".stripMargin,
+    "q113_setsim_join" ->
+      """Exact set-similarity join by prefix filtering: df aggregate →
+        |per-doc rarest-first rank window (doc-key shuffle) → prefix
+        |equi-join on the token → (id_b, tok) count-common equi-join →
+        |integer cross-multiplied verify. Every join keys on a column;
+        |no Cartesian/NestedLoop node exists. Candidate volume is
+        |Σ prefix-df², which Zipfian corpora keep near-linear; on this
+        |deliberately tiny shingle universe it degenerates toward
+        |all-pairs (measured — SetSim scaladoc), which is why the
+        |registered query samples 1/5 like the q17 verifier.""".stripMargin,
+    "q114_event_transitions" ->
+      """One user-key exchange feeds the lead() window (per-user sort only
+        |— no global ordering anywhere); the (from, to) aggregate has
+        |map-side partial combine and a |event types|²-bounded keyspace,
+        |so the second exchange carries rows proportional to the type
+        |vocabulary, not the event volume. The conditional-probability
+        |window runs over that already-tiny relation.""".stripMargin,
+    "q115_skyline_parts" ->
+      """2D skyline without the quadratic NOT-EXISTS: one exchange on the
+        |x-range bucket drives both per-bucket windows (strict-before
+        |range frame + equal-x min); the cross-bucket carry is a prefix
+        |min over the O(buckets) bucket-min relation — its global window
+        |is value-domain-bounded, then broadcast back. At 100 TB the only
+        |corpus-sized movement is the single bucket-key shuffle.""".stripMargin,
+    "q116_bitmap_overlap" ->
+      """Fact rows pack straight into per-brand bitmap words by one hash
+        |aggregate (bit_or is idempotent → no pre-distinct pass, map-side
+        |partial combine merges per-partition bitmaps — the mergeable-
+        |sketch contract). The pairwise stage self-joins on the word index,
+        |so only aligned 64-key blocks meet: cost is groups² · keyspace/64
+        |WORDS, independent of fact-row count; popcount and AND are
+        |codegen built-ins.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

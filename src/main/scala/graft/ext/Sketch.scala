@@ -250,9 +250,14 @@ object Sketch {
     * the |groups|²-bounded pair space.
     */
   def bitmapOverlap(bitmaps: DataFrame, groupCol: String): DataFrame = {
-    val a = bitmaps.select(col(groupCol).as("group_a"), col("w"),
+    // repartition on the join key BEFORE the self-join: both sides then
+    // hang off ONE shuffle stage (ReusedExchange), so the bitmap build —
+    // and everything upstream of it, e.g. a 100 TB fact join — runs once,
+    // not once per side (the q15 banding fix)
+    val part = bitmaps.repartition(col("w"))
+    val a = part.select(col(groupCol).as("group_a"), col("w"),
       col("word").as("__wa"))
-    val b = bitmaps.select(col(groupCol).as("group_b"), col("w"),
+    val b = part.select(col(groupCol).as("group_b"), col("w"),
       col("word").as("__wb"))
     a.join(b, Seq("w"))
       .filter(col("group_a") < col("group_b"))
