@@ -404,7 +404,7 @@ object Plans {
         |Σ prefix-df², which Zipfian corpora keep near-linear; on this
         |deliberately tiny shingle universe it degenerates toward
         |all-pairs (measured — SetSim scaladoc), which is why the
-        |registered query samples 1/5 like the q17 verifier.""".stripMargin,
+        |registered query samples 1/10 like the q17 verifier.""".stripMargin,
     "q114_event_transitions" ->
       """One user-key exchange feeds the lead() window (per-user sort only
         |— no global ordering anywhere); the (from, to) aggregate has

@@ -965,13 +965,13 @@ object SparkEntry {
         "doc_id", "quality")),
 
     // extension: EXACT set-similarity self-join (AllPairs/PPJoin prefix
-    // filtering) over 3-gram shingle sets. Sampled like the q17 verifier:
+    // filtering) over 3-gram shingle sets. Sampled 1/10 like the q17 verifier:
     // the synthetic corpus's 377-shingle universe defeats df-based pruning
     // (measured — SetSim scaladoc); Zipfian natural text is the operator's
     // habitat and SetSimSpec asserts the pruning there
     "q113_setsim_join" -> ((s, d) =>
       graft.ext.SetSim.jaccardJoin(
-        Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
         tPermille = 600,
         tokens = graft.functions.ShingleFunctions.shingleStrings)),
 
@@ -1119,7 +1119,7 @@ object SparkEntry {
     "q110_clean_lm_curation" -> Oracles.cleanLmCuration(16, 2, -3.55),
     "q111_interval_overlap" -> Oracles.intervalOverlap,
     "q112_weighted_sample" -> Oracles.weightedSample(),
-    "q113_setsim_join" -> Oracles.setSimJoin(600, 5),
+    "q113_setsim_join" -> Oracles.setSimJoin(600, 10),
     "q114_event_transitions" -> Oracles.eventTransitions,
     "q115_skyline_parts" -> Oracles.skylineParts,
     "q116_bitmap_overlap" -> Oracles.bitmapOverlap
