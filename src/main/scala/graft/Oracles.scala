@@ -2158,6 +2158,35 @@ object Oracles {
        |  WHERE s.price_cents <= r.price_cents AND s.p_size <= r.p_size
        |    AND (s.price_cents < r.price_cents OR s.p_size < r.p_size))""".stripMargin
 
+  /** Mirrors TimeSeries.groupTrend over daily brand revenue: identical
+    * integer daily units (DECIMAL money × 10⁴ → BIGINT), HUGEINT normal
+    * equations (the engine's DECIMAL(38,0)), division of the identical
+    * integers as the only float op. DuckDB lateral alias reuse lets the
+    * intercept reference the ROUNDED slope, as the engine does.
+    */
+  def brandTrend: String =
+    s"""WITH daily AS (
+       |  SELECT p_brand,
+       |    datediff('day', DATE '1970-01-01', l_shipdate) AS day,
+       |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       |      * CAST(1 - l_discount AS DECIMAL(18,2)) * 10000 AS BIGINT)) AS rev
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey
+       |  GROUP BY 1, 2),
+       |s AS (
+       |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(day AS HUGEINT)) AS sx, SUM(CAST(rev AS HUGEINT)) AS sy,
+       |    SUM(CAST(day AS HUGEINT) * day) AS sxx,
+       |    SUM(CAST(day AS HUGEINT) * rev) AS sxy
+       |  FROM daily GROUP BY 1)
+       |SELECT p_brand, n,
+       |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+       |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+       |  CASE WHEN slope IS NOT NULL THEN
+       |    round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+       |      / CAST(n AS DOUBLE), 6) END AS intercept
+       |FROM s""".stripMargin
+
   /** Mirrors Sketch.bitmapIndex ∘ bitmapOverlap on brand⇄customer: the
     * oracle counts the distinct shared-customer SET directly — proving the
     * packed-word popcount path computes the true intersection size.

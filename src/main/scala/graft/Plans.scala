@@ -419,6 +419,14 @@ object Plans {
         |min over the O(buckets) bucket-min relation — its global window
         |is value-domain-bounded, then broadcast back. At 100 TB the only
         |corpus-sized movement is the single bucket-key shuffle.""".stripMargin,
+    "q117_brand_trend" ->
+      """Closed-form OLS per group: the daily-revenue aggregate shuffles on
+        |(brand, day) with map-side combine, the normal-equation sums
+        |shuffle once more on brand with O(1) state per group — at 100 TB
+        |the regression costs exactly two keyed aggregates, no window, no
+        |second pass over the facts. All cross terms are DECIMAL(38,0)
+        |(exact to 10³⁸); the lone float division consumes identical
+        |integers in both engines.""".stripMargin,
     "q116_bitmap_overlap" ->
       """Fact rows pack straight into per-brand bitmap words by one hash
         |aggregate (bit_or is idempotent → no pre-distinct pass, map-side

@@ -990,6 +990,23 @@ object SparkEntry {
         bucketWidth = 512L)
     },
 
+    // extension: per-brand exact OLS revenue trend — daily DECIMAL-exact
+    // revenue, then closed-form normal equations in 128-bit integer sums;
+    // the only float op is the final division of identical integers
+    "q117_brand_trend" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val epoch = lit(java.sql.Date.valueOf("1970-01-01"))
+      val daily = li
+        .join(Tables.part(s, d), li("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          datediff(col("l_shipdate"), epoch).cast("long").as("day"),
+          (col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1.0) - col("l_discount")).cast("decimal(18,2)")
+            * 10000).cast("long").as("rev"))
+        .groupBy("p_brand", "day").agg(sum("rev").as("rev"))
+      graft.ext.TimeSeries.groupTrend(daily, Seq("p_brand"), "day", "rev")
+    },
+
     // extension: exact audience overlap via the relational bitmap index —
     // brand⇄customer fact rows pack into per-brand bitmaps (no
     // pre-distinct: bit_or is idempotent), pairwise ∩ is a word-aligned
@@ -1122,6 +1139,7 @@ object SparkEntry {
     "q113_setsim_join" -> Oracles.setSimJoin(600, 10),
     "q114_event_transitions" -> Oracles.eventTransitions,
     "q115_skyline_parts" -> Oracles.skylineParts,
-    "q116_bitmap_overlap" -> Oracles.bitmapOverlap
+    "q116_bitmap_overlap" -> Oracles.bitmapOverlap,
+    "q117_brand_trend" -> Oracles.brandTrend
   )
 }

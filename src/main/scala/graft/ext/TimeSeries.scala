@@ -20,6 +20,48 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Per-group exact OLS trend (slope + intercept of y over x) from the
+    * closed-form normal equations, computed ENTIRELY in integer sums:
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),
+    * intercept = (Σy − slope·Σx) / n.
+    * With integral x and y, every Σ is one exact BIGINT aggregate with
+    * map-side partial combine — one shuffle on the group key, state O(1)
+    * per group, no second pass, no window. The float boundary exists only
+    * at the final division, where both engines divide the IDENTICAL
+    * integers (IEEE double, then 6-decimal round) — so the trend is
+    * reproducible cross-engine, unlike a naive avg/covar_samp float
+    * accumulation whose result depends on partitioning order.
+    *
+    * Degenerate groups (n = 1, or all x equal → zero denominator) emit
+    * NULL slope/intercept rather than a division error.
+    *
+    * The sums and cross terms run in DECIMAL(38,0) (DuckDB: HUGEINT) —
+    * `n·Σxy` for day-index × money-unit data reaches ~10²¹, past BIGINT;
+    * 128-bit integers keep every term exact to ~10³⁸.
+    */
+  def groupTrend(df: DataFrame, groupCols: Seq[String], xCol: String,
+                 yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(19,0)")
+    val y = col(yCol).cast("decimal(19,0)")
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum((x * y).cast("decimal(38,0)")).as("sxy"),
+      sum((x * x).cast("decimal(38,0)")).as("sxx"))
+    val nD = col("n").cast("decimal(19,0)")
+    val den = (nD * col("sxx") - col("sx") * col("sx")).cast("decimal(38,0)")
+    val num = (nD * col("sxy") - col("sx") * col("sy")).cast("decimal(38,0)")
+    val slope = when(den =!= lit(0).cast("decimal(38,0)"),
+      round(num.cast("double") / den.cast("double"), 6))
+    agg
+      .withColumn("slope", slope)
+      .withColumn("intercept",
+        when(col("slope").isNotNull,
+          round((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+            / col("n").cast("double"), 6)))
+      .select(groupCols.map(col) :+ col("n") :+ col("slope") :+ col("intercept"): _*)
+  }
+
   /** Dense per-key hourly event counts over the corpus's global
     * [min, max] hour span, gaps explicit as `n_events = 0`.
     *

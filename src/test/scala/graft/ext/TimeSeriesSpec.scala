@@ -55,4 +55,37 @@ class TimeSeriesSpec extends SparkSpec {
     val out = TimeSeries.gapFillHourly(one)
     assert(rowSet(out) == rows(Seq("x", "2024-06-01 12:00:00.0", "2")))
   }
+
+  test("groupTrend: exact slope/intercept on a hand-computed line") {
+    // g1: perfect line y = 3x + 2; g2: y symmetric around x → slope 0
+    val pts = df("g STRING, x BIGINT, y BIGINT", Seq(
+      Row("g1", 0L, 2L), Row("g1", 1L, 5L), Row("g1", 2L, 8L),
+      Row("g2", 0L, 10L), Row("g2", 1L, 0L), Row("g2", 2L, 10L)))
+    val out = TimeSeries.groupTrend(pts, Seq("g"), "x", "y").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("g1") == ((3L, 3.0, 2.0)))
+    // g2: Σy=20, Σxy=20, n=3, Σx=3, Σxx=5 → slope 0, intercept 20/3
+    assert(out("g2") == ((3L, 0.0, 6.666667)))
+  }
+
+  test("groupTrend: degenerate groups yield NULL, never a division error") {
+    val pts = df("g STRING, x BIGINT, y BIGINT", Seq(
+      Row("one", 5L, 7L),                     // n = 1
+      Row("flat", 4L, 1L), Row("flat", 4L, 9L))) // all x equal
+    val out = TimeSeries.groupTrend(pts, Seq("g"), "x", "y").collect()
+    assert(out.length == 2 && out.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
+
+  test("groupTrend: 128-bit sums survive day-index × money magnitudes") {
+    import spark.implicits._
+    // x ~ 10^4, y ~ 10^9, n = 5000 → n·Σxy ~ 10^20 (overflows BIGINT)
+    val big = (0 until 5000).map(i => ("g", 10000L + i, 1000000000L + i * 1000L))
+      .toDF("g", "x", "y")
+    val r = TimeSeries.groupTrend(big, Seq("g"), "x", "y").collect().head
+    // constructed as exactly y = 1000·x + 990000000
+    assert(r.getDouble(2) == 1000.0 && r.getDouble(3) == 9.9E8)
+    val rp = TimeSeries.groupTrend(big.repartition(13), Seq("g"), "x", "y")
+      .collect().head
+    assert(rp.getDouble(2) == r.getDouble(2) && rp.getDouble(3) == r.getDouble(3))
+  }
 }
