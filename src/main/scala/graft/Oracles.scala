@@ -2158,6 +2158,21 @@ object Oracles {
        |  WHERE s.price_cents <= r.price_cents AND s.p_size <= r.p_size
        |    AND (s.price_cents < r.price_cents OR s.p_size < r.p_size))""".stripMargin
 
+  /** [[hllRegisters]] grouped by (hour, event_type) — the oracle for the
+    * batch twin of the streaming hourly sketch.
+    */
+  def hllRegistersHourly(log2m: Int): String = {
+    val m = 1 << log2m
+    val wBits = 31 - log2m
+    val h = mixSql("user_id", ext.Sketch.HllJ)
+    s"""WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type, ($h) AS h
+       |  FROM events)
+       |SELECT hour, event_type, CAST(h % $m AS INTEGER) AS bucket,
+       |  CAST(MAX(CASE WHEN h // $m = 0 THEN ${wBits + 1}
+       |               ELSE ${wBits + 1} - length(bin(h // $m)) END) AS INTEGER) AS reg
+       |FROM h GROUP BY 1, 2, 3""".stripMargin
+  }
+
   /** Mirrors TimeSeries.groupTrend over daily brand revenue: identical
     * integer daily units (DECIMAL money × 10⁴ → BIGINT), HUGEINT normal
     * equations (the engine's DECIMAL(38,0)), division of the identical

@@ -990,6 +990,14 @@ object SparkEntry {
         bucketWidth = 512L)
     },
 
+    // extension: batch twin of Streams.hllUsersHourly — (hour, type) HLL
+    // registers; the streaming spec pins stream ≡ batch, this oracle pins
+    // batch ≡ SQL, so the streaming sketch is transitively oracle-checked
+    "q118_hourly_user_sketch" -> ((s, d) =>
+      Sketch.hllRegisters(
+        Tables.events(s, d).withColumn("hour", date_trunc("hour", col("ts"))),
+        keyCol = "user_id", groupCols = Seq("hour", "event_type"), log2m = 6)),
+
     // extension: per-brand exact OLS revenue trend — daily DECIMAL-exact
     // revenue, then closed-form normal equations in 128-bit integer sums;
     // the only float op is the final division of identical integers
@@ -1140,6 +1148,7 @@ object SparkEntry {
     "q114_event_transitions" -> Oracles.eventTransitions,
     "q115_skyline_parts" -> Oracles.skylineParts,
     "q116_bitmap_overlap" -> Oracles.bitmapOverlap,
-    "q117_brand_trend" -> Oracles.brandTrend
+    "q117_brand_trend" -> Oracles.brandTrend,
+    "q118_hourly_user_sketch" -> Oracles.hllRegistersHourly(6)
   )
 }
