@@ -2158,6 +2158,55 @@ object Oracles {
        |  WHERE s.price_cents <= r.price_cents AND s.p_size <= r.p_size
        |    AND (s.price_cents < r.price_cents OR s.p_size < r.p_size))""".stripMargin
 
+  /** Mirrors Sampling.negativePairs over embeddings: k unrolled hash
+    * draws per anchor (family block 320+), mod the broadcast corpus
+    * count, self-collisions dropped.
+    */
+  def negativePairs(k: Int): String = {
+    val draws = (0 until k).map { j =>
+      s"""  SELECT vec_id AS anchor_id, CAST($j AS INTEGER) AS neg_idx,
+         |    (${mixSql("vec_id", 320 + j)}) % n AS partner_id
+         |  FROM embeddings, nrow""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+       |pairs AS (
+       |$draws
+       |)
+       |SELECT anchor_id, neg_idx, partner_id FROM pairs
+       |WHERE partner_id <> anchor_id""".stripMargin
+  }
+
+  /** Mirrors Similarity.hardNegatives: the near-dup pair set (the q24
+    * derivation, symmetrized) excluded from the brute-force scored pairs
+    * via NOT EXISTS, then the q18 rank tail.
+    */
+  def hardNegatives(mod: Int, k: Int, threshold: Double, dim: Int,
+                    nPlanes: Int): String =
+    s"""WITH v AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", dim, nPlanes)} AS bucket FROM embeddings),
+       |ndp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS av, b.embedding AS bv
+       |        FROM v a JOIN v b ON a.bucket = b.bucket WHERE a.vec_id < b.vec_id),
+       |nddots AS (
+       |  SELECT id_a, id_b,
+       |    SUM(CAST(av[CAST(i AS INTEGER)] AS DOUBLE) * CAST(bv[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i) AS dp,
+       |    SUM(CAST(av[CAST(i AS INTEGER)] AS DOUBLE) * CAST(av[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i) AS qq,
+       |    SUM(CAST(bv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(bv[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i) AS cc
+       |  FROM ndp, generate_series(1, 64) t(i) GROUP BY 1, 2),
+       |nd AS (
+       |  SELECT id_a, id_b FROM nddots
+       |  WHERE round(CASE WHEN sqrt(qq) * sqrt(cc) = 0 THEN 0.0
+       |              ELSE dp / (sqrt(qq) * sqrt(cc)) END, 6) >= $threshold),
+       |ndsym AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM nd
+       |          UNION ALL SELECT id_b, id_a FROM nd),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % $mod = 0),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       |p AS (SELECT query_id, neighbor_id, qv, cv FROM q, c
+       |      WHERE query_id <> neighbor_id
+       |        AND NOT EXISTS (SELECT 1 FROM ndsym s
+       |                        WHERE s.query_id = q.query_id
+       |                          AND s.neighbor_id = c.neighbor_id)),
+       |$dotsCte,
+       |${rankTail(k)}""".stripMargin
+
   /** [[hllRegisters]] grouped by (hour, event_type) — the oracle for the
     * batch twin of the streaming hourly sketch.
     */

@@ -990,6 +990,20 @@ object SparkEntry {
         bucketWidth = 512L)
     },
 
+    // extension: deterministic contrastive negative sampling — k uniform
+    // pseudo-random partners per anchor, a pure function of (id, j)
+    "q119_negative_pairs" -> ((s, d) =>
+      graft.ext.Sampling.negativePairs(Tables.embeddings(s, d), k = 4)),
+
+    // extension: hard-negative mining — top-k most-similar corpus vectors
+    // per query EXCLUDING the materialized LSH near-dup verdict (q24's
+    // pair set), the contrastive-training composition of q18 ∘ q24
+    "q120_hard_negatives" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb.filter(col("vec_id") % 50 === 0), emb,
+        k = 5, dupThreshold = 0.3, dim = 16, nPlanes = 4)
+    },
+
     // extension: batch twin of Streams.hllUsersHourly — (hour, type) HLL
     // registers; the streaming spec pins stream ≡ batch, this oracle pins
     // batch ≡ SQL, so the streaming sketch is transitively oracle-checked
@@ -1149,6 +1163,8 @@ object SparkEntry {
     "q115_skyline_parts" -> Oracles.skylineParts,
     "q116_bitmap_overlap" -> Oracles.bitmapOverlap,
     "q117_brand_trend" -> Oracles.brandTrend,
-    "q118_hourly_user_sketch" -> Oracles.hllRegistersHourly(6)
+    "q118_hourly_user_sketch" -> Oracles.hllRegistersHourly(6),
+    "q119_negative_pairs" -> Oracles.negativePairs(4),
+    "q120_hard_negatives" -> Oracles.hardNegatives(50, 5, 0.3, 16, 4)
   )
 }

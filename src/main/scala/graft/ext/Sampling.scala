@@ -114,6 +114,34 @@ object Sampling {
       .select(col(idCol), col(strataCol), col(sizeCol), col("cum_size"))
   }
 
+  /** Deterministic negative sampling for contrastive training: for each
+    * anchor row, `k` pseudo-random partner ids — `partner_j =
+    * mixHash(id; 320 + j) mod n` — uniform over the corpus, reproducible
+    * across engines/partitionings, with no random state and no shuffle
+    * (n arrives as a broadcast 1-row count). Self-collisions are dropped
+    * rather than resampled (expected loss k/n rows — resampling would
+    * need data-dependent iteration both engines must replicate).
+    *
+    * REQUIRES dense ids [0, n): the hash targets the id space directly,
+    * which is what keeps this a narrow map — against sparse ids, first
+    * build a dense rank (one window) or sample against a shuffled shard
+    * table ([[deterministicShuffle]]). Hash family block 320-327 (8 slots
+    * → k ≤ 8) is reserved for this operator.
+    *
+    * Scale: explode(k) over a narrow projection — at 100 TB the pair
+    * stream pipelines straight into the downstream feature join without
+    * materializing.
+    */
+  def negativePairs(df: DataFrame, k: Int, idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && k <= 8, s"k out of [1, 8]: $k")
+    val n = df.select(count(lit(1)).as("__n"))
+    df.select(col(idCol).as("anchor_id")).crossJoin(broadcast(n))
+      .select(col("anchor_id"), posexplode(array((0 until k).map(j =>
+        pmod(Dedup.mixHash(col("anchor_id"), 320 + j), col("__n"))): _*))
+        .as(Seq("neg_idx", "partner_id")))
+      .filter(col("partner_id") =!= col("anchor_id"))
+  }
+
   def deterministicShuffle(df: DataFrame, nShards: Int, idCol: String = "doc_id",
                            seed: Int = 0): DataFrame = {
     require(nShards > 0, "nShards must be positive")

@@ -239,4 +239,37 @@ object Similarity {
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")
   }
+
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-similar corpus vectors that are NOT known near-duplicates — the
+    * highest-value negatives (similar enough to be hard, verified not to
+    * be positives in disguise).
+    *
+    * The exclusion set is the LSH near-dup verdict
+    * ([[embeddingNearDupPairs]] over the corpus, symmetrized), not a raw
+    * score cut: that is what a production pipeline has materialized, and
+    * it keeps the two decisions independent — a high-cosine pair the LSH
+    * bucketing missed remains a (mislabeled-positive-risk) hard negative,
+    * exactly the behavior to measure, not hide. Exclusion is one LEFT ANTI
+    * equi-join on (query, neighbor).
+    *
+    * Scale shape: candidates from the broadcast-query scored scan (swap in
+    * [[lshTopK]]'s bucketed candidates for huge corpora), the near-dup set
+    * from the bucket equi-join, anti-join on explicit keys, then the same
+    * WindowGroupLimit top-k as [[bruteForceTopK]].
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    dupThreshold: Double, dim: Int, nPlanes: Int = 8,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val dups = embeddingNearDupPairs(corpus, dupThreshold, dim, nPlanes, idCol, vecCol)
+    val sym = dups.select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+      .union(dups.select(col("id_b").as("query_id"), col("id_a").as("neighbor_id")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scoredPairs(queries, corpus, idCol, vecCol)
+      .join(sym, Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
 }

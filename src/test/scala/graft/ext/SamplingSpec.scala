@@ -130,4 +130,28 @@ class SamplingSpec extends SparkSpec {
     assert(rowSet(sel) == rowSet(Sampling.tokenBudgetMix(docs.repartition(7),
       "doc_id", "source", "n_chars", budgets = Nil, defaultBudget = 300L)))
   }
+
+  test("negativePairs: k partners per anchor minus self-collisions, in-range, deterministic") {
+    import spark.implicits._
+    val corpus = (0L until 500L).toDF("vec_id")
+    val out = Sampling.negativePairs(corpus, k = 4)
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every partner is a real id, never the anchor itself
+    assert(rows.forall { case (a, _, p) => p >= 0 && p < 500 && p != a })
+    // ~k per anchor (self-collision loss is ~k/n)
+    assert(rows.length > 500 * 4 - 30 && rows.length <= 500 * 4)
+    // pure function of (id, j): repartitioning changes nothing
+    val again = Sampling.negativePairs(corpus.repartition(9), k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSet == again.toSet)
+    // partners spread over the corpus, not clumped (rough uniformity)
+    assert(rows.map(_._3).distinct.length > 300)
+  }
+
+  test("negativePairs: narrow plan — no shuffle beyond the broadcast count") {
+    import spark.implicits._
+    val plan = Sampling.negativePairs((0L until 100L).toDF("vec_id"), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+  }
 }

@@ -101,6 +101,26 @@ class SimilaritySpec extends SparkSpec {
     assert(uncapped == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
   }
 
+  test("hardNegatives: near-dups excluded, next-most-similar promoted into top-k") {
+    // 0 and 1 are exact duplicates (near-dup pair, same bucket); 2 is
+    // similar-but-not-dup; 3 is far — hard negatives for query 0 must
+    // skip 1 and rank 2 first
+    val d = vecs(
+      0L -> Seq(1.0, 2.0, -1.0, 0.5),
+      1L -> Seq(1.0, 2.0, -1.0, 0.5),
+      2L -> Seq(1.0, 2.0, -1.0, -0.5),
+      3L -> Seq(-9.0, 1.0, 8.0, -7.0))
+    val out = Similarity.hardNegatives(d.filter(col("vec_id") === 0), d,
+      k = 2, dupThreshold = 0.99, dim = 4, nPlanes = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.toSeq == Seq((2L, 1), (3L, 2)))
+    // with the dup threshold above every score, nothing is excluded
+    val none = Similarity.hardNegatives(d.filter(col("vec_id") === 0), d,
+      k = 1, dupThreshold = 1.1, dim = 4, nPlanes = 2)
+      .collect().map(_.getLong(1))
+    assert(none.toSeq == Seq(1L))
+  }
+
   test("bruteForceTopK plan broadcasts the query side (no corpus shuffle)") {
     val d = vecs(0L -> Seq(1.0, 0.0), 1L -> Seq(0.5, 0.5))
     val plan = Similarity.bruteForceTopK(d.filter(col("vec_id") === 0), d, k = 1)
