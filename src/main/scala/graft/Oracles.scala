@@ -2158,6 +2158,22 @@ object Oracles {
        |  WHERE s.price_cents <= r.price_cents AND s.p_size <= r.p_size
        |    AND (s.price_cents < r.price_cents OR s.p_size < r.p_size))""".stripMargin
 
+  /** [[docPacking]] with [[bpeTokenCounts]] as the token source — the
+    * pack-by-the-real-tokenizer composition.
+    */
+  def bpePacking(nMerges: Int, budget: Long, nBuckets: Int): String =
+    s"""WITH st AS (SELECT doc_id, n_tokens FROM (${bpeTokenCounts(nMerges)})),
+       |b AS (SELECT doc_id, n_tokens, doc_id % $nBuckets AS bucket FROM st),
+       |c AS (
+       |  SELECT doc_id, bucket, n_tokens,
+       |    SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM b
+       |)
+       |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       |  CAST((cum - n_tokens) // $budget AS BIGINT) AS pack_seq, n_tokens
+       |FROM c""".stripMargin
+
   /** Mirrors Sampling.negativePairs over embeddings: k unrolled hash
     * draws per anchor (family block 320+), mod the broadcast corpus
     * count, self-collisions dropped.

@@ -990,6 +990,14 @@ object SparkEntry {
         bucketWidth = 512L)
     },
 
+    // extension: sequence packing under the REAL tokenizer — q104's BPE
+    // token counts drive q46's packing, so pack budgets are true model
+    // tokens, not the whitespace proxy (a ~L/4 underestimate on real text)
+    "q121_bpe_packing" -> ((s, d) =>
+      graft.ext.Packing.packDocuments(
+        graft.ext.Bpe.tokenCounts(Tables.documents(s, d), nMerges = 6),
+        budget = 2048L, nBuckets = 8)),
+
     // extension: deterministic contrastive negative sampling — k uniform
     // pseudo-random partners per anchor, a pure function of (id, j)
     "q119_negative_pairs" -> ((s, d) =>
@@ -1165,6 +1173,7 @@ object SparkEntry {
     "q117_brand_trend" -> Oracles.brandTrend,
     "q118_hourly_user_sketch" -> Oracles.hllRegistersHourly(6),
     "q119_negative_pairs" -> Oracles.negativePairs(4),
-    "q120_hard_negatives" -> Oracles.hardNegatives(50, 5, 0.3, 16, 4)
+    "q120_hard_negatives" -> Oracles.hardNegatives(50, 5, 0.3, 16, 4),
+    "q121_bpe_packing" -> Oracles.bpePacking(6, 2048L, 8)
   )
 }
