@@ -2240,9 +2240,10 @@ object Oracles {
 
   /** Mirrors TimeSeries.groupTrend over daily brand revenue: identical
     * integer daily units (DECIMAL money × 10⁴ → BIGINT), HUGEINT normal
-    * equations (the engine's DECIMAL(38,0)), division of the identical
-    * integers as the only float op. DuckDB lateral alias reuse lets the
-    * intercept reference the ROUNDED slope, as the engine does.
+    * equations (the engine's DECIMAL(38,0)), and the same INTEGER
+    * half-away rounding to micro units — the only doubles are exact
+    * micro counts divided by 10⁶, so no float `round` in either engine.
+    * DuckDB lateral alias reuse lets each step reference the previous.
     */
   def brandTrend: String =
     s"""WITH daily AS (
@@ -2257,15 +2258,29 @@ object Oracles {
        |    SUM(CAST(day AS HUGEINT)) AS sx, SUM(CAST(rev AS HUGEINT)) AS sy,
        |    SUM(CAST(day AS HUGEINT) * day) AS sxx,
        |    SUM(CAST(day AS HUGEINT) * rev) AS sxy
-       |  FROM daily GROUP BY 1)
+       |  FROM daily GROUP BY 1),
+       |t AS (
+       |  SELECT p_brand, n, sx, sy,
+       |    n * sxx - sx * sx AS den, n * sxy - sx * sy AS num
+       |  FROM s),
+       |u AS (
+       |  SELECT p_brand, n, sx, sy,
+       |    CASE WHEN den > 0 THEN
+       |      CASE WHEN num >= 0 THEN (2000000 * num + den) // (2 * den)
+       |           ELSE -((2000000 * (-num) + den) // (2 * den)) END
+       |    END AS slope_u
+       |  FROM t),
+       |v AS (
+       |  SELECT p_brand, n, slope_u,
+       |    1000000 * sy - slope_u * sx AS inum
+       |  FROM u)
        |SELECT p_brand, n,
-       |  CASE WHEN n * sxx - sx * sx <> 0 THEN
-       |    round(CAST(n * sxy - sx * sy AS DOUBLE)
-       |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
-       |  CASE WHEN slope IS NOT NULL THEN
-       |    round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
-       |      / CAST(n AS DOUBLE), 6) END AS intercept
-       |FROM s""".stripMargin
+       |  CAST(slope_u AS DOUBLE) / 1000000 AS slope,
+       |  CAST(CASE WHEN slope_u IS NOT NULL THEN
+       |    CASE WHEN inum >= 0 THEN (2 * inum + n) // (2 * n)
+       |         ELSE -((2 * (-inum) + n) // (2 * n)) END
+       |  END AS DOUBLE) / 1000000 AS intercept
+       |FROM v""".stripMargin
 
   /** Mirrors Sketch.bitmapIndex ∘ bitmapOverlap on brand⇄customer: the
     * oracle counts the distinct shared-customer SET directly — proving the

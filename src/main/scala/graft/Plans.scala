@@ -419,6 +419,29 @@ object Plans {
         |min over the O(buckets) bucket-min relation — its global window
         |is value-domain-bounded, then broadcast back. At 100 TB the only
         |corpus-sized movement is the single bucket-key shuffle.""".stripMargin,
+    "q119_negative_pairs" ->
+      """Zero-shuffle negative sampling: the corpus count arrives as a
+        |broadcast 1-row frame (BroadcastNestedLoopJoin against a
+        |single row — constant work per partition), then explode(k) and
+        |the self-collision filter run narrow inside codegen. At 100 TB
+        |the pair stream pipelines into the downstream feature join
+        |without materializing; determinism costs nothing because the
+        |hash is a pure projection of the id.""".stripMargin,
+    "q120_hard_negatives" ->
+      """Contrastive composition in one lazy plan: the near-dup verdict
+        |(bucket equi-join subtree) feeds a LEFT ANTI join keyed on
+        |(query_id, neighbor_id) against the broadcast-query scored scan;
+        |the rank tail is the same WindowGroupLimit as q18. The corpus is
+        |scanned once for scoring and once for the bucket join — at scale
+        |the near-dup set is a PRE-MATERIALIZED table (the dedup stage's
+        |output), turning this into scan + anti-join + top-k only.""".stripMargin,
+    "q121_bpe_packing" ->
+      """Pack-by-real-tokenizer composition: the BPE dict derivation
+        |(vocabulary-bounded aggregates) broadcasts into the corpus word
+        |join exactly as q104, and the per-doc count aggregate feeds the
+        |q46 bucketed running-sum windows — partitions bounded by
+        |(bucket), no global ordering. Corpus-sized shuffles: the word
+        |count and the (doc → bucket) exchange, both keyed.""".stripMargin,
     "q117_brand_trend" ->
       """Closed-form OLS per group: the daily-revenue aggregate shuffles on
         |(brand, day) with map-side combine, the normal-equation sums

@@ -37,7 +37,14 @@ object TimeSeries {
     *
     * The sums and cross terms run in DECIMAL(38,0) (DuckDB: HUGEINT) —
     * `n·Σxy` for day-index × money-unit data reaches ~10²¹, past BIGINT;
-    * 128-bit integers keep every term exact to ~10³⁸.
+    * 128-bit integers keep every term exact to ~10³⁸ — and the 6-decimal
+    * rounding itself is INTEGER half-away division to micro units
+    * (`±(2·10⁶·|num| + den) div (2·den)`, den > 0 by construction), so no
+    * engine ever rounds a float: the only doubles are exact micro counts
+    * divided by the exactly-representable 10⁶. (A first cut used
+    * `round(num/den, 6)` on doubles — Spark rounds the binary value via
+    * BigDecimal HALF_UP, DuckDB via `nearbyint(x·10⁶)/10⁶`, and the two
+    * disagree on boundary values: OK-approx, not OK-exact, at sf0.1.)
     */
   def groupTrend(df: DataFrame, groupCols: Seq[String], xCol: String,
                  yCol: String): DataFrame = {
@@ -49,16 +56,33 @@ object TimeSeries {
       sum((x * y).cast("decimal(38,0)")).as("sxy"),
       sum((x * x).cast("decimal(38,0)")).as("sxx"))
     val nD = col("n").cast("decimal(19,0)")
+    // den > 0 for any non-degenerate group (n·Σx² − (Σx)² is n² times the
+    // x variance); degenerate groups short-circuit to NULL
     val den = (nD * col("sxx") - col("sx") * col("sx")).cast("decimal(38,0)")
     val num = (nD * col("sxy") - col("sx") * col("sy")).cast("decimal(38,0)")
-    val slope = when(den =!= lit(0).cast("decimal(38,0)"),
-      round(num.cast("double") / den.cast("double"), 6))
+    // half-away-from-zero rounding to micros via INTEGRAL division
+    // (`div` = truncate-toward-zero; operands non-negative here):
+    // round(|a|/b · 10⁶) = (2·10⁶·|a| + b) div (2·b), sign reapplied
     agg
-      .withColumn("slope", slope)
-      .withColumn("intercept",
-        when(col("slope").isNotNull,
-          round((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
-            / col("n").cast("double"), 6)))
+      .withColumn("__den", den)
+      .withColumn("__snum", num)
+      .withColumn("__sq",
+        when(col("__den") > 0,
+          expr("(abs(__snum) * 2000000 + __den) div (__den * 2)")))
+      .withColumn("__slope_u",
+        when(col("__snum") < 0, -col("__sq")).otherwise(col("__sq")))
+      // intercept = (Σy − slope·Σx)/n with the ROUNDED slope, in micros:
+      // round((10⁶·Σy − slope_micros·Σx) / n) — same half-away division
+      .withColumn("__inum",
+        (col("sy") * 1000000 - col("__slope_u").cast("decimal(19,0)") * col("sx"))
+          .cast("decimal(38,0)"))
+      .withColumn("__iq",
+        when(col("__slope_u").isNotNull,
+          expr("(abs(__inum) * 2 + n) div (n * 2)")))
+      .withColumn("__int_u",
+        when(col("__inum") < 0, -col("__iq")).otherwise(col("__iq")))
+      .withColumn("slope", col("__slope_u").cast("double") / 1e6)
+      .withColumn("intercept", col("__int_u").cast("double") / 1e6)
       .select(groupCols.map(col) :+ col("n") :+ col("slope") :+ col("intercept"): _*)
   }
 

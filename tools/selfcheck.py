@@ -15,6 +15,12 @@ out_dir = args[1] if len(args) > 1 else "/tmp/verify_out"
 report = {}
 
 con = duckdb.connect()
+# bounded resources: an unbounded DuckDB (one thread per core, unlimited
+# memory) alongside leftover Spark JVMs has twice aborted the sf0.1 run on
+# this box (ArrowMemoryError / EAGAIN on thread spawn) — 8 threads + 24GB
+# costs seconds and removes the failure mode
+con.sql("SET threads TO 8")
+con.sql("SET memory_limit = '24GB'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
