@@ -2238,6 +2238,104 @@ object Oracles {
        |FROM h GROUP BY 1, 2, 3""".stripMargin
   }
 
+  /** Mirrors Sketch.mergeRegisters(q118 hourly → daily): the oracle
+    * builds the DAILY registers DIRECTLY from raw events — the engine
+    * merges the hourly table with `max` — so an exact hash match proves
+    * the HLL merge law (max over hour-sketches ≡ sketch of the day's
+    * union) on real data, not just algebra.
+    */
+  def hllRegistersDaily(log2m: Int): String = {
+    val m = 1 << log2m
+    val wBits = 31 - log2m
+    val h = mixSql("user_id", ext.Sketch.HllJ)
+    s"""WITH h AS (SELECT CAST(ts AS DATE) AS day, event_type, ($h) AS h
+       |  FROM events)
+       |SELECT day, event_type, CAST(h % $m AS INTEGER) AS bucket,
+       |  CAST(MAX(CASE WHEN h // $m = 0 THEN ${wBits + 1}
+       |               ELSE ${wBits + 1} - length(bin(h // $m)) END) AS INTEGER) AS reg
+       |FROM h GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  /** Single-query brute-force cosine ranking (the q122 semantic arm),
+    * parenthesized for embedding as a derived table.
+    */
+  private def cosineTopKOne(qid: Long, k: Int): String =
+    s"""(WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id = $qid),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       |p AS (SELECT query_id, neighbor_id, qv, cv FROM q, c WHERE query_id <> neighbor_id),
+       |$dotsCte,
+       |${rankTail(k)})""".stripMargin
+
+  /** Mirrors Search.rrfFuse over the BM25 lexical arm and the cosine
+    * semantic arm: per-arm contributions are `1000000 // (c + rank)` —
+    * BIGINT-exact integer division in both engines — summed per doc.
+    * The arms re-use the q85/q18 oracle derivations verbatim as derived
+    * tables (nested WITH, which DuckDB scopes per subquery).
+    */
+  def rrfFusion(queryTokens: Seq[String], qid: Long, armK: Int, k: Int,
+                c: Int): String =
+    s"""WITH lex AS (SELECT doc_id, "rank" AS r FROM (${bm25TopK(queryTokens, armK, 1.2, 0.75)}) t),
+       |sem AS (SELECT neighbor_id AS doc_id, "rank" AS r FROM ${cosineTopKOne(qid, armK)} t),
+       |u AS (
+       |  SELECT doc_id, CAST(1000000 AS BIGINT) // ($c + CAST(r AS BIGINT)) AS contrib FROM lex
+       |  UNION ALL
+       |  SELECT doc_id, CAST(1000000 AS BIGINT) // ($c + CAST(r AS BIGINT)) AS contrib FROM sem
+       |), f AS (
+       |  SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS rrf FROM u GROUP BY 1
+       |)
+       |SELECT doc_id, rrf,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS "rank"
+       |FROM f ORDER BY rrf DESC, doc_id LIMIT $k""".stripMargin
+
+  /** Mirrors Graph.associationRules over order baskets: exact BIGINT
+    * support counts; confidence and lift are each ONE division of exact
+    * integer products rounded to 6 decimals — same expression shape as
+    * the engine, so the doubles are bit-identical.
+    */
+  def assocRules(minPairs: Long): String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+       |), ng AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS n_groups FROM items),
+       |pairs AS (
+       |  SELECT a.item AS antecedent, b.item AS consequent,
+       |    CAST(COUNT(*) AS BIGINT) AS pair_n
+       |  FROM items a JOIN items b USING (g)
+       |  WHERE a.item <> b.item
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $minPairs
+       |), ic AS (
+       |  SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY 1
+       |)
+       |SELECT antecedent, consequent, pair_n,
+       |  ia.n AS ante_n, ic2.n AS cons_n,
+       |  round(CAST(pair_n AS DOUBLE) / CAST(ia.n AS DOUBLE), 6) AS confidence,
+       |  round(CAST(pair_n * n_groups AS DOUBLE) / CAST(ia.n * ic2.n AS DOUBLE), 6) AS lift
+       |FROM pairs
+       |JOIN ic ia ON ia.item = antecedent
+       |JOIN ic ic2 ON ic2.item = consequent
+       |CROSS JOIN ng""".stripMargin
+
+  /** Mirrors Funnel.retentionCohorts over events: distinct (user, day)
+    * activity, min-day cohorts, day-offset matrix; the retention rate is
+    * one exact-integer division rounded to 6 decimals.
+    */
+  val retentionCohorts: String =
+    """WITH activity AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), first_day AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY 1
+      |), sizes AS (
+      |  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_n FROM first_day GROUP BY 1
+      |), matrix AS (
+      |  SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset,
+      |    CAST(COUNT(*) AS BIGINT) AS active_n
+      |  FROM activity JOIN first_day USING (user_id)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT cohort_day, CAST(day_offset AS INTEGER) AS day_offset, active_n,
+      |  cohort_n, round(CAST(active_n AS DOUBLE) / CAST(cohort_n AS DOUBLE), 6) AS retention
+      |FROM matrix JOIN sizes USING (cohort_day)""".stripMargin
+
   /** Mirrors TimeSeries.groupTrend over daily brand revenue: identical
     * integer daily units (DECIMAL money × 10⁴ → BIGINT), HUGEINT normal
     * equations (the engine's DECIMAL(38,0)), and the same INTEGER

@@ -1049,7 +1049,44 @@ object SparkEntry {
         .select(col("p_brand"), col("o_custkey"))
       graft.ext.Sketch.bitmapOverlap(
         graft.ext.Sketch.bitmapIndex(bc, "p_brand", "o_custkey"), "p_brand")
-    }
+    },
+
+    // extension: hybrid retrieval — RRF fusion of the BM25 lexical arm
+    // (q85, widened to top-20) and the brute-force cosine semantic arm
+    // (q18's kernel, query doc 0); integer-division contributions keep
+    // the fused score BIGINT-exact
+    "q122_rrf_fusion" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val lex = graft.ext.Search.bm25TopK(
+          Tables.documents(s, d), Seq("join", "scan", "filter"), k = 20)
+        .select(col("doc_id"), col("rank"))
+      val sem = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") === 0), emb, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.ext.Search.rrfFuse(Seq(lex, sem), k = 10)
+    },
+
+    // extension: market-basket association rules over order baskets —
+    // directed part pairs with exact support, confidence, lift
+    "q123_assoc_rules" -> ((s, d) =>
+      graft.ext.Graph.associationRules(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey", minPairs = 2)),
+
+    // extension: cohort retention matrix over the event stream — users
+    // cohorted by first active day, retention per day offset
+    "q124_retention" -> ((s, d) =>
+      graft.ext.Funnel.retentionCohorts(Tables.events(s, d))),
+
+    // extension: HLL register ROLLUP — q118's hourly sketch merged to
+    // daily with max only (never re-reading raw events); the oracle
+    // builds daily from raw, so the hash match proves the merge law
+    "q125_daily_user_sketch" -> ((s, d) =>
+      Sketch.mergeRegisters(
+        Sketch.hllRegisters(
+          Tables.events(s, d).withColumn("hour", date_trunc("hour", col("ts"))),
+          keyCol = "user_id", groupCols = Seq("hour", "event_type"), log2m = 6)
+          .withColumn("day", to_date(col("hour"))),
+        groupCols = Seq("day", "event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1174,6 +1211,11 @@ object SparkEntry {
     "q118_hourly_user_sketch" -> Oracles.hllRegistersHourly(6),
     "q119_negative_pairs" -> Oracles.negativePairs(4),
     "q120_hard_negatives" -> Oracles.hardNegatives(50, 5, 0.3, 16, 4),
-    "q121_bpe_packing" -> Oracles.bpePacking(6, 2048L, 8)
+    "q121_bpe_packing" -> Oracles.bpePacking(6, 2048L, 8),
+    "q122_rrf_fusion" -> Oracles.rrfFusion(Seq("join", "scan", "filter"),
+      qid = 0L, armK = 20, k = 10, c = 60),
+    "q123_assoc_rules" -> Oracles.assocRules(2),
+    "q124_retention" -> Oracles.retentionCohorts,
+    "q125_daily_user_sketch" -> Oracles.hllRegistersDaily(6)
   )
 }

@@ -94,4 +94,34 @@ object Funnel {
     counts.withColumn("p",
       round(col("n").cast("double") / sum(col("n")).over(perFrom), 6))
   }
+
+  /** Cohort retention matrix: users are cohorted by their first active
+    * day; each (cohort_day, day_offset) cell counts the cohort's users
+    * active exactly `day_offset` days after first touch, with the
+    * retention rate (active ÷ cohort size, exact integer division rounded
+    * to 6 decimals). Offset 0 rows equal the cohort sizes by construction
+    * — a free self-consistency check the spec asserts.
+    *
+    * Scale shape: (user, day) activity is distinct-projected once (the
+    * big shuffle, user-keyed), first-touch is a user-key aggregate over
+    * that same exchange lineage, and the matrix is a (cohort_day, offset)
+    * aggregate whose keyspace is days² at worst — tiny forever. Cohort
+    * sizes are keyspace-sized and broadcast back onto the matrix.
+    */
+  def retentionCohorts(events: DataFrame, tsCol: String = "ts",
+                       userCol: String = "user_id"): DataFrame = {
+    val activity = events
+      .select(col(userCol), to_date(col(tsCol)).as("day")).distinct()
+    val firstDay = activity.groupBy(col(userCol)).agg(min(col("day")).as("cohort_day"))
+    val sizes = firstDay.groupBy("cohort_day").agg(count(lit(1)).as("cohort_n"))
+    activity.join(firstDay, Seq(userCol))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("active_n"))
+      .join(broadcast(sizes), "cohort_day")
+      .withColumn("retention",
+        round(col("active_n").cast("double") / col("cohort_n").cast("double"), 6))
+      .select(col("cohort_day"), col("day_offset"), col("active_n"),
+        col("cohort_n"), col("retention"))
+  }
 }

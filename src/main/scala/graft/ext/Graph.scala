@@ -74,6 +74,46 @@ object Graph {
     a.join(b, "g").filter(col("u") < col("v")).select("u", "v").distinct()
   }
 
+  /** Market-basket association rules (Agrawal et al., SIGMOD 1993) over
+    * (group, item) facts: every DIRECTED item pair `antecedent →
+    * consequent` co-occurring in ≥ `minPairs` groups, with the exact
+    * support counts, confidence P(cons|ante) and lift
+    * P(ante ∧ cons) / (P(ante)·P(cons)).
+    *
+    * Determinism: all counts are exact BIGINTs; confidence and lift are
+    * each ONE division of exact sub-2⁵³ integer products, rounded to 6
+    * decimals at the boundary — bit-identical in any engine.
+    *
+    * Scale: baskets are distinct-projected then self-joined PER GROUP, so
+    * the pair fan-out is quadratic in basket width (TPC-H: ≤ 7 parts per
+    * order), never in corpus size. The pair aggregate is the one big
+    * shuffle; the item-frequency relation is keyspace-sized and broadcast
+    * onto the surviving (≥ minPairs) rules.
+    */
+  def associationRules(df: DataFrame, groupCol: String, itemCol: String,
+                       minPairs: Long = 2): DataFrame = {
+    val items = df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
+    val nGroups = items.select("g").distinct().count()
+    val pairCounts = items.select(col("g"), col("item").as("antecedent"))
+      .join(items.select(col("g"), col("item").as("consequent")), "g")
+      .filter(col("antecedent") =!= col("consequent"))
+      .groupBy("antecedent", "consequent").agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minPairs)
+    val itemCounts = items.groupBy("item").agg(count(lit(1)).as("n"))
+    pairCounts
+      .join(broadcast(itemCounts.select(col("item").as("antecedent"), col("n").as("ante_n"))),
+        "antecedent")
+      .join(broadcast(itemCounts.select(col("item").as("consequent"), col("n").as("cons_n"))),
+        "consequent")
+      .withColumn("confidence",
+        round(col("pair_n").cast("double") / col("ante_n").cast("double"), 6))
+      .withColumn("lift",
+        round((col("pair_n") * nGroups).cast("double") /
+          (col("ante_n") * col("cons_n")).cast("double"), 6))
+      .select(col("antecedent"), col("consequent"), col("pair_n"),
+        col("ante_n"), col("cons_n"), col("confidence"), col("lift"))
+  }
+
   /** Per-node triangle counts over an undirected edge list — the classic
     * clustering/cohesion signal.
     *

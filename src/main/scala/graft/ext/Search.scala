@@ -123,4 +123,37 @@ object Search {
         row_number().over(Window.orderBy(col("score").desc, col(idCol))))
       .select(col(idCol), col("score"), col("rank"))
   }
+
+  /** Reciprocal Rank Fusion (Cormack & Clarke, SIGIR 2009) — merges N
+    * rankings of the same id space (e.g. the BM25 lexical arm and a
+    * cosine-ANN semantic arm) into one hybrid list:
+    *
+    *   fused(d) = Σ_arms 1000000 div (c + rank_arm(d))
+    *
+    * Integer division at a fixed 10⁶ scale keeps every contribution and
+    * the cross-arm sum BIGINT-exact in any engine — no float reciprocal
+    * ever crosses an aggregation. A doc absent from an arm contributes
+    * nothing (the standard RRF convention).
+    *
+    * Scale: the inputs are already per-arm top-K lists (K rows each, not
+    * the corpus), so the fusion is a union of tiny frames, one hash agg
+    * over ≤ ΣK rows, and a rank window over ≤ k survivors. The expensive
+    * work stays inside the arms, which each use their own scale path
+    * (posting-bounded BM25, bucketed ANN).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60,
+              idCol: String = "doc_id"): DataFrame = {
+    require(rankings.nonEmpty, "no rankings to fuse")
+    val contribs = rankings.map(
+      _.select(col(idCol),
+        expr(s"CAST(1000000 AS BIGINT) div ($c + CAST(rank AS BIGINT))").as("contrib")))
+    val fused = contribs.reduce(_.union(_))
+      .groupBy(col(idCol))
+      .agg(sum(col("contrib")).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+    fused.withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col(idCol))))
+      .select(col(idCol), col("rrf"), col("rank"))
+  }
 }

@@ -58,6 +58,23 @@ object Sketch {
       .agg(max(col("r")).cast("int").as("reg"))
   }
 
+  /** Rolls a [[hllRegisters]] table up to a COARSER grouping — the HLL
+    * merge is a plain `max` per (new group, bucket). This is the property
+    * that makes the sketch the 100 TB answer: hourly register tables roll
+    * up to daily/weekly/all-time cardinalities without ever touching the
+    * raw events again, and the merged table is bit-identical to building
+    * the coarse sketch from raw (max is associative) — which is exactly
+    * what its oracle asserts. The caller derives any coarser key (e.g.
+    * `to_date(hour)`) before calling.
+    *
+    * Scale: input is already keyspace-sized (groups · m rows); the merge
+    * is one tiny hash aggregate. At 100 TB this replaces a full-corpus
+    * re-scan per reporting granularity with an O(registers) rollup.
+    */
+  def mergeRegisters(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers.groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("reg")).as("reg"))
+
   /** The (bucket, rank) projection under [[hllRegisters]], exposed so other
     * groupings (e.g. a watermarked streaming window) can build the same
     * sketch: register tables from ANY grouping merge with plain `max`.

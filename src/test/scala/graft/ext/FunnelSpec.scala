@@ -77,4 +77,28 @@ class FunnelSpec extends SparkSpec {
     assert(rowSet(Funnel.transitionCounts(ev).select("from_type", "to_type", "n"))
       == rows(Seq("view", "click", "1"), Seq("click", "purchase", "1")))
   }
+
+  test("retentionCohorts: hand-traced matrix; same-day repeats collapse; offset-0 equals cohort size") {
+    // u1 first on Jan 1 (active 1, 2, 4 — twice on day 1), u2 only Jan 1,
+    // u3 first on Jan 2 (active 2, 3)
+    val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP",
+      Seq(
+        Row(1L, 1L, "view", ts("2024-01-01 08:00:00")),
+        Row(1L, 2L, "click", ts("2024-01-01 09:00:00")), // same day → 1 active row
+        Row(1L, 3L, "view", ts("2024-01-02 08:00:00")),
+        Row(1L, 4L, "view", ts("2024-01-04 08:00:00")),
+        Row(2L, 5L, "view", ts("2024-01-01 12:00:00")),
+        Row(3L, 6L, "view", ts("2024-01-02 12:00:00")),
+        Row(3L, 7L, "view", ts("2024-01-03 12:00:00"))))
+    val out = Funnel.retentionCohorts(ev)
+    assert(rowSet(out) == rows(
+      Seq("2024-01-01", "0", "2", "2", "1.0"),
+      Seq("2024-01-01", "1", "1", "2", "0.5"),
+      Seq("2024-01-01", "3", "1", "2", "0.5"),
+      Seq("2024-01-02", "0", "1", "1", "1.0"),
+      Seq("2024-01-02", "1", "1", "1", "1.0")))
+    // offset-0 self-consistency on the fixture above: active_n == cohort_n
+    val zero = out.filter("day_offset = 0 AND active_n <> cohort_n")
+    assert(zero.count() == 0)
+  }
 }

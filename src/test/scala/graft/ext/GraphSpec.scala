@@ -66,4 +66,22 @@ class GraphSpec extends SparkSpec {
     assert(rowSet(Graph.coOccurrenceEdges(d, "g", "item")) ==
       rows(Seq("10", "20")))
   }
+
+  test("associationRules: hand-traced support, confidence, lift; duplicate lines collapse") {
+    // baskets: g1 {a,b,c}, g2 {a,b}, g3 {a}, g4 {b,d}; n_groups = 4
+    val d = df("g BIGINT, item STRING", Seq(
+      Row(1L, "a"), Row(1L, "a"), // dup line must not inflate support
+      Row(1L, "b"), Row(1L, "c"),
+      Row(2L, "a"), Row(2L, "b"),
+      Row(3L, "a"),
+      Row(4L, "b"), Row(4L, "d")))
+    val out = Graph.associationRules(d, "g", "item", minPairs = 2)
+    // only a⇄b co-occur twice; a and b each occur in 3 baskets:
+    // confidence = 2/3, lift = 2·4/(3·3) = 8/9
+    assert(rowSet(out) == rows(
+      Seq("a", "b", "2", "3", "3", "0.666667", "0.888889"),
+      Seq("b", "a", "2", "3", "3", "0.666667", "0.888889")))
+    // minPairs = 1 keeps all 8 directed pairs
+    assert(Graph.associationRules(d, "g", "item", minPairs = 1).count() == 8)
+  }
 }

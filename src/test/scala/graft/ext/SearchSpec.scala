@@ -59,4 +59,25 @@ class SearchSpec extends SparkSpec {
     val b = Search.bm25TopK(d, Seq("join", "scan"), k = 10).collect().toSeq
     assert(a == b)
   }
+
+  private def ranking(rows: (Long, Int)*) =
+    df("doc_id BIGINT, rank INT", rows.map { case (i, r) => Row(i, r) })
+
+  test("rrfFuse: integer contributions sum across arms; id tie-break; singleton-arm docs fuse in") {
+    // c=60 contributions: rank1 → 1000000 div 61 = 16393,
+    // rank2 → 16129, rank3 → 15873
+    val armA = ranking(10L -> 1, 20L -> 2, 30L -> 3)
+    val armB = ranking(40L -> 1, 20L -> 2)
+    val out = Search.rrfFuse(Seq(armA, armB), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // 20 in both arms (16129·2); 10 vs 40 tie at 16393 → id order
+    assert(out == Seq((20L, 32258L, 1), (10L, 16393L, 2),
+      (40L, 16393L, 3), (30L, 15873L, 4)))
+  }
+
+  test("rrfFuse: k bounds the fused list") {
+    val out = Search.rrfFuse(
+      Seq(ranking(1L -> 1, 2L -> 2), ranking(3L -> 1)), k = 2)
+    assert(out.count() == 2)
+  }
 }

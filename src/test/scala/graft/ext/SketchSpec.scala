@@ -12,6 +12,24 @@ class SketchSpec extends SparkSpec {
 
   // ------------------------------------------------------------ HyperLogLog
 
+  test("mergeRegisters: hourly registers rolled up to daily ≡ daily sketch built from raw") {
+    import spark.implicits._
+    val ev = (0L until 600L).map { i =>
+      val day = (i % 2) + 1
+      val hour = (i % 5).toInt
+      (i % 97, java.sql.Timestamp.valueOf(f"2024-01-0$day $hour%02d:30:00"))
+    }.toDF("user_id", "ts")
+    val hourly = Sketch.hllRegisters(
+      ev.withColumn("hour", date_trunc("hour", col("ts"))), "user_id", Seq("hour"))
+    val merged = Sketch.mergeRegisters(
+      hourly.withColumn("day", to_date(col("hour"))), Seq("day"))
+    val direct = Sketch.hllRegisters(
+      ev.withColumn("day", to_date(col("ts"))), "user_id", Seq("day"))
+    assertSameRows(merged, direct)
+    // merge is idempotent: merging the merged table again changes nothing
+    assertSameRows(Sketch.mergeRegisters(merged, Seq("day")), merged)
+  }
+
   test("hllRegisters: registers are partitioning-invariant and duplicate-insensitive") {
     val base = Sketch.hllRegisters(ids(500), "k", Seq("g")).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
