@@ -2256,6 +2256,66 @@ object Oracles {
        |FROM h GROUP BY 1, 2, 3""".stripMargin
   }
 
+  /** Mirrors Sketch.kmvMerge(hourly kmvRegisters → daily): like
+    * [[hllRegistersDaily]], the oracle builds the DAILY bottom-k registers
+    * DIRECTLY from raw events — the engine merges the hourly table — so an
+    * exact hash match proves the KMV merge law (bottom-k of the union of
+    * hourly register sets ≡ bottom-k of the day's distinct set) on real
+    * data. mixHash is a bijection below P, so DISTINCT over (day, type,
+    * h) ≡ distinct over keys.
+    */
+  def kmvRegistersDaily(k: Int): String = {
+    val h = mixSql("user_id", ext.Sketch.KmvJ)
+    s"""WITH h AS (SELECT DISTINCT CAST(ts AS DATE) AS day, event_type, ($h) AS h
+       |  FROM events),
+       |r AS (SELECT day, event_type, h,
+       |  ROW_NUMBER() OVER (PARTITION BY day, event_type ORDER BY h) AS rk FROM h)
+       |SELECT day, event_type, CAST(rk AS INTEGER) AS "rank", h
+       |FROM r WHERE rk <= $k""".stripMargin
+  }
+
+  /** Mirrors Sketch.kmvOverlap over per-event_type distinct-user KMV
+    * sketches: bottom-k per group, pairwise union of register sets,
+    * bottom-k of that union, then the all-integer estimators — union via
+    * `(k−1)·P // kth`, intersection via round-half-up integer division,
+    * Jaccard as ONE exact-integer division rounded to 6 decimals. Exact
+    * (not estimated) whenever the merged set fits below k, same CASE as
+    * the engine.
+    */
+  def kmvOverlap(k: Int): String = {
+    val p = ext.Dedup.MinHashP
+    val h = mixSql("user_id", ext.Sketch.KmvJ)
+    s"""WITH h AS (SELECT DISTINCT event_type, ($h) AS h FROM events),
+       |r AS (SELECT event_type, h,
+       |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+       |reg AS (SELECT event_type, h FROM r WHERE rk <= $k),
+       |gs AS (SELECT DISTINCT event_type FROM reg),
+       |pairs AS (SELECT a.event_type AS ga, b.event_type AS gb
+       |  FROM gs a JOIN gs b ON a.event_type < b.event_type),
+       |u AS (SELECT ga, gb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+       |    SELECT p.ga, p.gb, r2.h, 1 AS in_a, 0 AS in_b
+       |    FROM pairs p JOIN reg r2 ON r2.event_type = p.ga
+       |    UNION ALL
+       |    SELECT p.ga, p.gb, r2.h, 0 AS in_a, 1 AS in_b
+       |    FROM pairs p JOIN reg r2 ON r2.event_type = p.gb
+       |  ) t GROUP BY 1, 2, 3),
+       |m AS (SELECT ga, gb, h, in_a, in_b,
+       |  ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rk FROM u),
+       |s AS (SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n_merged, MAX(h) AS kth,
+       |    CAST(SUM(in_a * in_b) AS BIGINT) AS both_n
+       |  FROM m WHERE rk <= $k GROUP BY 1, 2),
+       |f AS (SELECT ga, gb, n_merged, both_n,
+       |    CASE WHEN n_merged < $k THEN n_merged
+       |         ELSE CAST(${k - 1} AS BIGINT) * $p // greatest(kth, CAST(1 AS BIGINT)) END AS union_est
+       |  FROM s)
+       |SELECT ga AS group_a, gb AS group_b, CAST(n_merged AS INTEGER) AS k_used,
+       |  both_n, union_est,
+       |  CASE WHEN n_merged < $k THEN both_n
+       |       ELSE (2 * both_n * union_est + $k) // ${2 * k} END AS inter_est,
+       |  round(CAST(both_n AS DOUBLE) / CAST(n_merged AS DOUBLE), 6) AS jaccard
+       |FROM f""".stripMargin
+  }
+
   /** Single-query brute-force cosine ranking (the q122 semantic arm),
     * parenthesized for embedding as a derived table.
     */

@@ -1086,7 +1086,28 @@ object SparkEntry {
           Tables.events(s, d).withColumn("hour", date_trunc("hour", col("ts"))),
           keyCol = "user_id", groupCols = Seq("hour", "event_type"), log2m = 6)
           .withColumn("day", to_date(col("hour"))),
-        groupCols = Seq("day", "event_type")))
+        groupCols = Seq("day", "event_type"))),
+
+    // extension: KMV bottom-k sketch ROLLUP — hourly distinct-user
+    // registers merged to daily (bottom-k of the register union, raw
+    // events never re-read); the oracle builds daily from raw, so the
+    // hash match proves the KMV merge law on real data
+    "q126_kmv_daily_users" -> ((s, d) =>
+      Sketch.kmvMerge(
+        Sketch.kmvRegisters(
+          Tables.events(s, d).withColumn("hour", date_trunc("hour", col("ts"))),
+          keyCol = "user_id", groupCols = Seq("hour", "event_type"), k = 64)
+          .withColumn("day", to_date(col("hour"))),
+        groupCols = Seq("day", "event_type"), k = 64)),
+
+    // extension: audience overlap from KMV sketches alone — pairwise
+    // Jaccard / intersection / union estimates between event_types'
+    // distinct-user sets, all-integer estimators (exact below k)
+    "q127_kmv_overlap" -> ((s, d) =>
+      Sketch.kmvOverlap(
+        Sketch.kmvRegisters(Tables.events(s, d),
+          keyCol = "user_id", groupCols = Seq("event_type"), k = 64),
+        groupCol = "event_type", k = 64))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1216,6 +1237,8 @@ object SparkEntry {
       qid = 0L, armK = 20, k = 10, c = 60),
     "q123_assoc_rules" -> Oracles.assocRules(2),
     "q124_retention" -> Oracles.retentionCohorts,
-    "q125_daily_user_sketch" -> Oracles.hllRegistersDaily(6)
+    "q125_daily_user_sketch" -> Oracles.hllRegistersDaily(6),
+    "q126_kmv_daily_users" -> Oracles.kmvRegistersDaily(64),
+    "q127_kmv_overlap" -> Oracles.kmvOverlap(64)
   )
 }

@@ -120,6 +120,158 @@ object Sketch {
     }: _*)
   }
 
+  // ------------------------------------------------------- KMV (bottom-k)
+
+  /** mixHash family pair for the KMV sketch: (240, 241). */
+  val KmvJ: Int = 240
+
+  /** Bounded bottom-k DISTINCT Longs as a typed Aggregator: the buffer
+    * holds at most k sorted distinct values, so partial aggregation sends
+    * ≤ k values per (partition × group) across the shuffle — the same
+    * bounded-buffer idea as [[TopK.TopKAgg]]. Values at or above the
+    * current k-th reject in O(1) with no allocation (the common path once
+    * the buffer saturates: acceptances become rare as the k-th minimum
+    * tightens). Insertion dedups, so raw rows need no pre-distinct and
+    * merging buffers from any split of the input is exact — the
+    * mergeable-sketch contract.
+    */
+  class BottomKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Seq[Long], Seq[Long]] {
+    private def best(xs: Seq[Long]): Seq[Long] = xs.distinct.sorted.take(k)
+    override def zero: Seq[Long] = Seq.empty
+    override def reduce(buf: Seq[Long], x: Long): Seq[Long] =
+      if (buf.size >= k && x >= buf.last) buf else best(buf :+ x)
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = best(a ++ b)
+    override def finish(r: Seq[Long]): Seq[Long] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] = bufferEncoder
+  }
+
+  /** KMV (k-minimum-values / bottom-k, Bar-Yossef et al. 2002; the Theta
+    * sketch's core) registers of the distinct `keyCol` set per group: the
+    * k SMALLEST DISTINCT values of [[Dedup.mixHash]](key), stored
+    * relationally as (group, rank 1..k', h) — `rank` makes the row set a
+    * deterministic relation and `max(h)` the k-th minimum.
+    *
+    * Where [[hllRegisters]] only estimates |A| (and |A∪B| after a merge),
+    * the KMV register table supports INTERSECTION and Jaccard between
+    * groups ([[kmvOverlap]]) — the audience-overlap estimator HLL
+    * structurally cannot provide — because the bottom-k of the hash order
+    * is a uniform coordinated sample of the distinct set.
+    *
+    * mixHash is a bijection on [0, P) (both affine steps and x⁵ are
+    * permutations mod the Mersenne prime), so for keys < P distinct keys
+    * never collide and a group with fewer than k distinct keys stores its
+    * EXACT distinct set.
+    *
+    * Scale: one narrow projection, one hash aggregate whose partial
+    * buffers are bounded at k — raw fact rows never shuffle; the register
+    * table is O(groups · k) forever. Merging to coarser groups is
+    * [[kmvMerge]] (bottom-k of the union ≡ rebuild from raw — associative
+    * and idempotent like the HLL `max`).
+    */
+  def kmvRegisters(df: DataFrame, keyCol: String, groupCols: Seq[String],
+                   k: Int = 128): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    kmvFromHashes(
+      df.select(groupCols.map(col) :+
+        Dedup.mixHash(col(keyCol), KmvJ).as("__kmv_h"): _*),
+      groupCols, k)
+  }
+
+  /** Rolls a [[kmvRegisters]] table up to a COARSER grouping: bottom-k of
+    * the union of the fine-grained register sets ≡ the coarse sketch built
+    * from raw (the KMV merge law) — exactly what its oracle asserts, on
+    * real data. Same O(registers) rollup story as [[mergeRegisters]].
+    */
+  def kmvMerge(registers: DataFrame, groupCols: Seq[String],
+               k: Int = 128): DataFrame =
+    kmvFromHashes(
+      registers.select(groupCols.map(col) :+ col("h").as("__kmv_h"): _*),
+      groupCols, k)
+
+  private def kmvFromHashes(hashed: DataFrame, groupCols: Seq[String],
+                            k: Int): DataFrame = {
+    val agg = udaf(new BottomKAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong).apply(col("__kmv_h"))
+    hashed.groupBy(groupCols.map(col): _*)
+      .agg(agg.as("bottomk"))
+      .select(groupCols.map(col) :+ posexplode(col("bottomk")).as(Seq("pos", "h")): _*)
+      .select(groupCols.map(col) :+
+        (col("pos") + 1).cast("int").as("rank") :+ col("h"): _*)
+  }
+
+  /** Distinct-count estimate per group from a [[kmvRegisters]] table: with
+    * a full buffer the classic unbiased estimator (k−1)/U₍ₖ₎ where U₍ₖ₎ is
+    * the k-th minimum as a fraction of the hash space — here the exact
+    * integer division `(k−1)·P div h₍ₖ₎` — and with fewer than k registers
+    * the register set IS the distinct set, so the count is exact. No
+    * floating point anywhere, so the estimate itself is oracle-exact.
+    */
+  def kmvEstimate(registers: DataFrame, groupCols: Seq[String],
+                  k: Int = 128): DataFrame =
+    registers.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_reg"), max(col("h")).as("kth"))
+      .select(groupCols.map(col) :+
+        when(col("n_reg") < k, col("n_reg"))
+          .otherwise(expr(s"CAST(${k - 1} AS BIGINT) * ${Dedup.MinHashP} div greatest(kth, 1)"))
+          .as("est"): _*)
+
+  /** Pairwise distinct-set overlap between all groups of a
+    * [[kmvRegisters]] table — for each unordered pair (a < b):
+    * Jaccard and intersection/union cardinality ESTIMATES from sketches
+    * alone. Method (Beyer et al., SIGMOD 2007): the bottom-k of the
+    * UNION of the two register sets is a uniform coordinated sample of
+    * A∪B; `both_n` of its members lying in both register sets estimates
+    * Jaccard as both_n/k_used, and |A∩B| ≈ Jaccard · |A∪B|-estimate.
+    * When the merged set has fewer than k values both register sets were
+    * complete, so union and intersection are EXACT.
+    *
+    * Determinism: every quantity is an exact BIGINT; Jaccard is ONE
+    * division of exact integers rounded to 6 decimals, and inter_est is
+    * integer round-half-up `(2·both_n·union_est + k) div (2k)` — no
+    * float crosses an aggregate, so the whole output is oracle-exact.
+    *
+    * Scale: inputs are O(groups · k) register rows; every join here is on
+    * keyspace-sized relations (the raw facts were consumed once, by the
+    * bounded [[kmvRegisters]] aggregate). Pair fan-out is groups² · 2k
+    * rows — the same envelope as [[bitmapOverlap]], with k replacing
+    * keyspace/64 words.
+    */
+  def kmvOverlap(registers: DataFrame, groupCol: String,
+                 k: Int = 128): DataFrame = {
+    val reg = registers.select(col(groupCol).as("g"), col("h"))
+    val groups = reg.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("group_a"))
+      .join(groups.select(col("g").as("group_b")), col("group_a") < col("group_b"))
+    val tagged = pairs.join(reg, col("group_a") === col("g"))
+      .select(col("group_a"), col("group_b"), col("h"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+      .union(pairs.join(reg, col("group_b") === col("g"))
+        .select(col("group_a"), col("group_b"), col("h"),
+          lit(0L).as("in_a"), lit(1L).as("in_b")))
+      .groupBy("group_a", "group_b", "h")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val merged = tagged.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("group_a", "group_b").orderBy("h")))
+      .filter(col("rk") <= k)
+    merged.groupBy("group_a", "group_b")
+      .agg(count(lit(1)).as("n_merged"), max(col("h")).as("kth"),
+        sum(col("in_a") * col("in_b")).as("both_n"))
+      .select(col("group_a"), col("group_b"),
+        col("n_merged").cast("int").as("k_used"), col("both_n"),
+        when(col("n_merged") < k, col("n_merged"))
+          .otherwise(expr(s"CAST(${k - 1} AS BIGINT) * ${Dedup.MinHashP} div greatest(kth, 1)"))
+          .as("union_est"))
+      .withColumn("inter_est",
+        when(col("k_used") < k, col("both_n"))
+          .otherwise(expr("(2 * both_n * union_est + " + k + ") div " + (2 * k))))
+      .withColumn("jaccard",
+        round(col("both_n").cast("double") / col("k_used").cast("double"), 6))
+  }
+
   // -------------------------------------------------------------- Count-Min
 
   /** First family member of the CM mixHash pairs: row r uses (210+2r, 211+2r). */

@@ -30,6 +30,76 @@ class SketchSpec extends SparkSpec {
     assertSameRows(Sketch.mergeRegisters(merged, Seq("day")), merged)
   }
 
+  // ------------------------------------------------------------------- KMV
+
+  test("kmvRegisters: ranked bottom-k of the distinct hash set; partitioning- and duplicate-invariant") {
+    val k = 16
+    val base = Sketch.kmvRegisters(ids(500), "k", Seq("g"), k).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    // exactly k per group, ranks 1..k, h strictly increasing with rank
+    assert(base.groupBy(_._1).forall(_._2.size == k))
+    assert(base.groupBy(_._1).forall { case (_, rows) =>
+      rows.toSeq.sortBy(_._2).map(_._3) == rows.toSeq.map(_._3).sorted })
+    val repart = Sketch.kmvRegisters(ids(500).repartition(7), "k", Seq("g"), k)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val dups = Sketch.kmvRegisters(ids(500).union(ids(500)), "k", Seq("g"), k)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(base == repart, "registers must not depend on partitioning")
+    assert(base == dups, "insertion dedups: duplicates must not move registers")
+  }
+
+  test("kmvRegisters: a group with fewer than k distinct keys stores its exact hash set") {
+    val out = Sketch.kmvRegisters(ids(10), "k", Seq("g"), k = 16)
+    assert(out.count() == 10) // 5 distinct per group, all kept
+    assert(Sketch.kmvEstimate(out, Seq("g"), k = 16).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == Set(("a", 5L), ("b", 5L)))
+  }
+
+  test("kmvMerge: hourly registers rolled up ≡ sketch built from raw; merge idempotent") {
+    import spark.implicits._
+    val ev = (0L until 600L).map { i =>
+      val day = (i % 2) + 1
+      val hour = (i % 5).toInt
+      (i % 97, java.sql.Timestamp.valueOf(f"2024-01-0$day $hour%02d:30:00"))
+    }.toDF("user_id", "ts")
+    val k = 32
+    val hourly = Sketch.kmvRegisters(
+      ev.withColumn("hour", date_trunc("hour", col("ts"))), "user_id", Seq("hour"), k)
+    val merged = Sketch.kmvMerge(
+      hourly.withColumn("day", to_date(col("hour"))), Seq("day"), k)
+    val direct = Sketch.kmvRegisters(
+      ev.withColumn("day", to_date(col("ts"))), "user_id", Seq("day"), k)
+    assertSameRows(merged, direct)
+    assertSameRows(Sketch.kmvMerge(merged, Seq("day"), k), merged)
+  }
+
+  test("kmvEstimate: within 25% of the true cardinality at n=2000") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, "x")).toDF("k", "g")
+    val est = Sketch.kmvEstimate(
+      Sketch.kmvRegisters(df, "k", Seq("g"), 128), Seq("g"), 128).head().getLong(1)
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.25, s"estimate $est vs 2000")
+  }
+
+  test("kmvOverlap: exact when sets fit in k; estimates within 30% on overlapping ranges") {
+    import spark.implicits._
+    // small: a = {0..9}, b = {5..14} → union 15 < k ⇒ exact
+    val small = ((0L until 10L).map(i => (i, "a")) ++
+      (5L until 15L).map(i => (i, "b"))).toDF("k", "g")
+    val exact = Sketch.kmvOverlap(
+      Sketch.kmvRegisters(small, "k", Seq("g"), 64), "g", 64).head()
+    assert(exact.getAs[Long]("union_est") == 15L)
+    assert(exact.getAs[Long]("inter_est") == 5L)
+    // large: a = {0..1999}, b = {1000..2999} → true J = 1/3, |A∩B| = 1000
+    val big = ((0L until 2000L).map(i => (i, "a")) ++
+      (1000L until 3000L).map(i => (i, "b"))).toDF("k", "g")
+    val est = Sketch.kmvOverlap(
+      Sketch.kmvRegisters(big, "k", Seq("g"), 256), "g", 256).head()
+    assert(math.abs(est.getAs[Long]("inter_est") - 1000.0) / 1000.0 < 0.3,
+      s"inter_est ${est.getAs[Long]("inter_est")} vs 1000")
+    assert(math.abs(est.getAs[Double]("jaccard") - 1.0 / 3) < 0.1)
+  }
+
   test("hllRegisters: registers are partitioning-invariant and duplicate-insensitive") {
     val base = Sketch.hllRegisters(ids(500), "k", Seq("g")).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
