@@ -2316,6 +2316,20 @@ object Oracles {
        |FROM f""".stripMargin
   }
 
+  /** Mirrors Sampling.sampleExactN over documents by source: winners are
+    * the n smallest mixHash(doc_id) per source (hash order = uniform
+    * permutation), full rows joined back — same rank-prefix derivation in
+    * SQL.
+    */
+  def exactNSample(n: Int, j: Int): String = {
+    val h = mixSql("doc_id", j)
+    s"""WITH r AS (SELECT doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY ($h)) AS rk
+       |  FROM documents)
+       |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+       |FROM documents d JOIN r USING (doc_id) WHERE r.rk <= $n""".stripMargin
+  }
+
   /** Single-query brute-force cosine ranking (the q122 semantic arm),
     * parenthesized for embedding as a derived table.
     */

@@ -1107,7 +1107,14 @@ object SparkEntry {
       Sketch.kmvOverlap(
         Sketch.kmvRegisters(Tables.events(s, d),
           keyCol = "user_id", groupCols = Seq("event_type"), k = 64),
-        groupCol = "event_type", k = 64))
+        groupCol = "event_type", k = 64)),
+
+    // extension: exactly-n-per-group uniform sample — 10 docs per source,
+    // winners = bottom-n of the id hash order (bounded aggregate, rows
+    // join back left-semi); the guarantee fraction sampling can't give
+    "q128_exact_n_sample" -> ((s, d) =>
+      graft.ext.Sampling.sampleExactN(
+        Tables.documents(s, d), idCol = "doc_id", groupCol = "source", n = 10))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1239,6 +1246,7 @@ object SparkEntry {
     "q124_retention" -> Oracles.retentionCohorts,
     "q125_daily_user_sketch" -> Oracles.hllRegistersDaily(6),
     "q126_kmv_daily_users" -> Oracles.kmvRegistersDaily(64),
-    "q127_kmv_overlap" -> Oracles.kmvOverlap(64)
+    "q127_kmv_overlap" -> Oracles.kmvOverlap(64),
+    "q128_exact_n_sample" -> Oracles.exactNSample(10, 250)
   )
 }

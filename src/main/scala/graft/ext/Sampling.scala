@@ -33,6 +33,40 @@ object Sampling {
     df.filter(h < rate)
   }
 
+  /** EXACTLY min(n, |group|) rows per group, uniformly without
+    * replacement, as a pure function of ids — the "exactly n docs per
+    * domain" guarantee that fraction-based sampling
+    * ([[stratifiedHashSample]]) cannot express. The winners are the n
+    * smallest `mixHash(id)` values per group (family member `j` —
+    * sampling owns its own block, disjoint from the KMV sketch's 240),
+    * i.e. a KMV bottom-n of the id set, so the hash order is a uniform
+    * permutation and any prefix of it is a uniform sample.
+    *
+    * Scale shape: the winner set is computed by the bounded
+    * [[Sketch.BottomKAgg]] — ≤ n hash values per (partition × group)
+    * cross the shuffle, never the rows — and full rows then join back
+    * LEFT SEMI on (group, h); the winner side is groups·n rows, so AQE
+    * picks a broadcast probe whenever that fits (no hardcoded hint — a
+    * million-group corpus must stay shuffle-joinable).
+    * mixHash is a bijection below P, so h identifies the id exactly;
+    * ids are assumed unique per group (duplicate ids would tie).
+    */
+  def sampleExactN(df: DataFrame, idCol: String, groupCol: String, n: Int,
+                   j: Int = 250): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val h = Dedup.mixHash(col(idCol), j)
+    val agg = org.apache.spark.sql.functions.udaf(new Sketch.BottomKAgg(n),
+      org.apache.spark.sql.Encoders.scalaLong).apply(col("__esn_h"))
+    val winners = df.select(col(groupCol), h.as("__esn_h"))
+      .groupBy(col(groupCol)).agg(agg.as("ws"))
+      .select(col(groupCol), explode(col("ws")).as("__esn_h"))
+    // a USING join moves the join keys to the front — restore the
+    // caller's column order so the sample is a true row-subset of df
+    df.withColumn("__esn_h", h)
+      .join(winners, Seq(groupCol, "__esn_h"), "left_semi")
+      .select(df.columns.map(col): _*)
+  }
+
   /** Importance-weighted deterministic sampling: a row survives iff
     * `mixHash(id) mod 10^6 < round(weight · 10^6)` — inclusion probability
     * equals the row's own weight in [0, 1] (values outside clamp), still a

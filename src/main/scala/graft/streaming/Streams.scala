@@ -152,6 +152,34 @@ object Streams {
       .select(col("w.start").as("hour"), col("event_type"), col("bucket"), col("reg"))
   }
 
+  /** Streaming KMV: hourly bottom-k distinct-user registers per event
+    * type — the same engine-portable sketch as the batch
+    * [[graft.ext.Sketch.kmvRegisters]] (identical hash, identical bounded
+    * [[graft.ext.Sketch.BottomKAgg]], which is a supported streaming
+    * aggregate: its partial buffer IS the window state, ≤ k values per
+    * open (window, type)). Registers emitted on window close are
+    * bit-identical to the batch sketch over the same window's events, so
+    * they merge with batch register tables via [[graft.ext.Sketch.kmvMerge]]
+    * — e.g. a daily rollup that also supports INTERSECTION estimates
+    * across streams, which the HLL twin cannot.
+    */
+  def kmvUsersHourly(events: DataFrame, k: Int = 64,
+                     watermark: String = "1 hour"): DataFrame = {
+    import graft.ext.{Dedup, Sketch}
+    val agg = udaf(new Sketch.BottomKAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong).apply(col("h"))
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"),
+        Dedup.mixHash(col("user_id"), Sketch.KmvJ).as("h"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(agg.as("bottomk"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        posexplode(col("bottomk")).as(Seq("pos", "h")))
+      .select(col("hour"), col("event_type"),
+        (col("pos") + 1).cast("int").as("rank"), col("h"))
+  }
+
   /** Streaming exact dedup: drops events whose `idCol` was already seen,
     * with state bounded by the watermark — the streaming face of the batch
     * exact-dedup operator (Dedup.exactDedup) for at-least-once sources

@@ -19,6 +19,30 @@ class SamplingSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("sampleExactN: exactly min(n, |group|) rows per group; subset of input; repartition-invariant") {
+    val out = Sampling.sampleExactN(docs, "doc_id", "lang", n = 50)
+    val counts = out.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 50L, "zh" -> 50L))
+    val ids = out.collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf((0L until 1000L).toSet))
+    val repart = Sampling.sampleExactN(docs.repartition(7), "doc_id", "lang", n = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == repart, "winners must not depend on partitioning")
+    // n beyond the group size keeps the whole group
+    val all = Sampling.sampleExactN(docs, "doc_id", "lang", n = 5000)
+    assert(all.count() == 1000)
+  }
+
+  test("sampleExactN: nested — the n=10 sample is a prefix of the n=50 sample per group") {
+    val small = Sampling.sampleExactN(docs, "doc_id", "lang", 10)
+      .collect().map(_.getLong(0)).toSet
+    val large = Sampling.sampleExactN(docs, "doc_id", "lang", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large),
+      "bottom-n of a fixed hash order must nest: growing n only adds rows")
+  }
+
   test("per-stratum rates are approximately honored") {
     val out = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
       Seq("en" -> 500, "zh" -> 100), 50)

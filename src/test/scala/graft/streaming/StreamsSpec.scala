@@ -56,6 +56,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvUsersHourly: streaming registers equal the batch KMV sketch on the closed window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val agg = Streams.kmvUsersHourly(mem.toDF(), k = 16)
+    val q = agg.writeStream.format("memory").queryName("kmv_hourly")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val in10 = (1 to 40).map(u =>
+        Streams.Event(u.toLong, ts("2024-01-01 10:05:00"), u.toLong % 25, "click", 1.0))
+      mem.addData(in10: _*)
+      q.processAllAvailable()
+      mem.addData(Streams.Event(99, ts("2024-01-01 13:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_hourly").collect()
+        .filter(_.getTimestamp(0).toString.startsWith("2024-01-01 10:"))
+        .map(r => (r.getString(1), r.getInt(2), r.getLong(3))).toSet
+      val batch = graft.ext.Sketch.kmvRegisters(
+        in10.toDF(), "user_id", Seq("event_type"), k = 16).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(streamed == batch, "streaming and batch KMV sketches must be identical")
+    } finally q.stop()
+  }
+
   test("sessionize with explicit state: 30-min gap closes a session") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
