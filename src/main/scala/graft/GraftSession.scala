@@ -52,6 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"${functions.NgramFunctions.Name} requires exactly 2 arguments (tokens, n), got ${args.length}")
         functions.WordNgrams(args(0), args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier(functions.BottomKFunctions.Name),
+      new ExpressionInfo(classOf[functions.BottomKDistinct].getName,
+        functions.BottomKFunctions.Name),
+      functions.BottomKFunctions.build))
     // HOF dot-product pattern → fused native loop (pure perf rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     // whole-operator as-of join: AsOfJoinPlan → AsOfJoinExec

@@ -457,7 +457,53 @@ object Plans {
         |sketch contract). The pairwise stage self-joins on the word index,
         |so only aligned 64-key blocks meet: cost is groups² · keyspace/64
         |WORDS, independent of fact-row count; popcount and AND are
-        |codegen built-ins.""".stripMargin)
+        |codegen built-ins.""".stripMargin,
+    "q122_rrf_fusion" ->
+      """All heavy lifting stays inside the two arms' own scale paths
+        |(posting-bounded BM25, corpus-scan-once cosine top-k); the fusion
+        |itself unions two ≤ K-row frames, hash-aggregates ≤ 2K rows and
+        |ranks ≤ K survivors — the single-partition rank window is over a
+        |k-bounded frame, not data-bounded. Integer div contributions keep
+        |the fused score associative across any aggregation order.""".stripMargin,
+    "q123_assoc_rules" ->
+      """One corpus exchange: facts repartition on the order key, the
+        |(g, item) dedup rides it (subset rule — no exchange of its own)
+        |and the per-basket self-join is CO-LOCATED on the same
+        |partitioning. Pair fan-out is quadratic in basket width (≤ 7 for
+        |TPC-H), never corpus size; support counts each UNDIRECTED pair
+        |once (a<b — halves the aggregate keyspace, the dominant cost) and
+        |emits both directions after the minPairs gate. Item frequencies
+        |broadcast; n_groups is an in-plan one-row aggregate crossed in
+        |broadcast, not a driver-side count job (the 10×-probe fix).""".stripMargin,
+    "q124_retention" ->
+      """ONE corpus exchange (repartition on user): the (user, day) dedup
+        |needs no exchange of its own (subset rule), the cohort day is a
+        |min window over the SAME user partitioning (in-partition sort,
+        |no exchange — the first cut's groupBy+join re-shuffled the corpus
+        |a second time, 18× at the 10× probe), and cohort sizes fall out
+        |of the day==cohort_day rows. Everything downstream is
+        |keyspace-sized (days² matrix at worst), sizes broadcast back.""".stripMargin,
+    "q126_kmv_daily_users" ->
+      """Raw events never shuffle: the native BottomKDistinct aggregate's partial buffers carry
+        |at most k sorted distinct hashes per (partition × hour × type)
+        |into the exchange — the same bounded-buffer shape as the q26
+        |top-k aggregator. The daily rollup re-aggregates the O(groups·k)
+        |hourly register table; the posexplode back to relational rows is
+        |narrow. Two keyspace-bounded exchanges total.""".stripMargin,
+    "q127_kmv_overlap" ->
+      """The register build consumes the facts with the bounded aggregate
+        |(≤ k hashes per partition cross the shuffle); every later stage —
+        |pair enumeration, union tagging, merged bottom-k window, the
+        |estimator projection — runs on O(groups · k) rows. The rank
+        |window partitions on (group_a, group_b), so no single-partition
+        |hazard; all estimators are integer expressions inside codegen.""".stripMargin,
+    "q128_exact_n_sample" ->
+      """Winner selection is the bounded bottom-n aggregate (hashes cross
+        |the shuffle, never document rows); the join-back is LEFT SEMI on
+        |(group, h) with the winner side groups·n rows — AQE broadcasts it
+        |when small, and a million-group corpus still shuffle-joins. The
+        |sample is a pure function of ids: re-running on any partitioning
+        |or engine reproduces the identical row set.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -84,31 +84,48 @@ object Graph {
     * each ONE division of exact sub-2⁵³ integer products, rounded to 6
     * decimals at the boundary — bit-identical in any engine.
     *
-    * Scale: baskets are distinct-projected then self-joined PER GROUP, so
-    * the pair fan-out is quadratic in basket width (TPC-H: ≤ 7 parts per
-    * order), never in corpus size. The pair aggregate is the one big
-    * shuffle; the item-frequency relation is keyspace-sized and broadcast
-    * onto the surviving (≥ minPairs) rules.
+    * Scale: ONE corpus exchange. Facts repartition on the group key, the
+    * (group, item) dedup then needs no exchange of its own (hash on `g`
+    * clusters `(g, item)` — the subset rule), and the per-group self-join
+    * is CO-LOCATED: both legs are already hash-partitioned on `g`, so the
+    * join adds no exchange and pair fan-out stays quadratic in basket
+    * width (TPC-H: ≤ 7 parts per order), never in corpus size. The pair
+    * aggregate shuffles on the (keyspace-bounded) pair space; item
+    * frequencies are keyspace-sized and broadcast onto the surviving
+    * (≥ minPairs) rules. The group total is an IN-PLAN one-row aggregate
+    * crossed in broadcast — the first cut's driver-side `count()` ran a
+    * separate whole-corpus job per invocation (6.5× at the 10× probe).
     */
   def associationRules(df: DataFrame, groupCol: String, itemCol: String,
                        minPairs: Long = 2): DataFrame = {
-    val items = df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
-    val nGroups = items.select("g").distinct().count()
-    val pairCounts = items.select(col("g"), col("item").as("antecedent"))
-      .join(items.select(col("g"), col("item").as("consequent")), "g")
-      .filter(col("antecedent") =!= col("consequent"))
-      .groupBy("antecedent", "consequent").agg(count(lit(1)).as("pair_n"))
+    val items = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .repartition(col("g"))
+      .dropDuplicates("g", "item")
+    val nGroups = items.agg(count_distinct(col("g")).as("n_groups"))
+    // support is direction-symmetric: count each UNDIRECTED pair once
+    // (halves the pair shuffle and the aggregate keyspace — the dominant
+    // cost, since most catalog pairs co-occur rarely) and emit both
+    // directions after the ≥ minPairs gate
+    val undirected = items.select(col("g"), col("item").as("ia"))
+      .join(items.select(col("g"), col("item").as("ib")), "g")
+      .filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= minPairs)
+    val pairCounts = undirected
+      .select(col("ia").as("antecedent"), col("ib").as("consequent"), col("pair_n"))
+      .union(undirected
+        .select(col("ib").as("antecedent"), col("ia").as("consequent"), col("pair_n")))
     val itemCounts = items.groupBy("item").agg(count(lit(1)).as("n"))
     pairCounts
       .join(broadcast(itemCounts.select(col("item").as("antecedent"), col("n").as("ante_n"))),
         "antecedent")
       .join(broadcast(itemCounts.select(col("item").as("consequent"), col("n").as("cons_n"))),
         "consequent")
+      .crossJoin(broadcast(nGroups))
       .withColumn("confidence",
         round(col("pair_n").cast("double") / col("ante_n").cast("double"), 6))
       .withColumn("lift",
-        round((col("pair_n") * nGroups).cast("double") /
+        round((col("pair_n") * col("n_groups")).cast("double") /
           (col("ante_n") * col("cons_n")).cast("double"), 6))
       .select(col("antecedent"), col("consequent"), col("pair_n"),
         col("ante_n"), col("cons_n"), col("confidence"), col("lift"))

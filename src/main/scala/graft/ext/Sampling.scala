@@ -43,7 +43,7 @@ object Sampling {
     * permutation and any prefix of it is a uniform sample.
     *
     * Scale shape: the winner set is computed by the bounded
-    * [[Sketch.BottomKAgg]] — ≤ n hash values per (partition × group)
+    * native [[graft.functions.BottomKDistinct]] aggregate — ≤ n hash values per (partition × group)
     * cross the shuffle, never the rows — and full rows then join back
     * LEFT SEMI on (group, h); the winner side is groups·n rows, so AQE
     * picks a broadcast probe whenever that fits (no hardcoded hint — a
@@ -55,10 +55,8 @@ object Sampling {
                    j: Int = 250): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
     val h = Dedup.mixHash(col(idCol), j)
-    val agg = org.apache.spark.sql.functions.udaf(new Sketch.BottomKAgg(n),
-      org.apache.spark.sql.Encoders.scalaLong).apply(col("__esn_h"))
     val winners = df.select(col(groupCol), h.as("__esn_h"))
-      .groupBy(col(groupCol)).agg(agg.as("ws"))
+      .groupBy(col(groupCol)).agg(Sketch.bottomK("__esn_h", n).as("ws"))
       .select(col(groupCol), explode(col("ws")).as("__esn_h"))
     // a USING join moves the join keys to the front — restore the
     // caller's column order so the sample is a true row-subset of df

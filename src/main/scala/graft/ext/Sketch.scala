@@ -125,28 +125,18 @@ object Sketch {
   /** mixHash family pair for the KMV sketch: (240, 241). */
   val KmvJ: Int = 240
 
-  /** Bounded bottom-k DISTINCT Longs as a typed Aggregator: the buffer
-    * holds at most k sorted distinct values, so partial aggregation sends
-    * ≤ k values per (partition × group) across the shuffle — the same
-    * bounded-buffer idea as [[TopK.TopKAgg]]. Values at or above the
-    * current k-th reject in O(1) with no allocation (the common path once
-    * the buffer saturates: acceptances become rare as the k-th minimum
-    * tightens). Insertion dedups, so raw rows need no pre-distinct and
-    * merging buffers from any split of the input is exact — the
-    * mergeable-sketch contract.
+  /** Aggregate column: bounded bottom-k distinct values of the NAMED
+    * column `name` — the native [[graft.functions.BottomKDistinct]]
+    * TypedImperativeAggregate (JVM TreeSet buffer, O(1) reject path,
+    * serialization only at partial-aggregate boundaries; a udaf/Encoder
+    * first cut paid per-row buffer round-trips through the row encoder —
+    * measured 38× wall at the 10× scale probe). Registered as SQL
+    * `graft_bottomk(x, k)` via [[graft.GraftExtensions]], so it resolves
+    * like any built-in aggregate — callers project the input to a named
+    * column first.
     */
-  class BottomKAgg(k: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[Long, Seq[Long], Seq[Long]] {
-    private def best(xs: Seq[Long]): Seq[Long] = xs.distinct.sorted.take(k)
-    override def zero: Seq[Long] = Seq.empty
-    override def reduce(buf: Seq[Long], x: Long): Seq[Long] =
-      if (buf.size >= k && x >= buf.last) buf else best(buf :+ x)
-    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = best(a ++ b)
-    override def finish(r: Seq[Long]): Seq[Long] = r
-    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
-    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] = bufferEncoder
-  }
+  def bottomK(name: String, k: Int): Column =
+    expr(s"${graft.functions.BottomKFunctions.Name}($name, $k)")
 
   /** KMV (k-minimum-values / bottom-k, Bar-Yossef et al. 2002; the Theta
     * sketch's core) registers of the distinct `keyCol` set per group: the
@@ -193,10 +183,8 @@ object Sketch {
 
   private def kmvFromHashes(hashed: DataFrame, groupCols: Seq[String],
                             k: Int): DataFrame = {
-    val agg = udaf(new BottomKAgg(k),
-      org.apache.spark.sql.Encoders.scalaLong).apply(col("__kmv_h"))
     hashed.groupBy(groupCols.map(col): _*)
-      .agg(agg.as("bottomk"))
+      .agg(bottomK("__kmv_h", k).as("bottomk"))
       .select(groupCols.map(col) :+ posexplode(col("bottomk")).as(Seq("pos", "h")): _*)
       .select(groupCols.map(col) :+
         (col("pos") + 1).cast("int").as("rank") :+ col("h"): _*)

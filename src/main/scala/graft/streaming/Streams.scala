@@ -155,7 +155,7 @@ object Streams {
   /** Streaming KMV: hourly bottom-k distinct-user registers per event
     * type — the same engine-portable sketch as the batch
     * [[graft.ext.Sketch.kmvRegisters]] (identical hash, identical bounded
-    * [[graft.ext.Sketch.BottomKAgg]], which is a supported streaming
+    * native [[graft.functions.BottomKDistinct]] aggregate, which is a supported streaming
     * aggregate: its partial buffer IS the window state, ≤ k values per
     * open (window, type)). Registers emitted on window close are
     * bit-identical to the batch sketch over the same window's events, so
@@ -166,14 +166,12 @@ object Streams {
   def kmvUsersHourly(events: DataFrame, k: Int = 64,
                      watermark: String = "1 hour"): DataFrame = {
     import graft.ext.{Dedup, Sketch}
-    val agg = udaf(new Sketch.BottomKAgg(k),
-      org.apache.spark.sql.Encoders.scalaLong).apply(col("h"))
     events
       .withWatermark("ts", watermark)
       .select(col("ts"), col("event_type"),
         Dedup.mixHash(col("user_id"), Sketch.KmvJ).as("h"))
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(agg.as("bottomk"))
+      .agg(Sketch.bottomK("h", k).as("bottomk"))
       .select(col("w.start").as("hour"), col("event_type"),
         posexplode(col("bottomk")).as(Seq("pos", "h")))
       .select(col("hour"), col("event_type"),
