@@ -2330,6 +2330,47 @@ object Oracles {
        |FROM documents d JOIN r USING (doc_id) WHERE r.rk <= $n""".stripMargin
   }
 
+  /** Mirrors operators.CdcMerge over the customer snapshot with the
+    * orders-derived changelog: same last-writer window (seq DESC, op
+    * DESC), same D-drop / upsert-image semantics, base rows surviving via
+    * NOT EXISTS.
+    */
+  val cdcMerge: String =
+    """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+      |log AS (
+      |  SELECT c.c_custkey, c.c_name, o.o_totalprice AS c_acctbal,
+      |         o.o_orderkey AS seq,
+      |         CASE WHEN o.o_orderstatus = 'P' THEN 'D'
+      |              WHEN o.o_orderstatus = 'F' THEN 'U' ELSE 'I' END AS op
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |latest AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+      |    ORDER BY seq DESC, op DESC) AS rn FROM log),
+      |l1 AS (SELECT * FROM latest WHERE rn = 1)
+      |SELECT b.c_custkey, b.c_name, b.c_acctbal FROM base b
+      |WHERE NOT EXISTS (SELECT 1 FROM l1 WHERE l1.c_custkey = b.c_custkey)
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_acctbal FROM l1 WHERE op <> 'D'""".stripMargin
+
+  /** Mirrors Sampling.sampledQuantiles over documents(n_chars) by source:
+    * the coordinated bottom-k id-hash sample, then nearest-rank (floor)
+    * quantiles over the sample — rank index `((m−1)·p) // 100 + 1`, ties
+    * broken by the hash. All-integer index arithmetic, exact values.
+    */
+  def sampledQuantiles(k: Int, j: Int, percentiles: Seq[Int]): String = {
+    val h = mixSql("doc_id", j)
+    s"""WITH r AS (SELECT source, ($h) AS h, n_chars AS value FROM documents),
+       |b AS (SELECT source, h, value,
+       |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS hrk FROM r),
+       |s AS (SELECT source, h, value FROM b WHERE hrk <= $k),
+       |o AS (SELECT source, value,
+       |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY value, h) AS rn,
+       |  COUNT(*) OVER (PARTITION BY source) AS m FROM s),
+       |p AS (SELECT unnest([${percentiles.mkString(", ")}]) AS p)
+       |SELECT o.source, p.p, o.value AS q_value, CAST(o.m AS INTEGER) AS sample_n
+       |FROM o CROSS JOIN p WHERE o.rn = ((o.m - 1) * p.p) // 100 + 1""".stripMargin
+  }
+
   /** Single-query brute-force cosine ranking (the q122 semantic arm),
     * parenthesized for embedding as a derived table.
     */

@@ -503,7 +503,23 @@ object Plans {
         |(group, h) with the winner side groups·n rows — AQE broadcasts it
         |when small, and a million-group corpus still shuffle-joins. The
         |sample is a pure function of ids: re-running on any partitioning
-        |or engine reproduces the identical row set.""".stripMargin)
+        |or engine reproduces the identical row set.""".stripMargin,
+    "q129_cdc_merge" ->
+      """The 100 TB MERGE shape: the changelog — the small side — takes the
+        |rank window (one changelog-keyed shuffle, WindowGroupLimit prunes
+        |to one row image per key map-side); the BASE is never sorted and
+        |never aggregated — untouched rows stream through a single
+        |LEFT ANTI probe (broadcast when the day's keyset fits, keyed
+        |shuffle otherwise) and upserts union in. Compaction cost is
+        |O(base scan + changelog shuffle), the minimum possible.""".stripMargin,
+    "q130_sampled_quantiles" ->
+      """Quantiles without sorting the corpus: one bounded bottom-k
+        |aggregate (≤ k hashes per partition cross the shuffle), sample
+        |rows join back on (group, h), and the only sort is the rank
+        |window over ≤ groups·k sample rows. The nearest-rank index is
+        |integer arithmetic, so the estimate is engine-portable — and the
+        |sample is coordinated (bottom-k of a fixed hash order), so
+        |per-batch sketches merge by re-taking bottom-k of their union.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

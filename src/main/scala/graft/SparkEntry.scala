@@ -1114,7 +1114,34 @@ object SparkEntry {
     // join back left-semi); the guarantee fraction sampling can't give
     "q128_exact_n_sample" -> ((s, d) =>
       graft.ext.Sampling.sampleExactN(
-        Tables.documents(s, d), idCol = "doc_id", groupCol = "source", n = 10))
+        Tables.documents(s, d), idCol = "doc_id", groupCol = "source", n = 10)),
+
+    // extension: CDC last-writer-wins merge — customer snapshot + a
+    // changelog derived from orders (each order is a full row image:
+    // status F → balance update, P → delete, O → upsert; sequence =
+    // o_orderkey). The lakehouse MERGE/compaction primitive.
+    "q129_cdc_merge" -> { (s, d) =>
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val changelog = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("o_totalprice").as("c_acctbal"), // raw double pass-through: bit-identical in any engine
+
+          col("o_orderkey").as("seq"),
+          when(col("o_orderstatus") === "P", lit("D"))
+            .when(col("o_orderstatus") === "F", lit("U"))
+            .otherwise(lit("I")).as("op"))
+      graft.operators.CdcMerge.merge(base, changelog, "c_custkey", "seq", "op")
+    },
+
+    // extension: per-source document-length quantiles from the bounded
+    // coordinated sample (mergeable-quantile sketch; exact when the
+    // source fits in k) — nearest-rank over the bottom-k id-hash sample
+    "q130_sampled_quantiles" -> ((s, d) =>
+      graft.ext.Sampling.sampledQuantiles(
+        Tables.documents(s, d), idCol = "doc_id", valueCol = "n_chars",
+        groupCol = "source", k = 64, percentiles = Seq(25, 50, 75, 90)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1247,6 +1274,8 @@ object SparkEntry {
     "q125_daily_user_sketch" -> Oracles.hllRegistersDaily(6),
     "q126_kmv_daily_users" -> Oracles.kmvRegistersDaily(64),
     "q127_kmv_overlap" -> Oracles.kmvOverlap(64),
-    "q128_exact_n_sample" -> Oracles.exactNSample(10, 250)
+    "q128_exact_n_sample" -> Oracles.exactNSample(10, 250),
+    "q129_cdc_merge" -> Oracles.cdcMerge,
+    "q130_sampled_quantiles" -> Oracles.sampledQuantiles(64, 260, Seq(25, 50, 75, 90))
   )
 }

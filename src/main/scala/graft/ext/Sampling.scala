@@ -65,6 +65,45 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Per-group quantile ESTIMATES from a bounded coordinated sample — the
+    * mergeable-quantile-sketch story: the sample is the bottom-k of the
+    * id hash order ([[sampleExactN]]'s winner rule), so per-partition /
+    * per-batch samples merge by re-taking the bottom-k of their union
+    * (the KMV law), and the quantile is the nearest-rank (floor) value
+    * `rank = ((m−1)·p) div 100 + 1` over the sorted sample — all-integer
+    * index arithmetic, value ties broken by the hash, so the whole output
+    * is a pure function of the input set (oracle-exact, unlike
+    * percentile_approx whose sketch is implementation-defined).
+    *
+    * Scale: the winner set is the bounded native bottom-k aggregate
+    * (≤ k hashes per partition cross the shuffle), sample rows join back
+    * on (group, h), and the rank window runs over ≤ groups·k rows — the
+    * corpus is scanned once and never sorted. Exact when |group| ≤ k
+    * (the sample IS the group).
+    */
+  def sampledQuantiles(df: DataFrame, idCol: String, valueCol: String,
+                       groupCol: String, k: Int, percentiles: Seq[Int],
+                       j: Int = 260): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 100),
+      s"percentiles out of [0, 100]: $percentiles")
+    val h = Dedup.mixHash(col(idCol), j)
+    val rows = df.select(col(groupCol), h.as("__sq_h"), col(valueCol).as("value"))
+    val winners = rows.groupBy(col(groupCol))
+      .agg(Sketch.bottomK("__sq_h", k).as("ws"))
+      .select(col(groupCol), explode(col("ws")).as("__sq_h"))
+    val sample = rows.join(winners, Seq(groupCol, "__sq_h"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("value"), col("__sq_h"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    sample
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("p", explode(array(percentiles.map(lit(_)): _*)))
+      .filter(col("rn") === expr("((m - 1) * p) div 100 + 1"))
+      .select(col(groupCol), col("p"), col("value").as("q_value"),
+        col("m").cast("int").as("sample_n"))
+  }
+
   /** Importance-weighted deterministic sampling: a row survives iff
     * `mixHash(id) mod 10^6 < round(weight · 10^6)` — inclusion probability
     * equals the row's own weight in [0, 1] (values outside clamp), still a

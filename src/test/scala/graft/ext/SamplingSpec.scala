@@ -43,6 +43,26 @@ class SamplingSpec extends SparkSpec {
       "bottom-n of a fixed hash order must nest: growing n only adds rows")
   }
 
+  test("sampledQuantiles: exact when the group fits in k; nearest-rank indices; repartition-invariant") {
+    import spark.implicits._
+    // one group of 9 known values → sample IS the group (k=16 > 9)
+    val d = (1L to 9L).map(i => (i, "g", i * 10L)).toDF("doc_id", "src", "value")
+    val out = Sampling.sampledQuantiles(d, "doc_id", "value", "src", 16, Seq(0, 25, 50, 75, 100))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    // m=9: idx(0)=1, idx(25)=3, idx(50)=5, idx(75)=7, idx(100)=9
+    assert(out == Set((0, 10L, 9), (25, 30L, 9), (50, 50L, 9), (75, 70L, 9), (100, 90L, 9)))
+    // large group: estimates are partitioning-invariant (pure function of ids)
+    val big = (0L until 2000L).map(i => (i, "g", i)).toDF("doc_id", "src", "value")
+    val a = Sampling.sampledQuantiles(big, "doc_id", "value", "src", 64, Seq(50)).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSet
+    val b = Sampling.sampledQuantiles(big.repartition(7), "doc_id", "value", "src", 64, Seq(50))
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(a == b)
+    // and lands within 15 points of the true median on a uniform ramp
+    val med = a.head._2
+    assert(med > 700 && med < 1300, s"median estimate $med vs true 1000")
+  }
+
   test("per-stratum rates are approximately honored") {
     val out = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
       Seq("en" -> 500, "zh" -> 100), 50)
