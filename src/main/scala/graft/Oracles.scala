@@ -2371,6 +2371,57 @@ object Oracles {
        |FROM o CROSS JOIN p WHERE o.rn = ((o.m - 1) * p.p) // 100 + 1""".stripMargin
   }
 
+  /** Mirrors Dedup.incrementalAssign over a deterministic corpus split
+    * (`doc_id % 10 < 8` = existing index, rest = new batch): both sides
+    * run the full shingle→sig→band chain (suffix-parameterized CTE names),
+    * the index collapses to its (band, key, min doc_id) bucket table, and
+    * each batch doc takes the smallest matching bucket rep or itself.
+    */
+  def incrementalAssign(k: Int, rowsPerBand: Int): String = {
+    val nBands = k / rowsPerBand
+    val mins = (0 until k).map(j =>
+      s"MIN((${Dedup.hashA(j)} * x + ${Dedup.hashB(j)}) % ${Dedup.MinHashP}) AS h$j").mkString(", ")
+    val keyList = (0 until nBands).map { b =>
+      ((b * rowsPerBand) until ((b + 1) * rowsPerBand))
+        .map(j => s"CAST(h$j AS VARCHAR)").mkString(" || '_' || ")
+    }.mkString("[", ", ", "]")
+    def chain(sfx: String, where: String): String =
+      s"""d$sfx AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3 AND $where),
+         |sh$sfx AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, length(text) - 2), i -> substring(text, CAST(i AS INTEGER), 3))) AS s FROM d$sfx),
+         |enc$sfx AS (SELECT doc_id, ${encodeShingle3Sql(n => s"substring(s, $n, 1)")} AS x FROM sh$sfx),
+         |sig$sfx AS (SELECT doc_id, $mins FROM enc$sfx GROUP BY doc_id),
+         |keyed$sfx AS (SELECT doc_id, $keyList AS keys FROM sig$sfx),
+         |banded$sfx AS (SELECT doc_id, keys, unnest(generate_series(0, ${nBands - 1})) AS band FROM keyed$sfx),
+         |b$sfx AS (SELECT doc_id, band, keys[band + 1] AS bkey FROM banded$sfx)""".stripMargin
+    s"""WITH ${chain("i", "doc_id % 10 < 8")},
+       |${chain("n", "doc_id % 10 >= 8")},
+       |bucket AS (SELECT band, bkey, MIN(doc_id) AS bucket_rep FROM bi GROUP BY 1, 2),
+       |m AS (
+       |  SELECT a.doc_id, MIN(bucket.bucket_rep) AS matched_rep
+       |  FROM bn a LEFT JOIN bucket USING (band, bkey) GROUP BY 1)
+       |SELECT b.doc_id,
+       |  COALESCE(m.matched_rep, b.doc_id) AS assigned_rep,
+       |  m.matched_rep IS NULL AS is_novel
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) b
+       |LEFT JOIN m USING (doc_id)""".stripMargin
+  }
+
+  /** Mirrors Funnel.dwellTimes: per-user lead over (epoch µs, event_id),
+    * open last intervals dropped, all-integer totals and floor-division
+    * mean per event type.
+    */
+  val dwellTimes: String =
+    """WITH iv AS (
+      |  SELECT event_type,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |      - epoch_us(ts) AS dwell_us
+      |  FROM events),
+      |g AS (SELECT event_type, COUNT(*) AS n_intervals,
+      |        CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us
+      |      FROM iv WHERE dwell_us IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n_intervals, total_dwell_us,
+      |  total_dwell_us // n_intervals AS mean_dwell_us FROM g""".stripMargin
+
   /** Single-query brute-force cosine ranking (the q122 semantic arm),
     * parenthesized for embedding as a derived table.
     */

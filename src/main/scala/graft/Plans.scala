@@ -519,7 +519,20 @@ object Plans {
         |window over ≤ groups·k sample rows. The nearest-rank index is
         |integer arithmetic, so the estimate is engine-portable — and the
         |sample is coordinated (bottom-k of a fixed hash order), so
-        |per-batch sketches merge by re-taking bottom-k of their union.""".stripMargin)
+        |per-batch sketches merge by re-taking bottom-k of their union.""".stripMargin,
+    "q131_incremental_assign" ->
+      """The daily-append dedup shape: the corpus collapses ONCE to its
+        |(band, key, min-id) bucket table — the persistable index artifact
+        |— and the new batch bands, equi-joins that table on (band, key),
+        |and min-aggregates back to one row per batch doc. Every exchange
+        |after the index agg is batch-sized; the corpus is never
+        |re-clustered and its text is read exactly once. Novelty falls out
+        |of the LEFT join (null rep ⇒ self-assign).""".stripMargin,
+    "q132_dwell_times" ->
+      """One user-key exchange for the lead window (per-user state, no
+        |global sort), then a hash aggregate whose keyspace is |event
+        |types| — constant at any corpus size. All integer-µs arithmetic
+        |inside one codegen span.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

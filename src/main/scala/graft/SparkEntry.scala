@@ -1141,7 +1141,23 @@ object SparkEntry {
     "q130_sampled_quantiles" -> ((s, d) =>
       graft.ext.Sampling.sampledQuantiles(
         Tables.documents(s, d), idCol = "doc_id", valueCol = "n_chars",
-        groupCol = "source", k = 64, percentiles = Seq(25, 50, 75, 90)))
+        groupCol = "source", k = 64, percentiles = Seq(25, 50, 75, 90))),
+
+    // extension: incremental dedup — assign a new crawl batch (doc_id %
+    // 10 ≥ 8) against the existing corpus's persisted LSH bucket index
+    // (doc_id % 10 < 8) without re-clustering the corpus; unmatched docs
+    // are novel
+    "q131_incremental_assign" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.Dedup.incrementalAssign(
+        index = docs.filter(col("doc_id") % 10 < 8),
+        batch = docs.filter(col("doc_id") % 10 >= 8))
+    },
+
+    // extension: time-in-state accounting — integer-µs dwell until the
+    // same user's next event, totals/floor-mean per event type
+    "q132_dwell_times" -> ((s, d) =>
+      graft.ext.Funnel.dwellTimes(Tables.events(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1276,6 +1292,8 @@ object SparkEntry {
     "q127_kmv_overlap" -> Oracles.kmvOverlap(64),
     "q128_exact_n_sample" -> Oracles.exactNSample(10, 250),
     "q129_cdc_merge" -> Oracles.cdcMerge,
-    "q130_sampled_quantiles" -> Oracles.sampledQuantiles(64, 260, Seq(25, 50, 75, 90))
+    "q130_sampled_quantiles" -> Oracles.sampledQuantiles(64, 260, Seq(25, 50, 75, 90)),
+    "q131_incremental_assign" -> Oracles.incrementalAssign(16, 4),
+    "q132_dwell_times" -> Oracles.dwellTimes
   )
 }

@@ -197,6 +197,45 @@ object Dedup {
       .agg(min("bucket_rep").as("cluster_rep"))
   }
 
+  /** Incremental LSH assignment — the daily-crawl-append primitive: match
+    * each NEW-batch doc against the EXISTING corpus's band index without
+    * touching (let alone re-clustering) the corpus itself. A batch doc
+    * sharing any full MinHash band with an indexed doc is assigned the
+    * smallest matching bucket representative (the [[minHashClusters]]
+    * keeper rule applied cross-corpus); a doc matching nothing — including
+    * docs too short to shingle — is NOVEL and represents itself.
+    * Output: one row per batch doc `(idCol, assigned_rep, is_novel)`.
+    *
+    * Scale shape: the index reduces to its bucket table `(band, key,
+    * bucket_rep)` — ≤ nBands rows per indexed doc, min-aggregated, the
+    * artifact a production pipeline computes ONCE and persists across
+    * daily appends. The batch side bands, joins on (band, key) — an
+    * equi-join whose build side is the bucket table, shuffled on the same
+    * key the index agg just produced — and min-aggregates back to one row
+    * per batch doc. Every stage is batch-sized except the index agg;
+    * nothing is quadratic and the corpus text is read exactly once.
+    */
+  def incrementalAssign(index: DataFrame, batch: DataFrame, k: Int = 16,
+                        rowsPerBand: Int = 4, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    def banded(docs: DataFrame): DataFrame =
+      minHashSignatures(docs, k, idCol, textCol)
+        .select(col(idCol), posexplode(bandKeys(k, rowsPerBand)).as(Seq("band", "key")))
+    val bucketIndex = banded(index)
+      .groupBy("band", "key").agg(min(col(idCol)).as("bucket_rep"))
+    // left join: a banded batch doc with zero index matches keeps its rows
+    // (null rep) so the per-doc agg still sees it; min() skips the nulls
+    val matched = banded(batch)
+      .join(bucketIndex, Seq("band", "key"), "left")
+      .groupBy(col(idCol))
+      .agg(min(col("bucket_rep")).as("matched_rep"))
+    batch.select(col(idCol))
+      .join(matched, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("matched_rep"), col(idCol)).as("assigned_rep"),
+        col("matched_rep").isNull.as("is_novel"))
+  }
+
   /** Linear-size edge set for exact component finding over the LSH candidate
     * graph: each doc connects to the SMALLEST doc id in each of its buckets
     * (a "star" per bucket). Connected components over these star edges equal

@@ -95,6 +95,38 @@ object Funnel {
       round(col("n").cast("double") / sum(col("n")).over(perFrom), 6))
   }
 
+  /** Dwell-time accounting: how long users sit in each state, where an
+    * event's dwell is the time until the SAME user's next event (the
+    * session-replay / engagement primitive behind time-on-page and
+    * state-occupancy reports). Each user's last event has no successor and
+    * contributes nothing (open intervals are unbounded, not zero — summing
+    * them as 0 would bias means down). All arithmetic is integer
+    * microseconds — `unix_micros` difference, totals, and a floor-division
+    * mean — so the output is bit-exact in any engine; ties on the
+    * timestamp are totally ordered by the event id (the
+    * [[transitionCounts]] rule). Output: one row per event type
+    * `(typeCol, n_intervals, total_dwell_us, mean_dwell_us)`.
+    *
+    * Scale shape: ONE user-key shuffle for the `lead` window (per-user
+    * state only, no global sort), then an aggregate whose keyspace is
+    * |event types| — constant-sized at any corpus scale.
+    */
+  def dwellTimes(events: DataFrame, tsCol: String = "ts",
+                 userCol: String = "user_id",
+                 typeCol: String = "event_type",
+                 idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col("t_us"), col(idCol))
+    events
+      .select(col(userCol), col(idCol), col(typeCol),
+        unix_micros(col(tsCol)).as("t_us"))
+      .withColumn("dwell_us", lead(col("t_us"), 1).over(w) - col("t_us"))
+      .filter(col("dwell_us").isNotNull)
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dwell_us")).as("total_dwell_us"))
+      .withColumn("mean_dwell_us", expr("total_dwell_us div n_intervals"))
+  }
+
   /** Cohort retention matrix: users are cohorted by their first active
     * day; each (cohort_day, day_offset) cell counts the cohort's users
     * active exactly `day_offset` days after first touch, with the

@@ -284,4 +284,33 @@ class DedupSpec extends SparkSpec {
         Map("id_a" -> "src", "id_b" -> "dst")), nodes)
     assertSameRows(viaStars, viaPairs)
   }
+
+  test("incrementalAssign: batch dups of indexed docs take the index rep; novel docs self-assign") {
+    val index = docs(
+      3L -> "the quick brown fox jumps over the lazy dog again and again",
+      5L -> "the quick brown fox jumps over the lazy dog again and again",
+      8L -> "completely different content about distributed query engines")
+    val batch = docs(
+      20L -> "the quick brown fox jumps over the lazy dog again and again", // dup of 3/5
+      21L -> "unseen content never indexed before in any band bucket at all", // novel
+      22L -> "ab") // too short to shingle → novel
+    val out = Dedup.incrementalAssign(index, batch).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out == Map(
+      20L -> ((3L, false)),  // smallest matching indexed id
+      21L -> ((21L, true)),
+      22L -> ((22L, true))))
+  }
+
+  test("incrementalAssign never assigns across the batch (batch-batch dups stay novel)") {
+    val index = docs(1L -> "completely different content about distributed query engines")
+    val batch = docs(
+      10L -> "the quick brown fox jumps over the lazy dog again and again",
+      11L -> "the quick brown fox jumps over the lazy dog again and again")
+    val out = Dedup.incrementalAssign(index, batch).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // both are dups of EACH OTHER but match nothing in the index: each is
+    // novel and represents itself — the next index build picks them up
+    assert(out == Map(10L -> ((10L, true)), 11L -> ((11L, true))))
+  }
 }

@@ -101,4 +101,35 @@ class FunnelSpec extends SparkSpec {
     val zero = out.filter("day_offset = 0 AND active_n <> cohort_n")
     assert(zero.count() == 0)
   }
+
+  test("dwellTimes: hand-traced integer-µs totals; last event per user contributes nothing") {
+    val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP",
+      Seq(
+        // u1: view (60s) → click (90s) → purchase (open)
+        Row(1L, 1L, "view", ts("2024-01-01 00:00:00")),
+        Row(1L, 2L, "click", ts("2024-01-01 00:01:00")),
+        Row(1L, 3L, "purchase", ts("2024-01-01 00:02:30")),
+        // u2: view (30s) → view (open) — dwell attributed to the FIRST view
+        Row(2L, 4L, "view", ts("2024-01-01 00:00:00")),
+        Row(2L, 5L, "view", ts("2024-01-01 00:00:30")),
+        // u3: a single event — no intervals at all
+        Row(3L, 6L, "click", ts("2024-01-01 00:00:00"))))
+    val out = Funnel.dwellTimes(ev)
+    assert(out.columns.toSeq ==
+      Seq("event_type", "n_intervals", "total_dwell_us", "mean_dwell_us"))
+    assert(rowSet(out) == rows(
+      Seq("view", "2", "90000000", "45000000"), // 60s + 30s over 2 intervals
+      Seq("click", "1", "90000000", "90000000"))) // u1's click → purchase
+  }
+
+  test("dwellTimes: simultaneous events are ordered by event id (zero dwell, not ambiguity)") {
+    val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP",
+      Seq(
+        Row(1L, 2L, "click", ts("2024-01-01 00:00:00")), // same ts: id 1 before id 2
+        Row(1L, 1L, "view", ts("2024-01-01 00:00:00")),
+        Row(1L, 3L, "purchase", ts("2024-01-01 00:00:10"))))
+    assert(rowSet(Funnel.dwellTimes(ev)) == rows(
+      Seq("view", "1", "0", "0"),
+      Seq("click", "1", "10000000", "10000000")))
+  }
 }
