@@ -2422,6 +2422,28 @@ object Oracles {
       |SELECT event_type, n_intervals, total_dwell_us,
       |  total_dwell_us // n_intervals AS mean_dwell_us FROM g""".stripMargin
 
+  /** Mirrors Funnel.lastTouchAttribution: running IGNORE NULLS last_value
+    * over the (user, t, id) window, horizon check, cents aggregation.
+    */
+  def lastTouchAttribution(touchTypes: Seq[String], convType: String,
+                           horizonUs: Long): String = {
+    val touches = touchTypes.map(t => s"'$t'").mkString(", ")
+    val wdef = "OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+       |         CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE event_type IN ($touches, '$convType')),
+       |w AS (
+       |  SELECT *,
+       |    last_value(CASE WHEN event_type IN ($touches) THEN event_type END IGNORE NULLS) $wdef AS touch_type,
+       |    last_value(CASE WHEN event_type IN ($touches) THEN t_us END IGNORE NULLS) $wdef AS touch_us
+       |  FROM e)
+       |SELECT CASE WHEN touch_us IS NULL OR t_us - touch_us > $horizonUs
+       |         THEN 'none' ELSE touch_type END AS credit,
+       |  COUNT(*) AS n_conversions, CAST(SUM(cents) AS BIGINT) AS revenue_cents
+       |FROM w WHERE event_type = '$convType' GROUP BY 1""".stripMargin
+  }
+
   /** Single-query brute-force cosine ranking (the q122 semantic arm),
     * parenthesized for embedding as a derived table.
     */

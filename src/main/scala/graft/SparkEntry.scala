@@ -1157,7 +1157,13 @@ object SparkEntry {
     // extension: time-in-state accounting — integer-µs dwell until the
     // same user's next event, totals/floor-mean per event type
     "q132_dwell_times" -> ((s, d) =>
-      graft.ext.Funnel.dwellTimes(Tables.events(s, d)))
+      graft.ext.Funnel.dwellTimes(Tables.events(s, d))),
+
+    // extension: last-touch attribution — conversions credited to the
+    // user's most recent in-horizon touch via ONE running window (no
+    // interval join); unattributed conversions land in 'none'
+    "q133_attribution" -> ((s, d) =>
+      graft.ext.Funnel.lastTouchAttribution(Tables.events(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1294,6 +1300,8 @@ object SparkEntry {
     "q129_cdc_merge" -> Oracles.cdcMerge,
     "q130_sampled_quantiles" -> Oracles.sampledQuantiles(64, 260, Seq(25, 50, 75, 90)),
     "q131_incremental_assign" -> Oracles.incrementalAssign(16, 4),
-    "q132_dwell_times" -> Oracles.dwellTimes
+    "q132_dwell_times" -> Oracles.dwellTimes,
+    "q133_attribution" -> Oracles.lastTouchAttribution(
+      Seq("view", "click"), "purchase", 30L * 60 * 1000000)
   )
 }

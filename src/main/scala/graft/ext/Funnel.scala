@@ -95,6 +95,52 @@ object Funnel {
       round(col("n").cast("double") / sum(col("n")).over(perFrom), 6))
   }
 
+  /** Last-touch attribution: every conversion is credited to the SAME
+    * user's most recent touch event (view/click/…) at or before the
+    * conversion, provided it happened within `horizonUs`; conversions with
+    * no touch in the window land in the `none` bucket, so the credit
+    * columns always total the conversion count. Revenue is attributed in
+    * integer cents (`round(value·100)` — the money rule every report
+    * query uses). Ties on the timestamp are ordered by event id, so a
+    * touch logged at the conversion's own instant with a smaller id gets
+    * the credit deterministically.
+    *
+    * Scale shape: NO join — touches and conversions ride one frame, and
+    * the "most recent touch" is a running `last(_, ignoreNulls)` over the
+    * user-key window (ROWS UNBOUNDED PRECEDING → running state, not a
+    * whole-partition sort-and-rescan). One user-key shuffle, then a
+    * |touch types|-sized aggregate. The interval-join formulation this
+    * replaces shuffles both sides AND buffers every in-horizon pair.
+    */
+  def lastTouchAttribution(events: DataFrame,
+                           touchTypes: Seq[String] = Seq("view", "click"),
+                           convType: String = "purchase",
+                           horizonUs: Long = 30L * 60 * 1000000,
+                           tsCol: String = "ts", userCol: String = "user_id",
+                           typeCol: String = "event_type",
+                           idCol: String = "event_id",
+                           valueCol: String = "value"): DataFrame = {
+    val isTouch = col(typeCol).isInCollection(touchTypes)
+    val w = Window.partitionBy(col(userCol)).orderBy(col("t_us"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attributed = events
+      .filter(isTouch || col(typeCol) === convType)
+      .select(col(userCol), col(idCol), col(typeCol),
+        unix_micros(col(tsCol)).as("t_us"),
+        round(col(valueCol) * 100).cast("long").as("cents"))
+      .withColumn("touch_type",
+        last(when(isTouch, col(typeCol)), ignoreNulls = true).over(w))
+      .withColumn("touch_us",
+        last(when(isTouch, col("t_us")), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .withColumn("credit",
+        when(col("touch_us").isNull || col("t_us") - col("touch_us") > horizonUs,
+          lit("none")).otherwise(col("touch_type")))
+    attributed.groupBy(col("credit"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("cents")).as("revenue_cents"))
+  }
+
   /** Dwell-time accounting: how long users sit in each state, where an
     * event's dwell is the time until the SAME user's next event (the
     * session-replay / engagement primitive behind time-on-page and

@@ -189,6 +189,47 @@ object Streams {
                   watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCol)
 
+  final case class CdcEvent(key: Long, seq: Long, op: String, payload: String)
+  final case class CdcLatest(key: Long, seq: Long, op: String, payload: String)
+
+  /** Streaming CDC materialization — the incremental twin of the batch
+    * [[graft.operators.CdcMerge]]: a keyed changelog stream of full row
+    * images folds into "the latest image per key", last-writer-wins by
+    * `(seq, op)` with the SAME tie-break as the batch merge ('U' > 'I' >
+    * 'D' in string order), so replaying any prefix of the stream equals
+    * batch-merging that prefix. Out-of-order delivery is safe: a late row
+    * with a lower sequence can never regress the state (the fold takes the
+    * max over state ∪ batch). Emits the updated image for exactly the keys
+    * touched each micro-batch (Update output mode) — the feed a downstream
+    * upsert sink applies.
+    *
+    * Scale: state is ONE row image per key — the information-theoretic
+    * minimum for upsert maintenance — hash-partitioned by the groupByKey
+    * exchange across the state store. NoTimeout is deliberate: a
+    * materialized view's keys stay live forever; retention/compaction is
+    * the batch merge's job (q129), not the stream's.
+    */
+  def cdcLatestState(changelog: Dataset[CdcEvent])(
+      implicit spark: SparkSession): Dataset[CdcLatest] = {
+    import spark.implicits._
+    changelog
+      .groupByKey(_.key)
+      .mapGroupsWithState[CdcLatest, CdcLatest](
+        GroupStateTimeout.NoTimeout)(cdcStep)
+  }
+
+  /** The cdcLatestState transition, named for deterministic-clock unit
+    * testing (TestGroupState), like [[sessionStep]].
+    */
+  private[streaming] def cdcStep(key: Long, rows: Iterator[CdcEvent],
+                                 state: GroupState[CdcLatest]): CdcLatest = {
+    val best = (state.getOption.iterator ++
+      rows.map(e => CdcLatest(key, e.seq, e.op, e.payload)))
+      .maxBy(r => (r.seq, r.op))
+    state.update(best)
+    best
+  }
+
   /** Streaming corpus curation — the incremental form of the batch
     * `ext.Curation` path for a continuously-arriving document stream
     * (doc_id, ts, text, source): quality-gate each document

@@ -102,6 +102,32 @@ class FunnelSpec extends SparkSpec {
     assert(zero.count() == 0)
   }
 
+  test("lastTouchAttribution: most recent in-horizon touch credited; out-of-horizon and touchless → none") {
+    val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE",
+      Seq(
+        // u1: view then click then buy → click (most recent touch) credited
+        Row(1L, 1L, "view", ts("2024-01-01 00:00:00"), 0.0),
+        Row(1L, 2L, "click", ts("2024-01-01 00:10:00"), 0.0),
+        Row(1L, 3L, "purchase", ts("2024-01-01 00:20:00"), 5.0),
+        // u2: touch 50 min before the buy — outside the 30-min horizon
+        Row(2L, 4L, "view", ts("2024-01-01 00:00:00"), 0.0),
+        Row(2L, 5L, "purchase", ts("2024-01-01 00:50:00"), 3.0),
+        // u3: no touch at all
+        Row(3L, 6L, "purchase", ts("2024-01-01 00:05:00"), 2.0),
+        // u4: exactly AT the horizon boundary — still credited (≤, not <)
+        Row(4L, 7L, "click", ts("2024-01-01 00:00:00"), 0.0),
+        Row(4L, 8L, "purchase", ts("2024-01-01 00:30:00"), 7.0),
+        // u5: an error event between click and buy must not steal credit
+        Row(5L, 9L, "click", ts("2024-01-01 00:00:00"), 0.0),
+        Row(5L, 10L, "error", ts("2024-01-01 00:01:00"), 0.0),
+        Row(5L, 11L, "purchase", ts("2024-01-01 00:02:00"), 1.0)))
+    val out = Funnel.lastTouchAttribution(ev)
+    assert(out.columns.toSeq == Seq("credit", "n_conversions", "revenue_cents"))
+    assert(rowSet(out) == rows(
+      Seq("click", "3", "1300"), // u1 500 + u4 700 + u5 100
+      Seq("none", "2", "500")))  // u2 300 + u3 200
+  }
+
   test("dwellTimes: hand-traced integer-µs totals; last event per user contributes nothing") {
     val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP",
       Seq(

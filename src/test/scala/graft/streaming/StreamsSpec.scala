@@ -355,4 +355,53 @@ class StreamsSpec extends SparkSpec {
       assert(row1.getAs[Int]("n_tokens") == 19)
     } finally q.stop()
   }
+
+  test("cdcLatestState: streamed changelog across batches ≡ batch CdcMerge; late low-seq can't regress") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.CdcEvent]
+    val q = Streams.cdcLatestState(mem.toDS())(spark).writeStream
+      .format("memory").queryName("cdc_latest")
+      .outputMode(OutputMode.Update).start()
+    val batch1 = Seq(
+      Streams.CdcEvent(1L, 5L, "I", "a1"),
+      Streams.CdcEvent(2L, 3L, "I", "b1"),
+      Streams.CdcEvent(3L, 4L, "I", "c1"))
+    val batch2 = Seq(
+      Streams.CdcEvent(1L, 9L, "U", "a2"),  // update key 1
+      Streams.CdcEvent(2L, 7L, "D", ""),    // delete key 2
+      Streams.CdcEvent(3L, 2L, "U", "late"), // LATE, lower seq: must not regress c1
+      Streams.CdcEvent(4L, 6L, "I", "d1"))  // new key
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      // final materialized view = max-(seq, op) emission per key (emissions
+      // are monotone in (seq, op) — the state only ever advances)
+      val emitted = spark.table("cdc_latest").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getString(3))))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+      val live = emitted.collect { case (k, (_, op, payload)) if op != "D" => k -> payload }
+      // batch twin: same changelog merged onto an empty base in ONE pass
+      val base = Seq.empty[(Long, String)].toDF("key", "payload")
+      val log = (batch1 ++ batch2).toDF()
+      val merged = graft.operators.CdcMerge.merge(base, log, "key", "seq", "op")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(live == merged)
+      assert(live == Map(1L -> "a2", 3L -> "c1", 4L -> "d1"))
+    } finally q.stop()
+  }
+
+  test("cdcStep: same-seq tie breaks op-descending, exactly like the batch merge") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val state = TestGroupState.create[Streams.CdcLatest](
+      Optional.empty[Streams.CdcLatest](), GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    val out = Streams.cdcStep(7L, Iterator(
+      Streams.CdcEvent(7L, 5L, "D", ""),
+      Streams.CdcEvent(7L, 5L, "U", "keep")), state)
+    assert(out == Streams.CdcLatest(7L, 5L, "U", "keep"))
+    assert(state.get == out)
+  }
 }
