@@ -695,6 +695,29 @@ object Oracles {
        |$dotsCte,
        |${rankTail(k)}""".stripMargin
 
+  /** Mirrors Similarity.annRecall over the lsh (q19) and ivf (q27) arms
+    * vs the exact q18 set: the arm/exact derivations are the SAME oracle
+    * SQL embedded as derived tables, hits are a plain inner join (top-k
+    * pairs are unique), recall is BIGINT integer division to ppm.
+    */
+  def annRecall(queryMod: Int, k: Int, dim: Int, nPlanes: Int,
+                centMod: Int, nProbe: Int): String =
+    s"""WITH exact AS (SELECT query_id, neighbor_id FROM (${cosineTopK(queryMod, k)}) t),
+       |lsh AS (SELECT query_id, neighbor_id FROM (${lshTopK(queryMod, k, dim, nPlanes)}) t),
+       |ivf AS (SELECT query_id, neighbor_id FROM (${ivfTopK(centMod, queryMod, nProbe, k)}) t),
+       |m AS (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'),
+       |u AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+       |      UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf),
+       |h AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS total_hits
+       |      FROM u JOIN exact USING (query_id, neighbor_id) GROUP BY 1),
+       |e AS (SELECT CAST(COUNT(*) AS BIGINT) AS expected FROM exact)
+       |SELECT m.method, COALESCE(h.total_hits, CAST(0 AS BIGINT)) AS total_hits,
+       |  e.expected,
+       |  CASE WHEN e.expected = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE (1000000 * COALESCE(h.total_hits, CAST(0 AS BIGINT))) // e.expected
+       |  END AS recall_ppm
+       |FROM m LEFT JOIN h USING (method), e""".stripMargin
+
   /** Mirrors Similarity.embeddingNearDupPairs (LSH bucket join + exact
     * cosine re-check ≥ threshold).
     */
@@ -2567,6 +2590,37 @@ object Oracles {
        |         ELSE -((2 * (-inum) + n) // (2 * n)) END
        |  END AS DOUBLE) / 1000000 AS intercept
        |FROM v""".stripMargin
+
+  /** Mirrors TimeSeries.groupCorr on lineitem: exact HUGEINT second
+    * moments per (returnflag, linestatus), r from the identical integers
+    * at the double boundary, 6-decimal round.
+    */
+  def metricCorr: String = {
+    def rExpr(sy: String, syy: String, sxy: String): String =
+      s"""CASE WHEN (n * sxx - sx * sx) > 0 AND (n * $syy - $sy * $sy) > 0 THEN
+         |    round(CAST(n * $sxy - sx * $sy AS DOUBLE) /
+         |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+         |       sqrt(CAST(n * $syy - $sy * $sy AS DOUBLE))), 6)
+         |  END""".stripMargin
+    s"""WITH b AS (
+       |  SELECT l_returnflag, l_linestatus,
+       |    CAST(round(l_quantity) AS BIGINT) AS x,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y0,
+       |    CAST(round(l_discount * 10000) AS BIGINT) AS y1
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS HUGEINT) AS n,
+       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |    SUM(CAST(y0 AS HUGEINT)) AS sy0, SUM(CAST(y0 AS HUGEINT) * y0) AS syy0,
+       |    SUM(CAST(x AS HUGEINT) * y0) AS sxy0,
+       |    SUM(CAST(y1 AS HUGEINT)) AS sy1, SUM(CAST(y1 AS HUGEINT) * y1) AS syy1,
+       |    SUM(CAST(x AS HUGEINT) * y1) AS sxy1
+       |  FROM b GROUP BY 1, 2)
+       |SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
+       |  ${rExpr("sy0", "syy0", "sxy0")} AS corr_price_cents,
+       |  ${rExpr("sy1", "syy1", "sxy1")} AS corr_disc_bp
+       |FROM s""".stripMargin
+  }
 
   /** Mirrors Sketch.bitmapIndex ∘ bitmapOverlap on brand⇄customer: the
     * oracle counts the distinct shared-customer SET directly — proving the

@@ -1163,7 +1163,33 @@ object SparkEntry {
     // user's most recent in-horizon touch via ONE running window (no
     // interval join); unattributed conversions land in 'none'
     "q133_attribution" -> ((s, d) =>
-      graft.ext.Funnel.lastTouchAttribution(Tables.events(s, d)))
+      graft.ext.Funnel.lastTouchAttribution(Tables.events(s, d))),
+
+    // extension: ANN recall@k eval — each approximate arm's top-k scored
+    // against the exact brute-force set; comparison touches only top-k
+    // output rows (broadcast-sized regardless of corpus)
+    "q134_ann_recall" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.annRecall(
+        Similarity.bruteForceTopK(q, emb, k = 5),
+        Seq(
+          "lsh" -> Similarity.lshTopK(q, emb, k = 5, dim = 16, nPlanes = 4),
+          "ivf" -> Similarity.ivfTopK(q, emb, k = 5,
+            centroids = emb.filter(col("vec_id") % 37 === 0), nProbe = 3)))
+    },
+
+    // extension: one-pass multi-column Pearson correlation per group —
+    // exact integer second moments, one group-key shuffle, O(1) state
+    "q135_metric_corr" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(
+        col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        round(col("l_discount") * 10000).cast("long").as("disc_bp"))
+      graft.ext.TimeSeries.groupCorr(li, Seq("l_returnflag", "l_linestatus"),
+        "qty", Seq("price_cents", "disc_bp"))
+    }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1302,6 +1328,8 @@ object SparkEntry {
     "q131_incremental_assign" -> Oracles.incrementalAssign(16, 4),
     "q132_dwell_times" -> Oracles.dwellTimes,
     "q133_attribution" -> Oracles.lastTouchAttribution(
-      Seq("view", "click"), "purchase", 30L * 60 * 1000000)
+      Seq("view", "click"), "purchase", 30L * 60 * 1000000),
+    "q134_ann_recall" -> Oracles.annRecall(50, 5, 16, 4, 37, 3),
+    "q135_metric_corr" -> Oracles.metricCorr
   )
 }

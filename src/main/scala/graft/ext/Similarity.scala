@@ -272,4 +272,39 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "score", "rank")
   }
+
+  /** Recall evaluation for the approximate-ANN family: each named arm's
+    * top-k result set is scored against the exact brute-force set, as a
+    * query — the eval an ANN deployment runs before trusting an index.
+    * Output: one row per arm with the hit count, the exact-set size, and
+    * recall in integer parts-per-million (`10⁶·hits div expected` —
+    * BIGINT-exact in any engine, no float boundary at all). An arm that
+    * returns nothing still gets its row (recall 0), so a broken index
+    * reads as 0, not as a missing line in the report.
+    *
+    * Scale shape: each arm keeps its own plan (bucket equi-joins, corpus
+    * scans); the comparison itself touches only top-k OUTPUT rows —
+    * |queries|·k per arm — so the hits join and the method dim are
+    * broadcast-sized no matter how large the corpus behind the arms is.
+    */
+  def annRecall(exact: DataFrame, arms: Seq[(String, DataFrame)]): DataFrame = {
+    require(arms.nonEmpty, "annRecall needs at least one arm")
+    val ex = exact.select("query_id", "neighbor_id")
+    val tagged = arms.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    // exact top-k pairs are unique per (query, neighbor): inner join = hits
+    val hits = tagged.join(broadcast(ex), Seq("query_id", "neighbor_id"))
+      .groupBy("method").agg(count(lit(1)).as("total_hits"))
+    val methods = exact.sparkSession
+      .createDataFrame(arms.map(m => Tuple1(m._1))).toDF("method")
+    val expected = ex.groupBy().agg(count(lit(1)).as("expected"))
+    methods.join(hits, Seq("method"), "left")
+      .na.fill(0L, Seq("total_hits"))
+      .crossJoin(broadcast(expected))
+      .withColumn("recall_ppm",
+        when(col("expected") === 0, lit(0L))
+          .otherwise(expr("(1000000 * total_hits) div expected")))
+      .select("method", "total_hits", "expected", "recall_ppm")
+  }
 }

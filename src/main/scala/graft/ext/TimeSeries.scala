@@ -86,6 +86,50 @@ object TimeSeries {
       .select(groupCols.map(col) :+ col("n") :+ col("slope") :+ col("intercept"): _*)
   }
 
+  /** Per-group Pearson correlation of one x column against several y
+    * columns, from the same one-pass integer second-moment family as
+    * [[groupTrend]]: every Σ (x, y, x², y², xy) is an exact DECIMAL(38,0)
+    * aggregate with map-side partial combine — ONE shuffle on the group
+    * key, O(1) state per group, all y-correlations from the same pass.
+    * Inputs must be integral (units/cents/basis points — the money rule);
+    * the float boundary is the final r = num/(√denx·√deny), where both
+    * engines divide/sqrt the IDENTICAL exact integers (the √ makes the
+    * quotient irrational, so the 6-decimal round has no half-way boundary
+    * the way a pure integer ratio does — the [[groupTrend]] hazard).
+    *
+    * Degenerate groups (either variance zero) emit NULL r rather than a
+    * division error.
+    */
+  def groupCorr(df: DataFrame, groupCols: Seq[String], xCol: String,
+                yCols: Seq[String]): DataFrame = {
+    require(yCols.nonEmpty, "groupCorr needs at least one y column")
+    val x = col(xCol).cast("decimal(19,0)")
+    val aggs = Seq(count(lit(1)).as("n"), sum(x).as("sx"),
+      sum((x * x).cast("decimal(38,0)")).as("sxx")) ++
+      yCols.zipWithIndex.flatMap { case (yc, i) =>
+        val y = col(yc).cast("decimal(19,0)")
+        Seq(sum(y).as(s"__sy$i"),
+          sum((y * y).cast("decimal(38,0)")).as(s"__syy$i"),
+          sum((x * y).cast("decimal(38,0)")).as(s"__sxy$i"))
+      }
+    val agg = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("decimal(19,0)")
+    val denx = (nD * col("sxx") - col("sx") * col("sx")).cast("decimal(38,0)")
+    val withR = yCols.zipWithIndex.foldLeft(agg.withColumn("__denx", denx)) {
+      case (d, (yc, i)) =>
+        val deny = (nD * col(s"__syy$i") - col(s"__sy$i") * col(s"__sy$i"))
+          .cast("decimal(38,0)")
+        val num = (nD * col(s"__sxy$i") - col("sx") * col(s"__sy$i"))
+          .cast("decimal(38,0)")
+        d.withColumn(s"corr_$yc",
+          when(col("__denx") > 0 && deny > 0,
+            round(num.cast("double") /
+              (sqrt(col("__denx").cast("double")) * sqrt(deny.cast("double"))), 6)))
+    }
+    withR.select(groupCols.map(col) ++ (col("n") +:
+      yCols.map(yc => col(s"corr_$yc"))): _*)
+  }
+
   /** Dense per-key hourly event counts over the corpus's global
     * [min, max] hour span, gaps explicit as `n_events = 0`.
     *

@@ -128,4 +128,17 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"expected broadcast join in:\n$plan")
   }
+
+  test("annRecall: ppm hit rate per arm; empty arm still reports a 0 row") {
+    def pairs(rows: (Long, Long)*): org.apache.spark.sql.DataFrame =
+      df("query_id BIGINT, neighbor_id BIGINT",
+        rows.map { case (q, n) => Row(q, n) })
+    val exact = pairs(1L -> 10L, 1L -> 11L, 2L -> 20L, 2L -> 21L)
+    val good = pairs(1L -> 10L, 1L -> 11L, 2L -> 20L, 2L -> 99L) // 3 of 4
+    val empty = pairs()
+    val out = Similarity.annRecall(exact, Seq("good" -> good, "empty" -> empty))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("good") == ((3L, 4L, 750000L)))
+    assert(out("empty") == ((0L, 4L, 0L)))
+  }
 }

@@ -88,4 +88,21 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().head
     assert(rp.getDouble(2) == r.getDouble(2) && rp.getDouble(3) == r.getDouble(3))
   }
+
+  test("groupCorr: perfect ±1, zero correlation, and degenerate-variance NULL") {
+    val pts = df("g STRING, x BIGINT, y1 BIGINT, y2 BIGINT", Seq(
+      // y1 = 2x (r = 1); y2 symmetric around x=2 (num = 0 → r = 0)
+      Row("up", 1L, 2L, 1L), Row("up", 2L, 4L, 2L), Row("up", 3L, 6L, 1L),
+      // y1 = 8-2x (r = -1); y2 constant (zero variance → NULL)
+      Row("down", 1L, 6L, 5L), Row("down", 2L, 4L, 5L), Row("down", 3L, 2L, 5L),
+      // all x equal → both NULL
+      Row("flat", 4L, 1L, 2L), Row("flat", 4L, 9L, 3L)))
+    val out = TimeSeries.groupCorr(pts, Seq("g"), "x", Seq("y1", "y2"))
+    assert(out.columns.toSeq == Seq("g", "n", "corr_y1", "corr_y2"))
+    val m = out.collect().map(r => r.getString(0) ->
+      (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(m("up") == ((3L, Some(1.0), Some(0.0))))
+    assert(m("down") == ((3L, Some(-1.0), None)))
+    assert(m("flat") == ((2L, None, None)))
+  }
 }
