@@ -275,6 +275,22 @@ object Oracles {
   private def simhashCteFor(bits: Int): String =
     if (bits == 64) simhash64 else simhash(bits)
 
+  /** Mirrors Dedup.sortedNeighborhoodPairs: the oracle pairs each doc with
+    * its successor in ONE global `(simhash, doc_id)` window — independently
+    * proving the engine's bucket + boundary reconstruction equals true
+    * global adjacency.
+    */
+  def sortedNeighborhood: String =
+    s"""WITH sim AS (SELECT * FROM ($simhash64)),
+       |o AS (
+       |  SELECT doc_id, simhash,
+       |    lead(doc_id) OVER w AS nid,
+       |    lead(simhash) OVER w AS nsim
+       |  FROM sim WINDOW w AS (ORDER BY simhash, doc_id))
+       |SELECT doc_id AS id_a, nid AS id_b,
+       |  CAST(bit_count(xor(simhash, nsim)) AS INTEGER) AS hamming
+       |FROM o WHERE nid IS NOT NULL""".stripMargin
+
   /** Mirrors Dedup.simHashNearDupPairs (uncapped) — the oracle brute-forces
     * the pair space (fine at sf0.01), independently validating that the
     * engine's pigeonhole banding is exact, not an approximation.
@@ -1182,6 +1198,38 @@ object Oracles {
          |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM lineitem""".stripMargin)
       .mkString("\nUNION ALL\n")
 
+  /** Mirrors Profile.profileDrift on events split at `splitTs`: per-side
+    * per-column counts, integer-ppm null rates, signed deltas.
+    */
+  def profileDrift(cols: Seq[String], splitTs: String): String = {
+    def side(pred: String): String =
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM events WHERE $pred""".stripMargin)
+        .mkString("\nUNION ALL\n")
+    s"""WITH pa AS (${side(s"ts < TIMESTAMP '$splitTs'")}),
+       |pb AS (${side(s"ts >= TIMESTAMP '$splitTs'")}),
+       |j AS (
+       |  SELECT pa.col_name, pa.n_rows AS rows_a, pb.n_rows AS rows_b,
+       |    pa.n_nonnull AS nonnull_a, pb.n_nonnull AS nonnull_b,
+       |    pa.n_distinct AS distinct_a, pb.n_distinct AS distinct_b
+       |  FROM pa JOIN pb USING (col_name)),
+       |p AS (
+       |  SELECT *,
+       |    CASE WHEN rows_a = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE (1000000 * (rows_a - nonnull_a)) // rows_a END AS null_ppm_a,
+       |    CASE WHEN rows_b = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE (1000000 * (rows_b - nonnull_b)) // rows_b END AS null_ppm_b
+       |  FROM j)
+       |SELECT col_name, rows_a, rows_b, distinct_a, distinct_b,
+       |  null_ppm_a, null_ppm_b,
+       |  null_ppm_b - null_ppm_a AS null_drift_ppm,
+       |  distinct_b - distinct_a AS distinct_delta
+       |FROM p""".stripMargin
+  }
+
   /** q70 oracle: UNPIVOT of the q65 matrix — NOT a direct group-by, so
     * zero-count cells survive as rows exactly like the Spark melt.
     */
@@ -1225,6 +1273,27 @@ object Oracles {
       |SELECT k.event_type, hrs.hour, COALESCE(agg.n, 0) AS n_events
       |FROM k CROSS JOIN hrs
       |LEFT JOIN agg ON agg.event_type = k.event_type AND agg.hour = hrs.hour""".stripMargin
+
+  /** Mirrors TimeSeries.rateAnomalies: the q73 gap-fill derivation as a
+    * derived table, then the cross-multiplied integer z-test over the
+    * same trailing window — no float anywhere.
+    */
+  def rateAnomalies(lookback: Int, minPrior: Int, z: Int): String =
+    s"""WITH g AS (SELECT * FROM ($eventsGapFill) t),
+       |w AS (
+       |  SELECT event_type, hour, n_events,
+       |    COUNT(*) OVER ww AS m,
+       |    SUM(n_events) OVER ww AS s,
+       |    SUM(n_events * n_events) OVER ww AS q
+       |  FROM g
+       |  WINDOW ww AS (PARTITION BY event_type ORDER BY hour
+       |                ROWS BETWEEN $lookback PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, hour, n_events, CAST(m AS BIGINT) AS window_n,
+       |  CASE WHEN m * n_events - s < 0 THEN 'dip' ELSE 'spike' END AS direction
+       |FROM w
+       |WHERE m >= $minPrior
+       |  AND (m - 1) * (m * n_events - s) * (m * n_events - s)
+       |      > ${z.toLong * z} * m * (m * q - s * s)""".stripMargin
 
   /** q74 oracle: INTERSECT set semantics (parts shipped in both years). */
   val partsIntersect: String =

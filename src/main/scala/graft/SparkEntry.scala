@@ -1189,6 +1189,29 @@ object SparkEntry {
         round(col("l_discount") * 10000).cast("long").as("disc_bp"))
       graft.ext.TimeSeries.groupCorr(li, Seq("l_returnflag", "l_linestatus"),
         "qty", Seq("price_cents", "disc_bp"))
+    },
+
+    // extension: sorted-neighborhood blocking — exactly n−1 candidate
+    // pairs at ANY duplicate density (the dense-corpus complement to band
+    // joins); bucket lead + boundary pairs, no global window
+    "q136_sorted_neighborhood" -> ((s, d) =>
+      graft.ext.Dedup.sortedNeighborhoodPairs(Tables.documents(s, d))),
+
+    // extension: trailing-window rate anomalies — integer cross-multiplied
+    // z-test over the gap-filled hourly grid (silent hours = dip alerts);
+    // window runs on aggregates, never fact rows
+    "q137_rate_anomaly" -> ((s, d) =>
+      graft.ext.TimeSeries.rateAnomalies(Tables.events(s, d))),
+
+    // extension: snapshot profile drift — per-column null-rate (ppm) and
+    // cardinality deltas between two time slices; comparison is
+    // metadata-sized (one profile pass per side)
+    "q138_profile_drift" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val split = lit("2024-01-16").cast("timestamp")
+      graft.ext.Profile.profileDrift(
+        ev.filter(col("ts") < split), ev.filter(col("ts") >= split),
+        Seq("event_type", "user_id", "value", "props"))
     }
   )
 
@@ -1330,6 +1353,10 @@ object SparkEntry {
     "q133_attribution" -> Oracles.lastTouchAttribution(
       Seq("view", "click"), "purchase", 30L * 60 * 1000000),
     "q134_ann_recall" -> Oracles.annRecall(50, 5, 16, 4, 37, 3),
-    "q135_metric_corr" -> Oracles.metricCorr
+    "q135_metric_corr" -> Oracles.metricCorr,
+    "q136_sorted_neighborhood" -> Oracles.sortedNeighborhood,
+    "q137_rate_anomaly" -> Oracles.rateAnomalies(24, 12, 3),
+    "q138_profile_drift" -> Oracles.profileDrift(
+      Seq("event_type", "user_id", "value", "props"), "2024-01-16 00:00:00")
   )
 }

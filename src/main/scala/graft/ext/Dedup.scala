@@ -382,6 +382,56 @@ object Dedup {
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Sorted-neighborhood candidate pairs (window 2): every document is
+    * paired with its successor in global `(simhash64, doc_id)` order, each
+    * pair annotated with its hamming distance — the classic
+    * record-linkage blocking alternative to LSH banding: EXACTLY n−1
+    * candidate pairs for n documents, at any duplicate density (the
+    * all-pairs blowup a dense corpus forces on band joins cannot happen
+    * here; the trade is recall — near-dups separated in sort order are
+    * missed, which is why it complements rather than replaces q15/q45).
+    *
+    * Scale shape: NO global window. The sort key's top `bucketBits` bits
+    * partition the corpus into contiguous key ranges, so in-bucket
+    * successors come from a per-bucket `lead` (one bucket-key shuffle),
+    * and the only cross-bucket adjacencies are the ≤ 2^bucketBits
+    * boundary pairs — computed from a per-bucket min/max aggregate (one
+    * row per non-empty bucket) whose single-partition window is
+    * bucket-count-sized, never corpus-sized. Because the bucket is a key
+    * PREFIX, bucket order = key-range order, so in-bucket successors plus
+    * consecutive-bucket boundary pairs reconstruct global adjacency
+    * exactly.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, bucketBits: Int = 8,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    require(bucketBits > 0 && bucketBits < SimHash64Bits, "bucketBits out of range")
+    val sim = simHash64(docs, idCol, textCol)
+      .withColumn("bucket", shiftright(col("simhash"), SimHash64Bits - bucketBits))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("simhash"), col(idCol))
+    val inBucket = sim
+      .withColumn("nid", lead(col(idCol), 1).over(w))
+      .withColumn("nsim", lead(col("simhash"), 1).over(w))
+      .filter(col("nid").isNotNull)
+    // one row per non-empty bucket: lexicographic (simhash, id) min/max
+    // via struct ordering; the follow-up window runs over ≤ 2^bucketBits
+    // rows — bounded by construction, not by the corpus
+    val bounds = sim.groupBy("bucket").agg(
+      min(struct(col("simhash"), col(idCol).as("id"))).as("first"),
+      max(struct(col("simhash"), col(idCol).as("id"))).as("last"))
+    val bw = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+    val boundary = bounds
+      .withColumn("nxt", lead(col("first"), 1).over(bw))
+      .filter(col("nxt").isNotNull)
+      .select(col("last.id").as(idCol), col("last.simhash").as("simhash"),
+        col("nxt.id").as("nid"), col("nxt.simhash").as("nsim"))
+    inBucket.select(col(idCol), col("simhash"), col("nid"), col("nsim"))
+      .unionByName(boundary)
+      .select(col(idCol).as("id_a"), col("nid").as("id_b"),
+        hammingDist(col("simhash"), col("nsim")).cast("int").as("hamming"))
+  }
+
   // --------------------------------------------------------- 64-bit SimHash
 
   /** Number of populated bits in the wide simhash: two 31-bit affine halves

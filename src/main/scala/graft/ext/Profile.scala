@@ -38,4 +38,33 @@ object Profile {
         col(s"__nd_$c").as("n_distinct"))): _*)).as("p"))
       .select(col("p.col_name"), col("p.n_rows"), col("p.n_nonnull"), col("p.n_distinct"))
   }
+
+  /** Column-level drift between two snapshots of the same table — the
+    * schema-health diff a pipeline runs between loads to catch a feed
+    * silently going null-heavy or a key column collapsing its
+    * cardinality. Each side is one [[profile]] pass; the join is
+    * per-COLUMN (profile output rows), so the comparison is
+    * metadata-sized regardless of table size. Null rates are integer ppm
+    * (`10⁶·nulls div rows` — BIGINT-exact cross-engine), drift is the
+    * signed ppm delta, and distinct cardinality moves as a signed count.
+    */
+  def profileDrift(before: DataFrame, after: DataFrame,
+                   cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, sfx: String): DataFrame =
+      profile(df, cols).select(
+        col("col_name"),
+        col("n_rows").as(s"rows_$sfx"),
+        col("n_nonnull").as(s"nonnull_$sfx"),
+        col("n_distinct").as(s"distinct_$sfx"))
+    def nullPpm(rows: String, nonnull: String): org.apache.spark.sql.Column =
+      when(col(rows) === 0, lit(0L))
+        .otherwise(expr(s"(1000000 * ($rows - $nonnull)) div $rows"))
+    side(before, "a").join(side(after, "b"), Seq("col_name"))
+      .withColumn("null_ppm_a", nullPpm("rows_a", "nonnull_a"))
+      .withColumn("null_ppm_b", nullPpm("rows_b", "nonnull_b"))
+      .withColumn("null_drift_ppm", col("null_ppm_b") - col("null_ppm_a"))
+      .withColumn("distinct_delta", col("distinct_b") - col("distinct_a"))
+      .select("col_name", "rows_a", "rows_b", "distinct_a", "distinct_b",
+        "null_ppm_a", "null_ppm_b", "null_drift_ppm", "distinct_delta")
+  }
 }

@@ -161,6 +161,41 @@ object TimeSeries {
     events.select(col(keyCol)).distinct().crossJoin(hours)
   }
 
+  /** Trailing-window rate anomalies on the dense hourly grid: an hour is
+    * flagged when its count deviates from the preceding `lookback` hours'
+    * mean by more than `z` sample standard deviations — evaluated
+    * INTEGER-EXACTLY by cross-multiplying the z-test:
+    * (x − S/m)² > z²·(mQ − S²)/(m(m−1))  ⟺  (m−1)·(mx − S)² > z²·m·(mQ − S²),
+    * with m = window rows, S = Σx, Q = Σx². No float, no sqrt, no
+    * rounding boundary — the flag is bit-identical in any engine. Running
+    * over the GAP-FILLED grid means silent hours count as 0 (a dead
+    * stream is a dip anomaly, which is exactly the alert a rate monitor
+    * exists for). Warm-up hours with fewer than `minPrior` prior rows are
+    * not judged.
+    *
+    * Scale shape: the window runs over the AGGREGATED grid (keys × hours
+    * rows, partitioned by key) — never over fact rows; the fact table is
+    * touched only by [[gapFillHourly]]'s two scan-aggregates.
+    */
+  def rateAnomalies(events: DataFrame, tsCol: String = "ts",
+                    keyCol: String = "event_type", lookback: Int = 24,
+                    minPrior: Int = 12, z: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy("hour").rowsBetween(-lookback, -1)
+    val x = col("n_events")
+    val dev = col("m") * x - col("s")
+    gapFillHourly(events, tsCol, keyCol)
+      .withColumn("m", count(x).over(w))
+      .withColumn("s", sum(x).over(w))
+      .withColumn("q", sum(x * x).over(w))
+      .filter(col("m") >= minPrior)
+      .filter((col("m") - 1) * dev * dev >
+        lit(z.toLong * z) * col("m") * (col("m") * col("q") - col("s") * col("s")))
+      .select(col(keyCol), col("hour"), x,
+        col("m").as("window_n"),
+        when(dev < 0, lit("dip")).otherwise(lit("spike")).as("direction"))
+  }
+
   /** Forward fill (last observation carried forward) on the dense hourly
     * grid: per key and hour, the max of `valueCol` observed that hour
     * (`v`, NULL on gap hours) and the last non-null observation at or

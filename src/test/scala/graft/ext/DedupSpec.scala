@@ -313,4 +313,24 @@ class DedupSpec extends SparkSpec {
     // novel and represents itself — the next index build picks them up
     assert(out == Map(10L -> ((10L, true)), 11L -> ((11L, true))))
   }
+
+  test("sortedNeighborhoodPairs: n−1 pairs matching global (simhash, id) adjacency across bucket boundaries") {
+    // 40 distinct docs spread over the hash space so several top-bit
+    // buckets are populated — the boundary path must fire
+    val d = docs((0L until 40L).map(i =>
+      i -> s"token$i alpha beta ${('a' + (i % 26)).toChar} gamma delta word${i * 7}"): _*)
+    // reference: true global adjacency from the collected simhashes
+    val sims = Dedup.simHash64(d).collect().map(r => (r.getLong(1), r.getLong(0))).sorted
+    val expected = sims.sliding(2).collect { case Array((sa, ia), (sb, ib)) =>
+      (ia, ib, java.lang.Long.bitCount(sa ^ sb))
+    }.toSet
+    // tiny bucketBits forces many docs per bucket; large forces many
+    // boundary pairs — both must reconstruct the same global adjacency
+    for (bits <- Seq(2, 8, 20)) {
+      val out = Dedup.sortedNeighborhoodPairs(d, bucketBits = bits).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(out == expected, s"bucketBits=$bits")
+      assert(out.size == 39)
+    }
+  }
 }

