@@ -1446,6 +1446,31 @@ object Oracles {
       |  SELECT doc_id, unnest(w) AS token, unnest(range(0, len(w))) AS p FROM t
       |)""".stripMargin
 
+  /** Mirrors TextAnalysis.collocations: zipped-slice bigrams off the
+    * token lists, HUGEINT lift ratio, deterministic top-k cut.
+    */
+  def collocations(minCount: Long, k: Int): String =
+    s"""WITH t AS (
+       |  SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w
+       |  FROM documents
+       |), uc AS (
+       |  SELECT t, CAST(COUNT(*) AS HUGEINT) AS c
+       |  FROM (SELECT unnest(w) AS t FROM t) GROUP BY 1
+       |), bc AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS HUGEINT) AS c_xy
+       |  FROM (SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+       |        FROM t WHERE len(w) >= 2)
+       |  GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT CAST(SUM(len(w)) AS HUGEINT) AS n_uni,
+       |    CAST(SUM(greatest(len(w) - 1, 0)) AS HUGEINT) AS n_bi
+       |  FROM t)
+       |SELECT w1, w2, CAST(c_xy AS BIGINT) AS n_pair,
+       |  CAST((1000000 * c_xy * n_uni * n_uni) // (n_bi * a.c * b.c) AS BIGINT) AS lift_ppm
+       |FROM bc JOIN uc a ON a.t = w1 JOIN uc b ON b.t = w2, tot
+       |WHERE c_xy >= $minCount
+       |ORDER BY lift_ppm DESC, w1, w2 LIMIT $k""".stripMargin
+
   /** q83 oracle: the inverted index re-derived with window df over the
     * (token, doc) posting aggregate.
     */

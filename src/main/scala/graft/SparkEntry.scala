@@ -1212,7 +1212,13 @@ object SparkEntry {
       graft.ext.Profile.profileDrift(
         ev.filter(col("ts") < split), ev.filter(col("ts") >= split),
         Seq("event_type", "user_id", "value", "props"))
-    }
+    },
+
+    // extension: collocation mining — adjacent-bigram association lift in
+    // integer ppm (no log, no float); bigrams straight off the token
+    // arrays, vocabulary-sized aggregates, TakeOrdered top-k
+    "q139_collocations" -> ((s, d) =>
+      graft.ext.TextAnalysis.collocations(Tables.documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1357,6 +1363,7 @@ object SparkEntry {
     "q136_sorted_neighborhood" -> Oracles.sortedNeighborhood,
     "q137_rate_anomaly" -> Oracles.rateAnomalies(24, 12, 3),
     "q138_profile_drift" -> Oracles.profileDrift(
-      Seq("event_type", "user_id", "value", "props"), "2024-01-16 00:00:00")
+      Seq("event_type", "user_id", "value", "props"), "2024-01-16 00:00:00"),
+    "q139_collocations" -> Oracles.collocations(5, 50)
   )
 }

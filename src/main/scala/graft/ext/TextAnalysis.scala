@@ -261,6 +261,48 @@ object TextAnalysis {
       .agg(min(col("v")).as("threshold"), min(col("cum")).as("n_le"))
   }
 
+  /** Top-k collocations (adjacent-token bigrams) ranked by association
+    * lift — the PMI-style "these words travel together" signal a corpus
+    * curator uses to spot boilerplate templates and multiword terms.
+    * Lift is computed in integer parts-per-million, no logarithm:
+    * lift = p(xy)/(p(x)·p(y)) = c_xy·N_uni² / (N_bi·c_x·c_y), evaluated
+    * as one DECIMAL(38,0) integral division — libm's `log` is NOT
+    * bit-reproducible across engines, integer ratios are. Ties at the
+    * cut break on (w1, w2), so the top-k set is a deterministic total
+    * order, not a float coin flip.
+    *
+    * Scale shape: bigrams come straight off each document's token array
+    * (`transform` over indices — no position self-join, no second
+    * explode-shuffle); unigram and bigram counts are partial-agg'd
+    * hash aggregates on vocabulary-sized keyspaces; the totals are a
+    * 1-row broadcast; the final top-k is a TakeOrdered over the
+    * (already count-pruned) bigram relation — k rows to the driver.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50,
+                   textCol: String = "text"): DataFrame = {
+    val toksAll = docs.select(tokens(lower(col(textCol))).as("w"))
+    val uni = toksAll.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val bi = toksAll.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val totals = toksAll.agg(
+      sum(size(col("w")).cast("long")).as("n_uni"),
+      sum(greatest(size(col("w")) - 1, lit(0)).cast("long")).as("n_bi"))
+    bi.join(uni.select(col("t").as("w1"), col("c").as("cx")), Seq("w1"))
+      .join(uni.select(col("t").as("w2"), col("c").as("cy")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lift_ppm", expr(
+        """(CAST(1000000 AS DECIMAL(38,0)) * c_xy * n_uni * n_uni)
+          | div (CAST(n_bi AS DECIMAL(38,0)) * cx * cy)""".stripMargin))
+      .select(col("w1"), col("w2"), col("c_xy").as("n_pair"), col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   private def spark(df: DataFrame) = df.sparkSession
 
   /** Full per-document stats frame.

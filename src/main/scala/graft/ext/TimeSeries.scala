@@ -177,6 +177,24 @@ object TimeSeries {
     * rows, partitioned by key) — never over fact rows; the fact table is
     * touched only by [[gapFillHourly]]'s two scan-aggregates.
     */
+  /** The [[rateAnomalies]] z-test as plain Scala, shared with the
+    * streaming twin ([[graft.streaming.Streams.rateAnomalyState]]) so the
+    * two cannot drift: same cross-multiplied integers, same flag.
+    */
+  private[graft] def zFlag(prior: Seq[Long], x: Long, minPrior: Int,
+                           z: Int): Option[String] = {
+    val m = prior.size.toLong
+    if (m < minPrior) None
+    else {
+      val s = prior.sum
+      val q = prior.map(v => v * v).sum
+      val dev = m * x - s
+      if ((m - 1) * dev * dev > z.toLong * z * m * (m * q - s * s))
+        Some(if (dev < 0) "dip" else "spike")
+      else None
+    }
+  }
+
   def rateAnomalies(events: DataFrame, tsCol: String = "ts",
                     keyCol: String = "event_type", lookback: Int = 24,
                     minPrior: Int = 12, z: Int = 3): DataFrame = {

@@ -230,6 +230,72 @@ object Streams {
     best
   }
 
+  final case class RateEvent(event_type: String, ts: Timestamp)
+  final case class RateAnomaly(event_type: String, hour: Timestamp,
+                               n_events: Long, window_n: Long, direction: String)
+  final case class RateState(openHour: Long, openCount: Long, closed: List[Long])
+
+  /** Streaming rate-anomaly detection — the incremental twin of the batch
+    * [[graft.ext.TimeSeries.rateAnomalies]]: per key, hourly counts fold
+    * into a ring of the last `lookback` CLOSED hours, and each hour is
+    * judged as it closes (when a strictly later hour first appears on that
+    * key) with the SAME cross-multiplied integer z-test
+    * ([[graft.ext.TimeSeries.zFlag]] — one function, two callers, no
+    * drift). Hours a key skips entirely are closed as zero counts on the
+    * way forward, so a stream going silent raises dip alerts exactly like
+    * the batch gap-fill. Rows arriving for an already-closed hour are
+    * dropped — the explicit watermark analog of this manual windowing
+    * (mapGroupsWithState cannot sit downstream of a watermarked window
+    * aggregate, so the hourly bucketing happens in the transition).
+    *
+    * Scale: state per key is ONE open (hour, count) plus ≤ `lookback`
+    * longs — constant-size forever; emission is append-mode (an hour is
+    * judged exactly once).
+    */
+  def rateAnomalyState(events: Dataset[RateEvent], lookback: Int = 24,
+                       minPrior: Int = 12, z: Int = 3)(
+      implicit spark: SparkSession): Dataset[RateAnomaly] = {
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[RateState, RateAnomaly](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        rateStep(lookback, minPrior, z))
+  }
+
+  /** The rateAnomalyState transition, named for TestGroupState unit
+    * testing like [[sessionStep]] and [[cdcStep]].
+    */
+  private[streaming] def rateStep(lookback: Int, minPrior: Int, z: Int)(
+      key: String, rows: Iterator[RateEvent],
+      state: GroupState[RateState]): Iterator[RateAnomaly] = {
+    val byHour = scala.collection.mutable.TreeMap.empty[Long, Long]
+    rows.foreach { e =>
+      val h = e.ts.getTime / 3600000L
+      byHour(h) = byHour.getOrElse(h, 0L) + 1L
+    }
+    if (byHour.isEmpty) Iterator.empty
+    else {
+      var st = state.getOption.getOrElse(RateState(byHour.firstKey, 0L, Nil))
+      val out = scala.collection.mutable.ArrayBuffer.empty[RateAnomaly]
+      def close(): Unit = { // judge the open hour, roll it into history
+        graft.ext.TimeSeries.zFlag(st.closed, st.openCount, minPrior, z)
+          .foreach { dir =>
+            out += RateAnomaly(key, new Timestamp(st.openHour * 3600000L),
+              st.openCount, st.closed.size.toLong, dir)
+          }
+        st = RateState(st.openHour + 1, 0L, (st.openCount :: st.closed).take(lookback))
+      }
+      byHour.foreach { case (h, n) =>
+        if (h >= st.openHour) { // else: late row for a closed hour, dropped
+          while (st.openHour < h) close() // skipped hours close as 0
+          st = st.copy(openCount = st.openCount + n)
+        }
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
   /** Streaming corpus curation — the incremental form of the batch
     * `ext.Curation` path for a continuously-arriving document stream
     * (doc_id, ts, text, source): quality-gate each document

@@ -147,4 +147,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ("two ids <NUM> and <NUM> here", 0L, 2L))
     assert(out(3L) == ("clean text, short 12345 stays", 0L, 0L))
   }
+
+  test("collocations: hand-traced integer lift, tie broken on words, min count honored") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "a b a b"), Row(2L, "A b c")))
+    // uni: a:3 b:3 c:1, N_uni=7; bi: (a,b):3 (b,a):1 (b,c):1, N_bi=5
+    // lift(a,b) = 1e6·3·49/(5·9)  = 3266666;  lift(b,c) = 1e6·49/(5·3) = 3266666
+    // lift(b,a) = 1e6·49/(5·9)    = 1088888
+    val out = TextAnalysis.collocations(d, minCount = 1, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 3L, 3266666L), ("b", "c", 1L, 3266666L), ("b", "a", 1L, 1088888L)))
+    // minCount prunes the singletons; k cuts deterministically
+    val top = TextAnalysis.collocations(d, minCount = 2, k = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(top.toSeq == Seq(("a", "b")))
+  }
 }

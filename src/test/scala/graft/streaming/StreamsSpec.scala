@@ -391,6 +391,60 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rateAnomalyState: streamed hours across batches ≡ batch rateAnomalies on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(hour: Int, n: Int): Seq[Streams.RateEvent] = (0 until n).map(_ =>
+      Streams.RateEvent("a", java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:30:00")))
+    // hours 0..13 alternate 9/11, hour 14 spikes to 14, hour 15 quiet at 13
+    val all = (0 until 14).flatMap(h => at(h, if (h % 2 == 0) 9 else 11)) ++
+      at(14, 14) ++ at(15, 13)
+    val mem = MemoryStream[Streams.RateEvent]
+    val q = Streams.rateAnomalyState(mem.toDS())(spark).writeStream
+      .format("memory").queryName("rate_anoms")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = all.splitAt(all.indexWhere(_.ts.getHours >= 10))
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("rate_anoms").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2),
+          r.getLong(3), r.getString(4))).toSet
+      // batch twin on the identical rows (hour 15 is judged quiet there and
+      // stays open here — either way it contributes no anomaly row)
+      val batch = graft.ext.TimeSeries.rateAnomalies(
+        all.toDF().select(org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("ts"))).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2),
+          r.getLong(3), r.getString(4))).toSet
+      assert(streamed == batch)
+      assert(streamed == Set(("a", "2024-01-01 14:00:00.0", 14L, 14L, "spike")))
+    } finally q.stop()
+  }
+
+  test("rateStep: gap hours close as zero dips; late rows for closed hours are dropped") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def st(v: Option[Streams.RateState]) = TestGroupState.create[Streams.RateState](
+      v.map(Optional.of[Streams.RateState]).getOrElse(Optional.empty[Streams.RateState]()),
+      GroupStateTimeout.NoTimeout, batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    def ev(hour: Long, n: Int) = (0 until n).map(_ =>
+      Streams.RateEvent("k", new java.sql.Timestamp(hour * 3600000L)))
+    val step = Streams.rateStep(lookback = 3, minPrior = 2, z = 1) _
+    val s1 = st(None)
+    val out1 = step("k", (ev(0, 2) ++ ev(1, 2)).iterator, s1).toSeq
+    assert(out1.isEmpty) // hour 0 closed with no history; hour 1 still open
+    assert(s1.get == Streams.RateState(1L, 2L, List(2L)))
+    // hour 4 closes 1 (m=1 < minPrior), then gap hours 2, 3 as ZERO dips;
+    // the hour-0 stragglers are late for a closed hour and must not count
+    val s2 = st(Some(s1.get))
+    val out2 = step("k", (ev(4, 1) ++ ev(0, 7)).iterator, s2).toSeq
+    assert(out2.map(a => (a.hour.getTime / 3600000L, a.n_events, a.window_n, a.direction))
+      == Seq((2L, 0L, 2L, "dip"), (3L, 0L, 3L, "dip")))
+    assert(s2.get == Streams.RateState(4L, 1L, List(0L, 0L, 2L)))
+  }
+
   test("cdcStep: same-seq tie breaks op-descending, exactly like the batch merge") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
