@@ -532,7 +532,64 @@ object Plans {
       """One user-key exchange for the lead window (per-user state, no
         |global sort), then a hash aggregate whose keyspace is |event
         |types| — constant at any corpus size. All integer-µs arithmetic
-        |inside one codegen span.""".stripMargin)
+        |inside one codegen span.""".stripMargin,
+    "q133_attribution" ->
+      """Attribution WITHOUT the interval join: touches and conversions
+        |ride one frame through one user-key exchange; "most recent
+        |in-horizon touch" is a running last(ignoreNulls) window (ROWS
+        |UNBOUNDED PRECEDING ⇒ streaming state, not a rescan), then a
+        ||touch types|-sized aggregate. The join formulation this
+        |replaces shuffles both sides and buffers every in-horizon
+        |pair.""".stripMargin,
+    "q134_ann_recall" ->
+      """Each arm keeps its own plan (q18's broadcast scan, q19's bucket
+        |equi-join, q27's centroid probes); the comparison itself joins
+        |top-k OUTPUT rows only — |queries|·k per arm, broadcast-sized at
+        |any corpus. Recall is integer ppm: no float boundary in the
+        |report. The exact arm's cost envelope is |queries|·|corpus| by
+        |definition (ground truth needs the full scan): at 10× corpus
+        |with the %-derived query panel it is the measured 23× bench
+        |entry; a production eval pins a FIXED query panel, making the
+        |arm one corpus scan — linear (SCALING.md).""".stripMargin,
+    "q135_metric_corr" ->
+      """One group-key exchange total: every Σ (x, y, x², y², xy — for
+        |BOTH y columns) is a DECIMAL(38,0) partial aggregate with
+        |map-side combine and O(1) state per group. The float boundary is
+        |the final r = num/(√denx·√deny) on identical exact integers —
+        |and the √ makes the quotient irrational, so the 6-decimal round
+        |has no half-way hazard (the groupTrend lesson).""".stripMargin,
+    "q136_sorted_neighborhood" ->
+      """Exactly n−1 candidate pairs at ANY duplicate density — the
+        |degenerate-corpus complement to band joins. One bucket-key
+        |exchange for the per-bucket lead window (bucket = simhash top
+        |bits, so bucket ranges ARE global-sort ranges); the only
+        |single-partition window runs over the per-bucket min/max
+        |aggregate — ≤ 2^bucketBits rows, bounded by construction.
+        |In-bucket successors + consecutive-bucket boundary pairs
+        |reconstruct global (simhash, id) adjacency exactly (oracle
+        |proves it against a true global window).""".stripMargin,
+    "q137_rate_anomaly" ->
+      """The z-test window runs over the gap-filled GRID (keys × hours),
+        |never fact rows — facts are touched by two scan-aggregates. The
+        |flag is a cross-multiplied integer inequality: no sqrt, no
+        |division, no rounding boundary; silent hours enter as zeros so a
+        |dead stream alerts as dips. The streaming twin
+        |(Streams.rateAnomalyState) folds the same test incrementally
+        |with ≤ lookback longs of state per key.""".stripMargin,
+    "q138_profile_drift" ->
+      """Each snapshot is ONE multi-distinct aggregate pass (Expand —
+        |the honest cost of exact distincts); the drift join touches
+        |per-COLUMN profile rows, i.e. metadata-sized. Null rates and
+        |drifts are integer ppm (BIGINT div), engine-portable.""".stripMargin,
+    "q139_collocations" ->
+      """Bigrams come straight off each document's token array (transform
+        |over indices — no position self-join, no second explode); unigram
+        |and bigram counts are partial-agg'd hash aggregates on
+        |vocabulary-sized keyspaces; totals are a 1-row broadcast; the
+        |lift is one DECIMAL(38,0) integral division (no log — libm is
+        |not cross-engine reproducible) and the top-k cut is TakeOrdered
+        |over the count-pruned bigram relation with a (lift, w1, w2)
+        |total order.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
