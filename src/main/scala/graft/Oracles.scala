@@ -805,6 +805,44 @@ object Oracles {
        |FROM bytes""".stripMargin
   }
 
+  /** Mirrors Multimodal.sampleFrames (q143): per-media frame fan-out
+    * re-derived from the UTF-8 payload bytes — same hex-pair byte decode
+    * as [[mediaFeatures]], frame indices via the scalar `range` list
+    * (unnested — the lateral-arg-safe form), per-frame FNV-1a over the
+    * frame's own byte slice with the HUGEINT wraparound fold.
+    */
+  def mediaFrames(stride: Int, maxFrames: Int): String = {
+    val m = "18446744073709551616" // 2^64
+    val h = "9223372036854775808"  // 2^63
+    val wrapped = s"((CAST(xor(acc, CAST(byte AS BIGINT)) AS HUGEINT) * 1099511628211) % $m + $m) % $m"
+    s"""WITH d AS (
+       |  SELECT doc_id, COALESCE(encode(text), ''::BLOB) AS b FROM documents
+       |), s AS (
+       |  SELECT doc_id, octet_length(b) AS n, hex(b) AS hx FROM d
+       |), bytes AS (
+       |  SELECT doc_id, n,
+       |    list_transform(range(1, n + 1), i ->
+       |      (strpos('0123456789ABCDEF', hx[2*i-1]) - 1) * 16 +
+       |      (strpos('0123456789ABCDEF', hx[2*i]) - 1)) AS bs
+       |  FROM s
+       |), f AS (
+       |  SELECT doc_id, n, bs,
+       |    unnest(range(0, least((n + $stride - 1) // $stride, $maxFrames))) AS i
+       |  FROM bytes
+       |)
+       |SELECT doc_id AS media_id,
+       |  CAST(i AS INTEGER) AS frame_idx,
+       |  CAST(i * $stride AS INTEGER) AS byte_off,
+       |  CAST(least($stride, n - i * $stride) AS INTEGER) AS frame_bytes,
+       |  CAST(i * 40000 AS BIGINT) AS frame_ts_us,
+       |  list_reduce(list_prepend(1469598103934665603::BIGINT,
+       |      bs[CAST(i * $stride + 1 AS BIGINT) :
+       |         CAST(i * $stride + least($stride, n - i * $stride) AS BIGINT)]),
+       |    (acc, byte) ->
+       |      CAST(CASE WHEN $wrapped >= $h THEN $wrapped - $m ELSE $wrapped END AS BIGINT)) AS checksum
+       |FROM f""".stripMargin
+  }
+
   /** Mirrors the SQL-expressible subset of Multimodal.mediaFeatures:
     * UTF-8 byte length (strlen), even/odd kind split, ceil-div frame
     * count. NULL text maps to an empty payload in the engine → 0 bytes.
@@ -1294,6 +1332,54 @@ object Oracles {
        |WHERE m >= $minPrior
        |  AND (m - 1) * (m * n_events - s) * (m * n_events - s)
        |      > ${z.toLong * z} * m * (m * q - s * s)""".stripMargin
+
+  /** Mirrors TimeSeries.ewmaHourly: the q73 gap-fill derivation, then the
+    * truncated-renormalized EWMA as the SAME finite integer-weighted lag
+    * sum — one double division of identical integers at the boundary.
+    */
+  def ewmaHourly(alphaNum: Int, alphaDen: Int, depth: Int): String = {
+    val weights = (0 until depth).map { i =>
+      alphaNum.toLong * math.pow(alphaDen - alphaNum, i).toLong *
+        math.pow(alphaDen, depth - 1 - i).toLong
+    }
+    val denom = math.pow(alphaDen, depth).toLong -
+      math.pow(alphaDen - alphaNum, depth).toLong
+    val num = weights.zipWithIndex
+      .map { case (w, 0) => s"$w * n_events"
+             case (w, i) => s"$w * lag(n_events, $i) OVER ww" }
+      .mkString(" + ")
+    s"""WITH g AS (SELECT * FROM ($eventsGapFill) t),
+       |w AS (
+       |  SELECT event_type, hour, n_events,
+       |    row_number() OVER ww AS rn, $num AS num
+       |  FROM g
+       |  WINDOW ww AS (PARTITION BY event_type ORDER BY hour))
+       |SELECT event_type, hour, n_events,
+       |  round(CAST(num AS DOUBLE) / $denom, 6) AS ewma
+       |FROM w WHERE rn >= $depth""".stripMargin
+  }
+
+  /** Mirrors Similarity.minMaxNormalize (q144): integer-micro
+    * quantization (⌊x·10⁶+0.5⌋), per-dimension min/max via the
+    * fixed-`dim` generate_series form, index-aligned stat lists, ppm
+    * rescale with floor division — integer-exact end to end.
+    */
+  def minMaxNormalize(dim: Int): String = {
+    val us = "CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+    s"""WITH s AS (
+       |  SELECT i, MIN(us) AS mn, MAX(us) AS mx FROM (
+       |    SELECT i, $us AS us
+       |    FROM embeddings, generate_series(1, $dim) t(i))
+       |  GROUP BY i
+       |), arrs AS (
+       |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM s
+       |)
+       |SELECT vec_id,
+       |  list_transform(range(1, ${dim + 1}), i ->
+       |    CASE WHEN mxs[i] = mns[i] THEN 0
+       |         ELSE ($us - mns[i]) * 1000000 // (mxs[i] - mns[i]) END) AS norm_ppm
+       |FROM embeddings, arrs""".stripMargin
+  }
 
   /** q74 oracle: INTERSECT set semantics (parts shipped in both years). */
   val partsIntersect: String =
@@ -1842,6 +1928,38 @@ object Oracles {
     * `(d, id)` mirrors Spark's struct ordering), so each triangle is
     * counted from its unique oriented wedge in both engines.
     */
+  /** q141 oracle: the fixed-round k-core peel replayed as `rounds` nested
+    * CTE rounds — per round a degree aggregate and an endpoint IN-filter,
+    * over the same minPairs-thresholded co-occurrence edges the engine
+    * derives. Final SELECT = residual degrees of the surviving edge set.
+    */
+  def kCore(k: Int, rounds: Int, minPairs: Long): String = {
+    // every CTE MATERIALIZED: each round references its predecessor four
+    // times (degree union twice, IN-gates twice) — inlined, round R would
+    // expand to 4^R copies of the base self-join and exhaust file handles
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT n, COUNT(*) AS d FROM (
+         |    SELECT u AS n FROM e${i - 1} UNION ALL SELECT v AS n FROM e${i - 1})
+         |  GROUP BY n HAVING COUNT(*) >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT u, v FROM e${i - 1}
+         |  WHERE u IN (SELECT n FROM d$i) AND v IN (SELECT n FROM d$i))""".stripMargin
+    }
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS pn
+       |    FROM lineitem a JOIN lineitem b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |    GROUP BY 1, 2)
+       |  WHERE pn >= $minPairs
+       |), ${steps.mkString(", ")}
+       |SELECT node_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+       |  SELECT u AS node_id FROM e$rounds UNION ALL SELECT v AS node_id FROM e$rounds)
+       |GROUP BY node_id""".stripMargin
+  }
+
   val triangleCounts: String =
     """WITH und AS (
       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -2538,6 +2656,32 @@ object Oracles {
       |      FROM iv WHERE dwell_us IS NOT NULL GROUP BY 1)
       |SELECT event_type, n_intervals, total_dwell_us,
       |  total_dwell_us // n_intervals AS mean_dwell_us FROM g""".stripMargin
+
+  /** Mirrors Funnel.sessionPaths: gap-based sessionization via a lag +
+    * running-sum window over `(epoch µs, event_id)`, ordered-list path
+    * prefix, count per path, `(sessions DESC, path)` top-k.
+    */
+  def sessionPaths(gapUs: Long, maxLen: Int, k: Int): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us
+       |  FROM events),
+       |b AS (
+       |  SELECT *, CASE WHEN t_us - lag(t_us) OVER
+       |      (PARTITION BY user_id ORDER BY t_us, event_id) <= $gapUs
+       |    THEN 0 ELSE 1 END AS new_session
+       |  FROM e),
+       |s AS (
+       |  SELECT *, SUM(new_session) OVER
+       |      (PARTITION BY user_id ORDER BY t_us, event_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+       |  FROM b),
+       |p AS (
+       |  SELECT array_to_string(
+       |      list_slice(list(event_type ORDER BY t_us, event_id), 1, $maxLen),
+       |      '>') AS path
+       |  FROM s GROUP BY user_id, session)
+       |SELECT path, COUNT(*) AS sessions FROM p GROUP BY path
+       |ORDER BY sessions DESC, path LIMIT $k""".stripMargin
 
   /** Mirrors Funnel.lastTouchAttribution: running IGNORE NULLS last_value
     * over the (user, t, id) window, horizon check, cents aggregation.

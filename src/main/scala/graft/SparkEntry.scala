@@ -1218,7 +1218,50 @@ object SparkEntry {
     // integer ppm (no log, no float); bigrams straight off the token
     // arrays, vocabulary-sized aggregates, TakeOrdered top-k
     "q139_collocations" -> ((s, d) =>
-      graft.ext.TextAnalysis.collocations(Tables.documents(s, d)))
+      graft.ext.TextAnalysis.collocations(Tables.documents(s, d))),
+
+    // extension: top-k session paths — gap sessionization + ordered
+    // event-type prefix per session + path counts; one corpus exchange
+    // (the (user, session) rollup reuses the user-key partitioning), then
+    // keyspace-sized aggregates and a TakeOrdered top-k
+    "q140_session_paths" -> ((s, d) =>
+      graft.ext.Funnel.sessionPaths(Tables.events(s, d))),
+
+    // extension: k-core decomposition — fixed-round peel (8 rounds reach
+    // the fixpoint at both oracle scales) over the ≥2-order co-occurrence
+    // graph; per round one degree aggregate + two left-semi endpoint
+    // gates, lineage cut per round
+    "q141_kcore" -> { (s, d) =>
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+        .repartition(col("g")).dropDuplicates("g", "item")
+      val edges = items.select(col("g"), col("item").as("u"))
+        .join(items.select(col("g"), col("item").as("v")), "g")
+        .filter(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("pn"))
+        .filter(col("pn") >= 2).select("u", "v")
+      graft.ext.Graph.kCorePeel(edges, k = 2, rounds = 8)
+    },
+
+    // extension: exact EWMA smoothing — truncated-renormalized exponential
+    // weights as one finite integer lag sum over the gap-filled hourly
+    // grid; window state = depth lags per key, facts never re-scanned
+    "q142_ewma_hourly" -> ((s, d) =>
+      graft.ext.TimeSeries.ewmaHourly(Tables.events(s, d))),
+
+    // extension: frame sampling — media payloads fan out to per-frame
+    // rows (offset, ts, content fingerprint) in one narrow mapPartitions;
+    // payload bytes never leave the task, maxFrames bounds the expansion
+    "q143_media_frames" -> { (s, d) =>
+      implicit val sp: SparkSession = s
+      graft.ext.Multimodal.mediaFrames(Tables.documents(s, d))
+    },
+
+    // extension: per-dimension min-max feature scaling — integer-micro
+    // quantization, dim-sized stats broadcast as one index-aligned row,
+    // vectors rewritten in place; the corpus is never shuffled
+    "q144_minmax_normalize" -> ((s, d) =>
+      Similarity.minMaxNormalize(Tables.embeddings(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1364,6 +1407,11 @@ object SparkEntry {
     "q137_rate_anomaly" -> Oracles.rateAnomalies(24, 12, 3),
     "q138_profile_drift" -> Oracles.profileDrift(
       Seq("event_type", "user_id", "value", "props"), "2024-01-16 00:00:00"),
-    "q139_collocations" -> Oracles.collocations(5, 50)
+    "q139_collocations" -> Oracles.collocations(5, 50),
+    "q140_session_paths" -> Oracles.sessionPaths(30L * 60 * 1000000, 5, 20),
+    "q141_kcore" -> Oracles.kCore(2, 8, 2),
+    "q142_ewma_hourly" -> Oracles.ewmaHourly(3, 10, 8),
+    "q143_media_frames" -> Oracles.mediaFrames(256, 16),
+    "q144_minmax_normalize" -> Oracles.minMaxNormalize(64)
   )
 }

@@ -173,6 +173,54 @@ object Funnel {
       .withColumn("mean_dwell_us", expr("total_dwell_us div n_intervals"))
   }
 
+  /** Top-k session paths: events sessionize per user on an idle gap
+    * (`gapUs` — a new session starts when the user's inter-event silence
+    * exceeds it), each session becomes the `maxLen`-prefix of its
+    * event-type sequence joined by `>`, and the most common paths are
+    * reported with their session counts. The sequence-mining view of a
+    * clickstream ("view>click>purchase happened 3 1k times") that
+    * transition counts ([[transitionCounts]]) marginalize away.
+    *
+    * Determinism: events order by `(ts µs, event id)` — a total order both
+    * engines agree on; the final top-k orders by `(sessions DESC, path)`.
+    * The path aggregate sorts collected `(t_us, id, type)` structs with
+    * `sort_array` (a `collect_list` alone has nondeterministic
+    * accumulation order), so the prefix is exact.
+    *
+    * Scale shape: ONE corpus exchange. The session-boundary window
+    * partitions on `user`; the per-session rollup groups on
+    * `(user, session)`, which hash-on-`user` already clusters (Spark's
+    * subset rule — no second exchange); path counting then aggregates a
+    * keyspace bounded by |distinct paths| (≤ types^maxLen, data-small),
+    * and the top-k is a `TakeOrderedAndProject` — k rows to the driver,
+    * never a global sort. The `maxLen` prefix caps per-session state; a
+    * pathological always-active user costs one long array in one task,
+    * bounded by the session cap, not the corpus.
+    */
+  def sessionPaths(events: DataFrame, gapUs: Long = 30L * 60 * 1000000,
+                   maxLen: Int = 5, k: Int = 20, tsCol: String = "ts",
+                   userCol: String = "user_id", typeCol: String = "event_type",
+                   idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col("t_us"), col(idCol))
+    val run = Window.partitionBy(col(userCol)).orderBy(col("t_us"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(userCol), col(idCol), col(typeCol).as("etype"),
+        unix_micros(col(tsCol)).as("t_us"))
+      .withColumn("new_session",
+        when(col("t_us") - lag(col("t_us"), 1).over(w) <= gapUs, lit(0L))
+          .otherwise(lit(1L))) // first event: lag NULL → comparison NULL → 1
+      .withColumn("session", sum(col("new_session")).over(run))
+      .groupBy(col(userCol), col("session"))
+      .agg(sort_array(collect_list(struct(col("t_us"), col(idCol).as("id"),
+        col("etype")))).as("evs"))
+      .select(concat_ws(">",
+        transform(slice(col("evs"), 1, maxLen), e => e("etype"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("sessions"))
+      .orderBy(col("sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** Cohort retention matrix: users are cohorted by their first active
     * day; each (cohort_day, day_offset) cell counts the cohort's users
     * active exactly `day_offset` days after first touch, with the

@@ -131,6 +131,41 @@ object Graph {
         col("ante_n"), col("cons_n"), col("confidence"), col("lift"))
   }
 
+  /** Fixed-round k-core peel over an undirected edge list: each round
+    * computes every node's degree, drops nodes below `k`, and removes
+    * their edges; after `rounds` rounds the surviving nodes are reported
+    * with their residual degree. With enough rounds to reach the fixpoint
+    * (every reported degree ≥ k — the spec asserts it on the registered
+    * parameterization at both oracle scales) the result IS the k-core,
+    * the standard peel (Matula & Beck 1983) made engine-deterministic by
+    * fixing the round count instead of looping "until converged" (whose
+    * stopping step a SQL oracle cannot observe).
+    *
+    * Scale shape per round: one degree aggregate (union of both endpoint
+    * projections — a key-partitioned hash agg) and TWO left-semi joins
+    * gating the edge list on its endpoints; nothing quadratic, nothing
+    * driver-side. `localCheckpoint(eager)` per round cuts the lineage —
+    * the same O(1)-plan-depth discipline as [[pageRank]] and
+    * [[Dedup.connectedComponents]], without which round R's plan would
+    * re-derive rounds 1..R−1 per reference.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    var e = edges.select(col("u"), col("v")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("n")
+      e = e.join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(true)
+    }
+    e.select(col("u").as("node_id")).union(e.select(col("v").as("node_id")))
+      .groupBy("node_id").agg(count(lit(1)).as("degree"))
+  }
+
   /** Per-node triangle counts over an undirected edge list — the classic
     * clustering/cohesion signal.
     *

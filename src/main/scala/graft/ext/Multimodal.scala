@@ -129,6 +129,59 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class Frame(media_id: Long, frame_idx: Int, byte_off: Int,
+                         frame_bytes: Int, frame_ts_us: Long, checksum: Long)
+
+  /** Frame sampling: each media payload expands to one row per sampled
+    * frame — the row-explosion step a video/audio pipeline runs before
+    * per-frame featurization. The stub "frame" is a fixed `stride`-byte
+    * slice of the payload (a real codec would seek keyframes; the
+    * surrounding plumbing — fan-out schema, per-frame offsets/timestamps,
+    * per-partition codec amortization, `maxFrames` cap — is the real
+    * contract and identical either way). `frame_ts_us` stamps frames on a
+    * 25 fps clock; `checksum` is the FNV-1a of the frame's own bytes, the
+    * per-frame content fingerprint downstream dedup joins on.
+    *
+    * Scale shape: a narrow mapPartitions fan-out — no shuffle, no state;
+    * output rows carry only offsets + fingerprints (the payload slice is
+    * consumed inside the task and NOT emitted), so a 100 TB video corpus
+    * fans out to frame rows of a few dozen bytes each. `maxFrames` bounds
+    * the per-row expansion (a 4-hour stream cannot 10⁶× one task's
+    * output); real decoders plug in at the marked slice without touching
+    * the plan.
+    */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int = 256,
+                   maxFrames: Int = 16)(
+      implicit spark: SparkSession): Dataset[Frame] = {
+    import spark.implicits._
+    require(stride >= 1, "stride must be >= 1")
+    media.mapPartitions { rows =>
+      // real impl: codec init here, once per task
+      rows.flatMap { r =>
+        val n = r.payload.length
+        val nFrames = math.min(((n + stride - 1) / stride).toLong, maxFrames.toLong).toInt
+        (0 until nFrames).iterator.map { i =>
+          val off = i * stride
+          val len = math.min(stride, n - off)
+          // stub decode: the frame IS the byte slice; FNV-1a fingerprints it
+          var cs = 1469598103934665603L
+          var j = off
+          while (j < off + len) {
+            cs = (cs ^ (r.payload(j) & 0xff)) * 1099511628211L
+            j += 1
+          }
+          Frame(r.media_id, i, off, len, i * 40000L, cs)
+        }
+      }
+    }
+  }
+
+  /** The registered query shape: frames sampled from the fake media
+    * corpus, payloads pruned.
+    */
+  def mediaFrames(docs: DataFrame)(implicit spark: SparkSession): DataFrame =
+    sampleFrames(fakeMediaFromDocuments(docs)).toDF()
+
   /** Media near-duplicate pairs: perceptual hash → banded Hamming pairs.
     * The multimodal analogue of text SimHash dedup — candidate discovery
     * never touches payloads pairwise, only 64-bit fingerprints.

@@ -307,4 +307,40 @@ object Similarity {
           .otherwise(expr("(1000000 * total_hits) div expected")))
       .select("method", "total_hits", "expected", "recall_ppm")
   }
+
+  /** Per-dimension min-max feature scaling of the embedding corpus —
+    * EXACT. Values quantize to integer micros (`⌊x·10⁶ + 0.5⌋` — floor,
+    * never a half-tie rule), per-dimension min/max are integer aggregates,
+    * and each value rescales to `(v − min)·10⁶ div (max − min)` ppm of its
+    * dimension's observed range (a constant dimension maps to 0). All
+    * arithmetic past quantization is integer — the normalized corpus is
+    * bit-identical in any engine, which float mean/std standardization
+    * cannot promise (its corpus sums depend on reduction order).
+    *
+    * Scale shape: NO corpus shuffle. Pass 1 explodes to (dim, µs) pairs
+    * feeding a |dims|-sized partial-agg min/max; the stats collapse to ONE
+    * broadcast row of two index-aligned arrays; pass 2 rewrites each
+    * vector in place with an indexed `transform` against that row. The
+    * explode never regroups — the original rows are rewritten, not
+    * reassembled from pieces.
+    */
+  def minMaxNormalize(vectors: DataFrame, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val us = floor(col("v").cast("double") * 1e6 + 0.5).cast("long")
+    val stats = vectors
+      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("dim"), us.as("us"))
+      .groupBy("dim").agg(min("us").as("mn"), max("us").as("mx"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("mn")))).as("mns"),
+        sort_array(collect_list(struct(col("dim"), col("mx")))).as("mxs"))
+      .select(transform(col("mns"), e => e("mn")).as("mns"),
+        transform(col("mxs"), e => e("mx")).as("mxs"))
+    vectors.crossJoin(broadcast(stats))
+      .select(col(idCol),
+        expr(s"""transform($vecCol, (x, i) ->
+          CASE WHEN mxs[i] = mns[i] THEN 0L
+               ELSE (CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                     - mns[i]) * 1000000L div (mxs[i] - mns[i]) END)""")
+          .as("norm_ppm"))
+  }
 }

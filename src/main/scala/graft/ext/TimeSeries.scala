@@ -239,4 +239,53 @@ object TimeSeries {
       .join(hourly, Seq(keyCol, "hour"), "left")
       .withColumn("v_ff", last(col("v"), ignoreNulls = true).over(w))
   }
+
+  /** Exponentially-weighted moving average of the hourly event rate —
+    * EXACT. The classic smoother (α = `alphaNum`/`alphaDen`) truncated to
+    * a `depth`-hour lookback and renormalized, which turns the recursive
+    * float definition into a closed FINITE weighted sum:
+    *
+    *   ewma_t = Σ_{i=0}^{d-1} a·(b−a)^i·b^(d−1−i) · x_{t−i}
+    *            ─────────────────────────────────────────── ,  α = a/b
+    *                        b^d − (b−a)^d
+    *
+    * Numerator and denominator are exact BIGINTs (defaults: weights ≤
+    * 3·10⁷, so counts up to ~3·10¹⁰/hour fit 2⁶³); the only float op is
+    * the final division of those two integers, rounded to 6 decimals —
+    * bit-identical in any engine, unlike running-state float EWMA whose
+    * result depends on where the stream was cut. Truncation error vs the
+    * infinite recursion is (1−α)^d ≈ 5.8 % mass at the defaults, absorbed
+    * by the renormalization; rows without a full lookback (the first
+    * d−1 grid hours per key) are not emitted rather than silently
+    * smoothed over a shorter window.
+    *
+    * Scale shape: the lag window runs over the gap-filled AGGREGATE grid
+    * (keys × hours, partitioned by key) — fact rows are touched only by
+    * [[gapFillHourly]]'s scan-aggregates; per-row state is `depth` lags.
+    */
+  def ewmaHourly(events: DataFrame, tsCol: String = "ts",
+                 keyCol: String = "event_type", alphaNum: Int = 3,
+                 alphaDen: Int = 10, depth: Int = 8): DataFrame = {
+    require(alphaNum > 0 && alphaDen > alphaNum, "need 0 < alpha < 1")
+    require(depth >= 1 && math.pow(alphaDen.toDouble, depth) < 1e17,
+      "b^depth must stay far below 2^63")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("hour"))
+    val weights = (0 until depth).map { i =>
+      alphaNum.toLong * math.pow(alphaDen - alphaNum, i).toLong *
+        math.pow(alphaDen, depth - 1 - i).toLong
+    }
+    val denom = math.pow(alphaDen, depth).toLong -
+      math.pow(alphaDen - alphaNum, depth).toLong
+    val num = weights.zipWithIndex.map {
+      case (wi, 0) => lit(wi) * col("n_events")
+      case (wi, i) => lit(wi) * lag(col("n_events"), i).over(w)
+    }.reduce(_ + _)
+    gapFillHourly(events, tsCol, keyCol)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("num", num)
+      .filter(col("rn") >= depth)
+      .select(col(keyCol), col("hour"), col("n_events"),
+        round(col("num").cast("double") / lit(denom.toDouble), 6).as("ewma"))
+  }
 }

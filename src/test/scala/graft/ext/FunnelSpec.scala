@@ -158,4 +158,44 @@ class FunnelSpec extends SparkSpec {
       Seq("view", "1", "0", "0"),
       Seq("click", "1", "10000000", "10000000")))
   }
+
+  test("sessionPaths: idle gap splits sessions, prefix caps the path, counts rank") {
+    val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP",
+      Seq(
+        // u1 session 1: view>click; then a 31-min silence → session 2: view
+        Row(1L, 1L, "view", ts("2024-01-01 00:00:00")),
+        Row(1L, 2L, "click", ts("2024-01-01 00:05:00")),
+        Row(1L, 3L, "view", ts("2024-01-01 00:36:00")),
+        // u2 one session: view>click (29-min gap stays inside)
+        Row(2L, 4L, "view", ts("2024-01-01 00:00:00")),
+        Row(2L, 5L, "click", ts("2024-01-01 00:29:00")),
+        // u3 one long session: prefix caps at maxLen=2 → view>view
+        Row(3L, 6L, "view", ts("2024-01-01 00:00:00")),
+        Row(3L, 7L, "view", ts("2024-01-01 00:10:00")),
+        Row(3L, 8L, "purchase", ts("2024-01-01 00:20:00"))))
+    val out = Funnel.sessionPaths(ev, maxLen = 2, k = 10)
+    assert(out.columns.toSeq == Seq("path", "sessions"))
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("view>click", 2L), ("view", 1L), ("view>view", 1L)))
+  }
+
+  test("sessionPaths: simultaneous events order by event id inside the path") {
+    val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP",
+      Seq(
+        Row(1L, 2L, "click", ts("2024-01-01 00:00:00")),
+        Row(1L, 1L, "view", ts("2024-01-01 00:00:00"))))
+    assert(rowSet(Funnel.sessionPaths(ev)) == rows(Seq("view>click", "1")))
+  }
+
+  test("sessionPaths: top-k keeps the most common paths with a path tie-break") {
+    val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP",
+      Seq(
+        Row(1L, 1L, "view", ts("2024-01-01 00:00:00")),
+        Row(2L, 2L, "view", ts("2024-01-01 00:00:00")),
+        Row(3L, 3L, "click", ts("2024-01-01 00:00:00")),
+        Row(4L, 4L, "error", ts("2024-01-01 00:00:00"))))
+    // k=2: 'view' (2 sessions) then 'click' < 'error' alphabetically
+    assert(Funnel.sessionPaths(ev, k = 2).collect()
+      .map(_.getString(0)).toSeq == Seq("view", "click"))
+  }
 }

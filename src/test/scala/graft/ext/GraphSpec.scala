@@ -84,4 +84,34 @@ class GraphSpec extends SparkSpec {
     // minPairs = 1 keeps all 8 directed pairs
     assert(Graph.associationRules(d, "g", "item", minPairs = 1).count() == 8)
   }
+
+  test("kCorePeel: pendant chain peels away, the triangle core survives with degrees") {
+    // triangle 1-2-3 plus a tail 3-4-5: 2-core = the triangle only,
+    // reached after two peel rounds (5 dies, then 4)
+    val e = und((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val out = Graph.kCorePeel(e, k = 2, rounds = 3)
+    assert(out.columns.toSeq == Seq("node_id", "degree"))
+    assert(rowSet(out) == rows(Seq("1", "2"), Seq("2", "2"), Seq("3", "2")))
+  }
+
+  test("kCorePeel: too few rounds reports the intermediate peel state") {
+    val e = und((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    // one round removes only 5 (degree 1); 4 still holds edge 3-4
+    assert(rowSet(Graph.kCorePeel(e, k = 2, rounds = 1)) == rows(
+      Seq("1", "2"), Seq("2", "2"), Seq("3", "3"), Seq("4", "1")))
+  }
+
+  test("kCorePeel: whole graph below k peels to empty") {
+    val e = und((1L, 2L), (2L, 3L)) // path: no 2-core
+    assert(Graph.kCorePeel(e, k = 2, rounds = 3).count() == 0)
+  }
+
+  test("kCorePeel: registered q141 parameterization reaches its fixpoint (all degrees >= k)") {
+    // a denser mesh: K4 plus pendants — after peel every residual degree >= 2
+    val e = und((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val out = Graph.kCorePeel(e, k = 2, rounds = 8).collect()
+    assert(out.forall(_.getLong(1) >= 2))
+    assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
 }

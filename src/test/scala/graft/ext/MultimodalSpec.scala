@@ -36,6 +36,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L)._2 == 1)
   }
 
+  test("sampleFrames: per-frame offsets, lengths, clock, and fingerprints") {
+    val docs = df("doc_id BIGINT, text STRING", Seq(Row(0L, "a" * 10)))
+    val out = Multimodal.sampleFrames(
+      Multimodal.fakeMediaFromDocuments(docs), stride = 4, maxFrames = 16)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(f => (f.frame_idx, f.byte_off, f.frame_bytes, f.frame_ts_us))
+      .toSeq == Seq((0, 0, 4, 0L), (1, 4, 4, 40000L), (2, 8, 2, 80000L)))
+    // frames 0 and 1 are both "aaaa" → identical content fingerprint;
+    // the short tail "aa" differs
+    assert(out(0).checksum == out(1).checksum)
+    assert(out(0).checksum != out(2).checksum)
+  }
+
+  test("sampleFrames: maxFrames caps the fan-out; empty payload yields no frames") {
+    val docs = df("doc_id BIGINT, text STRING", Seq(
+      Row(0L, "z" * 1000), Row(1L, null)))
+    val out = Multimodal.sampleFrames(
+      Multimodal.fakeMediaFromDocuments(docs), stride = 100, maxFrames = 3)
+      .collect()
+    assert(out.count(_.media_id == 0L) == 3) // 10 natural frames, capped at 3
+    assert(!out.exists(_.media_id == 1L))    // NULL text → empty payload → none
+  }
+
   test("perceptualHash: hand-computed bits, empty payload is 0") {
     // 4 chunks over 8 bytes "AAAAyyyy" = [65*4, 121*4]: total=744
     // chunk sums (len 2): 130,130,242,242

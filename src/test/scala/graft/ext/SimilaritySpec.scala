@@ -141,4 +141,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out("good") == ((3L, 4L, 750000L)))
     assert(out("empty") == ((0L, 4L, 0L)))
   }
+
+  test("minMaxNormalize: ppm rescale per dimension; constant dimension maps to 0") {
+    val emb = df("vec_id BIGINT, embedding ARRAY<FLOAT>", Seq(
+      Row(1L, Seq(0.0f, 5.0f, 2.0f)),
+      Row(2L, Seq(1.0f, 5.0f, 4.0f)),
+      Row(3L, Seq(4.0f, 5.0f, 3.0f))))
+    val out = Similarity.minMaxNormalize(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // dim0 range [0,4]: 0→0, 1→250000, 4→10⁶; dim1 constant → 0;
+    // dim2 range [2,4]: 2→0, 4→10⁶, 3→500000
+    assert(out(1L) == Seq(0L, 0L, 0L))
+    assert(out(2L) == Seq(250000L, 0L, 1000000L))
+    assert(out(3L) == Seq(1000000L, 0L, 500000L))
+  }
+
+  test("minMaxNormalize: result is repartition-invariant (no order-dependent float path)") {
+    val emb = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+      (1L to 40L).map(i => Row(i, Seq(0.1f * i, -0.3f * i))))
+    val a = Similarity.minMaxNormalize(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = Similarity.minMaxNormalize(emb.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b)
+    assert(a.values.flatten.forall(v => v >= 0L && v <= 1000000L))
+  }
 }

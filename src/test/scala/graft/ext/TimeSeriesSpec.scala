@@ -129,4 +129,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(m("down") == ((3L, Some(-1.0), None)))
     assert(m("flat") == ((2L, None, None)))
   }
+
+  test("ewmaHourly: hand-computed weighted sum, warm-up rows withheld") {
+    // one key, hours 0..3 with counts 1,2,4,8; α=1/2, depth=2:
+    // weights (i=0,1) = 1·1·2, 1·1·1 = (2,1); denom = 4−1 = 3
+    val ev = df("event_type STRING, ts TIMESTAMP", Seq(
+      Row("a", ts("2024-01-01 00:00:00")),
+      Row("a", ts("2024-01-01 01:00:00")), Row("a", ts("2024-01-01 01:30:00")),
+      Row("a", ts("2024-01-01 02:00:00")), Row("a", ts("2024-01-01 02:15:00")),
+      Row("a", ts("2024-01-01 02:30:00")), Row("a", ts("2024-01-01 02:45:00")),
+      Row("a", ts("2024-01-01 03:00:00")), Row("a", ts("2024-01-01 03:05:00")),
+      Row("a", ts("2024-01-01 03:10:00")), Row("a", ts("2024-01-01 03:15:00")),
+      Row("a", ts("2024-01-01 03:20:00")), Row("a", ts("2024-01-01 03:25:00")),
+      Row("a", ts("2024-01-01 03:30:00")), Row("a", ts("2024-01-01 03:35:00"))))
+    val out = TimeSeries.ewmaHourly(ev, alphaNum = 1, alphaDen = 2, depth = 2)
+    assert(out.columns.toSeq == Seq("event_type", "hour", "n_events", "ewma"))
+    // hour 0 withheld (no full lookback); hour1: (2·2+1·1)/3 = 1.666667;
+    // hour2: (2·4+1·2)/3 = 3.333333; hour3: (2·8+1·4)/3 = 6.666667
+    assert(rowSet(out) == rows(
+      Seq("a", "2024-01-01 01:00:00.0", "2", "1.666667"),
+      Seq("a", "2024-01-01 02:00:00.0", "4", "3.333333"),
+      Seq("a", "2024-01-01 03:00:00.0", "8", "6.666667")))
+  }
+
+  test("ewmaHourly: gap hours smooth as zeros; per-key windows are independent") {
+    val out = TimeSeries.ewmaHourly(events, alphaNum = 1, alphaDen = 2, depth = 2)
+    // grid hours 0..2; key a counts 2,0,1 → h1: (0·2+2)/3 = 0.666667,
+    // h2: (1·2+0)/3 = 0.666667; key b counts 1,0,0 → h1: 0.333333, h2: 0
+    assert(rowSet(out) == rows(
+      Seq("a", "2024-01-01 01:00:00.0", "0", "0.666667"),
+      Seq("a", "2024-01-01 02:00:00.0", "1", "0.666667"),
+      Seq("b", "2024-01-01 01:00:00.0", "0", "0.333333"),
+      Seq("b", "2024-01-01 02:00:00.0", "0", "0.0")))
+  }
 }
