@@ -1960,6 +1960,40 @@ object Oracles {
        |GROUP BY node_id""".stripMargin
   }
 
+  /** q146 oracle: fixed-round synchronous label propagation replayed as
+    * round-unrolled MATERIALIZED CTEs (same inlining hazard as [[kCore]]);
+    * the per-node arg-max is a `row_number` over `(count DESC, label)` —
+    * the same most-frequent/min-label tie-break as the engine's
+    * `max(struct(c, -lbl))`.
+    */
+  def labelPropagation(rounds: Int, minPairs: Long): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.v AS id, l.lbl AS nl, COUNT(*) AS c
+         |  FROM sym e JOIN l${i - 1} l ON e.u = l.id
+         |  GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (
+         |  SELECT id, nl AS lbl FROM (
+         |    SELECT id, nl,
+         |      row_number() OVER (PARTITION BY id ORDER BY c DESC, nl) AS rn
+         |    FROM c$i) WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS pn
+       |    FROM lineitem a JOIN lineitem b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |    GROUP BY 1, 2)
+       |  WHERE pn >= $minPairs
+       |), sym AS MATERIALIZED (
+       |  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+       |), l0 AS MATERIALIZED (
+       |  SELECT DISTINCT u AS id, u AS lbl FROM sym
+       |), ${steps.mkString(", ")}
+       |SELECT id AS node_id, lbl AS community FROM l$rounds""".stripMargin
+  }
+
   val triangleCounts: String =
     """WITH und AS (
       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -2682,6 +2716,42 @@ object Oracles {
        |  FROM s GROUP BY user_id, session)
        |SELECT path, COUNT(*) AS sessions FROM p GROUP BY path
        |ORDER BY sessions DESC, path LIMIT $k""".stripMargin
+
+  /** Mirrors Funnel.sessionNgrams: the sessionPaths windows, ordered
+    * per-session type lists, contiguous n-gram fan-out via the scalar
+    * range list (empty below length n), occurrence + distinct-session
+    * support counts, `(occurrences DESC, gram)` top-k.
+    */
+  def sessionNgrams(n: Int, k: Int, gapUs: Long): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us
+       |  FROM events),
+       |b AS (
+       |  SELECT *, CASE WHEN t_us - lag(t_us) OVER
+       |      (PARTITION BY user_id ORDER BY t_us, event_id) <= $gapUs
+       |    THEN 0 ELSE 1 END AS new_session
+       |  FROM e),
+       |s AS (
+       |  SELECT *, SUM(new_session) OVER
+       |      (PARTITION BY user_id ORDER BY t_us, event_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+       |  FROM b),
+       |seq AS (
+       |  SELECT user_id, session,
+       |    list(event_type ORDER BY t_us, event_id) AS types
+       |  FROM s GROUP BY user_id, session),
+       |g AS (
+       |  SELECT user_id, session, unnest(
+       |    CASE WHEN len(types) >= $n THEN
+       |      list_transform(range(1, len(types) - ${n - 1} + 1), i ->
+       |        array_to_string(types[i : i + ${n - 1}], '>'))
+       |    ELSE [] END) AS gram
+       |  FROM seq),
+       |occ AS (SELECT gram, COUNT(*) AS occurrences FROM g GROUP BY gram),
+       |sup AS (SELECT gram, COUNT(*) AS sessions FROM (
+       |  SELECT DISTINCT gram, user_id, session FROM g) GROUP BY gram)
+       |SELECT gram, occurrences, sessions FROM occ JOIN sup USING (gram)
+       |ORDER BY occurrences DESC, gram LIMIT $k""".stripMargin
 
   /** Mirrors Funnel.lastTouchAttribution: running IGNORE NULLS last_value
     * over the (user, t, id) window, horizon check, cents aggregation.

@@ -1231,17 +1231,8 @@ object SparkEntry {
     // the fixpoint at both oracle scales) over the ≥2-order co-occurrence
     // graph; per round one degree aggregate + two left-semi endpoint
     // gates, lineage cut per round
-    "q141_kcore" -> { (s, d) =>
-      val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
-        .repartition(col("g")).dropDuplicates("g", "item")
-      val edges = items.select(col("g"), col("item").as("u"))
-        .join(items.select(col("g"), col("item").as("v")), "g")
-        .filter(col("u") < col("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("pn"))
-        .filter(col("pn") >= 2).select("u", "v")
-      graft.ext.Graph.kCorePeel(edges, k = 2, rounds = 8)
-    },
+    "q141_kcore" -> ((s, d) =>
+      graft.ext.Graph.kCorePeel(cooccurrenceEdges(s, d), k = 2, rounds = 8)),
 
     // extension: exact EWMA smoothing — truncated-renormalized exponential
     // weights as one finite integer lag sum over the gap-filled hourly
@@ -1261,8 +1252,37 @@ object SparkEntry {
     // quantization, dim-sized stats broadcast as one index-aligned row,
     // vectors rewritten in place; the corpus is never shuffled
     "q144_minmax_normalize" -> ((s, d) =>
-      Similarity.minMaxNormalize(Tables.embeddings(s, d)))
+      Similarity.minMaxNormalize(Tables.embeddings(s, d))),
+
+    // extension: contiguous sequential-pattern mining — every length-n
+    // window of every session's event sequence, occurrence + session
+    // support counts; narrow fan-out over the shared sessionization pass,
+    // types^n-bounded aggregates
+    "q145_session_ngrams" -> ((s, d) =>
+      graft.ext.Funnel.sessionNgrams(Tables.events(s, d))),
+
+    // extension: community detection — fixed-round synchronous label
+    // propagation (most-frequent neighbor label, min-label ties) over the
+    // q141 co-occurrence graph; per round one join + one arg-max
+    // aggregate, lineage cut per round
+    "q146_label_propagation" -> ((s, d) =>
+      graft.ext.Graph.labelPropagation(cooccurrenceEdges(s, d), rounds = 4))
   )
+
+  /** The ≥2-order part co-occurrence graph shared by q141/q146: one
+    * corpus exchange on the order key, co-located pair self-join, exact
+    * pair-support gate.
+    */
+  private def cooccurrenceEdges(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+      .repartition(col("g")).dropDuplicates("g", "item")
+    items.select(col("g"), col("item").as("u"))
+      .join(items.select(col("g"), col("item").as("v")), "g")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("pn"))
+      .filter(col("pn") >= 2).select("u", "v")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_retail_agg" -> Oracles.retailAgg,
@@ -1412,6 +1432,8 @@ object SparkEntry {
     "q141_kcore" -> Oracles.kCore(2, 8, 2),
     "q142_ewma_hourly" -> Oracles.ewmaHourly(3, 10, 8),
     "q143_media_frames" -> Oracles.mediaFrames(256, 16),
-    "q144_minmax_normalize" -> Oracles.minMaxNormalize(64)
+    "q144_minmax_normalize" -> Oracles.minMaxNormalize(64),
+    "q145_session_ngrams" -> Oracles.sessionNgrams(3, 20, 30L * 60 * 1000000),
+    "q146_label_propagation" -> Oracles.labelPropagation(4, 2)
   )
 }

@@ -200,7 +200,21 @@ object Funnel {
   def sessionPaths(events: DataFrame, gapUs: Long = 30L * 60 * 1000000,
                    maxLen: Int = 5, k: Int = 20, tsCol: String = "ts",
                    userCol: String = "user_id", typeCol: String = "event_type",
-                   idCol: String = "event_id"): DataFrame = {
+                   idCol: String = "event_id"): DataFrame =
+    sessionTypeSeqs(events, gapUs, tsCol, userCol, typeCol, idCol)
+      .select(concat_ws(">", slice(col("types"), 1, maxLen)).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("sessions"))
+      .orderBy(col("sessions").desc, col("path"))
+      .limit(k)
+
+  /** One row per (user, session): the session's event types in `(ts µs,
+    * event id)` order. Shared by [[sessionPaths]] and [[sessionNgrams]] —
+    * one corpus exchange, the (user, session) rollup reusing the user-key
+    * partitioning (subset rule).
+    */
+  private def sessionTypeSeqs(events: DataFrame, gapUs: Long, tsCol: String,
+                              userCol: String, typeCol: String,
+                              idCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col("t_us"), col(idCol))
     val run = Window.partitionBy(col(userCol)).orderBy(col("t_us"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -214,10 +228,45 @@ object Funnel {
       .groupBy(col(userCol), col("session"))
       .agg(sort_array(collect_list(struct(col("t_us"), col(idCol).as("id"),
         col("etype")))).as("evs"))
-      .select(concat_ws(">",
-        transform(slice(col("evs"), 1, maxLen), e => e("etype"))).as("path"))
-      .groupBy("path").agg(count(lit(1)).as("sessions"))
-      .orderBy(col("sessions").desc, col("path"))
+      .select(col(userCol), col("session"),
+        transform(col("evs"), e => e("etype")).as("types"))
+  }
+
+  /** Top-k contiguous event-type n-grams across sessions — PrefixSpan's
+    * contiguous special case, the sequential-pattern generalization of
+    * [[transitionCounts]] (n = 2 over a session's interior) and
+    * [[sessionPaths]] (the prefix n-gram only): every length-`n` window of
+    * every session sequence, counted across the corpus, with per-gram
+    * session support (distinct sessions containing it) alongside the raw
+    * occurrence count. Deterministic total order `(occurrences DESC,
+    * gram)` before the limit.
+    *
+    * Scale shape: sessionization is the shared ONE-exchange pass; the
+    * window fan-out is a narrow per-row `transform` + explode (≤ session
+    * length rows each, payload = n type names), and the gram aggregate's
+    * keyspace is ≤ types^n. Support dedups (gram, user, session) FIRST —
+    * hash on the gram key, partial-agg friendly — never a corpus-wide
+    * DISTINCT over raw windows.
+    */
+  def sessionNgrams(events: DataFrame, n: Int = 3, k: Int = 20,
+                    gapUs: Long = 30L * 60 * 1000000, tsCol: String = "ts",
+                    userCol: String = "user_id",
+                    typeCol: String = "event_type",
+                    idCol: String = "event_id"): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val grams = sessionTypeSeqs(events, gapUs, tsCol, userCol, typeCol, idCol)
+      .select(col(userCol), col("session"),
+        // sequence(1, 0) DESCENDS in Spark — sessions shorter than n must
+        // hit the empty-array branch, not emit truncated grams
+        explode(expr(s"""CASE WHEN size(types) >= $n THEN transform(
+            sequence(1, size(types) - ${n - 1}),
+            i -> concat_ws('>', slice(types, i, $n)))
+          ELSE array() END""")).as("gram"))
+    val occ = grams.groupBy("gram").agg(count(lit(1)).as("occurrences"))
+    val support = grams.dropDuplicates("gram", userCol, "session")
+      .groupBy("gram").agg(count(lit(1)).as("sessions"))
+    occ.join(support, "gram")
+      .orderBy(col("occurrences").desc, col("gram"))
       .limit(k)
   }
 

@@ -166,6 +166,52 @@ object Graph {
       .groupBy("node_id").agg(count(lit(1)).as("degree"))
   }
 
+  /** Fixed-round SYNCHRONOUS label propagation (Raghavan 2007) — community
+    * detection, the modularity-flavored sibling of
+    * [[Dedup.connectedComponents]] (which finds connectivity, not
+    * density): every node starts as its own label; each round every node
+    * simultaneously adopts the most frequent label among its neighbors,
+    * ties broken by the SMALLEST label. Both choices are the determinism
+    * policy at work: async/randomized LPA (the common formulation) depends
+    * on visit order and coin flips — unreproducible across engines and
+    * even across runs — while sync + min-label is a pure function of the
+    * edge set and round count. Sync LPA may oscillate on bipartite
+    * structures rather than converge; the fixed round count makes the
+    * reported state well-defined either way (label sizes after round R
+    * are what a community signal reads).
+    *
+    * Scale shape per round: one (src) equi-join edges⋈labels (labels are
+    * one row per node — broadcast when the node set is small, else a key
+    * shuffle), a (node, label) count aggregate, and a per-node arg-max via
+    * `max(struct(count, -label))` — partial-agg friendly, no window over
+    * fact rows. `localCheckpoint(eager)` per round keeps lineage O(1),
+    * the same discipline as [[pageRank]] / [[kCorePeel]].
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    // checkpoint the UNDIRECTED list first: the symmetric view references
+    // it twice (union of both orientations) — un-cut, one checkpoint job
+    // would run the upstream edge derivation (for q146, the co-occurrence
+    // pair-support join) twice
+    val und = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val nodes = sym.select(col("u").as("id")).distinct().localCheckpoint(true)
+    var labels = nodes.withColumn("lbl", col("id"))
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("id").as("u"), col("lbl").as("nl")), "u")
+        .select(col("v").as("id"), col("nl"))
+        .groupBy("id", "nl")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("id")
+        .agg(max(struct(col("c"), (-col("nl")).as("neg"))).as("best"))
+        .select(col("id"), (-col("best")("neg")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("id").as("node_id"), col("lbl").as("community"))
+  }
+
   /** Per-node triangle counts over an undirected edge list — the classic
     * clustering/cohesion signal.
     *

@@ -187,6 +187,37 @@ class FunnelSpec extends SparkSpec {
     assert(rowSet(Funnel.sessionPaths(ev)) == rows(Seq("view>click", "1")))
   }
 
+  test("sessionNgrams: windows, occurrence vs session support, short sessions excluded") {
+    val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP",
+      Seq(
+        // u1 one session: a b a b → bigrams a>b, b>a, a>b (a>b occurs 2×,
+        // but supports 1 session)
+        Row(1L, 1L, "a", ts("2024-01-01 00:00:00")),
+        Row(1L, 2L, "b", ts("2024-01-01 00:01:00")),
+        Row(1L, 3L, "a", ts("2024-01-01 00:02:00")),
+        Row(1L, 4L, "b", ts("2024-01-01 00:03:00")),
+        // u2 one session: a b → one bigram a>b (second supporting session)
+        Row(2L, 5L, "a", ts("2024-01-01 00:00:00")),
+        Row(2L, 6L, "b", ts("2024-01-01 00:00:30")),
+        // u3: single event — no bigram at all
+        Row(3L, 7L, "a", ts("2024-01-01 00:00:00"))))
+    val out = Funnel.sessionNgrams(ev, n = 2, k = 10)
+    assert(out.columns.toSeq == Seq("gram", "occurrences", "sessions"))
+    assert(out.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a>b", 3L, 2L), ("b>a", 1L, 1L)))
+  }
+
+  test("sessionNgrams: n larger than every session yields nothing; n=1 counts events") {
+    val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP",
+      Seq(
+        Row(1L, 1L, "a", ts("2024-01-01 00:00:00")),
+        Row(1L, 2L, "b", ts("2024-01-01 00:01:00"))))
+    assert(Funnel.sessionNgrams(ev, n = 3, k = 10).count() == 0)
+    assert(rowSet(Funnel.sessionNgrams(ev, n = 1, k = 10)) == rows(
+      Seq("a", "1", "1"), Seq("b", "1", "1")))
+  }
+
   test("sessionPaths: top-k keeps the most common paths with a path tie-break") {
     val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP",
       Seq(

@@ -106,6 +106,35 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCorePeel(e, k = 2, rounds = 3).count() == 0)
   }
 
+  test("labelPropagation: two triangles joined by a bridge settle into two communities") {
+    // triangle A {1,2,3}, triangle B {4,5,6}, bridge 3-4
+    val e = und((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val out = Graph.labelPropagation(e, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // each triangle converges to ONE label; min-label ties pull toward 1
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(Set(out(4L), out(5L), out(6L)).size == 1)
+  }
+
+  test("labelPropagation: round 1 on a star adopts the hub's minimum-neighbor rule") {
+    // star: hub 5 with leaves 1..3. Round 1: every leaf sees only the hub
+    // (label 5); the hub sees {1,2,3} all count 1 → min label 1
+    val e = und((5L, 1L), (5L, 2L), (5L, 3L))
+    val out = Graph.labelPropagation(e, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 5L, 2L -> 5L, 3L -> 5L, 5L -> 1L))
+  }
+
+  test("labelPropagation: deterministic across repartitioning") {
+    val e = und((1L to 30L).flatMap(i => Seq((i, i % 7 + 100L))): _*)
+    val a = Graph.labelPropagation(e, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Graph.labelPropagation(e.repartition(5), rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
+
   test("kCorePeel: registered q141 parameterization reaches its fixpoint (all degrees >= k)") {
     // a denser mesh: K4 plus pendants — after peel every residual degree >= 2
     val e = und((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
