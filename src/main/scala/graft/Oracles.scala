@@ -1359,6 +1359,40 @@ object Oracles {
        |FROM w WHERE rn >= $depth""".stripMargin
   }
 
+  /** Mirrors Quality.weightedMedianBy (q147): quantity-weighted lower
+    * median of the price (in cents) per return flag — by-value weight
+    * sums, running/total windows, the cross-multiplied boundary rule.
+    */
+  val weightedMedian: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+      |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, v, w,
+      |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      |  FROM s)
+      |SELECT l_returnflag, v AS median_price_cents,
+      |  CAST(tot AS BIGINT) AS total_w
+      |FROM c WHERE cum * 2 >= tot AND (cum - w) * 2 < tot""".stripMargin
+
+  /** Mirrors Similarity.randomProject (q148): the same derandomized
+    * integer weight lattice `((j·31 + i·17) mod 7) − 3` over
+    * micro-quantized components, rebuilt with scalar-range lists — pure
+    * integer arithmetic after quantization.
+    */
+  def randomProject(dim: Int, outDim: Int): String = {
+    val us = "CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+    s"""SELECT vec_id,
+       |  list_transform(range(0, $outDim), j ->
+       |    CAST(list_sum(list_transform(range(1, ${dim + 1}), i ->
+       |      $us * ((j * 31 + (i - 1) * 17) % 7 - 3))) AS BIGINT)) AS projected
+       |FROM embeddings""".stripMargin
+  }
+
   /** Mirrors Similarity.minMaxNormalize (q144): integer-micro
     * quantization (⌊x·10⁶+0.5⌋), per-dimension min/max via the
     * fixed-`dim` generate_series form, index-aligned stat lists, ppm

@@ -1266,7 +1266,24 @@ object SparkEntry {
     // q141 co-occurrence graph; per round one join + one arg-max
     // aggregate, lineage cut per round
     "q146_label_propagation" -> ((s, d) =>
-      graft.ext.Graph.labelPropagation(cooccurrenceEdges(s, d), rounds = 4))
+      graft.ext.Graph.labelPropagation(cooccurrenceEdges(s, d), rounds = 4)),
+
+    // extension: exact weighted median — quantity-weighted lower median
+    // of price cents per return flag; by-value weight sums then windows
+    // over the aggregated relation only, cross-multiplied boundary
+    "q147_weighted_median" -> ((s, d) =>
+      graft.ext.Quality.weightedMedianBy(
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+            round(col("l_quantity")).cast("long").as("qty")),
+        "l_returnflag", "price_cents", "qty", "median_price_cents")),
+
+    // extension: integer random projection (JL flavor) — 64 floats → 8
+    // longs per vector via the derandomized plane-weight lattice; a pure
+    // narrow map, no shuffle, no stats pass
+    "q148_random_project" -> ((s, d) =>
+      Similarity.randomProject(Tables.embeddings(s, d), dim = 64))
   )
 
   /** The ≥2-order part co-occurrence graph shared by q141/q146: one
@@ -1434,6 +1451,8 @@ object SparkEntry {
     "q143_media_frames" -> Oracles.mediaFrames(256, 16),
     "q144_minmax_normalize" -> Oracles.minMaxNormalize(64),
     "q145_session_ngrams" -> Oracles.sessionNgrams(3, 20, 30L * 60 * 1000000),
-    "q146_label_propagation" -> Oracles.labelPropagation(4, 2)
+    "q146_label_propagation" -> Oracles.labelPropagation(4, 2),
+    "q147_weighted_median" -> Oracles.weightedMedian,
+    "q148_random_project" -> Oracles.randomProject(64, 8)
   )
 }

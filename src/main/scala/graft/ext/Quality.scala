@@ -79,6 +79,36 @@ object Quality {
       .select(col(grpCol), col("__v").as(outCol))
   }
 
+  /** Exact weighted lower median per group: the smallest value whose
+    * cumulative weight reaches half the group's total —
+    * `min{v : 2·cumw(v) ≥ totw}` — computed entirely in integer weight
+    * arithmetic (cross-multiplied, no halving division), so the result is
+    * a VALUE FROM THE DATA, bit-identical in any engine; the weighted
+    * generalization of [[lowerMedianBy]] (weight 1 ⇒ same rule as the
+    * interpolation-free lower median). The statistic behind
+    * quantity-weighted price medians and token-weighted quality cuts,
+    * which `percentile_approx` can only approximate and float
+    * interpolation cannot reproduce across engines.
+    *
+    * Scale shape: the fact collapses FIRST to (group, value) weight sums
+    * — by-value, partial-agg friendly, keyspace-bounded like every exact
+    * quantile in this engine; the running-weight window then orders only
+    * that aggregated relation, never fact rows.
+    */
+  def weightedMedianBy(df: DataFrame, grpCol: String, valCol: String,
+                       weightCol: String, outCol: String): DataFrame = {
+    val sums = df.groupBy(col(grpCol), col(valCol).as("__v"))
+      .agg(sum(col(weightCol)).as("__w"))
+    val wRun = Window.partitionBy(grpCol).orderBy(col("__v"))
+    val wAll = Window.partitionBy(grpCol)
+    sums
+      .withColumn("__cum", sum("__w").over(wRun))
+      .withColumn("__tot", sum("__w").over(wAll))
+      .filter(col("__cum") * 2 >= col("__tot")
+        && (col("__cum") - col("__w")) * 2 < col("__tot"))
+      .select(col(grpCol), col("__v").as(outCol), col("__tot").as("total_w"))
+  }
+
   /** Robust per-group outlier report: median, MAD (median absolute
     * deviation), and the count of rows beyond `k`·MAD. Three passes over
     * the fact (median, deviation median, final count), each a hash

@@ -308,6 +308,37 @@ object Similarity {
       .select("method", "total_hits", "expected", "recall_ppm")
   }
 
+  /** Integer random projection (Johnson-Lindenstrauss flavor): each
+    * `dim`-vector reduces to `outDim` components, component j =
+    * Σᵢ w(j,i)·⌊vᵢ·10⁶+0.5⌋ with the same derandomized integer weight
+    * lattice the sign-LSH planes use ([[planeWeight]], w ∈ {−3..3}).
+    * Everything past the micro-quantization is integer arithmetic —
+    * projections are bit-identical in any engine and SQL-derivable
+    * (an Achlioptas-style sparse-sign matrix is the float analogue; the
+    * derandomized lattice keeps the oracle exact). The coarse-filter /
+    * storage-reduction step ahead of exact rescoring: 64 floats → 8
+    * longs per vector (4× smaller on the wire), with relative distances
+    * approximately preserved.
+    *
+    * Scale shape: a pure narrow map — no shuffle, no stats pass, no
+    * broadcast; each vector rewrites in place inside whole-stage codegen.
+    *
+    * Overflow: |component| ≤ 3·dim·10⁶·max|v| — dim 64 and |v| ≤ 4·10⁴
+    * stay 10 orders under 2⁶³.
+    */
+  def randomProject(vectors: DataFrame, dim: Int, outDim: Int = 8,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(outDim >= 1 && dim >= 1, "dims must be >= 1")
+    val comps = (0 until outDim).map { j =>
+      (0 until dim).map { i =>
+        floor(element_at(col(vecCol), i + 1).cast("double") * 1e6 + 0.5)
+          .cast("long") * planeWeight(j, i)
+      }.reduce(_ + _)
+    }
+    vectors.select(col(idCol), array(comps: _*).as("projected"))
+  }
+
   /** Per-dimension min-max feature scaling of the embedding corpus —
     * EXACT. Values quantize to integer micros (`⌊x·10⁶ + 0.5⌋` — floor,
     * never a half-tie rule), per-dimension min/max are integer aggregates,

@@ -58,4 +58,26 @@ class QualitySpec extends SparkSpec {
     val out = Quality.madOutliers(t, "g", "v", k = 3.0)
     assert(rowSet(out) == rows(Seq("g", "5.0", "0.0", "4", "1")))
   }
+
+  test("weightedMedianBy: heavy weight drags the median; exact boundary rule") {
+    // g1: values 1(w1), 2(w1), 10(w10) → total 12, half 6 → cum(1)=1,
+    // cum(2)=2, cum(10)=12 ≥ 6 with prev 2·2 < 12 → median 10
+    // g2: 1(w2), 3(w2) → total 4 → 2·cum(1)=4 ≥ 4, prev 0 → median 1
+    //     (lower-median rule at the exact half boundary)
+    val t = df("g STRING, v BIGINT, w BIGINT", Seq(
+      Row("g1", 1L, 1L), Row("g1", 2L, 1L), Row("g1", 10L, 10L),
+      Row("g2", 1L, 2L), Row("g2", 3L, 2L)))
+    val out = Quality.weightedMedianBy(t, "g", "v", "w", "wmed")
+    assert(out.columns.toSeq == Seq("g", "wmed", "total_w"))
+    assert(rowSet(out) == rows(
+      Seq("g1", "10", "12"), Seq("g2", "1", "4")))
+  }
+
+  test("weightedMedianBy: repeated values pool their weights; weight-1 equals lower median") {
+    val t = df("g STRING, v BIGINT, w BIGINT", Seq(
+      Row("g", 5L, 1L), Row("g", 5L, 1L), Row("g", 1L, 1L), Row("g", 9L, 1L)))
+    // pooled: 1(1), 5(2), 9(1) → total 4; 2·cum(5)=6 ≥ 4, prev 2·1 < 4 → 5
+    assert(rowSet(Quality.weightedMedianBy(t, "g", "v", "w", "m")) ==
+      rows(Seq("g", "5", "4")))
+  }
 }

@@ -156,6 +156,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L) == Seq(1000000L, 0L, 500000L))
   }
 
+  test("randomProject: hand-computed components on a tiny lattice") {
+    // dim=2, outDim=2; weights w(j,i) = ((j*31 + i*17) % 7) - 3:
+    // j=0: w(0,0)=-3, w(0,1)=((17)%7)-3=0; j=1: w(1,0)=((31)%7)-3=0,
+    // w(1,1)=((48)%7)-3=3
+    val emb = df("vec_id BIGINT, embedding ARRAY<FLOAT>", Seq(
+      Row(1L, Seq(1.0f, 2.0f)), Row(2L, Seq(-1.0f, 0.5f))))
+    val out = Similarity.randomProject(emb, dim = 2, outDim = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == Seq(-3000000L, 6000000L))
+    assert(out(2L) == Seq(3000000L, 1500000L))
+  }
+
+  test("randomProject: narrow plan — no exchange anywhere") {
+    val emb = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+      (1L to 20L).map(i => Row(i, Seq(0.1f * i, 0.2f * i, 0.3f * i))))
+    val plan = Similarity.randomProject(emb, dim = 3, outDim = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("minMaxNormalize: result is repartition-invariant (no order-dependent float path)") {
     val emb = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
       (1L to 40L).map(i => Row(i, Seq(0.1f * i, -0.3f * i))))
