@@ -718,9 +718,13 @@ object Oracles {
     */
   def annRecall(queryMod: Int, k: Int, dim: Int, nPlanes: Int,
                 centMod: Int, nProbe: Int): String =
-    s"""WITH exact AS (SELECT query_id, neighbor_id FROM (${cosineTopK(queryMod, k)}) t),
-       |lsh AS (SELECT query_id, neighbor_id FROM (${lshTopK(queryMod, k, dim, nPlanes)}) t),
-       |ivf AS (SELECT query_id, neighbor_id FROM (${ivfTopK(centMod, queryMod, nProbe, k)}) t),
+    // the three arm derivations are the whole cost — MATERIALIZED keeps
+    // DuckDB from inlining them per reference (exact is referenced twice;
+    // inlined, the sf0.1 brute-force arm doubles and blows the child's
+    // memory cap — the q141 CTE-inlining lesson, memory edition)
+    s"""WITH exact AS MATERIALIZED (SELECT query_id, neighbor_id FROM (${cosineTopK(queryMod, k)}) t),
+       |lsh AS MATERIALIZED (SELECT query_id, neighbor_id FROM (${lshTopK(queryMod, k, dim, nPlanes)}) t),
+       |ivf AS MATERIALIZED (SELECT query_id, neighbor_id FROM (${ivfTopK(centMod, queryMod, nProbe, k)}) t),
        |m AS (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'),
        |u AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
        |      UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf),
@@ -2501,20 +2505,24 @@ object Oracles {
     */
   def hardNegatives(mod: Int, k: Int, threshold: Double, dim: Int,
                     nPlanes: Int): String =
-    s"""WITH v AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", dim, nPlanes)} AS bucket FROM embeddings),
+    // v feeds both sides of the bucket self-join and nd feeds both
+    // orientations of ndsym — MATERIALIZED stops per-reference inlining
+    // from re-deriving them (the q141 lesson; at sf0.1 the duplicated
+    // near-dup arm pushed the oracle child past its memory cap)
+    s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding, ${lshBucketSql("embedding", dim, nPlanes)} AS bucket FROM embeddings),
        |ndp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS av, b.embedding AS bv
        |        FROM v a JOIN v b ON a.bucket = b.bucket WHERE a.vec_id < b.vec_id),
-       |nddots AS (
+       |nddots AS MATERIALIZED (
        |  SELECT id_a, id_b,
        |    SUM(CAST(av[CAST(i AS INTEGER)] AS DOUBLE) * CAST(bv[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i) AS dp,
        |    SUM(CAST(av[CAST(i AS INTEGER)] AS DOUBLE) * CAST(av[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i) AS qq,
        |    SUM(CAST(bv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(bv[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i) AS cc
        |  FROM ndp, generate_series(1, 64) t(i) GROUP BY 1, 2),
-       |nd AS (
+       |nd AS MATERIALIZED (
        |  SELECT id_a, id_b FROM nddots
        |  WHERE round(CASE WHEN sqrt(qq) * sqrt(cc) = 0 THEN 0.0
        |              ELSE dp / (sqrt(qq) * sqrt(cc)) END, 6) >= $threshold),
-       |ndsym AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM nd
+       |ndsym AS MATERIALIZED (SELECT id_a AS query_id, id_b AS neighbor_id FROM nd
        |          UNION ALL SELECT id_b, id_a FROM nd),
        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % $mod = 0),
        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
