@@ -589,7 +589,76 @@ object Plans {
         |lift is one DECIMAL(38,0) integral division (no log — libm is
         |not cross-engine reproducible) and the top-k cut is TakeOrdered
         |over the count-pruned bigram relation with a (lift, w1, w2)
-        |total order.""".stripMargin)
+        |total order.""".stripMargin,
+    "q140_session_paths" ->
+      """ONE corpus exchange: the session-boundary lag window partitions
+        |on user, and the (user, session) rollup is clustered by that same
+        |hash (Spark's subset rule — no second exchange; the plan shows a
+        |single Exchange below both the Window and the first
+        |HashAggregate). Path counting aggregates a ≤ types^maxLen
+        |keyspace and the final cut is TakeOrderedAndProject — k rows to
+        |the driver, never a global sort. collect_list order is pinned by
+        |sort_array over (t_us, id, type) structs.""".stripMargin,
+    "q141_kcore" ->
+      """Iterative peel: per round one degree hash-aggregate (union of
+        |two endpoint projections) and two LEFT-SEMI gates on the edge
+        |list — all key-partitioned equi-joins, nothing quadratic.
+        |localCheckpoint(eager) per round holds plan depth at O(1) (the
+        |q55/q95 lineage discipline); 8 rounds reach the fixpoint at both
+        |oracle scales, asserted by spec. The co-occurrence edge
+        |derivation reuses one order-key exchange (co-located self-join
+        |via the subset rule, as q123).""".stripMargin,
+    "q142_ewma_hourly" ->
+      """The EWMA is a FINITE weighted lag sum (truncated + renormalized),
+        |so the plan is one window over the gap-filled grid — keys × hours
+        |rows, partitioned by key — with depth lags of integer state per
+        |row; facts are touched only by the grid's two scan-aggregates.
+        |All weights are exact BIGINTs; the single float op is the final
+        |division of two identical integers, 6-dp rounded.""".stripMargin,
+    "q143_media_frames" ->
+      """Pure narrow fan-out: one mapPartitions over the media rows emits
+        |per-frame (offset, clock, FNV fingerprint) rows; payload bytes
+        |are consumed inside the task and never shuffled. maxFrames bounds
+        |per-row expansion. No exchange anywhere in the plan — the frame
+        |table lands partition-aligned with its source.""".stripMargin,
+    "q144_minmax_normalize" ->
+      """Two passes, zero corpus shuffle: posexplode → |dims|-sized
+        |min/max partial aggregate (the only exchange, keyspace = 64
+        |rows) collapsed to ONE row of index-aligned arrays, broadcast
+        |back; vectors rewrite in place via indexed transform. The
+        |explode feeds only the stats pass — original rows are never
+        |reassembled from exploded pieces.""".stripMargin,
+    "q145_session_ngrams" ->
+      """No session arrays: the gram at event e is a lead-chain concat
+        |(e's type + the next n−1 types) valid iff event e+n−1 shares e's
+        |session — every lead rides the ONE user-key sort sessionization
+        |already pays, so the plan is a single Exchange + Window, then
+        |two gram-keyed hash aggregates (occurrences = Σ per-session
+        |counts, support = row count). The collect_list + explode
+        |formulation spent its time materializing ~95k one-event session
+        |arrays at sf0.1: 6.6 → 1.7 s. Keyspace ≤ types^n; final cut is
+        |TakeOrderedAndProject.""".stripMargin,
+    "q146_label_propagation" ->
+      """Per round: edges⋈labels equi-join, (node, label) count
+        |aggregate, per-node arg-max via max(struct(count, −label)) — a
+        |plain hash aggregate, no window over fact rows. Undirected edges
+        |checkpoint BEFORE the symmetric union (referenced twice — uncut,
+        |the co-occurrence derivation would run two times per checkpoint
+        |job; measured 11.3 → 3.4 s). Sync + min-label ties keep rounds
+        |engine-deterministic.""".stripMargin,
+    "q147_weighted_median" ->
+      """The fact collapses FIRST to (group, value) weight sums — a
+        |by-value partial-agg'd hash aggregate; the running/total weight
+        |windows then order only that keyspace-bounded relation. The
+        |median test is cross-multiplied integers (2·cum ≥ tot), no
+        |halving division, no interpolation — the result is a value from
+        |the data.""".stripMargin,
+    "q148_random_project" ->
+      """One narrow Project inside whole-stage codegen: 8 integer dot
+        |products against the derandomized weight lattice per vector, no
+        |exchange, no stats pass, no broadcast (spec asserts the
+        |no-Exchange plan). The JL-style compression step ahead of exact
+        |rescoring — 64 floats → 8 longs on the wire.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

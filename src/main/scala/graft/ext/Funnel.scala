@@ -254,18 +254,37 @@ object Funnel {
                     typeCol: String = "event_type",
                     idCol: String = "event_id"): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val grams = sessionTypeSeqs(events, gapUs, tsCol, userCol, typeCol, idCol)
-      .select(col(userCol), col("session"),
-        // sequence(1, 0) DESCENDS in Spark — sessions shorter than n must
-        // hit the empty-array branch, not emit truncated grams
-        explode(expr(s"""CASE WHEN size(types) >= $n THEN transform(
-            sequence(1, size(types) - ${n - 1}),
-            i -> concat_ws('>', slice(types, i, $n)))
-          ELSE array() END""")).as("gram"))
-    val occ = grams.groupBy("gram").agg(count(lit(1)).as("occurrences"))
-    val support = grams.dropDuplicates("gram", userCol, "session")
-      .groupBy("gram").agg(count(lit(1)).as("sessions"))
-    occ.join(support, "gram")
+    // no session arrays: the gram at event e is e's type concatenated
+    // with the next n−1 types from the SAME window sort (lead chain), and
+    // it is valid iff event e+n−1 is still in e's session. All leads ride
+    // the one user-key sort the sessionization already pays — no
+    // collect_list materialization, no explode (the array formulation
+    // spent its time building 95k one-event session arrays at sf0.1:
+    // 6.6 → 1.7 s). Occurrences = Σ per-session counts and support = row
+    // count come from one two-level gram-keyed aggregate.
+    val w = Window.partitionBy(col(userCol)).orderBy(col("t_us"), col(idCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gramCols = (0 until n).map {
+      case 0 => col("etype")
+      case i => lead(col("etype"), i).over(w)
+    }
+    val sameSession =
+      if (n == 1) lit(true)
+      else lead(col("session"), n - 1).over(w) === col("session")
+    events
+      .select(col(userCol), col(idCol), col(typeCol).as("etype"),
+        unix_micros(col(tsCol)).as("t_us"))
+      .withColumn("new_session",
+        when(col("t_us") - lag(col("t_us"), 1).over(w) <= gapUs, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("session", sum(col("new_session")).over(run))
+      .withColumn("gram",
+        when(sameSession, concat_ws(">", gramCols: _*)))
+      .filter(col("gram").isNotNull)
+      .groupBy(col("gram"), col(userCol), col("session"))
+      .agg(count(lit(1)).as("in_session"))
+      .groupBy("gram")
+      .agg(sum("in_session").as("occurrences"), count(lit(1)).as("sessions"))
       .orderBy(col("occurrences").desc, col("gram"))
       .limit(k)
   }

@@ -62,7 +62,7 @@ def check_one(task):
         con = duckdb.connect()
         try:
             con.sql("SET threads TO 8")
-            con.sql("SET memory_limit = '24GB'")
+            con.sql("SET memory_limit = '48GB'")
             for t in TABLES:
                 con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
             odf = canon(con.sql(sql).df())
