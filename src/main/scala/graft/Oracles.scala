@@ -1363,6 +1363,34 @@ object Oracles {
        |FROM w WHERE rn >= $depth""".stripMargin
   }
 
+  /** Mirrors Quality.winsorizedAgg (q151): nearest-rank percentile
+    * bounds from by-value counts (`min(CASE WHEN ...)` over the running
+    * windows), clamp, integer sum + floor mean.
+    */
+  def winsorizedAgg(pLo: Int, pHi: Int): String =
+    s"""WITH s AS (
+       |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |w AS (
+       |  SELECT l_returnflag, v, c,
+       |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(c) OVER (PARTITION BY l_returnflag) AS tot
+       |  FROM s),
+       |b AS (
+       |  SELECT l_returnflag,
+       |    MIN(CASE WHEN cum * 100 >= tot * $pLo THEN v END) AS lo,
+       |    MIN(CASE WHEN cum * 100 >= tot * $pHi THEN v END) AS hi
+       |  FROM w GROUP BY 1)
+       |SELECT f.l_returnflag, b.lo, b.hi, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(greatest(b.lo, least(b.hi, CAST(round(f.l_extendedprice * 100) AS BIGINT)))) AS BIGINT)
+       |    AS winsorized_sum,
+       |  CAST(SUM(greatest(b.lo, least(b.hi, CAST(round(f.l_extendedprice * 100) AS BIGINT)))) AS BIGINT)
+       |    // COUNT(*) AS winsorized_mean
+       |FROM lineitem f JOIN b USING (l_returnflag)
+       |GROUP BY 1, 2, 3""".stripMargin
+
   /** Mirrors Quality.weightedMedianBy (q147): quantity-weighted lower
     * median of the price (in cents) per return flag — by-value weight
     * sums, running/total windows, the cross-multiplied boundary rule.
@@ -1607,6 +1635,20 @@ object Oracles {
        |SELECT token, CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT) AS df,
        |  doc_id, tf, first_pos, last_pos
        |FROM post QUALIFY df >= $minDf""".stripMargin
+
+  /** q150 oracle: conjunctive search — query-term tf aggregate, the AND
+    * as HAVING count == |terms|, (total_tf DESC, doc) top-k.
+    */
+  def andSearch(queryTokens: Seq[String], k: Int): String = {
+    val terms = queryTokens.distinct
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH $positionsCte, tf AS (
+       |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM pos WHERE token IN ($inList) GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf
+       |FROM tf GROUP BY 1 HAVING COUNT(*) = ${terms.size}
+       |ORDER BY total_tf DESC, doc_id LIMIT $k""".stripMargin
+  }
 
   /** q84 oracle: phrase occurrences as aligned-position self-joins of the
     * positional tokenization (same alignment trick as the Spark side).
@@ -2732,6 +2774,28 @@ object Oracles {
       |      FROM iv WHERE dwell_us IS NOT NULL GROUP BY 1)
       |SELECT event_type, n_intervals, total_dwell_us,
       |  total_dwell_us // n_intervals AS mean_dwell_us FROM g""".stripMargin
+
+  /** Mirrors Funnel.conversionLagHistogram: the strict stage chain (each
+    * stage's min time strictly after the previous stage's), final−first
+    * lag floor-divided into hours.
+    */
+  def conversionLagHistogram(stages: Seq[String]): String = {
+    val chain = stages.zipWithIndex.tail.map { case (st, i) =>
+      s"""s$i AS (
+         |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+         |  FROM events e JOIN s${i - 1} p ON e.user_id = p.user_id
+         |  WHERE e.event_type = '$st' AND epoch_us(e.ts) > p.t
+         |  GROUP BY 1)""".stripMargin
+    }
+    val n = stages.size - 1
+    s"""WITH s0 AS (
+       |  SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+       |  WHERE event_type = '${stages.head}' GROUP BY 1
+       |), ${chain.mkString(", ")}
+       |SELECT (s$n.t - s0.t) // 3600000000 AS lag_hours,
+       |  CAST(COUNT(*) AS BIGINT) AS users
+       |FROM s$n JOIN s0 USING (user_id) GROUP BY 1""".stripMargin
+  }
 
   /** Mirrors Funnel.sessionPaths: gap-based sessionization via a lag +
     * running-sum window over `(epoch µs, event_id)`, ordered-list path

@@ -1283,7 +1283,30 @@ object SparkEntry {
     // longs per vector via the derandomized plane-weight lattice; a pure
     // narrow map, no shuffle, no stats pass
     "q148_random_project" -> ((s, d) =>
-      Similarity.randomProject(Tables.embeddings(s, d), dim = 64))
+      Similarity.randomProject(Tables.embeddings(s, d), dim = 64)),
+
+    // extension: time-to-convert histogram — strict-funnel completion lag
+    // bucketed into whole hours; per-stage filtered scans + user-key
+    // shuffles, histogram over deepest-stage survivors only
+    "q149_conversion_lag" -> ((s, d) =>
+      graft.ext.Funnel.conversionLagHistogram(Tables.events(s, d),
+        Seq("view", "click", "purchase"))),
+
+    // extension: conjunctive (AND) search — docs containing every query
+    // term, ranked by total term frequency; work bounded by the terms'
+    // posting sizes, TakeOrdered cut
+    "q150_and_search" -> ((s, d) =>
+      graft.ext.Search.andSearch(Tables.documents(s, d),
+        Seq("hash", "join", "scan"))),
+
+    // extension: winsorized aggregate — exact nearest-rank p5/p95 clamp
+    // then integer sum/floor-mean; bounds from by-value counts, broadcast
+    // back for a narrow clamp
+    "q151_winsorized_agg" -> ((s, d) =>
+      graft.ext.Quality.winsorizedAgg(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents")),
+        "l_returnflag", "price_cents"))
   )
 
   /** The ≥2-order part co-occurrence graph shared by q141/q146: one
@@ -1453,6 +1476,10 @@ object SparkEntry {
     "q145_session_ngrams" -> Oracles.sessionNgrams(3, 20, 30L * 60 * 1000000),
     "q146_label_propagation" -> Oracles.labelPropagation(4, 2),
     "q147_weighted_median" -> Oracles.weightedMedian,
-    "q148_random_project" -> Oracles.randomProject(64, 8)
+    "q148_random_project" -> Oracles.randomProject(64, 8),
+    "q149_conversion_lag" -> Oracles.conversionLagHistogram(
+      Seq("view", "click", "purchase")),
+    "q150_and_search" -> Oracles.andSearch(Seq("hash", "join", "scan"), 100),
+    "q151_winsorized_agg" -> Oracles.winsorizedAgg(5, 95)
   )
 }

@@ -289,6 +289,32 @@ object Funnel {
       .limit(k)
   }
 
+  /** Time-to-convert histogram: for every user who completes the strict
+    * funnel, the lag from their stage-0 time to their (chained) final
+    * stage time, bucketed into whole hours (`floor(µs / 3600·10⁶)` —
+    * integer floor division, engine-exact) and counted. The latency view
+    * of [[funnel]]'s volume view: "how long does view→purchase take",
+    * the input to conversion-window and attribution-horizon choices.
+    *
+    * Scale shape: inherits [[stageTimes]]'s per-stage filtered scans and
+    * user-key shuffles (state = one row per surviving user); the final
+    * histogram is a ≤ |distinct lags| aggregate over the deepest-stage
+    * survivors only.
+    */
+  def conversionLagHistogram(events: DataFrame, stages: Seq[String],
+                             tsCol: String = "ts",
+                             userCol: String = "user_id",
+                             typeCol: String = "event_type"): DataFrame = {
+    require(stages.size >= 2, "a conversion lag needs at least two stages")
+    val times = stageTimes(events, stages, tsCol, userCol, typeCol)
+    val first = times.head.select(col(userCol), col("t").as("t0"))
+    val last = times.last.select(col(userCol), col("t").as("t1"))
+    last.join(first, userCol)
+      .select((unix_micros(col("t1")) - unix_micros(col("t0"))).as("lag_us"))
+      .select(expr("lag_us div 3600000000").as("lag_hours"))
+      .groupBy("lag_hours").agg(count(lit(1)).as("users"))
+  }
+
   /** Cohort retention matrix: users are cohorted by their first active
     * day; each (cohort_day, day_offset) cell counts the cohort's users
     * active exactly `day_offset` days after first touch, with the

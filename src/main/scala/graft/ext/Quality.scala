@@ -109,6 +109,41 @@ object Quality {
       .select(col(grpCol), col("__v").as(outCol), col("__tot").as("total_w"))
   }
 
+  /** Winsorized per-group aggregate: values clamp at the group's exact
+    * nearest-rank `pLo`/`pHi` percentiles — `bound(p) = min{v : 100·cumn
+    * ≥ p·totn}`, cross-multiplied integer counts, values FROM the data —
+    * then sum and floor-mean over the clamped column. The
+    * outlier-robust aggregate that trims tail influence without
+    * dropping rows (a MAD sibling, [[madOutliers]], that reports instead
+    * of repairing).
+    *
+    * Scale shape: percentile bounds come from the by-value count
+    * aggregate (keyspace-bounded, windows over the aggregated relation
+    * only) collapsed to ONE row per group — `min(when(...))` over the
+    * running-count relation, no second window; bounds broadcast back
+    * onto the fact for a narrow clamp + one group aggregate.
+    */
+  def winsorizedAgg(df: DataFrame, grpCol: String, valCol: String,
+                    pLo: Int = 5, pHi: Int = 95): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 100, "need 0 <= pLo < pHi <= 100")
+    val counts = df.groupBy(col(grpCol), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wRun = Window.partitionBy(grpCol).orderBy(col("__v"))
+    val wAll = Window.partitionBy(grpCol)
+    val bounds = counts
+      .withColumn("__cum", sum("__c").over(wRun))
+      .withColumn("__tot", sum("__c").over(wAll))
+      .groupBy(col(grpCol))
+      .agg(
+        min(when(col("__cum") * 100 >= col("__tot") * pLo, col("__v"))).as("lo"),
+        min(when(col("__cum") * 100 >= col("__tot") * pHi, col("__v"))).as("hi"))
+    df.join(broadcast(bounds), grpCol)
+      .withColumn("__w", greatest(col("lo"), least(col("hi"), col(valCol))))
+      .groupBy(col(grpCol), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"), sum(col("__w")).as("winsorized_sum"))
+      .withColumn("winsorized_mean", expr("winsorized_sum div n"))
+  }
+
   /** Robust per-group outlier report: median, MAD (median absolute
     * deviation), and the count of rows beyond `k`·MAD. Three passes over
     * the fact (median, deviation median, final count), each a hash

@@ -82,6 +82,34 @@ object Search {
     * the corpus totals are broadcast; ranking is a row_number window that
     * compiles to WindowGroupLimit.
     */
+  /** Conjunctive (AND) search: the top-k docs containing EVERY query
+    * token at least once, ranked by total query-term frequency with a
+    * doc-id tie-break. The boolean-retrieval primitive BM25 relaxes —
+    * here a doc missing one term is out, however often the others occur.
+    *
+    * Scale shape: the term filter lands directly on the exploded token
+    * stream, so downstream volume is bounded by the query terms' posting
+    * sizes, never the corpus; the AND is one (doc, token) aggregate
+    * (≤ |terms| rows per matching doc) plus a doc-keyed count==|terms|
+    * gate; the cut is TakeOrdered — k rows to the driver, no global
+    * sort.
+    */
+  def andSearch(docs: DataFrame, queryTokens: Seq[String], k: Int = 100,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTokens.nonEmpty, "empty query")
+    val terms = queryTokens.distinct
+    docs.select(col(idCol),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("terms_hit"), sum("tf").as("total_tf"))
+      .filter(col("terms_hit") === terms.size)
+      .select(col(idCol), col("total_tf"))
+      .orderBy(col("total_tf").desc, col(idCol))
+      .limit(k)
+  }
+
   def bm25TopK(docs: DataFrame, queryTokens: Seq[String], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

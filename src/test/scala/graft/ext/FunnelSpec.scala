@@ -159,6 +159,26 @@ class FunnelSpec extends SparkSpec {
       Seq("click", "1", "10000000", "10000000")))
   }
 
+  test("conversionLagHistogram: strict-chain lag bucketed in hours; incomplete users absent") {
+    val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP",
+      Seq(
+        // u1 completes in 90 min → bucket 1
+        Row(1L, 1L, "view", ts("2024-01-01 00:00:00")),
+        Row(1L, 2L, "click", ts("2024-01-01 00:30:00")),
+        Row(1L, 3L, "purchase", ts("2024-01-01 01:30:00")),
+        // u2 completes in 30 min → bucket 0
+        Row(2L, 4L, "view", ts("2024-01-01 00:00:00")),
+        Row(2L, 5L, "click", ts("2024-01-01 00:10:00")),
+        Row(2L, 6L, "purchase", ts("2024-01-01 00:30:00")),
+        // u3 purchase BEFORE click → never completes the strict chain
+        Row(3L, 7L, "view", ts("2024-01-01 00:00:00")),
+        Row(3L, 8L, "purchase", ts("2024-01-01 00:05:00")),
+        Row(3L, 9L, "click", ts("2024-01-01 00:10:00"))))
+    val out = Funnel.conversionLagHistogram(ev, Seq("view", "click", "purchase"))
+    assert(out.columns.toSeq == Seq("lag_hours", "users"))
+    assert(rowSet(out) == rows(Seq("0", "1"), Seq("1", "1")))
+  }
+
   test("sessionPaths: idle gap splits sessions, prefix caps the path, counts rank") {
     val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP",
       Seq(

@@ -73,6 +73,24 @@ class QualitySpec extends SparkSpec {
       Seq("g1", "10", "12"), Seq("g2", "1", "4")))
   }
 
+  test("winsorizedAgg: tails clamp to exact nearest-rank bounds; mean is floor-div") {
+    // 10 values 1..9 and 1000: p10 bound = min{v: cum·100 ≥ tot·10} = 1,
+    // p90 bound = min{v: cum·100 ≥ 900} = 9 → 1000 clamps to 9
+    val t = df("g STRING, v BIGINT",
+      ((1L to 9L) :+ 1000L).map(v => Row("g", v)))
+    val out = Quality.winsorizedAgg(t, "g", "v", pLo = 10, pHi = 90)
+    assert(out.columns.toSeq ==
+      Seq("g", "lo", "hi", "n", "winsorized_sum", "winsorized_mean"))
+    // sum = 1..9 + 9 = 54; mean = 54 div 10 = 5
+    assert(rowSet(out) == rows(Seq("g", "1", "9", "10", "54", "5")))
+  }
+
+  test("winsorizedAgg: degenerate single-value group clamps to itself") {
+    val t = df("g STRING, v BIGINT", Seq(Row("g", 7L), Row("g", 7L)))
+    assert(rowSet(Quality.winsorizedAgg(t, "g", "v")) ==
+      rows(Seq("g", "7", "7", "2", "14", "7")))
+  }
+
   test("weightedMedianBy: repeated values pool their weights; weight-1 equals lower median") {
     val t = df("g STRING, v BIGINT, w BIGINT", Seq(
       Row("g", 5L, 1L), Row("g", 5L, 1L), Row("g", 1L, 1L), Row("g", 9L, 1L)))

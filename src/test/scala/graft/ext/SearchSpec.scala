@@ -80,4 +80,23 @@ class SearchSpec extends SparkSpec {
       Seq(ranking(1L -> 1, 2L -> 2), ranking(3L -> 1)), k = 2)
     assert(out.count() == 2)
   }
+
+  test("andSearch: every term required; total tf ranks; duplicate query terms collapse") {
+    val docs = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "hash join hash scan"),   // both terms, tf 2+1 = 3 (hash dup'd)
+      Row(2L, "hash scan hash"),        // no join → out
+      Row(3L, "join hash"),             // both, tf 2
+      Row(4L, "sort merge")))           // neither
+    val out = Search.andSearch(docs, Seq("hash", "join", "hash"), k = 10)
+    assert(out.columns.toSeq == Seq("doc_id", "total_tf"))
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 3L), (3L, 2L)))
+  }
+
+  test("andSearch: tf tie breaks by doc id; k truncates") {
+    val docs = df("doc_id BIGINT, text STRING", Seq(
+      Row(5L, "a b"), Row(2L, "a b"), Row(9L, "a b")))
+    assert(Search.andSearch(docs, Seq("a", "b"), k = 2).collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 5L))
+  }
 }
