@@ -2074,6 +2074,39 @@ object Oracles {
        |SELECT id AS node_id, lbl AS community FROM l$rounds""".stripMargin
   }
 
+  /** q152 oracle: multi-source BFS replayed as round-unrolled MATERIALIZED
+    * CTEs over the same minPairs-thresholded co-occurrence edges — per
+    * round the new frontier is the neighbors of the previous frontier not
+    * yet settled (`NOT IN` over non-null ids ≡ the engine's anti-join),
+    * stamped with the round number. Sources are the graph nodes with
+    * `id % srcMod = 0`, derived inside the query like every graph oracle.
+    */
+  def bfsDistances(srcMod: Long, rounds: Int, minPairs: Long): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.v AS id FROM sym e JOIN f${i - 1} f ON e.u = f.id
+         |  WHERE e.v NOT IN (SELECT id FROM s${i - 1})),
+         |s$i AS MATERIALIZED (
+         |  SELECT id, dist FROM s${i - 1}
+         |  UNION ALL SELECT id, CAST($i AS BIGINT) AS dist FROM f$i)""".stripMargin
+    }
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS pn
+       |    FROM lineitem a JOIN lineitem b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |    GROUP BY 1, 2)
+       |  WHERE pn >= $minPairs
+       |), sym AS MATERIALIZED (
+       |  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+       |), f0 AS MATERIALIZED (
+       |  SELECT DISTINCT u AS id FROM sym WHERE u % $srcMod = 0
+       |), s0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS dist FROM f0),
+       |${steps.mkString(",\n")}
+       |SELECT id AS node_id, dist FROM s$rounds""".stripMargin
+  }
+
   val triangleCounts: String =
     """WITH und AS (
       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -2267,6 +2300,22 @@ object Oracles {
        |SELECT d.vec_id, d.cluster, r.vec_id IS NULL AS kept
        |FROM sd d LEFT JOIN removed r ON r.vec_id = d.vec_id""".stripMargin
 
+  /** q153 oracle: prototypicality gate — the trained-assignment CTE chain
+    * plus the same two cluster-partitioned windows; the keep quota is
+    * `GREATEST(1, keepPpm·n // 10⁶)` over exact integers, rank order
+    * `(dist, vec_id)` — no float boundary anywhere.
+    */
+  def prototypicalityFilter(keepPpm: Long, seedMod: Int = 0, iterations: Int = 2): String =
+    s"""WITH ${kmeansCtes(seedMod, iterations)},
+       |pf AS (
+       |  SELECT vec_id, cid AS cluster, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY cid) AS n
+       |  FROM kma$iterations)
+       |SELECT vec_id, cluster, dist,
+       |  rn <= GREATEST(1, ($keepPpm * n) // 1000000) AS kept
+       |FROM pf""".stripMargin
+
   /** q106 oracle: product-quantization ANN — one trained codebook chain
     * per subspace (the parameterized kmeans CTEs), corpus encoded as one
     * code per subspace, and the query↔vector distance reconstructed as
@@ -2421,6 +2470,33 @@ object Oracles {
        |SELECT doc_id, quality FROM st
        |WHERE (${mixSql("doc_id", 160 + 8 * seed)}) % 1000000
        |  < CAST(ROUND(LEAST(GREATEST(quality, 0.0), 1.0) * 1000000) AS BIGINT)""".stripMargin
+
+  /** q154 oracle: epoch-weighted remix — HUGEINT mirrors of the exact
+    * rational f_d = ppm_d·T / (10⁶·D_d) (the DECIMAL(38,0) twin, q117
+    * policy): floor via `//`, fractional ppm via the same integral-
+    * division chain, extra-copy draw = mixHash(doc_id; j) mod 10⁶.
+    */
+  def remixEpochs(targetPpm: Seq[(String, Long)], defaultPpm: Long,
+                  j: Int = 340): String = {
+    val ppmCase = "CASE " + targetPpm.map { case (s, p) =>
+      s"WHEN d.source = '$s' THEN $p" }.mkString(" ") + s" ELSE $defaultPpm END"
+    s"""WITH dom AS (
+       |  SELECT source, CAST(SUM(n_chars) AS HUGEINT) AS dsz
+       |  FROM documents GROUP BY source
+       |), tot AS (SELECT CAST(SUM(n_chars) AS HUGEINT) AS tsz FROM documents),
+       |b AS (
+       |  SELECT d.doc_id, d.source, d.n_chars,
+       |    CAST(($ppmCase) AS HUGEINT) * tot.tsz AS num,
+       |    CAST(1000000 AS HUGEINT) * dom.dsz AS den
+       |  FROM documents d JOIN dom ON dom.source = d.source CROSS JOIN tot
+       |)
+       |SELECT doc_id, source, n_chars,
+       |  CAST(num // den +
+       |    CASE WHEN (${mixSql("doc_id", j)}) % 1000000
+       |              < ((num - (num // den) * den) * 1000000) // den
+       |         THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+       |FROM b""".stripMargin
+  }
 
   /** Mirrors Entities.resolveByName on part names: exact collapse →
     * df-capped token blocking → levenshtein verify → recursive transitive

@@ -1306,7 +1306,33 @@ object SparkEntry {
       graft.ext.Quality.winsorizedAgg(
         Tables.lineitem(s, d).select(col("l_returnflag"),
           round(col("l_extendedprice") * 100).cast("long").as("price_cents")),
-        "l_returnflag", "price_cents"))
+        "l_returnflag", "price_cents")),
+
+    // extension: multi-source BFS hop distances over the co-occurrence
+    // graph — frontier-only expansion (each edge expands exactly twice
+    // across the whole run), anti-join settles, lineage cut per round
+    "q152_bfs_distances" -> { (s, d) =>
+      val e = cooccurrenceEdges(s, d)
+      val sources = e.select(col("u").as("id"))
+        .union(e.select(col("v").as("id"))).distinct()
+        .filter(col("id") % 251 === 0)
+      graft.ext.Graph.bfsDistances(e, sources, rounds = 4)
+    },
+
+    // extension: prototypicality gate (D4/SSL-prototypes pruning) — rank
+    // by exact integer distance-to-centroid within each trained k-means
+    // cell, keep the nearest 75% per cell; cells are √n-sized so no
+    // window partition grows with the corpus
+    "q153_prototype_filter" -> ((s, d) =>
+      graft.ext.Clustering.prototypicalityFilter(Tables.embeddings(s, d))),
+
+    // extension: epoch-weighted remixing — per-domain integer replication
+    // factors hit a target mix (src0 ×4 share, src1 ×2, src2 dropped,
+    // rest leveled); exact rational copy factors, no corpus shuffle
+    "q154_remix_epochs" -> ((s, d) =>
+      graft.ext.Sampling.remixToTarget(Tables.documents(s, d),
+        "doc_id", "source", "n_chars",
+        Seq("src0" -> 200000L, "src1" -> 100000L, "src2" -> 0L), 41176L))
   )
 
   /** The ≥2-order part co-occurrence graph shared by q141/q146: one
@@ -1480,6 +1506,10 @@ object SparkEntry {
     "q149_conversion_lag" -> Oracles.conversionLagHistogram(
       Seq("view", "click", "purchase")),
     "q150_and_search" -> Oracles.andSearch(Seq("hash", "join", "scan"), 100),
-    "q151_winsorized_agg" -> Oracles.winsorizedAgg(5, 95)
+    "q151_winsorized_agg" -> Oracles.winsorizedAgg(5, 95),
+    "q152_bfs_distances" -> Oracles.bfsDistances(251, 4, 2),
+    "q153_prototype_filter" -> Oracles.prototypicalityFilter(750000),
+    "q154_remix_epochs" -> Oracles.remixEpochs(
+      Seq("src0" -> 200000L, "src1" -> 100000L, "src2" -> 0L), 41176L)
   )
 }

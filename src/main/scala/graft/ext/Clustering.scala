@@ -252,4 +252,39 @@ object Clustering {
     v.join(removed.withColumn("gone", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"), col("gone").isNull.as("kept"))
   }
+
+  /** Prototypicality gate (the data-pruning half of D4 — Tirumala et al.
+    * 2023, arXiv:2308.12284; percentile-by-centroid-distance from
+    * Sorscher et al. 2022, arXiv:2206.14486 — both public papers): rank
+    * every vector by its exact integer distance to its trained k-means
+    * centroid and flag, per cell, the nearest `keepPpm` fraction as kept
+    * (at least one per cell). "Near the centroid" = prototypical/clean;
+    * the far tail is the outlier/noise slice — the caller picks which
+    * side to curate away by reading `kept` (drop the tail for denoising,
+    * drop the head for Sorscher-style easy-example pruning). Every input
+    * row is emitted with its (cluster, dist, kept) verdict — O(n) output.
+    *
+    * Determinism: rank order is `(dist, vec_id)` — exact integers, no
+    * float boundary; the per-cell quota is `max(1, keepPpm·n div 10⁶)`
+    * in integer arithmetic, so both engines draw the same line.
+    *
+    * Scale: the ranking windows run partitioned by cluster id, and the
+    * self-scaling k (`adaptiveSeedMod`) holds cell populations at ≈ √n —
+    * no window partition grows with the corpus, unlike a global
+    * percentile. Both window functions share the one cluster-key
+    * exchange; nothing else shuffles beyond the training loop itself.
+    */
+  def prototypicalityFilter(embeddings: DataFrame, keepPpm: Long = 750000,
+                            seedMod: Int = 0, iterations: Int = 2,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(keepPpm >= 0 && keepPpm <= 1000000, s"keepPpm out of [0, 1e6]: $keepPpm")
+    val assign = kmeansAssign(embeddings, seedMod, iterations, idCol, vecCol)
+    val rankW = Window.partitionBy("cluster").orderBy(col("dist"), col("vec_id"))
+    val cellW = Window.partitionBy("cluster")
+    assign
+      .withColumn("rn", row_number().over(rankW))
+      .withColumn("n", count(lit(1)).over(cellW))
+      .select(col("vec_id"), col("cluster"), col("dist"),
+        (col("rn") <= greatest(lit(1L), expr(s"($keepPpm * n) div 1000000"))).as("kept"))
+  }
 }

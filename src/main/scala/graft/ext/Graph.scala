@@ -212,6 +212,46 @@ object Graph {
     labels.select(col("id").as("node_id"), col("lbl").as("community"))
   }
 
+  /** Multi-source BFS hop distances over an undirected edge list: every
+    * node reachable from `sources` within `rounds` hops, with its exact
+    * hop distance (0 for the sources themselves) — the shortest-path
+    * member of the graph family (reach/influence radius, seed-distance
+    * features for entity graphs). Nodes not reached within `rounds` hops
+    * are absent from the output; the fixed round count is the same
+    * engine-determinism policy as [[kCorePeel]] / [[labelPropagation]]
+    * (a SQL oracle cannot observe a "loop until no frontier" stop).
+    *
+    * Scale shape per round — the textbook frontier formulation, NOT the
+    * naive re-label-everything join: only the FRONTIER (nodes first
+    * reached last round) joins the edge list, so across the whole run
+    * each edge is expanded exactly twice (once per endpoint's settling
+    * round) regardless of `rounds`; candidates dedup by node key, one
+    * anti-join against the settled set filters re-discoveries, and
+    * `localCheckpoint(eager)` per round keeps lineage O(1) — the
+    * discipline shared by every iterative operator in this file. The
+    * settled relation grows monotonically but is only ever probed by
+    * key (anti-join), never expanded.
+    */
+  def bfsDistances(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val und = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var settled = sources.select(col("id")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = settled.select("id")
+    for (i <- 1 to rounds) {
+      val newf = sym.join(frontier.select(col("id").as("u")), "u")
+        .select(col("v").as("id")).distinct()
+        .join(settled.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      settled = settled.unionAll(newf.withColumn("dist", lit(i.toLong)))
+        .localCheckpoint(true)
+      frontier = newf.select("id")
+    }
+    settled.select(col("id").as("node_id"), col("dist"))
+  }
+
   /** Per-node triangle counts over an undirected edge list — the classic
     * clustering/cohesion signal.
     *

@@ -185,6 +185,55 @@ object Sampling {
       .select(col(idCol), col(strataCol), col(sizeCol), col("cum_size"))
   }
 
+  /** Epoch-weighted corpus remixing (the Pile/Dolma "domain weights" step
+    * — Gao et al. 2020, arXiv:2101.00027, public paper): re-weight each
+    * domain to a target share of the final token mass by REPLICATION.
+    * With T the total corpus size, D_d the domain's size and ppm_d its
+    * target share, the exact per-doc copy factor is the rational
+    * f_d = ppm_d·T / (10⁶·D_d): every doc gets ⌊f_d⌋ copies, and the
+    * hash-selected frac(f_d) fraction of the domain draws one extra —
+    * realized domain mass ⌊f_d⌋·D_d + ≈frac·D_d ≈ ppm_d·T, the target
+    * share of an unchanged total corpus scale. ppm 0 → 0 copies (domain
+    * dropped). Output is ONE row per input doc with its exact copy count;
+    * materialization (`explode` over a `sequence`) is the consumer's
+    * choice, so the remix plan itself stays O(n).
+    *
+    * Determinism/exactness: f_d stays an exact rational — numerator
+    * ppm_d·T and denominator 10⁶·D_d in DECIMAL(38,0) (ppm·T passes 2⁶³
+    * at corpus sizes ≥ ~9·10¹² chars — the q117 HUGEINT-mirror policy),
+    * floor and fractional-ppm via integral division — and the extra-copy
+    * draw is the id-hash family (member `j`=340, a block disjoint from
+    * every other consumer), so both engines derive the identical copy
+    * vector from the data alone.
+    *
+    * Scale: one domain-keyed size aggregate and one global sum (both
+    * keyspace-sized, broadcast back onto the corpus) and a narrow per-row
+    * map — no corpus shuffle, no window.
+    */
+  def remixToTarget(docs: DataFrame, idCol: String, strataCol: String,
+                    sizeCol: String, targetPpm: Seq[(String, Long)],
+                    defaultPpm: Long, j: Int = 340): DataFrame = {
+    require(targetPpm.forall(_._2 >= 0) && defaultPpm >= 0, "negative target ppm")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val ppm = targetPpm.reverse.foldLeft(lit(defaultPpm)) {
+      case (acc, (stratum, p)) => when(col(strataCol) === stratum, lit(p)).otherwise(acc)
+    }
+    val dom = docs.groupBy(col(strataCol)).agg(sum(col(sizeCol)).as("__dom_sz"))
+    val tot = docs.agg(sum(col(sizeCol)).as("__tot_sz"))
+    docs.select(col(idCol), col(strataCol), col(sizeCol))
+      .join(broadcast(dom), Seq(strataCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("__num", ppm.cast(dec) * col("__tot_sz").cast(dec))
+      .withColumn("__den", lit(1000000L).cast(dec) * col("__dom_sz").cast(dec))
+      .withColumn("__base", expr("__num div __den"))
+      .withColumn("__frac_ppm", expr("((__num - __base * __den) * 1000000) div __den"))
+      .withColumn("__draw", pmod(Dedup.mixHash(col(idCol), j), lit(1000000L)))
+      .select(col(idCol), col(strataCol), col(sizeCol),
+        (col("__base") +
+          when(col("__draw") < col("__frac_ppm"), lit(1L)).otherwise(lit(0L)))
+          .as("n_copies"))
+  }
+
   /** Deterministic negative sampling for contrastive training: for each
     * anchor row, `k` pseudo-random partner ids — `partner_j =
     * mixHash(id; 320 + j) mod n` — uniform over the corpus, reproducible

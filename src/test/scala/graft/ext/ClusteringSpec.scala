@@ -63,6 +63,27 @@ class ClusteringSpec extends SparkSpec {
     assert(out(1L) == 0L)
   }
 
+  test("prototypicalityFilter: per-cell ppm quota, nearest-(dist,id) order kept") {
+    // cells {0,1,2} and {4,5,6}; quota = (670000·3) div 1e6 = 2 of 3
+    val out = Clustering.prototypicalityFilter(corpus, keepPpm = 670000, seedMod = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val byCell = out.groupBy(_._2)
+    assert(byCell.keySet == Set(0L, 4L))
+    byCell.values.foreach { members =>
+      assert(members.count(_._4) == 2)
+      val ordered = members.sortBy(m => (m._3, m._1)) // (dist, vec_id)
+      assert(ordered.take(2).forall(_._4) && !ordered.last._4)
+    }
+  }
+
+  test("prototypicalityFilter: keepPpm=0 floors at one per cell; 1e6 keeps all") {
+    val all = Clustering.prototypicalityFilter(corpus, keepPpm = 1000000, seedMod = 4).collect()
+    assert(all.forall(_.getBoolean(3)))
+    val one = Clustering.prototypicalityFilter(corpus, keepPpm = 0, seedMod = 4)
+      .collect().groupBy(_.getLong(1))
+    assert(one.values.forall(_.count(_.getBoolean(3)) == 1))
+  }
+
   test("curateSemantic = curate minus the not-kept vectors; no-embedding docs survive") {
     val spark0 = spark
     val sf = "/root/testdata/sf0.001"

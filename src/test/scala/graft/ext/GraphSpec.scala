@@ -40,6 +40,31 @@ class GraphSpec extends SparkSpec {
   private def und(pairs: (Long, Long)*) =
     df("u BIGINT, v BIGINT", pairs.map { case (a, b) => Row(a, b) })
 
+  test("bfsDistances: hand-traced path graph, two sources") {
+    // path 1-2-3-4-5 from {1, 5}: both ends settle inward, 3 is reached
+    // from both sides in the same round (distinct collapses the candidate)
+    val e = und((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val src = df("id BIGINT", Seq(Row(1L), Row(5L)))
+    assert(rowSet(Graph.bfsDistances(e, src, rounds = 2)) == rows(
+      Seq("1", "0"), Seq("5", "0"), Seq("2", "1"), Seq("4", "1"), Seq("3", "2")))
+  }
+
+  test("bfsDistances: round cap excludes farther nodes; re-discovery keeps the first distance") {
+    // 6-cycle from {1}: true dists 0,1,2,3,2,1 — with rounds=2 node 4
+    // (dist 3) is absent, and nodes 3/5 keep dist 2 though round 3's
+    // frontier would re-discover them
+    val e = und((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L))
+    val out = Graph.bfsDistances(e, df("id BIGINT", Seq(Row(1L))), rounds = 2)
+    assert(rowSet(out) == rows(
+      Seq("1", "0"), Seq("2", "1"), Seq("6", "1"), Seq("3", "2"), Seq("5", "2")))
+  }
+
+  test("bfsDistances: disconnected component absent; duplicate sources collapse") {
+    val e = und((1L, 2L), (3L, 4L))
+    val out = Graph.bfsDistances(e, df("id BIGINT", Seq(Row(1L), Row(1L))), rounds = 3)
+    assert(rowSet(out) == rows(Seq("1", "0"), Seq("2", "1")))
+  }
+
   test("triangleCounts: K4 gives every node 3 triangles") {
     val e = und((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
     assert(rowSet(Graph.triangleCounts(e)) == rows(

@@ -11,6 +11,43 @@ class SamplingSpec extends SparkSpec {
       .toDF("doc_id", "lang")
   }
 
+  test("remixToTarget: exact rational base and fractional ppm; copies = base + hash draw") {
+    import org.apache.spark.sql.Row
+    // T = 15; A (sz 10): f = 0.4·15/10 = 0.6 → base 0, frac 600000 ppm;
+    // B (sz 5): f = 0.6·15/5 = 1.8 → base 1, frac 800000 ppm
+    val d = df("doc_id BIGINT, source STRING, n_chars BIGINT", Seq(
+      Row(1L, "A", 4L), Row(2L, "A", 6L), Row(3L, "B", 5L)))
+    val out = Sampling.remixToTarget(d, "doc_id", "source", "n_chars",
+      Seq("A" -> 400000L, "B" -> 600000L), 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val draws = d.select(col("doc_id"),
+      pmod(Dedup.mixHash(col("doc_id"), 340), lit(1000000L)).as("dr"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == (if (draws(1L) < 600000L) 1L else 0L))
+    assert(out(2L) == (if (draws(2L) < 600000L) 1L else 0L))
+    assert(out(3L) == 1L + (if (draws(3L) < 800000L) 1L else 0L))
+  }
+
+  test("remixToTarget: ppm 0 drops the domain; integral factor has no fractional draws") {
+    import org.apache.spark.sql.Row
+    // T = 20; A dropped; B: f = 1e6·20/(1e6·10) = 2 exactly → 2 copies, frac 0
+    val d = df("doc_id BIGINT, source STRING, n_chars BIGINT", Seq(
+      Row(1L, "A", 10L), Row(2L, "B", 10L)))
+    val out = Sampling.remixToTarget(d, "doc_id", "source", "n_chars",
+      Seq("A" -> 0L), 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 2L))
+  }
+
+  test("remixToTarget: copy vector is repartition-invariant") {
+    val d = docs.withColumn("n_chars", (col("doc_id") % 7 + 1))
+    val a = rowSet(Sampling.remixToTarget(d, "doc_id", "lang", "n_chars",
+      Seq("en" -> 700000L), 300000L))
+    val b = rowSet(Sampling.remixToTarget(d.repartition(11), "doc_id", "lang", "n_chars",
+      Seq("en" -> 700000L), 300000L))
+    assert(a == b)
+  }
+
   test("survival is a pure function of (id, stratum): reproducible across runs") {
     val a = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
       Seq("en" -> 500, "zh" -> 100), 50).collect().map(_.getLong(0)).toSet
