@@ -681,9 +681,14 @@ object Oracles {
   /** Mirrors Similarity.ivfTopK: centroid assignment → nProbe probes →
     * candidate join on centroid id → exact re-rank.
     */
-  def ivfTopK(centMod: Int = 37, queryMod: Int = 50, nProbe: Int = 3, k: Int = 5): String =
+  /** `corpusWhere` (e.g. "AND label = 2") narrows the searchable corpus —
+    * the q155 filtered-ANN variant; the probe/centroid side is unchanged
+    * (the index is built once, the predicate gates candidates).
+    */
+  def ivfTopK(centMod: Int = 37, queryMod: Int = 50, nProbe: Int = 3, k: Int = 5,
+              corpusWhere: String = ""): String =
     s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % $centMod = 0),
-       |corp AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+       |corp AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings WHERE TRUE $corpusWhere),
        |ap AS (SELECT neighbor_id, cid, nv, cv FROM corp, cent),
        |${cosineCtes("ap", "neighbor_id", "cid", "nv", "cv", "ascore")},
        |assign AS (
@@ -710,6 +715,62 @@ object Oracles {
        |),
        |$dotsCte,
        |${rankTail(k)}""".stripMargin
+
+  /** q156 oracle: MMR diversity rerank — candidate CTE = the q18 brute
+    * cosine derivation cut at `candidates`, pair similarities over the
+    * DISTINCT candidate id pairs (query-independent, like the engine),
+    * then `k−1` unrolled greedy rounds. λ/(1−λ) are derived by the same
+    * `ppm/10⁶` IEEE division the Spark side uses; the MMR score is
+    * re-rounded to 6 decimals before the rank, id tie-break after.
+    */
+  def mmrRerank(queryMod: Int, candidates: Int, k: Int, lambdaPpm: Long): String = {
+    val lam = s"(CAST($lambdaPpm AS DOUBLE) / 1000000)"
+    val oneMl = s"(CAST(${1000000L - lambdaPpm} AS DOUBLE) / 1000000)"
+    val steps = (2 to k).map { r =>
+      s"""pen$r AS MATERIALIZED (
+         |  SELECT c.query_id, c.neighbor_id, c.score, MAX(p.s) AS pen
+         |  FROM cand c
+         |  JOIN sel${r - 1} s2 ON s2.query_id = c.query_id
+         |  JOIN ps p ON p.a = c.neighbor_id AND p.b = s2.neighbor_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s3
+         |    WHERE s3.query_id = c.query_id AND s3.neighbor_id = c.neighbor_id)
+         |  GROUP BY 1, 2, 3),
+         |pick$r AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, score, $r AS pick_rank FROM (
+         |    SELECT query_id, neighbor_id, score,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY round($lam * score - $oneMl * pen, 6) DESC, neighbor_id) AS rn
+         |    FROM pen$r) WHERE rn = 1),
+         |sel$r AS MATERIALIZED (
+         |  SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r)""".stripMargin
+    }
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % $queryMod = 0),
+       |corp AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+       |cp AS (SELECT query_id, neighbor_id, qv, nv FROM q, corp WHERE query_id <> neighbor_id),
+       |${cosineCtes("cp", "query_id", "neighbor_id", "qv", "nv", "cs")},
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, score FROM (
+       |    SELECT query_id, neighbor_id, s AS score,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rnk
+       |    FROM cs) WHERE rnk <= $candidates),
+       |cpairs AS MATERIALIZED (
+       |  SELECT DISTINCT x.neighbor_id AS a, y.neighbor_id AS b
+       |  FROM cand x JOIN cand y
+       |    ON x.query_id = y.query_id AND x.neighbor_id <> y.neighbor_id),
+       |pv AS (
+       |  SELECT p.a, p.b, ea.embedding AS av, eb.embedding AS bv
+       |  FROM cpairs p JOIN embeddings ea ON ea.vec_id = p.a
+       |                JOIN embeddings eb ON eb.vec_id = p.b),
+       |${cosineCtes("pv", "a", "b", "av", "bv", "ps")},
+       |sel1 AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, score, 1 AS pick_rank FROM (
+       |    SELECT query_id, neighbor_id, score,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |${steps.mkString(",\n")}
+       |SELECT query_id, neighbor_id, score, CAST(pick_rank AS INTEGER) AS pick_rank
+       |FROM sel$k""".stripMargin
+  }
 
   /** Mirrors Similarity.annRecall over the lsh (q19) and ivf (q27) arms
     * vs the exact q18 set: the arm/exact derivations are the SAME oracle

@@ -1332,7 +1332,27 @@ object SparkEntry {
     "q154_remix_epochs" -> ((s, d) =>
       graft.ext.Sampling.remixToTarget(Tables.documents(s, d),
         "doc_id", "source", "n_chars",
-        Seq("src0" -> 200000L, "src1" -> 100000L, "src2" -> 0L), 41176L))
+        Seq("src0" -> 200000L, "src1" -> 100000L, "src2" -> 0L), 41176L)),
+
+    // extension: filtered ANN — the q27 IVF index probed under a metadata
+    // predicate (corpus restricted to label=2); the predicate gates the
+    // candidate side only, the coarse quantizer is the shared full-corpus
+    // index, exactly how IVF serves filtered vector search
+    "q155_filtered_ann" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb.filter(col("vec_id") % 50 === 0),
+        emb.filter(col("label") === 2), k = 5,
+        centroids = emb.filter(col("vec_id") % 37 === 0), nProbe = 3)
+    },
+
+    // extension: MMR diversity rerank — greedy λ·rel − (1−λ)·redundancy
+    // over each query's 10 brute-force candidates; pair sims computed once
+    // over distinct candidate ids, each round O(queries·candidates)
+    "q156_mmr_rerank" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.mmrRerank(emb.filter(col("vec_id") % 50 === 0), emb,
+        candidates = 10, k = 5)
+    }
   )
 
   /** The ≥2-order part co-occurrence graph shared by q141/q146: one
@@ -1510,6 +1530,8 @@ object SparkEntry {
     "q152_bfs_distances" -> Oracles.bfsDistances(251, 4, 2),
     "q153_prototype_filter" -> Oracles.prototypicalityFilter(750000),
     "q154_remix_epochs" -> Oracles.remixEpochs(
-      Seq("src0" -> 200000L, "src1" -> 100000L, "src2" -> 0L), 41176L)
+      Seq("src0" -> 200000L, "src1" -> 100000L, "src2" -> 0L), 41176L),
+    "q155_filtered_ann" -> Oracles.ivfTopK(37, 50, 3, 5, "AND label = 2"),
+    "q156_mmr_rerank" -> Oracles.mmrRerank(50, 10, 5, 700000L)
   )
 }

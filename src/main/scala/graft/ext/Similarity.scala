@@ -308,6 +308,73 @@ object Similarity {
       .select("method", "total_hits", "expected", "recall_ppm")
   }
 
+  /** MMR diversity reranking (Maximal Marginal Relevance — Carbonell &
+    * Goldstein, SIGIR 1998, public paper): from each query's `candidates`
+    * brute-force top candidates, greedily pick `k` results where pick r
+    * maximizes `λ·rel(q,c) − (1−λ)·max_{s∈picked} sim(c,s)` — relevance
+    * traded against redundancy with what is already picked, the standard
+    * de-duplicated retrieval tail for RAG/search serving. Pick 1 is the
+    * plain top-1; ties break to the lower neighbor id.
+    *
+    * Determinism: relevance and pair similarities carry the engine-wide
+    * 6-decimal cosine rounding; λ and (1−λ) are derived from `lambdaPpm`
+    * by the SAME IEEE division (`ppm/10⁶`) in both engines (a Scala-side
+    * `1.0 − 0.7` would bake in 0.30000000000000004 and diverge from the
+    * oracle's literal); the MMR score is re-rounded to 6 decimals before
+    * the rank comparison, id tie-break after.
+    *
+    * Scale: the greedy loop is inherently sequential in k, but each round
+    * touches only `queries × candidates` rows (never the corpus — the
+    * corpus is consumed once by the candidate search), pair similarities
+    * are computed ONCE over the distinct candidate id pairs and reused by
+    * every round, and `localCheckpoint` per round keeps the lineage O(1).
+    * With q queries and N candidates the whole rerank is O(q·N²) — the
+    * bounded-candidate discipline of the n-gram verifier applied to
+    * retrieval.
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, candidates: Int, k: Int,
+                lambdaPpm: Long = 700000, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && candidates >= k, s"need candidates >= k >= 1: $candidates, $k")
+    require(lambdaPpm >= 0 && lambdaPpm <= 1000000, s"lambdaPpm out of [0, 1e6]")
+    val lam = lambdaPpm.toDouble / 1000000.0
+    val oneMl = (1000000L - lambdaPpm).toDouble / 1000000.0
+    val cand = bruteForceTopK(queries, corpus, candidates, idCol, vecCol)
+      .localCheckpoint(true)
+    val vecs = corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("vv"))
+    // pair similarity is query-independent: compute once per distinct
+    // candidate id pair, reuse in every round
+    val abPairs = cand.select(col("query_id"), col("neighbor_id").as("a"))
+      .join(cand.select(col("query_id"), col("neighbor_id").as("b")), Seq("query_id"))
+      .filter(col("a") =!= col("b")).select("a", "b").distinct()
+    val pair = abPairs
+      .join(vecs.select(col("vid").as("a"), col("vv").as("av")), Seq("a"))
+      .join(vecs.select(col("vid").as("b"), col("vv").as("bv")), Seq("b"))
+      .select(col("a"), col("b"), round(cosine(col("av"), col("bv")), 6).as("sim"))
+      .localCheckpoint(true)
+    var sel = cand.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("score"), lit(1).as("pick_rank"))
+      .localCheckpoint(true)
+    for (r <- 2 to k) {
+      val remaining = cand
+        .join(sel.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .select(col("query_id"), col("neighbor_id"), col("score"))
+      val w = Window.partitionBy("query_id").orderBy(col("mmr").desc, col("a"))
+      val pick = remaining.select(col("query_id"), col("neighbor_id").as("a"), col("score"))
+        .join(sel.select(col("query_id"), col("neighbor_id").as("b")), Seq("query_id"))
+        .join(pair, Seq("a", "b"))
+        .groupBy(col("query_id"), col("a"), col("score"))
+        .agg(max(col("sim")).as("pen"))
+        .withColumn("mmr", round(lit(lam) * col("score") - lit(oneMl) * col("pen"), 6))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("a").as("neighbor_id"), col("score"),
+          lit(r).as("pick_rank"))
+      sel = sel.unionAll(pick).localCheckpoint(true)
+    }
+    sel
+  }
+
   /** Integer random projection (Johnson-Lindenstrauss flavor): each
     * `dim`-vector reduces to `outDim` components, component j =
     * Σᵢ w(j,i)·⌊vᵢ·10⁶+0.5⌋ with the same derandomized integer weight

@@ -73,6 +73,50 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._1).forall(id => id != 3L && id != 4L)) // far cell not probed
   }
 
+  test("ivfTopK under a corpus predicate: neighbors all satisfy it; empty cells degrade to fewer rows") {
+    val d = df("vec_id BIGINT, label INT, embedding ARRAY<DOUBLE>", Seq(
+      org.apache.spark.sql.Row(0L, 1, Seq(1.0, 2.0, -1.0, 0.5)),
+      org.apache.spark.sql.Row(1L, 2, Seq(1.0, 2.0, -1.0, 0.5)),   // dup of 0, label 2
+      org.apache.spark.sql.Row(2L, 1, Seq(0.9, 2.1, -0.9, 0.6)),   // near 0, wrong label
+      org.apache.spark.sql.Row(3L, 2, Seq(-9.0, 1.0, 8.0, -7.0)),  // far cell, label 2
+      org.apache.spark.sql.Row(4L, 1, Seq(-8.0, 0.5, 7.0, -6.0))))
+    // filtered corpus = labels 2 only; probe 1 cell around the query
+    val out = Similarity.ivfTopK(
+      d.filter(col("vec_id") === 0), d.filter(col("label") === 2), k = 3,
+      centroids = d.filter(col("vec_id").isin(1L, 3L)), nProbe = 1)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    // only the label-2 member of the probed cell comes back — the
+    // wrong-label near neighbor (id 2) is gated, the far cell unprobed,
+    // and the result set is legitimately smaller than k
+    assert(out.toSeq == Seq((1L, 1)))
+  }
+
+  test("mmrRerank: redundancy penalty promotes the diverse candidate over the near-duplicate") {
+    // query (1,1,0)/∠45°: a=(1,0,0) rel .707107; a2=(1,-0.001,0) ≈ a
+    // (pair sim rounds to 1.0, rel just under a's); b=(0,1,0) rel .707107,
+    // orthogonal to a. Plain top-3 order is a, a2, b (score then id) —
+    // MMR with λ=0.7 picks a first, then b (penalty 0) over a2 (penalty 1).
+    val d = vecs(
+      0L -> Seq(1.0, 1.0, 0.0),
+      1L -> Seq(1.0, 0.0, 0.0),
+      2L -> Seq(1.0, -0.001, 0.0),
+      3L -> Seq(0.0, 1.0, 0.0))
+    val out = Similarity.mmrRerank(d.filter(col("vec_id") === 0), d,
+      candidates = 3, k = 3)
+      .orderBy("pick_rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.toSeq == Seq((1L, 1), (3L, 2), (2L, 3)))
+  }
+
+  test("mmrRerank: λ = 1 degenerates to the brute-force top-k order") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val mmr = Similarity.mmrRerank(q, emb, candidates = 10, k = 5, lambdaPpm = 1000000L)
+      .select(col("query_id"), col("neighbor_id"), col("pick_rank").as("rank"))
+    val brute = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    assertSameRows(mmr, brute)
+  }
+
   test("adaptivePlanes: bucket space tracks corpus size, flat per-bucket load") {
     // smallest p with 64·2^p ≥ n
     assert(Similarity.adaptivePlanes(1) == 1)
