@@ -2168,6 +2168,39 @@ object Oracles {
        |SELECT id AS node_id, dist FROM s$rounds""".stripMargin
   }
 
+  /** q157 oracle: fixed-round Bellman-Ford replayed in its SYNCHRONOUS
+    * form (every round relaxes every edge — same ≤ i-edge-path minimum
+    * the engine's delta-frontier computes, the classical equivalence),
+    * round-unrolled as MATERIALIZED CTEs over the weighted co-occurrence
+    * edges (w = 1000 // pair support).
+    */
+  def shortestPaths(srcMod: Long, rounds: Int, minPairs: Long): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT id, MIN(dist) AS dist FROM (
+         |    SELECT id, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.v AS id, l.dist + e.w AS dist
+         |    FROM syme e JOIN d${i - 1} l ON e.u = l.id)
+         |  GROUP BY id)""".stripMargin
+    }
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT u, v, CAST(1000 // pn AS BIGINT) AS w FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS pn
+       |    FROM lineitem a JOIN lineitem b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |    GROUP BY 1, 2)
+       |  WHERE pn >= $minPairs
+       |), syme AS MATERIALIZED (
+       |  SELECT u, v, w FROM e0 UNION ALL SELECT v AS u, u AS v, w FROM e0
+       |), d0 AS MATERIALIZED (
+       |  SELECT DISTINCT u AS id, CAST(0 AS BIGINT) AS dist
+       |  FROM syme WHERE u % $srcMod = 0
+       |), ${steps.mkString(",\n")}
+       |SELECT id AS node_id, dist FROM d$rounds""".stripMargin
+  }
+
   val triangleCounts: String =
     """WITH und AS (
       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -2360,6 +2393,28 @@ object Oracles {
        |removed AS (SELECT DISTINCT id_b AS vec_id FROM sc WHERE s >= $threshold)
        |SELECT d.vec_id, d.cluster, r.vec_id IS NULL AS kept
        |FROM sd d LEFT JOIN removed r ON r.vec_id = d.vec_id""".stripMargin
+
+  /** q158 oracle: per-label cohesion — quantize, per-(label, dim)
+    * truncated mean reassembled in dim order, exact integer L2² to the
+    * label centroid, HUGEINT-carried floor mean.
+    */
+  val labelCohesion: String =
+    s"""WITH q AS (
+       |  SELECT label, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT label, list(m ORDER BY i) AS cv FROM (
+       |    SELECT label, CAST(i AS INTEGER) AS i,
+       |      CAST(SUM(v[CAST(i AS INTEGER)]) AS BIGINT) // COUNT(*) AS m
+       |    FROM q, generate_series(1, 64) t(i) GROUP BY 1, 2)
+       |  GROUP BY label),
+       |d AS (SELECT q.label, ${l2sqSql("q.v", "c.cv")} AS d2
+       |      FROM q JOIN c ON c.label = q.label)
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(CAST(SUM(d2) AS HUGEINT) // COUNT(*) AS BIGINT) AS mean_d2,
+       |  CAST(MAX(d2) AS BIGINT) AS max_d2
+       |FROM d GROUP BY label""".stripMargin
 
   /** q153 oracle: prototypicality gate — the trained-assignment CTE chain
     * plus the same two cluster-partitioned windows; the keep quota is

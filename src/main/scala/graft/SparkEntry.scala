@@ -1352,8 +1352,41 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.mmrRerank(emb.filter(col("vec_id") % 50 === 0), emb,
         candidates = 10, k = 5)
-    }
+    },
+
+    // extension: weighted shortest paths — fixed-round Bellman-Ford with
+    // delta-frontier propagation (only improved nodes re-expand) over the
+    // co-occurrence graph weighted by inverse pair support
+    "q157_shortest_paths" -> { (s, d) =>
+      val e = weightedCoocEdges(s, d)
+      val sources = e.select(col("u").as("id"))
+        .union(e.select(col("v").as("id"))).distinct()
+        .filter(col("id") % 251 === 0)
+      graft.ext.Graph.shortestPaths(e, sources, rounds = 4)
+    },
+
+    // extension: per-label embedding cohesion — exact integer label
+    // centroids (Lloyd's update on given groups) + count/mean/max of
+    // members' L2² to them; labels×dims centroid table broadcast
+    "q158_label_cohesion" -> ((s, d) =>
+      graft.ext.Clustering.labelCohesion(Tables.embeddings(s, d)))
   )
+
+  /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
+    * support — strong ties are short edges, so shortest paths follow the
+    * strongest co-purchase chains.
+    */
+  private def weightedCoocEdges(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+      .repartition(col("g")).dropDuplicates("g", "item")
+    items.select(col("g"), col("item").as("u"))
+      .join(items.select(col("g"), col("item").as("v")), "g")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("pn"))
+      .filter(col("pn") >= 2)
+      .select(col("u"), col("v"), expr("1000 div pn").as("w"))
+  }
 
   /** The ≥2-order part co-occurrence graph shared by q141/q146: one
     * corpus exchange on the order key, co-located pair self-join, exact
@@ -1532,6 +1565,8 @@ object SparkEntry {
     "q154_remix_epochs" -> Oracles.remixEpochs(
       Seq("src0" -> 200000L, "src1" -> 100000L, "src2" -> 0L), 41176L),
     "q155_filtered_ann" -> Oracles.ivfTopK(37, 50, 3, 5, "AND label = 2"),
-    "q156_mmr_rerank" -> Oracles.mmrRerank(50, 10, 5, 700000L)
+    "q156_mmr_rerank" -> Oracles.mmrRerank(50, 10, 5, 700000L),
+    "q157_shortest_paths" -> Oracles.shortestPaths(251, 4, 2),
+    "q158_label_cohesion" -> Oracles.labelCohesion
   )
 }

@@ -253,6 +253,42 @@ object Clustering {
       .select(col("vec_id"), col("cluster"), col("gone").isNull.as("kept"))
   }
 
+  /** Per-label embedding cohesion report: for every label, the exact
+    * integer centroid (per-dim truncated mean in quantized space — the
+    * Lloyd's update rule applied to given groups instead of learned
+    * cells) and the count / truncated-mean / max of members' integer
+    * squared-L2 to it. The embedding-space analogue of the profile
+    * report: a label whose mean_d2 drifts up between snapshots is
+    * fragmenting; max_d2 flags the worst outlier (mislabel candidates).
+    *
+    * Exactness: all integer — quantize, truncated per-dim mean, exact
+    * L2², `sum div count` floor mean with the sum carried in
+    * DECIMAL(38,0) (n·max_d2 passes 2⁶³ around 4·10⁴ billion rows·d2 —
+    * the HUGEINT-mirror policy).
+    *
+    * Scale: the quantized corpus is pinned once and read twice (centroid
+    * pass + distance pass — the kmeansTrain working-set pattern); the
+    * centroid table is labels×dims rows, broadcast back; both aggregates
+    * are partial-agg friendly label-keyed shuffles of scalar rows.
+    */
+  def labelCohesion(embeddings: DataFrame, labelCol: String = "label",
+                    vecCol: String = "embedding"): DataFrame = {
+    val q = embeddings.select(col(labelCol).as("label"), quantize(col(vecCol)).as("qv"))
+      .localCheckpoint(true)
+    val cent = q.select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(expr("sum(v) div count(1)").as("m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cv"))
+    q.join(broadcast(cent), "label")
+      .select(col("label"), l2sq(col("qv"), col("cv")).as("d2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(cast(d2 as decimal(38,0))) div count(1)").as("mean_d2"),
+        max("d2").as("max_d2"))
+      .select("label", "n", "mean_d2", "max_d2")
+  }
+
   /** Prototypicality gate (the data-pruning half of D4 — Tirumala et al.
     * 2023, arXiv:2308.12284; percentile-by-centroid-distance from
     * Sorscher et al. 2022, arXiv:2206.14486 — both public papers): rank

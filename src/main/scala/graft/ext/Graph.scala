@@ -252,6 +252,48 @@ object Graph {
     settled.select(col("id").as("node_id"), col("dist"))
   }
 
+  /** Fixed-round weighted shortest paths (Bellman-Ford) over an undirected
+    * weighted edge list `(u, v, w)`, w a positive integer: after `rounds`
+    * rounds every output row carries the EXACT minimum path weight over
+    * paths of ≤ `rounds` edges from any source — [[bfsDistances]]'s
+    * weighted generalization (hop count ↦ Σw), same fixed-round
+    * determinism policy. Unreached nodes are absent.
+    *
+    * Scale shape per round — DELTA propagation, not the naive synchronous
+    * form: only nodes whose distance IMPROVED last round re-expand their
+    * edges (the classical Bellman-Ford work-list optimization, which
+    * preserves the ≤ i-edge invariant: a node's value always propagates
+    * the round after it last improved). Each round is one frontier⋈edges
+    * equi-join, a per-node min partial aggregate, one left join against
+    * the settled relation for the strictly-better test, and an anti-join
+    * + union to fold improvements in; `localCheckpoint(eager)` per round
+    * keeps lineage O(1). On graphs where distances stabilize early the
+    * frontier empties and later rounds are no-ops.
+    */
+  def shortestPaths(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val und = edges.select(col("u"), col("v"), col("w")).localCheckpoint(true)
+    val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .localCheckpoint(true)
+    var dist = sources.select(col("id")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val cand = sym.join(frontier.select(col("id").as("u"), col("dist").as("du")), "u")
+        .select(col("v").as("id"), (col("du") + col("w")).as("dist"))
+        .groupBy("id").agg(min("dist").as("dist"))
+      val improved = cand
+        .join(dist.select(col("id"), col("dist").as("old")), Seq("id"), "left")
+        .filter(col("old").isNull || col("dist") < col("old"))
+        .select("id", "dist").localCheckpoint(true)
+      dist = dist.join(improved.select(col("id").as("iid")),
+          dist("id") === col("iid"), "left_anti")
+        .unionAll(improved).localCheckpoint(true)
+      frontier = improved
+    }
+    dist.select(col("id").as("node_id"), col("dist"))
+  }
+
   /** Per-node triangle counts over an undirected edge list — the classic
     * clustering/cohesion signal.
     *

@@ -63,6 +63,18 @@ class ClusteringSpec extends SparkSpec {
     assert(out(1L) == 0L)
   }
 
+  test("labelCohesion: hand-computed centroid, truncated mean, exact integer distances") {
+    // label 0: (1e6,0) and (5e5,0) → centroid (750000, 0), each d2 = 250000² ;
+    // label 1: singleton → centroid = itself, d2 = 0
+    val d = df("vec_id BIGINT, label INT, embedding ARRAY<DOUBLE>", Seq(
+      Row(1L, 0, Seq(1.0, 0.0)), Row(2L, 0, Seq(0.5, 0.0)),
+      Row(3L, 1, Seq(0.25, 0.5))))
+    val out = Clustering.labelCohesion(d)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0) == ((2L, 62500000000L, 62500000000L)))
+    assert(out(1) == ((1L, 0L, 0L)))
+  }
+
   test("prototypicalityFilter: per-cell ppm quota, nearest-(dist,id) order kept") {
     // cells {0,1,2} and {4,5,6}; quota = (670000·3) div 1e6 = 2 of 3
     val out = Clustering.prototypicalityFilter(corpus, keepPpm = 670000, seedMod = 4)

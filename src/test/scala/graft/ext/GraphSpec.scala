@@ -65,6 +65,35 @@ class GraphSpec extends SparkSpec {
     assert(rowSet(out) == rows(Seq("1", "0"), Seq("2", "1")))
   }
 
+  private def wund(triples: (Long, Long, Long)*) =
+    df("u BIGINT, v BIGINT, w BIGINT", triples.map { case (a, b, w) => Row(a, b, w) })
+
+  test("shortestPaths: cheap 2-hop path beats the heavy direct edge") {
+    val e = wund((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 10L))
+    assert(rowSet(Graph.shortestPaths(e, df("id BIGINT", Seq(Row(1L))), rounds = 2)) ==
+      rows(Seq("1", "0"), Seq("2", "1"), Seq("3", "2")))
+  }
+
+  test("shortestPaths: round R = exact minimum over <= R-edge paths") {
+    // chain 1-2-3-4 (w 1 each) + direct 1-4 (w 5): with 2 rounds the
+    // 3-edge chain is out of reach, the 1-edge direct wins at 5; with 3
+    // rounds the chain relaxes it to 3
+    val e = wund((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 5L))
+    val src = df("id BIGINT", Seq(Row(1L)))
+    val at2 = Graph.shortestPaths(e, src, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at2(4L) == 5L)
+    val at3 = Graph.shortestPaths(e, src, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at3(4L) == 3L)
+  }
+
+  test("shortestPaths: disconnected component absent; undirected relaxation works both ways") {
+    val e = wund((1L, 2L, 2L), (4L, 5L, 1L))
+    val out = Graph.shortestPaths(e, df("id BIGINT", Seq(Row(2L))), rounds = 3)
+    assert(rowSet(out) == rows(Seq("2", "0"), Seq("1", "2")))
+  }
+
   test("triangleCounts: K4 gives every node 3 triangles") {
     val e = und((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
     assert(rowSet(Graph.triangleCounts(e)) == rows(
