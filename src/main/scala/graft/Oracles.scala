@@ -2394,6 +2394,29 @@ object Oracles {
        |SELECT d.vec_id, d.cluster, r.vec_id IS NULL AS kept
        |FROM sd d LEFT JOIN removed r ON r.vec_id = d.vec_id""".stripMargin
 
+  /** q159 oracle: exact per-group mode — count collapse + row_number
+    * arg-max over (count DESC, value) = the engine's max(struct(c, −v)).
+    */
+  val brandModeSize: String =
+    """SELECT p_brand, mode_size, mode_size_n FROM (
+      |  SELECT p_brand, v AS mode_size, c AS mode_size_n,
+      |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY c DESC, v) AS rn
+      |  FROM (SELECT p_brand, p_size AS v, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM part GROUP BY 1, 2))
+      |WHERE rn = 1""".stripMargin
+
+  /** q160 oracle: Gini impurity in exact integer ppm — HUGEINT mirror of
+    * the DECIMAL(38,0) chain `((n² − Σc²)·10⁶) // n²`.
+    */
+  val userGini: String =
+    """SELECT user_id, CAST(n AS BIGINT) AS n,
+      |  CAST(((CAST(n AS HUGEINT) * n - ss) * 1000000)
+      |       // (CAST(n AS HUGEINT) * n) AS BIGINT) AS gini_ppm
+      |FROM (
+      |  SELECT user_id, SUM(c) AS n, SUM(CAST(c AS HUGEINT) * c) AS ss FROM (
+      |    SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2)
+      |  GROUP BY user_id)""".stripMargin
+
   /** q158 oracle: per-label cohesion — quantize, per-(label, dim)
     * truncated mean reassembled in dim order, exact integer L2² to the
     * label centroid, HUGEINT-carried floor mean.

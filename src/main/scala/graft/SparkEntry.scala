@@ -1369,7 +1369,18 @@ object SparkEntry {
     // centroids (Lloyd's update on given groups) + count/mean/max of
     // members' L2² to them; labels×dims centroid table broadcast
     "q158_label_cohesion" -> ((s, d) =>
-      graft.ext.Clustering.labelCohesion(Tables.embeddings(s, d)))
+      graft.ext.Clustering.labelCohesion(Tables.embeddings(s, d))),
+
+    // extension: exact per-group mode — two chained partial aggregates
+    // (value counts, then max(struct) arg-max), no window, min-value ties
+    "q159_brand_mode_size" -> ((s, d) =>
+      graft.ext.Quality.modeBy(Tables.part(s, d), "p_brand", "p_size", "mode_size")),
+
+    // extension: categorical diversity (Gini impurity, exact integer ppm)
+    // per user over event types — the log-free spread index; near-zero
+    // users hammer one event type (bot signal)
+    "q160_user_gini" -> ((s, d) =>
+      graft.ext.Quality.giniImpurityBy(Tables.events(s, d), "user_id", "event_type"))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -1567,6 +1578,8 @@ object SparkEntry {
     "q155_filtered_ann" -> Oracles.ivfTopK(37, 50, 3, 5, "AND label = 2"),
     "q156_mmr_rerank" -> Oracles.mmrRerank(50, 10, 5, 700000L),
     "q157_shortest_paths" -> Oracles.shortestPaths(251, 4, 2),
-    "q158_label_cohesion" -> Oracles.labelCohesion
+    "q158_label_cohesion" -> Oracles.labelCohesion,
+    "q159_brand_mode_size" -> Oracles.brandModeSize,
+    "q160_user_gini" -> Oracles.userGini
   )
 }

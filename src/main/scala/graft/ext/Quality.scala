@@ -79,6 +79,51 @@ object Quality {
       .select(col(grpCol), col("__v").as(outCol))
   }
 
+  /** Exact per-group mode — the most frequent value, ties to the SMALLEST
+    * value (deterministic in any engine; no "arbitrary element" modes).
+    * Completes the descriptive-statistics row (median / weighted median /
+    * MAD / quantiles / winsorized mean / mode). Output:
+    * `(group, outCol, outCol_n)` — the winning value and its count.
+    *
+    * Scale shape: the fact collapses to (group, value) counts — one
+    * partial-agg shuffle — then the arg-max is a second partial-friendly
+    * aggregate `max(struct(count, -value))` over the collapsed relation
+    * (no window, no sort). Value must be numeric for the negation trick;
+    * the aggregate state is one pair per group.
+    */
+  def modeBy(df: DataFrame, grpCol: String, valCol: String,
+             outCol: String): DataFrame =
+    df.groupBy(col(grpCol), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(grpCol))
+      .agg(max(struct(col("__cnt"), (-col("__v")).as("__negv"))).as("__best"))
+      .select(col(grpCol), (-col("__best")("__negv")).as(outCol),
+        col("__best")("__cnt").as(s"${outCol}_n"))
+
+  /** Exact categorical diversity per group — Gini impurity
+    * `1 − Σ (cᵢ/n)²` reported in exact integer ppm:
+    * `((n² − Σcᵢ²) · 10⁶) div n²`, all arithmetic in DECIMAL(38,0) (n²
+    * passes 2⁶³ beyond ~3·10⁹ rows per group). 0 = all one category
+    * (a bot hammering one event type), → 1 − 1/k for uniform spread over
+    * k categories — the log-free diversity index (entropy needs `ln`,
+    * whose libm rounding is not cross-engine-pinned; Gini is rational).
+    *
+    * Scale shape: facts collapse to (group, category) counts — one
+    * partial-agg shuffle — then one group-keyed aggregate over the
+    * collapsed relation computes n and Σc² together. Nothing touches raw
+    * rows twice; state is two accumulators per group.
+    */
+  def giniImpurityBy(df: DataFrame, grpCol: String, catCol: String): DataFrame = {
+    df.groupBy(col(grpCol), col(catCol).as("__c"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(grpCol))
+      .agg(sum("__cnt").as("__n"),
+        sum(expr("cast(__cnt as decimal(38,0)) * __cnt")).as("__ss"))
+      .select(col(grpCol), col("__n").as("n"),
+        expr("((cast(__n as decimal(38,0)) * __n - __ss) * 1000000) div (cast(__n as decimal(38,0)) * __n)")
+          .as("gini_ppm"))
+  }
+
   /** Exact weighted lower median per group: the smallest value whose
     * cumulative weight reaches half the group's total —
     * `min{v : 2·cumw(v) ≥ totw}` — computed entirely in integer weight

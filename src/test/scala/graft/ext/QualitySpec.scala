@@ -6,6 +6,26 @@ import graft.SparkSpec
 
 class QualitySpec extends SparkSpec {
 
+  test("modeBy: most frequent wins; count ties go to the smallest value") {
+    val t = df("g STRING, v BIGINT", Seq(
+      Row("a", 5L), Row("a", 5L), Row("a", 7L),
+      Row("b", 1L), Row("b", 2L), Row("b", 2L), Row("b", 3L),
+      Row("c", 4L), Row("c", 4L), Row("c", 6L), Row("c", 6L))) // tie → 4
+    val out = Quality.modeBy(t, "g", "v", "mode_v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("a" -> ((5L, 2L)), "b" -> ((2L, 2L)), "c" -> ((4L, 2L))))
+  }
+
+  test("giniImpurityBy: hand-computed ppm — uniform, constant, all-distinct") {
+    val t = df("g STRING, c STRING", Seq(
+      Row("u", "x"), Row("u", "x"), Row("u", "y"), Row("u", "y"), // (16-8)/16
+      Row("k", "x"), Row("k", "x"), Row("k", "x"),                // constant → 0
+      Row("d", "x"), Row("d", "y"), Row("d", "z")))               // (9-3)/9
+    val out = Quality.giniImpurityBy(t, "g", "c")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("u" -> ((4L, 500000L)), "k" -> ((3L, 0L)), "d" -> ((3L, 666666L))))
+  }
+
   test("constraintReport: one pass counts all violations, uniqueness included") {
     val t = df("k BIGINT, status STRING, price DOUBLE", Seq(
       Row(1L, "O", 10.0),
