@@ -723,7 +723,12 @@ object Oracles {
     * `ppm/10⁶` IEEE division the Spark side uses; the MMR score is
     * re-rounded to 6 decimals before the rank, id tie-break after.
     */
-  def mmrRerank(queryMod: Int, candidates: Int, k: Int, lambdaPpm: Long): String = {
+  /** The greedy-MMR CTE tail over a `cand (query_id, neighbor_id, score)`
+    * CTE already in scope: candidate pair cosines + first pick + `k−1`
+    * unrolled rounds, ending in `sel$k`. Shared by q156 (brute-cosine
+    * candidates) and q161 (RRF-fused hybrid candidates).
+    */
+  private def mmrTailCtes(k: Int, lambdaPpm: Long): String = {
     val lam = s"(CAST($lambdaPpm AS DOUBLE) / 1000000)"
     val oneMl = s"(CAST(${1000000L - lambdaPpm} AS DOUBLE) / 1000000)"
     val steps = (2 to k).map { r =>
@@ -744,16 +749,7 @@ object Oracles {
          |sel$r AS MATERIALIZED (
          |  SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r)""".stripMargin
     }
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % $queryMod = 0),
-       |corp AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
-       |cp AS (SELECT query_id, neighbor_id, qv, nv FROM q, corp WHERE query_id <> neighbor_id),
-       |${cosineCtes("cp", "query_id", "neighbor_id", "qv", "nv", "cs")},
-       |cand AS MATERIALIZED (
-       |  SELECT query_id, neighbor_id, score FROM (
-       |    SELECT query_id, neighbor_id, s AS score,
-       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rnk
-       |    FROM cs) WHERE rnk <= $candidates),
-       |cpairs AS MATERIALIZED (
+    s"""cpairs AS MATERIALIZED (
        |  SELECT DISTINCT x.neighbor_id AS a, y.neighbor_id AS b
        |  FROM cand x JOIN cand y
        |    ON x.query_id = y.query_id AND x.neighbor_id <> y.neighbor_id),
@@ -767,10 +763,38 @@ object Oracles {
        |    SELECT query_id, neighbor_id, score,
        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
        |    FROM cand) WHERE rn = 1),
-       |${steps.mkString(",\n")}
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  def mmrRerank(queryMod: Int, candidates: Int, k: Int, lambdaPpm: Long): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % $queryMod = 0),
+       |corp AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+       |cp AS (SELECT query_id, neighbor_id, qv, nv FROM q, corp WHERE query_id <> neighbor_id),
+       |${cosineCtes("cp", "query_id", "neighbor_id", "qv", "nv", "cs")},
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, score FROM (
+       |    SELECT query_id, neighbor_id, s AS score,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rnk
+       |    FROM cs) WHERE rnk <= $candidates),
+       |${mmrTailCtes(k, lambdaPpm)}
        |SELECT query_id, neighbor_id, score, CAST(pick_rank AS INTEGER) AS pick_rank
        |FROM sel$k""".stripMargin
-  }
+
+  /** q161 oracle: hybrid retrieval flagship — the q122 RRF fusion as the
+    * candidate CTE (rel = rrf/10⁶, one synthetic query id 0), diversified
+    * by the shared greedy-MMR tail.
+    */
+  def hybridMmr(queryTokens: Seq[String], qid: Long, armK: Int, candK: Int,
+                c: Int, k: Int, lambdaPpm: Long): String =
+    s"""WITH cand0 AS MATERIALIZED (
+       |  SELECT doc_id, rrf FROM (${rrfFusion(queryTokens, qid, armK, candK, c)}) t),
+       |cand AS MATERIALIZED (
+       |  SELECT CAST(0 AS BIGINT) AS query_id, doc_id AS neighbor_id,
+       |    CAST(rrf AS DOUBLE) / 1000000 AS score
+       |  FROM cand0),
+       |${mmrTailCtes(k, lambdaPpm)}
+       |SELECT query_id, neighbor_id, score, CAST(pick_rank AS INTEGER) AS pick_rank
+       |FROM sel$k""".stripMargin
 
   /** Mirrors Similarity.annRecall over the lsh (q19) and ivf (q27) arms
     * vs the exact q18 set: the arm/exact derivations are the SAME oracle

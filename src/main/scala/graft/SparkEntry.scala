@@ -1380,7 +1380,27 @@ object SparkEntry {
     // per user over event types — the log-free spread index; near-zero
     // users hammer one event type (bot signal)
     "q160_user_gini" -> ((s, d) =>
-      graft.ext.Quality.giniImpurityBy(Tables.events(s, d), "user_id", "event_type"))
+      graft.ext.Quality.giniImpurityBy(Tables.events(s, d), "user_id", "event_type")),
+
+    // extension flagship: hybrid retrieval serving tail — BM25 lexical arm
+    // + cosine semantic arm fused by RRF (q122), then MMR-diversified
+    // (q156's greedy tail on the fused scores); λ=0.99 balances the
+    // ~0.03-scale RRF rel against [0,1] cosine redundancy
+    "q161_hybrid_mmr" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val lex = graft.ext.Search.bm25TopK(
+          Tables.documents(s, d), Seq("join", "scan", "filter"), k = 20)
+        .select(col("doc_id"), col("rank"))
+      val sem = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") === 0), emb, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      val fused = graft.ext.Search.rrfFuse(Seq(lex, sem), k = 10)
+      Similarity.mmrSelect(
+        fused.select(lit(0L).as("query_id"), col("doc_id").as("neighbor_id"),
+          (col("rrf").cast("double") / 1000000).as("score")),
+        emb.select(col("vec_id").as("vid"), col("embedding").as("vv")),
+        k = 5, lambdaPpm = 990000L)
+    }
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -1580,6 +1600,8 @@ object SparkEntry {
     "q157_shortest_paths" -> Oracles.shortestPaths(251, 4, 2),
     "q158_label_cohesion" -> Oracles.labelCohesion,
     "q159_brand_mode_size" -> Oracles.brandModeSize,
-    "q160_user_gini" -> Oracles.userGini
+    "q160_user_gini" -> Oracles.userGini,
+    "q161_hybrid_mmr" -> Oracles.hybridMmr(
+      Seq("join", "scan", "filter"), 0L, 20, 10, 60, 5, 990000L)
   )
 }

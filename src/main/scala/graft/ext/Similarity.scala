@@ -335,24 +335,41 @@ object Similarity {
   def mmrRerank(queries: DataFrame, corpus: DataFrame, candidates: Int, k: Int,
                 lambdaPpm: Long = 700000, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
-    require(k >= 1 && candidates >= k, s"need candidates >= k >= 1: $candidates, $k")
+    require(candidates >= k, s"need candidates >= k: $candidates, $k")
+    mmrSelect(
+      bruteForceTopK(queries, corpus, candidates, idCol, vecCol)
+        .select("query_id", "neighbor_id", "score"),
+      corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("vv")),
+      k, lambdaPpm)
+  }
+
+  /** The greedy MMR selection over an ALREADY-SCORED candidate table
+    * `(query_id, neighbor_id, score)` — factored out of [[mmrRerank]] so
+    * any retrieval arm (brute cosine, RRF-fused hybrid, BM25) can feed
+    * it; redundancy is always embedding cosine over `vectors (vid, vv)`.
+    * A candidate with no vector silently drops out of rounds ≥ 2 (its
+    * pair rows don't exist) — the caller decides whether that's a data
+    * bug. Scale/determinism notes on [[mmrRerank]].
+    */
+  def mmrSelect(cand0: DataFrame, vectors: DataFrame, k: Int,
+                lambdaPpm: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
     require(lambdaPpm >= 0 && lambdaPpm <= 1000000, s"lambdaPpm out of [0, 1e6]")
     val lam = lambdaPpm.toDouble / 1000000.0
     val oneMl = (1000000L - lambdaPpm).toDouble / 1000000.0
-    val cand = bruteForceTopK(queries, corpus, candidates, idCol, vecCol)
-      .localCheckpoint(true)
-    val vecs = corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("vv"))
+    val cand = cand0.localCheckpoint(true)
     // pair similarity is query-independent: compute once per distinct
     // candidate id pair, reuse in every round
     val abPairs = cand.select(col("query_id"), col("neighbor_id").as("a"))
       .join(cand.select(col("query_id"), col("neighbor_id").as("b")), Seq("query_id"))
       .filter(col("a") =!= col("b")).select("a", "b").distinct()
     val pair = abPairs
-      .join(vecs.select(col("vid").as("a"), col("vv").as("av")), Seq("a"))
-      .join(vecs.select(col("vid").as("b"), col("vv").as("bv")), Seq("b"))
+      .join(vectors.select(col("vid").as("a"), col("vv").as("av")), Seq("a"))
+      .join(vectors.select(col("vid").as("b"), col("vv").as("bv")), Seq("b"))
       .select(col("a"), col("b"), round(cosine(col("av"), col("bv")), 6).as("sim"))
       .localCheckpoint(true)
-    var sel = cand.filter(col("rank") === 1)
+    val w1 = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    var sel = cand.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
       .select(col("query_id"), col("neighbor_id"), col("score"), lit(1).as("pick_rank"))
       .localCheckpoint(true)
     for (r <- 2 to k) {

@@ -107,6 +107,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1), (3L, 2), (2L, 3)))
   }
 
+  test("mmrSelect: externally-scored candidates honor the same greedy rule") {
+    // scores come from an arbitrary arm (RRF-style), redundancy from the
+    // vectors: 2 ≈ dup of 1 (sim rounds to 1.0), 3 orthogonal to 1
+    val v = vecs(
+      1L -> Seq(1.0, 0.0, 0.0),
+      2L -> Seq(1.0, -0.001, 0.0),
+      3L -> Seq(0.0, 1.0, 0.0))
+    val cand = df("query_id BIGINT, neighbor_id BIGINT, score DOUBLE", Seq(
+      org.apache.spark.sql.Row(0L, 1L, 0.9),
+      org.apache.spark.sql.Row(0L, 2L, 0.89),
+      org.apache.spark.sql.Row(0L, 3L, 0.5)))
+    val out = Similarity.mmrSelect(cand,
+      v.select(col("vec_id").as("vid"), col("embedding").as("vv")),
+      k = 3, lambdaPpm = 700000L)
+      .orderBy("pick_rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    // pick1 = 1; pick2: mmr(2) = .7·.89 − .3·1 = .323 < mmr(3) = .35 → 3
+    assert(out.toSeq == Seq((1L, 1), (3L, 2), (2L, 3)))
+  }
+
   test("mmrRerank: λ = 1 degenerates to the brute-force top-k order") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") % 50 === 0)
