@@ -61,6 +61,7 @@ for t in ["customer", "supplier", "part", "nation", "region"]:
 mvid = one(f"SELECT max(vec_id) + 1 FROM '{SRC}/embeddings.parquet'")
 copy(f"""SELECT vec_id + r * {mvid} AS vec_id,
            list_transform(embeddings.embedding,
-             x -> CAST(x + ((r * 17 + 13) % 7 - 3) * 0.001 AS FLOAT)) AS embedding
+             x -> CAST(x + ((r * 17 + 13) % 7 - 3) * 0.001 AS FLOAT)) AS embedding,
+           label
          FROM read_parquet('{SRC}/embeddings.parquet') embeddings, range(0, {R}) t(r)""",
      "embeddings")
