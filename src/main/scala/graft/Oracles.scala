@@ -2418,6 +2418,49 @@ object Oracles {
        |SELECT d.vec_id, d.cluster, r.vec_id IS NULL AS kept
        |FROM sd d LEFT JOIN removed r ON r.vec_id = d.vec_id""".stripMargin
 
+  /** q162 oracle: vocabulary drift between the doc_id-parity halves —
+    * per-side token counts, vocabulary full-outer join, HUGEINT ppm of
+    * each side's total mass, signed delta.
+    */
+  def vocabularyDrift(minCount: Long): String =
+    s"""WITH tka AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt_a FROM (
+       |    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS token
+       |    FROM documents WHERE doc_id % 2 = 0) GROUP BY 1),
+       |tkb AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM (
+       |    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS token
+       |    FROM documents WHERE doc_id % 2 = 1) GROUP BY 1),
+       |na AS (SELECT CAST(SUM(cnt_a) AS HUGEINT) AS tot_a FROM tka),
+       |nb AS (SELECT CAST(SUM(cnt_b) AS HUGEINT) AS tot_b FROM tkb),
+       |j AS (
+       |  SELECT COALESCE(a.token, b.token) AS token,
+       |    COALESCE(a.cnt_a, 0) AS cnt_a, COALESCE(b.cnt_b, 0) AS cnt_b
+       |  FROM tka a FULL OUTER JOIN tkb b ON a.token = b.token),
+       |p AS (
+       |  SELECT token, cnt_a, cnt_b,
+       |    CAST((CAST(cnt_a AS HUGEINT) * 1000000) // tot_a AS BIGINT) AS ppm_a,
+       |    CAST((CAST(cnt_b AS HUGEINT) * 1000000) // tot_b AS BIGINT) AS ppm_b
+       |  FROM j, na, nb
+       |  WHERE cnt_a >= $minCount OR cnt_b >= $minCount)
+       |SELECT token, cnt_a, cnt_b, ppm_a, ppm_b, ppm_a - ppm_b AS delta_ppm
+       |FROM p""".stripMargin
+
+  /** q163 oracle: exact cume_dist ppm — by-value counts, running + total
+    * window over the collapsed relation, HUGEINT-carried numerator.
+    */
+  val pricePercentiles: String =
+    """SELECT l_returnflag, value, cnt,
+      |  CAST((CAST(cum AS HUGEINT) * 1000000) // n AS BIGINT) AS cume_ppm
+      |FROM (
+      |  SELECT l_returnflag, value, cnt,
+      |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY value) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM (
+      |    SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS value,
+      |      CAST(COUNT(*) AS BIGINT) AS cnt
+      |    FROM lineitem GROUP BY 1, 2))""".stripMargin
+
   /** q159 oracle: exact per-group mode — count collapse + row_number
     * arg-max over (count DESC, value) = the engine's max(struct(c, −v)).
     */

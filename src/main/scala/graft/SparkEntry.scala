@@ -1400,7 +1400,25 @@ object SparkEntry {
           (col("rrf").cast("double") / 1000000).as("score")),
         emb.select(col("vec_id").as("vid"), col("embedding").as("vv")),
         k = 5, lambdaPpm = 990000L)
-    }
+    },
+
+    // extension: vocabulary drift between corpus halves (doc_id parity) —
+    // two token aggregates, vocabulary-sized full-outer join, broadcast
+    // totals; the emerging-template / source-loss detector
+    "q162_vocab_drift" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.TextAnalysis.vocabularyDrift(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+    },
+
+    // extension: per-group percentile rank (exact cume_dist ppm) of price
+    // cents within each return flag — by-value collapse first, both
+    // windows share one group-key exchange
+    "q163_price_percentiles" -> ((s, d) =>
+      graft.ext.Quality.percentileRankBy(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents")),
+        "l_returnflag", "price_cents"))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -1602,6 +1620,8 @@ object SparkEntry {
     "q159_brand_mode_size" -> Oracles.brandModeSize,
     "q160_user_gini" -> Oracles.userGini,
     "q161_hybrid_mmr" -> Oracles.hybridMmr(
-      Seq("join", "scan", "filter"), 0L, 20, 10, 60, 5, 990000L)
+      Seq("join", "scan", "filter"), 0L, 20, 10, 60, 5, 990000L),
+    "q162_vocab_drift" -> Oracles.vocabularyDrift(10),
+    "q163_price_percentiles" -> Oracles.pricePercentiles
   )
 }

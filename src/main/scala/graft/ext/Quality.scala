@@ -79,6 +79,32 @@ object Quality {
       .select(col(grpCol), col("__v").as(outCol))
   }
 
+  /** Per-group percentile rank (cumulative distribution) in exact integer
+    * ppm: for every distinct (group, value), `cume_ppm = (Σ_{v' ≤ v}
+    * cnt(v')) · 10⁶ div n` — the exact-integer `cume_dist`. The
+    * within-group normalization step real pipelines run before a GLOBAL
+    * quality cut (a raw threshold over heterogeneous domains keeps whole
+    * domains; "keep each domain's top 30%" is this rank + a filter).
+    * Numerator carried in DECIMAL(38,0) (cum·10⁶ passes 2⁶³ beyond ~9·10¹²
+    * rows per group).
+    *
+    * Scale shape: the fact collapses FIRST to (group, value) counts —
+    * one partial-agg shuffle — and both windows (running + total) run
+    * over the collapsed relation sharing one group-key exchange, the
+    * [[lowerMedianBy]] discipline. Output is one row per DISTINCT value,
+    * not per fact row.
+    */
+  def percentileRankBy(df: DataFrame, grpCol: String, valCol: String): DataFrame = {
+    val counts = df.groupBy(col(grpCol), col(valCol).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val wRun = Window.partitionBy(grpCol).orderBy(col("value"))
+    val wAll = Window.partitionBy(grpCol)
+    counts.withColumn("cum", sum("cnt").over(wRun))
+      .withColumn("n", sum("cnt").over(wAll))
+      .select(col(grpCol), col("value"), col("cnt"),
+        expr("(cast(cum as decimal(38,0)) * 1000000) div n").as("cume_ppm"))
+  }
+
   /** Exact per-group mode — the most frequent value, ties to the SMALLEST
     * value (deterministic in any engine; no "arbitrary element" modes).
     * Completes the descriptive-statistics row (median / weighted median /

@@ -278,6 +278,42 @@ object TextAnalysis {
     * 1-row broadcast; the final top-k is a TakeOrdered over the
     * (already count-pruned) bigram relation — k rows to the driver.
     */
+  /** Vocabulary drift between two corpus snapshots — the text analogue of
+    * the column-profile drift report (q138): per token appearing ≥
+    * `minCount` times in EITHER snapshot, its count and within-snapshot
+    * frequency (exact integer ppm of each side's total token mass), plus
+    * the signed ppm delta. Rising tokens = emerging vocabulary /
+    * contamination (a spam template flooding a crawl shows up here before
+    * any quality score moves); vanished tokens = source loss. Log-free by
+    * the same policy as Gini: ratios of exact integers, `div`-floored at
+    * ppm, with the numerator in DECIMAL(38,0).
+    *
+    * Scale shape: one token-keyed count aggregate per side (partial-agg'd
+    * — the explode stream collapses map-side to vocabulary-sized
+    * relations), a vocabulary-sized full-outer join, two 1-row totals
+    * crossed in broadcast, and the minCount gate bounds the report.
+    * Nothing scales with corpus size past the two token scans.
+    */
+  def vocabularyDrift(docsA: DataFrame, docsB: DataFrame, minCount: Long = 10,
+                      textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    def counts(d: DataFrame, cName: String) =
+      d.select(explode(tokens(lower(col(textCol)))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as(cName))
+    val a = counts(docsA, "cnt_a")
+    val b = counts(docsB, "cnt_b")
+    val ta = a.agg(sum("cnt_a").as("tot_a"))
+    val tb = b.agg(sum("cnt_b").as("tot_b"))
+    a.join(b, Seq("token"), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .filter(col("cnt_a") >= minCount || col("cnt_b") >= minCount)
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("token"), col("cnt_a"), col("cnt_b"),
+        expr("(cast(cnt_a as decimal(38,0)) * 1000000) div tot_a").as("ppm_a"),
+        expr("(cast(cnt_b as decimal(38,0)) * 1000000) div tot_b").as("ppm_b"))
+      .withColumn("delta_ppm", col("ppm_a") - col("ppm_b"))
+  }
+
   def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50,
                    textCol: String = "text"): DataFrame = {
     val toksAll = docs.select(tokens(lower(col(textCol))).as("w"))

@@ -6,6 +6,15 @@ import graft.SparkSpec
 
 class QualitySpec extends SparkSpec {
 
+  test("percentileRankBy: exact cume_dist ppm over collapsed values") {
+    // g: [10, 20, 20, 40] → (10,1,250000), (20,2,750000), (40,1,1000000)
+    val t = df("g STRING, v BIGINT", Seq(
+      Row("g", 10L), Row("g", 20L), Row("g", 20L), Row("g", 40L)))
+    val out = Quality.percentileRankBy(t, "g", "v")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((10L, 1L, 250000L), (20L, 2L, 750000L), (40L, 1L, 1000000L)))
+  }
+
   test("modeBy: most frequent wins; count ties go to the smallest value") {
     val t = df("g STRING, v BIGINT", Seq(
       Row("a", 5L), Row("a", 5L), Row("a", 7L),

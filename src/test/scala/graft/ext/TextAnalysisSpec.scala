@@ -9,6 +9,25 @@ class TextAnalysisSpec extends SparkSpec {
   private def one(text: String): org.apache.spark.sql.DataFrame =
     df("doc_id BIGINT, text STRING", Seq(Row(1L, text)))
 
+  test("vocabularyDrift: hand-computed ppm shares and signed delta; one-sided tokens survive") {
+    val a = df("doc_id BIGINT, text STRING", Seq(Row(1L, "a A b")))   // a:2 b:1, tot 3
+    val b = df("doc_id BIGINT, text STRING", Seq(Row(2L, "a c")))     // a:1 c:1, tot 2
+    val out = TextAnalysis.vocabularyDrift(a, b, minCount = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("a") == ((2L, 1L, 666666L, 500000L, 166666L)))
+    assert(out("b") == ((1L, 0L, 333333L, 0L, 333333L)))
+    assert(out("c") == ((0L, 1L, 0L, 500000L, -500000L)))
+  }
+
+  test("vocabularyDrift: minCount gates the report on either side") {
+    val a = df("doc_id BIGINT, text STRING", Seq(Row(1L, "x x y")))
+    val b = df("doc_id BIGINT, text STRING", Seq(Row(2L, "y z")))
+    val toks = TextAnalysis.vocabularyDrift(a, b, minCount = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(toks == Set("x")) // y: 1+1 per side, z: 1 — both below the gate
+  }
+
   test("tokenCount: whitespace runs, empty text → 0") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       Row(1L, "a  b\tc"), Row(2L, ""), Row(3L, "   "), Row(4L, "single")))
