@@ -526,6 +526,42 @@ object Oracles {
        |FROM c""".stripMargin
 
   /** Mirrors Packing.clusterSplit over the minhashClusters derivation. */
+  /** q164 oracle: overlapping token-window chunking — same chunk-count
+    * arithmetic, DuckDB's 1-based inclusive list slice mirrors Spark's
+    * (start, length) slice, windows re-joined with single spaces.
+    */
+  def docChunks(size: Int, stride: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    CASE WHEN len(toks) = 0 THEN 0
+       |         WHEN len(toks) <= $size THEN 1
+       |         ELSE 1 + (len(toks) - $size + $stride - 1) // $stride END AS nc
+       |  FROM t)
+       |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       |  array_to_string(toks[(CAST(i AS INTEGER) * $stride + 1):(CAST(i AS INTEGER) * $stride + $size)], ' ') AS chunk_text,
+       |  CAST(LEAST($size, n - i * $stride) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, toks, n, unnest(range(0, nc)) AS i FROM c)""".stripMargin
+
+  /** q165 oracle: the weighted n-way split — cumulative-ppm CASE over the
+    * same cluster-rep affine hash, remainder to the last part.
+    */
+  def clusterSplitWeighted(parts: Seq[(String, Long)],
+                           k: Int = 16, rowsPerBand: Int = 4): String = {
+    val h = s"(${affineHashSql("cluster_rep", 9)}) % 1000000"
+    val bounds = parts.map(_._2).scanLeft(0L)(_ + _).tail
+    val whens = parts.zip(bounds).dropRight(1)
+      .map { case ((name, _), b) => s"WHEN $h < $b THEN '$name'" }
+      .mkString(" ")
+    s"""WITH clus AS (SELECT * FROM (${minhashClusters(k, rowsPerBand)}))
+       |SELECT doc_id, cluster_rep,
+       |  CASE $whens ELSE '${parts.last._1}' END AS split
+       |FROM clus""".stripMargin
+  }
+
   def clusterSplit(trainPct: Int, k: Int = 16, rowsPerBand: Int = 4): String =
     s"""WITH clus AS (SELECT * FROM (${minhashClusters(k, rowsPerBand)}))
        |SELECT doc_id, cluster_rep,

@@ -1418,7 +1418,22 @@ object SparkEntry {
       graft.ext.Quality.percentileRankBy(
         Tables.lineitem(s, d).select(col("l_returnflag"),
           round(col("l_extendedprice") * 100).cast("long").as("price_cents")),
-        "l_returnflag", "price_cents"))
+        "l_returnflag", "price_cents")),
+
+    // extension: RAG chunking — overlapping 64-token windows at stride
+    // 48; narrow tokenize + arithmetic chunk count + explode, no shuffle
+    "q164_doc_chunks" -> ((s, d) =>
+      graft.ext.TextAnalysis.chunkDocuments(Tables.documents(s, d),
+        size = 64, stride = 48)),
+
+    // extension: weighted 3-way leakage-safe split — whole near-dup
+    // clusters into train/val/test by cumulative ppm intervals of the
+    // cluster-rep hash (q47 generalized)
+    "q165_cluster_split3" -> ((s, d) =>
+      graft.ext.Packing.clusterSplitWeighted(
+        Dedup.minHashClusters(
+          Dedup.minHashSignatures(Tables.documents(s, d), k = 16), k = 16, rowsPerBand = 4),
+        Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L)))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -1622,6 +1637,9 @@ object SparkEntry {
     "q161_hybrid_mmr" -> Oracles.hybridMmr(
       Seq("join", "scan", "filter"), 0L, 20, 10, 60, 5, 990000L),
     "q162_vocab_drift" -> Oracles.vocabularyDrift(10),
-    "q163_price_percentiles" -> Oracles.pricePercentiles
+    "q163_price_percentiles" -> Oracles.pricePercentiles,
+    "q164_doc_chunks" -> Oracles.docChunks(64, 48),
+    "q165_cluster_split3" -> Oracles.clusterSplitWeighted(
+      Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
   )
 }

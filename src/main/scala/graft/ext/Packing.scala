@@ -59,4 +59,25 @@ object Packing {
     clusters.select(col(idCol), col("cluster_rep"),
       when(h < trainPct, lit("train")).otherwise(lit("eval")).as("split"))
   }
+
+  /** [[clusterSplit]] generalized to arbitrary ppm-weighted parts — the
+    * train/val/test (or any n-way) leakage-safe split: whole near-dup
+    * clusters land in ONE part, part = the cumulative-ppm interval of
+    * `affineHash(cluster_rep; 9) mod 10⁶` the cluster's hash falls in.
+    * Weights may sum below 10⁶ — the remainder falls to the LAST part
+    * (so ("train", 800000) :: ("val", 100000) :: ("test", 100000) is
+    * exact). Decontamination by construction, same as the 2-way form;
+    * still a pure narrow map over the cluster assignment.
+    */
+  def clusterSplitWeighted(clusters: DataFrame, parts: Seq[(String, Long)],
+                           idCol: String = "doc_id"): DataFrame = {
+    require(parts.nonEmpty && parts.forall(_._2 >= 0), "parts must be non-negative")
+    require(parts.map(_._2).sum <= 1000000L, "part ppm sum exceeds 1e6")
+    val h = Dedup.affineHash(col("cluster_rep"), 9) % 1000000L
+    val bounds = parts.scanLeft(0L)(_ + _._2).tail
+    val split = parts.zip(bounds).foldRight(lit(parts.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), bound), acc) => when(h < bound, lit(name)).otherwise(acc)
+    }
+    clusters.select(col(idCol), col("cluster_rep"), split.as("split"))
+  }
 }

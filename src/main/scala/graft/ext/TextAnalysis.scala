@@ -278,6 +278,40 @@ object TextAnalysis {
     * 1-row broadcast; the final top-k is a TakeOrdered over the
     * (already count-pruned) bigram relation — k rows to the driver.
     */
+  /** Overlapping fixed-size token-window chunking — the RAG/embedding
+    * ingestion primitive: document i yields chunks covering tokens
+    * `[j·stride, j·stride + size)` for j = 0 … ⌈(n−size)/stride⌉ (one
+    * chunk when n ≤ size, none when the text has no tokens), each with
+    * its exact token count. Chunk text is the token window re-joined with
+    * single spaces (whitespace-normalized — deterministic in any engine,
+    * and what an embedding model sees anyway).
+    *
+    * Scale shape: a pure narrow transform — tokenize once, compute the
+    * chunk count arithmetically, explode a `sequence` of chunk indices
+    * (guarded: Spark's `sequence(0, -1)` DESCENDS — the q145 lesson) and
+    * slice the token array per index. No shuffle, no state; the ~size/
+    * stride output amplification pipelines into the downstream embed/
+    * index stage without materializing.
+    */
+  def chunkDocuments(docs: DataFrame, size: Int = 64, stride: Int = 48,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(size >= 1, s"size must be >= 1: $size")
+    require(stride >= 1 && stride <= size, s"stride out of [1, size]: $stride")
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", expr("size(__toks)"))
+      .withColumn("__nc",
+        when(col("__n") === 0, lit(0))
+          .when(col("__n") <= size, lit(1))
+          .otherwise(expr(s"1 + ((__n - $size + $stride - 1) div $stride)")))
+      .withColumn("__i",
+        explode(when(col("__nc") > 0, sequence(lit(0), col("__nc") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .select(col(idCol), col("__i").cast("int").as("chunk_idx"),
+        array_join(slice(col("__toks"), col("__i") * stride + 1, lit(size)), " ")
+          .as("chunk_text"),
+        least(lit(size), col("__n") - col("__i") * stride).cast("long").as("n_tokens"))
+  }
+
   /** Vocabulary drift between two corpus snapshots — the text analogue of
     * the column-profile drift report (q138): per token appearing ≥
     * `minCount` times in EITHER snapshot, its count and within-snapshot

@@ -71,4 +71,23 @@ class PackingSpec extends SparkSpec {
     assert(Packing.clusterSplit(clusters, 100).collect().forall(_.getString(2) == "train"))
     assert(Packing.clusterSplit(clusters, 0).collect().forall(_.getString(2) == "eval"))
   }
+
+  test("clusterSplitWeighted: whole clusters per part, remainder to the last part") {
+    import spark.implicits._
+    val clusters = (1L to 40L).map(i => (i, i % 7)).toDF("doc_id", "cluster_rep")
+    val out = Packing.clusterSplitWeighted(clusters,
+      Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    out.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(_._3).distinct.length == 1, s"cluster split across parts: $members")
+    }
+    assert(out.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // full weight on the first part pins everything; zero-weight prefix
+    // parts can never win and the remainder falls to the last
+    assert(Packing.clusterSplitWeighted(clusters, Seq("only" -> 1000000L))
+      .collect().forall(_.getString(2) == "only"))
+    assert(Packing.clusterSplitWeighted(clusters,
+        Seq("a" -> 0L, "b" -> 0L, "c" -> 0L))
+      .collect().forall(_.getString(2) == "c"))
+  }
 }

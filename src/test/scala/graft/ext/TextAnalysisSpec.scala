@@ -9,6 +9,22 @@ class TextAnalysisSpec extends SparkSpec {
   private def one(text: String): org.apache.spark.sql.DataFrame =
     df("doc_id BIGINT, text STRING", Seq(Row(1L, text)))
 
+  test("chunkDocuments: overlapping windows, short doc single chunk, empty doc no rows") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11"), // 11 tokens
+      Row(2L, "a  b"),                                // 2 tokens, ragged spaces
+      Row(3L, "   ")))                                // no tokens
+    val out = TextAnalysis.chunkDocuments(d, size = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,3,6,9: nc = 1 + ceil((11-4)/3) = 4; last chunk is 2 tokens
+    assert(d1.map(_._3).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10 t11"))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L, 2L))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b", 2L)))
+    assert(!out.exists(_._1 == 3L))
+  }
+
   test("vocabularyDrift: hand-computed ppm shares and signed delta; one-sided tokens survive") {
     val a = df("doc_id BIGINT, text STRING", Seq(Row(1L, "a A b")))   // a:2 b:1, tot 3
     val b = df("doc_id BIGINT, text STRING", Seq(Row(2L, "a c")))     // a:1 c:1, tot 2
