@@ -968,6 +968,21 @@ object Oracles {
        |FROM f""".stripMargin
   }
 
+  /** q166 oracle: duplicate-frame report composed over the q143 frame
+    * derivation — fingerprint-keyed distinct-media counts joined back,
+    * then per-media totals.
+    */
+  def frameDupStats(stride: Int = 256, maxFrames: Int = 16): String =
+    s"""WITH fr AS MATERIALIZED (
+       |  SELECT media_id, checksum FROM (${mediaFrames(stride, maxFrames)}) t),
+       |fp AS MATERIALIZED (
+       |  SELECT checksum, COUNT(DISTINCT media_id) AS n_media FROM fr GROUP BY 1)
+       |SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |  CAST(COUNT(DISTINCT f.checksum) AS BIGINT) AS n_distinct,
+       |  CAST(SUM(CASE WHEN p.n_media >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       |FROM fr f JOIN fp p ON p.checksum = f.checksum
+       |GROUP BY media_id""".stripMargin
+
   /** Mirrors the SQL-expressible subset of Multimodal.mediaFeatures:
     * UTF-8 byte length (strlen), even/odd kind split, ceil-div frame
     * count. NULL text maps to an empty payload in the engine → 0 bytes.

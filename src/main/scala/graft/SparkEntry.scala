@@ -1433,7 +1433,15 @@ object SparkEntry {
       graft.ext.Packing.clusterSplitWeighted(
         Dedup.minHashClusters(
           Dedup.minHashSignatures(Tables.documents(s, d), k = 16), k = 16, rowsPerBand = 4),
-        Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L)))
+        Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))),
+
+    // extension: cross-media duplicate-frame report — frame fingerprints
+    // fanned out once, checksum-keyed sharing counts joined back, per-
+    // media internal-repetition + cross-media-share totals
+    "q166_frame_dups" -> { (s, d) =>
+      implicit val sp: SparkSession = s
+      graft.ext.Multimodal.frameDupStats(Tables.documents(s, d))
+    }
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -1640,6 +1648,7 @@ object SparkEntry {
     "q163_price_percentiles" -> Oracles.pricePercentiles,
     "q164_doc_chunks" -> Oracles.docChunks(64, 48),
     "q165_cluster_split3" -> Oracles.clusterSplitWeighted(
-      Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
+      Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L)),
+    "q166_frame_dups" -> Oracles.frameDupStats(256, 16)
   )
 }

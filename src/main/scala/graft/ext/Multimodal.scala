@@ -182,6 +182,33 @@ object Multimodal {
   def mediaFrames(docs: DataFrame)(implicit spark: SparkSession): DataFrame =
     sampleFrames(fakeMediaFromDocuments(docs)).toDF()
 
+  /** Cross-media duplicate-frame report: per media, its sampled-frame
+    * count, distinct-fingerprint count (n_frames − n_distinct = INTERNAL
+    * repetition — static/looping content), and how many of its frames
+    * carry a fingerprint seen in at least one OTHER media (cross-media
+    * sharing — re-encoded copies, intro/outro templates, contamination).
+    * The frame-level complement of [[mediaNearDupPairs]]: that dedups
+    * whole assets by one global hash, this localizes WHICH slices repeat.
+    *
+    * Scale shape: frames are fanned out once (narrow mapPartitions,
+    * pinned so the fingerprint aggregate and the join-back don't decode
+    * twice), the fingerprint-keyed distinct-media aggregate and the
+    * equi-join back both shuffle on checksum (64-bit key, no skew
+    * magnet), then one media-keyed aggregate. Payload bytes never cross
+    * the wire — only (media_id, checksum) pairs.
+    */
+  def frameDupStats(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val f = mediaFrames(docs).select(col("media_id"), col("checksum"))
+      .localCheckpoint(true)
+    val byFp = f.groupBy("checksum")
+      .agg(count_distinct(col("media_id")).as("n_media"))
+    f.join(byFp, "checksum")
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        count_distinct(col("checksum")).as("n_distinct"),
+        sum(when(col("n_media") >= 2, lit(1L)).otherwise(lit(0L))).as("n_shared"))
+  }
+
   /** Media near-duplicate pairs: perceptual hash → banded Hamming pairs.
     * The multimodal analogue of text SimHash dedup — candidate discovery
     * never touches payloads pairwise, only 64-bit fingerprints.

@@ -19,6 +19,19 @@ class MultimodalSpec extends SparkSpec {
     assert(cols == Seq("media_id", "kind", "n_bytes", "checksum", "mean_byte", "frames_sampled"))
   }
 
+  test("frameDupStats: identical payloads share every frame; unique payloads share none") {
+    // ids 0 and 2 carry the same (multi-frame) payload → every frame of
+    // each is cross-media shared; id 4 is unique → zero shared
+    val long = ("x" * 300) + ("y" * 300) // 600 bytes → 3 frames at stride 256
+    val docs = df("doc_id BIGINT, text STRING", Seq(
+      Row(0L, long), Row(2L, long), Row(4L, "unique payload")))
+    val out = Multimodal.frameDupStats(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((3L, 3L, 3L)))
+    assert(out(2L) == ((3L, 3L, 3L)))
+    assert(out(4L) == ((1L, 1L, 0L)))
+  }
+
   test("NULL text becomes an empty payload, not a crash") {
     val docs = df("doc_id BIGINT, text STRING", Seq(Row(0L, null), Row(1L, "ok")))
     val out = Multimodal.mediaFeatures(docs).collect()
