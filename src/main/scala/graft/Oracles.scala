@@ -2512,6 +2512,87 @@ object Oracles {
       |      CAST(COUNT(*) AS BIGINT) AS cnt
       |    FROM lineitem GROUP BY 1, 2))""".stripMargin
 
+  /** q167 oracle: domain-normalized quality cut — the q163 cume-ppm chain
+    * over (source, quality), joined back onto the per-doc rows, gate at
+    * `10⁶ − keepTopPpm`.
+    */
+  def domainQualityCut(keepTopPpm: Long): String =
+    s"""WITH st AS (SELECT doc_id, quality FROM ($textStats) t),
+       |j AS (
+       |  SELECT s.doc_id, d.source, s.quality
+       |  FROM st s JOIN documents d ON d.doc_id = s.doc_id),
+       |r AS (
+       |  SELECT source, value,
+       |    CAST((CAST(cum AS HUGEINT) * 1000000) // n AS BIGINT) AS cume_ppm
+       |  FROM (
+       |    SELECT source, value,
+       |      SUM(cnt) OVER (PARTITION BY source ORDER BY value) AS cum,
+       |      SUM(cnt) OVER (PARTITION BY source) AS n
+       |    FROM (SELECT source, quality AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+       |          FROM j GROUP BY 1, 2)))
+       |SELECT j.doc_id, j.source, j.quality, r.cume_ppm,
+       |  r.cume_ppm > ${1000000L - keepTopPpm} AS kept
+       |FROM j JOIN r ON r.source = j.source AND r.value = j.quality""".stripMargin
+
+  /** q168 oracle: Pareto contribution — brand revenue cents, HUGEINT ppm
+    * shares, ROWS-framed cumulative in (total DESC, brand) order.
+    */
+  def brandPareto(headPpm: Long): String =
+    s"""WITH rev AS (
+       |  SELECT p_brand,
+       |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1),
+       |w AS (
+       |  SELECT p_brand, total,
+       |    CAST(SUM(total) OVER () AS HUGEINT) AS grand,
+       |    CAST(SUM(total) OVER (ORDER BY total DESC, p_brand
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum
+       |  FROM rev)
+       |SELECT p_brand, total,
+       |  CAST((CAST(total AS HUGEINT) * 1000000) // grand AS BIGINT) AS share_ppm,
+       |  CAST((cum * 1000000) // grand AS BIGINT) AS cum_ppm,
+       |  (cum * 1000000) // grand <= $headPpm AS pareto_head
+       |FROM w""".stripMargin
+
+  /** q169 oracle: linear multi-touch attribution — user-keyed
+    * conversion×touch pairs under the horizon, equal integer split with
+    * the remainder on the earliest touch, 'none' bucket for untouched
+    * conversions.
+    */
+  def linearAttribution(touchTypes: Seq[String], convType: String,
+                        horizonUs: Long): String = {
+    val touches = touchTypes.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE event_type IN ($touches, '$convType')),
+       |conv AS (SELECT user_id, event_id AS conv_id, t_us AS t_c, cents
+       |         FROM base WHERE event_type = '$convType'),
+       |tch AS (SELECT user_id, event_id AS touch_id, event_type AS touch_type, t_us AS t_t
+       |        FROM base WHERE event_type IN ($touches)),
+       |pairs AS (
+       |  SELECT c.conv_id, c.cents, t.touch_id, t.touch_type, t.t_t
+       |  FROM conv c JOIN tch t ON t.user_id = c.user_id
+       |  WHERE t.t_t <= c.t_c AND t.t_t >= c.t_c - $horizonUs),
+       |cr AS (
+       |  SELECT touch_type,
+       |    cents // n + CASE WHEN rk = 1 THEN cents % n ELSE 0 END AS credit_cents
+       |  FROM (
+       |    SELECT touch_type, cents,
+       |      COUNT(*) OVER (PARTITION BY conv_id) AS n,
+       |      ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY t_t, touch_id) AS rk
+       |    FROM pairs)),
+       |bt AS (
+       |  SELECT touch_type AS credit, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(credit_cents) AS BIGINT) AS revenue_cents
+       |  FROM cr GROUP BY 1),
+       |nn AS (
+       |  SELECT 'none' AS credit, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS revenue_cents
+       |  FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM pairs))
+       |SELECT * FROM bt UNION ALL SELECT * FROM nn""".stripMargin
+  }
+
   /** q159 oracle: exact per-group mode — count collapse + row_number
     * arg-max over (count DESC, value) = the engine's max(struct(c, −v)).
     */

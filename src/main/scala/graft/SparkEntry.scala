@@ -1441,7 +1441,35 @@ object SparkEntry {
     "q166_frame_dups" -> { (s, d) =>
       implicit val sp: SparkSession = s
       graft.ext.Multimodal.frameDupStats(Tables.documents(s, d))
-    }
+    },
+
+    // extension: domain-normalized quality cut — keep each source's top
+    // 70% by quality score via the exact cume-ppm rank; whole value
+    // classes keep/drop together
+    "q167_domain_quality_cut" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val q = graft.ext.TextAnalysis.stats(docs).select(col("doc_id"), col("quality"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+      graft.ext.Quality.domainNormalizedCut(q, "source", "quality", keepTopPpm = 700000L)
+    },
+
+    // extension: Pareto contribution (80/20) — brand revenue shares in
+    // exact ppm, ROWS-framed cumulative order, head flag; the window runs
+    // over the 25-brand keyspace, never facts
+    "q168_brand_pareto" -> ((s, d) =>
+      graft.ext.Warehouse.paretoContribution(
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "p_brand", "cents")),
+
+    // extension: linear multi-touch attribution — revenue split equally
+    // (exact integer cents, remainder to the earliest touch) across all
+    // in-horizon touches; user-keyed pair join, conservation by spec
+    "q169_linear_attribution" -> ((s, d) =>
+      graft.ext.Funnel.linearAttribution(Tables.events(s, d)))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -1649,6 +1677,10 @@ object SparkEntry {
     "q164_doc_chunks" -> Oracles.docChunks(64, 48),
     "q165_cluster_split3" -> Oracles.clusterSplitWeighted(
       Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L)),
-    "q166_frame_dups" -> Oracles.frameDupStats(256, 16)
+    "q166_frame_dups" -> Oracles.frameDupStats(256, 16),
+    "q167_domain_quality_cut" -> Oracles.domainQualityCut(700000L),
+    "q168_brand_pareto" -> Oracles.brandPareto(800000L),
+    "q169_linear_attribution" -> Oracles.linearAttribution(
+      Seq("view", "click"), "purchase", 30L * 60 * 1000000)
   )
 }

@@ -141,6 +141,60 @@ object Funnel {
         sum(col("cents")).as("revenue_cents"))
   }
 
+  /** Linear (equal-split) multi-touch attribution — [[lastTouchAttribution]]'s
+    * fairness-minded sibling: every conversion's revenue splits EQUALLY
+    * across ALL of the user's touches inside the horizon, in exact
+    * integer cents — each touch gets `cents div n` and the EARLIEST touch
+    * (ties by event id) absorbs the `cents mod n` remainder, so credit
+    * conserves revenue to the cent (Σ credited = Σ conversion cents,
+    * asserted by spec). Conversions with no in-horizon touch report under
+    * 'none'. Output: `(credit, n, revenue_cents)` — n counts credited
+    * touch rows (conversions, for 'none').
+    *
+    * Scale shape: conversions and touches equi-join on the USER key, then
+    * the horizon range is a residual filter — pair fan-out is bounded by
+    * per-user touch×conversion counts inside the horizon, never corpus-
+    * quadratic (the same per-key-bounded envelope as the as-of join, with
+    * the same hot-user caveat). The split windows run per conversion id
+    * over those bounded pairs; final aggregates are |touch types|+1 rows.
+    */
+  def linearAttribution(events: DataFrame,
+                        touchTypes: Seq[String] = Seq("view", "click"),
+                        convType: String = "purchase",
+                        horizonUs: Long = 30L * 60 * 1000000,
+                        tsCol: String = "ts", userCol: String = "user_id",
+                        typeCol: String = "event_type",
+                        idCol: String = "event_id",
+                        valueCol: String = "value"): DataFrame = {
+    val isTouch = col(typeCol).isInCollection(touchTypes)
+    val base = events.filter(isTouch || col(typeCol) === convType)
+      .select(col(userCol), col(idCol), col(typeCol),
+        unix_micros(col(tsCol)).as("t_us"),
+        round(col(valueCol) * 100).cast("long").as("cents"))
+    val conv = base.filter(col(typeCol) === convType)
+      .select(col(userCol), col(idCol).as("conv_id"),
+        col("t_us").as("t_c"), col("cents"))
+    val touch = base.filter(isTouch)
+      .select(col(userCol), col(idCol).as("touch_id"),
+        col(typeCol).as("touch_type"), col("t_us").as("t_t"))
+    val pairs = conv.join(touch, Seq(userCol))
+      .filter(col("t_t") <= col("t_c") && col("t_t") >= col("t_c") - horizonUs)
+    val wN = Window.partitionBy("conv_id")
+    val wR = Window.partitionBy("conv_id").orderBy(col("t_t"), col("touch_id"))
+    val credited = pairs
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("rk", row_number().over(wR))
+      .withColumn("credit_cents",
+        expr("cents div n") + when(col("rk") === 1, expr("cents % n")).otherwise(lit(0L)))
+    val byType = credited.groupBy(col("touch_type").as("credit"))
+      .agg(count(lit(1)).as("n"), sum("credit_cents").as("revenue_cents"))
+    val none = conv.join(pairs.select("conv_id").distinct(), Seq("conv_id"), "left_anti")
+      .agg(count(lit(1)).as("n"), sum("cents").as("rc"))
+      .select(lit("none").as("credit"), col("n"),
+        coalesce(col("rc"), lit(0L)).as("revenue_cents"))
+    byType.unionByName(none)
+  }
+
   /** Dwell-time accounting: how long users sit in each state, where an
     * event's dwell is the time until the SAME user's next event (the
     * session-replay / engagement primitive behind time-on-page and

@@ -105,6 +105,32 @@ object Quality {
         expr("(cast(cum as decimal(38,0)) * 1000000) div n").as("cume_ppm"))
   }
 
+  /** Domain-normalized top-fraction cut: keep each group's top
+    * `keepTopPpm` fraction BY VALUE — a row survives iff its value's
+    * within-group cumulative ppm ([[percentileRankBy]]) exceeds
+    * `10⁶ − keepTopPpm`. The heterogeneity fix for global quality
+    * thresholds: a raw cut keeps whole easy domains and drops whole hard
+    * ones; "top 30% of EACH source" is this gate. Whole value classes
+    * keep or drop together (value ties are never split — deterministic,
+    * and the kept fraction is exact only up to tie granularity, which is
+    * the honest semantic for a value-based cut). Output: the input rows
+    * + (cume_ppm, kept).
+    *
+    * Scale shape: the rank table is one distinct-value-sized relation
+    * ([[percentileRankBy]]'s one group-key exchange); rows join back on
+    * (group, value) — broadcast-eligible whenever the distinct-value
+    * space is small.
+    */
+  def domainNormalizedCut(df: DataFrame, grpCol: String, valCol: String,
+                          keepTopPpm: Long): DataFrame = {
+    require(keepTopPpm >= 0 && keepTopPpm <= 1000000,
+      s"keepTopPpm out of [0, 1e6]: $keepTopPpm")
+    val ranks = percentileRankBy(df, grpCol, valCol)
+      .select(col(grpCol), col("value").as(valCol), col("cume_ppm"))
+    df.join(ranks, Seq(grpCol, valCol))
+      .withColumn("kept", col("cume_ppm") > lit(1000000L - keepTopPpm))
+  }
+
   /** Exact per-group mode — the most frequent value, ties to the SMALLEST
     * value (deterministic in any engine; no "arbitrary element" modes).
     * Completes the descriptive-statistics row (median / weighted median /

@@ -84,6 +84,36 @@ object Warehouse {
     * classify/filter. Null-safe equality (`<=>`) makes a null→value column
     * transition count as a change instead of vanishing.
     */
+  /** Pareto contribution analysis (80/20 report): per group, its total,
+    * exact ppm share of the grand total, cumulative share in descending-
+    * contribution order (group-name ties broken ascending), and whether
+    * the group sits in the head that covers `headPpm` of the total — the
+    * concentration report behind "which brands are 80% of revenue" and
+    * "which domains are 80% of the token mass". All-integer: shares are
+    * `(x·10⁶) div grand` with DECIMAL(38,0) numerators, the cumulative
+    * frame is ROWS (ties never merge).
+    *
+    * Scale shape: one group-keyed partial aggregate collapses the fact
+    * stream; the window stage then runs over the GROUP-KEYSPACE-sized
+    * relation only — a deliberate single-partition global window over
+    * (groups) rows, fine for any keyspace that fits a report, never run
+    * on fact rows.
+    */
+  def paretoContribution(df: DataFrame, grpCol: String, valueCol: String,
+                         headPpm: Long = 800000): DataFrame = {
+    require(headPpm >= 0 && headPpm <= 1000000, s"headPpm out of [0, 1e6]: $headPpm")
+    val wCum = Window.orderBy(col("total").desc, col(grpCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    df.groupBy(col(grpCol)).agg(sum(col(valueCol)).as("total"))
+      .withColumn("grand", sum("total").over(wAll))
+      .withColumn("cum", sum("total").over(wCum))
+      .select(col(grpCol), col("total"),
+        expr("(cast(total as decimal(38,0)) * 1000000) div grand").as("share_ppm"),
+        expr("(cast(cum as decimal(38,0)) * 1000000) div grand").as("cum_ppm"))
+      .withColumn("pareto_head", col("cum_ppm") <= headPpm)
+  }
+
   def snapshotDiff(before: DataFrame, after: DataFrame, keys: Seq[String],
                    compare: Seq[String]): DataFrame = {
     val b = before.select((keys ++ compare).map(col): _*).toDF(

@@ -128,6 +128,28 @@ class FunnelSpec extends SparkSpec {
       Seq("none", "2", "500")))  // u2 300 + u3 200
   }
 
+  test("linearAttribution: equal integer split, remainder to the earliest touch, cents conserved") {
+    val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE",
+      Seq(
+        // u1: two touches share 101 cents → view (earliest) 51, click 50
+        Row(1L, 1L, "view", ts("2024-01-01 00:00:00"), 0.0),
+        Row(1L, 2L, "click", ts("2024-01-01 00:10:00"), 0.0),
+        Row(1L, 3L, "purchase", ts("2024-01-01 00:20:00"), 1.01),
+        // u2: touch outside the horizon → none keeps the full 300
+        Row(2L, 4L, "view", ts("2024-01-01 00:00:00"), 0.0),
+        Row(2L, 5L, "purchase", ts("2024-01-01 00:50:00"), 3.0),
+        // u3: touchless conversion → none
+        Row(3L, 6L, "purchase", ts("2024-01-01 00:05:00"), 2.0)))
+    val out = Funnel.linearAttribution(ev)
+    assert(rowSet(out) == rows(
+      Seq("view", "1", "51"),
+      Seq("click", "1", "50"),
+      Seq("none", "2", "500")))
+    // conservation: credited + none = total conversion cents
+    val total = out.collect().map(_.getLong(2)).sum
+    assert(total == 101L + 300L + 200L)
+  }
+
   test("dwellTimes: hand-traced integer-µs totals; last event per user contributes nothing") {
     val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP",
       Seq(

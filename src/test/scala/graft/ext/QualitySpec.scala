@@ -15,6 +15,21 @@ class QualitySpec extends SparkSpec {
     assert(out == Set((10L, 1L, 250000L), (20L, 2L, 750000L), (40L, 1L, 1000000L)))
   }
 
+  test("domainNormalizedCut: per-group top fraction by value; ties keep whole classes") {
+    val t = df("g STRING, v BIGINT", Seq(
+      Row("a", 1L), Row("a", 2L), Row("a", 3L), Row("a", 4L), // keep top 50% → {3,4}
+      Row("b", 5L), Row("b", 5L), Row("b", 9L)))              // cume(5)=666666
+    val half = Quality.domainNormalizedCut(t, "g", "v", keepTopPpm = 500000)
+      .filter(col("g") === "a")
+      .collect().map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    assert(half == Map(1L -> false, 2L -> false, 3L -> true, 4L -> true))
+    // asking for top 334000 of b: bound 666000 < cume(5) → the tied 5s
+    // ride along with 9 (value classes are atomic)
+    val tied = Quality.domainNormalizedCut(t, "g", "v", keepTopPpm = 334000)
+      .filter(col("g") === "b").collect().map(_.getBoolean(3))
+    assert(tied.forall(identity) && tied.length == 3)
+  }
+
   test("modeBy: most frequent wins; count ties go to the smallest value") {
     val t = df("g STRING, v BIGINT", Seq(
       Row("a", 5L), Row("a", 5L), Row("a", 7L),

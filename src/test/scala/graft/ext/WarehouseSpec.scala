@@ -8,6 +8,18 @@ class WarehouseSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("paretoContribution: exact ppm shares, ROWS cumulative, head flag") {
+    // a=50, b=30, c=20: shares 50/30/20%, cum 50/80/100% — head80 = {a, b}
+    val t = df("g STRING, v BIGINT", Seq(
+      Row("a", 30L), Row("a", 20L), Row("b", 30L), Row("c", 20L)))
+    val out = Warehouse.paretoContribution(t, "g", "v", headPpm = 800000)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out("a") == ((50L, 500000L, 500000L, true)))
+    assert(out("b") == ((30L, 300000L, 800000L, true)))
+    assert(out("c") == ((20L, 200000L, 1000000L, false)))
+  }
+
   test("snapshotDiff: classifies insert/delete/update, drops unchanged") {
     val before = df("k BIGINT, status STRING, price DOUBLE", Seq(
       Row(1L, "O", 10.0), // unchanged → dropped
