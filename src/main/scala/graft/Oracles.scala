@@ -2512,6 +2512,49 @@ object Oracles {
       |      CAST(COUNT(*) AS BIGINT) AS cnt
       |    FROM lineitem GROUP BY 1, 2))""".stripMargin
 
+  /** q170 oracle: pre-join skew report over the attribution join's two
+    * sides — per-key counts, exact fan-out product, deterministic top-k.
+    */
+  def joinSkew(k: Int): String =
+    s"""WITH lc AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS cnt_left
+       |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |rc AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS cnt_right
+       |       FROM events WHERE event_type IN ('view', 'click') GROUP BY 1)
+       |SELECT key, cnt_left, cnt_right,
+       |  CAST(cnt_left * cnt_right AS BIGINT) AS est_rows
+       |FROM lc JOIN rc USING (key)
+       |ORDER BY est_rows DESC, key LIMIT $k""".stripMargin
+
+  /** q171 oracle: deterministic A/B conversion z-test — HUGEINT mirror of
+    * the cross-multiplied two-proportion comparison.
+    */
+  def armConversionTest(convType: String, zNum: Long, zDen: Long): String = {
+    val h = mixSql("user_id", 360)
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |ua AS (SELECT user_id, ($h) % 2 AS arm FROM u),
+       |cu AS (SELECT DISTINCT user_id FROM events WHERE event_type = '$convType'),
+       |pa AS (
+       |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN cu.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS cv
+       |  FROM ua LEFT JOIN cu ON cu.user_id = ua.user_id GROUP BY arm),
+       |r AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN cv END) AS BIGINT) AS conv_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN cv END) AS BIGINT) AS conv_b
+       |  FROM pa)
+       |SELECT n_a, conv_a, n_b, conv_b,
+       |  CAST((CAST(conv_a AS HUGEINT) * 1000000) // n_a AS BIGINT) AS rate_a_ppm,
+       |  CAST((CAST(conv_b AS HUGEINT) * 1000000) // n_b AS BIGINT) AS rate_b_ppm,
+       |  (CAST(conv_a AS HUGEINT) * n_b - CAST(conv_b AS HUGEINT) * n_a)
+       |    * (CAST(conv_a AS HUGEINT) * n_b - CAST(conv_b AS HUGEINT) * n_a)
+       |    * (n_a + n_b) * ${zDen * zDen}
+       |  > CAST(${zNum * zNum} AS HUGEINT) * (conv_a + conv_b)
+       |    * ((n_a + n_b) - (conv_a + conv_b)) * n_a * n_b AS significant
+       |FROM r""".stripMargin
+  }
+
   /** q167 oracle: domain-normalized quality cut — the q163 cume-ppm chain
     * over (source, quality), joined back onto the per-doc rows, gate at
     * `10⁶ − keepTopPpm`.

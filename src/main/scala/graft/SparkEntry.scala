@@ -1469,7 +1469,22 @@ object SparkEntry {
     // (exact integer cents, remainder to the earliest touch) across all
     // in-horizon touches; user-keyed pair join, conservation by spec
     "q169_linear_attribution" -> ((s, d) =>
-      graft.ext.Funnel.linearAttribution(Tables.events(s, d)))
+      graft.ext.Funnel.linearAttribution(Tables.events(s, d))),
+
+    // extension: pre-join skew report — predicted per-key fan-out for the
+    // attribution join (purchases × touches per user); keyspace-sized
+    // count join + TakeOrdered, facts never reshuffled
+    "q170_join_skew" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      graft.ext.Profile.joinSkewReport(
+        ev.filter(col("event_type") === "purchase"), "user_id",
+        ev.filter(col("event_type").isin("view", "click")), "user_id")
+    },
+
+    // extension: deterministic A/B conversion test — hash-assigned arms,
+    // exact ppm rates, cross-multiplied integer two-proportion z-test
+    "q171_ab_conversion" -> ((s, d) =>
+      graft.ext.Funnel.armConversionTest(Tables.events(s, d)))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -1681,6 +1696,8 @@ object SparkEntry {
     "q167_domain_quality_cut" -> Oracles.domainQualityCut(700000L),
     "q168_brand_pareto" -> Oracles.brandPareto(800000L),
     "q169_linear_attribution" -> Oracles.linearAttribution(
-      Seq("view", "click"), "purchase", 30L * 60 * 1000000)
+      Seq("view", "click"), "purchase", 30L * 60 * 1000000),
+    "q170_join_skew" -> Oracles.joinSkew(20),
+    "q171_ab_conversion" -> Oracles.armConversionTest("purchase", 196, 100)
   )
 }

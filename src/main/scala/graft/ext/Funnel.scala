@@ -195,6 +195,51 @@ object Funnel {
     byType.unionByName(none)
   }
 
+  /** Deterministic A/B conversion comparison: users hash-assign to two
+    * arms (`mixHash(user; 360) mod 2` — family member 360 reserved for
+    * experiment assignment, disjoint from every other consumer), each
+    * arm reports its user count, converted-user count and conversion
+    * rate in exact ppm, and the two-proportion z-test verdict — computed
+    * ENTIRELY in cross-multiplied integer arithmetic (the q137 rate-
+    * anomaly policy): with diff = conv_a·n_b − conv_b·n_a, C = conv_a +
+    * conv_b, N = n_a + n_b, significance at z = zNum/zDen is
+    * `diff² · N · zDen² > zNum² · C · (N−C) · n_a · n_b` — algebraically
+    * identical to |p̂_a − p̂_b| > z·√(p̂(1−p̂)(1/n_a+1/n_b)), no sqrt, no
+    * float, bit-identical in any engine. DECIMAL(38,0) carries the
+    * products (bounded to ~10³⁶ for arms up to ~10⁷ users at z = 1.96;
+    * rescale zDen for bigger arms).
+    *
+    * Scale shape: one distinct-user pass, one distinct-converter pass
+    * (both partial-agg'd), a 2-row arm aggregate folded to one row — the
+    * fact stream is never joined row-to-row.
+    */
+  def armConversionTest(events: DataFrame, convType: String = "purchase",
+                        zNum: Long = 196, zDen: Long = 100,
+                        userCol: String = "user_id",
+                        typeCol: String = "event_type"): DataFrame = {
+    require(zNum > 0 && zDen > 0, "z must be positive")
+    val users = events.select(col(userCol)).distinct()
+      .withColumn("arm", pmod(Dedup.mixHash(col(userCol), 360), lit(2L)))
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol)).distinct().withColumn("c", lit(1L))
+    val row = users.join(conv, Seq(userCol), "left")
+      .groupBy("arm").agg(count(lit(1)).as("n"),
+        sum(coalesce(col("c"), lit(0L))).as("cv"))
+      .agg(
+        sum(when(col("arm") === 0, col("n"))).as("n_a"),
+        sum(when(col("arm") === 0, col("cv"))).as("conv_a"),
+        sum(when(col("arm") === 1, col("n"))).as("n_b"),
+        sum(when(col("arm") === 1, col("cv"))).as("conv_b"))
+    row.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      expr("(cast(conv_a as decimal(38,0)) * 1000000) div n_a").as("rate_a_ppm"),
+      expr("(cast(conv_b as decimal(38,0)) * 1000000) div n_b").as("rate_b_ppm"),
+      expr(s"""(cast(conv_a as decimal(38,0)) * n_b - cast(conv_b as decimal(38,0)) * n_a)
+              * (cast(conv_a as decimal(38,0)) * n_b - cast(conv_b as decimal(38,0)) * n_a)
+              * (n_a + n_b) * ${zDen * zDen}
+            > cast(${zNum * zNum} as decimal(38,0)) * (conv_a + conv_b)
+              * ((n_a + n_b) - (conv_a + conv_b)) * n_a * n_b""").as("significant"))
+  }
+
   /** Dwell-time accounting: how long users sit in each state, where an
     * event's dwell is the time until the SAME user's next event (the
     * session-replay / engagement primitive behind time-on-page and

@@ -48,6 +48,31 @@ object Profile {
     * (`10⁶·nulls div rows` — BIGINT-exact cross-engine), drift is the
     * signed ppm delta, and distinct cardinality moves as a signed count.
     */
+  /** Pre-join skew report: for a planned `left ⋈ right` equi-join, the
+    * top-k keys by PREDICTED output fan-out (cnt_left · cnt_right) — the
+    * diagnosis a 100 TB join runs BEFORE shipping data, because one
+    * celebrity key turns a clean shuffle join into a straggler (the
+    * hazard [[graft.operators.SkewJoin]] salts away; this report tells
+    * you whether you need it, and on which keys). Output: `(key,
+    * cnt_left, cnt_right, est_rows)`, est_rows exact.
+    *
+    * Scale shape: two per-key partial-agg counts (each side collapsed
+    * map-side), an equi-join of the two keyspace-sized count relations,
+    * and a TakeOrdered top-k — k rows to the driver, facts never
+    * reshuffled. (The count relations are exactly the statistics a salted
+    * replan consumes next.)
+    */
+  def joinSkewReport(left: DataFrame, lKey: String,
+                     right: DataFrame, rKey: String, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val lc = left.groupBy(col(lKey).as("key")).agg(count(lit(1)).as("cnt_left"))
+    val rc = right.groupBy(col(rKey).as("key")).agg(count(lit(1)).as("cnt_right"))
+    lc.join(rc, "key")
+      .select(col("key"), col("cnt_left"), col("cnt_right"),
+        expr("cast(cnt_left as decimal(38,0)) * cnt_right").cast("long").as("est_rows"))
+      .orderBy(col("est_rows").desc, col("key")).limit(k)
+  }
+
   def profileDrift(before: DataFrame, after: DataFrame,
                    cols: Seq[String]): DataFrame = {
     def side(df: DataFrame, sfx: String): DataFrame =

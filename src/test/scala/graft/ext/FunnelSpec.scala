@@ -128,6 +128,22 @@ class FunnelSpec extends SparkSpec {
       Seq("none", "2", "500")))  // u2 300 + u3 200
   }
 
+  test("armConversionTest: arms partition users, exact ppm rates, verdict matches a BigInt recompute") {
+    val ev = df("user_id BIGINT, event_type STRING",
+      (1L to 40L).map(u => Row(u, "view")) ++ (1L to 10L).map(u => Row(u, "purchase")))
+    val r = Funnel.armConversionTest(ev).collect().head
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(na + nb == 40L && ca + cb == 10L)
+    assert(r.getLong(4) == ca * 1000000L / na)
+    assert(r.getLong(5) == cb * 1000000L / nb)
+    val (zn, zd) = (BigInt(196), BigInt(100))
+    val diff = BigInt(ca) * nb - BigInt(cb) * na
+    val n = BigInt(na) + nb
+    val c = BigInt(ca) + cb
+    val want = diff * diff * n * zd * zd > zn * zn * c * (n - c) * BigInt(na) * nb
+    assert(r.getBoolean(6) == want)
+  }
+
   test("linearAttribution: equal integer split, remainder to the earliest touch, cents conserved") {
     val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE",
       Seq(

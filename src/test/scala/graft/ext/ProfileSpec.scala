@@ -8,6 +8,15 @@ class ProfileSpec extends SparkSpec {
   private def d = df("a BIGINT, b STRING, c DOUBLE", Seq(
     Row(1L, "x", 1.5), Row(2L, "x", null), Row(3L, null, 2.5), Row(3L, "y", 2.5)))
 
+  test("joinSkewReport: top keys by exact fan-out product; non-joining keys absent") {
+    val l = df("k BIGINT", Seq(Row(1L), Row(1L), Row(1L), Row(2L), Row(3L)))
+    val r = df("k BIGINT", Seq(Row(1L), Row(2L), Row(2L), Row(4L)))
+    val out = Profile.joinSkewReport(l, "k", r, "k", k = 2)
+      .collect().map(rr => (rr.getLong(0), rr.getLong(1), rr.getLong(2), rr.getLong(3)))
+    // products: key 1 → 3·1 = 3, key 2 → 1·2 = 2; keys 3/4 never join
+    assert(out.toSeq == Seq((1L, 3L, 1L, 3L), (2L, 1L, 2L, 2L)))
+  }
+
   test("profile: exact row/non-null/distinct counts per column") {
     val out = Profile.profile(d, Seq("a", "b", "c")).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
