@@ -2414,7 +2414,8 @@ object Oracles {
     * several chains can coexist in one query.
     */
   private def kmeansCtes(seedMod: Int, iterations: Int, dim: Int = 64,
-                         sliceFrom: Int = 1, p: String = "km"): String = {
+                         sliceFrom: Int = 1, p: String = "km",
+                         where: String = ""): String = {
     val vecExpr =
       if (sliceFrom == 1 && dim == 64) "embedding"
       else s"embedding[$sliceFrom:${sliceFrom + dim - 1}]"
@@ -2435,7 +2436,7 @@ object Oracles {
          |  SELECT vec_id,
          |    list_transform($vecExpr,
          |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
-         |  FROM embeddings)""".stripMargin,
+         |  FROM embeddings$where)""".stripMargin,
       seedCte)
     val steps = (0 until iterations).flatMap { it =>
       Seq(kmAssignCte(s"${p}a$it", s"${p}c$it", s"${p}q", dim),
@@ -2456,8 +2457,9 @@ object Oracles {
     * vectors, cosine rounded to 6 decimals at the decision boundary,
     * remove the higher id of any qualifying pair.
     */
-  def semanticDedup(threshold: Double, seedMod: Int = 0, iterations: Int = 2): String =
-    s"""WITH ${kmeansCtes(seedMod, iterations)},
+  def semanticDedup(threshold: Double, seedMod: Int = 0, iterations: Int = 2,
+                    where: String = ""): String =
+    s"""WITH ${kmeansCtes(seedMod, iterations, where = where)},
        |sd AS (
        |  SELECT a.vec_id, a.cid AS cluster, e.embedding AS fv
        |  FROM kma$iterations a JOIN embeddings e ON e.vec_id = a.vec_id),
@@ -2511,6 +2513,43 @@ object Oracles {
       |    SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS value,
       |      CAST(COUNT(*) AS BIGINT) AS cnt
       |    FROM lineitem GROUP BY 1, 2))""".stripMargin
+
+  /** q172 oracle: dedup-cascade attrition — exact keepers, MinHash
+    * clusters over ONLY the exact survivors (the parameterized shingle
+    * WHERE), semantic dedup over ONLY the stage-2 survivors (the
+    * parameterized kmeans corpus WHERE); unshingleable / no-embedding
+    * survivors pass their stages. Outer CTEs are referenced from inside
+    * the nested WITH derived tables (legal statement-wide CTE scope).
+    */
+  def dedupCascade(k: Int = 16, rowsPerBand: Int = 4,
+                   threshold: Double = 0.3): String =
+    s"""WITH ex AS MATERIALIZED (
+       |  SELECT keep_id AS doc_id FROM ($dedupExact) t),
+       |mhc AS MATERIALIZED (SELECT * FROM (
+       |  WITH ${shingleCtes(" AND doc_id IN (SELECT doc_id FROM ex)")},
+       |  ${sigCte(k)}, ${bandedCtes(k, rowsPerBand)},
+       |  bucket AS (SELECT band, bkey, MIN(doc_id) AS bucket_rep FROM b2 GROUP BY 1, 2)
+       |  SELECT a.doc_id, MIN(bucket_rep) AS cluster_rep
+       |  FROM b2 a JOIN bucket USING (band, bkey) GROUP BY 1) t),
+       |s2 AS MATERIALIZED (
+       |  SELECT e.doc_id FROM ex e LEFT JOIN mhc m ON m.doc_id = e.doc_id
+       |  WHERE m.doc_id IS NULL OR m.doc_id = m.cluster_rep),
+       |sem AS MATERIALIZED (SELECT * FROM (
+       |  ${semanticDedup(threshold, 0, 2, " WHERE vec_id IN (SELECT doc_id FROM s2)")}) t),
+       |cnt AS (
+       |  SELECT
+       |    (SELECT COUNT(*) FROM documents) AS n0,
+       |    (SELECT COUNT(*) FROM ex) AS n1,
+       |    (SELECT COUNT(*) FROM s2) AS n2,
+       |    (SELECT COUNT(*) FROM s2
+       |     WHERE doc_id NOT IN (SELECT vec_id FROM embeddings)) AS nno,
+       |    (SELECT COUNT(*) FROM sem WHERE kept) AS nsem)
+       |SELECT 'exact' AS stage, CAST(n0 AS BIGINT) AS rows_in,
+       |  CAST(n1 AS BIGINT) AS rows_out, CAST(n0 - n1 AS BIGINT) AS removed FROM cnt
+       |UNION ALL SELECT 'minhash', CAST(n1 AS BIGINT), CAST(n2 AS BIGINT),
+       |  CAST(n1 - n2 AS BIGINT) FROM cnt
+       |UNION ALL SELECT 'semantic', CAST(n2 AS BIGINT), CAST(nsem + nno AS BIGINT),
+       |  CAST(n2 - (nsem + nno) AS BIGINT) FROM cnt""".stripMargin
 
   /** q170 oracle: pre-join skew report over the attribution join's two
     * sides — per-key counts, exact fan-out product, deterministic top-k.

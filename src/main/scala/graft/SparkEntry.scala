@@ -1484,7 +1484,14 @@ object SparkEntry {
     // extension: deterministic A/B conversion test — hash-assigned arms,
     // exact ppm rates, cross-multiplied integer two-proportion z-test
     "q171_ab_conversion" -> ((s, d) =>
-      graft.ext.Funnel.armConversionTest(Tables.events(s, d)))
+      graft.ext.Funnel.armConversionTest(Tables.events(s, d))),
+
+    // extension flagship: dedup-cascade attrition report — exact →
+    // MinHash → semantic, each stage fed the previous stage's survivors
+    // (cheap-to-expensive ordering); unjudgeable rows pass their stage
+    "q172_dedup_cascade" -> ((s, d) =>
+      graft.ext.Curation.dedupCascadeReport(
+        Tables.documents(s, d), Tables.embeddings(s, d)))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -1698,6 +1705,7 @@ object SparkEntry {
     "q169_linear_attribution" -> Oracles.linearAttribution(
       Seq("view", "click"), "purchase", 30L * 60 * 1000000),
     "q170_join_skew" -> Oracles.joinSkew(20),
-    "q171_ab_conversion" -> Oracles.armConversionTest("purchase", 196, 100)
+    "q171_ab_conversion" -> Oracles.armConversionTest("purchase", 196, 100),
+    "q172_dedup_cascade" -> Oracles.dedupCascade(16, 4, 0.3)
   )
 }

@@ -97,6 +97,53 @@ object Curation {
     * (split, bucket) would consume. Still ONE lazy plan; the only shuffles
     * are the composed operators' own key exchanges.
     */
+  /** Dedup-cascade attrition report — the funnel a corpus build publishes
+    * next to its output: exact dedup → MinHash near-dup clusters →
+    * semantic (SemDeDup) pruning, each stage fed the PREVIOUS stage's
+    * survivors, reported as `(stage, rows_in, rows_out, removed)`. The
+    * standard cheap-to-expensive ordering: content-hash equality first,
+    * shingle clusters second, embedding pairs last — each stage only pays
+    * for what the cheaper stages could not remove. Unshingleable docs
+    * (text < shingle width) pass the MinHash stage as novel (the q131
+    * rule), and survivors WITHOUT an embedding pass the semantic stage
+    * (the q105 rule) — dedup never silently eats rows it cannot judge.
+    *
+    * Scale shape: three oracle-checked stages composed with left-semi/
+    * anti id gates between them; the report itself is three 1-row
+    * aggregates crossed in broadcast and exploded to the stage grain.
+    */
+  def dedupCascadeReport(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val exact = Dedup.exactDedup(docs)
+      .select(col("keep_id").as("doc_id")).localCheckpoint(true)
+    val mh = Dedup.minHashClusters(
+      Dedup.minHashSignatures(docs.join(exact, Seq("doc_id"), "left_semi"), k = 16),
+      k = 16, rowsPerBand = 4).localCheckpoint(true)
+    val s2 = exact.join(mh, Seq("doc_id"), "left")
+      .filter(col("cluster_rep").isNull || col("doc_id") === col("cluster_rep"))
+      .select("doc_id").localCheckpoint(true)
+    val embS2 = embeddings.join(s2.withColumnRenamed("doc_id", "vec_id"),
+      Seq("vec_id"), "left_semi")
+    val sem = Clustering.semanticDedup(embS2)
+    val cIn = docs.agg(count(lit(1)).as("n0"))
+    val c1 = exact.agg(count(lit(1)).as("n1"))
+    val c2 = s2.agg(count(lit(1)).as("n2"))
+    val cNoEmb = s2.join(embeddings.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("nno"))
+    val cSem = sem.filter(col("kept")).agg(count(lit(1)).as("nsem"))
+    cIn.crossJoin(c1).crossJoin(c2).crossJoin(cNoEmb).crossJoin(cSem)
+      .select(explode(array(
+        struct(lit("exact").as("stage"), col("n0").as("rows_in"),
+          col("n1").as("rows_out")),
+        struct(lit("minhash").as("stage"), col("n1").as("rows_in"),
+          col("n2").as("rows_out")),
+        struct(lit("semantic").as("stage"), col("n2").as("rows_in"),
+          (col("nsem") + col("nno")).as("rows_out")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.rows_in").as("rows_in"),
+        col("s.rows_out").as("rows_out"))
+      .withColumn("removed", col("rows_in") - col("rows_out"))
+  }
+
   def curateToShards(docs: DataFrame,
                      permille: Seq[(String, Int)], defaultPermille: Int,
                      minQuality: Double, trainPct: Int,

@@ -5,6 +5,24 @@ import graft.SparkSpec
 
 class CurateCleanSpec extends SparkSpec {
 
+  test("dedupCascadeReport: stages chain, attrition is monotone, removed adds up") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.ext.Curation.dedupCascadeReport(
+        graft.Tables.documents(spark, sf), graft.Tables.embeddings(spark, sf))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set("exact", "minhash", "semantic"))
+    val (e, m, s) = (out("exact"), out("minhash"), out("semantic"))
+    // each stage consumes the previous stage's survivors
+    assert(e._2 == m._1 && m._2 == s._1)
+    // attrition only shrinks, never grows; removed is the difference
+    Seq(e, m, s).foreach { case (in, outN, rem) =>
+      assert(outN <= in && rem == in - outN && outN >= 1)
+    }
+    // exact stage sees the whole corpus
+    assert(e._1 == graft.Tables.documents(spark, sf).count())
+  }
+
   private def docs(rows: (Long, String)*) =
     df("doc_id BIGINT, text STRING", rows.map { case (i, t) => Row(i, t) })
 
