@@ -672,6 +672,23 @@ object Oracles {
        |$dotsCte,
        |${rankTail(k)}""".stripMargin
 
+  /** q173 oracle: multi-probe LSH — the q19 derivation with the query
+    * side expanded to its bucket plus the `probes` one-bit-flip buckets
+    * (fixed probe set; `xor` + shift mirror the engine's bitwiseXOR).
+    */
+  def multiProbeLshTopK(mod: Int, k: Int, dim: Int, nPlanes: Int,
+                        probes: Int): String =
+    s"""WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv, ${lshBucketSql("embedding", dim, nPlanes)} AS bucket0 FROM embeddings WHERE vec_id % $mod = 0),
+       |q AS (
+       |  SELECT query_id, qv, unnest(list_prepend(bucket0,
+       |    list_transform(range(0, $probes),
+       |      p -> xor(bucket0, CAST(1 AS BIGINT) << CAST(p AS INTEGER))))) AS bucket
+       |  FROM q0),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, ${lshBucketSql("embedding", dim, nPlanes)} AS bucket FROM embeddings),
+       |p AS (SELECT query_id, neighbor_id, qv, cv FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id),
+       |$dotsCte,
+       |${rankTail(k)}""".stripMargin
+
   /** Parametrized cosine-over-pairs CTE pair: `<out>_dots` + `<out>`
     * (keys k1,k2; vectors av,bv; 64 dims in ordinal order).
     */

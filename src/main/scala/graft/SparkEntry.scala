@@ -1491,7 +1491,16 @@ object SparkEntry {
     // (cheap-to-expensive ordering); unjudgeable rows pass their stage
     "q172_dedup_cascade" -> ((s, d) =>
       graft.ext.Curation.dedupCascadeReport(
-        Tables.documents(s, d), Tables.embeddings(s, d)))
+        Tables.documents(s, d), Tables.embeddings(s, d))),
+
+    // extension: multi-probe LSH — each query also probes the 3 one-bit-
+    // flip buckets (several tables' recall at one table's storage); the
+    // corpus side and its per-bucket cap are unchanged from q19
+    "q173_multiprobe_lsh" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.multiProbeLshTopK(emb.filter(col("vec_id") % 50 === 0), emb,
+        k = 5, dim = 16, nPlanes = 8, probes = 3)
+    }
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -1706,6 +1715,7 @@ object SparkEntry {
       Seq("view", "click"), "purchase", 30L * 60 * 1000000),
     "q170_join_skew" -> Oracles.joinSkew(20),
     "q171_ab_conversion" -> Oracles.armConversionTest("purchase", 196, 100),
-    "q172_dedup_cascade" -> Oracles.dedupCascade(16, 4, 0.3)
+    "q172_dedup_cascade" -> Oracles.dedupCascade(16, 4, 0.3),
+    "q173_multiprobe_lsh" -> Oracles.multiProbeLshTopK(50, 5, 16, 8, 3)
   )
 }

@@ -145,6 +145,46 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Multi-probe LSH top-k (Lv et al., VLDB 2007, public paper): each
+    * query probes its own sign-LSH bucket PLUS the `probes` buckets at
+    * Hamming distance 1 (planes 0..probes−1 flipped) — the recall of
+    * several hash tables at one table's storage, the standard memory/
+    * recall trade. This is the DERANDOMIZED fixed-probe-set variant: the
+    * paper orders probes by each plane's query margin, which an exact
+    * cross-engine oracle can also express but at 10× the SQL — the fixed
+    * set keeps the operator reproducible and the recall win measurable
+    * (probes=0 degenerates to [[lshTopK]], asserted by spec).
+    *
+    * Scale shape: identical to [[lshTopK]] with the query side expanded
+    * (probes+1)×, which is the small broadcast side; each corpus vector
+    * still lives in exactly ONE bucket, so probed buckets are disjoint
+    * and no candidate dedup is needed. The per-bucket candidate cap
+    * applies unchanged.
+    */
+  def multiProbeLshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+                        nPlanes: Int = 8, probes: Int = 3,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        maxBucketCandidates: Option[Int] = None): DataFrame = {
+    require(probes >= 0 && probes <= nPlanes, s"probes out of [0, nPlanes]: $probes")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket0", lshBucket(col("qv"), dim, nPlanes))
+      .withColumn("bucket", explode(array(
+        (Seq(col("bucket0")) ++
+          (0 until probes).map(p => col("bucket0").bitwiseXOR(lit(1L << p)))): _*)))
+      .select("query_id", "qv", "bucket")
+    val c = capPerBucket(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+        .withColumn("bucket", lshBucket(col("cv"), dim, nPlanes)),
+      "neighbor_id", maxBucketCandidates)
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** IVF-style approximate top-k (the coarse-quantizer scale path):
     *   1. every corpus vector is assigned to its nearest centroid
     *      (broadcast centroid set — linear scan, no shuffle);

@@ -107,6 +107,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1), (3L, 2), (2L, 3)))
   }
 
+  test("multiProbeLshTopK: probes=0 equals single-bucket LSH; probing only adds candidates") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    assertSameRows(
+      Similarity.multiProbeLshTopK(q, emb, k = 5, dim = 16, nPlanes = 8, probes = 0),
+      Similarity.lshTopK(q, emb, k = 5, dim = 16, nPlanes = 8))
+    // the probed candidate set is a superset of the single-bucket one
+    val plain = Similarity.lshTopK(q, emb, k = 100000, dim = 16, nPlanes = 8)
+      .select("query_id", "neighbor_id")
+    val multi = Similarity.multiProbeLshTopK(q, emb, k = 100000, dim = 16,
+      nPlanes = 8, probes = 3).select("query_id", "neighbor_id")
+    assert(plain.exceptAll(multi).count() == 0)
+    assert(multi.count() >= plain.count())
+  }
+
   test("mmrSelect: externally-scored candidates honor the same greedy rule") {
     // scores come from an arbitrary arm (RRF-style), redundancy from the
     // vectors: 2 ≈ dup of 1 (sim rounds to 1.0), 3 orthogonal to 1
