@@ -3196,6 +3196,36 @@ object Oracles {
        |FROM documents d JOIN r USING (doc_id) WHERE r.rk <= $n""".stripMargin
   }
 
+  /** q174 oracle: balanced eval set — global quality quintiles from the
+    * exact cume-ppm chain, cells = lang × quintile, winners = bottom-5 of
+    * the member-250 hash order per cell (the q128 rule).
+    */
+  def evalSet(n: Int, j: Int = 250): String = {
+    val h = mixSql("doc_id", j)
+    s"""WITH st AS (SELECT doc_id, quality FROM ($textStats) t),
+       |wl AS (
+       |  SELECT s.doc_id, d.lang, s.quality
+       |  FROM st s JOIN documents d ON d.doc_id = s.doc_id),
+       |r AS (
+       |  SELECT value,
+       |    CAST((CAST(cum AS HUGEINT) * 1000000) // nn AS BIGINT) AS cume_ppm
+       |  FROM (
+       |    SELECT value, SUM(cnt) OVER (ORDER BY value) AS cum,
+       |      SUM(cnt) OVER () AS nn
+       |    FROM (SELECT quality AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+       |          FROM wl GROUP BY 1))),
+       |c AS (
+       |  SELECT wl.doc_id, wl.lang,
+       |    ((r.cume_ppm - 1) * 5) // 1000000 AS q_bucket,
+       |    wl.lang || '|' || CAST(((r.cume_ppm - 1) * 5) // 1000000 AS VARCHAR) AS cell
+       |  FROM wl JOIN r ON r.value = wl.quality),
+       |w AS (
+       |  SELECT doc_id, lang, q_bucket, cell,
+       |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY ($h)) AS rn
+       |  FROM c)
+       |SELECT doc_id, lang, q_bucket, cell FROM w WHERE rn <= $n""".stripMargin
+  }
+
   /** Mirrors operators.CdcMerge over the customer snapshot with the
     * orders-derived changelog: same last-writer window (seq DESC, op
     * DESC), same D-drop / upsert-image semantics, base rows surviving via

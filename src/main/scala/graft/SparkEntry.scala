@@ -1500,6 +1500,25 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.multiProbeLshTopK(emb.filter(col("vec_id") % 50 === 0), emb,
         k = 5, dim = 16, nPlanes = 8, probes = 3)
+    },
+
+    // extension flagship: balanced eval-set builder — exactly 5 docs per
+    // (lang × global quality-quintile) cell: value-based quintiles from
+    // the exact cume-ppm rank, then the bounded bottom-n hash winners per
+    // cell (q163 ∘ q128); the held-out-set construction a training corpus
+    // publishes alongside its splits
+    "q174_eval_set" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val wl = graft.ext.TextAnalysis.stats(docs).select(col("doc_id"), col("quality"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val ranks = graft.ext.Quality.percentileRankBy(
+          wl.withColumn("g", lit("all")), "g", "quality")
+        .select(col("value").as("quality"), col("cume_ppm"))
+      val cells = wl.join(ranks, Seq("quality"))
+        .withColumn("q_bucket", expr("((cume_ppm - 1) * 5) div 1000000"))
+        .withColumn("cell", concat_ws("|", col("lang"), col("q_bucket")))
+        .select("doc_id", "lang", "q_bucket", "cell")
+      graft.ext.Sampling.sampleExactN(cells, "doc_id", "cell", n = 5)
     }
   )
 
@@ -1716,6 +1735,7 @@ object SparkEntry {
     "q170_join_skew" -> Oracles.joinSkew(20),
     "q171_ab_conversion" -> Oracles.armConversionTest("purchase", 196, 100),
     "q172_dedup_cascade" -> Oracles.dedupCascade(16, 4, 0.3),
-    "q173_multiprobe_lsh" -> Oracles.multiProbeLshTopK(50, 5, 16, 8, 3)
+    "q173_multiprobe_lsh" -> Oracles.multiProbeLshTopK(50, 5, 16, 8, 3),
+    "q174_eval_set" -> Oracles.evalSet(5)
   )
 }

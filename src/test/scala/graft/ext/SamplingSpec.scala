@@ -11,6 +11,27 @@ class SamplingSpec extends SparkSpec {
       .toDF("doc_id", "lang")
   }
 
+  test("eval-set composition (q174 shape): exactly min(n, |cell|) winners per stratum cell") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val wl = TextAnalysis.stats(docs).select(col("doc_id"), col("quality"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val ranks = Quality.percentileRankBy(wl.withColumn("g", lit("all")), "g", "quality")
+      .select(col("value").as("quality"), col("cume_ppm"))
+    val cells = wl.join(ranks, Seq("quality"))
+      .withColumn("q_bucket", expr("((cume_ppm - 1) * 5) div 1000000"))
+      .withColumn("cell", concat_ws("|", col("lang"), col("q_bucket")))
+      .select("doc_id", "lang", "q_bucket", "cell")
+    val out = Sampling.sampleExactN(cells, "doc_id", "cell", n = 5)
+    val sizes = out.groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cellTotals = cells.groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.nonEmpty)
+    sizes.foreach { case (c, n) => assert(n == math.min(5L, cellTotals(c))) }
+    // buckets stay in the quintile range
+    assert(out.select("q_bucket").collect().map(_.getLong(0)).forall(b => b >= 0 && b <= 4))
+  }
+
   test("remixToTarget: exact rational base and fractional ppm; copies = base + hash draw") {
     import org.apache.spark.sql.Row
     // T = 15; A (sz 10): f = 0.4·15/10 = 0.6 → base 0, frac 600000 ppm;
