@@ -230,6 +230,68 @@ object Streams {
     best
   }
 
+  final case class AttribEvent(user_id: Long, event_id: Long, event_type: String,
+                               t_us: Long, cents: Long)
+  final case class AttribCredit(user_id: Long, conv_id: Long, credit: String,
+                                cents: Long)
+  final case class TouchState(touchType: String, touchUs: Long)
+
+  /** Streaming last-touch attribution — the incremental twin of the batch
+    * [[graft.ext.Funnel.lastTouchAttribution]] (q133): per user the state
+    * is ONE (touch type, touch time) pair — the most recent touch ever
+    * seen — and every conversion row emits its credit verdict the moment
+    * it is processed, horizon rule identical to the batch window
+    * (`conv − touch ≤ horizon`, ties resolved by the same (t_us,
+    * event_id) order). Rows inside a micro-batch are sorted by event
+    * time before folding, so in-batch disorder is free; a touch arriving
+    * in a LATER batch than its conversion cannot retroactively claim
+    * credit — the explicit streaming relaxation (the same
+    * already-processed contract as [[rateAnomalyState]]'s closed hours),
+    * exact whenever batches respect event-time order, which the
+    * stream ≡ batch spec pins against the q133-oracle-checked batch
+    * operator.
+    *
+    * Scale: O(1) state per user forever (no timeout needed — one pair),
+    * append-mode emission, one shuffle on the user key.
+    */
+  def lastTouchState(events: Dataset[AttribEvent],
+                     touchTypes: Set[String] = Set("view", "click"),
+                     convType: String = "purchase",
+                     horizonUs: Long = 30L * 60 * 1000000)(
+      implicit spark: SparkSession): Dataset[AttribCredit] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttribCredit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        attribStep(touchTypes, convType, horizonUs))
+  }
+
+  /** The [[lastTouchState]] transition, named for deterministic
+    * TestGroupState unit testing (the [[sessionStep]]/[[cdcStep]]
+    * pattern).
+    */
+  private[streaming] def attribStep(touchTypes: Set[String], convType: String,
+                                    horizonUs: Long)(
+      user: Long, rows: Iterator[AttribEvent],
+      state: GroupState[TouchState]): Iterator[AttribCredit] = {
+    val sorted = rows.toSeq.sortBy(e => (e.t_us, e.event_id))
+    val out = scala.collection.mutable.ArrayBuffer.empty[AttribCredit]
+    var st = state.getOption
+    sorted.foreach { e =>
+      if (touchTypes(e.event_type)) {
+        st = Some(TouchState(e.event_type, e.t_us))
+      } else if (e.event_type == convType) {
+        val credit = st match {
+          case Some(t) if e.t_us - t.touchUs <= horizonUs => t.touchType
+          case _ => "none"
+        }
+        out += AttribCredit(user, e.event_id, credit, e.cents)
+      }
+    }
+    st.foreach(state.update)
+    out.iterator
+  }
+
   final case class RateEvent(event_type: String, ts: Timestamp)
   final case class RateAnomaly(event_type: String, hour: Timestamp,
                                n_events: Long, window_n: Long, direction: String)

@@ -105,6 +105,65 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lastTouchState: streamed credits across batches ≡ batch lastTouchAttribution") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, u: Long, t: String, tsS: String, v: Double) =
+      Streams.AttribEvent(u, id, t, ts(tsS).getTime * 1000, math.round(v * 100))
+    val batch1 = Seq(
+      ev(1, 1, "view", "2024-01-01 00:00:00", 0.0),
+      ev(2, 1, "click", "2024-01-01 00:10:00", 0.0),
+      ev(3, 1, "purchase", "2024-01-01 00:20:00", 5.0), // click credited
+      ev(4, 2, "view", "2024-01-01 00:00:00", 0.0))
+    val batch2 = Seq(
+      ev(5, 2, "purchase", "2024-01-01 00:50:00", 3.0), // out of horizon → none
+      ev(6, 3, "purchase", "2024-01-01 01:00:00", 2.0), // touchless → none
+      ev(7, 1, "purchase", "2024-01-01 00:25:00", 1.0)) // state from batch 1 credits click
+    val mem = MemoryStream[Streams.AttribEvent]
+    val q = Streams.lastTouchState(mem.toDS()).writeStream.format("memory")
+      .queryName("credits").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("credits").groupBy("credit")
+        .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batchDf = (batch1 ++ batch2).map(e =>
+          (e.user_id, e.event_id, e.event_type,
+            new Timestamp(e.t_us / 1000), e.cents / 100.0))
+        .toDF("user_id", "event_id", "event_type", "ts", "value")
+      val expect = graft.ext.Funnel.lastTouchAttribution(batchDf)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == expect)
+      assert(streamed.map(_._3).sum == 500L + 300L + 200L + 100L) // cents conserved
+    } finally q.stop()
+  }
+
+  test("attribStep: in-batch disorder is sorted; state carries the last touch forward") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val step = Streams.attribStep(Set("view", "click"), "purchase", 30L * 60 * 1000000L) _
+    def run(evs: Seq[Streams.AttribEvent], st: Option[Streams.TouchState]) = {
+      val state = TestGroupState.create[Streams.TouchState](
+        st.map(Optional.of[Streams.TouchState]).getOrElse(Optional.empty()),
+        GroupStateTimeout.NoTimeout, batchProcessingTimeMs = 1000L,
+        eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+      (step(1L, evs.iterator, state).toSeq, state.getOption)
+    }
+    // disordered batch: purchase row first in arrival order, but the view
+    // precedes it in event time → credited
+    val (out1, st1) = run(Seq(
+      Streams.AttribEvent(1L, 3L, "purchase", 2000000L, 100L),
+      Streams.AttribEvent(1L, 2L, "view", 1000000L, 0L)), None)
+    assert(out1 == Seq(Streams.AttribCredit(1L, 3L, "view", 100L)))
+    assert(st1.contains(Streams.TouchState("view", 1000000L)))
+    // next batch: conversion beyond the horizon of the carried touch
+    val (out2, _) = run(Seq(
+      Streams.AttribEvent(1L, 4L, "purchase", 1000000L + 31L * 60 * 1000000L, 50L)), st1)
+    assert(out2 == Seq(Streams.AttribCredit(1L, 4L, "none", 50L)))
+  }
+
   test("timeout flush: hasTimedOut branch emits open sessions chronologically and frees state") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
