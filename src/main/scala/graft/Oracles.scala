@@ -2908,6 +2908,34 @@ object Oracles {
        |WHERE (${mixSql("doc_id", 160 + 8 * seed)}) % 1000000
        |  < CAST(ROUND(LEAST(GREATEST(quality, 0.0), 1.0) * 1000000) AS BIGINT)""".stripMargin
 
+  /** q175 oracle: dataset card — one global aggregate over the textStats
+    * relation plus the 1-row language head, unioned into the long-format
+    * (metric, value) card.
+    */
+  val datasetCard: String =
+    s"""WITH st AS (SELECT * FROM ($textStats) t),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS nch,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS ntk,
+       |    CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_unique,
+       |    CAST(CAST(SUM(CAST(round(quality * 1000000) AS BIGINT)) AS HUGEINT)
+       |         // COUNT(*) AS BIGINT) AS mq,
+       |    CAST(COUNT(DISTINCT lang_pred) AS BIGINT) AS n_langs
+       |  FROM st),
+       |tl AS (SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS lang_n FROM st
+       |       GROUP BY 1 ORDER BY lang_n DESC, lang_pred LIMIT 1)
+       |SELECT 'n_docs' AS metric, CAST(n_docs AS VARCHAR) AS value FROM agg
+       |UNION ALL SELECT 'n_chars', CAST(nch AS VARCHAR) FROM agg
+       |UNION ALL SELECT 'n_tokens', CAST(ntk AS VARCHAR) FROM agg
+       |UNION ALL SELECT 'exact_dup_ppm',
+       |  CAST(((n_docs - n_unique) * 1000000) // n_docs AS VARCHAR) FROM agg
+       |UNION ALL SELECT 'mean_quality_micro', CAST(mq AS VARCHAR) FROM agg
+       |UNION ALL SELECT 'n_langs', CAST(n_langs AS VARCHAR) FROM agg
+       |UNION ALL SELECT 'top_lang', lang_pred FROM tl
+       |UNION ALL SELECT 'top_lang_ppm',
+       |  CAST((lang_n * 1000000) // (SELECT n_docs FROM agg) AS VARCHAR) FROM tl""".stripMargin
+
   /** q154 oracle: epoch-weighted remix — HUGEINT mirrors of the exact
     * rational f_d = ppm_d·T / (10⁶·D_d) (the DECIMAL(38,0) twin, q117
     * policy): floor via `//`, fractional ppm via the same integral-

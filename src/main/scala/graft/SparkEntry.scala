@@ -1519,7 +1519,13 @@ object SparkEntry {
         .withColumn("cell", concat_ws("|", col("lang"), col("q_bucket")))
         .select("doc_id", "lang", "q_bucket", "cell")
       graft.ext.Sampling.sampleExactN(cells, "doc_id", "cell", n = 5)
-    }
+    },
+
+    // extension flagship: dataset card — the corpus datasheet as one
+    // long-format (metric, value) relation: size, exact-dup ppm, floor
+    // mean quality micros, language spread; two map-side-collapsed jobs
+    "q175_dataset_card" -> ((s, d) =>
+      graft.ext.TextAnalysis.datasetCard(Tables.documents(s, d)))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -1736,6 +1742,7 @@ object SparkEntry {
     "q171_ab_conversion" -> Oracles.armConversionTest("purchase", 196, 100),
     "q172_dedup_cascade" -> Oracles.dedupCascade(16, 4, 0.3),
     "q173_multiprobe_lsh" -> Oracles.multiProbeLshTopK(50, 5, 16, 8, 3),
-    "q174_eval_set" -> Oracles.evalSet(5)
+    "q174_eval_set" -> Oracles.evalSet(5),
+    "q175_dataset_card" -> Oracles.datasetCard
   )
 }

@@ -278,6 +278,50 @@ object TextAnalysis {
     * 1-row broadcast; the final top-k is a TakeOrdered over the
     * (already count-pruned) bigram relation — k rows to the driver.
     */
+  /** Dataset card — the datasheet a corpus release ships (Gebru et al.
+    * 2018, arXiv:1803.09010 "Datasheets for Datasets" flavor, reduced to
+    * the machine-checkable rows): corpus size (docs/chars/tokens), exact
+    * content-duplicate ppm (docs minus distinct normalized fingerprints),
+    * truncated-mean quality in micro units, language spread (distinct
+    * languages, head language and its ppm share) — ONE long-format
+    * `(metric, value)` relation so the card diffs/joins like any table.
+    * All integer-or-string values (quality is the 6dp-rounded score
+    * scaled to micros before the floor mean — no float row).
+    *
+    * Scale shape: one stats pass over the corpus ending in a single
+    * global aggregate (count/sum/count-distinct partials), plus a
+    * language-keyspace count with a 1-row TakeOrdered head — two jobs,
+    * both collapse map-side; the card itself is driver-sized by
+    * construction.
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val st = stats(docs)
+    val agg = st.agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_chars").as("nch"),
+      sum("n_tokens").as("ntk"),
+      count_distinct(col("fingerprint")).as("n_unique"),
+      expr("sum(cast(round(quality * 1000000) as bigint)) div count(1)")
+        .as("mean_quality_micro"),
+      count_distinct(col("lang_pred")).as("n_langs"))
+    val topLang = st.groupBy("lang_pred").agg(count(lit(1)).as("lang_n"))
+      .orderBy(col("lang_n").desc, col("lang_pred")).limit(1)
+    agg.crossJoin(broadcast(topLang))
+      .select(explode(array(
+        struct(lit("n_docs").as("metric"), col("n_docs").cast("string").as("value")),
+        struct(lit("n_chars").as("metric"), col("nch").cast("string").as("value")),
+        struct(lit("n_tokens").as("metric"), col("ntk").cast("string").as("value")),
+        struct(lit("exact_dup_ppm").as("metric"),
+          expr("((n_docs - n_unique) * 1000000) div n_docs").cast("string").as("value")),
+        struct(lit("mean_quality_micro").as("metric"),
+          col("mean_quality_micro").cast("string").as("value")),
+        struct(lit("n_langs").as("metric"), col("n_langs").cast("string").as("value")),
+        struct(lit("top_lang").as("metric"), col("lang_pred").as("value")),
+        struct(lit("top_lang_ppm").as("metric"),
+          expr("(lang_n * 1000000) div n_docs").cast("string").as("value")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+  }
+
   /** Overlapping fixed-size token-window chunking — the RAG/embedding
     * ingestion primitive: document i yields chunks covering tokens
     * `[j·stride, j·stride + size)` for j = 0 … ⌈(n−size)/stride⌉ (one

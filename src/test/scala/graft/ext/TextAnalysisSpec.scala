@@ -9,6 +9,20 @@ class TextAnalysisSpec extends SparkSpec {
   private def one(text: String): org.apache.spark.sql.DataFrame =
     df("doc_id BIGINT, text STRING", Seq(Row(1L, text)))
 
+  test("datasetCard: hand-checked counts, dup ppm, language head") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "the and of it"),   // en markers
+      Row(2L, "THE  AND of it"),  // normalizes to the same fingerprint
+      Row(3L, "zzz qqq")))        // und
+    val card = TextAnalysis.datasetCard(d)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(card("n_docs") == "3")
+    assert(card("n_tokens") == "10")
+    assert(card("exact_dup_ppm") == "333333") // 3 docs, 2 unique fingerprints
+    assert(card("top_lang") == "en" && card("top_lang_ppm") == "666666")
+    assert(card("n_langs") == "2")
+  }
+
   test("chunkDocuments: overlapping windows, short doc single chunk, empty doc no rows") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       Row(1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11"), // 11 tokens
