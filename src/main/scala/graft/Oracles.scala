@@ -3620,4 +3620,98 @@ object Oracles {
        |SELECT a.g AS group_a, b.g AS group_b, CAST(COUNT(*) AS BIGINT) AS overlap
        |FROM bc a JOIN bc b ON a.c = b.c AND a.g < b.g
        |GROUP BY 1, 2""".stripMargin
+
+  /** Mirrors Clustering.kCenterGreedy over embeddings: the same quantized
+    * corpus, then k−1 unrolled greedy rounds — the chosen set as a UNION
+    * ALL chain, per-point min-L2² against it, arg-max by
+    * (d DESC, vec_id) LIMIT 1 (the struct tie rule), seed = min vec_id.
+    */
+  def kCenterGreedy(k: Int): String = {
+    val rounds = (1 until k).map { r =>
+      val ch = (0 until r).map(i => s"SELECT v FROM s$i").mkString(" UNION ALL ")
+      s"""m$r AS (
+         |  SELECT q.vec_id, q.v, MIN(${l2sqSql("q.v", "c.v")}) AS d
+         |  FROM q, ($ch) c GROUP BY q.vec_id, q.v),
+         |s$r AS (
+         |  SELECT CAST($r AS BIGINT) AS sel_rank, vec_id, d AS dist_sq, v
+         |  FROM m$r ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    val all = (0 until k)
+      .map(i => s"SELECT sel_rank, vec_id, dist_sq FROM s$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |s0 AS (
+       |  SELECT CAST(0 AS BIGINT) AS sel_rank, vec_id,
+       |    CAST(0 AS BIGINT) AS dist_sq, v
+       |  FROM q ORDER BY vec_id LIMIT 1),
+       |${rounds.mkString(",\n")}
+       |$all""".stripMargin
+  }
+
+  /** Mirrors Funnel.matchPattern(view → purchase, no intervening error):
+    * the same packed `t_us·10⁹ + event_id` key (HUGEINT where Spark
+    * carries DECIMAL(38,0)), frame-bounded suffix MINs over the identical
+    * (t_us, event_id) order, identical horizon/negation gates.
+    */
+  def patternMatch(startType: String, endType: String, absentType: String,
+                   horizonUs: Long): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+       |    CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS pk
+       |  FROM events
+       |  WHERE event_type IN ('$startType', '$endType', '$absentType')),
+       |w AS (
+       |  SELECT user_id, event_id, event_type, t_us,
+       |    MIN(CASE WHEN event_type = '$endType' THEN pk END) OVER win AS ek,
+       |    MIN(CASE WHEN event_type = '$absentType' THEN pk END) OVER win AS ak
+       |  FROM e
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY t_us, event_id
+       |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+       |SELECT user_id, event_id AS start_event_id,
+       |  CAST(ek % 1000000000 AS BIGINT) AS end_event_id,
+       |  CAST(ek // 1000000000 - t_us AS BIGINT) AS lag_us
+       |FROM w
+       |WHERE event_type = '$startType' AND ek IS NOT NULL
+       |  AND ek // 1000000000 - t_us <= $horizonUs
+       |  AND (ak IS NULL OR ak > ek)""".stripMargin
+
+  /** Mirrors Sampling.dsirScores over documents with target `lang = 'en'`:
+    * same whitespace tokenization, base-128 token fold, mixHash bucketing
+    * (members 380, 381), exact integer ppm ratio weights, floor-mean
+    * per-doc score — HUGEINT where the Spark side carries DECIMAL(38,0).
+    */
+  def dsirScores(buckets: Int): String = {
+    val enc = (1 to 8).map(i =>
+      s"CAST(ascii(substring(tok, $i, 1)) % 128 AS BIGINT) * ${1L << (7 * (8 - i))}")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, (lang = 'en') AS tgt,
+       |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS tok
+       |  FROM documents),
+       |bk AS (
+       |  SELECT doc_id, tgt,
+       |    (${mixSql(s"($enc)", ext.Sampling.DsirJ)}) % $buckets AS b
+       |  FROM toks),
+       |bc AS (
+       |  SELECT b, CAST(COUNT(*) AS BIGINT) AS raw_n,
+       |    CAST(COUNT(*) FILTER (WHERE tgt) AS BIGINT) AS tgt_n
+       |  FROM bk GROUP BY 1),
+       |tot AS (SELECT SUM(CAST(raw_n AS HUGEINT)) AS raw_t,
+       |               SUM(CAST(tgt_n AS HUGEINT)) AS tgt_t FROM bc),
+       |w AS (
+       |  SELECT b, CAST((CAST(tgt_n AS HUGEINT) * raw_t * 1000000)
+       |    // (CAST(raw_n AS HUGEINT) * tgt_t) AS BIGINT) AS wppm
+       |  FROM bc, tot),
+       |sc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CAST(wppm AS HUGEINT)) // COUNT(*) AS BIGINT) AS score_ppm
+       |  FROM bk JOIN w USING (b) GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens,
+       |  COALESCE(sc.score_ppm, 0) AS score_ppm
+       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+  }
 }

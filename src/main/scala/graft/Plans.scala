@@ -658,7 +658,31 @@ object Plans {
         |products against the derandomized weight lattice per vector, no
         |exchange, no stats pass, no broadcast (spec asserts the
         |no-Exchange plan). The JL-style compression step ahead of exact
-        |rescoring — 64 floats → 8 longs on the wire.""".stripMargin)
+        |rescoring — 64 floats → 8 longs on the wire.""".stripMargin,
+    "q176_dsir_scores" ->
+      """Two walks of the exploded token stream, both narrow fan-outs. The
+        |bucket-weight aggregate map-side-combines to ≤ 1024 rows per
+        |partition before its exchange; the 1024-row weight table (plus the
+        |1-row totals) broadcast back onto the second walk, so scoring's
+        |only corpus-sized exchange is the per-doc partial aggregate — one
+        |(doc_id, sum, count) row per document. At 100 TB the weight table
+        |is still 1024 rows: corpus volume changes nothing structural.""".stripMargin,
+    "q177_pattern_match" ->
+      """Type IN-filter pushes to the scan (three pattern types), then ONE
+        |user-key exchange; both suffix-min windows (first following end,
+        |first following blocker) sort once on (t_us, id) and run on the
+        |same partitioning. No event self-join anywhere — the
+        |MATCH_RECOGNIZE negation comes from comparing two running mins,
+        |and per-task state is O(1) per open user suffix.""".stripMargin,
+    "q178_kcenter_coreset" ->
+      """Exact greedy k-center: k−1 zero-shuffle corpus passes — the ≤k
+        |chosen vectors inline as a least(...) chain of fused-codegen
+        |integer L2²s (driver-held, the Lloyd's-loop shape), and each
+        |round's arg-max is max(struct(d, −id, v)) — a PARTIAL aggregate,
+        |one candidate row per partition to the driver. The quantized
+        |corpus pins once (localCheckpoint); the plan below is the final
+        |round's pass. Printed plan is the k-row result frame (driver
+        |loop); the per-round pass is the shape described above.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -1525,7 +1525,29 @@ object SparkEntry {
     // long-format (metric, value) relation: size, exact-dup ppm, floor
     // mean quality micros, language spread; two map-side-collapsed jobs
     "q175_dataset_card" -> ((s, d) =>
-      graft.ext.TextAnalysis.datasetCard(Tables.documents(s, d)))
+      graft.ext.TextAnalysis.datasetCard(Tables.documents(s, d))),
+
+    // data selection: DSIR-flavored hashed importance scores — every doc
+    // rated for target-likeness (target = lang 'en') by exact integer ppm
+    // ratio weights over 1024 mix-hashed unigram buckets (arXiv:2302.03169)
+    "q176_dsir_scores" -> ((s, d) =>
+      graft.ext.Sampling.dsirScores(Tables.documents(s, d),
+        col("lang") === "en", buckets = 1024)),
+
+    // CEP pattern matching: every view converting to a purchase within the
+    // hour with NO intervening error — MATCH_RECOGNIZE-style negation that
+    // no join-chain funnel expresses; one user-key exchange, two
+    // following-frame suffix-mins, zero self-joins
+    "q177_pattern_match" -> ((s, d) =>
+      graft.ext.Funnel.matchPattern(Tables.events(s, d),
+        startType = "view", endType = "purchase", absentType = "error",
+        horizonUs = 3600L * 1000000)),
+
+    // coreset selection: exact greedy k-center (farthest-point) over the
+    // embedding corpus — 8 zero-shuffle corpus passes, driver holds only
+    // the chosen vectors; the coverage-radius curve is the output
+    "q178_kcenter_coreset" -> ((s, d) =>
+      graft.ext.Clustering.kCenterGreedy(Tables.embeddings(s, d), k = 8))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -1743,6 +1765,10 @@ object SparkEntry {
     "q172_dedup_cascade" -> Oracles.dedupCascade(16, 4, 0.3),
     "q173_multiprobe_lsh" -> Oracles.multiProbeLshTopK(50, 5, 16, 8, 3),
     "q174_eval_set" -> Oracles.evalSet(5),
-    "q175_dataset_card" -> Oracles.datasetCard
+    "q175_dataset_card" -> Oracles.datasetCard,
+    "q176_dsir_scores" -> Oracles.dsirScores(1024),
+    "q177_pattern_match" -> Oracles.patternMatch("view", "purchase", "error",
+      3600L * 1000000),
+    "q178_kcenter_coreset" -> Oracles.kCenterGreedy(8)
   )
 }

@@ -323,4 +323,60 @@ object Clustering {
       .select(col("vec_id"), col("cluster"), col("dist"),
         (col("rn") <= greatest(lit(1L), expr(s"($keepPpm * n) div 1000000"))).as("kept"))
   }
+
+  /** k-center greedy coreset selection (farthest-point traversal —
+    * Gonzalez 1985's 2-approximation; the active-learning core-set
+    * selector of Sener & Savarese 2018, arXiv:1708.00489, public paper):
+    * seed with the min-id vector, then k−1 times pick the point whose
+    * min-L2² to the chosen set is LARGEST (ties → smaller id). Output one
+    * row per selection: (sel_rank, vec_id, dist_sq), where dist_sq is the
+    * selection-time coverage radius² — monotone non-increasing, the
+    * stopping-criterion curve a curation pipeline reads k from.
+    *
+    * Exactness: quantized integer L2² ([[quantize]] + the fused-codegen
+    * native distance); the arg-max is `max(struct(dist, −id, v))`, so the
+    * tie rule is a struct comparison both engines replay bit-identically.
+    *
+    * Scale: each round is ONE narrow corpus pass — the chosen set lives
+    * in the driver (≤ k vectors, the Lloyd's-loop shape), distances to it
+    * inline as a `least(...)` chain in whole-stage codegen, and the
+    * arg-max partial-aggregates to one candidate row per partition, so
+    * NO corpus shuffle exists in any round. That inline-literal shape is
+    * right for coreset-sized k (tens); past a few dozen centers the
+    * expression falls out of codegen and [[kmeansTrain]]'s broadcast-join
+    * assignment shape applies instead. k passes over 100 TB is exact
+    * greedy k-center's known cost; the quantized corpus is pinned once so
+    * passes re-read columnar blocks, not the source.
+    */
+  def kCenterGreedy(embeddings: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = embeddings.sparkSession
+    val q = embeddings.select(col(idCol).cast(LongType).as("vec_id"),
+      quantize(col(vecCol)).as("qv"))
+      .localCheckpoint(true)
+    val seed = q.orderBy(col("vec_id")).limit(1).collect()
+    require(seed.nonEmpty, "kCenterGreedy on an empty corpus")
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      (seed.head.getLong(0), seed.head.getSeq[Long](1), 0L))
+    var exhausted = false
+    while (chosen.size < k && !exhausted) {
+      val minDist = chosen.map { case (_, cv, _) =>
+        l2sq(col("qv"), typedLit(cv)) }.reduce(least(_, _))
+      val next = q
+        .agg(max(struct(minDist.as("d"), (-col("vec_id")).as("nid"),
+          col("qv").as("v"))).as("m"))
+        .select(col("m.d"), (-col("m.nid")).as("vec_id"), col("m.v"))
+        .collect().head
+      val (d, id, v) = (next.getLong(0), next.getLong(1), next.getSeq[Long](2))
+      // every point already chosen ⇒ the arg-max returns a chosen point at
+      // distance 0 — the corpus has fewer than k points; stop early
+      if (chosen.exists(_._1 == id)) exhausted = true
+      else chosen += ((id, v, d))
+    }
+    import spark.implicits._
+    chosen.toSeq.zipWithIndex
+      .map { case ((id, _, d), r) => (r.toLong, id, d) }
+      .toDF("sel_rank", "vec_id", "dist_sq")
+  }
 }

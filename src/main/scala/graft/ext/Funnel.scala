@@ -256,6 +256,58 @@ object Funnel {
     * state only, no global sort), then an aggregate whose keyspace is
     * |event types| — constant-sized at any corpus scale.
     */
+  /** CEP-style event-pattern matches — MATCH_RECOGNIZE's
+    * `START (^ABSENT)* END WITHIN horizon` shape: per user, every
+    * `startType` event followed by an `endType` event within `horizonUs`
+    * with NO `absentType` event between them (e.g. "view converted to
+    * purchase on an error-free path within the hour"). One row per
+    * matching START event — AFTER MATCH SKIP TO NEXT ROW semantics: each
+    * start reports independently against its FIRST following end.
+    * [[funnel]] answers "how many users completed the chain once"; this
+    * emits every match instance with its endpoints, and expresses
+    * NEGATION, which no join-chain funnel can.
+    *
+    * Determinism: the per-user order is (ts µs, event id); "first
+    * following end" and "any blocker before it" are frame-bounded MINs of
+    * the packed key `t_us·10⁹ + event_id` (DECIMAL(38,0) — HUGEINT in the
+    * oracle), so a blocker logged the same microsecond as the end resolves
+    * by event id, identically in any engine. Requires event ids in
+    * [0, 10⁹) — widen the pack factor for larger id spaces.
+    *
+    * Scale: the type filter prunes the scan to the three pattern types,
+    * then ONE user-key exchange; both following-frame windows run on the
+    * same partitioning (subset rule), each holding one running suffix-min
+    * per task — never an event self-join, output bounded by start-event
+    * volume.
+    */
+  def matchPattern(events: DataFrame, startType: String, endType: String,
+                   absentType: String, horizonUs: Long,
+                   tsCol: String = "ts", userCol: String = "user_id",
+                   typeCol: String = "event_type",
+                   idCol: String = "event_id"): DataFrame = {
+    require(horizonUs > 0, "horizonUs must be positive")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val w = Window.partitionBy(col(userCol)).orderBy(col("t_us"), col(idCol))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val packFactor = lit(1000000000L).cast(dec)
+    events
+      .filter(col(typeCol).isin(startType, endType, absentType))
+      .select(col(userCol), col(idCol), col(typeCol),
+        unix_micros(col(tsCol)).as("t_us"))
+      .withColumn("__pk", col("t_us").cast(dec) * packFactor + col(idCol).cast(dec))
+      .withColumn("__ek",
+        min(when(col(typeCol) === endType, col("__pk"))).over(w))
+      .withColumn("__ak",
+        min(when(col(typeCol) === absentType, col("__pk"))).over(w))
+      .filter(col(typeCol) === startType && col("__ek").isNotNull)
+      .withColumn("lag_us", expr("CAST(__ek div 1000000000 AS BIGINT)") - col("t_us"))
+      .filter(col("lag_us") <= horizonUs &&
+        (col("__ak").isNull || col("__ak") > col("__ek")))
+      .select(col(userCol), col(idCol).as("start_event_id"),
+        expr("CAST(__ek % 1000000000 AS BIGINT)").as("end_event_id"),
+        col("lag_us"))
+  }
+
   def dwellTimes(events: DataFrame, tsCol: String = "ts",
                  userCol: String = "user_id",
                  typeCol: String = "event_type",

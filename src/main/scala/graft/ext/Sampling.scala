@@ -262,6 +262,69 @@ object Sampling {
       .filter(col("partner_id") =!= col("anchor_id"))
   }
 
+  /** First family member of the DSIR feature-bucket hash (pair 380, 381 —
+    * disjoint from sampling 7, packing 9, shuffle 100+, sketches 200+,
+    * negatives 320-327, remix 340, A/B 360).
+    */
+  val DsirJ: Int = 380
+
+  /** Hashed-feature importance scores (DSIR flavor — Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169, public paper): rank raw documents by how
+    * target-like their hashed unigram profile is, given a target-domain
+    * predicate over the same corpus (e.g. `lang = 'en'`, or a quality
+    * gate). Tokens fold to integers ([[Dedup.encodeToken]]) and bucket by
+    * `mixHash mod buckets`; a bucket's weight is the exact integer ppm
+    * ratio between its share of target token mass and its share of raw
+    * token mass; a document's score is the floor-mean bucket weight over
+    * its token occurrences — 10⁶ ≈ "corpus-typical", higher = target-like.
+    * Callers select the top slice by `(score_ppm, doc_id)` or feed the
+    * score to [[Quality.percentileRankBy]] for a calibrated cut.
+    *
+    * DSIR proper multiplies per-feature likelihood ratios (a log-sum);
+    * `ln` is not bit-pinned across engines (the Gini/z-test policy), so
+    * this takes the arithmetic-mean ratio instead of the geometric mean —
+    * same hashed feature space, same selection use, exactly reproducible
+    * in integer SQL. The target must contain at least one token (an empty
+    * target has no distribution to match — integral division by zero).
+    *
+    * Scale: the weight table is `buckets` rows from ONE map-side-combined
+    * aggregate over the exploded token stream (narrow fan-out; the
+    * exchange moves ≤ buckets rows per partition), broadcast back onto a
+    * second walk of the same stream; per-doc partial aggregation means the
+    * only corpus-sized exchange carries one row per document. Zero-token
+    * docs score 0 via the final left join (kept — the caller's gate
+    * decides their fate).
+    */
+  def dsirScores(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+                 buckets: Int = 1024, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val toks = docs
+      .select(col(idCol), isTarget.as("__tgt"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("__token"))
+      .withColumn("__b",
+        pmod(Dedup.mixHash(Dedup.encodeToken(col("__token")), DsirJ), lit(buckets.toLong)))
+    val bucketCounts = toks.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__raw_n"), count_if(col("__tgt")).as("__tgt_n"))
+    val totals = bucketCounts
+      .agg(sum("__raw_n").as("__raw_t"), sum("__tgt_n").as("__tgt_t"))
+    val weights = bucketCounts.crossJoin(broadcast(totals))
+      .withColumn("__num",
+        col("__tgt_n").cast(dec) * col("__raw_t").cast(dec) * lit(1000000L).cast(dec))
+      .withColumn("__den", col("__raw_n").cast(dec) * col("__tgt_t").cast(dec))
+      .select(col("__b"), expr("__num div __den").as("__wppm"))
+    val scored = toks.join(broadcast(weights), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__wppm").cast(dec)).as("__ws"))
+      .select(col(idCol), col("n_tokens"), expr("__ws div n_tokens").as("score_ppm"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score_ppm"), lit(0L)).as("score_ppm"))
+  }
+
   def deterministicShuffle(df: DataFrame, nShards: Int, idCol: String = "doc_id",
                            seed: Int = 0): DataFrame = {
     require(nShards > 0, "nShards must be positive")

@@ -153,4 +153,36 @@ class ClusteringSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(out == Map(0L -> true, 1L -> false, 2L -> true, 4L -> true, 5L -> false))
   }
+
+  test("kCenterGreedy: farthest-point order with exact integer radii") {
+    // 1-D layout (padded to 2 dims): 0, 10, 5, 0.001(dim2), 20
+    val d = vecs(
+      1L -> Seq(0.0, 0.0),
+      2L -> Seq(10.0, 0.0),
+      3L -> Seq(5.0, 0.0),
+      4L -> Seq(0.0, 1.0),
+      5L -> Seq(20.0, 0.0))
+    val out = Clustering.kCenterGreedy(d, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // seed = id 1 (min id, radius 0); round 1 = id 5 at (20e6)²;
+    // round 2 = id 2 (min dist max: min(1e14 to seed, 1e14 to id5) = 1e14
+    // beats id 3's 2.5e13 and id 4's 1e12)
+    val e6 = 1000000L
+    assert(out == Seq((0L, 1L, 0L), (1L, 5L, 400L * e6 * e6), (2L, 2L, 100L * e6 * e6)))
+  }
+
+  test("kCenterGreedy: equidistant tie goes to the smaller id; k > n stops early") {
+    val d = vecs(
+      1L -> Seq(0.0, 0.0),
+      2L -> Seq(3.0, 0.0),
+      3L -> Seq(-3.0, 0.0))
+    // ids 2 and 3 both at 9e12 from the seed → id 2 wins round 1
+    val out = Clustering.kCenterGreedy(d, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((0L, 1L), (1L, 2L)))
+    // k exceeding the corpus returns one row per point, no repeats
+    val all = Clustering.kCenterGreedy(d, k = 10)
+      .collect().map(_.getLong(1)).toSeq
+    assert(all.length == 3 && all.distinct.length == 3)
+  }
 }

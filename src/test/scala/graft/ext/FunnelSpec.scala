@@ -287,4 +287,47 @@ class FunnelSpec extends SparkSpec {
     assert(Funnel.sessionPaths(ev, k = 2).collect()
       .map(_.getString(0)).toSeq == Seq("view", "click"))
   }
+
+  test("matchPattern: horizon, negation, pre-start blockers, first-following-end") {
+    val hourUs = 3600L * 1000000
+    val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP",
+      Seq(
+        // user 1: view@00 → purchase@10 matches (error@30 is AFTER it);
+        //         view@20 → purchase@40 blocked by error@30
+        Row(1L, 1L, "view", ts("2024-01-01 00:00:00")),
+        Row(1L, 2L, "purchase", ts("2024-01-01 00:10:00")),
+        Row(1L, 3L, "view", ts("2024-01-01 00:20:00")),
+        Row(1L, 4L, "error", ts("2024-01-01 00:30:00")),
+        Row(1L, 5L, "purchase", ts("2024-01-01 00:40:00")),
+        // user 2: purchase 2h later — outside the horizon
+        Row(2L, 6L, "view", ts("2024-01-01 00:00:00")),
+        Row(2L, 7L, "purchase", ts("2024-01-01 02:00:00")),
+        // user 3: never purchases
+        Row(3L, 8L, "view", ts("2024-01-01 00:00:00")),
+        // user 4: error BEFORE the view does not block
+        Row(4L, 9L, "error", ts("2024-01-01 00:00:00")),
+        Row(4L, 10L, "view", ts("2024-01-01 00:01:00")),
+        Row(4L, 11L, "purchase", ts("2024-01-01 00:02:00"))))
+    val out = Funnel.matchPattern(ev, "view", "purchase", "error", hourUs)
+    assert(out.columns.toSeq ==
+      Seq("user_id", "start_event_id", "end_event_id", "lag_us"))
+    assert(rowSet(out) == rows(
+      Seq("1", "1", "2", (600L * 1000000).toString),
+      Seq("4", "10", "11", (60L * 1000000).toString)))
+  }
+
+  test("matchPattern: same-microsecond end/blocker ties resolve by event id") {
+    val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP",
+      Seq(
+        // user 5: error id 13 < purchase id 14 at the same µs → blocked
+        Row(5L, 12L, "view", ts("2024-01-01 00:00:00")),
+        Row(5L, 13L, "error", ts("2024-01-01 00:00:05")),
+        Row(5L, 14L, "purchase", ts("2024-01-01 00:00:05")),
+        // user 6: purchase id 16 < error id 17 at the same µs → match
+        Row(6L, 15L, "view", ts("2024-01-01 00:00:00")),
+        Row(6L, 16L, "purchase", ts("2024-01-01 00:00:05")),
+        Row(6L, 17L, "error", ts("2024-01-01 00:00:05"))))
+    val out = Funnel.matchPattern(ev, "view", "purchase", "error", 3600L * 1000000)
+    assert(rowSet(out) == rows(Seq("6", "15", "16", "5000000")))
+  }
 }

@@ -256,4 +256,44 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
   }
+
+  test("dsirScores: single bucket collapses every weight to exactly 10^6; empty doc scores 0") {
+    import org.apache.spark.sql.Row
+    // with buckets=1 the one bucket's target share equals the corpus's, so
+    // wppm = (tgt_n·raw_t·10⁶)/(raw_n·tgt_t) = 10⁶ for every token — any
+    // tokenized doc scores exactly 1,000,000 regardless of content
+    val d = df("doc_id BIGINT, text STRING, lang STRING", Seq(
+      Row(1L, "aa aa", "en"), Row(2L, "aa bb cc", "zh"),
+      Row(3L, "", "zh"), Row(4L, "bb", "en")))
+    val out = Sampling.dsirScores(d, col("lang") === "en", buckets = 1)
+    assert(rowSet(out) == rows(
+      Seq("1", "2", "1000000"), Seq("2", "3", "1000000"),
+      Seq("3", "0", "0"), Seq("4", "1", "1000000")))
+  }
+
+  test("dsirScores: target-exclusive tokens outscore target-absent tokens by the exact ratio") {
+    import org.apache.spark.sql.Row
+    // raw_t = 4 tokens, tgt_t = 2; 'alpha' bucket: raw 2 / tgt 2 →
+    // wppm = 2·4·10⁶/(2·2) = 2,000,000; 'beta' bucket: tgt 0 → 0
+    val d = df("doc_id BIGINT, text STRING, lang STRING", Seq(
+      Row(1L, "alpha alpha", "en"), Row(2L, "beta beta", "zh")))
+    val out = Sampling.dsirScores(d, col("lang") === "en", buckets = 1024)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 2000000L, 2L -> 0L))
+  }
+
+  test("dsirScores: mixed doc floor-means its tokens' bucket weights; repartition-invariant") {
+    import org.apache.spark.sql.Row
+    val d = df("doc_id BIGINT, text STRING, lang STRING", Seq(
+      Row(1L, "alpha alpha", "en"), Row(2L, "beta beta", "zh"),
+      Row(3L, "alpha beta", "zh")))
+    // raw_t = 6, tgt_t = 2; alpha: raw 3/tgt 2 → 2·6·10⁶/(3·2) = 2,000,000;
+    // beta: 0 → doc 3 = (2,000,000 + 0) div 2 = 1,000,000
+    val out = Sampling.dsirScores(d, col("lang") === "en", buckets = 1024)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 2000000L, 2L -> 0L, 3L -> 1000000L))
+    val again = Sampling.dsirScores(d.repartition(7), col("lang") === "en", buckets = 1024)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == out)
+  }
 }
