@@ -443,4 +443,77 @@ object Streams {
       .outputMode(OutputMode.Append)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  final case class PatternEvent(user_id: Long, event_id: Long,
+                                event_type: String, t_us: Long)
+  final case class PatternMatchRow(user_id: Long, start_event_id: Long,
+                                   end_event_id: Long, lag_us: Long)
+  /** Open starts awaiting their first following end, plus the largest
+    * event time seen (drives horizon eviction across batches).
+    */
+  final case class PatternState(openStarts: List[(Long, Long)], maxSeenUs: Long)
+
+  /** Streaming CEP pattern matching — the incremental twin of the batch
+    * [[graft.ext.Funnel.matchPattern]] (`START (^ABSENT)* END WITHIN h`):
+    * per user, a start opens; the FIRST following end emits a match for
+    * every open start within the horizon and closes them all (an
+    * out-of-horizon start's first end was still this one — dead either
+    * way); an absent-type event kills every open start (any later end
+    * would have the blocker between). In-batch disorder is sorted on
+    * (t_us, event_id) — the batch operator's total order, so same-µs
+    * end/blocker ties resolve by event id identically; cross-batch order
+    * is the contract (the [[lastTouchState]] closed-hour analogue: a row
+    * arriving after a later-timestamped row was processed in a previous
+    * batch may miss or produce a match batch Spark would not).
+    *
+    * Scale: state per user is the open starts inside one horizon (older
+    * ones are evicted — they can never match a future end) — bounded by
+    * the per-user start rate times the horizon, independent of stream
+    * length; emission is append-mode, one shuffle on the user key.
+    */
+  def patternMatchState(events: Dataset[PatternEvent],
+                        startType: String = "view", endType: String = "purchase",
+                        absentType: String = "error",
+                        horizonUs: Long = 3600L * 1000000)(
+      implicit spark: SparkSession): Dataset[PatternMatchRow] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatternState, PatternMatchRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        patternStep(startType, endType, absentType, horizonUs))
+  }
+
+  /** The [[patternMatchState]] transition, named for deterministic
+    * TestGroupState unit testing (the [[attribStep]] pattern).
+    */
+  private[streaming] def patternStep(startType: String, endType: String,
+                                     absentType: String, horizonUs: Long)(
+      user: Long, rows: Iterator[PatternEvent],
+      state: GroupState[PatternState]): Iterator[PatternMatchRow] = {
+    val sorted = rows.toSeq.sortBy(e => (e.t_us, e.event_id))
+    val st = state.getOption.getOrElse(PatternState(Nil, Long.MinValue))
+    var open = st.openStarts
+    var maxSeen = st.maxSeenUs
+    val out = scala.collection.mutable.ArrayBuffer.empty[PatternMatchRow]
+    sorted.foreach { e =>
+      maxSeen = math.max(maxSeen, e.t_us)
+      e.event_type match {
+        case `startType` => open = (e.t_us, e.event_id) :: open
+        case `endType` =>
+          open.reverse.foreach { case (ts, id) =>
+            if (e.t_us - ts <= horizonUs)
+              out += PatternMatchRow(user, id, e.event_id, e.t_us - ts)
+          }
+          open = Nil
+        case `absentType` => open = Nil
+        case _ => ()
+      }
+    }
+    // a start can only match an end with end_t − start_t ≤ horizon, and
+    // (by the order contract) future ends are ≥ maxSeen — evict starts
+    // that already fell out of every future end's horizon
+    open = open.filter { case (ts, _) => maxSeen - ts <= horizonUs }
+    state.update(PatternState(open, maxSeen))
+    out.iterator
+  }
 }

@@ -517,4 +517,81 @@ class StreamsSpec extends SparkSpec {
     assert(out == Streams.CdcLatest(7L, 5L, "U", "keep"))
     assert(state.get == out)
   }
+
+  test("patternMatchState: streamed matches across batches ≡ batch matchPattern") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, id: Long, t: String, tsS: String) =
+      Streams.PatternEvent(u, id, t, ts(tsS).getTime * 1000)
+    // the q177 spec scenario, split so user 1's second view and its
+    // blocker/end land in different batches (state must carry the open
+    // start over), plus the same-µs tie users
+    val batch1 = Seq(
+      ev(1, 1, "view", "2024-01-01 00:00:00"),
+      ev(1, 2, "purchase", "2024-01-01 00:10:00"),
+      ev(1, 3, "view", "2024-01-01 00:20:00"),
+      ev(2, 6, "view", "2024-01-01 00:00:00"),
+      ev(4, 9, "error", "2024-01-01 00:00:00"),
+      ev(4, 10, "view", "2024-01-01 00:01:00"))
+    val batch2 = Seq(
+      ev(1, 4, "error", "2024-01-01 00:30:00"),
+      ev(1, 5, "purchase", "2024-01-01 00:40:00"),
+      ev(2, 7, "purchase", "2024-01-01 02:00:00"),
+      ev(4, 11, "purchase", "2024-01-01 00:02:00"),
+      ev(5, 13, "error", "2024-01-01 00:00:05"),
+      ev(5, 14, "purchase", "2024-01-01 00:00:05"),
+      ev(6, 16, "purchase", "2024-01-01 00:00:05"),
+      ev(6, 17, "error", "2024-01-01 00:00:05"))
+    val batch0 = Seq( // users 5/6 open their views first
+      ev(5, 12, "view", "2024-01-01 00:00:00"),
+      ev(6, 15, "view", "2024-01-01 00:00:00"))
+    val mem = MemoryStream[Streams.PatternEvent]
+    val q = Streams.patternMatchState(mem.toDS()).writeStream.format("memory")
+      .queryName("matches").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(batch0: _*); q.processAllAvailable()
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("matches").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batchDf = (batch0 ++ batch1 ++ batch2).map(e =>
+          (e.user_id, e.event_id, e.event_type, new Timestamp(e.t_us / 1000)))
+        .toDF("user_id", "event_id", "event_type", "ts")
+      val expect = graft.ext.Funnel
+        .matchPattern(batchDf, "view", "purchase", "error", 3600L * 1000000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == expect)
+      assert(streamed.map(_._2) == Set(1L, 10L, 15L)) // views that converted clean
+    } finally q.stop()
+  }
+
+  test("patternStep: blocker kills open starts; horizon eviction bounds state") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val hour = 3600L * 1000000L
+    val step = Streams.patternStep("view", "purchase", "error", hour) _
+    def run(evs: Seq[Streams.PatternEvent], st: Option[Streams.PatternState]) = {
+      val state = TestGroupState.create[Streams.PatternState](
+        st.map(Optional.of[Streams.PatternState]).getOrElse(Optional.empty()),
+        GroupStateTimeout.NoTimeout, batchProcessingTimeMs = 1000L,
+        eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+      (step(1L, evs.iterator, state).toSeq, state.get)
+    }
+    // two opens; an error between them and the end kills BOTH
+    val (out1, st1) = run(Seq(
+      Streams.PatternEvent(1L, 1L, "view", 0L),
+      Streams.PatternEvent(1L, 2L, "view", 1000L),
+      Streams.PatternEvent(1L, 3L, "error", 2000L),
+      Streams.PatternEvent(1L, 4L, "purchase", 3000L)), None)
+    assert(out1.isEmpty && st1.openStarts.isEmpty)
+    // an open start beyond the horizon of the newest event is evicted;
+    // a fresh one is kept and matches in a later batch
+    val (out2, st2) = run(Seq(
+      Streams.PatternEvent(1L, 5L, "view", 0L),
+      Streams.PatternEvent(1L, 6L, "view", 2L * hour)), None)
+    assert(out2.isEmpty && st2.openStarts == List((2L * hour, 6L)))
+    val (out3, _) = run(Seq(
+      Streams.PatternEvent(1L, 7L, "purchase", 2L * hour + 5L)), Some(st2))
+    assert(out3 == Seq(Streams.PatternMatchRow(1L, 6L, 7L, 5L)))
+  }
 }
