@@ -3621,6 +3621,72 @@ object Oracles {
        |FROM bc a JOIN bc b ON a.c = b.c AND a.g < b.g
        |GROUP BY 1, 2""".stripMargin
 
+  /** Mirrors Dedup.winnowOverlapPairs: per-char codepoints via the same
+    * empty-pattern split (identical to Spark's `split(text, "")` on the
+    * ASCII corpus), positional 3-gram codes through mixHash members
+    * (400, 401), window minima by 1-based inclusive list slices, then the
+    * df-capped fingerprint self-join.
+    */
+  def winnowOverlap(w: Int, minShared: Long, maxDfPpm: Long,
+                    sampleMod: Int): String = {
+    val code = "cps[CAST(i AS INTEGER)] * 65536 + " +
+      "cps[CAST(i AS INTEGER) + 1] * 256 + cps[CAST(i AS INTEGER) + 2]"
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % $sampleMod = 0),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+       |ch AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split_regex(text, ''),
+       |      c -> CAST(ascii(c) AS BIGINT)) AS cps
+       |  FROM d),
+       |hs AS (
+       |  SELECT doc_id, CASE WHEN len(cps) >= 3 THEN
+       |      list_transform(generate_series(1, len(cps) - 2),
+       |        i -> ${mixSql(s"($code)", ext.Dedup.WinnowJ)})
+       |    ELSE CAST([] AS BIGINT[]) END AS hs
+       |  FROM ch),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(hs) >= $w THEN
+       |      list_transform(generate_series(1, len(hs) - ${w - 1}),
+       |        j -> list_min(hs[CAST(j AS INTEGER):CAST(j AS INTEGER) + ${w - 1}]))
+       |    ELSE CAST([] AS BIGINT[]) END) AS fp
+       |  FROM hs),
+       |rare AS (
+       |  SELECT fp FROM (SELECT fp, COUNT(*) AS c FROM fps GROUP BY 1) t, nd
+       |  WHERE c <= GREATEST(2, (n * $maxDfPpm) // 1000000)),
+       |k AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(COUNT(*) AS BIGINT) AS shared
+       |FROM k a JOIN k b USING (fp)
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= $minShared""".stripMargin
+  }
+
+  /** Mirrors Sampling.temperatureSample over documents(lang): corrected
+    * exact isqrt, the same two-step integral divisions (target from the
+    * root share, then ppm from the stratum size), the member-390 draw.
+    */
+  def temperatureSample(budget: Long): String =
+    s"""WITH sz AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+       |rt AS (
+       |  SELECT lang, n,
+       |    CASE WHEN (s0 + 1) * (s0 + 1) <= n THEN s0 + 1
+       |         WHEN s0 * s0 > n THEN s0 - 1 ELSE s0 END AS s
+       |  FROM (SELECT lang, n,
+       |          CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0 FROM sz)),
+       |tt AS (SELECT CAST(SUM(s) AS BIGINT) AS st FROM rt),
+       |rates AS (
+       |  SELECT lang,
+       |    CAST(LEAST(1000000, ((($budget * s) // st) * 1000000) // n) AS BIGINT)
+       |      AS keep_ppm
+       |  FROM rt, tt)
+       |SELECT d.doc_id, d.lang, r.keep_ppm,
+       |  ((${mixSql("d.doc_id", ext.Sampling.TemperatureJ)}) % 1000000) < r.keep_ppm
+       |    AS kept
+       |FROM documents d JOIN rates r USING (lang)""".stripMargin
+
   /** Mirrors Clustering.kCenterGreedy over embeddings: the same quantized
     * corpus, then k−1 unrolled greedy rounds — the chosen set as a UNION
     * ALL chain, per-point min-L2² against it, arg-max by

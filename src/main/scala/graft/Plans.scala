@@ -674,6 +674,14 @@ object Plans {
         |same partitioning. No event self-join anywhere — the
         |MATCH_RECOGNIZE negation comes from comparing two running mins,
         |and per-task state is O(1) per open user suffix.""".stripMargin,
+    "q180_winnow_overlap" ->
+      """Winnowing is ONE narrow projection (char split → positional
+        |3-gram mix hashes → window minima, all codegen array transforms)
+        |followed by an explode of only the selected fingerprints. The df
+        |cap's doc count is a broadcast 1-row aggregate; the overlap join
+        |is a fingerprint-keyed equi-join whose per-key fan-in the
+        |corpus-relative cap bounds, then a pair-keyed count aggregate.
+        |No all-pairs anything; candidate volume ≤ |fingerprints|·cap².""".stripMargin,
     "q178_kcenter_coreset" ->
       """Exact greedy k-center: k−1 zero-shuffle corpus passes — the ≤k
         |chosen vectors inline as a least(...) chain of fused-codegen

@@ -1547,7 +1547,23 @@ object SparkEntry {
     // embedding corpus — 8 zero-shuffle corpus passes, driver holds only
     // the chosen vectors; the coverage-radius curve is the output
     "q178_kcenter_coreset" -> ((s, d) =>
-      graft.ext.Clustering.kCenterGreedy(Tables.embeddings(s, d), k = 8))
+      graft.ext.Clustering.kCenterGreedy(Tables.embeddings(s, d), k = 8)),
+
+    // corpus rebalancing: temperature sampling at τ=1/2 (√-share targets,
+    // exact integer isqrt) — low-resource languages upweighted vs
+    // proportional sampling; rates derived in-plan, draw is a narrow map
+    "q179_temperature_sample" -> ((s, d) =>
+      graft.ext.Sampling.temperatureSample(Tables.documents(s, d), budget = 2000)),
+
+    // exact-substring overlap via winnowing (MOSS): bounded-density
+    // fingerprints (window minima of positional 3-gram hashes) with a
+    // shared-substring guarantee; corpus-relative df cap bounds the
+    // self-join fan-in. 1/10 sample — the q113/q17 policy for pairwise
+    // verifiers on this degenerate (template-heavy) corpus
+    "q180_winnow_overlap" -> ((s, d) =>
+      graft.ext.Dedup.winnowOverlapPairs(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+        w = 4, minShared = 2, maxDfPpm = 100000))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -1769,6 +1785,8 @@ object SparkEntry {
     "q176_dsir_scores" -> Oracles.dsirScores(1024),
     "q177_pattern_match" -> Oracles.patternMatch("view", "purchase", "error",
       3600L * 1000000),
-    "q178_kcenter_coreset" -> Oracles.kCenterGreedy(8)
+    "q178_kcenter_coreset" -> Oracles.kCenterGreedy(8),
+    "q179_temperature_sample" -> Oracles.temperatureSample(2000),
+    "q180_winnow_overlap" -> Oracles.winnowOverlap(4, 2, 100000, 10)
   )
 }

@@ -886,4 +886,73 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  /** First affine-family member of the winnowing hash (pair 400, 401). */
+  val WinnowJ: Int = 400
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm; public paper): per document, hash every
+    * positional character 3-gram with the portable mix hash (member 400)
+    * and keep the MINIMUM of each `w`-long window of consecutive hashes —
+    * distinct selected values, one row per (doc, fingerprint). The
+    * guarantee: any shared substring of length ≥ w + 2 yields at least
+    * one shared fingerprint, while density stays ≈ 2/(w+1) of positions —
+    * the bounded-density exact-substring detector between full n-gram
+    * inversion (q56, every gram) and MinHash (probabilistic).
+    *
+    * Scale: one narrow per-doc pass — char codepoints via a single
+    * `split`, positional hashes and window minima as codegen array
+    * transforms (O(len·w) per doc), explode only of the winnowed set.
+    * No shuffle until the consumer aggregates.
+    */
+  def winnowFingerprints(docs: DataFrame, w: Int = 4, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(w >= 1, "window must be >= 1")
+    def guarded(n: Column, body: Column): Column =
+      when(n >= 1, body).otherwise(array().cast("array<bigint>"))
+    docs
+      .select(col(idCol),
+        transform(split(col(textCol), ""), c => ascii(c).cast("long")).as("__cps"))
+      .withColumn("__hs", guarded(size(col("__cps")) - 2,
+        transform(sequence(lit(1), greatest(size(col("__cps")) - 2, lit(1))),
+          i => mixHash(
+            element_at(col("__cps"), i) * 65536L +
+              element_at(col("__cps"), i + 1) * 256L +
+              element_at(col("__cps"), i + 2), WinnowJ))))
+      .select(col(idCol),
+        explode(array_distinct(guarded(size(col("__hs")) - (w - 1),
+          transform(sequence(lit(1), greatest(size(col("__hs")) - (w - 1), lit(1))),
+            j => array_min(slice(col("__hs"), j, lit(w))))))).as("fp"))
+  }
+
+  /** Document-overlap report over winnowed fingerprints: pairs sharing at
+    * least `minShared` fingerprints, with the exact shared count.
+    * Fingerprints present in more than `max(2, n·maxDfPpm/10⁶)` documents
+    * are dropped before the self-join — the q17 document-frequency cap,
+    * CORPUS-RELATIVE because "boilerplate" is a share, not a count: an
+    * absolute cap that works at one scale silently empties (or explodes)
+    * the report at another (measured: abs 20 → 893 pairs on the sf0.01
+    * sample, 0 at sf0.1; 10% ppm → 18 and 2,969).
+    *
+    * Scale: fingerprint df is one count aggregate (the doc count arrives
+    * as a broadcast 1-row aggregate); the pair join is an equi-join on
+    * the fingerprint value with per-key fan-in ≤ the cap, so candidate
+    * volume is bounded by |fingerprints|·cap², never corpus².
+    */
+  def winnowOverlapPairs(docs: DataFrame, w: Int = 4, minShared: Long = 2,
+                         maxDfPpm: Long = 100000, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val fp = winnowFingerprints(docs, w, idCol, textCol)
+    val nd = docs.agg(count(lit(1)).as("__nd"))
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nd))
+      .filter(col("__df") <= greatest(lit(2L), expr(s"(__nd * $maxDfPpm) div 1000000")))
+      .select("fp")
+    val kept = fp.join(rare, "fp")
+    kept.select(col("fp"), col(idCol).as("id_a"))
+      .join(kept.select(col("fp"), col(idCol).as("id_b")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -338,6 +338,56 @@ object Sampling {
         coalesce(col("score_ppm"), lit(0L)).as("score_ppm"))
   }
 
+  /** First family member of the temperature-sampling draw (pair 390, 391). */
+  val TemperatureJ: Int = 390
+
+  /** Temperature-scaled stratum rebalancing at τ = ½ (the
+    * low-resource-upsampling step of multilingual corpus builds — Conneau
+    * & Lample et al., arXiv:1901.07291/1911.02116 sample languages with
+    * p_l ∝ n_l^τ; public papers): stratum `l` receives a target of
+    * `budget·√n_l / Σ√n` documents, flattening the head and upweighting
+    * the tail relative to proportional sampling. τ = ½ specifically
+    * because √ is the one fractional power with an EXACT integer form —
+    * `isqrt` (float `pow` on counts is not bit-pinned across engines, the
+    * log-free policy); the float `sqrt` seed is corrected by ±1 integer
+    * comparisons so every engine lands on ⌊√n⌋ exactly.
+    *
+    * Per-doc fate is the hash draw `mixHash(id; 390) mod 10⁶ <
+    * keep_ppm_l` with `keep_ppm_l = min(10⁶, (target_l·10⁶) div n_l)` —
+    * realized sizes are binomial around the targets (exact-count
+    * sampling is [[sampleExactN]]'s job; the hash draw is the narrow,
+    * join-free form). Output: every doc with its stratum's exact
+    * `keep_ppm` and its own `kept` flag.
+    *
+    * Scale: one keyspace-sized count aggregate (map-side combined), the
+    * per-stratum rate table broadcast back, then a narrow codegen map —
+    * no corpus shuffle, the [[stratifiedHashSample]] shape with rates
+    * DERIVED from the data instead of given.
+    */
+  def temperatureSample(docs: DataFrame, budget: Long,
+                        idCol: String = "doc_id",
+                        strataCol: String = "lang"): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val sizes = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val isqrt = {
+      val s0 = floor(sqrt(col("__n").cast("double"))).cast("long")
+      when((s0 + 1) * (s0 + 1) <= col("__n"), s0 + 1)
+        .when(s0 * s0 > col("__n"), s0 - 1)
+        .otherwise(s0)
+    }
+    val roots = sizes.withColumn("__s", isqrt)
+    val tot = roots.agg(sum("__s").as("__st"))
+    val rates = roots.crossJoin(broadcast(tot))
+      .withColumn("__target", expr(s"($budget * __s) div __st"))
+      .select(col(strataCol),
+        least(lit(1000000L), expr("(__target * 1000000) div __n")).as("keep_ppm"))
+    docs.select(col(idCol), col(strataCol))
+      .join(broadcast(rates), Seq(strataCol))
+      .select(col(idCol), col(strataCol), col("keep_ppm"),
+        (pmod(Dedup.mixHash(col(idCol), TemperatureJ), lit(1000000L)) < col("keep_ppm"))
+          .as("kept"))
+  }
+
   def deterministicShuffle(df: DataFrame, nShards: Int, idCol: String = "doc_id",
                            seed: Int = 0): DataFrame = {
     require(nShards > 0, "nShards must be positive")

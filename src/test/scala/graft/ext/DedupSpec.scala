@@ -333,4 +333,40 @@ class DedupSpec extends SparkSpec {
       assert(out.size == 39)
     }
   }
+
+  test("winnowFingerprints: shared-substring guarantee, density bound, short-doc edges") {
+    val common = "the quick brown fox jumps" // ≥ w + 2 chars ⇒ guaranteed hit
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, s"AAAA $common BBBB"),
+      Row(2L, s"XXXX $common YYYY"),
+      Row(3L, "zz"), // < 3 chars → no 3-grams
+      Row(4L, "")))
+    val by = Dedup.winnowFingerprints(d, w = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(!by.contains(3L) && !by.contains(4L))
+    // the winnowing guarantee: a shared substring of length ≥ w + k − 1
+    // produces at least one shared fingerprint
+    assert((by(1L) & by(2L)).nonEmpty)
+    // density: selected set never exceeds the window count (34 chars → 32
+    // grams → 29 windows), and is far below the gram count in practice
+    assert(by(1L).size <= 29)
+  }
+
+  test("winnowOverlapPairs: df cap drops boilerplate duplicates, keeps the rare overlap") {
+    // 25 IDENTICAL boilerplate docs (every fingerprint df = 25 > 20) plus
+    // one pair sharing a rare substring behind distinct wrappers
+    val d = df("doc_id BIGINT, text STRING",
+      (1L to 25L).map(i => Row(i, "COMMON BOILERPLATE SENTENCE REPEATED EVERYWHERE")) ++ Seq(
+        Row(31L, "aaaaaaaa shared rare passage zzzzzzzz"),
+        Row(32L, "qqqqqqqq shared rare passage vvvvvvvv")))
+    // 27 docs · 30% ppm → cap 8 < 25: boilerplate dropped, the rare
+    // overlap (df 2 ≤ 8) survives
+    val capped = Dedup.winnowOverlapPairs(d, w = 4, minShared = 1, maxDfPpm = 300000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((31L, 32L)))
+    // cap at 100%: the 25 identical docs pair completely too
+    assert(Dedup.winnowOverlapPairs(d, w = 4, minShared = 1, maxDfPpm = 1000000)
+      .count() == 25L * 24 / 2 + 1)
+  }
 }

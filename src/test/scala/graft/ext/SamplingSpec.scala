@@ -282,6 +282,32 @@ class SamplingSpec extends SparkSpec {
     assert(out == Map(1L -> 2000000L, 2L -> 0L))
   }
 
+  test("temperatureSample: sqrt-share targets upweight the tail; exact ppm arithmetic") {
+    import org.apache.spark.sql.Row
+    // stratum A: 100 docs, B: 25 → roots 10, 5 (Σ 15); budget 60 →
+    // targets 60·10/15 = 40, 60·5/15 = 20 → keep_ppm A = 400000,
+    // B = 800000: the small stratum keeps DOUBLE the fraction
+    val d = df("doc_id BIGINT, lang STRING",
+      (0L until 100L).map(i => Row(i, "A")) ++ (100L until 125L).map(i => Row(i, "B")))
+    val out = Sampling.temperatureSample(d, budget = 60)
+    val ppm = out.select("lang", "keep_ppm").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ppm == Map("A" -> 400000L, "B" -> 800000L))
+    // kept flag is the member-390 hash draw — deterministic and
+    // repartition-invariant
+    val kept = out.filter(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val again = Sampling.temperatureSample(d.repartition(7), budget = 60)
+      .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == again && kept.nonEmpty)
+    // non-square stratum sizes hit the isqrt correction path: 99 → 9
+    val d2 = df("doc_id BIGINT, lang STRING",
+      (0L until 99L).map(i => Row(i, "C")))
+    val p2 = Sampling.temperatureSample(d2, budget = 33)
+      .select("keep_ppm").distinct().collect().map(_.getLong(0)).toSeq
+    assert(p2 == Seq(333333L)) // target 33·9/9 = 33 → 33·10⁶ div 99
+  }
+
   test("dsirScores: mixed doc floor-means its tokens' bucket weights; repartition-invariant") {
     import org.apache.spark.sql.Row
     val d = df("doc_id BIGINT, text STRING, lang STRING", Seq(
