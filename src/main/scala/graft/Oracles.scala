@@ -2789,6 +2789,57 @@ object Oracles {
        |  FROM padist) WHERE "rank" <= $k""".stripMargin
   }
 
+  /** q181 oracle: IVF-PQ — the q99 coarse chain (full-dim, prefix `km`)
+    * gates candidates to each query's nProbe nearest cells, distances
+    * reconstructed from the q106 PQ chains' codes (ADC). All-integer.
+    */
+  def ivfPqTopK(queryMod: Int, k: Int, nProbe: Int = 3, subspaces: Int = 4,
+                iterations: Int = 2): String = {
+    val sub = 64 / subspaces
+    val chains = (0 until subspaces).map(s =>
+      kmeansCtes(0, iterations, sub, s * sub + 1, s"pq$s"))
+    val codes = (0 until subspaces)
+      .map(s => s"SELECT vec_id AS neighbor_id, $s AS s, cid AS code FROM pq${s}a$iterations")
+      .mkString(" UNION ALL ")
+    val cents = (0 until subspaces)
+      .map(s => s"SELECT $s AS s, cid, cv FROM pq${s}c$iterations")
+      .mkString(" UNION ALL ")
+    val qs = (0 until subspaces)
+      .map(s => s"SELECT vec_id AS query_id, $s AS s, v AS qv FROM pq${s}q WHERE vec_id % $queryMod = 0")
+      .mkString(" UNION ALL ")
+    s"""WITH ${kmeansCtes(0, iterations)},
+       |${chains.mkString(",\n")},
+       |pcodes AS ($codes),
+       |pcell AS (SELECT vec_id AS neighbor_id, cid AS cell FROM kma$iterations),
+       |pcents AS ($cents),
+       |pqq AS ($qs),
+       |cprobe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cid AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${l2sqSql("q.v", "c.cv", 64)}, c.cid) AS rn
+       |    FROM (SELECT vec_id, v FROM kmq WHERE vec_id % $queryMod = 0) q,
+       |      kmc$iterations c) t
+       |  WHERE rn <= $nProbe),
+       |pdist AS (
+       |  SELECT query_id, s, cid, ${l2sqSql("qv", "cv", sub)} AS d
+       |  FROM pqq JOIN pcents USING (s)),
+       |cand AS (
+       |  SELECT p.query_id, pc.neighbor_id
+       |  FROM cprobe p JOIN pcell pc USING (cell)
+       |  WHERE p.query_id <> pc.neighbor_id),
+       |padist AS (
+       |  SELECT c.query_id, c.neighbor_id, CAST(SUM(d.d) AS BIGINT) AS adist
+       |  FROM cand c
+       |  JOIN pcodes n ON n.neighbor_id = c.neighbor_id
+       |  JOIN pdist d ON d.query_id = c.query_id AND d.s = n.s AND d.cid = n.code
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, adist, "rank" FROM (
+       |  SELECT query_id, neighbor_id, adist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INTEGER) AS "rank"
+       |  FROM padist) WHERE "rank" <= $k""".stripMargin
+  }
+
   /** q91 oracle: SCD2 validity intervals — consecutive-duplicate collapse
     * via lag, interval ends via lead over the change rows, (ts, event_id)
     * total order at every step.

@@ -1563,7 +1563,16 @@ object SparkEntry {
     "q180_winnow_overlap" -> ((s, d) =>
       graft.ext.Dedup.winnowOverlapPairs(
         Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
-        w = 4, minShared = 2, maxDfPpm = 100000))
+        w = 4, minShared = 2, maxDfPpm = 100000)),
+
+    // the composed FAISS index shape: IVF coarse cells gate candidates,
+    // PQ codes reconstruct their distances (ADC) — raw vectors touched at
+    // train/encode only; q27 (IVF-exact) and q106 (PQ-flat) are the arms
+    "q181_ivfpq_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.ext.Clustering.ivfPqTopK(emb.filter(col("vec_id") % 50 === 0), emb,
+        k = 5, nProbe = 3, subspaces = 4, iterations = 2)
+    }
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -1787,6 +1796,7 @@ object SparkEntry {
       3600L * 1000000),
     "q178_kcenter_coreset" -> Oracles.kCenterGreedy(8),
     "q179_temperature_sample" -> Oracles.temperatureSample(2000),
-    "q180_winnow_overlap" -> Oracles.winnowOverlap(4, 2, 100000, 10)
+    "q180_winnow_overlap" -> Oracles.winnowOverlap(4, 2, 100000, 10),
+    "q181_ivfpq_topk" -> Oracles.ivfPqTopK(50, 5, 3, 4, 2)
   )
 }

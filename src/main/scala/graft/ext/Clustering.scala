@@ -324,6 +324,97 @@ object Clustering {
         (col("rn") <= greatest(lit(1L), expr(s"($keepPpm * n) div 1000000"))).as("kept"))
   }
 
+  /** IVF-PQ ANN — the composed inverted-file + product-quantization index
+    * (Jégou et al. 2011, the FAISS IVFPQ shape; public paper): the coarse
+    * k-means quantizer (the q99/q27 substrate) prunes each query's
+    * candidates to its `nProbe` nearest cells, and candidate distances
+    * are reconstructed from the PQ codes via ADC (the q106 table) — the
+    * raw vectors are read at TRAIN/ENCODE time only. Codebooks encode the
+    * raw subvector slices; encoding the residual (vector − cell centroid)
+    * is the refinement FAISS adds, traded here for cell-independent codes
+    * that both engines replay from the shared codebook chains.
+    *
+    * Scale: after encode the corpus ships as one coarse cell id +
+    * `subspaces` codes per vector (the 100 TB memory story); a query
+    * touches nProbe cells' code lists through one cell-keyed equi-join,
+    * the codeword distance table is queries×k_pq·subspaces rows broadcast,
+    * and the ADC sum partial-aggregates per (query, candidate). Training
+    * is the [[kmeansTrain]] driver loop, subspaces + 1 times.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int = 3,
+                subspaces: Int = 4, iterations: Int = 2,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = 64
+    require(subspaces > 0 && dim % subspaces == 0,
+      s"subspaces must divide $dim: $subspaces")
+    val sub = dim / subspaces
+    val spark = corpus.sparkSession
+    def centTable(rows: Seq[org.apache.spark.sql.Row],
+                  fields: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.toList.asJava,
+        org.apache.spark.sql.types.StructType(fields))
+    }
+    val arrT = org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+    // coarse quantizer over the full vectors
+    val (coarse, coarseCents) = kmeansTrain(corpus, 0, iterations, idCol, vecCol)
+    val coarseCentDf = centTable(
+      coarseCents.map { case (cid, cv) => org.apache.spark.sql.Row(cid, cv) },
+      Seq(org.apache.spark.sql.types.StructField("cid", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cv", arrT)))
+
+    // PQ codebooks per subspace slice (the q106 training)
+    val parts = (0 until subspaces).map { s =>
+      val sliced = corpus.select(col(idCol).cast(LongType).as("vec_id"),
+        slice(col(vecCol), s * sub + 1, sub).as("embedding"))
+      val (assign, cent) = kmeansTrain(sliced, 0, iterations)
+      (s, assign, cent)
+    }
+    val codes = parts.map { case (s, a, _) =>
+      a.select(col("vec_id").as("neighbor_id"), lit(s).as("cs"), col("cluster").as("code"))
+    }.reduce(_ union _)
+      .join(coarse.select(col("vec_id").as("neighbor_id"), col("cluster").as("cell")),
+        "neighbor_id")
+    val centDf = centTable(
+      parts.flatMap { case (s, _, cs) =>
+        cs.map { case (cid, cv) => org.apache.spark.sql.Row(s, cid, cv) }
+      },
+      Seq(org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cid", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cv", arrT)))
+
+    // each query probes its nProbe nearest coarse cells (integer L2²,
+    // ties → lower cell id — the oracle's (dist, cid) row_number order)
+    val qq = queries.select(col(idCol).cast(LongType).as("query_id"),
+      quantize(col(vecCol)).as("qv"))
+    val pw = Window.partitionBy("query_id").orderBy(col("d"), col("cid"))
+    val probes = qq.crossJoin(broadcast(coarseCentDf))
+      .select(col("query_id"), col("cid"), l2sq(col("qv"), col("cv")).as("d"))
+      .withColumn("rn", row_number().over(pw)).filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cid").as("cell"))
+
+    // ADC table: query → every codeword, per subspace
+    val qLong = (0 until subspaces).map { s =>
+      queries.select(col(idCol).cast(LongType).as("qid"), lit(s).as("s"),
+        quantize(slice(col(vecCol), s * sub + 1, sub)).as("qv"))
+    }.reduce(_ union _)
+    val qdist = qLong.join(broadcast(centDf), Seq("s"))
+      .select(col("qid"), col("s"), col("cid"), l2sq(col("qv"), col("cv")).as("d"))
+
+    val cand = codes.join(probes, "cell")
+    val adist = cand
+      .join(qdist, cand("cs") === qdist("s") && cand("code") === qdist("cid") &&
+        cand("query_id") === qdist("qid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id").agg(sum("d").as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    adist.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
+  }
+
   /** k-center greedy coreset selection (farthest-point traversal —
     * Gonzalez 1985's 2-approximation; the active-learning core-set
     * selector of Sener & Savarese 2018, arXiv:1708.00489, public paper):

@@ -154,6 +154,30 @@ class ClusteringSpec extends SparkSpec {
     assert(out == Map(0L -> true, 1L -> false, 2L -> true, 4L -> true, 5L -> false))
   }
 
+  test("ivfPqTopK: probing every cell degenerates to PQ-flat (the q106 arm)") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    assertSameRows(
+      Clustering.ivfPqTopK(q, emb, k = 5, nProbe = 1000000),
+      Clustering.pqTopK(q, emb, k = 5))
+  }
+
+  test("ivfPqTopK: nProbe=1 confines candidates to the query's own cell") {
+    import org.apache.spark.sql.functions.col
+    // two orthogonal 64-dim groups; adaptive seeding (m=4 for n=6) puts
+    // one seed in each (ids 0 and 4)
+    def v(hot: Int, mag: Double) =
+      Seq.tabulate(64)(i => if (i == hot) mag else 0.0)
+    val d = vecs(
+      0L -> v(0, 1.0), 1L -> v(0, 0.9), 2L -> v(0, 0.8),
+      4L -> v(32, 1.0), 5L -> v(32, 0.9), 6L -> v(32, 0.8))
+    val out = Clustering.ivfPqTopK(d.filter(col("vec_id") === 0), d,
+      k = 5, nProbe = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(out.nonEmpty && out.subsetOf(Set(1L, 2L)))
+  }
+
   test("kCenterGreedy: farthest-point order with exact integer radii") {
     // 1-D layout (padded to 2 dims): 0, 10, 5, 0.001(dim2), 20
     val d = vecs(
