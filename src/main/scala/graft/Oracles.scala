@@ -1490,6 +1490,29 @@ object Oracles {
        |  AND (m - 1) * (m * n_events - s) * (m * n_events - s)
        |      > ${z.toLong * z} * m * (m * q - s * s)""".stripMargin
 
+  /** Mirrors TimeSeries.seasonalAnomalies: the q73 gap-fill, hour-of-week
+    * slot `(epoch_hour mod 168)`, the same cross-multiplied z-test over
+    * all prior same-slot rows.
+    */
+  def seasonalAnomalies(minPrior: Int, z: Int): String =
+    s"""WITH g AS (SELECT * FROM ($eventsGapFill) t),
+       |w AS (
+       |  SELECT event_type, hour, n_events,
+       |    CAST((epoch(hour) // 3600) % 168 AS BIGINT) AS how,
+       |    COUNT(*) OVER ww AS m,
+       |    SUM(n_events) OVER ww AS s,
+       |    SUM(n_events * n_events) OVER ww AS q
+       |  FROM g
+       |  WINDOW ww AS (PARTITION BY event_type, (epoch(hour) // 3600) % 168
+       |                ORDER BY hour
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, hour, n_events, how, CAST(m AS BIGINT) AS slot_n,
+       |  CASE WHEN m * n_events - s < 0 THEN 'dip' ELSE 'spike' END AS direction
+       |FROM w
+       |WHERE m >= $minPrior
+       |  AND (m - 1) * (m * n_events - s) * (m * n_events - s)
+       |      > ${z.toLong * z} * m * (m * q - s * s)""".stripMargin
+
   /** Mirrors TimeSeries.ewmaHourly: the q73 gap-fill derivation, then the
     * truncated-renormalized EWMA as the SAME finite integer-weighted lag
     * sum — one double division of identical integers at the boundary.

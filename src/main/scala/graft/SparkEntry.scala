@@ -1565,6 +1565,13 @@ object SparkEntry {
         Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
         w = 4, minShared = 2, maxDfPpm = 100000)),
 
+    // seasonal (hour-of-week) rate anomalies — the weekly-rhythm
+    // complement to q137's trailing window; same integer z-test, baseline
+    // = prior same-slot hours on the gap-filled grid
+    "q182_seasonal_anomaly" -> ((s, d) =>
+      graft.ext.TimeSeries.seasonalAnomalies(Tables.events(s, d),
+        minPrior = 3, z = 3)),
+
     // the composed FAISS index shape: IVF coarse cells gate candidates,
     // PQ codes reconstruct their distances (ADC) — raw vectors touched at
     // train/encode only; q27 (IVF-exact) and q106 (PQ-flat) are the arms
@@ -1797,6 +1804,7 @@ object SparkEntry {
     "q178_kcenter_coreset" -> Oracles.kCenterGreedy(8),
     "q179_temperature_sample" -> Oracles.temperatureSample(2000),
     "q180_winnow_overlap" -> Oracles.winnowOverlap(4, 2, 100000, 10),
-    "q181_ivfpq_topk" -> Oracles.ivfPqTopK(50, 5, 3, 4, 2)
+    "q181_ivfpq_topk" -> Oracles.ivfPqTopK(50, 5, 3, 4, 2),
+    "q182_seasonal_anomaly" -> Oracles.seasonalAnomalies(3, 3)
   )
 }

@@ -225,6 +225,43 @@ object TimeSeries {
     * the ALREADY-AGGREGATED grid — O(keys × hours) rows, partitioned by
     * key, so the window never sees fact rows and never single-threads.
     */
+  /** Seasonal-profile rate anomalies: each hour is judged against the
+    * SAME hour-of-week slot in prior weeks — the weekly-rhythm complement
+    * to [[rateAnomalies]]' trailing window, which flags every Monday
+    * ramp-up on a weekday-quiet stream as a spike because its baseline is
+    * the quiet weekend. Identical cross-multiplied integer z-test, same
+    * gap-filled grid (a silent slot is a 0 sample, so a stream dying on a
+    * normally-busy hour flags as dip); the slot is
+    * `(epoch_hour mod 168)` — the alignment constant is irrelevant, only
+    * slot CONSISTENCY matters. Hours with fewer than `minPrior` prior
+    * same-slot samples (≈ weeks of history) are not judged.
+    *
+    * Scale: one window over the keys×hours grid partitioned by
+    * (key, slot) — aggregates, never facts; the fact table is touched
+    * only by [[gapFillHourly]]'s two scan-aggregates.
+    */
+  def seasonalAnomalies(events: DataFrame, tsCol: String = "ts",
+                        keyCol: String = "event_type",
+                        minPrior: Int = 3, z: Int = 3): DataFrame = {
+    val how = pmod(expr("unix_micros(hour) div 3600000000"), lit(168L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("how")).orderBy("hour")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val x = col("n_events")
+    val dev = col("m") * x - col("s")
+    gapFillHourly(events, tsCol, keyCol)
+      .withColumn("how", how)
+      .withColumn("m", count(x).over(w))
+      .withColumn("s", sum(x).over(w))
+      .withColumn("q", sum(x * x).over(w))
+      .filter(col("m") >= minPrior)
+      .filter((col("m") - 1) * dev * dev >
+        lit(z.toLong * z) * col("m") * (col("m") * col("q") - col("s") * col("s")))
+      .select(col(keyCol), col("hour"), x, col("how"),
+        col("m").as("slot_n"),
+        when(dev < 0, lit("dip")).otherwise(lit("spike")).as("direction"))
+  }
+
   def forwardFillHourly(events: DataFrame, tsCol: String = "ts",
                         keyCol: String = "event_type",
                         valueCol: String = "value"): DataFrame = {

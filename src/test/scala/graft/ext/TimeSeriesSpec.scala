@@ -162,4 +162,24 @@ class TimeSeriesSpec extends SparkSpec {
       Seq("b", "2024-01-01 01:00:00.0", "0", "0.333333"),
       Seq("b", "2024-01-01 02:00:00.0", "0", "0.0")))
   }
+
+  test("seasonalAnomalies: same-slot baseline flags break, not the weekly rhythm itself") {
+    // four Mondays; slot 09:00 dies in week 4 (dip), slot 11:00 spikes
+    // 5→50 in week 4, slot 10:00 runs 50 EVERY week — the recurring
+    // weekly spike a trailing-window detector would flag, invisible to
+    // the same-slot baseline
+    val mondays = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22")
+    def rowsAt(day: String, hour: String, n: Int) =
+      (0 until n).map(_ => Row("s", ts(s"$day $hour:30:00")))
+    val ev = df("event_type STRING, ts TIMESTAMP",
+      mondays.take(3).flatMap(d => rowsAt(d, "09", 5)) ++
+        mondays.flatMap(d => rowsAt(d, "10", 50)) ++
+        (mondays.take(3).flatMap(d => rowsAt(d, "11", 5)) ++
+          rowsAt(mondays.last, "11", 50)))
+    val out = TimeSeries.seasonalAnomalies(ev, minPrior = 3, z = 3).collect()
+      .map(r => (r.getTimestamp(1).toString, r.getLong(2), r.getString(5)))
+    assert(out.toSet == Set(
+      ("2024-01-22 09:00:00.0", 0L, "dip"),
+      ("2024-01-22 11:00:00.0", 50L, "spike")))
+  }
 }
