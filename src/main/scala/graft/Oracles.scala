@@ -1490,6 +1490,22 @@ object Oracles {
        |  AND (m - 1) * (m * n_events - s) * (m * n_events - s)
        |      > ${z.toLong * z} * m * (m * q - s * s)""".stripMargin
 
+  /** Mirrors Funnel.rollingActiveUsers: user-day dedup, the same
+    * windowDays contribution fan-out, (day, user) distinct count, max-day
+    * clamp.
+    */
+  def rollingActiveUsers(windowDays: Int): String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+       |mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+       |fan AS (
+       |  SELECT u, day + CAST(i AS INTEGER) AS wday
+       |  FROM ud, unnest(generate_series(0, ${windowDays - 1})) t(i))
+       |SELECT wday AS day, CAST(COUNT(DISTINCT u) AS BIGINT) AS active_users
+       |FROM fan, mx
+       |WHERE wday <= max_day
+       |GROUP BY 1""".stripMargin
+
   /** Mirrors TimeSeries.seasonalAnomalies: the q73 gap-fill, hour-of-week
     * slot `(epoch_hour mod 168)`, the same cross-multiplied z-test over
     * all prior same-slot rows.

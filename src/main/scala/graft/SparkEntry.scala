@@ -1565,6 +1565,12 @@ object SparkEntry {
         Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
         w = 4, minShared = 2, maxDfPpm = 100000)),
 
+    // exact rolling 7-day active users (WAU series): bounded contribution
+    // fan-out turns the windowed distinct into a plain dedup+count —
+    // exact where the KMV/HLL register path estimates
+    "q183_rolling_wau" -> ((s, d) =>
+      graft.ext.Funnel.rollingActiveUsers(Tables.events(s, d), windowDays = 7)),
+
     // seasonal (hour-of-week) rate anomalies — the weekly-rhythm
     // complement to q137's trailing window; same integer z-test, baseline
     // = prior same-slot hours on the gap-filled grid
@@ -1805,6 +1811,7 @@ object SparkEntry {
     "q179_temperature_sample" -> Oracles.temperatureSample(2000),
     "q180_winnow_overlap" -> Oracles.winnowOverlap(4, 2, 100000, 10),
     "q181_ivfpq_topk" -> Oracles.ivfPqTopK(50, 5, 3, 4, 2),
-    "q182_seasonal_anomaly" -> Oracles.seasonalAnomalies(3, 3)
+    "q182_seasonal_anomaly" -> Oracles.seasonalAnomalies(3, 3),
+    "q183_rolling_wau" -> Oracles.rollingActiveUsers(7)
   )
 }

@@ -484,6 +484,40 @@ object Funnel {
     * come from the one first-day row each user already carries
     * (day == cohort_day), broadcast back onto the matrix.
     */
+  /** EXACT rolling active users: for every day in the stream's span, the
+    * count of distinct users active in the trailing `windowDays` window
+    * ([d − windowDays + 1, d]) — the WAU/MAU dashboard series. Exact
+    * where the sketch path ([[graft.ext.Sketch]] KMV/HLL registers)
+    * estimates: a COUNT-DISTINCT-over-sliding-window has no partial
+    * aggregate, so the trick is the bounded CONTRIBUTION fan-out — each
+    * (user, active day) row contributes to exactly `windowDays` window
+    * days, turning the windowed distinct into a plain (day, user) dedup +
+    * count. Days inside the span with no active window are absent (the
+    * consumer's gap-fill concern, as with q73).
+    *
+    * Scale: one user-day dedup (corpus exchange), a ×windowDays narrow
+    * fan-out, then one (day, user) dedup+count whose map-side combine
+    * collapses the fan-out before the wire. At 365-day windows prefer the
+    * KMV register path — the fan-out trades at windowDays ≈ sketch error
+    * tolerance.
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7,
+                         tsCol: String = "ts",
+                         userCol: String = "user_id"): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val userDays = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .dropDuplicates("u", "day")
+    val maxDay = events.agg(to_date(max(col(tsCol))).as("__max_day"))
+    userDays
+      .select(col("u"), explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1))).as("wday"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("wday") <= col("__max_day"))
+      .groupBy(col("wday").as("day"))
+      .agg(count_distinct(col("u")).as("active_users"))
+  }
+
   def retentionCohorts(events: DataFrame, tsCol: String = "ts",
                        userCol: String = "user_id"): DataFrame = {
     val perUser = org.apache.spark.sql.expressions.Window.partitionBy(col(userCol))

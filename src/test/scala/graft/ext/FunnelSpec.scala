@@ -288,6 +288,23 @@ class FunnelSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("view", "click"))
   }
 
+  test("rollingActiveUsers: exact trailing-window distinct via contribution fan-out") {
+    val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP", Seq(
+      Row(1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      Row(1L, 2L, "click", ts("2024-01-01 12:00:00")), // same user+day dedups
+      Row(2L, 3L, "view", ts("2024-01-01 23:59:59")),
+      Row(1L, 4L, "view", ts("2024-01-05 00:00:00")),
+      Row(3L, 5L, "view", ts("2024-01-10 08:00:00"))))
+    val out = Funnel.rollingActiveUsers(ev, windowDays = 3).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(out == Map(
+      "2024-01-01" -> 2L, "2024-01-02" -> 2L, "2024-01-03" -> 2L, // u1+u2
+      "2024-01-05" -> 1L, "2024-01-06" -> 1L, "2024-01-07" -> 1L, // u1
+      "2024-01-10" -> 1L)) // u3; days 11-12 clamped past the stream end
+    // no-activity windows (jan 4, 8, 9) are absent, not zero
+    assert(!out.contains("2024-01-04") && !out.contains("2024-01-08"))
+  }
+
   test("matchPattern: horizon, negation, pre-start blockers, first-following-end") {
     val hourUs = 3600L * 1000000
     val ev = df("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP",
