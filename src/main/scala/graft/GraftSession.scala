@@ -57,6 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.BottomKDistinct].getName,
         functions.BottomKFunctions.Name),
       functions.BottomKFunctions.build))
+    ext.injectFunction((
+      FunctionIdentifier(functions.NormalizeFunctions.Name),
+      new ExpressionInfo(classOf[functions.CleanText].getName,
+        functions.NormalizeFunctions.Name),
+      (args: Seq[Expression]) => functions.CleanText(args(0))))
     // HOF dot-product pattern → fused native loop (pure perf rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     // whole-operator as-of join: AsOfJoinPlan → AsOfJoinExec

@@ -1490,6 +1490,26 @@ object Oracles {
        |  AND (m - 1) * (m * n_events - s) * (m * n_events - s)
        |      > ${z.toLong * z} * m * (m * q - s * s)""".stripMargin
 
+  /** Mirrors the q184 planting + TextAnalysis.normalizeText: the same
+    * doc_id-keyed messy prefix (decomposed é, C0/DEL, whitespace runs),
+    * then `nfc_normalize` (UAX #15, as Java's Normalizer) → control strip
+    * → whitespace squash → trim, with the exact character classes the
+    * native expression implements.
+    */
+  val textNormalize: String = {
+    val cleaned = "trim(regexp_replace(regexp_replace(nfc_normalize(text), " +
+      "'[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g'))"
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'Cafe' || chr(101) || chr(769) || '  ' || chr(1)
+       |         WHEN doc_id % 3 = 1 THEN chr(9) || 'na' || chr(239) || 've' || chr(127) || ' '
+       |         ELSE '' END || text AS text
+       |  FROM documents),
+       |c AS (SELECT doc_id, $cleaned AS clean_text FROM p)
+       |SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS n_chars
+       |FROM c""".stripMargin
+  }
+
   /** Mirrors Funnel.rollingActiveUsers: user-day dedup, the same
     * windowDays contribution fan-out, (day, user) distinct count, max-day
     * clamp.

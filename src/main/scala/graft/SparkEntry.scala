@@ -1565,6 +1565,20 @@ object SparkEntry {
         Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
         w = 4, minShared = 2, maxDfPpm = 100000)),
 
+    // Unicode ingestion normalization (native graft_clean_text): the
+    // ASCII corpus gets a planted messy-web prefix (decomposed é, control
+    // chars, whitespace runs — keyed by doc_id, identically in the
+    // oracle) and the NORMALIZATION is verified, the q97 planting pattern
+    "q184_text_normalize" -> { (s, d) =>
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0, lit("Cafe\u0065\u0301  \u0001"))
+            .when(col("doc_id") % 3 === 1, lit("\tna\u00EFve\u007F "))
+            .otherwise(lit("")),
+          col("text")).as("text"))
+      graft.ext.TextAnalysis.normalizeText(planted)
+    },
+
     // exact rolling 7-day active users (WAU series): bounded contribution
     // fan-out turns the windowed distinct into a plain dedup+count —
     // exact where the KMV/HLL register path estimates
@@ -1812,6 +1826,7 @@ object SparkEntry {
     "q180_winnow_overlap" -> Oracles.winnowOverlap(4, 2, 100000, 10),
     "q181_ivfpq_topk" -> Oracles.ivfPqTopK(50, 5, 3, 4, 2),
     "q182_seasonal_anomaly" -> Oracles.seasonalAnomalies(3, 3),
-    "q183_rolling_wau" -> Oracles.rollingActiveUsers(7)
+    "q183_rolling_wau" -> Oracles.rollingActiveUsers(7),
+    "q184_text_normalize" -> Oracles.textNormalize
   )
 }

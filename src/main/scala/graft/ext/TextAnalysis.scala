@@ -47,6 +47,20 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit(NumberPattern), lit(0)))
         .cast("long").as("n_numbers"))
 
+  /** Unicode ingestion normalization: NFC composition + C0/DEL control
+    * strip + ASCII-whitespace-run squash + trim, via the native
+    * `graft_clean_text` expression ([[graft.functions.CleanText]] — Spark
+    * has NO built-in NFC, and a UDF would leave whole-stage codegen). The
+    * canonical first pass of a crawl pipeline: dedup/shingling must see
+    * `é` and `e`+U+0301 as one form. Zero shuffle, linear in corpus
+    * bytes.
+    */
+  def normalizeText(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.NormalizeFunctions.cleanText(col(textCol)).as("clean_text"))
+      .withColumn("n_chars", length(col("clean_text")).cast("long"))
+
   /** Gopher-style word-level repetition signals, one narrow pass per
     * document via the native `graft_repetition` expression
     * ([[graft.functions.RepetitionStats]]): most-frequent word / bigram /

@@ -212,4 +212,23 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)))
     assert(top.toSeq == Seq(("a", "b")))
   }
+
+  test("normalizeText: NFC composition, control strip, whitespace squash, trim, null") {
+    import org.apache.spark.sql.Row
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "Cafee\u0301  \u0001x"), // decomposed é, ws run, C0 ctrl
+      Row(2L, "\t a\u000Bb \u007F c \r\n"), // VT is whitespace, DEL stripped
+      Row(3L, ""), Row(4L, null)))
+    val out = TextAnalysis.normalizeText(d).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), Option(r.get(2)))).toMap
+    assert(out(1L) == ((Some("Cafeé x"), Some(7L)))) // é is ONE char
+    assert(out(2L) == ((Some("a b c"), Some(5L))))
+    assert(out(3L) == ((Some(""), Some(0L))))
+    assert(out(4L) == ((None, None)))
+    // idempotent: a second pass changes nothing
+    val once = TextAnalysis.normalizeText(d.filter(col("doc_id") < 3))
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val twice = TextAnalysis.normalizeText(once)
+    assertSameRows(TextAnalysis.normalizeText(d.filter(col("doc_id") < 3)), twice)
+  }
 }
