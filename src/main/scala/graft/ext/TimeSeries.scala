@@ -182,12 +182,19 @@ object TimeSeries {
     * two cannot drift: same cross-multiplied integers, same flag.
     */
   private[graft] def zFlag(prior: Seq[Long], x: Long, minPrior: Int,
-                           z: Int): Option[String] = {
-    val m = prior.size.toLong
+                           z: Int): Option[String] =
+    zFlagMoments(prior.size.toLong, prior.sum, prior.map(v => v * v).sum,
+      x, minPrior, z)
+
+  /** The cross-multiplied z-test from running moments (m = samples,
+    * s = Σx, q = Σx²) — the O(1)-state form the streaming seasonal
+    * detector keeps per slot; [[zFlag]] reduces its sample list to the
+    * same three numbers, so the two callers cannot drift.
+    */
+  private[graft] def zFlagMoments(m: Long, s: Long, q: Long, x: Long,
+                                  minPrior: Int, z: Int): Option[String] = {
     if (m < minPrior) None
     else {
-      val s = prior.sum
-      val q = prior.map(v => v * v).sum
       val dev = m * x - s
       if ((m - 1) * dev * dev > z.toLong * z * m * (m * q - s * s))
         Some(if (dev < 0) "dip" else "spike")

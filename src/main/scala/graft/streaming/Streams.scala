@@ -444,6 +444,75 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  final case class SlotMoments(m: Long, s: Long, q: Long)
+  final case class SeasonalState(openHour: Long, openCount: Long,
+                                 slots: Map[Long, SlotMoments])
+
+  /** Streaming seasonal (hour-of-week) rate anomalies — the incremental
+    * twin of [[graft.ext.TimeSeries.seasonalAnomalies]]: each hour is
+    * judged AS IT CLOSES against the running moments (m, Σx, Σx²) of its
+    * own hour-of-week slot, then folded into them — the same
+    * cross-multiplied integer z-test
+    * ([[graft.ext.TimeSeries.zFlagMoments]] — one function, both
+    * callers). Skipped hours close as zeros on the way forward (the
+    * batch gap-fill), late rows for closed hours are dropped (the manual
+    * watermark, as in [[rateAnomalyState]]).
+    *
+    * Scale: state per key is one open (hour, count) plus ≤ 168 slot
+    * moment triples — CONSTANT forever, unlike a sample-list history
+    * (the whole point of the moments form: the batch window re-reads all
+    * prior same-slot rows; the stream carries three longs per slot).
+    */
+  def seasonalAnomalyState(events: Dataset[RateEvent], minPrior: Int = 3,
+                           z: Int = 3)(
+      implicit spark: SparkSession): Dataset[RateAnomaly] = {
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[SeasonalState, RateAnomaly](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        seasonalStep(minPrior, z))
+  }
+
+  /** The [[seasonalAnomalyState]] transition, named for TestGroupState
+    * unit testing (the [[rateStep]] pattern).
+    */
+  private[streaming] def seasonalStep(minPrior: Int, z: Int)(
+      key: String, rows: Iterator[RateEvent],
+      state: GroupState[SeasonalState]): Iterator[RateAnomaly] = {
+    val byHour = scala.collection.mutable.TreeMap.empty[Long, Long]
+    rows.foreach { e =>
+      val h = e.ts.getTime / 3600000L
+      byHour(h) = byHour.getOrElse(h, 0L) + 1L
+    }
+    if (byHour.isEmpty) Iterator.empty
+    else {
+      var st = state.getOption.getOrElse(
+        SeasonalState(byHour.firstKey, 0L, Map.empty))
+      val out = scala.collection.mutable.ArrayBuffer.empty[RateAnomaly]
+      def close(): Unit = {
+        val slot = ((st.openHour % 168) + 168) % 168
+        val mo = st.slots.getOrElse(slot, SlotMoments(0L, 0L, 0L))
+        graft.ext.TimeSeries
+          .zFlagMoments(mo.m, mo.s, mo.q, st.openCount, minPrior, z)
+          .foreach { dir =>
+            out += RateAnomaly(key, new Timestamp(st.openHour * 3600000L),
+              st.openCount, mo.m, dir)
+          }
+        st = SeasonalState(st.openHour + 1, 0L,
+          st.slots.updated(slot, SlotMoments(mo.m + 1,
+            mo.s + st.openCount, mo.q + st.openCount * st.openCount)))
+      }
+      byHour.foreach { case (h, n) =>
+        if (h >= st.openHour) {
+          while (st.openHour < h) close()
+          st = st.copy(openCount = st.openCount + n)
+        }
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
   final case class PatternEvent(user_id: Long, event_id: Long,
                                 event_type: String, t_us: Long)
   final case class PatternMatchRow(user_id: Long, start_event_id: Long,

@@ -518,6 +518,45 @@ class StreamsSpec extends SparkSpec {
     assert(state.get == out)
   }
 
+  test("seasonalAnomalyState: streamed flags across batches ≡ batch seasonalAnomalies") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    implicit val sqlCtx = spark.sqlContext
+    // the q182 batch-spec scenario: slot 09:00 dies in week 4, slot 11:00
+    // spikes 5→50, slot 10:00 runs 50 every week (must stay silent); a
+    // 12:30 flush event closes the 11:00 hour
+    val mondays = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22")
+    def evs(day: String, hour: String, n: Int) =
+      (0 until n).map(_ => Streams.RateEvent("s", ts(s"$day $hour:30:00")))
+    val all =
+      mondays.take(3).flatMap(d => evs(d, "09", 5)) ++
+        mondays.flatMap(d => evs(d, "10", 50)) ++
+        mondays.take(3).flatMap(d => evs(d, "11", 5)) ++
+        evs(mondays.last, "11", 50) ++ evs(mondays.last, "12", 1)
+    val (batch1, batch2) = all.sortBy(_.ts.getTime).splitAt(all.size / 2)
+    val mem = MemoryStream[Streams.RateEvent]
+    val q = Streams.seasonalAnomalyState(mem.toDS(), minPrior = 3, z = 3)
+      .writeStream.format("memory").queryName("seasonal")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("seasonal").collect()
+        .map(r => (r.getTimestamp(1).toString, r.getLong(2), r.getString(4))).toSet
+      val batchDf = all.zipWithIndex
+        .map { case (e, i) => (i.toLong, e.ts, 0L, e.event_type, 0.0) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val expect = graft.ext.TimeSeries
+        .seasonalAnomalies(batchDf, minPrior = 3, z = 3)
+        .filter(col("hour") < lit(ts("2024-01-22 12:00:00"))) // flush hour still open
+        .collect().map(r => (r.getTimestamp(1).toString, r.getLong(2), r.getString(5))).toSet
+      assert(streamed == expect)
+      assert(streamed == Set(
+        ("2024-01-22 09:00:00.0", 0L, "dip"),
+        ("2024-01-22 11:00:00.0", 50L, "spike")))
+    } finally q.stop()
+  }
+
   test("patternMatchState: streamed matches across batches ≡ batch matchPattern") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
