@@ -1088,6 +1088,34 @@ object Oracles {
       |SELECT c.event_id, c.user_id, c.ts, v.ts AS asof_ts, v.view_id AS asof_view_id
       |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin
 
+  /** q185 oracle: [[asofJoin]] with the staleness bound applied as a
+    * null-out CASE over the matched columns — DuckDB's native ASOF is
+    * still the independent derivation of the match itself.
+    */
+  def asofTolerance(tolUs: Long): String =
+    s"""WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, event_type FROM events),
+       |c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+       |v AS (SELECT user_id, ts, MAX(event_id) AS view_id FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+       |j AS (
+       |  SELECT c.event_id, c.user_id, c.ts, v.ts AS asof_ts, v.view_id AS asof_view_id
+       |  FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts)
+       |SELECT event_id, user_id, ts,
+       |  CASE WHEN ok THEN asof_ts END AS asof_ts,
+       |  CASE WHEN ok THEN asof_view_id END AS asof_view_id
+       |FROM (SELECT *,
+       |        asof_ts IS NOT NULL AND epoch_us(ts) - epoch_us(asof_ts) <= $tolUs AS ok
+       |      FROM j) t""".stripMargin
+
+  /** q186 oracle: the forward as-of — DuckDB's native ASOF with the
+    * inequality flipped (`v.ts >= c.ts`), the earliest-≥ match.
+    */
+  val asofForward: String =
+    """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, event_type FROM events),
+      |c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+      |v AS (SELECT user_id, ts, MAX(event_id) AS view_id FROM e WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, c.ts, v.ts AS asof_ts, v.view_id AS asof_view_id
+      |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts >= c.ts""".stripMargin
+
   /** q103 oracle: point-in-time lookup — the SCD2 change-point derivation
     * (same lag collapse as [[scd2Intervals]], restricted to non-purchase
     * events) joined to purchases with DuckDB's native ASOF LEFT JOIN, an

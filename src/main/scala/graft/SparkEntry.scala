@@ -1579,6 +1579,30 @@ object SparkEntry {
       graft.ext.TextAnalysis.normalizeText(planted)
     },
 
+    // as-of with a staleness bound (pandas merge_asof tolerance): matches
+    // older than 10 minutes null out — a projection over the same
+    // one-shuffle tag-union-scan plan
+    "q185_asof_tolerance" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+      graft.operators.AsOfJoin.asOfTolerance(clicks, views, Seq("user_id"), "ts",
+        toleranceUs = 600L * 1000000)
+    },
+
+    // forward as-of (merge_asof direction='forward'): each click enriched
+    // with the user's NEXT view at-or-after it — the mirrored scan
+    "q186_asof_forward" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+      graft.operators.AsOfJoin.asOfForward(clicks, views, Seq("user_id"), "ts")
+    },
+
     // exact rolling 7-day active users (WAU series): bounded contribution
     // fan-out turns the windowed distinct into a plain dedup+count —
     // exact where the KMV/HLL register path estimates
@@ -1827,6 +1851,8 @@ object SparkEntry {
     "q181_ivfpq_topk" -> Oracles.ivfPqTopK(50, 5, 3, 4, 2),
     "q182_seasonal_anomaly" -> Oracles.seasonalAnomalies(3, 3),
     "q183_rolling_wau" -> Oracles.rollingActiveUsers(7),
-    "q184_text_normalize" -> Oracles.textNormalize
+    "q184_text_normalize" -> Oracles.textNormalize,
+    "q185_asof_tolerance" -> Oracles.asofTolerance(600L * 1000000),
+    "q186_asof_forward" -> Oracles.asofForward
   )
 }

@@ -37,7 +37,48 @@ object AsOfJoin {
   private val reserved = Set("__t", "__lv", "__rv", "__side", "__m")
 
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
-           prefix: String = "asof_"): DataFrame = {
+           prefix: String = "asof_"): DataFrame =
+    scan(left, right, keys, tsCol, prefix, forward = false)
+
+  /** Forward as-of (pandas merge_asof `direction='forward'`): for every
+    * left row, the EARLIEST right row with `right.ts ≥ left.ts` in the key
+    * group — "the next quote/state AFTER this moment". The same
+    * tag-union-scan mirrored: the running aggregate looks from the current
+    * row forward and takes the FIRST right payload; at equal ts the left
+    * row sorts before the right, so ties match (inclusive), symmetric to
+    * [[asOf]]. Same contracts and cost shape.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  tsCol: String, prefix: String = "asof_"): DataFrame =
+    scan(left, right, keys, tsCol, prefix, forward = true)
+
+  /** [[asOf]] with a staleness bound (pandas merge_asof `tolerance`): a
+    * match more than `toleranceUs` microseconds older than the left row is
+    * nulled out — the left row survives unmatched, exactly as if no right
+    * row existed. A thin null-out projection over [[asOf]] (the matched
+    * right timestamp is already in its output), so the join plan is
+    * unchanged: same one shuffle, no extra scan.
+    */
+  def asOfTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    tsCol: String, toleranceUs: Long,
+                    prefix: String = "asof_"): DataFrame = {
+    require(toleranceUs >= 0, "toleranceUs must be non-negative")
+    val out = asOf(left, right, keys, tsCol, prefix)
+    val matchedTs = col(prefix + tsCol)
+    val stale = matchedTs.isNotNull &&
+      (unix_micros(col(tsCol)) - unix_micros(matchedTs)) > toleranceUs
+    // ONE projection: sequential withColumn calls would null the matched
+    // ts first and every later column's staleness test would then read
+    // the already-nulled value and pass
+    out.select(out.columns.map { c =>
+      if (c.startsWith(prefix))
+        when(stale, lit(null).cast(out.schema(c).dataType)).otherwise(col(c)).as(c)
+      else col(c)
+    }: _*)
+  }
+
+  private def scan(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   tsCol: String, prefix: String, forward: Boolean): DataFrame = {
     val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == tsCol)
     val clash = (left.columns ++ right.columns).filter(reserved)
     require(clash.isEmpty, s"asOf reserved column names present in input: ${clash.mkString(", ")}")
@@ -72,17 +113,28 @@ object AsOfJoin {
           payloadCols.map(c => col(c).as(prefix + c)): _*).as("__rv"),
         lit(1).as("__side")): _*)
 
-    // right sorts before left at equal ts (side desc) → inclusive match
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backward: right sorts before left at equal ts (side desc) and the
+    // running last() looks back — inclusive latest-≤ match. Forward: left
+    // sorts before right at equal ts (side asc) and a first() looks
+    // ahead — inclusive earliest-≥ match.
+    val base = Window.partitionBy(keys.map(col): _*)
+    val w =
+      if (forward)
+        base.orderBy(col("__t").asc, col("__side").asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else
+        base.orderBy(col("__t").asc, col("__side").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched =
+      if (forward) first(col("__rv"), ignoreNulls = true).over(w)
+      else last(col("__rv"), ignoreNulls = true).over(w)
 
     val outCols: Seq[Column] =
       left.columns.map(c => col(s"__lv.$c").as(c)).toSeq ++
         rvType.fieldNames.map(f => col(s"__m.$f").as(f)).toSeq
 
     lt.unionByName(rt)
-      .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__m", matched)
       .filter(col("__side") === 0)
       .select(outCols: _*)
   }

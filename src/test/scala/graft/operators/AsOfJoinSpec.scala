@@ -95,4 +95,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"unexpected join node in:\n$plan")
     assert(plan.contains("Window"), s"expected window scan in:\n$plan")
   }
+
+  test("asOfForward: earliest right row at-or-after, inclusive ties, left-outer") {
+    val (left, right) = frames
+    val out = AsOfJoin.asOfForward(left, right, Seq("user_id"), "ts")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(out == Map(
+      1L -> Some(101L), // equal-ts right row matches (inclusive)
+      2L -> None,       // 11:00 is after every right row for user 10
+      3L -> Some(100L), // next view after 09:00 is 09:30
+      4L -> None,       // user 20's only view (10:00) precedes 10:30
+      5L -> None))
+  }
+
+  test("asOfTolerance: stale matches null out, fresh and unmatched unchanged") {
+    val (left, right) = frames
+    // event 1 matches at lag 0 (fresh at any tolerance); event 2 matches
+    // 10:45 at lag 15 min — stale under a 10-minute bound
+    val out = AsOfJoin.asOfTolerance(left, right, Seq("user_id"), "ts",
+      toleranceUs = 600L * 1000000)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(out == Map(
+      1L -> Some(101L), 2L -> None, 3L -> None,
+      4L -> None, // user 20: 30-minute-old match nulled
+      5L -> None))
+    // matched ts nulls together with the payload
+    val row2 = AsOfJoin.asOfTolerance(left, right, Seq("user_id"), "ts",
+      toleranceUs = 600L * 1000000)
+      .filter(col("event_id") === 2L).collect()(0)
+    assert(row2.isNullAt(3) && row2.isNullAt(4))
+  }
 }
