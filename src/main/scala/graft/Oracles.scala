@@ -1116,6 +1116,30 @@ object Oracles {
       |SELECT c.event_id, c.user_id, c.ts, v.ts AS asof_ts, v.view_id AS asof_view_id
       |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts >= c.ts""".stripMargin
 
+  /** q187 oracle: nearest as-of — DuckDB has no native nearest direction,
+    * so the backward and forward native ASOFs compose and a CASE picks by
+    * µs lag, ties backward (pandas' rule — the operator's contract).
+    */
+  val asofNearest: String =
+    """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, event_type FROM events),
+      |c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+      |v AS (SELECT user_id, ts, MAX(event_id) AS view_id FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+      |b AS (
+      |  SELECT c.event_id, v.ts AS bts, v.view_id AS bid
+      |  FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts),
+      |f AS (
+      |  SELECT c.event_id, v.ts AS fts, v.view_id AS fid
+      |  FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts >= c.ts),
+      |j AS (
+      |  SELECT c.event_id, c.user_id, c.ts, bts, bid, fts, fid,
+      |    bts IS NOT NULL AND (fts IS NULL OR
+      |      epoch_us(c.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(c.ts)) AS pick
+      |  FROM c JOIN b USING (event_id) JOIN f USING (event_id))
+      |SELECT event_id, user_id, ts,
+      |  CASE WHEN pick THEN bts ELSE fts END AS asof_ts,
+      |  CASE WHEN pick THEN bid ELSE fid END AS asof_view_id
+      |FROM j""".stripMargin
+
   /** q103 oracle: point-in-time lookup — the SCD2 change-point derivation
     * (same lag collapse as [[scd2Intervals]], restricted to non-purchase
     * events) joined to purchases with DuckDB's native ASOF LEFT JOIN, an

@@ -1603,6 +1603,17 @@ object SparkEntry {
       graft.operators.AsOfJoin.asOfForward(clicks, views, Seq("user_id"), "ts")
     },
 
+    // nearest as-of (merge_asof direction='nearest'): closest view either
+    // side, ties backward — both window passes over ONE tagged union
+    "q187_asof_nearest" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+      graft.operators.AsOfJoin.asOfNearest(clicks, views, Seq("user_id"), "ts")
+    },
+
     // exact rolling 7-day active users (WAU series): bounded contribution
     // fan-out turns the windowed distinct into a plain dedup+count —
     // exact where the KMV/HLL register path estimates
@@ -1853,6 +1864,7 @@ object SparkEntry {
     "q183_rolling_wau" -> Oracles.rollingActiveUsers(7),
     "q184_text_normalize" -> Oracles.textNormalize,
     "q185_asof_tolerance" -> Oracles.asofTolerance(600L * 1000000),
-    "q186_asof_forward" -> Oracles.asofForward
+    "q186_asof_forward" -> Oracles.asofForward,
+    "q187_asof_nearest" -> Oracles.asofNearest
   )
 }

@@ -34,11 +34,11 @@ object AsOfJoin {
     * not already use them (asserted — a silent collision would produce
     * ambiguous columns instead of a clear error).
     */
-  private val reserved = Set("__t", "__lv", "__rv", "__side", "__m")
+  private val reserved = Set("__t", "__lv", "__rv", "__side", "__m", "__mb", "__mf")
 
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
            prefix: String = "asof_"): DataFrame =
-    scan(left, right, keys, tsCol, prefix, forward = false)
+    scan(left, right, keys, tsCol, prefix, Backward)
 
   /** Forward as-of (pandas merge_asof `direction='forward'`): for every
     * left row, the EARLIEST right row with `right.ts ≥ left.ts` in the key
@@ -50,7 +50,7 @@ object AsOfJoin {
     */
   def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
                   tsCol: String, prefix: String = "asof_"): DataFrame =
-    scan(left, right, keys, tsCol, prefix, forward = true)
+    scan(left, right, keys, tsCol, prefix, Forward)
 
   /** [[asOf]] with a staleness bound (pandas merge_asof `tolerance`): a
     * match more than `toleranceUs` microseconds older than the left row is
@@ -77,8 +77,26 @@ object AsOfJoin {
     }: _*)
   }
 
+  /** Nearest as-of (pandas merge_asof `direction='nearest'`): the right
+    * row with the smallest |right.ts − left.ts| in the key group, ties
+    * broken BACKWARD (the at-or-before candidate wins — pandas' rule).
+    * BOTH running aggregates (backward last, forward first) run over the
+    * SAME tagged union in one plan: still ONE key exchange (the second
+    * window reuses the partitioning and re-sorts), no join-back — so
+    * duplicate left rows stay row-wise correct, where a self-join
+    * composition would cross-match them.
+    */
+  def asOfNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  tsCol: String, prefix: String = "asof_"): DataFrame =
+    scan(left, right, keys, tsCol, prefix, Nearest)
+
+  private sealed trait Mode
+  private case object Backward extends Mode
+  private case object Forward extends Mode
+  private case object Nearest extends Mode
+
   private def scan(left: DataFrame, right: DataFrame, keys: Seq[String],
-                   tsCol: String, prefix: String, forward: Boolean): DataFrame = {
+                   tsCol: String, prefix: String, mode: Mode): DataFrame = {
     val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == tsCol)
     val clash = (left.columns ++ right.columns).filter(reserved)
     require(clash.isEmpty, s"asOf reserved column names present in input: ${clash.mkString(", ")}")
@@ -116,25 +134,38 @@ object AsOfJoin {
     // backward: right sorts before left at equal ts (side desc) and the
     // running last() looks back — inclusive latest-≤ match. Forward: left
     // sorts before right at equal ts (side asc) and a first() looks
-    // ahead — inclusive earliest-≥ match.
+    // ahead — inclusive earliest-≥ match. Nearest runs both over the one
+    // union (one exchange; the second window re-sorts in place) and picks
+    // by lag, ties backward; it requires a TIMESTAMP tsCol (the lag
+    // comparison is µs arithmetic).
     val base = Window.partitionBy(keys.map(col): _*)
-    val w =
-      if (forward)
-        base.orderBy(col("__t").asc, col("__side").asc)
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      else
-        base.orderBy(col("__t").asc, col("__side").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched =
-      if (forward) first(col("__rv"), ignoreNulls = true).over(w)
-      else last(col("__rv"), ignoreNulls = true).over(w)
+    val wBack = base.orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = base.orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     val outCols: Seq[Column] =
       left.columns.map(c => col(s"__lv.$c").as(c)).toSeq ++
         rvType.fieldNames.map(f => col(s"__m.$f").as(f)).toSeq
 
-    lt.unionByName(rt)
-      .withColumn("__m", matched)
+    val union = lt.unionByName(rt)
+    val withMatch = mode match {
+      case Backward =>
+        union.withColumn("__m", last(col("__rv"), ignoreNulls = true).over(wBack))
+      case Forward =>
+        union.withColumn("__m", first(col("__rv"), ignoreNulls = true).over(wFwd))
+      case Nearest =>
+        val u = union
+          .withColumn("__mb", last(col("__rv"), ignoreNulls = true).over(wBack))
+          .withColumn("__mf", first(col("__rv"), ignoreNulls = true).over(wFwd))
+        val bts = col("__mb").getField(prefix + tsCol)
+        val fts = col("__mf").getField(prefix + tsCol)
+        val backLag = unix_micros(col("__t")) - unix_micros(bts)
+        val fwdLag = unix_micros(fts) - unix_micros(col("__t"))
+        val pickBackward = bts.isNotNull && (fts.isNull || backLag <= fwdLag)
+        u.withColumn("__m", when(pickBackward, col("__mb")).otherwise(col("__mf")))
+    }
+    withMatch
       .filter(col("__side") === 0)
       .select(outCols: _*)
   }

@@ -109,6 +109,25 @@ class AsOfJoinSpec extends SparkSpec {
       5L -> None))
   }
 
+  test("asOfNearest: closest side wins, exact ties go backward, one-sided fallbacks") {
+    import spark.implicits._
+    val (_, right) = frames
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // tie at lag 0 → (same) backward
+      (2L, 10L, ts("2024-01-01 11:00:00")), // nothing forward → backward 102
+      (3L, 10L, ts("2024-01-01 09:00:00")), // nothing backward → forward 100
+      (6L, 10L, ts("2024-01-01 10:40:00")), // back 10:00 (40m) vs fwd 10:45 (5m) → forward
+      (7L, 10L, ts("2024-01-01 10:22:30")), // back 10:00 ≡ fwd 10:45 (22.5m) → backward
+      (5L, 30L, ts("2024-01-01 10:30:00"))) // no right rows at all
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.asOfNearest(left, right, Seq("user_id"), "ts")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(out == Map(
+      1L -> Some(101L), 2L -> Some(102L), 3L -> Some(100L),
+      6L -> Some(102L), 7L -> Some(101L), 5L -> None))
+  }
+
   test("asOfTolerance: stale matches null out, fresh and unmatched unchanged") {
     val (left, right) = frames
     // event 1 matches at lag 0 (fresh at any tolerance); event 2 matches
