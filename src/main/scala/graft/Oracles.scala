@@ -3942,4 +3942,81 @@ object Oracles {
        |  COALESCE(sc.score_ppm, 0) AS score_ppm
        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
   }
+
+  /** q188: VARIANT schema-on-read. The SAME deterministic JSON payload is
+    * built from orders columns with string concatenation (integers render
+    * identically in both engines), then extracted with DuckDB's JSON path
+    * functions where Spark goes through parse_json → variant_get. The
+    * missing-path count asserts NULL (not error) semantics for absent
+    * fields in both engines.
+    */
+  val variantExtract: String =
+    """WITH payload AS (
+      |  SELECT '{"order":{"key":' || o_orderkey
+      |      || ',"status":"' || o_orderstatus
+      |      || '","priority":"' || o_orderpriority
+      |      || '"},"lines":[{"c":' || o_custkey
+      |      || '},{"c":' || (o_orderkey % 97) || '}]}' AS payload
+      |  FROM orders
+      |), x AS (
+      |  SELECT CAST(json_extract(payload, '$.order.key') AS BIGINT) AS okey,
+      |    json_extract_string(payload, '$.order.status') AS status,
+      |    json_extract_string(payload, '$.order.priority') AS priority,
+      |    CAST(json_extract(payload, '$.lines[0].c') AS BIGINT) AS line0,
+      |    CAST(json_extract(payload, '$.lines[1].c') AS BIGINT) AS line1,
+      |    CAST(json_extract(payload, '$.not.there') AS BIGINT) AS missing
+      |  FROM payload
+      |)
+      |SELECT status, priority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(line0) AS BIGINT) AS sum_line0,
+      |  CAST(SUM(line1) AS BIGINT) AS sum_line1,
+      |  MIN(okey) AS min_key, MAX(okey) AS max_key,
+      |  CAST(COUNT(missing) AS BIGINT) AS n_missing
+      |FROM x GROUP BY 1, 2""".stripMargin
+
+  /** q189: native session_window sessions re-derived as classic
+    * gaps-and-islands SQL — a fully independent formulation of the same
+    * semantics: a new session starts when the gap from the previous event
+    * is STRICTLY greater than the 30-minute window — Spark merges a
+    * window starting exactly at the previous window's end (inclusive
+    * boundary, pinned by SessionWindowSpec) — session_end = last event +
+    * gap. Timestamps at µs like the other event oracles.
+    */
+  val sessionWindows: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events
+      |), m AS (
+      |  SELECT user_id, event_type, ts,
+      |    CASE WHEN prev IS NULL
+      |           OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM (SELECT user_id, event_type, ts,
+      |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e)
+      |), s AS (
+      |  SELECT user_id, event_type, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m
+      |)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
+  /** q190: the stream-stream interval join's LEFT OUTER batch evaluation —
+    * plain interval LEFT JOIN in SQL (every view exactly once per matching
+    * purchase, or once with nulls).
+    */
+  val viewAbandonment: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events
+      |), v AS (
+      |  SELECT user_id, ts AS view_ts, event_id AS view_id FROM e WHERE event_type = 'view'
+      |), b AS (
+      |  SELECT user_id AS bu, ts AS buy_ts, event_id AS buy_id FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT v.user_id, v.view_id, b.buy_id, v.view_ts, b.buy_ts
+      |FROM v LEFT JOIN b ON v.user_id = b.bu
+      |  AND b.buy_ts >= v.view_ts
+      |  AND b.buy_ts <= v.view_ts + INTERVAL 30 MINUTE""".stripMargin
 }

@@ -690,7 +690,25 @@ object Plans {
         |one candidate row per partition to the driver. The quantized
         |corpus pins once (localCheckpoint); the plan below is the final
         |round's pass. Printed plan is the k-row result frame (driver
-        |loop); the per-round pass is the shape described above.""".stripMargin)
+        |loop); the per-round pass is the shape described above.""".stripMargin,
+    "q188_variant_extract" ->
+      """VARIANT schema-on-read is a pure narrow pipeline: payload build,
+        |parse_json, and every variant_get run inside one WholeStageCodegen
+        |span over the scan — the only exchange is the final 15-group
+        |aggregate's. The binary VARIANT never reaches that shuffle (all
+        |extracted fields are plain typed columns by then), and unlike a
+        |JSON string column the payload is parsed ONCE for six path
+        |extractions. At 100 TB there is no schema-inference pre-pass to
+        |pay, and extraction cost scales with extracted fields, not
+        |payload width.""".stripMargin,
+    "q189_session_window" ->
+      """Native session_window plans as ONE user-key Exchange feeding
+        |Spark's session-merging aggregate (UpdatingSessionsExec under
+        |hash aggregate) — no JVM closure, no Encoder round-trip, events
+        |stay in Tungsten rows end to end. Per-session rows only (never
+        |events) leave the aggregate. The IDENTICAL expression runs
+        |streaming under a watermark with state evicted at session close
+        |(StreamsSpec) — the batch plan IS the streaming plan.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

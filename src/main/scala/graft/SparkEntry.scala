@@ -1634,7 +1634,39 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       graft.ext.Clustering.ivfPqTopK(emb.filter(col("vec_id") % 50 === 0), emb,
         k = 5, nProbe = 3, subspaces = 4, iterations = 2)
-    }
+    },
+
+    // Spark 4 VARIANT schema-on-read (q72's from_json needs the shape
+    // declared up front; VARIANT doesn't): a deterministic nested JSON
+    // payload is built from orders columns (the q184 planting pattern —
+    // identically in the oracle), parsed ONCE to VARIANT, then typed
+    // variant_get extraction over nested-object, array-index, and MISSING
+    // paths (drift telemetry) feeds a plain aggregate
+    "q188_variant_extract" -> { (s, d) =>
+      val payloads = Tables.orders(s, d).select(col("o_orderkey"),
+        concat(
+          lit("{\"order\":{\"key\":"), col("o_orderkey"),
+          lit(",\"status\":\""), col("o_orderstatus"),
+          lit("\",\"priority\":\""), col("o_orderpriority"),
+          lit("\"},\"lines\":[{\"c\":"), col("o_custkey"),
+          lit("},{\"c\":"), pmod(col("o_orderkey"), lit(97)),
+          lit("}]}")).as("payload"))
+      graft.ext.SemiStructured.orderPayloadStats(payloads)
+    },
+
+    // native session_window sessions — q21's flatMapGroupsWithState
+    // sibling, fully declarative: one user-key exchange + Spark's
+    // session-merging aggregate, same expression streams under a
+    // watermark (spec)
+    "q189_session_window" -> ((s, d) =>
+      graft.ext.Funnel.sessionWindows(Tables.events(s, d), gap = "30 minutes")),
+
+    // abandonment feed: the stream-stream interval join's LEFT OUTER form
+    // (unconverted views surface with null buy columns) evaluated on the
+    // batch frame — the streaming run of the SAME expression is pinned
+    // stream ≡ batch in StreamsSpec
+    "q190_view_abandonment" -> ((s, d) =>
+      graft.streaming.Streams.viewToPurchaseOuter(Tables.events(s, d)))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -1865,6 +1897,9 @@ object SparkEntry {
     "q184_text_normalize" -> Oracles.textNormalize,
     "q185_asof_tolerance" -> Oracles.asofTolerance(600L * 1000000),
     "q186_asof_forward" -> Oracles.asofForward,
-    "q187_asof_nearest" -> Oracles.asofNearest
+    "q187_asof_nearest" -> Oracles.asofNearest,
+    "q188_variant_extract" -> Oracles.variantExtract,
+    "q189_session_window" -> Oracles.sessionWindows,
+    "q190_view_abandonment" -> Oracles.viewAbandonment
   )
 }

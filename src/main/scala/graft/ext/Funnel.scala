@@ -538,4 +538,36 @@ object Funnel {
       .select(col("cohort_day"), col("day_offset"), col("active_n"),
         col("cohort_n"), col("retention"))
   }
+
+  /** Per-user gap sessions via Spark's NATIVE `session_window` — the
+    * declarative sibling of [[graft.streaming.Streams.sessionize]] (which
+    * carries custom per-session state through `flatMapGroupsWithState`).
+    * When all a pipeline needs is per-session aggregates, this form wins:
+    * it stays inside whole-stage codegen, plans as ONE user-key exchange
+    * followed by Spark's session-merging aggregate (no JVM closure, no
+    * Encoder round-trip), and the IDENTICAL expression runs under
+    * `readStream` with a watermark (session state evicted once the
+    * watermark passes a session's end — bounded, like the tumbling q20
+    * path). Session semantics: a window starting exactly at the previous
+    * window's end still MERGES (inclusive boundary — pinned by
+    * SessionWindowSpec); only a gap strictly greater than `gap` splits.
+    *
+    * Output: (user_id, session_start, session_end = last event + gap,
+    * n_events, n_types). 100 TB: one shuffle on the user key; per-session
+    * rows only (never the event rows) leave the aggregate.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     tsCol: String = "ts", userCol: String = "user_id",
+                     typeCol: String = "event_type"): DataFrame =
+    events
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      // size(collect_set) not count_distinct: identical value, but legal
+      // in a STREAMING aggregation (Spark rejects distinct aggregates on
+      // streams; a set of event types is tiny, so the state cost is nil)
+      .agg(count(lit(1)).as("n_events"),
+        size(collect_set(col(typeCol))).cast("long").as("n_types"))
+      .select(col(userCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("n_types"))
 }

@@ -92,4 +92,23 @@ object Profile {
       .select("col_name", "rows_a", "rows_b", "distinct_a", "distinct_b",
         "null_ppm_a", "null_ppm_b", "null_drift_ppm", "distinct_delta")
   }
+
+  /** In-flight pipeline audit via `Dataset.observe` (CollectMetrics):
+    * row count, per-column non-null counts, and an integer-cents sum
+    * piggyback on whatever action the caller already runs — at 100 TB
+    * this is the ONLY free way to know what a stage actually processed
+    * ([[profile]] is a second full scan; this is zero extra passes, the
+    * metrics ride the task completion events). Read the numbers from the
+    * returned [[org.apache.spark.sql.Observation]] after any action:
+    * `obs.get("rows")`. Works identically under streaming (per-batch via
+    * QueryProgressEvent.observedMetrics).
+    */
+  def audited(df: DataFrame, name: String, valueCol: String,
+              auditCols: Seq[String]): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val nonnulls = auditCols.map(c => count(col(c)).as(s"nonnull_$c"))
+    val metrics = Seq(count(lit(1)).as("rows"),
+      sum(expr(s"cast(round($valueCol * 100) as bigint)")).as("sum_cents")) ++ nonnulls
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }

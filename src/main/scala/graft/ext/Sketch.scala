@@ -424,4 +424,48 @@ object Sketch {
       .agg(sum(col("c")).as("overlap"))
       .filter(col("overlap") > 0)
   }
+
+  // -------------------------------------- native DataSketches (Spark 4)
+
+  /** Per-group Apache DataSketches sketches via Spark's BUILT-IN
+    * `hll_sketch_agg` + `theta_sketch_agg` (codegen'd, map-side partial
+    * merge). Complements the hand-rolled register sketches above: those
+    * are integer-exact and ORACLE-REPRODUCIBLE (their point), these are
+    * the production-grade binaries — interoperable with every other
+    * DataSketches consumer (Druid, Hive, PostgreSQL extensions), with
+    * theta's set ALGEBRA (intersection/difference) that HLL
+    * fundamentally cannot do. Both sketches are exact below their
+    * promotion thresholds (HLL coupon mode, theta under k), which the
+    * spec exploits to assert exact values.
+    */
+  def nativeSketches(df: DataFrame, keyCol: String, groupCol: String,
+                     lgK: Int = 12): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(keyCol), lgK).as("hll"),
+        theta_sketch_agg(col(keyCol)).as("theta"))
+
+  /** Distinct estimates per group plus the all-group rollup — the rollup
+    * MERGES the per-group binaries (`hll_union_agg`); the raw rows are
+    * never re-read. This is the sketch contract that matters at 100 TB:
+    * per-partition/day/tenant sketches persist, and any ad-hoc slice
+    * union is metadata-sized work.
+    */
+  def nativeDistinct(sketches: DataFrame, groupCol: String): DataFrame =
+    sketches.select(col(groupCol),
+        hll_sketch_estimate(col("hll")).as("distinct_est"))
+      .unionByName(sketches.agg(
+        lit("__all__").as(groupCol),
+        hll_sketch_estimate(hll_union_agg(col("hll"), lit(false)))
+          .as("distinct_est")))
+
+  /** Audience overlap via theta set algebra: members present in EVERY
+    * group (`theta_intersection_agg`) and in ANY group
+    * (`theta_union_agg`) — estimated from the per-group sketches alone.
+    */
+  def nativeOverlap(sketches: DataFrame): DataFrame =
+    sketches.agg(
+      theta_sketch_estimate(theta_intersection_agg(col("theta")))
+        .as("in_every_group"),
+      theta_sketch_estimate(theta_union_agg(col("theta")))
+        .as("in_any_group"))
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface (extension, SURVEY.md §2.10/§7.5).
   *
@@ -419,6 +419,34 @@ object Streams {
         col("view_ts"), col("buy_ts"))
   }
 
+  /** [[viewToPurchase]]'s LEFT OUTER form: views that convert emit their
+    * (view, purchase) pair exactly as the inner join does; views that DON'T
+    * convert are emitted with null buy columns — but only once the
+    * watermark passes `view_ts + horizon` and Spark can PROVE no matching
+    * purchase can still arrive (outer rows on a stream are necessarily
+    * watermark-delayed; the inner rows still emit as matches are found).
+    * This is the abandonment feed: every view accounted for, exactly once.
+    * State stays bounded exactly as in the inner case — both sides evict
+    * at the watermark, the outer semantics add no retention.
+    */
+  def viewToPurchaseOuter(events: DataFrame, horizon: String = "30 minutes",
+                          watermark: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermark)
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"),
+        col("event_id").as("buy_id"))
+      .withWatermark("buy_ts", watermark)
+    views.join(buys,
+      col("user_id") === col("buy_user") &&
+        col("buy_ts") >= col("view_ts") &&
+        col("buy_ts") <= col("view_ts") + expr(s"interval $horizon"),
+      "leftOuter")
+      .select(col("user_id"), col("view_id"), col("buy_id"),
+        col("view_ts"), col("buy_ts"))
+  }
+
   /** Wires a streaming read of the events parquet directory into any of the
     * transforms above (schema must be supplied — streaming reads don't
     * infer).
@@ -584,5 +612,88 @@ object Streams {
     open = open.filter { case (ts, _) => maxSeen - ts <= horizonUs }
     state.update(PatternState(open, maxSeen))
     out.iterator
+  }
+
+  /** Native session_window sessions on a stream: the SAME declarative
+    * expression as the batch [[graft.ext.Funnel.sessionWindows]], plus the
+    * watermark that lets Spark CLOSE sessions (a session emits, and its
+    * state is evicted, once the watermark passes session_end — without
+    * one, every open session would be held forever). Append mode: each
+    * session is emitted exactly once, finalized.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "1 hour"): DataFrame =
+    graft.ext.Funnel.sessionWindows(events.withWatermark("ts", watermark), gap)
+
+  final case class ActivityState(n: Long, cents: Long, lastUs: Long)
+  final case class UserActivity(user_id: Long, n_events: Long,
+                                total_cents: Long, last_ts: Timestamp)
+
+  /** Spark 4 `transformWithState` processor: running per-user activity
+    * totals (event count, integer-cents value sum, last event time) in a
+    * named `ValueState`, emitted once per user per micro-batch in Update
+    * mode. This is the new arbitrary-state API (SPARK-40434 umbrella) —
+    * vs [[sessionize]]'s flatMapGroupsWithState it gives NAMED state
+    * slots (several per processor, individually evolvable), native
+    * per-state TTL, timers decoupled from state, and it REQUIRES the
+    * RocksDB state store — which is also the right 100 TB choice:
+    * changelog-checkpointed off-heap state that never rehydrates the
+    * whole store into executor memory the way the default HDFS-backed
+    * in-memory provider does.
+    *
+    * Value sums accumulate as integer cents: rows reach the processor in
+    * shuffle order, and a Double fold would make the emitted total depend
+    * on that order (the stream≡batch spec would flake).
+    */
+  class UserActivityProcessor extends StatefulProcessor[Long, Event, UserActivity] {
+    @transient private var state: ValueState[ActivityState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ActivityState]("activity",
+        org.apache.spark.sql.Encoders.product[ActivityState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[UserActivity] = {
+      var st = if (state.exists()) state.get() else ActivityState(0L, 0L, Long.MinValue)
+      rows.foreach { e =>
+        st = ActivityState(st.n + 1, st.cents + math.round(e.value * 100),
+          math.max(st.lastUs, e.ts.getTime * 1000))
+      }
+      state.update(st)
+      Iterator.single(UserActivity(key, st.n, st.cents,
+        new Timestamp(st.lastUs / 1000)))
+    }
+  }
+
+  /** Running per-user activity via [[UserActivityProcessor]]. Works on a
+    * stream (Update mode, RocksDB state store) and — the equivalence
+    * contract — on a single-batch replay, where the emitted final rows
+    * must equal a plain `groupBy(user).agg(...)` of the same events.
+    */
+  def userActivityTws(events: Dataset[Event])(
+      implicit spark: SparkSession): Dataset[UserActivity] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserActivityProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Offline audit of a streaming query's STATE via the state-store data
+    * source (`format("statestore")`): reads the keyed state rows straight
+    * out of a checkpoint — no replay, no touching the running query. The
+    * operational missing piece at scale: "which keys hold state, and
+    * what" is otherwise invisible inside a 1000-executor job's RocksDB
+    * files. `stateVarName` selects a named transformWithState slot (e.g.
+    * [[UserActivityProcessor]]'s "activity"); leave empty for classic
+    * stateful operators (aggregations, dedup, stream-stream joins).
+    */
+  def readStateStore(spark: SparkSession, checkpointDir: String,
+                     stateVarName: String = ""): DataFrame = {
+    // path = the checkpoint ROOT (the source resolves state/ and the
+    // commit log itself; passing .../state trips "no committed batch")
+    val r = spark.read.format("statestore")
+      .option("path", checkpointDir)
+    (if (stateVarName.nonEmpty) r.option("stateVarName", stateVarName) else r)
+      .load()
   }
 }

@@ -377,6 +377,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("viewToPurchaseOuter: unconverted views emit null-buy rows once provably unmatched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Streams.Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Streams.Event(2, ts("2024-01-01 10:10:00"), 1, "purchase", 5.0), // converts view 1
+      Streams.Event(3, ts("2024-01-01 10:50:00"), 1, "purchase", 5.0), // outside view 1's horizon
+      Streams.Event(4, ts("2024-01-01 10:05:00"), 2, "view", 1.0),    // never converts
+      Streams.Event(5, ts("2024-01-01 10:20:00"), 3, "purchase", 5.0)) // purchase w/o view: not emitted
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.viewToPurchaseOuter(mem.toDF()).writeStream.format("memory")
+      .queryName("conv_outer").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      // watermark must pass view_ts + horizon before outer rows may emit
+      mem.addData(Streams.Event(9, ts("2024-01-01 15:00:00"), 9, "view", 1.0),
+        Streams.Event(10, ts("2024-01-01 15:00:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("conv_outer")
+        .filter("view_ts < timestamp '2024-01-01 14:00:00'")
+        .select("user_id", "view_id", "buy_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(streamed == Set((1L, 1L, 2L), (2L, 4L, -1L)),
+        "converted view pairs + one null-buy row per abandoned view")
+      // batch evaluation of the same expression is the oracle
+      val batch = Streams.viewToPurchaseOuter(events.toDF())
+        .filter("view_ts < timestamp '2024-01-01 14:00:00'")
+        .select("user_id", "view_id", "buy_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("batch equivalence: hourlyByType on a static frame matches a plain groupBy") {
     import spark.implicits._
     val events = Seq(
@@ -632,5 +668,104 @@ class StreamsSpec extends SparkSpec {
     val (out3, _) = run(Seq(
       Streams.PatternEvent(1L, 7L, "purchase", 2L * hour + 5L)), Some(st2))
     assert(out3 == Seq(Streams.PatternMatchRow(1L, 6L, 7L, 5L)))
+  }
+
+  test("sessionWindowAgg: native session_window on a stream ≡ batch sessionWindows once closed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val agg = Streams.sessionWindowAgg(mem.toDF(), gap = "30 minutes", watermark = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("swin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val in = Seq(
+        Streams.Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Streams.Event(2, ts("2024-01-01 10:20:00"), 1, "click", 1.0),
+        Streams.Event(3, ts("2024-01-01 11:30:00"), 1, "view", 1.0),
+        Streams.Event(4, ts("2024-01-01 10:05:00"), 2, "view", 1.0))
+      mem.addData(in: _*)
+      q.processAllAvailable()
+      // advance the watermark past every session_end to close them all
+      mem.addData(Streams.Event(9, ts("2024-01-02 00:00:00"), 3, "click", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("swin")
+        .filter($"user_id" =!= 3).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3), r.getLong(4))).toSet
+      val batch = graft.ext.Funnel.sessionWindows(in.toDF(), gap = "30 minutes")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3), r.getLong(4))).toSet
+      assert(streamed == batch, "closed streaming sessions must equal the batch result")
+    } finally q.stop()
+  }
+
+  test("userActivityTws: transformWithState state accumulates across micro-batches (RocksDB)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Streams.Event]
+    val out = Streams.userActivityTws(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("tws_activity")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(
+        Streams.Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.25),
+        Streams.Event(2, ts("2024-01-01 10:05:00"), 1, "click", 2.50),
+        Streams.Event(3, ts("2024-01-01 10:01:00"), 2, "view", 4.00))
+      q.processAllAvailable()
+      // batch 2: user 1 returns — state must CARRY (count 3, cents 500)
+      mem.addData(Streams.Event(4, ts("2024-01-01 11:00:00"), 1, "purchase", 1.25))
+      q.processAllAvailable()
+      val latest = spark.table("tws_activity").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getTimestamp(3).toString))
+        .groupBy(_._1).map { case (u, rs) => rs.maxBy(_._2) }.toSet
+      assert(latest == Set(
+        (1L, 3L, 500L, "2024-01-01 11:00:00.0"),
+        (2L, 1L, 400L, "2024-01-01 10:01:00.0")))
+      // single-batch replay ≡ plain batch aggregate (the equivalence contract)
+      val batchEq = latest.map { case (u, n, c, _) => (u, n, c) }
+      assert(batchEq == Set((1L, 3L, 500L), (2L, 1L, 400L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("readStateStore: the statestore source audits a tws checkpoint's named state offline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_ckpt").toString
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.userActivityTws(mem.toDS()).writeStream.format("memory")
+      .queryName("tws_state_audit").outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(
+        Streams.Event(1, ts("2024-01-01 10:00:00"), 7, "view", 1.00),
+        Streams.Event(2, ts("2024-01-01 10:05:00"), 7, "click", 2.00),
+        Streams.Event(3, ts("2024-01-01 10:01:00"), 8, "view", 3.00))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    // query stopped — read its RocksDB state straight from the checkpoint
+    val state = Streams.readStateStore(spark, ckpt, stateVarName = "activity")
+    val byUser = state.selectExpr("key.value AS user_id", "value.*").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(byUser == Map(7L -> ((2L, 300L)), 8L -> ((1L, 300L))),
+      "persisted ActivityState(n, cents) per user must match what was streamed")
   }
 }
