@@ -4019,4 +4019,70 @@ object Oracles {
       |FROM v LEFT JOIN b ON v.user_id = b.bu
       |  AND b.buy_ts >= v.view_ts
       |  AND b.buy_ts <= v.view_ts + INTERVAL 30 MINUTE""".stripMargin
+
+  /** q191: per-brand top-2 by price as a native LATERAL correlated
+    * subquery — the same decorrelated shape Spark plans for
+    * `Dataset.lateralJoin` + `outer()`. Deterministic tie-break on
+    * (price DESC, partkey).
+    */
+  val lateralTopK: String =
+    """SELECT b.brand, t.partkey, t.price
+      |FROM (SELECT DISTINCT p_brand AS brand FROM part) b,
+      |LATERAL (
+      |  SELECT p_partkey AS partkey, p_retailprice AS price FROM part p
+      |  WHERE p.p_brand = b.brand
+      |  ORDER BY p_retailprice DESC, p_partkey LIMIT 2) t""".stripMargin
+
+  /** q192: correlated scalar MAX subquery (exact on doubles — max picks
+    * an element; no accumulation order).
+    */
+  val scalarSubquery: String =
+    """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+      |FROM orders o
+      |WHERE o.o_totalprice =
+      |  (SELECT MAX(i.o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin
+
+  /** q193: EXISTS ∧ NOT EXISTS — urgent-order customers with no F-status
+    * order.
+    */
+  val existsSubquery: String =
+    """SELECT c.c_custkey, c.c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders u
+      |  WHERE u.o_custkey = c.c_custkey AND u.o_orderpriority = '1-URGENT')
+      |AND NOT EXISTS (SELECT 1 FROM orders f
+      |  WHERE f.o_custkey = c.c_custkey AND f.o_orderstatus = 'F')""".stripMargin
+
+  /** q194: the transposed metrics report built explicitly — row per
+    * metric, one column per (pinned) return flag, matching
+    * `Dataset.transpose`'s key/value layout.
+    */
+  val transposeReport: String =
+    """WITH m AS (
+      |  SELECT l_returnflag AS f, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(l_quantity) AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT 'n' AS key,
+      |  (SELECT n FROM m WHERE f = 'A') AS "A",
+      |  (SELECT n FROM m WHERE f = 'N') AS "N",
+      |  (SELECT n FROM m WHERE f = 'R') AS "R"
+      |UNION ALL
+      |SELECT 'qty',
+      |  (SELECT qty FROM m WHERE f = 'A'),
+      |  (SELECT qty FROM m WHERE f = 'N'),
+      |  (SELECT qty FROM m WHERE f = 'R')""".stripMargin
+
+  /** q195: the nested-export JSON rebuilt with DuckDB's JSON aggregates —
+    * same element order (ln, pk, qty ascending), same compact rendering
+    * (both engines emit no whitespace; integer-only payload keeps number
+    * formatting engine-portable).
+    */
+  val nestedExport: String =
+    """WITH l AS (
+      |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+      |    l_partkey AS pk, CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem)
+      |SELECT l_orderkey,
+      |  CAST(to_json(list(struct_pack(ln := ln, pk := pk, qty := qty)
+      |       ORDER BY ln, pk, qty)) AS VARCHAR) AS lines_json
+      |FROM l GROUP BY 1""".stripMargin
 }

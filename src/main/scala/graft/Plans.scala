@@ -708,7 +708,34 @@ object Plans {
         |stay in Tungsten rows end to end. Per-session rows only (never
         |events) leave the aggregate. The IDENTICAL expression runs
         |streaming under a watermark with state evicted at session close
-        |(StreamsSpec) — the batch plan IS the streaming plan.""".stripMargin)
+        |(StreamsSpec) — the batch plan IS the streaming plan.""".stripMargin,
+    "q190_view_abandonment" ->
+      """Batch evaluation of the outer stream-stream interval join: both
+        |sides are type-filtered scans (predicate pushed), the join is a
+        |user-key equi-join with the interval bound as a residual — no
+        |BroadcastNestedLoop. On the stream the same expression emits
+        |matches eagerly and abandoned views only once the watermark
+        |proves no partner can arrive; state evicts at the watermark on
+        |both sides (outer adds no retention over the inner join).""".stripMargin,
+    "q191_lateral_topk" ->
+      """Dataset.lateralJoin with outer() + LIMIT: Catalyst decorrelates
+        |the correlated per-brand top-2 into a window/limit over a brand
+        |equi-join — the plan below shows NO nested-loop per-brand
+        |execution; the lateral spelling costs the same as q11's
+        |window-rank spelling. At 100 TB the shuffle is on the brand key
+        |only and WindowGroupLimit prunes before the join-back.""".stripMargin,
+    "q192_scalar_subquery" ->
+      """Correlated scalar MAX decorrelates to a per-customer aggregate
+        |joined back on the key: one exchange on o_custkey each side, the
+        |aggregate side collapses to one row per customer before the
+        |join. MAX picks an element — no floating accumulation — so the
+        |double equality is exact cross-engine.""".stripMargin,
+    "q195_nested_export" ->
+      """Relational → nested export: one exchange on the order key, then
+        |collect_list of structs inside the aggregate, sort_array and
+        |to_json as narrow post-projections. The JSON text never shuffles
+        |(built after the aggregate); payload fields are integers because
+        |JSON double rendering is the one non-portable piece.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

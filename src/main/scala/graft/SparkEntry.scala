@@ -1666,7 +1666,96 @@ object SparkEntry {
     // batch frame — the streaming run of the SAME expression is pinned
     // stream ≡ batch in StreamsSpec
     "q190_view_abandonment" -> ((s, d) =>
-      graft.streaming.Streams.viewToPurchaseOuter(Tables.events(s, d)))
+      graft.streaming.Streams.viewToPurchaseOuter(Tables.events(s, d))),
+
+    // Spark 4 Dataset.lateralJoin: per-brand top-2 parts by price as a
+    // correlated LATERAL subquery (the declarative per-group-limit form;
+    // q11's window-rank is the other spelling). Catalyst decorrelates the
+    // outer() reference + LIMIT into a ranked join — no per-brand driver
+    // loop anywhere
+    "q191_lateral_topk" -> { (s, d) =>
+      val part = Tables.part(s, d)
+      val brands = part.select(col("p_brand").as("brand")).distinct()
+      brands.lateralJoin(
+        part
+          .where(col("p_brand") === col("brand").outer())
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+          .limit(2)
+          .select(col("p_partkey").as("partkey"),
+            col("p_retailprice").as("price")))
+    },
+
+    // Spark 4 scalar-subquery expression: each customer's LARGEST order
+    // via a correlated MAX (exact on doubles — max returns an element,
+    // no accumulation-order hazard); ties all emit
+    "q192_scalar_subquery" -> { (s, d) =>
+      // Two sharp edges of the new subquery API (both observed here):
+      // (1) `.outer()` resolves INNER-FIRST — with shared column names
+      // the correlation silently binds inside the subquery (even through
+      // a Project's hidden attributes) and the filter compares against
+      // the GLOBAL max (1 row instead of 1500), so the correlation
+      // column must carry a name the inner relation cannot resolve
+      // (rename on the OUTER side, alias back after the filter);
+      // (2) the aggregate must be `.select(max(...))` — `.agg(...)`
+      // analyzes eagerly without the outer scope and throws
+      // UNRESOLVED_COLUMN on the correlation
+      val outerQ = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey").as("ock"),
+          col("o_totalprice").as("otp"))
+      val maxSub = Tables.orders(s, d).as("i")
+        .where(col("i.o_custkey") === col("ock").outer())
+        .select(max(col("i.o_totalprice")))
+      outerQ
+        .where(col("otp") === maxSub.scalar())
+        .select(col("o_orderkey"), col("ock").as("o_custkey"),
+          col("otp").as("o_totalprice"))
+    },
+
+    // Spark 4 exists-subquery expression: customers holding an URGENT
+    // order but no F-status order — EXISTS ∧ NOT EXISTS decorrelates to
+    // one semi + one anti join, both on the customer key
+    "q193_exists_subquery" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val customer = Tables.customer(s, d)
+      val urgent = orders.as("u")
+        .where(col("u.o_custkey") === col("c_custkey").outer() &&
+          col("u.o_orderpriority") === "1-URGENT")
+      val fStatus = orders.as("f")
+        .where(col("f.o_custkey") === col("c_custkey").outer() &&
+          col("f.o_orderstatus") === "F")
+      customer
+        .where(urgent.exists() && !fStatus.exists())
+        .select(col("c_custkey"), col("c_name"))
+    },
+
+    // Spark 4 Dataset.transpose: flip a tiny metrics report (rows =
+    // metrics, columns = the pinned return flags) — report-shaping that
+    // previously needed driver-side collect; values carried as integer
+    // longs so the transposed common type is exact
+    "q194_transpose" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("qty"))
+        .orderBy("l_returnflag")
+        .transpose(col("l_returnflag"))
+    },
+
+    // relational → nested export: each order's lines re-nested as a JSON
+    // array (collect_list of structs, sort_array for a deterministic
+    // element order, to_json) — the inverse of the q31-q37 flatten layer,
+    // and the shape an API backfill or document store ingest needs.
+    // Integer payload fields only: JSON double rendering is the one part
+    // of this that is NOT engine-portable
+    "q195_nested_export" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), struct(
+          col("l_linenumber").cast("long").as("ln"),
+          col("l_partkey").as("pk"),
+          col("l_quantity").cast("long").as("qty")).as("line"))
+        .groupBy("l_orderkey")
+        .agg(to_json(sort_array(collect_list(col("line")))).as("lines_json"))
+    }
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -1900,6 +1989,11 @@ object SparkEntry {
     "q187_asof_nearest" -> Oracles.asofNearest,
     "q188_variant_extract" -> Oracles.variantExtract,
     "q189_session_window" -> Oracles.sessionWindows,
-    "q190_view_abandonment" -> Oracles.viewAbandonment
+    "q190_view_abandonment" -> Oracles.viewAbandonment,
+    "q191_lateral_topk" -> Oracles.lateralTopK,
+    "q192_scalar_subquery" -> Oracles.scalarSubquery,
+    "q193_exists_subquery" -> Oracles.existsSubquery,
+    "q194_transpose" -> Oracles.transposeReport,
+    "q195_nested_export" -> Oracles.nestedExport
   )
 }

@@ -687,6 +687,51 @@ object Streams {
     * [[UserActivityProcessor]]'s "activity"); leave empty for classic
     * stateful operators (aggregations, dedup, stream-stream joins).
     */
+  /** Idempotent version step for [[incrementalAggSink]]: merge `batch`'s
+    * delta aggregate into the newest stored version PRECEDING `batchId`
+    * and write the result as version `batchId`. Re-running a batch id
+    * (Spark replays the in-flight micro-batch after a failure) rebuilds
+    * the SAME version from the SAME base — overwrite, not double-count —
+    * which is exactly the idempotence foreachBatch requires for
+    * end-to-end exactly-once. Old versions are retained (time travel /
+    * audit); production would prune beyond a horizon.
+    */
+  def applyAggDelta(storeDir: String, batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(storeDir))) Seq.empty[Long]
+      else fs.listStatus(new org.apache.hadoop.fs.Path(storeDir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v"))
+        .map(_.drop(1).toLong)
+    val delta = graft.ext.Warehouse.aggState(batch)
+    val base = versions.filter(_ < batchId).sorted.lastOption
+    val merged = base match {
+      case Some(v) => graft.ext.Warehouse.mergeAggregates(
+        spark.read.parquet(s"$storeDir/v$v"), delta)
+      case None => delta
+    }
+    merged.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
+  }
+
+  /** Streaming incremental aggregate maintenance via `foreachBatch`: each
+    * micro-batch's per-SKU delta merges into a versioned parquet store
+    * ([[applyAggDelta]]) — the stored aggregate equals a full batch
+    * recompute over everything ever streamed, but each increment reads
+    * only the delta plus the (aggregate-sized, not fact-sized) current
+    * version. The exactly-once contract is checkpoint (batch replay) +
+    * idempotent version write; at 100 TB this is the difference between
+    * re-aggregating the corpus nightly and touching only the day's facts.
+    */
+  def incrementalAggSink(lineitemStream: DataFrame, storeDir: String,
+                         checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    lineitemStream.writeStream
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyAggDelta(storeDir, batch.toDF(), batchId))
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   def readStateStore(spark: SparkSession, checkpointDir: String,
                      stateVarName: String = ""): DataFrame = {
     // path = the checkpoint ROOT (the source resolves state/ and the

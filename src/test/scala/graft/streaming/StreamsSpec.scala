@@ -768,4 +768,38 @@ class StreamsSpec extends SparkSpec {
     assert(byUser == Map(7L -> ((2L, 300L)), 8L -> ((1L, 300L))),
       "persisted ActivityState(n, cents) per user must match what was streamed")
   }
+
+  private def li(pk: Long, qty: Double, price: Double, disc: Double) =
+    (pk, qty, price, disc)
+
+  test("incrementalAggSink: foreachBatch version store equals full recompute; replay is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def toLi(rows: Seq[(Long, Double, Double, Double)]) =
+      rows.toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val store = java.nio.file.Files.createTempDirectory("agg_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("agg_ckpt").toString
+    val b0 = Seq(li(1, 2.0, 100.0, 0.0), li(1, 3.0, 50.0, 0.5), li(2, 1.0, 10.0, 0.0))
+    val b1 = Seq(li(1, 1.0, 40.0, 0.0), li(3, 5.0, 20.0, 0.25))
+    val mem = MemoryStream[(Long, Double, Double, Double)]
+    val q = Streams.incrementalAggSink(
+      mem.toDF().toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount"),
+      store, ckpt)
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val latest = new java.io.File(store).listFiles().map(_.getName)
+      .filter(_.startsWith("v")).map(_.drop(1).toLong).max
+    val stored = spark.read.parquet(s"$store/v$latest")
+    // stored aggregate ≡ one-shot batch aggregate over everything streamed
+    assertSameRows(
+      stored.orderBy("sku"),
+      graft.ext.Warehouse.aggState(toLi(b0 ++ b1)).orderBy("sku"))
+    // REPLAYING the last batch id (post-failure re-run) must not double-count
+    Streams.applyAggDelta(store, toLi(b1), latest)
+    assertSameRows(
+      spark.read.parquet(s"$store/v$latest").orderBy("sku"),
+      graft.ext.Warehouse.aggState(toLi(b0 ++ b1)).orderBy("sku"))
+  }
 }
