@@ -4071,6 +4071,44 @@ object Oracles {
       |  (SELECT qty FROM m WHERE f = 'N'),
       |  (SELECT qty FROM m WHERE f = 'R')""".stripMargin
 
+  /** q196: TPC-H Q5 — the canonical local-supplier-volume 6-table join
+    * with the customer=supplier nation condition; q86's DECIMAL money
+    * policy.
+    */
+  def localSupplierVolume(regionName: String, fromDate: String,
+                          untilDate: String): String =
+    s"""SELECT n_name AS nation, COUNT(*) AS n_lines,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |           CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey  = o_orderkey
+       |JOIN customer ON o_custkey   = c_custkey
+       |JOIN supplier ON l_suppkey   = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE r_name = '$regionName'
+       |  AND o_orderdate >= TIMESTAMP '$fromDate 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '$untilDate 00:00:00'
+       |GROUP BY 1""".stripMargin
+
+  /** q197: the same recursive date spine in DuckDB's WITH RECURSIVE
+    * (date + integer is DuckDB's date_add spelling).
+    */
+  val recursiveSpine: String =
+    """WITH RECURSIVE days(day) AS (
+      |  SELECT DATE '1995-01-01'
+      |  UNION ALL SELECT day + 1 FROM days WHERE day < DATE '1995-03-31'
+      |),
+      |daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS od, COUNT(*) AS cnt
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+      |  GROUP BY 1
+      |)
+      |SELECT day, CAST(COALESCE(cnt, 0) AS BIGINT) AS n_orders
+      |FROM days LEFT JOIN daily ON od = day""".stripMargin
+
   /** q195: the nested-export JSON rebuilt with DuckDB's JSON aggregates —
     * same element order (ln, pk, qty ascending), same compact rendering
     * (both engines emit no whitespace; integer-only payload keeps number

@@ -735,7 +735,24 @@ object Plans {
         |collect_list of structs inside the aggregate, sort_array and
         |to_json as narrow post-projections. The JSON text never shuffles
         |(built after the aggregate); payload fields are integers because
-        |JSON double rendering is the one non-portable piece.""".stripMargin)
+        |JSON double rendering is the one non-portable piece.""".stripMargin,
+    "q196_local_supplier_volume" ->
+      """TPC-H Q5. The supplier side pre-joins nation ⋈ region with the
+        |region predicate applied, so the broadcast that reaches the fact
+        |stream is already pruned to one region's suppliers; the two-key
+        |match (suppkey + customer-nation = supplier-nation) rides that
+        |broadcast. Facts shuffle exactly twice — lineitem ⋈ orders on
+        |orderkey, ⋈ customer on custkey — and the date window prunes
+        |orders at its scan. At 100 TB nothing beyond those two natural
+        |exchanges moves fact data.""".stripMargin,
+    "q197_recursive_spine" ->
+      """Spark 4 WITH RECURSIVE executes as a UnionLoop generating the
+        |90-row date spine — driver-cheap, no fact data inside the
+        |recursion. The fact side is one date-windowed aggregate (predicate
+        |pushed to the orders scan) LEFT-joined to the spine; the spine
+        |side broadcasts. Recursion depth is bounded by the anchor
+        |predicate, not by data volume — the safe shape for SQL recursion
+        |at scale (never recurse over the fact table).""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

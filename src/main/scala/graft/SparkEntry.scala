@@ -1755,6 +1755,40 @@ object SparkEntry {
           col("l_quantity").cast("long").as("qty")).as("line"))
         .groupBy("l_orderkey")
         .agg(to_json(sort_array(collect_list(col("line")))).as("lines_json"))
+    },
+
+    // TPC-H Q5 (local supplier volume): the canonical 6-table star join
+    // with the two-key customer=supplier nation condition — q86's star
+    // rollup plus a region-pruned supplier broadcast; the fact stream
+    // shuffles only on its two natural keys
+    "q196_local_supplier_volume" -> ((s, d) =>
+      graft.ext.Warehouse.localSupplierVolume(
+        Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d),
+        "ASIA", "1995-01-01", "1996-01-01")),
+
+    // Spark 4 WITH RECURSIVE (SQL surface): the classic recursive date
+    // spine — every calendar day of Q1 1995 with its order count,
+    // explicit zeros for orderless days. The recursion generates the
+    // 90-row spine (driver-cheap UnionLoop); the fact side is one
+    // date-windowed aggregate, LEFT-joined. q73's sequence() gap-fill is
+    // the DataFrame spelling; this pins the SQL-recursion path
+    "q197_recursive_spine" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("q197_orders")
+      s.sql("""
+        WITH RECURSIVE days(day) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL SELECT date_add(day, 1) FROM days WHERE day < DATE '1995-03-31'
+        ),
+        daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS od, COUNT(*) AS cnt
+          FROM q197_orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+          GROUP BY 1
+        )
+        SELECT day, CAST(COALESCE(cnt, 0) AS BIGINT) AS n_orders
+        FROM days LEFT JOIN daily ON od = day""")
     }
   )
 
@@ -1994,6 +2028,9 @@ object SparkEntry {
     "q192_scalar_subquery" -> Oracles.scalarSubquery,
     "q193_exists_subquery" -> Oracles.existsSubquery,
     "q194_transpose" -> Oracles.transposeReport,
-    "q195_nested_export" -> Oracles.nestedExport
+    "q195_nested_export" -> Oracles.nestedExport,
+    "q196_local_supplier_volume" ->
+      Oracles.localSupplierVolume("ASIA", "1995-01-01", "1996-01-01"),
+    "q197_recursive_spine" -> Oracles.recursiveSpine
   )
 }

@@ -24,6 +24,37 @@ object Warehouse {
     col("l_extendedprice").cast("decimal(18,2)") *
       (lit(1.0) - col("l_discount")).cast("decimal(18,2)")
 
+  /** TPC-H Q5 shape — local supplier volume: revenue by nation where the
+    * CUSTOMER and SUPPLIER share a nation, for one region and order-date
+    * window. The interesting join is the two-key supplier match
+    * (`l_suppkey` AND `c_nationkey = s_nationkey`): suppliers pre-join
+    * their tiny dims (nation ⋈ region, region predicate applied) so the
+    * broadcast side is already region-pruned — the fact stream pays its
+    * two natural shuffles (orderkey, custkey) and everything else rides
+    * broadcasts. Date window prunes orders at the scan.
+    */
+  def localSupplierVolume(lineitem: DataFrame, orders: DataFrame,
+                          customer: DataFrame, supplier: DataFrame,
+                          nation: DataFrame, region: DataFrame,
+                          regionName: String, fromDate: String,
+                          untilDate: String): DataFrame = {
+    val regionalSupplier = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === regionName)
+      .select(col("s_suppkey"), col("s_nationkey").as("sn"), col("n_name"))
+    lineitem
+      .join(orders.filter(col("o_orderdate") >= to_timestamp(lit(fromDate))
+          && col("o_orderdate") < to_timestamp(lit(untilDate))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(regionalSupplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("sn"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(revenueTerm).cast("double").as("revenue"))
+  }
+
   /** Star-schema rollup: revenue by nation for one region and order-date
     * window — lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
     *

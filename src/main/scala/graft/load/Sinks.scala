@@ -137,4 +137,48 @@ object Sinks {
       .write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
+
+  /** Incremental partition upsert: overwrite ONLY the partitions present
+    * in `df`, leaving every other partition of the table untouched
+    * (dynamic partition-overwrite mode, set per-write so the session
+    * default stays static). THE backfill primitive at 100 TB: reprocess
+    * one bad day and rewrite one directory, not the table. The write
+    * shuffles `df` on the partition columns first so each live partition
+    * is produced by as few tasks as possible (no small-file spray).
+    */
+  def upsertPartitions(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "upsertPartitions needs partition columns")
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * `ceil(rows / targetRowsPerFile)` files (preserving partition dirs if
+    * `partitionCols` is given — each partition compacts independently).
+    * Streaming sinks and incremental upserts accrete small files; at 100
+    * TB the file count — not the byte count — is what kills scan planning
+    * (one footer read + one task per file). Writes to a temp dir first
+    * and swaps, so a failed compaction never destroys the input.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetRowsPerFile: Long,
+              partitionCols: Seq[String] = Nil): Unit = {
+    require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive")
+    val tmp = path + ".__compact_tmp__"
+    val src = spark.read.parquet(path)
+    val writer = src
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile.toString)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp)
+    val hadoop = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoop.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hadoop, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hadoop),
+      s"compaction swap failed for $path (compacted data is in $tmp)")
+  }
 }
