@@ -4091,6 +4091,21 @@ object Oracles {
        |  AND o_orderdate <  TIMESTAMP '$untilDate 00:00:00'
        |GROUP BY 1""".stripMargin
 
+  /** q198: the chained-window aggregate via integer epoch-µs bucket
+    * arithmetic — 10-minute buckets first, hour derived from the bucket
+    * (all integer division on positive epochs, matching Spark's
+    * epoch-aligned tumbling windows).
+    */
+  val chainedWindows: String =
+    """WITH b AS (
+      |  SELECT event_type, epoch_us(ts) // 600000000 AS b10,
+      |    CAST(COUNT(*) AS BIGINT) AS n10
+      |  FROM events GROUP BY 1, 2)
+      |SELECT make_timestamp((b10 * 600000000 // 3600000000) * 3600000000) AS hour,
+      |  event_type, CAST(SUM(n10) AS BIGINT) AS n,
+      |  CAST(MAX(n10) AS BIGINT) AS peak_10min
+      |FROM b GROUP BY 1, 2""".stripMargin
+
   /** q197: the same recursive date spine in DuckDB's WITH RECURSIVE
     * (date + integer is DuckDB's date_add spelling).
     */

@@ -1789,7 +1789,14 @@ object SparkEntry {
         )
         SELECT day, CAST(COALESCE(cnt, 0) AS BIGINT) AS n_orders
         FROM days LEFT JOIN daily ON od = day""")
-    }
+    },
+
+    // chained stateful windows (multi-stateful-operator streaming, batch
+    // evaluation): hourly totals + intra-hour PEAK 10-minute rate — the
+    // second window() re-aggregates the first's window struct; one
+    // aggregate alone cannot produce the peak
+    "q198_chained_windows" -> ((s, d) =>
+      graft.streaming.Streams.chainedWindowRates(Tables.events(s, d)))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -2031,6 +2038,7 @@ object SparkEntry {
     "q195_nested_export" -> Oracles.nestedExport,
     "q196_local_supplier_volume" ->
       Oracles.localSupplierVolume("ASIA", "1995-01-01", "1996-01-01"),
-    "q197_recursive_spine" -> Oracles.recursiveSpine
+    "q197_recursive_spine" -> Oracles.recursiveSpine,
+    "q198_chained_windows" -> Oracles.chainedWindows
   )
 }

@@ -41,6 +41,26 @@ object Streams {
   final case class SessionOut(user_id: Long, session_start: Timestamp,
                               session_end: Timestamp, n_events: Int)
 
+  /** CHAINED stateful window aggregations in one streaming query (legal
+    * since Spark 3.4's multiple-stateful-operator support): a 10-minute
+    * tumbling count re-aggregated into hourly totals + the intra-hour
+    * peak 10-minute rate — the second `window()` takes the FIRST window
+    * struct as its time column, so both operators share one event-time
+    * watermark and the query needs no intermediate sink. One aggregate
+    * alone cannot produce `peak_10min`: it is a max OVER the finer
+    * aggregate. At scale the second stage's input is already
+    * windows×types-sized — the re-aggregation is metadata-shaped.
+    */
+  def chainedWindowRates(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes").as("w10"), col("event_type"))
+      .agg(count(lit(1)).as("n10"))
+      .groupBy(window(col("w10"), "1 hour").as("w"), col("event_type"))
+      .agg(sum("n10").as("n"), max("n10").as("peak_10min"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n"), col("peak_10min"))
+
   /** Custom sessionization with explicit state: a 30-minute inactivity gap
     * closes a session. New events from the same user close prior sessions
     * event-time-exactly; with `idleTimeout` on (the production default) a

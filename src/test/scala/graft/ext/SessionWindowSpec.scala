@@ -32,4 +32,37 @@ class SessionWindowSpec extends SparkSpec {
     assert(out.getTimestamp(1) == ts("2024-03-01 00:00:00"))
     assert(out.getTimestamp(2) == ts("2024-03-01 00:10:00"))
   }
+
+  test("cross-validation: native session_window ≡ the stateful sessionize on random traffic") {
+    // both operators claim the same semantics (strict-> gap split,
+    // inclusive boundary merge) — pin them AGAINST EACH OTHER on seeded
+    // random traffic, where any boundary or merge divergence surfaces
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val base = ts("2024-05-01 00:00:00").getTime
+    val events = (1 to 400).map { i =>
+      graft.streaming.Streams.Event(
+        i.toLong, new java.sql.Timestamp(base + rnd.nextInt(6 * 3600) * 1000L),
+        1L + rnd.nextInt(5), if (rnd.nextBoolean()) "view" else "click", 1.0)
+    }
+    val allNative = Funnel.sessionWindows(events.toDF(), gap = "30 minutes")
+      .select(col("user_id"), col("session_start"),
+        expr("session_end - interval 30 minutes").as("last_ts"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    // sessionize (no timeout) emits a session only when a LATER event
+    // closes it — each user's final session stays open and unemitted in a
+    // batch run, so the comparable set is every non-final session
+    val lastStart = allNative.groupBy(_._1).view.mapValues(_.map(_._2.getTime).max).toMap
+    val native = allNative.filter { case (u, st, _, _) => st.getTime < lastStart(u) }.toSet
+    val stateful = graft.streaming.Streams
+      .sessionize(events.toDS(), idleTimeout = false)
+      .collect()
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events.toLong))
+      .toSet
+    assert(native.nonEmpty, "seeded traffic must produce at least one closed session")
+    assert(native == stateful,
+      "declarative session_window and custom-state sessionize must agree on every CLOSED session")
+  }
 }

@@ -413,6 +413,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chainedWindowRates: two stateful window aggs in ONE streaming query ≡ batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = Seq(
+      Streams.Event(1, ts("2024-01-01 10:01:00"), 1, "click", 1.0),
+      Streams.Event(2, ts("2024-01-01 10:04:00"), 1, "click", 1.0),
+      Streams.Event(3, ts("2024-01-01 10:15:00"), 2, "click", 1.0),
+      Streams.Event(4, ts("2024-01-01 10:45:00"), 2, "view", 1.0))
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.chainedWindowRates(mem.toDF()).writeStream.format("memory")
+      .queryName("chained").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(in: _*)
+      q.processAllAvailable()
+      mem.addData(Streams.Event(9, ts("2024-01-01 14:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("chained")
+        .filter("hour < timestamp '2024-01-01 13:00:00'").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // peak separates: clicks had a 2-event 10-min burst within the hour
+      assert(streamed == Set(
+        ("2024-01-01 10:00:00.0", "click", 3L, 2L),
+        ("2024-01-01 10:00:00.0", "view", 1L, 1L)))
+      val batch = Streams.chainedWindowRates(in.toDF())
+        .filter("hour < timestamp '2024-01-01 13:00:00'").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("batch equivalence: hourlyByType on a static frame matches a plain groupBy") {
     import spark.implicits._
     val events = Seq(
