@@ -4091,6 +4091,22 @@ object Oracles {
        |  AND o_orderdate <  TIMESTAMP '$untilDate 00:00:00'
        |GROUP BY 1""".stripMargin
 
+  /** q199: the token-map HOF pipeline re-derived relationally — count ≥ 3
+    * filter and integer-ppm division over the same whitespace tokens
+    * (the MAP is Spark-internal; rows are the comparable surface).
+    */
+  val tokenMap: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, SUM(n) AS total FROM c GROUP BY 1)
+      |SELECT c.doc_id, c.tok AS token,
+      |  CAST(c.n * 1000000 // t.total AS BIGINT) AS ppm
+      |FROM c JOIN tot t USING (doc_id)
+      |WHERE c.n >= 3""".stripMargin
+
   /** q198: the chained-window aggregate via integer epoch-µs bucket
     * arithmetic — 10-minute buckets first, hour derived from the bucket
     * (all integer division on positive epochs, matching Spark's

@@ -1796,7 +1796,32 @@ object SparkEntry {
     // second window() re-aggregates the first's window struct; one
     // aggregate alone cannot produce the peak
     "q198_chained_windows" -> ((s, d) =>
-      graft.streaming.Streams.chainedWindowRates(Tables.events(s, d)))
+      graft.streaming.Streams.chainedWindowRates(Tables.events(s, d))),
+
+    // MAP-typed columns + map higher-order functions: per-doc token
+    // frequency as a MAP (map_from_entries over the counted tokens),
+    // map_filter keeps tokens with count ≥ 3, transform_values derives
+    // integer ppm of the doc's token total — the map explodes back to
+    // rows only for the oracle-comparable output; all three HOFs are
+    // codegen'd, the map itself never shuffles (built after the count
+    // aggregate, consumed in the same stage)
+    "q199_token_map" -> { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.ext.TextAnalysis.tokens(lower(col("text")))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      val withMap = counts
+        .groupBy("doc_id")
+        .agg(sum("n").as("total"),
+          map_from_entries(collect_list(struct(col("tok"), col("n")))).as("m"))
+        .select(col("doc_id"), col("total"),
+          transform_values(
+            map_filter(col("m"), (_, v) => v >= 3),
+            // floor-div via double is exact here: v·10⁶ < 2⁵³ and the
+            // quotient's distance from an integer is ≥ 1/total ≫ ulp
+            (_, v) => floor(v * lit(1000000L) / col("total")).cast("long")).as("m"))
+      withMap.select(col("doc_id"), explode(col("m")).as(Seq("token", "ppm")))
+    }
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -2039,6 +2064,7 @@ object SparkEntry {
     "q196_local_supplier_volume" ->
       Oracles.localSupplierVolume("ASIA", "1995-01-01", "1996-01-01"),
     "q197_recursive_spine" -> Oracles.recursiveSpine,
-    "q198_chained_windows" -> Oracles.chainedWindows
+    "q198_chained_windows" -> Oracles.chainedWindows,
+    "q199_token_map" -> Oracles.tokenMap
   )
 }
