@@ -4091,6 +4091,22 @@ object Oracles {
        |  AND o_orderdate <  TIMESTAMP '$untilDate 00:00:00'
        |GROUP BY 1""".stripMargin
 
+  /** q200: the corpus-release flagship — q51's shard oracle minus the
+    * q54 contaminated set, summarized per (split, bucket). Composed from
+    * the SAME CTE generators as q51/q54, so the three oracles cannot
+    * drift apart.
+    */
+  def corpusRelease(trainPct: Int, budget: Long, nBuckets: Int,
+                    n: Int): String =
+    s"""WITH shards AS (SELECT * FROM (${curationShards(trainPct, budget, nBuckets)})),
+       |cont AS (SELECT train_id AS doc_id FROM (${decontamination(n)})),
+       |clean AS (SELECT * FROM shards WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+       |SELECT split, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS n_tokens,
+       |  CAST(MAX(pack_seq) + 1 AS BIGINT) AS n_packs,
+       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+       |FROM clean GROUP BY 1, 2""".stripMargin
+
   /** q199: the token-map HOF pipeline re-derived relationally — count ≥ 3
     * filter and integer-ppm division over the same whitespace tokens
     * (the MAP is Spark-internal; rows are the comparable surface).

@@ -752,7 +752,18 @@ object Plans {
         |pushed to the orders scan) LEFT-joined to the spine; the spine
         |side broadcasts. Recursion depth is bounded by the anchor
         |predicate, not by data volume — the safe shape for SQL recursion
-        |at scale (never recurse over the fact table).""".stripMargin)
+        |at scale (never recurse over the fact table).""".stripMargin,
+    "q200_corpus_release" ->
+      """The corpus-release flagship: curation (lang sample + quality gate)
+        |→ MinHash cluster dedup → leakage-safe split → sequence packing →
+        |eval-set decontamination gate → per-(split, bucket) release
+        |summary, ONE lazy plan. Shuffles only on the operators' own keys
+        |(band/bucket for LSH, cluster_rep for the split, (split, bucket)
+        |for packing and the summary); the contaminated id set is
+        |aggregate-sized and BROADCASTS into a left-anti join, so the
+        |decontamination gate costs no fact exchange. This is the shape a
+        |100 TB corpus build actually runs: every stage's output is
+        |either per-doc (narrow) or aggregate-sized.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

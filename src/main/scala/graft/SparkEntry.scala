@@ -1821,6 +1821,29 @@ object SparkEntry {
             // quotient's distance from an integer is ≥ 1/total ≫ ulp
             (_, v) => floor(v * lit(1000000L) / col("total")).cast("long")).as("m"))
       withMap.select(col("doc_id"), explode(col("m")).as(Seq("token", "ppm")))
+    },
+
+    // q200 — the corpus-release flagship: q51's curate→cluster-split→pack
+    // chain, minus any document sharing a 4-gram with the held-out eval
+    // slice (q54's decontamination as a LEFT ANTI gate), summarized to
+    // one row per (split, bucket): docs, tokens, packs, languages. The
+    // whole release is ONE lazy plan; the contaminated set is
+    // aggregate-sized (distinct doc ids), so the anti join broadcasts
+    "q200_corpus_release" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val shards = graft.ext.Curation.curateToShards(docs,
+        permille = Seq("en" -> 800), defaultPermille = 500, minQuality = 0.2,
+        trainPct = 90, packBudget = 2048L, nBuckets = 8)
+      val contaminated = graft.ext.Dedup.crossContamination(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), n = 4)
+        .select(col("train_id").as("doc_id"))
+      shards.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .groupBy("split", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("n_tokens"),
+          (max("pack_seq") + 1).cast("long").as("n_packs"),
+          size(collect_set(col("lang"))).cast("long").as("n_langs"))
     }
   )
 
@@ -2065,6 +2088,8 @@ object SparkEntry {
       Oracles.localSupplierVolume("ASIA", "1995-01-01", "1996-01-01"),
     "q197_recursive_spine" -> Oracles.recursiveSpine,
     "q198_chained_windows" -> Oracles.chainedWindows,
-    "q199_token_map" -> Oracles.tokenMap
+    "q199_token_map" -> Oracles.tokenMap,
+    "q200_corpus_release" ->
+      Oracles.corpusRelease(90, 2048L, 8, 4)
   )
 }
