@@ -81,4 +81,39 @@ object Feeds {
     spark.createDataFrame(
       java.util.List.of(Row("other", 0.0, site)), Schemas.saleLine)
   }
+
+  /** JSON-lines ingestion with a QUARANTINE lane: good records parse
+    * against the declared schema, malformed lines survive VERBATIM in the
+    * second frame instead of becoming silent nulls (the reference's bare
+    * `except:` swallows them — portfolio-etl.py:477). Built on
+    * `from_json` + an in-schema corrupt-record column, which — unlike
+    * filtering the reader's internal `_corrupt_record` — needs no
+    * cache() workaround and streams unchanged. At scale the quarantine
+    * frame is written next to the output and its COUNT is the batch's
+    * data-quality gate.
+    */
+  def jsonWithQuarantine(spark: SparkSession, path: String,
+                         schemaDdl: String): (DataFrame, DataFrame) = {
+    val parsed = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value"), from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+          .add("_corrupt_record", org.apache.spark.sql.types.StringType),
+        java.util.Map.of("columnNameOfCorruptRecord", "_corrupt_record",
+          "mode", "PERMISSIVE")).as("r"))
+    (parsed.filter(col("r._corrupt_record").isNull).select(col("r.*"))
+       .drop("_corrupt_record"),
+      parsed.filter(col("r._corrupt_record").isNotNull)
+        .select(col("value").as("raw_record")))
+  }
+
+  /** Schema-evolution read: one logical table whose parquet batches were
+    * written with DIFFERENT (compatible) schemas — `mergeSchema` unions
+    * the footers' columns, absent fields read as null per batch. The
+    * ingestion reality of any long-lived 100 TB table (marketplaces add
+    * fields; old partitions don't rewrite). Merge is footer-metadata
+    * work, not data work.
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }
