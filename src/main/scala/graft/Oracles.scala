@@ -4091,6 +4091,48 @@ object Oracles {
        |  AND o_orderdate <  TIMESTAMP '$untilDate 00:00:00'
        |GROUP BY 1""".stripMargin
 
+  /** q202: top-k + OTHER rollup over exact DECIMAL brand revenue; rank
+    * ties break on brand name like the Spark window.
+    */
+  def topkOthers(k: Int): String =
+    s"""WITH rev AS (
+       |  SELECT p_brand AS brand, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+       |ranked AS (
+       |  SELECT brand, rev, ROW_NUMBER() OVER (ORDER BY rev DESC, brand) AS r FROM rev)
+       |SELECT CASE WHEN r <= $k THEN brand ELSE 'OTHER' END AS brand,
+       |  CAST(SUM(rev) AS DOUBLE) AS revenue,
+       |  CAST(COUNT(*) AS BIGINT) AS n_groups
+       |FROM ranked GROUP BY 1""".stripMargin
+
+  /** q203: daily new-vs-returning actives over deduped (user, day). */
+  val newVsReturning: String =
+    """WITH a AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+      |f AS (SELECT u, MIN(day) AS first_day FROM a GROUP BY 1)
+      |SELECT day,
+      |  CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+      |FROM a JOIN f USING (u) GROUP BY 1""".stripMargin
+
+  /** q201: fit ∘ apply percentile bucketizer — nearest-rank edges over
+    * the by-value cumulative table, bucket id = count of edges strictly
+    * below the value (inclusive upper edge), identical to
+    * Quality.fitBuckets/applyBuckets.
+    */
+  def priceBuckets(n: Int): String =
+    s"""WITH c AS (SELECT p_retailprice AS v, CAST(COUNT(*) AS BIGINT) AS c FROM part GROUP BY 1),
+       |cum AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM c),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM part),
+       |edges AS (
+       |  SELECT q, MIN(v) AS edge
+       |  FROM cum CROSS JOIN tot CROSS JOIN (SELECT unnest(range(1, $n)) AS q)
+       |  WHERE cum * $n >= t * q GROUP BY 1)
+       |SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges WHERE p.p_retailprice > edge) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(p.p_retailprice) AS lo, MAX(p.p_retailprice) AS hi
+       |FROM part p GROUP BY 1""".stripMargin
+
   /** q200: the corpus-release flagship — q51's shard oracle minus the
     * q54 contaminated set, summarized per (split, bucket). Composed from
     * the SAME CTE generators as q51/q54, so the three oracles cannot

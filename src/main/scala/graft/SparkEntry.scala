@@ -1844,7 +1844,40 @@ object SparkEntry {
           sum("n_tokens").cast("long").as("n_tokens"),
           (max("pack_seq") + 1).cast("long").as("n_packs"),
           size(collect_set(col("lang"))).cast("long").as("n_langs"))
-    }
+    },
+
+    // percentile bucketizer, fit ∘ apply: 8 equal-frequency price buckets
+    // learned from part (nearest-rank edges, the q151 machinery), applied
+    // as a broadcast array filter — the train/serve discretization
+    // pattern with NO serve-side re-derivation
+    "q201_price_buckets" -> { (s, d) =>
+      val part = Tables.part(s, d)
+      val edges = graft.ext.Quality.fitBuckets(part, "p_retailprice", n = 8)
+      graft.ext.Quality.applyBuckets(part, edges, "p_retailprice")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("p_retailprice").as("lo"), max("p_retailprice").as("hi"))
+    },
+
+    // the universal report tail: top-5 brands by exact DECIMAL revenue,
+    // remaining brands rolled into one OTHER row — rank runs over the
+    // 25-brand aggregate, never facts; revenue goes double only at the
+    // output boundary
+    "q202_topk_others" -> { (s, d) =>
+      val revenue = Tables.lineitem(s, d)
+        .join(Tables.part(s, d),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      graft.ext.Warehouse.othersRollup(revenue, "brand", "rev", k = 5)
+        .select(col("brand"), col("rev").cast("double").as("revenue"),
+          col("n_groups"))
+    },
+
+    // daily new vs returning actives: first-day split over the deduped
+    // (user, day) activity — one user-key exchange + one day-keyed count
+    "q203_new_vs_returning" -> ((s, d) =>
+      graft.ext.Warehouse.newVsReturning(Tables.events(s, d)))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -2090,6 +2123,9 @@ object SparkEntry {
     "q198_chained_windows" -> Oracles.chainedWindows,
     "q199_token_map" -> Oracles.tokenMap,
     "q200_corpus_release" ->
-      Oracles.corpusRelease(90, 2048L, 8, 4)
+      Oracles.corpusRelease(90, 2048L, 8, 4),
+    "q201_price_buckets" -> Oracles.priceBuckets(8),
+    "q202_topk_others" -> Oracles.topkOthers(5),
+    "q203_new_vs_returning" -> Oracles.newVsReturning
   )
 }

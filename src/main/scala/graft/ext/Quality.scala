@@ -241,6 +241,43 @@ object Quality {
       .withColumn("winsorized_mean", expr("winsorized_sum div n"))
   }
 
+  /** Percentile bucketizer FIT: the n−1 nearest-rank bucket edges (value
+    * at cumulative rank ≥ i·N/n) as a tiny (i, edge) table. The ML
+    * discretization pattern's train half — edges are learned ONCE on
+    * training data and persisted, then [[applyBuckets]] reuses them on
+    * any later frame (serve-time data must never re-derive its own
+    * edges: that's train/serve skew). By-value collapse first, so the
+    * rank window runs over distinct values, not rows.
+    */
+  def fitBuckets(df: DataFrame, valCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"need at least 2 buckets: $n")
+    val counts = df.groupBy(col(valCol).as("__v")).agg(count(lit(1)).as("__c"))
+    // single-partition window over the BY-VALUE table (distinct values,
+    // not rows) — the documented exact-quantile trade (q130/q151)
+    val wRun = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("__cum", sum("__c").over(wRun))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("__tot"))))
+    val qs = df.sparkSession.range(1, n).select(col("id").as("q"))
+    cum.crossJoin(broadcast(qs))
+      .filter(col("__cum") * n >= col("__tot") * col("q"))
+      .groupBy(col("q")).agg(min(col("__v")).as("edge"))
+  }
+
+  /** Percentile bucketizer APPLY: bucket id = number of stored edges the
+    * value exceeds (values equal to an edge take the LOWER bucket — the
+    * edge is an inclusive upper bound). The edge table collapses to one
+    * broadcast array row; the bucket id is a codegen'd array `filter`
+    * over it — zero shuffle on the fact side.
+    */
+  def applyBuckets(df: DataFrame, edges: DataFrame, valCol: String): DataFrame = {
+    val edgeArr = edges.agg(sort_array(collect_list(col("edge"))).as("__edges"))
+    df.crossJoin(broadcast(edgeArr))
+      .withColumn("bucket",
+        size(filter(col("__edges"), e => col(valCol) > e)).cast("long"))
+      .drop("__edges")
+  }
+
   /** Robust per-group outlier report: median, MAD (median absolute
     * deviation), and the count of rows beyond `k`·MAD. Three passes over
     * the fact (median, deviation median, final count), each a hash

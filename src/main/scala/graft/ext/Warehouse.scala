@@ -24,6 +24,46 @@ object Warehouse {
     col("l_extendedprice").cast("decimal(18,2)") *
       (lit(1.0) - col("l_discount")).cast("decimal(18,2)")
 
+  /** The universal report tail — top-k groups by value, everything else
+    * rolled into one OTHER row (every dashboard's "top 10 + other"). The
+    * input is an already-aggregated (group, value) frame, so the window
+    * ranks group-keyspace rows, not facts; ties break on the group name
+    * for determinism. Carries how many raw groups each output row
+    * absorbs.
+    */
+  def othersRollup(agg: DataFrame, grpCol: String, valCol: String,
+                   k: Int, otherLabel: String = "OTHER"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(valCol).desc, col(grpCol))
+    agg
+      .withColumn("__r", row_number().over(w))
+      .withColumn(grpCol,
+        when(col("__r") <= k, col(grpCol)).otherwise(lit(otherLabel)))
+      .groupBy(col(grpCol))
+      .agg(sum(col(valCol)).as(valCol),
+        count(lit(1)).cast("long").as("n_groups"))
+  }
+
+  /** Daily NEW vs RETURNING active users: a user is new on their
+    * first-ever active day, returning on every later one. Two aggregates
+    * over the deduped (user, day) activity — first-day per user (one
+    * user-key exchange), then a day-keyed count split; no window over
+    * facts, no self-join.
+    */
+  def newVsReturning(events: DataFrame, tsCol: String = "ts",
+                     userCol: String = "user_id"): DataFrame = {
+    val activity = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val first = activity.groupBy("u").agg(min("day").as("first_day"))
+    activity.join(first, "u")
+      .groupBy("day")
+      .agg(
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("day") > col("first_day"), 1L).otherwise(0L)).as("n_returning"))
+  }
+
   /** TPC-H Q5 shape — local supplier volume: revenue by nation where the
     * CUSTOMER and SUPPLIER share a nation, for one region and order-date
     * window. The interesting join is the two-key supplier match
