@@ -4114,6 +4114,50 @@ object Oracles {
       |  CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
       |FROM a JOIN f USING (u) GROUP BY 1""".stripMargin
 
+  /** q204: daily churn — lead over each user's active-day sequence,
+    * final day excluded.
+    */
+  val dailyChurn: String =
+    """WITH a AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+      |n AS (SELECT u, day, LEAD(day) OVER (PARTITION BY u ORDER BY day) AS next_day FROM a),
+      |m AS (SELECT MAX(day) AS last_day FROM a)
+      |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_churned
+      |FROM n, m
+      |WHERE day < last_day AND (next_day IS NULL OR next_day > day + 1)
+      |GROUP BY 1""".stripMargin
+
+  /** q205: RFM — same per-user aggregate, the q201 nearest-rank quartile
+    * edges per metric (correlated-count bucket assignment), identical
+    * 3-digit code arithmetic.
+    */
+  def rfmSegments(refDate: String): String = {
+    def edges(v: String) =
+      s"""SELECT q, MIN(v) AS edge FROM
+         |  (SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM
+         |    (SELECT $v AS v, CAST(COUNT(*) AS BIGINT) AS c FROM per GROUP BY 1)),
+         |  (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM per),
+         |  (SELECT unnest(range(1, 4)) AS q)
+         |WHERE cum * 4 >= t * q GROUP BY 1""".stripMargin
+    s"""WITH per AS (
+       |  SELECT user_id,
+       |    CAST(date_diff('day', MAX(CAST(ts AS DATE)), DATE '$refDate') AS BIGINT) AS recency_days,
+       |    CAST(COUNT(*) AS BIGINT) AS frequency,
+       |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |er AS (${edges("recency_days")}),
+       |ef AS (${edges("frequency")}),
+       |em AS (${edges("monetary_cents")}),
+       |coded AS (
+       |  SELECT monetary_cents,
+       |    (3 - (SELECT COUNT(*) FROM er WHERE p.recency_days > edge)) * 100
+       |    + (SELECT COUNT(*) FROM ef WHERE p.frequency > edge) * 10
+       |    + (SELECT COUNT(*) FROM em WHERE p.monetary_cents > edge) AS rfm
+       |  FROM per p)
+       |SELECT CAST(rfm AS BIGINT) AS rfm, CAST(COUNT(*) AS BIGINT) AS n_users,
+       |  CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+       |FROM coded GROUP BY 1""".stripMargin
+  }
+
   /** q201: fit ∘ apply percentile bucketizer — nearest-rank edges over
     * the by-value cumulative table, bucket id = count of edges strictly
     * below the value (inclusive upper edge), identical to

@@ -1877,7 +1877,21 @@ object SparkEntry {
     // daily new vs returning actives: first-day split over the deduped
     // (user, day) activity — one user-key exchange + one day-keyed count
     "q203_new_vs_returning" -> ((s, d) =>
-      graft.ext.Warehouse.newVsReturning(Tables.events(s, d)))
+      graft.ext.Warehouse.newVsReturning(Tables.events(s, d))),
+
+    // daily churn: active on d, silent on d+1 — lead over each user's
+    // active-day sequence, final (unknowable) day excluded
+    "q204_daily_churn" -> ((s, d) =>
+      graft.ext.Warehouse.dailyChurn(Tables.events(s, d))),
+
+    // RFM segmentation: per-user recency/frequency/monetary quartiled by
+    // the q201 fit∘apply bucketizer (three broadcast edge fits, one pass
+    // over the user aggregate), classic 3-digit code; summarized per code
+    "q205_rfm_segments" -> ((s, d) =>
+      graft.ext.Warehouse.rfmSegments(Tables.events(s, d), refDate = "2024-07-01")
+        .groupBy("rfm")
+        .agg(count(lit(1)).as("n_users"),
+          sum("monetary_cents").as("segment_cents")))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -2126,6 +2140,8 @@ object SparkEntry {
       Oracles.corpusRelease(90, 2048L, 8, 4),
     "q201_price_buckets" -> Oracles.priceBuckets(8),
     "q202_topk_others" -> Oracles.topkOthers(5),
-    "q203_new_vs_returning" -> Oracles.newVsReturning
+    "q203_new_vs_returning" -> Oracles.newVsReturning,
+    "q204_daily_churn" -> Oracles.dailyChurn,
+    "q205_rfm_segments" -> Oracles.rfmSegments("2024-07-01")
   )
 }

@@ -64,6 +64,56 @@ object Warehouse {
         sum(when(col("day") > col("first_day"), 1L).otherwise(0L)).as("n_returning"))
   }
 
+  /** Daily churn: users active on day d but NOT on d+1, for every d
+    * before the last observed day (the final day's churn is unknowable
+    * in-corpus and excluded). `lead` over each user's active-day sequence
+    * — one user-key exchange, no day-pair self-join.
+    */
+  def dailyChurn(events: DataFrame, tsCol: String = "ts",
+                 userCol: String = "user_id"): DataFrame = {
+    val activity = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy("day")
+    activity
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+      .crossJoin(broadcast(activity.agg(max("day").as("last_day"))))
+      .filter(col("day") < col("last_day"))
+      .filter(col("next_day").isNull
+        || col("next_day") > date_add(col("day"), 1))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_churned"))
+  }
+
+  /** RFM segmentation: per-user Recency (days since last purchase,
+    * against a PINNED reference date — never now()), Frequency (purchase
+    * count), Monetary (integer cents), each discretized into quartiles
+    * by [[Quality.fitBuckets]]/[[Quality.applyBuckets]] and combined as
+    * the classic 3-digit RFM code. Composition: three aggregate-sized
+    * edge fits broadcast onto ONE pass over the per-user aggregate;
+    * recency quartile is inverted (recent = high score).
+    */
+  def rfmSegments(events: DataFrame, refDate: String,
+                  convType: String = "purchase"): DataFrame = {
+    val per = events
+      .filter(col("event_type") === convType)
+      .groupBy(col("user_id"))
+      .agg(
+        datediff(to_date(lit(refDate)), max(to_date(col("ts")))).cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("monetary_cents"))
+    val scored = Seq("recency_days", "frequency", "monetary_cents")
+      .foldLeft(per) { (df0, c) =>
+        Quality.applyBuckets(df0, Quality.fitBuckets(per, c, 4), c)
+          .withColumnRenamed("bucket", s"__q_$c")
+      }
+    scored.select(col("user_id"), col("recency_days"), col("frequency"),
+      col("monetary_cents"),
+      ((lit(3) - col("__q_recency_days")) * 100 + col("__q_frequency") * 10
+        + col("__q_monetary_cents")).cast("long").as("rfm"))
+  }
+
   /** TPC-H Q5 shape — local supplier volume: revenue by nation where the
     * CUSTOMER and SUPPLIER share a nation, for one region and order-date
     * window. The interesting join is the two-key supplier match

@@ -471,10 +471,21 @@ object Streams {
     * transforms above (schema must be supplied — streaming reads don't
     * infer).
     */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
+  /** `maxFilesPerTrigger > 0` paces a backfill: each micro-batch ingests
+    * at most that many files, so replaying months of history runs as many
+    * small exactly-once batches instead of one giant one — state stores,
+    * watermarks and sinks advance incrementally, and a failure loses one
+    * slice, not the whole replay. (AvailableNow respects the cap and
+    * still terminates.)
+    */
+  def readEventsStream(spark: SparkSession, dir: String,
+                       maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+     else r).parquet(dir)
+  }
 
   /** Checkpointed parquet sink for the hourly aggregation: processes all
     * currently-available input (AvailableNow) and stops — the incremental

@@ -801,6 +801,30 @@ class StreamsSpec extends SparkSpec {
       "persisted ActivityState(n, cents) per user must match what was streamed")
   }
 
+  test("throttled backfill: maxFilesPerTrigger paces the replay through many micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("paced").toString
+    val events = (1 to 40).map(i => Streams.Event(
+      i.toLong, ts(f"2024-01-01 10:${i % 60}%02d:00"), i.toLong % 7, "click", 1.0))
+    // 4 separate files = 4 paced batches at maxFilesPerTrigger=1
+    events.grouped(10).zipWithIndex.foreach { case (g, i) =>
+      g.toDF().coalesce(1).write.parquet(s"$dir/part_$i") }
+    val paced = Streams.readEventsStream(spark,
+      s"$dir/part_*", maxFilesPerTrigger = 1)
+    val batchIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val total = new java.util.concurrent.atomic.AtomicLong()
+    val q = paced.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batchIds.add(id); total.addAndGet(b.count()); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    assert(total.get() == 40L, "every row ingested exactly once across the paced batches")
+    assert(batchIds.size() >= 4,
+      s"expected >= 4 paced micro-batches (one per file), got ${batchIds.size()}")
+  }
+
   private def li(pk: Long, qty: Double, price: Double, disc: Double) =
     (pk, qty, price, disc)
 
