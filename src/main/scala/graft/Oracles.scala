@@ -4114,6 +4114,60 @@ object Oracles {
       |  CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
       |FROM a JOIN f USING (u) GROUP BY 1""".stripMargin
 
+  /** q206: duplicate-event pairs — identity equi-join + time residual. */
+  def duplicateEvents(tolUs: Long): String =
+    s"""WITH e AS (
+       |  SELECT user_id AS u, event_type AS t,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    epoch_us(ts) AS us, event_id
+       |  FROM events)
+       |SELECT a.u AS user_id, a.t AS event_type,
+       |  a.cents AS cents_a, b.cents AS cents_b,
+       |  a.event_id AS id_a, b.event_id AS id_b,
+       |  CAST(abs(a.us - b.us) AS BIGINT) AS gap_us
+       |FROM e a JOIN e b
+       |  ON a.u = b.u AND a.t = b.t
+       | AND a.event_id < b.event_id AND abs(a.us - b.us) <= $tolUs""".stripMargin
+
+  /** q207: discount-elasticity OLS — the q117 integer-micros skeleton
+    * with x = discount cents, y = quantity (raw line points, no
+    * pre-aggregate).
+    */
+  val discountElasticity: String =
+    s"""WITH pts AS (
+       |  SELECT p_brand,
+       |    CAST(round(l_discount * 100) AS BIGINT) AS x,
+       |    CAST(l_quantity AS BIGINT) AS y
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+       |s AS (
+       |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+       |  FROM pts GROUP BY 1),
+       |t AS (
+       |  SELECT p_brand, n, sx, sy,
+       |    n * sxx - sx * sx AS den, n * sxy - sx * sy AS num
+       |  FROM s),
+       |u AS (
+       |  SELECT p_brand, n, sx, sy,
+       |    CASE WHEN den > 0 THEN
+       |      CASE WHEN num >= 0 THEN (2000000 * num + den) // (2 * den)
+       |           ELSE -((2000000 * (-num) + den) // (2 * den)) END
+       |    END AS slope_u
+       |  FROM t),
+       |v AS (
+       |  SELECT p_brand, n, slope_u,
+       |    1000000 * sy - slope_u * sx AS inum
+       |  FROM u)
+       |SELECT p_brand, n,
+       |  CAST(slope_u AS DOUBLE) / 1000000 AS slope,
+       |  CAST(CASE WHEN slope_u IS NOT NULL THEN
+       |    CASE WHEN inum >= 0 THEN (2 * inum + n) // (2 * n)
+       |         ELSE -((2 * (-inum) + n) // (2 * n)) END
+       |  END AS DOUBLE) / 1000000 AS intercept
+       |FROM v""".stripMargin
+
   /** q204: daily churn — lead over each user's active-day sequence,
     * final day excluded.
     */

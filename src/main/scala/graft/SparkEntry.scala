@@ -1891,7 +1891,25 @@ object SparkEntry {
       graft.ext.Warehouse.rfmSegments(Tables.events(s, d), refDate = "2024-07-01")
         .groupBy("rfm")
         .agg(count(lit(1)).as("n_users"),
-          sum("monetary_cents").as("segment_cents")))
+          sum("monetary_cents").as("segment_cents"))),
+
+    // idempotency-violation audit: same (user, type) within 60 s —
+    // identity equi-join, time bound residual, pairs emit once with both
+    // sides' cents as evidence
+    "q206_duplicate_events" -> ((s, d) =>
+      graft.ext.Funnel.duplicateEvents(Tables.events(s, d))),
+
+    // discount elasticity: exact integer OLS (q117's groupTrend) of
+    // quantity against discount cents per brand — slope < 0 means the
+    // discount moves volume
+    "q207_discount_elasticity" -> { (s, d) =>
+      val pts = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          expr("cast(round(l_discount * 100) as bigint)").as("dcents"),
+          col("l_quantity").cast("long").as("qty"))
+      graft.ext.TimeSeries.groupTrend(pts, Seq("p_brand"), "dcents", "qty")
+    }
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -2142,6 +2160,8 @@ object SparkEntry {
     "q202_topk_others" -> Oracles.topkOthers(5),
     "q203_new_vs_returning" -> Oracles.newVsReturning,
     "q204_daily_churn" -> Oracles.dailyChurn,
-    "q205_rfm_segments" -> Oracles.rfmSegments("2024-07-01")
+    "q205_rfm_segments" -> Oracles.rfmSegments("2024-07-01"),
+    "q206_duplicate_events" -> Oracles.duplicateEvents(60L * 1000000),
+    "q207_discount_elasticity" -> Oracles.discountElasticity
   )
 }

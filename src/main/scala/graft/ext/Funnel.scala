@@ -539,6 +539,40 @@ object Funnel {
         col("cohort_n"), col("retention"))
   }
 
+  /** Duplicate-event detection (idempotency-violation audit): pairs of
+    * events from the same user and type within `toleranceUs` of each
+    * other — the signature of a double-fired webhook or a client retry;
+    * `matchCents = true` additionally requires identical integer cents
+    * (the strict payment-dedup identity). Equi-join on the (user, type)
+    * identity with the time bound and cents match as residuals, so
+    * candidate fan-in is per-identity, never a global time-window cross
+    * product (a user's per-type event count bounds it; for a pathological
+    * hot identity, pre-bucket `us div tolerance` into the key — the q42
+    * chunking). Each pair emits once (id_a < id_b); both sides' cents
+    * ride along as audit evidence.
+    */
+  def duplicateEvents(events: DataFrame, toleranceUs: Long = 60L * 1000000,
+                      matchCents: Boolean = false,
+                      tsCol: String = "ts", userCol: String = "user_id",
+                      typeCol: String = "event_type",
+                      valueCol: String = "value"): DataFrame = {
+    val e = events.select(
+      col(userCol).as("u"), col(typeCol).as("t"),
+      expr(s"cast(round($valueCol * 100) as bigint)").as("cents"),
+      unix_micros(col(tsCol)).as("us"), col("event_id"))
+    val a = e.select(col("u"), col("t"), col("cents").as("cents_a"),
+      col("us").as("us_a"), col("event_id").as("id_a"))
+    val b = e.select(col("u"), col("t"), col("cents").as("cents_b"),
+      col("us").as("us_b"), col("event_id").as("id_b"))
+    a.join(b, Seq("u", "t"))
+      .filter(col("id_a") < col("id_b")
+        && abs(col("us_a") - col("us_b")) <= toleranceUs
+        && (if (matchCents) col("cents_a") === col("cents_b") else lit(true)))
+      .select(col("u").as("user_id"), col("t").as("event_type"),
+        col("cents_a"), col("cents_b"), col("id_a"), col("id_b"),
+        abs(col("us_a") - col("us_b")).as("gap_us"))
+  }
+
   /** Per-user gap sessions via Spark's NATIVE `session_window` — the
     * declarative sibling of [[graft.streaming.Streams.sessionize]] (which
     * carries custom per-session state through `flatMapGroupsWithState`).
