@@ -4114,6 +4114,38 @@ object Oracles {
       |  CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
       |FROM a JOIN f USING (u) GROUP BY 1""".stripMargin
 
+  /** q208: WoW deltas — toward-zero integer ppm via sign split (DuckDB
+    * `//` floors; Spark `div` truncates).
+    */
+  val weekOverWeek: String =
+    """WITH weekly AS (
+      |  SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM lineitem GROUP BY 1),
+      |l AS (SELECT week, rev_cents,
+      |        LAG(rev_cents) OVER (ORDER BY week) AS prev_cents FROM weekly)
+      |SELECT week, rev_cents, prev_cents,
+      |  CASE WHEN prev_cents > 0 THEN
+      |    CASE WHEN rev_cents >= prev_cents
+      |         THEN ((rev_cents - prev_cents) * 1000000) // prev_cents
+      |         ELSE -(((prev_cents - rev_cents) * 1000000) // prev_cents) END
+      |  END AS wow_ppm
+      |FROM l""".stripMargin
+
+  /** q209: fact↔rollup reconciliation in integer cents. */
+  val reconciliation: String =
+    """WITH ls AS (
+      |  SELECT l_orderkey AS ok,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS line_cents
+      |  FROM lineitem GROUP BY 1)
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+      |                     <> COALESCE(line_cents, 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+      |  CAST(SUM(abs(CAST(round(o_totalprice * 100) AS BIGINT)
+      |               - COALESCE(line_cents, 0))) AS BIGINT) AS abs_drift_cents
+      |FROM orders LEFT JOIN ls ON o_orderkey = ok
+      |GROUP BY 1""".stripMargin
+
   /** q206: duplicate-event pairs — identity equi-join + time residual. */
   def duplicateEvents(tolUs: Long): String =
     s"""WITH e AS (

@@ -1909,7 +1909,18 @@ object SparkEntry {
           expr("cast(round(l_discount * 100) as bigint)").as("dcents"),
           col("l_quantity").cast("long").as("qty"))
       graft.ext.TimeSeries.groupTrend(pts, Seq("p_brand"), "dcents", "qty")
-    }
+    },
+
+    // week-over-week revenue deltas in truncated integer ppm — lag over
+    // the week keyspace, never facts
+    "q208_week_over_week" -> ((s, d) =>
+      graft.ext.Warehouse.weekOverWeek(Tables.lineitem(s, d))),
+
+    // fact↔rollup reconciliation: header cents vs summed line cents per
+    // order status — the audit every warehouse runs after load
+    "q209_reconciliation" -> ((s, d) =>
+      graft.ext.Warehouse.orderLineReconciliation(
+        Tables.orders(s, d), Tables.lineitem(s, d)))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -2162,6 +2173,8 @@ object SparkEntry {
     "q204_daily_churn" -> Oracles.dailyChurn,
     "q205_rfm_segments" -> Oracles.rfmSegments("2024-07-01"),
     "q206_duplicate_events" -> Oracles.duplicateEvents(60L * 1000000),
-    "q207_discount_elasticity" -> Oracles.discountElasticity
+    "q207_discount_elasticity" -> Oracles.discountElasticity,
+    "q208_week_over_week" -> Oracles.weekOverWeek,
+    "q209_reconciliation" -> Oracles.reconciliation
   )
 }

@@ -114,6 +114,46 @@ object Warehouse {
         + col("__q_monetary_cents")).cast("long").as("rfm"))
   }
 
+  /** Week-over-week revenue report: ISO-week revenue cents with the
+    * previous week's delta in truncated ppm (integer `div` — toward-zero
+    * in both engines via the sign-split oracle form). The lag window runs
+    * over the week KEYSPACE (≤ a few thousand rows for decades of data),
+    * never facts.
+    */
+  def weekOverWeek(lineitem: DataFrame): DataFrame = {
+    val weekly = lineitem
+      .groupBy(date_trunc("week", col("l_shipdate")).cast("date").as("week"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("rev_cents"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("week")
+    weekly
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .withColumn("wow_ppm",
+        when(col("prev_cents") > 0,
+          expr("(rev_cents - prev_cents) * 1000000 div prev_cents")))
+  }
+
+  /** Reconciliation audit: per order status, how many orders' header
+    * total disagrees with the sum of their lines' extended price (both
+    * as integer cents — exact), plus the absolute drift. The classic
+    * warehouse consistency report between a fact and its rollup; all
+    * arithmetic integer so the mismatch COUNT is bit-stable.
+    */
+  def orderLineReconciliation(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val lineSums = lineitem
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("line_cents"))
+    orders
+      .join(lineSums, col("o_orderkey") === col("ok"), "left")
+      .select(col("o_orderstatus"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("header_cents"),
+        coalesce(col("line_cents"), lit(0L)).as("line_cents"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("header_cents") =!= col("line_cents"), 1L).otherwise(0L))
+          .as("n_mismatched"),
+        sum(abs(col("header_cents") - col("line_cents"))).as("abs_drift_cents"))
+  }
+
   /** TPC-H Q5 shape — local supplier volume: revenue by nation where the
     * CUSTOMER and SUPPLIER share a nation, for one region and order-date
     * window. The interesting join is the two-key supplier match
