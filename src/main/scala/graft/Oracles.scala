@@ -4114,6 +4114,25 @@ object Oracles {
       |  CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
       |FROM a JOIN f USING (u) GROUP BY 1""".stripMargin
 
+  /** q210: cohort LTV — first-purchase-week cohorts, weekly cents and
+    * the running cumulative over the cohort grid.
+    */
+  val cohortLtv: String =
+    """WITH p AS (
+      |  SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS week,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT u, MIN(week) AS cohort_week FROM p GROUP BY 1),
+      |weekly AS (
+      |  SELECT cohort_week, week, CAST(SUM(cents) AS BIGINT) AS week_cents
+      |  FROM p JOIN c USING (u) GROUP BY 1, 2)
+      |SELECT cohort_week,
+      |  CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS weeks_since,
+      |  week_cents,
+      |  CAST(SUM(week_cents) OVER (PARTITION BY cohort_week ORDER BY week
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      |FROM weekly""".stripMargin
+
   /** q208: WoW deltas — toward-zero integer ppm via sign split (DuckDB
     * `//` floors; Spark `div` truncates).
     */

@@ -1920,7 +1920,12 @@ object SparkEntry {
     // order status — the audit every warehouse runs after load
     "q209_reconciliation" -> ((s, d) =>
       graft.ext.Warehouse.orderLineReconciliation(
-        Tables.orders(s, d), Tables.lineitem(s, d)))
+        Tables.orders(s, d), Tables.lineitem(s, d))),
+
+    // cohort LTV triangle: first-purchase-week cohorts, per-week cents +
+    // running cumulative — windows over the cohort×week keyspace only
+    "q210_cohort_ltv" -> ((s, d) =>
+      graft.ext.Funnel.cohortLtv(Tables.events(s, d)))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -2175,6 +2180,7 @@ object SparkEntry {
     "q206_duplicate_events" -> Oracles.duplicateEvents(60L * 1000000),
     "q207_discount_elasticity" -> Oracles.discountElasticity,
     "q208_week_over_week" -> Oracles.weekOverWeek,
-    "q209_reconciliation" -> Oracles.reconciliation
+    "q209_reconciliation" -> Oracles.reconciliation,
+    "q210_cohort_ltv" -> Oracles.cohortLtv
   )
 }

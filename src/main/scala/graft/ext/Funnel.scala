@@ -518,6 +518,34 @@ object Funnel {
       .agg(count_distinct(col("u")).as("active_users"))
   }
 
+  /** Cohort LTV curves: users cohorted by FIRST-purchase ISO week, each
+    * cohort's per-week purchase cents and the running cumulative — the
+    * growth team's lifetime-value triangle. Two aggregates (user first
+    * week, then cohort×week cents) and one window over the cohort×week
+    * KEYSPACE; facts shuffle once on the user key and once on the cohort
+    * grid, never through a window.
+    */
+  def cohortLtv(events: DataFrame, convType: String = "purchase",
+                tsCol: String = "ts", userCol: String = "user_id",
+                valueCol: String = "value"): DataFrame = {
+    val p = events.filter(col("event_type") === convType)
+      .select(col(userCol).as("u"),
+        date_trunc("week", col(tsCol)).cast("date").as("week"),
+        expr(s"cast(round($valueCol * 100) as bigint)").as("cents"))
+    val cohorts = p.groupBy("u").agg(min("week").as("cohort_week"))
+    val weekly = p.join(cohorts, "u")
+      .groupBy("cohort_week", "week")
+      .agg(sum("cents").as("week_cents"))
+      .withColumn("weeks_since",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort_week").orderBy("weeks_since")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    weekly.select(col("cohort_week"), col("weeks_since"), col("week_cents"),
+      sum("week_cents").over(w).as("cum_cents"))
+  }
+
   def retentionCohorts(events: DataFrame, tsCol: String = "ts",
                        userCol: String = "user_id"): DataFrame = {
     val perUser = org.apache.spark.sql.expressions.Window.partitionBy(col(userCol))
