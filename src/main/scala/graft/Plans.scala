@@ -753,6 +753,26 @@ object Plans {
         |side broadcasts. Recursion depth is bounded by the anchor
         |predicate, not by data volume — the safe shape for SQL recursion
         |at scale (never recurse over the fact table).""".stripMargin,
+    "q201_price_buckets" ->
+      """Fit ∘ apply bucketizer: the edge FIT collapses facts by value
+        |first (the rank window sees distinct values, one small single-
+        |partition sort — the documented exact-quantile trade), and the
+        |APPLY side is a broadcast one-row edge array consumed by a
+        |codegen'd array filter — the fact side never shuffles for its
+        |bucket id. The train/serve contract matters more than the plan:
+        |edges derive once and persist; serve-time frames reuse them.""".stripMargin,
+    "q205_rfm_segments" ->
+      """RFM: one user-key aggregate pass over purchases, then THREE
+        |aggregate-sized edge fits (quartiles of the per-user table, not
+        |facts) broadcast back as array filters — scoring adds zero fact
+        |exchanges beyond the per-user aggregate's own. The code
+        |composition is the point: rfmSegments is fitBuckets/applyBuckets
+        |reused three times, not a fourth quantile implementation.""".stripMargin,
+    "q210_cohort_ltv" ->
+      """Cohort LTV: purchases shuffle once on the user key (first-week
+        |cohort), once on the (cohort, week) grid; the cumulative window
+        |partitions by cohort over the GRID rows (weeks-since ≤ corpus
+        |weeks), so window input is keyspace-sized at any fact volume.""".stripMargin,
     "q200_corpus_release" ->
       """The corpus-release flagship: curation (lang sample + quality gate)
         |→ MinHash cluster dedup → leakage-safe split → sequence packing →

@@ -58,16 +58,30 @@ def check_one(task):
     spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not spark_files:
         return name, rec(err="missing spark output"), [f"{name}: MISSING spark output"], True
-    try:
+    def run_oracle(threads):
         con = duckdb.connect()
         try:
-            con.sql("SET threads TO 8")
+            con.sql(f"SET threads TO {threads}")
             con.sql("SET memory_limit = '48GB'")
+            # disk spill: DuckDB's in-memory default intermittently dies
+            # with "Failed to allocate block" on this box even with free
+            # RAM; a temp dir lets the heavy oracles (q134's exact ANN
+            # arm) page instead of aborting
+            con.sql("SET temp_directory = '/tmp/duck_spill'")
             for t in TABLES:
                 con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-            odf = canon(con.sql(sql).df())
+            return canon(con.sql(sql).df())
         finally:
             con.close()
+
+    try:
+        try:
+            odf = run_oracle(8)
+        except Exception as e:
+            if "emory" not in str(e):
+                raise
+            # transient allocator failure: one retry at reduced parallelism
+            odf = run_oracle(4)
     except Exception as e:
         return name, rec(err=f"oracle error: {e}"), [f"{name}: ORACLE ERROR {e}"], True
     sdf = canon(pd.concat([pd.read_parquet(f) for f in spark_files]))
