@@ -4114,6 +4114,16 @@ object Oracles {
       |  CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
       |FROM a JOIN f USING (u) GROUP BY 1""".stripMargin
 
+  /** q211: time-in-state over the q91 SCD2 intervals (closed only);
+    * truncated integer-µs mean (positive operands — `//` ≡ Spark `div`).
+    */
+  val stateDurations: String =
+    s"""WITH iv AS (${scd2Intervals})
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       |  CAST(SUM(epoch_us(valid_to) - epoch_us(valid_from)) AS BIGINT) AS total_us,
+       |  CAST(SUM(epoch_us(valid_to) - epoch_us(valid_from)) // COUNT(*) AS BIGINT) AS mean_us
+       |FROM iv WHERE valid_to IS NOT NULL GROUP BY 1""".stripMargin
+
   /** q210: cohort LTV — first-purchase-week cohorts, weekly cents and
     * the running cumulative over the cohort grid.
     */

@@ -1925,7 +1925,20 @@ object SparkEntry {
     // cohort LTV triangle: first-purchase-week cohorts, per-week cents +
     // running cumulative — windows over the cohort×week keyspace only
     "q210_cohort_ltv" -> ((s, d) =>
-      graft.ext.Funnel.cohortLtv(Tables.events(s, d)))
+      graft.ext.Funnel.cohortLtv(Tables.events(s, d))),
+
+    // temporal analytics over the q91 SCD2 history: time-in-state per
+    // event type (closed intervals only), integer-µs durations, truncated
+    // mean — dimension-table-sized output from one interval derivation
+    "q211_state_durations" -> ((s, d) =>
+      graft.ext.Warehouse.scd2Intervals(Tables.events(s, d))
+        .filter(col("valid_to").isNotNull)
+        .select(col("event_type"),
+          (unix_micros(col("valid_to")) - unix_micros(col("valid_from"))).as("dur_us"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum("dur_us").as("total_us"),
+          expr("sum(dur_us) div count(1)").as("mean_us")))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -2181,6 +2194,7 @@ object SparkEntry {
     "q207_discount_elasticity" -> Oracles.discountElasticity,
     "q208_week_over_week" -> Oracles.weekOverWeek,
     "q209_reconciliation" -> Oracles.reconciliation,
-    "q210_cohort_ltv" -> Oracles.cohortLtv
+    "q210_cohort_ltv" -> Oracles.cohortLtv,
+    "q211_state_durations" -> Oracles.stateDurations
   )
 }

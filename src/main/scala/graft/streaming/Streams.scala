@@ -709,6 +709,59 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class InactivityAlert(user_id: Long, last_seen: Timestamp,
+                                   silent_ms: Long)
+
+  /** transformWithState with EVENT-TIME TIMERS: each user's state is one
+    * last-seen timestamp; every arrival re-arms a timer at
+    * `last + gapMs`, and [[handleExpiredTimer]] fires once the WATERMARK
+    * passes it — emitting an inactivity alert and freeing the state.
+    * This is the push-based complement to [[sessionize]]'s timeout flush:
+    * detection latency is bounded by watermark progress, not by the user
+    * ever returning, and state is O(1) per silent user until the alert
+    * clears it. Timers live outside the state slot (deleted/re-armed
+    * independently) — the API capability flatMapGroupsWithState lacks.
+    */
+  class InactivityProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, InactivityAlert] {
+    @transient private var lastSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long]("last_seen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[InactivityAlert] = {
+      val newest = rows.map(_.ts.getTime).max
+      val last = if (lastSeen.exists()) math.max(lastSeen.get(), newest) else newest
+      getHandle.listTimers().foreach(getHandle.deleteTimer) // re-arm, never stack
+      getHandle.registerTimer(last + gapMs)
+      lastSeen.update(last)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[InactivityAlert] = {
+      val last = lastSeen.get()
+      lastSeen.clear()
+      Iterator.single(InactivityAlert(key, new Timestamp(last),
+        expiredTimerInfo.getExpiryTimeInMs() - last))
+    }
+  }
+
+  /** Inactivity alerts via [[InactivityProcessor]] (event-time timers —
+    * requires a watermark on the input and the RocksDB state store).
+    */
+  def inactivityAlerts(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000,
+                       watermark: String = "10 seconds")(
+      implicit spark: SparkSession): Dataset[InactivityAlert] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new InactivityProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Offline audit of a streaming query's STATE via the state-store data
     * source (`format("statestore")`): reads the keyed state rows straight
     * out of a checkpoint — no replay, no touching the running query. The

@@ -801,6 +801,43 @@ class StreamsSpec extends SparkSpec {
       "persisted ActivityState(n, cents) per user must match what was streamed")
   }
 
+  test("inactivityAlerts: event-time timers fire when the watermark passes last_seen + gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.inactivityAlerts(mem.toDS(), gapMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("inactive")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Streams.Event(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+        Streams.Event(2, ts("2024-01-01 10:05:00"), 8, "view", 1.0))
+      q.processAllAvailable()
+      // advance event time well past both users' gap windows; the
+      // watermark (and thus the timers) trails by one batch
+      mem.addData(Streams.Event(3, ts("2024-01-01 12:00:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Streams.Event(4, ts("2024-01-01 12:00:05"), 9, "view", 1.0))
+      q.processAllAvailable()
+      val alerts = spark.table("inactive").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+      // silent_ms is exactly the gap: the timer WAS last_seen + gap
+      assert(alerts == Set(
+        (7L, "2024-01-01 10:00:00.0", 30L * 60 * 1000),
+        (8L, "2024-01-01 10:05:00.0", 30L * 60 * 1000)),
+        s"exactly users 7 and 8 alert once their timers fall behind the watermark; got $alerts")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("throttled backfill: maxFilesPerTrigger paces the replay through many micro-batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("paced").toString
