@@ -4114,6 +4114,40 @@ object Oracles {
       |  CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
       |FROM a JOIN f USING (u) GROUP BY 1""".stripMargin
 
+  /** Benford first-digit expectation in integer ppm — ONE derivation
+    * shared by the q212 Spark literal map and its oracle VALUES list.
+    */
+  val benfordPpm: Map[String, Long] = (1 to 9).map(d =>
+    d.toString -> math.floor(math.log10(1.0 + 1.0 / d) * 1000000).toLong).toMap
+
+  /** q212: Benford audit — digit from the integer-cents STRING (no
+    * float log10), observed vs expected ppm.
+    */
+  val benfordAudit: String = {
+    val vals = (1 to 9).map(d => s"('$d', ${benfordPpm(d.toString)})").mkString(", ")
+    s"""WITH dg AS (
+       |  SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+       |  FROM orders),
+       |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM dg GROUP BY 1),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM orders),
+       |b(digit, benford_ppm) AS (VALUES $vals)
+       |SELECT g.digit, g.n, CAST((g.n * 1000000) // tot AS BIGINT) AS observed_ppm,
+       |  CAST(benford_ppm AS BIGINT) AS benford_ppm
+       |FROM g CROSS JOIN t JOIN b ON g.digit = b.digit""".stripMargin
+  }
+
+  /** q213: ship-delay SLA per priority — integer day histogram stats. */
+  val shipDelaySla: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(MIN(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS min_days,
+      |  CAST(MAX(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_days,
+      |  CAST(SUM(CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT))
+      |       // COUNT(*) AS BIGINT) AS mean_days,
+      |  CAST(SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_60d
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   /** q211: time-in-state over the q91 SCD2 intervals (closed only);
     * truncated integer-µs mean (positive operands — `//` ≡ Spark `div`).
     */

@@ -1938,7 +1938,37 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_intervals"),
           sum("dur_us").as("total_us"),
-          expr("sum(dur_us) div count(1)").as("mean_us")))
+          expr("sum(dur_us) div count(1)").as("mean_us"))),
+
+    // Benford first-digit audit over order totals — the classic fraud
+    // screen. Digit from the INTEGER cents string (never log10 on a
+    // double: power-of-ten boundaries are float-hazardous); observed ppm
+    // beside the Benford expectation ppm, both integers
+    "q212_benford_audit" -> { (s, d) =>
+      // expectation ppm derived ONCE in Scala (Oracles.benfordPpm shares
+      // the same values, so the two sides cannot drift)
+      val benford = typedLit(Oracles.benfordPpm.map { case (k, v) => (k, v) })
+      Tables.orders(s, d)
+        .select(substring(expr("cast(cast(round(o_totalprice * 100) as bigint) as string)"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(Tables.orders(s, d).agg(count(lit(1)).as("tot"))))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div tot").as("observed_ppm"),
+          element_at(benford, col("digit")).as("benford_ppm"))
+    },
+
+    // logistics SLA: ship-delay-days distribution per order priority —
+    // integer datediff histogram, the report an ops team pages on
+    "q213_ship_delay_sla" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("delay_days"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          min("delay_days").as("min_days"), max("delay_days").as("max_days"),
+          expr("sum(delay_days) div count(1)").as("mean_days"),
+          sum(when(col("delay_days") > 60, 1L).otherwise(0L)).as("n_breach_60d")))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -2195,6 +2225,8 @@ object SparkEntry {
     "q208_week_over_week" -> Oracles.weekOverWeek,
     "q209_reconciliation" -> Oracles.reconciliation,
     "q210_cohort_ltv" -> Oracles.cohortLtv,
-    "q211_state_durations" -> Oracles.stateDurations
+    "q211_state_durations" -> Oracles.stateDurations,
+    "q212_benford_audit" -> Oracles.benfordAudit,
+    "q213_ship_delay_sla" -> Oracles.shipDelaySla
   )
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface (extension, SURVEY.md §2.10/§7.5).
   *
@@ -706,6 +706,56 @@ object Streams {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new UserActivityProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class UserTrail(user_id: Long, n_types: Long, n_events: Long,
+                             trail: Seq[Long])
+
+  /** transformWithState with the remaining state shapes: a `MapState`
+    * (per-type running counts — point lookups and updates, never
+    * deserializing the whole map the way a ValueState[Map] would) and a
+    * `ListState` ring of the last `keep` event ids (append-only writes;
+    * the trim rewrites only when the ring overflows). One processor, three
+    * named slots max — each independently evolvable and TTL-able, which
+    * is the operational reason this API replaces flatMapGroupsWithState's
+    * single opaque state blob.
+    */
+  class UserTrailProcessor(keep: Int) extends StatefulProcessor[Long, Event, UserTrail] {
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var trail: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("type_counts",
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong,
+        TTLConfig.NONE)
+      trail = getHandle.getListState[Long]("trail",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[UserTrail] = {
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        counts.updateValue(e.event_type,
+          (if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L) + 1)
+        trail.appendValue(e.event_id)
+      }
+      val ids = trail.get().toSeq
+      if (ids.length > keep) trail.put(ids.takeRight(keep).toArray)
+      val byType = counts.iterator().toSeq
+      Iterator.single(UserTrail(key, byType.length.toLong, byType.map(_._2).sum,
+        ids.takeRight(keep)))
+    }
+  }
+
+  /** Running per-user type histogram + last-3-event trail via
+    * [[UserTrailProcessor]].
+    */
+  def userTrailsTws(events: Dataset[Event], keep: Int = 3)(
+      implicit spark: SparkSession): Dataset[UserTrail] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserTrailProcessor(keep),
         TimeMode.None(), OutputMode.Update())
   }
 

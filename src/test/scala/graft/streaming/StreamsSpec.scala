@@ -801,6 +801,41 @@ class StreamsSpec extends SparkSpec {
       "persisted ActivityState(n, cents) per user must match what was streamed")
   }
 
+  test("userTrailsTws: MapState counts and ListState trail carry and trim across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.userTrailsTws(mem.toDS(), keep = 3)
+      .writeStream.format("memory").queryName("trails")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(
+        Streams.Event(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+        Streams.Event(2, ts("2024-01-01 10:01:00"), 7, "view", 1.0),
+        Streams.Event(3, ts("2024-01-01 10:02:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(
+        Streams.Event(4, ts("2024-01-01 10:03:00"), 7, "purchase", 1.0),
+        Streams.Event(5, ts("2024-01-01 10:04:00"), 7, "view", 1.0))
+      q.processAllAvailable()
+      val latest = spark.table("trails").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3)))
+        .maxBy(_._3)
+      // counts carried: 3 views + 1 click + 1 purchase over both batches;
+      // trail trimmed to the LAST 3 ids in event order
+      assert(latest == ((7L, 3L, 5L, Seq(3L, 4L, 5L))))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("inactivityAlerts: event-time timers fire when the watermark passes last_seen + gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
