@@ -4114,6 +4114,36 @@ object Oracles {
       |  CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
       |FROM a JOIN f USING (u) GROUP BY 1""".stripMargin
 
+  /** q214: peak 10-minute burst per user, deterministic top-k. */
+  def burstiestUsers(k: Int): String =
+    s"""WITH b AS (
+       |  SELECT user_id, epoch_us(ts) // 600000000 AS b10,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |u AS (
+       |  SELECT user_id, MAX(n) AS peak_10min, CAST(SUM(n) AS BIGINT) AS n_events
+       |  FROM b GROUP BY 1)
+       |SELECT user_id, peak_10min, n_events FROM u
+       |ORDER BY peak_10min DESC, user_id LIMIT $k""".stripMargin
+
+  /** q215: exact integer Gini (truncated ppm) over per-customer cents —
+    * rank by (cents, custkey), cross-multiplied closed form; numerator
+    * non-negative so `//` ≡ Spark `div`.
+    */
+  val revenueGini: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT cents,
+      |        ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i FROM per)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |  CAST((2 * SUM(CAST(i AS HUGEINT) * cents)
+      |        - (COUNT(*) + 1) * SUM(CAST(cents AS HUGEINT)))
+      |       * 1000000 // (COUNT(*) * SUM(CAST(cents AS HUGEINT))) AS BIGINT) AS gini_ppm
+      |FROM r""".stripMargin
+
   /** Benford first-digit expectation in integer ppm — ONE derivation
     * shared by the q212 Spark literal map and its oracle VALUES list.
     */

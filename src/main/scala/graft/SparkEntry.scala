@@ -1957,6 +1957,36 @@ object SparkEntry {
           element_at(benford, col("digit")).as("benford_ppm"))
     },
 
+    // abuse/burstiness screen: each user's PEAK 10-minute event count —
+    // the q198 fine-window aggregate re-aggregated per user, top-20 with
+    // a full deterministic order; only 20 rows cross to the driver
+    "q214_burstiest_users" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(max("n").as("peak_10min"), sum("n").as("n_events"))
+        .orderBy(col("peak_10min").desc, col("user_id")).limit(20)),
+
+    // revenue concentration: exact integer Gini (ppm) over per-customer
+    // order cents — rank window over the CUSTOMER aggregate (by-key
+    // collapse first), cross-multiplied closed form, no floats until
+    // never
+    "q215_revenue_gini" -> { (s, d) =>
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cents"), col("o_custkey"))
+      per.withColumn("i", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum("cents").as("total_cents"),
+          expr("""(2 * sum(cast(i as decimal(38,0)) * cents)
+                   - (count(1) + 1) * sum(cast(cents as decimal(38,0))))
+                  * 1000000 div (count(1) * sum(cast(cents as decimal(38,0))))""")
+            .cast("long").as("gini_ppm"))
+    },
+
     // logistics SLA: ship-delay-days distribution per order priority —
     // integer datediff histogram, the report an ops team pages on
     "q213_ship_delay_sla" -> ((s, d) =>
@@ -2227,6 +2257,8 @@ object SparkEntry {
     "q210_cohort_ltv" -> Oracles.cohortLtv,
     "q211_state_durations" -> Oracles.stateDurations,
     "q212_benford_audit" -> Oracles.benfordAudit,
-    "q213_ship_delay_sla" -> Oracles.shipDelaySla
+    "q213_ship_delay_sla" -> Oracles.shipDelaySla,
+    "q214_burstiest_users" -> Oracles.burstiestUsers(20),
+    "q215_revenue_gini" -> Oracles.revenueGini
   )
 }
