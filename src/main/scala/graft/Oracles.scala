@@ -4114,6 +4114,30 @@ object Oracles {
       |  CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
       |FROM a JOIN f USING (u) GROUP BY 1""".stripMargin
 
+  /** q216: dead stock — unsold parts per brand beside catalog size. */
+  val deadStock: String =
+    """WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem),
+      |dead AS (
+      |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_dead
+      |  FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM sold)
+      |  GROUP BY 1),
+      |cat AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts FROM part GROUP BY 1)
+      |SELECT cat.p_brand, cat.n_parts,
+      |  CAST(COALESCE(dead.n_dead, 0) AS BIGINT) AS n_dead,
+      |  CAST(COALESCE(dead.n_dead, 0) * 1000000 // cat.n_parts AS BIGINT) AS dead_ppm
+      |FROM cat LEFT JOIN dead USING (p_brand)""".stripMargin
+
+  /** q217: single-source parts per brand over distinct (part, supplier). */
+  val singleSourceRisk: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+      |  FROM lineitem GROUP BY 1)
+      |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_sold_parts,
+      |  CAST(SUM(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single_source,
+      |  MAX(n_suppliers) AS max_suppliers
+      |FROM part JOIN ps ON p_partkey = l_partkey
+      |GROUP BY 1""".stripMargin
+
   /** q214: peak 10-minute burst per user, deterministic top-k. */
   def burstiestUsers(k: Int): String =
     s"""WITH b AS (

@@ -1987,6 +1987,36 @@ object SparkEntry {
             .cast("long").as("gini_ppm"))
     },
 
+    // catalog coverage audit: parts with NO sales (left-anti against the
+    // fact) rolled up per brand beside the catalog size — the dead-stock
+    // report; the anti join's build side is the distinct sold-part keys
+    "q216_dead_stock" -> { (s, d) =>
+      val sold = Tables.lineitem(s, d).select(col("l_partkey")).distinct()
+      val dead = Tables.part(s, d)
+        .join(sold, col("p_partkey") === col("l_partkey"), "left_anti")
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n_dead"))
+      Tables.part(s, d).groupBy(col("p_brand")).agg(count(lit(1)).as("n_parts"))
+        .join(dead, Seq("p_brand"), "left")
+        .select(col("p_brand"), col("n_parts"),
+          coalesce(col("n_dead"), lit(0L)).as("n_dead"),
+          expr("coalesce(n_dead, 0) * 1000000 div n_parts").as("dead_ppm"))
+    },
+
+    // supply-chain risk: parts observed from exactly ONE supplier in the
+    // fact stream (single-source), per brand — distinct (part, supplier)
+    // collapse first, so the risk aggregate runs over keyspace rows
+    "q217_single_source_risk" -> { (s, d) =>
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .groupBy("l_partkey").agg(count(lit(1)).as("n_suppliers"))
+      Tables.part(s, d)
+        .join(ps, col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_sold_parts"),
+          sum(when(col("n_suppliers") === 1, 1L).otherwise(0L)).as("n_single_source"),
+          max("n_suppliers").as("max_suppliers"))
+    },
+
     // logistics SLA: ship-delay-days distribution per order priority —
     // integer datediff histogram, the report an ops team pages on
     "q213_ship_delay_sla" -> ((s, d) =>
@@ -2259,6 +2289,8 @@ object SparkEntry {
     "q212_benford_audit" -> Oracles.benfordAudit,
     "q213_ship_delay_sla" -> Oracles.shipDelaySla,
     "q214_burstiest_users" -> Oracles.burstiestUsers(20),
-    "q215_revenue_gini" -> Oracles.revenueGini
+    "q215_revenue_gini" -> Oracles.revenueGini,
+    "q216_dead_stock" -> Oracles.deadStock,
+    "q217_single_source_risk" -> Oracles.singleSourceRisk
   )
 }
