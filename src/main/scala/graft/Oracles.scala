@@ -4114,6 +4114,26 @@ object Oracles {
       |  CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
       |FROM a JOIN f USING (u) GROUP BY 1""".stripMargin
 
+  /** q218: exact population variance ppm per brand (HUGEINT moments). */
+  val discountVariance: String =
+    """WITH x AS (
+      |  SELECT p_brand, CAST(round(l_discount * 100) AS BIGINT) AS v
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+      |m AS (
+      |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(v AS HUGEINT)) AS sx, SUM(CAST(v AS HUGEINT) * v) AS sxx
+      |  FROM x GROUP BY 1)
+      |SELECT p_brand, n,
+      |  CAST((n * sxx - sx * sx) * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_ppm
+      |FROM m""".stripMargin
+
+  /** q219: lines-per-order histogram. */
+  val basketHistogram: String =
+    """WITH b AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS basket_size
+      |           FROM lineitem GROUP BY 1)
+      |SELECT basket_size, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM b GROUP BY 1""".stripMargin
+
   /** q216: dead stock — unsold parts per brand beside catalog size. */
   val deadStock: String =
     """WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem),

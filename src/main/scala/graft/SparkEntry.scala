@@ -1987,6 +1987,23 @@ object SparkEntry {
             .cast("long").as("gini_ppm"))
     },
 
+    // exact distributed variance (named op): discount dispersion per
+    // brand in cents²-ppm — one brand-key exchange, integer moments
+    "q218_discount_variance" -> ((s, d) =>
+      graft.ext.TimeSeries.groupVariance(
+        Tables.lineitem(s, d)
+          .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            expr("cast(round(l_discount * 100) as bigint)").as("dcents")),
+        Seq("p_brand"), "dcents")),
+
+    // basket-size histogram: lines-per-order distribution — two chained
+    // aggregates (order collapse, then size histogram), keyspace-sized
+    "q219_basket_histogram" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("basket_size"))
+        .groupBy("basket_size").agg(count(lit(1)).as("n_orders"))),
+
     // catalog coverage audit: parts with NO sales (left-anti against the
     // fact) rolled up per brand beside the catalog size — the dead-stock
     // report; the anti join's build side is the distinct sold-part keys
@@ -2291,6 +2308,8 @@ object SparkEntry {
     "q214_burstiest_users" -> Oracles.burstiestUsers(20),
     "q215_revenue_gini" -> Oracles.revenueGini,
     "q216_dead_stock" -> Oracles.deadStock,
-    "q217_single_source_risk" -> Oracles.singleSourceRisk
+    "q217_single_source_risk" -> Oracles.singleSourceRisk,
+    "q218_discount_variance" -> Oracles.discountVariance,
+    "q219_basket_histogram" -> Oracles.basketHistogram
   )
 }

@@ -100,6 +100,26 @@ object TimeSeries {
     * Degenerate groups (either variance zero) emit NULL r rather than a
     * division error.
     */
+  /** Exact per-group POPULATION variance of an integral column, in ppm of
+    * the unit²: `(n·Σx² − (Σx)²) · 10⁶ div n²` — the [[groupTrend]]
+    * moment family with one variable. All sums are exact DECIMAL(38,0)
+    * partial aggregates (ONE group-key exchange, O(1) state); the
+    * numerator is provably ≥ 0 (n² times the variance), so truncating
+    * `div` is engine-portable. Spark's own `var_pop` is float-summed and
+    * order-dependent — unusable under an exact-hash oracle.
+    */
+  def groupVariance(df: DataFrame, groupCols: Seq[String],
+                    xCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(19,0)")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"),
+        sum((x * x).cast("decimal(38,0)")).as("sxx"))
+      .withColumn("var_ppm",
+        expr("""cast((cast(n as decimal(19,0)) * sxx - sx * sx) * 1000000
+                div (cast(n as decimal(38,0)) * n) as long)"""))
+      .select(groupCols.map(col) :+ col("n") :+ col("var_ppm"): _*)
+  }
+
   def groupCorr(df: DataFrame, groupCols: Seq[String], xCol: String,
                 yCols: Seq[String]): DataFrame = {
     require(yCols.nonEmpty, "groupCorr needs at least one y column")
