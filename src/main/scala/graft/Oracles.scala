@@ -4114,6 +4114,24 @@ object Oracles {
       |  CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
       |FROM a JOIN f USING (u) GROUP BY 1""".stripMargin
 
+  /** q220: whole-schema FK audit — NOT EXISTS per edge (NULL-safe,
+    * matching anti-join semantics).
+    */
+  val fkAudit: String = {
+    val edges = Seq(
+      ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+    edges.map { case (name, fact, fk, dim, pk) =>
+      s"""SELECT '$name' AS fk_edge, CAST(COUNT(*) AS BIGINT) AS n_orphans
+         |FROM $fact f WHERE NOT EXISTS (SELECT 1 FROM $dim d WHERE d.$pk = f.$fk)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   /** q218: exact population variance ppm per brand (HUGEINT moments). */
   val discountVariance: String =
     """WITH x AS (

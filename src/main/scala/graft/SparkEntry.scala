@@ -1987,6 +1987,32 @@ object SparkEntry {
             .cast("long").as("gini_ppm"))
     },
 
+    // whole-schema referential-integrity audit: one row per FK edge with
+    // orphan counts — each edge is one left-anti against the dim's key
+    // projection (broadcast), unioned into a 7-row report; the load-time
+    // gate a warehouse runs before trusting a batch
+    "q220_fk_audit" -> { (s, d) =>
+      def edge(name: String, fact: DataFrame, fk: String,
+               dim: DataFrame, pk: String): DataFrame =
+        fact.select(col(fk).as("k"))
+          .join(broadcast(dim.select(col(pk).as("k")).distinct()), Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(name).as("fk_edge"), col("n_orphans"))
+      val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      Seq(
+        edge("lineitem.orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem.partkey->part", li, "l_partkey", Tables.part(s, d), "p_partkey"),
+        edge("lineitem.suppkey->supplier", li, "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+        edge("orders.custkey->customer", o, "o_custkey", Tables.customer(s, d), "c_custkey"),
+        edge("customer.nationkey->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey"),
+        edge("supplier.nationkey->nation", Tables.supplier(s, d), "s_nationkey",
+          Tables.nation(s, d), "n_nationkey"),
+        edge("nation.regionkey->region", Tables.nation(s, d), "n_regionkey",
+          Tables.region(s, d), "r_regionkey"))
+        .reduce(_ unionByName _)
+    },
+
     // exact distributed variance (named op): discount dispersion per
     // brand in cents²-ppm — one brand-key exchange, integer moments
     "q218_discount_variance" -> ((s, d) =>
@@ -2310,6 +2336,7 @@ object SparkEntry {
     "q216_dead_stock" -> Oracles.deadStock,
     "q217_single_source_risk" -> Oracles.singleSourceRisk,
     "q218_discount_variance" -> Oracles.discountVariance,
-    "q219_basket_histogram" -> Oracles.basketHistogram
+    "q219_basket_histogram" -> Oracles.basketHistogram,
+    "q220_fk_audit" -> Oracles.fkAudit
   )
 }
