@@ -3974,16 +3974,13 @@ object Oracles {
       |  CAST(COUNT(missing) AS BIGINT) AS n_missing
       |FROM x GROUP BY 1, 2""".stripMargin
 
-  /** q189: native session_window sessions re-derived as classic
-    * gaps-and-islands SQL — a fully independent formulation of the same
-    * semantics: a new session starts when the gap from the previous event
-    * is STRICTLY greater than the 30-minute window — Spark merges a
+  /** Gaps-and-islands session CTE block shared by the q189 and q222
+    * oracles (one derivation, no drift): strict-> split — Spark merges a
     * window starting exactly at the previous window's end (inclusive
-    * boundary, pinned by SessionWindowSpec) — session_end = last event +
-    * gap. Timestamps at µs like the other event oracles.
+    * boundary, pinned by SessionWindowSpec).
     */
-  val sessionWindows: String =
-    """WITH e AS (
+  private val sessionCtes: String =
+    """e AS (
       |  SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events
       |), m AS (
       |  SELECT user_id, event_type, ts,
@@ -3996,12 +3993,50 @@ object Oracles {
       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
       |                     ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM m
-      |)
+      |)""".stripMargin
+
+  /** q189: native session_window sessions re-derived as classic
+    * gaps-and-islands SQL — a fully independent formulation of the same
+    * semantics; session_end = last event + gap; timestamps at µs like
+    * the other event oracles.
+    */
+  val sessionWindows: String =
+    s"""WITH $sessionCtes
       |SELECT user_id, MIN(ts) AS session_start,
       |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
       |  CAST(COUNT(*) AS BIGINT) AS n_events,
       |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
       |FROM s GROUP BY user_id, sid""".stripMargin
+
+  /** q222: bounce rate per session-start day over the same islands. */
+  val bounceRate: String =
+    s"""WITH $sessionCtes,
+      |sess AS (
+      |  SELECT CAST(MIN(ts) AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM s GROUP BY user_id, sid)
+      |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS bounce_ppm
+      |FROM sess GROUP BY 1""".stripMargin
+
+  /** q221: GDPR erasure audit — per-table before/after/erased under the
+    * deterministic tombstone sample.
+    */
+  val erasureAudit: String =
+    """WITH tomb AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0)
+      |SELECT 'events' AS table_name,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS rows_before,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+      |     WHERE NOT EXISTS (SELECT 1 FROM tomb t WHERE t.user_id = e.user_id)) AS rows_after,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+      |     WHERE EXISTS (SELECT 1 FROM tomb t WHERE t.user_id = e.user_id)) AS rows_erased
+      |UNION ALL
+      |SELECT 'orders',
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+      |     WHERE NOT EXISTS (SELECT 1 FROM tomb t WHERE t.user_id = o.o_custkey)),
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+      |     WHERE EXISTS (SELECT 1 FROM tomb t WHERE t.user_id = o.o_custkey))""".stripMargin
 
   /** q190: the stream-stream interval join's LEFT OUTER batch evaluation —
     * plain interval LEFT JOIN in SQL (every view exactly once per matching

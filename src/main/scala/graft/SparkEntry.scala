@@ -1987,6 +1987,38 @@ object SparkEntry {
             .cast("long").as("gini_ppm"))
     },
 
+    // GDPR erasure audit: tombstoned users (deterministic %97 sample
+    // stands in for a deletion-request table) anti-joined out of each
+    // user-keyed table — per-table before/after/erased counts; the
+    // compliance report a deletion pipeline must emit. Tombstones
+    // broadcast; each table pays one scan
+    "q221_erasure_audit" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val tomb = ev.select(col("user_id")).distinct()
+        .filter(pmod(col("user_id"), lit(97)) === 0)
+      def audit(name: String, t: DataFrame, keyCol: String): DataFrame = {
+        val kept = t.join(broadcast(tomb),
+          t(keyCol) === tomb("user_id"), "left_anti")
+        t.agg(count(lit(1)).as("rows_before"))
+          .crossJoin(kept.agg(count(lit(1)).as("rows_after")))
+          .select(lit(name).as("table_name"), col("rows_before"), col("rows_after"),
+            (col("rows_before") - col("rows_after")).as("rows_erased"))
+      }
+      // orders keys by customer id — the cross-table reach of one request
+      audit("events", ev, "user_id")
+        .unionByName(audit("orders", Tables.orders(s, d), "o_custkey"))
+    },
+
+    // sessionized bounce rate per day: share of single-event sessions —
+    // the q189 session_window output re-aggregated by session-start day
+    "q222_bounce_rate" -> ((s, d) =>
+      graft.ext.Funnel.sessionWindows(Tables.events(s, d))
+        .select(to_date(col("session_start")).as("day"),
+          when(col("n_events") === 1, 1L).otherwise(0L).as("bounce"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_sessions"), sum("bounce").as("n_bounces"),
+          expr("sum(bounce) * 1000000 div count(1)").as("bounce_ppm"))),
+
     // whole-schema referential-integrity audit: one row per FK edge with
     // orphan counts — each edge is one left-anti against the dim's key
     // projection (broadcast), unioned into a 7-row report; the load-time
@@ -2337,6 +2369,8 @@ object SparkEntry {
     "q217_single_source_risk" -> Oracles.singleSourceRisk,
     "q218_discount_variance" -> Oracles.discountVariance,
     "q219_basket_histogram" -> Oracles.basketHistogram,
-    "q220_fk_audit" -> Oracles.fkAudit
+    "q220_fk_audit" -> Oracles.fkAudit,
+    "q221_erasure_audit" -> Oracles.erasureAudit,
+    "q222_bounce_rate" -> Oracles.bounceRate
   )
 }
