@@ -4019,6 +4019,18 @@ object Oracles {
       |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS bounce_ppm
       |FROM sess GROUP BY 1""".stripMargin
 
+  /** q223: the real props column via JSON path extraction — identical
+    * aggregation to q72, exercised through the VARIANT spelling on the
+    * Spark side.
+    */
+  val propsVariant: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(TRY_CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,
+      |  CAST(SUM(TRY_CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(TRY_CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(TRY_CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1""".stripMargin
+
   /** q221: GDPR erasure audit — per-table before/after/erased under the
     * deterministic tombstone sample.
     */

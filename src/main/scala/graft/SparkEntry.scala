@@ -1987,6 +1987,18 @@ object SparkEntry {
             .cast("long").as("gini_ppm"))
     },
 
+    // the REAL props column through VARIANT — q72's from_json needs the
+    // shape declared; this is the same aggregation with schema-on-read
+    // (try_parse_json + typed path), proving the two spellings agree on
+    // live data, not just the q188 planted payloads
+    "q223_props_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          try_variant_get(try_parse_json(col("props")), "$.k", "bigint").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+          sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))),
+
     // GDPR erasure audit: tombstoned users (deterministic %97 sample
     // stands in for a deletion-request table) anti-joined out of each
     // user-keyed table — per-table before/after/erased counts; the
@@ -2371,6 +2383,7 @@ object SparkEntry {
     "q219_basket_histogram" -> Oracles.basketHistogram,
     "q220_fk_audit" -> Oracles.fkAudit,
     "q221_erasure_audit" -> Oracles.erasureAudit,
-    "q222_bounce_rate" -> Oracles.bounceRate
+    "q222_bounce_rate" -> Oracles.bounceRate,
+    "q223_props_variant" -> Oracles.propsVariant
   )
 }
