@@ -4019,6 +4019,16 @@ object Oracles {
       |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS bounce_ppm
       |FROM sess GROUP BY 1""".stripMargin
 
+  /** q224: daily traffic mix — share-of-day ppm per type. */
+  val dailyMix: String =
+    """WITH g AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT day, CAST(SUM(n) AS BIGINT) AS day_total FROM g GROUP BY 1)
+      |SELECT g.day, g.event_type, g.n,
+      |  CAST(g.n * 1000000 // t.day_total AS BIGINT) AS share_ppm
+      |FROM g JOIN t USING (day)""".stripMargin
+
   /** q223: the real props column via JSON path extraction — identical
     * aggregation to q72, exercised through the VARIANT spelling on the
     * Spark side.

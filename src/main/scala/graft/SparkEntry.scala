@@ -1987,6 +1987,20 @@ object SparkEntry {
             .cast("long").as("gini_ppm"))
     },
 
+    // share-of-total normalization: each event type's share of its DAY's
+    // traffic in integer ppm — the daily mix report; per-day totals are
+    // a second aggregate of the (day, type) grid, joined back keyspace-
+    // sized (never a window over facts)
+    "q224_daily_mix" -> { (s, d) =>
+      val grid = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = grid.groupBy("day").agg(sum("n").as("day_total"))
+      grid.join(broadcast(totals), "day")
+        .select(col("day"), col("event_type"), col("n"),
+          expr("n * 1000000 div day_total").as("share_ppm"))
+    },
+
     // the REAL props column through VARIANT — q72's from_json needs the
     // shape declared; this is the same aggregation with schema-on-read
     // (try_parse_json + typed path), proving the two spellings agree on
@@ -2384,6 +2398,7 @@ object SparkEntry {
     "q220_fk_audit" -> Oracles.fkAudit,
     "q221_erasure_audit" -> Oracles.erasureAudit,
     "q222_bounce_rate" -> Oracles.bounceRate,
-    "q223_props_variant" -> Oracles.propsVariant
+    "q223_props_variant" -> Oracles.propsVariant,
+    "q224_daily_mix" -> Oracles.dailyMix
   )
 }
