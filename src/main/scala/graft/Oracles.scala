@@ -4019,6 +4019,20 @@ object Oracles {
       |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS bounce_ppm
       |FROM sess GROUP BY 1""".stripMargin
 
+  /** q225: one-time vs repeat buyers per nation. */
+  val oneTimeBuyers: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_buyers,
+      |  CAST(SUM(CASE WHEN n_orders = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_one_time,
+      |  CAST(SUM(CASE WHEN n_orders = 1 THEN 1 ELSE 0 END) * 1000000
+      |       // COUNT(*) AS BIGINT) AS one_time_ppm
+      |FROM pc
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1""".stripMargin
+
   /** q224: daily traffic mix — share-of-day ppm per type. */
   val dailyMix: String =
     """WITH g AS (

@@ -1987,6 +1987,23 @@ object SparkEntry {
             .cast("long").as("gini_ppm"))
     },
 
+    // retention KPI: one-time vs repeat buyers per nation — customer
+    // order counts collapse first, then a broadcast dim join and a
+    // nation-keyspace aggregate
+    "q225_one_time_buyers" -> { (s, d) =>
+      val perCust = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      perCust
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_buyers"),
+          sum(when(col("n_orders") === 1, 1L).otherwise(0L)).as("n_one_time"),
+          expr("""sum(case when n_orders = 1 then 1 else 0 end) * 1000000
+                  div count(1)""").as("one_time_ppm"))
+    },
+
     // share-of-total normalization: each event type's share of its DAY's
     // traffic in integer ppm — the daily mix report; per-day totals are
     // a second aggregate of the (day, type) grid, joined back keyspace-
@@ -2399,6 +2416,7 @@ object SparkEntry {
     "q221_erasure_audit" -> Oracles.erasureAudit,
     "q222_bounce_rate" -> Oracles.bounceRate,
     "q223_props_variant" -> Oracles.propsVariant,
-    "q224_daily_mix" -> Oracles.dailyMix
+    "q224_daily_mix" -> Oracles.dailyMix,
+    "q225_one_time_buyers" -> Oracles.oneTimeBuyers
   )
 }
