@@ -86,14 +86,19 @@ object Bench {
     // stop FIRST, then emit: executor/session shutdown must not interleave
     // its own console output with the one line the driver machine-parses
     spark.stop()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"probe":"xxhash64-checksum","sf":"$sfDir"}"""
-    // belt and braces: the parseable artifact also lands on disk, so a log
-    // line racing the stdout flush can never lose the round's numbers
+    // Two artifacts with distinct jobs (round-4 fix: the driver's tail
+    // window truncated the 225-entry per-query map off the FRONT of the
+    // stdout line, cutting the leading "metric" field → "parsed": null).
+    // stdout gets a SHORT line — total/failed/config, ~200 bytes, immune
+    // to tail truncation at any query count; the full per-query map lands
+    // only in BENCH_LOCAL.json on disk.
+    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"probe":"xxhash64-checksum","sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (fileLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    val stdoutLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"reps":$reps,"probe":"xxhash64-checksum","sf":"$sfDir","queries_file":"BENCH_LOCAL.json"}"""
     System.out.flush(); System.err.flush()
-    println(line)
+    println(stdoutLine)
     System.out.flush()
   }
 }

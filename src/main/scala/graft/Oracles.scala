@@ -1678,37 +1678,43 @@ object Oracles {
   /** Mirrors Similarity.randomProject (q148): the same derandomized
     * integer weight lattice `((j·31 + i·17) mod 7) − 3` over
     * micro-quantized components, rebuilt with scalar-range lists — pure
-    * integer arithmetic after quantization.
+    * integer arithmetic after quantization. Emits fixed scalar columns
+    * p0..p{outDim-1} (not a list) so the driver's row-sorting
+    * canonicalizer can hash the result.
     */
   def randomProject(dim: Int, outDim: Int): String = {
     val us = "CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
-    s"""SELECT vec_id,
-       |  list_transform(range(0, $outDim), j ->
-       |    CAST(list_sum(list_transform(range(1, ${dim + 1}), i ->
-       |      $us * ((j * 31 + (i - 1) * 17) % 7 - 3))) AS BIGINT)) AS projected
-       |FROM embeddings""".stripMargin
+    val pcols = (0 until outDim)
+      .map(j => s"projected[${j + 1}] AS p$j").mkString(", ")
+    s"""WITH p AS (
+       |  SELECT vec_id,
+       |    list_transform(range(0, $outDim), j ->
+       |      CAST(list_sum(list_transform(range(1, ${dim + 1}), i ->
+       |        $us * ((j * 31 + (i - 1) * 17) % 7 - 3))) AS BIGINT)) AS projected
+       |  FROM embeddings)
+       |SELECT vec_id, $pcols FROM p""".stripMargin
   }
 
   /** Mirrors Similarity.minMaxNormalize (q144): integer-micro
     * quantization (⌊x·10⁶+0.5⌋), per-dimension min/max via the
-    * fixed-`dim` generate_series form, index-aligned stat lists, ppm
-    * rescale with floor division — integer-exact end to end.
+    * fixed-`dim` generate_series form, ppm rescale with floor division —
+    * integer-exact end to end. Emits exploded (vec_id, dim, norm_ppm)
+    * rows (dim 0-based, matching Spark's posexplode) so the driver's
+    * row-sorting canonicalizer can hash the result.
     */
   def minMaxNormalize(dim: Int): String = {
     val us = "CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
     s"""WITH s AS (
-       |  SELECT i, MIN(us) AS mn, MAX(us) AS mx FROM (
+       |  SELECT i AS si, MIN(us) AS mn, MAX(us) AS mx FROM (
        |    SELECT i, $us AS us
        |    FROM embeddings, generate_series(1, $dim) t(i))
        |  GROUP BY i
-       |), arrs AS (
-       |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM s
        |)
-       |SELECT vec_id,
-       |  list_transform(range(1, ${dim + 1}), i ->
-       |    CASE WHEN mxs[i] = mns[i] THEN 0
-       |         ELSE ($us - mns[i]) * 1000000 // (mxs[i] - mns[i]) END) AS norm_ppm
-       |FROM embeddings, arrs""".stripMargin
+       |SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+       |  CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+       |       ELSE ($us - mn) * 1000000 // (mx - mn) END AS norm_ppm
+       |FROM embeddings, generate_series(1, $dim) t(i), s
+       |WHERE s.si = t.i""".stripMargin
   }
 
   /** q74 oracle: INTERSECT set semantics (parts shipped in both years). */

@@ -1250,9 +1250,15 @@ object SparkEntry {
 
     // extension: per-dimension min-max feature scaling — integer-micro
     // quantization, dim-sized stats broadcast as one index-aligned row,
-    // vectors rewritten in place; the corpus is never shuffled
+    // vectors rewritten in place; the corpus is never shuffled. Registered
+    // shape is the exploded (vec_id, dim, norm_ppm) row form: the driver's
+    // oracle canonicalizer sorts rows BEFORE stringifying, so a top-level
+    // ARRAY column is unhashable there (round-4 red row) — scalar rows
+    // carry identical information and one extra narrow generate
     "q144_minmax_normalize" -> ((s, d) =>
-      Similarity.minMaxNormalize(Tables.embeddings(s, d))),
+      Similarity.minMaxNormalize(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          posexplode(col("norm_ppm")).as(Seq("dim", "norm_ppm")))),
 
     // extension: contiguous sequential-pattern mining — every length-n
     // window of every session's event sequence, occurrence + session
@@ -1281,9 +1287,14 @@ object SparkEntry {
 
     // extension: integer random projection (JL flavor) — 64 floats → 8
     // longs per vector via the derandomized plane-weight lattice; a pure
-    // narrow map, no shuffle, no stats pass
+    // narrow map, no shuffle, no stats pass. Registered shape is fixed
+    // scalar columns p0..p7 (the q14 h0..h15 pattern): the driver's
+    // canonicalizer cannot sort a top-level ARRAY column (round-4 red row)
     "q148_random_project" -> ((s, d) =>
-      Similarity.randomProject(Tables.embeddings(s, d), dim = 64)),
+      Similarity.randomProject(Tables.embeddings(s, d), dim = 64)
+        .select(col("vec_id") +:
+          (0 until 8).map(j =>
+            element_at(col("projected"), j + 1).as(s"p$j")): _*)),
 
     // extension: time-to-convert histogram — strict-funnel completion lag
     // bucketed into whole hours; per-stage filtered scans + user-key
@@ -1774,21 +1785,27 @@ object SparkEntry {
     // date-windowed aggregate, LEFT-joined. q73's sequence() gap-fill is
     // the DataFrame spelling; this pins the SQL-recursion path
     "q197_recursive_spine" -> { (s, d) =>
-      Tables.orders(s, d).createOrReplaceTempView("q197_orders")
-      s.sql("""
+      // the view exists only while sql() analyzes (resolution inlines it
+      // into the plan); a unique name + immediate drop means no
+      // session-global state leaks and concurrent queries on one
+      // SparkSession cannot collide on a shared view name
+      val view = s"q197_orders_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      Tables.orders(s, d).createOrReplaceTempView(view)
+      try s.sql(s"""
         WITH RECURSIVE days(day) AS (
           SELECT DATE '1995-01-01'
           UNION ALL SELECT date_add(day, 1) FROM days WHERE day < DATE '1995-03-31'
         ),
         daily AS (
           SELECT CAST(o_orderdate AS DATE) AS od, COUNT(*) AS cnt
-          FROM q197_orders
+          FROM $view
           WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
             AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
           GROUP BY 1
         )
         SELECT day, CAST(COALESCE(cnt, 0) AS BIGINT) AS n_orders
         FROM days LEFT JOIN daily ON od = day""")
+      finally s.catalog.dropTempView(view)
     },
 
     // chained stateful windows (multi-stateful-operator streaming, batch

@@ -1,9 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Registration-time output-shape lint. The driver's oracle harness
+    * canonicalizes by sorting rows on ALL columns in pandas, so any
+    * top-level ARRAY / MAP / STRUCT column is unhashable there and the
+    * query becomes unverifiable (round-4 q144/q148: correct operators,
+    * red gate rows). Every registered query must emit only scalar
+    * top-level columns — explode arrays to rows or project them to fixed
+    * columns (the q14 h0..h15 pattern) before registering.
+    */
+  def assertHarnessSafe(name: String, schema: StructType): Unit = {
+    val bad = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType]
+             || f.dataType.isInstanceOf[MapType]
+             || f.dataType.isInstanceOf[StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }
+    require(bad.isEmpty,
+      s"$name emits non-scalar top-level columns the driver's oracle " +
+        s"canonicalizer cannot sort: ${bad.mkString(", ")} — explode to " +
+        "rows or project to fixed scalar columns before registering")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,9 +43,13 @@ object Verify {
     def selected(name: String) = only.forall(_.exists(name.startsWith))
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name))
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val out = fn(spark, sfDir)
+          // fail THIS query loudly (missing output → red driver row)
+          // rather than shipping a shape the oracle compare cannot hash
+          assertHarnessSafe(name, out.schema)
+          out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
     }

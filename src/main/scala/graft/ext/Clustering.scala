@@ -428,16 +428,21 @@ object Clustering {
     * native distance); the arg-max is `max(struct(dist, −id, v))`, so the
     * tie rule is a struct comparison both engines replay bit-identically.
     *
-    * Scale: each round is ONE narrow corpus pass — the chosen set lives
-    * in the driver (≤ k vectors, the Lloyd's-loop shape), distances to it
-    * inline as a `least(...)` chain in whole-stage codegen, and the
-    * arg-max partial-aggregates to one candidate row per partition, so
-    * NO corpus shuffle exists in any round. That inline-literal shape is
-    * right for coreset-sized k (tens); past a few dozen centers the
-    * expression falls out of codegen and [[kmeansTrain]]'s broadcast-join
-    * assignment shape applies instead. k passes over 100 TB is exact
-    * greedy k-center's known cost; the quantized corpus is pinned once so
-    * passes re-read columnar blocks, not the source.
+    * Scale: each round is ONE narrow corpus pass with an O(dim)
+    * expression — the corpus carries a materialized `min_d` running
+    * minimum (checkpointed per round, the PageRank lineage-cut pattern),
+    * so a round computes distance only to the ONE new center
+    * (`least(min_d, l2sq(qv, newCenter))`) and the arg-max
+    * partial-aggregates to one candidate row per partition; NO corpus
+    * shuffle exists in any round. Total distance work is O(k·n), and the
+    * per-round expression never grows with k — the earlier inline
+    * `least(...)` chain over ALL chosen centers was O(k·dim) expression
+    * size (codegen fell over past a few dozen centers) and O(k²·n)
+    * arithmetic; the running-min form has no k ceiling. The driver holds
+    * only the chosen (id, radius) pairs and the one in-flight centroid
+    * vector. k passes over 100 TB is exact greedy k-center's known cost;
+    * the quantized corpus is pinned once so passes re-read columnar
+    * blocks, not the source.
     */
   def kCenterGreedy(embeddings: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -448,26 +453,34 @@ object Clustering {
       .localCheckpoint(true)
     val seed = q.orderBy(col("vec_id")).limit(1).collect()
     require(seed.nonEmpty, "kCenterGreedy on an empty corpus")
+    val seedVec = seed.head.getSeq[Long](1)
     val chosen = scala.collection.mutable.ArrayBuffer(
-      (seed.head.getLong(0), seed.head.getSeq[Long](1), 0L))
+      (seed.head.getLong(0), 0L))
+    // running min-L2² to the chosen set, materialized with the corpus
+    var cur = q.withColumn("min_d", l2sq(col("qv"), typedLit(seedVec)))
+      .localCheckpoint(true)
     var exhausted = false
     while (chosen.size < k && !exhausted) {
-      val minDist = chosen.map { case (_, cv, _) =>
-        l2sq(col("qv"), typedLit(cv)) }.reduce(least(_, _))
-      val next = q
-        .agg(max(struct(minDist.as("d"), (-col("vec_id")).as("nid"),
+      val next = cur
+        .agg(max(struct(col("min_d").as("d"), (-col("vec_id")).as("nid"),
           col("qv").as("v"))).as("m"))
         .select(col("m.d"), (-col("m.nid")).as("vec_id"), col("m.v"))
         .collect().head
       val (d, id, v) = (next.getLong(0), next.getLong(1), next.getSeq[Long](2))
-      // every point already chosen ⇒ the arg-max returns a chosen point at
-      // distance 0 — the corpus has fewer than k points; stop early
-      if (chosen.exists(_._1 == id)) exhausted = true
-      else chosen += ((id, v, d))
+      // max remaining distance 0 ⇒ every point coincides with a chosen
+      // center — the corpus has fewer than k distinct points; stop early
+      if (d == 0L || chosen.exists(_._1 == id)) exhausted = true
+      else {
+        chosen += ((id, d))
+        if (chosen.size < k) // last round needs no fold — skip the pass
+          cur = cur.withColumn("min_d",
+            least(col("min_d"), l2sq(col("qv"), typedLit(v))))
+            .localCheckpoint(true)
+      }
     }
     import spark.implicits._
     chosen.toSeq.zipWithIndex
-      .map { case ((id, _, d), r) => (r.toLong, id, d) }
+      .map { case ((id, d), r) => (r.toLong, id, d) }
       .toDF("sel_rank", "vec_id", "dist_sq")
   }
 }

@@ -161,24 +161,49 @@ object Sinks {
     * `partitionCols` is given — each partition compacts independently).
     * Streaming sinks and incremental upserts accrete small files; at 100
     * TB the file count — not the byte count — is what kills scan planning
-    * (one footer read + one task per file). Writes to a temp dir first
-    * and swaps, so a failed compaction never destroys the input.
+    * (one footer read + one task per file). Writes to a temp dir first,
+    * renames the original aside, renames the compacted copy into place,
+    * THEN deletes the old copy — at every instant a full copy of the data
+    * exists under a deterministic name, so a crash at any step is
+    * recoverable (worst case: data lives at `path.__compact_old__`, never
+    * zero live copies — the delete-then-rename swap this replaces had a
+    * window with the only copy in the tmp dir).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetRowsPerFile: Long,
               partitionCols: Seq[String] = Nil): Unit = {
     require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive")
     val tmp = path + ".__compact_tmp__"
-    val src = spark.read.parquet(path)
-    val writer = src
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", targetRowsPerFile.toString)
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(tmp)
+    // pin the source schema and disable partition-column type inference:
+    // the default re-read would infer a numeric-looking STRING partition
+    // column (side=0/1) as INT and silently rewrite the table's schema
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
+    try {
+      val src = spark.read.parquet(path)
+      val writer = src
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", targetRowsPerFile.toString)
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+        .parquet(tmp)
+    } finally {
+      prevInfer match {
+        case Some(v) => spark.conf.set(inferKey, v)
+        case None    => spark.conf.unset(inferKey)
+      }
+    }
     val hadoop = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".__compact_old__")
     val fs = hadoop.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hadoop, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hadoop),
-      s"compaction swap failed for $path (compacted data is in $tmp)")
+    fs.delete(old, true) // clear any residue from a previously-crashed swap
+    require(fs.rename(hadoop, old),
+      s"compaction swap failed moving $path aside (input untouched)")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hadoop)) {
+      fs.rename(old, hadoop) // roll back: restore the original in place
+      throw new IllegalStateException(
+        s"compaction swap failed for $path — original restored, compacted data is in $tmp")
+    }
+    fs.delete(old, true)
   }
 }

@@ -687,12 +687,22 @@ object Streams {
                                  timerValues: TimerValues): Iterator[UserActivity] = {
       var st = if (state.exists()) state.get() else ActivityState(0L, 0L, Long.MinValue)
       rows.foreach { e =>
+        // full microsecond precision: getTime*1000 alone truncates the
+        // sub-millisecond micros the events parquet (TIMESTAMP NANOS →
+        // µs session type) actually carries, so emitted last_ts could
+        // disagree with a batch max(ts). getTime already includes the
+        // integral-ms part of the nanos; only the sub-ms µs remainder
+        // ((nanos/1000) % 1000) is added back.
+        val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000
         st = ActivityState(st.n + 1, st.cents + math.round(e.value * 100),
-          math.max(st.lastUs, e.ts.getTime * 1000))
+          math.max(st.lastUs, us))
       }
       state.update(st)
-      Iterator.single(UserActivity(key, st.n, st.cents,
-        new Timestamp(st.lastUs / 1000)))
+      // rebuild the Timestamp from micros without dropping the remainder:
+      // seconds via floorDiv (µs-exact for any sign), fraction via setNanos
+      val lastTs = new Timestamp(Math.floorDiv(st.lastUs, 1000000L) * 1000L)
+      lastTs.setNanos((Math.floorMod(st.lastUs, 1000000L) * 1000L).toInt)
+      Iterator.single(UserActivity(key, st.n, st.cents, lastTs))
     }
   }
 

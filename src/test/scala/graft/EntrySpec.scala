@@ -12,4 +12,29 @@ class EntrySpec extends SparkSpec {
     val stale = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"oracle without query: $stale")
   }
+
+  test("every registered query emits a harness-safe (scalar-only) schema") {
+    // The driver's oracle canonicalizer sorts rows on all columns in
+    // pandas before hashing; a top-level ARRAY/MAP/STRUCT column throws
+    // `unhashable type` there and the query silently becomes
+    // unverifiable (round-4 q144/q148). Analysis only — no jobs run for
+    // lazy plans; driver-held-state ops (k-means training) do their
+    // small sf0.001 work once.
+    val dir = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { Verify.assertHarnessSafe(name, fn(spark, dir).schema); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("assertHarnessSafe rejects array-typed top-level columns") {
+    val arrDf = spark.sql("SELECT 1 AS id, array(1, 2) AS xs")
+    val e = intercept[IllegalArgumentException] {
+      Verify.assertHarnessSafe("probe", arrDf.schema)
+    }
+    assert(e.getMessage.contains("xs"))
+    Verify.assertHarnessSafe("probe",
+      spark.sql("SELECT 1 AS id, 'a' AS s, DATE '2026-01-01' AS d").schema)
+  }
 }

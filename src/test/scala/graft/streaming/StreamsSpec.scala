@@ -105,7 +105,10 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("lastTouchState: streamed credits across batches ≡ batch lastTouchAttribution") {
+  // batch twin: Funnel.lastTouchAttribution, registered as
+  // q133_attribution with an exact-hash DuckDB oracle — this spec pins
+  // the stream plan to that oracle-verified semantics
+  test("lastTouchState: streamed credits across batches ≡ batch lastTouchAttribution (q133)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{count, lit, sum}
     implicit val sqlCtx = spark.sqlContext
@@ -281,7 +284,10 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.size == 4) // two sessions per user (chained gaps, then a late burst)
   }
 
-  test("dedupStream: re-delivered events are dropped within the watermark") {
+  // batch twin: Dedup.exactDedup, registered as q12_dedup_exact with an
+  // exact-hash DuckDB oracle (same drop-all-but-first-per-key semantics;
+  // the stream adds only the watermark state bound)
+  test("dedupStream: re-delivered events are dropped within the watermark (batch twin q12)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]
@@ -458,7 +464,10 @@ class StreamsSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view") -> (1L, 1.0)))
   }
 
-  test("curateStream drops junk and in-horizon duplicate content, passes survivors") {
+  // batch twin: the q44_curation_pipeline gate (same quality-score gate +
+  // content-fingerprint exact dedup, oracle-verified); the stream adds
+  // only the watermark horizon on the dedup state
+  test("curateStream drops junk and in-horizon duplicate content, passes survivors (batch twin q44)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val good = "the cat and the dog sat on the mat with a hat and a bat for a while longer"
@@ -625,7 +634,9 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("patternMatchState: streamed matches across batches ≡ batch matchPattern") {
+  // batch twin: Funnel.matchPattern, registered as q177_pattern_match
+  // with an exact-hash DuckDB oracle
+  test("patternMatchState: streamed matches across batches ≡ batch matchPattern (q177)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     def ev(u: Long, id: Long, t: String, tsS: String) =

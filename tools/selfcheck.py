@@ -40,13 +40,20 @@ def check_one(task):
     lines = []
 
     def canon(df):
+        # Mirror the driver's canonicalizer ORDER: sort rows FIRST, then
+        # stringify object columns. Round 4 shipped two broken queries
+        # because this function stringified first — an ARRAY-typed output
+        # column sorted fine locally but crashed the driver's sort with
+        # `unhashable type: numpy.ndarray`. The local gate must fail
+        # exactly where the driver's gate fails.
         df = df.reindex(sorted(df.columns), axis=1)
         for c in df.columns:
             if pd.api.types.is_datetime64_any_dtype(df[c]):
                 df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
-            elif df[c].dtype == object:
-                df[c] = df[c].astype(str)
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
         return df
 
     def rec(**kw):
@@ -74,23 +81,34 @@ def check_one(task):
         finally:
             con.close()
 
+    retried = False
     try:
         try:
             odf = run_oracle(8)
         except Exception as e:
-            if "emory" not in str(e):
+            # Retry ONLY the known transient DuckDB allocator failures on
+            # this box — not any message containing "memory", which would
+            # also retry (and could luck-mask) a genuine memory_limit-
+            # exceeded oracle bug. The retry is logged into the record.
+            msg = str(e)
+            if ("Failed to allocate block" not in msg
+                    and "OutOfMemoryException" not in msg):
                 raise
-            # transient allocator failure: one retry at reduced parallelism
+            retried = True
             odf = run_oracle(4)
     except Exception as e:
         return name, rec(err=f"oracle error: {e}"), [f"{name}: ORACLE ERROR {e}"], True
+    if retried:
+        lines.append(f"  {name}: oracle retried at threads=4 after allocator failure")
     sdf = canon(pd.concat([pd.read_parquet(f) for f in spark_files]))
     if list(sdf.columns) != list(odf.columns):
-        return (name, rec(schema_match=False, spark_rows=len(sdf), oracle_rows=len(odf)),
+        return (name, rec(schema_match=False, spark_rows=len(sdf), oracle_rows=len(odf),
+                          oracle_retried=retried),
                 [f"{name}: COLUMN MISMATCH spark={list(sdf.columns)} oracle={list(odf.columns)}"], True)
     if len(sdf) != len(odf):
         return (name, rec(schema_match=True, rows_match=False,
-                          spark_rows=len(sdf), oracle_rows=len(odf)),
+                          spark_rows=len(sdf), oracle_rows=len(odf),
+                          oracle_retried=retried),
                 [f"{name}: ROWCOUNT MISMATCH spark={len(sdf)} oracle={len(odf)}"], True)
     exact = True; approx = True
     for c in sdf.columns:
@@ -113,6 +131,7 @@ def check_one(task):
     lines.append(f"{name}: {status} ({len(sdf)} rows, {len(sdf.columns)} cols)")
     return (name, rec(rows_match=True, schema_match=True, hash_match=exact,
                       spark_rows=len(sdf), oracle_rows=len(odf),
+                      oracle_retried=retried,
                       err=None if status != "FAIL" else "value mismatch"),
             lines, status == "FAIL")
 
