@@ -4026,6 +4026,32 @@ object Oracles {
       |FROM sess GROUP BY 1""".stripMargin
 
   /** q225: one-time vs repeat buyers per nation. */
+  /** q226: real-container media decode. Mirrors Multimodal.probeMedia by
+    * recomputing every PARSED field analytically from the synthetic
+    * corpus' closed-form definition (even doc_id → 8×8 24-bpp BMP whose
+    * pixel k is `(id·31 + k·7) mod 251`; odd → 64-sample 16-bit mono
+    * 16 kHz WAV whose sample s is `(id·13 + s·5) mod 65536`, summed as
+    * its two little-endian bytes) — the oracle never parses bytes, so
+    * agreement proves the Spark-side encode → header-parse → featurize
+    * chain end to end.
+    */
+  val mediaDecode: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS fmt,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 0 END AS INTEGER) AS width,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 0 END AS INTEGER) AS height,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 16000 END AS INTEGER) AS sample_rate,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS INTEGER) AS channels,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 192 ELSE 128 END AS INTEGER) AS n_content_bytes,
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |    THEN list_sum(list_transform(range(0, 192),
+      |           k -> (doc_id * 31 + k * 7) % 251))
+      |    ELSE list_sum(list_transform(range(0, 64),
+      |           s -> ((doc_id * 13 + s * 5) % 65536) % 256
+      |              + ((doc_id * 13 + s * 5) % 65536) // 256))
+      |  END AS BIGINT) AS content_sum
+      |FROM documents""".stripMargin
+
   val oneTimeBuyers: String =
     """WITH pc AS (
       |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders

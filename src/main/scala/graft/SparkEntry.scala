@@ -2007,6 +2007,18 @@ object SparkEntry {
     // retention KPI: one-time vs repeat buyers per nation — customer
     // order counts collapse first, then a broadcast dim join and a
     // nation-keyspace aggregate
+    // real-container media decode: build REAL BMP/WAV payloads (by doc_id
+    // parity, closed-form content bytes), parse them with the pure-JVM
+    // HeaderCodec (magic/field/chunk-walk validation), emit the DECODED
+    // metadata + content byte sum; the oracle recomputes every field
+    // analytically from the corpus definition — an exact-hash check of
+    // the encode → header-parse → featurize chain. Narrow mapPartitions;
+    // payloads never leave the task
+    "q226_media_decode" -> { (s, d) =>
+      implicit val sp: SparkSession = s
+      graft.ext.Multimodal.probeMedia(Tables.documents(s, d))
+    },
+
     "q225_one_time_buyers" -> { (s, d) =>
       val perCust = Tables.orders(s, d)
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
@@ -2434,6 +2446,7 @@ object SparkEntry {
     "q222_bounce_rate" -> Oracles.bounceRate,
     "q223_props_variant" -> Oracles.propsVariant,
     "q224_daily_mix" -> Oracles.dailyMix,
-    "q225_one_time_buyers" -> Oracles.oneTimeBuyers
+    "q225_one_time_buyers" -> Oracles.oneTimeBuyers,
+    "q226_media_decode" -> Oracles.mediaDecode
   )
 }

@@ -28,12 +28,24 @@ object Multimodal {
                                  checksum: Long, mean_byte: Double,
                                  frames_sampled: Int)
 
+  /** The pluggable decode seam: one task-local instance per partition
+    * (see [[extractFeatures]]); implementations must be Serializable
+    * because the closure ships the chosen codec to executors. Swapping
+    * implementations changes no plumbing — schema, batch shape,
+    * partitioning are fixed by the surrounding operators.
+    */
+  trait MediaCodec extends Serializable {
+    def decodeAndFeaturize(r: MediaRow, frameEvery: Int): MediaFeatures
+  }
+
   /** Deterministic stand-in for the image/audio decode libraries that are
     * not installed here. Real implementation would decode `payload` with a
     * codec; the stub derives stable pseudo-features from the raw bytes so
-    * the pipeline is testable end-to-end.
+    * the pipeline is testable end-to-end. [[HeaderCodec]] is the real
+    * pure-JVM sibling for container formats whose headers parse without a
+    * decoder library (BMP, RIFF/WAV).
     */
-  object StubCodec {
+  object StubCodec extends MediaCodec {
     /** ??? in spirit: replace with a real decode when codecs exist. */
     def decodeAndFeaturize(r: MediaRow, frameEvery: Int): MediaFeatures = {
       val bytes = r.payload
@@ -50,16 +62,113 @@ object Multimodal {
     }
   }
 
+  /** Real pure-JVM header/content parsing for the two container formats
+    * whose structure needs no decoder library: BMP (BITMAPINFOHEADER) and
+    * RIFF/WAV PCM. Genuine format logic — magic validation, little-endian
+    * field extraction, chunk walking, bounds checks — with features
+    * computed over the CONTENT bytes the header locates (the pixel array
+    * / the data chunk), not the whole file. Anything that fails
+    * validation falls back to [[StubCodec]]'s whole-payload features, the
+    * production posture for an unknown container.
+    *
+    * frames: BMP → 1 (a still); WAV → ceil(samples / frameEvery) where a
+    * sample is one blockAlign-sized PCM frame — frameEvery plays the
+    * "samples per analysis window" role.
+    */
+  object HeaderCodec extends MediaCodec {
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def i32(b: Array[Byte], o: Int): Int = u32(b, o).toInt
+
+    final case class ProbedHeader(fmt: String, width: Int, height: Int,
+                                  sampleRate: Int, channels: Int,
+                                  blockAlign: Int, contentOff: Int,
+                                  contentLen: Int)
+
+    /** Parsed container header, or None if the payload is not a
+      * well-formed BMP/WAV.
+      */
+    private[ext] def probe(b: Array[Byte]): Option[ProbedHeader] = {
+      if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
+        val pixelOff = u32(b, 10)
+        val dibSize = u32(b, 14)
+        val w = i32(b, 18)
+        val h = i32(b, 22)
+        val bpp = u16(b, 28)
+        // height may be negative (top-down rows); magnitude is the dim
+        if (dibSize >= 40 && w > 0 && h != 0 && bpp > 0 &&
+            pixelOff >= 54 && pixelOff <= b.length) {
+          val rowBytes = ((w.toLong * bpp + 31) / 32 * 4).toInt // 4-byte padded
+          val len = math.min(rowBytes.toLong * math.abs(h),
+            (b.length - pixelOff)).toInt
+          Some(ProbedHeader("bmp", w, math.abs(h), 0, 0, 0, pixelOff.toInt, len))
+        } else None
+      } else if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+                 b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+                 b(11) == 'E') {
+        // chunk walk: fmt must precede data per spec, but walk defensively
+        var off = 12
+        var rate = 0; var channels = 0; var blockAlign = 0
+        var dataOff = -1; var dataLen = 0
+        while (off + 8 <= b.length && (dataOff < 0 || rate == 0)) {
+          val id = new String(b, off, 4, "US-ASCII")
+          val size = u32(b, off + 4).toInt
+          if (id == "fmt " && off + 8 + 16 <= b.length) {
+            channels = u16(b, off + 10)
+            rate = u32(b, off + 12).toInt
+            blockAlign = u16(b, off + 20)
+          } else if (id == "data") {
+            dataOff = off + 8
+            dataLen = math.min(size.toLong, (b.length - dataOff).toLong).toInt
+          }
+          off += 8 + size + (size & 1) // chunks are word-aligned
+        }
+        if (rate > 0 && channels > 0 && blockAlign > 0 && dataOff >= 0)
+          Some(ProbedHeader("wav", 0, 0, rate, channels, blockAlign,
+            dataOff, dataLen))
+        else None
+      } else None
+    }
+
+    def decodeAndFeaturize(r: MediaRow, frameEvery: Int): MediaFeatures =
+      probe(r.payload) match {
+        case Some(h) =>
+          val bytes = r.payload
+          var sum = 0L; var checksum = 1469598103934665603L
+          var i = h.contentOff
+          while (i < h.contentOff + h.contentLen) {
+            sum += bytes(i) & 0xff
+            checksum = (checksum ^ (bytes(i) & 0xff)) * 1099511628211L
+            i += 1
+          }
+          val frames =
+            if (h.fmt == "bmp") 1
+            else {
+              val samples = h.contentLen / h.blockAlign
+              if (frameEvery <= 0) 0 else (samples + frameEvery - 1) / frameEvery
+            }
+          MediaFeatures(r.media_id, h.fmt, h.contentLen, checksum,
+            if (h.contentLen == 0) 0.0 else sum.toDouble / h.contentLen, frames)
+        case None => StubCodec.decodeAndFeaturize(r, frameEvery)
+      }
+  }
+
   /** Per-partition decode + feature extraction. mapPartitions (not map) so
     * a real codec is initialized once per task, not once per row — the
-    * JVM-side equivalent of batched pandas-UDF execution.
+    * JVM-side equivalent of batched pandas-UDF execution. `codec` is the
+    * pluggable seam: [[StubCodec]] (default, no format assumptions) or
+    * [[HeaderCodec]] (real BMP/WAV parsing, stub fallback).
     */
-  def extractFeatures(media: Dataset[MediaRow], frameEvery: Int = 1024)(
+  def extractFeatures(media: Dataset[MediaRow], frameEvery: Int = 1024,
+                      codec: MediaCodec = StubCodec)(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
-      // real impl: val codec = Codec.open(...) here, once per partition
-      rows.map(r => StubCodec.decodeAndFeaturize(r, frameEvery))
+      // real impl: codec.open(...) here, once per partition
+      rows.map(r => codec.decodeAndFeaturize(r, frameEvery))
     }
   }
 
@@ -219,4 +328,113 @@ object Multimodal {
       perceptualHash(fakeMediaFromDocuments(docs)),
       bits = 64, maxHamming = maxHamming, idCol = "media_id",
       hashCol = "phash")
+
+  // ---- real-container path: genuine format logic, oracle-verifiable ----
+
+  /** Builds REAL container bytes from an id: even ids → an 8×8 24-bpp BMP
+    * (54-byte header + 192 unpadded pixel bytes), odd ids → a 16-bit mono
+    * 16 kHz RIFF/WAV of 64 PCM samples (44-byte header + 128 data bytes).
+    * Content bytes are a CLOSED-FORM function of the id — pixel k is
+    * `(id·31 + k·7) mod 251`, sample s is the 16-bit LE of
+    * `(id·13 + s·5) mod 65536` — so an external oracle can compute every
+    * parsed feature analytically, which turns the whole
+    * encode → header-parse → featurize chain into an exact-hash check.
+    */
+  private[ext] def synthPayload(mediaId: Long, kind: String): Array[Byte] = {
+    def p16(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def p32(b: Array[Byte], o: Int, v: Long): Unit = {
+      var i = 0
+      while (i < 4) { b(o + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    if (kind == "image") {
+      val px = 192 // 8 rows × 24 row-bytes (8 px × 3 B, already 4-aligned)
+      val b = new Array[Byte](54 + px)
+      b(0) = 'B'; b(1) = 'M'
+      p32(b, 2, 54L + px)  // file size
+      p32(b, 10, 54L)      // pixel-array offset
+      p32(b, 14, 40L)      // BITMAPINFOHEADER size
+      p32(b, 18, 8L)       // width
+      p32(b, 22, 8L)       // height (bottom-up)
+      p16(b, 26, 1)        // planes
+      p16(b, 28, 24)       // bpp
+      var k = 0
+      while (k < px) {
+        b(54 + k) = ((mediaId * 31 + k * 7) % 251).toByte
+        k += 1
+      }
+      b
+    } else {
+      val dataLen = 128 // 64 samples × 2 B
+      val b = new Array[Byte](44 + dataLen)
+      b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+      p32(b, 4, 36L + dataLen)
+      b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+      b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+      p32(b, 16, 16L)      // fmt chunk size
+      p16(b, 20, 1)        // PCM
+      p16(b, 22, 1)        // mono
+      p32(b, 24, 16000L)   // sample rate
+      p32(b, 28, 32000L)   // byte rate
+      p16(b, 32, 2)        // block align
+      p16(b, 34, 16)       // bits per sample
+      b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'
+      p32(b, 40, dataLen.toLong)
+      var s = 0
+      while (s < 64) {
+        p16(b, 44 + 2 * s, ((mediaId * 13 + s * 5) % 65536).toInt)
+        s += 1
+      }
+      b
+    }
+  }
+
+  /** A media table whose payloads are REAL BMP/WAV containers (by id
+    * parity), built executor-side in one narrow pass — the corpus the
+    * [[HeaderCodec]] path is verified against.
+    */
+  def synthMedia(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val kind = if (id % 2 == 0) "image" else "audio"
+        MediaRow(id, kind, synthPayload(id, kind), 8, 8, 16000)
+      }
+    }
+  }
+
+  final case class ProbedMedia(media_id: Long, fmt: String, width: Int,
+                               height: Int, sample_rate: Int, channels: Int,
+                               n_content_bytes: Int, content_sum: Long)
+
+  /** The registered real-decode query shape: parse each payload's
+    * container header with [[HeaderCodec]] and emit the DECODED metadata
+    * (dimensions / rate / channels, located-content length, content byte
+    * sum) — the declared-vs-actual validation a production media pipeline
+    * runs at intake, and here an exact oracle check of the parser itself
+    * (the oracle recomputes every field from the closed-form corpus
+    * definition without parsing anything). Narrow mapPartitions, payloads
+    * consumed in-task, only scalar metadata emitted.
+    */
+  def probeMedia(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    synthMedia(docs).mapPartitions { rows =>
+      rows.map { r =>
+        HeaderCodec.probe(r.payload) match {
+          case Some(h) =>
+            var sum = 0L
+            var i = h.contentOff
+            while (i < h.contentOff + h.contentLen) {
+              sum += r.payload(i) & 0xff; i += 1
+            }
+            ProbedMedia(r.media_id, h.fmt, h.width, h.height, h.sampleRate,
+              h.channels, h.contentLen, sum)
+          case None =>
+            ProbedMedia(r.media_id, "unknown", 0, 0, 0, 0,
+              r.payload.length, 0L)
+        }
+      }
+    }.toDF()
+  }
 }

@@ -94,4 +94,67 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L, 0)))
     assert(pairs.forall(p => !(p._1 == 3L || p._2 == 3L)))
   }
+
+  test("HeaderCodec.probe: parses the synthetic BMP header fields") {
+    val h = Multimodal.HeaderCodec.probe(
+      Multimodal.synthPayload(4L, "image")).get
+    assert((h.fmt, h.width, h.height, h.contentOff, h.contentLen) ==
+      ("bmp", 8, 8, 54, 192))
+  }
+
+  test("HeaderCodec.probe: walks RIFF chunks to fmt + data on the synthetic WAV") {
+    val h = Multimodal.HeaderCodec.probe(
+      Multimodal.synthPayload(5L, "audio")).get
+    assert((h.fmt, h.sampleRate, h.channels, h.blockAlign,
+      h.contentOff, h.contentLen) == ("wav", 16000, 1, 2, 44, 128))
+  }
+
+  test("HeaderCodec.probe: rejects corrupted magic and truncated headers") {
+    val bmp = Multimodal.synthPayload(2L, "image")
+    bmp(0) = 'X'
+    assert(Multimodal.HeaderCodec.probe(bmp).isEmpty)
+    val wav = Multimodal.synthPayload(3L, "audio")
+    assert(Multimodal.HeaderCodec.probe(wav.take(30)).isEmpty)
+    assert(Multimodal.HeaderCodec.probe("not media at all".getBytes).isEmpty)
+  }
+
+  test("HeaderCodec featurizes over the LOCATED content, not the whole file") {
+    // hand-check: features must cover exactly the pixel array / data chunk
+    val row = Multimodal.MediaRow(6L, "image",
+      Multimodal.synthPayload(6L, "image"), 8, 8, 16000)
+    val f = Multimodal.HeaderCodec.decodeAndFeaturize(row, frameEvery = 16)
+    val expectedSum = (0 until 192).map(k => (6L * 31 + k * 7) % 251).sum
+    assert(f.n_bytes == 192) // not 246: header excluded
+    assert(math.abs(f.mean_byte - expectedSum.toDouble / 192) < 1e-12)
+    assert(f.frames_sampled == 1)
+    val wavRow = Multimodal.MediaRow(7L, "audio",
+      Multimodal.synthPayload(7L, "audio"), 0, 0, 16000)
+    val g = Multimodal.HeaderCodec.decodeAndFeaturize(wavRow, frameEvery = 16)
+    assert(g.n_bytes == 128 && g.frames_sampled == 4) // ceil(64 samples / 16)
+  }
+
+  test("HeaderCodec falls back to StubCodec whole-payload features on unknown bytes") {
+    val junk = Multimodal.MediaRow(8L, "image",
+      "definitely not a container".getBytes, 0, 0, 0)
+    assert(Multimodal.HeaderCodec.decodeAndFeaturize(junk, 1024) ==
+      Multimodal.StubCodec.decodeAndFeaturize(junk, 1024))
+  }
+
+  test("probeMedia: parsed metadata matches the closed-form corpus definition") {
+    val docs = df("doc_id BIGINT, text STRING", Seq(
+      Row(10L, "x"), Row(11L, "y")))
+    val out = Multimodal.probeMedia(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val bmp = out(10L)
+    assert((bmp.getString(1), bmp.getInt(2), bmp.getInt(3), bmp.getInt(6)) ==
+      ("bmp", 8, 8, 192))
+    assert(bmp.getLong(7) == (0 until 192).map(k => (10L * 31 + k * 7) % 251).sum)
+    val wav = out(11L)
+    assert((wav.getString(1), wav.getInt(4), wav.getInt(5), wav.getInt(6)) ==
+      ("wav", 16000, 1, 128))
+    assert(wav.getLong(7) == (0 until 64).map { s =>
+      val v = (11L * 13 + s * 5) % 65536
+      v % 256 + v / 256
+    }.sum)
+  }
 }
