@@ -4052,6 +4052,43 @@ object Oracles {
       |  END AS BIGINT) AS content_sum
       |FROM documents""".stripMargin
 
+  /** q227: per-file parquet row counts straight from the footers.
+    * `{SF_DIR}` is substituted by Verify at dump time (the only oracle
+    * that must address files rather than the table views, since the view
+    * layer erases file identity).
+    */
+  val fileProfile: String = {
+    val metas = Tables.names.map { t =>
+      s"SELECT '$t' AS tbl, file_name, num_rows FROM parquet_file_metadata('{SF_DIR}/$t.parquet')"
+    }.mkString("\n  UNION ALL ")
+    s"""SELECT tbl, regexp_extract(file_name, '[^/]+$$', 0) AS file,
+       |  CAST(num_rows AS BIGINT) AS n_rows
+       |FROM (
+       |  $metas
+       |)""".stripMargin
+  }
+
+  /** q228: TPC-H Q17 shape — facts gated below half their part's average
+    * quantity via the integer cross-multiply (qty·2·n < sum), revenue
+    * through DECIMAL(18,2); no float average anywhere so the survivor
+    * set is identical in both engines.
+    */
+  val smallOrderRevenue: String =
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+      |         l_extendedprice
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+      |         CAST(COUNT(*) AS BIGINT) AS n_li
+      |  FROM li GROUP BY 1)
+      |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_small,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS small_revenue
+      |FROM li JOIN s USING (l_partkey)
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE qty * 2 * n_li < sum_qty
+      |GROUP BY 1""".stripMargin
+
   val oneTimeBuyers: String =
     """WITH pc AS (
       |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders

@@ -2019,6 +2019,47 @@ object SparkEntry {
       graft.ext.Multimodal.probeMedia(Tables.documents(s, d))
     },
 
+    // table-maintenance observability: per-file row counts for every
+    // table in the dataset directory — the file-level profile a
+    // compaction policy reads (at 100 TB the FILE COUNT, not bytes, kills
+    // scan planning: one footer read + one task per file). Grouping on
+    // input_file_name() is column-less, so each task contributes batch
+    // row counts without materializing any data column; the oracle reads
+    // the same truth from the parquet footers directly
+    "q227_file_profile" -> { (s, d) =>
+      Tables.names.map { t =>
+        s.read.parquet(s"$d/$t.parquet")
+          .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(t).as("tbl"), col("file"), col("n_rows"))
+      }.reduce(_ unionByName _)
+    },
+
+    // TPC-H Q17 shape (small-order revenue): facts gated by their OWN
+    // group's aggregate — per-part quantity stats shuffle on l_partkey,
+    // the SAME key the fact join and the part-dim join need, so one
+    // partitioning serves all three (no broadcast assumed: at SF100 the
+    // part keyspace is 20M rows; AQE still converts to broadcast when the
+    // agg side is actually small). The avg gate is the integer
+    // cross-multiply `qty·2·n < sum_qty` — no float average exists
+    // anywhere, so the survivor set is bit-stable in any engine; revenue
+    // routes through DECIMAL(18,2) per the cross-engine money rule
+    "q228_small_order_revenue" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_partkey"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        col("l_extendedprice"))
+      val stats = li.groupBy("l_partkey")
+        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n_li"))
+      li.join(stats, "l_partkey")
+        .filter(col("qty") * 2 * col("n_li") < col("sum_qty"))
+        .join(Tables.part(s, d).select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_small"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("small_revenue"))
+    },
+
     "q225_one_time_buyers" -> { (s, d) =>
       val perCust = Tables.orders(s, d)
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
@@ -2447,6 +2488,8 @@ object SparkEntry {
     "q223_props_variant" -> Oracles.propsVariant,
     "q224_daily_mix" -> Oracles.dailyMix,
     "q225_one_time_buyers" -> Oracles.oneTimeBuyers,
-    "q226_media_decode" -> Oracles.mediaDecode
+    "q226_media_decode" -> Oracles.mediaDecode,
+    "q227_file_profile" -> Oracles.fileProfile,
+    "q228_small_order_revenue" -> Oracles.smallOrderRevenue
   )
 }

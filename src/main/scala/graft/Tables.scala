@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Every physical table in a testdata directory (TESTDATA.md). */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -28,6 +28,25 @@ class EntrySpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
+  test("q227 file profile: one row per physical file, footer-true counts") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q227_file_profile")(spark, dir).collect()
+    assert(rows.length == Tables.names.length) // single-file tables here
+    assert(rows.forall(_.getString(1).endsWith(".parquet")))
+    val lineitemRows = rows.find(_.getString(0) == "lineitem").get.getLong(2)
+    assert(lineitemRows ==
+      spark.read.parquet(s"$dir/lineitem.parquet").count())
+  }
+
+  test("q228 small-order gate: strict integer cross-multiply, non-trivial survivor set") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q228_small_order_revenue")(spark, dir).collect()
+    val nSmall = out.map(_.getLong(1)).sum
+    val total = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(nSmall > 0 && nSmall < total,
+      s"gate must keep a strict subset: $nSmall of $total")
+  }
+
   test("assertHarnessSafe rejects array-typed top-level columns") {
     val arrDf = spark.sql("SELECT 1 AS id, array(1, 2) AS xs")
     val e = intercept[IllegalArgumentException] {
