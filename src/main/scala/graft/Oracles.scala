@@ -4089,6 +4089,51 @@ object Oracles {
       |WHERE qty * 2 * n_li < sum_qty
       |GROUP BY 1""".stripMargin
 
+  /** q229: k-anonymity audit — identical QI banding (cents `//` 100000 is
+    * DuckDB floor division, matching the engine's pmod-adjusted `div`),
+    * pure integer counts.
+    */
+  def kAnonymity(k: Int): String =
+    s"""WITH qi AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band
+       |  FROM customer),
+       |cls AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_band,
+       |    CAST(COUNT(*) AS BIGINT) AS class_size
+       |  FROM qi GROUP BY 1, 2, 3)
+       |SELECT CASE WHEN class_size = 1 THEN '1'
+       |            WHEN class_size < $k THEN '2..${k - 1}'
+       |            ELSE '>=$k' END AS band,
+       |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+       |  CAST(SUM(class_size) AS BIGINT) AS n_rows,
+       |  CAST(MIN(class_size) AS BIGINT) AS min_class,
+       |  CAST(MAX(class_size) AS BIGINT) AS max_class
+       |FROM cls GROUP BY 1""".stripMargin
+
+  /** q230: l-diversity audit — same QI banding arithmetic as q229,
+    * diversity = COUNT(DISTINCT sensitive) per class.
+    */
+  def lDiversity(l: Int): String =
+    s"""WITH qi AS (
+       |  SELECT c_nationkey,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+       |    c_mktsegment
+       |  FROM customer),
+       |cls AS (
+       |  SELECT c_nationkey, bal_band,
+       |    CAST(COUNT(*) AS BIGINT) AS class_size,
+       |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+       |  FROM qi GROUP BY 1, 2)
+       |SELECT CASE WHEN n_sensitive = 1 THEN '1'
+       |            WHEN n_sensitive < $l THEN '2..${l - 1}'
+       |            ELSE '>=$l' END AS div_band,
+       |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+       |  CAST(SUM(class_size) AS BIGINT) AS n_rows,
+       |  CAST(MIN(n_sensitive) AS BIGINT) AS min_div,
+       |  CAST(MAX(n_sensitive) AS BIGINT) AS max_div
+       |FROM cls GROUP BY 1""".stripMargin
+
   val oneTimeBuyers: String =
     """WITH pc AS (
       |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders

@@ -783,7 +783,28 @@ object Plans {
         |aggregate-sized and BROADCASTS into a left-anti join, so the
         |decontamination gate costs no fact exchange. This is the shape a
         |100 TB corpus build actually runs: every stage's output is
-        |either per-doc (narrow) or aggregate-sized.""".stripMargin)
+        |either per-doc (narrow) or aggregate-sized.""".stripMargin,
+    "q226_media_decode" ->
+      """Real-container decode: one narrow mapPartitions pass builds the
+        |BMP/WAV payloads and parses their headers in-task; nothing but
+        |scalar metadata leaves the partition, no exchange until the
+        |harness probe. At corpus scale the payload bytes never cross the
+        |wire — the property the multimodal family is designed around.""".stripMargin,
+    "q227_file_profile" ->
+      """Per-file row counts: grouping on input_file_name() is column-less
+        |(ReadSchema is struct<>), so each task contributes batch counts
+        |without materializing data columns; one exchange on the file-name
+        |key, file-count-sized. The audit a compaction policy reads.""".stripMargin,
+    "q228_small_order_revenue" ->
+      """TPC-H Q17 shape: per-part stats, the fact self-join, and the part
+        |dim join all key on l_partkey — one hash partitioning serves all
+        |three (AQE converts the small sides to broadcast at bench scale;
+        |at SF100 the equi-shuffle plan stands). The avg gate is an
+        |integer cross-multiply, so no float average exists in the plan.""".stripMargin,
+    "q229_k_anonymity" ->
+      """k-anonymity audit: one shuffle on the QI columns builds the
+        |equivalence classes; the banding aggregate runs over the CLASS
+        |relation (keyspace-sized). The fact table is read once.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

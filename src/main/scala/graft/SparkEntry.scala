@@ -2060,6 +2060,37 @@ object SparkEntry {
             .cast("decimal(18,2)").as("small_revenue"))
     },
 
+    // privacy release gate: k-anonymity audit — rows whose
+    // (nation, segment, balance-band) quasi-identifier combination is
+    // shared by fewer than k customers are re-identifiable by an
+    // auxiliary join on those columns alone; the banded report (unique /
+    // small-crowd / passing) is what a publish policy thresholds on. One
+    // QI shuffle, then keyspace-sized banding
+    "q229_k_anonymity" -> { (s, d) =>
+      // $1000 balance bands in integer cents. Spark's `div` truncates
+      // toward zero and — measured, not assumed — DuckDB's BIGINT `//`
+      // does too (-150000//100000 = -1, -50000//100000 = 0), so plain
+      // `div` is the cross-engine-identical spelling; a pmod floor
+      // adjustment here would DIVERGE on negative balances
+      graft.ext.Quality.kAnonymityAudit(
+        Tables.customer(s, d).select(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000")
+            .as("bal_band")),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5)
+    },
+
+    // q229's attribute-disclosure companion: classes that are k-anonymous
+    // can still be uniform in a sensitive attribute — band QI classes by
+    // DISTINCT market-segment count. Same (nation, balance-band) QI as
+    // q229 so the two reports read as one release gate
+    "q230_l_diversity" -> { (s, d) =>
+      graft.ext.Quality.lDiversityAudit(
+        Tables.customer(s, d).select(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000")
+            .as("bal_band")),
+        Seq("c_nationkey", "bal_band"), "c_mktsegment", l = 3)
+    },
+
     "q225_one_time_buyers" -> { (s, d) =>
       val perCust = Tables.orders(s, d)
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
@@ -2490,6 +2521,8 @@ object SparkEntry {
     "q225_one_time_buyers" -> Oracles.oneTimeBuyers,
     "q226_media_decode" -> Oracles.mediaDecode,
     "q227_file_profile" -> Oracles.fileProfile,
-    "q228_small_order_revenue" -> Oracles.smallOrderRevenue
+    "q228_small_order_revenue" -> Oracles.smallOrderRevenue,
+    "q229_k_anonymity" -> Oracles.kAnonymity(5),
+    "q230_l_diversity" -> Oracles.lDiversity(3)
   )
 }

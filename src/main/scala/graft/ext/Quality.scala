@@ -299,4 +299,61 @@ object Quality {
         sum(when(abs(col(valCol) - col("med")) > lit(k) * col("mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
   }
+
+  /** k-anonymity audit over a quasi-identifier (QI) column set: every row
+    * whose QI combination is shared by fewer than k individuals is
+    * re-identifiable by joining on those columns alone. Emits the audit a
+    * release gate consumes — per equivalence-class-size risk band, how
+    * many distinct QI classes and how many ROWS sit in it, ordered worst
+    * first: band "1" (unique, directly identifiable), "2..k-1" (small
+    * crowd), ">=k" (passes). A release policy is then "publish iff rows
+    * outside `>=k` is 0" (or suppress/generalize those classes).
+    *
+    * Scale shape: one groupBy on the QI columns (the same shuffle any
+    * distinct-count needs), then a band aggregate over the CLASS relation
+    * — keyspace-sized, never the fact again. Exactness: pure integer
+    * counts, no statistics.
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty && k >= 2, "need QI columns and k >= 2")
+    val classes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+    classes
+      .groupBy(when(col("class_size") === 1, lit("1"))
+        .when(col("class_size") < k, lit(s"2..${k - 1}"))
+        .otherwise(lit(s">=$k")).as("band"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"),
+        min(col("class_size")).as("min_class"),
+        max(col("class_size")).as("max_class"))
+  }
+
+  /** l-diversity audit — [[kAnonymityAudit]]'s attribute-disclosure
+    * companion: a QI class can pass k-anonymity and still leak, if all
+    * its members share ONE sensitive value (an attacker who locates the
+    * class learns the attribute without identifying anyone). Per QI
+    * class, counts the DISTINCT sensitive values and bands classes by
+    * that diversity: "1" (uniform — full attribute disclosure),
+    * "2..l-1" (narrow), ">=l" (passes distinct-l-diversity). Same
+    * release-gate consumption as the k report; run both.
+    *
+    * Scale shape: one groupBy on (QI, sensitive) collapses duplicates,
+    * one re-aggregate to the class grain, then keyspace-sized banding —
+    * the fact is read once and never windowed.
+    */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitiveCol: String, l: Int): DataFrame = {
+    require(qiCols.nonEmpty && l >= 2, "need QI columns and l >= 2")
+    val classes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(col(sensitiveCol)).as("n_sensitive"))
+    classes
+      .groupBy(when(col("n_sensitive") === 1, lit("1"))
+        .when(col("n_sensitive") < l, lit(s"2..${l - 1}"))
+        .otherwise(lit(s">=$l")).as("div_band"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"),
+        min(col("n_sensitive")).as("min_div"),
+        max(col("n_sensitive")).as("max_div"))
+  }
 }

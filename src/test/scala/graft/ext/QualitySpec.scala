@@ -142,4 +142,34 @@ class QualitySpec extends SparkSpec {
     assert(rowSet(Quality.weightedMedianBy(t, "g", "v", "w", "m")) ==
       rows(Seq("g", "5", "4")))
   }
+
+  test("kAnonymityAudit: bands classes by size — unique / small-crowd / passing") {
+    // QI (a,b): class (x,1)×1 → band "1"; (y,1)×3 → "2..4"; (z,1)×5 → ">=5"
+    val t = df("a STRING, b BIGINT", Seq(Row("x", 1L)) ++
+      Seq.fill(3)(Row("y", 1L)) ++ Seq.fill(5)(Row("z", 1L)))
+    assert(rowSet(Quality.kAnonymityAudit(t, Seq("a", "b"), k = 5)) == rows(
+      Seq("1", "1", "1", "1", "1"),       // band, n_classes, n_rows, min, max
+      Seq("2..4", "1", "3", "3", "3"),
+      Seq(">=5", "1", "5", "5", "5")))
+  }
+
+  test("kAnonymityAudit: all-passing corpus emits only the >=k band") {
+    val t = df("a STRING", Seq.fill(6)(Row("only")))
+    assert(rowSet(Quality.kAnonymityAudit(t, Seq("a"), k = 3)) ==
+      rows(Seq(">=3", "1", "6", "6", "6")))
+  }
+
+  test("lDiversityAudit: a k-anonymous but sensitive-uniform class lands in band 1") {
+    // class (x): 5 rows, ALL sensitive 's1' → k=5-anonymous yet diversity 1
+    // class (y): 3 rows, sensitive s1/s2 → band "2"
+    // class (z): 3 rows, s1/s2/s3 → band ">=3"
+    val t = df("a STRING, s STRING",
+      Seq.fill(5)(Row("x", "s1")) ++
+        Seq(Row("y", "s1"), Row("y", "s1"), Row("y", "s2")) ++
+        Seq(Row("z", "s1"), Row("z", "s2"), Row("z", "s3")))
+    assert(rowSet(Quality.lDiversityAudit(t, Seq("a"), "s", l = 3)) == rows(
+      Seq("1", "1", "5", "1", "1"),  // div_band, n_classes, n_rows, min, max
+      Seq("2..2", "1", "3", "2", "2"),
+      Seq(">=3", "1", "3", "3", "3")))
+  }
 }
