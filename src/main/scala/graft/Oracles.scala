@@ -4134,6 +4134,24 @@ object Oracles {
        |  CAST(MAX(n_sensitive) AS BIGINT) AS max_div
        |FROM cls GROUP BY 1""".stripMargin
 
+  /** q231: padding-waste audit — same whitespace token count as the q13
+    * family, ceil-to-bucket via positive integer division, truncated ppm.
+    */
+  def paddingAudit(bucketWidth: Int): String =
+    s"""WITH t AS (
+       |  SELECT CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |    x -> x <> '')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |b AS (
+       |  SELECT ((n_tok + ${bucketWidth - 1}) // $bucketWidth) * $bucketWidth AS bound,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS real_tokens
+       |  FROM t WHERE n_tok > 0 GROUP BY 1)
+       |SELECT bound, n_docs, real_tokens,
+       |  bound * n_docs AS padded_tokens,
+       |  (bound * n_docs - real_tokens) * 1000000 // (bound * n_docs) AS waste_ppm
+       |FROM b""".stripMargin
+
   val oneTimeBuyers: String =
     """WITH pc AS (
       |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders

@@ -2091,6 +2091,12 @@ object SparkEntry {
         Seq("c_nationkey", "bal_band"), "c_mktsegment", l = 3)
     },
 
+    // inference-prep accounting: length-bucketed batch padding waste —
+    // per 64-token length bin, real vs padded token volume and truncated
+    // ppm waste; one narrow token-count pass + a bin-keyed aggregate
+    "q231_padding_audit" -> ((s, d) =>
+      graft.ext.Packing.paddingAudit(Tables.documents(s, d), bucketWidth = 64)),
+
     "q225_one_time_buyers" -> { (s, d) =>
       val perCust = Tables.orders(s, d)
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
@@ -2523,6 +2529,7 @@ object SparkEntry {
     "q227_file_profile" -> Oracles.fileProfile,
     "q228_small_order_revenue" -> Oracles.smallOrderRevenue,
     "q229_k_anonymity" -> Oracles.kAnonymity(5),
-    "q230_l_diversity" -> Oracles.lDiversity(3)
+    "q230_l_diversity" -> Oracles.lDiversity(3),
+    "q231_padding_audit" -> Oracles.paddingAudit(64)
   )
 }

@@ -80,4 +80,36 @@ object Packing {
     }
     clusters.select(col(idCol), col("cluster_rep"), split.as("split"))
   }
+
+  /** Length-bucketed batching audit: serving (and unpacked training)
+    * batches pad every sequence to the batch's longest member, so
+    * batching mixed lengths burns compute on pad tokens. Bucket each doc
+    * by token count into fixed-width length bins (bound = next multiple
+    * of `bucketWidth`) and account the waste per bin: padded volume
+    * `n_docs·bound` vs real volume `Σ n_tok`, waste in truncated integer
+    * ppm — the report that sizes bucketed-batching gains before a
+    * serving/eval run, and the residual-pad accounting a packed
+    * pretraining run publishes. Zero-token docs are excluded (nothing to
+    * serve).
+    *
+    * Scale: one narrow token-count pass (codegen'd split/filter — no
+    * shuffle), then one aggregate keyed by the bin bound (bins ≪ docs).
+    * All arithmetic integer, `div` on positive operands — bit-identical
+    * cross-engine.
+    */
+  def paddingAudit(docs: DataFrame, bucketWidth: Int = 64,
+                   textCol: String = "text"): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    docs
+      .select(TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bound",
+        expr(s"((n_tok + ${bucketWidth - 1}) div $bucketWidth) * $bucketWidth"))
+      .groupBy("bound")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("real_tokens"))
+      .withColumn("padded_tokens", col("bound") * col("n_docs"))
+      .withColumn("waste_ppm",
+        expr("(padded_tokens - real_tokens) * 1000000 div padded_tokens"))
+      .select("bound", "n_docs", "real_tokens", "padded_tokens", "waste_ppm")
+  }
 }

@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
@@ -89,5 +90,20 @@ class PackingSpec extends SparkSpec {
     assert(Packing.clusterSplitWeighted(clusters,
         Seq("a" -> 0L, "b" -> 0L, "c" -> 0L))
       .collect().forall(_.getString(2) == "c"))
+  }
+
+  test("paddingAudit: hand-computed bins, exact-boundary doc, empty doc excluded") {
+    // widths 4: "a b c" (3 tok) → bound 4; "a b c d" (4) → bound 4 (exact
+    // boundary stays in its own bin, not the next); 5 tokens → bound 8;
+    // "" → excluded
+    val docs = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "a b c"), Row(2L, "a b c d"), Row(3L, "a b c d e"),
+      Row(4L, "   ")))
+    val out = Packing.paddingAudit(docs, bucketWidth = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(out == Set(
+      (4L, 2L, 7L, 8L, 125000L),   // (8-7)*1e6 div 8
+      (8L, 1L, 5L, 8L, 375000L)))  // (8-5)*1e6 div 8
   }
 }
