@@ -4152,6 +4152,36 @@ object Oracles {
        |  (bound * n_docs - real_tokens) * 1000000 // (bound * n_docs) AS waste_ppm
        |FROM b""".stripMargin
 
+  /** q232: PSI drift — same Laplace-smoothed shares and ln expression as
+    * Profile.psiDrift, 6-decimal rounded (the q108 ln policy), exact
+    * integer counts and ppm shares.
+    */
+  def psiDrift(splitTs: String): String =
+    s"""WITH ca AS (
+       |  SELECT event_type AS bin, CAST(COUNT(*) AS BIGINT) AS n_before
+       |  FROM events WHERE ts < TIMESTAMP '$splitTs' GROUP BY 1),
+       |cb AS (
+       |  SELECT event_type AS bin, CAST(COUNT(*) AS BIGINT) AS n_after
+       |  FROM events WHERE ts >= TIMESTAMP '$splitTs' GROUP BY 1),
+       |j AS (
+       |  SELECT COALESCE(ca.bin, cb.bin) AS bin,
+       |    COALESCE(n_before, 0) AS n_before, COALESCE(n_after, 0) AS n_after
+       |  FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+       |t AS (
+       |  SELECT CAST(SUM(n_before) AS BIGINT) AS t_before,
+       |    CAST(SUM(n_after) AS BIGINT) AS t_after,
+       |    CAST(COUNT(*) AS BIGINT) AS n_bins FROM j)
+       |SELECT bin, n_before, n_after,
+       |  n_before * 1000000 // t_before AS share_before_ppm,
+       |  n_after * 1000000 // t_after AS share_after_ppm,
+       |  round(
+       |    ((CAST(n_before + 1 AS DOUBLE) / (t_before + n_bins))
+       |     - (CAST(n_after + 1 AS DOUBLE) / (t_after + n_bins)))
+       |    * ln((CAST(n_before + 1 AS DOUBLE) / (t_before + n_bins))
+       |       / (CAST(n_after + 1 AS DOUBLE) / (t_after + n_bins))), 6)
+       |    AS psi_contrib
+       |FROM j, t""".stripMargin
+
   val oneTimeBuyers: String =
     """WITH pc AS (
       |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders

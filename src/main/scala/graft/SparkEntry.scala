@@ -2097,6 +2097,18 @@ object SparkEntry {
     "q231_padding_audit" -> ((s, d) =>
       graft.ext.Packing.paddingAudit(Tables.documents(s, d), bucketWidth = 64)),
 
+    // drift monitoring: PSI of the event-type mix between the two halves
+    // of the corpus (same split instant as q138's stats drift — the two
+    // reports are the numeric and distributional faces of one monitor);
+    // bin-keyed aggregates only, facts never join each other
+    "q232_psi_drift" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val split = lit("2024-01-16").cast("timestamp")
+      graft.ext.Profile.psiDrift(
+        ev.filter(col("ts") < split), ev.filter(col("ts") >= split),
+        "event_type")
+    },
+
     "q225_one_time_buyers" -> { (s, d) =>
       val perCust = Tables.orders(s, d)
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
@@ -2530,6 +2542,7 @@ object SparkEntry {
     "q228_small_order_revenue" -> Oracles.smallOrderRevenue,
     "q229_k_anonymity" -> Oracles.kAnonymity(5),
     "q230_l_diversity" -> Oracles.lDiversity(3),
-    "q231_padding_audit" -> Oracles.paddingAudit(64)
+    "q231_padding_audit" -> Oracles.paddingAudit(64),
+    "q232_psi_drift" -> Oracles.psiDrift("2024-01-16 00:00:00")
   )
 }

@@ -111,4 +111,40 @@ object Profile {
       sum(expr(s"cast(round($valueCol * 100) as bigint)")).as("sum_cents")) ++ nonnulls
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
+
+  /** Population Stability Index between two snapshots of a categorical
+    * (or pre-binned) column — the standard drift monitor a scoring/serving
+    * pipeline alarms on (rule of thumb: total PSI < 0.1 stable, 0.1–0.25
+    * drifting, > 0.25 shifted). Per bin:
+    * `(p_a − p_b) · ln(p_a / p_b)` with Laplace-smoothed shares
+    * `p = (n + 1) / (N + bins)` — smoothing makes bins present in only
+    * one snapshot finite, deterministically. Emits one row per bin with
+    * exact counts, integer-ppm raw shares, and the PSI contribution
+    * rounded to 6 decimals (the repo's cross-engine float policy: exact
+    * integers in, one rounded double out); total PSI = SUM(psi_contrib).
+    *
+    * Scale shape: one groupBy per snapshot (bin-keyed, partial-agg), a
+    * full outer join on the BIN keyspace, totals broadcast back — the
+    * facts are each read once and never joined to each other.
+    */
+  def psiDrift(before: DataFrame, after: DataFrame, binCol: String): DataFrame = {
+    val ca = before.groupBy(col(binCol).as("bin"))
+      .agg(count(lit(1)).as("n_before"))
+    val cb = after.groupBy(col(binCol).as("bin"))
+      .agg(count(lit(1)).as("n_after"))
+    val j = ca.join(cb, Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_before", "n_after"))
+    val tot = j.agg(sum("n_before").as("t_before"),
+      sum("n_after").as("t_after"), count(lit(1)).as("n_bins"))
+    j.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_before"), col("n_after"),
+        expr("n_before * 1000000 div t_before").as("share_before_ppm"),
+        expr("n_after * 1000000 div t_after").as("share_after_ppm"),
+        expr("""round(
+          ((CAST(n_before + 1 AS DOUBLE) / (t_before + n_bins))
+           - (CAST(n_after + 1 AS DOUBLE) / (t_after + n_bins)))
+          * ln((CAST(n_before + 1 AS DOUBLE) / (t_before + n_bins))
+             / (CAST(n_after + 1 AS DOUBLE) / (t_after + n_bins))), 6)""")
+          .as("psi_contrib"))
+  }
 }

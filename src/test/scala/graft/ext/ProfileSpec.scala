@@ -42,4 +42,20 @@ class ProfileSpec extends SparkSpec {
     assert(out("k") == Seq(4L, 3L, 3L, 1L, 250000L, 666666L, 416666L, -2L))
     assert(out("v") == Seq(4L, 3L, 4L, 1L, 0L, 0L, 0L, -3L))
   }
+
+  test("psiDrift: hand-computed Laplace-smoothed contributions; one-sided bins finite") {
+    // before: a×3, b×1 (N=4); after: a×1, c×1 (N=2); bins {a,b,c}
+    // p = (n+1)/(N+3); contrib = (p_before − p_after)·ln(p_before/p_after)
+    val before = df("t STRING", Seq(Row("a"), Row("a"), Row("a"), Row("b")))
+    val after = df("t STRING", Seq(Row("a"), Row("c")))
+    val out = Profile.psiDrift(before, after, "t").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(out("a") == ((3L, 1L, 750000L, 500000L, 0.061144)))
+    assert(out("b") == ((1L, 0L, 250000L, 0L, 0.030572)))  // vanished bin: finite
+    assert(out("c") == ((0L, 1L, 0L, 500000L, 0.264759)))  // new bin: finite
+    // PSI total > 0.25 — this fixture IS a "shifted" population
+    assert(out.values.map(_._5).sum > 0.25)
+  }
 }
