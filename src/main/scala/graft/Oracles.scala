@@ -4182,6 +4182,35 @@ object Oracles {
        |    AS psi_contrib
        |FROM j, t""".stripMargin
 
+  /** q233: hourly PSI vs the corpus-global mix — full (hour × ref-bin)
+    * grid (zero rows for bins absent from a window, exactly like the
+    * stream's conditional counts), same Laplace smoothing and 6-decimal
+    * ln policy as q232.
+    */
+  val hourlyPsi: String =
+    """WITH ref AS (
+      |  SELECT event_type AS bin, CAST(COUNT(*) AS BIGINT) AS n_ref
+      |  FROM events GROUP BY 1),
+      |tr AS (
+      |  SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+      |    CAST(COUNT(*) AS BIGINT) AS b FROM ref),
+      |h AS (
+      |  SELECT date_trunc('hour', ts) AS hour, event_type AS bin,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |th AS (SELECT hour, CAST(SUM(n) AS BIGINT) AS t_hour FROM h GROUP BY 1),
+      |grid AS (
+      |  SELECT th.hour, ref.bin, COALESCE(h.n, 0) AS n, th.t_hour, ref.n_ref
+      |  FROM th CROSS JOIN ref
+      |  LEFT JOIN h ON h.hour = th.hour AND h.bin = ref.bin)
+      |SELECT hour, bin, n, n * 1000000 // t_hour AS share_ppm,
+      |  round(
+      |    ((CAST(n + 1 AS DOUBLE) / (t_hour + b))
+      |     - (CAST(n_ref + 1 AS DOUBLE) / (t_ref + b)))
+      |    * ln((CAST(n + 1 AS DOUBLE) / (t_hour + b))
+      |       / (CAST(n_ref + 1 AS DOUBLE) / (t_ref + b))), 6) AS psi_contrib
+      |FROM grid, tr""".stripMargin
+
   val oneTimeBuyers: String =
     """WITH pc AS (
       |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders

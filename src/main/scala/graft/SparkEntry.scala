@@ -2109,6 +2109,18 @@ object SparkEntry {
         "event_type")
     },
 
+    // streaming drift monitor, batch-evaluated (the q190 pattern: the
+    // oracle pins the STREAM plan's semantics): per hourly window, each
+    // reference bin's PSI contribution vs the corpus-global mix — the
+    // reference collect is one keyspace-sized aggregate (types ≪ facts),
+    // then ONE windowed aggregate + stateless stack/arithmetic
+    "q233_hourly_psi" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val ref = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.streaming.Streams.hourlyPsiStream(ev, ref)
+    },
+
     "q225_one_time_buyers" -> { (s, d) =>
       val perCust = Tables.orders(s, d)
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
@@ -2543,6 +2555,7 @@ object SparkEntry {
     "q229_k_anonymity" -> Oracles.kAnonymity(5),
     "q230_l_diversity" -> Oracles.lDiversity(3),
     "q231_padding_audit" -> Oracles.paddingAudit(64),
-    "q232_psi_drift" -> Oracles.psiDrift("2024-01-16 00:00:00")
+    "q232_psi_drift" -> Oracles.psiDrift("2024-01-16 00:00:00"),
+    "q233_hourly_psi" -> Oracles.hourlyPsi
   )
 }

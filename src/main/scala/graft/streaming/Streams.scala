@@ -61,6 +61,59 @@ object Streams {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n"), col("peak_10min"))
 
+  /** Streaming drift monitor: per closed hourly window, the PSI
+    * (Population Stability Index) contribution of each REFERENCE bin's
+    * observed share vs its reference share — [[graft.ext.Profile.psiDrift]]
+    * run continuously against a pinned baseline mix. The alarm rule is
+    * the batch one: SUM(psi_contrib) per window > 0.25 ⇒ shifted.
+    *
+    * Stream-shape decisions, each load-bearing:
+    * - The reference rides as LITERALS (one conditional count per ref
+    *   bin inside the single windowed aggregate + a literal map lookup),
+    *   NOT as a static DataFrame — a static-right outer join after a
+    *   streaming aggregation is unsupported, and the literal form also
+    *   yields exact ZERO rows for bins absent from a window (a streaming
+    *   groupBy(bin) could never emit an unobserved group).
+    * - ONE stateful operator total; everything after the aggregate is a
+    *   stateless projection (stack + arithmetic), so Append mode emits
+    *   each window exactly once when the watermark closes it.
+    * - Laplace smoothing `p = (n+1)/(N+B)` keeps zero-count bins finite.
+    *   Types outside the reference inflate the window total only (they
+    *   have no bin row) — novel-type detection is the snapshot monitor's
+    *   job (q232); B = reference bin count.
+    *
+    * Works identically on a batch frame — the q233 registration evaluates
+    * exactly this plan with the corpus-global mix as the reference, which
+    * is what pins the stream's semantics to a DuckDB oracle.
+    */
+  def hourlyPsiStream(events: DataFrame, refCounts: Map[String, Long],
+                      watermark: String = "1 hour"): DataFrame = {
+    require(refCounts.nonEmpty, "reference mix must not be empty")
+    val bins = refCounts.keys.toSeq.sorted
+    val b = bins.size
+    val tRef = refCounts.values.sum
+    val nCols = bins.zipWithIndex.map { case (bin, i) =>
+      count(when(col("event_type") === bin, 1)).as(s"n_$i")
+    }
+    val stackExpr = s"stack($b, " + bins.zipWithIndex
+      .map { case (bin, i) => s"'${bin.replace("'", "''")}', n_$i" }
+      .mkString(", ") + ") AS (bin, n)"
+    val refMap = typedLit(refCounts)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("t_hour"), nCols: _*)
+      .selectExpr("w.start AS hour", "t_hour", stackExpr)
+      .select(col("hour"), col("bin"), col("n"),
+        expr("n * 1000000 div t_hour").as("share_ppm"),
+        round(
+          ((col("n") + 1).cast("double") / (col("t_hour") + lit(b))
+            - (element_at(refMap, col("bin")) + 1).cast("double") / lit(tRef + b))
+            * log(((col("n") + 1).cast("double") / (col("t_hour") + lit(b)))
+              / ((element_at(refMap, col("bin")) + 1).cast("double") / lit(tRef + b))),
+          6).as("psi_contrib"))
+  }
+
   /** Custom sessionization with explicit state: a 30-minute inactivity gap
     * closes a session. New events from the same user close prior sessions
     * event-time-exactly; with `idleTimeout` on (the production default) a

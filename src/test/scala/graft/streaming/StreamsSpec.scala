@@ -56,6 +56,50 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // batch twin: q233_hourly_psi — the SAME hourlyPsiStream plan evaluated
+  // on a batch frame, exact-hash checked against the DuckDB oracle
+  test("hourlyPsiStream: streamed closed windows ≡ batch evaluation (q233)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Map("click" -> 6L, "view" -> 3L, "purchase" -> 1L)
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.hourlyPsiStream(mem.toDF(), ref)
+      .writeStream.format("memory").queryName("hourly_psi")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hour 10: heavy clicks; purchase ABSENT (zero row must still emit)
+      val in10 = Seq(
+        Streams.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Streams.Event(2, ts("2024-01-01 10:10:00"), 1, "click", 1.0),
+        Streams.Event(3, ts("2024-01-01 10:20:00"), 2, "view", 1.0),
+        Streams.Event(4, ts("2024-01-01 10:30:00"), 2, "signup", 1.0)) // non-ref type
+      // hour 11 lands in a later micro-batch; sentinel at 13 closes both
+      val in11 = Seq(
+        Streams.Event(5, ts("2024-01-01 11:05:00"), 3, "purchase", 5.0),
+        Streams.Event(6, ts("2024-01-01 11:06:00"), 3, "view", 1.0))
+      mem.addData(in10: _*); q.processAllAvailable()
+      mem.addData(in11: _*); q.processAllAvailable()
+      mem.addData(Streams.Event(9, ts("2024-01-01 13:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_psi").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      val batch = Streams.hourlyPsiStream((in10 ++ in11).toDF(), ref).collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+        .filter(!_._1.startsWith("2024-01-01 13:")).toSet
+      assert(streamed == batch)
+      // absent-bin row emitted with n = 0 and a FINITE contribution
+      val purchase10 = streamed.find(r =>
+        r._1.startsWith("2024-01-01 10:") && r._2 == "purchase").get
+      assert(purchase10._3 == 0L && !purchase10._5.isNaN)
+      // signup is not a reference bin: no row, but it counts in t_hour —
+      // click's hour-10 share is 2/4 = 500000 ppm, not 2/3
+      assert(streamed.find(r => r._1.startsWith("2024-01-01 10:") &&
+        r._2 == "click").get._4 == 500000L)
+    } finally q.stop()
+  }
+
   test("kmvUsersHourly: streaming registers equal the batch KMV sketch on the closed window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
