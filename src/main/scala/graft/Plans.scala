@@ -804,7 +804,22 @@ object Plans {
     "q229_k_anonymity" ->
       """k-anonymity audit: one shuffle on the QI columns builds the
         |equivalence classes; the banding aggregate runs over the CLASS
-        |relation (keyspace-sized). The fact table is read once.""".stripMargin)
+        |relation (keyspace-sized). The fact table is read once.""".stripMargin,
+    "q231_padding_audit" ->
+      """Padding-waste audit: the token count is a codegen'd
+        |split/filter/size chain (no UDF), so the only exchange is the
+        |bin-keyed aggregate — bins ≪ docs at any corpus size.""".stripMargin,
+    "q232_psi_drift" ->
+      """Snapshot PSI: each half contributes one bin-keyed partial-agg
+        |scan; the full-outer join and the totals broadcast run on the BIN
+        |keyspace. The two fact scans never join each other.""".stripMargin,
+    "q233_hourly_psi" ->
+      """Streaming-shaped drift monitor evaluated as a batch plan: ONE
+        |windowed aggregate carries the per-bin conditional counts AND the
+        |window total (no second stateful operator, no static join), then
+        |stack + arithmetic are stateless projections. The reference mix
+        |is a literal map — zero exchanges beyond the window aggregate's
+        |own.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
