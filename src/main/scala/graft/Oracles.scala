@@ -4211,6 +4211,52 @@ object Oracles {
       |       / (CAST(n_ref + 1 AS DOUBLE) / (t_ref + b))), 6) AS psi_contrib
       |FROM grid, tr""".stripMargin
 
+  /** Mirrors Dedup.cdcChunks: the q180 trigram hash array, cut positions
+    * by the same `% chunkMod = 0` predicate, spans as prepend/append
+    * lists, XOR-fold chunk fingerprints (prepend 0 so empty interiors
+    * reduce to 0 — DuckDB's list_reduce rejects empty lists, and its
+    * list_sum would widen to HUGEINT where Spark wraps, hence XOR).
+    */
+  def cdcChunks(chunkMod: Int): String = {
+    val code = "cps[CAST(i AS INTEGER)] * 65536 + " +
+      "cps[CAST(i AS INTEGER) + 1] * 256 + cps[CAST(i AS INTEGER) + 2]"
+    s"""WITH ch AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split_regex(text, ''),
+       |      c -> CAST(ascii(c) AS BIGINT)) AS cps
+       |  FROM documents),
+       |hs AS (
+       |  SELECT doc_id, cps, CASE WHEN len(cps) >= 3 THEN
+       |      list_transform(generate_series(1, len(cps) - 2),
+       |        i -> ${mixSql(s"($code)", ext.Dedup.WinnowJ)})
+       |    ELSE CAST([] AS BIGINT[]) END AS hs
+       |  FROM ch WHERE len(cps) > 0),
+       |cut AS (
+       |  SELECT doc_id, cps, hs,
+       |    list_filter(generate_series(1, len(hs)),
+       |      i -> hs[CAST(i AS INTEGER)] % $chunkMod = 0) AS cuts
+       |  FROM hs),
+       |sp AS (
+       |  SELECT doc_id, hs,
+       |    list_prepend(CAST(1 AS BIGINT),
+       |      list_transform(cuts, i -> CAST(i + 3 AS BIGINT))) AS starts,
+       |    list_append(list_transform(cuts, i -> CAST(i + 2 AS BIGINT)),
+       |      CAST(len(cps) AS BIGINT)) AS ends
+       |  FROM cut),
+       |x AS (
+       |  SELECT doc_id, hs,
+       |    unnest(generate_series(0, len(starts) - 1)) AS chunk_idx,
+       |    unnest(starts) AS s, unnest(ends) AS e
+       |  FROM sp)
+       |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       |  s AS start_char, e - s + 1 AS chunk_chars,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      hs[CAST(s AS INTEGER):CAST(GREATEST(e - 2, 0) AS INTEGER)]),
+       |    (a, b) -> xor(a, b)) AS chunk_fp
+       |FROM x WHERE s <= e""".stripMargin
+  }
+
   val oneTimeBuyers: String =
     """WITH pc AS (
       |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders

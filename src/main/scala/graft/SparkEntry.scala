@@ -2121,6 +2121,13 @@ object SparkEntry {
       graft.streaming.Streams.hourlyPsiStream(ev, ref)
     },
 
+    // content-defined chunking: cut where the local trigram hash ≡ 0
+    // (mod 64) — edit-stable chunk boundaries (an insertion re-cuts one
+    // chunk, not every later one like q164's fixed windows); narrow
+    // per-doc array HOFs, explode to chunk rows, zero shuffle
+    "q234_cdc_chunks" -> ((s, d) =>
+      Dedup.cdcChunks(Tables.documents(s, d), chunkMod = 64)),
+
     "q225_one_time_buyers" -> { (s, d) =>
       val perCust = Tables.orders(s, d)
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
@@ -2556,6 +2563,7 @@ object SparkEntry {
     "q230_l_diversity" -> Oracles.lDiversity(3),
     "q231_padding_audit" -> Oracles.paddingAudit(64),
     "q232_psi_drift" -> Oracles.psiDrift("2024-01-16 00:00:00"),
-    "q233_hourly_psi" -> Oracles.hourlyPsi
+    "q233_hourly_psi" -> Oracles.hourlyPsi,
+    "q234_cdc_chunks" -> Oracles.cdcChunks(64)
   )
 }

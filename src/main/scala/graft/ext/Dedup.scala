@@ -925,6 +925,68 @@ object Dedup {
             j => array_min(slice(col("__hs"), j, lit(w))))))).as("fp"))
   }
 
+  /** Content-defined chunking (Rabin/gear-style, unconstrained form):
+    * split each document where the TRIGRAM hash at a position ≡ 0
+    * (mod `chunkMod`) — so chunk boundaries are decided by local CONTENT,
+    * not offsets, and an insertion early in a document shifts only the
+    * chunk it lands in (fixed-size chunking — q164 — re-cuts everything
+    * after the edit, destroying downstream chunk-level dedup). Expected
+    * chunk length ≈ chunkMod chars; this is the storage/RAG-grade dedup
+    * primitive, the per-position complement of [[winnowFingerprints]]
+    * (same trigram hash array, different consumption).
+    *
+    * Emits one row per chunk: (doc, idx, start_char, chunk_chars,
+    * chunk_fp) — chunk_fp is the XOR fold of the chunk's interior trigram
+    * hashes (order-free over a contiguous span is fine: the SPAN is the
+    * identity; XOR avoids the Σ overflow that diverges cross-engine —
+    * DuckDB's list_sum widens to HUGEINT while Spark wraps). The
+    * unconstrained form has no min/max chunk bound: min/max clamping
+    * makes each boundary depend on the previous cut (sequential, not
+    * SQL-mirrorable) and is a policy layer a caller adds when needed.
+    *
+    * Scale: entirely narrow — per-doc array HOFs inside one projection,
+    * explode to chunk rows, no shuffle until the consumer aggregates.
+    */
+  def cdcChunks(docs: DataFrame, chunkMod: Int = 64, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(chunkMod >= 2, "chunkMod must be >= 2")
+    def guarded(n: Column, body: Column): Column =
+      when(n >= 1, body).otherwise(array().cast("array<bigint>"))
+    docs
+      .select(col(idCol),
+        transform(split(col(textCol), ""), c => ascii(c).cast("long")).as("__cps"))
+      .filter(size(col("__cps")) > 0)
+      .withColumn("__hs", guarded(size(col("__cps")) - 2,
+        transform(sequence(lit(1), greatest(size(col("__cps")) - 2, lit(1))),
+          i => mixHash(
+            element_at(col("__cps"), i) * 65536L +
+              element_at(col("__cps"), i + 1) * 256L +
+              element_at(col("__cps"), i + 2), WinnowJ))))
+      // cut after char i+2 wherever trigram hash i ≡ 0 (mod chunkMod);
+      // spans partition the text: starts = 1 :: cuts+3, ends = cuts+2 :: len
+      .withColumn("__cuts", guarded(size(col("__hs")),
+        filter(sequence(lit(1), greatest(size(col("__hs")), lit(1))),
+          i => element_at(col("__hs"), i) % chunkMod === 0)))
+      .withColumn("__starts",
+        concat(array(lit(1L)), transform(col("__cuts"), i => i + 3L)))
+      .withColumn("__ends",
+        concat(transform(col("__cuts"), i => i + 2L),
+          array(size(col("__cps")).cast("long"))))
+      .select(col(idCol), col("__hs"),
+        posexplode(zip_with(col("__starts"), col("__ends"),
+          (s, e) => struct(s.as("s"), e.as("e")))).as(Seq("chunk_idx", "se")))
+      // a cut at the very end leaves an empty final span — drop it
+      .filter(col("se.s") <= col("se.e"))
+      .select(col(idCol), col("chunk_idx"),
+        col("se.s").as("start_char"),
+        (col("se.e") - col("se.s") + 1L).as("chunk_chars"),
+        // interior trigrams of span [s, e] are hs indices s .. e-2
+        expr("""aggregate(
+            slice(__hs, CAST(se.s AS INT),
+              CAST(greatest(se.e - 2 - se.s + 1, 0) AS INT)),
+            0L, (a, x) -> a ^ x)""").as("chunk_fp"))
+  }
+
   /** Document-overlap report over winnowed fingerprints: pairs sharing at
     * least `minShared` fingerprints, with the exact shared count.
     * Fingerprints present in more than `max(2, n·maxDfPpm/10⁶)` documents

@@ -369,4 +369,39 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.winnowOverlapPairs(d, w = 4, minShared = 1, maxDfPpm = 1000000)
       .count() == 25L * 24 / 2 + 1)
   }
+
+  test("cdcChunks: chunks partition each doc — contiguous spans, lengths sum to text length") {
+    val text = ("the quick brown fox jumps over the lazy dog and then some " * 8).trim
+    val d = df("doc_id BIGINT, text STRING", Seq(Row(1L, text), Row(2L, "ab")))
+    val out = Dedup.cdcChunks(d, chunkMod = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(_._4).sum == text.length, "chunk lengths must sum to doc length")
+    doc1.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + a._4, "spans must be contiguous")
+    case _ => ()
+    }
+    assert(doc1.length > 1, s"mod 16 over ${text.length} chars should cut at least once")
+    // sub-trigram doc: one whole-doc chunk, empty-interior fp = 0
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 1L, 2L, 0L)))
+  }
+
+  test("cdcChunks: edit stability — a front insertion shifts, not re-cuts, later chunks") {
+    val text = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 6).trim
+    val d = df("doc_id BIGINT, text STRING", Seq(Row(1L, text), Row(2L, "X" + text)))
+    val out = Dedup.cdcChunks(d, chunkMod = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val base = out.filter(_._1 == 1L).sortBy(_._2)
+    val edited = out.filter(_._1 == 2L).sortBy(_._2)
+    assert(base.length >= 3, "fixture needs several chunks")
+    // boundaries are content-local: every base chunk AFTER the first
+    // reappears in the edited doc with identical (length, fingerprint)
+    // and start shifted by exactly the insertion size — fixed-size
+    // chunking (q164) re-cuts everything after the edit instead
+    val editedSet = edited.map(c => (c._3, c._4, c._5)).toSet
+    base.drop(1).foreach { c =>
+      assert(editedSet.contains((c._3 + 1, c._4, c._5)),
+        s"chunk at ${c._3} (len ${c._4}) must survive the edit shifted by 1")
+    }
+  }
 }
