@@ -819,7 +819,14 @@ object Plans {
         |window total (no second stateful operator, no static join), then
         |stack + arithmetic are stateless projections. The reference mix
         |is a literal map — zero exchanges beyond the window aggregate's
-        |own.""".stripMargin)
+        |own.""".stripMargin,
+    "q234_cdc_chunks" ->
+      """Content-defined chunking: per-doc codepoint/trigram-hash arrays,
+        |cut selection, span assembly, and XOR chunk fingerprints are all
+        |array HOFs inside one narrow projection chain — the only Generate
+        |is the final chunk-row explode, and NO exchange exists anywhere.
+        |At 100 TB this runs at scan speed; chunk-level dedup downstream
+        |shuffles only (doc_id, chunk_fp) pairs.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
