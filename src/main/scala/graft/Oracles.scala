@@ -4257,6 +4257,25 @@ object Oracles {
        |FROM x WHERE s <= e""".stripMargin
   }
 
+  /** Mirrors Dedup.chunkDupStats: the q234 chunk derivation as a CTE
+    * (nested WITH — DuckDB scopes it per subquery), fp-keyed distinct-doc
+    * counts, doc-keyed text-mass rollup, truncated ppm.
+    */
+  def chunkDupStats(chunkMod: Int): String =
+    s"""WITH chunks AS (${cdcChunks(chunkMod)}),
+       |fp AS (
+       |  SELECT chunk_fp, chunk_chars,
+       |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM chunks WHERE chunk_chars >= 3 GROUP BY 1, 2)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(chunk_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(CASE WHEN n_docs >= 2 THEN chunk_chars ELSE 0 END) AS BIGINT)
+       |    AS shared_chars,
+       |  CAST(SUM(CASE WHEN n_docs >= 2 THEN chunk_chars ELSE 0 END) AS BIGINT)
+       |    * 1000000 // CAST(SUM(chunk_chars) AS BIGINT) AS shared_ppm
+       |FROM chunks LEFT JOIN fp USING (chunk_fp, chunk_chars)
+       |GROUP BY 1""".stripMargin
+
   val oneTimeBuyers: String =
     """WITH pc AS (
       |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders

@@ -2128,6 +2128,14 @@ object SparkEntry {
     "q234_cdc_chunks" -> ((s, d) =>
       Dedup.cdcChunks(Tables.documents(s, d), chunkMod = 64)),
 
+    // chunk-level duplication mass: per doc, the TEXT share sitting in
+    // CDC chunks whose fingerprint appears in ≥2 docs — sub-document
+    // boilerplate/quoted-span detection (the curation threshold "drop
+    // docs > X% shared spans"); chunks pinned once, fp-keyed shuffle only
+    "q235_chunk_dedup" -> { (s, d) =>
+      Dedup.chunkDupStats(Tables.documents(s, d), chunkMod = 64)
+    },
+
     "q225_one_time_buyers" -> { (s, d) =>
       val perCust = Tables.orders(s, d)
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
@@ -2564,6 +2572,7 @@ object SparkEntry {
     "q231_padding_audit" -> Oracles.paddingAudit(64),
     "q232_psi_drift" -> Oracles.psiDrift("2024-01-16 00:00:00"),
     "q233_hourly_psi" -> Oracles.hourlyPsi,
-    "q234_cdc_chunks" -> Oracles.cdcChunks(64)
+    "q234_cdc_chunks" -> Oracles.cdcChunks(64),
+    "q235_chunk_dedup" -> Oracles.chunkDupStats(64)
   )
 }

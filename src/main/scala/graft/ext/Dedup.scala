@@ -987,6 +987,45 @@ object Dedup {
             0L, (a, x) -> a ^ x)""").as("chunk_fp"))
   }
 
+  /** Chunk-level duplication report over [[cdcChunks]]: per document, how
+    * much of its TEXT MASS (chars, not chunk counts) sits in chunks whose
+    * fingerprint appears in at least one OTHER document — the
+    * sub-document complement of whole-doc dedup: boilerplate headers,
+    * shared paragraphs, and quoted spans surface here while the documents
+    * themselves stay distinct. The text-mass framing is what a curation
+    * policy thresholds ("drop docs that are > 60% shared spans").
+    *
+    * Match identity is (fingerprint, length), and only chunks of ≥ 3
+    * chars can match: a sub-trigram chunk has NO interior trigram, so its
+    * fold is 0 for any content — without the floor, every stray 1-2 char
+    * sliver "matches" every other one cross-corpus (caught by spec).
+    * Chunks ≥ 3 chars are fully covered by their interior trigrams.
+    *
+    * Scale: chunks are fanned out once (narrow; pinned so the fp
+    * aggregate and the join-back don't re-chunk), the fp-keyed
+    * distinct-doc aggregate and the equi-join back shuffle on the 64-bit
+    * fingerprint (no skew magnet), then one doc-keyed aggregate — the
+    * frameDupStats shape on text.
+    */
+  def chunkDupStats(docs: DataFrame, chunkMod: Int = 64,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val ch = cdcChunks(docs, chunkMod, idCol, textCol)
+      .select(col(idCol), col("chunk_chars"), col("chunk_fp"))
+      .localCheckpoint(true)
+    val byFp = ch.filter(col("chunk_chars") >= 3)
+      .groupBy("chunk_fp", "chunk_chars")
+      .agg(count_distinct(col(idCol)).as("n_docs"))
+    ch.join(byFp, Seq("chunk_fp", "chunk_chars"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("chunk_chars").as("n_chars"),
+        sum(when(col("n_docs") >= 2, col("chunk_chars")).otherwise(0L))
+          .as("shared_chars"))
+      .withColumn("shared_ppm",
+        expr("shared_chars * 1000000 div n_chars"))
+  }
+
   /** Document-overlap report over winnowed fingerprints: pairs sharing at
     * least `minShared` fingerprints, with the exact shared count.
     * Fingerprints present in more than `max(2, n·maxDfPpm/10⁶)` documents

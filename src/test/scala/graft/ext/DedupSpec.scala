@@ -404,4 +404,22 @@ class DedupSpec extends SparkSpec {
         s"chunk at ${c._3} (len ${c._4}) must survive the edit shifted by 1")
     }
   }
+
+  test("chunkDupStats: shared spans surface across docs; unique doc reports zero") {
+    val shared = ("alpha beta gamma delta epsilon zeta eta theta " * 6).trim
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, shared + " one unique tail here"),
+      Row(2L, shared + " two other ending text"),
+      Row(3L, "completely different content with nothing in common xyzzy")))
+    val out = Dedup.chunkDupStats(d, chunkMod = 16).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // docs 1 and 2 share the long prefix: most of their mass is shared
+    assert(out(1L)._3 > 0 && out(2L)._3 > 0, "shared prefix chunks must match")
+    assert(out(1L)._4 > 500000L, s"doc 1 should be majority-shared: ${out(1L)}")
+    // doc 3 shares nothing
+    assert(out(3L)._3 == 0L && out(3L)._4 == 0L)
+    // mass accounting: n_chars equals the doc's text length
+    assert(out(1L)._2 == (shared + " one unique tail here").length)
+  }
 }
