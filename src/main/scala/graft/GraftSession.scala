@@ -38,6 +38,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.RollingFp].getName, ShingleFunctions.RollingName),
       (args: Seq[Expression]) => functions.RollingFp(args(0))))
     ext.injectFunction((
+      FunctionIdentifier(ShingleFunctions.TrigramHashesName),
+      new ExpressionInfo(classOf[functions.TrigramMixHashes].getName,
+        ShingleFunctions.TrigramHashesName),
+      // j selects the hash family member and must be a plan-time literal
+      (args: Seq[Expression]) => functions.TrigramMixHashes(args(0),
+        args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
       FunctionIdentifier(RepetitionFunctions.Name),
       new ExpressionInfo(classOf[RepetitionStats].getName, RepetitionFunctions.Name),
       (args: Seq[Expression]) => RepetitionStats(args(0))))

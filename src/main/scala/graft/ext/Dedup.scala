@@ -910,15 +910,13 @@ object Dedup {
     require(w >= 1, "window must be >= 1")
     def guarded(n: Column, body: Column): Column =
       when(n >= 1, body).otherwise(array().cast("array<bigint>"))
+    // per-position trigram hashes via the native one-pass expression
+    // (TrigramHashSpec pins bit-equality with the composed
+    // split/transform/mixHash form this replaces; q180 oracle unchanged)
     docs
       .select(col(idCol),
-        transform(split(col(textCol), ""), c => ascii(c).cast("long")).as("__cps"))
-      .withColumn("__hs", guarded(size(col("__cps")) - 2,
-        transform(sequence(lit(1), greatest(size(col("__cps")) - 2, lit(1))),
-          i => mixHash(
-            element_at(col("__cps"), i) * 65536L +
-              element_at(col("__cps"), i + 1) * 256L +
-              element_at(col("__cps"), i + 2), WinnowJ))))
+        graft.functions.ShingleFunctions
+          .trigramHashes(col(textCol), WinnowJ).as("__hs"))
       .select(col(idCol),
         explode(array_distinct(guarded(size(col("__hs")) - (w - 1),
           transform(sequence(lit(1), greatest(size(col("__hs")) - (w - 1), lit(1))),
@@ -952,16 +950,14 @@ object Dedup {
     require(chunkMod >= 2, "chunkMod must be >= 2")
     def guarded(n: Column, body: Column): Column =
       when(n >= 1, body).otherwise(array().cast("array<bigint>"))
+    // native one-pass trigram hashes (codepoints decoded once, modular
+    // arithmetic in codegen) — bit-identical to the composed
+    // split/transform/mixHash form (TrigramHashSpec pins it; same oracle)
     docs
-      .select(col(idCol),
-        transform(split(col(textCol), ""), c => ascii(c).cast("long")).as("__cps"))
-      .filter(size(col("__cps")) > 0)
-      .withColumn("__hs", guarded(size(col("__cps")) - 2,
-        transform(sequence(lit(1), greatest(size(col("__cps")) - 2, lit(1))),
-          i => mixHash(
-            element_at(col("__cps"), i) * 65536L +
-              element_at(col("__cps"), i + 1) * 256L +
-              element_at(col("__cps"), i + 2), WinnowJ))))
+      .select(col(idCol), length(col(textCol)).cast("long").as("__len"),
+        graft.functions.ShingleFunctions
+          .trigramHashes(col(textCol), WinnowJ).as("__hs"))
+      .filter(col("__len") > 0)
       // cut after char i+2 wherever trigram hash i ≡ 0 (mod chunkMod);
       // spans partition the text: starts = 1 :: cuts+3, ends = cuts+2 :: len
       .withColumn("__cuts", guarded(size(col("__hs")),
@@ -971,7 +967,7 @@ object Dedup {
         concat(array(lit(1L)), transform(col("__cuts"), i => i + 3L)))
       .withColumn("__ends",
         concat(transform(col("__cuts"), i => i + 2L),
-          array(size(col("__cps")).cast("long"))))
+          array(col("__len"))))
       .select(col(idCol), col("__hs"),
         posexplode(zip_with(col("__starts"), col("__ends"),
           (s, e) => struct(s.as("s"), e.as("e")))).as(Seq("chunk_idx", "se")))

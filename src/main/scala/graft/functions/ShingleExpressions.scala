@@ -119,6 +119,49 @@ object ShingleUtil {
     acc
   }
 
+  /** Ordered (non-distinct) mixHash-per-trigram array, one pass — the
+    * native form of
+    * `transform(sequence(1, len-2), i -> mixHash(cp_i·2¹⁶ + cp_{i+1}·2⁸ +
+    * cp_{i+2}, j))` that winnowing and content-defined chunking build from
+    * a `split(text, "")` codepoint array: that shape allocates a
+    * one-char-string array and runs the interpreted affine∘x⁵∘affine
+    * lambda per position (the q13 lesson, again). Here codepoints decode
+    * once and each hash is a handful of modular multiplies inside
+    * whole-stage codegen. Arithmetic is EXACTLY [[graft.ext.Dedup.mixHash]]
+    * (same hashA/hashB/P constants, referenced — not copied — so they
+    * cannot drift); values are oracle-pinned by q180/q234.
+    */
+  def trigramMixHashes(s: UTF8String, j: Int): ArrayData = {
+    val P = 2147483647L
+    val a1 = graft.ext.Dedup.hashA(j); val b1 = graft.ext.Dedup.hashB(j)
+    val a2 = graft.ext.Dedup.hashA(j + 1); val b2 = graft.ext.Dedup.hashB(j + 1)
+    val str = s.toString
+    val len = str.length
+    val cps = new Array[Int](len)
+    var n = 0
+    var i = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      cps(n) = cp
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n < 3) return EmptyResult
+    val m = n - 2
+    val out = new Array[Long](m)
+    var k = 0
+    while (k < m) {
+      val code = cps(k).toLong * 65536L + cps(k + 1).toLong * 256L + cps(k + 2).toLong
+      val x1 = (a1 * (code % P) + b1) % P
+      val y2 = (x1 * x1) % P
+      val y4 = (y2 * y2) % P
+      val x5 = (y4 * x1) % P
+      out(k) = (a2 * x5 + b2) % P
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct 3-gram shingle STRINGS, first-occurrence order — the string
     * variant for consumers that join on the shingle itself (n-gram Jaccard,
     * where code collisions would corrupt intersection counts). Same
@@ -208,6 +251,32 @@ case class ShingleStrings(child: Expression) extends UnaryExpression with Serial
     copy(child = newChild)
 }
 
+/** `graft_trigram_hashes(text, j)` → array<long>: ordered mixHash-family-j
+  * per-trigram hashes (null text → null, < 3 codepoints → empty). `j` must
+  * be a literal — it selects the hash family member at plan time.
+  */
+case class TrigramMixHashes(child: Expression, j: Int)
+    extends UnaryExpression with Serializable {
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleUtil.trigramMixHashes(input.asInstanceOf[UTF8String], j)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.trigramMixHashes($c, $j)")
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramMixHashes =
+    copy(child = newChild)
+}
+
 /** `graft_rolling_fp(text)` → long: position-weighted rolling fingerprint
   * over ordered 3-gram shingles (null text → null, < 3 codepoints → 0 —
   * same contract as the composed TextAnalysis form it replaces).
@@ -237,7 +306,10 @@ object ShingleFunctions {
   val CodesName = "graft_shingle_codes"
   val StringsName = "graft_shingle_strings"
   val RollingName = "graft_rolling_fp"
+  val TrigramHashesName = "graft_trigram_hashes"
   def shingleCodes(text: Column): Column = call_function(CodesName, text)
   def shingleStrings(text: Column): Column = call_function(StringsName, text)
   def rollingFp(text: Column): Column = call_function(RollingName, text)
+  def trigramHashes(text: Column, j: Int): Column =
+    call_function(TrigramHashesName, text, org.apache.spark.sql.functions.lit(j))
 }
