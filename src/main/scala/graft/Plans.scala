@@ -821,12 +821,20 @@ object Plans {
         |is a literal map — zero exchanges beyond the window aggregate's
         |own.""".stripMargin,
     "q234_cdc_chunks" ->
-      """Content-defined chunking: per-doc codepoint/trigram-hash arrays,
-        |cut selection, span assembly, and XOR chunk fingerprints are all
-        |array HOFs inside one narrow projection chain — the only Generate
-        |is the final chunk-row explode, and NO exchange exists anywhere.
-        |At 100 TB this runs at scan speed; chunk-level dedup downstream
-        |shuffles only (doc_id, chunk_fp) pairs.""".stripMargin)
+      """Content-defined chunking: the trigram-hash array comes from the
+        |native one-pass graft_trigram_hashes codegen expression (3.7×
+        |over the composed split/transform form it replaced); cut
+        |selection, span assembly, and XOR chunk fingerprints are array
+        |HOFs in the same narrow projection chain — the only Generate is
+        |the final chunk-row explode, and NO exchange exists anywhere. At
+        |100 TB this runs at scan speed; chunk-level dedup downstream
+        |shuffles only fingerprint pairs.""".stripMargin,
+    "q235_chunk_dedup" ->
+      """Chunk-duplication mass: the q234 chunk relation is pinned once
+        |(localCheckpoint) so the (fp, len)-keyed distinct-doc aggregate
+        |and the join-back don't re-chunk the corpus; both shuffle on the
+        |64-bit fingerprint (no skew magnet), then one doc-keyed rollup.
+        |Payload text never shuffles — only (doc, fp, len) tuples.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
