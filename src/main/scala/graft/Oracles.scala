@@ -4276,6 +4276,41 @@ object Oracles {
        |FROM chunks LEFT JOIN fp USING (chunk_fp, chunk_chars)
        |GROUP BY 1""".stripMargin
 
+  /** q236: log-linear histogram quantiles — the identical pure-integer
+    * bucketing as [[graft.ext.Sketch.logHistogram]] (`bin()`-length
+    * octave + top subBits bits, both engines bit-identical), cumulative
+    * rank walk over bucket rows, first-bucket-at-rank readout.
+    */
+  def logHistQuantiles(subBits: Int, qs: Seq[Int]): String = {
+    val cap = 1L << (subBits + 1)
+    s"""WITH v AS (
+       |  SELECT o_orderpriority,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS x
+       |  FROM orders),
+       |h AS (
+       |  SELECT o_orderpriority,
+       |    GREATEST(LENGTH(bin(x)) - ${1 + subBits}, 0) AS s,
+       |    x >> GREATEST(LENGTH(bin(x)) - ${1 + subBits}, 0) AS m,
+       |    COUNT(*) AS cnt
+       |  FROM v GROUP BY 1, 2, 3),
+       |b AS (
+       |  SELECT o_orderpriority, s * $cap + m AS bucket_id,
+       |    (m << s) AS rep, cnt
+       |  FROM h),
+       |c AS (
+       |  SELECT o_orderpriority, bucket_id, rep, cnt,
+       |    CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority
+       |                        ORDER BY bucket_id) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+       |  FROM b)
+       |SELECT o_orderpriority, q.quantile, MIN(rep) AS est_cents,
+       |  CAST(MAX(n) AS BIGINT) AS n_orders
+       |FROM c CROSS JOIN (VALUES ${qs.map(q => s"($q)").mkString(", ")})
+       |  AS q(quantile)
+       |WHERE cum >= (n * q.quantile + 99) // 100
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   val oneTimeBuyers: String =
     """WITH pc AS (
       |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders

@@ -834,7 +834,16 @@ object Plans {
         |(localCheckpoint) so the (fp, len)-keyed distinct-doc aggregate
         |and the join-back don't re-chunk the corpus; both shuffle on the
         |64-bit fingerprint (no skew magnet), then one doc-keyed rollup.
-        |Payload text never shuffles — only (doc, fp, len) tuples.""".stripMargin)
+        |Payload text never shuffles — only (doc, fp, len) tuples.""".stripMargin,
+    "q236_loghist_quantiles" ->
+      """Log-linear quantile sketch: one narrow integer bucketing
+        |projection, one partial-agg groupBy — the ONLY pass over the
+        |facts; the rank walk (two windows + explode + min) runs on the
+        |bucket rows, ≤ ~1k per group regardless of corpus size. State is
+        |O(octaves·2^subBits) mergeable counts — the 100 TB shape for
+        |p50/p90/p99 (vs q163's exact ranks, which sort the corpus).
+        |Pure-integer base-2 bucketing (bin-length + shifts): bit-stable
+        |cross-engine AND layout-invariant, no float log anywhere.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -2136,6 +2136,22 @@ object SparkEntry {
       Dedup.chunkDupStats(Tables.documents(s, d), chunkMod = 64)
     },
 
+    // mergeable rank sketch: p50/p90/p99 of order value per priority from
+    // a log-linear integer histogram (≤ 2^-4 relative error, exact below
+    // 32 cents) — the bounded-state alternative to q163's exact ranks:
+    // state is O(octaves·16) buckets per group, counts merge across
+    // shards/days, and no sort ever touches the raw rows
+    "q236_loghist_quantiles" -> { (s, d) =>
+      val cents = Tables.orders(s, d).select(col("o_orderpriority"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      graft.ext.Sketch.logHistQuantiles(
+        graft.ext.Sketch.logHistogram(cents, col("cents"),
+          Seq("o_orderpriority"), subBits = 4),
+        Seq("o_orderpriority"), qs = Seq(50, 90, 99))
+        .select(col("o_orderpriority"), col("quantile"),
+          col("est").as("est_cents"), col("n").cast("long").as("n_orders"))
+    },
+
     "q225_one_time_buyers" -> { (s, d) =>
       val perCust = Tables.orders(s, d)
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
@@ -2573,6 +2589,7 @@ object SparkEntry {
     "q232_psi_drift" -> Oracles.psiDrift("2024-01-16 00:00:00"),
     "q233_hourly_psi" -> Oracles.hourlyPsi,
     "q234_cdc_chunks" -> Oracles.cdcChunks(64),
-    "q235_chunk_dedup" -> Oracles.chunkDupStats(64)
+    "q235_chunk_dedup" -> Oracles.chunkDupStats(64),
+    "q236_loghist_quantiles" -> Oracles.logHistQuantiles(4, Seq(50, 90, 99))
   )
 }

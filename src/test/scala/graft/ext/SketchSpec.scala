@@ -251,4 +251,51 @@ class SketchSpec extends SparkSpec {
     val got = a.map(s => (s(0).toString, s(1).toString) -> s(2).asInstanceOf[Long]).toMap
     assert(got == want)
   }
+
+  // ----------------------------------------- log-linear quantile sketch
+
+  private def quantileMap(d: org.apache.spark.sql.DataFrame): Map[(String, Int), Long] =
+    d.collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  test("logHistQuantiles: exact below 2^(subBits+1), bounded relative error above") {
+    import spark.implicits._
+    // group "small": all values < 32 → every bucket exact at subBits=4.
+    // group "wide": 7 octaves of spread, deterministic non-uniform values.
+    val vals =
+      (1L to 500L).map(i => ("small", i % 31 + 1)) ++
+      (1L to 2000L).map(i => ("wide", (i * i * 37 + i) % 100000 + 1))
+    val d = vals.toDF("g", "x")
+    val est = quantileMap(Sketch.logHistQuantiles(
+      Sketch.logHistogram(d, col("x"), Seq("g")), Seq("g")))
+    // ground truth: value at rank ceil(n*q/100) in sorted order
+    val truth = vals.groupBy(_._1).flatMap { case (g, rows) =>
+      val sorted = rows.map(_._2).sorted
+      Seq(50, 90, 99).map(q =>
+        (g, q) -> sorted((sorted.size * q + 99) / 100 - 1))
+    }
+    for (((g, q), exact) <- truth) {
+      val e = est((g, q))
+      if (g == "small") assert(e == exact, s"($g,$q): $e != $exact")
+      else {
+        // bucket lower bound: est ≤ exact < est·(1 + 2^-4)
+        assert(e <= exact && exact < e + (e >> 4) + 1,
+          s"($g,$q): est $e not within 1/16 below exact $exact")
+      }
+    }
+  }
+
+  test("logHistogram: shard merge ≡ direct build; counts conserved") {
+    import spark.implicits._
+    val d = (1L to 3000L).map(i => ("g", (i * 131 + 7) % 50000)).toDF("g", "x")
+    val direct = Sketch.logHistogram(d, col("x"), Seq("g"))
+    val sharded = Sketch.mergeLogHistograms(
+      Sketch.logHistogram(d.filter(col("x") % 3 === 0), col("x"), Seq("g"))
+        .unionByName(Sketch.logHistogram(d.filter(col("x") % 3 =!= 0), col("x"), Seq("g"))),
+      Seq("g"))
+    assertSameRows(direct.orderBy("bucket_id"), sharded.orderBy("bucket_id"))
+    val total = direct.agg(sum("cnt")).head().getLong(0)
+    assert(total == 3000L)
+    // bounded state: bucket rows ≤ octaves · 2^subBits (+ exact small buckets)
+    assert(direct.count() <= (64 - 4) * 16 + 32)
+  }
 }
