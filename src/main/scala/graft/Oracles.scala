@@ -4276,6 +4276,52 @@ object Oracles {
        |FROM chunks LEFT JOIN fp USING (chunk_fp, chunk_chars)
        |GROUP BY 1""".stripMargin
 
+  /** q237: CUPED variance-reduced A/B readout — identical per-user cents
+    * rollup, mixHash(362) arm assignment, exact HUGEINT moments, and the
+    * same floor-division staging for θ and the adjusted means (both
+    * engines truncate signed integral division toward zero).
+    */
+  def cupedReadout(split: String): String = {
+    val h = mixSql("user_id", 362)
+    s"""WITH per AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN ts < TIMESTAMP '$split'
+       |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '$split'
+       |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+       |  FROM events GROUP BY 1),
+       |pa AS (SELECT user_id, x, y, ($h) % 2 AS arm FROM per),
+       |g AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+       |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+       |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+       |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+       |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+       |  FROM pa),
+       |a AS (
+       |  SELECT arm, CAST(COUNT(*) AS HUGEINT) AS n_a,
+       |    CAST(SUM(x) AS HUGEINT) AS sx_a, CAST(SUM(y) AS HUGEINT) AS sy_a
+       |  FROM pa GROUP BY 1),
+       |t AS (
+       |  SELECT arm, n_a, sx_a, sy_a, n, sx, sy, syy,
+       |    n * sxy - sx * sy AS nn,
+       |    NULLIF(n * sxx - sx * sx, 0) AS dd,
+       |    NULLIF(n * syy - sy * sy, 0) AS dy
+       |  FROM a CROSS JOIN g),
+       |t2 AS (
+       |  SELECT arm, n_a, sy_a, nn, dy,
+       |    (nn * 1000000) // dd AS theta_ppm,
+       |    (sx_a * 1000000) // n_a - (sx * 1000000) // n AS dxm
+       |  FROM t)
+       |SELECT CAST(arm AS BIGINT) AS arm, CAST(n_a AS BIGINT) AS n_users,
+       |  CAST(sy_a // n_a AS BIGINT) AS mean_y_cents,
+       |  CAST((sy_a * 1000000) // n_a - (theta_ppm * dxm) // 1000000 AS BIGINT)
+       |    AS adj_mean_microcents,
+       |  CAST(theta_ppm AS BIGINT) AS theta_ppm,
+       |  CAST((theta_ppm * nn) // dy AS BIGINT) AS varred_ppm
+       |FROM t2""".stripMargin
+  }
+
   /** q236: log-linear histogram quantiles — the identical pure-integer
     * bucketing as [[graft.ext.Sketch.logHistogram]] (`bin()`-length
     * octave + top subBits bits, both engines bit-identical), cumulative

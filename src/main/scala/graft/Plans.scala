@@ -843,7 +843,15 @@ object Plans {
         |O(octaves·2^subBits) mergeable counts — the 100 TB shape for
         |p50/p90/p99 (vs q163's exact ranks, which sort the corpus).
         |Pure-integer base-2 bucketing (bin-length + shifts): bit-stable
-        |cross-engine AND layout-invariant, no float log anywhere.""".stripMargin)
+        |cross-engine AND layout-invariant, no float log anywhere.""".stripMargin,
+    "q237_cuped_readout" ->
+      """CUPED readout: one user-key shuffle for the per-user (X, Y)
+        |cents rollup (map-side partial agg over the raw events), then a
+        |1-row global-moments aggregate BROADCAST into the 2-row per-arm
+        |frame — θ, adjusted means, and ρ² are driver-free rational
+        |arithmetic on constant-width rows. Nothing after the first
+        |aggregate scales with the corpus; exact decimal(38,0) moments
+        |with floor-div staging mirrored by the oracle term-for-term.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -347,4 +347,55 @@ class FunnelSpec extends SparkSpec {
     val out = Funnel.matchPattern(ev, "view", "purchase", "error", 3600L * 1000000)
     assert(rowSet(out) == rows(Seq("6", "15", "16", "5000000")))
   }
+
+  test("cupedReadout: BigInt recompute exact; perfect covariate ⇒ ~full variance reduction") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // every user spends v pre-split and exactly 2v post-split: Y = 2X, so
+    // θ = 2 exactly, ρ² = 1, and the CUPED-adjusted means of the two arms
+    // must coincide (up to floor rounding) even though the raw means differ
+    val rowsEv = (1L to 200L).flatMap { u =>
+      val v = (u * 37 % 100) + 1
+      Seq(Row(u, ts("2024-01-10 00:00:00"), v.toDouble),
+          Row(u, ts("2024-01-20 00:00:00"), 2.0 * v))
+    }
+    val ev = df("user_id BIGINT, ts TIMESTAMP, value DOUBLE", rowsEv)
+    val out = Funnel.cupedReadout(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L, 1L))
+
+    // exact recompute of the documented floor-division staging
+    val armOf = ev.select(col("user_id")).distinct()
+      .withColumn("arm", pmod(Dedup.mixHash(col("user_id"), 362), lit(2L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val per = (1L to 200L).map { u =>
+      val v = (u * 37 % 100) + 1
+      (armOf(u), BigInt(v * 100), BigInt(2 * v * 100))
+    }
+    val n = BigInt(per.size)
+    val sx = per.map(_._2).sum; val sy = per.map(_._3).sum
+    val sxx = per.map(p => p._2 * p._2).sum
+    val sxy = per.map(p => p._2 * p._3).sum
+    val syy = per.map(p => p._3 * p._3).sum
+    val nn = n * sxy - sx * sy
+    val thetaPpm = (nn * 1000000) / (n * sxx - sx * sx)
+    assert(thetaPpm == BigInt(2000000), "Y = 2X must give θ_ppm exactly 2e6")
+    for (arm <- Seq(0L, 1L)) {
+      val mine = per.filter(_._1 == arm)
+      val nA = BigInt(mine.size)
+      val sxA = mine.map(_._2).sum; val syA = mine.map(_._3).sum
+      val dxm = (sxA * 1000000) / nA - (sx * 1000000) / n
+      val adj = (syA * 1000000) / nA - (thetaPpm * dxm) / 1000000
+      val r = out(arm)
+      assert(r.getLong(1) == nA.toLong && r.getLong(2) == (syA / nA).toLong)
+      assert(r.getLong(3) == adj.toLong, s"arm $arm adjusted mean")
+      assert(r.getLong(4) == thetaPpm.toLong)
+      assert((thetaPpm * nn) / (n * syy - sy * sy) == BigInt(r.getLong(5)))
+      assert(r.getLong(5) >= 999000L, "perfect covariate ⇒ varred ~1e6 ppm")
+    }
+    // the whole point: adjusted means coincide across arms, raw means don't
+    val adjGap = (out(0L).getLong(3) - out(1L).getLong(3)).abs
+    val rawGap = (out(0L).getLong(2) - out(1L).getLong(2)).abs
+    assert(adjGap <= 10L, s"CUPED should cancel covariate imbalance, gap=$adjGap")
+    assert(rawGap * 1000000 > adjGap, "raw means differ, adjusted don't")
+  }
 }
