@@ -4327,30 +4327,42 @@ object Oracles {
     * octave + top subBits bits, both engines bit-identical), cumulative
     * rank walk over bucket rows, first-bucket-at-rank readout.
     */
-  def logHistQuantiles(subBits: Int, qs: Seq[Int]): String = {
+  def logHistQuantiles(subBits: Int, qs: Seq[Int]): String =
+    logHistQuantilesCore(
+      "SELECT o_orderpriority AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders",
+      "o_orderpriority", "n_orders", subBits, qs)
+
+  /** q238: the identical sketch + readout over hourly event value cents —
+    * the oracle-verified batch twin of the streaming histogram
+    * ([[graft.streaming.Streams.logHistHourly]]).
+    */
+  def hourlyQuantiles(subBits: Int, qs: Seq[Int]): String =
+    logHistQuantilesCore(
+      "SELECT date_trunc('hour', ts) AS g, CAST(round(value * 100) AS BIGINT) AS x FROM events",
+      "hour", "n_events", subBits, qs)
+
+  private def logHistQuantilesCore(sourceSql: String, groupAlias: String,
+                                   countAlias: String, subBits: Int,
+                                   qs: Seq[Int]): String = {
     val cap = 1L << (subBits + 1)
-    s"""WITH v AS (
-       |  SELECT o_orderpriority,
-       |    CAST(round(o_totalprice * 100) AS BIGINT) AS x
-       |  FROM orders),
+    s"""WITH v AS ($sourceSql),
        |h AS (
-       |  SELECT o_orderpriority,
+       |  SELECT g,
        |    GREATEST(LENGTH(bin(x)) - ${1 + subBits}, 0) AS s,
        |    x >> GREATEST(LENGTH(bin(x)) - ${1 + subBits}, 0) AS m,
        |    COUNT(*) AS cnt
        |  FROM v GROUP BY 1, 2, 3),
        |b AS (
-       |  SELECT o_orderpriority, s * $cap + m AS bucket_id,
+       |  SELECT g, s * $cap + m AS bucket_id,
        |    (m << s) AS rep, cnt
        |  FROM h),
        |c AS (
-       |  SELECT o_orderpriority, bucket_id, rep, cnt,
-       |    CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority
-       |                        ORDER BY bucket_id) AS BIGINT) AS cum,
-       |    CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+       |  SELECT g, bucket_id, rep, cnt,
+       |    CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY bucket_id) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
        |  FROM b)
-       |SELECT o_orderpriority, q.quantile, MIN(rep) AS est_cents,
-       |  CAST(MAX(n) AS BIGINT) AS n_orders
+       |SELECT g AS $groupAlias, q.quantile, MIN(rep) AS est_cents,
+       |  CAST(MAX(n) AS BIGINT) AS $countAlias
        |FROM c CROSS JOIN (VALUES ${qs.map(q => s"($q)").mkString(", ")})
        |  AS q(quantile)
        |WHERE cum >= (n * q.quantile + 99) // 100

@@ -844,6 +844,14 @@ object Plans {
         |p50/p90/p99 (vs q163's exact ranks, which sort the corpus).
         |Pure-integer base-2 bucketing (bin-length + shifts): bit-stable
         |cross-engine AND layout-invariant, no float log anywhere.""".stripMargin,
+    "q238_hourly_quantiles" ->
+      """Hourly quantile readout over the SAME log-linear sketch as q236,
+        |keyed by hour: the bucketing projection is shared with the
+        |streaming twin (Streams.logHistHourly), so stream-emitted window
+        |histograms and this batch plan are positionally identical and
+        |merge by adding counts. One narrow projection + one partial-agg
+        |groupBy over the facts; hour-partitioned rank walk over ≤ ~1k
+        |bucket rows per hour.""".stripMargin,
     "q237_cuped_readout" ->
       """CUPED readout: one user-key shuffle for the per-user (X, Y)
         |cents rollup (map-side partial agg over the raw events), then a

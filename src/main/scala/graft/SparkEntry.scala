@@ -2136,6 +2136,21 @@ object SparkEntry {
       Dedup.chunkDupStats(Tables.documents(s, d), chunkMod = 64)
     },
 
+    // hourly p50/p90/p99 of event value from the SAME log-linear sketch as
+    // q236 — registered as the oracle-verified batch twin of the streaming
+    // histogram (Streams.logHistHourly shares the bucketing projection, so
+    // its emitted windows merge with this by adding counts)
+    "q238_hourly_quantiles" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        date_trunc("hour", col("ts")).as("hour"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      graft.ext.Sketch.logHistQuantiles(
+        graft.ext.Sketch.logHistogram(ev, col("cents"), Seq("hour")),
+        Seq("hour"), qs = Seq(50, 90, 99))
+        .select(col("hour"), col("quantile"),
+          col("est").as("est_cents"), col("n").cast("long").as("n_events"))
+    },
+
     // CUPED variance-reduced A/B readout: pre-split per-user spend as the
     // covariate, post-split spend as the metric; θ and adjusted means as
     // explicit floor-division rationals over exact integer moments — the
@@ -2598,6 +2613,7 @@ object SparkEntry {
     "q234_cdc_chunks" -> Oracles.cdcChunks(64),
     "q235_chunk_dedup" -> Oracles.chunkDupStats(64),
     "q236_loghist_quantiles" -> Oracles.logHistQuantiles(4, Seq(50, 90, 99)),
-    "q237_cuped_readout" -> Oracles.cupedReadout("2024-01-16 00:00:00")
+    "q237_cuped_readout" -> Oracles.cupedReadout("2024-01-16 00:00:00"),
+    "q238_hourly_quantiles" -> Oracles.hourlyQuantiles(4, Seq(50, 90, 99))
   )
 }

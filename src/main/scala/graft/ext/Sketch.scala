@@ -494,20 +494,26 @@ object Sketch {
     * passes both the exact-hash oracle gate and the layout-invariance
     * gate: counts are commutative, and no float fold exists anywhere.
     */
+  /** The (bucket_id, rep) SQL expressions over a non-negative BIGINT
+    * column named `xCol` — shared by the batch histogram and the
+    * streaming twin ([[graft.streaming.Streams.logHistHourly]]) so the
+    * two sketches are positionally identical and merge by adding counts.
+    */
+  def logBucketSql(xCol: String, subBits: Int): (String, String) = {
+    val cap = 1L << (subBits + 1)
+    val s = s"greatest(length(bin($xCol)) - ${1 + subBits}, 0)"
+    val m = s"shiftright($xCol, $s)"
+    (s"cast($s as bigint) * $cap + $m", s"shiftleft($m, $s)")
+  }
+
   def logHistogram(df: DataFrame, value: Column, groupCols: Seq[String],
                    subBits: Int = 4): DataFrame = {
-    val cap = 1L << (subBits + 1)
+    val (id, rep) = logBucketSql("__x", subBits)
     df.select(groupCols.map(col) :+ value.cast("long").as("__x"): _*)
-      .withColumn("__s",
-        greatest(length(bin(col("__x"))) - lit(1 + subBits), lit(0))
-          .cast("int"))
-      .withColumn("__m", expr("shiftright(__x, __s)"))
-      .groupBy(groupCols.map(col) :+ col("__s") :+ col("__m"): _*)
-      .agg(count(lit(1)).as("cnt"))
       .select(groupCols.map(col) ++ Seq(
-        (col("__s").cast("long") * cap + col("__m")).as("bucket_id"),
-        expr("shiftleft(__m, __s)").as("rep"),
-        col("cnt")): _*)
+        expr(id).as("bucket_id"), expr(rep).as("rep")): _*)
+      .groupBy((groupCols ++ Seq("bucket_id", "rep")).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
   }
 
   /** Merge per-shard/day/tenant histograms: counts add, bucket identity

@@ -251,6 +251,30 @@ object Streams {
         (col("pos") + 1).cast("int").as("rank"), col("h"))
   }
 
+  /** Streaming log-linear quantile histogram: hourly value-cents bucket
+    * counts — the same pure-integer sketch as the batch
+    * [[graft.ext.Sketch.logHistogram]] (identical
+    * [[graft.ext.Sketch.logBucketSql]] projection), grouped by a
+    * watermarked tumbling window. `count` is a supported streaming
+    * aggregate and the state is O(buckets) ≈ ≤ ~1k rows per open window,
+    * so a forever-running ingest tracks hourly p50/p95/p99 in constant
+    * memory. Bucket rows emitted on window close merge with batch
+    * histograms by adding counts ([[graft.ext.Sketch.mergeLogHistograms]])
+    * and feed the same [[graft.ext.Sketch.logHistQuantiles]] readout.
+    * Batch twin (oracle-verified): q238_hourly_quantiles.
+    */
+  def logHistHourly(events: DataFrame, subBits: Int = 4,
+                    watermark: String = "1 hour"): DataFrame = {
+    val (id, rep) = graft.ext.Sketch.logBucketSql("__x", subBits)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), expr("cast(round(value * 100) as bigint)").as("__x"))
+      .select(col("ts"), expr(id).as("bucket_id"), expr(rep).as("rep"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("bucket_id"), col("rep"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("hour"), col("bucket_id"), col("rep"), col("cnt"))
+  }
+
   /** Streaming exact dedup: drops events whose `idCol` was already seen,
     * with state bounded by the watermark — the streaming face of the batch
     * exact-dedup operator (Dedup.exactDedup) for at-least-once sources

@@ -56,8 +56,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  // batch twin: q233_hourly_psi — the SAME hourlyPsiStream plan evaluated
-  // on a batch frame, exact-hash checked against the DuckDB oracle
+  // batch twin: q238_hourly_quantiles — identical logBucketSql projection,
+  // so streamed bucket rows must be positionally identical to the batch
+  // sketch and feed the same oracle-verified quantile readout
+  test("logHistHourly: streamed histogram ≡ batch sketch; quantile readout agrees") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.logHistHourly(mem.toDF())
+      .writeStream.format("memory").queryName("loghist_hourly")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val in10 = (1 to 60).map(u => Streams.Event(
+        u.toLong, ts("2024-01-01 10:05:00"), u.toLong, "click",
+        (u * u * 13 % 5000) / 100.0 + 0.01))
+      mem.addData(in10: _*)
+      q.processAllAvailable()
+      mem.addData(Streams.Event(99, ts("2024-01-01 13:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("loghist_hourly")
+        .filter(col("hour") === lit(ts("2024-01-01 10:00:00")))
+        .select("bucket_id", "rep", "cnt")
+      // the batch sketch over the same rows must be positionally identical
+      val batchHist = graft.ext.Sketch.logHistogram(
+        in10.toDF().withColumn("h", lit("2024-01-01 10")),
+        expr("cast(round(value * 100) as bigint)"), Seq("h"))
+      assertSameRows(streamed, batchHist.select("bucket_id", "rep", "cnt"))
+      // counts conserved and the merged readout equals the batch readout
+      assert(streamed.agg(org.apache.spark.sql.functions.sum("cnt"))
+        .head().getLong(0) == 60L)
+      val streamQ = graft.ext.Sketch.logHistQuantiles(
+        streamed.withColumn("h", lit("2024-01-01 10")), Seq("h"))
+      val batchQ = graft.ext.Sketch.logHistQuantiles(batchHist, Seq("h"))
+      assertSameRows(streamQ, batchQ)
+    } finally q.stop()
+  }
   test("hourlyPsiStream: streamed closed windows ≡ batch evaluation (q233)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
