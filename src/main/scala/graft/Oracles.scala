@@ -4276,6 +4276,29 @@ object Oracles {
        |FROM chunks LEFT JOIN fp USING (chunk_fp, chunk_chars)
        |GROUP BY 1""".stripMargin
 
+  /** q239: SRM audit — per assignment-hash family, arm counts over
+    * distinct users and the integer cross-multiplied 1-dof chi-square
+    * verdict (threshold 3.8415 · 10⁴ = 38415).
+    */
+  def srmAudit(families: Seq[Int]): String = {
+    val branches = families.map { j =>
+      val h = mixSql("user_id", j)
+      s"SELECT $j AS family, (($h) % 2) AS arm FROM u"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |fa AS (
+       |  $branches),
+       |c AS (
+       |  SELECT family,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM fa GROUP BY 1)
+       |SELECT family, n_a, n_b,
+       |  abs(n_a - n_b) * 1000000 // (n_a + n_b) AS delta_ppm,
+       |  (n_a - n_b) * (n_a - n_b) * 10000 > 38415 * (n_a + n_b) AS srm
+       |FROM c""".stripMargin
+  }
+
   /** q237: CUPED variance-reduced A/B readout — identical per-user cents
     * rollup, mixHash(362) arm assignment, exact HUGEINT moments, and the
     * same floor-division staging for θ and the adjusted means (both

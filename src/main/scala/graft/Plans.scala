@@ -844,6 +844,12 @@ object Plans {
         |p50/p90/p99 (vs q163's exact ranks, which sort the corpus).
         |Pure-integer base-2 bucketing (bin-length + shifts): bit-stable
         |cross-engine AND layout-invariant, no float log anywhere.""".stripMargin,
+    "q239_srm_audit" ->
+      """SRM audit: one distinct-user shuffle, a |families|-way narrow
+        |explode over the deduped user rows, one family-keyed aggregate
+        |(map-side combine, keyspace = the family list). Verdicts are
+        |integer cross-multiplied chi-squares — constant-width output at
+        |any corpus size, nothing collected.""".stripMargin,
     "q238_hourly_quantiles" ->
       """Hourly quantile readout over the SAME log-linear sketch as q236,
         |keyed by hour: the bucketing projection is shared with the

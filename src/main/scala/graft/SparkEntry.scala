@@ -2151,6 +2151,12 @@ object SparkEntry {
           col("est").as("est_cents"), col("n").cast("long").as("n_events"))
     },
 
+    // SRM audit: per assignment-hash family, the 50/50 balance check every
+    // experiment must pass before its readout is trusted — integer
+    // cross-multiplied chi-square, one distinct-user shuffle
+    "q239_srm_audit" -> ((s, d) =>
+      graft.ext.Funnel.srmAudit(Tables.events(s, d))),
+
     // CUPED variance-reduced A/B readout: pre-split per-user spend as the
     // covariate, post-split spend as the metric; θ and adjusted means as
     // explicit floor-division rationals over exact integer moments — the
@@ -2614,6 +2620,7 @@ object SparkEntry {
     "q235_chunk_dedup" -> Oracles.chunkDupStats(64),
     "q236_loghist_quantiles" -> Oracles.logHistQuantiles(4, Seq(50, 90, 99)),
     "q237_cuped_readout" -> Oracles.cupedReadout("2024-01-16 00:00:00"),
-    "q238_hourly_quantiles" -> Oracles.hourlyQuantiles(4, Seq(50, 90, 99))
+    "q238_hourly_quantiles" -> Oracles.hourlyQuantiles(4, Seq(50, 90, 99)),
+    "q239_srm_audit" -> Oracles.srmAudit(Seq(360, 362, 364, 366))
   )
 }

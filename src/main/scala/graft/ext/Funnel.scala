@@ -240,6 +240,36 @@ object Funnel {
               * ((n_a + n_b) - (conv_a + conv_b)) * n_a * n_b""").as("significant"))
   }
 
+  /** Sample-ratio-mismatch audit — the validity guardrail every
+    * experimentation platform runs BEFORE reading a test: for each
+    * candidate assignment-hash family, users are hash-split into two arms
+    * and the observed split is chi-square-tested against 50/50. A family
+    * that trips `srm` must not be used for assignment (biased hash,
+    * collision with another consumer's family, or upstream filtering
+    * correlated with the hash). The 1-dof 95% threshold 3.8415 is
+    * cross-multiplied to integers ((n_a−n_b)²·10⁴ > 38415·n), the q171
+    * pattern — no floats, bit-exact in any engine.
+    *
+    * Scale shape: ONE distinct-user shuffle, a narrow |families|-way
+    * explode on the user rows, then an aggregate whose keyspace is the
+    * family list — constant-width output at any corpus size.
+    */
+  def srmAudit(events: DataFrame, families: Seq[Int] = Seq(360, 362, 364, 366),
+               userCol: String = "user_id"): DataFrame = {
+    val fams = array(families.map(j => struct(lit(j).as("family"),
+      pmod(Dedup.mixHash(col(userCol), j), lit(2L)).as("arm"))): _*)
+    events.select(col(userCol)).distinct()
+      .select(explode(fams).as("fa"))
+      .groupBy(col("fa.family").as("family"))
+      .agg(
+        sum(when(col("fa.arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("fa.arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("family"), col("n_a"), col("n_b"),
+        expr("abs(n_a - n_b) * 1000000 div (n_a + n_b)").as("delta_ppm"),
+        expr("(n_a - n_b) * (n_a - n_b) * 10000 > 38415 * (n_a + n_b)")
+          .as("srm"))
+  }
+
   /** CUPED variance-reduced A/B readout (Deng et al., WSDM 2013): the
     * experiment metric Y (per-user post-split value cents) is adjusted by
     * the pre-split covariate X via Y' = Y − θ(X − X̄) with

@@ -348,6 +348,35 @@ class FunnelSpec extends SparkSpec {
     assert(rowSet(out) == rows(Seq("6", "15", "16", "5000000")))
   }
 
+  test("srmAudit: BigInt chi-square recompute; hash-correlated cohort trips SRM") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val ev = df("user_id BIGINT", (1L to 400L).map(Row(_)))
+    val out = Funnel.srmAudit(ev, families = Seq(360, 362)).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    // exact recompute per family
+    for (j <- Seq(360, 362)) {
+      val arms = ev.select(col("user_id"),
+          pmod(Dedup.mixHash(col("user_id"), j), lit(2L)).as("arm"))
+        .collect().map(_.getLong(1))
+      val (na, nb) = (arms.count(_ == 0L).toLong, arms.count(_ == 1L).toLong)
+      val r = out(j)
+      assert(r.getLong(1) == na && r.getLong(2) == nb)
+      assert(r.getLong(3) == (na - nb).abs * 1000000L / (na + nb))
+      assert(r.getBoolean(4) ==
+        (BigInt(na - nb).pow(2) * 10000 > BigInt(38415) * (na + nb)))
+      // a healthy mixHash family must NOT trip SRM on uniform user ids
+      assert(!r.getBoolean(4), s"family $j unexpectedly imbalanced")
+    }
+    // a cohort filtered BY the assignment hash itself (the classic SRM
+    // root cause: upstream selection correlated with the bucketing hash)
+    // must trip the verdict for that family
+    val biased = ev.filter(
+      pmod(Dedup.mixHash(col("user_id"), 360), lit(2L)) === 0)
+    val trip = Funnel.srmAudit(biased, families = Seq(360)).collect().head
+    assert(trip.getLong(2) == 0L && trip.getBoolean(4),
+      "all-one-arm cohort must flag SRM")
+  }
+
   test("cupedReadout: BigInt recompute exact; perfect covariate ⇒ ~full variance reduction") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     // every user spends v pre-split and exactly 2v post-split: Y = 2X, so
