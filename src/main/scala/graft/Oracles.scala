@@ -4276,6 +4276,59 @@ object Oracles {
        |FROM chunks LEFT JOIN fp USING (chunk_fp, chunk_chars)
        |GROUP BY 1""".stripMargin
 
+  /** q240: incremental corpus refresh — every metric recomputed FROM
+    * SCRATCH over the full documents table (no incremental path), so the
+    * hash match against the Spark side's index-join + histogram-merge
+    * plan proves incremental maintenance ≡ batch recompute.
+    */
+  def incrementalRefresh(dayMod: Int, day2From: Int, subBits: Int,
+                         qs: Seq[Int]): String = {
+    val cap = 1L << (subBits + 1)
+    s"""WITH d AS (
+       |  SELECT doc_id, $fingerprintSql AS fp,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> x <> '')) AS BIGINT) AS v,
+       |    (doc_id % $dayMod < $day2From) AS is1
+       |  FROM documents),
+       |agg AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN is1 THEN 1 ELSE 0 END) AS BIGINT) AS n_day1,
+       |    CAST(SUM(CASE WHEN is1 THEN 0 ELSE 1 END) AS BIGINT) AS n_day2
+       |  FROM d),
+       |idx AS (SELECT DISTINCT fp FROM d WHERE is1),
+       |d2 AS (
+       |  SELECT d.fp, (idx.fp IS NOT NULL) AS known
+       |  FROM d LEFT JOIN idx ON d.fp = idx.fp WHERE NOT is1),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+       |    CAST(SUM(CASE WHEN known THEN 1 ELSE 0 END) AS BIGINT) AS dup_vs,
+       |    CAST(COUNT(DISTINCT fp) AS BIGINT) AS dist2,
+       |    CAST(COUNT(DISTINCT CASE WHEN NOT known THEN fp END) AS BIGINT) AS novel
+       |  FROM d2),
+       |h AS (
+       |  SELECT GREATEST(LENGTH(bin(v)) - ${1 + subBits}, 0) AS s,
+       |    v >> GREATEST(LENGTH(bin(v)) - ${1 + subBits}, 0) AS m2,
+       |    COUNT(*) AS cnt
+       |  FROM d GROUP BY 1, 2),
+       |b AS (SELECT s * $cap + m2 AS bucket_id, (m2 << s) AS rep, cnt FROM h),
+       |c AS (
+       |  SELECT rep, bucket_id, cnt,
+       |    CAST(SUM(cnt) OVER (ORDER BY bucket_id) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER () AS BIGINT) AS n
+       |  FROM b),
+       |qv AS (
+       |  SELECT 'p' || q.q || '_tokens' AS metric, MIN(rep) AS value
+       |  FROM c CROSS JOIN (VALUES ${qs.map(q => s"($q)").mkString(", ")}) AS q(q)
+       |  WHERE cum >= (n * q.q + 99) // 100 GROUP BY 1)
+       |SELECT metric, value FROM (
+       |  SELECT 'n_day1' AS metric, n_day1 AS value FROM agg
+       |  UNION ALL SELECT 'n_day2', n_day2 FROM agg
+       |  UNION ALL SELECT 'day2_dup_vs_day1', dup_vs FROM m
+       |  UNION ALL SELECT 'day2_redundant_within', n2 - dist2 FROM m
+       |  UNION ALL SELECT 'day2_novel_unique', novel FROM m
+       |  UNION ALL SELECT metric, value FROM qv)""".stripMargin
+  }
+
   /** q239: SRM audit — per assignment-hash family, arm counts over
     * distinct users and the integer cross-multiplied 1-dof chi-square
     * verdict (threshold 3.8415 · 10⁴ = 38415).

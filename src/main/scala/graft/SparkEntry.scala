@@ -2151,6 +2151,13 @@ object SparkEntry {
           col("est").as("est_cents"), col("n").cast("long").as("n_events"))
     },
 
+    // incremental corpus refresh flagship: day-2 slice updates the
+    // persisted day-1 state (fp index + token histogram) by join + merge
+    // only — day-1 text never re-read; the oracle recomputes every metric
+    // from scratch over the union, proving incremental ≡ batch
+    "q240_incremental_refresh" -> ((s, d) =>
+      graft.ext.Curation.incrementalRefresh(Tables.documents(s, d))),
+
     // SRM audit: per assignment-hash family, the 50/50 balance check every
     // experiment must pass before its readout is trusted — integer
     // cross-multiplied chi-square, one distinct-user shuffle
@@ -2621,6 +2628,7 @@ object SparkEntry {
     "q236_loghist_quantiles" -> Oracles.logHistQuantiles(4, Seq(50, 90, 99)),
     "q237_cuped_readout" -> Oracles.cupedReadout("2024-01-16 00:00:00"),
     "q238_hourly_quantiles" -> Oracles.hourlyQuantiles(4, Seq(50, 90, 99)),
-    "q239_srm_audit" -> Oracles.srmAudit(Seq(360, 362, 364, 366))
+    "q239_srm_audit" -> Oracles.srmAudit(Seq(360, 362, 364, 366)),
+    "q240_incremental_refresh" -> Oracles.incrementalRefresh(20, 18, 4, Seq(50, 90, 99))
   )
 }

@@ -160,4 +160,59 @@ object Curation {
         extraKeys = Seq("split"), carryCols = Seq("lang", "quality"))
       .select("doc_id", "lang", "n_tokens", "quality", "split", "bucket", "pack_seq")
   }
+
+  /** Incremental corpus refresh — the daily-ingest shape every persisted
+    * 100 TB corpus runs when a new crawl slice arrives: yesterday's state
+    * (the distinct-fingerprint index and the token-count histogram
+    * sketch) is UPDATED from the new slice alone; yesterday's raw text is
+    * never re-read. Day-2 work is one fp-keyed equi-join against the
+    * index (dup/novelty accounting) plus a bucket-row histogram merge
+    * ([[Sketch.mergeLogHistograms]] — counts add), so the refresh cost
+    * scales with the DELTA, not the corpus.
+    *
+    * The oracle computes every metric FROM SCRATCH over the full union
+    * (no incremental path at all), so the exact-hash match is a
+    * cross-engine proof that incremental maintenance ≡ batch recompute —
+    * the property that makes persisted sketch state trustworthy.
+    *
+    * Output: long-format `(metric, value)` — day sizes, day-2 dup mass
+    * vs the index, within-day-2 redundancy, novel-unique count, and
+    * whole-corpus p50/p90/p99 token counts read from the MERGED sketch.
+    */
+  def incrementalRefresh(docs: DataFrame, dayMod: Int = 20,
+                         day2From: Int = 18): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("toks"),
+      (pmod(col("doc_id"), lit(dayMod.toLong)) < day2From).as("is1"))
+    // --- persisted day-1 state: built once, then only merged into
+    val day1 = base.filter(col("is1")).withColumn("g", lit("all"))
+    val fpIndex = day1.select("fp").distinct()
+    val hist1 = Sketch.logHistogram(day1, col("toks"), Seq("g"))
+    // --- day-2 delta: joins the index, never day-1 rows
+    val day2 = base.filter(!col("is1")).withColumn("g", lit("all"))
+    val hist2 = Sketch.logHistogram(day2, col("toks"), Seq("g"))
+    val quant = Sketch.logHistQuantiles(
+        Sketch.mergeLogHistograms(hist1.unionByName(hist2), Seq("g")), Seq("g"))
+      .select(concat(lit("p"), col("quantile"), lit("_tokens")).as("metric"),
+        col("est").as("value"))
+    val m = day2
+      .join(fpIndex.withColumn("known", lit(1)), Seq("fp"), "left")
+      .agg(
+        count(lit(1)).as("n_day2"),
+        sum(when(col("known") === 1, 1L).otherwise(0L)).as("dup_vs"),
+        count_distinct(col("fp")).as("dist2"),
+        count_distinct(when(col("known").isNull, col("fp"))).as("novel"))
+    day1.agg(count(lit(1)).as("n_day1")).crossJoin(broadcast(m))
+      .select(explode(array(
+        struct(lit("n_day1").as("metric"), col("n_day1").as("value")),
+        struct(lit("n_day2").as("metric"), col("n_day2").as("value")),
+        struct(lit("day2_dup_vs_day1").as("metric"), col("dup_vs").as("value")),
+        struct(lit("day2_redundant_within").as("metric"),
+          (col("n_day2") - col("dist2")).as("value")),
+        struct(lit("day2_novel_unique").as("metric"), col("novel").as("value"))))
+        .as("r"))
+      .select(col("r.metric").as("metric"), col("r.value").as("value"))
+      .unionByName(quant)
+  }
 }

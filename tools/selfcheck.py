@@ -65,11 +65,11 @@ def check_one(task):
     spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not spark_files:
         return name, rec(err="missing spark output"), [f"{name}: MISSING spark output"], True
-    def run_oracle(threads):
+    def run_oracle(threads, mem="48GB"):
         con = duckdb.connect()
         try:
             con.sql(f"SET threads TO {threads}")
-            con.sql("SET memory_limit = '48GB'")
+            con.sql(f"SET memory_limit = '{mem}'")
             # disk spill: DuckDB's in-memory default intermittently dies
             # with "Failed to allocate block" on this box even with free
             # RAM; a temp dir lets the heavy oracles (q134's exact ANN
@@ -95,11 +95,21 @@ def check_one(task):
                     and "OutOfMemoryException" not in msg):
                 raise
             retried = True
-            odf = run_oracle(4)
+            try:
+                odf = run_oracle(4)
+            except Exception as e2:
+                msg2 = str(e2)
+                if ("Failed to allocate block" not in msg2
+                        and "OutOfMemoryException" not in msg2):
+                    raise
+                # last rung: fewer threads AND a lower memory_limit — the
+                # lower ceiling makes DuckDB spill to temp_directory
+                # earlier instead of attempting the failing allocation
+                odf = run_oracle(2, mem="24GB")
     except Exception as e:
         return name, rec(err=f"oracle error: {e}"), [f"{name}: ORACLE ERROR {e}"], True
     if retried:
-        lines.append(f"  {name}: oracle retried at threads=4 after allocator failure")
+        lines.append(f"  {name}: oracle retried after allocator failure")
     sdf = canon(pd.concat([pd.read_parquet(f) for f in spark_files]))
     if list(sdf.columns) != list(odf.columns):
         return (name, rec(schema_match=False, spark_rows=len(sdf), oracle_rows=len(odf),
