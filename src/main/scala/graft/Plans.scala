@@ -844,6 +844,14 @@ object Plans {
         |p50/p90/p99 (vs q163's exact ranks, which sort the corpus).
         |Pure-integer base-2 bucketing (bin-length + shifts): bit-stable
         |cross-engine AND layout-invariant, no float log anywhere.""".stripMargin,
+    "q240_incremental_refresh" ->
+      """Incremental refresh: day-1 text is read once to build the fp
+        |index + histogram state; the day-2 delta does ONE fp-keyed
+        |equi-join against the index (shuffle on md5 keys — uniform, no
+        |skew) and a bucket-row histogram union whose merge aggregate
+        |touches ≤ ~2k rows. At 100 TB the state tables persist as
+        |parquet and the daily cost is O(delta + index), never O(corpus);
+        |the oracle's from-scratch recompute pins merge ≡ batch.""".stripMargin,
     "q239_srm_audit" ->
       """SRM audit: one distinct-user shuffle, a |families|-way narrow
         |explode over the deduped user rows, one family-keyed aggregate
