@@ -844,6 +844,12 @@ object Plans {
         |p50/p90/p99 (vs q163's exact ranks, which sort the corpus).
         |Pure-integer base-2 bucketing (bin-length + shifts): bit-stable
         |cross-engine AND layout-invariant, no float log anywhere.""".stripMargin,
+    "q241_pipe_syntax" ->
+      """Spark 4 SQL pipe syntax pin: the |> chain lowers to the SAME
+        |filter → partial/final hash-aggregate → having plan as the
+        |classic nested spelling (the oracle IS that spelling) — one
+        |scan-side quantity filter, one flag-keyed aggregate, no extra
+        |operators from the parser path.""".stripMargin,
     "q240_incremental_refresh" ->
       """Incremental refresh: day-1 text is read once to build the fp
         |index + histogram state; the day-2 delta does ONE fp-keyed

@@ -1778,6 +1778,25 @@ object SparkEntry {
         Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d),
         "ASIA", "1995-01-01", "1996-01-01")),
 
+    // Spark 4 SQL pipe syntax (SPARK-49555): the |> operator chain —
+    // scan |> WHERE |> AGGREGATE ... GROUP BY |> ORDER BY — the
+    // linear-dataflow SQL spelling whose plan must be IDENTICAL to the
+    // classic nested form (the oracle is that classic form); pins the
+    // pipe parser path the way q197 pins WITH RECURSIVE
+    "q241_pipe_syntax" -> { (s, d) =>
+      val view = s"q241_li_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      Tables.lineitem(s, d).createOrReplaceTempView(view)
+      try s.sql(s"""
+        FROM $view
+        |> WHERE l_quantity >= 30
+        |> AGGREGATE CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS big_qty,
+                     CAST(COUNT(*) AS BIGINT) AS n_lines
+           GROUP BY l_returnflag
+        |> WHERE n_lines > 0
+        |> SELECT l_returnflag, big_qty, n_lines""")
+      finally s.catalog.dropTempView(view)
+    },
+
     // Spark 4 WITH RECURSIVE (SQL surface): the classic recursive date
     // spine — every calendar day of Q1 1995 with its order count,
     // explicit zeros for orderless days. The recursion generates the
@@ -2629,6 +2648,14 @@ object SparkEntry {
     "q237_cuped_readout" -> Oracles.cupedReadout("2024-01-16 00:00:00"),
     "q238_hourly_quantiles" -> Oracles.hourlyQuantiles(4, Seq(50, 90, 99)),
     "q239_srm_audit" -> Oracles.srmAudit(Seq(360, 362, 364, 366)),
-    "q240_incremental_refresh" -> Oracles.incrementalRefresh(20, 18, 4, Seq(50, 90, 99))
+    "q240_incremental_refresh" -> Oracles.incrementalRefresh(20, 18, 4, Seq(50, 90, 99)),
+    // the oracle is the CLASSIC nested spelling of the q241 pipe chain —
+    // a hash match proves the pipe parser lowers to the same relational op
+    "q241_pipe_syntax" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS big_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem WHERE l_quantity >= 30
+        |GROUP BY l_returnflag HAVING COUNT(*) > 0""".stripMargin
   )
 }
