@@ -69,6 +69,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.CleanText].getName,
         functions.NormalizeFunctions.Name),
       (args: Seq[Expression]) => functions.CleanText(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier(functions.LogBucketFunctions.IdName),
+      new ExpressionInfo(classOf[functions.LogBucketId].getName,
+        functions.LogBucketFunctions.IdName),
+      // subBits selects the bucket geometry and must be a plan-time literal
+      (args: Seq[Expression]) => functions.LogBucketId(args(0),
+        args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier(functions.LogBucketFunctions.RepName),
+      new ExpressionInfo(classOf[functions.LogBucketRep].getName,
+        functions.LogBucketFunctions.RepName),
+      (args: Seq[Expression]) => functions.LogBucketRep(args(0),
+        args(1).eval().asInstanceOf[Int])))
     // HOF dot-product pattern → fused native loop (pure perf rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     // whole-operator as-of join: AsOfJoinPlan → AsOfJoinExec

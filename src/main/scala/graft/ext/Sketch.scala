@@ -498,13 +498,15 @@ object Sketch {
     * column named `xCol` — shared by the batch histogram and the
     * streaming twin ([[graft.streaming.Streams.logHistHourly]]) so the
     * two sketches are positionally identical and merge by adding counts.
+    *
+    * Emits the native [[graft.functions.LogBucketId]]/[[graft.functions.LogBucketRep]]
+    * codegen expressions (one LZCNT + two shifts per row); the DuckDB
+    * oracle keeps the portable `length(bin(x))` spelling, so every green
+    * oracle row doubles as an equivalence proof for the native kernel.
     */
-  def logBucketSql(xCol: String, subBits: Int): (String, String) = {
-    val cap = 1L << (subBits + 1)
-    val s = s"greatest(length(bin($xCol)) - ${1 + subBits}, 0)"
-    val m = s"shiftright($xCol, $s)"
-    (s"cast($s as bigint) * $cap + $m", s"shiftleft($m, $s)")
-  }
+  def logBucketSql(xCol: String, subBits: Int): (String, String) =
+    (s"${graft.functions.LogBucketFunctions.IdName}($xCol, $subBits)",
+     s"${graft.functions.LogBucketFunctions.RepName}($xCol, $subBits)")
 
   def logHistogram(df: DataFrame, value: Column, groupCols: Seq[String],
                    subBits: Int = 4): DataFrame = {

@@ -284,6 +284,32 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("native log-bucket kernel ≡ composed bin()-length form on every edge") {
+    import spark.implicits._
+    val edges = Seq(0L, 1L, 2L, 3L, 15L, 16L, 17L, 31L, 32L, 33L,
+      255L, 256L, 257L, 1023L, 1024L, 1025L,
+      (1L << 40) - 1, 1L << 40, (1L << 40) + 1,
+      (1L << 62) - 1, 1L << 62, Long.MaxValue,
+      -1L, -32L, Long.MinValue)
+    for (b <- Seq(3, 4, 6)) {
+      val cap = 1L << (b + 1)
+      val d = edges.toDF("x").selectExpr(
+        "x",
+        s"graft_log_bucket_id(x, $b) AS nid",
+        s"graft_log_bucket_rep(x, $b) AS nrep",
+        s"cast(greatest(length(bin(x)) - ${1 + b}, 0) as bigint) * $cap" +
+          s" + shiftright(x, greatest(length(bin(x)) - ${1 + b}, 0)) AS cid",
+        s"shiftleft(shiftright(x, greatest(length(bin(x)) - ${1 + b}, 0))," +
+          s" greatest(length(bin(x)) - ${1 + b}, 0)) AS crep")
+      d.collect().foreach { r =>
+        assert(r.getLong(1) == r.getLong(3),
+          s"id mismatch at x=${r.getLong(0)} subBits=$b")
+        assert(r.getLong(2) == r.getLong(4),
+          s"rep mismatch at x=${r.getLong(0)} subBits=$b")
+      }
+    }
+  }
+
   test("logHistogram: shard merge ≡ direct build; counts conserved") {
     import spark.implicits._
     val d = (1L to 3000L).map(i => ("g", (i * 131 + 7) % 50000)).toDF("g", "x")
