@@ -82,6 +82,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.LogBucketFunctions.RepName),
       (args: Seq[Expression]) => functions.LogBucketRep(args(0),
         args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier(functions.LogBucketFunctions.BinLenName),
+      new ExpressionInfo(classOf[functions.BinLength].getName,
+        functions.LogBucketFunctions.BinLenName),
+      (args: Seq[Expression]) => functions.BinLength(args(0))))
     // HOF dot-product pattern → fused native loop (pure perf rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     // whole-operator as-of join: AsOfJoinPlan → AsOfJoinExec

@@ -85,8 +85,12 @@ object Sketch {
     val wBits = 31 - log2m
     val h = Dedup.mixHash(key, HllJ)
     val w = shiftright(h, log2m)
+    // native bin-length (one LZCNT) instead of length(bin(w)) — no
+    // per-row string on the sketch's pass over the raw rows; the oracle
+    // keeps the portable bin() spelling (q61/q118/q125 stay the proof)
     val rank = when(w === 0, lit(wBits + 1))
-      .otherwise(lit(wBits + 1) - length(bin(w)))
+      .otherwise(lit(wBits + 1) -
+        call_function(graft.functions.LogBucketFunctions.BinLenName, w))
     ((h % m).cast("int"), rank)
   }
 

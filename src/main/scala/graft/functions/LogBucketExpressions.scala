@@ -85,7 +85,34 @@ case class LogBucketRep(child: Expression, subBits: Int) extends LogBucketExpres
     copy(child = newChild)
 }
 
+/** length(bin(x)) without the string: max(64 − nlz(x), 1). Matches
+  * Spark/DuckDB `bin()` digit counts for every long — 1 for x = 0, 64
+  * for negatives (two's-complement form). Used by the HLL rank
+  * projection; kept as a general SQL function for any future
+  * floor-log2 consumer.
+  */
+case class BinLength(child: Expression) extends UnaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT input, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    math.max(64 - java.lang.Long.numberOfLeadingZeros(input.asInstanceOf[Long]), 1)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = java.lang.Math.max(64 - java.lang.Long.numberOfLeadingZeros($x), 1);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object LogBucketFunctions {
   val IdName = "graft_log_bucket_id"
   val RepName = "graft_log_bucket_rep"
+  val BinLenName = "graft_bin_length"
 }
