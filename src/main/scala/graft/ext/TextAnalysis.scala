@@ -16,7 +16,14 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Count-only consumers get the native one-byte-scan kernel
+    * ([[graft.functions.TokenCountUtil]]) — identical value semantics to
+    * `size(tokens(text))` without materializing the token array; the
+    * oracles keep the split spelling, so every green count-consuming row
+    * is the equivalence proof.
+    */
+  def tokenCount(text: Column): Column =
+    call_function(graft.functions.TokenCountFunctions.Name, text)
 
   /** Email-address pattern shared by scrub and count — restricted to the
     * regex subset with identical semantics in Java regex (Spark codegen)

@@ -231,4 +231,36 @@ class TextAnalysisSpec extends SparkSpec {
     val twice = TextAnalysis.normalizeText(once)
     assertSameRows(TextAnalysis.normalizeText(d.filter(col("doc_id") < 3)), twice)
   }
+
+  test("native graft_token_count ≡ size(split) on every whitespace shape") {
+    import spark.implicits._
+    val edges = Seq(
+      "", " ", "   ", "\t\n\r", "a", " a", "a ", "  a  b  ",
+      "one two three", "tab\tsep\nnewline", "a\r\nb", "mixed \t \n x",
+      "unicode héllo wörld", "cjk 漢字 テスト", "nbsp is one token",
+      "emoji 🙂 ok", "trailing\t", "\nleading", "a b c d e f g h i j")
+    val d = edges.toDF("text").selectExpr(
+      "text",
+      "graft_token_count(text) AS native",
+      "size(filter(split(trim(text), '\\\\s+'), t -> length(t) > 0)) AS composed")
+    d.collect().foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"mismatch on ${r.getString(0).replace("\n", "\\n")}: " +
+          s"native=${r.getInt(1)} composed=${r.getInt(2)}")
+    }
+    // generated property sweep: random ws/word mixtures
+    val rng = new scala.util.Random(7)
+    val words = Seq("a", "bb", "ccc", "héllo", "漢字", "x1")
+    val ws = Seq(" ", "  ", "\t", "\n", " \t ", "\r\n")
+    val gen = (1 to 200).map { _ =>
+      val n = rng.nextInt(8)
+      (0 until n).map(_ => words(rng.nextInt(words.size)))
+        .mkString(ws(rng.nextInt(ws.size)),
+          ws(rng.nextInt(ws.size)), ws(rng.nextInt(ws.size)))
+    }
+    val g = gen.toDF("text").selectExpr(
+      "graft_token_count(text) AS native",
+      "size(filter(split(trim(text), '\\\\s+'), t -> length(t) > 0)) AS composed")
+    assert(g.filter(col("native") =!= col("composed")).count() == 0)
+  }
 }
