@@ -92,6 +92,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.TokenCount].getName,
         functions.TokenCountFunctions.Name),
       (args: Seq[Expression]) => functions.TokenCount(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier(functions.TextStatsFunctions.Name),
+      new ExpressionInfo(classOf[functions.TextStats].getName,
+        functions.TextStatsFunctions.Name),
+      (args: Seq[Expression]) => functions.TextStats(args(0))))
     // HOF dot-product pattern → fused native loop (pure perf rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     // whole-operator as-of join: AsOfJoinPlan → AsOfJoinExec

@@ -138,12 +138,20 @@ object TextAnalysis {
 
   /** Heuristic quality score in [0,1]: rewards mid-length documents and a
     * healthy stopword ratio, penalizes punctuation soup. Deterministic,
-    * closed-form — the same formula is expressible as oracle SQL.
+    * closed-form — the same formula is expressible as oracle SQL. The
+    * integer inputs come from the one-pass native counter struct; the
+    * float staging is the composed formulation verbatim.
     */
   def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
-    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    val st = call_function(graft.functions.TextStatsFunctions.Name, text)
+    val nToks = st("n_tokens")
+    val stopRatio = when(nToks === 0, lit(0.0)).otherwise(
+      st("stop_hits").cast("double") / nToks)
+    val pRatio = when(st("n_chars") === 0, lit(0.0)).otherwise(
+      st("n_punct").cast("double") / st("n_chars"))
+    val lenScore = least(nToks.cast("double") / 50.0, lit(1.0))
+    val stopScore = least(stopRatio * 4.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - pRatio * 5.0)
     round((lenScore * 0.4 + stopScore * 0.4 + punctPenalty * 0.2), 6)
   }
 
@@ -159,10 +167,8 @@ object TextAnalysis {
     * when nothing matches.
     */
   def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val scores = langMarkers.map { case (lang, markers) =>
-      lang -> size(filter(toks, t => t.isin(markers.map(lit): _*)))
-    }
+    val st = call_function(graft.functions.TextStatsFunctions.Name, text)
+    val scores = langMarkers.map { case (lang, _) => lang -> st(s"hit_$lang") }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
       when(s === best && s > 0, lit(lang)).otherwise(acc)
@@ -442,38 +448,43 @@ object TextAnalysis {
 
   /** Full per-document stats frame.
     *
-    * The token array is materialized once per row (`toks` projection) and
-    * shared by every downstream expression — Catalyst does not eliminate
-    * common subexpressions across independent select items, so the naive
-    * form re-tokenizes the document ~8×.
+    * The integer counters come from ONE native codepoint scan
+    * ([[graft.functions.TextStatsUtil]] — no token-array
+    * materialization, no interpreted HOF lambdas, no regex passes);
+    * every ratio, the quality score, and the language argmax keep their
+    * original Column formulations over those counters, so the float
+    * staging — and every oracle hash — is unchanged from the composed
+    * form (the still-green q13/q108/q175 rows are the equivalence
+    * proof, plus the spec's composed-reference sweep).
     */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val toks = col("__toks")
-    val nToks = size(toks)
+    val st = col("__st")
+    val nToks = st("n_tokens")
     val stopRatio = when(nToks === 0, lit(0.0)).otherwise(
-      size(filter(toks, x => x.isin(englishStopwords.map(lit): _*))).cast("double") / nToks)
-    val pRatio = punctRatio(t)
-    val langToks = col("__ltoks")
-    val langScores = langMarkers.map { case (lang, markers) =>
-      lang -> size(filter(langToks, x => x.isin(markers.map(lit): _*)))
+      st("stop_hits").cast("double") / nToks)
+    val nChars = st("n_chars")
+    val pRatio = when(nChars === 0, lit(0.0)).otherwise(
+      st("n_punct").cast("double") / nChars)
+    val langScores = langMarkers.map { case (lang, _) =>
+      lang -> st(s"hit_$lang")
     }
     val best = langScores.map(_._2).reduce((a, b) => greatest(a, b))
     val lang = langScores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
       when(s === best && s > 0, lit(l)).otherwise(acc)
     }
     docs
-      .withColumn("__toks", tokens(t))
-      .withColumn("__ltoks", tokens(lower(t)))
+      .withColumn("__st",
+        call_function(graft.functions.TextStatsFunctions.Name, t))
       .select(
         col("doc_id"),
-        length(t).as("n_chars"),
+        nChars.as("n_chars"),
         nToks.as("n_tokens"),
-        subwordCount(t).as("n_subwords"),
+        st("n_subwords").as("n_subwords"),
         round(pRatio, 6).as("punct_ratio"),
         round(stopRatio, 6).as("stopword_ratio"),
         round(when(nToks === 0, lit(0.0)).otherwise(
-          aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / nToks), 6)
+          st("tok_len_sum").cast("double") / nToks), 6)
           .as("avg_token_len"),
         round(least(nToks.cast("double") / 50.0, lit(1.0)) * 0.4
           + least(stopRatio * 4.0, lit(1.0)) * 0.4

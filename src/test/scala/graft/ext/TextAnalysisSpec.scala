@@ -232,6 +232,57 @@ class TextAnalysisSpec extends SparkSpec {
     assertSameRows(TextAnalysis.normalizeText(d.filter(col("doc_id") < 3)), twice)
   }
 
+  test("native graft_text_stats counters ≡ composed reference on edge + generated text") {
+    import spark.implicits._
+    val edges = Seq(
+      "", " ", "\t\n", "the", "The THE the", "a b c", "is it of and",
+      "el la de es", "der die das und", "le et de la",
+      "punct!!! ... ??? (x)", "ab12cd34", "12 34 ab",
+      "héllo wörld", "漢字 テスト mixed ascii", "emoji 🙂 here",
+      "DE ES la", "und und und", "  spaced   out  ",
+      "mark.down, lists; [brackets] {braces} <angle>")
+    val rng = new scala.util.Random(13)
+    val vocab = Seq("the", "and", "of", "is", "el", "la", "de", "der",
+      "die", "das", "und", "le", "et", "THE", "De", "xyz", "ab12",
+      "w!rd", "héllo", "漢字", "a.b", "42", "x9y")
+    val gen = (1 to 300).map { _ =>
+      (0 until rng.nextInt(12)).map(_ => vocab(rng.nextInt(vocab.size)))
+        .mkString(Seq(" ", "\t", "  ", "\n")(rng.nextInt(4)))
+    }
+    val d = (edges ++ gen).toDF("text").selectExpr(
+      "graft_text_stats(text) AS st",
+      "length(text) AS c_chars",
+      "size(filter(split(trim(text), '\\\\s+'), t -> length(t) > 0)) AS c_tokens",
+      "regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]') AS c_subwords",
+      "length(text) - length(regexp_replace(text, '[\\\\p{Punct}]', '')) AS c_punct",
+      s"size(filter(filter(split(trim(text), '\\\\s+'), t -> length(t) > 0)," +
+        s" t -> t IN (${TextAnalysis.englishStopwords.map(w => s"'$w'").mkString(",")}))) AS c_stops",
+      "aggregate(filter(split(trim(text), '\\\\s+'), t -> length(t) > 0), 0L, (a, t) -> a + length(t)) AS c_lensum")
+    val lchecks = TextAnalysis.langMarkers.map { case (lang, ms) =>
+      s"size(filter(filter(split(trim(lower(text)), '\\\\s+'), t -> length(t) > 0)," +
+        s" t -> t IN (${ms.map(w => s"'$w'").mkString(",")}))) AS c_$lang"
+    }
+    val full = d.selectExpr(Seq("st.*", "c_chars", "c_tokens", "c_subwords",
+      "c_punct", "c_stops", "c_lensum") ++ Nil: _*)
+    // recompute lang checks on the original frame (needs text)
+    val d2 = (edges ++ gen).toDF("text").selectExpr(
+      Seq("graft_text_stats(text) AS st") ++ lchecks: _*)
+    full.collect().foreach { r =>
+      assert(r.getAs[Int]("n_chars") == r.getAs[Int]("c_chars"))
+      assert(r.getAs[Int]("n_tokens") == r.getAs[Int]("c_tokens"))
+      assert(r.getAs[Int]("n_subwords") == r.getAs[Int]("c_subwords"))
+      assert(r.getAs[Int]("n_punct") == r.getAs[Int]("c_punct"))
+      assert(r.getAs[Int]("stop_hits") == r.getAs[Int]("c_stops"))
+      assert(r.getAs[Long]("tok_len_sum") == r.getAs[Long]("c_lensum"))
+    }
+    d2.selectExpr(Seq("st.hit_en AS n_en", "st.hit_es AS n_es",
+      "st.hit_de AS n_de", "st.hit_fr AS n_fr",
+      "c_en", "c_es", "c_de", "c_fr"): _*).collect().foreach { r =>
+      for (l <- Seq("en", "es", "de", "fr"))
+        assert(r.getAs[Int](s"n_$l") == r.getAs[Int](s"c_$l"), s"lang $l")
+    }
+  }
+
   test("native graft_token_count ≡ size(split) on every whitespace shape") {
     import spark.implicits._
     val edges = Seq(
