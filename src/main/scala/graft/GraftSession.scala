@@ -97,6 +97,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.TextStats].getName,
         functions.TextStatsFunctions.Name),
       (args: Seq[Expression]) => functions.TextStats(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier(functions.CollapseWsFunctions.Name),
+      new ExpressionInfo(classOf[functions.CollapseWs].getName,
+        functions.CollapseWsFunctions.Name),
+      (args: Seq[Expression]) => functions.CollapseWs(args(0))))
     // HOF dot-product pattern → fused native loop (pure perf rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     // whole-operator as-of join: AsOfJoinPlan → AsOfJoinExec

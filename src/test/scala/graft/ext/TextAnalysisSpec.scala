@@ -283,6 +283,29 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("native graft_collapse_ws ≡ regexp_replace('\\s+', ' ') incl. unicode") {
+    import spark.implicits._
+    val edges = Seq(
+      "", " ", "  ", "\t", "\t\n\r ", "a", " a ", "a  b", "a\t\tb",
+      "a \t\n b", "xy", "héllo  wörld", "漢字\t テスト",
+      "emoji 🙂  ok", "no-ws-at-all", "\n\nlead", "trail\r\n")
+    val rng = new scala.util.Random(23)
+    val gen = (1 to 200).map { _ =>
+      (0 until rng.nextInt(10)).map(_ =>
+        Seq("w", "héllo", "漢字", "a.b", " ", "\t", "\n\n", "  ")(rng.nextInt(8)))
+        .mkString
+    }
+    val d = (edges ++ gen).toDF("text").selectExpr(
+      "graft_collapse_ws(text) AS native",
+      "regexp_replace(text, '\\\\s+', ' ') AS composed")
+    assert(d.filter(col("native") =!= col("composed")).count() == 0)
+    // and the full fingerprint matches its composed spelling
+    val f = (edges ++ gen).toDF("text").select(
+      TextAnalysis.fingerprint(col("text")).as("native"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("composed"))
+    assert(f.filter(col("native") =!= col("composed")).count() == 0)
+  }
+
   test("native graft_token_count ≡ size(split) on every whitespace shape") {
     import spark.implicits._
     val edges = Seq(
