@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pipe the forked run's stdout through bare (no "[info] " logger prefix):
+// the driver machine-parses graft.Bench's single JSON result line, and
+// sbt's default logger-routed output strategy prefixes every line,
+// breaking that parse (BENCH_r04/r05 "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

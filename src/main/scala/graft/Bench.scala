@@ -97,6 +97,13 @@ object Bench {
       (fileLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val stdoutLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"reps":$reps,"probe":"xxhash64-checksum","sf":"$sfDir","queries_file":"BENCH_LOCAL.json"}"""
+    // Belt-and-braces for the driver's parser (BENCH_r04/r05 both came
+    // back "parsed": null — the stdout line carried sbt's "[info] "
+    // prefix): the exact stdout object also lands in a stable file the
+    // driver (or a human) can read without any log-prefix stripping.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RESULT.json"),
+      (stdoutLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     System.out.flush(); System.err.flush()
     println(stdoutLine)
     System.out.flush()

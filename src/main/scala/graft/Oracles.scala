@@ -4070,8 +4070,9 @@ object Oracles {
 
   /** q228: TPC-H Q17 shape — facts gated below half their part's average
     * quantity via the integer cross-multiply (qty·2·n < sum), revenue
-    * through DECIMAL(18,2); no float average anywhere so the survivor
-    * set is identical in both engines.
+    * summed in DECIMAL(18,2) then cast DOUBLE at the output boundary
+    * (the q86/q196/q202 money convention); no float average anywhere so
+    * the survivor set is identical in both engines.
     */
   val smallOrderRevenue: String =
     """WITH li AS (
@@ -4083,7 +4084,7 @@ object Oracles {
       |         CAST(COUNT(*) AS BIGINT) AS n_li
       |  FROM li GROUP BY 1)
       |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_small,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS small_revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS small_revenue
       |FROM li JOIN s USING (l_partkey)
       |JOIN part ON p_partkey = l_partkey
       |WHERE qty * 2 * n_li < sum_qty
@@ -4993,4 +4994,44 @@ object Oracles {
       |  CAST(to_json(list(struct_pack(ln := ln, pk := pk, qty := qty)
       |       ORDER BY ln, pk, qty)) AS VARCHAR) AS lines_json
       |FROM l GROUP BY 1""".stripMargin
+
+  /** q242: batch twin of the streaming exact dedup — a doubled
+    * at-least-once feed collapses back to exactly the distinct events
+    * (every dropped row is bit-identical to its survivor, so which copy
+    * survives cannot matter).
+    */
+  val dedupStreamTwin: String =
+    """SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id,
+      |  event_type, value, props
+      |FROM events""".stripMargin
+
+  /** q243: batch twin of the streaming curation — keep-min-doc_id per
+    * content fingerprint (the q12 exact-dedup semantics), quality gate
+    * ≥ 0.3, ts synthesized from doc_id exactly as the Spark side does.
+    */
+  val curateStreamTwin: String =
+    s"""WITH st AS (
+       |  SELECT doc_id, quality, fingerprint, n_tokens FROM ($textStats)),
+       |keep AS (SELECT fingerprint, MIN(doc_id) AS keep_id FROM st GROUP BY 1)
+       |SELECT s.doc_id,
+       |  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (s.doc_id % 3600) SECOND AS ts,
+       |  d.source, s.quality, s.n_tokens
+       |FROM st s JOIN keep k ON s.doc_id = k.keep_id
+       |JOIN documents d ON d.doc_id = s.doc_id
+       |WHERE s.quality >= 0.3""".stripMargin
+
+  /** q244: PNG probe. Mirrors Multimodal.probePng analytically (16×16
+    * truecolor, one 64-byte IDAT whose byte k is `(id·17 + k·11) mod
+    * 251`) — the oracle never parses a byte, so a hash match proves the
+    * Spark side's signature check, IHDR extraction, CRC32 verification,
+    * and chunk walk.
+    */
+  val pngProbe: String =
+    """SELECT doc_id AS media_id, 'png' AS fmt,
+      |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+      |  CAST(0 AS INTEGER) AS sample_rate, CAST(0 AS INTEGER) AS channels,
+      |  CAST(64 AS INTEGER) AS n_content_bytes,
+      |  CAST(list_sum(list_transform(range(0, 64),
+      |    k -> (doc_id * 17 + k * 11) % 251)) AS BIGINT) AS content_sum
+      |FROM documents""".stripMargin
 }

@@ -879,7 +879,29 @@ object Plans {
         |frame — θ, adjusted means, and ρ² are driver-free rational
         |arithmetic on constant-width rows. Nothing after the first
         |aggregate scales with the corpus; exact decimal(38,0) moments
-        |with floor-div staging mirrored by the oracle term-for-term.""".stripMargin)
+        |with floor-div staging mirrored by the oracle term-for-term.""".stripMargin,
+    "q242_dedup_stream_twin" ->
+      """Streaming exact-dedup batch twin: the doubled feed is a zero-copy
+        |union (both branches share the scan), and dropDuplicates lowers
+        |to ONE event_id-keyed hash aggregate with map-side partial
+        |dedup — the redelivered copy dies in its mapper whenever both
+        |copies co-reside. In stream mode the identical operator swaps the
+        |aggregate for watermark-bounded state; nothing else changes.""".stripMargin,
+    "q243_curate_stream_twin" ->
+      """Streaming curation batch twin: quality gate and fingerprint are
+        |zero-shuffle codegen (native text-stats + ws-collapse kernels);
+        |the pre-dedup keep-set join and the operator's own fingerprint
+        |dedup both key on md5 fingerprints — uniform keys, no skew
+        |magnet. Two fp-keyed exchanges total at any corpus size; text
+        |never shuffles after the gate (only doc_id, fp, scalars).""".stripMargin,
+    "q244_png_probe" ->
+      """PNG probe: encode → parse → featurize runs entirely inside one
+        |narrow mapPartitions per task (payloads are built AND consumed
+        |in-task — at 100 TB real payloads would stream from object
+        |storage the same way); only scalar metadata leaves the
+        |partition, so the plan has NO exchange until the harness probe.
+        |Same shape as q226 — the codec seam adds formats without adding
+        |operators.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -1797,6 +1797,39 @@ object SparkEntry {
       finally s.catalog.dropTempView(view)
     },
 
+    // streaming exact-dedup batch twin: the SAME Streams.dedupStream
+    // operator (mode-adaptive — batch input takes the dropDuplicates
+    // branch, identical drop-the-redelivery semantics without the
+    // watermark state bound) replays an at-least-once feed in which every
+    // event is delivered twice, and must return exactly the distinct
+    // events. Deterministic: every dropped row is bit-identical to its
+    // survivor. The stream side of the same function is spec-verified
+    // with cross-micro-batch redelivery (StreamsSpec).
+    "q242_dedup_stream_twin" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      graft.streaming.Streams.dedupStream(ev.unionAll(ev), "event_id")
+    },
+
+    // streaming curation batch twin: the SAME Streams.curateStream
+    // operator (quality gate → content-fingerprint dedup → projection)
+    // over the documents corpus. Input is pre-deduped to one copy per
+    // fingerprint (exactDedup's min-doc_id survivor, itself the
+    // oracle-verified q12 semantics) then doubled as an at-least-once
+    // redelivery, so the operator's own dedup stage has only bit-identical
+    // copies to choose among — survivor set deterministic in any engine.
+    // ts is synthesized from doc_id (documents carries no event time; the
+    // stream spec drives real timestamps through the same code path).
+    "q243_curate_stream_twin" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val keep = Dedup.exactDedup(docs).select(col("keep_id"))
+      val base = docs.join(keep, docs("doc_id") === col("keep_id"))
+        .select(col("doc_id"),
+          expr("timestamp '2024-01-01 00:00:00' + " +
+            "make_interval(0,0,0,0,0,0, cast(doc_id % 3600 as int))").as("ts"),
+          col("text"), col("source"))
+      graft.streaming.Streams.curateStream(base.unionAll(base), minQuality = 0.3)
+    },
+
     // Spark 4 WITH RECURSIVE (SQL surface): the classic recursive date
     // spine — every calendar day of Q1 1995 with its order count,
     // explicit zeros for orderless days. The recursion generates the
@@ -2038,6 +2071,16 @@ object SparkEntry {
       graft.ext.Multimodal.probeMedia(Tables.documents(s, d))
     },
 
+    // PNG face of the codec seam (q30/q226 are the BMP/WAV faces): real
+    // CRC32-correct PNG containers round-trip through the SAME unchanged
+    // HeaderCodec.probe — a third format through the seam is the
+    // pluggability proof the seam was built for; the closed-form IDAT
+    // span keeps the oracle analytic (it never parses a byte)
+    "q244_png_probe" -> { (s, d) =>
+      implicit val sp: SparkSession = s
+      graft.ext.Multimodal.probePng(Tables.documents(s, d))
+    },
+
     // table-maintenance observability: per-file row counts for every
     // table in the dataset directory — the file-level profile a
     // compaction policy reads (at 100 TB the FILE COUNT, not bytes, kills
@@ -2062,7 +2105,9 @@ object SparkEntry {
     // agg side is actually small). The avg gate is the integer
     // cross-multiply `qty·2·n < sum_qty` — no float average exists
     // anywhere, so the survivor set is bit-stable in any engine; revenue
-    // routes through DECIMAL(18,2) per the cross-engine money rule
+    // sums in DECIMAL(18,2) but the registered output boundary is DOUBLE
+    // (the q86/q196/q202 money convention): the harness canonicalizer
+    // stringifies Decimal("…10.20") and float64 …10.2 differently
     "q228_small_order_revenue" -> { (s, d) =>
       val li = Tables.lineitem(s, d).select(col("l_partkey"),
         round(col("l_quantity")).cast("long").as("qty"),
@@ -2076,7 +2121,7 @@ object SparkEntry {
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_small"),
           sum(col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("small_revenue"))
+            .cast("decimal(18,2)").cast("double").as("small_revenue"))
     },
 
     // privacy release gate: k-anonymity audit — rows whose
@@ -2656,6 +2701,9 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS big_qty,
         |  CAST(COUNT(*) AS BIGINT) AS n_lines
         |FROM lineitem WHERE l_quantity >= 30
-        |GROUP BY l_returnflag HAVING COUNT(*) > 0""".stripMargin
+        |GROUP BY l_returnflag HAVING COUNT(*) > 0""".stripMargin,
+    "q242_dedup_stream_twin" -> Oracles.dedupStreamTwin,
+    "q243_curate_stream_twin" -> Oracles.curateStreamTwin,
+    "q244_png_probe" -> Oracles.pngProbe
   )
 }

@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, MapType, StructType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -13,18 +13,29 @@ object Verify {
     * red gate rows). Every registered query must emit only scalar
     * top-level columns — explode arrays to rows or project them to fixed
     * columns (the q14 h0..h15 pattern) before registering.
+    *
+    * Top-level DecimalType is rejected for the same reason (round-5 q228:
+    * values identical to the cent, red gate row): Spark parquet DECIMAL
+    * reaches the canonicalizer as `decimal.Decimal("…10.20")` while
+    * DuckDB DECIMAL converts to float64 `…10.2` — trailing-zero cents
+    * stringify differently. Sum money in DECIMAL internally; cast the
+    * registered boundary to DOUBLE or integer cents.
     */
   def assertHarnessSafe(name: String, schema: StructType): Unit = {
     val bad = schema.fields.collect {
       case f if f.dataType.isInstanceOf[ArrayType]
              || f.dataType.isInstanceOf[MapType]
              || f.dataType.isInstanceOf[StructType] =>
-        s"${f.name}: ${f.dataType.simpleString}"
+        s"${f.name}: ${f.dataType.simpleString} (unsortable in the " +
+          "oracle canonicalizer — explode to rows or project to scalars)"
+      case f if f.dataType.isInstanceOf[DecimalType] =>
+        s"${f.name}: ${f.dataType.simpleString} (Decimal-vs-float64 " +
+          "stringification diverges — cast the output boundary to " +
+          "DOUBLE or integer cents)"
     }
     require(bad.isEmpty,
-      s"$name emits non-scalar top-level columns the driver's oracle " +
-        s"canonicalizer cannot sort: ${bad.mkString(", ")} — explode to " +
-        "rows or project to fixed scalar columns before registering")
+      s"$name emits top-level columns the driver's oracle compare " +
+        s"cannot hash stably: ${bad.mkString(", ")}")
   }
 
   def main(args: Array[String]): Unit = {

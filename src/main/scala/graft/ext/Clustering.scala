@@ -444,6 +444,20 @@ object Clustering {
     * the quantized corpus is pinned once so passes re-read columnar
     * blocks, not the source.
     */
+  /** Frees the storage blocks behind an eagerly `localCheckpoint`ed frame.
+    * `Dataset.unpersist` is a no-op for checkpoint data (not a cacheManager
+    * entry) and `Dataset.rdd` derives a NEW RDD, so the only handle on the
+    * materialized blocks is the `LogicalRDD` leaf's backing RDD. Dropping
+    * the reference works too, but only frees at the ContextCleaner's next
+    * periodic GC — this releases a superseded round's blocks immediately.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => () // not a checkpoint leaf — nothing materialized to free
+    }
+
   def kCenterGreedy(embeddings: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, "k must be >= 1")
@@ -472,12 +486,22 @@ object Clustering {
       if (d == 0L || chosen.exists(_._1 == id)) exhausted = true
       else {
         chosen += ((id, d))
-        if (chosen.size < k) // last round needs no fold — skip the pass
+        if (chosen.size < k) { // last round needs no fold — skip the pass
+          // unpersist the superseded round's checkpoint AFTER the new one
+          // materializes (eager localCheckpoint) — otherwise up to k full
+          // (id, qv, min_d) copies pile up in block storage until the
+          // ContextCleaner's next periodic GC, the opposite of the
+          // O(1)-storage claim above
+          val prev = cur
           cur = cur.withColumn("min_d",
             least(col("min_d"), l2sq(col("qv"), typedLit(v))))
             .localCheckpoint(true)
+          unpersistCheckpoint(prev)
+        }
       }
     }
+    unpersistCheckpoint(cur)
+    unpersistCheckpoint(q)
     import spark.implicits._
     chosen.toSeq.zipWithIndex
       .map { case ((id, d), r) => (r.toLong, id, d) }

@@ -62,17 +62,21 @@ object Multimodal {
     }
   }
 
-  /** Real pure-JVM header/content parsing for the two container formats
-    * whose structure needs no decoder library: BMP (BITMAPINFOHEADER) and
-    * RIFF/WAV PCM. Genuine format logic — magic validation, little-endian
-    * field extraction, chunk walking, bounds checks — with features
-    * computed over the CONTENT bytes the header locates (the pixel array
-    * / the data chunk), not the whole file. Anything that fails
-    * validation falls back to [[StubCodec]]'s whole-payload features, the
-    * production posture for an unknown container.
+  /** Real pure-JVM header/content parsing for the three container formats
+    * whose structure needs no decoder library: BMP (BITMAPINFOHEADER),
+    * RIFF/WAV PCM, and PNG (big-endian chunk stream with CRC32-validated
+    * IHDR). Genuine format logic — magic validation, endian-correct field
+    * extraction, chunk walking, bounds checks, checksum verification —
+    * with features computed over the CONTENT bytes the header locates
+    * (the pixel array / the data chunk / the first IDAT span), not the
+    * whole file. Anything that fails validation falls back to
+    * [[StubCodec]]'s whole-payload features, the production posture for
+    * an unknown container. (Inflating IDAT's zlib stream is the decoder-
+    * library boundary, same stance as the decode stub — the parser stops
+    * at locating and checksumming the compressed span.)
     *
-    * frames: BMP → 1 (a still); WAV → ceil(samples / frameEvery) where a
-    * sample is one blockAlign-sized PCM frame — frameEvery plays the
+    * frames: BMP/PNG → 1 (stills); WAV → ceil(samples / frameEvery) where
+    * a sample is one blockAlign-sized PCM frame — frameEvery plays the
     * "samples per analysis window" role.
     */
   object HeaderCodec extends MediaCodec {
@@ -82,6 +86,9 @@ object Multimodal {
       (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
         ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
     private def i32(b: Array[Byte], o: Int): Int = u32(b, o).toInt
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
 
     final case class ProbedHeader(fmt: String, width: Int, height: Int,
                                   sampleRate: Int, channels: Int,
@@ -109,27 +116,80 @@ object Multimodal {
       } else if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
                  b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
                  b(11) == 'E') {
-        // chunk walk: fmt must precede data per spec, but walk defensively
-        var off = 12
-        var rate = 0; var channels = 0; var blockAlign = 0
+        // chunk walk: fmt must precede data per spec, but walk defensively.
+        // Chunk sizes are UNTRUSTED u32 fields: kept as Long end-to-end — a
+        // crafted size >= 2^31 truncated via .toInt wraps negative, which
+        // stalled the walk forever at size == -8 (off stops advancing) or
+        // walked off backwards into a StringIndexOutOfBounds that escaped
+        // probe. With Long arithmetic `off += 8 + size + (size & 1)` is
+        // strictly increasing (size >= 0 always) and the `off + 8 <=
+        // b.length` guard bounds every read, so malformed containers fall
+        // through to the stub fallback instead of hanging the task.
+        var off = 12L
+        var rate = 0L; var channels = 0; var blockAlign = 0
         var dataOff = -1; var dataLen = 0
         while (off + 8 <= b.length && (dataOff < 0 || rate == 0)) {
-          val id = new String(b, off, 4, "US-ASCII")
-          val size = u32(b, off + 4).toInt
+          val io = off.toInt // safe: off + 8 <= b.length <= Int.MaxValue
+          val id = new String(b, io, 4, "US-ASCII")
+          val size = u32(b, io + 4) // Long in [0, 2^32-1] — never negative
           if (id == "fmt " && off + 8 + 16 <= b.length) {
-            channels = u16(b, off + 10)
-            rate = u32(b, off + 12).toInt
-            blockAlign = u16(b, off + 20)
+            channels = u16(b, io + 10)
+            rate = u32(b, io + 12)
+            blockAlign = u16(b, io + 20)
           } else if (id == "data") {
-            dataOff = off + 8
-            dataLen = math.min(size.toLong, (b.length - dataOff).toLong).toInt
+            dataOff = io + 8
+            // size >= 0 and dataOff <= b.length here, so dataLen >= 0:
+            // a negative length can no longer masquerade as valid content
+            dataLen = math.min(size, (b.length - dataOff).toLong).toInt
           }
           off += 8 + size + (size & 1) // chunks are word-aligned
         }
-        if (rate > 0 && channels > 0 && blockAlign > 0 && dataOff >= 0)
-          Some(ProbedHeader("wav", 0, 0, rate, channels, blockAlign,
+        // rate stays Long: a crafted sample-rate field >= 2^31 must fail
+        // the > 0 gate below rather than wrap negative and pass
+        if (rate > 0 && rate <= Int.MaxValue && channels > 0 &&
+            blockAlign > 0 && dataOff >= 0)
+          Some(ProbedHeader("wav", 0, 0, rate.toInt, channels, blockAlign,
             dataOff, dataLen))
         else None
+      } else if (b.length >= 41 &&
+                 (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+                 b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a &&
+                 b(6) == 0x1a && b(7) == 0x0a) {
+        // PNG: signature, then big-endian chunks (len, type, data, crc).
+        // IHDR must be first per spec, 13-byte payload; its CRC32 (over
+        // type+data, the standard definition) is VERIFIED — a corrupted
+        // header is rejected rather than parsed into garbage dimensions.
+        if (be32(b, 8) != 13L || b(12) != 'I' || b(13) != 'H' ||
+            b(14) != 'D' || b(15) != 'R') None
+        else {
+          val w = be32(b, 16); val h = be32(b, 20)
+          val crc = new java.util.zip.CRC32()
+          crc.update(b, 12, 17)
+          // spec caps dims at 2^31-1; anything above is malformed (and
+          // would wrap .toInt below)
+          if (crc.getValue != be32(b, 29) || w <= 0 || h <= 0 ||
+              w > Int.MaxValue || h > Int.MaxValue) None
+          else {
+            // walk to the first IDAT. Same untrusted-length posture as the
+            // WAV walk: lengths stay Long (be32 is in [0, 2^32-1], never
+            // negative) so `off += 12 + len` is strictly increasing and
+            // the `off + 8 <= b.length` guard bounds every read.
+            var off = 33L // 8 sig + 4 len + 4 type + 13 data + 4 crc
+            var dataOff = -1; var dataLen = 0
+            while (dataOff < 0 && off + 8 <= b.length) {
+              val io = off.toInt
+              val len = be32(b, io)
+              if (b(io + 4) == 'I' && b(io + 5) == 'D' &&
+                  b(io + 6) == 'A' && b(io + 7) == 'T') {
+                dataOff = io + 8
+                dataLen = math.min(len, (b.length - dataOff).toLong).toInt
+              } else off += 12 + len
+            }
+            if (dataOff < 0) None
+            else Some(ProbedHeader("png", w.toInt, h.toInt, 0, 0, 0,
+              dataOff, dataLen))
+          }
+        }
       } else None
     }
 
@@ -145,7 +205,7 @@ object Multimodal {
             i += 1
           }
           val frames =
-            if (h.fmt == "bmp") 1
+            if (h.fmt != "wav") 1 // stills: bmp, png
             else {
               val samples = h.contentLen / h.blockAlign
               if (frameEvery <= 0) 0 else (samples + frameEvery - 1) / frameEvery
@@ -388,6 +448,75 @@ object Multimodal {
       }
       b
     }
+  }
+
+  /** A REAL single-IDAT PNG: signature, CRC32-correct IHDR (16×16,
+    * 8-bit truecolor), one 64-byte IDAT whose bytes are the closed form
+    * `(id·17 + k·11) mod 251` (NOT a zlib stream — the parser stops at
+    * locating/checksumming the compressed span; inflating is the
+    * decoder-library boundary, and a closed-form span is what lets an
+    * external oracle verify the whole parse analytically), and IEND.
+    * All three chunk CRCs are genuine CRC32s.
+    */
+  private[ext] def synthPngPayload(mediaId: Long): Array[Byte] = {
+    val idatLen = 64
+    val b = new Array[Byte](8 + 25 + (12 + idatLen) + 12)
+    def pbe32(o: Int, v: Long): Unit = {
+      var i = 0
+      while (i < 4) { b(o + i) = ((v >> (8 * (3 - i))) & 0xff).toByte; i += 1 }
+    }
+    def ptype(o: Int, t: String): Unit = {
+      var i = 0
+      while (i < 4) { b(o + i) = t.charAt(i).toByte; i += 1 }
+    }
+    def crcAt(o: Int, from: Int, len: Int): Unit = {
+      val c = new java.util.zip.CRC32()
+      c.update(b, from, len)
+      pbe32(o, c.getValue)
+    }
+    Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .zipWithIndex.foreach { case (v, i) => b(i) = v.toByte }
+    pbe32(8, 13L); ptype(12, "IHDR")
+    pbe32(16, 16L); pbe32(20, 16L) // width, height
+    b(24) = 8; b(25) = 2           // bit depth, truecolor
+    b(26) = 0; b(27) = 0; b(28) = 0 // compression, filter, interlace
+    crcAt(29, 12, 17)
+    pbe32(33, idatLen.toLong); ptype(37, "IDAT")
+    var k = 0
+    while (k < idatLen) {
+      b(41 + k) = ((mediaId * 17 + k * 11) % 251).toByte
+      k += 1
+    }
+    crcAt(41 + idatLen, 37, 4 + idatLen)
+    pbe32(45 + idatLen, 0L); ptype(49 + idatLen, "IEND")
+    crcAt(53 + idatLen, 49 + idatLen, 4)
+    b
+  }
+
+  /** The PNG face of [[probeMedia]] (q244): build a real PNG per doc,
+    * parse it back with [[HeaderCodec]], emit the decoded metadata and
+    * located-content checksum — the oracle recomputes every field from
+    * the closed-form corpus definition without parsing anything, so a
+    * hash match proves signature check, IHDR field extraction, CRC
+    * verification, and the chunk walk all at once. Narrow mapPartitions,
+    * payloads consumed in-task.
+    */
+  def probePng(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val p = synthPngPayload(id)
+        HeaderCodec.probe(p) match {
+          case Some(h) =>
+            var sum = 0L
+            var i = h.contentOff
+            while (i < h.contentOff + h.contentLen) { sum += p(i) & 0xff; i += 1 }
+            ProbedMedia(id, h.fmt, h.width, h.height, h.sampleRate,
+              h.channels, h.contentLen, sum)
+          case None => ProbedMedia(id, "unknown", 0, 0, 0, 0, p.length, 0L)
+        }
+      }
+    }.toDF()
   }
 
   /** A media table whose payloads are REAL BMP/WAV containers (by id

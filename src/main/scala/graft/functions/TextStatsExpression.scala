@@ -142,9 +142,16 @@ object TextStatsUtil {
     }
     if (inTok) closeToken(n)
 
-    new GenericInternalRow(Array[Any](
-      n, nTokens, nSubwords, nPunct, stopHits, tokLenSum,
-      langHits(0), langHits(1), langHits(2), langHits(3)))
+    // row tail built FROM langHits (sized by TextAnalysis.langMarkers),
+    // matching the schema's generated hit_* fields — adding or removing a
+    // marker language changes both in lockstep instead of compiling fine
+    // and exploding (or silently dropping a language) at runtime
+    val out = new Array[Any](6 + nLang)
+    out(0) = n; out(1) = nTokens; out(2) = nSubwords
+    out(3) = nPunct; out(4) = stopHits; out(5) = tokLenSum
+    var l2 = 0
+    while (l2 < nLang) { out(6 + l2) = langHits(l2); l2 += 1 }
+    new GenericInternalRow(out)
   }
 }
 
@@ -172,15 +179,16 @@ case class TextStats(child: Expression) extends UnaryExpression with Serializabl
 object TextStatsFunctions {
   val Name = "graft_text_stats"
 
+  // hit_* fields generated from the SAME langMarkers list the kernel
+  // counts with, so the schema arity and the row arity cannot drift
   val schema: StructType = StructType(Seq(
     StructField("n_chars", IntegerType, nullable = false),
     StructField("n_tokens", IntegerType, nullable = false),
     StructField("n_subwords", IntegerType, nullable = false),
     StructField("n_punct", IntegerType, nullable = false),
     StructField("stop_hits", IntegerType, nullable = false),
-    StructField("tok_len_sum", LongType, nullable = false),
-    StructField("hit_en", IntegerType, nullable = false),
-    StructField("hit_es", IntegerType, nullable = false),
-    StructField("hit_de", IntegerType, nullable = false),
-    StructField("hit_fr", IntegerType, nullable = false)))
+    StructField("tok_len_sum", LongType, nullable = false)) ++
+    graft.ext.TextAnalysis.langMarkers.map { case (lang, _) =>
+      StructField(s"hit_$lang", IntegerType, nullable = false)
+    })
 }

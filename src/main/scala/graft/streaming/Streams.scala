@@ -281,10 +281,19 @@ object Streams {
     * that re-deliver. `dropDuplicatesWithinWatermark` frees a key's state
     * once the watermark passes its event time, so a forever-running ingest
     * holds state only for the in-flight window instead of the full history.
+    *
+    * Mode-adaptive: `dropDuplicatesWithinWatermark` is streaming-only (a
+    * batch frame has no watermark to bound anything), so on a batch input
+    * the SAME operator is plain `dropDuplicates(idCol)` — identical
+    * drop-the-redelivery semantics, no state bound needed. This is what
+    * makes the batch twin (q242) oracle-verifiable: replaying a bounded
+    * at-least-once feed through the operator equals SELECT DISTINCT.
     */
   def dedupStream(events: DataFrame, idCol: String = "event_id",
                   watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCol)
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCol)
+    else events.dropDuplicates(idCol)
 
   final case class CdcEvent(key: Long, seq: Long, op: String, payload: String)
   final case class CdcLatest(key: Long, seq: Long, op: String, payload: String)
@@ -465,19 +474,26 @@ object Streams {
     * territory, documented). Emits the surviving docs with their quality
     * and token count — ready for a parquet shard sink.
     *
-    * Works identically on batch frames (spec oracle) and streams.
+    * Mode-adaptive like [[dedupStream]]: on a batch frame the watermarked
+    * dedup stage (streaming-only API) becomes plain
+    * `dropDuplicates("fingerprint")` — same survivors-per-fingerprint
+    * semantics, no state horizon needed on bounded input. The batch twin
+    * (q243) runs THIS function over the documents corpus and is
+    * oracle-verified end to end.
     */
   def curateStream(docs: DataFrame, minQuality: Double = 0.3,
                    watermark: String = "1 hour"): DataFrame = {
     import graft.ext.TextAnalysis
-    docs
-      .withWatermark("ts", watermark)
+    val gated = (if (docs.isStreaming) docs.withWatermark("ts", watermark)
+                 else docs)
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
       .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
-      .dropDuplicatesWithinWatermark("fingerprint")
-      .select(col("doc_id"), col("ts"), col("source"),
-        col("quality"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val deduped =
+      if (docs.isStreaming) gated.dropDuplicatesWithinWatermark("fingerprint")
+      else gated.dropDuplicates("fingerprint")
+    deduped.select(col("doc_id"), col("ts"), col("source"),
+      col("quality"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
   }
 
   /** Stream-static enrichment: each micro-batch of the stream joins the

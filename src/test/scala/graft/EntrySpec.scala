@@ -56,4 +56,18 @@ class EntrySpec extends SparkSpec {
     Verify.assertHarnessSafe("probe",
       spark.sql("SELECT 1 AS id, 'a' AS s, DATE '2026-01-01' AS d").schema)
   }
+
+  test("assertHarnessSafe rejects decimal-typed top-level columns (q228 class)") {
+    // Spark parquet DECIMAL reaches the driver's canonicalizer as
+    // decimal.Decimal("10.20"); DuckDB DECIMAL becomes float64 "10.2" —
+    // trailing-zero cents hash differently even when values agree.
+    val decDf = spark.sql("SELECT 1 AS id, CAST(10.2 AS DECIMAL(18,2)) AS rev")
+    val e = intercept[IllegalArgumentException] {
+      Verify.assertHarnessSafe("probe", decDf.schema)
+    }
+    assert(e.getMessage.contains("rev"))
+    // the sanctioned boundary shape passes
+    Verify.assertHarnessSafe("probe",
+      spark.sql("SELECT CAST(CAST(10.2 AS DECIMAL(18,2)) AS DOUBLE) AS rev").schema)
+  }
 }

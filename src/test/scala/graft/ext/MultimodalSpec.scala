@@ -133,6 +133,72 @@ class MultimodalSpec extends SparkSpec {
     assert(g.n_bytes == 128 && g.frames_sampled == 4) // ceil(64 samples / 16)
   }
 
+  test("HeaderCodec.probe: crafted RIFF chunk sizes terminate and fall to None") {
+    // chunk size is an UNTRUSTED u32 — before the Long-arithmetic fix a
+    // size of 0xFFFFFFF8 wrapped to -8 via .toInt, `off` stopped
+    // advancing, and the executor task spun forever; 0x80000000 walked
+    // `off` backwards into a StringIndexOutOfBounds that escaped probe
+    def riff(chunkSize: Long): Array[Byte] = {
+      val b = new Array[Byte](64)
+      Array[Byte]('R', 'I', 'F', 'F').copyToArray(b, 0)
+      Array[Byte]('W', 'A', 'V', 'E').copyToArray(b, 8)
+      Array[Byte]('J', 'U', 'N', 'K').copyToArray(b, 12)
+      var i = 0
+      while (i < 4) { b(16 + i) = ((chunkSize >> (8 * i)) & 0xff).toByte; i += 1 }
+      b
+    }
+    for (sz <- Seq(0xFFFFFFF8L, 0x80000000L, 0xFFFFFFFFL, 0x7FFFFFFFL))
+      assert(Multimodal.HeaderCodec.probe(riff(sz)).isEmpty, s"size=$sz")
+  }
+
+  test("HeaderCodec.probe: oversized data-chunk size clamps to remaining bytes, never negative") {
+    // a valid fmt chunk followed by a data chunk CLAIMING 2^31+1 bytes:
+    // dataLen must clamp to the bytes physically present (not wrap
+    // negative and ship garbage features with frames < 0)
+    val wav = Multimodal.synthPayload(9L, "audio")
+    // synthetic layout: fmt at 12, data header at 36 (size field at 40)
+    val forged = wav.clone()
+    val huge = 0x80000001L
+    var i = 0
+    while (i < 4) { forged(40 + i) = ((huge >> (8 * i)) & 0xff).toByte; i += 1 }
+    val h = Multimodal.HeaderCodec.probe(forged)
+    assert(h.isDefined)
+    assert(h.get.contentLen == forged.length - h.get.contentOff)
+    assert(h.get.contentLen >= 0)
+    val feats = Multimodal.HeaderCodec.decodeAndFeaturize(
+      Multimodal.MediaRow(9L, "audio", forged, 0, 0, 16000), 16)
+    assert(feats.frames_sampled >= 0 && feats.n_bytes >= 0)
+  }
+
+  test("HeaderCodec.probe: parses the synthetic PNG (IHDR fields, first IDAT span)") {
+    val p = Multimodal.synthPngPayload(12L)
+    val h = Multimodal.HeaderCodec.probe(p).get
+    assert((h.fmt, h.width, h.height, h.contentOff, h.contentLen) ==
+      ("png", 16, 16, 41, 64))
+    // content bytes are the closed form the oracle recomputes
+    assert((0 until 64).forall(k => (p(41 + k) & 0xff) == (12L * 17 + k * 11) % 251))
+    // featurize path: a still → 1 frame, content-only bytes
+    val f = Multimodal.HeaderCodec.decodeAndFeaturize(
+      Multimodal.MediaRow(12L, "image", p, 16, 16, 0), 16)
+    assert(f.n_bytes == 64 && f.frames_sampled == 1)
+  }
+
+  test("HeaderCodec.probe: PNG with corrupted IHDR CRC or huge chunk length is rejected") {
+    val good = Multimodal.synthPngPayload(3L)
+    val badCrc = good.clone()
+    badCrc(30) = (badCrc(30) ^ 0xff).toByte // flip a CRC byte
+    assert(Multimodal.HeaderCodec.probe(badCrc).isEmpty)
+    val badDim = good.clone()
+    badDim(16) = 0x80.toByte // width bit 31 set -> > Int.MaxValue
+    assert(Multimodal.HeaderCodec.probe(badDim).isEmpty)
+    // IDAT length forged to 2^32-1: the Long walk must terminate (clamp,
+    // not wrap) — before the hardening this class of field hung the walk
+    val badLen = good.clone()
+    for (i <- 0 until 4) badLen(33 + i) = 0xff.toByte
+    val h = Multimodal.HeaderCodec.probe(badLen)
+    assert(h.isDefined && h.get.contentLen == badLen.length - 41)
+  }
+
   test("HeaderCodec falls back to StubCodec whole-payload features on unknown bytes") {
     val junk = Multimodal.MediaRow(8L, "image",
       "definitely not a container".getBytes, 0, 0, 0)

@@ -362,10 +362,11 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.size == 4) // two sessions per user (chained gaps, then a late burst)
   }
 
-  // batch twin: Dedup.exactDedup, registered as q12_dedup_exact with an
-  // exact-hash DuckDB oracle (same drop-all-but-first-per-key semantics;
-  // the stream adds only the watermark state bound)
-  test("dedupStream: re-delivered events are dropped within the watermark (batch twin q12)") {
+  // batch twin: q242_dedup_stream_twin runs THIS SAME function
+  // (mode-adaptive) over a doubled at-least-once feed with an exact-hash
+  // DuckDB oracle; the stream mode below adds only the watermark state
+  // bound. Dedup.exactDedup (q12) covers the keep-min-id batch policy.
+  test("dedupStream: re-delivered events are dropped within the watermark (batch twin q242)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]
@@ -542,10 +543,11 @@ class StreamsSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view") -> (1L, 1.0)))
   }
 
-  // batch twin: the q44_curation_pipeline gate (same quality-score gate +
-  // content-fingerprint exact dedup, oracle-verified); the stream adds
-  // only the watermark horizon on the dedup state
-  test("curateStream drops junk and in-horizon duplicate content, passes survivors (batch twin q44)") {
+  // batch twin: q243_curate_stream_twin runs THIS SAME function
+  // (mode-adaptive) over the documents corpus with an exact-hash DuckDB
+  // oracle; the stream mode below adds only the watermark horizon on the
+  // dedup state. q44_curation_pipeline covers the richer batch gate.
+  test("curateStream drops junk and in-horizon duplicate content, passes survivors (batch twin q243)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val good = "the cat and the dog sat on the mat with a hat and a bat for a while longer"

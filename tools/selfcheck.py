@@ -110,7 +110,20 @@ def check_one(task):
         return name, rec(err=f"oracle error: {e}"), [f"{name}: ORACLE ERROR {e}"], True
     if retried:
         lines.append(f"  {name}: oracle retried after allocator failure")
-    sdf = canon(pd.concat([pd.read_parquet(f) for f in spark_files]))
+    sdf_raw = pd.concat([pd.read_parquet(f) for f in spark_files])
+    # Mirror the driver's dtype canonicalization (round-5 q228): Spark
+    # parquet DECIMAL arrives as object-of-decimal.Decimal and the driver
+    # stringifies it ("10.20"), while a DuckDB DECIMAL oracle column
+    # converts to float64 ("10.2") — the driver hash-mismatches even when
+    # values agree to the cent. The float-coercion compare below would
+    # mask that, so record Decimal columns BEFORE canon stringifies them
+    # and fail any that face a float oracle column.
+    import decimal
+    decimal_cols = {c for c in sdf_raw.columns
+                    if sdf_raw[c].dtype == object
+                    and any(isinstance(v, decimal.Decimal)
+                            for v in sdf_raw[c].dropna().head(5))}
+    sdf = canon(sdf_raw)
     if list(sdf.columns) != list(odf.columns):
         return (name, rec(schema_match=False, spark_rows=len(sdf), oracle_rows=len(odf),
                           oracle_retried=retried),
@@ -123,6 +136,13 @@ def check_one(task):
     exact = True; approx = True
     for c in sdf.columns:
         s, o = sdf[c], odf[c]
+        if c in decimal_cols and pd.api.types.is_float_dtype(o):
+            exact = False; approx = False
+            lines.append(
+                f"  {name}.{c}: Spark emits DECIMAL (driver stringifies "
+                f"Decimal('10.20')) vs float64 oracle ('10.2') — cast the "
+                f"registered output boundary to DOUBLE or integer cents")
+            continue
         if pd.api.types.is_float_dtype(s) or pd.api.types.is_float_dtype(o):
             se, oe = s.fillna(-1e308).to_numpy(dtype=float), o.fillna(-1e308).to_numpy(dtype=float)
             if not np.array_equal(se, oe):
