@@ -5034,4 +5034,90 @@ object Oracles {
       |  CAST(list_sum(list_transform(range(0, 64),
       |    k -> (doc_id * 17 + k * 11) % 251)) AS BIGINT) AS content_sum
       |FROM documents""".stripMargin
+
+  /** q245: per-eval-doc n-gram containment (q54's dual). Same gram
+    * derivation as the q54 oracle; the train side deduplicates to a
+    * corpus-wide gram set (the oracle can afford the full distinct the
+    * engine-side broadcast-filter shape avoids). Floor division on
+    * non-negative counts matches Spark's `div`.
+    */
+  def evalContainment(n: Int): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
+       |  FROM documents
+       |), evg AS (
+       |  SELECT DISTINCT doc_id AS eval_id, gram FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - ${n - 1}),
+       |      i -> array_to_string(list_slice(ws, i, i + ${n - 1}), ' '))) AS gram
+       |    FROM docs WHERE doc_id % 20 = 0)
+       |), trg AS (
+       |  SELECT DISTINCT gram FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(ws) - ${n - 1}),
+       |      i -> array_to_string(list_slice(ws, i, i + ${n - 1}), ' '))) AS gram
+       |    FROM docs WHERE doc_id % 20 <> 0)
+       |), tot AS (
+       |  SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM evg GROUP BY 1
+       |), hit AS (
+       |  SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_contained
+       |  FROM evg JOIN trg USING (gram) GROUP BY 1
+       |)
+       |SELECT t.eval_id, t.n_grams,
+       |  CAST(COALESCE(h.n_contained, 0) AS BIGINT) AS n_contained,
+       |  CAST(COALESCE(h.n_contained, 0) * 1000000 // t.n_grams AS BIGINT) AS containment_ppm
+       |FROM tot t LEFT JOIN hit h USING (eval_id)""".stripMargin
+
+  /** q246: the explicit spelling of GROUP BY ALL. */
+  val groupByAll: String =
+    """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** q247: the parameterized query with its arguments inlined. */
+  val paramSql: String =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem WHERE l_quantity >= 30 AND l_discount <= 0.05
+      |GROUP BY 1""".stripMargin
+
+  /** q248: ordered listagg ≡ DuckDB's ordered string_agg. Sort key
+    * (l_linenumber, l_partkey) — this corpus reuses linenumbers within an
+    * order, and after the partkey tiebreak any remaining ties are
+    * identical strings, so the concat is total.
+    */
+  val listaggBaskets: String =
+    """SELECT l_orderkey,
+      |  string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber, l_partkey) AS parts
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** q249: water-filling allocator, term-for-term the engine's integer
+    * algorithm (capped-prefix test `cap·m + w_prev ≤ B`, floor-div base,
+    * name-ordered remainder). `//`/`%` on non-negative BIGINTs match
+    * Spark's `div`/`pmod`.
+    */
+  def waterFill(budget: Long): String =
+    s"""WITH caps AS (
+       |  SELECT source AS stratum, CAST(SUM(n_chars) AS BIGINT) AS cap
+       |  FROM documents GROUP BY 1
+       |), st AS (
+       |  SELECT stratum, cap,
+       |    CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, stratum
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS w_prev,
+       |    CAST(COUNT(*) OVER () - ROW_NUMBER() OVER (ORDER BY cap, stratum) + 1 AS BIGINT) AS m
+       |  FROM caps
+       |), fl AS (
+       |  SELECT *, (cap * m + w_prev <= $budget) AS capped FROM st
+       |), agg AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN cap END), 0) AS BIGINT) AS sum_capped,
+       |    CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT) AS n_uncapped
+       |  FROM fl
+       |)
+       |SELECT stratum, cap AS cap_tokens,
+       |  CAST(CASE WHEN capped THEN cap
+       |    ELSE ($budget - sum_capped) // n_uncapped
+       |       + (CASE WHEN ROW_NUMBER() OVER (PARTITION BY capped ORDER BY stratum)
+       |               <= ($budget - sum_capped) % n_uncapped THEN 1 ELSE 0 END)
+       |  END AS BIGINT) AS alloc_tokens
+       |FROM fl CROSS JOIN agg""".stripMargin
 }

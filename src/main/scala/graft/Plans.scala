@@ -901,7 +901,36 @@ object Plans {
         |storage the same way); only scalar metadata leaves the
         |partition, so the plan has NO exchange until the harness probe.
         |Same shape as q226 — the codec seam adds formats without adding
-        |operators.""".stripMargin)
+        |operators.""".stripMargin,
+    "q245_eval_containment" ->
+      """Eval containment: the eval gram set (benchmarks — tiny by
+        |definition) BROADCASTS as a map-side filter over the train gram
+        |stream, so the train corpus is never gram-deduped corpus-wide
+        |(the shuffle that shape would cost at 100 TB); only matching
+        |(eval_id, gram) hits reach the one small distinct+count. Train
+        |text flows through the native word-ngram projection at scan
+        |speed.""".stripMargin,
+    "q246_group_by_all" ->
+      """GROUP BY ALL pin: the resolver expands ALL to (event_type, day)
+        |and the plan is the identical partial/final hash aggregate as
+        |the explicit spelling (the oracle IS that spelling) — one
+        |exchange on the two keys, integer cents sums.""".stripMargin,
+    "q247_param_sql" ->
+      """Parameterized SQL pin: named markers bind as typed literals
+        |BEFORE optimization, so the quantity predicate lands in
+        |PushedFilters exactly as a spliced literal would — parameter
+        |binding costs zero plan quality.""".stripMargin,
+    "q248_listagg_baskets" ->
+      """Ordered listagg: one order-key exchange; the sort runs INSIDE
+        |the aggregate per group (no global sort of the fact table). The
+        |(linenumber, partkey) key makes the concat total — remaining
+        |ties are identical strings.""".stripMargin,
+    "q249_water_fill" ->
+      """Water-filling allocator: ONE map-side-combined domain aggregate
+        |touches the corpus; everything after (sort, prefix test,
+        |remainder spread) is windows over the |domains|-row keyspace —
+        |a single-partition sort of ~hundreds of rows at any corpus
+        |size. The exact-integer prefix test needs no iteration.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

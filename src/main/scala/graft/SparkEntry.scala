@@ -2081,6 +2081,76 @@ object SparkEntry {
       graft.ext.Multimodal.probePng(Tables.documents(s, d))
     },
 
+    // per-EVAL-doc n-gram containment (q54's release-gate dual): the
+    // fraction of each eval doc's distinct 4-grams found anywhere in
+    // train — the asymmetric overlap a decontamination threshold gates
+    // on (a fully-quoted eval item scores 1.0 here, near 0 on Jaccard).
+    // Eval gram set broadcasts as a map-side filter over the train gram
+    // stream; the train corpus is never deduped corpus-wide
+    "q245_eval_containment" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.evalContainment(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), n = 4)
+    },
+
+    // Spark 4 GROUP BY ALL (SQL surface pin, the q241 pattern): the
+    // resolver must expand ALL to exactly the non-aggregate select items;
+    // the oracle is the explicit GROUP BY 1,2 spelling — a hash match
+    // proves the expansion picked the same keys
+    "q246_group_by_all" -> { (s, d) =>
+      val view = s"q246_ev_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      Tables.events(s, d).createOrReplaceTempView(view)
+      try s.sql(s"""
+        SELECT event_type, to_date(ts) AS day,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM $view GROUP BY ALL""")
+      finally s.catalog.dropTempView(view)
+    },
+
+    // parameterized SQL (named parameter markers, SPARK-44680 surface):
+    // literals travel as typed args, not string-spliced SQL — the
+    // injection-safe template path a production job server uses; the
+    // oracle inlines the same constants
+    "q247_param_sql" -> { (s, d) =>
+      val view = s"q247_li_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      Tables.lineitem(s, d).createOrReplaceTempView(view)
+      try s.sql(
+        s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM $view WHERE l_quantity >= :minq AND l_discount <= :maxd
+            GROUP BY l_returnflag""",
+        Map("minq" -> 30, "maxd" -> 0.05))
+      finally s.catalog.dropTempView(view)
+    },
+
+    // Spark 4 listagg WITHIN GROUP (SPARK-42746): ordered string
+    // aggregation — the basket-export / debugging concat that was a
+    // collect_list+sort+concat_ws three-step before 4.0. This corpus
+    // REUSES l_linenumber within an order (measured: 11,785 dup pairs at
+    // sf0.01), so the sort key is (l_linenumber, l_partkey): remaining
+    // ties are identical strings, making the concat total in any engine
+    "q248_listagg_baskets" -> { (s, d) =>
+      val view = s"q248_li_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      Tables.lineitem(s, d).createOrReplaceTempView(view)
+      try s.sql(s"""
+        SELECT l_orderkey,
+          listagg(CAST(l_partkey AS STRING), ',')
+            WITHIN GROUP (ORDER BY l_linenumber, l_partkey) AS parts
+        FROM $view GROUP BY l_orderkey""")
+      finally s.catalog.dropTempView(view)
+    },
+
+    // water-filling budget allocator: split ONE global token budget
+    // across domains as evenly as capacities allow (max-min fairness) —
+    // the planning step that produces the per-domain budgets
+    // q?_token_budget mixes consume; exact integer prefix test, no
+    // iteration, every window on the 20-row domain keyspace
+    "q249_water_fill" -> ((s, d) =>
+      graft.ext.Sampling.waterFillBudgets(Tables.documents(s, d),
+        budget = 100000L, strataCol = "source", sizeCol = "n_chars")),
+
     // table-maintenance observability: per-file row counts for every
     // table in the dataset directory — the file-level profile a
     // compaction policy reads (at 100 TB the FILE COUNT, not bytes, kills
@@ -2704,6 +2774,11 @@ object SparkEntry {
         |GROUP BY l_returnflag HAVING COUNT(*) > 0""".stripMargin,
     "q242_dedup_stream_twin" -> Oracles.dedupStreamTwin,
     "q243_curate_stream_twin" -> Oracles.curateStreamTwin,
-    "q244_png_probe" -> Oracles.pngProbe
+    "q244_png_probe" -> Oracles.pngProbe,
+    "q245_eval_containment" -> Oracles.evalContainment(4),
+    "q246_group_by_all" -> Oracles.groupByAll,
+    "q247_param_sql" -> Oracles.paramSql,
+    "q248_listagg_baskets" -> Oracles.listaggBaskets,
+    "q249_water_fill" -> Oracles.waterFill(100000L)
   )
 }

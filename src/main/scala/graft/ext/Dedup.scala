@@ -713,6 +713,45 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-EVAL-doc n-gram containment — the release-gate dual of
+    * [[crossContamination]]: for each eval doc, the fraction of its
+    * distinct word n-grams that appear ANYWHERE in the training corpus
+    * (|eval ∩ train| / |eval|, in integer ppm). Containment, not Jaccard:
+    * an eval item fully quoted inside a much longer train doc scores
+    * 1.0 here but near 0 on Jaccard — exactly the asymmetry a
+    * decontamination threshold needs (Brown/GPT-3-style 13-gram overlap
+    * gates threshold on this quantity). Output: one row per eval doc with
+    * ≥ n tokens: (eval_id, n_grams, n_contained, containment_ppm).
+    *
+    * Scale: the eval side (benchmarks) is tiny by definition, so its
+    * distinct gram set BROADCASTS as a map-side filter over the train
+    * gram stream — the train corpus is never deduped corpus-wide (that
+    * distinct-on-every-gram shuffle is the expensive thing this shape
+    * avoids); only matching (eval_id, gram) hits — bounded by the eval
+    * gram count × train hit multiplicity, then deduped — reach the one
+    * small shuffle. Train text streams through the narrow native n-gram
+    * projection at scan speed.
+    */
+  def evalContainment(train: DataFrame, eval: DataFrame, n: Int = 4,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    def grams(df: DataFrame, outId: String): DataFrame = {
+      val windows = graft.functions.NgramFunctions.wordNgrams(col("__ws"), n)
+      df.withColumn("__ws", TextAnalysis.tokens(col(textCol)))
+        .select(col(idCol).as(outId), explode(array_distinct(windows)).as("gram"))
+    }
+    val eg = grams(eval, "eval_id")
+    val totals = eg.groupBy("eval_id").agg(count(lit(1)).as("n_grams"))
+    val contained = grams(train, "train_id").select("gram")
+      .join(broadcast(eg), Seq("gram"))
+      .select("eval_id", "gram").distinct()
+      .groupBy("eval_id").agg(count(lit(1)).as("n_contained"))
+    totals.join(contained, Seq("eval_id"), "left")
+      .na.fill(0L, Seq("n_contained"))
+      .select(col("eval_id"), col("n_grams"), col("n_contained"),
+        expr("n_contained * 1000000 div n_grams").as("containment_ppm"))
+  }
+
   /** Cross-document duplicated n-gram coverage — the Gopher/RefinedWeb
     * "fraction of tokens inside duplicated n-grams" quality signal, but
     * CORPUS-wide: a token is covered when any word n-gram through it also

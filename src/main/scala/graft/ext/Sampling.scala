@@ -185,6 +185,65 @@ object Sampling {
       .select(col(idCol), col(strataCol), col(sizeCol), col("cum_size"))
   }
 
+  /** Water-filling budget allocator — the planning step that PRODUCES the
+    * per-domain budgets [[tokenBudgetMix]] consumes: split one global
+    * token budget across domains as evenly as capacities allow, capping
+    * each domain at what it actually has (max-min fairness). Small
+    * domains keep everything; the remainder spreads uniformly across the
+    * large ones — the standard anti-domination mix when no curated
+    * weights exist.
+    *
+    * Exact integer algorithm (identical in any engine): sort domains by
+    * (capacity, name); with w = running capacity sum and m domains at or
+    * after row i, row i is CAPPED iff `cap_i·m + w_{i-1} ≤ B` — the
+    * predicate is monotone along the sort ((cap_{i+1}−cap_i)·(m−1) ≥ 0),
+    * so the capped set is a prefix and needs no iteration. Uncapped
+    * domains get `base = (B − Σ capped) div n_uncapped`, with the
+    * remainder distributed as +1 to the first `rem` uncapped domains in
+    * name order. Provably alloc ≤ cap everywhere (the first uncapped
+    * domain's capacity strictly exceeds the real level, hence ≥ base+1),
+    * and Σ alloc = min(B, Σ cap). The capped-test product is bounded by
+    * total corpus tokens × domain count (~10¹³·10³ at 100 TB) — well
+    * inside Long.
+    *
+    * Scale: one map-side-combined domain aggregate over the corpus; every
+    * window below runs on the DOMAIN keyspace (|domains| rows — hundreds,
+    * not facts), so the single-partition sort is free at any corpus size.
+    */
+  def waterFillBudgets(docs: DataFrame, budget: Long,
+                       strataCol: String = "source",
+                       sizeCol: String = "n_chars"): DataFrame = {
+    require(budget >= 0, "negative budget")
+    import org.apache.spark.sql.expressions.Window
+    val caps = docs.groupBy(col(strataCol).as("stratum"))
+      .agg(sum(col(sizeCol).cast("long")).as("cap"))
+    val ord = Window.orderBy(col("cap"), col("stratum"))
+    val all = Window.partitionBy(lit(1))
+    val uncappedOrd = Window.partitionBy(col("capped")).orderBy(col("stratum"))
+    caps
+      .withColumn("w_prev",
+        coalesce(sum("cap").over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("m", count(lit(1)).over(all) - row_number().over(ord) + 1L)
+      .withColumn("capped", col("cap") * col("m") + col("w_prev") <= budget)
+      .withColumn("sum_capped",
+        coalesce(sum(when(col("capped"), col("cap"))).over(all), lit(0L)))
+      .withColumn("n_uncapped",
+        sum(when(col("capped"), 0L).otherwise(1L)).over(all))
+      // integer `div`, not float `/`: exact past 2^53 (the 100 TB range)
+      .withColumn("base",
+        when(col("n_uncapped") === 0, lit(0L))
+          .otherwise(expr(s"(${budget}L - sum_capped) div n_uncapped")))
+      .withColumn("rem",
+        when(col("n_uncapped") === 0, lit(0L))
+          .otherwise(pmod(lit(budget) - col("sum_capped"), col("n_uncapped"))))
+      .withColumn("alloc",
+        when(col("capped"), col("cap"))
+          .otherwise(col("base") +
+            when(row_number().over(uncappedOrd) <= col("rem"), 1L).otherwise(0L)))
+      .select(col("stratum"), col("cap").as("cap_tokens"),
+        col("alloc").as("alloc_tokens"))
+  }
+
   /** Epoch-weighted corpus remixing (the Pile/Dolma "domain weights" step
     * — Gao et al. 2020, arXiv:2101.00027, public paper): re-weight each
     * domain to a target share of the final token mass by REPLICATION.

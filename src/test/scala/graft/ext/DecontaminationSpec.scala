@@ -35,4 +35,28 @@ class DecontaminationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(2L -> 1L))
   }
+
+  test("evalContainment: asymmetric quote — fully-contained eval doc scores 10^6 ppm") {
+    // eval doc 10 is a verbatim quote inside a much longer train doc:
+    // containment must be 1.0 even though Jaccard would be tiny
+    val (train, eval) = frames(
+      Seq(1L -> "preamble words here the quick brown fox jumps over the lazy dog and much more trailing text follows"),
+      Seq(10L -> "the quick brown fox jumps",      // 3 distinct 3-grams, all in train
+          11L -> "entirely novel eval content here")) // 0 contained
+    val out = Dedup.evalContainment(train, eval, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(out(10L) == ((3L, 3L, 1000000L)))
+    assert(out(11L) == ((3L, 0L, 0L)))
+  }
+
+  test("evalContainment: partial overlap floors the ppm; short eval docs absent") {
+    val (train, eval) = frames(
+      Seq(1L -> "a b c d"),
+      // windows: "a b c", "b c d" (hit), "c d x", ... doc 20: 3 grams, 2 hit
+      Seq(20L -> "a b c d x", 21L -> "tiny one"))
+    val out = Dedup.evalContainment(train, eval, n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(20L -> ((3L, 2L, 666666L)))) // 2·10⁶ div 3, floor
+  }
 }

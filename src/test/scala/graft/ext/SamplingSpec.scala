@@ -322,4 +322,45 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(again == out)
   }
+
+  test("waterFillBudgets: hand-checked split — small domains keep all, big ones share the rest") {
+    import org.apache.spark.sql.Row
+    // caps: a=10, b=20, c=100, d=100; B=80.
+    // prefix test (asc order): a 10·4+0=40≤80 capped, b 20·3+10=70≤80
+    // capped, c 100·2+30=230>80 uncapped. base=(80-30) div 2=25, rem=0.
+    val d = df("source STRING, n_chars BIGINT", Seq(
+      Row("a", 10L), Row("b", 20L), Row("c", 100L), Row("d", 100L)))
+    val out = Sampling.waterFillBudgets(d, budget = 80L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("a" -> (10L, 10L), "b" -> (20L, 20L),
+      "c" -> (100L, 25L), "d" -> (100L, 25L)))
+  }
+
+  test("waterFillBudgets: Σalloc = min(B, Σcap); remainder +1 goes to first uncapped by name") {
+    import org.apache.spark.sql.Row
+    // caps: x=7, y=100, z=100; B=82 → x capped (7·3=21≤82);
+    // base=(82-7) div 2=37, rem=1 → y gets 38, z gets 37.
+    val d = df("source STRING, n_chars BIGINT", Seq(
+      Row("x", 3L), Row("x", 4L), Row("y", 100L), Row("z", 100L)))
+    val out = Sampling.waterFillBudgets(d, budget = 82L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("x" -> 7L, "y" -> 38L, "z" -> 37L))
+    assert(out.values.sum == 82L)
+    // budget above total capacity: everyone keeps their cap
+    val full = Sampling.waterFillBudgets(d, budget = 10000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(full == Map("x" -> 7L, "y" -> 100L, "z" -> 100L))
+  }
+
+  test("waterFillBudgets: alloc never exceeds cap; repartition-invariant") {
+    import org.apache.spark.sql.Row
+    val rows = (0L until 40L).map(i => Row(s"s${i % 7}", i * 3 + 1))
+    val d = df("source STRING, n_chars BIGINT", rows)
+    val out = Sampling.waterFillBudgets(d, budget = 300L).collect()
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1) && r.getLong(2) >= 0))
+    assert(out.map(_.getLong(2)).sum == 300L)
+    val again = Sampling.waterFillBudgets(d.repartition(5), budget = 300L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(again == out.map(r => r.getString(0) -> r.getLong(2)).toMap)
+  }
 }
