@@ -5120,4 +5120,64 @@ object Oracles {
        |               <= ($budget - sum_capped) % n_uncapped THEN 1 ELSE 0 END)
        |  END AS BIGINT) AS alloc_tokens
        |FROM fl CROSS JOIN agg""".stripMargin
+
+  /** CTE chain replaying Pca exactly: quantize → exact HUGEINT moments →
+    * centered n-scaled covariance scaled to BIGINT by `n²·10⁴` (HUGEINT
+    * `//` truncates toward zero, measured identical to Spark's DECIMAL
+    * `div` and Scala BigInt `/`) → `iterations` unrolled power steps
+    * renormalizing to ‖v‖∞ = 1000 → deterministic sign fix. The final
+    * signed-loading CTE is named `ld` (1-based dim index `i`).
+    */
+  private def pcaCtes(iterations: Int, dim: Int = 64): String = {
+    val head =
+      s"""pq AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |pn AS MATERIALIZED (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM pq),
+         |ps AS MATERIALIZED (
+         |  SELECT i, CAST(SUM(v[CAST(i AS INTEGER)]) AS HUGEINT) AS s
+         |  FROM pq, generate_series(1, $dim) t(i) GROUP BY 1),
+         |pg AS MATERIALIZED (
+         |  SELECT i, j,
+         |    CAST(SUM(CAST(v[CAST(i AS INTEGER)] AS HUGEINT) * v[CAST(j AS INTEGER)]) AS HUGEINT) AS g
+         |  FROM pq, generate_series(1, $dim) t(i), generate_series(1, $dim) u(j)
+         |  GROUP BY 1, 2),
+         |pc AS MATERIALIZED (
+         |  SELECT pg.i, pg.j,
+         |    CAST((pn.n * pg.g - si.s * sj.s) // (pn.n * pn.n * 10000) AS BIGINT) AS c2
+         |  FROM pg, pn, ps si, ps sj WHERE si.i = pg.i AND sj.i = pg.j),
+         |pv0 AS MATERIALIZED (SELECT i, CAST(1000 AS BIGINT) AS v FROM generate_series(1, $dim) t(i))""".stripMargin
+    val steps = (1 to iterations).map { k =>
+      s"""pw$k AS MATERIALIZED (
+         |  SELECT pc.i, CAST(SUM(pc.c2 * v.v) AS BIGINT) AS w
+         |  FROM pc JOIN pv${k - 1} v ON v.i = pc.j GROUP BY 1),
+         |pm$k AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM pw$k),
+         |pv$k AS MATERIALIZED (
+         |  SELECT w.i,
+         |    CAST(CASE WHEN m = 0 THEN pv.v ELSE (w.w * 1000) // m END AS BIGINT) AS v
+         |  FROM pw$k w JOIN pv${k - 1} pv ON pv.i = w.i CROSS JOIN pm$k)""".stripMargin
+    }
+    val tail =
+      s"""psgn AS MATERIALIZED (
+         |  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg FROM pv$iterations
+         |  WHERE i = (SELECT i FROM pv$iterations ORDER BY ABS(v) DESC, i LIMIT 1)),
+         |ld AS MATERIALIZED (SELECT i, CAST(v * sg AS BIGINT) AS lv FROM pv$iterations, psgn)""".stripMargin
+    (Seq(head) ++ steps :+ tail).mkString(",\n")
+  }
+
+  /** q250: the trained top principal component (0-based dim index). */
+  def pcaComponent(iterations: Int): String =
+    s"""WITH ${pcaCtes(iterations)}
+       |SELECT CAST(i - 1 AS INTEGER) AS dim_idx, lv AS loading FROM ld""".stripMargin
+
+  /** q251: corpus top-k by |projection| onto the trained component. */
+  def pcaProject(iterations: Int, k: Int): String =
+    s"""WITH ${pcaCtes(iterations)},
+       |proj AS (
+       |  SELECT pq.vec_id,
+       |    CAST(SUM(pq.v[CAST(ld.i AS INTEGER)] * ld.lv) AS BIGINT) AS score
+       |  FROM pq, ld GROUP BY 1)
+       |SELECT vec_id, score FROM proj ORDER BY ABS(score) DESC, vec_id LIMIT $k""".stripMargin
 }

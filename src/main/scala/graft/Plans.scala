@@ -930,7 +930,21 @@ object Plans {
         |touches the corpus; everything after (sort, prefix test,
         |remainder spread) is windows over the |domains|-row keyspace —
         |a single-partition sort of ~hundreds of rows at any corpus
-        |size. The exact-integer prefix test needs no iteration.""".stripMargin)
+        |size. The exact-integer prefix test needs no iteration.""".stripMargin,
+    "q250_pca_component" ->
+      """Distributed PCA: ONE corpus pass builds the exact integer moment
+        |matrix — the upper-triangle pair generator (slice before the
+        |second posexplode, ~2× vs full dim², SCALING.md) feeds a
+        |map-side-combined aggregate whose exchange carries dim(dim+1)/2
+        |rows per map task regardless of corpus size; DECIMAL(38,0) sums
+        |stay exact past 2^63. The driver power-iterates a 32 KB matrix
+        |locally — unlike Lloyd's, NO iterative pass ever touches the
+        |corpus.""".stripMargin,
+    "q251_pca_project" ->
+      """PC projection: the trained 64-long loading vector inlines as a
+        |literal into a narrow zip_with/aggregate dot product — zero
+        |exchanges until the top-k (TakeOrderedAndProject, never a full
+        |sort). Training cost is q250's one pass.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

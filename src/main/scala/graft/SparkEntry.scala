@@ -2142,6 +2142,20 @@ object SparkEntry {
       finally s.catalog.dropTempView(view)
     },
 
+    // distributed PCA, top component: ONE corpus pass builds the exact
+    // integer covariance moments (dim²-sized map-combined aggregate), the
+    // driver power-iterates a 32 KB matrix — no iterative corpus pass
+    // (unlike Lloyd's). Every step integer → the oracle replays the full
+    // training with unrolled SQL iterations, bit-exact
+    "q250_pca_component" -> ((s, d) =>
+      graft.ext.Pca.topComponent(Tables.embeddings(s, d), iterations = 24)),
+
+    // projection onto the trained component: the "most extreme along the
+    // first PC" outlier readout — a narrow integer dot with the loadings
+    // inlined as a literal, then one top-k
+    "q251_pca_project" -> ((s, d) =>
+      graft.ext.Pca.project(Tables.embeddings(s, d), iterations = 24, k = 50)),
+
     // water-filling budget allocator: split ONE global token budget
     // across domains as evenly as capacities allow (max-min fairness) —
     // the planning step that produces the per-domain budgets
@@ -2779,6 +2793,8 @@ object SparkEntry {
     "q246_group_by_all" -> Oracles.groupByAll,
     "q247_param_sql" -> Oracles.paramSql,
     "q248_listagg_baskets" -> Oracles.listaggBaskets,
-    "q249_water_fill" -> Oracles.waterFill(100000L)
+    "q249_water_fill" -> Oracles.waterFill(100000L),
+    "q250_pca_component" -> Oracles.pcaComponent(24),
+    "q251_pca_project" -> Oracles.pcaProject(24, 50)
   )
 }

