@@ -5172,6 +5172,26 @@ object Oracles {
     s"""WITH ${pcaCtes(iterations)}
        |SELECT CAST(i - 1 AS INTEGER) AS dim_idx, lv AS loading FROM ld""".stripMargin
 
+  /** q252: Heaps-law vocabulary growth at nested hash permille prefixes.
+    * Same token spelling as textStats' toks_l; each word's FIRST prefix
+    * is min(hp), so all thresholds read one aggregate.
+    */
+  def vocabGrowth(permilles: Seq[Int], j: Int): String = {
+    val h = mixSql("doc_id", j)
+    val values = permilles.distinct.sorted.map(p => s"($p)").mkString(", ")
+    s"""WITH dh AS MATERIALIZED (
+       |  SELECT ($h) % 1000 AS hp, text FROM documents),
+       |fw AS MATERIALIZED (
+       |  SELECT word, MIN(hp) AS first_hp FROM (
+       |    SELECT hp, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      x -> x <> '')) AS word
+       |    FROM dh) GROUP BY 1)
+       |SELECT CAST(p AS BIGINT) AS permille,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM dh WHERE hp < p) AS n_docs,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fw WHERE first_hp < p) AS vocab
+       |FROM (VALUES $values) t(p)""".stripMargin
+  }
+
   /** q251: corpus top-k by |projection| onto the trained component. */
   def pcaProject(iterations: Int, k: Int): String =
     s"""WITH ${pcaCtes(iterations)},

@@ -944,7 +944,13 @@ object Plans {
       """PC projection: the trained 64-long loading vector inlines as a
         |literal into a narrow zip_with/aggregate dot product — zero
         |exchanges until the top-k (TakeOrderedAndProject, never a full
-        |sort). Training cost is q250's one pass.""".stripMargin)
+        |sort). Training cost is q250's one pass.""".stripMargin,
+    "q252_vocab_growth" ->
+      """Vocab growth: prefixes are HASH thresholds, not row_number — no
+        |corpus-wide sort at any scale, and they nest by construction so
+        |ONE word-keyed aggregate (each word's min prefix) serves every
+        |threshold; the readout is a constant-width conditional
+        |aggregate. One pass, one word shuffle.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

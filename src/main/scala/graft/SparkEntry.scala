@@ -2156,6 +2156,13 @@ object SparkEntry {
     "q251_pca_project" -> ((s, d) =>
       graft.ext.Pca.project(Tables.embeddings(s, d), iterations = 24, k = 50)),
 
+    // Heaps-law vocabulary growth: distinct vocabulary at nested
+    // hash-permille corpus prefixes — the dataset-card saturation curve
+    // (flat tail → stop collecting, dedup/diversify). One word-keyed
+    // shuffle serves every threshold via each word's FIRST prefix
+    "q252_vocab_growth" -> ((s, d) =>
+      graft.ext.TextAnalysis.vocabGrowth(Tables.documents(s, d))),
+
     // water-filling budget allocator: split ONE global token budget
     // across domains as evenly as capacities allow (max-min fairness) —
     // the planning step that produces the per-domain budgets
@@ -2795,6 +2802,7 @@ object SparkEntry {
     "q248_listagg_baskets" -> Oracles.listaggBaskets,
     "q249_water_fill" -> Oracles.waterFill(100000L),
     "q250_pca_component" -> Oracles.pcaComponent(24),
-    "q251_pca_project" -> Oracles.pcaProject(24, 50)
+    "q251_pca_project" -> Oracles.pcaProject(24, 50),
+    "q252_vocab_growth" -> Oracles.vocabGrowth(Seq(100, 250, 500, 1000), 410)
   )
 }

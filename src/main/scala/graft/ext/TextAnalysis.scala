@@ -498,4 +498,45 @@ object TextAnalysis {
         fingerprint(t).as("fingerprint"),
         rollingFingerprint(t).as("roll_fp"))
   }
+
+  /** Heaps-law vocabulary-growth curve — the dataset-card saturation
+    * signal: distinct (lowercased, whitespace) vocabulary at nested
+    * hash-selected corpus prefixes (100‰ / 250‰ / 500‰ / full by
+    * default). A near-linear curve says the corpus keeps bringing new
+    * vocabulary (keep collecting); a flat tail says it's saturated
+    * (dedup/diversify instead).
+    *
+    * Prefixes are permille thresholds on the id hash (the established
+    * [[Sampling]] pattern), NOT a global row_number — no corpus-wide sort
+    * exists at any scale, and the prefixes nest by construction (hp < 100
+    * ⊂ hp < 250 ⊂ …).
+    *
+    * Scale: ONE pass explodes (hp, word) pairs; ONE word-keyed shuffle
+    * computes each word's FIRST prefix (min hp) — so all thresholds read
+    * from a single aggregate instead of one scan per point; the CDF
+    * readout is a constant-width conditional aggregate. Doc counts ride a
+    * doc-keyspace aggregate of the same hash.
+    */
+  def vocabGrowth(docs: DataFrame, permilles: Seq[Int] = Seq(100, 250, 500, 1000),
+                  idCol: String = "doc_id", textCol: String = "text",
+                  j: Int = 410): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      "permilles must be in [1, 1000]")
+    val sortedP = permilles.distinct.sorted
+    val hp = pmod(Dedup.mixHash(col(idCol), j), lit(1000L))
+    val firstHp = docs
+      .select(hp.as("hp"), explode(tokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(min("hp").as("first_hp"))
+    val vrow = firstHp.agg(
+      sum(when(col("first_hp") < sortedP.head, 1L).otherwise(0L)).as(s"v${sortedP.head}"),
+      sortedP.tail.map(p =>
+        sum(when(col("first_hp") < p, 1L).otherwise(0L)).as(s"v$p")): _*)
+    val drow = docs.select(hp.as("hp")).agg(
+      sum(when(col("hp") < sortedP.head, 1L).otherwise(0L)).as(s"d${sortedP.head}"),
+      sortedP.tail.map(p =>
+        sum(when(col("hp") < p, 1L).otherwise(0L)).as(s"d$p")): _*)
+    val stacked = sortedP.map(p => s"${p}L, d$p, v$p").mkString(", ")
+    vrow.crossJoin(drow)
+      .select(expr(s"stack(${sortedP.size}, $stacked) AS (permille, n_docs, vocab)"))
+  }
 }

@@ -337,4 +337,21 @@ class TextAnalysisSpec extends SparkSpec {
       "size(filter(split(trim(text), '\\\\s+'), t -> length(t) > 0)) AS composed")
     assert(g.filter(col("native") =!= col("composed")).count() == 0)
   }
+
+  test("vocabGrowth: curves nest, the full-corpus row is exact, layout-invariant") {
+    import spark.implicits._
+    val docs = (0L until 300L)
+      .map(i => (i, s"word${i % 40} word${i % 17} shared token"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // prefixes nest by construction → both counts non-decreasing
+    assert(out.sliding(2).forall { case Array(a, b) => a._2 <= b._2 && a._3 <= b._3 })
+    // the 1000‰ row is the whole corpus: 300 docs; word0..word39 (the
+    // i%17 family is a subset of the i%40 one) + "shared" + "token" = 42
+    assert(out.last == ((1000L, 300L, 42L)))
+    val again = TextAnalysis.vocabGrowth(docs.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(again.toSeq == out.toSeq)
+  }
 }
