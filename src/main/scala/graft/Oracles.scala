@@ -5128,49 +5128,93 @@ object Oracles {
     * renormalizing to ‖v‖∞ = 1000 → deterministic sign fix. The final
     * signed-loading CTE is named `ld` (1-based dim index `i`).
     */
-  private def pcaCtes(iterations: Int, dim: Int = 64): String = {
+  /** Moment CTEs: quantize → exact HUGEINT sums → covariance scaled to
+    * BIGINT by `n²·10⁴` (named `pc`).
+    */
+  private def pcaMomentCtes(dim: Int = 64): String =
+    s"""pq AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |pn AS MATERIALIZED (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM pq),
+       |ps AS MATERIALIZED (
+       |  SELECT i, CAST(SUM(v[CAST(i AS INTEGER)]) AS HUGEINT) AS s
+       |  FROM pq, generate_series(1, $dim) t(i) GROUP BY 1),
+       |pg AS MATERIALIZED (
+       |  SELECT i, j,
+       |    CAST(SUM(CAST(v[CAST(i AS INTEGER)] AS HUGEINT) * v[CAST(j AS INTEGER)]) AS HUGEINT) AS g
+       |  FROM pq, generate_series(1, $dim) t(i), generate_series(1, $dim) u(j)
+       |  GROUP BY 1, 2),
+       |pc AS MATERIALIZED (
+       |  SELECT pg.i, pg.j,
+       |    CAST((pn.n * pg.g - si.s * sj.s) // (pn.n * pn.n * 10000) AS BIGINT) AS c2
+       |  FROM pg, pn, ps si, ps sj WHERE si.i = pg.i AND sj.i = pg.j)""".stripMargin
+
+  /** Unrolled power chain over matrix CTE `mat` (columns i, j, c2), CTE
+    * names prefixed by `p` — ends in signed loadings `${p}ld(i, lv)`.
+    */
+  private def pcaPowerCtes(p: String, mat: String, iterations: Int,
+                           dim: Int = 64): String = {
     val head =
-      s"""pq AS MATERIALIZED (
-         |  SELECT vec_id,
-         |    list_transform(embedding,
-         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
-         |  FROM embeddings),
-         |pn AS MATERIALIZED (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM pq),
-         |ps AS MATERIALIZED (
-         |  SELECT i, CAST(SUM(v[CAST(i AS INTEGER)]) AS HUGEINT) AS s
-         |  FROM pq, generate_series(1, $dim) t(i) GROUP BY 1),
-         |pg AS MATERIALIZED (
-         |  SELECT i, j,
-         |    CAST(SUM(CAST(v[CAST(i AS INTEGER)] AS HUGEINT) * v[CAST(j AS INTEGER)]) AS HUGEINT) AS g
-         |  FROM pq, generate_series(1, $dim) t(i), generate_series(1, $dim) u(j)
-         |  GROUP BY 1, 2),
-         |pc AS MATERIALIZED (
-         |  SELECT pg.i, pg.j,
-         |    CAST((pn.n * pg.g - si.s * sj.s) // (pn.n * pn.n * 10000) AS BIGINT) AS c2
-         |  FROM pg, pn, ps si, ps sj WHERE si.i = pg.i AND sj.i = pg.j),
-         |pv0 AS MATERIALIZED (SELECT i, CAST(1000 AS BIGINT) AS v FROM generate_series(1, $dim) t(i))""".stripMargin
+      s"""${p}v0 AS MATERIALIZED (SELECT i, CAST(1000 AS BIGINT) AS v FROM generate_series(1, $dim) t(i))""".stripMargin
     val steps = (1 to iterations).map { k =>
-      s"""pw$k AS MATERIALIZED (
-         |  SELECT pc.i, CAST(SUM(pc.c2 * v.v) AS BIGINT) AS w
-         |  FROM pc JOIN pv${k - 1} v ON v.i = pc.j GROUP BY 1),
-         |pm$k AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM pw$k),
-         |pv$k AS MATERIALIZED (
+      s"""${p}w$k AS MATERIALIZED (
+         |  SELECT $mat.i, CAST(SUM($mat.c2 * v.v) AS BIGINT) AS w
+         |  FROM $mat JOIN ${p}v${k - 1} v ON v.i = $mat.j GROUP BY 1),
+         |${p}m$k AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM ${p}w$k),
+         |${p}v$k AS MATERIALIZED (
          |  SELECT w.i,
          |    CAST(CASE WHEN m = 0 THEN pv.v ELSE (w.w * 1000) // m END AS BIGINT) AS v
-         |  FROM pw$k w JOIN pv${k - 1} pv ON pv.i = w.i CROSS JOIN pm$k)""".stripMargin
+         |  FROM ${p}w$k w JOIN ${p}v${k - 1} pv ON pv.i = w.i CROSS JOIN ${p}m$k)""".stripMargin
     }
     val tail =
-      s"""psgn AS MATERIALIZED (
-         |  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg FROM pv$iterations
-         |  WHERE i = (SELECT i FROM pv$iterations ORDER BY ABS(v) DESC, i LIMIT 1)),
-         |ld AS MATERIALIZED (SELECT i, CAST(v * sg AS BIGINT) AS lv FROM pv$iterations, psgn)""".stripMargin
+      s"""${p}sgn AS MATERIALIZED (
+         |  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg FROM ${p}v$iterations
+         |  WHERE i = (SELECT i FROM ${p}v$iterations ORDER BY ABS(v) DESC, i LIMIT 1)),
+         |${p}ld AS MATERIALIZED (SELECT i, CAST(v * sg AS BIGINT) AS lv FROM ${p}v$iterations, ${p}sgn)""".stripMargin
     (Seq(head) ++ steps :+ tail).mkString(",\n")
   }
+
+  private def pcaCtes(iterations: Int, dim: Int = 64): String =
+    pcaMomentCtes(dim) + ",\n" + pcaPowerCtes("p", "pc", iterations, dim) +
+      ",\nld AS MATERIALIZED (SELECT i, lv FROM pld)"
 
   /** q250: the trained top principal component (0-based dim index). */
   def pcaComponent(iterations: Int): String =
     s"""WITH ${pcaCtes(iterations)}
        |SELECT CAST(i - 1 AS INTEGER) AS dim_idx, lv AS loading FROM ld""".stripMargin
+
+  /** q253: the SECOND component — deflate the trained first component out
+    * of both sides (`⌊(VV·I − vvᵀ) C (VV·I − vvᵀ) / VV²⌋`, VV = vᵀv, all
+    * intermediates HUGEINT, truncating division) and power-iterate again.
+    * Mirrors Pca.deflate term-for-term.
+    */
+  def pcaSecondComponent(iterations: Int): String = {
+    // CTE names use a "df" prefix — the power chains own p*/q* (pm1 is
+    // chain p's step-1 max)
+    val defl =
+      s"""dfvv AS MATERIALIZED (SELECT CAST(SUM(CAST(lv AS HUGEINT) * lv) AS HUGEINT) AS vv FROM pld),
+         |dfvtc AS MATERIALIZED (
+         |  SELECT pc.j, CAST(SUM(CAST(ld.lv AS HUGEINT) * pc.c2) AS HUGEINT) AS t
+         |  FROM pc JOIN pld ld ON ld.i = pc.i GROUP BY pc.j),
+         |dfm1 AS MATERIALIZED (
+         |  SELECT pc.i, pc.j,
+         |    CAST(dfvv.vv * pc.c2 - CAST(li.lv AS HUGEINT) * vt.t AS HUGEINT) AS m
+         |  FROM pc, dfvv, pld li, dfvtc vt WHERE li.i = pc.i AND vt.j = pc.j),
+         |dfm1v AS MATERIALIZED (
+         |  SELECT m1.i, CAST(SUM(m1.m * lj.lv) AS HUGEINT) AS mv
+         |  FROM dfm1 m1 JOIN pld lj ON lj.i = m1.j GROUP BY m1.i),
+         |pdef AS MATERIALIZED (
+         |  SELECT m1.i, m1.j,
+         |    CAST((dfvv.vv * m1.m - mv.mv * CAST(lj.lv AS HUGEINT)) // (dfvv.vv * dfvv.vv) AS BIGINT) AS c2
+         |  FROM dfm1 m1, dfvv, dfm1v mv, pld lj WHERE mv.i = m1.i AND lj.i = m1.j)""".stripMargin
+    s"""WITH ${pcaMomentCtes()},
+       |${pcaPowerCtes("p", "pc", iterations)},
+       |$defl,
+       |${pcaPowerCtes("q", "pdef", iterations)}
+       |SELECT CAST(i - 1 AS INTEGER) AS dim_idx, lv AS loading FROM qld""".stripMargin
+  }
 
   /** q252: Heaps-law vocabulary growth at nested hash permille prefixes.
     * Same token spelling as textStats' toks_l; each word's FIRST prefix

@@ -950,7 +950,12 @@ object Plans {
         |corpus-wide sort at any scale, and they nest by construction so
         |ONE word-keyed aggregate (each word's min prefix) serves every
         |threshold; the readout is a constant-width conditional
-        |aggregate. One pass, one word shuffle.""".stripMargin)
+        |aggregate. One pass, one word shuffle.""".stripMargin,
+    "q253_pca_second" ->
+      """Second PC: the deflation projector is BigInt arithmetic on the
+        |driver-held 64×64 matrix (intermediates ~10²⁴ — the oracle
+        |mirrors in HUGEINT) — the corpus is STILL touched exactly once;
+        |the q250 moment pass feeds both components.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

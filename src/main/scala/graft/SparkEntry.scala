@@ -2156,6 +2156,14 @@ object SparkEntry {
     "q251_pca_project" -> ((s, d) =>
       graft.ext.Pca.project(Tables.embeddings(s, d), iterations = 24, k = 50)),
 
+    // second principal component via exact integer deflation (the
+    // projector (VV·I − vvᵀ) applied to both sides, BigInt on the
+    // driver-held matrix, one truncating rescale) — the corpus is still
+    // touched exactly once; both components train from the same moments
+    "q253_pca_second" -> ((s, d) =>
+      graft.ext.Pca.topComponent(Tables.embeddings(s, d), iterations = 24,
+        component = 2)),
+
     // Heaps-law vocabulary growth: distinct vocabulary at nested
     // hash-permille corpus prefixes — the dataset-card saturation curve
     // (flat tail → stop collecting, dedup/diversify). One word-keyed
@@ -2803,6 +2811,7 @@ object SparkEntry {
     "q249_water_fill" -> Oracles.waterFill(100000L),
     "q250_pca_component" -> Oracles.pcaComponent(24),
     "q251_pca_project" -> Oracles.pcaProject(24, 50),
-    "q252_vocab_growth" -> Oracles.vocabGrowth(Seq(100, 250, 500, 1000), 410)
+    "q252_vocab_growth" -> Oracles.vocabGrowth(Seq(100, 250, 500, 1000), 410),
+    "q253_pca_second" -> Oracles.pcaSecondComponent(24)
   )
 }

@@ -111,16 +111,51 @@ object Pca {
     if (v(a) < 0) v.map(x => -x) else v
   }
 
+  /** Exact integer deflation: project the first component out of both
+    * sides of the matrix — `C₂ = ⌊(VV·I − vvᵀ) C (VV·I − vvᵀ) / VV²⌋`
+    * with `VV = vᵀv` — so power iteration on C₂ converges to the SECOND
+    * component. All arithmetic is BigInt on the driver-held 64×64 matrix
+    * (intermediates reach ~10²⁴, past 2⁶³ — the oracle mirrors them in
+    * HUGEINT), with one truncating division back to the Long working
+    * range at the end.
+    */
+  private[ext] def deflate(c2: Array[Array[Long]],
+                           v: Array[Long]): Array[Array[Long]] = {
+    val dim = c2.length
+    val bv = v.map(BigInt(_))
+    val vv = bv.map(x => x * x).sum
+    // m1 = VV·C − v (vᵀ C)
+    val vtc = Array.tabulate(dim) { j =>
+      (0 until dim).map(i => bv(i) * c2(i)(j)).sum
+    }
+    val m1 = Array.tabulate(dim, dim)((i, j) => vv * c2(i)(j) - bv(i) * vtc(j))
+    // c2' = ⌊(VV·m1 − (m1 v) vᵀ) / VV²⌋, truncation toward zero
+    val m1v = Array.tabulate(dim) { i =>
+      (0 until dim).map(j => m1(i)(j) * bv(j)).sum
+    }
+    val denom = vv * vv
+    Array.tabulate(dim, dim) { (i, j) =>
+      ((vv * m1(i)(j) - m1v(i) * bv(j)) / denom).toLong
+    }
+  }
+
   /** Top principal component of the embedding corpus: 64 rows of
     * (dim_idx, loading) with ‖loading‖∞ = 1000, bit-identical in any
-    * engine that replays the same integer steps.
+    * engine that replays the same integer steps. `component = 2` deflates
+    * the trained first component out ([[deflate]]) and iterates again —
+    * the corpus is STILL touched only once (both components train from
+    * the same collected moments).
     */
   def topComponent(embeddings: DataFrame, iterations: Int = 24,
-                   vecCol: String = "embedding"): DataFrame = {
+                   vecCol: String = "embedding", component: Int = 1): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    require(component == 1 || component == 2, "component must be 1 or 2")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val v = powerIterate(scaledCovariance(embeddings, vecCol), iterations)
+    val c2 = scaledCovariance(embeddings, vecCol)
+    val v1 = powerIterate(c2, iterations)
+    val v = if (component == 1) v1
+            else powerIterate(deflate(c2, v1), iterations)
     v.toSeq.zipWithIndex.map { case (l, i) => (i, l) }
       .toDF("dim_idx", "loading")
   }

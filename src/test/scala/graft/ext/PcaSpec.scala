@@ -59,4 +59,32 @@ class PcaSpec extends SparkSpec {
     val v = Pca.powerIterate(Array.ofDim[Long](4, 4), iterations = 8)
     assert(v.toSeq == Seq(1000L, 1000L, 1000L, 1000L))
   }
+
+  test("second component: picks the second-variance axis, near-orthogonal to the first") {
+    // variance order: dim 2 (±2) > dim 0 (±1) > dim 1 (tiny); PC1 → dim 2,
+    // PC2 → dim 0. Patterns use coprime periods so the axes decorrelate.
+    val d = vecs((0L until 60L).map { i =>
+      i -> Seq(if (i % 2 == 0) 1.0f else -1.0f,
+               0.01f * (i % 3),
+               if (i % 5 < 2) 2.0f else -2.0f, 0.0f)
+    })
+    val v1 = Pca.topComponent(d, iterations = 24)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val v2 = Pca.topComponent(d, iterations = 24, component = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(math.abs(v1(2)) == 1000L, s"PC1 must ride the high-variance axis: $v1")
+    assert(math.abs(v2(0)) == 1000L, s"PC2 must ride the second axis: $v2")
+    // orthogonality within integer rounding: |v1·v2| ≪ ‖v1‖‖v2‖ (≈ 10⁶)
+    val dot = (0 until 4).map(i => v1(i) * v2(i)).sum
+    assert(math.abs(dot) < 100000L, s"components must be near-orthogonal: dot=$dot")
+  }
+
+  test("deflate: kills the projected-out direction exactly at the matrix level") {
+    // C = diag-ish with a dominant direction e0: after deflation along
+    // e0 (v = [1000, 0]), row/col 0 must vanish (exact integer projector)
+    val c = Array(Array(500L, 0L), Array(0L, 100L))
+    val d = Pca.deflate(c, Array(1000L, 0L))
+    assert(d(0)(0) == 0L && d(0)(1) == 0L && d(1)(0) == 0L)
+    assert(d(1)(1) == 100L) // the orthogonal direction is untouched
+  }
 }
