@@ -5236,6 +5236,92 @@ object Oracles {
        |FROM (VALUES $values) t(p)""".stripMargin
   }
 
+  /** CTE chain replaying LinearModel.train exactly: the feature CTE uses
+    * the SQL spellings verified count-for-count against the native
+    * text-stats kernel; each epoch is one aggregate over (features ×
+    * current weights) with the mean update's truncating division.
+    * Ends in the single-row weight CTE `lw$epochs (w0..w3)`.
+    */
+  private def perceptronCtes(epochs: Int, positiveSql: String): String = {
+    val stops = inList(TextAnalysis.englishStopwords)
+    val head =
+      s"""lraw AS MATERIALIZED (
+         |  SELECT CASE WHEN $positiveSql THEN 1 ELSE -1 END AS y,
+         |    CAST(1 AS BIGINT) AS f0,
+         |    CAST(len(toks) AS BIGINT) AS f1,
+         |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS f2,
+         |    CAST(len(list_filter(toks, x -> list_contains($stops, x))) AS BIGINT) AS f3
+         |  FROM ($textStats) t JOIN (
+         |    SELECT doc_id, text,
+         |      list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+         |    FROM documents) d USING (doc_id)),
+         |lmu AS MATERIALIZED (
+         |  SELECT CAST(SUM(f1) // COUNT(*) AS BIGINT) AS m1,
+         |    CAST(SUM(f2) // COUNT(*) AS BIGINT) AS m2,
+         |    CAST(SUM(f3) // COUNT(*) AS BIGINT) AS m3
+         |  FROM lraw),
+         |lf AS MATERIALIZED (
+         |  SELECT y, f0, f1 - m1 AS f1, f2 - m2 AS f2, f3 - m3 AS f3
+         |  FROM lraw, lmu),
+         |lw0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+         |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)""".stripMargin
+    val margin = "(w0*f0 + w1*f1 + w2*f2 + w3*f3)"
+    val steps = (1 to epochs).map { e =>
+      val gs = (0 to 3).map(k =>
+        s"CAST(COALESCE(SUM(CASE WHEN y * $margin <= 0 THEN y * f$k END), 0) AS BIGINT) AS g$k")
+        .mkString(",\n         |    ")
+      s"""lu$e AS MATERIALIZED (
+         |  SELECT $gs,
+         |    CAST(SUM(CASE WHEN y * $margin <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS m
+         |  FROM lf, lw${e - 1}),
+         |lw$e AS MATERIALIZED (
+         |  SELECT w0 + g0 * 1000 // (GREATEST(m, 1) * $e) AS w0,
+         |         w1 + g1 * 1000 // (GREATEST(m, 1) * $e) AS w1,
+         |         w2 + g2 * 1000 // (GREATEST(m, 1) * $e) AS w2,
+         |         w3 + g3 * 1000 // (GREATEST(m, 1) * $e) AS w3
+         |  FROM lw${e - 1}, lu$e)""".stripMargin
+    }
+    // POCKET (Gallant 1990), mirroring LinearModel.train: lu$e holds the
+    // miss count of lw${e-1}, plus one final-weights evaluation; the
+    // returned model is the candidate with the fewest misses, earliest
+    // epoch on ties.
+    val finalEval =
+      s"""luF AS MATERIALIZED (
+         |  SELECT CAST(SUM(CASE WHEN y * $margin <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS m
+         |  FROM lf, lw$epochs)""".stripMargin
+    val cands = (0 until epochs).map { t =>
+      s"SELECT $t AS t, w0, w1, w2, w3, m FROM lw$t, lu${t + 1}"
+    } :+ s"SELECT $epochs AS t, w0, w1, w2, w3, m FROM lw$epochs, luF"
+    val pocket =
+      s"""lcand AS MATERIALIZED (
+         |  ${cands.mkString("\n  UNION ALL ")}),
+         |lpocket AS MATERIALIZED (
+         |  SELECT w0, w1, w2, w3 FROM lcand ORDER BY m, t LIMIT 1)""".stripMargin
+    (Seq(head) ++ steps ++ Seq(finalEval, pocket)).mkString(",\n")
+  }
+
+  /** q254: distilled-gate perceptron weights, one row per feature. */
+  def perceptronWeights(epochs: Int, positiveSql: String = "t.quality >= 0.66"): String =
+    s"""WITH ${perceptronCtes(epochs, positiveSql)}
+       |SELECT CAST(0 AS INTEGER) AS feat_idx, w0 AS weight FROM lpocket
+       |UNION ALL SELECT 1, w1 FROM lpocket
+       |UNION ALL SELECT 2, w2 FROM lpocket
+       |UNION ALL SELECT 3, w3 FROM lpocket""".stripMargin
+
+  /** q255: confusion counts of the trained model over the corpus
+    * (prediction = margin > 0; zero margin predicts negative).
+    */
+  def perceptronEval(epochs: Int, positiveSql: String = "t.quality >= 0.66"): String = {
+    val margin = "(w0*f0 + w1*f1 + w2*f2 + w3*f3)"
+    s"""WITH ${perceptronCtes(epochs, positiveSql)}
+       |SELECT
+       |  CAST(SUM(CASE WHEN y = 1 AND $margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN y = -1 AND $margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(SUM(CASE WHEN y = -1 AND $margin <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |  CAST(SUM(CASE WHEN y = 1 AND $margin <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |FROM lf, lpocket""".stripMargin
+  }
+
   /** q251: corpus top-k by |projection| onto the trained component. */
   def pcaProject(iterations: Int, k: Int): String =
     s"""WITH ${pcaCtes(iterations)},

@@ -955,7 +955,15 @@ object Plans {
       """Second PC: the deflation projector is BigInt arithmetic on the
         |driver-held 64×64 matrix (intermediates ~10²⁴ — the oracle
         |mirrors in HUGEINT) — the corpus is STILL touched exactly once;
-        |the q250 moment pass feeds both components.""".stripMargin)
+        |the q250 moment pass feeds both components.""".stripMargin,
+    "q255_perceptron_eval" ->
+      """Gate distillation: the feature frame (label + 4 longs/doc)
+        |materializes once; each epoch is ONE map-side-combined aggregate
+        |with the weights inlined as literals — no corpus shuffle in the
+        |whole training loop, state = 4 driver longs. The mean step keeps
+        |weights feature-bounded at any corpus size (the raw-sum rule
+        |overflows margins at ~10⁹ rows); the pocket pick costs one extra
+        |aggregate.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -2164,6 +2164,25 @@ object SparkEntry {
       graft.ext.Pca.topComponent(Tables.embeddings(s, d), iterations = 24,
         component = 2)),
 
+    // in-engine trained linear classifier — GATE DISTILLATION: learn a
+    // fast raw-counter approximation of the composed (nonlinear,
+    // ratio-based) quality gate, the production pattern of training a
+    // cheap filter to mimic an expensive one. Batch perceptron with
+    // centered features and MEAN 1/e-decayed updates (weights stay
+    // feature-bounded at any corpus size — the raw-sum rule overflows
+    // margins at ~10⁹ rows); each epoch is ONE map-combined aggregate
+    // with the weights inlined, no corpus shuffle. Oracle replays all
+    // epochs bit-exactly
+    "q254_perceptron_weights" -> ((s, d) =>
+      graft.ext.LinearModel.perceptronWeights(Tables.documents(s, d),
+        graft.ext.TextAnalysis.qualityScore(col("text")) >= 0.66, epochs = 8)),
+
+    // the distilled model's corpus confusion vs the true gate — how much
+    // of the expensive filter the cheap linear one recovers
+    "q255_perceptron_eval" -> ((s, d) =>
+      graft.ext.LinearModel.perceptronEval(Tables.documents(s, d),
+        graft.ext.TextAnalysis.qualityScore(col("text")) >= 0.66, epochs = 8)),
+
     // Heaps-law vocabulary growth: distinct vocabulary at nested
     // hash-permille corpus prefixes — the dataset-card saturation curve
     // (flat tail → stop collecting, dedup/diversify). One word-keyed
@@ -2812,6 +2831,8 @@ object SparkEntry {
     "q250_pca_component" -> Oracles.pcaComponent(24),
     "q251_pca_project" -> Oracles.pcaProject(24, 50),
     "q252_vocab_growth" -> Oracles.vocabGrowth(Seq(100, 250, 500, 1000), 410),
-    "q253_pca_second" -> Oracles.pcaSecondComponent(24)
+    "q253_pca_second" -> Oracles.pcaSecondComponent(24),
+    "q254_perceptron_weights" -> Oracles.perceptronWeights(8),
+    "q255_perceptron_eval" -> Oracles.perceptronEval(8)
   )
 }
