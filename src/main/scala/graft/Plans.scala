@@ -956,6 +956,13 @@ object Plans {
         |driver-held 64×64 matrix (intermediates ~10²⁴ — the oracle
         |mirrors in HUGEINT) — the corpus is STILL touched exactly once;
         |the q250 moment pass feeds both components.""".stripMargin,
+    "q256_pca_incremental" ->
+      """Incremental PCA: each half contributes one triangle-sized moment
+        |aggregate; the merge is a second aggregate over 2·dim(dim+1)/2
+        |rows — O(dim²) regardless of data volume. At 100 TB the moment
+        |frame persists as parquet state and an append retrains in
+        |O(delta + dim²); the oracle's from-scratch recompute pins
+        |merge ≡ batch.""".stripMargin,
     "q255_perceptron_eval" ->
       """Gate distillation: the feature frame (label + 4 longs/doc)
         |materializes once; each epoch is ONE map-side-combined aggregate

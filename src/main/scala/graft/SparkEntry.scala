@@ -2156,6 +2156,20 @@ object SparkEntry {
     "q251_pca_project" -> ((s, d) =>
       graft.ext.Pca.project(Tables.embeddings(s, d), iterations = 24, k = 50)),
 
+    // incremental PCA: moments are mergeable sums, so two disjoint
+    // halves' moment frames merged MUST train the identical component —
+    // the oracle recomputes from scratch over the union, proving
+    // incremental ≡ batch (the q240 pattern). At 100 TB the moment frame
+    // persists as parquet state and an append retrains in O(delta+dim²)
+    "q256_pca_incremental" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      graft.ext.Pca.topComponentFromMoments(
+        graft.ext.Pca.mergeMoments(
+          graft.ext.Pca.momentFrame(e.filter(col("vec_id") % 2 === 0)),
+          graft.ext.Pca.momentFrame(e.filter(col("vec_id") % 2 === 1))),
+        iterations = 24)
+    },
+
     // second principal component via exact integer deflation (the
     // projector (VV·I − vvᵀ) applied to both sides, BigInt on the
     // driver-held matrix, one truncating rescale) — the corpus is still
@@ -2833,6 +2847,10 @@ object SparkEntry {
     "q252_vocab_growth" -> Oracles.vocabGrowth(Seq(100, 250, 500, 1000), 410),
     "q253_pca_second" -> Oracles.pcaSecondComponent(24),
     "q254_perceptron_weights" -> Oracles.perceptronWeights(8),
-    "q255_perceptron_eval" -> Oracles.perceptronEval(8)
+    "q255_perceptron_eval" -> Oracles.perceptronEval(8),
+    // the oracle recomputes the component FROM SCRATCH over the whole
+    // corpus — a hash match proves the merged-moment retrain is exactly
+    // the batch result
+    "q256_pca_incremental" -> Oracles.pcaComponent(24)
   )
 }

@@ -39,21 +39,23 @@ object Pca {
   /** Fixed-point scale shared with [[Clustering.quantize]]. */
   private val Scale = 1000000L
 
-  /** The collected integer covariance, scaled to Long range:
-    * `c2 = (n·G − s·sᵀ) div (n²·10⁴)` — entries bounded by
-    * `Scale² / 10⁴ ≈ 1.35e8` for unit-range embeddings.
+  /** The one-pass moment frame: `(i, j, g, n, si)` over the UPPER
+    * TRIANGLE (i ≤ j) — `g = Σ xᵢxⱼ` and `si = Σ xᵢ` in DECIMAL(38,0),
+    * `n` the row count. The matrix is symmetric, so the pair generator
+    * emits only the triangle — the second posexplode runs over
+    * `slice(v, i+1, …)`, dim·(dim+1)/2 codegen rows per vector instead
+    * of dim² (measured ~2× on the wall; [[covarianceFromMoments]]
+    * mirrors the lower half). Partial-aggregated map-side, so the
+    * exchange is triangle-sized per map task regardless of corpus.
+    *
+    * These moments are MERGEABLE state ([[mergeMoments]]): all three
+    * columns are sums, so day-2 moments ADD to the persisted day-1
+    * frame and retraining after an append touches only the delta — at
+    * 100 TB the component retrains in O(delta + dim²), never O(corpus).
     */
-  private[ext] def scaledCovariance(embeddings: DataFrame,
-                                    vecCol: String): Array[Array[Long]] = {
-    val q = embeddings.select(Clustering.quantize(col(vecCol)).as("v"))
-    val dim = q.select(size(col("v"))).head().getInt(0)
-    // one pass: n, per-dim sums, and the Gram moments. The matrix is
-    // symmetric, so the pair generator emits only the UPPER TRIANGLE —
-    // the second posexplode runs over slice(v, i+1, …), dim·(dim+1)/2
-    // codegen rows per vector instead of dim² (measured ~2× on the wall;
-    // the driver mirrors the lower half). Partial-aggregated map-side, so
-    // the exchange is triangle-sized per map task regardless of corpus.
-    val moments = q
+  def momentFrame(embeddings: DataFrame,
+                  vecCol: String = "embedding"): DataFrame =
+    embeddings.select(Clustering.quantize(col(vecCol)).as("v"))
       .select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
       .select(col("i"), col("xi"),
         posexplode(expr("slice(v, i + 1, size(v) - i)")).as(Seq("jr", "xj")))
@@ -63,8 +65,25 @@ object Pca {
         // per-dim sum rides the same aggregate (constant across j; the
         // diagonal j=i slice is read back) — no second corpus pass
         sum(col("xi").cast("decimal(38,0)")).as("si"))
+
+  /** Additive merge of moment frames — sums add, the keyspace is the
+    * dim² triangle, so the merge aggregate is O(dim²) regardless of how
+    * much data produced either side.
+    */
+  def mergeMoments(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy("i", "j")
+      .agg(sum("g").cast("decimal(38,0)").as("g"), sum("n").as("n"),
+        sum("si").cast("decimal(38,0)").as("si"))
+
+  /** Collect a moment frame and finish the covariance on the driver:
+    * `c2 = (n·G − s·sᵀ) div (n²·10⁴)` — entries bounded by
+    * `Scale² / 10⁴ ≈ 1.35e8` for unit-range embeddings.
+    */
+  private[ext] def covarianceFromMoments(moments: DataFrame): Array[Array[Long]] = {
     val rows = moments.select(col("i"), col("j"), col("g"), col("n"), col("si"))
       .collect()
+    require(rows.nonEmpty, "covariance of an empty corpus")
+    val dim = rows.map(_.getInt(1)).max + 1
     val n = BigInt(rows.head.getLong(3))
     val s = new Array[BigInt](dim)
     rows.foreach { r =>
@@ -152,11 +171,29 @@ object Pca {
     require(component == 1 || component == 2, "component must be 1 or 2")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val c2 = scaledCovariance(embeddings, vecCol)
+    val c2 = covarianceFromMoments(momentFrame(embeddings, vecCol))
     val v1 = powerIterate(c2, iterations)
     val v = if (component == 1) v1
             else powerIterate(deflate(c2, v1), iterations)
     v.toSeq.zipWithIndex.map { case (l, i) => (i, l) }
+      .toDF("dim_idx", "loading")
+  }
+
+  /** Train from a (possibly merged) moment frame instead of the raw
+    * corpus — the incremental-retrain entry point: persist
+    * [[momentFrame]] as parquet state, [[mergeMoments]] in each append's
+    * delta, train from here. Exactly equal to batch training on the
+    * union (the sums are associative and the downstream arithmetic sees
+    * only their totals) — q256 pins that equivalence against the
+    * from-scratch oracle.
+    */
+  def topComponentFromMoments(moments: DataFrame,
+                              iterations: Int = 24): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val spark = moments.sparkSession
+    import spark.implicits._
+    powerIterate(covarianceFromMoments(moments), iterations)
+      .toSeq.zipWithIndex.map { case (l, i) => (i, l) }
       .toDF("dim_idx", "loading")
   }
 
@@ -168,7 +205,8 @@ object Pca {
     */
   def project(embeddings: DataFrame, iterations: Int = 24, k: Int = 50,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = powerIterate(scaledCovariance(embeddings, vecCol), iterations)
+    val v = powerIterate(
+      covarianceFromMoments(momentFrame(embeddings, vecCol)), iterations)
     val q = embeddings.select(col(idCol).cast(LongType).as("vec_id"),
       Clustering.quantize(col(vecCol)).as("qv"))
     val loadings = typedlit(v.toSeq)

@@ -60,6 +60,23 @@ class PcaSpec extends SparkSpec {
     assert(v.toSeq == Seq(1000L, 1000L, 1000L, 1000L))
   }
 
+  test("incremental: a 3-way split's merged moments train the identical component") {
+    val base = vecs((0L until 90L).map { i =>
+      i -> Seq((i % 11).toFloat, (i % 4).toFloat, ((i * 3) % 13).toFloat)
+    })
+    val batch = Pca.topComponent(base, iterations = 20)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val merged = Pca.topComponentFromMoments(
+      Pca.mergeMoments(
+        Pca.mergeMoments(
+          Pca.momentFrame(base.filter("vec_id % 3 = 0")),
+          Pca.momentFrame(base.filter("vec_id % 3 = 1"))),
+        Pca.momentFrame(base.filter("vec_id % 3 = 2"))),
+      iterations = 20)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(merged == batch)
+  }
+
   test("second component: picks the second-variance axis, near-orthogonal to the first") {
     // variance order: dim 2 (±2) > dim 0 (±1) > dim 1 (tiny); PC1 → dim 2,
     // PC2 → dim 0. Patterns use coprime periods so the axes decorrelate.
