@@ -5330,4 +5330,118 @@ object Oracles {
        |    CAST(SUM(pq.v[CAST(ld.i AS INTEGER)] * ld.lv) AS BIGINT) AS score
        |  FROM pq, ld GROUP BY 1)
        |SELECT vec_id, score FROM proj ORDER BY ABS(score) DESC, vec_id LIMIT $k""".stripMargin
+
+  /** q257: order-preserving compaction bins over the daily-ingest file
+    * profile of orders — exclusive prefix sum div target, mirroring
+    * Warehouse.compactionPlan (`//` on the non-negative cumsum plays
+    * Spark's `div`).
+    */
+  def compactionPlan(targetRows: Long): String =
+    s"""WITH p AS (
+       |  SELECT 'orders' AS tbl, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS file,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM orders GROUP BY 1, 2),
+       |c AS (
+       |  SELECT tbl, file, n_rows,
+       |    COALESCE(SUM(n_rows) OVER (PARTITION BY tbl ORDER BY file
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM p)
+       |SELECT tbl, CAST(cum // $targetRows AS BIGINT) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       |  MIN(file) AS first_file, MAX(file) AS last_file
+       |FROM c GROUP BY 1, 2""".stripMargin
+
+  /** q258: file-skipping audit — linear-on-custkey vs z-order(custkey,
+    * order-day) layouts of orders, 64 equal row-ranges as "files",
+    * per-file min/max envelopes, and a deterministic probe panel per
+    * dimension. Ranks come from a total-order ROW_NUMBER (tiebreak
+    * o_orderkey), matching Layout.withGlobalRank's distributed exact
+    * rank; the interleave is the q82 integer spelling inline.
+    */
+  def skippingAudit(nFiles: Int, bits: Int,
+                    probeModA: Int, probeModB: Int): String = {
+    val mask = 1L << bits
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS id, (o_custkey % $mask) AS ka,
+       |    (date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % $mask) AS kb
+       |  FROM orders),
+       |z AS (
+       |  SELECT id, ka, kb,
+       |    CAST(list_sum(list_transform(range(0, $bits), i ->
+       |      (((ka // (1::BIGINT << i)) % 2) * (1::BIGINT << (2 * i))) +
+       |      (((kb // (1::BIGINT << i)) % 2) * (1::BIGINT << (2 * i + 1)))
+       |    )) AS BIGINT) AS zaddr
+       |  FROM base),
+       |n AS (SELECT COUNT(*) AS n FROM base),
+       |r AS (
+       |  -- ranks in their own CTE: DuckDB rejects window functions inside
+       |  -- the comma join with the 1-row n relation (binds as LATERAL)
+       |  SELECT 'linear_a' AS layout, ka, kb,
+       |    ROW_NUMBER() OVER (ORDER BY ka, id) - 1 AS rnk
+       |  FROM z
+       |  UNION ALL
+       |  SELECT 'zorder', ka, kb, ROW_NUMBER() OVER (ORDER BY zaddr, id) - 1
+       |  FROM z),
+       |env AS (
+       |  SELECT layout, rnk * $nFiles // n AS file,
+       |    MIN(ka) AS min_a, MAX(ka) AS max_a, MIN(kb) AS min_b, MAX(kb) AS max_b
+       |  FROM r, n GROUP BY 1, 2),
+       |pa AS (SELECT DISTINCT ka AS p FROM base WHERE ka % $probeModA = 1),
+       |pb AS (SELECT DISTINCT kb AS p FROM base WHERE kb % $probeModB = 3),
+       |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM pa),
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM pb)
+       |SELECT layout, 'a' AS dim, CAST($nFiles AS BIGINT) AS n_files,
+       |  na.n_probes, CAST(COUNT(*) AS BIGINT) AS files_hit
+       |FROM pa JOIN env ON p BETWEEN min_a AND max_a, na GROUP BY 1, 2, 3, 4
+       |UNION ALL
+       |SELECT layout, 'b', $nFiles, nb.n_probes, CAST(COUNT(*) AS BIGINT)
+       |FROM pb JOIN env ON p BETWEEN min_b AND max_b, nb GROUP BY 1, 2, 3, 4""".stripMargin
+  }
+
+  /** q259: reliability curve of the distilled gate — signed margin
+    * octave band (`length(bin(|margin|))`, the BinLength spelling) →
+    * corpus count and true-gate positives.
+    */
+  def perceptronCalibration(epochs: Int,
+                            positiveSql: String = "t.quality >= 0.66"): String = {
+    val margin = "(w0*f0 + w1*f1 + w2*f2 + w3*f3)"
+    s"""WITH ${perceptronCtes(epochs, positiveSql)},
+       |lm AS (SELECT y, $margin AS marg FROM lf, lpocket)
+       |SELECT CAST(CASE WHEN marg = 0 THEN 0
+       |            WHEN marg > 0 THEN length(bin(marg))
+       |            ELSE -length(bin(-marg)) END AS INTEGER) AS band,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_pos
+       |FROM lm GROUP BY 1""".stripMargin
+  }
+
+  /** q260: shard-homogeneity audit of the q59 deterministic shuffle —
+    * per (shard × source) cell, ppm deviation from the independence
+    * expectation via the exact HUGEINT cross-multiply (zero cells
+    * included through the keyspace grid), rolled up per shard.
+    */
+  def shardBalance(nShards: Int): String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    CAST((${mixSql("doc_id", 100)}) % $nShards AS INTEGER) AS shard
+       |  FROM documents),
+       |a AS (SELECT shard, source AS cat FROM h JOIN documents USING (doc_id)),
+       |obs AS (SELECT shard, cat, CAST(COUNT(*) AS BIGINT) AS o FROM a GROUP BY 1, 2),
+       |st AS (SELECT shard, CAST(SUM(o) AS BIGINT) AS st FROM obs GROUP BY 1),
+       |ct AS (SELECT cat, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+       |g AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+       |grid AS (
+       |  SELECT st.shard, ct.cat, st.st, ct.ct, g.n, COALESCE(obs.o, 0) AS o
+       |  FROM st CROSS JOIN ct CROSS JOIN g
+       |  LEFT JOIN obs ON obs.shard = st.shard AND obs.cat = ct.cat),
+       |d AS (
+       |  SELECT shard, st, o,
+       |    CAST((abs(CAST(o AS HUGEINT) * n - CAST(st AS HUGEINT) * ct) * 1000000)
+       |      // (CAST(st AS HUGEINT) * ct) AS BIGINT) AS dev_ppm
+       |  FROM grid)
+       |SELECT shard, CAST(MAX(st) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN o > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cats,
+       |  CAST(MAX(dev_ppm) AS BIGINT) AS max_dev_ppm,
+       |  CAST(SUM(dev_ppm) AS BIGINT) AS total_dev_ppm
+       |FROM d GROUP BY 1""".stripMargin
 }

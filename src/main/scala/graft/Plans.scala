@@ -970,7 +970,35 @@ object Plans {
         |whole training loop, state = 4 driver longs. The mean step keeps
         |weights feature-bounded at any corpus size (the raw-sum rule
         |overflows margins at ~10⁹ rows); the pocket pick costs one extra
-        |aggregate.""".stripMargin)
+        |aggregate.""".stripMargin,
+    "q257_compaction_plan" ->
+      """Compaction plan: the window prefix sum runs on the FILE PROFILE —
+        |one row per file (~10⁵ at 100 TB), never on facts; the per-table
+        |partition keeps even that window parallel across tables. Binning
+        |is order-preserving (prefix-sum div target), so a sorted or
+        |z-ordered layout keeps its min/max envelopes through the merge —
+        |first-fit-by-size would interleave key ranges and destroy
+        |skipping.""".stripMargin,
+    "q258_skipping_audit" ->
+      """Skipping audit: the two global sorts are exactly the sorts the
+        |candidate layout WRITES would run (range exchange + local sort,
+        |rank via zipWithIndex — no single-partition window anywhere);
+        |envelopes collapse to nFiles rows before any join, and the
+        |probe-panel range joins run keyspace × nFiles. In production the
+        |audit runs on a cluster-sample; here the full table IS the
+        |sample.""".stripMargin,
+    "q259_gate_calibration" ->
+      """Calibration curve: training as q254/q255 (one aggregate per
+        |epoch, weights as literals); the curve adds ONE map-combined
+        |aggregate whose key is the native BinLength octave — band
+        |keyspace ≈ 128 rows out, no fact shuffle, no float.""".stripMargin,
+    "q260_shard_balance" ->
+      """Shard balance: one fact-sized (shard, cat) aggregate; shard
+        |totals, category totals, and the grand total are keyspace
+        |re-aggregates of that grid, and the deviation grid is
+        |nShards × |cats| rows with broadcast dimension sides. The
+        |cross-multiply runs in DECIMAL(38,0), exact at any corpus
+        |size.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

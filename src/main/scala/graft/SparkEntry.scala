@@ -2197,6 +2197,53 @@ object SparkEntry {
       graft.ext.LinearModel.perceptronEval(Tables.documents(s, d),
         graft.ext.TextAnalysis.qualityScore(col("text")) >= 0.66, epochs = 8)),
 
+    // table-maintenance policy: order-preserving compaction bins over the
+    // daily-ingest profile (one "file" per order day — the canonical
+    // small-file shape) — prefix-sum div target on the METADATA frame, so
+    // a sorted/z-ordered layout keeps its clustering envelope through the
+    // merge; the manifest (first_file..last_file per bin) is what a
+    // rewrite job executes
+    "q257_compaction_plan" -> { (s, d) =>
+      val profile = Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("file"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("orders").as("tbl"), col("file"), col("n_rows"))
+      graft.ext.Warehouse.compactionPlan(profile, targetRows = 500L)
+    },
+
+    // layout effectiveness audit: what q82's z-order CLUSTERING actually
+    // buys at the file level — 64 equal row-ranges per candidate layout,
+    // per-file min/max envelopes (what parquet footers store), and the
+    // files a deterministic point-query panel must open per dimension.
+    // linear-on-custkey prunes custkey to ~1 file/probe and order-day not
+    // at all (every file spans the full date range); z-order prunes BOTH
+    // to ~√64 — the quantified OPTIMIZE decision, not the asserted one
+    "q258_skipping_audit" -> { (s, d) =>
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey").as("oid"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("long").as("dday"))
+      graft.ext.Layout.skippingAudit(base, "o_custkey", "dday", "oid",
+        nFiles = 64, bits = 16)
+    },
+
+    // the distilled gate's reliability curve: signed margin-octave band →
+    // (corpus count, true-gate positives) — is the margin MONOTONE
+    // evidence (route high-|margin| docs past the expensive gate, send
+    // only the uncertain band to it)? Native BinLength banding, one
+    // map-combined aggregate over the feature frame, band keyspace output
+    "q259_gate_calibration" -> ((s, d) =>
+      graft.ext.LinearModel.calibrationCurve(Tables.documents(s, d),
+        graft.ext.TextAnalysis.qualityScore(col("text")) >= 0.66, epochs = 8)),
+
+    // q59's acceptance test: per shard, ppm deviation of the source mix
+    // from the independence expectation (exact DECIMAL cross-multiply,
+    // zero cells included via the keyspace grid) — the audit that catches
+    // a broken shard hash BEFORE a training run bakes in a skewed shard
+    "q260_shard_balance" -> ((s, d) =>
+      graft.ext.Sampling.shardBalanceAudit(Tables.documents(s, d),
+        nShards = 8, catCol = "source")),
+
     // Heaps-law vocabulary growth: distinct vocabulary at nested
     // hash-permille corpus prefixes — the dataset-card saturation curve
     // (flat tail → stop collecting, dedup/diversify). One word-keyed
@@ -2848,6 +2895,10 @@ object SparkEntry {
     "q253_pca_second" -> Oracles.pcaSecondComponent(24),
     "q254_perceptron_weights" -> Oracles.perceptronWeights(8),
     "q255_perceptron_eval" -> Oracles.perceptronEval(8),
+    "q257_compaction_plan" -> Oracles.compactionPlan(500L),
+    "q258_skipping_audit" -> Oracles.skippingAudit(64, 16, 97, 61),
+    "q259_gate_calibration" -> Oracles.perceptronCalibration(8),
+    "q260_shard_balance" -> Oracles.shardBalance(8),
     // the oracle recomputes the component FROM SCRATCH over the whole
     // corpus — a hash match proves the merged-moment retrain is exactly
     // the batch result

@@ -131,6 +131,36 @@ object LinearModel {
       .toDF("feat_idx", "weight")
   }
 
+  /** Train, then bin the corpus by SIGNED margin octave and report how
+    * often the true gate fires in each bin — the reliability/calibration
+    * curve of the distilled model (q255's confusion collapses the score
+    * to one threshold; deployment wants to know whether the margin is
+    * MONOTONE evidence, e.g. to route a high-|margin| fast path and send
+    * only the uncertain band to the expensive gate). Bands are
+    * `sign(margin) · length(bin(|margin|))` — the native
+    * [[graft.functions.BinLength]] floor-log2, so banding is pure integer
+    * and identical in any engine; zero margin is band 0.
+    *
+    * Scale shape: training as [[train]]; the curve itself is one
+    * map-combined aggregate over the feature frame with the weights and
+    * banding inlined — band keyspace ≈ 2·64 rows, no fact shuffle.
+    */
+  def calibrationCurve(docs: DataFrame, positive: Column, epochs: Int = 8,
+                       textCol: String = "text"): DataFrame = {
+    val w = train(docs, positive, epochs, textCol)
+    val m = marginExpr(w)
+    def binLen(c: Column) =
+      call_function(graft.functions.LogBucketFunctions.BinLenName, c)
+    val band = when(m === 0L, lit(0))
+      .when(m > 0L, binLen(m))
+      .otherwise(-binLen(-m))
+    featureFrame(docs, positive, textCol)
+      .select(col("y"), band.cast("int").as("band"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_gate_pos"))
+  }
+
   /** Train, then score the corpus with the trained weights: one confusion
     * row (tp, fp, tn, fn). Prediction is `w·x > 0` (a zero margin
     * predicts negative — deterministic tie rule, consistent with training

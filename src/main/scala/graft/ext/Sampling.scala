@@ -458,4 +458,44 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col(idCol), col("shard"), col("pos"))
   }
+
+  /** Shard-homogeneity audit for [[deterministicShuffle]]: a training
+    * shuffle's job is to make every shard look like the corpus, so per
+    * (shard × category) compare the observed count against the
+    * independence expectation st·ct/n via the cross-multiplied integer
+    * deviation `|obs·n − st·ct| · 10⁶ div (st·ct)` — ppm of expectation,
+    * no float anywhere (the q239 SRM trick, per-cell). Zero cells are
+    * REAL misses (a shard missing a source entirely is dev 10⁶), so the
+    * grid is the full shard × category keyspace, not just observed pairs.
+    * Products route through DECIMAL(38,0) so the cross-multiply is exact
+    * at any corpus size (obs·n overflows BIGINT past ~3·10⁹ rows).
+    *
+    * Output per shard: n_docs, n_cats present, max/total deviation ppm.
+    * Scale shape: one fact-sized aggregate on (shard, cat); everything
+    * after lives on the (nShards × |cats|) keyspace grid.
+    */
+  def shardBalanceAudit(df: DataFrame, nShards: Int, catCol: String,
+                        idCol: String = "doc_id", seed: Int = 0): DataFrame = {
+    val obs = deterministicShuffle(df, nShards, idCol, seed)
+      .join(df.select(col(idCol), col(catCol).as("cat")), Seq(idCol))
+      .groupBy(col("shard"), col("cat"))
+      .agg(count(lit(1)).as("obs"))
+    val shardTot = obs.groupBy("shard").agg(sum("obs").as("st"))
+    val catTot = obs.groupBy("cat").agg(sum("obs").as("ct"))
+    val grand = obs.agg(sum("obs").as("n"))
+    shardTot
+      .crossJoin(broadcast(catTot))
+      .crossJoin(broadcast(grand))
+      .join(obs, Seq("shard", "cat"), "left")
+      .withColumn("o", coalesce(col("obs"), lit(0L)))
+      .withColumn("dev_ppm", expr(
+        """abs(cast(o as decimal(38,0)) * cast(n as decimal(38,0))
+          |  - cast(st as decimal(38,0)) * cast(ct as decimal(38,0))) * 1000000
+          |div (cast(st as decimal(38,0)) * cast(ct as decimal(38,0)))""".stripMargin))
+      .groupBy("shard")
+      .agg(max("st").as("n_docs"),
+        sum(when(col("o") > 0, 1L).otherwise(0L)).as("n_cats"),
+        max("dev_ppm").as("max_dev_ppm"),
+        sum("dev_ppm").as("total_dev_ppm"))
+  }
 }

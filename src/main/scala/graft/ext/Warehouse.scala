@@ -333,6 +333,34 @@ object Warehouse {
     * (user_id × ts) sort, so Spark plans a single Sort + two Window ops
     * over it, no second exchange.
     */
+  /** Compaction plan over a file-level profile (the q227 `fileProfile`
+    * shape: tbl, file, n_rows): assign consecutive files to merge bins of
+    * ~`targetRows` rows and emit one manifest row per bin — the policy
+    * step between "observe the small-file problem" (q227) and "rewrite"
+    * ([[graft.load.Sinks]]). Assignment is ORDER-PRESERVING: files are
+    * taken in name order and binned by exclusive-prefix-sum div target,
+    * so a sorted or z-ordered layout keeps its clustering envelope after
+    * the merge (first-fit-by-size packing would interleave key ranges and
+    * destroy min/max skipping — deliberately not offered). A file larger
+    * than `targetRows` occupies its own bin(s' worth of numbering) and is
+    * left unmerged (n_files = 1).
+    *
+    * Scale shape: the input is METADATA — one row per file (~10⁵ rows for
+    * a 100 TB table), so the per-table window prefix sum never touches
+    * data; pure integer arithmetic end to end, identical in any engine.
+    */
+  def compactionPlan(profile: DataFrame, targetRows: Long): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    val w = Window.partitionBy("tbl").orderBy("file")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    profile
+      .withColumn("__cum", coalesce(sum("n_rows").over(w), lit(0L)))
+      .withColumn("bin", expr(s"__cum div ${targetRows}L"))
+      .groupBy(col("tbl"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"),
+        min("file").as("first_file"), max("file").as("last_file"))
+  }
+
   def scd2Intervals(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val changes = events

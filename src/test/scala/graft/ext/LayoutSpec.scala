@@ -1,0 +1,50 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Layout.skippingAudit on a constructed 16×16 grid where the geometry is
+  * checkable by hand: 256 rows over keys (a, b) ∈ [0,16)², nFiles = 16.
+  */
+class LayoutSpec extends SparkSpec {
+
+  private lazy val grid = df("id BIGINT, a BIGINT, b BIGINT",
+    (0 until 256).map(i => Row(i.toLong, (i / 16).toLong, (i % 16).toLong)))
+
+  private lazy val audit =
+    Layout.skippingAudit(grid, "a", "b", "id", nFiles = 16, bits = 4,
+      probeModA = 5, probeModB = 7).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+  test("linear layout prunes its sort key perfectly") {
+    // 16 files × 16 rows each = one a-value per file; probes a ∈ {1, 6, 11}
+    // (a % 5 = 1) each hit exactly 1 file
+    val (nf, np, hit) = audit(("linear_a", "a"))
+    assert(nf == 16 && np == 3 && hit == 3)
+  }
+
+  test("linear layout cannot prune the other key at all") {
+    // every file spans the full b range; probes b ∈ {3, 10} (b % 7 = 3)
+    val (_, np, hit) = audit(("linear_a", "b"))
+    assert(np == 2 && hit == 32)
+  }
+
+  test("z-order prunes both keys at sqrt(nFiles)") {
+    // z-order on a 16×16 grid with 16 files = 4×4 tiles: each key value
+    // intersects exactly 4 tiles on either dimension
+    val (_, npA, hitA) = audit(("zorder", "a"))
+    val (_, npB, hitB) = audit(("zorder", "b"))
+    assert(hitA == npA * 4 && hitB == npB * 4)
+  }
+
+  test("audit is layout-invariant (exact ranks survive repartitioning)") {
+    val shuffled = grid.repartition(7, col("b"))
+    val again = Layout.skippingAudit(shuffled, "a", "b", "id", nFiles = 16,
+      bits = 4, probeModA = 5, probeModB = 7)
+    assert(rowSet(again) == audit.toSeq.map { case ((l, d), (nf, np, h)) =>
+      s"$l|$d|$nf|$np|$h"
+    }.sorted)
+  }
+}

@@ -49,4 +49,20 @@ class LinearModelSpec extends SparkSpec {
     assert(tp + tn >= majority,
       s"pocket must beat the majority baseline: acc=${tp + tn}/$n maj=$majority")
   }
+
+  test("calibrationCurve: bands partition the corpus and tie out to the confusion") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val positive = TextAnalysis.qualityScore(col("text")) >= 0.66
+    val curve = LinearModel.calibrationCurve(docs, positive, epochs = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val e = LinearModel.perceptronEval(docs, positive, epochs = 8).head()
+    val (tp, fp, tn, fn) = (e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3))
+    assert(curve.map(_._2).sum == tp + fp + tn + fn, "bands must partition the corpus")
+    assert(curve.map(_._3).sum == tp + fn, "gate positives must total across bands")
+    // band sign IS the prediction (margin > 0 ⇔ band > 0), so the curve's
+    // positive side must reproduce the confusion's predicted-positive cell
+    assert(curve.filter(_._1 > 0).map(_._2).sum == tp + fp)
+    assert(curve.filter(_._1 > 0).map(_._3).sum == tp)
+    assert(curve.forall { case (_, n2, pos) => pos >= 0 && pos <= n2 })
+  }
 }

@@ -363,4 +363,30 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(again == out.map(r => r.getString(0) -> r.getLong(2)).toMap)
   }
+
+  test("shardBalanceAudit: a single-category corpus deviates by exactly zero") {
+    // ct = n ⇒ obs·n = st·ct for every shard, whatever the shard hash does
+    val d = docs.withColumn("cat", lit("only"))
+    val out = Sampling.shardBalanceAudit(d, nShards = 4, catCol = "cat")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 4)
+    assert(out.map(_._2).sum == 1000L, "shard totals must partition the corpus")
+    assert(out.forall(r => r._3 == 1L && r._4 == 0L && r._5 == 0L))
+  }
+
+  test("shardBalanceAudit: zero cells count as full deviation; repartition-invariant") {
+    // one doc carries a unique category: every OTHER shard's cell for it
+    // is a zero cell with dev exactly 10⁶ (|0·n − st·ct| / (st·ct))
+    val d = docs.withColumn("cat",
+      when(col("doc_id") === 0L, "rare").otherwise("common"))
+    val out = Sampling.shardBalanceAudit(d, nShards = 4, catCol = "cat").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(out.count(_._2 == 2L) == 1, "exactly one shard holds the rare cat")
+    assert(out.filter(_._2 == 1L).forall(_._3 == 1000000L),
+      "shards missing the rare cat must report a 10⁶-ppm max deviation")
+    val again = Sampling.shardBalanceAudit(
+      d.repartition(7), nShards = 4, catCol = "cat").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == again.toSet)
+  }
 }

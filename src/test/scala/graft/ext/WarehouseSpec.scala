@@ -108,4 +108,39 @@ class WarehouseSpec extends SparkSpec {
       "ASIA", "1996-01-01", "1998-01-01")
     assert(rowSet(out) == rows(Seq("JP", "2", "140.0")))
   }
+
+  test("compactionPlan: order-preserving prefix-sum bins, hand-checked") {
+    val profile = df("tbl STRING, file STRING, n_rows BIGINT", Seq(
+      Row("t", "a", 300L), Row("t", "b", 300L), Row("t", "c", 300L),
+      Row("t", "d", 600L), Row("t", "e", 100L)))
+    // exclusive cumsums 0,300,600,900,1500 div 500 → bins 0,0,1,1,3:
+    // consecutive files only, never reordered by size
+    val out = Warehouse.compactionPlan(profile, targetRows = 500L)
+    assert(rowSet(out) == rows(
+      Seq("t", "0", "2", "600", "a", "b"),
+      Seq("t", "1", "2", "900", "c", "d"),
+      Seq("t", "3", "1", "100", "e", "e")))
+  }
+
+  test("compactionPlan: an oversized file stays alone in its bin") {
+    val profile = df("tbl STRING, file STRING, n_rows BIGINT", Seq(
+      Row("t", "a", 1200L), Row("t", "b", 100L)))
+    val out = Warehouse.compactionPlan(profile, targetRows = 500L)
+    assert(rowSet(out) == rows(
+      Seq("t", "0", "1", "1200", "a", "a"),
+      Seq("t", "2", "1", "100", "b", "b")))
+  }
+
+  test("compactionPlan: tables bin independently") {
+    val profile = df("tbl STRING, file STRING, n_rows BIGINT", Seq(
+      Row("x", "a", 400L), Row("x", "b", 400L),
+      Row("y", "a", 400L), Row("y", "b", 400L)))
+    val out = Warehouse.compactionPlan(profile, targetRows = 500L)
+    // each table merges its two sub-target files into ONE ~800-row bin
+    // (a bin closes when the EXCLUSIVE prefix crosses the target, so bins
+    // overshoot by at most one file) — and the tables never mix
+    assert(rowSet(out) == rows(
+      Seq("x", "0", "2", "800", "a", "b"),
+      Seq("y", "0", "2", "800", "a", "b")))
+  }
 }
