@@ -5415,6 +5415,70 @@ object Oracles {
        |FROM lm GROUP BY 1""".stripMargin
   }
 
+  /** q261: Average Overlap between the LSH and IVF top-k rankings of the
+    * q134 query panel — each common doc contributes the suffix sum
+    * Σ_{k=max(ra,rb)..d} L/k (L = lcm(1..d)) via a list-literal lookup,
+    * mirroring Similarity.rankAgreement's exact rational evaluation.
+    */
+  def rankAgreement(depth: Int, queryMod: Int, k: Int, dim: Int,
+                    nPlanes: Int, centMod: Int, nProbe: Int): String = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmD = (1 to depth).foldLeft(1L)((acc, x) => acc / gcd(acc, x) * x)
+    val suffix = (1 to depth).map(m => (m to depth).map(x => lcmD / x).sum)
+    s"""WITH ra AS (
+       |${lshTopK(queryMod, k, dim, nPlanes)}),
+       |rb AS (
+       |${ivfTopK(centMod, queryMod, nProbe, k)}),
+       |panel AS (
+       |  SELECT DISTINCT query_id FROM ra
+       |  UNION SELECT DISTINCT query_id FROM rb),
+       |j AS (
+       |  SELECT ra.query_id,
+       |    (list_value(${suffix.mkString(", ")}))[GREATEST(ra.rank, rb.rank)] AS w
+       |  FROM ra JOIN rb USING (query_id, neighbor_id)
+       |  WHERE ra.rank <= $depth AND rb.rank <= $depth),
+       |c AS (
+       |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common,
+       |    CAST(SUM(w) AS BIGINT) AS wsum
+       |  FROM j GROUP BY 1)
+       |SELECT panel.query_id, COALESCE(n_common, 0) AS n_common,
+       |  CAST(COALESCE(wsum, 0) * 1000000 // ${lcmD * depth} AS BIGINT) AS ao_ppm
+       |FROM panel LEFT JOIN c USING (query_id)""".stripMargin
+  }
+
+  /** q262: t-closeness — per QI class, the exact cross-multiplied EMD
+    * between the class and global sensitive-value distributions over the
+    * ordered domain (HUGEINT products, the Spark side's DECIMAL(38,0)).
+    */
+  val tCloseness: String =
+    """WITH cells AS (
+      |  SELECT c_nationkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+      |    c_mktsegment AS v, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM customer GROUP BY 1, 2, 3),
+      |cls AS (SELECT c_nationkey, bal_band, CAST(SUM(c) AS BIGINT) AS nc
+      |  FROM cells GROUP BY 1, 2),
+      |vals AS (SELECT v, CAST(SUM(c) AS BIGINT) AS vc FROM cells GROUP BY 1),
+      |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(vc) AS BIGINT) AS n
+      |  FROM vals),
+      |grid AS (
+      |  SELECT cls.c_nationkey, cls.bal_band, cls.nc, vals.v, vals.vc, m.m, m.n,
+      |    COALESCE(cells.c, 0) AS o
+      |  FROM cls CROSS JOIN vals CROSS JOIN m
+      |  LEFT JOIN cells ON cells.c_nationkey = cls.c_nationkey
+      |    AND cells.bal_band = cls.bal_band AND cells.v = vals.v),
+      |cum AS (
+      |  SELECT c_nationkey, bal_band, nc, m, n,
+      |    SUM(o) OVER (PARTITION BY c_nationkey, bal_band ORDER BY v) AS cumc,
+      |    SUM(vc) OVER (PARTITION BY c_nationkey, bal_band ORDER BY v) AS cumg,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey, bal_band ORDER BY v) AS rn
+      |  FROM grid)
+      |SELECT c_nationkey, bal_band, nc AS class_size,
+      |  CAST(SUM(abs(CAST(cumc AS HUGEINT) * n - CAST(cumg AS HUGEINT) * nc))
+      |    * 1000000 // ((m - 1) * CAST(nc AS HUGEINT) * n) AS BIGINT) AS t_ppm
+      |FROM cum WHERE rn < m
+      |GROUP BY 1, 2, 3, m, n""".stripMargin
+
   /** q260: shard-homogeneity audit of the q59 deterministic shuffle —
     * per (shard × source) cell, ppm deviation from the independence
     * expectation via the exact HUGEINT cross-multiply (zero cells

@@ -992,6 +992,18 @@ object Plans {
         |epoch, weights as literals); the curve adds ONE map-combined
         |aggregate whose key is the native BinLength octave — band
         |keyspace ≈ 128 rows out, no fact shuffle, no float.""".stripMargin,
+    "q261_rank_agreement" ->
+      """Rank agreement: both arms are bucketed ANN lists (panel × k rows
+        |each) — the AO join, suffix-sum lookup, and panel rollup all run
+        |on those tiny frames; the corpus is touched only inside the arms'
+        |own bucketed plans. The suffix weights are an array literal, so
+        |the whole readout is one equi-join + one aggregate.""".stripMargin,
+    "q262_t_closeness" ->
+      """t-closeness: one fact aggregate to (QI, value) cells; the
+        |zero-cell grid is classes × m with both dimension sides
+        |broadcast, and the cumulative windows partition BY CLASS — no
+        |global window, no second fact scan. Exact DECIMAL(38,0)
+        |cross-multiply, BIGINT-safe at any row count.""".stripMargin,
     "q260_shard_balance" ->
       """Shard balance: one fact-sized (shard, cat) aggregate; shard
         |totals, category totals, and the grand total are keyspace

@@ -2236,6 +2236,35 @@ object SparkEntry {
       graft.ext.LinearModel.calibrationCurve(Tables.documents(s, d),
         graft.ext.TextAnalysis.qualityScore(col("text")) >= 0.66, epochs = 8)),
 
+    // ANN-backend swap acceptance: Average Overlap (the p→1 rank-biased
+    // overlap) between the LSH and IVF top-5 rankings of the q134 panel —
+    // q134 asks "same SET as exact"; this asks "same ORDER as each other"
+    // before a backend swap ships. Exact rational evaluation: suffix sums
+    // over lcm(1..d) as a literal lookup, one (query, doc) equi-join on
+    // the panel×k lists, no float division anywhere
+    "q261_rank_agreement" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.rankAgreement(
+        Similarity.lshTopK(q, emb, k = 5, dim = 16, nPlanes = 4),
+        Similarity.ivfTopK(q, emb, k = 5,
+          centroids = emb.filter(col("vec_id") % 37 === 0), nProbe = 3),
+        depth = 5)
+    },
+
+    // the third face of the privacy release gate (q229 re-identification,
+    // q230 attribute disclosure, this DISTRIBUTION disclosure): per QI
+    // class, exact cross-multiplied EMD between the class's and the
+    // corpus's ordered sensitive-value distributions — threshold as
+    // "release only classes with t_ppm ≤ t"
+    "q262_t_closeness" -> { (s, d) =>
+      graft.ext.Quality.tClosenessAudit(
+        Tables.customer(s, d).select(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000")
+            .as("bal_band")),
+        Seq("c_nationkey", "bal_band"), "c_mktsegment")
+    },
+
     // q59's acceptance test: per shard, ppm deviation of the source mix
     // from the independence expectation (exact DECIMAL cross-multiply,
     // zero cells included via the keyspace grid) — the audit that catches
@@ -2899,6 +2928,8 @@ object SparkEntry {
     "q258_skipping_audit" -> Oracles.skippingAudit(64, 16, 97, 61),
     "q259_gate_calibration" -> Oracles.perceptronCalibration(8),
     "q260_shard_balance" -> Oracles.shardBalance(8),
+    "q261_rank_agreement" -> Oracles.rankAgreement(5, 50, 5, 16, 4, 37, 3),
+    "q262_t_closeness" -> Oracles.tCloseness,
     // the oracle recomputes the component FROM SCRATCH over the whole
     // corpus — a hash match proves the merged-moment retrain is exactly
     // the batch result

@@ -356,4 +356,66 @@ object Quality {
         min(col("n_sensitive")).as("min_div"),
         max(col("n_sensitive")).as("max_div"))
   }
+
+  /** t-closeness audit — the third face of the release gate
+    * ([[kAnonymityAudit]] → re-identification, [[lDiversityAudit]] →
+    * attribute disclosure, this → DISTRIBUTION disclosure): a class can
+    * hold l distinct sensitive values and still skew so far from the
+    * corpus-wide distribution that membership alone shifts an attacker's
+    * posterior. Per QI class, the Earth Mover's Distance between the
+    * class's sensitive-value distribution and the global one over the
+    * ORDERED value domain (Li, Li & Venkatasubramanian, ICDE 2007):
+    *
+    *   EMD(c) = (1/(m−1)) · Σ_{j<m} |cum_c(j)/n_c − cum_g(j)/n|
+    *
+    * evaluated as the exact cross-multiplied integer
+    * `Σ|cum_c·n − cum_g·n_c| · 10⁶ div ((m−1)·n_c·n)` in DECIMAL(38,0)
+    * (BIGINT products overflow past ~3·10⁹ rows) — no float anywhere.
+    * Values order lexicographically; numeric domains should pre-band
+    * (the q229 bal_band pattern) so m stays a keyspace.
+    *
+    * Output: one row per QI class — class_size, t_ppm. Threshold
+    * downstream as "release only classes with t_ppm ≤ t". A
+    * single-valued sensitive domain (m = 1) yields an empty report —
+    * t is undefined there (and nothing could be disclosed).
+    *
+    * Scale shape: one fact aggregate to (QI, value) cells; the zero-cell
+    * grid (classes × m), the cumulative windows, and the rollup all live
+    * on keyspaces. The window partitions by class, so even that
+    * parallelizes across classes.
+    */
+  def tClosenessAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitiveCol: String): DataFrame = {
+    require(qiCols.nonEmpty, "need QI columns")
+    val qi = qiCols.map(col)
+    val cells = df.groupBy(qi :+ col(sensitiveCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val classes = cells.groupBy(qi: _*).agg(sum("__c").as("__nc"))
+    val values = cells.groupBy(col("__v")).agg(sum("__c").as("__vc"))
+    val m = values.agg(count(lit(1)).as("__m"),
+      sum("__vc").as("__n"))
+    // full class × value grid: a value ABSENT from a class is a real
+    // mass deficit, not a missing row
+    val grid = classes.crossJoin(broadcast(values)).crossJoin(broadcast(m))
+      .join(cells, qiCols :+ "__v", "left")
+      .withColumn("__o", coalesce(col("__c"), lit(0L)))
+    val w = Window.partitionBy(qi: _*).orderBy(col("__v"))
+    val wg = Window.partitionBy(qi: _*).orderBy(col("__v"))
+    grid
+      .withColumn("__cumc", sum("__o").over(w))
+      .withColumn("__cumg", sum("__vc").over(wg))
+      // the last (largest) value's cumulative term is identically zero
+      // (both sides sum to 1); dropping it implements the j < m bound
+      .withColumn("__rn", row_number().over(wg))
+      .filter(col("__rn") < col("__m"))
+      .groupBy(qi :+ col("__nc").as("class_size") :+ col("__m") :+ col("__n"): _*)
+      .agg(sum(expr(
+        """abs(cast(__cumc as decimal(38,0)) * cast(__n as decimal(38,0))
+          |  - cast(__cumg as decimal(38,0)) * cast(__nc as decimal(38,0)))"""
+          .stripMargin)).as("__dev"))
+      .withColumn("t_ppm", expr(
+        """cast(__dev * 1000000 as decimal(38,0))
+          |div ((__m - 1) * cast(class_size as decimal(38,0)) * __n)""".stripMargin))
+      .select(qi :+ col("class_size") :+ col("t_ppm"): _*)
+  }
 }

@@ -348,6 +348,47 @@ object Similarity {
       .select("method", "total_hits", "expected", "recall_ppm")
   }
 
+  /** Average Overlap agreement between two top-`depth` rankings of the
+    * same query panel (Webber et al.'s AO, the p→1 limit of rank-biased
+    * overlap, truncated at depth d):
+    *
+    *   AO(q) = (1/d) · Σ_{k=1..d} |A_{1..k} ∩ B_{1..k}| / k
+    *
+    * — [[annRecall]] answers "did the cheap ranker find the right SET";
+    * this answers "does swapping ranker backends change the ORDER users
+    * see" (1.0 = identical prefixes at every depth, 0 = disjoint), the
+    * acceptance gate for replacing one ANN backend with another.
+    *
+    * Exact integer evaluation: a common doc with ranks (ra, rb) enters
+    * every prefix k ≥ m = max(ra, rb), so its AO contribution is the
+    * suffix sum Σ_{k=m..d} 1/k — precomputed over the common denominator
+    * L = lcm(1..d) as a d-entry literal lookup, summed per query, and
+    * emitted as `ao_ppm = Σ·10⁶ div (L·d)`. No float division anywhere.
+    *
+    * Scale shape: inputs are per-arm top-k lists (panel × k rows, not the
+    * corpus); one equi-join on (query, doc) and one panel-sized aggregate.
+    */
+  def rankAgreement(rankA: DataFrame, rankB: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 40, s"depth out of [1, 40]: $depth")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmD = (1 to depth).foldLeft(1L)((acc, k) => acc / gcd(acc, k) * k)
+    val suffix = (1 to depth).map(m => (m to depth).map(k => lcmD / k).sum)
+    val a = rankA.filter(col("rank") <= depth)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("ra"))
+    val b = rankB.filter(col("rank") <= depth)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rb"))
+    val panel = a.select("query_id").union(b.select("query_id")).distinct()
+    val contrib = a.join(b, Seq("query_id", "neighbor_id"))
+      .withColumn("w", element_at(array(suffix.map(lit): _*),
+        greatest(col("ra"), col("rb")).cast("int")))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_common"), sum("w").as("wsum"))
+    panel.join(contrib, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr(s"coalesce(wsum, 0L) * 1000000L div ${lcmD * depth}L").as("ao_ppm"))
+  }
+
   /** MMR diversity reranking (Maximal Marginal Relevance — Carbonell &
     * Goldstein, SIGIR 1998, public paper): from each query's `candidates`
     * brute-force top candidates, greedily pick `k` results where pick r

@@ -172,4 +172,37 @@ class QualitySpec extends SparkSpec {
       Seq("2..2", "1", "3", "2", "2"),
       Seq(">=3", "1", "3", "3", "3")))
   }
+
+  test("tClosenessAudit: a class mirroring the global mix scores exactly 0") {
+    // both classes are 50/50 a-b, like the corpus
+    val t = df("g STRING, s STRING", Seq(
+      Row("c1", "a"), Row("c1", "b"), Row("c2", "a"), Row("c2", "b")))
+    val out = Quality.tClosenessAudit(t, Seq("g"), "s").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("c1" -> (2L, 0L), "c2" -> (2L, 0L)))
+  }
+
+  test("tClosenessAudit: hand-computed EMD — fully polarized classes score 500000 ppm") {
+    // global a:2 b:2; c1 = {a,a}, c2 = {b,b}; m=2 n=4
+    // c1: |cum_a(c)·n − cum_a(g)·nc| = |2·4 − 2·2| = 4 → 4·10⁶/(1·2·4)
+    val t = df("g STRING, s STRING", Seq(
+      Row("c1", "a"), Row("c1", "a"), Row("c2", "b"), Row("c2", "b")))
+    val out = Quality.tClosenessAudit(t, Seq("g"), "s").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("c1" -> 500000L, "c2" -> 500000L))
+  }
+
+  test("tClosenessAudit: zero cells are real deficits; single-valued domain is empty") {
+    // three values, one class missing two of them entirely
+    val t = df("g STRING, s STRING", Seq(
+      Row("c1", "a"), Row("c1", "b"), Row("c1", "c"),
+      Row("c2", "a"), Row("c2", "a"), Row("c2", "a")))
+    val out = Quality.tClosenessAudit(t, Seq("g"), "s").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // c2: cum a |3·6−4·3|=6, b |3·6−5·3|=3 → 9·10⁶/(2·3·6) = 250000
+    // c1: cum a |1·6−4·3|=6, b |2·6−5·3|=3 → 250000 (symmetric here)
+    assert(out == Map("c1" -> 250000L, "c2" -> 250000L))
+    val single = df("g STRING, s STRING", Seq(Row("c1", "a"), Row("c2", "a")))
+    assert(Quality.tClosenessAudit(single, Seq("g"), "s").count() == 0)
+  }
 }

@@ -264,4 +264,40 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
     assert(a.values.flatten.forall(v => v >= 0L && v <= 1000000L))
   }
+
+  private def ranking(rows: (Long, Long, Int)*) =
+    df("query_id BIGINT, neighbor_id BIGINT, rank INT",
+      rows.map { case (q, n, r) => Row(q, n, r) })
+
+  test("rankAgreement: identical rankings score exactly 10^6") {
+    val r = ranking((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    val out = Similarity.rankAgreement(r, r, depth = 3).head()
+    assert((out.getLong(1), out.getLong(2)) == (3L, 1000000L))
+  }
+
+  test("rankAgreement: disjoint rankings score 0 but stay in the panel") {
+    val a = ranking((1L, 10L, 1), (1L, 11L, 2))
+    val b = ranking((1L, 20L, 1), (1L, 21L, 2))
+    val out = Similarity.rankAgreement(a, b, depth = 2).head()
+    assert((out.getLong(1), out.getLong(2)) == (0L, 0L))
+  }
+
+  test("rankAgreement: hand-computed AO — swapped top-2 is exactly 1/2") {
+    // k=1 prefixes disjoint (0/1), k=2 prefixes identical (2/2) → AO = 1/2
+    val a = ranking((7L, 1L, 1), (7L, 2L, 2))
+    val b = ranking((7L, 2L, 1), (7L, 1L, 2))
+    val out = Similarity.rankAgreement(a, b, depth = 2).head()
+    assert((out.getLong(1), out.getLong(2)) == (2L, 500000L))
+  }
+
+  test("rankAgreement: ranks beyond depth are ignored; per-query rows") {
+    val a = ranking((1L, 10L, 1), (1L, 99L, 3), (2L, 20L, 1))
+    val b = ranking((1L, 10L, 1), (1L, 99L, 3), (2L, 21L, 1))
+    val out = Similarity.rankAgreement(a, b, depth = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the rank-3 pair never enters; AO = (1/1 + 1/2)/2 = 3/4 — prefix
+    // denominators stay k even when the truncated lists are shorter
+    assert(out(1L) == (1L, 750000L))
+    assert(out(2L) == (0L, 0L))
+  }
 }
