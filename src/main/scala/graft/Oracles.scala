@@ -5415,6 +5415,41 @@ object Oracles {
        |FROM lm GROUP BY 1""".stripMargin
   }
 
+  /** q263: filter-attribution kill matrix — per curation gate, total and
+    * EXCLUSIVE rejections, each gate reusing the exact spelling its own
+    * query pins (textStats → q13, repetitionSignals → q53, fingerprint →
+    * q12).
+    */
+  def filterAttribution(minTokens: Long, minQuality: Double,
+                        maxTopWordFrac: Double): String =
+    s"""WITH st AS (SELECT doc_id, n_tokens, quality FROM ($textStats)),
+       |rep AS (SELECT doc_id, top_word_frac FROM ($repetitionSignals)),
+       |fp AS (SELECT doc_id, $fingerprintSql AS fp FROM documents),
+       |k AS (SELECT fp, MIN(doc_id) AS keep_id FROM fp GROUP BY 1),
+       |fl AS (
+       |  SELECT st.doc_id,
+       |    st.n_tokens < $minTokens AS f_short,
+       |    st.quality < $minQuality AS f_quality,
+       |    rep.top_word_frac > $maxTopWordFrac AS f_rep,
+       |    fp.doc_id <> k.keep_id AS f_dup
+       |  FROM st
+       |  JOIN rep USING (doc_id)
+       |  JOIN fp ON fp.doc_id = st.doc_id
+       |  JOIN k USING (fp)),
+       |n AS (
+       |  SELECT *, CAST(f_short AS INT) + CAST(f_quality AS INT)
+       |    + CAST(f_rep AS INT) + CAST(f_dup AS INT) AS n_flags
+       |  FROM fl),
+       |lng AS (
+       |  SELECT 'short' AS filter, f_short AS fail, n_flags FROM n
+       |  UNION ALL SELECT 'low_quality', f_quality, n_flags FROM n
+       |  UNION ALL SELECT 'repetitive', f_rep, n_flags FROM n
+       |  UNION ALL SELECT 'exact_dup', f_dup, n_flags FROM n)
+       |SELECT filter,
+       |  CAST(SUM(CASE WHEN fail THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+       |  CAST(SUM(CASE WHEN fail AND n_flags = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive
+       |FROM lng GROUP BY 1""".stripMargin
+
   /** q261: Average Overlap between the LSH and IVF top-k rankings of the
     * q134 query panel — each common doc contributes the suffix sum
     * Σ_{k=max(ra,rb)..d} L/k (L = lcm(1..d)) via a list-literal lookup,

@@ -992,6 +992,12 @@ object Plans {
         |epoch, weights as literals); the curve adds ONE map-combined
         |aggregate whose key is the native BinLength octave — band
         |keyspace ≈ 128 rows out, no fact shuffle, no float.""".stripMargin,
+    "q263_filter_attribution" ->
+      """Kill matrix: three narrow kernel gates share one scan path; the
+        |dup gate is the q12 fingerprint aggregate joined back on fp.
+        |The stack quadruples rows but carries 3 columns, and the final
+        |aggregate is 4 rows — attribution costs one extra join over
+        |running the gates themselves.""".stripMargin,
     "q261_rank_agreement" ->
       """Rank agreement: both arms are bucketed ANN lists (panel × k rows
         |each) — the AO join, suffix-sum lookup, and panel rollup all run

@@ -2265,6 +2265,14 @@ object SparkEntry {
         Seq("c_nationkey", "bal_band"), "c_mktsegment")
     },
 
+    // curation observability: the kill matrix — per gate, total vs
+    // EXCLUSIVE rejections (docs no other gate catches). A gate with
+    // n_exclusive ≈ 0 is redundant with the cascade and can relax for
+    // free; the gate carrying exclusive kills is the one whose threshold
+    // shapes the corpus. Gates reuse q13/q53/q12's exact spellings
+    "q263_filter_attribution" -> ((s, d) =>
+      graft.ext.Curation.filterAttribution(Tables.documents(s, d))),
+
     // q59's acceptance test: per shard, ppm deviation of the source mix
     // from the independence expectation (exact DECIMAL cross-multiply,
     // zero cells included via the keyspace grid) — the audit that catches
@@ -2930,6 +2938,7 @@ object SparkEntry {
     "q260_shard_balance" -> Oracles.shardBalance(8),
     "q261_rank_agreement" -> Oracles.rankAgreement(5, 50, 5, 16, 4, 37, 3),
     "q262_t_closeness" -> Oracles.tCloseness,
+    "q263_filter_attribution" -> Oracles.filterAttribution(10L, 0.66, 0.2),
     // the oracle recomputes the component FROM SCRATCH over the whole
     // corpus — a hash match proves the merged-moment retrain is exactly
     // the batch result

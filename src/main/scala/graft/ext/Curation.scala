@@ -215,4 +215,52 @@ object Curation {
       .select(col("r.metric").as("metric"), col("r.value").as("value"))
       .unionByName(quant)
   }
+
+  /** Filter-attribution "kill matrix": per curation gate, how many docs
+    * it rejects (n_fail) and how many it ALONE rejects (n_exclusive —
+    * docs no other gate would have caught). The report a pipeline owner
+    * reads before touching a threshold: a gate with large n_fail but
+    * n_exclusive ≈ 0 is redundant with the rest of the cascade and can
+    * be relaxed for free; a gate carrying most of its kills exclusively
+    * is the one whose threshold actually shapes the corpus. Gates:
+    * `short` (n_tokens < minTokens), `low_quality` (quality <
+    * minQuality), `repetitive` (top_word_frac > maxTopWordFrac),
+    * `exact_dup` (not the min-id copy of its fingerprint) — each reusing
+    * the exact engine spelling its own query (q13/q53/q12) pins.
+    *
+    * Scale shape: the three text gates are narrow one-pass kernels; the
+    * dup gate is the q12 fingerprint aggregate joined back on fp. The
+    * stack to (filter, fail) rows multiplies by 4 but carries 3 columns,
+    * and the final aggregate is gate-keyspace-sized.
+    */
+  def filterAttribution(docs: DataFrame, minTokens: Long = 10,
+                        minQuality: Double = 0.66,
+                        maxTopWordFrac: Double = 0.2): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val keep = fp.groupBy("fp").agg(min("doc_id").as("keep_id"))
+    val flags = TextAnalysis.stats(docs).select("doc_id", "n_tokens", "quality")
+      .join(TextAnalysis.repetitionSignals(docs)
+        .select("doc_id", "top_word_frac"), Seq("doc_id"))
+      .join(fp.join(keep, Seq("fp"))
+        .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).as("f_dup")),
+        Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("n_tokens") < minTokens).as("f_short"),
+        (col("quality") < minQuality).as("f_quality"),
+        (col("top_word_frac") > maxTopWordFrac).as("f_rep"),
+        col("f_dup"))
+    val gates = Seq("f_short", "f_quality", "f_rep", "f_dup")
+    val long = flags
+      .withColumn("n_flags",
+        gates.map(c => col(c).cast("long")).reduce(_ + _))
+      .select(expr(
+        """stack(4, 'short', f_short, 'low_quality', f_quality,
+          |  'repetitive', f_rep, 'exact_dup', f_dup) AS (filter, fail)"""
+          .stripMargin), col("n_flags"))
+    long.groupBy("filter").agg(
+      sum(when(col("fail"), 1L).otherwise(0L)).as("n_fail"),
+      sum(when(col("fail") && col("n_flags") === 1, 1L).otherwise(0L))
+        .as("n_exclusive"))
+  }
 }

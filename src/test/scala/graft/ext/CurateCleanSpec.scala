@@ -60,4 +60,22 @@ class CurateCleanSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(gated == Set(1L, 2L))
   }
+
+  test("filterAttribution: hand-built corpus — exclusive vs shared kills") {
+    val good = "the quick brown fox jumps over the lazy dog and then it runs " +
+      "far away into the quiet green field while birds sing overhead today"
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, good),                    // passes every gate
+      Row(2L, good),                    // exact dup of 1 — ONLY the dup gate
+      Row(3L, "tiny"),                  // short AND low-quality (shared kill)
+      Row(4L, "spam spam spam spam spam spam spam spam spam spam spam is " +
+        "here again and again and again with more spam spam spam spam")))
+    val out = Curation.filterAttribution(d, minTokens = 10,
+        minQuality = 0.5, maxTopWordFrac = 0.2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("exact_dup")._1 == 1L && out("exact_dup")._2 == 1L)
+    assert(out("short") == (1L, 0L), "doc 3 is short but also low-quality")
+    assert(out("repetitive")._1 >= 1L)
+    assert(out.values.map(_._2).sum <= out.values.map(_._1).sum)
+  }
 }
