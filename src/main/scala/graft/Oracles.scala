@@ -5415,6 +5415,92 @@ object Oracles {
        |FROM lm GROUP BY 1""".stripMargin
   }
 
+  /** q264: embedding-space drift — per-dim mean shift between the two
+    * vec_id-parity snapshots, exact fixed-point cross-multiply, top-k
+    * most-shifted dims (ties → lower dim).
+    */
+  def embeddingDrift(k: Int): String =
+    s"""WITH qz AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |ex AS (SELECT vec_id, unnest(v) AS x, unnest(range(0, len(v))) AS dim FROM qz),
+       |a AS (SELECT dim, CAST(SUM(x) AS HUGEINT) AS sa, CAST(COUNT(*) AS BIGINT) AS na
+       |  FROM ex WHERE vec_id % 2 = 0 GROUP BY 1),
+       |b AS (SELECT dim, CAST(SUM(x) AS HUGEINT) AS sb, CAST(COUNT(*) AS BIGINT) AS nb
+       |  FROM ex WHERE vec_id % 2 = 1 GROUP BY 1)
+       |SELECT CAST(dim AS INTEGER) AS dim,
+       |  CAST(sa // na AS BIGINT) AS mean_a_micro,
+       |  CAST(sb // nb AS BIGINT) AS mean_b_micro,
+       |  CAST(abs(sa * nb - sb * na) // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS shift_micro
+       |FROM a JOIN b USING (dim)
+       |ORDER BY shift_micro DESC, dim LIMIT $k""".stripMargin
+
+  /** q265: IVF recall-vs-nProbe curve — corpus assignment, query-centroid
+    * ranking, and candidate scoring shared across arms (MATERIALIZED:
+    * each arm re-reads the scored candidates), each arm a prank filter +
+    * top-k window, recall vs the exact panel as in q134.
+    */
+  def ivfProbeCurve(centMod: Int, queryMod: Int, k: Int,
+                    probes: Seq[Int]): String = {
+    val maxP = probes.max
+    val armCtes = probes.map { p =>
+      s"""arm_$p AS (
+         |  SELECT 'probe_$p' AS method, query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+         |    FROM cscored WHERE prank <= $p) WHERE rn <= $k)""".stripMargin
+    }.mkString(",\n")
+    val armUnion = probes.map(p => s"SELECT * FROM arm_$p").mkString("\n  UNION ALL ")
+    val methodRows = probes.map(p => s"('probe_$p')").mkString(", ")
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % $centMod = 0),
+       |corp AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+       |ap AS (SELECT neighbor_id, cid, nv, cv FROM corp, cent),
+       |${cosineCtes("ap", "neighbor_id", "cid", "nv", "cv", "ascore")},
+       |assign AS (
+       |  SELECT neighbor_id, cid FROM (
+       |    SELECT neighbor_id, cid, ROW_NUMBER() OVER (PARTITION BY neighbor_id ORDER BY s DESC, cid) AS rn
+       |    FROM ascore) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % $queryMod = 0),
+       |qp AS (SELECT query_id, cid, qv, cv FROM q, cent),
+       |${cosineCtes("qp", "query_id", "cid", "qv", "cv", "qscore")},
+       |probes AS (
+       |  SELECT query_id, cid, rn AS prank FROM (
+       |    SELECT query_id, cid, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, cid) AS rn
+       |    FROM qscore) WHERE rn <= $maxP),
+       |cand AS (
+       |  SELECT pr.query_id, a.neighbor_id, qq2.qv, c.nv AS cv, pr.prank
+       |  FROM probes pr
+       |  JOIN assign a ON pr.cid = a.cid
+       |  JOIN q qq2 ON pr.query_id = qq2.query_id
+       |  JOIN corp c ON a.neighbor_id = c.neighbor_id
+       |  WHERE pr.query_id <> a.neighbor_id),
+       |cdots AS (
+       |  SELECT query_id, neighbor_id, prank,
+       |    SUM(CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i) AS dp,
+       |    SUM(CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i) AS qq,
+       |    SUM(CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i) AS cc
+       |  FROM cand, generate_series(1, 64) t(i) GROUP BY 1, 2, 3),
+       |cscored AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, prank,
+       |    round(CASE WHEN sqrt(qq) * sqrt(cc) = 0 THEN 0.0 ELSE dp / (sqrt(qq) * sqrt(cc)) END, 6) AS score
+       |  FROM cdots),
+       |$armCtes,
+       |arms AS (
+       |  $armUnion),
+       |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM (${cosineTopK(queryMod, k)})),
+       |hits AS (
+       |  SELECT method, CAST(COUNT(*) AS BIGINT) AS total_hits
+       |  FROM arms JOIN ex USING (query_id, neighbor_id) GROUP BY 1),
+       |methods AS (SELECT * FROM (VALUES $methodRows) m(method)),
+       |e AS (SELECT CAST(COUNT(*) AS BIGINT) AS expected FROM ex)
+       |SELECT methods.method, COALESCE(total_hits, 0) AS total_hits, e.expected,
+       |  CASE WHEN e.expected = 0 THEN 0
+       |       ELSE CAST(1000000 * COALESCE(total_hits, 0) // e.expected AS BIGINT)
+       |  END AS recall_ppm
+       |FROM methods LEFT JOIN hits USING (method) CROSS JOIN e""".stripMargin
+  }
+
   /** q263: filter-attribution kill matrix — per curation gate, total and
     * EXCLUSIVE rejections, each gate reusing the exact spelling its own
     * query pins (textStats → q13, repetitionSignals → q53, fingerprint →

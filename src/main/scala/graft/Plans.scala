@@ -992,6 +992,18 @@ object Plans {
         |epoch, weights as literals); the curve adds ONE map-combined
         |aggregate whose key is the native BinLength octave — band
         |keyspace ≈ 128 rows out, no fact shuffle, no float.""".stripMargin,
+    "q264_embedding_drift" ->
+      """Embedding drift: one posexplode + dim-keyed partial aggregate
+        |per snapshot (the q250 moment pass without the triangle); the
+        |join, cross-multiply, and top-k all run on the 64-row dim
+        |keyspace. DECIMAL(38,0) sums stay exact at any corpus
+        |size.""".stripMargin,
+    "q265_probe_recall_curve" ->
+      """Probe curve: assignment, probe ranking, and candidate scoring
+        |run ONCE at max(probes) and checkpoint; each arm is a filter +
+        |top-k window over the scored candidates — a 4-point sweep costs
+        |one q27 plus three keyspace windows, not four q27s. The exact
+        |arm is the documented recall baseline on the 1%-panel.""".stripMargin,
     "q263_filter_attribution" ->
       """Kill matrix: three narrow kernel gates share one scan path; the
         |dup gate is the q12 fingerprint aggregate joined back on fp.

@@ -2265,6 +2265,30 @@ object SparkEntry {
         Seq("c_nationkey", "bal_band"), "c_mktsegment")
     },
 
+    // embedding-space drift monitor: q232's PSI watches scalar mixes;
+    // this watches the VECTOR column — per-dim mean shift between the
+    // two snapshot halves in exact fixed-point cross-multiplied micro
+    // units, top-10 most-shifted dims (the directions q250's loadings
+    // can then interpret). One posexplode + dim-keyed aggregate per side
+    "q264_embedding_drift" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.ext.Profile.embeddingDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), k = 10)
+    },
+
+    // the IVF tuning curve: recall@5 vs nProbe ∈ {1,2,4,8} against the
+    // exact panel — the latency/recall table an ANN deployment reads to
+    // pick its operating point. Assignment + candidate scoring run ONCE
+    // (checkpointed); each arm is a probe-rank filter + top-k window,
+    // semantically identical to q27 at that probe count
+    "q265_probe_recall_curve" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfProbeCurve(emb.filter(col("vec_id") % 100 === 0), emb,
+        k = 5, centroids = emb.filter(col("vec_id") % 37 === 0),
+        probes = Seq(1, 2, 4, 8))
+    },
+
     // curation observability: the kill matrix — per gate, total vs
     // EXCLUSIVE rejections (docs no other gate catches). A gate with
     // n_exclusive ≈ 0 is redundant with the cascade and can relax for
@@ -2939,6 +2963,8 @@ object SparkEntry {
     "q261_rank_agreement" -> Oracles.rankAgreement(5, 50, 5, 16, 4, 37, 3),
     "q262_t_closeness" -> Oracles.tCloseness,
     "q263_filter_attribution" -> Oracles.filterAttribution(10L, 0.66, 0.2),
+    "q264_embedding_drift" -> Oracles.embeddingDrift(10),
+    "q265_probe_recall_curve" -> Oracles.ivfProbeCurve(37, 100, 5, Seq(1, 2, 4, 8)),
     // the oracle recomputes the component FROM SCRATCH over the whole
     // corpus — a hash match proves the merged-moment retrain is exactly
     // the batch result

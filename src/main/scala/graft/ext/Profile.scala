@@ -147,4 +147,41 @@ object Profile {
              / (CAST(n_after + 1 AS DOUBLE) / (t_after + n_bins))), 6)""")
           .as("psi_contrib"))
   }
+
+  /** Embedding-space drift monitor — [[psiDrift]]'s companion for the
+    * VECTOR column: per dimension, the shift of the mean embedding
+    * between two corpus snapshots, reported as the top-k most-shifted
+    * dimensions. An encoder change, a source-mix change, or a scraper
+    * regression moves the centroid long before any scalar profile
+    * notices; the per-dimension readout localizes WHICH directions moved
+    * (dims the PCA loadings q250 names can then interpret).
+    *
+    * Exactness: vectors quantize to the engine-wide ⌊x·10⁶ + 0.5⌋ fixed
+    * point; per-dim sums are exact DECIMAL(38,0), and the mean shift is
+    * the cross-multiplied `|s_a·n_b − s_b·n_a| div (n_a·n_b)` — micro
+    * units end to end, no float. Ties break to the lower dim.
+    *
+    * Scale shape: one posexplode + dim-keyed aggregate per side (the
+    * q250 moment pass without the triangle), then everything lives on
+    * the dim keyspace; top-k is a TakeOrdered over ≤ dim rows.
+    */
+  def embeddingDrift(before: DataFrame, after: DataFrame, k: Int = 10,
+                     vecCol: String = "embedding"): DataFrame = {
+    def dimSums(df: DataFrame, sCol: String, nCol: String) =
+      df.select(Clustering.quantize(col(vecCol)).as("v"))
+        .select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(sum(col("x").cast("decimal(38,0)")).as(sCol),
+          count(lit(1)).as(nCol))
+    dimSums(before, "sa", "na")
+      .join(dimSums(after, "sb", "nb"), Seq("dim"))
+      .select(col("dim"),
+        expr("sa div na").as("mean_a_micro"),
+        expr("sb div nb").as("mean_b_micro"),
+        expr("""abs(sa * cast(nb as decimal(38,0))
+                    - sb * cast(na as decimal(38,0)))
+                div (cast(na as decimal(38,0)) * nb)""").as("shift_micro"))
+      .orderBy(col("shift_micro").desc, col("dim"))
+      .limit(k)
+  }
 }

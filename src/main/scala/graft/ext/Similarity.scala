@@ -348,6 +348,51 @@ object Similarity {
       .select("method", "total_hits", "expected", "recall_ppm")
   }
 
+  /** Recall-vs-nProbe tuning curve for [[ivfTopK]]: one row per probe
+    * count — the table an ANN deployment reads to pick its
+    * latency/recall point (probe counts cost linearly; recall saturates
+    * once probes cover the query's true neighborhood cells).
+    *
+    * Cost shape: the corpus assignment, the query-centroid ranking (to
+    * max(probes)), and candidate scoring all run ONCE — each arm is a
+    * `probe_rank ≤ p` filter plus a per-query top-k window over its
+    * candidate subset, semantically identical to calling [[ivfTopK]] at
+    * that p (same rounding, same tie rules). The scored candidate frame
+    * is checkpointed so the sweep never re-scores.
+    */
+  def ivfProbeCurve(queries: DataFrame, corpus: DataFrame, k: Int,
+                    centroids: DataFrame, probes: Seq[Int],
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1)
+      && probes.distinct.size == probes.size, s"bad probe list: $probes")
+    val maxP = probes.max
+    val cent = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val corp = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val aw = Window.partitionBy("neighbor_id").orderBy(col("s").desc, col("cid"))
+    val assign = corp.crossJoin(broadcast(cent))
+      .withColumn("s", round(cosine(col("nv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+      .select("cid", "neighbor_id", "nv")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qw = Window.partitionBy("query_id").orderBy(col("s").desc, col("cid"))
+    val pr = q.crossJoin(broadcast(cent))
+      .withColumn("s", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("prank", row_number().over(qw)).filter(col("prank") <= maxP)
+      .select("cid", "query_id", "qv", "prank")
+    val cand = pr.join(assign, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("nv")), 6))
+      .select("query_id", "neighbor_id", "score", "prank")
+      .localCheckpoint(true)
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    val arms = probes.map { p =>
+      s"probe_$p" -> cand.filter(col("prank") <= p)
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    }
+    annRecall(bruteForceTopK(queries, corpus, k), arms)
+  }
+
   /** Average Overlap agreement between two top-`depth` rankings of the
     * same query panel (Webber et al.'s AO, the p→1 limit of rank-biased
     * overlap, truncated at depth d):

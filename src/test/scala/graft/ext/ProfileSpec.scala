@@ -58,4 +58,35 @@ class ProfileSpec extends SparkSpec {
     // PSI total > 0.25 — this fixture IS a "shifted" population
     assert(out.values.map(_._5).sum > 0.25)
   }
+
+  private def vecs(rows: (Long, Seq[Double])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("embeddingDrift: identical snapshots shift by exactly zero") {
+    val a = vecs((1L, Seq(0.5, -0.25, 0.125)), (2L, Seq(-0.5, 0.25, 0.0)))
+    val out = Profile.embeddingDrift(a, a, k = 3).collect()
+    assert(out.length == 3 && out.forall(_.getLong(3) == 0L))
+  }
+
+  test("embeddingDrift: hand-shifted dimension tops the report with the exact micro delta") {
+    val before = vecs((1L, Seq(0.1, 0.2, 0.3)), (2L, Seq(0.3, 0.2, 0.1)))
+    val after = vecs((3L, Seq(0.1, 0.7, 0.3)), (4L, Seq(0.3, 0.7, 0.1)))
+    val top = Profile.embeddingDrift(before, after, k = 1).head()
+    // dim 1 mean moves 0.2 → 0.7: exactly 500000 micro units
+    assert(top.getInt(0) == 1)
+    assert((top.getLong(1), top.getLong(2), top.getLong(3)) ==
+      (200000L, 700000L, 500000L))
+  }
+
+  test("embeddingDrift: partition-invariant (exact integer aggregation)") {
+    val a = vecs((1L, Seq(0.11, -0.37)), (2L, Seq(0.53, 0.29)),
+      (3L, Seq(-0.71, 0.13)), (4L, Seq(0.23, -0.61)))
+    val b = vecs((5L, Seq(0.41, 0.07)), (6L, Seq(-0.19, 0.83)))
+    val x = Profile.embeddingDrift(a, b, k = 2).collect().map(_.toSeq).toSeq
+    val y = Profile.embeddingDrift(a.repartition(5), b.repartition(3), k = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(x == y)
+  }
 }

@@ -265,6 +265,26 @@ class SimilaritySpec extends SparkSpec {
     assert(a.values.flatten.forall(v => v >= 0L && v <= 1000000L))
   }
 
+  test("ivfProbeCurve: recall is monotone in nProbe; each arm matches ivfTopK at that probe") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val cent = emb.filter(col("vec_id") % 37 === 0)
+    val curve = Similarity.ivfProbeCurve(q, emb, k = 5, centroids = cent,
+        probes = Seq(1, 3, 8)).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(curve("probe_1") <= curve("probe_3") &&
+      curve("probe_3") <= curve("probe_8"), s"recall must be monotone: $curve")
+    // the p=3 arm must reproduce the standalone q27 operator exactly
+    val solo = Similarity.annRecall(
+      Similarity.bruteForceTopK(q, emb, k = 5),
+      Seq("probe_3" -> Similarity.ivfTopK(q, emb, k = 5, centroids = cent,
+        nProbe = 3))).head()
+    val curveRow = Similarity.ivfProbeCurve(q, emb, k = 5, centroids = cent,
+        probes = Seq(1, 3, 8)).filter(col("method") === "probe_3").head()
+    assert(curveRow.getLong(1) == solo.getLong(1) &&
+      curveRow.getLong(2) == solo.getLong(2))
+  }
+
   private def ranking(rows: (Long, Long, Int)*) =
     df("query_id BIGINT, neighbor_id BIGINT, rank INT",
       rows.map { case (q, n, r) => Row(q, n, r) })
