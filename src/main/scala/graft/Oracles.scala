@@ -5415,6 +5415,30 @@ object Oracles {
        |FROM lm GROUP BY 1""".stripMargin
   }
 
+  /** q267: token frequency spectrum — count-of-counts by floor-log2
+    * octave with exact ppm occurrence shares (the portable bin()-length
+    * spelling of the native BinLength octave).
+    */
+  val tokenSpectrum: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS token
+      |  FROM documents),
+      |tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+      |oct AS (
+      |  SELECT LENGTH(bin(n)) - 1 AS octave, CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(n) AS BIGINT) AS n_occurrences
+      |  FROM tc GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS tt FROM oct),
+      |c AS (
+      |  SELECT octave, n_types, n_occurrences,
+      |    SUM(n_occurrences) OVER (ORDER BY octave
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM oct)
+      |SELECT CAST(octave AS INTEGER) AS octave, n_types, n_occurrences,
+      |  CAST(n_occurrences * 1000000 // tt AS BIGINT) AS occ_share_ppm,
+      |  CAST(cum * 1000000 // tt AS BIGINT) AS cum_occ_share_ppm
+      |FROM c, t""".stripMargin
+
   /** q264: embedding-space drift — per-dim mean shift between the two
     * vec_id-parity snapshots, exact fixed-point cross-multiply, top-k
     * most-shifted dims (ties → lower dim).
@@ -5542,14 +5566,22 @@ object Oracles {
     * mirroring Similarity.rankAgreement's exact rational evaluation.
     */
   def rankAgreement(depth: Int, queryMod: Int, k: Int, dim: Int,
-                    nPlanes: Int, centMod: Int, nProbe: Int): String = {
+                    nPlanes: Int, centMod: Int, nProbe: Int): String =
+    rankAgreementSql(depth, lshTopK(queryMod, k, dim, nPlanes),
+      ivfTopK(centMod, queryMod, nProbe, k))
+
+  /** AO between two arbitrary (query_id, neighbor_id, rank) arm queries
+    * — q261's evaluation with the arms injected (q266 reuses it for the
+    * exact-vs-int8-quantized acceptance check).
+    */
+  def rankAgreementSql(depth: Int, armA: String, armB: String): String = {
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val lcmD = (1 to depth).foldLeft(1L)((acc, x) => acc / gcd(acc, x) * x)
     val suffix = (1 to depth).map(m => (m to depth).map(x => lcmD / x).sum)
     s"""WITH ra AS (
-       |${lshTopK(queryMod, k, dim, nPlanes)}),
+       |$armA),
        |rb AS (
-       |${ivfTopK(centMod, queryMod, nProbe, k)}),
+       |$armB),
        |panel AS (
        |  SELECT DISTINCT query_id FROM ra
        |  UNION SELECT DISTINCT query_id FROM rb),

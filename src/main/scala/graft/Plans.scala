@@ -992,6 +992,15 @@ object Plans {
         |epoch, weights as literals); the curve adds ONE map-combined
         |aggregate whose key is the native BinLength octave — band
         |keyspace ≈ 128 rows out, no fact shuffle, no float.""".stripMargin,
+    "q266_quantization_agreement" ->
+      """Quantization acceptance: pure reuse — the q261 AO evaluation
+        |over the q18/q76 arms on the 1%-panel. All new cost is one
+        |(query, doc) equi-join on panel×k lists.""".stripMargin,
+    "q267_token_spectrum" ->
+      """Token spectrum: one map-combined vocab aggregate (the q43
+        |exchange), then count-of-counts on the ≤64-octave keyspace; the
+        |cumulative window is a single partition of ≤64 rows by
+        |construction — not a corpus sort.""".stripMargin,
     "q264_embedding_drift" ->
       """Embedding drift: one posexplode + dim-keyed partial aggregate
         |per snapshot (the q250 moment pass without the triangle); the

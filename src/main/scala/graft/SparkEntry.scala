@@ -2289,6 +2289,26 @@ object SparkEntry {
         probes = Seq(1, 2, 4, 8))
     },
 
+    // corpus-shape observability: the token frequency SPECTRUM (count of
+    // counts by floor-log2 octave, exact ppm shares) — how occurrence
+    // mass concentrates across rarity bands; the Zipf-shape health check
+    // complementing q252's growth curve. One vocab-keyed aggregate, then
+    // ≤64-octave keyspace arithmetic
+    "q267_token_spectrum" -> ((s, d) =>
+      graft.ext.TextAnalysis.tokenSpectrum(Tables.documents(s, d))),
+
+    // int8-quantization acceptance: AO between the exact-float and the
+    // integer-dot rankings on the 1%-panel — q76 ships the compressed
+    // ranker, this measures what the compression does to result ORDER
+    // (the q261 evaluation with the arms swapped; pure reuse)
+    "q266_quantization_agreement" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.rankAgreement(
+        Similarity.bruteForceTopK(q, emb, k = 5),
+        Similarity.quantizedTopK(q, emb, k = 5), depth = 5)
+    },
+
     // curation observability: the kill matrix — per gate, total vs
     // EXCLUSIVE rejections (docs no other gate catches). A gate with
     // n_exclusive ≈ 0 is redundant with the cascade and can relax for
@@ -2965,6 +2985,9 @@ object SparkEntry {
     "q263_filter_attribution" -> Oracles.filterAttribution(10L, 0.66, 0.2),
     "q264_embedding_drift" -> Oracles.embeddingDrift(10),
     "q265_probe_recall_curve" -> Oracles.ivfProbeCurve(37, 100, 5, Seq(1, 2, 4, 8)),
+    "q266_quantization_agreement" -> Oracles.rankAgreementSql(5,
+      Oracles.cosineTopK(100, 5), Oracles.quantizedTopK(100, 5)),
+    "q267_token_spectrum" -> Oracles.tokenSpectrum,
     // the oracle recomputes the component FROM SCRATCH over the whole
     // corpus — a hash match proves the merged-moment retrain is exactly
     // the batch result

@@ -102,6 +102,42 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Token frequency spectrum — the count-of-counts distribution: per
+    * frequency OCTAVE (floor-log2 of a type's corpus count, the native
+    * [[graft.functions.BinLength]] minus one), how many distinct types
+    * land there and how much occurrence mass they carry, with the
+    * cumulative share. The Zipf-shape health check a tokenizer/dedup
+    * decision reads: octave 0 (singletons) carrying a large occurrence
+    * share means a long contamination-prone tail; a fat top octave means
+    * boilerplate [[topTokens]] will name. Complements [[vocabGrowth]]
+    * (how vocabulary accumulates) with how it CONCENTRATES.
+    *
+    * Scale shape: one token-keyed aggregate (map-side combined) to type
+    * counts, then an octave rollup over the vocabulary and a cumulative
+    * window over ≤ 64 octave rows. Shares are exact integer ppm.
+    */
+  def tokenSpectrum(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val oct = counts.groupBy(
+        (call_function(graft.functions.LogBucketFunctions.BinLenName,
+          col("n")) - 1).as("octave"))
+      .agg(count(lit(1)).as("n_types"), sum("n").as("n_occurrences"))
+    val tot = oct.agg(sum("n_occurrences").as("__t"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("octave")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    oct.crossJoin(broadcast(tot))
+      .withColumn("occ_share_ppm",
+        expr("n_occurrences * 1000000L div __t"))
+      .withColumn("__cum", sum("n_occurrences").over(w))
+      .withColumn("cum_occ_share_ppm", expr("__cum * 1000000L div __t"))
+      .select(col("octave").cast("int").as("octave"), col("n_types"),
+        col("n_occurrences"), col("occ_share_ppm"), col("cum_occ_share_ppm"))
+  }
+
   /** A BPE-ish subword count: alpha runs, digit runs, and single
     * non-alphanumeric marks each count as one token (regex approximation of
     * byte-pair pretokenization). Match-counting, not splitting — "ab12" is

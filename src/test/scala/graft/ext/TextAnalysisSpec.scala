@@ -354,4 +354,21 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(again.toSeq == out.toSeq)
   }
+
+  test("tokenSpectrum: hand-built count-of-counts — octaves, exact ppm shares") {
+    // counts: a×1 (octave 0), b×2, c×3 (octave 1), d×5 (octave 2); total 11
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "a b c d d"), Row(2L, "b c c d d d")))
+    val out = TextAnalysis.tokenSpectrum(d).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out == Map(
+      0 -> (1L, 1L, 90909L, 90909L),
+      1 -> (2L, 5L, 454545L, 545454L),
+      2 -> (1L, 5L, 454545L, 1000000L)))
+    val again = TextAnalysis.tokenSpectrum(d.repartition(5)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(again == out)
+  }
 }
