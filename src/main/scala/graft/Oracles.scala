@@ -5415,6 +5415,47 @@ object Oracles {
        |FROM lm GROUP BY 1""".stripMargin
   }
 
+  /** q269: sketch-error audit — the q236 estimates joined to the exact
+    * nearest-rank values under the SAME `(n·q + 99) // 100` rank rule,
+    * relative error in ppm.
+    */
+  def logHistErrorAudit(subBits: Int, qs: Seq[Int]): String =
+    s"""WITH est AS (${logHistQuantiles(subBits, qs)}),
+       |v AS (
+       |  SELECT o_orderpriority AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+       |    o_orderkey
+       |  FROM orders),
+       |r AS (
+       |  SELECT g, x,
+       |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, o_orderkey) AS rn,
+       |    COUNT(*) OVER (PARTITION BY g) AS n
+       |  FROM v),
+       |e AS (
+       |  SELECT g, q.quantile, x AS exact_cents
+       |  FROM r CROSS JOIN (VALUES ${qs.map(q => s"($q)").mkString(", ")}) AS q(quantile)
+       |  WHERE rn = (n * q.quantile + 99) // 100)
+       |SELECT est.o_orderpriority, est.quantile, e.exact_cents, est.est_cents,
+       |  CAST(abs(est_cents - exact_cents) * 1000000
+       |    // GREATEST(exact_cents, 1) AS BIGINT) AS err_ppm
+       |FROM est JOIN e ON e.g = est.o_orderpriority AND e.quantile = est.quantile""".stripMargin
+
+  /** q268: cross-source boilerplate matrix — distinct shared CDC chunk
+    * fingerprints per unordered source pair (the q235 (fp, chars) key,
+    * trivial chunks excluded).
+    */
+  def crossSourceChunkDups(chunkMod: Int): String =
+    s"""WITH chunks AS (${cdcChunks(chunkMod)}),
+       |fs AS (
+       |  SELECT DISTINCT chunk_fp, chunk_chars, d.source AS src
+       |  FROM chunks JOIN documents d USING (doc_id)
+       |  WHERE chunk_chars >= 3)
+       |SELECT a.src AS src_a, b.src AS src_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shared_chunks
+       |FROM fs a JOIN fs b
+       |  ON a.chunk_fp = b.chunk_fp AND a.chunk_chars = b.chunk_chars
+       |  AND a.src < b.src
+       |GROUP BY 1, 2""".stripMargin
+
   /** q267: token frequency spectrum — count-of-counts by floor-log2
     * octave with exact ppm occurrence shares (the portable bin()-length
     * spelling of the native BinLength octave).

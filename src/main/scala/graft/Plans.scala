@@ -992,6 +992,17 @@ object Plans {
         |epoch, weights as literals); the curve adds ONE map-combined
         |aggregate whose key is the native BinLength octave — band
         |keyspace ≈ 128 rows out, no fact shuffle, no float.""".stripMargin,
+    "q268_cross_source_dups" ->
+      """Cross-source matrix: chunking stays the zero-shuffle q234 path;
+        |the only exchanges are the DISTINCT (fp, source) collapse and
+        |the fp-keyed pair join whose per-key width is bounded by the
+        |source count. Output is the source-pair keyspace.""".stripMargin,
+    "q269_sketch_error_audit" ->
+      """Sketch certification: the estimate side is the O(octaves·16)
+        |mergeable sketch; the exact side deliberately pays one per-group
+        |fact sort (what the sketch avoids) to certify the bound — run on
+        |a sample/shard at 100 TB. Both sides share the rank rule, so the
+        |join is (group × quantile)-keyspace.""".stripMargin,
     "q266_quantization_agreement" ->
       """Quantization acceptance: pure reuse — the q261 AO evaluation
         |over the q18/q76 arms on the 1%-panel. All new cost is one

@@ -2289,6 +2289,29 @@ object SparkEntry {
         probes = Seq(1, 2, 4, 8))
     },
 
+    // certify the sketch: q236's estimates NEXT TO the exact
+    // nearest-rank values under the same rank rule, relative error in
+    // ppm — the measured proof the 2^-4 design bound holds on real data
+    // (the audit pays the per-group sort the sketch avoids, once)
+    "q269_sketch_error_audit" -> { (s, d) =>
+      val cents = Tables.orders(s, d).select(col("o_orderpriority"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+        col("o_orderkey"))
+      graft.ext.Sketch.logHistErrorAudit(cents, "cents", "o_orderkey",
+          Seq("o_orderpriority"), subBits = 4)
+        .select(col("o_orderpriority"), col("quantile"),
+          col("exact").as("exact_cents"), col("est").as("est_cents"),
+          col("err_ppm"))
+    },
+
+    // crawl-dedup triage: which source pairs share templated spans —
+    // distinct CDC chunk fingerprints present in BOTH sources of each
+    // pair (q235's per-doc shared mass, pivoted to the source-pair
+    // matrix). Chunking is the narrow q234 path; the matrix join is
+    // fp-keyed over DISTINCT (fp, source) rows
+    "q268_cross_source_dups" -> ((s, d) =>
+      Dedup.crossSourceChunkDups(Tables.documents(s, d), chunkMod = 64)),
+
     // corpus-shape observability: the token frequency SPECTRUM (count of
     // counts by floor-log2 octave, exact ppm shares) — how occurrence
     // mass concentrates across rarity bands; the Zipf-shape health check
@@ -2988,6 +3011,8 @@ object SparkEntry {
     "q266_quantization_agreement" -> Oracles.rankAgreementSql(5,
       Oracles.cosineTopK(100, 5), Oracles.quantizedTopK(100, 5)),
     "q267_token_spectrum" -> Oracles.tokenSpectrum,
+    "q268_cross_source_dups" -> Oracles.crossSourceChunkDups(64),
+    "q269_sketch_error_audit" -> Oracles.logHistErrorAudit(4, Seq(50, 90, 99)),
     // the oracle recomputes the component FROM SCRATCH over the whole
     // corpus — a hash match proves the merged-moment retrain is exactly
     // the batch result

@@ -1091,4 +1091,34 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** Cross-source boilerplate matrix: for each unordered source pair,
+    * how many distinct CDC chunk fingerprints ([[cdcChunks]], the
+    * chunkDupStats (fp, chars) key, trivial < 3-char chunks excluded)
+    * appear in BOTH — where templated spans FLOW between sources
+    * (syndication, mirrored feeds, shared footers). q235 reports how
+    * much of each DOC is shared; this reports which source pairs share,
+    * the matrix a crawl-dedup triage reads to pick what to dedup against
+    * what.
+    *
+    * Scale shape: chunking is the narrow q234 path; the matrix join is
+    * keyed on chunk fingerprint with each side pre-collapsed to DISTINCT
+    * (fp, source) — same-fp groups are bounded by the source count, so
+    * the pair explosion is ≤ |sources|² per fingerprint, and the output
+    * is the source-pair keyspace.
+    */
+  def crossSourceChunkDups(docs: DataFrame, chunkMod: Int = 64,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           srcCol: String = "source"): DataFrame = {
+    val fs = cdcChunks(docs, chunkMod, idCol, textCol)
+      .filter(col("chunk_chars") >= 3)
+      .join(docs.select(col(idCol), col(srcCol).as("src")), Seq(idCol))
+      .select(col("chunk_fp"), col("chunk_chars"), col("src")).distinct()
+    fs.select(col("chunk_fp"), col("chunk_chars"), col("src").as("src_a"))
+      .join(fs.select(col("chunk_fp"), col("chunk_chars"), col("src").as("src_b")),
+        Seq("chunk_fp", "chunk_chars"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared_chunks"))
+  }
 }

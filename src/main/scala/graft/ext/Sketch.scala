@@ -553,4 +553,43 @@ object Sketch {
       .groupBy((groupCols :+ "quantile").map(col): _*)
       .agg(min(col("rep")).as("est"), max(col("n")).as("n"))
   }
+
+  /** Sketch-error audit: per (group, quantile), the [[logHistQuantiles]]
+    * estimate NEXT TO the exact nearest-rank value under the SAME rank
+    * rule, with the relative error in ppm — the measured "trust the
+    * sketch" evidence (the log-linear design bounds error at 2^-subBits
+    * relative, ~6.25% at subBits 4; exact below 2^(subBits+1)). Run this
+    * on a sample or one shard when the exact side is too big to sort;
+    * the REGISTERED comparison is the proof the bound holds on real
+    * data, not just in the design note.
+    *
+    * Scale shape: the sketch side is the O(octaves·2^subBits) mergeable
+    * state; the exact side per-group sorts the facts — the audit
+    * deliberately pays the cost the sketch avoids, once, to certify it.
+    */
+  def logHistErrorAudit(data: DataFrame, xCol: String, tieCol: String,
+                        groupCols: Seq[String], subBits: Int = 4,
+                        qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val est = logHistQuantiles(
+        logHistogram(data.select((groupCols :+ xCol).map(col): _*),
+          col(xCol), groupCols, subBits), groupCols, qs)
+      .select(groupCols.map(col) :+ col("quantile") :+ col("est"): _*)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(xCol), col(tieCol))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val exact = data.select((groupCols :+ xCol :+ tieCol).map(col): _*)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(groupCols.map(col) ++ Seq(col(xCol), col("rn"), col("n"),
+        explode(array(qs.map(lit): _*)).as("quantile")): _*)
+      .filter(col("rn") === expr("(n * quantile + 99) div 100"))
+      .select(groupCols.map(col) ++ Seq(col("quantile"),
+        col(xCol).as("exact")): _*)
+    est.join(exact, groupCols :+ "quantile")
+      .withColumn("err_ppm",
+        expr("abs(est - exact) * 1000000L div greatest(exact, 1L)"))
+      .select(groupCols.map(col) ++ Seq(col("quantile"), col("exact"),
+        col("est"), col("err_ppm")): _*)
+  }
 }

@@ -422,4 +422,19 @@ class DedupSpec extends SparkSpec {
     // mass accounting: n_chars equals the doc's text length
     assert(out(1L)._2 == (shared + " one unique tail here").length)
   }
+
+  test("crossSourceChunkDups: identical docs across sources share every chunk; disjoint texts share none") {
+    val t = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val d = df("doc_id BIGINT, text STRING, source STRING", Seq(
+      Row(1L, t, "alpha"), Row(2L, t, "beta"),       // full copy across sources
+      Row(3L, "zzz wwww qqqq kkkk xxxx yyyy vvvv", "gamma"))) // disjoint alphabet
+    val out = Dedup.crossSourceChunkDups(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nChunks = Dedup.cdcChunks(d.filter(col("doc_id") === 1L))
+      .filter(col("chunk_chars") >= 3).count()
+    assert(out.keySet == Set(("alpha", "beta")), s"unexpected pairs: $out")
+    assert(out(("alpha", "beta")) == nChunks)
+    // pair key is ordered: src_a < src_b always
+    assert(out.keys.forall { case (a, b) => a < b })
+  }
 }

@@ -324,4 +324,19 @@ class SketchSpec extends SparkSpec {
     // bounded state: bucket rows ≤ octaves · 2^subBits (+ exact small buckets)
     assert(direct.count() <= (64 - 4) * 16 + 32)
   }
+
+  test("logHistErrorAudit: every estimate within the 2^-subBits design bound; exact below the cap") {
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderpriority"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+        col("o_orderkey"))
+    val out = Sketch.logHistErrorAudit(orders, "cents", "o_orderkey",
+      Seq("o_orderpriority"), subBits = 4).collect()
+    assert(out.nonEmpty)
+    // relative error ≤ 2^-4 (62500 ppm) by construction: rep ≤ true < rep·(1+1/16)
+    assert(out.forall(_.getLong(4) <= 62500L),
+      out.filter(_.getLong(4) > 62500L).mkString(", "))
+    // the estimate is the bucket's LOWER bound: never above the exact value
+    assert(out.forall(r => r.getLong(3) <= r.getLong(2)))
+  }
 }
