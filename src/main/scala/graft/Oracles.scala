@@ -227,6 +227,42 @@ object Oracles {
        |SELECT a.doc_id, MIN(bucket_rep) AS cluster_rep
        |FROM b2 a JOIN bucket USING (band, bkey) GROUP BY 1""".stripMargin
 
+  /** Mirrors Dedup.lshTuningCurve on an affine-hash doc sample: universe
+    * pairs from the loosest config's banding (DISTINCT — same set as the
+    * Spark side's first-band emit), stricter configs as signature-equality
+    * flags (bands nest), exact-Jaccard decile from the shingle-intersect
+    * join, integer division throughout.
+    */
+  def lshTuningCurve(k: Int = 16, configs: Seq[Int] = Seq(4, 8, 16),
+                     samplePermille: Int = 300): String = {
+    val rs = configs.distinct.sorted
+    def cand(r: Int): String =
+      (0 until k / r).map { b =>
+        (b * r until (b + 1) * r).map(j => s"sa.h$j = sb.h$j").mkString("(", " AND ", ")")
+      }.mkString("(", " OR ", ")")
+    val flags = rs.map(r => s"${cand(r)} AS c$r").mkString(", ")
+    val arms = rs.map(r => s"SELECT id_a, id_b, $r AS rows_per_band FROM fl WHERE c$r")
+      .mkString("\n           UNION ALL ")
+    s"""WITH ${shingleCtes(s" AND (${affineHashSql("doc_id", 7)}) % 1000 < $samplePermille")},
+       |${sigCte(k)}, ${bandedCtes(k, rs.head)},
+       |pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |       FROM b2 a JOIN b2 b ON a.band = b.band AND a.bkey = b.bkey
+       |       WHERE a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM enc GROUP BY 1),
+       |it AS (SELECT p.id_a, p.id_b, CAST(COUNT(*) AS BIGINT) AS inter
+       |       FROM pr p JOIN enc ea ON ea.doc_id = p.id_a
+       |       JOIN enc eb ON eb.doc_id = p.id_b AND eb.x = ea.x GROUP BY 1, 2),
+       |jd AS (SELECT id_a, id_b,
+       |         CAST((1000 * inter // (sa.n + sb.n - inter)) // 100 AS INTEGER) AS j_decile
+       |       FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b),
+       |fl AS (SELECT p.id_a, p.id_b, $flags
+       |       FROM pr p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b),
+       |ex AS ($arms)
+       |SELECT CAST(rows_per_band AS INTEGER) AS rows_per_band, j_decile,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM ex JOIN jd USING (id_a, id_b) GROUP BY 1, 2""".stripMargin
+  }
+
   def simhash(bits: Int = 32): String = {
     // mirrors Dedup.encodeToken: per-codepoint fold mod 128 (overflow-proof
     // for non-ASCII; identity for ASCII)
@@ -1353,6 +1389,59 @@ object Oracles {
        |)
        |SELECT token, n, CAST(MIN(cnt) AS BIGINT) AS est
        |FROM qb JOIN sketch USING (r, bucket) GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Mirrors Sketch.cmJoinSize over orders(o_custkey) ⋈ events(user_id):
+    * per-key counts fold into two depth×width Count-Min sketches sharing
+    * the CmJ hash block; per-row inner products, min-row estimate, exact
+    * count-join, err in ppm. All-integer arithmetic.
+    */
+  def cmJoinSize(depth: Int, width: Int): String = {
+    val bucketCases = (0 until depth).map(r =>
+      s"WHEN $r THEN (${mixSql("k", ext.Sketch.CmJ + 2 * r)}) % $width").mkString(" ")
+    val rows = (0 until depth).map(r => s"($r)").mkString(",")
+    val perRow = (0 until depth).map(r =>
+      s"MIN(CASE WHEN r = $r THEN ip END) AS est_r$r").mkString(", ")
+    s"""WITH ca AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS na FROM orders GROUP BY 1),
+       |cb AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS nb FROM events GROUP BY 1),
+       |ska AS (
+       |  SELECT r, CASE r $bucketCases END AS bucket, CAST(SUM(na) AS BIGINT) AS cnt
+       |  FROM ca CROSS JOIN (VALUES $rows) v(r) GROUP BY 1, 2),
+       |skb AS (
+       |  SELECT r, CASE r $bucketCases END AS bucket, CAST(SUM(nb) AS BIGINT) AS cnt
+       |  FROM cb CROSS JOIN (VALUES $rows) v(r) GROUP BY 1, 2),
+       |ip AS (SELECT a.r, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS ip
+       |       FROM ska a JOIN skb b ON a.r = b.r AND a.bucket = b.bucket GROUP BY 1),
+       |est AS (SELECT $perRow, CAST(MIN(ip) AS BIGINT) AS est_pairs FROM ip),
+       |ex AS (SELECT CAST(SUM(na * nb) AS BIGINT) AS exact_pairs FROM ca JOIN cb USING (k))
+       |SELECT est.*, exact_pairs,
+       |  CAST(est_pairs * 1000000 // exact_pairs - 1000000 AS BIGINT) AS err_ppm
+       |FROM est, ex""".stripMargin
+  }
+
+  /** Mirrors Sampling.coordinatedJoinSample over the same join: both sides
+    * filtered by the SHARED CoordJ key hash, sampled-join counts scaled by
+    * 1000÷permille, signed err via subtraction after a non-negative
+    * division. Groups with no sampled mass survive via the right join.
+    */
+  def coordinatedJoinSample(permille: Int): String = {
+    val keepA = s"(${mixSql("o_custkey", ext.Sampling.CoordJ)}) % 1000 < $permille"
+    val keepB = s"(${mixSql("user_id", ext.Sampling.CoordJ)}) % 1000 < $permille"
+    s"""WITH sp AS (
+       |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS sample_pairs
+       |  FROM (SELECT o_orderpriority, o_custkey FROM orders WHERE $keepA) a
+       |  JOIN (SELECT user_id FROM events WHERE $keepB) b ON a.o_custkey = b.user_id
+       |  GROUP BY 1),
+       |ex AS (
+       |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS exact_pairs
+       |  FROM orders JOIN events ON o_custkey = user_id GROUP BY 1)
+       |SELECT o_orderpriority,
+       |  CAST(COALESCE(sample_pairs, 0) AS BIGINT) AS sample_pairs,
+       |  CAST(COALESCE(sample_pairs, 0) * 1000 // $permille AS BIGINT) AS est_pairs,
+       |  exact_pairs,
+       |  CAST(COALESCE(sample_pairs, 0) * 1000 // $permille * 1000000 // exact_pairs
+       |    - 1000000 AS BIGINT) AS err_ppm
+       |FROM ex LEFT JOIN sp USING (o_orderpriority)""".stripMargin
   }
 
   /** Mirrors Sketch.bloomSemiJoin: orders surviving the k-hash Bloom

@@ -992,6 +992,27 @@ object Plans {
         |epoch, weights as literals); the curve adds ONE map-combined
         |aggregate whose key is the native BinLength octave — band
         |keyspace ≈ 128 rows out, no fact shuffle, no float.""".stripMargin,
+    "q270_lsh_curve" ->
+      """S-curve probe: ONE signature pass (its shuffle reused across the
+        |universe self-join's sides via AQE stage reuse); stricter configs
+        |are per-pair column-equality flags on the joined signatures —
+        |bands nest, so no extra self-joins. The Jaccard join is bounded
+        |by candidates × per-doc shingles, and the whole probe runs on a
+        |300-permille coordinated doc sample (the 100 TB posture: tuning
+        |curves read samples, production banding reads the corpus).""".stripMargin,
+    "q271_cm_join_size" ->
+      """Join-size estimator: both sides collapse to per-key counts
+        |(map-side partial) before anything else; the sketches are
+        |O(depth·width) rows, their cell join and the exact count-join
+        |are summary-sized. At 100 TB the sketches are the per-partition
+        |mergeable artifact; only the certification arm pays the exact
+        |count-join, and only at audit scale.""".stripMargin,
+    "q272_coord_join_sample" ->
+      """Coordinated sampling: the key-hash predicate filters BOTH scans
+        |before the join (pushed to the column read), so every downstream
+        |stage is permille-sized; the exact arm is the certification cost.
+        |Right join from the exact arm keeps zero-mass groups visible —
+        |an estimator that silently drops a group is a trap at scale.""".stripMargin,
     "q268_cross_source_dups" ->
       """Cross-source matrix: chunking stays the zero-shuffle q234 path;
         |the only exchanges are the DISTINCT (fp, source) collapse and

@@ -2312,6 +2312,37 @@ object SparkEntry {
     "q268_cross_source_dups" -> ((s, d) =>
       Dedup.crossSourceChunkDups(Tables.documents(s, d), chunkMod = 64)),
 
+    // the measured LSH S-curve: one signature pass, candidate universe at
+    // the loosest config (bands nest → stricter arms are per-pair flag
+    // tests, not more self-joins), exact-Jaccard deciles from a
+    // candidate-bounded shingle-intersect join. Gated on a 300‰ hash
+    // sample of docs — the 100 TB posture for a tuning probe, and what
+    // keeps the template-dense corpus's candidate set linear-ish here
+    "q270_lsh_curve" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .filter(Dedup.affineHash(col("doc_id"), 7) % 1000 < 300)
+      Dedup.lshTuningCurve(docs, k = 16, configs = Seq(4, 8, 16))
+    },
+
+    // join-size estimation from two mergeable Count-Min summaries (the
+    // AMS inner-product estimator) CERTIFIED against the exact count-join
+    // — the number a planner reads to size a shuffle before running it.
+    // width=256 forces real collisions so the audit exercises the
+    // min-over-rows correction, not a trivially-exact sketch
+    "q271_cm_join_size" -> ((s, d) =>
+      graft.ext.Sketch.cmJoinSize(
+        Tables.orders(s, d), col("o_custkey"),
+        Tables.events(s, d), col("user_id"), depth = 4, width = 256)),
+
+    // coordinated (universe) join sampling: both sides keep the keys whose
+    // SHARED hash lands under 100‰, so the sampled join is a keyspace
+    // partition of the real join — est = sample×10, certified per
+    // priority against the full join (signed err via subtraction)
+    "q272_coord_join_sample" -> ((s, d) =>
+      graft.ext.Sampling.coordinatedJoinSample(
+        Tables.orders(s, d), "o_custkey", Tables.events(s, d), "user_id",
+        groupCol = "o_orderpriority", permille = 100)),
+
     // corpus-shape observability: the token frequency SPECTRUM (count of
     // counts by floor-log2 octave, exact ppm shares) — how occurrence
     // mass concentrates across rarity bands; the Zipf-shape health check
@@ -3013,6 +3044,9 @@ object SparkEntry {
     "q267_token_spectrum" -> Oracles.tokenSpectrum,
     "q268_cross_source_dups" -> Oracles.crossSourceChunkDups(64),
     "q269_sketch_error_audit" -> Oracles.logHistErrorAudit(4, Seq(50, 90, 99)),
+    "q270_lsh_curve" -> Oracles.lshTuningCurve(16, Seq(4, 8, 16), 300),
+    "q271_cm_join_size" -> Oracles.cmJoinSize(4, 256),
+    "q272_coord_join_sample" -> Oracles.coordinatedJoinSample(100),
     // the oracle recomputes the component FROM SCRATCH over the whole
     // corpus — a hash match proves the merged-moment retrain is exactly
     // the batch result

@@ -1121,4 +1121,73 @@ object Dedup {
       .groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("n_shared_chunks"))
   }
+
+  /** The measured LSH S-curve — the table a banding-parameter decision
+    * reads. For one k-hash signature pass, evaluate every (rowsPerBand r,
+    * bands k/r) config on the SAME corpus: per (config, exact-Jaccard
+    * decile), how many candidate pairs that config emits. Stricter r
+    * slides the collision curve right (fewer low-similarity false
+    * positives, more missed near-dups); this measures the trade on the
+    * real corpus instead of trusting the analytic 1−(1−s^r)^b curve.
+    *
+    * One signature computation serves every arm. The candidate UNIVERSE
+    * is the loosest config's pair set (r = min): bands NEST — an r-row
+    * band is the concatenation of its r/2-row halves, so agreement on it
+    * implies agreement on both halves — giving candidates(2r) ⊆
+    * candidates(r). Stricter arms are then per-pair FLAG tests on the
+    * joined signatures (16 column equalities), not three more self-joins.
+    *
+    * Exact Jaccard per universe pair: the affine hash is injective on
+    * shingle codes (codes < 2²⁴ < P), so agreeing min-hashes guarantee a
+    * shared shingle — every universe pair genuinely overlaps, and the
+    * intersect join below is an equi-join on (doc, shingle) bounded by
+    * candidate pairs × per-doc distinct shingles, never corpus-pairwise.
+    * `j_decile = (1000·|∩| div |∪|) div 100` — integer, engine-portable.
+    *
+    * Scale shape: signatures + banding are the q15 path (its shuffle is
+    * reused across the universe join's sides via AQE stage reuse); the
+    * per-pair stages are candidate-sized. At 100 TB the universe arm
+    * inherits minHashCandidatePairs' caveat that r=2 banding on a dense
+    * template family can go quadratic — run the curve on a hash-permille
+    * document sample (coordinated, so all arms see the same docs), which
+    * changes no per-pair semantics.
+    */
+  def lshTuningCurve(docs: DataFrame, k: Int = 16,
+                     configs: Seq[Int] = Seq(2, 4, 8, 16),
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rs = configs.distinct.sorted
+    require(rs.nonEmpty && rs.forall(r => r > 0 && k % r == 0),
+      s"each rowsPerBand must divide k=$k: $configs")
+    val sigs = minHashSignatures(docs, k, idCol, textCol)
+    val universe = minHashCandidatePairs(sigs, k, rs.head, idCol)
+    val sa = sigs.select(col(idCol).as("id_a") +:
+      (0 until k).map(j => col(s"h$j").as(s"a$j")): _*)
+    val sb = sigs.select(col(idCol).as("id_b") +:
+      (0 until k).map(j => col(s"h$j").as(s"b$j")): _*)
+    def candAt(r: Int): Column =
+      (0 until k / r).map { band =>
+        ((band * r) until ((band + 1) * r))
+          .map(j => col(s"a$j") === col(s"b$j")).reduce(_ && _)
+      }.reduce(_ || _)
+    val sh = docs.select(col(idCol),
+      explode(graft.functions.ShingleFunctions.shingleCodes(col(textCol))).as("x"))
+    val sz = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
+    val inter = universe
+      .join(sh.select(col(idCol).as("id_a"), col("x")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("x")), Seq("id_b", "x"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val deciled = inter
+      .join(sz.select(col(idCol).as("id_a"), col("nsh").as("na")), Seq("id_a"))
+      .join(sz.select(col(idCol).as("id_b"), col("nsh").as("nb")), Seq("id_b"))
+      .withColumn("j_decile",
+        expr("cast(1000L * inter div (na + nb - inter) div 100 as int)"))
+    universe.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        explode(array(rs.map(r =>
+          when(candAt(r), lit(r))): _*)).as("rows_per_band"))
+      .filter(col("rows_per_band").isNotNull)
+      .join(deciled.select("id_a", "id_b", "j_decile"), Seq("id_a", "id_b"))
+      .groupBy(col("rows_per_band"), col("j_decile"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling for training-data pipelines.
@@ -497,5 +497,52 @@ object Sampling {
         sum(when(col("o") > 0, 1L).otherwise(0L)).as("n_cats"),
         max("dev_ppm").as("max_dev_ppm"),
         sum("dev_ppm").as("total_dev_ppm"))
+  }
+
+  /** mixHash family block for coordinated (universe) sampling: (410, 411). */
+  val CoordJ: Int = 410
+
+  /** Coordinated (universe) sampling of a JOIN: filter BOTH sides to the
+    * keys whose shared hash lands under `permille`, join the samples, and
+    * scale. Because the two sides agree on which keys survive (same hash,
+    * same family member), the join of the samples IS the join restricted
+    * to a 1000÷permille keyspace partition — unlike independent row
+    * sampling, where a surviving left row's matches are themselves
+    * decimated and the estimator needs a 1/p² correction on a much
+    * noisier count. This is the standard way to estimate a 100 TB join's
+    * size/skew profile from a fraction of the data: both sides prune at
+    * the SCAN (the hash predicate pushes into the key column read), and
+    * everything downstream is permille-sized.
+    *
+    * Output: one certification row per `groupCol` value (from side A):
+    * `sample_pairs` (measured in the sampled universe), `est_pairs =
+    * sample·1000 div permille`, `exact_pairs` (the full join, computed
+    * once — the audit pays what the sample avoids), and a signed
+    * `err_ppm = est·10⁶ div exact − 10⁶` (division operands non-negative;
+    * the subtraction carries the sign — engine-portable).
+    *
+    * Groups whose exact join mass is entirely outside the sampled
+    * universe would vanish from an inner join of the two arms; the
+    * estimate side therefore RIGHT-joins the exact arm so every group
+    * reports (sample 0, est 0, err −10⁶) rather than silently dropping.
+    */
+  def coordinatedJoinSample(a: DataFrame, aKey: String, b: DataFrame,
+                            bKey: String, groupCol: String,
+                            permille: Int = 100): DataFrame = {
+    require(permille >= 1 && permille <= 1000, s"permille out of range: $permille")
+    def keep(key: String): Column =
+      Dedup.mixHash(col(key), CoordJ) % 1000 < permille
+    val sampled = a.filter(keep(aKey))
+      .join(b.filter(keep(bKey)), col(aKey) === col(bKey))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("sample_pairs"))
+    val exact = a.join(b, col(aKey) === col(bKey))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("exact_pairs"))
+    sampled.join(exact, Seq(groupCol), "right")
+      .withColumn("sample_pairs", coalesce(col("sample_pairs"), lit(0L)))
+      .withColumn("est_pairs", expr(s"sample_pairs * 1000L div $permille"))
+      .withColumn("err_ppm",
+        expr("est_pairs * 1000000L div exact_pairs - 1000000L"))
   }
 }

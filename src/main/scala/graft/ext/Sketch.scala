@@ -329,6 +329,54 @@ object Sketch {
       .agg(min(col("cnt")).as("est"))
   }
 
+  /** Join-size estimation from two Count-Min sketches (the classic
+    * AMS-style inner-product estimator): |A ⋈ B| on an equi-key equals
+    * Σ_k cntA(k)·cntB(k), and the per-row sketch inner product
+    * Σ_b cellA[r][b]·cellB[r][b] upper-bounds it (hash collisions only
+    * ever ADD cross terms). The estimate is min over the depth rows — the
+    * number a 100 TB query planner reads to size a join's shuffle BEFORE
+    * running it, from two O(depth·width) summaries it can keep per
+    * table/partition and merge by cell addition.
+    *
+    * Both sketches MUST share the hash family (they do by construction:
+    * [[countMinSketch]] pins the CmJ block), or the inner product is
+    * meaningless.
+    *
+    * Output is a single certification row: the per-row estimates
+    * `est_r0..est_r{depth-1}`, their min `est_pairs`, the exact join size
+    * `exact_pairs` (one count-join — the audit pays what the sketch
+    * avoids, once), and `err_ppm = est·10⁶ div exact − 10⁶` (≥ 0 because
+    * the estimator never undercounts). All arithmetic integer; the ppm
+    * numerator stays < 2⁶³ for join sizes up to ~9·10¹².
+    *
+    * Plan shape: two key-count aggregates (map-side partial), each folded
+    * to depth·width cells; the cell join and the exact count-join are
+    * both tiny (sketch-sized / distinct-key-sized). Nothing touches the
+    * raw pair set.
+    */
+  def cmJoinSize(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+                 depth: Int = 4, width: Int = 2048): DataFrame = {
+    // per-key partial counts feed BOTH the sketch (weighted — identical
+    // cells to per-occurrence input, one corpus pass) and the exact side
+    val ca = a.select(aKey.as("k")).groupBy("k").agg(count(lit(1)).as("na"))
+    val cb = b.select(bKey.as("k")).groupBy("k").agg(count(lit(1)).as("nb"))
+    val ska = countMinSketchWeighted(ca, col("k"), col("na"), depth, width)
+    val skb = countMinSketchWeighted(cb, col("k"), col("nb"), depth, width)
+    val rows = ska.join(skb.withColumnRenamed("cnt", "cnt_b"),
+        Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("cnt") * col("cnt_b")).as("ip"))
+    val perRow = rows.groupBy().pivot("row", 0 until depth).agg(first("ip"))
+      .select((0 until depth).map(r => col(r.toString).as(s"est_r$r")): _*)
+      .withColumn("est_pairs",
+        least((0 until depth).map(r => col(s"est_r$r")): _*))
+    val exact = ca.join(cb, Seq("k"))
+      .agg(sum(col("na") * col("nb")).as("exact_pairs"))
+    perRow.crossJoin(broadcast(exact))
+      .withColumn("err_ppm",
+        expr("est_pairs * 1000000L div exact_pairs - 1000000L"))
+  }
+
   // ------------------------------------------------------------------ Bloom
 
   /** First family member of the Bloom mixHash pairs: probe i uses (230+2i, 231+2i). */

@@ -437,4 +437,33 @@ class DedupSpec extends SparkSpec {
     // pair key is ordered: src_a < src_b always
     assert(out.keys.forall { case (a, b) => a < b })
   }
+
+  // ------------------------------------------------------ LSH tuning curve
+
+  test("lshTuningCurve: loosest arm counts the whole candidate universe; stricter arms shrink; exact dups land in decile 10") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val docs = (0L until 24L).map { i =>
+      val text =
+        if (i == 20L || i == 21L) base + " twin"            // exact dup pair
+        else if (i % 2 == 0) base + s" variant number ${i}" // template family
+        else s"completely different text payload ${i} ${i * 31}"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val out = Dedup.lshTuningCurve(docs, k = 16, configs = Seq(4, 8, 16)).collect()
+    assert(out.forall(r => r.getAs[Int]("j_decile") >= 0 && r.getAs[Int]("j_decile") <= 10))
+    def total(r: Int) = out.filter(_.getAs[Int]("rows_per_band") == r)
+      .map(_.getAs[Long]("n_pairs")).sum
+    // every universe pair is a candidate at the loosest config by construction
+    val sigs = Dedup.minHashSignatures(docs, 16)
+    val universe = Dedup.minHashCandidatePairs(sigs, 16, rowsPerBand = 4).count()
+    assert(total(4) == universe)
+    assert(total(4) >= total(8) && total(8) >= total(16))
+    // identical docs agree on all 16 hashes -> present at EVERY config, decile 10
+    Seq(4, 8, 16).foreach { r =>
+      val ten = out.filter(x =>
+        x.getAs[Int]("rows_per_band") == r && x.getAs[Int]("j_decile") == 10)
+      assert(ten.nonEmpty && ten.head.getAs[Long]("n_pairs") >= 1L, s"config $r")
+    }
+  }
 }

@@ -389,4 +389,43 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
     assert(out.toSet == again.toSet)
   }
+
+  // ------------------------------------------- coordinated join sampling
+
+  test("coordinatedJoinSample: permille=1000 keeps everything and is exact") {
+    import spark.implicits._
+    val a = (0L until 60L).map(i => (i % 20L, if (i % 3 == 0) "x" else "y")).toDF("ka", "g")
+    val b = (0L until 40L).map(i => i % 10L).toDF("kb")
+    val out = Sampling.coordinatedJoinSample(a, "ka", b, "kb", "g", permille = 1000)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("sample_pairs") == r.getAs[Long]("exact_pairs"))
+      assert(r.getAs[Long]("est_pairs") == r.getAs[Long]("exact_pairs"))
+      assert(r.getAs[Long]("err_ppm") == 0L)
+    }
+  }
+
+  test("coordinatedJoinSample: sampled join == full join restricted to surviving keys; every group reports") {
+    import spark.implicits._
+    val a = (0L until 200L).map(i => (i % 50L, s"g${i % 4}")).toDF("ka", "g")
+    val b = (0L until 120L).map(i => i % 30L).toDF("kb")
+    val p = 400
+    val out = Sampling.coordinatedJoinSample(a, "ka", b, "kb", "g", permille = p)
+    // independent restriction of the FULL join to the sampled keyspace
+    val keep = Dedup.mixHash(col("ka"), Sampling.CoordJ) % 1000 < p
+    val direct = a.join(b, col("ka") === col("kb")).filter(keep)
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.collect().map(r =>
+      r.getAs[String]("g") -> r.getAs[Long]("sample_pairs")).toMap
+    // groups absent from the sampled universe still report (as zero)
+    assert(got.keySet == Set("g0", "g1", "g2", "g3"))
+    got.foreach { case (g, n) => assert(n == direct.getOrElse(g, 0L), s"group $g") }
+    out.collect().foreach { r =>
+      assert(r.getAs[Long]("sample_pairs") <= r.getAs[Long]("exact_pairs"))
+      assert(r.getAs[Long]("est_pairs") ==
+        r.getAs[Long]("sample_pairs") * 1000L / p)
+    }
+  }
 }

@@ -339,4 +339,41 @@ class SketchSpec extends SparkSpec {
     // the estimate is the bucket's LOWER bound: never above the exact value
     assert(out.forall(r => r.getLong(3) <= r.getLong(2)))
   }
+
+  // ------------------------------------------------------- CM join size
+
+  test("cmJoinSize: per-row inner products upper-bound the exact join size; est is their min") {
+    import spark.implicits._
+    // skewed key profile: key k appears k+1 times on side A, once on B
+    val a = (0L until 40L).flatMap(k => Seq.fill(k.toInt % 5 + 1)(k)).toDF("ka")
+    val b = (0L until 40L by 2L).toDF("kb")
+    val out = Sketch.cmJoinSize(a, col("ka"), b, col("kb"),
+      depth = 4, width = 16).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val exact = r.getAs[Long]("exact_pairs")
+    val ests = (0 until 4).map(i => r.getAs[Long](s"est_r$i"))
+    // independent exact: sum over matched keys of cntA * cntB
+    val direct = a.groupBy("ka").count().withColumnRenamed("count", "na")
+      .join(b.groupBy("kb").count().withColumnRenamed("count", "nb"),
+        col("ka") === col("kb"))
+      .agg(sum(col("na") * col("nb"))).as[Long].head()
+    assert(exact == direct)
+    assert(ests.forall(_ >= exact), s"row estimate under exact: $ests vs $exact")
+    assert(r.getAs[Long]("est_pairs") == ests.min)
+    assert(r.getAs[Long]("err_ppm") ==
+      ests.min * 1000000L / exact - 1000000L)
+  }
+
+  test("cmJoinSize: occurrence multiplicity flows through the weighted sketch (doubling one side doubles everything)") {
+    import spark.implicits._
+    val a = (0L until 30L).toDF("k")
+    val b = (0L until 30L by 3L).toDF("k")
+    val once = Sketch.cmJoinSize(a, col("k"), b, col("k"), 4, 8).collect().head
+    val twice = Sketch.cmJoinSize(a.union(a), col("k"), b, col("k"), 4, 8).collect().head
+    assert(twice.getAs[Long]("exact_pairs") == 2 * once.getAs[Long]("exact_pairs"))
+    (0 until 4).foreach { i =>
+      assert(twice.getAs[Long](s"est_r$i") == 2 * once.getAs[Long](s"est_r$i"))
+    }
+  }
 }
