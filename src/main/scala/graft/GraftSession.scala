@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LongL2Squared].getName, VectorFunctions.L2SqName),
       (args: Seq[Expression]) => LongL2Squared(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier(VectorFunctions.SortedInterName),
+      new ExpressionInfo(classOf[functions.SortedInterCount].getName,
+        VectorFunctions.SortedInterName),
+      (args: Seq[Expression]) => functions.SortedInterCount(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier(ShingleFunctions.CodesName),
       new ExpressionInfo(classOf[ShingleCodes].getName, ShingleFunctions.CodesName),
       (args: Seq[Expression]) => ShingleCodes(args(0))))

@@ -1137,20 +1137,23 @@ object Dedup {
     * candidates(r). Stricter arms are then per-pair FLAG tests on the
     * joined signatures (16 column equalities), not three more self-joins.
     *
-    * Exact Jaccard per universe pair: the affine hash is injective on
-    * shingle codes (codes < 2²⁴ < P), so agreeing min-hashes guarantee a
-    * shared shingle — every universe pair genuinely overlaps, and the
-    * intersect join below is an equi-join on (doc, shingle) bounded by
-    * candidate pairs × per-doc distinct shingles, never corpus-pairwise.
+    * Exact Jaccard per universe pair: per-doc DISTINCT shingle-code
+    * ARRAYS (one narrow [[graft.functions.ShingleFunctions.shingleCodes]]
+    * pass, no explode) join onto the pair stream — doc-keyed, so AQE
+    * broadcasts the array side at tuning-sample size — and
+    * `size(array_intersect)` computes |∩| per pair in a map, no
+    * pair×shingle shuffle. The exploded (doc, shingle) formulation was
+    * measured 4× slower at sf0.1 (a ~10⁸-row join vs this narrow scan).
     * `j_decile = (1000·|∩| div |∪|) div 100` — integer, engine-portable.
     *
-    * Scale shape: signatures + banding are the q15 path (its shuffle is
-    * reused across the universe join's sides via AQE stage reuse); the
-    * per-pair stages are candidate-sized. At 100 TB the universe arm
-    * inherits minHashCandidatePairs' caveat that r=2 banding on a dense
-    * template family can go quadratic — run the curve on a hash-permille
-    * document sample (coordinated, so all arms see the same docs), which
-    * changes no per-pair semantics.
+    * Scale shape: signatures + banding are the q15 path; every per-pair
+    * stage is candidate-sized and shuffle-free past the universe join.
+    * At 100 TB the universe arm inherits minHashCandidatePairs' caveat
+    * that loose banding on a dense template family can go quadratic —
+    * run the curve on a hash-permille document sample (coordinated, so
+    * all arms see the same docs), which changes no per-pair semantics;
+    * past broadcast size the doc-keyed array joins degrade to ordinary
+    * shuffle equi-joins, never to anything pairwise.
     */
   def lshTuningCurve(docs: DataFrame, k: Int = 16,
                      configs: Seq[Int] = Seq(2, 4, 8, 16),
@@ -1169,24 +1172,23 @@ object Dedup {
         ((band * r) until ((band + 1) * r))
           .map(j => col(s"a$j") === col(s"b$j")).reduce(_ && _)
       }.reduce(_ || _)
-    val sh = docs.select(col(idCol),
-      explode(graft.functions.ShingleFunctions.shingleCodes(col(textCol))).as("x"))
-    val sz = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
-    val inter = universe
-      .join(sh.select(col(idCol).as("id_a"), col("x")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("x")), Seq("id_b", "x"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    val deciled = inter
-      .join(sz.select(col(idCol).as("id_a"), col("nsh").as("na")), Seq("id_a"))
-      .join(sz.select(col(idCol).as("id_b"), col("nsh").as("nb")), Seq("id_b"))
-      .withColumn("j_decile",
-        expr("cast(1000L * inter div (na + nb - inter) div 100 as int)"))
-    universe.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
+    // sorted ONCE per doc; every pair the doc appears in reuses the sort,
+    // and the per-pair |∩| is the native merge scan (contract: sorted
+    // distinct arrays — shingleCodes emits distinct, sort_array orders)
+    val sharr = docs.select(col(idCol),
+      sort_array(graft.functions.ShingleFunctions.shingleCodes(col(textCol))).as("__sh"))
+    universe
+      .join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .join(sharr.select(col(idCol).as("id_a"), col("__sh").as("sha")), Seq("id_a"))
+      .join(sharr.select(col(idCol).as("id_b"), col("__sh").as("shb")), Seq("id_b"))
+      .withColumn("inter",
+        graft.functions.VectorFunctions.sortedInterCount(col("sha"), col("shb")))
+      .withColumn("j_decile", expr(
+        "cast(1000L * inter div (size(sha) + size(shb) - inter) div 100 as int)"))
+      .select(col("j_decile"),
         explode(array(rs.map(r =>
           when(candAt(r), lit(r))): _*)).as("rows_per_band"))
       .filter(col("rows_per_band").isNotNull)
-      .join(deciled.select("id_a", "id_b", "j_decile"), Seq("id_a", "id_b"))
       .groupBy(col("rows_per_band"), col("j_decile"))
       .agg(count(lit(1)).as("n_pairs"))
   }

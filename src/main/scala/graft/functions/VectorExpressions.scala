@@ -232,6 +232,89 @@ case class LongL2Squared(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Intersection COUNT of two SORTED distinct `array<bigint>` columns via a
+  * single merge scan — primitive longs, no per-row hash set, no boxing,
+  * whole-stage codegen.
+  *
+  * Why it exists: Spark's `array_intersect` builds an OpenHashSet of boxed
+  * Longs per row; on q270's 691k candidate pairs × ~143-element shingle
+  * sets that was measured at 12 s — this merge scan does the same work in
+  * ~0.4 s. The price is a CONTRACT: both inputs must be sorted ascending
+  * (`sort_array` once per DOC, amortized across every pair the doc
+  * appears in) and duplicate-free. Unsorted input silently undercounts —
+  * callers own the sort, which is why this is not a drop-in
+  * `array_intersect` replacement in the HOF rewrite rule.
+  *
+  * Null semantics: null array → null (nullIntolerant); a null ELEMENT →
+  * null result (matches the vector kernels; shingle-code arrays are
+  * non-null so the static-schema guard compiles away).
+  */
+case class SortedInterCount(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def nullIntolerant: Boolean = true
+
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var acc = 0L
+    while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j)) return null
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { acc += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val nullChecks = Seq(
+        if (elemNullable(left)) Some(s"$a.isNullAt($i)") else None,
+        if (elemNullable(right)) Some(s"$b.isNullAt($j)") else None).flatten
+      val elemGuard =
+        if (nullChecks.isEmpty) ""
+        else s"if (${nullChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0; int $j = 0;
+         |long $acc = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  $elemGuard
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { $acc++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedInterCount =
+    copy(left = l, right = r)
+}
+
 /** Column-API entry points. The Column↔Expression bridge is private[sql]
   * in Spark 4, so these route through the session FunctionRegistry — the
   * functions are injected by [[graft.GraftExtensions]]
@@ -241,7 +324,11 @@ object VectorFunctions {
   val DotName = "graft_dot"
   val CosineName = "graft_cosine"
   val L2SqName = "graft_l2sq"
+  val SortedInterName = "graft_sorted_inter"
   def dotProduct(a: Column, b: Column): Column = call_function(DotName, a, b)
   def cosineSim(a: Column, b: Column): Column = call_function(CosineName, a, b)
   def l2Squared(a: Column, b: Column): Column = call_function(L2SqName, a, b)
+  /** CONTRACT: both arrays sorted ascending and duplicate-free. */
+  def sortedInterCount(a: Column, b: Column): Column =
+    call_function(SortedInterName, a, b)
 }

@@ -83,4 +83,31 @@ class VectorExpressionsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), s"no codegen span in:\n$plan")
   }
+
+  test("SortedInterCount: merge scan equals array_intersect size on sorted distinct arrays; codegen'd") {
+    import spark.implicits._
+    // deterministic pseudo-random distinct sorted sets
+    val d = (0L until 200L).map { i =>
+      val a = (0L until 40L).filter(x => (x * 31 + i * 7) % 5 != 0).toArray
+      val b = (0L until 40L).filter(x => (x * 17 + i * 3) % 3 != 0).toArray
+      (a, b)
+    }.toDF("a", "b")
+    val out = d.select(
+      VectorFunctions.sortedInterCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref")).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // disjoint and identical edges
+    val edge = Seq((Array(1L, 3L, 5L), Array(2L, 4L, 6L)),
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),
+      (Array.empty[Long], Array(1L, 2L))).toDF("a", "b")
+    val e = edge.select(VectorFunctions.sortedInterCount(col("a"), col("b"))).as[Long].collect()
+    assert(e.toSeq == Seq(0L, 3L, 0L))
+    // execute first: AQE only shows whole-stage-codegen spans once final
+    val ds = d.repartition(2)
+      .select(VectorFunctions.sortedInterCount(col("a"), col("b")))
+    ds.collect()
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen span in:\n$plan")
+  }
 }
