@@ -691,6 +691,17 @@ object Oracles {
        |$dotsCte,
        |${rankTail(k)}""".stripMargin
 
+  /** [[cosineTopK]] with both arms TRUNCATED to the first `dims`
+    * dimensions (DuckDB list slice ≡ Spark `slice(vec, 1, dims)`) — the
+    * Matryoshka-truncation arm of the q275 rank-agreement acceptance.
+    */
+  def cosineTopKDims(mod: Int, k: Int, dims: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding[1:$dims] AS qv FROM embeddings WHERE vec_id % $mod = 0),
+       |c AS (SELECT vec_id AS neighbor_id, embedding[1:$dims] AS cv FROM embeddings),
+       |p AS (SELECT query_id, neighbor_id, qv, cv FROM q, c WHERE query_id <> neighbor_id),
+       |$dotsCte,
+       |${rankTail(k)}""".stripMargin
+
   /** LSH bucket expression over the first `dim` dimensions with `nPlanes`
     * sign-projections — term-for-term identical to Similarity.lshBucket.
     */
@@ -1609,6 +1620,79 @@ object Oracles {
       |SELECT k.event_type, hrs.hour, COALESCE(agg.n, 0) AS n_events
       |FROM k CROSS JOIN hrs
       |LEFT JOIN agg ON agg.event_type = k.event_type AND agg.hour = hrs.hour""".stripMargin
+
+  /** Mirrors TimeSeries.cusumScreen: same calibration split (integer
+    * floor target/slack from the first trainN grid rows per key), same
+    * prefix-identity CUSUM (running sum, running min, S = C − min(0, ·)),
+    * same summary. HUGEINT sums CAST to BIGINT at every boundary.
+    */
+  def cusumScreen(trainN: Int, slackDiv: Int, hMult: Int): String =
+    s"""WITH g AS (SELECT * FROM ($eventsGapFill) t),
+       |rn AS (
+       |  SELECT event_type, hour, CAST(n_events AS BIGINT) AS x,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+       |  FROM g),
+       |cal AS (
+       |  SELECT event_type,
+       |    CAST(SUM(x) // $trainN AS BIGINT) AS target,
+       |    CAST(GREATEST((SUM(x) // $trainN) // $slackDiv, 1) AS BIGINT) AS slack
+       |  FROM rn WHERE rn <= $trainN GROUP BY 1),
+       |mon AS (
+       |  SELECT r.event_type, r.hour, c.target, c.slack,
+       |    c.slack * $hMult AS h, r.x - c.target - c.slack AS y
+       |  FROM rn r JOIN cal c USING (event_type) WHERE r.rn > $trainN),
+       |cumt AS (
+       |  SELECT *, SUM(y) OVER (PARTITION BY event_type ORDER BY hour
+       |    ROWS UNBOUNDED PRECEDING) AS c
+       |  FROM mon),
+       |sc AS (
+       |  SELECT *, c - LEAST(MIN(c) OVER (PARTITION BY event_type ORDER BY hour
+       |    ROWS UNBOUNDED PRECEDING), 0) AS s
+       |  FROM cumt)
+       |SELECT event_type, MAX(target) AS target, MAX(slack) AS slack,
+       |  CAST(COUNT(*) AS BIGINT) AS n_monitored,
+       |  CAST(SUM(CASE WHEN s > h THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       |  CAST(COALESCE(MIN(CASE WHEN s > h
+       |    THEN CAST(epoch(hour) AS BIGINT) // 3600 END), -1) AS BIGINT)
+       |    AS first_alarm_hour,
+       |  CAST(MAX(s) AS BIGINT) AS max_stat
+       |FROM sc GROUP BY 1""".stripMargin
+
+  /** Mirrors Graph.neighborhoodFunction over the q95 supplier–part
+    * bipartite graph: singleton HLL registers per node (hllRegisters'
+    * exact rank spelling), `rounds` max-merge rounds along symmetric
+    * edges as MATERIALIZED CTEs (the inlining gotcha: each round is
+    * referenced twice by the next), per-round register histograms.
+    */
+  def hyperAnf(rounds: Int, log2m: Int): String = {
+    val m = 1 << log2m
+    val wBits = 31 - log2m
+    val h = mixSql("node", ext.Sketch.HllJ)
+    def roundCte(t: Int) =
+      s"""r$t AS MATERIALIZED (
+         |  SELECT node, bucket, CAST(MAX(reg) AS INTEGER) AS reg FROM (
+         |    SELECT node, bucket, reg FROM r${t - 1}
+         |    UNION ALL
+         |    SELECT e.src AS node, r.bucket, r.reg
+         |    FROM sym e JOIN r${t - 1} r ON r.node = e.dst
+         |  ) GROUP BY 1, 2)""".stripMargin
+    val hists = (0 to rounds).map(t =>
+      s"SELECT CAST($t AS INTEGER) AS round, reg, CAST(COUNT(*) AS BIGINT) AS n_buckets FROM r$t GROUP BY 1, 2")
+      .mkString("\nUNION ALL ")
+    s"""WITH ed AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem),
+       |sym AS MATERIALIZED (
+       |  SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed),
+       |nodes AS (SELECT DISTINCT src AS node FROM sym),
+       |hh AS (SELECT node, ($h) AS h FROM nodes),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, CAST(h % $m AS INTEGER) AS bucket,
+       |    CAST(CASE WHEN h // $m = 0 THEN ${wBits + 1}
+       |         ELSE ${wBits + 1} - length(bin(h // $m)) END AS INTEGER) AS reg
+       |  FROM hh),
+       |${(1 to rounds).map(roundCte).mkString(",\n")}
+       |$hists""".stripMargin
+  }
 
   /** Mirrors TimeSeries.rateAnomalies: the q73 gap-fill derivation as a
     * derived table, then the cross-multiplied integer z-test over the

@@ -992,6 +992,26 @@ object Plans {
         |epoch, weights as literals); the curve adds ONE map-combined
         |aggregate whose key is the native BinLength octave — band
         |keyspace ≈ 128 rows out, no fact shuffle, no float.""".stripMargin,
+    "q273_hyperanf" ->
+      """HyperANF: per-round state is nodes × 16 integer registers — the
+        |whole point vs Θ(n²) exact balls. Each round is one dst-keyed
+        |equi-join + a (node, bucket) max aggregate (mergeable, map-side
+        |combined); localCheckpoint per round keeps lineage O(1) and the
+        |superseded round's blocks are freed once the next materializes.
+        |Histograms are eagerly checkpointed BEFORE the free (a lazy
+        |histogram would reference blocks a checkpoint can't recompute).""".stripMargin,
+    "q274_cusum_screen" ->
+      """CUSUM: windows run over the keys × hours grid (never fact rows),
+        |partitioned by key. The prefix identity S = C − min(0, run-min C)
+        |replaces the inherently sequential textbook recurrence with two
+        |stacked window functions — what makes the detector distributable.
+        |Calibration is a keyspace-sized broadcast join.""".stripMargin,
+    "q275_matryoshka_agreement" ->
+      """Matryoshka acceptance: pure reuse — two brute-force arms (the
+        |documented exact panel baseline, queries broadcast) + the AO
+        |evaluation. The truncated arm's slice() is a narrow map; at
+        |deployment scale the truncated index IS the cheaper artifact,
+        |and this table is the evidence for shipping it.""".stripMargin,
     "q270_lsh_curve" ->
       """S-curve probe: ONE signature pass (its shuffle reused across the
         |universe self-join's sides via AQE stage reuse); stricter configs

@@ -2343,6 +2343,44 @@ object SparkEntry {
         Tables.orders(s, d), "o_custkey", Tables.events(s, d), "user_id",
         groupCol = "o_orderpriority", permille = 100)),
 
+    // HyperANF: the neighborhood function of the q95 supplier–part graph
+    // via one 16-register HLL per node max-merged along edges per round —
+    // O(n·16) state where exact balls are Θ(n²). Registered output is the
+    // per-round register HISTOGRAM (the exact-integer artifact, same
+    // split as q61); the float N(t) readout + BFS cross-check live in
+    // GraphSpec
+    "q273_hyperanf" -> { (s, d) =>
+      val e = Tables.lineitem(s, d).select(
+        (col("l_suppkey") * 2 + 1).as("src"), (col("l_partkey") * 2).as("dst"))
+        .distinct()
+      graft.ext.Graph.neighborhoodFunction(
+        e.unionAll(e.select(col("dst").as("src"), col("src").as("dst"))),
+        rounds = 3, log2m = 4)
+    },
+
+    // sequential changepoint screen: one-sided CUSUM over the dense
+    // hourly grid, calibrated on each key's first 96 hours, evaluated
+    // loop-free via S = C − min(0, running-min C) (two stacked windows
+    // over the aggregated grid — the closed form that makes CUSUM
+    // distributable). All-integer; alarms summarized per key
+    "q274_cusum_screen" -> ((s, d) =>
+      graft.ext.TimeSeries.cusumScreen(
+        graft.ext.TimeSeries.gapFillHourly(Tables.events(s, d)))),
+
+    // Matryoshka acceptance: AO rank agreement between full-64-dim and
+    // first-16-dim cosine rankings on the 1% panel — what a
+    // truncated-embedding deployment (MRL) reads before shipping the
+    // smaller index. Pure reuse: two q18 arms + the q261 evaluation
+    "q275_matryoshka_agreement" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val trunc = (f: DataFrame) =>
+        f.withColumn("embedding", slice(col("embedding"), 1, 16))
+      Similarity.rankAgreement(
+        Similarity.bruteForceTopK(q, emb, k = 5),
+        Similarity.bruteForceTopK(trunc(q), trunc(emb), k = 5), depth = 5)
+    },
+
     // corpus-shape observability: the token frequency SPECTRUM (count of
     // counts by floor-log2 octave, exact ppm shares) — how occurrence
     // mass concentrates across rarity bands; the Zipf-shape health check
@@ -3047,6 +3085,10 @@ object SparkEntry {
     "q270_lsh_curve" -> Oracles.lshTuningCurve(16, Seq(4, 8, 16), 300),
     "q271_cm_join_size" -> Oracles.cmJoinSize(4, 256),
     "q272_coord_join_sample" -> Oracles.coordinatedJoinSample(100),
+    "q273_hyperanf" -> Oracles.hyperAnf(3, 4),
+    "q274_cusum_screen" -> Oracles.cusumScreen(96, 20, 8),
+    "q275_matryoshka_agreement" -> Oracles.rankAgreementSql(5,
+      Oracles.cosineTopK(100, 5), Oracles.cosineTopKDims(100, 5, 16)),
     // the oracle recomputes the component FROM SCRATCH over the whole
     // corpus — a hash match proves the merged-moment retrain is exactly
     // the batch result

@@ -451,7 +451,7 @@ object Clustering {
     * the reference works too, but only frees at the ContextCleaner's next
     * periodic GC — this releases a superseded round's blocks immediately.
     */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[ext] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

@@ -343,4 +343,61 @@ object Graph {
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("triangles"))
   }
+
+  /** HyperANF (Boldi, Rosa & Vigna, WWW 2011): the neighborhood function
+    * N(t) — how many (source, target) pairs lie within t hops — via ONE
+    * integer HLL register set per node, advanced per round by
+    * `max`-merging each node's registers with its neighbors'. Exact
+    * ball-of-radius-t counting is Θ(n²) state on a dense graph; this is
+    * O(n·m_registers) per round with every step an equi-join + max
+    * aggregate — the standard way to read an effective diameter off a
+    * web-scale graph.
+    *
+    * Determinism policy: the registered OUTPUT is the per-round register
+    * HISTOGRAM `(round, reg, n_buckets)` — pure integers, the same
+    * artifact-vs-diagnostic split as [[Sketch.hllRegisters]]
+    * (registers exact-oracled; the float harmonic-mean estimate lives in
+    * the spec, where [[Sketch.hllEstimate]] turns each round's registers
+    * into the N(t) readout and is asserted against exact BFS balls).
+    * Round 0 is the singleton sketch {node} — its histogram doubles as a
+    * uniformity check on the node-id hash.
+    *
+    * Scale shape per round: registers ⋈ edges on dst (register side is
+    * n·m rows — key-shuffled, broadcast only if tiny), union with self,
+    * one (node, bucket) max aggregate — mergeable, map-side combined.
+    * `localCheckpoint(eager)` per round keeps lineage O(1); the
+    * superseded round's blocks are freed as soon as the next is
+    * materialized (the kCenterGreedy discipline).
+    */
+  def neighborhoodFunction(edges: DataFrame, rounds: Int,
+                           log2m: Int = 4): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val (bucket, rank) = Sketch.hllBucketRank(col("node"), log2m)
+    var regs = nodes.select(col("node"), bucket.as("bucket"), rank.as("reg"))
+      .localCheckpoint(true)
+    // each round's histogram is EAGERLY checkpointed (≤ rank-range rows)
+    // before the round's register blocks are freed — a lazy histogram
+    // would still reference blocks a localCheckpoint cannot recompute
+    def hist(t: Int, r: DataFrame): DataFrame =
+      r.groupBy(col("reg")).agg(count(lit(1)).as("n_buckets"))
+        .select(lit(t).as("round"), col("reg").cast("int").as("reg"),
+          col("n_buckets"))
+        .localCheckpoint(true)
+    var out = hist(0, regs)
+    for (t <- 1 to rounds) {
+      val fromNbrs = e.join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("bucket"), col("reg"))
+      val next = regs.unionByName(fromNbrs)
+        .groupBy(col("node"), col("bucket")).agg(max(col("reg")).as("reg"))
+        .localCheckpoint(true)
+      Clustering.unpersistCheckpoint(regs)
+      regs = next
+      out = out.unionByName(hist(t, regs))
+    }
+    Clustering.unpersistCheckpoint(regs)
+    out
+  }
 }

@@ -352,4 +352,63 @@ object TimeSeries {
       .select(col(keyCol), col("hour"), col("n_events"),
         round(col("num").cast("double") / lit(denom.toDouble), 6).as("ewma"))
   }
+
+  /** One-sided CUSUM level-shift screen (Page 1954) over a dense per-key
+    * series — the sequential changepoint detector that fires on a
+    * SUSTAINED small shift long before any single-point z-test
+    * ([[rateAnomalies]] catches spikes; this catches drifts).
+    *
+    * Calibration is the honest-practice split: the first `trainN` rows
+    * per key set the reference `target = ⌊Σx/trainN⌋` and allowance
+    * `slack = max(⌊target/slackDiv⌋, 1)`; only the REMAINING rows are
+    * monitored. The statistic S_t = max(0, S_{t−1} + x_t − target −
+    * slack) is evaluated WITHOUT a sequential loop via the prefix
+    * identity S_t = C_t − min(0, min_{j≤t} C_j) with C the running sum
+    * of (x − target − slack): two stacked window functions over the
+    * aggregated grid, all-integer, bit-identical in any engine. Alarm
+    * when S_t > h = slack·hMult (the standard "h sigma-units of slack"
+    * control-limit shape, integerized).
+    *
+    * Output: one row per key — target, slack, n_monitored, n_alarms,
+    * first_alarm_hour (epoch-hour BIGINT, −1 when quiet), max_stat.
+    *
+    * Scale shape: windows run over the keys × hours GRID (never fact
+    * rows), partitioned by key — the same posture as [[rateAnomalies]];
+    * the closed form is what makes CUSUM distributable at all (the
+    * textbook recurrence is an inherently sequential scan).
+    */
+  def cusumScreen(series: DataFrame, keyCol: String = "event_type",
+                  hourCol: String = "hour", xCol: String = "n_events",
+                  trainN: Int = 96, slackDiv: Int = 20,
+                  hMult: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trainN >= 1 && slackDiv >= 1 && hMult >= 1, "bad cusum params")
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(hourCol))
+    val rn = series.select(col(keyCol), col(hourCol), col(xCol).cast("long").as("x"))
+      .withColumn("rn", row_number().over(byKey))
+    val cal = rn.filter(col("rn") <= trainN)
+      .groupBy(col(keyCol))
+      .agg(expr(s"sum(x) div $trainN").as("target"))
+      .withColumn("slack", greatest(expr(s"target div $slackDiv"), lit(1L)))
+      .withColumn("h", col("slack") * hMult)
+    val mon = rn.filter(col("rn") > trainN)
+      .join(broadcast(cal), Seq(keyCol))
+      .withColumn("y", col("x") - col("target") - col("slack"))
+    val cum = Window.partitionBy(col(keyCol)).orderBy(col(hourCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = mon
+      .withColumn("c", sum(col("y")).over(cum))
+      .withColumn("runmin", min(col("c")).over(cum))
+      .withColumn("s", col("c") - least(col("runmin"), lit(0L)))
+      .withColumn("alarm", col("s") > col("h"))
+    scored.groupBy(col(keyCol))
+      .agg(max(col("target")).as("target"),
+        max(col("slack")).as("slack"),
+        count(lit(1)).as("n_monitored"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+        coalesce(min(when(col("alarm"),
+          expr(s"unix_micros($hourCol) div 3600000000"))), lit(-1L))
+          .as("first_alarm_hour"),
+        max(col("s")).as("max_stat"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 class GraphSpec extends SparkSpec {
@@ -196,5 +197,33 @@ class GraphSpec extends SparkSpec {
     val out = Graph.kCorePeel(e, k = 2, rounds = 8).collect()
     assert(out.forall(_.getLong(1) >= 2))
     assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("neighborhoodFunction: iterative max-merge equals directly-sketched exact balls on a path graph") {
+    // path 1-2-3-4-5-6, symmetric edges
+    val und = Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L),(5L,6L))
+    val e = df("src BIGINT, dst BIGINT",
+      und.flatMap { case (u, v) => Seq(Row(u, v), Row(v, u)) })
+    val log2m = 4
+    val rounds = 3
+    val out = Graph.neighborhoodFunction(e, rounds, log2m).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // reference: per node, the EXACT ball of radius t on the path, sketched
+    // directly (bucket/rank of each member, max per bucket) — an independent
+    // derivation of what t rounds of max-merging must produce
+    import spark.implicits._
+    val nodes = (1L to 6L).toSeq
+    val br = nodes.toDF("node").select(col("node"),
+      Sketch.hllBucketRank(col("node"), log2m)._1.as("bucket"),
+      Sketch.hllBucketRank(col("node"), log2m)._2.as("reg"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getAs[Number](2).intValue)).toMap
+    def ball(n: Long, t: Int): Seq[Long] = nodes.filter(m => math.abs(m - n) <= t)
+    (0 to rounds).foreach { t =>
+      val expected = nodes
+        .flatMap(n => ball(n, t).map(br).groupBy(_._1).map { case (b, xs) => (n, b, xs.map(_._2).max) })
+        .groupBy(_._3).map { case (reg, xs) => (t, reg) -> xs.size.toLong }
+      val got = out.filter(_._1._1 == t)
+      assert(got == expected, s"round $t: $got vs $expected")
+    }
   }
 }

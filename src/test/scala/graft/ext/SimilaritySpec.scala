@@ -320,4 +320,38 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) == (1L, 750000L))
     assert(out(2L) == (0L, 0L))
   }
+
+  test("matryoshka truncation: tail-only differences collapse the truncated ranking, prefix-only keep AO perfect") {
+    import spark.implicits._
+    def vec(prefix: Seq[Double], tail: Seq[Double]): Seq[Double] = prefix ++ tail
+    // corpus: neighbors 2 and 3 differ ONLY in dims 5..8 (the truncated-away
+    // tail); neighbor 4 differs in the prefix
+    val emb = Seq(
+      (0L, vec(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 0.0, 0.0, 0.0))),
+      (2L, vec(Seq(0.9, 0.1, 0.0, 0.0), Seq(0.4, 0.0, 0.0, 0.0))),
+      (3L, vec(Seq(0.9, 0.1, 0.0, 0.0), Seq(0.0, 0.0, 0.0, 0.0))),
+      (4L, vec(Seq(0.2, 0.9, 0.0, 0.0), Seq(0.0, 0.0, 0.0, 0.0)))
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0L)
+    def trunc(f: org.apache.spark.sql.DataFrame) =
+      f.withColumn("embedding", slice(col("embedding"), 1, 4))
+    val full = Similarity.bruteForceTopK(q, emb, k = 3)
+    val cut = Similarity.bruteForceTopK(trunc(q), trunc(emb), k = 3)
+    // truncated arm: 2 and 3 become identical -> tie broken by id -> the
+    // full arm's order (3 before 2: no tail penalty) flips
+    val fullOrder = full.orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val cutOrder = cut.orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(fullOrder == Seq(3L, 2L, 4L) && cutOrder == Seq(2L, 3L, 4L))
+    val ao = Similarity.rankAgreement(full, cut, depth = 3).collect().head
+    assert(ao.getAs[Long]("n_common") == 3L)
+    assert(ao.getAs[Long]("ao_ppm") < 1000000L)
+    // prefix-only corpus: truncation changes nothing -> AO exactly 1
+    val same = emb.withColumn("embedding",
+      concat(slice(col("embedding"), 1, 4), array(lit(0.0), lit(0.0), lit(0.0), lit(0.0))))
+    val ao2 = Similarity.rankAgreement(
+      Similarity.bruteForceTopK(same.filter(col("vec_id") === 0L), same, k = 3),
+      Similarity.bruteForceTopK(trunc(same.filter(col("vec_id") === 0L)), trunc(same), k = 3),
+      depth = 3).collect().head
+    assert(ao2.getAs[Long]("ao_ppm") == 1000000L)
+  }
 }

@@ -182,4 +182,57 @@ class TimeSeriesSpec extends SparkSpec {
       ("2024-01-22 09:00:00.0", 0L, "dip"),
       ("2024-01-22 11:00:00.0", 50L, "spike")))
   }
+
+  test("cusumScreen: sustained level shift alarms at the hand-computed hour; quiet key stays quiet") {
+    import spark.implicits._
+    // key "a": 8 train hours at 10, then 5 quiet hours at 10, then 10
+    // shifted hours at 14. target=10, slack=max(10 div 20,1)=1, h=8.
+    // Shifted hours add y=3 each: S = 3,6,9,... -> first alarm at the
+    // 3rd shifted hour (S=9>8), 8 alarms total, max S = 30.
+    // key "b": constant 10 throughout -> y=-1, S pinned at 0, no alarms.
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    val rowsIn = (0 until 23).flatMap { i =>
+      val hr = new java.sql.Timestamp((t0 + i * 3600L) * 1000L)
+      val xa = if (i < 13) 10L else 14L
+      Seq(("a", hr, xa), ("b", hr, 10L))
+    }
+    val series = rowsIn.toDF("event_type", "hour", "n_events")
+    val out = TimeSeries.cusumScreen(series, trainN = 8, slackDiv = 20, hMult = 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("target") == 10L && a.getAs[Long]("slack") == 1L)
+    assert(a.getAs[Long]("n_monitored") == 15L)
+    assert(a.getAs[Long]("n_alarms") == 8L)
+    assert(a.getAs[Long]("first_alarm_hour") == t0 / 3600 + 15) // 3rd shifted hour
+    assert(a.getAs[Long]("max_stat") == 30L)
+    val b = out("b")
+    assert(b.getAs[Long]("n_alarms") == 0L && b.getAs[Long]("first_alarm_hour") == -1L)
+    assert(b.getAs[Long]("max_stat") == 0L)
+  }
+
+  test("cusumScreen: prefix closed form equals the textbook recurrence on a deterministic noisy series") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-03-01T00:00:00Z").getEpochSecond
+    val xs = (0 until 120).map(i => 20L + (i * 37 % 11) - 5 + (if (i > 80) 4 else 0))
+    val series = xs.zipWithIndex.map { case (x, i) =>
+      ("k", new java.sql.Timestamp((t0 + i * 3600L) * 1000L), x)
+    }.toDF("event_type", "hour", "n_events")
+    val trainN = 48; val slackDiv = 20; val hMult = 8
+    val target = xs.take(trainN).sum / trainN
+    val slack = math.max(target / slackDiv, 1L)
+    val h = slack * hMult
+    // textbook sequential recurrence
+    var sRec = 0L; var alarms = 0L; var maxS = 0L; var first = -1L
+    xs.drop(trainN).zipWithIndex.foreach { case (x, j) =>
+      sRec = math.max(0L, sRec + x - target - slack)
+      maxS = math.max(maxS, sRec)
+      if (sRec > h) { alarms += 1; if (first < 0) first = t0 / 3600 + trainN + j }
+    }
+    val r = TimeSeries.cusumScreen(series, trainN = trainN,
+      slackDiv = slackDiv, hMult = hMult).collect().head
+    assert(r.getAs[Long]("target") == target && r.getAs[Long]("slack") == slack)
+    assert(r.getAs[Long]("n_alarms") == alarms)
+    assert(r.getAs[Long]("first_alarm_hour") == first)
+    assert(r.getAs[Long]("max_stat") == maxS)
+  }
 }
