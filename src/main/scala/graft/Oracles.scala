@@ -1455,6 +1455,79 @@ object Oracles {
        |FROM ex LEFT JOIN sp USING (o_orderpriority)""".stripMargin
   }
 
+  /** Mirrors ShingleFunctions.rollingFp: Σ_k (k+1)·(code_k mod P) mod P
+    * over ALL positions (1-based weight), code = cp·2¹⁶ + cp·2⁸ + cp.
+    * Per-term mod keeps every term < 2⁶²; the flat SUM-then-mod equals
+    * the kernel's running-mod fold. NULL text → NULL, short text → 0.
+    */
+  private def rollingFpSql(textExpr: String): String = {
+    val p = Dedup.MinHashP
+    val code =
+      s"""(CAST(ascii(substring($textExpr, CAST(i AS INTEGER), 1)) AS BIGINT) * 65536
+         | + CAST(ascii(substring($textExpr, CAST(i AS INTEGER) + 1, 1)) AS BIGINT) * 256
+         | + CAST(ascii(substring($textExpr, CAST(i AS INTEGER) + 2, 1)) AS BIGINT))""".stripMargin
+    s"""CASE WHEN $textExpr IS NULL THEN NULL
+       |  WHEN length($textExpr) < 3 THEN 0
+       |  ELSE CAST(list_sum(list_transform(generate_series(1, length($textExpr) - 2),
+       |    i -> (CAST(i AS BIGINT) % $p) * ($code % $p) % $p)) % $p AS BIGINT)
+       |END""".stripMargin
+  }
+
+  /** Mirrors Profile.corpusDigest: per-source Σ mixHash(rollingFp) mod 2⁶¹,
+    * HUGEINT sum, BIGINT boundary.
+    */
+  val corpusDigest: String = {
+    val mod = 1L << 61
+    s"""WITH fp AS (
+       |  SELECT source, ${rollingFpSql("text")} AS rfp FROM documents)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(${mixSql("rfp", ext.Profile.DigestJ)}) % $mod AS BIGINT) AS digest
+       |FROM fp GROUP BY 1""".stripMargin
+  }
+
+  /** Mirrors Sketch.bloomFprAudit at the q63 geometry: key-level pass test
+    * (all k positions set), exact membership, measured FP ppm.
+    */
+  def bloomFprAudit(k: Int, mBits: Int): String = {
+    def pos(e: String, i: Int) =
+      s"(${mixSql(e, ext.Sketch.BloomJ + 2 * i)}) % $mBits"
+    val buildPos = (0 until k).map(i => pos("bk", i)).mkString(", ")
+    val probePos = (0 until k).map(i => pos("pk", i)).mkString(", ")
+    s"""WITH bkeys AS (SELECT DISTINCT c_custkey AS bk FROM customer WHERE c_mktsegment = 'BUILDING'),
+       |pkeys AS (SELECT DISTINCT o_custkey AS pk FROM orders),
+       |bits AS (SELECT DISTINCT pos FROM (SELECT unnest([$buildPos]) AS pos FROM bkeys)),
+       |probe AS (SELECT pk, unnest([$probePos]) AS pos FROM pkeys),
+       |pass AS (
+       |  SELECT pk FROM probe JOIN bits USING (pos) GROUP BY pk HAVING COUNT(*) = $k),
+       |fl AS (
+       |  SELECT p.pk,
+       |    EXISTS (SELECT 1 FROM bkeys b WHERE b.bk = p.pk) AS m,
+       |    EXISTS (SELECT 1 FROM pass s WHERE s.pk = p.pk) AS pa
+       |  FROM pkeys p)
+       |SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM bkeys) AS n_build_keys,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+       |  CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_member_keys,
+       |  CAST(SUM(CASE WHEN m AND pa THEN 1 ELSE 0 END) AS BIGINT) AS n_member_pass,
+       |  CAST(SUM(CASE WHEN NOT m THEN 1 ELSE 0 END) AS BIGINT) AS n_nonmember_keys,
+       |  CAST(SUM(CASE WHEN NOT m AND pa THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pass,
+       |  CAST(SUM(CASE WHEN NOT m AND pa THEN 1 ELSE 0 END) * 1000000
+       |    // GREATEST(SUM(CASE WHEN NOT m THEN 1 ELSE 0 END), 1) AS BIGINT) AS fp_ppm
+       |FROM fl""".stripMargin
+  }
+
+  /** q276 oracle: the BRUTE-FORCE top-k pair join — rank the full scored
+    * pair relation. The Spark side prunes; hash equality with this
+    * spelling is the completeness certificate.
+    */
+  def topKPairJoin(k: Int): String =
+    s"""WITH p AS (SELECT DISTINCT l_suppkey AS ka, l_partkey AS kb FROM lineitem),
+       |a AS (SELECT s_suppkey AS ka, CAST(round(s_acctbal * 100) AS BIGINT) AS sa FROM supplier),
+       |b AS (SELECT p_partkey AS kb, CAST(round(p_retailprice * 100) AS BIGINT) AS sb FROM part),
+       |sc AS (SELECT ka, kb, sa + sb AS score FROM p JOIN a USING (ka) JOIN b USING (kb)),
+       |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, ka, kb) AS rn FROM sc)
+       |SELECT ka, kb, score, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= $k""".stripMargin
+
   /** Mirrors Sketch.bloomSemiJoin: orders surviving the k-hash Bloom
     * filter of BUILDING customers' keys — set-bit positions as a DISTINCT
     * position table, pass iff all k probe positions hit.

@@ -992,6 +992,24 @@ object Plans {
         |epoch, weights as literals); the curve adds ONE map-combined
         |aggregate whose key is the native BinLength octave — band
         |keyspace ≈ 128 rows out, no fact shuffle, no float.""".stripMargin,
+    "q276_topk_join" ->
+      """Rank join: θ and both max aggregates are one-row frames broadcast
+        |into the score-scan FILTERS, so the join and final top-k window
+        |see only answer-magnitude rows — the full pair relation is never
+        |scored. The candidate pool is two key-equality filters. The
+        |single-partition window is over the pruned set by design; the
+        |oracle's brute-force spelling certifies completeness.""".stripMargin,
+    "q277_bloom_fpr" ->
+      """Bloom certification: bit table and key sets are summary-sized;
+        |the pass arm is the production filter's k broadcast semi-joins,
+        |membership one more semi-join on DEDUPED keys. At 100 TB run the
+        |audit on a key sample; the production filter stays audit-free.""".stripMargin,
+    "q278_corpus_digest" ->
+      """Version digest: narrow kernel scan (native rolling fp + mixHash),
+        |one per-source sum with map-side combine — the digest of a shard
+        |is the sum of its partitions' digests, which is the whole point:
+        |append-only updates and cross-version compares never rescan the
+        |base. DECIMAL(38,0) carries the sum; mod 2⁶¹ at the boundary.""".stripMargin,
     "q273_hyperanf" ->
       """HyperANF: per-round state is nodes × 16 integer registers — the
         |whole point vs Θ(n²) exact balls. Each round is one dst-keyed

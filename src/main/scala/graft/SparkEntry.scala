@@ -2367,6 +2367,39 @@ object SparkEntry {
       graft.ext.TimeSeries.cusumScreen(
         graft.ext.TimeSeries.gapFillHourly(Tables.events(s, d)))),
 
+    // rank join: the 20 best (supplier, part) pairs by combined cents
+    // score WITHOUT ranking the full pair relation — both score scans
+    // pruned by the broadcast θ−max bound, the top-k window runs over
+    // the pruned answer-magnitude set. The oracle is the brute-force
+    // spelling, so the hash gate certifies the prune dropped nothing
+    "q276_topk_join" -> { (s, d) =>
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("ka"), col("l_partkey").as("kb")).distinct()
+      val a = Tables.supplier(s, d).select(col("s_suppkey").as("ka"),
+        expr("cast(round(s_acctbal * 100) as bigint)").as("sa"))
+      val b = Tables.part(s, d).select(col("p_partkey").as("kb"),
+        expr("cast(round(p_retailprice * 100) as bigint)").as("sb"))
+      graft.ext.TopK.topKPairJoin(pairs, a, b, k = 20)
+    },
+
+    // Bloom certification: MEASURED key-level false-positive rate of the
+    // q63 filter geometry vs exact membership — plus the no-false-negative
+    // invariant re-proved on real data (n_member_pass == n_member_keys).
+    // The audit arm pays one exact semi-join; the production filter never
+    // does
+    "q277_bloom_fpr" -> ((s, d) =>
+      graft.ext.Sketch.bloomFprAudit(
+        Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING"),
+        "c_custkey", k = 3, mBits = 8192)),
+
+    // dataset-versioning digest: order-independent mergeable subtractable
+    // Σ mixHash(rolling fingerprint) mod 2^61 per source — two corpus
+    // versions compare without a row diff; appends update by adding the
+    // delta's digest. Map-side combined all the way; DECIMAL(38,0) sum
+    "q278_corpus_digest" -> ((s, d) =>
+      graft.ext.Profile.corpusDigest(Tables.documents(s, d))),
+
     // Matryoshka acceptance: AO rank agreement between full-64-dim and
     // first-16-dim cosine rankings on the 1% panel — what a
     // truncated-embedding deployment (MRL) reads before shipping the
@@ -3089,6 +3122,9 @@ object SparkEntry {
     "q274_cusum_screen" -> Oracles.cusumScreen(96, 20, 8),
     "q275_matryoshka_agreement" -> Oracles.rankAgreementSql(5,
       Oracles.cosineTopK(100, 5), Oracles.cosineTopKDims(100, 5, 16)),
+    "q276_topk_join" -> Oracles.topKPairJoin(20),
+    "q277_bloom_fpr" -> Oracles.bloomFprAudit(3, 8192),
+    "q278_corpus_digest" -> Oracles.corpusDigest,
     // the oracle recomputes the component FROM SCRATCH over the whole
     // corpus — a hash match proves the merged-moment retrain is exactly
     // the batch result

@@ -184,4 +184,35 @@ object Profile {
       .orderBy(col("shift_micro").desc, col("dim"))
       .limit(k)
   }
+
+  /** mixHash family block for the corpus version digest: (430, 431). */
+  val DigestJ: Int = 430
+
+  /** Order-independent, MERGEABLE, SUBTRACTABLE content digest per source
+    * — the dataset-versioning primitive: two corpus versions compare by
+    * digest without a row-level diff, a shard's digest is the sum of its
+    * partitions' digests (map-side combine all the way), and an
+    * incremental append/delete updates the digest by adding/subtracting
+    * the delta's digest — no rescan of the 100 TB base.
+    *
+    * digest = Σ_docs mixHash(rollingFp(text), DigestJ)  mod 2⁶¹
+    *
+    * The content fingerprint is the position-weighted rolling fingerprint
+    * (order- and multiplicity-sensitive — byte-level edits move it), the
+    * mixHash scatter prevents structured fingerprints from cancelling in
+    * the sum, and the sum rides DECIMAL(38,0) so a 10¹⁵-doc corpus cannot
+    * overflow before the final mod. A null text contributes nothing
+    * (SUM skips nulls in every engine).
+    */
+  def corpusDigest(docs: DataFrame, srcCol: String = "source",
+                   textCol: String = "text"): DataFrame = {
+    val mod = 1L << 61
+    val h = Dedup.mixHash(
+      graft.ext.TextAnalysis.rollingFingerprint(col(textCol)), DigestJ)
+    docs.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(h.cast("decimal(38,0)")).as("__s"))
+      .select(col(srcCol), col("n_docs"),
+        expr(s"cast(__s % ${mod}L as bigint)").as("digest"))
+  }
 }

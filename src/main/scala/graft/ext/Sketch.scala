@@ -440,6 +440,51 @@ object Sketch {
     * key set — and set algebra (∩, ∪, \) becomes a word-index equi-join
     * plus `bit_count`, all codegen built-ins.
     */
+  /** Certification of the [[bloomSemiJoin]] filter: MEASURED false-positive
+    * rate at the deployed (k, mBits) geometry against exact membership —
+    * the number that decides whether a pre-join Bloom prune pays for
+    * itself (every false positive is a row the exact join must still
+    * reject). One row out:
+    * `n_build_keys` / `bits_set` (load), `n_member_keys` /
+    * `n_member_pass` (must be equal — a Bloom filter has NO false
+    * negatives; the hash gate re-proves it on real data),
+    * `n_nonmember_keys` / `n_false_pass`, `fp_ppm`.
+    *
+    * Key-level (probe keys deduped): per-occurrence FPR just reweights by
+    * key frequency and hides the filter's actual behavior.
+    *
+    * Scale shape: bit table and distinct-key sets are summary-sized; the
+    * pass test is the same k broadcast semi-joins the production filter
+    * uses; membership is one build-side semi-join on the deduped keys.
+    */
+  def bloomFprAudit(probe: DataFrame, probeKey: String,
+                    build: DataFrame, buildKey: String,
+                    k: Int = 3, mBits: Int = 8192): DataFrame = {
+    val buildKeys = build.select(col(buildKey).as("bk")).distinct()
+    val probeKeys = probe.select(col(probeKey).as("pk")).distinct()
+    val passed = bloomSemiJoin(probeKeys, "pk", buildKeys, "bk", k, mBits)
+    val flagged = probeKeys
+      .join(buildKeys.select(col("bk").as("pk")).withColumn("is_member", lit(true)),
+        Seq("pk"), "left")
+      .join(passed.withColumn("passed", lit(true)), Seq("pk"), "left")
+      .select(coalesce(col("is_member"), lit(false)).as("m"),
+        coalesce(col("passed"), lit(false)).as("p"))
+    val bitsSet = buildKeys
+      .select(explode(bloomPositions(col("bk"), k, mBits)).as("pos"))
+      .distinct().agg(count(lit(1)).as("bits_set"))
+    val nBuild = buildKeys.agg(count(lit(1)).as("n_build_keys"))
+    flagged.agg(
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_member_keys"),
+        sum(when(col("m") && col("p"), 1L).otherwise(0L)).as("n_member_pass"),
+        sum(when(!col("m"), 1L).otherwise(0L)).as("n_nonmember_keys"),
+        sum(when(!col("m") && col("p"), 1L).otherwise(0L)).as("n_false_pass"))
+      .crossJoin(broadcast(nBuild)).crossJoin(broadcast(bitsSet))
+      .withColumn("fp_ppm",
+        expr("n_false_pass * 1000000L div greatest(n_nonmember_keys, 1L)"))
+      .select("n_build_keys", "bits_set", "n_member_keys", "n_member_pass",
+        "n_nonmember_keys", "n_false_pass", "fp_ppm")
+  }
+
   def bitmapIndex(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
     df.select(col(groupCol),
         expr(s"$keyCol div 64").as("w"),

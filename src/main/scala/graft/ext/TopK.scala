@@ -58,4 +58,66 @@ object TopK {
       .select(col(groupCol), col("s.id").as(idCol), col("s.score").as(scoreCol),
         (col("pos") + 1).cast("int").as("rank"))
   }
+
+  /** Top-k JOIN (rank join — Ilyas, Aref & Elmagarmid, VLDB 2003): the k
+    * best (ka, kb) pairs by combined score `sa + sb` over an existing
+    * pair relation, WITHOUT ranking the full join. The classic bound: if
+    * θ lower-bounds the true kth pair score, every answer pair has
+    * `sa ≥ θ − max(sb)` (and symmetrically), so both score relations can
+    * be PRUNED before the join. θ comes from a cheap candidate pool — the
+    * pairs incident to each side's single best key (kth candidate score
+    * when the pool has ≥ k pairs, else no pruning) — computed entirely
+    * in-plan as one-row aggregates broadcast into the side filters;
+    * nothing is collected.
+    *
+    * The registered oracle is the BRUTE-FORCE spelling: the driver's hash
+    * equality is the completeness certificate that pruning dropped no
+    * answer. Scores are integer (cents); ties break (score desc, ka, kb).
+    *
+    * Scale shape: score relations are pruned at the SCAN by a broadcast
+    * threshold predicate; the join and the final single-partition top-k
+    * window run over the pruned (answer-magnitude) row set — the whole
+    * point vs scoring the full pair relation. The candidate pool is two
+    * key-equality filters.
+    */
+  def topKPairJoin(pairs: DataFrame, aScores: DataFrame, bScores: DataFrame,
+                   k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val a = aScores.select(col("ka"), col("sa"))
+    val b = bScores.select(col("kb"), col("sb"))
+    val maxes = a.agg(max(col("sa")).as("max_sa"))
+      .crossJoin(b.agg(max(col("sb")).as("max_sb")))
+    // side bests (deterministic arg-max: highest score, then highest key)
+    val bestA = a.agg(max(struct(col("sa"), col("ka"))).as("m"))
+      .select(col("m.ka").as("best_ka"))
+    val bestB = b.agg(max(struct(col("sb"), col("kb"))).as("m"))
+      .select(col("m.kb").as("best_kb"))
+    val pool = pairs
+      .crossJoin(broadcast(bestA)).crossJoin(broadcast(bestB))
+      .filter(col("ka") === col("best_ka") || col("kb") === col("best_kb"))
+      .join(a, Seq("ka")).join(b, Seq("kb"))
+      .withColumn("score", col("sa") + col("sb"))
+    // kth pool score as an AGGREGATE (min of the top-k slice) so an
+    // undersized — even empty — pool still yields the one no-prune row
+    val wPool = Window.orderBy(col("score").desc, col("ka"), col("kb"))
+    val theta = pool
+      .withColumn("rn", row_number().over(wPool))
+      .filter(col("rn") <= k)
+      .agg(when(count(lit(1)) === k, min(col("score")))
+        .otherwise(lit(Long.MinValue / 4)).as("theta"))
+    val bound = broadcast(theta.crossJoin(maxes))
+    val prunedA = a.crossJoin(bound)
+      .filter(col("sa") >= col("theta") - col("max_sb"))
+      .select("ka", "sa")
+    val prunedB = b.crossJoin(bound)
+      .filter(col("sb") >= col("theta") - col("max_sa"))
+      .select("kb", "sb")
+    val w = Window.orderBy(col("score").desc, col("ka"), col("kb"))
+    pairs.join(prunedA, Seq("ka")).join(prunedB, Seq("kb"))
+      .withColumn("score", col("sa") + col("sb"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("ka", "kb", "score", "rank")
+  }
 }

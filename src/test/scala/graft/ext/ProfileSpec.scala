@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 class ProfileSpec extends SparkSpec {
@@ -32,6 +33,7 @@ class ProfileSpec extends SparkSpec {
 
   test("profileDrift: hand-traced ppm null rates, signed drift, cardinality delta") {
     import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
     val before = df("k STRING, v BIGINT", Seq(
       Row("x", 1L), Row("y", 2L), Row("z", 3L), Row(null, 4L)))  // 1/4 null k
     val after = df("k STRING, v BIGINT", Seq(
@@ -88,5 +90,31 @@ class ProfileSpec extends SparkSpec {
     val y = Profile.embeddingDrift(a.repartition(5), b.repartition(3), k = 2)
       .collect().map(_.toSeq).toSeq
     assert(x == y)
+  }
+
+  test("corpusDigest: mergeable, subtractable, partitioning-invariant") {
+    import spark.implicits._
+    val mod = BigInt(1) << 61
+    def mk(rows: Seq[(Long, String, String)]) = rows.toDF("doc_id", "source", "text")
+    val aRows = (0L until 40L).map(i => (i, "web", s"alpha document number $i with content ${i * 31}"))
+    val bRows = (100L until 130L).map(i => (i, "web", s"beta payload $i body ${i * 17}"))
+    val da = Profile.corpusDigest(mk(aRows)).collect().head
+    val db = Profile.corpusDigest(mk(bRows)).collect().head
+    val dab = Profile.corpusDigest(mk(aRows ++ bRows)).collect().head
+    assert(dab.getAs[Long]("n_docs") == 70L)
+    // digest(A ∪ B) == (digest(A) + digest(B)) mod 2^61
+    val expect = (BigInt(da.getAs[Long]("digest")) + BigInt(db.getAs[Long]("digest"))).mod(mod)
+    assert(BigInt(dab.getAs[Long]("digest")) == expect)
+    // subtraction recovers the component: digest(A) == (digest(AB) - digest(B)) mod 2^61
+    val back = (BigInt(dab.getAs[Long]("digest")) - BigInt(db.getAs[Long]("digest"))).mod(mod)
+    assert(BigInt(da.getAs[Long]("digest")) == back)
+    // order/partitioning invariance
+    val shuffled = Profile.corpusDigest(mk(scala.util.Random.javaRandomToRandom(
+      new java.util.Random(7)).shuffle(aRows ++ bRows)).repartition(5)).collect().head
+    assert(shuffled.getAs[Long]("digest") == dab.getAs[Long]("digest"))
+    // a single-byte edit moves the digest
+    val edited = aRows.updated(3, (3L, "web", aRows(3)._3 + "x"))
+    assert(Profile.corpusDigest(mk(edited ++ bRows)).collect().head
+      .getAs[Long]("digest") != dab.getAs[Long]("digest"))
   }
 }

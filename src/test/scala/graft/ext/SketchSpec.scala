@@ -376,4 +376,24 @@ class SketchSpec extends SparkSpec {
       assert(twice.getAs[Long](s"est_r$i") == 2 * once.getAs[Long](s"est_r$i"))
     }
   }
+
+  test("bloomFprAudit: zero false negatives; counts reconcile with a direct pass/membership recomputation") {
+    import spark.implicits._
+    val build = (0L until 80L).map(i => i * 3).toDF("bk")
+    val probe = (0L until 300L).toDF("pk")
+    val k = 3; val mBits = 512
+    val r = Sketch.bloomFprAudit(probe, "pk", build, "bk", k, mBits).collect().head
+    assert(r.getAs[Long]("n_build_keys") == 80L)
+    // every member passes — Bloom filters have no false negatives
+    assert(r.getAs[Long]("n_member_pass") == r.getAs[Long]("n_member_keys"))
+    assert(r.getAs[Long]("n_member_keys") == 80L)  // multiples of 3 below 240
+    assert(r.getAs[Long]("n_nonmember_keys") == 220L)
+    // direct recomputation of false passes via the production filter
+    val passed = Sketch.bloomSemiJoin(probe, "pk", build, "bk", k, mBits)
+      .collect().map(_.getLong(0)).toSet
+    val member = (x: Long) => x % 3 == 0 && x < 240
+    val falsePass = (0L until 300L).count(x => !member(x) && passed(x)).toLong
+    assert(r.getAs[Long]("n_false_pass") == falsePass)
+    assert(r.getAs[Long]("fp_ppm") == falsePass * 1000000L / 220L)
+  }
 }

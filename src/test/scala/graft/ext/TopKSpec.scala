@@ -32,4 +32,27 @@ class TopKSpec extends SparkSpec {
     val salted = Aggregate.saltedSum(d, Seq("k"), "v", salt = 8)
     assertSameRows(direct.orderBy("k"), salted.orderBy("k"))
   }
+
+  test("topKPairJoin: pruned rank join equals brute force; undersized pair set falls back unpruned") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = (0L until 30L).flatMap(i => (0L until 25L)
+      .filter(j => (i * 7 + j * 11) % 3 != 0).map(j => (i, j))).toDF("ka", "kb")
+    val a = (0L until 30L).map(i => (i, (i * 131 % 97) - 20)).toDF("ka", "sa")
+    val b = (0L until 25L).map(j => (j, (j * 173 % 89) - 10)).toDF("kb", "sb")
+    val k = 7
+    val got = TopK.topKPairJoin(pairs, a, b, k)
+    val w = Window.orderBy(col("score").desc, col("ka"), col("kb"))
+    val brute = pairs.join(a, Seq("ka")).join(b, Seq("kb"))
+      .withColumn("score", col("sa") + col("sb"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("ka", "kb", "score", "rank")
+    assertSameRows(got, brute)
+    // fewer pairs than k: every pair comes back, still ranked
+    val tiny = Seq((1L, 2L), (3L, 4L)).toDF("ka", "kb")
+    val allOut = TopK.topKPairJoin(tiny, a, b, k = 10).collect()
+    assert(allOut.length == 2)
+    assert(allOut.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2))
+  }
 }
