@@ -1485,6 +1485,98 @@ object Oracles {
        |FROM fp GROUP BY 1""".stripMargin
   }
 
+  /** Mirrors Profile.selectivityAudit over orders(o_custkey): distinct-
+    * value collapse, rank-interval equi-depth buckets (0-based rank r →
+    * bucket r·B // n; bucket b owns ranks [ceil(b·n/B), ceil((b+1)·n/B)−1]),
+    * System-R uniform-within-bucket estimates on the pinned predicate
+    * grid vs exact counts from the same collapsed histogram. All-integer;
+    * every quantity non-negative so `//` truncation matches Spark `div`.
+    */
+  def selectivityAudit(buckets: Int, nPreds: Int): String = {
+    val bm1 = buckets - 1
+    s"""WITH vc AS (
+       |  SELECT CAST(o_custkey AS BIGINT) AS x, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+       |cum AS (
+       |  SELECT x, cnt, CAST(SUM(cnt) OVER (ORDER BY x) AS BIGINT) AS cum FROM vc),
+       |tot AS (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) AS n, MIN(x) AS vmin, MAX(x) AS vmax FROM vc),
+       |touched AS (
+       |  SELECT x, cnt, cum, n,
+       |    unnest(generate_series((cum - cnt) * $buckets // n,
+       |                           (cum - 1) * $buckets // n)) AS bucket
+       |  FROM cum, tot),
+       |hist AS (
+       |  SELECT bucket, MIN(x) AS lo, MAX(x) AS hi,
+       |    CAST(SUM(LEAST(cum - 1, ((bucket + 1) * n + $bm1) // $buckets - 1)
+       |      - GREATEST(cum - cnt, (bucket * n + $bm1) // $buckets) + 1) AS BIGINT) AS cnt
+       |  FROM touched GROUP BY 1),
+       |grid AS (
+       |  SELECT CAST(j AS BIGINT) AS pred_id,
+       |    vmin + (vmax - vmin + 1) * j // ${nPreds + 2} AS p_lo,
+       |    vmin + (vmax - vmin + 1) * (j + 3) // ${nPreds + 2} AS p_hi
+       |  FROM tot, generate_series(0, ${nPreds - 1}) t(j)),
+       |est AS (
+       |  SELECT pred_id, p_lo, p_hi,
+       |    CAST(SUM(cnt * GREATEST(0, LEAST(p_hi, hi + 1) - GREATEST(p_lo, lo))
+       |      // (hi - lo + 1)) AS BIGINT) AS est_rows
+       |  FROM hist, grid GROUP BY 1, 2, 3),
+       |ex AS (
+       |  SELECT pred_id, CAST(SUM(cnt) AS BIGINT) AS exact_rows
+       |  FROM vc, grid WHERE x >= p_lo AND x < p_hi GROUP BY 1)
+       |SELECT pred_id, p_lo, p_hi, est_rows,
+       |  CAST(COALESCE(exact_rows, 0) AS BIGINT) AS exact_rows,
+       |  CAST(est_rows * 1000000 // GREATEST(COALESCE(exact_rows, 0), 1)
+       |    - 1000000 AS BIGINT) AS err_ppm
+       |FROM est LEFT JOIN ex USING (pred_id)""".stripMargin
+  }
+
+  /** Mirrors Sketch.joinCardEstimates over orders(o_custkey) ⋈
+    * events(user_id): the q271 Count-Min inner product next to the
+    * System-R uniformity estimate |A|·|B| // max(d_A, d_B) and the exact
+    * count-join, signed ppm errors. Same CmJ hash block as cmJoinSize.
+    */
+  def joinCardEstimates(depth: Int, width: Int): String = {
+    val bucketCases = (0 until depth).map(r =>
+      s"WHEN $r THEN (${mixSql("k", ext.Sketch.CmJ + 2 * r)}) % $width").mkString(" ")
+    val rows = (0 until depth).map(r => s"($r)").mkString(",")
+    s"""WITH ca AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS na FROM orders GROUP BY 1),
+       |cb AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS nb FROM events GROUP BY 1),
+       |sides AS (
+       |  SELECT (SELECT CAST(SUM(na) AS BIGINT) FROM ca) AS n_a,
+       |         (SELECT CAST(SUM(nb) AS BIGINT) FROM cb) AS n_b,
+       |         (SELECT CAST(COUNT(*) AS BIGINT) FROM ca) AS d_a,
+       |         (SELECT CAST(COUNT(*) AS BIGINT) FROM cb) AS d_b),
+       |ska AS (
+       |  SELECT r, CASE r $bucketCases END AS bucket, CAST(SUM(na) AS BIGINT) AS cnt
+       |  FROM ca CROSS JOIN (VALUES $rows) v(r) GROUP BY 1, 2),
+       |skb AS (
+       |  SELECT r, CASE r $bucketCases END AS bucket, CAST(SUM(nb) AS BIGINT) AS cnt
+       |  FROM cb CROSS JOIN (VALUES $rows) v(r) GROUP BY 1, 2),
+       |cm AS (
+       |  SELECT CAST(MIN(ip) AS BIGINT) AS est_cm FROM (
+       |    SELECT a.r, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS ip
+       |    FROM ska a JOIN skb b ON a.r = b.r AND a.bucket = b.bucket GROUP BY 1)),
+       |ex AS (SELECT CAST(SUM(na * nb) AS BIGINT) AS exact_pairs FROM ca JOIN cb USING (k))
+       |SELECT n_a, n_b, d_a, d_b,
+       |  CAST(n_a * n_b // GREATEST(d_a, d_b) AS BIGINT) AS est_uniform,
+       |  est_cm, exact_pairs,
+       |  CAST(n_a * n_b // GREATEST(d_a, d_b) * 1000000
+       |    // GREATEST(exact_pairs, 1) - 1000000 AS BIGINT) AS err_uniform_ppm,
+       |  CAST(est_cm * 1000000 // GREATEST(exact_pairs, 1) - 1000000 AS BIGINT) AS err_cm_ppm
+       |FROM sides, cm, ex""".stripMargin
+  }
+
+  /** q281 oracle: the FULL orders⋈customer join computed from scratch —
+    * hash equality with the engine's four-term delta-algebra union is the
+    * IVM correctness certificate.
+    */
+  val ivmJoinFull: String =
+    """SELECT o_custkey AS k, o_orderkey,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+      |  c_mktsegment, c_nationkey
+      |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
+
   /** Mirrors Sketch.bloomFprAudit at the q63 geometry: key-level pass test
     * (all k positions set), exact membership, measured FP ppm.
     */

@@ -1010,6 +1010,30 @@ object Plans {
         |is the sum of its partitions' digests, which is the whole point:
         |append-only updates and cross-version compares never rescan the
         |base. DECIMAL(38,0) carries the sum; mod 2⁶¹ at the boundary.""".stripMargin,
+    "q279_selectivity_audit" ->
+      """ANALYZE certified: the only corpus-sized work is the distinct-
+        |value collapse (map-side combined); the cumulative-rank window
+        |runs over the value DOMAIN (FK keyspace, d ≪ n), and every value
+        |contributes exact rank-interval overlaps to the buckets it
+        |straddles — tie-invariant with NO per-row row_number. Estimator
+        |and exact arm are both keyspace arithmetic over the same
+        |collapsed histogram; a production ANALYZE samples first, which
+        |only shrinks every stage.""".stripMargin,
+    "q280_join_card_shootout" ->
+      """Estimator shootout: per-key counts (one pass per side, map-side
+        |partial) feed d_A/d_B, both Count-Min sketches, AND the exact
+        |count-join — nothing ever touches the raw pair relation. The
+        |sketch cells, their join, and the one-row arms are all
+        |summary-sized broadcasts. At 100 TB only the certification arm
+        |pays the exact count-join, at audit cadence.""".stripMargin,
+    "q281_ivm_join" ->
+      """IVM join view: the three delta terms join delta-sized inputs
+        |against the base (AQE broadcasts the delta side); the base⋈base
+        |term stands in for the stored view — in production it is READ,
+        |not recomputed, so view maintenance costs Θ(|Δ|) joins against a
+        |key-bucketed base instead of a full recompute. Bag-union of the
+        |four terms is exactly the delta algebra; the oracle's from-scratch
+        |full join certifies it by hash.""".stripMargin,
     "q273_hyperanf" ->
       """HyperANF: per-round state is nodes × 16 integer registers — the
         |whole point vs Θ(n²) exact balls. Each round is one dst-keyed

@@ -2400,6 +2400,44 @@ object SparkEntry {
     "q278_corpus_digest" -> ((s, d) =>
       graft.ext.Profile.corpusDigest(Tables.documents(s, d))),
 
+    // ANALYZE certified: equi-depth histogram on the order→customer FK,
+    // System-R range estimates vs exact counts per predicate — the table
+    // that says whether this column's stats can drive join ordering. One
+    // corpus pass (the distinct-value collapse); the rank window runs on
+    // the DOMAIN, and the exact arm reads the same collapsed histogram
+    "q279_selectivity_audit" -> ((s, d) =>
+      graft.ext.Profile.selectivityAudit(Tables.orders(s, d),
+        col("o_custkey"), buckets = 32, nPreds = 8)),
+
+    // estimator shootout: System-R uniformity |A|·|B|/max(dA,dB) vs the
+    // q271 Count-Min inner product, both against the exact join size —
+    // signed ppm errors showing what key skew does to the uniformity
+    // assumption and what the sketch buys back. Same per-key counts feed
+    // all three arms: one pass per side, summary-sized downstream
+    "q280_join_card_shootout" -> ((s, d) =>
+      graft.ext.Sketch.joinCardEstimates(
+        Tables.orders(s, d), col("o_custkey"),
+        Tables.events(s, d), col("user_id"), depth = 4, width = 256)),
+
+    // incremental view maintenance, JOIN view: with inserts on BOTH sides
+    // of a materialized orders⋈customer view, emit the delta-algebra
+    // right-hand side A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — base tables touched
+    // only through delta-keyed joins (delta-sized work against a bucketed
+    // base at 100 TB). The oracle computes the FULL join from scratch;
+    // hash equality is the IVM correctness certificate
+    "q281_ivm_join" -> { (s, d) =>
+      val ords = Tables.orders(s, d).select(col("o_custkey").as("k"),
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+      val cust = Tables.customer(s, d).select(col("c_custkey").as("k"),
+        col("c_mktsegment"), col("c_nationkey"))
+      graft.ext.Warehouse.incrementalJoinView(
+        ords.filter(col("o_orderkey") % 10 =!= 0),
+        ords.filter(col("o_orderkey") % 10 === 0),
+        cust.filter(col("k") % 7 =!= 0),
+        cust.filter(col("k") % 7 === 0), "k")
+    },
+
     // Matryoshka acceptance: AO rank agreement between full-64-dim and
     // first-16-dim cosine rankings on the 1% panel — what a
     // truncated-embedding deployment (MRL) reads before shipping the
@@ -3125,6 +3163,9 @@ object SparkEntry {
     "q276_topk_join" -> Oracles.topKPairJoin(20),
     "q277_bloom_fpr" -> Oracles.bloomFprAudit(3, 8192),
     "q278_corpus_digest" -> Oracles.corpusDigest,
+    "q279_selectivity_audit" -> Oracles.selectivityAudit(32, 8),
+    "q280_join_card_shootout" -> Oracles.joinCardEstimates(4, 256),
+    "q281_ivm_join" -> Oracles.ivmJoinFull,
     // the oracle recomputes the component FROM SCRATCH over the whole
     // corpus — a hash match proves the merged-moment retrain is exactly
     // the batch result

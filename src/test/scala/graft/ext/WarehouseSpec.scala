@@ -143,4 +143,24 @@ class WarehouseSpec extends SparkSpec {
       Seq("x", "0", "2", "800", "a", "b"),
       Seq("y", "0", "2", "800", "a", "b")))
   }
+
+  test("incrementalJoinView: four delta terms reproduce the full join as a bag") {
+    val mkA = (rows: Seq[Row]) => df("k BIGINT, va STRING", rows)
+    val mkB = (rows: Seq[Row]) => df("k BIGINT, vb STRING", rows)
+    val baseA = mkA(Seq(Row(1L, "a1"), Row(2L, "a2"), Row(2L, "a2x")))
+    val deltaA = mkA(Seq(Row(1L, "a3"), Row(3L, "a4")))
+    val baseB = mkB(Seq(Row(1L, "b1"), Row(3L, "b2")))
+    val deltaB = mkB(Seq(Row(1L, "b3"), Row(2L, "b4")))
+    val ivm = Warehouse.incrementalJoinView(baseA, deltaA, baseB, deltaB, "k")
+    val full = baseA.unionByName(deltaA).join(baseB.unionByName(deltaB), Seq("k"))
+    // bag equality, duplicates included: k=1 joins 2×2, k=2 joins 2×1,
+    // k=3 joins 1×1 — 7 rows
+    assert(rowSet(ivm) == rowSet(full))
+    assert(ivm.count() == 7L)
+    // empty deltas degrade to the stored view exactly
+    val none = mkA(Seq.empty)
+    val noneB = mkB(Seq.empty)
+    assert(rowSet(Warehouse.incrementalJoinView(baseA, none, baseB, noneB, "k"))
+      == rowSet(baseA.join(baseB, Seq("k"))))
+  }
 }
