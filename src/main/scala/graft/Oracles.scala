@@ -5736,6 +5736,60 @@ object Oracles {
        |FROM pb JOIN env ON p BETWEEN min_b AND max_b, nb GROUP BY 1, 2, 3, 4""".stripMargin
   }
 
+  /** Mirrors Layout.curveAudit over the q258 key pair at `bits` — the
+    * hilbert chain CTEs are generated from the SAME
+    * Layout.hilbertSteps source as the engine, with `//` as the div
+    * token; ranks use the identical (key, id) total order.
+    */
+  def curveAudit(nFiles: Int, bits: Int,
+                 probeModA: Int, probeModB: Int): String = {
+    val mask = 1L << bits
+    val steps = ext.Layout.hilbertSteps(bits, "//")
+    val hilbertCtes = steps.zipWithIndex.map { case (step, i) =>
+      val exprs = step.map { case (name, sql) => s"$sql AS $name" }.mkString(",\n    ")
+      s"h${i + 1} AS (\n  SELECT *,\n    $exprs\n  FROM h$i)"
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS id, (o_custkey % $mask) AS ka,
+       |    (date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % $mask) AS kb
+       |  FROM orders),
+       |h0 AS (
+       |  SELECT id, ka, kb,
+       |    CAST(list_sum(list_transform(range(0, $bits), i ->
+       |      (((ka // (1::BIGINT << i)) % 2) * (1::BIGINT << (2 * i))) +
+       |      (((kb // (1::BIGINT << i)) % 2) * (1::BIGINT << (2 * i + 1)))
+       |    )) AS BIGINT) AS zaddr,
+       |    CAST(ka AS BIGINT) AS hx0, CAST(kb AS BIGINT) AS hy0,
+       |    CAST(0 AS BIGINT) AS hd0
+       |  FROM base),
+       |$hilbertCtes,
+       |n AS (SELECT COUNT(*) AS n FROM base),
+       |r AS (
+       |  SELECT 'linear_a' AS layout, ka, kb,
+       |    ROW_NUMBER() OVER (ORDER BY ka, id) - 1 AS rnk
+       |  FROM h$bits
+       |  UNION ALL
+       |  SELECT 'zorder', ka, kb, ROW_NUMBER() OVER (ORDER BY zaddr, id) - 1
+       |  FROM h$bits
+       |  UNION ALL
+       |  SELECT 'hilbert', ka, kb, ROW_NUMBER() OVER (ORDER BY hd$bits, id) - 1
+       |  FROM h$bits),
+       |env AS (
+       |  SELECT layout, rnk * $nFiles // n AS file,
+       |    MIN(ka) AS min_a, MAX(ka) AS max_a, MIN(kb) AS min_b, MAX(kb) AS max_b
+       |  FROM r, n GROUP BY 1, 2),
+       |pa AS (SELECT DISTINCT ka AS p FROM base WHERE ka % $probeModA = 1),
+       |pb AS (SELECT DISTINCT kb AS p FROM base WHERE kb % $probeModB = 3),
+       |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM pa),
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM pb)
+       |SELECT layout, 'a' AS dim, CAST($nFiles AS BIGINT) AS n_files,
+       |  na.n_probes, CAST(COUNT(*) AS BIGINT) AS files_hit
+       |FROM pa JOIN env ON p BETWEEN min_a AND max_a, na GROUP BY 1, 2, 3, 4
+       |UNION ALL
+       |SELECT layout, 'b', $nFiles, nb.n_probes, CAST(COUNT(*) AS BIGINT)
+       |FROM pb JOIN env ON p BETWEEN min_b AND max_b, nb GROUP BY 1, 2, 3, 4""".stripMargin
+  }
+
   /** q259: reliability curve of the distilled gate — signed margin
     * octave band (`length(bin(|margin|))`, the BinLength spelling) →
     * corpus count and true-gate positives.

@@ -2425,6 +2425,22 @@ object SparkEntry {
     // only through delta-keyed joins (delta-sized work against a bucketed
     // base at 100 TB). The oracle computes the FULL join from scratch;
     // hash equality is the IVM correctness certificate
+    // space-filling-curve shootout: q258's envelope/probe audit over
+    // linear vs Z-order vs HILBERT layouts on the same key pair — Z's
+    // diagonal address jumps fatten file envelopes, Hilbert's unit steps
+    // keep them tight; this measures the difference on the real key
+    // distribution. The hilbert chain is ONE source of truth
+    // (Layout.hilbertSteps) evaluated in both engines; each layout costs
+    // the one distributed sort its write would cost
+    "q282_curve_shootout" -> { (s, d) =>
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey").as("oid"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("long").as("dday"))
+      graft.ext.Layout.curveAudit(base, "o_custkey", "dday", "oid",
+        nFiles = 64, bits = 8, probeModA = 13, probeModB = 11)
+    },
+
     "q281_ivm_join" -> { (s, d) =>
       val ords = Tables.orders(s, d).select(col("o_custkey").as("k"),
         col("o_orderkey"),
@@ -3166,6 +3182,7 @@ object SparkEntry {
     "q279_selectivity_audit" -> Oracles.selectivityAudit(32, 8),
     "q280_join_card_shootout" -> Oracles.joinCardEstimates(4, 256),
     "q281_ivm_join" -> Oracles.ivmJoinFull,
+    "q282_curve_shootout" -> Oracles.curveAudit(64, 8, 13, 11),
     // the oracle recomputes the component FROM SCRATCH over the whole
     // corpus — a hash match proves the merged-moment retrain is exactly
     // the batch result

@@ -95,4 +95,108 @@ object Layout {
     hits("a", probesA, "min_a", "max_a")
       .unionByName(hits("b", probesB, "min_b", "max_b"))
   }
+
+  /** Per-step (column → expression) chain computing the HILBERT index of
+    * `(hx0, hy0)` on a `2^bits`-side grid — the standard xy2d quadrant
+    * recursion, unrolled: step i consumes bit `s = 2^(bits−1−i)`, adds
+    * `s²·q` where the quadrant `q = rx=1 ? 3−ry : ry` (the arithmetic
+    * spelling of `(3·rx) xor ry` for 1-bit inputs — no XOR operator, so
+    * the SAME text parses in Spark SQL and DuckDB), then rotates/flips
+    * the frame (`ry=0 → x' = rx=1 ? n−1−y : y; y' = rx=1 ? n−1−x : x`).
+    * Emitted stepwise — nesting into one scalar expression would copy the
+    * x/y subtrees 2^bits times. `div` is the ONLY dialect difference
+    * ("div" Spark, "//" DuckDB), injected as a token so both engines run
+    * one source of truth.
+    */
+  def hilbertSteps(bits: Int, div: String): Seq[Seq[(String, String)]] = {
+    require(bits >= 1 && bits <= 16, s"bits out of [1, 16]: $bits")
+    val n = 1L << bits
+    (0 until bits).map { i =>
+      val s = 1L << (bits - 1 - i)
+      val (x, y, d) = (s"hx$i", s"hy$i", s"hd$i")
+      val rx = s"(($x $div $s) % 2)"
+      val ry = s"(($y $div $s) % 2)"
+      Seq(
+        s"hd${i + 1}" ->
+          s"$d + ${s * s} * (CASE WHEN $rx = 1 THEN 3 - $ry ELSE $ry END)",
+        s"hx${i + 1}" ->
+          (s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 " +
+            s"THEN ${n - 1} - $y ELSE $y END) ELSE $x END"),
+        s"hy${i + 1}" ->
+          (s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 " +
+            s"THEN ${n - 1} - $x ELSE $x END) ELSE $y END"))
+    }
+  }
+
+  /** Append a Hilbert-index column computed from two long columns already
+    * masked to `[0, 2^bits)`. Narrow map — `bits` chained integer
+    * expressions, no shuffle.
+    */
+  def withHilbert(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                  out: String = "h"): DataFrame = {
+    val init = df.withColumn("hx0", col(xCol).cast("long"))
+      .withColumn("hy0", col(yCol).cast("long"))
+      .withColumn("hd0", lit(0L))
+    val stepped = hilbertSteps(bits, "div").foldLeft(init) { (acc, step) =>
+      step.foldLeft(acc) { case (a, (name, sql)) => a.withColumn(name, expr(sql)) }
+    }
+    stepped.withColumn(out, col(s"hd$bits"))
+      .drop((0 to bits).flatMap(i => Seq(s"hx$i", s"hy$i", s"hd$i")): _*)
+  }
+
+  /** The space-filling-curve SHOOTOUT: [[skippingAudit]]'s file-envelope /
+    * probe-panel machinery run over THREE layouts — linear on keyA,
+    * Z-order, Hilbert — on the same table. Z-order's long diagonal jumps
+    * (address 0b01…1 → 0b10…0 teleports across the grid) fatten file
+    * envelopes; Hilbert moves one cell per address step, so its envelopes
+    * are tighter and point queries open fewer files. This table is the
+    * measured version of that claim on the actual key distribution — what
+    * an OPTIMIZE CLUSTER BY decision should read.
+    *
+    * Scale shape identical to [[skippingAudit]]: each layout costs the one
+    * global sort its WRITE would cost (distributed rank via
+    * range-partition + zipWithIndex, never a single-partition window);
+    * envelopes and probes are file-/keyspace-sized.
+    */
+  def curveAudit(df: DataFrame, keyA: String, keyB: String, idCol: String,
+                 nFiles: Int = 64, bits: Int = 8,
+                 probeModA: Int = 97, probeModB: Int = 61): DataFrame = {
+    require(nFiles >= 1, s"nFiles must be positive: $nFiles")
+    val mask = 1L << bits
+    val masked = df.select(col(idCol).cast("long").as("id"),
+        (col(keyA).cast("long") % mask).as("ka"),
+        (col(keyB).cast("long") % mask).as("kb"))
+      .withColumn("z", graft.load.Sinks.zValue(col("ka"), col("kb"), bits))
+    val base = withHilbert(masked, "ka", "kb", bits).localCheckpoint(true)
+    val n = base.count()
+    require(n > 0, "curveAudit needs a non-empty table")
+
+    def envelopes(layout: String, sortCols: Seq[String]): DataFrame =
+      withGlobalRank(base, sortCols)
+        .withColumn("file", expr(s"rnk * ${nFiles}L div ${n}L"))
+        .groupBy("file")
+        .agg(min("ka").as("min_a"), max("ka").as("max_a"),
+          min("kb").as("min_b"), max("kb").as("max_b"))
+        .withColumn("layout", lit(layout))
+
+    val env = envelopes("linear_a", Seq("ka", "id"))
+      .unionByName(envelopes("zorder", Seq("z", "id")))
+      .unionByName(envelopes("hilbert", Seq("h", "id")))
+      .localCheckpoint(true) // 3 layouts × 2 dims of range joins below
+
+    def hits(dim: String, probes: DataFrame, lo: String, hi: String): DataFrame =
+      probes.join(env, col("p") >= col(lo) && col("p") <= col(hi))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("files_hit"))
+        .crossJoin(broadcast(probes.agg(count(lit(1)).as("n_probes"))))
+        .select(col("layout"), lit(dim).as("dim"),
+          lit(nFiles.toLong).as("n_files"), col("n_probes"), col("files_hit"))
+
+    val probesA = base.select(col("ka").as("p")).distinct()
+      .filter(col("p") % probeModA === 1)
+    val probesB = base.select(col("kb").as("p")).distinct()
+      .filter(col("p") % probeModB === 3)
+    hits("a", probesA, "min_a", "max_a")
+      .unionByName(hits("b", probesB, "min_b", "max_b"))
+  }
 }

@@ -47,4 +47,38 @@ class LayoutSpec extends SparkSpec {
       s"$l|$d|$nf|$np|$h"
     }.sorted)
   }
+
+  test("withHilbert: order-1 quadrant order and full-grid unit-step bijection") {
+    // order 1: the defining U — (0,0)=0 (0,1)=1 (1,1)=2 (1,0)=3
+    val one = Layout.withHilbert(
+      df("x BIGINT, y BIGINT", Seq(Row(0L, 0L), Row(0L, 1L), Row(1L, 1L), Row(1L, 0L))),
+      "x", "y", bits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(one == Map((0L, 0L) -> 0L, (0L, 1L) -> 1L, (1L, 1L) -> 2L, (1L, 0L) -> 3L))
+    // order 4 (16×16): the index is a bijection onto [0, 256) and
+    // consecutive indices are GRID-ADJACENT (|Δx|+|Δy| = 1) — the
+    // locality property the curve shootout cashes in
+    val pts = for (x <- 0 until 16; y <- 0 until 16) yield Row(x.toLong, y.toLong)
+    val d4 = Layout.withHilbert(df("x BIGINT, y BIGINT", pts), "x", "y", bits = 4)
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+    assert(d4.map(_._1).sorted.toSeq == (0L until 256L))
+    val byD = d4.toMap
+    (0L until 255L).foreach { i =>
+      val ((x1, y1), (x2, y2)) = (byD(i), byD(i + 1))
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L,
+        s"d=$i (${byD(i)}) -> d=${i + 1} (${byD(i + 1)}) is not a unit step")
+    }
+  }
+
+  test("curveAudit: hilbert envelopes never worse than zorder on the uniform grid") {
+    val out = Layout.curveAudit(grid, "a", "b", "id", nFiles = 16,
+      bits = 4, probeModA = 5, probeModB = 7)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    // 16 files on a 16×16 grid: hilbert tiles are 4×4 blocks too — each
+    // point probe on either dim intersects exactly 4 files, matching
+    // z-order's tiling on the uniform grid
+    assert(out(("hilbert", "a")) <= out(("zorder", "a")))
+    assert(out(("hilbert", "b")) <= out(("zorder", "b")))
+    assert(out(("linear_a", "b")) >= out(("hilbert", "b"))) // linear can't prune b
+  }
 }
