@@ -2541,6 +2541,68 @@ object Oracles {
        |SELECT id AS node_id, pr FROM pr$iters""".stripMargin
   }
 
+  /** Mirrors Graph.hits on the directed supplier→part edge list: per
+    * round, authority = Σ incoming hubs then `·scale // max`, hub = Σ
+    * outgoing authorities then `·scale // max` — the integer
+    * max-normalized HITS recursion, bit-identical to the engine.
+    */
+  def hits(iters: Int, scale: Long): String = {
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS (
+         |  SELECT e.dst AS id, CAST(SUM(h.h) AS BIGINT) AS s
+         |  FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY 1),
+         |a$i AS (
+         |  SELECT n.id,
+         |    CAST(COALESCE(r.s, 0) * ${scale}::BIGINT // (SELECT MAX(s) FROM ar$i) AS BIGINT) AS a
+         |  FROM nodes n LEFT JOIN ar$i r ON n.id = r.id),
+         |hr$i AS (
+         |  SELECT e.src AS id, CAST(SUM(a.a) AS BIGINT) AS s
+         |  FROM e JOIN a$i a ON e.dst = a.id GROUP BY 1),
+         |h$i AS (
+         |  SELECT n.id,
+         |    CAST(COALESCE(r.s, 0) * ${scale}::BIGINT // (SELECT MAX(s) FROM hr$i) AS BIGINT) AS h
+         |  FROM nodes n LEFT JOIN hr$i r ON n.id = r.id)""".stripMargin
+    }
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(l_suppkey * 2 + 1 AS BIGINT) AS src,
+       |                  CAST(l_partkey * 2 AS BIGINT) AS dst
+       |  FROM lineitem),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT id, CAST($scale AS BIGINT) AS h FROM nodes),
+       |${steps.mkString(",\n")}
+       |SELECT n.id AS node_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS hub,
+       |  CAST(COALESCE(a.a, 0) AS BIGINT) AS auth
+       |FROM nodes n LEFT JOIN h$iters h ON n.id = h.id
+       |LEFT JOIN a$iters a ON n.id = a.id""".stripMargin
+  }
+
+  /** Mirrors TimeSeries.acf over the hourly event counts: zero-gapfilled
+    * grid, n-scaled exact mean-centering (dev = n·c − S), lag equi-join,
+    * `num·10⁶ // den` with the one wide product in HUGEINT (the engine
+    * uses DECIMAL(38,0)) — both truncate toward zero.
+    */
+  def acf(maxLag: Int): String =
+    s"""WITH c AS (
+       |  SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1),
+       |b AS (
+       |  SELECT MIN(h) AS h0, MAX(h) AS h1, CAST(SUM(c) AS BIGINT) AS s,
+       |    MAX(h) - MIN(h) + 1 AS n
+       |  FROM c),
+       |g AS (SELECT unnest(generate_series(b.h0, b.h1)) AS h, b.h0, b.s, b.n FROM b),
+       |sr AS (
+       |  SELECT g.h - g.h0 AS t, g.n * COALESCE(c.c, 0) - g.s AS dev, g.n
+       |  FROM g LEFT JOIN c ON g.h = c.h),
+       |d AS (SELECT CAST(SUM(dev * dev) AS BIGINT) AS den, MAX(n) AS n_hours FROM sr),
+       |l AS (SELECT t, dev, unnest(generate_series(1, $maxLag)) AS lag FROM sr),
+       |nm AS (
+       |  SELECT lag, CAST(SUM(x.dev * y.dev) AS BIGINT) AS num
+       |  FROM (SELECT t + lag AS t2, lag, dev FROM l) x
+       |  JOIN sr y ON x.t2 = y.t GROUP BY 1)
+       |SELECT CAST(lag AS BIGINT) AS lag, n_hours,
+       |  CAST(num::HUGEINT * 1000000 // den AS BIGINT) AS acf_ppm
+       |FROM nm, d""".stripMargin
+
   /** q96 oracle: the 64-bit perceptual average hash, value-exact per
     * media row — re-derived from the UTF-8 payload bytes (hex-pair decode
     * as in [[mediaFeatures]]; chunk-vs-global mean via integer
@@ -2654,7 +2716,11 @@ object Oracles {
     * the same most-frequent/min-label tie-break as the engine's
     * `max(struct(c, -lbl))`.
     */
-  def labelPropagation(rounds: Int, minPairs: Long): String = {
+  /** The shared label-propagation CTE prefix (e0/sym/l0..l`rounds`) —
+    * q146 reads the final labels, q284 builds the modularity report on
+    * top of the same chain.
+    */
+  private def labelPropCtes(rounds: Int, minPairs: Long): String = {
     val steps = (1 to rounds).map { i =>
       s"""c$i AS MATERIALIZED (
          |  SELECT e.v AS id, l.lbl AS nl, COUNT(*) AS c
@@ -2666,7 +2732,7 @@ object Oracles {
          |      row_number() OVER (PARTITION BY id ORDER BY c DESC, nl) AS rn
          |    FROM c$i) WHERE rn = 1)""".stripMargin
     }
-    s"""WITH e0 AS MATERIALIZED (
+    s"""e0 AS MATERIALIZED (
        |  SELECT u, v FROM (
        |    SELECT a.l_partkey AS u, b.l_partkey AS v,
        |           COUNT(DISTINCT a.l_orderkey) AS pn
@@ -2678,9 +2744,37 @@ object Oracles {
        |  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
        |), l0 AS MATERIALIZED (
        |  SELECT DISTINCT u AS id, u AS lbl FROM sym
-       |), ${steps.mkString(", ")}
-       |SELECT id AS node_id, lbl AS community FROM l$rounds""".stripMargin
+       |), ${steps.mkString(", ")}""".stripMargin
   }
+
+  def labelPropagation(rounds: Int, minPairs: Long): String =
+    s"""WITH ${labelPropCtes(rounds, minPairs)}
+       |SELECT id AS node_id, lbl AS community FROM l$rounds""".stripMargin
+
+  /** Mirrors Graph.modularityReport over the q146 labels: per community,
+    * node count, intra-community edges, degree mass, and the signed ppm
+    * modularity contribution `e_in·S // m − deg_sum²·S // 4m²` — every
+    * quantity integer, truncation order pinned on both sides.
+    */
+  def modularityReport(rounds: Int, minPairs: Long, scale: Long): String =
+    s"""WITH ${labelPropCtes(rounds, minPairs)},
+       |lab AS MATERIALIZED (SELECT id AS node_id, lbl AS community FROM l$rounds),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+       |ein AS (
+       |  SELECT lu.community, CAST(COUNT(*) AS BIGINT) AS e_in
+       |  FROM e0 JOIN lab lu ON e0.u = lu.node_id
+       |          JOIN lab lv ON e0.v = lv.node_id
+       |  WHERE lu.community = lv.community GROUP BY 1),
+       |deg AS (SELECT u AS node_id, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+       |agg AS (
+       |  SELECT l.community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(d.deg) AS BIGINT) AS deg_sum
+       |  FROM lab l JOIN deg d ON l.node_id = d.node_id GROUP BY 1)
+       |SELECT a.community, a.n_nodes,
+       |  CAST(COALESCE(e.e_in, 0) AS BIGINT) AS e_in, a.deg_sum,
+       |  CAST(COALESCE(e.e_in, 0) * $scale // m
+       |    - (a.deg_sum * a.deg_sum * $scale) // (4 * m * m) AS BIGINT) AS q_ppm
+       |FROM agg a LEFT JOIN ein e ON a.community = e.community, mm""".stripMargin
 
   /** q152 oracle: multi-source BFS replayed as round-unrolled MATERIALIZED
     * CTEs over the same minPairs-thresholded co-occurrence edges — per

@@ -1010,6 +1010,26 @@ object Plans {
         |is the sum of its partitions' digests, which is the whole point:
         |append-only updates and cross-version compares never rescan the
         |base. DECIMAL(38,0) carries the sum; mod 2⁶¹ at the boundary.""".stripMargin,
+    "q283_hits" ->
+      """HITS: the edge relation is partitioned once and reused by all
+        |2·iterations half-steps; score relations are node-keyspace-sized
+        |broadcasts, aggregates map-side combined, one-row maxes. Integer
+        |max-normalization keeps values in [0, scale] with a documented
+        |maxdeg·scale² < 2⁶³ envelope. Eager checkpoints freed per round
+        |(the kCenterGreedy discipline) — O(1) lineage and storage.""".stripMargin,
+    "q284_modularity" ->
+      """Modularity: the edge tag join broadcasts the keyspace-sized label
+        |relation; degrees come from one map-combined aggregate; the
+        |report is community-keyspace arithmetic with a pinned truncation
+        |order and a documented 4m²·scale < 2⁶³ envelope (DECIMAL(38,0)
+        |beyond). Reuses the already-checkpointed q146 label state —
+        |acceptance costs two cheap joins, not a second propagation.""".stripMargin,
+    "q285_hourly_acf" ->
+      """ACF: one fact-scan hour aggregate, then hour-keyspace work only —
+        |gapfill grid from sequence(), a keyspace × maxLag lag equi-join,
+        |two map-combined sums. Exact integer mean-centering (dev = n·c −
+        |S); the single long-outgrowing product (num·10⁶) rides
+        |DECIMAL(38,0)/HUGEINT. No windows anywhere.""".stripMargin,
     "q282_curve_shootout" ->
       """Curve shootout: three distributed sorts (range-partition +
         |zipWithIndex rank — the cost each layout's WRITE pays anyway),

@@ -2425,6 +2425,40 @@ object SparkEntry {
     // only through delta-keyed joins (delta-sized work against a bucketed
     // base at 100 TB). The oracle computes the FULL join from scratch;
     // hash equality is the IVM correctness certificate
+    // EXACT hourly autocorrelation at lags 1..48 — the seasonality
+    // detector feeding q142/q182's seasonal models: a lag-24 spike is
+    // daily rhythm, a flat curve says don't fit one. Integer end to end
+    // (n-scaled mean-centering, ppm boundary; the one long-outgrowing
+    // product rides DECIMAL(38,0)); everything after the one fact
+    // aggregate is hour-keyspace-sized
+    "q285_hourly_acf" -> ((s, d) =>
+      graft.ext.TimeSeries.acf(Tables.events(s, d), "ts", maxLag = 48)),
+
+    // partition acceptance: per-community Newman modularity of the q146
+    // label-prop communities, signed ppm with pinned truncation order —
+    // Σ q_ppm ≈ 10⁶·Q, and a community at q_ppm ≤ 0 is no denser than
+    // the degree-preserving random graph. One tag join + one degree
+    // aggregate + community-keyspace arithmetic
+    "q284_modularity" -> { (s, d) =>
+      val e = cooccurrenceEdges(s, d)
+      graft.ext.Graph.modularityReport(e,
+        graft.ext.Graph.labelPropagation(e, rounds = 4))
+    },
+
+    // HITS hubs & authorities on the DIRECTED supplier→part relation —
+    // the link-analysis complement to q95's symmetrized PageRank:
+    // versatile suppliers (hubs) reinforce widely-sourced parts
+    // (authorities) and vice versa. Integer max-normalization per
+    // half-step replaces the L2 norm — same fixed point ranking, no
+    // float, bit-stable in any engine. Edges partitioned once; each
+    // half-step is a keyspace broadcast join + map-combined aggregate
+    "q283_hits" -> { (s, d) =>
+      graft.ext.Graph.hits(
+        Tables.lineitem(s, d).select(
+          (col("l_suppkey") * 2 + 1).as("src"), (col("l_partkey") * 2).as("dst")),
+        iterations = 3)
+    },
+
     // space-filling-curve shootout: q258's envelope/probe audit over
     // linear vs Z-order vs HILBERT layouts on the same key pair — Z's
     // diagonal address jumps fatten file envelopes, Hilbert's unit steps
@@ -3183,6 +3217,9 @@ object SparkEntry {
     "q280_join_card_shootout" -> Oracles.joinCardEstimates(4, 256),
     "q281_ivm_join" -> Oracles.ivmJoinFull,
     "q282_curve_shootout" -> Oracles.curveAudit(64, 8, 13, 11),
+    "q283_hits" -> Oracles.hits(3, 1000000L),
+    "q284_modularity" -> Oracles.modularityReport(4, 2, 1000000L),
+    "q285_hourly_acf" -> Oracles.acf(48),
     // the oracle recomputes the component FROM SCRATCH over the whole
     // corpus — a hash match proves the merged-moment retrain is exactly
     // the batch result

@@ -400,4 +400,110 @@ object Graph {
     Clustering.unpersistCheckpoint(regs)
     out
   }
+
+  /** HITS hubs & authorities on a DIRECTED edge list, all-integer: per
+    * round, authority = Σ incoming hub scores, hub = Σ outgoing authority
+    * scores, each renormalized to `[0, scale]` by `v·scale div max(v)` —
+    * integer max-normalization replaces the textbook L2 norm (same
+    * fixed-point ranking, no float drift, bit-identical in any engine).
+    *
+    * Overflow envelope: a round's raw sum is ≤ maxdeg·scale and the
+    * normalization multiplies by scale again, so `maxdeg·scale² < 2⁶³`
+    * bounds the default scale=10⁶ at max weighted degree ~9·10⁶ — lower
+    * `scale` for hub-ier graphs.
+    *
+    * Scale shape per round (mirrors [[pageRank]]): the edge relation is
+    * partitioned ONCE; each half-step is one keyspace-sized broadcast
+    * join into the edges plus one hash aggregate (map-side combined), one
+    * one-row max, one left join back to the node set.
+    * `localCheckpoint(eager)` per half-step keeps lineage O(1) and frees
+    * the superseded round's blocks.
+    */
+  def hits(edges: DataFrame, iterations: Int, scale: Long = 1000000L,
+           srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .repartition(col("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+
+    // sum scores over one edge direction, renormalize to [0, scale],
+    // keep every node (dangling side → 0); eager checkpoint so the
+    // caller can free the input it supersedes
+    def halfStep(score: DataFrame, scoreCol: String, joinKey: String,
+                 groupKey: String, out: String): DataFrame = {
+      val raw = e.join(broadcast(score), e(joinKey) === score("id"))
+        .groupBy(col(groupKey).as("id"))
+        .agg(sum(col(scoreCol)).as("s"))
+      val m = raw.agg(max(col("s")).as("m"))
+      nodes.join(raw, Seq("id"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("id"),
+          expr(s"coalesce(s, 0L) * $scale div m").as(out))
+        .localCheckpoint(true)
+    }
+
+    var h = nodes.withColumn("h", lit(scale)).localCheckpoint(true)
+    var a: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val aNext = halfStep(h, "h", "src", "dst", "a")
+      if (a != null) Clustering.unpersistCheckpoint(a) // superseded round
+      a = aNext
+      val hNext = halfStep(a, "a", "dst", "src", "h")
+      Clustering.unpersistCheckpoint(h) // aNext/hNext are eager — safe
+      h = hNext
+    }
+    // the final h and a checkpoints stay live — the result reads them
+    nodes.join(h, Seq("id"), "left").join(a, Seq("id"), "left")
+      .select(col("id").as("node_id"),
+        coalesce(col("h"), lit(0L)).as("hub"),
+        coalesce(col("a"), lit(0L)).as("auth"))
+  }
+
+  /** Newman modularity, decomposed per community — the acceptance test
+    * for a [[labelPropagation]] (or any) partition: for community c,
+    * `Q_c = e_c/m − (d_c/2m)²` (intra-edge share minus the random-graph
+    * expectation at the same degree mass). Emitted as SIGNED ppm with the
+    * truncation order pinned (`e_in·S div m − deg_sum²·S div 4m²`), all
+    * integer — Σ q_ppm ≈ 10⁶·Q, and a community with q_ppm ≤ 0 is no
+    * denser than chance (merge or re-run with more rounds).
+    *
+    * `edges` are undirected unique pairs (u < v); `labels` is
+    * (node_id, community). Overflow envelope: `4m²·scale < 2⁶³` → m up
+    * to ~1.5·10⁶ edges at scale 10⁶ — beyond that, lower `scale` (or
+    * route the expectation term through DECIMAL(38,0) as q278 does).
+    *
+    * Scale shape: one edge⋈labels tag join (labels keyspace-sized →
+    * broadcast), one degree aggregate, then community-keyspace
+    * arithmetic; nothing quadratic, no windows over facts.
+    */
+  def modularityReport(edges: DataFrame, labels: DataFrame,
+                       scale: Long = 1000000L): DataFrame = {
+    val und = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val m = und.count()
+    require(m > 0, "modularityReport needs at least one edge")
+    val lab = labels.select(col("node_id"), col("community"))
+      .localCheckpoint(true)
+    val eIn = und
+      .join(lab.select(col("node_id").as("u"), col("community").as("cu")), "u")
+      .join(lab.select(col("node_id").as("v"), col("community").as("cv")), "v")
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    val deg = und.select(col("u").as("node_id"))
+      .unionAll(und.select(col("v").as("node_id")))
+      .groupBy("node_id").agg(count(lit(1)).as("deg"))
+    val agg = lab.join(deg, "node_id")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("deg_sum"))
+    agg.join(eIn, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"))
+      .withColumn("q_ppm",
+        expr(s"e_in * $scale div ${m}L" +
+          s" - (deg_sum * deg_sum * $scale) div ${4 * m * m}L"))
+  }
 }

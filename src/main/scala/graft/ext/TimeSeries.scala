@@ -411,4 +411,50 @@ object TimeSeries {
           .as("first_alarm_hour"),
         max(col("s")).as("max_stat"))
   }
+
+  /** EXACT sample autocorrelation of the hourly event-count series at lags
+    * 1..`maxLag` — the seasonality detector (a spike at lag 24 is daily
+    * rhythm; a flat ACF says the q142/q182 seasonal models have nothing to
+    * model). Integer end to end: the series is the zero-gapfilled hourly
+    * grid, deviations are n-scaled (`dev_t = n·c_t − S`, the exact
+    * mean-centering that never forms the fractional mean), and
+    * `acf_ppm = num_k·10⁶ div den` where `num_k = Σ dev_t·dev_{t+k}`,
+    * `den = Σ dev_t²`. Cauchy–Schwarz keeps |acf_ppm| ≤ 10⁶; the one
+    * product that can outgrow a long (num·10⁶) runs in DECIMAL(38,0) —
+    * the q278 wide-integer device — so the envelope is den < 2⁶³
+    * (n_hours³·maxcount² — months of hours at 10⁵ events/hour).
+    *
+    * Scale shape: one fact-scan hour aggregate; everything after runs on
+    * the hour keyspace (grid join, lag equi-join of keyspace × maxLag
+    * rows, two map-combined sums). No windows, no per-row state.
+    */
+  def acf(events: DataFrame, tsCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val counts = events
+      .select(expr(s"unix_micros($tsCol) div 3600000000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+    val bounds = counts.agg(min("h").as("h0"), max("h").as("h1"),
+      sum("c").as("s"))
+    val series = bounds
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"),
+        col("h0"), col("s"), (col("h1") - col("h0") + 1L).as("n"))
+      .join(counts, Seq("h"), "left")
+      .select((col("h") - col("h0")).as("t"),
+        (col("n") * coalesce(col("c"), lit(0L)) - col("s")).as("dev"),
+        col("n"))
+      .localCheckpoint(true) // referenced by den and both lag-join sides
+    val den = series.agg(sum(col("dev") * col("dev")).as("den"),
+      max(col("n")).as("n_hours"))
+    val lags = series
+      .crossJoin(broadcast(
+        series.sparkSession.range(1, maxLag + 1).select(col("id").as("lag"))))
+      .select((col("t") + col("lag")).as("t"), col("lag"),
+        col("dev").as("dev_x"))
+    val num = lags.join(series.select(col("t"), col("dev")), Seq("t"))
+      .groupBy("lag")
+      .agg(sum(col("dev_x") * col("dev")).as("num"))
+    num.crossJoin(broadcast(den))
+      .select(col("lag"), col("n_hours"),
+        expr("CAST(num AS DECIMAL(38,0)) * 1000000 div den").as("acf_ppm"))
+  }
 }

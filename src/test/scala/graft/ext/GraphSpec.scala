@@ -226,4 +226,49 @@ class GraphSpec extends SparkSpec {
       assert(got == expected, s"round $t: $got vs $expected")
     }
   }
+
+  test("hits: one hand-traced round of integer max-normalized HITS") {
+    // 1→2, 1→3, 4→3: a_raw = {2:100, 3:200} → max 200 → a = {2:50, 3:100}
+    // h_raw = {1: 50+100=150, 4: 100} → max 150 → h = {1:100, 4:66}
+    val e = df("src BIGINT, dst BIGINT",
+      Seq(Row(1L, 2L), Row(1L, 3L), Row(4L, 3L)))
+    val out = Graph.hits(e, iterations = 1, scale = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      1L -> ((100L, 0L)), 2L -> ((0L, 50L)),
+      3L -> ((0L, 100L)), 4L -> ((66L, 0L))))
+  }
+
+  test("hits: iteration sharpens the dominant hub on an asymmetric graph") {
+    // node 0 links to every authority; node 9 links to one
+    val rows = (1L to 5L).map(Row(0L, _)) :+ Row(9L, 1L)
+    val out = Graph.hits(df("src BIGINT, dst BIGINT", rows), iterations = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L)._1 == 1000000L)     // dominant hub pinned at scale
+    assert(out(9L)._1 < 400000L)       // minor hub decays under iteration
+    assert(out(1L)._2 == 1000000L)     // doubly-cited authority dominates
+    assert((2L to 5L).forall(n => out(n)._2 < 1000000L && out(n)._2 > 0L))
+  }
+
+  test("modularityReport: two bridged triangles, hand-traced ppm") {
+    // triangles {1,2,3} and {4,5,6} + bridge 3–4: m=7, per community
+    // e_in=3, deg_sum=7 → q_ppm = 3e6 div 7 − 49e6 div 196
+    //                            = 428571 − 250000 = 178571
+    val e = df("u BIGINT, v BIGINT", Seq(
+      Row(1L, 2L), Row(1L, 3L), Row(2L, 3L),
+      Row(4L, 5L), Row(4L, 6L), Row(5L, 6L), Row(3L, 4L)))
+    val labels = df("node_id BIGINT, community BIGINT",
+      (1L to 6L).map(n => Row(n, if (n <= 3) 10L else 20L)))
+    val out = Graph.modularityReport(e, labels).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out(10L) == ((3L, 3L, 7L, 178571L)))
+    assert(out(20L) == ((3L, 3L, 7L, 178571L)))
+    // a partition that crosses the structure scores NEGATIVE: odd/even
+    val bad = df("node_id BIGINT, community BIGINT",
+      (1L to 6L).map(n => Row(n, n % 2)))
+    val q = Graph.modularityReport(e, bad).collect()
+      .map(_.getLong(4)).sum
+    assert(q < 0L)
+  }
 }

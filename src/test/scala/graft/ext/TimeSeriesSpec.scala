@@ -235,4 +235,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getAs[Long]("first_alarm_hour") == first)
     assert(r.getAs[Long]("max_stat") == maxS)
   }
+
+  test("acf: hand-traced alternating series") {
+    // hourly counts [2, 4, 2, 4]: n=4, S=12, dev = 4c−12 = [−4,4,−4,4],
+    // den=64; lag1 num=−48 → −750000 ppm, lag2 num=32 → 500000,
+    // lag3 num=−16 → −250000
+    val rows = Seq(0 -> 2, 1 -> 4, 2 -> 2, 3 -> 4).flatMap { case (h, c) =>
+      (0 until c).map(i => Row(new Timestamp(h * 3600000L + i * 1000L)))
+    }
+    val ev = df("ts TIMESTAMP", rows)
+    val out = TimeSeries.acf(ev, "ts", maxLag = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> ((4L, -750000L)), 2L -> ((4L, 500000L)),
+      3L -> ((4L, -250000L))))
+    // a gap hour enters as an explicit zero: counts [3, _, 3] over 3
+    // hours → [3,0,3], S=6, dev=[3,−6,3], den=54; lag1 num=−36 →
+    // −666667 truncated toward zero... −36e6 div 54 = −666666
+    val g = df("ts TIMESTAMP", Seq(0, 0, 0, 2, 2, 2).map(h =>
+      Row(new Timestamp(h * 3600000L))))
+    val go = TimeSeries.acf(g, "ts", maxLag = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(go == Map(1L -> -666666L, 2L -> 166666L))
+  }
 }
