@@ -2603,6 +2603,142 @@ object Oracles {
        |  CAST(num::HUGEINT * 1000000 // den AS BIGINT) AS acf_ppm
        |FROM nm, d""".stripMargin
 
+  /** q286 oracle: the TEXTBOOK correlated spelling of Q21-shape — a
+    * supplier row survives iff another supplier shipped in the same order
+    * (EXISTS) and no other supplier shipped on or after it (NOT EXISTS).
+    * The engine's de-correlated aggregate form must hash-match this.
+    */
+  val lastToShip: String =
+    """WITH l AS (
+      |  SELECT l_orderkey, l_suppkey, CAST(l_shipdate AS DATE) AS sd
+      |  FROM lineitem),
+      |win AS (
+      |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      |  FROM l l1
+      |  WHERE EXISTS (
+      |      SELECT 1 FROM l l2
+      |      WHERE l2.l_orderkey = l1.l_orderkey
+      |        AND l2.l_suppkey <> l1.l_suppkey)
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM l l3
+      |      WHERE l3.l_orderkey = l1.l_orderkey
+      |        AND l3.l_suppkey <> l1.l_suppkey
+      |        AND l3.sd >= l1.sd))
+      |SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS n_last
+      |FROM win JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q287 oracle: Q22-shape lapsed prospects in the scalar-subquery +
+    * NOT EXISTS spelling, above-average gate as the exact integer
+    * cross-multiply, recency cut inside the correlated subquery.
+    */
+  val prospects: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      |  FROM customer),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+      |    CAST(SUM(bal_c) AS BIGINT) AS sum_pos
+      |  FROM c WHERE bal_c > 0)
+      |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |  CAST(SUM(bal_c) AS BIGINT) AS total_bal_c
+      |FROM c, s
+      |WHERE bal_c * n_pos > sum_pos
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND CAST(o.o_orderdate AS DATE) >= DATE '2000-08-01')
+      |GROUP BY 1""".stripMargin
+
+  /** Mirrors Layout.fileBloomAudit over orders (key = o_custkey, files =
+    * o_orderkey insertion ranges): per-file min/max envelopes vs per-file
+    * Bloom bit tables at the BloomJ hash block vs exact containment, one
+    * summary row.
+    */
+  def fileBloomAudit(nFiles: Int, k: Int, mBits: Int,
+                     probeMod: Int, probeResidue: Int): String = {
+    def pos(e: String, i: Int) =
+      s"(${mixSql(e, ext.Sketch.BloomJ + 2 * i)}) % $mBits"
+    val keyPos = (0 until k).map(i => pos("key", i)).mkString(", ")
+    val pPos = (0 until k).map(i => pos("p", i)).mkString(", ")
+    s"""WITH base AS (
+       |  SELECT CAST(o_custkey AS BIGINT) AS key, CAST(o_orderkey AS BIGINT) AS ord
+       |  FROM orders),
+       |b AS (SELECT MIN(ord) AS o0, MAX(ord) AS o1 FROM base),
+       |files AS (
+       |  SELECT key, (ord - o0) * $nFiles // (o1 - o0 + 1) AS file
+       |  FROM base, b),
+       |env AS (SELECT file, MIN(key) AS kmin, MAX(key) AS kmax FROM files GROUP BY 1),
+       |fk AS (SELECT DISTINCT file, key FROM files),
+       |bits AS (
+       |  SELECT DISTINCT file, pos FROM (
+       |    SELECT file, unnest([$keyPos]) AS pos FROM fk)),
+       |probes AS (
+       |  SELECT DISTINCT key AS p FROM files WHERE key % $probeMod = $probeResidue),
+       |ppos AS (SELECT p, unnest([$pPos]) AS pos FROM probes),
+       |bo AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS bloom_open FROM (
+       |    SELECT p, file FROM ppos JOIN bits USING (pos)
+       |    GROUP BY 1, 2 HAVING COUNT(*) = $k)),
+       |mo AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS minmax_open
+       |  FROM probes JOIN env ON p BETWEEN kmin AND kmax),
+       |eo AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_open
+       |  FROM probes JOIN fk ON p = key)
+       |SELECT CAST($nFiles AS BIGINT) AS n_files,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+       |  minmax_open, bloom_open, exact_open,
+       |  CAST(bloom_open - exact_open AS BIGINT) AS false_open
+       |FROM mo, bo, eo""".stripMargin
+  }
+
+  /** Mirrors the q289 CountSketch drift readout: two half-corpus signed
+    * sketches at the CsJ block subtracted cell-wise, probe-panel median
+    * estimates (exact middle order statistic over depth rows) next to
+    * exact per-user deltas.
+    */
+  def countSketchDrift(depth: Int, width: Int, probeMod: Int,
+                       probeResidue: Int): String = {
+    val cellRows = (0 until depth).map(r =>
+      s"""SELECT $r AS r, (${mixSql("user_id", ext.Sketch.CsJ + 4 * r)}) % $width AS bucket,
+         |  ((${mixSql("user_id", ext.Sketch.CsJ + 4 * r + 2)}) % 2) * 2 - 1 AS sign,
+         |  w FROM halves""".stripMargin).mkString("\n  UNION ALL\n  ")
+    val probeRows = (0 until depth).map(r =>
+      s"""SELECT user_id, exact_delta, $r AS r,
+         |  (${mixSql("user_id", ext.Sketch.CsJ + 4 * r)}) % $width AS bucket,
+         |  ((${mixSql("user_id", ext.Sketch.CsJ + 4 * r + 2)}) % 2) * 2 - 1 AS sign
+         |FROM probes""".stripMargin).mkString("\n  UNION ALL\n  ")
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) // 3600000000 AS h FROM events),
+       |sp AS (SELECT (MIN(h) + MAX(h) + 1) // 2 AS hs FROM ev),
+       |halves AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN h >= hs THEN 1 ELSE -1 END) AS BIGINT) AS w
+       |  FROM ev, sp GROUP BY 1),
+       |cells AS (
+       |  $cellRows),
+       |sk AS (
+       |  SELECT r, bucket, CAST(SUM(sign * w) AS BIGINT) AS cnt
+       |  FROM cells GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT user_id, w AS exact_delta FROM halves
+       |  WHERE user_id % $probeMod = $probeResidue),
+       |pr AS (
+       |  $probeRows),
+       |est AS (
+       |  SELECT user_id, exact_delta,
+       |    CAST(sign * COALESCE(cnt, 0) AS BIGINT) AS est_r, r,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY sign * COALESCE(cnt, 0), r) AS rn
+       |  FROM pr LEFT JOIN sk USING (r, bucket))
+       |SELECT user_id, exact_delta, est_r AS est_delta,
+       |  CAST(est_r - exact_delta AS BIGINT) AS err
+       |FROM est WHERE rn = ${(depth + 1) / 2}""".stripMargin
+  }
+
   /** q96 oracle: the 64-bit perceptual average hash, value-exact per
     * media row — re-derived from the UTF-8 payload bytes (hex-pair decode
     * as in [[mediaFeatures]]; chunk-vs-global mean via integer

@@ -2425,6 +2425,97 @@ object SparkEntry {
     // only through delta-keyed joins (delta-sized work against a bucketed
     // base at 100 TB). The oracle computes the FULL join from scratch;
     // hash equality is the IVM correctness certificate
+    // file-level Bloom skipping: point lookups on a key UNCORRELATED
+    // with insertion order — min/max envelopes open nearly everything
+    // (each file spans the domain), per-file Bloom bit tables open
+    // ~exact + a measured false-positive tail. The audit row is the
+    // evidence for turning on parquet column blooms for this key; no
+    // false negatives re-proved by bloom_open ≥ exact_open in both
+    // engines
+    "q288_file_bloom_audit" -> ((s, d) =>
+      graft.ext.Layout.fileBloomAudit(Tables.orders(s, d),
+        "o_custkey", "o_orderkey",
+        nFiles = 64, k = 3, mBits = 4096, probeMod = 7, probeResidue = 1)),
+
+    // CountSketch drift monitor: signed sketches of the two corpus
+    // halves SUBTRACTED cell-wise (the sketch is linear — the diff of
+    // two independently-built sketches IS the sketch of the diff stream,
+    // which the oracle builds directly; hash equality certifies
+    // linearity). Probe-panel median estimates vs exact per-user deltas:
+    // yesterday's stored sketch + today's = drift, no raw streams kept
+    "q289_count_sketch_drift" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      val sp = ev.agg(expr("(min(h) + max(h) + 1) div 2").as("hs"))
+      val halves = ev.crossJoin(broadcast(sp))
+        .groupBy("user_id")
+        .agg(sum(when(col("h") < col("hs"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("h") >= col("hs"), 1L).otherwise(0L)).as("c2"))
+        .localCheckpoint(true) // feeds both sketches, probes, exact arm
+      val cs1 = graft.ext.Sketch.countSketchWeighted(
+        halves, col("user_id"), col("c1"), width = 64)
+      val cs2 = graft.ext.Sketch.countSketchWeighted(
+        halves, col("user_id"), col("c2"), width = 64)
+      val diff = cs2.withColumnRenamed("cnt", "cnt2")
+        .join(cs1.withColumnRenamed("cnt", "cnt1"), Seq("row", "bucket"), "full")
+        .select(col("row"), col("bucket"),
+          (coalesce(col("cnt2"), lit(0L)) - coalesce(col("cnt1"), lit(0L)))
+            .as("cnt"))
+      val probes = halves.filter(col("user_id") % 11 === 7)
+        .select(col("user_id"), (col("c2") - col("c1")).as("exact_delta"))
+      graft.ext.Sketch.csEstimate(diff, probes, col("user_id"), width = 64)
+        .withColumnRenamed("est", "est_delta")
+        .withColumn("err", col("est_delta") - col("exact_delta"))
+    },
+
+    // TPC-H Q21 shape (unique last-to-ship supplier per multi-supplier
+    // order): the textbook spelling is a correlated EXISTS + NOT EXISTS
+    // pair — the oracle keeps that spelling and this side DE-CORRELATES
+    // it into one (order, supplier) collapse + one per-order aggregate +
+    // one join-back, all shuffling on the SAME l_orderkey (one exchange
+    // reused thrice). Hash equality certifies the de-correlation
+    "q286_last_to_ship" -> { (s, d) =>
+      val perOS = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_shipdate").cast("date").as("sd"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max("sd").as("sup_last"))
+      val perO = perOS.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_sups"), max("sup_last").as("o_last"))
+      val ach = perOS.join(perO, "l_orderkey")
+        .filter(col("n_sups") >= 2 && col("sup_last") === col("o_last"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_ach"), min("l_suppkey").as("the_sup"))
+        .filter(col("n_ach") === 1)
+      ach.join(Tables.supplier(s, d),
+          col("the_sup") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("n_last"))
+    },
+
+    // TPC-H Q22 shape (lapsed prospects): above-average positive balance
+    // via the EXACT integer cross-multiply (bal·n_pos > Σpos — no float
+    // average exists), and no order in the data's final year via LEFT
+    // ANTI against the recent-buyer keys (the date filter prunes the
+    // orders scan BEFORE the anti-join). The oracle keeps the scalar
+    // subquery + NOT EXISTS spelling; the 1-row stats broadcast and the
+    // anti-join are the scale-shaped plan
+    "q287_prospects" -> { (s, d) =>
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_nationkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_c"))
+      val stats = cust.filter(col("bal_c") > 0)
+        .agg(count(lit(1)).as("n_pos"), sum("bal_c").as("sum_pos"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate").cast("date") >= lit("2000-08-01").cast("date"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(stats))
+        .filter(col("bal_c") * col("n_pos") > col("sum_pos"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"), sum("bal_c").as("total_bal_c"))
+    },
+
     // EXACT hourly autocorrelation at lags 1..48 — the seasonality
     // detector feeding q142/q182's seasonal models: a lag-24 spike is
     // daily rhythm, a flat curve says don't fit one. Integer end to end
@@ -3220,6 +3311,10 @@ object SparkEntry {
     "q283_hits" -> Oracles.hits(3, 1000000L),
     "q284_modularity" -> Oracles.modularityReport(4, 2, 1000000L),
     "q285_hourly_acf" -> Oracles.acf(48),
+    "q286_last_to_ship" -> Oracles.lastToShip,
+    "q287_prospects" -> Oracles.prospects,
+    "q288_file_bloom_audit" -> Oracles.fileBloomAudit(64, 3, 4096, 7, 1),
+    "q289_count_sketch_drift" -> Oracles.countSketchDrift(5, 64, 11, 7),
     // the oracle recomputes the component FROM SCRATCH over the whole
     // corpus — a hash match proves the merged-moment retrain is exactly
     // the batch result

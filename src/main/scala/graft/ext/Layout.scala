@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -94,6 +94,68 @@ object Layout {
       .filter(col("p") % probeModB === 3)
     hits("a", probesA, "min_a", "max_a")
       .unionByName(hits("b", probesB, "min_b", "max_b"))
+  }
+
+  /** File-level BLOOM-FILTER skipping audit — the pruning structure for
+    * the workload min/max envelopes cannot help: point lookups on a key
+    * UNCORRELATED with the layout order (every file's [min, max] spans
+    * the whole domain, so envelope pruning opens everything). Files are
+    * insertion-order ranges of `ordCol` (the natural unclustered layout);
+    * each file gets a `mBits`-bit Bloom filter of its keys at `k` hashes
+    * (what Parquet/Iceberg column blooms store). For a probe panel of
+    * real keys, reports files opened under (a) min/max envelopes,
+    * (b) the Bloom filters, (c) exact containment — bloom_open −
+    * exact_open is the measured false-positive cost, bits_set the storage
+    * honesty line.
+    *
+    * Scale shape: one fact pass to (file, key); envelopes, bit tables,
+    * probe panels are file-/keyspace-sized; the probe joins touch bit
+    * tables only. No false negatives by construction (every contained
+    * key set all its bits) — the audit re-proves it: bloom_open ≥
+    * exact_open always, hash-checked in both engines.
+    */
+  def fileBloomAudit(df: DataFrame, keyCol: String, ordCol: String,
+                     nFiles: Int = 64, k: Int = 3, mBits: Int = 4096,
+                     probeMod: Int = 7, probeResidue: Int = 1): DataFrame = {
+    require(nFiles >= 1 && k >= 1 && mBits >= 2, "bad fileBloomAudit params")
+    val base = df.select(col(keyCol).cast("long").as("key"),
+      col(ordCol).cast("long").as("ord"))
+    val b = base.agg(min("ord").as("o0"), max("ord").as("o1"))
+    val files = base.crossJoin(broadcast(b))
+      .select(col("key"),
+        expr(s"(ord - o0) * ${nFiles}L div (o1 - o0 + 1)").as("file"))
+      .localCheckpoint(true) // reused: envelopes, bits, probes, exact
+    def blooms(c: Column) = array((0 until k).map(i =>
+      Dedup.mixHash(c, Sketch.BloomJ + 2 * i) % mBits): _*)
+    val env = files.groupBy("file")
+      .agg(min("key").as("kmin"), max("key").as("kmax"))
+    val fk = files.distinct().localCheckpoint(true)
+    val bits = fk.select(col("file"), explode(blooms(col("key"))).as("pos"))
+      .distinct()
+      .localCheckpoint(true)
+    val probes = files.select("key").distinct()
+      .filter(col("key") % probeMod === probeResidue)
+      .select(col("key").as("p"))
+      .localCheckpoint(true)
+    val pPos = probes.select(col("p"), explode(blooms(col("p"))).as("pos"))
+    val bloomOpen = pPos.join(bits, "pos")
+      .groupBy("p", "file").agg(count(lit(1)).as("nh"))
+      .filter(col("nh") === k)
+      .agg(count(lit(1)).as("bloom_open"))
+    val mmOpen = probes
+      .join(env, col("p") >= col("kmin") && col("p") <= col("kmax"))
+      .agg(count(lit(1)).as("minmax_open"))
+    val exactOpen = probes.join(fk, col("p") === col("key"))
+      .agg(count(lit(1)).as("exact_open"))
+    probes.agg(count(lit(1)).as("n_probes"))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("bits_set"))))
+      .crossJoin(broadcast(mmOpen))
+      .crossJoin(broadcast(bloomOpen))
+      .crossJoin(broadcast(exactOpen))
+      .select(lit(nFiles.toLong).as("n_files"), col("n_probes"),
+        col("bits_set"), col("minmax_open"), col("bloom_open"),
+        col("exact_open"),
+        (col("bloom_open") - col("exact_open")).as("false_open"))
   }
 
   /** Per-step (column → expression) chain computing the HILBERT index of

@@ -440,6 +440,74 @@ object Sketch {
     * key set — and set algebra (∩, ∪, \) becomes a word-index equi-join
     * plus `bit_count`, all codegen built-ins.
     */
+  /** mixHash family block for CountSketch: bucket r uses (440+4r, 441+4r),
+    * sign r uses (442+4r, 443+4r) — depth ≤ 5 claims 440–459.
+    */
+  val CsJ: Int = 440
+
+  /** CountSketch (Charikar–Chen–Farach-Colton): the SIGNED frequency
+    * sketch — cell(r, b) = Σ sign_r(x)·w over items with bucket_r(x) = b,
+    * sign_r(x) ∈ {−1, +1} from an independent hash. Two properties
+    * Count-Min lacks, bought with the same O(depth·width) mergeable
+    * state: the per-row estimate `sign_r(x)·cell` is UNBIASED (collisions
+    * cancel in expectation instead of only inflating), and the sketch is
+    * CLOSED UNDER SUBTRACTION — cells of sketch(B) − sketch(A) are
+    * exactly the cells of sketch(B − A), so yesterday's stored sketch
+    * subtracts from today's to monitor per-key DRIFT without either raw
+    * stream. `depth` must be odd: the estimator is the exact integer
+    * median (middle order statistic) of the per-row estimates.
+    *
+    * Feeding pre-aggregated (item, weight) rows yields the identical
+    * sketch to per-occurrence input (additive cells — the
+    * [[countMinSketchWeighted]] argument).
+    */
+  def countSketchWeighted(items: DataFrame, itemCol: Column, weight: Column,
+                          depth: Int = 5, width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 5 && depth % 2 == 1,
+      s"depth must be odd in [1, 5]: $depth")
+    require(width >= 2, s"width must be >= 2: $width")
+    val pre = items.select(itemCol.as("__cs_x"), weight.as("__cs_w"))
+    val cells = array((0 until depth).map { r =>
+      struct((Dedup.mixHash(col("__cs_x"), CsJ + 4 * r) % width).as("bucket"),
+        (Dedup.mixHash(col("__cs_x"), CsJ + 4 * r + 2) % 2 * 2 - 1).as("sign"))
+    }: _*)
+    pre.select(col("__cs_w"), posexplode(cells).as(Seq("row", "cell")))
+      .groupBy(col("row").cast("int").as("row"),
+        col("cell.bucket").cast("int").as("bucket"))
+      .agg(sum(col("cell.sign") * col("__cs_w")).as("cnt"))
+  }
+
+  /** Point-estimate signed frequencies from a [[countSketchWeighted]]:
+    * for each query row, the exact integer MEDIAN over depth rows of
+    * `sign_r(x)·cell(r, bucket_r(x))` (absent cells read 0). The sketch
+    * is depth·width rows — broadcast; the median window partitions by the
+    * query keys over depth rows each, never facts.
+    */
+  def csEstimate(sketch: DataFrame, queries: DataFrame, itemCol: Column,
+                 depth: Int = 5, width: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(depth >= 1 && depth <= 5 && depth % 2 == 1,
+      s"depth must be odd in [1, 5]: $depth")
+    val keep = queries.columns.toSeq
+    val cells = array((0 until depth).map { r =>
+      struct(lit(r).as("row"),
+        (Dedup.mixHash(col("__cs_x"), CsJ + 4 * r) % width)
+          .cast("int").as("bucket"),
+        (Dedup.mixHash(col("__cs_x"), CsJ + 4 * r + 2) % 2 * 2 - 1).as("sign"))
+    }: _*)
+    val probes = queries.withColumn("__cs_x", itemCol)
+      .select(keep.map(col) :+ explode(cells).as("c"): _*)
+      .select(keep.map(col) :+ col("c.row").cast("int").as("row")
+        :+ col("c.bucket").as("bucket") :+ col("c.sign").as("sign"): _*)
+    val w = Window.partitionBy(keep.map(col): _*)
+      .orderBy(col("est_r"), col("row"))
+    probes.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .withColumn("est_r", col("sign") * coalesce(col("cnt"), lit(0L)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === (depth + 1) / 2)
+      .select(keep.map(col) :+ col("est_r").as("est"): _*)
+  }
+
   /** The join-cardinality estimator SHOOTOUT: the textbook System-R
     * uniformity formula `|A|·|B| / max(d_A, d_B)` next to the
     * [[cmJoinSize]] sketch inner product, both against the exact join

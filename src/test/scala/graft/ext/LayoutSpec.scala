@@ -81,4 +81,30 @@ class LayoutSpec extends SparkSpec {
     assert(out(("hilbert", "b")) <= out(("zorder", "b")))
     assert(out(("linear_a", "b")) >= out(("hilbert", "b"))) // linear can't prune b
   }
+
+  test("fileBloomAudit: no false negatives; blooms beat envelopes on uncorrelated keys") {
+    // 256 rows, insertion order = id, key cycles 0..15 — every file's
+    // envelope spans the whole key domain, so minmax opens everything
+    val t = df("id BIGINT, key BIGINT",
+      (0 until 256).map(i => Row(i.toLong, (i % 16).toLong)))
+    val r = Layout.fileBloomAudit(t, "key", "id", nFiles = 8, k = 3,
+      mBits = 1024, probeMod = 4, probeResidue = 1).collect().head
+    assert(r.getAs[Long]("n_files") == 8L)
+    assert(r.getAs[Long]("n_probes") == 4L)       // keys 1, 5, 9, 13
+    // every key appears in every file → exact = 4·8 = minmax = 32
+    assert(r.getAs[Long]("exact_open") == 32L)
+    assert(r.getAs[Long]("minmax_open") == 32L)
+    assert(r.getAs[Long]("bloom_open") >= r.getAs[Long]("exact_open"))
+    // sparse case: each key lives in ONE file but every file's envelope
+    // spans ~the whole domain (keys j·1000+f for file f) — blooms prune,
+    // envelopes can't
+    val sparse = df("id BIGINT, key BIGINT",
+      (0 until 256).map(i => Row(i.toLong, (i % 4 * 1000 + i / 32).toLong)))
+    val s = Layout.fileBloomAudit(sparse, "key", "id", nFiles = 8, k = 3,
+      mBits = 1024, probeMod = 2, probeResidue = 1).collect().head
+    assert(s.getAs[Long]("bloom_open") >= s.getAs[Long]("exact_open"))
+    assert(s.getAs[Long]("bloom_open") < s.getAs[Long]("minmax_open"))
+    assert(s.getAs[Long]("false_open")
+      == s.getAs[Long]("bloom_open") - s.getAs[Long]("exact_open"))
+  }
 }

@@ -398,6 +398,29 @@ class SketchSpec extends SparkSpec {
     assert(r.getAs[Long]("fp_ppm") == falsePass * 1000000L / 220L)
   }
 
+  test("countSketch: exact on sparse keys, linear under subtraction") {
+    val a = df("k BIGINT, w BIGINT", Seq(Row(1L, 5L), Row(2L, 3L), Row(3L, 7L)))
+    val b = df("k BIGINT, w BIGINT", Seq(Row(1L, 9L), Row(2L, 3L), Row(4L, 2L)))
+    val sa = Sketch.countSketchWeighted(a, col("k"), col("w"))
+    val sb = Sketch.countSketchWeighted(b, col("k"), col("w"))
+    // cell-wise difference == sketch of the signed delta stream
+    val diff = sb.withColumnRenamed("cnt", "c2")
+      .join(sa.withColumnRenamed("cnt", "c1"), Seq("row", "bucket"), "full")
+      .select(col("row"), col("bucket"),
+        (coalesce(col("c2"), lit(0L)) - coalesce(col("c1"), lit(0L))).as("cnt"))
+    val deltaStream = df("k BIGINT, w BIGINT", Seq(
+      Row(1L, 4L), Row(2L, 0L), Row(3L, -7L), Row(4L, 2L)))
+    val direct = Sketch.countSketchWeighted(deltaStream, col("k"), col("w"))
+    assert(rowSet(diff.filter(col("cnt") =!= 0L))
+      == rowSet(direct.filter(col("cnt") =!= 0L)))
+    // with 4 keys in 256 buckets the median estimate is exact, sign
+    // included
+    val q = df("k BIGINT", Seq(Row(1L), Row(3L), Row(4L), Row(9L)))
+    val est = Sketch.csEstimate(diff, q, col("k")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est == Map(1L -> 4L, 3L -> -7L, 4L -> 2L, 9L -> 0L))
+  }
+
   test("joinCardEstimates: uniformity formula vs CM vs exact, hand-traced") {
     val a = df("k BIGINT", Seq(1L, 1L, 1L, 2L).map(Row(_)))
     val b = df("k BIGINT", Seq(1L, 2L, 2L, 3L).map(Row(_)))
