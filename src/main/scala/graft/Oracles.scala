@@ -2739,6 +2739,92 @@ object Oracles {
        |FROM est WHERE rn = ${(depth + 1) / 2}""".stripMargin
   }
 
+  /** Mirrors TimeSeries.trendFit: closed-form integer OLS moments over
+    * the gapfilled hourly grid, wide products in HUGEINT (engine:
+    * DECIMAL(38,0)), ppm boundaries.
+    */
+  val trendFit: String =
+    """WITH c AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM c),
+      |g AS (SELECT unnest(generate_series(b.h0, b.h1)) AS h, b.h0 FROM b),
+      |s AS (SELECT g.h - g.h0 AS t, COALESCE(c.c, 0) AS c
+      |      FROM g LEFT JOIN c ON g.h = c.h),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS st,
+      |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(t * t) AS BIGINT) AS stt,
+      |    CAST(SUM(t * c) AS BIGINT) AS stc, CAST(SUM(c * c) AS BIGINT) AS scc
+      |  FROM s)
+      |SELECT n AS n_hours,
+      |  CAST((n * stc - st * sc)::HUGEINT * 1000000
+      |    // (n * stt - st * st) AS BIGINT) AS slope_ppm,
+      |  CAST((sc::HUGEINT * stt - st::HUGEINT * stc) * 1000000
+      |    // (n * stt - st * st) AS BIGINT) AS intercept_ppm,
+      |  CAST((n * stc - st * sc)::HUGEINT * (n * stc - st * sc) * 1000000
+      |    // ((n * stt - st * st)::HUGEINT * (n * scc - sc * sc)) AS BIGINT) AS r2_ppm
+      |FROM m""".stripMargin
+
+  /** Mirrors Funnel.markovAttribution: journey prefixes to first
+    * conversion, ppm transition matrix, `rounds` unrolled value-iteration
+    * CTEs over the (variant, state) relation, removal effects per channel.
+    */
+  def markovAttribution(convType: String, rounds: Int, scale: Long): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT t.removed, t.src AS st,
+         |    CAST(SUM(t.t_ppm * (CASE WHEN t.dst = '__conv' THEN $scale
+         |      ELSE COALESCE(p.p, 0) END)) // $scale AS BIGINT) AS p
+         |  FROM tv t LEFT JOIN p${i - 1} p
+         |    ON t.removed = p.removed AND t.dst = p.st
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |cv AS (SELECT user_id, MIN(rn) AS cv FROM ev
+       |       WHERE event_type = '$convType' GROUP BY 1),
+       |j0 AS (
+       |  SELECT e.user_id, e.rn, e.event_type, c.cv
+       |  FROM ev e LEFT JOIN cv c USING (user_id)
+       |  WHERE c.cv IS NULL OR e.rn <= c.cv),
+       |j AS (
+       |  SELECT user_id, rn, cv,
+       |    COALESCE(LAG(event_type) OVER (PARTITION BY user_id ORDER BY rn),
+       |      '__start') AS src,
+       |    CASE WHEN event_type = '$convType' THEN '__conv'
+       |         ELSE event_type END AS dst
+       |  FROM j0),
+       |ends AS (
+       |  SELECT arg_max(dst, rn) AS src, '__null' AS dst
+       |  FROM j WHERE cv IS NULL GROUP BY user_id),
+       |trans AS (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT src, dst FROM j UNION ALL SELECT src, dst FROM ends)
+       |  GROUP BY 1, 2),
+       |tppm AS (
+       |  SELECT src, dst,
+       |    cnt * $scale // SUM(cnt) OVER (PARTITION BY src) AS t_ppm
+       |  FROM trans),
+       |var AS (
+       |  SELECT DISTINCT src AS removed FROM tppm WHERE src <> '__start'
+       |  UNION ALL SELECT '__none'),
+       |tv AS MATERIALIZED (
+       |  SELECT v.removed, t.src, t.dst, t.t_ppm
+       |  FROM tppm t, var v WHERE t.dst <> v.removed),
+       |p0 AS (SELECT DISTINCT removed, src AS st, CAST(0 AS BIGINT) AS p FROM tv),
+       |${steps.mkString(",\n")}
+       |SELECT v.removed AS channel, b.p AS p_base_ppm,
+       |  CAST(COALESCE(c.p, 0) AS BIGINT) AS p_removed_ppm,
+       |  CAST((b.p - COALESCE(c.p, 0)) * $scale
+       |    // GREATEST(b.p, 1) AS BIGINT) AS removal_ppm
+       |FROM var v
+       |LEFT JOIN p$rounds c ON c.removed = v.removed AND c.st = '__start'
+       |JOIN p$rounds b ON b.st = '__start' AND b.removed = '__none'
+       |WHERE v.removed <> '__none'""".stripMargin
+  }
+
   /** q96 oracle: the 64-bit perceptual average hash, value-exact per
     * media row — re-derived from the UTF-8 payload bytes (hex-pair decode
     * as in [[mediaFeatures]]; chunk-vs-global mean via integer

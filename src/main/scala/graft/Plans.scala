@@ -1010,6 +1010,20 @@ object Plans {
         |is the sum of its partitions' digests, which is the whole point:
         |append-only updates and cross-version compares never rescan the
         |base. DECIMAL(38,0) carries the sum; mod 2⁶¹ at the boundary.""".stripMargin,
+    "q290_hourly_trend" ->
+      """Trend: one fact-scan hour aggregate, a sequence() grid, ONE 5-sum
+        |moment aggregate — closed-form OLS needs nothing else. Wide
+        |products (intercept numerator, R² numerator) ride DECIMAL(38,0);
+        |slope/intercept/R² are exact ppm integers.""".stripMargin,
+    "q291_markov_attribution" ->
+      """Markov attribution: one per-user window pass builds journey
+        |transitions (prefix-truncated at first conversion); the value
+        |iteration runs ALL variants (base + each removed channel) as one
+        |(variant, state) relation — types²×channels keyspace rows per
+        |round, checkpoint-freed each sweep. A channel that was start's
+        |only outlet reads P = 0 via the variant left join, not a missing
+        |row. At 100 TB the fact window dominates; the chain solve is
+        |free.""".stripMargin,
     "q286_last_to_ship" ->
       """Q21 de-correlation: the oracle's EXISTS/NOT EXISTS pair becomes
         |one (order, supplier) collapse + per-order aggregate + join-back

@@ -2425,6 +2425,24 @@ object SparkEntry {
     // only through delta-keyed joins (delta-sized work against a bucketed
     // base at 100 TB). The oracle computes the FULL join from scratch;
     // hash equality is the IVM correctness certificate
+    // capacity-forecast line: EXACT integer OLS over the gapfilled
+    // hourly series — slope (counts/hour ×10⁶), intercept, R², all from
+    // one 5-sum moment aggregate; wide products ride DECIMAL(38,0).
+    // Complements q285 (is there a trend?) and q142/q182 (seasonality)
+    "q290_hourly_trend" -> ((s, d) =>
+      graft.ext.TimeSeries.trendFit(Tables.events(s, d), "ts")),
+
+    // Markov removal-effect attribution: journeys absorb at first
+    // purchase, exact ppm transition matrix, 12 value-iteration sweeps;
+    // each channel's chain-with-inbound-dropped iterates ALONGSIDE the
+    // base as one (variant, state) relation — 5 chains, one plan. One
+    // per-user fact window builds transitions; the iteration is
+    // types²×channels keyspace arithmetic. The model-based sibling of
+    // q133 (last-touch) and q169 (linear)
+    "q291_markov_attribution" -> ((s, d) =>
+      graft.ext.Funnel.markovAttribution(Tables.events(s, d),
+        convType = "purchase", rounds = 12)),
+
     // file-level Bloom skipping: point lookups on a key UNCORRELATED
     // with insertion order — min/max envelopes open nearly everything
     // (each file spans the domain), per-file Bloom bit tables open
@@ -3315,6 +3333,8 @@ object SparkEntry {
     "q287_prospects" -> Oracles.prospects,
     "q288_file_bloom_audit" -> Oracles.fileBloomAudit(64, 3, 4096, 7, 1),
     "q289_count_sketch_drift" -> Oracles.countSketchDrift(5, 64, 11, 7),
+    "q290_hourly_trend" -> Oracles.trendFit,
+    "q291_markov_attribution" -> Oracles.markovAttribution("purchase", 12, 1000000L),
     // the oracle recomputes the component FROM SCRATCH over the whole
     // corpus — a hash match proves the merged-moment retrain is exactly
     // the batch result

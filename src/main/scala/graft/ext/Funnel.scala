@@ -725,4 +725,92 @@ object Funnel {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("n_types"))
+
+  /** First-order MARKOV removal-effect attribution (the Anderl et al.
+    * graph-based model): each user's journey is the event-type path up to
+    * the first `convType` (absorbed into `__conv`) or its end (absorbed
+    * into `__null`); transition probabilities are exact integer ppm
+    * (`cnt·scale div out`); the chain's conversion probability is read by
+    * `rounds` synchronous value-iteration sweeps
+    * (`p(s) ← Σ t_ppm·p(dst) div scale`, absorbers pinned), and channel
+    * c's REMOVAL EFFECT re-runs the same iteration on the chain with all
+    * transitions INTO c dropped (journeys through c fail — the standard
+    * no-renormalization semantics). Removing a channel can only drop
+    * probability mass, so `removal_ppm ≥ 0` by construction.
+    *
+    * All variants (base + one per removed channel) iterate TOGETHER as
+    * one (variant, state) relation — channels+1 chains for the price of
+    * one plan. Scale shape: one per-user window pass over facts builds
+    * transitions; everything after is (types² × channels)-keyspace
+    * arithmetic — at 100 TB the fact pass dominates and the iteration is
+    * free.
+    */
+  def markovAttribution(events: DataFrame, convType: String = "purchase",
+                        rounds: Int = 12, scale: Long = 1000000L): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val seq0 = events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("rn", row_number().over(w))
+    val firstConv = seq0.filter(col("event_type") === convType)
+      .groupBy("user_id").agg(min("rn").as("cv"))
+    // journeys truncated at first conversion; lag runs AFTER the truncate
+    // (the kept set is a per-user prefix, so lag = the previous event)
+    val w2 = Window.partitionBy("user_id").orderBy(col("rn"))
+    val j = seq0.join(firstConv, Seq("user_id"), "left")
+      .filter(col("cv").isNull || col("rn") <= col("cv"))
+      .withColumn("src", coalesce(lag(col("event_type"), 1).over(w2),
+        lit("__start")))
+      .withColumn("dst", when(col("event_type") === convType, lit("__conv"))
+        .otherwise(col("event_type")))
+      .localCheckpoint(true) // feeds transitions AND the null-end rows
+    val ends = j.filter(col("cv").isNull)
+      .groupBy("user_id")
+      .agg(max(struct(col("rn"), col("dst"))).as("m"))
+      .select(col("m.dst").as("src"), lit("__null").as("dst"))
+    val trans = j.select("src", "dst").unionAll(ends)
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    val tppm = trans
+      .join(trans.groupBy("src").agg(sum("cnt").as("out")), "src")
+      .select(col("src"), col("dst"), expr(s"cnt * $scale div out").as("t_ppm"))
+      .localCheckpoint(true)
+    val spark = events.sparkSession
+    val variants = tppm.select(col("src").as("removed"))
+      .filter(col("removed") =!= "__start").distinct()
+      .unionByName(spark.range(1).select(lit("__none").as("removed")))
+    // dropping every transition INTO the removed channel is the whole
+    // removal semantics — mass flows to failure implicitly
+    val tv = tppm.crossJoin(variants)
+      .filter(col("dst") =!= col("removed"))
+      .localCheckpoint(true)
+    var p = tv.select(col("removed"), col("src").as("st"), lit(0L).as("p"))
+      .distinct()
+    for (_ <- 1 to rounds) {
+      val prev = p
+      p = tv.join(p.select(col("removed"), col("st").as("dst"), col("p")),
+          Seq("removed", "dst"), "left")
+        .select(col("removed"), col("src"),
+          (col("t_ppm") * when(col("dst") === "__conv", lit(scale))
+            .otherwise(coalesce(col("p"), lit(0L)))).as("term"))
+        .groupBy(col("removed"), col("src"))
+        .agg(expr(s"sum(term) div $scale").as("p"))
+        .withColumnRenamed("src", "st")
+        .localCheckpoint(true)
+      Clustering.unpersistCheckpoint(prev) // no-op on the uncached seed
+    }
+    val start = p.filter(col("st") === "__start")
+    val base = start.filter(col("removed") === "__none")
+      .select(col("p").as("p_base_ppm"))
+    // left join from the variant list: a channel that was start's ONLY
+    // outlet leaves no start row in its variant — that reads as P = 0
+    // (every journey dies), not as a missing channel
+    variants.filter(col("removed") =!= "__none")
+      .join(start.select(col("removed"), col("p")), Seq("removed"), "left")
+      .select(col("removed").as("channel"),
+        coalesce(col("p"), lit(0L)).as("p_removed_ppm"))
+      .crossJoin(broadcast(base))
+      .select(col("channel"), col("p_base_ppm"), col("p_removed_ppm"),
+        expr(s"(p_base_ppm - p_removed_ppm) * $scale" +
+          " div greatest(p_base_ppm, 1L)").as("removal_ppm"))
+  }
 }

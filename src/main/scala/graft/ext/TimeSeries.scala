@@ -428,6 +428,43 @@ object TimeSeries {
     * the hour keyspace (grid join, lag equi-join of keyspace × maxLag
     * rows, two map-combined sums). No windows, no per-row state.
     */
+  /** EXACT ordinary-least-squares trend of the hourly event-count series
+    * — the load-growth line a capacity forecast reads. Closed-form OLS on
+    * the zero-gapfilled grid with every moment an integer sum:
+    * `slope = (nΣtc − ΣtΣc) / (nΣt² − (Σt)²)`, emitted in ppm (counts
+    * per hour, ×10⁶) with the wide products in DECIMAL(38,0); intercept
+    * (the t=0 level, ×10⁶) and the fit's R² (×10⁶, from
+    * `num² / (den·Syy)`) ride the same device. One fact aggregate, one
+    * grid, one 5-sum moment aggregate — nothing else.
+    */
+  def trendFit(events: DataFrame, tsCol: String): DataFrame = {
+    val counts = events
+      .select(expr(s"unix_micros($tsCol) div 3600000000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+    val bounds = counts.agg(min("h").as("h0"), max("h").as("h1"))
+    val series = bounds
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"), col("h0"))
+      .join(counts, Seq("h"), "left")
+      .select((col("h") - col("h0")).as("t"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    series
+      .agg(count(lit(1)).as("n"), sum("t").as("st"), sum("c").as("sc"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("c")).as("stc"),
+        sum(col("c") * col("c")).as("scc"))
+      .select(col("n").as("n_hours"),
+        expr("n * stc - st * sc").as("num"),
+        expr("n * stt - st * st").as("den"),
+        expr("n * scc - sc * sc").as("syy"),
+        col("st"), col("sc"), col("stt"), col("stc"))
+      .select(col("n_hours"),
+        expr("CAST(num AS DECIMAL(38,0)) * 1000000 div den").as("slope_ppm"),
+        expr("(CAST(sc AS DECIMAL(38,0)) * stt - CAST(st AS DECIMAL(38,0)) * stc) * 1000000 div den")
+          .as("intercept_ppm"),
+        expr("CAST(num AS DECIMAL(38,0)) * num * 1000000 div (CAST(den AS DECIMAL(38,0)) * syy)")
+          .as("r2_ppm"))
+  }
+
   def acf(events: DataFrame, tsCol: String, maxLag: Int): DataFrame = {
     require(maxLag >= 1, "maxLag must be >= 1")
     val counts = events

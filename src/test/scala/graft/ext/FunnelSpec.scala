@@ -427,4 +427,38 @@ class FunnelSpec extends SparkSpec {
     assert(adjGap <= 10L, s"CUPED should cancel covariate imbalance, gap=$adjGap")
     assert(rawGap * 1000000 > adjGap, "raw means differ, adjusted don't")
   }
+
+  test("markovAttribution: hand-traced two-channel chain") {
+    // u1: view→purchase; u2: view→(end); u3: click→view→purchase;
+    // u4: click→(end). t_ppm: start→{view,click} 500000 each;
+    // click→{view,null} 500000 each; view→{conv 666666, null 333333}.
+    // Base P(start) = 499999 ppm (truncation-exact). Remove view →
+    // P = 0 (every path dies) → removal 1000000. Remove click →
+    // P = 333333 → removal (499999−333333)·10⁶ div 499999 = 333332.
+    def u(id: Long, types: Seq[String]) = types.zipWithIndex.map {
+      case (t, i) => Row(id * 100 + i, ts(s"2024-01-01 0${i}:00:00"), id, t)
+    }
+    val ev = df("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING",
+      u(1, Seq("view", "purchase")) ++ u(2, Seq("view")) ++
+        u(3, Seq("click", "view", "purchase")) ++ u(4, Seq("click")))
+    val out = Funnel.markovAttribution(ev, "purchase", rounds = 12)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      "view" -> ((499999L, 0L, 1000000L)),
+      "click" -> ((499999L, 333333L, 333332L))))
+  }
+
+  test("markovAttribution: events after first conversion are ignored") {
+    val ev = df("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING",
+      Seq(Row(1L, ts("2024-01-01 01:00:00"), 1L, "view"),
+        Row(2L, ts("2024-01-01 02:00:00"), 1L, "purchase"),
+        Row(3L, ts("2024-01-01 03:00:00"), 1L, "error"),  // post-conv noise
+        Row(4L, ts("2024-01-01 04:00:00"), 1L, "purchase")))
+    val out = Funnel.markovAttribution(ev, "purchase", rounds = 8).collect()
+    // only channel view exists; the journey converts with certainty
+    assert(out.map(_.getString(0)).toSeq == Seq("view"))
+    assert(out.head.getLong(1) == 1000000L)  // p_base
+    assert(out.head.getLong(3) == 1000000L)  // removing view kills it
+  }
 }

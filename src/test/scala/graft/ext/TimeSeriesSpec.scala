@@ -257,4 +257,17 @@ class TimeSeriesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(go == Map(1L -> -666666L, 2L -> 166666L))
   }
+
+  test("trendFit: a perfect line recovers slope, intercept, R2 = 1 exactly") {
+    // counts c = 1 + 2t over hours 0..3 → slope 2e6 ppm, intercept 1e6,
+    // r2 1e6 (num=40, den=20, syy=80 — hand-traced moments)
+    val rows = Seq(0 -> 1, 1 -> 3, 2 -> 5, 3 -> 7).flatMap { case (h, c) =>
+      (0 until c).map(i => Row(new Timestamp(h * 3600000L + i * 1000L)))
+    }
+    val r = TimeSeries.trendFit(df("ts TIMESTAMP", rows), "ts").collect().head
+    assert(r.getLong(0) == 4L)
+    assert(r.getLong(1) == 2000000L)
+    assert(r.getLong(2) == 1000000L)
+    assert(r.getLong(3) == 1000000L)
+  }
 }
