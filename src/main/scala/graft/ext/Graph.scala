@@ -32,25 +32,41 @@ object Graph {
     * explicit keys, nothing quadratic, matching the label-propagation
     * loop's cost model. `localCheckpoint(eager)` per round frees the
     * previous round's blocks (the overwritten reference is the only one).
+    *
+    * TWO ARMS, picked by node count (one exact `nodes.count()` over the
+    * checkpointed node set, paid once per run):
+    *  - nodes ≤ `broadcastNodeLimit`: edges partition by DST once; each
+    *    round broadcasts the keyspace-sized rank relation into the edges
+    *    and the dst-aggregate reuses the resident partitioning — the big
+    *    relation crosses the wire exactly once for the whole run.
+    *  - nodes > limit (a billion-node web/user graph — the regime where a
+    *    per-round O(n) broadcast would kill the driver and every
+    *    executor): edges partition by SRC once, so the rank join is a
+    *    co-located shuffle join (only the keyspace-sized rank relation
+    *    moves, hashed on id) and the per-round cost is the one
+    *    contribution shuffle into the dst-aggregate — the canonical
+    *    distributed-PageRank cost model, independent of whether the node
+    *    set fits anywhere.
+    * Both arms run the identical integer arithmetic — bit-identical ranks.
     */
   def pageRank(edges: DataFrame, iterations: Int,
                scale: Long = 1000000000000L,
-               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+               srcCol: String = "src", dstCol: String = "dst",
+               broadcastNodeLimit: Long = 4000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    // edge relation partitioned by DST once: every round's contribution
-    // aggregate groups by dst, so the big relation crosses the wire
-    // exactly once for the whole run — per round the only data movement
-    // is broadcasting the keyspace-sized rank relation
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .repartition(col("dst"))
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val small = nodes.count() <= broadcastNodeLimit
+    val e = e0.repartition(col(if (small) "dst" else "src"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = e.join(broadcast(deg), "src").localCheckpoint(true)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+    val withDeg = e.join(if (small) broadcast(deg) else deg, "src")
       .localCheckpoint(true)
     var pr = nodes.withColumn("pr", lit(scale))
     for (_ <- 1 to iterations) {
-      val sums = withDeg.join(broadcast(pr), withDeg("src") === pr("id"))
+      val prSide = if (small) broadcast(pr) else pr
+      val sums = withDeg.join(prSide, withDeg("src") === prSide("id"))
         .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
         .groupBy("id").agg(sum("c").as("s"))
       pr = nodes.join(sums, Seq("id"), "left")
@@ -412,15 +428,20 @@ object Graph {
     * bounds the default scale=10⁶ at max weighted degree ~9·10⁶ — lower
     * `scale` for hub-ier graphs.
     *
-    * Scale shape per round (mirrors [[pageRank]]): the edge relation is
-    * partitioned ONCE; each half-step is one keyspace-sized broadcast
-    * join into the edges plus one hash aggregate (map-side combined), one
-    * one-row max, one left join back to the node set.
-    * `localCheckpoint(eager)` per half-step keeps lineage O(1) and frees
-    * the superseded round's blocks.
+    * Scale shape per round (mirrors [[pageRank]], same two-arm gate):
+    * with nodes ≤ `broadcastNodeLimit` each half-step is one
+    * keyspace-sized broadcast join into the dst-partitioned edge copy
+    * plus one hash aggregate (map-side combined), one one-row max, one
+    * left join back to the node set. Past the limit, TWO checkpointed
+    * edge copies (src- and dst-partitioned) make each half-step's score
+    * join co-located — only the keyspace-sized score relation shuffles,
+    * and the cross-direction aggregate pays the one unavoidable
+    * edge-sized exchange. `localCheckpoint(eager)` per half-step keeps
+    * lineage O(1) and frees the superseded round's blocks.
     */
   def hits(edges: DataFrame, iterations: Int, scale: Long = 1000000L,
-           srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+           srcCol: String = "src", dstCol: String = "dst",
+           broadcastNodeLimit: Long = 4000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
@@ -429,13 +450,22 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
+    val small = nodes.count() <= broadcastNodeLimit
+    // big-node arm: a second edge copy partitioned on SRC so the hub
+    // half-step's score join is co-located too (the dst copy already
+    // co-locates the authority half-step)
+    val eBy: Map[String, DataFrame] =
+      if (small) Map("src" -> e, "dst" -> e)
+      else Map("dst" -> e, "src" -> e.repartition(col("src")).localCheckpoint(true))
 
     // sum scores over one edge direction, renormalize to [0, scale],
     // keep every node (dangling side → 0); eager checkpoint so the
     // caller can free the input it supersedes
     def halfStep(score: DataFrame, scoreCol: String, joinKey: String,
                  groupKey: String, out: String): DataFrame = {
-      val raw = e.join(broadcast(score), e(joinKey) === score("id"))
+      val ed = eBy(joinKey)
+      val sSide = if (small) broadcast(score) else score
+      val raw = ed.join(sSide, ed(joinKey) === sSide("id"))
         .groupBy(col(groupKey).as("id"))
         .agg(sum(col(scoreCol)).as("s"))
       val m = raw.agg(max(col("s")).as("m"))
@@ -472,9 +502,15 @@ object Graph {
     * denser than chance (merge or re-run with more rounds).
     *
     * `edges` are undirected unique pairs (u < v); `labels` is
-    * (node_id, community). Overflow envelope: `4m²·scale < 2⁶³` → m up
-    * to ~1.5·10⁶ edges at scale 10⁶ — beyond that, lower `scale` (or
-    * route the expectation term through DECIMAL(38,0) as q278 does).
+    * (node_id, community). The expectation term `deg_sum²·scale div 4m²`
+    * runs in DECIMAL(38,0) BY DEFAULT (the q278 device): the first cut
+    * built `4m²` as a Scala Long literal and `deg_sum²·scale` in Long
+    * plan arithmetic, silently capping m at ~1.5·10⁶ edges (scale 10⁶)
+    * and demanding a manual `scale` retune on any 100× graph. In decimal
+    * the envelope is `4m²·scale < 10³⁸` — m up to ~10¹⁵ edges, far past
+    * any real corpus — and `div` (IntegralDivide) still emits BIGINT, so
+    * the schema and every in-envelope value are bit-identical to the old
+    * spelling (same floor division, wider intermediates only).
     *
     * Scale shape: one edge⋈labels tag join (labels keyspace-sized →
     * broadcast), one degree aggregate, then community-keyspace
@@ -503,7 +539,8 @@ object Graph {
       .select(col("community"), col("n_nodes"),
         coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"))
       .withColumn("q_ppm",
-        expr(s"e_in * $scale div ${m}L" +
-          s" - (deg_sum * deg_sum * $scale) div ${4 * m * m}L"))
+        expr(s"CAST(e_in AS DECIMAL(38,0)) * $scale div ${m}L" +
+          s" - (CAST(deg_sum AS DECIMAL(38,0)) * deg_sum * $scale)" +
+          s" div (CAST(${m} AS DECIMAL(38,0)) * ${m} * 4)"))
   }
 }

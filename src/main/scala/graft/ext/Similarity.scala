@@ -409,6 +409,12 @@ object Similarity {
     * suffix sum Σ_{k=m..d} 1/k — precomputed over the common denominator
     * L = lcm(1..d) as a d-entry literal lookup, summed per query, and
     * emitted as `ao_ppm = Σ·10⁶ div (L·d)`. No float division anywhere.
+    * The `Σ·10⁶` numerator is routed through DECIMAL(38,0): `wsum` alone
+    * can reach d²·L ≈ 8.5·10¹⁸ at depth 40, so the ×10⁶ step overflows
+    * Long for depth ≥ 29 — ANSI mode would throw and non-ANSI would
+    * silently wrap, breaking the exact-integer contract. The decimal
+    * widening keeps every intermediate < 10²⁵ and `div` (IntegralDivide)
+    * still emits BIGINT, so the output schema is unchanged.
     *
     * Scale shape: inputs are per-arm top-k lists (panel × k rows, not the
     * corpus); one equi-join on (query, doc) and one panel-sized aggregate.
@@ -431,7 +437,8 @@ object Similarity {
     panel.join(contrib, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_common"), lit(0L)).as("n_common"),
-        expr(s"coalesce(wsum, 0L) * 1000000L div ${lcmD * depth}L").as("ao_ppm"))
+        expr(s"CAST(coalesce(wsum, 0L) AS DECIMAL(38,0)) * 1000000L" +
+          s" div ${lcmD * depth}L").as("ao_ppm"))
   }
 
   /** MMR diversity reranking (Maximal Marginal Relevance — Carbonell &

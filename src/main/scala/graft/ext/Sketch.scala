@@ -366,15 +366,21 @@ object Sketch {
         Seq("row", "bucket"))
       .groupBy(col("row"))
       .agg(sum(col("cnt") * col("cnt_b")).as("ip"))
+    // disjoint key sets must degrade to an honest zero row, not nulls:
+    // an empty cell join leaves the pivot cells null (coalesce to 0), an
+    // empty exact join sums to null (coalesce to 0), and the ppm division
+    // takes the same greatest(…, 1) floor as joinCardEstimates — without
+    // it ANSI mode throws on divide-by-zero and non-ANSI emits null
     val perRow = rows.groupBy().pivot("row", 0 until depth).agg(first("ip"))
-      .select((0 until depth).map(r => col(r.toString).as(s"est_r$r")): _*)
+      .select((0 until depth).map(r =>
+        coalesce(col(r.toString), lit(0L)).as(s"est_r$r")): _*)
       .withColumn("est_pairs",
         least((0 until depth).map(r => col(s"est_r$r")): _*))
     val exact = ca.join(cb, Seq("k"))
-      .agg(sum(col("na") * col("nb")).as("exact_pairs"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_pairs"))
     perRow.crossJoin(broadcast(exact))
       .withColumn("err_ppm",
-        expr("est_pairs * 1000000L div exact_pairs - 1000000L"))
+        expr("est_pairs * 1000000L div greatest(exact_pairs, 1L) - 1000000L"))
   }
 
   // ------------------------------------------------------------------ Bloom
@@ -481,7 +487,12 @@ object Sketch {
     * for each query row, the exact integer MEDIAN over depth rows of
     * `sign_r(x)·cell(r, bucket_r(x))` (absent cells read 0). The sketch
     * is depth·width rows — broadcast; the median window partitions by the
-    * query keys over depth rows each, never facts.
+    * query keys over depth rows each, never facts. Duplicate query ROWS
+    * are preserved: the window key includes a per-input-row id (assigned
+    * BEFORE the probe explode), so two identical query rows each get
+    * their own depth-row median partition and each emits one output row —
+    * keying by the query columns alone would fuse them into one 2·depth
+    * partition whose "median" row is no row's median.
     */
   def csEstimate(sketch: DataFrame, queries: DataFrame, itemCol: Column,
                  depth: Int = 5, width: Int = 256): DataFrame = {
@@ -489,17 +500,20 @@ object Sketch {
     require(depth >= 1 && depth <= 5 && depth % 2 == 1,
       s"depth must be odd in [1, 5]: $depth")
     val keep = queries.columns.toSeq
+    val qid = "__cs_qid"
     val cells = array((0 until depth).map { r =>
       struct(lit(r).as("row"),
         (Dedup.mixHash(col("__cs_x"), CsJ + 4 * r) % width)
           .cast("int").as("bucket"),
         (Dedup.mixHash(col("__cs_x"), CsJ + 4 * r + 2) % 2 * 2 - 1).as("sign"))
     }: _*)
-    val probes = queries.withColumn("__cs_x", itemCol)
-      .select(keep.map(col) :+ explode(cells).as("c"): _*)
-      .select(keep.map(col) :+ col("c.row").cast("int").as("row")
+    val probes = queries
+      .withColumn(qid, monotonically_increasing_id())
+      .withColumn("__cs_x", itemCol)
+      .select((keep :+ qid).map(col) :+ explode(cells).as("c"): _*)
+      .select((keep :+ qid).map(col) :+ col("c.row").cast("int").as("row")
         :+ col("c.bucket").as("bucket") :+ col("c.sign").as("sign"): _*)
-    val w = Window.partitionBy(keep.map(col): _*)
+    val w = Window.partitionBy((keep :+ qid).map(col): _*)
       .orderBy(col("est_r"), col("row"))
     probes.join(broadcast(sketch), Seq("row", "bucket"), "left")
       .withColumn("est_r", col("sign") * coalesce(col("cnt"), lit(0L)))

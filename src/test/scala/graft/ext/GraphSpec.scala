@@ -271,4 +271,45 @@ class GraphSpec extends SparkSpec {
       .map(_.getLong(4)).sum
     assert(q < 0L)
   }
+
+  test("modularityReport: exact past the old Long envelope (deg_sum²·scale > 2⁶³)") {
+    // two stars, m = 4000, scale = 10¹²: the expectation term's numerator
+    // deg_sum²·scale reaches 6000²·10¹² = 3.6·10¹⁹ > 2⁶³ — the pre-decimal
+    // Long spelling wrapped silently here; DECIMAL(38,0) must stay exact.
+    //   A: star(0, 3000 leaves)  e_in=3000, deg_sum=6000
+    //      q = 3000·S div 4000 − 6000²·S div (4·4000²) = 0.75S − 0.5625S
+    //   B: star(9999999, 1000 leaves) e_in=1000, deg_sum=2000
+    //      q = 0.25S − 0.0625S — both exactly 187_500_000_000
+    val aEdges = (1L to 3000L).map(i => Row(0L, i))
+    val bEdges = (1L to 1000L).map(i => Row(9999999L, 10000000L + i))
+    val e = df("u BIGINT, v BIGINT", aEdges ++ bEdges)
+    val labels = df("node_id BIGINT, community BIGINT",
+      (Seq(Row(0L, 1L)) ++ (1L to 3000L).map(Row(_, 1L))) ++
+        (Seq(Row(9999999L, 2L)) ++ (1L to 1000L).map(i => Row(10000000L + i, 2L))))
+    val out = Graph.modularityReport(e, labels, scale = 1000000000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out == Map(1L -> 187500000000L, 2L -> 187500000000L))
+  }
+
+  test("pageRank: shuffle arm (nodes > broadcastNodeLimit) is bit-identical to the broadcast arm") {
+    // ring + chords — multiple outdegrees, several rounds of mixing
+    val n = 60L
+    val rows = (0L until n).flatMap(i =>
+      Seq(Row(i, (i + 1) % n), Row(i, (i + 7) % n)) ++
+        (if (i % 3 == 0) Seq(Row(i, (i + 19) % n)) else Nil))
+    val e = df("src BIGINT, dst BIGINT", rows)
+    val bc = Graph.pageRank(e, iterations = 4, scale = 1000000L)
+    val sh = Graph.pageRank(e, iterations = 4, scale = 1000000L,
+      broadcastNodeLimit = 0L) // force the big-node arm
+    assertSameRows(bc, sh)
+  }
+
+  test("hits: shuffle arm is bit-identical to the broadcast arm") {
+    val rows = (0L until 40L).flatMap(i =>
+      Seq(Row(i, (i * 3 + 1) % 40), Row(i, (i + 11) % 40)))
+    val e = df("src BIGINT, dst BIGINT", rows)
+    val bc = Graph.hits(e, iterations = 3)
+    val sh = Graph.hits(e, iterations = 3, broadcastNodeLimit = 0L)
+    assertSameRows(bc, sh)
+  }
 }

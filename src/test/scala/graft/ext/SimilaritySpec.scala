@@ -310,6 +310,18 @@ class SimilaritySpec extends SparkSpec {
     assert((out.getLong(1), out.getLong(2)) == (2L, 500000L))
   }
 
+  test("rankAgreement: depth 40 stays exact (wsum·10⁶ would overflow Long)") {
+    // identical depth-40 rankings: wsum = 40·lcm(1..40) ≈ 2.1·10¹⁷, and
+    // the ×10⁶ ppm step reaches 2.1·10²³ — far past 2⁶³. The DECIMAL(38,0)
+    // numerator must still deliver exactly 10⁶ (and 0 for disjoint lists).
+    val a = ranking((1L to 40L).map(r => (5L, 100L + r, r.toInt)): _*)
+    val out = Similarity.rankAgreement(a, a, depth = 40).head()
+    assert((out.getLong(1), out.getLong(2)) == (40L, 1000000L))
+    val b = ranking((1L to 40L).map(r => (5L, 900L + r, r.toInt)): _*)
+    val dj = Similarity.rankAgreement(a, b, depth = 40).head()
+    assert((dj.getLong(1), dj.getLong(2)) == (0L, 0L))
+  }
+
   test("rankAgreement: ranks beyond depth are ignored; per-query rows") {
     val a = ranking((1L, 10L, 1), (1L, 99L, 3), (2L, 20L, 1))
     val b = ranking((1L, 10L, 1), (1L, 99L, 3), (2L, 21L, 1))

@@ -421,6 +421,33 @@ class SketchSpec extends SparkSpec {
     assert(est == Map(1L -> 4L, 3L -> -7L, 4L -> 2L, 9L -> 0L))
   }
 
+  test("csEstimate: duplicate query rows each keep their own median row") {
+    val items = df("k BIGINT, w BIGINT", Seq(Row(1L, 5L), Row(2L, 3L)))
+    val sk = Sketch.countSketchWeighted(items, col("k"), col("w"))
+    // the same query row three times: keying the median window by the
+    // query columns alone would fuse them into one 3·depth partition and
+    // emit one row with a wrong "median"; the per-row id keeps three
+    // independent depth-row medians
+    val q = df("k BIGINT", Seq(Row(1L), Row(1L), Row(1L)))
+    val est = Sketch.csEstimate(sk, q, col("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(est == Seq((1L, 5L), (1L, 5L), (1L, 5L)))
+  }
+
+  test("cmJoinSize: disjoint key sets degrade to honest zeros, never nulls") {
+    val a = df("k BIGINT", (1L to 5L).map(Row(_)))
+    val b = df("k BIGINT", (1001L to 1005L).map(Row(_)))
+    val r = Sketch.cmJoinSize(a, col("k"), b, col("k"), depth = 4, width = 2048)
+      .collect().head
+    assert(r.getAs[Long]("exact_pairs") == 0L)
+    // est columns are concrete longs (bucket collisions may make them > 0)
+    (0 until 4).foreach(i => assert(!r.isNullAt(r.fieldIndex(s"est_r$i"))))
+    val est = r.getAs[Long]("est_pairs")
+    assert(est >= 0L)
+    // ppm error against the greatest(exact, 1) floor — defined, not null
+    assert(r.getAs[Long]("err_ppm") == est * 1000000L - 1000000L)
+  }
+
   test("joinCardEstimates: uniformity formula vs CM vs exact, hand-traced") {
     val a = df("k BIGINT", Seq(1L, 1L, 1L, 2L).map(Row(_)))
     val b = df("k BIGINT", Seq(1L, 2L, 2L, 3L).map(Row(_)))
