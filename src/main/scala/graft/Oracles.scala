@@ -6058,14 +6058,24 @@ object Oracles {
     * token; ranks use the identical (key, id) total order.
     */
   def curveAudit(nFiles: Int, bits: Int,
-                 probeModA: Int, probeModB: Int): String = {
+                 probeModA: Int, probeModB: Int): String =
+    s"""WITH ${curveCtes(nFiles, bits, probeModA, probeModB)}
+       |${curveAuditSelect(nFiles)}""".stripMargin
+
+  /** Shared CTE chain for the curve-layout family (q282 audit, q292
+    * OPTIMIZE manifest): masked keys, z-address, unrolled Hilbert chain,
+    * the three layout-tagged total-order ranks, file envelopes at the
+    * AUDIT granularity, and the probe panels.
+    */
+  private def curveCtes(nFiles: Int, bits: Int,
+                        probeModA: Int, probeModB: Int): String = {
     val mask = 1L << bits
     val steps = ext.Layout.hilbertSteps(bits, "//")
     val hilbertCtes = steps.zipWithIndex.map { case (step, i) =>
       val exprs = step.map { case (name, sql) => s"$sql AS $name" }.mkString(",\n    ")
       s"h${i + 1} AS (\n  SELECT *,\n    $exprs\n  FROM h$i)"
     }.mkString(",\n")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT o_orderkey AS id, (o_custkey % $mask) AS ka,
        |    (date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % $mask) AS kb
        |  FROM orders),
@@ -6097,14 +6107,38 @@ object Oracles {
        |pa AS (SELECT DISTINCT ka AS p FROM base WHERE ka % $probeModA = 1),
        |pb AS (SELECT DISTINCT kb AS p FROM base WHERE kb % $probeModB = 3),
        |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM pa),
-       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM pb)
-       |SELECT layout, 'a' AS dim, CAST($nFiles AS BIGINT) AS n_files,
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM pb)""".stripMargin
+  }
+
+  private def curveAuditSelect(nFiles: Int): String =
+    s"""SELECT layout, 'a' AS dim, CAST($nFiles AS BIGINT) AS n_files,
        |  na.n_probes, CAST(COUNT(*) AS BIGINT) AS files_hit
        |FROM pa JOIN env ON p BETWEEN min_a AND max_a, na GROUP BY 1, 2, 3, 4
        |UNION ALL
        |SELECT layout, 'b', $nFiles, nb.n_probes, CAST(COUNT(*) AS BIGINT)
        |FROM pb JOIN env ON p BETWEEN min_b AND max_b, nb GROUP BY 1, 2, 3, 4""".stripMargin
-  }
+
+  /** q292: the OPTIMIZE manifest — run the q282 audit, pick the winning
+    * layout (min Σ files_hit, name tie-break), re-rank the table on the
+    * winner's order, bin at the REWRITE granularity (`binNFiles`, distinct
+    * from the audit's file count), and emit each bin's row count and
+    * two-key min/max envelope — exactly the parquet-footer summary the
+    * rewritten files serve, mirroring `Sinks.optimize`.
+    */
+  def optimizeManifest(auditNFiles: Int, bits: Int,
+                       probeModA: Int, probeModB: Int,
+                       binNFiles: Int): String =
+    s"""WITH ${curveCtes(auditNFiles, bits, probeModA, probeModB)},
+       |aud AS (
+       |${curveAuditSelect(auditNFiles)}),
+       |tot AS (SELECT layout, SUM(files_hit) AS th FROM aud GROUP BY 1),
+       |win AS (SELECT layout FROM tot ORDER BY th, layout LIMIT 1),
+       |rw AS (SELECT r.layout, r.ka, r.kb, r.rnk FROM r JOIN win USING (layout))
+       |SELECT layout, CAST(rnk * $binNFiles // n AS BIGINT) AS part_bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(MIN(ka) AS BIGINT) AS min_a, CAST(MAX(ka) AS BIGINT) AS max_a,
+       |  CAST(MIN(kb) AS BIGINT) AS min_b, CAST(MAX(kb) AS BIGINT) AS max_b
+       |FROM rw, n GROUP BY 1, 2""".stripMargin
 
   /** q259: reliability curve of the distilled gate — signed margin
     * octave band (`length(bin(|margin|))`, the BinLength spelling) →

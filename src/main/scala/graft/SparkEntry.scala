@@ -2631,6 +2631,30 @@ object SparkEntry {
         Similarity.quantizedTopK(q, emb, k = 5), depth = 5)
     },
 
+    // the OPTIMIZE actuator closing the audit loop: write the q282 key
+    // table to a scratch parquet dir, run the curve shootout on it, let
+    // Sinks.optimize pick the winner (min Σ files_hit, name tie-break),
+    // rewrite clustered into 32 one-file bins, and return the bin
+    // manifest — per bin, the row count and two-key min/max envelope the
+    // rewritten footers will serve. The oracle recomputes audit → winner
+    // → rank → bins independently; a hash match certifies the decision
+    // AND the rewrite geometry. Costs one global sort — what any
+    // clustered rewrite pays
+    "q292_optimize_manifest" -> { (s, d) =>
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey").as("oid"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("long").as("dday"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_q292")
+        .toString + "/tbl"
+      base.write.mode("overwrite").parquet(dir)
+      val audit = graft.ext.Layout.curveAudit(s.read.parquet(dir),
+        "o_custkey", "dday", "oid", nFiles = 64, bits = 8,
+        probeModA = 13, probeModB = 11)
+      graft.load.Sinks.optimize(s, dir, "o_custkey", "dday", "oid",
+        audit, nFiles = 32, bits = 8)
+    },
+
     // curation observability: the kill matrix — per gate, total vs
     // EXCLUSIVE rejections (docs no other gate catches). A gate with
     // n_exclusive ≈ 0 is redundant with the cascade and can relax for
@@ -3335,6 +3359,7 @@ object SparkEntry {
     "q289_count_sketch_drift" -> Oracles.countSketchDrift(5, 64, 11, 7),
     "q290_hourly_trend" -> Oracles.trendFit,
     "q291_markov_attribution" -> Oracles.markovAttribution("purchase", 12, 1000000L),
+    "q292_optimize_manifest" -> Oracles.optimizeManifest(64, 8, 13, 11, 32),
     // the oracle recomputes the component FROM SCRATCH over the whole
     // corpus — a hash match proves the merged-moment retrain is exactly
     // the batch result

@@ -26,7 +26,7 @@ object Layout {
     * boundaries are SAMPLED, but ranks depend only on the total order, so
     * the result is layout-invariant (the Determinism gate's property).
     */
-  private def withGlobalRank(df: DataFrame, sortCols: Seq[String]): DataFrame = {
+  private[graft] def withGlobalRank(df: DataFrame, sortCols: Seq[String]): DataFrame = {
     val sorted = df.repartitionByRange(sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
     val schema = StructType(sorted.schema.fields :+

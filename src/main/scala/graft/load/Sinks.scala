@@ -206,4 +206,83 @@ object Sinks {
     }
     fs.delete(old, true)
   }
+
+  /** OPTIMIZE — the actuator that CONSUMES the layout decision tables
+    * ([[graft.ext.Layout.skippingAudit]] / [[graft.ext.Layout.curveAudit]]
+    * emit them; until now nothing acted on them): pick the winning layout
+    * (minimum total `files_hit` across probe dims; name tie-break for
+    * determinism), rewrite the parquet table at `path` clustered by that
+    * layout into exactly `nFiles` bins, and return (and persist at
+    * `<path>_manifest`) the BIN MANIFEST — per bin: row count and the
+    * min/max envelope of both keys, i.e. exactly what the rewritten files'
+    * parquet footers will serve to a scan planner.
+    *
+    * Binning uses the audit's OWN discipline — exact global rank over
+    * (layout key, id-tiebreak), bin = rank·nFiles div n — not a sampled
+    * range exchange, so the written envelopes equal the audit's predicted
+    * envelopes bin-for-bin (the property `OptimizeSpec` pins). Each bin
+    * becomes one `part_bin=<b>` partition directory holding ONE file: rows
+    * are hash-clustered on the bin id before the write, so a bin never
+    * splits across tasks, and `partitionBy` keeps co-resident bins in
+    * separate files.
+    *
+    * The swap is the same crash-safe rename dance as [[compact]] (tmp →
+    * aside → in place): at every instant a full copy exists under a
+    * deterministic name.
+    *
+    * Scale shape: one global sort of the table — the cost ANY clustered
+    * rewrite pays — plus metadata-sized (nFiles-row) manifest work; the
+    * audit table itself is ≤ layouts×dims rows (collected as a decision,
+    * not data).
+    */
+  def optimize(spark: org.apache.spark.sql.SparkSession, path: String,
+               keyA: String, keyB: String, idCol: String,
+               audit: DataFrame, nFiles: Int, bits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(nFiles >= 1, s"nFiles must be positive: $nFiles")
+    val winner = audit.select(col("layout"), col("files_hit")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sum)
+      .toSeq.sortBy { case (l, h) => (h, l) }.head._1
+    val src = spark.read.parquet(path)
+    val mask = 1L << bits
+    val masked = src
+      .withColumn("__ka", col(keyA).cast("long") % mask)
+      .withColumn("__kb", col(keyB).cast("long") % mask)
+    val keyed = winner match {
+      case "linear_a" => masked.withColumn("__lk", col("__ka"))
+      case "zorder"   => masked.withColumn("__lk", zValue(col("__ka"), col("__kb"), bits))
+      case "hilbert"  => graft.ext.Layout.withHilbert(masked, "__ka", "__kb", bits, "__lk")
+      case other => throw new IllegalArgumentException(s"unknown layout in audit: $other")
+    }
+    val ranked = graft.ext.Layout.withGlobalRank(keyed, Seq("__lk", idCol))
+      .localCheckpoint(true) // feeds the bin manifest AND the rewrite
+    val n = ranked.count()
+    require(n > 0, "optimize needs a non-empty table")
+    val binned = ranked.withColumn("part_bin", expr(s"rnk * ${nFiles}L div ${n}L"))
+    val manifest = binned.groupBy("part_bin")
+      .agg(count(lit(1)).as("n_rows"),
+        min("__ka").as("min_a"), max("__ka").as("max_a"),
+        min("__kb").as("min_b"), max("__kb").as("max_b"))
+      .withColumn("layout", lit(winner))
+      .select("layout", "part_bin", "n_rows", "min_a", "max_a", "min_b", "max_b")
+      .localCheckpoint(true)
+    val tmp = path + ".__optimize_tmp__"
+    binned.drop("__ka", "__kb", "__lk", "rnk")
+      .repartition(nFiles, col("part_bin"))
+      .write.mode("overwrite").partitionBy("part_bin").parquet(tmp)
+    val hadoop = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".__optimize_old__")
+    val fs = hadoop.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(old, true)
+    require(fs.rename(hadoop, old),
+      s"optimize swap failed moving $path aside (input untouched)")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hadoop)) {
+      fs.rename(old, hadoop)
+      throw new IllegalStateException(
+        s"optimize swap failed for $path — original restored, clustered data is in $tmp")
+    }
+    fs.delete(old, true)
+    parquet(manifest, path + "_manifest")
+    manifest
+  }
 }
