@@ -2700,6 +2700,39 @@ object Oracles {
     * estimates (exact middle order statistic over depth rows) next to
     * exact per-user deltas.
     */
+  /** q293: hourly CountSketch cells over events (unit weights) — the
+    * same CsJ hash family replayed per hour; mirrors the mode-adaptive
+    * Streams.countSketchHourly run as a batch frame.
+    */
+  def csCellsHourly(depth: Int, width: Int): String = {
+    val cellRows = (0 until depth).map(r =>
+      s"""SELECT h, $r AS r,
+         |  (${mixSql("user_id", ext.Sketch.CsJ + 4 * r)}) % $width AS bucket,
+         |  ((${mixSql("user_id", ext.Sketch.CsJ + 4 * r + 2)}) % 2) * 2 - 1 AS sign
+         |FROM ev""".stripMargin).mkString("\n  UNION ALL\n  ")
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) // 3600000000 AS h FROM events),
+       |cells AS (
+       |  $cellRows)
+       |SELECT CAST(h AS BIGINT) AS h, CAST(r AS INTEGER) AS "row",
+       |  CAST(bucket AS INTEGER) AS bucket, CAST(SUM(sign) AS BIGINT) AS cnt
+       |FROM cells GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  /** q294: per-synthetic-hour (vec_id mod `hours`) quantized embedding
+    * moments — mirrors Streams.embeddingMomentsHourly's (dim, s, n)
+    * boundary (BIGINT s; the engine sums in DECIMAL(38,0) and casts).
+    */
+  def embeddingMomentsHourly(hours: Int): String =
+    s"""WITH qz AS (
+       |  SELECT vec_id % $hours AS h, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |ex AS (SELECT h, unnest(v) AS x, unnest(range(0, len(v))) AS dim FROM qz)
+       |SELECT CAST(h AS BIGINT) AS h, CAST(dim AS INTEGER) AS dim,
+       |  CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM ex GROUP BY 1, 2""".stripMargin
+
   def countSketchDrift(depth: Int, width: Int, probeMod: Int,
                        probeResidue: Int): String = {
     val cellRows = (0 until depth).map(r =>

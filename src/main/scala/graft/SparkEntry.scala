@@ -2655,6 +2655,33 @@ object SparkEntry {
         audit, nFiles = 32, bits = 8)
     },
 
+    // batch twin of the streaming hourly CountSketch
+    // (Streams.countSketchHourly is mode-adaptive — this IS the
+    // production stream operator run on the bounded events table):
+    // per hour, the depth×width signed-frequency cells from the shared
+    // csCellArray family. Linearity makes consecutive hours subtract
+    // into the q289 drift readout; here the oracle replays every cell
+    "q293_cs_cells_hourly" -> { (s, d) =>
+      graft.streaming.Streams.countSketchHourly(
+        Tables.events(s, d), "user_id", depth = 5, width = 64)
+        .select(expr("unix_micros(hour) div 3600000000").as("h"),
+          col("row"), col("bucket"), col("cnt"))
+    },
+
+    // batch twin of the streaming embedding-drift moments
+    // (Streams.embeddingMomentsHourly, mode-adaptive): per synthetic
+    // hour (vec_id mod 48 — embeddings carry no timestamp), the (dim,
+    // s, n) sufficient statistic whose pairs feed the q264 readout via
+    // Profile.embeddingDriftFromMoments. Moments are additive — streamed
+    // windows merge with batch snapshots by dim-keyed summation
+    "q294_embedding_moments" -> { (s, d) =>
+      graft.streaming.Streams.embeddingMomentsHourly(
+        Tables.embeddings(s, d).withColumn("ts",
+          timestamp_micros(expr("(vec_id % 48) * 3600000000"))))
+        .select(expr("unix_micros(hour) div 3600000000").as("h"),
+          col("dim"), col("s"), col("n"))
+    },
+
     // curation observability: the kill matrix — per gate, total vs
     // EXCLUSIVE rejections (docs no other gate catches). A gate with
     // n_exclusive ≈ 0 is redundant with the cascade and can relax for
@@ -3360,6 +3387,8 @@ object SparkEntry {
     "q290_hourly_trend" -> Oracles.trendFit,
     "q291_markov_attribution" -> Oracles.markovAttribution("purchase", 12, 1000000L),
     "q292_optimize_manifest" -> Oracles.optimizeManifest(64, 8, 13, 11, 32),
+    "q293_cs_cells_hourly" -> Oracles.csCellsHourly(5, 64),
+    "q294_embedding_moments" -> Oracles.embeddingMomentsHourly(48),
     // the oracle recomputes the component FROM SCRATCH over the whole
     // corpus — a hash match proves the merged-moment retrain is exactly
     // the batch result

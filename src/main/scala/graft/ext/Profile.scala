@@ -166,15 +166,37 @@ object Profile {
     * the dim keyspace; top-k is a TakeOrdered over ≤ dim rows.
     */
   def embeddingDrift(before: DataFrame, after: DataFrame, k: Int = 10,
-                     vecCol: String = "embedding"): DataFrame = {
-    def dimSums(df: DataFrame, sCol: String, nCol: String) =
-      df.select(Clustering.quantize(col(vecCol)).as("v"))
-        .select(posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("dim")
-        .agg(sum(col("x").cast("decimal(38,0)")).as(sCol),
-          count(lit(1)).as(nCol))
-    dimSums(before, "sa", "na")
-      .join(dimSums(after, "sb", "nb"), Seq("dim"))
+                     vecCol: String = "embedding"): DataFrame =
+    embeddingDriftFromMoments(dimMoments(before, vecCol),
+      dimMoments(after, vecCol), k)
+
+  /** Per-dimension moment rows (dim, s, n) of a quantized embedding
+    * corpus — the sufficient statistic [[embeddingDrift]] consumes, and
+    * exactly what the streaming twin
+    * ([[graft.streaming.Streams.embeddingMomentsHourly]]) emits per
+    * closed window: moments are additive, so streamed windows merge with
+    * batch snapshots by plain (dim-keyed) summation.
+    */
+  def dimMoments(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df.select(Clustering.quantize(col(vecCol)).as("v"))
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(sum(col("x").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n"))
+
+  /** The drift READOUT over two moment tables (each (dim, s, n) — from
+    * [[dimMoments]], a streamed window, or any merge of both): top-k
+    * most-shifted dimensions by the exact cross-multiplied mean shift.
+    * `s` is re-widened to DECIMAL(38,0) on entry, so BIGINT moment rows
+    * (the streaming boundary type) evaluate identically to the batch
+    * decimal path — ONE readout for both modes.
+    */
+  def embeddingDriftFromMoments(before: DataFrame, after: DataFrame,
+                                k: Int = 10): DataFrame =
+    before.select(col("dim"), col("s").cast("decimal(38,0)").as("sa"),
+        col("n").as("na"))
+      .join(after.select(col("dim"), col("s").cast("decimal(38,0)").as("sb"),
+        col("n").as("nb")), Seq("dim"))
       .select(col("dim"),
         expr("sa div na").as("mean_a_micro"),
         expr("sb div nb").as("mean_b_micro"),
@@ -183,7 +205,6 @@ object Profile {
                 div (cast(na as decimal(38,0)) * nb)""").as("shift_micro"))
       .orderBy(col("shift_micro").desc, col("dim"))
       .limit(k)
-  }
 
   /** The optimizer-statistics layer, certified: build a `buckets`-bucket
     * EQUI-DEPTH histogram on an integer column (the ANALYZE artifact),

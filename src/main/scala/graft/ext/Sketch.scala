@@ -473,15 +473,26 @@ object Sketch {
       s"depth must be odd in [1, 5]: $depth")
     require(width >= 2, s"width must be >= 2: $width")
     val pre = items.select(itemCol.as("__cs_x"), weight.as("__cs_w"))
-    val cells = array((0 until depth).map { r =>
-      struct((Dedup.mixHash(col("__cs_x"), CsJ + 4 * r) % width).as("bucket"),
-        (Dedup.mixHash(col("__cs_x"), CsJ + 4 * r + 2) % 2 * 2 - 1).as("sign"))
-    }: _*)
-    pre.select(col("__cs_w"), posexplode(cells).as(Seq("row", "cell")))
-      .groupBy(col("row").cast("int").as("row"),
-        col("cell.bucket").cast("int").as("bucket"))
+    pre.select(col("__cs_w"),
+        explode(csCellArray(col("__cs_x"), depth, width)).as("cell"))
+      .groupBy(col("cell.row").as("row"), col("cell.bucket").as("bucket"))
       .agg(sum(col("cell.sign") * col("__cs_w")).as("cnt"))
   }
+
+  /** The (row, bucket, sign) probe cells of one item under the pinned
+    * CountSketch hash family — THE single source of truth shared by the
+    * batch sketch ([[countSketchWeighted]]), the point estimator
+    * ([[csEstimate]]), and the streaming hourly twin
+    * ([[graft.streaming.Streams.countSketchHourly]]), so all three are
+    * cell-compatible by construction (streamed window cells subtract
+    * against batch cells, estimates read either).
+    */
+  private[graft] def csCellArray(x: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map { r =>
+      struct(lit(r).as("row"),
+        (Dedup.mixHash(x, CsJ + 4 * r) % width).cast("int").as("bucket"),
+        (Dedup.mixHash(x, CsJ + 4 * r + 2) % 2 * 2 - 1).as("sign"))
+    }: _*)
 
   /** Point-estimate signed frequencies from a [[countSketchWeighted]]:
     * for each query row, the exact integer MEDIAN over depth rows of
@@ -501,12 +512,7 @@ object Sketch {
       s"depth must be odd in [1, 5]: $depth")
     val keep = queries.columns.toSeq
     val qid = "__cs_qid"
-    val cells = array((0 until depth).map { r =>
-      struct(lit(r).as("row"),
-        (Dedup.mixHash(col("__cs_x"), CsJ + 4 * r) % width)
-          .cast("int").as("bucket"),
-        (Dedup.mixHash(col("__cs_x"), CsJ + 4 * r + 2) % 2 * 2 - 1).as("sign"))
-    }: _*)
+    val cells = csCellArray(col("__cs_x"), depth, width)
     val probes = queries
       .withColumn(qid, monotonically_increasing_id())
       .withColumn("__cs_x", itemCol)

@@ -275,6 +275,61 @@ object Streams {
       .select(col("w.start").as("hour"), col("bucket_id"), col("rep"), col("cnt"))
   }
 
+  /** Streaming CountSketch: hourly signed-frequency sketch cells per
+    * tumbling window — the per-window face of the batch
+    * [[graft.ext.Sketch.countSketchWeighted]] (unit weights), built from
+    * the SAME [[graft.ext.Sketch.csCellArray]] cell family, so a closed
+    * window's cells are bit-identical to the batch sketch over that
+    * window's events. CountSketch is LINEAR: consecutive windows
+    * subtract cell-wise, and [[graft.ext.Sketch.csEstimate]] over the
+    * difference is exactly the q289 drift monitor — run continuously,
+    * O(depth·width) state per open window instead of a nightly two-pass
+    * batch. `sum` is a supported streaming aggregate; watermark closes
+    * windows. Mode-adaptive (a batch frame skips the watermark), which
+    * is what makes the batch twin oracle-verifiable:
+    * q293_cs_cells_hourly runs THIS function over the bounded events
+    * table and hash-matches the DuckDB replay.
+    */
+  def countSketchHourly(events: DataFrame, itemCol: String = "user_id",
+                        depth: Int = 5, width: Int = 64,
+                        watermark: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+              else events
+    src.select(col("ts"),
+        explode(graft.ext.Sketch.csCellArray(col(itemCol), depth, width))
+          .as("cell"))
+      .groupBy(window(col("ts"), "1 hour").as("w"),
+        col("cell.row").as("row"), col("cell.bucket").as("bucket"))
+      .agg(sum(col("cell.sign")).as("cnt"))
+      .select(col("w.start").as("hour"), col("row"), col("bucket"), col("cnt"))
+  }
+
+  /** Streaming embedding-drift moments: per closed window, the
+    * (dim, s, n) sufficient statistic of the window's quantized vectors
+    * — the EXACT input of [[graft.ext.Profile.embeddingDriftFromMoments]],
+    * so the q264 drift readout runs between any two streamed windows (or
+    * a window and a batch snapshot: moments are additive and
+    * [[graft.ext.Profile.dimMoments]] emits the same rows). Quantization
+    * is the engine-wide ⌊x·10⁶+0.5⌋ fixed point; the window sum runs in
+    * DECIMAL(38,0) (the batch path's type) and the emitted boundary is
+    * BIGINT — exact while |Σx| < 2⁶³, i.e. ~9·10¹² unit-norm vectors per
+    * window per dim. State per open window is O(dims), not vectors.
+    * Mode-adaptive; batch twin (oracle-verified): q294_embedding_moments.
+    */
+  def embeddingMomentsHourly(vecs: DataFrame, vecCol: String = "embedding",
+                             watermark: String = "1 hour"): DataFrame = {
+    val src = if (vecs.isStreaming) vecs.withWatermark("ts", watermark)
+              else vecs
+    src.select(col("ts"),
+        posexplode(graft.ext.Clustering.quantize(col(vecCol)))
+          .as(Seq("dim", "x")))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("dim"))
+      .agg(sum(col("x").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("hour"), col("dim"),
+        col("s").cast("long").as("s"), col("n"))
+  }
+
   /** Streaming exact dedup: drops events whose `idCol` was already seen,
     * with state bounded by the watermark — the streaming face of the batch
     * exact-dedup operator (Dedup.exactDedup) for at-least-once sources

@@ -1021,4 +1021,94 @@ class StreamsSpec extends SparkSpec {
       spark.read.parquet(s"$store/v$latest").orderBy("sku"),
       graft.ext.Warehouse.aggState(toLi(b0 ++ b1)).orderBy("sku"))
   }
+
+  // batch twin: q293_cs_cells_hourly — the same mode-adaptive function
+  // over a bounded frame, hash-verified against the DuckDB cell replay
+  test("countSketchHourly: streamed cells ≡ batch sketch per closed window; cell subtraction drives the q289 drift readout") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.countSketchHourly(mem.toDF(), "user_id",
+        depth = 5, width = 64)
+      .writeStream.format("memory").queryName("cs_hourly")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hour 10: users 1..30 once each; hour 11: users 11..40 — a mix
+      // shift of exactly −1 for 1..10, 0 for 11..30, +1 for 31..40
+      val in10 = (1 to 30).map(u =>
+        Streams.Event(u.toLong, ts("2024-01-01 10:05:00"), u.toLong, "click", 1.0))
+      val in11 = (11 to 40).map(u =>
+        Streams.Event(100L + u, ts("2024-01-01 11:20:00"), u.toLong, "click", 1.0))
+      mem.addData(in10: _*); q.processAllAvailable()
+      mem.addData(in11: _*); q.processAllAvailable()
+      mem.addData(Streams.Event(999, ts("2024-01-01 14:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // pin each hour slice to fresh attributes — two legs of the same
+      // memory table in one join trip Catalyst's conflicting-reference check
+      def hourCells(h: String) = {
+        val d = spark.table("cs_hourly")
+          .filter(col("hour") === lit(ts(h))).select("row", "bucket", "cnt")
+        spark.createDataFrame(java.util.Arrays.asList(d.collect(): _*), d.schema)
+      }
+      // per closed window the cells equal the batch sketch bit-for-bit
+      val batch10 = graft.ext.Sketch.countSketchWeighted(
+        in10.toDF(), col("user_id"), lit(1L), depth = 5, width = 64)
+      assertSameRows(hourCells("2024-01-01 10:00:00"), batch10)
+      // CountSketch is linear: hour11 − hour10 cells + csEstimate = the
+      // continuous drift monitor; exact on these sparse keys
+      val diff = hourCells("2024-01-01 11:00:00").withColumnRenamed("cnt", "c2")
+        .join(hourCells("2024-01-01 10:00:00").withColumnRenamed("cnt", "c1"),
+          Seq("row", "bucket"), "full")
+        .select(col("row"), col("bucket"),
+          (coalesce(col("c2"), lit(0L)) - coalesce(col("c1"), lit(0L))).as("cnt"))
+      val probes = Seq(5L, 20L, 35L, 77L).toDF("user_id")
+      val est = graft.ext.Sketch.csEstimate(diff, probes, col("user_id"), width = 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(est == Map(5L -> -1L, 20L -> 0L, 35L -> 1L, 77L -> 0L))
+    } finally q.stop()
+  }
+
+  // batch twin: q294_embedding_moments — same mode-adaptive function on a
+  // bounded frame, oracle-verified; the readout is q264's exact spelling
+  test("embeddingMomentsHourly: streamed moments feed embeddingDriftFromMoments ≡ batch embeddingDrift") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[VecRow]
+    val q = Streams.embeddingMomentsHourly(mem.toDF())
+      .writeStream.format("memory").queryName("emb_moments")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def vec(seed: Int) = Array.tabulate(8)(i =>
+        ((seed * 31 + i * 17) % 100) / 100.0)
+      val in10 = (1 to 20).map(s => VecRow(ts("2024-01-01 10:01:00"), vec(s)))
+      val in11 = (1 to 20).map(s => VecRow(ts("2024-01-01 11:01:00"), vec(s + 7)))
+      mem.addData(in10: _*); q.processAllAvailable()
+      mem.addData(in11: _*); q.processAllAvailable()
+      mem.addData(VecRow(ts("2024-01-01 14:00:00"), vec(0)))
+      q.processAllAvailable()
+      def hourMoments(h: String) = {
+        val d = spark.table("emb_moments")
+          .filter(col("hour") === lit(ts(h))).select("dim", "s", "n")
+        spark.createDataFrame(java.util.Arrays.asList(d.collect(): _*), d.schema)
+      }
+      // streamed moments equal the batch sufficient statistic (modulo the
+      // BIGINT boundary cast)
+      val batch10 = graft.ext.Profile.dimMoments(in10.toDF())
+        .select(col("dim"), col("s").cast("long").as("s"), col("n"))
+      assertSameRows(hourMoments("2024-01-01 10:00:00"), batch10)
+      // and the window-pair readout IS the q264 drift, value-identical
+      val fromStream = graft.ext.Profile.embeddingDriftFromMoments(
+        hourMoments("2024-01-01 10:00:00"), hourMoments("2024-01-01 11:00:00"), k = 8)
+      val fromBatch = graft.ext.Profile.embeddingDrift(
+        in10.toDF(), in11.toDF(), k = 8)
+      assertSameRows(fromStream, fromBatch)
+    } finally q.stop()
+  }
 }
+
+/** MemoryStream row for the embedding-moments twin (top-level for the
+  * product encoder).
+  */
+final case class VecRow(ts: Timestamp, embedding: Array[Double])
