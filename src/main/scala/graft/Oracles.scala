@@ -684,6 +684,49 @@ object Oracles {
        |${rankTail(k)}""".stripMargin
   }
 
+  /** q295: nDCG@k of the exact cosine top-k against label-match qrels
+    * (grade 3 for every same-label doc). Discount literals come from the
+    * SAME `Search.ndcgDiscounts` table as the engine — no log runs in
+    * either engine; ppm division in HUGEINT mirrors the DECIMAL(38,0)
+    * numerator.
+    */
+  def ndcgAtK(mod: Int, k: Int): String = {
+    val disc = ext.Search.ndcgDiscounts(k).mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % $mod = 0),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       |p AS (SELECT query_id, neighbor_id, qv, cv FROM q, c WHERE query_id <> neighbor_id),
+       |$dotsCte,
+       |rk AS (
+       |  SELECT query_id, neighbor_id AS doc_id, rnk FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+       |    FROM scored) WHERE rnk <= $k),
+       |ql AS (SELECT vec_id AS query_id, label AS l FROM embeddings WHERE vec_id % $mod = 0),
+       |qr AS (
+       |  SELECT query_id, e.vec_id AS doc_id, 3 AS grade
+       |  FROM ql JOIN embeddings e ON e.label = ql.l
+       |  WHERE e.vec_id <> query_id),
+       |dcg AS (
+       |  SELECT rk.query_id,
+       |    CAST(SUM(((1::BIGINT << COALESCE(grade, 0)) - 1)
+       |      * (list_value($disc))[rnk]) AS BIGINT) AS dcg
+       |  FROM rk LEFT JOIN qr USING (query_id, doc_id) GROUP BY 1),
+       |ideal AS (
+       |  SELECT query_id, grade,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY grade DESC, doc_id) AS r
+       |  FROM qr),
+       |idcg AS (
+       |  SELECT query_id,
+       |    CAST(SUM(((1::BIGINT << grade) - 1) * (list_value($disc))[r]) AS BIGINT) AS idcg
+       |  FROM ideal WHERE r <= $k GROUP BY 1),
+       |panel AS (
+       |  SELECT DISTINCT query_id FROM rk UNION SELECT DISTINCT query_id FROM qr)
+       |SELECT panel.query_id, COALESCE(dcg, 0) AS dcg, COALESCE(idcg, 0) AS idcg,
+       |  CAST(CAST(COALESCE(dcg, 0) AS HUGEINT) * 1000000
+       |    // GREATEST(COALESCE(idcg, 0), 1) AS BIGINT) AS ndcg_ppm
+       |FROM panel LEFT JOIN dcg USING (query_id) LEFT JOIN idcg USING (query_id)""".stripMargin
+  }
+
   def cosineTopK(mod: Int = 50, k: Int = 5): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % $mod = 0),
        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

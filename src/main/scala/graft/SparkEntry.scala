@@ -2682,6 +2682,25 @@ object SparkEntry {
           col("dim"), col("s"), col("n"))
     },
 
+    // graded retrieval eval: nDCG@10 of the exact cosine arm against a
+    // label-match eval set (grade 3 per same-label doc) — the third leg
+    // of the eval stack next to recall (q134, set overlap) and AO
+    // agreement (q261, order). Discounts are pinned integer literals
+    // from ONE Scala table (no log in either engine); ppm boundary in
+    // DECIMAL(38,0). Ranking is panel×k, qrels the bounded eval set
+    "q295_ndcg" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val ranking = Similarity.bruteForceTopK(queries, emb, k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      val qrels = queries.select(col("vec_id").as("query_id"), col("label").as("ql"))
+        .join(emb.select(col("vec_id").as("doc_id"), col("label")),
+          col("ql") === col("label"))
+        .filter(col("query_id") =!= col("doc_id"))
+        .select(col("query_id"), col("doc_id"), lit(3).as("grade"))
+      graft.ext.Search.ndcgAtK(ranking, qrels, k = 10)
+    },
+
     // curation observability: the kill matrix — per gate, total vs
     // EXCLUSIVE rejections (docs no other gate catches). A gate with
     // n_exclusive ≈ 0 is redundant with the cascade and can relax for
@@ -3389,6 +3408,7 @@ object SparkEntry {
     "q292_optimize_manifest" -> Oracles.optimizeManifest(64, 8, 13, 11, 32),
     "q293_cs_cells_hourly" -> Oracles.csCellsHourly(5, 64),
     "q294_embedding_moments" -> Oracles.embeddingMomentsHourly(48),
+    "q295_ndcg" -> Oracles.ndcgAtK(50, 10),
     // the oracle recomputes the component FROM SCRATCH over the whole
     // corpus — a hash match proves the merged-moment retrain is exactly
     // the batch result

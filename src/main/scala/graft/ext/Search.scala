@@ -184,4 +184,57 @@ object Search {
         row_number().over(Window.orderBy(col("rrf").desc, col(idCol))))
       .select(col(idCol), col("rrf"), col("rank"))
   }
+
+  /** Per-rank nDCG discount factors at 10⁹ scale — `⌊10⁹/log₂(r+1)⌉` for
+    * r = 1..k, computed ONCE here and injected as literals into both
+    * engines (the [[graft.ext.Layout.hilbertSteps]] single-source
+    * device): the float log never runs inside either engine, so the
+    * whole metric is integer arithmetic and bit-identical.
+    */
+  def ndcgDiscounts(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e9 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** nDCG@k — the standard graded retrieval-eval metric next to
+    * [[graft.ext.Similarity.annRecall]] (set overlap) and
+    * [[graft.ext.Similarity.rankAgreement]] (order agreement): gain
+    * 2^grade − 1 discounted by the pinned integer table above, normalized
+    * by the ideal ordering's DCG, emitted as `ndcg_ppm = DCG·10⁶ div
+    * IDCG` (DECIMAL(38,0) numerator — DCG alone can reach k·2^grade·10⁹).
+    *
+    * Inputs: `ranking` (query_id, doc_id, rank) — any arm's top list;
+    * `qrels` (query_id, doc_id, grade ≥ 0) — the graded eval set.
+    * Unjudged ranked docs gain 0 (standard convention); queries present
+    * in either input stay in the panel (no judged docs → ndcg_ppm 0).
+    * The ideal ordering ties on grade break by doc_id, which cannot
+    * change IDCG (equal grades contribute equal gains) — tie-invariant
+    * by construction.
+    *
+    * Scale shape: ranking is panel×k rows; qrels is the eval set (bounded
+    * by construction — never the corpus); one equi-join, one per-query
+    * window over qrels, two panel-sized aggregates.
+    */
+  def ndcgAtK(ranking: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"k out of [1, 100]: $k")
+    val discArr = array(ndcgDiscounts(k).map(lit): _*)
+    val dcg = ranking.filter(col("rank") <= k)
+      .join(qrels, Seq("query_id", "doc_id"), "left")
+      .na.fill(0, Seq("grade"))
+      .withColumn("dg",
+        expr("shiftleft(CAST(1 AS BIGINT), grade) - 1L") *
+          element_at(discArr, col("rank").cast("int")))
+      .groupBy("query_id").agg(sum("dg").as("dcg"))
+    val w = Window.partitionBy("query_id").orderBy(col("grade").desc, col("doc_id"))
+    val idcg = qrels.withColumn("r", row_number().over(w)).filter(col("r") <= k)
+      .withColumn("ig",
+        expr("shiftleft(CAST(1 AS BIGINT), grade) - 1L") *
+          element_at(discArr, col("r")))
+      .groupBy("query_id").agg(sum("ig").as("idcg"))
+    val panel = ranking.select("query_id").union(qrels.select("query_id")).distinct()
+    panel.join(dcg, Seq("query_id"), "left").join(idcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg"), lit(0L)).as("dcg"),
+        coalesce(col("idcg"), lit(0L)).as("idcg"))
+      .withColumn("ndcg_ppm",
+        expr("CAST(dcg AS DECIMAL(38,0)) * 1000000L div greatest(idcg, 1L)"))
+  }
 }

@@ -99,4 +99,46 @@ class SearchSpec extends SparkSpec {
     assert(Search.andSearch(docs, Seq("a", "b"), k = 2).collect()
       .map(_.getLong(0)).toSeq == Seq(2L, 5L))
   }
+
+  private def ranked(rows: (Long, Long, Int)*) =
+    df("query_id BIGINT, doc_id BIGINT, rank INT",
+      rows.map { case (q, d, r) => Row(q, d, r) })
+  private def judged(rows: (Long, Long, Int)*) =
+    df("query_id BIGINT, doc_id BIGINT, grade INT",
+      rows.map { case (q, d, g) => Row(q, d, g) })
+
+  test("ndcgAtK: perfect ranking scores exactly 10^6; reversal scores the hand-traced ppm") {
+    // grades 3, 1 at ranks 1, 2 — ideal order. disc = ndcgDiscounts(2)
+    val qrels = judged((1L, 10L, 3), (1L, 11L, 1))
+    val perfect = Search.ndcgAtK(ranked((1L, 10L, 1), (1L, 11L, 2)), qrels, k = 2)
+      .head()
+    assert(perfect.getLong(3) == 1000000L)
+    // reversed: DCG = 1·d1 + 7·d2, IDCG = 7·d1 + 1·d2 — exact integer trace
+    val d = Search.ndcgDiscounts(2)
+    val rev = Search.ndcgAtK(ranked((1L, 11L, 1), (1L, 10L, 2)), qrels, k = 2)
+      .head()
+    val expected = (BigInt(1 * d(0) + 7 * d(1)) * 1000000 /
+      BigInt(7 * d(0) + 1 * d(1))).toLong
+    assert((rev.getLong(1), rev.getLong(2), rev.getLong(3)) ==
+      (1 * d(0) + 7 * d(1), 7 * d(0) + 1 * d(1), expected))
+  }
+
+  test("ndcgAtK: unjudged ranked docs gain 0; judged-but-unranked queries stay in the panel at 0") {
+    val out = Search.ndcgAtK(
+      ranked((1L, 99L, 1)),                       // ranked doc never judged
+      judged((1L, 10L, 2), (2L, 20L, 3)), k = 3)  // query 2 has no ranking
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out(1L) == ((0L, 0L)))
+    assert(out(2L)._1 == 0L && out(2L)._2 == 0L)
+    assert(out.size == 2)
+  }
+
+  test("ndcgAtK: ideal truncates at k — extra judged docs beyond k don't inflate IDCG") {
+    val qrels = judged((1 to 5).map(i => (1L, 10L + i, 2)): _*)
+    val out = Search.ndcgAtK(
+      ranked((1L, 11L, 1), (1L, 12L, 2)), qrels, k = 2).head()
+    val d = Search.ndcgDiscounts(2)
+    assert(out.getLong(2) == 3 * d(0) + 3 * d(1)) // only the top-2 ideal slots
+    assert(out.getLong(3) == 1000000L)            // both ranked docs are grade-2 hits
+  }
 }
