@@ -2776,6 +2776,50 @@ object Oracles {
        |  CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
        |FROM ex GROUP BY 1, 2""".stripMargin
 
+  /** q296: one-pass Poisson bootstrap CI over orders price-cents — the
+    * same BootJ hash family, Poisson thresholds, resample sums, and
+    * nearest-rank selection as Sampling.bootstrapMeanCI. u-draws get
+    * their own CTE so each hash is spelled once, not once per threshold.
+    */
+  def bootstrapMeanCI(resamples: Int, loPermille: Int, hiPermille: Int): String = {
+    val m = resamples
+    val bootJ = ext.Sampling.BootJ
+    val thr = ext.Sampling.PoissonThresholds
+    val uCols = (0 until m).map(r =>
+      s"(${mixSql("id", bootJ + 2 * r)}) % 10000 AS u_$r").mkString(",\n    ")
+    val wCols = (0 until m).map(r =>
+      thr.map(t => s"(CASE WHEN u_$r >= $t THEN 1 ELSE 0 END)")
+        .mkString(" + ") + s" AS w_$r").mkString(",\n    ")
+    val sCols = (0 until m).map(r =>
+      s"CAST(SUM(w_$r * x) AS BIGINT) AS sx_$r, CAST(SUM(w_$r) AS BIGINT) AS n_$r")
+      .mkString(",\n    ")
+    val mRows = (0 until m).map(r =>
+      s"SELECT round(CAST(sx_$r AS DOUBLE) / GREATEST(n_$r, 1), 6) AS mean FROM s")
+      .mkString("\n  UNION ALL ")
+    val loRank = (m * loPermille + 999) / 1000
+    val hiRank = (m * hiPermille + 999) / 1000
+    s"""WITH src AS (
+       |  SELECT o_orderkey AS id, CAST(round(o_totalprice * 100) AS BIGINT) AS x
+       |  FROM orders),
+       |u AS (SELECT x,
+       |    $uCols
+       |  FROM src),
+       |w AS (SELECT x,
+       |    $wCols
+       |  FROM u),
+       |s AS (SELECT CAST(SUM(x) AS BIGINT) AS sv, CAST(COUNT(*) AS BIGINT) AS n,
+       |    $sCols
+       |  FROM w),
+       |mm AS (
+       |  $mRows),
+       |r AS (SELECT mean, ROW_NUMBER() OVER (ORDER BY mean) AS rn FROM mm)
+       |SELECT n, round(CAST(sv AS DOUBLE) / GREATEST(n, 1), 6) AS mean,
+       |  (SELECT mean FROM r WHERE rn = $loRank) AS ci_lo,
+       |  (SELECT mean FROM r WHERE rn = $hiRank) AS ci_hi,
+       |  CAST($m AS BIGINT) AS resamples
+       |FROM s""".stripMargin
+  }
+
   def countSketchDrift(depth: Int, width: Int, probeMod: Int,
                        probeResidue: Int): String = {
     val cellRows = (0 until depth).map(r =>

@@ -2701,6 +2701,19 @@ object SparkEntry {
       graft.ext.Search.ndcgAtK(ranking, qrels, k = 10)
     },
 
+    // one-pass Poisson bootstrap: 100 full bootstrap replicates of the
+    // mean order price as 200 extra SUM columns in ONE aggregate —
+    // deterministic hash→Poisson(1) weights (single literal threshold
+    // table both engines), so the 100 TB corpus is scanned once and only
+    // 100 summary rows ever sort. The resample loop this replaces scans
+    // the corpus once per replicate
+    "q296_bootstrap_ci" -> { (s, d) =>
+      graft.ext.Sampling.bootstrapMeanCI(
+        Tables.orders(s, d),
+        "o_orderkey", expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+        resamples = 100)
+    },
+
     // curation observability: the kill matrix — per gate, total vs
     // EXCLUSIVE rejections (docs no other gate catches). A gate with
     // n_exclusive ≈ 0 is redundant with the cascade and can relax for
@@ -3409,6 +3422,7 @@ object SparkEntry {
     "q293_cs_cells_hourly" -> Oracles.csCellsHourly(5, 64),
     "q294_embedding_moments" -> Oracles.embeddingMomentsHourly(48),
     "q295_ndcg" -> Oracles.ndcgAtK(50, 10),
+    "q296_bootstrap_ci" -> Oracles.bootstrapMeanCI(100, 25, 975),
     // the oracle recomputes the component FROM SCRATCH over the whole
     // corpus — a hash match proves the merged-moment retrain is exactly
     // the batch result

@@ -545,4 +545,74 @@ object Sampling {
       .withColumn("err_ppm",
         expr("est_pairs * 1000000L div exact_pairs - 1000000L"))
   }
+
+  /** First hash-family index of the bootstrap block: resample r uses
+    * `mixHash(id, BootJ + 2r)` — range [500, 500 + 2·resamples).
+    */
+  val BootJ: Int = 500
+
+  /** Poisson(1) inverse-CDF thresholds at 10⁴ scale (cumulative pmf
+    * ⌊10⁴·P(X < w)⌉ for w = 1..7): a uniform draw u ∈ [0, 9999] maps to
+    * weight w = #{t : u ≥ t}. ONE literal table consumed by both engines
+    * — the [[graft.ext.Search.ndcgDiscounts]] single-source device, so no
+    * transcendental runs anywhere and every weight is engine-portable.
+    */
+  val PoissonThresholds: Seq[Int] = Seq(3679, 7358, 9197, 9810, 9963, 9994, 9999)
+
+  /** ONE-PASS Poisson bootstrap confidence interval for the mean of an
+    * integer metric column (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012 — public): resample r reweights
+    * every row by an independent deterministic Poisson(1) count (hash →
+    * inverse CDF above), so `resamples` full bootstrap replicates reduce
+    * to 2·resamples extra SUM columns in a single aggregate — the corpus
+    * is scanned ONCE, nothing fact-sized shuffles (map-side partial
+    * aggregation collapses each partition to one row of sums), and the
+    * percentile step runs over `resamples` summary rows on one partition
+    * (bounded by construction, ≤ 500). The classic resample-loop would
+    * scan 100 TB once per replicate.
+    *
+    * CI bounds are nearest-rank order statistics of the resample means
+    * (`rank = ⌈m·p‰/1000⌉`, the q236 rank rule): means are IEEE
+    * divisions of exact integer sums rounded to 6 decimals, and rank
+    * selection reads the sorted multiset, so ties cannot perturb the
+    * selected VALUE — bit-identical in any engine.
+    */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: Column,
+                      resamples: Int = 100, loPermille: Int = 25,
+                      hiPermille: Int = 975): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(resamples >= 2 && resamples <= 500,
+      s"resamples out of [2, 500]: $resamples")
+    require(loPermille >= 1 && loPermille < hiPermille && hiPermille <= 1000,
+      s"bad permille bounds: $loPermille, $hiPermille")
+    val m = resamples
+    def wCol(r: Int): Column = {
+      val u = Dedup.mixHash(col(idCol), BootJ + 2 * r) % 10000
+      PoissonThresholds.map(t => when(u >= t, 1L).otherwise(0L)).reduce(_ + _)
+    }
+    val withW = df.select(
+      valueCol.cast("long").as("__x") +:
+        (0 until m).map(r => wCol(r).as(s"__w_$r")): _*)
+    val aggs: Seq[Column] =
+      Seq(sum(col("__x")).as("sv"), count(lit(1)).as("n")) ++
+        (0 until m).flatMap(r => Seq(
+          sum(col(s"__w_$r") * col("__x")).as(s"sx_$r"),
+          sum(col(s"__w_$r")).as(s"n_$r")))
+    val one = withW.agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true) // 1 row; feeds the melt AND the base stats
+    val means = one.select(explode(array((0 until m).map(r =>
+        round(col(s"sx_$r").cast("double") / greatest(col(s"n_$r"), lit(1L)), 6))
+      : _*)).as("mean"))
+    val ranked = means
+      .withColumn("rn", row_number().over(Window.orderBy(col("mean"))))
+      .localCheckpoint(true) // m rows; read twice (lo and hi bound)
+    val lo = ranked.filter(col("rn") === (m * loPermille + 999) / 1000)
+      .select(col("mean").as("ci_lo"))
+    val hi = ranked.filter(col("rn") === (m * hiPermille + 999) / 1000)
+      .select(col("mean").as("ci_hi"))
+    one.select(col("n"),
+        round(col("sv").cast("double") / greatest(col("n"), lit(1L)), 6).as("mean"))
+      .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .withColumn("resamples", lit(m.toLong))
+  }
 }

@@ -428,4 +428,55 @@ class SamplingSpec extends SparkSpec {
         r.getAs[Long]("sample_pairs") * 1000L / p)
     }
   }
+
+  test("bootstrapMeanCI: CI brackets the truth, tightens with data, and is repartition-invariant") {
+    import org.apache.spark.sql.functions.col
+    def src(n: Long) = spark.range(n).toDF("id")
+      .withColumn("x", (col("id") * 7919 % 1000) + 500) // mean ≈ 999.5
+    val small = Sampling.bootstrapMeanCI(src(500), "id", col("x"), resamples = 50)
+      .head()
+    val big = Sampling.bootstrapMeanCI(src(20000), "id", col("x"), resamples = 50)
+      .head()
+    for (r <- Seq(small, big)) {
+      val (mean, lo, hi) = (r.getAs[Double]("mean"),
+        r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(lo <= mean && mean <= hi, s"CI must bracket the sample mean: $r")
+      assert(r.getAs[Long]("resamples") == 50L)
+    }
+    // 40× more data → a (stochastically) much tighter interval; the
+    // deterministic weights make this a fixed fact of the inputs, not luck
+    val widthSmall = small.getAs[Double]("ci_hi") - small.getAs[Double]("ci_lo")
+    val widthBig = big.getAs[Double]("ci_hi") - big.getAs[Double]("ci_lo")
+    assert(widthBig < widthSmall / 2, s"$widthBig vs $widthSmall")
+    // weights are a pure function of id: any physical layout, same row
+    val re = Sampling.bootstrapMeanCI(src(500).repartition(7), "id", col("x"),
+      resamples = 50).head()
+    assert(re == small)
+  }
+
+  test("bootstrapMeanCI: hand-checked on a tiny frame — resample means are exact integer-sum divisions") {
+    import org.apache.spark.sql.functions.col
+    val d = df("id BIGINT, x BIGINT", Seq(
+      org.apache.spark.sql.Row(1L, 10L),
+      org.apache.spark.sql.Row(2L, 20L),
+      org.apache.spark.sql.Row(3L, 60L)))
+    val out = Sampling.bootstrapMeanCI(d, "id", col("x"),
+      resamples = 5, loPermille = 200, hiPermille = 800).head()
+    assert(out.getAs[Long]("n") == 3L)
+    assert(out.getAs[Double]("mean") == 30.0)
+    // recompute resample 0..4 means directly from the weight definition
+    val means = (0 until 5).map { r =>
+      val ws = Seq(1L, 2L, 3L).map { id =>
+        val u = d.sparkSession.range(1).select(
+          (graft.ext.Dedup.mixHash(org.apache.spark.sql.functions.lit(id),
+            Sampling.BootJ + 2 * r) % 10000).as("u")).head().getLong(0)
+        Sampling.PoissonThresholds.count(t => u >= t).toLong
+      }
+      val sx = ws(0) * 10 + ws(1) * 20 + ws(2) * 60
+      val nn = math.max(ws.sum, 1L)
+      BigDecimal(sx.toDouble / nn).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sorted
+    assert(out.getAs[Double]("ci_lo") == means(0)) // rank ceil(5·0.2)=1
+    assert(out.getAs[Double]("ci_hi") == means(3)) // rank ceil(5·0.8)=4
+  }
 }
