@@ -2714,6 +2714,31 @@ object SparkEntry {
         resamples = 100)
     },
 
+    // skew advisor: per hot key (fact count > target), the ceil-division
+    // salt factor that splits it back under the target — heavy-hitter-
+    // sized output, one map-combined aggregate. The decision table the
+    // planned salted join consumes (decision→actuator, the q282→q292
+    // pattern applied to shuffle skew)
+    "q297_salt_plan" -> { (s, d) =>
+      graft.operators.SkewJoin.saltPlan(
+        Tables.events(s, d), "event_type", targetRowsPerTask = 500L)
+    },
+
+    // skew actuator: the q297 plan drives a keyed salted join — hot keys
+    // split across salt_k reducers, cold keys pay nothing (the uniform
+    // q67 salt replicates the dim side salt× for EVERY key; measured 7×
+    // on skew-free data). Oracle is the UNSALTED join: a skew mitigation
+    // that changes any row is wrong
+    "q298_planned_salted_join" -> { (s, d) =>
+      val ev = Tables.events(s, d).select("event_id", "event_type")
+      val dim = ev.select(col("event_type").as("dim_type")).distinct()
+        .withColumn("type_code", length(col("dim_type")))
+      val plan = graft.operators.SkewJoin.saltPlan(ev, "event_type", 500L)
+      graft.operators.SkewJoin.plannedSaltedJoin(ev, "event_type",
+        dim, "dim_type", plan)
+        .select("event_id", "event_type", "type_code")
+    },
+
     // curation observability: the kill matrix — per gate, total vs
     // EXCLUSIVE rejections (docs no other gate catches). A gate with
     // n_exclusive ≈ 0 is redundant with the cascade and can relax for
@@ -3423,6 +3448,16 @@ object SparkEntry {
     "q294_embedding_moments" -> Oracles.embeddingMomentsHourly(48),
     "q295_ndcg" -> Oracles.ndcgAtK(50, 10),
     "q296_bootstrap_ci" -> Oracles.bootstrapMeanCI(100, 25, 975),
+    "q297_salt_plan" ->
+      """SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(LEAST((COUNT(*) + 499) // 500, 256) AS INTEGER) AS salt
+        |FROM events GROUP BY 1 HAVING COUNT(*) > 500""".stripMargin,
+    "q298_planned_salted_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type, CAST(length(event_type) AS INTEGER) AS type_code
+        |  FROM events)
+        |SELECT e.event_id, e.event_type, d.type_code
+        |FROM events e JOIN dim d USING (event_type)""".stripMargin,
     // the oracle recomputes the component FROM SCRATCH over the whole
     // corpus — a hash match proves the merged-moment retrain is exactly
     // the batch result

@@ -63,4 +63,69 @@ object SkewJoin {
         joinType)
       .drop("__salt")
   }
+
+  /** Skew ADVISOR: the decision table [[plannedSaltedJoin]] consumes —
+    * per key whose fact count exceeds `targetRowsPerTask`, the ceil-
+    * division salt factor `⌈cnt / target⌉` (capped at `maxSalt`) that
+    * splits it back under the target. [[saltedJoin]]'s uniform salt pays
+    * the salt× dim replication for EVERY key (measured ~7× on a skew-free
+    * corpus — SCALING.md round-4b); keyed salting pays it only where the
+    * skew is, which is what makes it deployable as a default.
+    *
+    * Output is hot keys ONLY (cold keys are implicitly salt = 1), so the
+    * plan is heavy-hitter-sized — broadcastable by construction at any
+    * corpus scale. One map-combined key aggregate; nothing else touches
+    * facts.
+    */
+  def saltPlan(df: DataFrame, key: String, targetRowsPerTask: Long,
+               maxSalt: Int = 256): DataFrame = {
+    require(targetRowsPerTask >= 1, s"bad target: $targetRowsPerTask")
+    require(maxSalt >= 1 && maxSalt <= 1024, s"maxSalt out of [1, 1024]: $maxSalt")
+    df.groupBy(col(key).as("key")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > targetRowsPerTask)
+      .withColumn("salt", least(
+        expr(s"(cnt + ${targetRowsPerTask - 1}L) div ${targetRowsPerTask}L"),
+        lit(maxSalt.toLong)).cast("int"))
+  }
+
+  /** Skew ACTUATOR: [[saltedJoin]] driven by a [[saltPlan]] decision
+    * table instead of a uniform factor — each fact row salts in
+    * [0, salt(key)) (1 for keys off the plan), each dim row replicates
+    * exactly salt(key) times. The dim-side blow-up collapses from
+    * salt×|dim| to Σ_hot (salt_k − 1) extra rows — the uniform join's
+    * price tag paid only on the measured hot keys — while the result
+    * stays EXACTLY the plain join's row multiset (the salt picks WHICH
+    * replica a fact row meets, nothing more; the q298 oracle is the
+    * unsalted SQL join).
+    *
+    * Plan shape: the plan joins into both sides as a broadcast (it is
+    * hot-key-sized by construction); the main join shuffles on
+    * (key, salt), splitting each hot key across salt_k reducers.
+    */
+  def plannedSaltedJoin(left: DataFrame, leftKey: String,
+                        right: DataFrame, rightKey: String,
+                        plan: DataFrame, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer", "left").contains(joinType),
+      s"plannedSaltedJoin supports inner/left_outer, not $joinType")
+    val p = broadcast(plan.select(col("key").as("__sp_key"),
+      col("salt").as("__sp_salt")).localCheckpoint(true))
+    val saltedLeft = left
+      .join(p, left(leftKey) === p("__sp_key"), "left")
+      .withColumn("__sn", coalesce(col("__sp_salt"), lit(1)).cast("long"))
+      .withColumn("__salt",
+        pmod(spark_partition_id().cast("long") + monotonically_increasing_id(),
+          col("__sn")).cast("int"))
+      .drop("__sp_key", "__sp_salt", "__sn")
+    val replicatedRight = right
+      .join(p, right(rightKey) === p("__sp_key"), "left")
+      .withColumn("__sn", coalesce(col("__sp_salt"), lit(1)))
+      .withColumn("__salt", explode(sequence(lit(0), col("__sn") - 1)))
+      .drop("__sp_key", "__sp_salt", "__sn")
+    saltedLeft
+      .join(replicatedRight,
+        saltedLeft(leftKey) === replicatedRight(rightKey) &&
+          saltedLeft("__salt") === replicatedRight("__salt"),
+        joinType)
+      .drop("__salt")
+  }
 }

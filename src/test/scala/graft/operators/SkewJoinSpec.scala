@@ -52,4 +52,35 @@ class SkewJoinSpec extends SparkSpec {
       SkewJoin.saltedJoin(fact, "k", dim, "dk", salt = 0)
     }
   }
+
+  test("saltPlan: only keys past the target appear, with ceil-division factors, capped") {
+    val plan = SkewJoin.saltPlan(fact, "k", targetRowsPerTask = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // key 1: 800 rows → ceil(800/100) = 8; every other key has ≤ 5 rows
+    assert(plan == Map(1L -> ((800L, 8))))
+    val capped = SkewJoin.saltPlan(fact, "k", targetRowsPerTask = 100L, maxSalt = 3)
+      .collect().map(r => r.getInt(2)).toSeq
+    assert(capped == Seq(3))
+  }
+
+  test("plannedSaltedJoin: multiset identical to the plain join; dim replicates only hot keys") {
+    val plan = SkewJoin.saltPlan(fact, "k", targetRowsPerTask = 100L)
+    val plain = fact.join(dim, col("k") === col("dk")).select("k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val planned = SkewJoin.plannedSaltedJoin(fact, "k", dim, "dk", plan)
+      .select("k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(planned.toSeq == plain.toSeq)
+    // left_outer preserves unmatched rows exactly once
+    val lo = SkewJoin.plannedSaltedJoin(fact, "k", dim, "dk", plan, "left_outer")
+    assert(lo.count() == fact.join(dim, col("k") === col("dk"), "left_outer").count())
+  }
+
+  test("plannedSaltedJoin: empty plan degrades to the plain join (salt 1 everywhere)") {
+    val empty = SkewJoin.saltPlan(fact, "k", targetRowsPerTask = 100000L)
+    assert(empty.count() == 0L)
+    val out = SkewJoin.plannedSaltedJoin(fact, "k", dim, "dk", empty)
+      .select("k", "v", "name").count()
+    assert(out == fact.join(dim, col("k") === col("dk")).count())
+  }
 }
