@@ -2584,6 +2584,40 @@ object Oracles {
        |SELECT id AS node_id, pr FROM pr$iters""".stripMargin
   }
 
+  /** q299: personalized PageRank — the q95 unrolled recursion with the
+    * teleport term gated on the seed indicator (id % seedMod = 1) and a
+    * seed-mass initial vector; mirrors Graph.personalizedPageRank.
+    */
+  def personalizedPageRank(iters: Int, scale: Long, seedMod: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.id, CAST(n.seed * ${15L * scale / 100L} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nseed n LEFT JOIN (
+         |    SELECT sym.dst AS id, CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS s
+         |    FROM sym JOIN pr${i - 1} p ON sym.src = p.id
+         |             JOIN deg d ON sym.src = d.src
+         |    GROUP BY 1
+         |  ) s ON n.id = s.id
+         |)""".stripMargin
+    }
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(l_suppkey * 2 + 1 AS BIGINT) AS src,
+       |                  CAST(l_partkey * 2 AS BIGINT) AS dst
+       |  FROM lineitem
+       |), sym AS (
+       |  SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+       |), deg AS (
+       |  SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY 1
+       |), nodes AS (
+       |  SELECT DISTINCT src AS id FROM sym
+       |), nseed AS (
+       |  SELECT id, CASE WHEN id % $seedMod = 1 THEN 1 ELSE 0 END AS seed FROM nodes
+       |), pr0 AS (
+       |  SELECT id, CAST(seed * $scale AS BIGINT) AS pr FROM nseed
+       |), ${steps.mkString(", ")}
+       |SELECT id AS node_id, pr FROM pr$iters""".stripMargin
+  }
+
   /** Mirrors Graph.hits on the directed supplier→part edge list: per
     * round, authority = Σ incoming hubs then `·scale // max`, hub = Σ
     * outgoing authorities then `·scale // max` — the integer

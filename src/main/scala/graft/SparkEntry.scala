@@ -789,6 +789,20 @@ object SparkEntry {
         iterations = 5)
     },
 
+    // personalized PageRank: the q95 engine with teleport mass restricted
+    // to a seed panel (id % 97 = 1) — proximity-to-seeds scoring for
+    // related-item / trust propagation. Same two-arm broadcast/shuffle
+    // gate; the seed flag rides the checkpointed node relation
+    "q299_personalized_pagerank" -> { (s, d) =>
+      val e = Tables.lineitem(s, d).select(
+        (col("l_suppkey") * 2 + 1).as("src"), (col("l_partkey") * 2).as("dst"))
+        .distinct()
+      val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = sym.select(col("src").as("id")).distinct()
+        .filter(col("id") % 97 === 1)
+      graft.ext.Graph.personalizedPageRank(sym, seeds, iterations = 4)
+    },
+
     // multimodal dedup: 64-bit perceptual (average) hash per media payload
     // — integer cross-multiply bits, value-exact against the byte-level
     // SQL re-derivation. Pair discovery rides the SAME banded machinery as
@@ -3448,6 +3462,7 @@ object SparkEntry {
     "q294_embedding_moments" -> Oracles.embeddingMomentsHourly(48),
     "q295_ndcg" -> Oracles.ndcgAtK(50, 10),
     "q296_bootstrap_ci" -> Oracles.bootstrapMeanCI(100, 25, 975),
+    "q299_personalized_pagerank" -> Oracles.personalizedPageRank(4, 1000000000000L, 97),
     "q297_salt_plan" ->
       """SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS cnt,
         |  CAST(LEAST((COUNT(*) + 499) // 500, 256) AS INTEGER) AS salt

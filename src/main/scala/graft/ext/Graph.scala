@@ -78,6 +78,53 @@ object Graph {
     pr.select(col("id").as("node_id"), col("pr"))
   }
 
+  /** PERSONALIZED PageRank: the [[pageRank]] recursion with the teleport
+    * mass restricted to a seed set — `pr'(v) = [v ∈ S]·(15·scale)/100 +
+    * (85·Σ_in pr/outdeg)/100`, pr₀ = scale·[v ∈ S]. Rank measures
+    * proximity TO THE SEEDS (the random surfer restarts only there):
+    * related-item scoring, trust propagation, topic-conditioned
+    * authority. Mass that would teleport from non-seed nodes is dropped
+    * — the standard unnormalized PPR; ratios between nodes are what the
+    * consumer reads. All-integer like the parent, bit-identical in any
+    * engine; same overflow envelope.
+    *
+    * Scale shape: identical to [[pageRank]] including the two-arm
+    * broadcast/shuffle gate — the seed flag rides the checkpointed node
+    * relation (one extra left join at setup, nothing per round).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iterations: Int,
+                           scale: Long = 1000000000000L,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           broadcastNodeLimit: Long = 4000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct()
+      .join(seeds.select(col("id")).distinct().withColumn("__seed", lit(1L)),
+        Seq("id"), "left")
+      .na.fill(0L, Seq("__seed"))
+      .localCheckpoint(true)
+    val small = nodes.count() <= broadcastNodeLimit
+    val e = e0.repartition(col(if (small) "dst" else "src"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(if (small) broadcast(deg) else deg, "src")
+      .localCheckpoint(true)
+    var pr = nodes.select(col("id"), (col("__seed") * scale).as("pr"), col("__seed"))
+    for (_ <- 1 to iterations) {
+      val prSide = if (small) broadcast(pr) else pr
+      val sums = withDeg.join(prSide, withDeg("src") === prSide("id"))
+        .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      pr = nodes.join(sums, Seq("id"), "left")
+        .na.fill(0L, Seq("s"))
+        .select(col("id"),
+          (col("__seed") * lit(15L * scale / 100L) + expr("(85 * s) div 100")).as("pr"),
+          col("__seed"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("id").as("node_id"), col("pr"))
+  }
+
   /** Undirected co-occurrence edges: distinct `(u, v), u < v` pairs of
     * `itemCol` values sharing a `groupCol` value (e.g. parts ordered
     * together). Pair expansion is quadratic in GROUP size, not corpus

@@ -291,6 +291,35 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(1L -> 187500000000L, 2L -> 187500000000L))
   }
 
+  test("personalizedPageRank: rank concentrates near the seed; hand-traced first round") {
+    // path 1-2-3-4 (bidirected), seed {1}, scale 1000:
+    //   outdeg: 1→1, 2→2, 3→2, 4→1. pr0 = (1000, 0, 0, 0).
+    //   r1: into 2 gets 1000 div 1 = 1000 → pr(2) = 0·150 + 850 = 850
+    //       others get 0 → pr = (150, 850, 0, 0)
+    val e = df("src BIGINT, dst BIGINT", Seq(
+      Row(1L, 2L), Row(2L, 1L), Row(2L, 3L), Row(3L, 2L), Row(3L, 4L), Row(4L, 3L)))
+    val seeds = df("id BIGINT", Seq(Row(1L)))
+    val r1 = Graph.personalizedPageRank(e, seeds, iterations = 1, scale = 1000L)
+    assert(rowSet(r1) == rows(
+      Seq("1", "150"), Seq("2", "850"), Seq("3", "0"), Seq("4", "0")))
+    // deeper iteration: rank decays with distance from the seed
+    val r3 = Graph.personalizedPageRank(e, seeds, iterations = 3, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3(1L) > r3(2L) || r3(2L) > r3(3L))
+    assert(r3(2L) > r3(4L) && r3(3L) > 0L)
+  }
+
+  test("personalizedPageRank: shuffle arm bit-identical to broadcast arm") {
+    val rows60 = (0L until 60L).flatMap(i =>
+      Seq(Row(i, (i + 1) % 60), Row((i + 1) % 60, i)))
+    val e = df("src BIGINT, dst BIGINT", rows60)
+    val seeds = df("id BIGINT", Seq(Row(0L), Row(30L)))
+    val bc = Graph.personalizedPageRank(e, seeds, iterations = 3, scale = 1000000L)
+    val sh = Graph.personalizedPageRank(e, seeds, iterations = 3, scale = 1000000L,
+      broadcastNodeLimit = 0L)
+    assertSameRows(bc, sh)
+  }
+
   test("pageRank: shuffle arm (nodes > broadcastNodeLimit) is bit-identical to the broadcast arm") {
     // ring + chords — multiple outdegrees, several rounds of mixing
     val n = 60L
