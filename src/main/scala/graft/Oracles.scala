@@ -2919,6 +2919,34 @@ object Oracles {
       |    // ((n * stt - st * st)::HUGEINT * (n * scc - sc * sc)) AS BIGINT) AS r2_ppm
       |FROM m""".stripMargin
 
+  /** q300: per-event-type OLS hourly trend on the common grid — the q290
+    * moments grouped by key, with the same GREATEST(·, 1) r² floor as
+    * the engine (constant series ⇒ 0/1 = 0).
+    */
+  val trendFitByKey: String =
+    """WITH c AS (
+      |  SELECT event_type AS k, epoch_us(ts) // 3600000000 AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM c),
+      |kk AS (SELECT DISTINCT k FROM c),
+      |g AS (SELECT kk.k, unnest(generate_series(b.h0, b.h1)) AS h, b.h0 FROM kk, b),
+      |s AS (SELECT g.k, g.h - g.h0 AS t, COALESCE(c.c, 0) AS c
+      |      FROM g LEFT JOIN c ON g.k = c.k AND g.h = c.h),
+      |m AS (
+      |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS st,
+      |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(t * t) AS BIGINT) AS stt,
+      |    CAST(SUM(t * c) AS BIGINT) AS stc, CAST(SUM(c * c) AS BIGINT) AS scc
+      |  FROM s GROUP BY 1)
+      |SELECT k AS key, n AS n_hours,
+      |  CAST((n * stc - st * sc)::HUGEINT * 1000000
+      |    // (n * stt - st * st) AS BIGINT) AS slope_ppm,
+      |  CAST((sc::HUGEINT * stt - st::HUGEINT * stc) * 1000000
+      |    // (n * stt - st * st) AS BIGINT) AS intercept_ppm,
+      |  CAST((n * stc - st * sc)::HUGEINT * (n * stc - st * sc) * 1000000
+      |    // GREATEST((n * stt - st * st)::HUGEINT * (n * scc - sc * sc), 1) AS BIGINT) AS r2_ppm
+      |FROM m""".stripMargin
+
   /** Mirrors Funnel.markovAttribution: journey prefixes to first
     * conversion, ppm transition matrix, `rounds` unrolled value-iteration
     * CTEs over the (variant, state) relation, removal effects per channel.

@@ -2728,6 +2728,15 @@ object SparkEntry {
         resamples = 100)
     },
 
+    // per-segment OLS trend: q290's closed-form integer fit grouped by
+    // event type on the common hourly grid — "which segments trend, how
+    // fast, how linear". One (key, hour) aggregate over facts, then
+    // keyspace arithmetic; r² takes a greatest-floor because per-key
+    // series can be constant (numerator provably 0 there)
+    "q300_trend_by_key" -> { (s, d) =>
+      graft.ext.TimeSeries.trendFitByKey(Tables.events(s, d), "ts", "event_type")
+    },
+
     // skew advisor: per hot key (fact count > target), the ceil-division
     // salt factor that splits it back under the target — heavy-hitter-
     // sized output, one map-combined aggregate. The decision table the
@@ -3463,6 +3472,7 @@ object SparkEntry {
     "q295_ndcg" -> Oracles.ndcgAtK(50, 10),
     "q296_bootstrap_ci" -> Oracles.bootstrapMeanCI(100, 25, 975),
     "q299_personalized_pagerank" -> Oracles.personalizedPageRank(4, 1000000000000L, 97),
+    "q300_trend_by_key" -> Oracles.trendFitByKey,
     "q297_salt_plan" ->
       """SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS cnt,
         |  CAST(LEAST((COUNT(*) + 499) // 500, 256) AS INTEGER) AS salt

@@ -465,6 +465,52 @@ object TimeSeries {
           .as("r2_ppm"))
   }
 
+  /** Per-key OLS hourly trend — [[trendFit]] fitted independently for
+    * every `keyCol` value on the COMMON hourly grid (global [h0, h1], so
+    * slopes are comparable across keys and a key absent for an hour
+    * counts 0 there): the "which segments are trending, how fast, how
+    * well does a line explain it" table. Same closed-form integer
+    * moments, DECIMAL(38,0) products, ppm boundaries; `r2_ppm` takes a
+    * `greatest(·, 1)` floor because a per-key series CAN be constant
+    * (syy = 0) — the numerator is provably 0 there too, so the guarded
+    * division still emits the exact 0.
+    *
+    * Scale shape: one (key, hour) map-combined aggregate over facts;
+    * the gapfilled grid is keys × hours rows (keyspace-sized), and the
+    * moment pass is one hash aggregate over it. Nothing iterates.
+    */
+  def trendFitByKey(events: DataFrame, tsCol: String, keyCol: String): DataFrame = {
+    val counts = events
+      .select(col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol) div 3600000000").as("h"))
+      .groupBy("k", "h").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds bounds, the key set, and the grid join
+    val bounds = counts.agg(min("h").as("h0"), max("h").as("h1"))
+    val series = counts.select("k").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("k"), explode(sequence(col("h0"), col("h1"))).as("h"), col("h0"))
+      .join(counts, Seq("k", "h"), "left")
+      .select(col("k"), (col("h") - col("h0")).as("t"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    series.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("t").as("st"), sum("c").as("sc"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("c")).as("stc"),
+        sum(col("c") * col("c")).as("scc"))
+      .select(col("k").as("key"), col("n").as("n_hours"),
+        expr("n * stc - st * sc").as("num"),
+        expr("n * stt - st * st").as("den"),
+        expr("n * scc - sc * sc").as("syy"),
+        col("st"), col("sc"), col("stt"), col("stc"))
+      .select(col("key"), col("n_hours"),
+        expr("CAST(num AS DECIMAL(38,0)) * 1000000 div den").as("slope_ppm"),
+        expr("(CAST(sc AS DECIMAL(38,0)) * stt - CAST(st AS DECIMAL(38,0)) * stc) * 1000000 div den")
+          .as("intercept_ppm"),
+        expr("CAST(num AS DECIMAL(38,0)) * num * 1000000" +
+          " div greatest(CAST(den AS DECIMAL(38,0)) * syy, CAST(1 AS DECIMAL(38,0)))")
+          .as("r2_ppm"))
+  }
+
   def acf(events: DataFrame, tsCol: String, maxLag: Int): DataFrame = {
     require(maxLag >= 1, "maxLag must be >= 1")
     val counts = events

@@ -270,4 +270,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getLong(2) == 1000000L)
     assert(r.getLong(3) == 1000000L)
   }
+
+  test("trendFitByKey: independent fits per key on the common grid; constant series scores r2 = 0") {
+    // key "up": c = 1 + 2t (the trendFit line); key "flat": c = 2 every
+    // hour (syy = 0 → guarded r² division emits exactly 0, slope 0);
+    // key "late": present only at hour 3 — the common grid backfills
+    // hours 0..2 with 0, so its fit sees (0,0,0,5)
+    val rows =
+      Seq(0 -> 1, 1 -> 3, 2 -> 5, 3 -> 7).flatMap { case (h, c) =>
+        (0 until c).map(i => Row("up", new Timestamp(h * 3600000L + i * 1000L)))
+      } ++
+      (0 to 3).flatMap(h => (0 until 2).map(i =>
+        Row("flat", new Timestamp(h * 3600000L + i * 1000L)))) ++
+      (0 until 5).map(i => Row("late", new Timestamp(3 * 3600000L + i * 1000L)))
+    val out = TimeSeries.trendFitByKey(
+      df("k STRING, ts TIMESTAMP", rows), "ts", "k")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("up") == ((4L, 2000000L, 1000000L, 1000000L)))
+    assert(out("flat") == ((4L, 0L, 2000000L, 0L)))
+    // late: moments n=4, st=6, sc=5, stt=14, stc=15, scc=25 →
+    // num=30, den=20, syy=75 → slope 1.5e6, intercept (5·14−6·15)·1e6/20=−1e6,
+    // r2 = 900·1e6/1500 = 600000
+    assert(out("late") == ((4L, 1500000L, -1000000L, 600000L)))
+  }
 }
