@@ -1052,19 +1052,24 @@ object Plans {
         |estimates are depth-row windows over the probe panel. Yesterday's
         |sketch is the only state a production drift monitor keeps.""".stripMargin,
     "q283_hits" ->
-      """HITS: the edge relation is partitioned once and reused by all
-        |2·iterations half-steps; score relations are node-keyspace-sized
-        |broadcasts, aggregates map-side combined, one-row maxes. Integer
-        |max-normalization keeps values in [0, scale] with a documented
-        |maxdeg·scale² < 2⁶³ envelope. Eager checkpoints freed per round
-        |(the kCenterGreedy discipline) — O(1) lineage and storage.""".stripMargin,
+      """HITS: edge relation partitioned once and reused by all
+        |2·iterations half-steps; aggregates map-side combined, one-row
+        |maxes. TWO-ARM score join (nodes.count() gate): below the
+        |broadcast limit the score relation broadcasts; past it, two
+        |checkpointed edge copies (src-/dst-partitioned) make each
+        |half-step a co-located shuffle join — no per-round O(n)
+        |broadcast on billion-node graphs (SCALING.md round-7 A/B:
+        |SortMergeJoin planned, checksums arm-identical). Integer
+        |max-normalization, documented maxdeg·scale² < 2⁶³ envelope.
+        |Eager checkpoints freed per round — O(1) lineage.""".stripMargin,
     "q284_modularity" ->
       """Modularity: the edge tag join broadcasts the keyspace-sized label
         |relation; degrees come from one map-combined aggregate; the
         |report is community-keyspace arithmetic with a pinned truncation
-        |order and a documented 4m²·scale < 2⁶³ envelope (DECIMAL(38,0)
-        |beyond). Reuses the already-checkpointed q146 label state —
-        |acceptance costs two cheap joins, not a second propagation.""".stripMargin,
+        |order, the expectation term in DECIMAL(38,0) BY DEFAULT (round-7
+        |fix — no m ≤ 1.5·10⁶ envelope, exact to m ~ 10¹⁵). Reuses the
+        |already-checkpointed q146 label state — acceptance costs two
+        |cheap joins, not a second propagation.""".stripMargin,
     "q285_hourly_acf" ->
       """ACF: one fact-scan hour aggregate, then hour-keyspace work only —
         |gapfill grid from sequence(), a keyspace × maxLag lag equi-join,
@@ -1201,7 +1206,60 @@ object Plans {
         |re-aggregates of that grid, and the deviation grid is
         |nShards × |cats| rows with broadcast dimension sides. The
         |cross-multiply runs in DECIMAL(38,0), exact at any corpus
-        |size.""".stripMargin)
+        |size.""".stripMargin,
+    "q292_optimize_manifest" ->
+      """OPTIMIZE: the audit table collects as a ≤ layouts×dims decision
+        |(never data); the rewrite costs ONE distributed global sort (the
+        |same rank device the audit priced) plus a hash-cluster on the
+        |bin id so each of the nFiles part_bin dirs gets exactly one
+        |file. The manifest is the binned groupBy of the already-ranked
+        |frame — written envelopes equal predicted envelopes by
+        |construction (OptimizeSpec pins it; the oracle recomputes
+        |audit → winner → bins independently).""".stripMargin,
+    "q293_cs_cells_hourly" ->
+      """Hourly CountSketch: narrow cell projection (shared csCellArray
+        |codegen family) → one (window, row, bucket) map-combined sum —
+        |state O(depth·width) per open window in streaming, one exchange
+        |in batch. Linearity makes consecutive windows subtract into the
+        |q289 drift readout with no further fact work.""".stripMargin,
+    "q294_embedding_moments" ->
+      """Embedding moments: posexplode + (window, dim) DECIMAL sum —
+        |O(dims) state per window; the emitted BIGINT moments are
+        |additive, so streamed windows merge with batch snapshots by
+        |dim-keyed summation and the q264 readout runs on any pair.""".stripMargin,
+    "q295_ndcg" ->
+      """nDCG: ranking is panel×k rows, qrels the bounded eval set; one
+        |equi-join, one per-query window over qrels, two panel aggregates.
+        |Discounts are pinned integer literals (no log in-engine);
+        |DCG·10⁶ rides DECIMAL(38,0).""".stripMargin,
+    "q296_bootstrap_ci" ->
+      """Bootstrap: ONE corpus scan — the weight projection and the
+        |2m+2-column sum aggregate both map-side combine, so each
+        |partition ships one row of sums; the percentile step sorts m
+        |summary rows on one partition (m ≤ 500 by contract). The
+        |resample loop this replaces is m full scans.""".stripMargin,
+    "q297_salt_plan" ->
+      """Salt plan: one map-combined key aggregate, filtered to keys past
+        |the rows-per-task target — output heavy-hitter-sized, hence
+        |broadcastable at any corpus. Pure integer ceil division.""".stripMargin,
+    "q298_planned_salted_join" ->
+      """Planned salted join: the hot-key plan broadcasts into both
+        |sides; facts salt per-row in [0, salt(key)), dims replicate
+        |exactly salt(key)× (Σ hot excess, not salt×|dim|). The main
+        |join shuffles on (key, salt) — each hot key split across salt_k
+        |reducers; result multiset equals the plain join (the oracle IS
+        |the unsalted join).""".stripMargin,
+    "q299_personalized_pagerank" ->
+      """PPR: identical per-round shape to q95 including the two-arm
+        |broadcast/shuffle gate; the seed flag rides the checkpointed
+        |node relation (one setup join, nothing per round). Teleport mass
+        |gated on the seed indicator keeps all arithmetic integer.""".stripMargin,
+    "q300_trend_by_key" ->
+      """Keyed OLS: one (key, hour) map-combined aggregate over facts;
+        |the gapfilled grid is keys×hours rows and the moment pass one
+        |hash aggregate over it. Wide products in DECIMAL(38,0); r² takes
+        |a greatest(·,1) floor for constant series (numerator provably 0
+        |there).""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
