@@ -6626,4 +6626,40 @@ object Oracles {
        |  CAST(MAX(dev_ppm) AS BIGINT) AS max_dev_ppm,
        |  CAST(SUM(dev_ppm) AS BIGINT) AS total_dev_ppm
        |FROM d GROUP BY 1""".stripMargin
+
+  /** q301: exact order statistics — the oracle IS the sort spelling the
+    * engine's histogram descent replaces (`row_number()` at the same
+    * ceil-rank), so a hash match proves descent ≡ sort. Rank convention:
+    * max(1, ⌈ppm·n/10⁶⌉) in HUGEINT.
+    */
+  def exactQuantiles(ppms: Seq[Long]): String =
+    s"""WITH v AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x FROM lineitem),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+       |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+       |q AS (SELECT CAST(unnest([${ppms.mkString(", ")}]) AS BIGINT) AS q_ppm)
+       |SELECT q.q_ppm,
+       |  CAST(GREATEST(1, (q.q_ppm::HUGEINT * n.n + 999999) // 1000000) AS BIGINT) AS rank,
+       |  r.x AS value
+       |FROM q CROSS JOIN n
+       |JOIN r ON r.rn = GREATEST(1, (q.q_ppm::HUGEINT * n.n + 999999) // 1000000)""".stripMargin
+
+  /** q310: per-group exact order statistics — [[exactQuantiles]]
+    * partitioned by return flag; the engine answers every (group, rank)
+    * in the same bounded descent passes.
+    */
+  def groupExactQuantiles(ppms: Seq[Long]): String =
+    s"""WITH v AS (
+       |  SELECT l_returnflag AS key,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS x FROM lineitem),
+       |n AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+       |r AS (SELECT key, x,
+       |  row_number() OVER (PARTITION BY key ORDER BY x) AS rn FROM v),
+       |q AS (SELECT CAST(unnest([${ppms.mkString(", ")}]) AS BIGINT) AS q_ppm)
+       |SELECT r.key, q.q_ppm,
+       |  CAST(GREATEST(1, (q.q_ppm::HUGEINT * n.n + 999999) // 1000000) AS BIGINT) AS rank,
+       |  r.x AS value
+       |FROM q CROSS JOIN n
+       |JOIN r ON r.key = n.key
+       |  AND r.rn = GREATEST(1, (q.q_ppm::HUGEINT * n.n + 999999) // 1000000)""".stripMargin
 }

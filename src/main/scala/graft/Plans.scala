@@ -1259,7 +1259,20 @@ object Plans {
         |the gapfilled grid is keys×hours rows and the moment pass one
         |hash aggregate over it. Wide products in DECIMAL(38,0); r² takes
         |a greatest(·,1) floor for constant series (numerator provably 0
-        |there).""".stripMargin)
+        |there).""".stripMargin,
+    "q301_exact_quantiles" ->
+      """Histogram descent: exact order statistics in ⌈log_B(range)⌉
+        |map-combined passes (3 at B=1024 for cent-priced data), never a
+        |global shuffle-sort. All ranks share each pass; the coarse
+        |[lo, hi) literal bound pushes to the parquet scan so later
+        |rounds prune row groups. Driver collects ≤ probes×B histogram
+        |rows per round — bounded, never data-sized.""".stripMargin,
+    "q310_group_exact_quantiles" ->
+      """Grouped descent: per-(group, rank) ranges ride a broadcast
+        |side; one fact pass per round answers EVERY group and rank, so
+        |group skew costs nothing (a per-group sort window shuffle-sorts
+        |the whole fact table for the same answer). Same pushed coarse
+        |bound + bounded driver collects as q301.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -3120,7 +3120,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lines"),
           min("delay_days").as("min_days"), max("delay_days").as("max_days"),
           expr("sum(delay_days) div count(1)").as("mean_days"),
-          sum(when(col("delay_days") > 60, 1L).otherwise(0L)).as("n_breach_60d")))
+          sum(when(col("delay_days") > 60, 1L).otherwise(0L)).as("n_breach_60d"))),
+
+    // exact order statistics WITHOUT a global sort: p50/p90/p99 of line
+    // price cents by iterative histogram descent — ⌈log₁₀₂₄(range)⌉
+    // map-combined passes (3 here), all ranks sharing each pass, vs the
+    // full shuffle-sort ORDER BY…OFFSET pays for one scalar. The oracle
+    // IS the sort spelling: descent must reproduce it bit-exactly
+    "q301_exact_quantiles" -> ((s, d) =>
+      graft.ext.Selection.exactQuantiles(
+        Tables.lineitem(s, d),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+        ppms = Seq(500000L, 900000L, 990000L))),
+
+    // grouped descent: exact per-returnflag price quartiles + p99 in the
+    // SAME bounded passes — group ranges ride the broadcast side, so a
+    // skewed group costs nothing extra (contrast: per-group sort windows
+    // shuffle-sort the whole fact table). q163 reports ranks OF values;
+    // this is the inverse (values AT ranks), exact at any skew
+    "q310_group_exact_quantiles" -> ((s, d) =>
+      graft.ext.Selection.exactGroupQuantiles(
+        Tables.lineitem(s, d), "l_returnflag",
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+        ppms = Seq(250000L, 500000L, 750000L, 990000L)))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -3486,6 +3508,10 @@ object SparkEntry {
     // the oracle recomputes the component FROM SCRATCH over the whole
     // corpus — a hash match proves the merged-moment retrain is exactly
     // the batch result
-    "q256_pca_incremental" -> Oracles.pcaComponent(24)
+    "q256_pca_incremental" -> Oracles.pcaComponent(24),
+    "q301_exact_quantiles" ->
+      Oracles.exactQuantiles(Seq(500000L, 900000L, 990000L)),
+    "q310_group_exact_quantiles" ->
+      Oracles.groupExactQuantiles(Seq(250000L, 500000L, 750000L, 990000L))
   )
 }
