@@ -6662,4 +6662,128 @@ object Oracles {
        |FROM q CROSS JOIN n
        |JOIN r ON r.key = n.key
        |  AND r.rn = GREATEST(1, (q.q_ppm::HUGEINT * n.n + 999999) // 1000000)""".stripMargin
+
+  /** q302: split-conformal band — trendFit's moments, residuals vs the
+    * reported (ppm-floored) line, q̂ at ceil-rank (1−α)(n+1), coverage
+    * readback. Mirrors the engine's DECIMAL spelling in HUGEINT.
+    */
+  def conformalTrendInterval(alphaPpm: Long): String =
+    s"""WITH c AS (
+       |  SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1),
+       |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM c),
+       |g AS (SELECT unnest(generate_series(b.h0, b.h1)) AS h, b.h0 FROM b),
+       |s AS (SELECT g.h - g.h0 AS t, COALESCE(c.c, 0) AS c
+       |      FROM g LEFT JOIN c ON g.h = c.h),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS st,
+       |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(t * t) AS BIGINT) AS stt,
+       |    CAST(SUM(t * c) AS BIGINT) AS stc
+       |  FROM s),
+       |f AS (SELECT n AS n_hours,
+       |  CAST((n * stc - st * sc)::HUGEINT * 1000000
+       |    // (n * stt - st * st) AS BIGINT) AS slope_ppm,
+       |  CAST((sc::HUGEINT * stt - st::HUGEINT * stc) * 1000000
+       |    // (n * stt - st * st) AS BIGINT) AS intercept_ppm
+       |  FROM m),
+       |r AS (SELECT f.n_hours, f.slope_ppm, f.intercept_ppm,
+       |    abs(s.c::HUGEINT * 1000000 - f.slope_ppm::HUGEINT * s.t
+       |      - f.intercept_ppm) AS a
+       |  FROM s, f),
+       |rk AS (SELECT *, row_number() OVER (ORDER BY a) AS rn FROM r),
+       |q AS (SELECT a AS qhat FROM rk
+       |  WHERE rn = LEAST(GREATEST(1,
+       |    ((1000000 - $alphaPpm) * (n_hours + 1) + 999999) // 1000000), n_hours))
+       |SELECT MAX(rk.n_hours) AS n_hours, MAX(rk.slope_ppm) AS slope_ppm,
+       |  MAX(rk.intercept_ppm) AS intercept_ppm,
+       |  CAST(LEAST(GREATEST(1,
+       |    ((1000000 - $alphaPpm) * (MAX(rk.n_hours) + 1) + 999999) // 1000000),
+       |    MAX(rk.n_hours)) AS BIGINT) AS cal_rank,
+       |  CAST(MAX(q.qhat) AS BIGINT) AS qhat_ppm,
+       |  CAST(SUM(CASE WHEN rk.a <= q.qhat THEN 1 ELSE 0 END) * 1000000
+       |    // MAX(rk.n_hours) AS BIGINT) AS cover_ppm
+       |FROM rk, q""".stripMargin
+
+  /** q303: Theil–Sen — low-median of pairwise grid slopes (exact floored
+    * ppm), low-median intercept; `//` truncation matches Spark `div` on
+    * the signed slopes.
+    */
+  val theilSenTrend: String =
+    """WITH c AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM c),
+      |g AS (SELECT unnest(generate_series(b.h0, b.h1)) AS h, b.h0 FROM b),
+      |s AS MATERIALIZED (SELECT g.h - g.h0 AS t, COALESCE(c.c, 0) AS c
+      |      FROM g LEFT JOIN c ON g.h = c.h),
+      |p AS (SELECT (s2.c - s1.c) * 1000000 // (s2.t - s1.t) AS sl
+      |      FROM s s1 JOIN s s2 ON s2.t > s1.t),
+      |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p),
+      |rp AS (SELECT sl, row_number() OVER (ORDER BY sl) AS rn FROM p),
+      |med AS (SELECT np.n_pairs, rp.sl AS slope_ppm
+      |        FROM rp, np WHERE rp.rn = (np.n_pairs + 1) // 2),
+      |i AS (SELECT s.c::HUGEINT * 1000000 - med.slope_ppm::HUGEINT * s.t AS ic
+      |      FROM s, med),
+      |nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hours FROM s),
+      |ri AS (SELECT ic, row_number() OVER (ORDER BY ic) AS rn FROM i)
+      |SELECT nh.n_hours, med.n_pairs, med.slope_ppm,
+      |  CAST(ri.ic AS BIGINT) AS intercept_ppm
+      |FROM ri, nh, med WHERE ri.rn = (nh.n_hours + 1) // 2""".stripMargin
+
+  /** q304: exact dyadic decayed engagement — weight 2^(maxShift−⌊age/hl⌋)
+    * as shifted integers, readout ppm of decayed-equivalent events.
+    */
+  def decayedCountByKey(halfLifeHours: Int, maxShift: Int): String =
+    s"""WITH c AS (
+       |  SELECT event_type AS k, epoch_us(ts) // 3600000000 AS h,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |nw AS (SELECT MAX(h) AS now FROM c)
+       |SELECT k AS key, CAST(SUM(c) AS BIGINT) AS n_events,
+       |  CAST(SUM((CAST(1 AS HUGEINT) << CAST($maxShift
+       |      - LEAST((nw.now - h) // $halfLifeHours, $maxShift) AS INTEGER)) * c)
+       |    * 1000000 // (CAST(1 AS HUGEINT) << $maxShift) AS BIGINT) AS decayed_ppm
+       |FROM c, nw GROUP BY 1""".stripMargin
+
+  /** q308: two-regressor OLS (trend + weekend dummy) by Cramer's rule —
+    * determinants in HUGEINT mirroring the engine's DECIMAL(38,0);
+    * det = 0 degenerates to NULL in both engines.
+    */
+  val trendFitSeasonal: String =
+    """WITH c AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM c),
+      |g AS (SELECT unnest(generate_series(b.h0, b.h1)) AS h, b.h0 FROM b),
+      |s AS (SELECT g.h - g.h0 AS t, COALESCE(c.c, 0) AS c,
+      |    CASE WHEN (g.h // 24 + 3) % 7 >= 5 THEN 1 ELSE 0 END AS w
+      |  FROM g LEFT JOIN c ON g.h = c.h),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS st,
+      |    CAST(SUM(w) AS BIGINT) AS sw, CAST(SUM(t * t) AS BIGINT) AS stt,
+      |    CAST(SUM(t * w) AS BIGINT) AS stw, CAST(SUM(c) AS BIGINT) AS sc,
+      |    CAST(SUM(t * c) AS BIGINT) AS stc, CAST(SUM(w * c) AS BIGINT) AS swc
+      |  FROM s),
+      |d AS (SELECT n, sw,
+      |  n::HUGEINT * (stt::HUGEINT * sw - stw::HUGEINT * stw)
+      |    - st::HUGEINT * (st::HUGEINT * sw - stw::HUGEINT * sw)
+      |    + sw::HUGEINT * (st::HUGEINT * stw - stt::HUGEINT * sw) AS det,
+      |  sc::HUGEINT * (stt::HUGEINT * sw - stw::HUGEINT * stw)
+      |    - st::HUGEINT * (stc::HUGEINT * sw - stw::HUGEINT * swc)
+      |    + sw::HUGEINT * (stc::HUGEINT * stw - stt::HUGEINT * swc) AS det_a,
+      |  n::HUGEINT * (stc::HUGEINT * sw - stw::HUGEINT * swc)
+      |    - sc::HUGEINT * (st::HUGEINT * sw - stw::HUGEINT * sw)
+      |    + sw::HUGEINT * (st::HUGEINT * swc - stc::HUGEINT * sw) AS det_b,
+      |  n::HUGEINT * (stt::HUGEINT * swc - stc::HUGEINT * stw)
+      |    - st::HUGEINT * (st::HUGEINT * swc - stc::HUGEINT * sw)
+      |    + sc::HUGEINT * (st::HUGEINT * stw - stt::HUGEINT * sw) AS det_w
+      |  FROM m)
+      |SELECT n AS n_hours, sw AS n_weekend_hours,
+      |  CAST(CASE WHEN det = 0 THEN NULL
+      |    ELSE det_b * 1000000 // det END AS BIGINT) AS slope_ppm,
+      |  CAST(CASE WHEN det = 0 THEN NULL
+      |    ELSE det_w * 1000000 // det END AS BIGINT) AS weekend_ppm,
+      |  CAST(CASE WHEN det = 0 THEN NULL
+      |    ELSE det_a * 1000000 // det END AS BIGINT) AS intercept_ppm
+      |FROM d""".stripMargin
 }

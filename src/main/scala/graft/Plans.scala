@@ -1272,7 +1272,31 @@ object Plans {
         |side; one fact pass per round answers EVERY group and rank, so
         |group skew costs nothing (a per-group sort window shuffle-sorts
         |the whole fact table for the same answer). Same pushed coarse
-        |bound + bounded driver collects as q301.""".stripMargin)
+        |bound + bounded driver collects as q301.""".stripMargin,
+    "q302_conformal_band" ->
+      """Split-conformal band: one fact aggregate → keyspace grid; exact
+        |integer residuals vs the reported ppm line in DECIMAL(38,0);
+        |the rank window sorts grid HOURS, never facts. q̂ at ceil-rank
+        |(1−α)(n+1) gives the finite-sample coverage guarantee; coverage
+        |reads back in the same pass.""".stripMargin,
+    "q303_theilsen" ->
+      """Theil–Sen: pairs are grid², not facts² — facts are touched once
+        |by the hourly aggregate, then H(H−1)/2 keyspace rows carry the
+        |slope population. Low-median at rank (P+1) div 2 over exact
+        |floored ppm slopes; both medians via rank windows on keyspace
+        |relations.""".stripMargin,
+    "q304_decayed_engagement" ->
+      """Dyadic decay: weights are exact powers of two carried as
+        |shifted integers (weight·2⁴⁰), summed in DECIMAL(38,0) — the
+        |order-dependent float-EWMA fold is impossible by construction.
+        |One map-combined (key, hour) aggregate + a broadcast 1-row max;
+        |readout ppm by integral division.""".stripMargin,
+    "q308_seasonal_trend" ->
+      """Two-regressor OLS by Cramer: one fact aggregate, one keyspace
+        |grid with the absolute-hour weekend dummy, one 8-moment
+        |aggregate, scalar determinant arithmetic in DECIMAL(38,0);
+        |det = 0 (degenerate day-type mix) yields NULLs, not a wrong
+        |line.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

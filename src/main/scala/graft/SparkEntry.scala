@@ -3142,7 +3142,39 @@ object SparkEntry {
       graft.ext.Selection.exactGroupQuantiles(
         Tables.lineitem(s, d), "l_returnflag",
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
-        ppms = Seq(250000L, 500000L, 750000L, 990000L)))
+        ppms = Seq(250000L, 500000L, 750000L, 990000L))),
+
+    // split-conformal band around the q290 trend line: q̂ = the exact
+    // integer residual at rank ⌈0.9·(n+1)⌉ — the finite-sample-valid
+    // "page when an hour strays past q̂" threshold, plus the empirical
+    // coverage readback. Facts touched once (hourly agg); the rank
+    // window sorts grid hours only
+    "q302_conformal_band" -> ((s, d) =>
+      graft.ext.TimeSeries.conformalTrendInterval(
+        Tables.events(s, d), "ts", alphaPpm = 100000L)),
+
+    // Theil–Sen robust trend: low-median of pairwise grid slopes (exact
+    // floored ppm) — the outlier-immune second opinion next to q290's
+    // OLS (one spike hour drags OLS arbitrarily, moves ONE slope here).
+    // Pairs are grid², never facts²
+    "q303_theilsen" -> ((s, d) =>
+      graft.ext.TimeSeries.theilSenTrend(Tables.events(s, d), "ts")),
+
+    // recency-weighted engagement with EXACT dyadic decay: weight
+    // 2^(−⌊age_h/24⌋) carried as shifted integers, so the per-type
+    // decayed event mass is bit-exact on any layout — the float-EWMA
+    // failure mode (order-dependent folds) is impossible by
+    // construction. One map-combined (key, hour) aggregate
+    "q304_decayed_engagement" -> ((s, d) =>
+      graft.ext.TimeSeries.decayedCountByKey(Tables.events(s, d), "ts",
+        "event_type", halfLifeHours = 24, maxShift = 40)),
+
+    // two-regressor OLS via Cramer on the 3×3 normal equations (exact
+    // DECIMAL determinants): hourly drift at FIXED day-type + the
+    // weekend level shift — separates "growing" from "this window has
+    // more weekdays", the confound q290's single regressor folds in
+    "q308_seasonal_trend" -> ((s, d) =>
+      graft.ext.TimeSeries.trendFitSeasonal(Tables.events(s, d), "ts"))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -3512,6 +3544,10 @@ object SparkEntry {
     "q301_exact_quantiles" ->
       Oracles.exactQuantiles(Seq(500000L, 900000L, 990000L)),
     "q310_group_exact_quantiles" ->
-      Oracles.groupExactQuantiles(Seq(250000L, 500000L, 750000L, 990000L))
+      Oracles.groupExactQuantiles(Seq(250000L, 500000L, 750000L, 990000L)),
+    "q302_conformal_band" -> Oracles.conformalTrendInterval(100000L),
+    "q303_theilsen" -> Oracles.theilSenTrend,
+    "q304_decayed_engagement" -> Oracles.decayedCountByKey(24, 40),
+    "q308_seasonal_trend" -> Oracles.trendFitSeasonal
   )
 }

@@ -540,4 +540,198 @@ object TimeSeries {
       .select(col("lag"), col("n_hours"),
         expr("CAST(num AS DECIMAL(38,0)) * 1000000 div den").as("acf_ppm"))
   }
+
+  /** The [[trendFit]] grid: zero-gapfilled hourly counts as
+    * (h absolute hour, t = h − h0, c), keyspace-sized.
+    */
+  private def hourlyGrid(events: DataFrame, tsCol: String): DataFrame = {
+    val counts = events
+      .select(expr(s"unix_micros($tsCol) div 3600000000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+    counts.agg(min("h").as("h0"), max("h").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"), col("h0"))
+      .join(counts, Seq("h"), "left")
+      .select(col("h"), (col("h") - col("h0")).as("t"),
+        coalesce(col("c"), lit(0L)).as("c"))
+  }
+
+  /** Split-conformal prediction band around the [[trendFit]] line — the
+    * finite-sample-valid "how far can an hour stray before it's an
+    * anomaly" threshold (Vovk et al.'s conformal prediction, public
+    * literature). Calibration scores are the exact integer residuals
+    * |c·10⁶ − slope_ppm·t − intercept_ppm| against the REPORTED
+    * (ppm-floored) line; q̂ is the score at rank
+    * ⌈(1−α)(n+1)⌉ (clamped to n), giving P(|resid| ≤ q̂) ≥ 1−α on
+    * exchangeable hours. `cover_ppm` reads the empirical coverage back —
+    * ≥ (1−α) by construction, a self-check the gate hashes.
+    *
+    * Scale shape: one fact aggregate → keyspace-sized grid; the rank
+    * window sorts only grid hours (never facts). Residual arithmetic in
+    * DECIMAL(38,0) — slope_ppm·t alone can pass 2⁶³ on a multi-year
+    * grid at 10⁹ events/hour.
+    */
+  def conformalTrendInterval(events: DataFrame, tsCol: String,
+                             alphaPpm: Long = 100000L): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm <= 999999,
+      s"alphaPpm must be in [1, 999999]: $alphaPpm")
+    val series = hourlyGrid(events, tsCol).localCheckpoint(true)
+    val fit = series
+      .agg(count(lit(1)).as("n"), sum("t").as("st"), sum("c").as("sc"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("c")).as("stc"))
+      .select(col("n").as("n_hours"),
+        expr("n * stc - st * sc").as("num"),
+        expr("n * stt - st * st").as("den"), col("st"), col("sc"),
+        col("stt"), col("stc"))
+      .select(col("n_hours"),
+        expr("CAST(num AS DECIMAL(38,0)) * 1000000 div den").as("slope_ppm"),
+        expr("(CAST(sc AS DECIMAL(38,0)) * stt - CAST(st AS DECIMAL(38,0)) * stc) * 1000000 div den")
+          .as("intercept_ppm"))
+    val ranked = series.crossJoin(broadcast(fit))
+      .select(col("n_hours"), col("slope_ppm"), col("intercept_ppm"),
+        expr("abs(CAST(c AS DECIMAL(38,0)) * 1000000" +
+          " - CAST(slope_ppm AS DECIMAL(38,0)) * t - intercept_ppm)").as("a"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("a"))))
+    val qhat = ranked
+      .filter(col("rn") === expr(s"least(greatest(CAST(1 AS BIGINT)," +
+        s" ((1000000 - $alphaPpm) * (n_hours + 1) + 999999) div 1000000), n_hours)"))
+      .select(col("a").as("qhat"))
+    ranked.crossJoin(broadcast(qhat))
+      .agg(max("n_hours").as("n_hours"), max("slope_ppm").as("slope_ppm"),
+        max("intercept_ppm").as("intercept_ppm"),
+        expr("CAST(max(qhat) AS BIGINT)").as("qhat_ppm"),
+        sum(when(col("a") <= col("qhat"), 1L).otherwise(0L)).as("n_cover"))
+      .select(col("n_hours"), col("slope_ppm"), col("intercept_ppm"),
+        expr(s"least(greatest(CAST(1 AS BIGINT)," +
+          s" ((1000000 - $alphaPpm) * (n_hours + 1) + 999999) div 1000000), n_hours)")
+          .as("cal_rank"),
+        col("qhat_ppm"),
+        expr("n_cover * 1000000 div n_hours").as("cover_ppm"))
+  }
+
+  /** Theil–Sen robust trend (Theil 1950 / Sen 1968, public literature):
+    * the LOW-MEDIAN of pairwise slopes over the hourly grid, immune to
+    * the outlier hours that drag the OLS line (a single spike moves
+    * [[trendFit]]'s slope arbitrarily; it moves one slope population
+    * member here). Slopes are exact floored ppm
+    * ((c₂−c₁)·10⁶ div (t₂−t₁)); median = value at rank (P+1) div 2,
+    * intercept = the same low-median of (c·10⁶ − slope·t) over hours.
+    *
+    * Scale shape: pairs are GRID², not facts² — H hours give H(H−1)/2
+    * keyspace-sized rows (a year of hours ≈ 3.8·10⁷ pairs, one
+    * executor's worth); facts are touched exactly once, by the hourly
+    * aggregate. For multi-year grids thin the grid first (stride or
+    * daily rollup) — the estimator is stride-stable.
+    */
+  def theilSenTrend(events: DataFrame, tsCol: String): DataFrame = {
+    val series = hourlyGrid(events, tsCol)
+      .select(col("t"), col("c")).localCheckpoint(true)
+    val pairs = series.select(col("t").as("t1"), col("c").as("c1"))
+      .join(series.select(col("t").as("t2"), col("c").as("c2")),
+        col("t2") > col("t1"))
+      .select(expr("(c2 - c1) * 1000000 div (t2 - t1)").as("s"))
+    val np = pairs.agg(count(lit(1)).as("n_pairs"))
+    val med = pairs
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("s"))))
+      .crossJoin(broadcast(np))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("n_pairs"), col("s").as("slope_ppm"))
+    val nh = series.agg(count(lit(1)).as("n_hours"))
+    series.crossJoin(broadcast(med))
+      .select(col("n_pairs"), col("slope_ppm"),
+        expr("CAST(c AS DECIMAL(38,0)) * 1000000" +
+          " - CAST(slope_ppm AS DECIMAL(38,0)) * t").as("i"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("i"))))
+      .crossJoin(broadcast(nh))
+      .filter(col("rn") === expr("(n_hours + 1) div 2"))
+      .select(col("n_hours"), col("n_pairs"), col("slope_ppm"),
+        expr("CAST(i AS BIGINT)").as("intercept_ppm"))
+  }
+
+  /** Two-regressor OLS — the hourly trend CONDITIONED on a weekend
+    * dummy, solved in closed form by Cramer's rule on the 3×3 normal
+    * equations with every determinant an exact DECIMAL(38,0) product of
+    * integer moments. Separates "traffic is growing" from "this window
+    * has more weekdays": `slope_ppm` is the per-hour drift at fixed
+    * day-type, `weekend_ppm` the level shift of Sat/Sun hours. The dummy
+    * comes from the ABSOLUTE epoch hour (epoch day 0 = Thursday, so
+    * dow = (h div 24 + 3) mod 7 puts Monday at 0, weekend = dow ≥ 5 =
+    * Sat/Sun). A degenerate grid
+    * (no weekend hours, or nothing else) has det = 0 → NULL estimates
+    * rather than a wrong line. Envelope: determinant terms reach
+    * ~H⁴·c̄·10⁶ — three years of hours at 10⁹ events/hour stay inside
+    * DECIMAL(38,0).
+    *
+    * Scale shape: identical to [[trendFit]] — one fact aggregate, one
+    * keyspace grid, one 8-moment aggregate, scalar arithmetic.
+    */
+  def trendFitSeasonal(events: DataFrame, tsCol: String): DataFrame = {
+    val series = hourlyGrid(events, tsCol)
+      .select(col("t"), col("c"),
+        expr("CASE WHEN (h div 24 + 3) % 7 >= 5 THEN CAST(1 AS BIGINT)" +
+          " ELSE CAST(0 AS BIGINT) END").as("w"))
+    series
+      .agg(count(lit(1)).as("n"), sum("t").as("st"), sum("w").as("sw"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("w")).as("stw"), sum("c").as("sc"),
+        sum(col("t") * col("c")).as("stc"),
+        sum(col("w") * col("c")).as("swc"))
+      .select(col("n"), col("sw"),
+        expr("CAST(n AS DECIMAL(38,0)) * (CAST(stt AS DECIMAL(38,0)) * sw - CAST(stw AS DECIMAL(38,0)) * stw)" +
+          " - CAST(st AS DECIMAL(38,0)) * (CAST(st AS DECIMAL(38,0)) * sw - CAST(stw AS DECIMAL(38,0)) * sw)" +
+          " + CAST(sw AS DECIMAL(38,0)) * (CAST(st AS DECIMAL(38,0)) * stw - CAST(stt AS DECIMAL(38,0)) * sw)")
+          .as("det"),
+        expr("CAST(sc AS DECIMAL(38,0)) * (CAST(stt AS DECIMAL(38,0)) * sw - CAST(stw AS DECIMAL(38,0)) * stw)" +
+          " - CAST(st AS DECIMAL(38,0)) * (CAST(stc AS DECIMAL(38,0)) * sw - CAST(stw AS DECIMAL(38,0)) * swc)" +
+          " + CAST(sw AS DECIMAL(38,0)) * (CAST(stc AS DECIMAL(38,0)) * stw - CAST(stt AS DECIMAL(38,0)) * swc)")
+          .as("det_a"),
+        expr("CAST(n AS DECIMAL(38,0)) * (CAST(stc AS DECIMAL(38,0)) * sw - CAST(stw AS DECIMAL(38,0)) * swc)" +
+          " - CAST(sc AS DECIMAL(38,0)) * (CAST(st AS DECIMAL(38,0)) * sw - CAST(stw AS DECIMAL(38,0)) * sw)" +
+          " + CAST(sw AS DECIMAL(38,0)) * (CAST(st AS DECIMAL(38,0)) * swc - CAST(stc AS DECIMAL(38,0)) * sw)")
+          .as("det_b"),
+        expr("CAST(n AS DECIMAL(38,0)) * (CAST(stt AS DECIMAL(38,0)) * swc - CAST(stc AS DECIMAL(38,0)) * stw)" +
+          " - CAST(st AS DECIMAL(38,0)) * (CAST(st AS DECIMAL(38,0)) * swc - CAST(stc AS DECIMAL(38,0)) * sw)" +
+          " + CAST(sc AS DECIMAL(38,0)) * (CAST(st AS DECIMAL(38,0)) * stw - CAST(stt AS DECIMAL(38,0)) * sw)")
+          .as("det_w"))
+      .select(col("n").as("n_hours"), col("sw").as("n_weekend_hours"),
+        expr("CASE WHEN det = 0 THEN NULL ELSE det_b * 1000000 div det END")
+          .as("slope_ppm"),
+        expr("CASE WHEN det = 0 THEN NULL ELSE det_w * 1000000 div det END")
+          .as("weekend_ppm"),
+        expr("CASE WHEN det = 0 THEN NULL ELSE det_a * 1000000 div det END")
+          .as("intercept_ppm"))
+  }
+
+  /** Recency-weighted engagement per key with EXACT dyadic decay: an
+    * event aged `a` hours (vs the corpus's max hour) weighs
+    * 2^(−⌊a / halfLife⌋), floored at 2^(−maxShift). Weights are exact
+    * powers of two carried as shifted integers (weight·2^maxShift), so
+    * the sum is exact in DECIMAL(38,0) and the readout
+    * `decayed_ppm = score·10⁶ div 2^maxShift` is the decayed-equivalent
+    * event count in ppm — no float decay drift, bit-identical on any
+    * layout. One (key, hour) map-combined aggregate over facts plus a
+    * broadcast 1-row max; nothing iterates.
+    */
+  def decayedCountByKey(events: DataFrame, tsCol: String, keyCol: String,
+                        halfLifeHours: Int = 24, maxShift: Int = 40): DataFrame = {
+    require(halfLifeHours >= 1, s"halfLifeHours must be >= 1: $halfLifeHours")
+    require(maxShift >= 1 && maxShift <= 62, s"maxShift in [1, 62]: $maxShift")
+    val counts = events
+      .select(col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol) div 3600000000").as("h"))
+      .groupBy("k", "h").agg(count(lit(1)).as("c"))
+    val now = counts.agg(max("h").as("now"))
+    counts.crossJoin(broadcast(now))
+      .select(col("k"), col("c"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($maxShift" +
+          s" - least((now - h) div $halfLifeHours, $maxShift) AS INT))").as("wt"))
+      .groupBy("k")
+      .agg(sum("c").as("n_events"),
+        expr("sum(CAST(wt AS DECIMAL(38,0)) * c)").as("score"))
+      .select(col("k").as("key"), col("n_events"),
+        expr(s"score * 1000000 div ${1L << maxShift}").as("decayed_ppm"))
+  }
 }
