@@ -6786,4 +6786,68 @@ object Oracles {
       |  CAST(CASE WHEN det = 0 THEN NULL
       |    ELSE det_a * 1000000 // det END AS BIGINT) AS intercept_ppm
       |FROM d""".stripMargin
+
+  /** q305: degree assortativity over the symmetrized co-purchase edge
+    * ends — identical marginals make Pearson r one exact rational
+    * (no sqrt); zero variance (regular graph) → NULL in both engines.
+    */
+  val degreeAssortativity: String =
+    """WITH und AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), deg AS (
+      |  SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+      |    SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+      |  GROUP BY n
+      |), sym AS (
+      |  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+      |), pts AS (
+      |  SELECT du.d AS dx, dv.d AS dy
+      |  FROM sym e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS mm, CAST(SUM(dx) AS BIGINT) AS sx,
+      |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+      |    CAST(SUM(dx * dy) AS BIGINT) AS sxy
+      |  FROM pts
+      |), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+      |SELECT nn.n_nodes, CAST(m.mm // 2 AS BIGINT) AS n_edges,
+      |  CAST(CASE WHEN (mm::HUGEINT * sxx - sx::HUGEINT * sx) = 0 THEN NULL
+      |    ELSE (mm::HUGEINT * sxy - sx::HUGEINT * sx) * 1000000
+      |      // (mm::HUGEINT * sxx - sx::HUGEINT * sx) END AS BIGINT) AS assort_ppm
+      |FROM m, nn""".stripMargin
+
+  /** q306: per-node clustering coefficient — the q101 wedge census
+    * normalized by (deg choose 2); degree<2 excluded, triangle-free
+    * nodes an explicit 0.
+    */
+  val localClustering: String =
+    """WITH und AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), deg AS (
+      |  SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+      |    SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+      |  GROUP BY n
+      |), o AS (
+      |  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+      |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+      |  FROM und e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+      |), tri AS (
+      |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM o e1
+      |  JOIN o e2 ON e2.src = e1.dst
+      |  JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      |), tcnt AS (
+      |  SELECT node_id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+      |    SELECT unnest([a, b, c]) AS node_id FROM tri)
+      |  GROUP BY node_id
+      |)
+      |SELECT deg.n AS node_id, deg.d AS degree,
+      |  COALESCE(t.triangles, 0) AS triangles,
+      |  CAST(COALESCE(t.triangles, 0)::HUGEINT * 2000000
+      |    // (deg.d::HUGEINT * (deg.d - 1)) AS BIGINT) AS lcc_ppm
+      |FROM deg LEFT JOIN tcnt t ON t.node_id = deg.n
+      |WHERE deg.d >= 2""".stripMargin
 }

@@ -1296,7 +1296,18 @@ object Plans {
         |grid with the absolute-hour weekend dummy, one 8-moment
         |aggregate, scalar determinant arithmetic in DECIMAL(38,0);
         |det = 0 (degenerate day-type mix) yields NULLs, not a wrong
-        |line.""".stripMargin)
+        |line.""".stripMargin,
+    "q305_assortativity" ->
+      """Assortativity: the symmetrized endpoint list makes both degree
+        |marginals identical, so Pearson r is ONE exact rational — no
+        |sqrt, no float. One degree aggregate, two keyspace endpoint
+        |joins, one 4-moment aggregate; zero-variance graphs degrade to
+        |NULL.""".stripMargin,
+    "q306_local_clustering" ->
+      """Per-node clustering: q101's degree-oriented wedge enumeration
+        |(O(√m) fan-in, no wedge DISTINCT) + one degree aggregate + a
+        |keyspace left join; ppm normalization by (deg choose 2) in
+        |DECIMAL(38,0).""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -3174,7 +3174,24 @@ object SparkEntry {
     // weekend level shift — separates "growing" from "this window has
     // more weekdays", the confound q290's single regressor folds in
     "q308_seasonal_trend" -> ((s, d) =>
-      graft.ext.TimeSeries.trendFitSeasonal(Tables.events(s, d), "ts"))
+      graft.ext.TimeSeries.trendFitSeasonal(Tables.events(s, d), "ts")),
+
+    // degree assortativity of the part co-purchase graph: ONE exact
+    // rational (the symmetrized endpoint list makes both marginals
+    // identical, so Pearson r needs no square root) — hub-to-hub vs
+    // hub-to-leaf mixing in ppm. One edge pass + keyspace joins
+    "q305_assortativity" -> ((s, d) =>
+      graft.ext.Graph.degreeAssortativity(
+        graft.ext.Graph.coOccurrenceEdges(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
+
+    // per-node clustering coefficient: q101's wedge census normalized
+    // by (deg choose 2) — which parts sit in tight co-purchase pockets
+    // vs star hubs; degree<2 nodes excluded, triangle-free nodes read 0
+    "q306_local_clustering" -> ((s, d) =>
+      graft.ext.Graph.localClustering(
+        graft.ext.Graph.coOccurrenceEdges(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey")))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -3548,6 +3565,8 @@ object SparkEntry {
     "q302_conformal_band" -> Oracles.conformalTrendInterval(100000L),
     "q303_theilsen" -> Oracles.theilSenTrend,
     "q304_decayed_engagement" -> Oracles.decayedCountByKey(24, 40),
-    "q308_seasonal_trend" -> Oracles.trendFitSeasonal
+    "q308_seasonal_trend" -> Oracles.trendFitSeasonal,
+    "q305_assortativity" -> Oracles.degreeAssortativity,
+    "q306_local_clustering" -> Oracles.localClustering
   )
 }

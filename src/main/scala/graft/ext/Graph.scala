@@ -590,4 +590,70 @@ object Graph {
           s" - (CAST(deg_sum AS DECIMAL(38,0)) * deg_sum * $scale)" +
           s" div (CAST(${m} AS DECIMAL(38,0)) * ${m} * 4)"))
   }
+
+  /** Degree assortativity (Newman, Phys. Rev. Lett. 89, 2002 — public
+    * paper): the Pearson correlation of endpoint degrees over edges —
+    * positive for hub-to-hub graphs (social), negative for hub-to-leaf
+    * (infrastructure). Over the SYMMETRIZED endpoint list (each
+    * undirected edge contributes both orientations) the x and y
+    * marginals are identical, so r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)
+    * — one exact rational, NO square root, emitted in ppm. (Using full
+    * degree instead of Newman's excess degree d−1 changes nothing: a
+    * constant shift of both coordinates leaves covariance and variance
+    * untouched.) A regular graph has zero variance → NULL, not a wrong
+    * correlation.
+    *
+    * Scale shape: one degree aggregate, two keyspace joins to decorate
+    * edge endpoints, one 4-moment aggregate — a single edge pass plus
+    * degree-relation joins; nothing iterates, nothing collects.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true) // feeds both endpoint joins and the node count
+    val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    val pts = sym
+      .join(deg.select(col("n").as("u"), col("d").as("dx")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dy")), "v")
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    pts
+      .agg(count(lit(1)).as("mm"), sum("dx").as("sx"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .crossJoin(broadcast(nn))
+      .select(col("n_nodes"), expr("mm div 2").as("n_edges"),
+        expr("CAST(mm AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx")
+          .as("num"),
+        expr("CAST(mm AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx")
+          .as("den"))
+      .select(col("n_nodes"), col("n_edges"),
+        expr("CASE WHEN den = 0 THEN NULL ELSE num * 1000000 div den END")
+          .as("assort_ppm"))
+  }
+
+  /** Local clustering coefficient per node (Watts & Strogatz, Nature
+    * 1998 — public paper): triangles(v) / (deg(v) choose 2) in exact
+    * floored ppm — "how interconnected is each node's neighborhood",
+    * the per-node refinement of [[triangleCounts]]'s global census.
+    * Nodes of degree < 2 have no defined coefficient and are excluded;
+    * triangle-free nodes read an explicit 0.
+    *
+    * Scale shape: [[triangleCounts]]'s degree-oriented wedge
+    * enumeration (O(Σ min-deg) fan-in, never a wedge DISTINCT) plus one
+    * degree aggregate and a keyspace-sized left join.
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val tri = triangleCounts(und)
+    val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    deg.filter(col("d") >= 2)
+      .join(tri, col("n") === col("node_id"), "left")
+      .select(col("n").as("node_id"), col("d").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("lcc_ppm",
+        expr("CAST(triangles AS DECIMAL(38,0)) * 2000000" +
+          " div (CAST(degree AS DECIMAL(38,0)) * (degree - 1))"))
+  }
 }

@@ -341,4 +341,42 @@ class GraphSpec extends SparkSpec {
     val sh = Graph.hits(e, iterations = 3, broadcastNodeLimit = 0L)
     assertSameRows(bc, sh)
   }
+
+  // Triangle 1-2-3 plus pendant 3-4: degrees 2,2,3,1.
+  // Symmetrized endpoint degrees: mm=8, Σx=18, Σx²=44, Σxy=38 →
+  // num = 8·38−18² = −20, den = 8·44−18² = 28 → −20e6 div 28 = −714285
+  // (truncation toward zero on the negative rational).
+  test("degreeAssortativity: hand-computed triangle+pendant, exact rational ppm") {
+    val e = df("u BIGINT, v BIGINT",
+      Seq(Row(1L, 2L), Row(1L, 3L), Row(2L, 3L), Row(3L, 4L)))
+    val r = Graph.degreeAssortativity(e).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == -714285L)
+  }
+
+  test("degreeAssortativity: regular graph has zero variance -> NULL, not 0") {
+    // 4-cycle: every degree 2
+    val e = df("u BIGINT, v BIGINT",
+      Seq(Row(1L, 2L), Row(2L, 3L), Row(3L, 4L), Row(1L, 4L)))
+    val r = Graph.degreeAssortativity(e).head()
+    assert(r.isNullAt(2))
+  }
+
+  test("localClustering: triangle+pendant coefficients; degree-1 node excluded") {
+    val e = df("u BIGINT, v BIGINT",
+      Seq(Row(1L, 2L), Row(1L, 3L), Row(2L, 3L), Row(3L, 4L)))
+    val out = Graph.localClustering(e)
+    assert(out.columns.toSeq == Seq("node_id", "degree", "triangles", "lcc_ppm"))
+    assert(rowSet(out) == rows(
+      Seq("1", "2", "1", "1000000"),
+      Seq("2", "2", "1", "1000000"),
+      Seq("3", "3", "1", "333333")))
+  }
+
+  test("localClustering: triangle-free star reads explicit zeros") {
+    val e = df("u BIGINT, v BIGINT",
+      Seq(Row(1L, 2L), Row(1L, 3L), Row(1L, 4L)))
+    assert(rowSet(Graph.localClustering(e)) == rows(
+      Seq("1", "3", "0", "0")))
+  }
 }
