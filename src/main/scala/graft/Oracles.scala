@@ -3469,6 +3469,36 @@ object Oracles {
        |SELECT token, cnt_a, cnt_b, ppm_a, ppm_b, ppm_a - ppm_b AS delta_ppm
        |FROM p""".stripMargin
 
+  /** q307: χ²-weighted token drift — the q162 ppm proportions scored by
+    * (pₐ−p_b)²·10⁶ // (pₐ+p_b); all terms bounded BIGINTs.
+    */
+  def chi2TokenDrift(minCount: Long): String =
+    s"""WITH tka AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt_a FROM (
+       |    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS token
+       |    FROM documents WHERE doc_id % 2 = 0) GROUP BY 1),
+       |tkb AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM (
+       |    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS token
+       |    FROM documents WHERE doc_id % 2 = 1) GROUP BY 1),
+       |na AS (SELECT CAST(SUM(cnt_a) AS HUGEINT) AS tot_a FROM tka),
+       |nb AS (SELECT CAST(SUM(cnt_b) AS HUGEINT) AS tot_b FROM tkb),
+       |j AS (
+       |  SELECT COALESCE(a.token, b.token) AS token,
+       |    COALESCE(a.cnt_a, 0) AS cnt_a, COALESCE(b.cnt_b, 0) AS cnt_b
+       |  FROM tka a FULL OUTER JOIN tkb b ON a.token = b.token),
+       |p AS (
+       |  SELECT token, cnt_a, cnt_b,
+       |    CAST((CAST(cnt_a AS HUGEINT) * 1000000) // tot_a AS BIGINT) AS ppm_a,
+       |    CAST((CAST(cnt_b AS HUGEINT) * 1000000) // tot_b AS BIGINT) AS ppm_b
+       |  FROM j, na, nb
+       |  WHERE cnt_a >= $minCount OR cnt_b >= $minCount)
+       |SELECT token, cnt_a, cnt_b,
+       |  CASE WHEN ppm_a + ppm_b = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST((ppm_a - ppm_b) * (ppm_a - ppm_b) * 1000000
+       |      // (ppm_a + ppm_b) AS BIGINT) END AS chi2_ppm
+       |FROM p""".stripMargin
+
   /** q163 oracle: exact cume_dist ppm — by-value counts, running + total
     * window over the collapsed relation, HUGEINT-carried numerator.
     */

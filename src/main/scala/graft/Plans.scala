@@ -1307,7 +1307,12 @@ object Plans {
       """Per-node clustering: q101's degree-oriented wedge enumeration
         |(O(√m) fan-in, no wedge DISTINCT) + one degree aggregate + a
         |keyspace left join; ppm normalization by (deg choose 2) in
-        |DECIMAL(38,0).""".stripMargin)
+        |DECIMAL(38,0).""".stripMargin,
+    "q307_chi2_drift" ->
+      """χ² drift: q162's two token scans + vocabulary full-outer join;
+        |the χ² kernel runs on ppm-ROUNDED proportions so every term is
+        |a bounded BIGINT at any corpus size (delta²·10⁶ < 2⁶³) — no
+        |HUGEINT envelope to outgrow.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -3185,6 +3185,16 @@ object SparkEntry {
         graft.ext.Graph.coOccurrenceEdges(
           Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
 
+    // χ²-weighted token drift: q162's ppm proportions scored by the χ²
+    // kernel delta² div (pₐ+p_b) — rare-token sensitivity a raw delta
+    // lacks (50 ppm moved on a 100 ppm token outranks 500 ppm moved on
+    // a 10⁵ ppm token). Bounded integers at ANY corpus size
+    "q307_chi2_drift" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.TextAnalysis.chi2TokenDrift(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+    },
+
     // per-node clustering coefficient: q101's wedge census normalized
     // by (deg choose 2) — which parts sit in tight co-purchase pockets
     // vs star hubs; degree<2 nodes excluded, triangle-free nodes read 0
@@ -3567,6 +3577,7 @@ object SparkEntry {
     "q304_decayed_engagement" -> Oracles.decayedCountByKey(24, 40),
     "q308_seasonal_trend" -> Oracles.trendFitSeasonal,
     "q305_assortativity" -> Oracles.degreeAssortativity,
-    "q306_local_clustering" -> Oracles.localClustering
+    "q306_local_clustering" -> Oracles.localClustering,
+    "q307_chi2_drift" -> Oracles.chi2TokenDrift(10)
   )
 }

@@ -460,6 +460,27 @@ object TextAnalysis {
       .withColumn("delta_ppm", col("ppm_a") - col("ppm_b"))
   }
 
+  /** χ²-weighted token drift — [[vocabularyDrift]]'s per-token ppm
+    * proportions scored by the χ² divergence kernel
+    * (pₐ − p_b)²·10⁶ div (pₐ + p_b): a 50 ppm shift on a 100 ppm token
+    * outscores a 500 ppm shift on a 10⁵ ppm token, which is exactly the
+    * rare-token sensitivity a raw delta (q162) lacks and the classical
+    * χ² statistic provides. All arithmetic on the ppm-rounded
+    * proportions, so every term is a bounded exact integer at ANY corpus
+    * size (delta² ≤ 4·10¹², ×10⁶ < 2⁶³) — no HUGEINT envelope to
+    * outgrow. Tokens whose both sides round below 1 ppm score 0.
+    *
+    * Scale shape: identical to [[vocabularyDrift]] — two token scans,
+    * one vocabulary-sized full-outer join, two broadcast totals.
+    */
+  def chi2TokenDrift(docsA: DataFrame, docsB: DataFrame, minCount: Long = 10,
+                     textCol: String = "text"): DataFrame =
+    vocabularyDrift(docsA, docsB, minCount, textCol)
+      .select(col("token"), col("cnt_a"), col("cnt_b"),
+        expr("CASE WHEN ppm_a + ppm_b = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE (ppm_a - ppm_b) * (ppm_a - ppm_b) * 1000000" +
+          " div (ppm_a + ppm_b) END").as("chi2_ppm"))
+
   def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50,
                    textCol: String = "text"): DataFrame = {
     val toksAll = docs.select(tokens(lower(col(textCol))).as("w"))

@@ -58,6 +58,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(toks == Set("x")) // y: 1+1 per side, z: 1 — both below the gate
   }
 
+  test("chi2TokenDrift: chi2 kernel on the ppm shares; rare-token shift outranks common-token shift") {
+    val a = df("doc_id BIGINT, text STRING", Seq(Row(1L, "a A b")))   // a:2 b:1, tot 3
+    val b = df("doc_id BIGINT, text STRING", Seq(Row(2L, "a c")))     // a:1 c:1, tot 2
+    val out = TextAnalysis.chi2TokenDrift(a, b, minCount = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // a: ppm (666666, 500000) → 166666²·10⁶ div 1166666 = 23809485714
+    assert(out("a") == 166666L * 166666L * 1000000L / 1166666L)
+    // b: (333333, 0) → 333333²·10⁶ div 333333 = 333333·10⁶
+    assert(out("b") == 333333000000L)
+    assert(out("c") == 500000000000L)
+    // the one-sided tokens (fully appearing/vanishing) outrank the
+    // common token's larger absolute share
+    assert(out("b") > out("a") && out("c") > out("a"))
+  }
+
   test("tokenCount: whitespace runs, empty text → 0") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       Row(1L, "a  b\tc"), Row(2L, ""), Row(3L, "   "), Row(4L, "single")))
