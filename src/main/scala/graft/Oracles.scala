@@ -6817,6 +6817,23 @@ object Oracles {
       |    ELSE det_a * 1000000 // det END AS BIGINT) AS intercept_ppm
       |FROM d""".stripMargin
 
+  /** q309: decayed-engagement snapshots — per snapshot hour present in
+    * the hourly counts, each key's cumulative count and exact dyadic
+    * decayed score as of that hour; the last snapshot equals q304.
+    */
+  def decayedSnapshots(halfLifeHours: Int, maxShift: Int): String =
+    s"""WITH c AS (
+       |  SELECT event_type AS key, epoch_us(ts) // 3600000000 AS h,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |s AS (SELECT DISTINCT h AS snap_h FROM c)
+       |SELECT c.key, s.snap_h, CAST(SUM(c.c) AS BIGINT) AS n_events,
+       |  CAST(SUM((CAST(1 AS HUGEINT) << CAST($maxShift
+       |      - LEAST((s.snap_h - c.h) // $halfLifeHours, $maxShift) AS INTEGER)) * c.c)
+       |    * 1000000 // (CAST(1 AS HUGEINT) << $maxShift) AS BIGINT) AS decayed_ppm
+       |FROM c JOIN s ON c.h <= s.snap_h
+       |GROUP BY 1, 2""".stripMargin
+
   /** q305: degree assortativity over the symmetrized co-purchase edge
     * ends — identical marginals make Pearson r one exact rational
     * (no sqrt); zero variance (regular graph) → NULL in both engines.

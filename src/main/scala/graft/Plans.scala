@@ -1312,7 +1312,13 @@ object Plans {
       """χ² drift: q162's two token scans + vocabulary full-outer join;
         |the χ² kernel runs on ppm-ROUNDED proportions so every term is
         |a bounded BIGINT at any corpus size (delta²·10⁶ < 2⁶³) — no
-        |HUGEINT envelope to outgrow.""".stripMargin)
+        |HUGEINT envelope to outgrow.""".stripMargin,
+    "q309_decayed_snapshots" ->
+      """Decayed monitor twin: the stream emits (hour, key, c) — counts
+        |are the SUFFICIENT STATISTIC of dyadic decay (weights a pure
+        |function of snapshot − hour), so the stream holds O(keys) state
+        |per open window and zero decay state. Readout joins counts to
+        |the broadcast snapshot grid: keyspace² rows, never facts.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

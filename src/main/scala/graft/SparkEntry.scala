@@ -3185,6 +3185,20 @@ object SparkEntry {
         graft.ext.Graph.coOccurrenceEdges(
           Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
 
+    // batch twin of the streaming decayed-engagement monitor
+    // (Streams.decayedCountsHourly is mode-adaptive — this IS the
+    // production stream emitter run on the bounded events table, its
+    // counts pushed through the shared snapshot readout): per snapshot
+    // hour, each key's exact dyadic decayed score; the final snapshot
+    // equals q304 by construction
+    "q309_decayed_snapshots" -> { (s, d) =>
+      graft.ext.TimeSeries.decayedSnapshotsFromCounts(
+        graft.streaming.Streams.decayedCountsHourly(Tables.events(s, d))
+          .select(col("key"), expr("unix_micros(hour) div 3600000000").as("h"),
+            col("c")),
+        halfLifeHours = 24, maxShift = 40)
+    },
+
     // χ²-weighted token drift: q162's ppm proportions scored by the χ²
     // kernel delta² div (pₐ+p_b) — rare-token sensitivity a raw delta
     // lacks (50 ppm moved on a 100 ppm token outranks 500 ppm moved on
@@ -3578,6 +3592,7 @@ object SparkEntry {
     "q308_seasonal_trend" -> Oracles.trendFitSeasonal,
     "q305_assortativity" -> Oracles.degreeAssortativity,
     "q306_local_clustering" -> Oracles.localClustering,
-    "q307_chi2_drift" -> Oracles.chi2TokenDrift(10)
+    "q307_chi2_drift" -> Oracles.chi2TokenDrift(10),
+    "q309_decayed_snapshots" -> Oracles.decayedSnapshots(24, 40)
   )
 }

@@ -715,6 +715,36 @@ object TimeSeries {
     * layout. One (key, hour) map-combined aggregate over facts plus a
     * broadcast 1-row max; nothing iterates.
     */
+  /** The decayed-engagement TIME SERIES from an (key, h, c) hourly-count
+    * relation (h in epoch hours — e.g. the emission of
+    * [[graft.streaming.Streams.decayedCountsHourly]]): for every
+    * snapshot hour present in the relation, each key's cumulative event
+    * count and exact dyadic decayed score AS OF that hour — the
+    * monitoring curve a dashboard plots, with the final snapshot equal
+    * to [[decayedCountByKey]] by construction. Weights are a pure
+    * function of (snap_h − h), so the stream that feeds this holds no
+    * decay state — counts are the sufficient statistic.
+    *
+    * Scale shape: snapshots × counts is keyspace² (hours² per key),
+    * never fact-sized; the snapshot grid rides a broadcast non-equi
+    * join.
+    */
+  def decayedSnapshotsFromCounts(counts: DataFrame, halfLifeHours: Int = 24,
+                                 maxShift: Int = 40): DataFrame = {
+    require(halfLifeHours >= 1, s"halfLifeHours must be >= 1: $halfLifeHours")
+    require(maxShift >= 1 && maxShift <= 62, s"maxShift in [1, 62]: $maxShift")
+    val snaps = counts.select(col("h").as("snap_h")).distinct()
+    counts.join(broadcast(snaps), col("h") <= col("snap_h"))
+      .select(col("key"), col("snap_h"), col("c"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($maxShift" +
+          s" - least((snap_h - h) div $halfLifeHours, $maxShift) AS INT))").as("wt"))
+      .groupBy("key", "snap_h")
+      .agg(sum("c").as("n_events"),
+        expr("sum(CAST(wt AS DECIMAL(38,0)) * c)").as("score"))
+      .select(col("key"), col("snap_h"), col("n_events"),
+        expr(s"score * 1000000 div ${1L << maxShift}").as("decayed_ppm"))
+  }
+
   def decayedCountByKey(events: DataFrame, tsCol: String, keyCol: String,
                         halfLifeHours: Int = 24, maxShift: Int = 40): DataFrame = {
     require(halfLifeHours >= 1, s"halfLifeHours must be >= 1: $halfLifeHours")

@@ -330,6 +330,27 @@ object Streams {
         col("s").cast("long").as("s"), col("n"))
   }
 
+  /** Streaming hourly per-key counts — the emitter feeding the dyadic
+    * decayed-engagement monitor: per closed tumbling window, (hour, key,
+    * c). Counts are the SUFFICIENT STATISTIC of the exact 2^(−age/hl)
+    * decay ([[graft.ext.TimeSeries.decayedSnapshotsFromCounts]] turns
+    * any prefix of this relation into the per-snapshot decayed scores,
+    * and the latest snapshot equals the batch
+    * [[graft.ext.TimeSeries.decayedCountByKey]]), so the stream holds
+    * O(keys) state per open window and NO decay state at all — the decay
+    * weights are a pure function of (snapshot − hour), applied at read
+    * time. Mode-adaptive; batch twin (oracle-verified):
+    * q309_decayed_snapshots.
+    */
+  def decayedCountsHourly(events: DataFrame, keyCol: String = "event_type",
+                          watermark: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+              else events
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col(keyCol).as("key"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("hour"), col("key"), col("c"))
+  }
+
   /** Streaming exact dedup: drops events whose `idCol` was already seen,
     * with state bounded by the watermark — the streaming face of the batch
     * exact-dedup operator (Dedup.exactDedup) for at-least-once sources

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSpec
+import graft.ext.TimeSeries
 
 class StreamsSpec extends SparkSpec {
 
@@ -1066,6 +1067,56 @@ class StreamsSpec extends SparkSpec {
       val est = graft.ext.Sketch.csEstimate(diff, probes, col("user_id"), width = 64)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(est == Map(5L -> -1L, 20L -> 0L, 35L -> 1L, 77L -> 0L))
+    } finally q.stop()
+  }
+
+  // batch twin: q309_decayed_snapshots — the same emitter on a bounded
+  // frame, its counts through the shared snapshot readout, oracle-verified
+  test("decayedCountsHourly: streamed counts feed the snapshot readout; last snapshot ≡ batch decayedCountByKey") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.decayedCountsHourly(mem.toDF(), "event_type")
+      .writeStream.format("memory").queryName("decayed_counts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val ins = Seq(
+        Streams.Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Streams.Event(2, ts("2024-01-01 10:55:00"), 2, "click", 1.0),
+        Streams.Event(3, ts("2024-01-02 10:10:00"), 3, "click", 1.0),
+        Streams.Event(4, ts("2024-01-02 10:20:00"), 4, "view", 1.0),
+        // watermark pusher so every window above closes
+        Streams.Event(9, ts("2024-01-03 12:00:00"), 9, "view", 1.0))
+      mem.addData(ins: _*); q.processAllAvailable()
+      val counts = spark.table("decayed_counts")
+        .select(col("key"), expr("unix_micros(hour) div 3600000000").as("h"),
+          col("c"))
+      // streamed per-window counts are the batch groupBy, bit-for-bit —
+      // over the CLOSED windows (the pusher's own window stays open in
+      // append mode, by design)
+      val batchCounts = Streams.decayedCountsHourly(ins.toDF())
+        .select(col("key"), expr("unix_micros(hour) div 3600000000").as("h"),
+          col("c"))
+      val maxH = batchCounts.agg(max("h")).head().getLong(0)
+      assertSameRows(
+        spark.createDataFrame(java.util.Arrays.asList(counts.collect(): _*),
+          counts.schema),
+        batchCounts.filter(col("h") < maxH))
+      // the LAST snapshot of the readout equals the batch operator
+      val snaps = TimeSeries.decayedSnapshotsFromCounts(batchCounts,
+        halfLifeHours = 24, maxShift = 4)
+      val last = snaps.join(
+          snaps.agg(max("snap_h").as("snap_h")), Seq("snap_h"))
+        .select("key", "n_events", "decayed_ppm")
+      val batch = TimeSeries.decayedCountByKey(ins.toDF(), "ts", "event_type",
+        halfLifeHours = 24, maxShift = 4)
+      assertSameRows(last.select("key", "n_events", "decayed_ppm"),
+        batch.select("key", "n_events", "decayed_ppm"))
+      // hand value: at the last snapshot (Jan 3 12:00), click events aged
+      // 2 days (h 26) and ~1 day: ⌊50/24⌋=2 → 1/4 each... assert one row
+      val clicks = batch.filter(col("key") === "click").head()
+      assert(clicks.getLong(1) == 3L)
     } finally q.stop()
   }
 
