@@ -6817,6 +6817,29 @@ object Oracles {
       |    ELSE det_a * 1000000 // det END AS BIGINT) AS intercept_ppm
       |FROM d""".stripMargin
 
+  /** q311: weighted exact order statistics — rank over cumulative
+    * QUANTITY, answer = smallest value whose running weight reaches the
+    * ceil-rank; mirrors the engine's weighted descent.
+    */
+  def weightedGroupQuantiles(ppms: Seq[Long]): String =
+    s"""WITH v AS (
+       |  SELECT l_returnflag AS key,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+       |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+       |n AS (SELECT key, CAST(SUM(w) AS BIGINT) AS n FROM v GROUP BY 1),
+       |c AS (SELECT key, x, CAST(SUM(w) AS BIGINT) AS wx FROM v GROUP BY 1, 2),
+       |r AS (SELECT key, x, wx,
+       |  CAST(SUM(wx) OVER (PARTITION BY key ORDER BY x) AS HUGEINT) AS cum
+       |  FROM c),
+       |q AS (SELECT CAST(unnest([${ppms.mkString(", ")}]) AS BIGINT) AS q_ppm)
+       |SELECT r.key, q.q_ppm,
+       |  CAST(GREATEST(1, (q.q_ppm::HUGEINT * n.n + 999999) // 1000000) AS BIGINT) AS rank,
+       |  r.x AS value
+       |FROM q CROSS JOIN n
+       |JOIN r ON r.key = n.key
+       |  AND r.cum >= GREATEST(1, (q.q_ppm::HUGEINT * n.n + 999999) // 1000000)
+       |  AND r.cum - r.wx < GREATEST(1, (q.q_ppm::HUGEINT * n.n + 999999) // 1000000)""".stripMargin
+
   /** q309: decayed-engagement snapshots — per snapshot hour present in
     * the hourly counts, each key's cumulative count and exact dyadic
     * decayed score as of that hour; the last snapshot equals q304.

@@ -1318,7 +1318,12 @@ object Plans {
         |are the SUFFICIENT STATISTIC of dyadic decay (weights a pure
         |function of snapshot − hour), so the stream holds O(keys) state
         |per open window and zero decay state. Readout joins counts to
-        |the broadcast snapshot grid: keyspace² rows, never facts.""".stripMargin)
+        |the broadcast snapshot grid: keyspace² rows, never facts.""".stripMargin,
+    "q311_weighted_quantiles" ->
+      """Weighted descent: q310's passes with histogram masses summing
+        |the weight column — the volume-weighted median costs exactly
+        |the unweighted one. Positive-integer weights enforced via the
+        |bounds aggregate (min(w) ≥ 1 checked once, driver-side).""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

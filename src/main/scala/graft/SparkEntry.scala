@@ -3185,6 +3185,17 @@ object SparkEntry {
         graft.ext.Graph.coOccurrenceEdges(
           Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
 
+    // WEIGHTED exact quantiles in the same descent passes: the price
+    // below which 25/50/75/99% of the QUANTITY trades, per return flag
+    // — histogram masses sum weights instead of counting rows, so the
+    // volume-weighted median costs exactly what q310 costs
+    "q311_weighted_quantiles" -> ((s, d) =>
+      graft.ext.Selection.exactGroupQuantilesWeighted(
+        Tables.lineitem(s, d), "l_returnflag",
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+        expr("CAST(l_quantity AS BIGINT)"),
+        ppms = Seq(250000L, 500000L, 750000L, 990000L))),
+
     // batch twin of the streaming decayed-engagement monitor
     // (Streams.decayedCountsHourly is mode-adaptive — this IS the
     // production stream emitter run on the bounded events table, its
@@ -3593,6 +3604,8 @@ object SparkEntry {
     "q305_assortativity" -> Oracles.degreeAssortativity,
     "q306_local_clustering" -> Oracles.localClustering,
     "q307_chi2_drift" -> Oracles.chi2TokenDrift(10),
-    "q309_decayed_snapshots" -> Oracles.decayedSnapshots(24, 40)
+    "q309_decayed_snapshots" -> Oracles.decayedSnapshots(24, 40),
+    "q311_weighted_quantiles" ->
+      Oracles.weightedGroupQuantiles(Seq(250000L, 500000L, 750000L, 990000L))
   )
 }

@@ -54,19 +54,37 @@ object Selection {
     * stays in Long.
     */
   def exactGroupQuantiles(df: DataFrame, grpCol: String, valueCol: Column,
-                          ppms: Seq[Long], buckets: Int = 1024): DataFrame = {
+                          ppms: Seq[Long], buckets: Int = 1024): DataFrame =
+    exactGroupQuantilesWeighted(df, grpCol, valueCol, lit(1L), ppms, buckets)
+
+  /** WEIGHTED [[exactGroupQuantiles]]: the rank for quantile p is
+    * max(1, ⌈p·W/10⁶⌉) over the group's total weight W, and the answer
+    * is the smallest v whose cumulative weight reaches it — the weighted
+    * median/percentile (e.g. "the price below which half the QUANTITY
+    * trades") in the same ⌈log_B(range)⌉ descent passes, histogram
+    * masses summing weights instead of counting rows. Weights must be
+    * positive integers (exactness contract: a weighted rank is only
+    * well-defined on exact masses).
+    */
+  def exactGroupQuantilesWeighted(df: DataFrame, grpCol: String,
+                                  valueCol: Column, weightCol: Column,
+                                  ppms: Seq[Long], buckets: Int = 1024): DataFrame = {
     require(ppms.nonEmpty && ppms.forall(p => p >= 1 && p <= 1000000),
       s"quantile ppms must be in [1, 1000000]: $ppms")
     require(buckets >= 2 && buckets <= 65536, s"buckets in [2, 65536]: $buckets")
     val spark = df.sparkSession
     val facts = df
-      .select(col(grpCol).cast("string").as("g"), valueCol.cast("long").as("v"))
-      .filter(col("g").isNotNull && col("v").isNotNull)
+      .select(col(grpCol).cast("string").as("g"), valueCol.cast("long").as("v"),
+        weightCol.cast("long").as("w"))
+      .filter(col("g").isNotNull && col("v").isNotNull && col("w").isNotNull)
 
     val bounds = facts.groupBy("g")
-      .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+      .agg(sum("w").as("n"), min("v").as("mn"), max("v").as("mx"),
+        min("w").as("wmin"))
       .collect() // one row per group — keyspace-sized by contract
     bounds.foreach { r =>
+      require(r.getLong(4) >= 1,
+        s"weights must be positive integers (group ${r.getString(0)} has ${r.getLong(4)})")
       require(BigInt(r.getLong(3)) - BigInt(r.getLong(2)) < (BigInt(1) << 62),
         s"value range for group ${r.getString(0)} exceeds 2^62")
     }
@@ -98,7 +116,7 @@ object Selection {
         .join(broadcast(ranges),
           col("g") === col("rg") && col("v") >= col("rlo") && col("v") < col("rhi"))
         .groupBy(col("rg"), col("rq"), expr("(v - rlo) div rw").as("b"))
-        .agg(count(lit(1)).as("c"))
+        .agg(sum("w").as("c"))
         .collect() // ≤ active-probes × buckets rows
         .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
         .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sortBy(_._1) }

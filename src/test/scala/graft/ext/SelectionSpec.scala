@@ -66,6 +66,24 @@ class SelectionSpec extends SparkSpec {
       Seq("small", "990000", "2", "2000")))
   }
 
+  test("exactGroupQuantilesWeighted: weighted median by hand; weights gate checked") {
+    // values 1(w=1), 2(w=1), 10(w=8): W=10; p50 rank=5 → cum 1,2,10 → 10
+    val data = df("g STRING, v BIGINT, w BIGINT",
+      Seq(Row("a", 1L, 1L), Row("a", 2L, 1L), Row("a", 10L, 8L)))
+    val out = Selection.exactGroupQuantilesWeighted(data, "g", col("v"),
+      col("w"), Seq(100000L, 200000L, 500000L))
+    assert(rowSet(out) == rows(
+      Seq("a", "100000", "1", "1"), // rank 1 → first unit of weight
+      Seq("a", "200000", "2", "2"), // rank 2 → second unit
+      Seq("a", "500000", "5", "10"))) // rank 5 lands inside 10's mass
+    // zero/negative weights violate the exact-mass contract
+    val bad = df("g STRING, v BIGINT, w BIGINT", Seq(Row("a", 1L, 0L)))
+    intercept[IllegalArgumentException] {
+      Selection.exactGroupQuantilesWeighted(bad, "g", col("v"), col("w"),
+        Seq(500000L)).collect()
+    }
+  }
+
   test("exactGroupQuantiles: layout-invariant (repartition does not change answers)") {
     val vals = (1L to 300L).map(i => (i * 40503L) % 7919L)
     val data = df("g STRING, v BIGINT",
