@@ -6817,6 +6817,61 @@ object Oracles {
       |    ELSE det_a * 1000000 // det END AS BIGINT) AS intercept_ppm
       |FROM d""".stripMargin
 
+  /** q312: exact Spearman ρ — row_number ranks with the part key as
+    * tie-break, ρ = (D − 6Σd²)·10⁶ // D with D = n(n²−1) in HUGEINT.
+    */
+  val spearman: String =
+    """WITH c AS (
+      |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM lineitem GROUP BY 1),
+      |f AS (
+      |  SELECT p_partkey AS k,
+      |    CAST(round(p_retailprice * 100) AS BIGINT) AS x,
+      |    COALESCE(c.freq, 0) AS y
+      |  FROM part LEFT JOIN c ON c.l_partkey = p_partkey),
+      |r AS (
+      |  SELECT k, row_number() OVER (ORDER BY x, k) AS rx,
+      |    row_number() OVER (ORDER BY y, k) AS ry
+      |  FROM f),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM((rx - ry)::HUGEINT * (rx - ry)) AS HUGEINT) AS s
+      |  FROM r)
+      |SELECT n AS n_rows, CAST(s AS BIGINT) AS sum_d2,
+      |  CAST(CASE WHEN n < 2 THEN NULL ELSE
+      |    (n::HUGEINT * (n::HUGEINT * n - 1) - 6 * s) * 1000000
+      |      // (n::HUGEINT * (n::HUGEINT * n - 1)) END AS BIGINT) AS spearman_ppm
+      |FROM m""".stripMargin
+
+  /** q313: Mann–Whitney AUC between R and A line prices — by-value
+    * collapse, running B-count window over distinct values, pair sums.
+    */
+  val rankSumAuc: String =
+    """WITH v AS (
+      |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS isA,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+      |bv AS (
+      |  SELECT v, CAST(SUM(isA) AS BIGINT) AS ca,
+      |    CAST(SUM(1 - isA) AS BIGINT) AS cb
+      |  FROM v GROUP BY 1),
+      |cum AS (
+      |  SELECT ca, cb,
+      |    CAST(SUM(cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+      |      - cb AS cum_b_lt
+      |  FROM bv),
+      |m AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+      |    CAST(SUM(ca::HUGEINT * cum_b_lt) AS HUGEINT) AS gt,
+      |    CAST(SUM(ca::HUGEINT * cb) AS HUGEINT) AS eq
+      |  FROM cum)
+      |SELECT n_a, n_b, CAST(2 * gt + eq AS BIGINT) AS u2,
+      |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+      |    (2 * gt + eq) * 1000000 // (2 * n_a::HUGEINT * n_b) END AS BIGINT)
+      |    AS auc_ppm
+      |FROM m""".stripMargin
+
   /** q311: weighted exact order statistics — rank over cumulative
     * QUANTITY, answer = smallest value whose running weight reaches the
     * ceil-rank; mirrors the engine's weighted descent.

@@ -1323,7 +1323,16 @@ object Plans {
       """Weighted descent: q310's passes with histogram masses summing
         |the weight column — the volume-weighted median costs exactly
         |the unweighted one. Positive-integer weights enforced via the
-        |bounds aggregate (min(w) ≥ 1 checked once, driver-side).""".stripMargin)
+        |bounds aggregate (min(w) ≥ 1 checked once, driver-side).""".stripMargin,
+    "q312_spearman" ->
+      """Spearman: facts reduce to the part grain first (one aggregate);
+        |two rank windows + a 2-moment aggregate run on the ENTITY
+        |keyspace. Ties broken by key (rank-of-record) — deterministic,
+        |layout-invariant; ρ is one integer rational in DECIMAL(38,0).""".stripMargin,
+    "q313_rank_auc" ->
+      """Rank-sum AUC: by-value collapse (map-combined) then ONE running
+        |window over DISTINCT values; pair counts via Σ ca·cum_b — the
+        |nₐ·n_b pair set is never materialized. Empty group → NULL.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -3185,6 +3185,34 @@ object SparkEntry {
         graft.ext.Graph.coOccurrenceEdges(
           Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
 
+    // exact Spearman ρ between part price and sales frequency — the
+    // monotone-invariant "does expensive sell less" readout; ranks via
+    // row_number with the part key as tie-break (rank-of-record,
+    // layout-invariant), ρ as ONE integer rational in ppm. Facts reduce
+    // to the part grain first; windows run on the entity keyspace
+    "q312_spearman" -> { (s, d) =>
+      val freq = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("freq"))
+      graft.ext.RankStats.spearman(
+        Tables.part(s, d)
+          .join(freq, col("p_partkey") === col("l_partkey"), "left")
+          .select(col("p_partkey"),
+            expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price"),
+            coalesce(col("freq"), lit(0L)).as("freq")),
+        "p_partkey", col("price"), col("freq"))
+    },
+
+    // Mann–Whitney effect between returned and accepted line prices —
+    // the exact ROC-AUC of "predict RETURN when the price is larger",
+    // by-value collapse + one distinct-value window; never nₐ·n_b pairs
+    "q313_rank_auc" -> ((s, d) =>
+      graft.ext.RankStats.rankSumAuc(
+        Tables.lineitem(s, d)
+          .filter(col("l_returnflag").isin("R", "A"))
+          .select(col("l_returnflag").as("grp"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")),
+        col("grp"), "R", col("cents"))),
+
     // WEIGHTED exact quantiles in the same descent passes: the price
     // below which 25/50/75/99% of the QUANTITY trades, per return flag
     // — histogram masses sum weights instead of counting rows, so the
@@ -3606,6 +3634,8 @@ object SparkEntry {
     "q307_chi2_drift" -> Oracles.chi2TokenDrift(10),
     "q309_decayed_snapshots" -> Oracles.decayedSnapshots(24, 40),
     "q311_weighted_quantiles" ->
-      Oracles.weightedGroupQuantiles(Seq(250000L, 500000L, 750000L, 990000L))
+      Oracles.weightedGroupQuantiles(Seq(250000L, 500000L, 750000L, 990000L)),
+    "q312_spearman" -> Oracles.spearman,
+    "q313_rank_auc" -> Oracles.rankSumAuc
   )
 }
