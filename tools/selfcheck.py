@@ -120,11 +120,22 @@ def check_one(task):
                             and "OutOfMemoryException" not in msg3
                             and "Out of Memory" not in msg3):
                         raise
-                    # final rung: single-threaded with an aggressive
-                    # ceiling — everything big pages through the spill
-                    # dir; slow but finishes (q134's sf0.1 exact-ANN
-                    # arm died on all three upper rungs in round 6)
-                    odf = run_oracle(1, mem="12GB")
+                    # final rungs, two opposite directions: an aggressive
+                    # ceiling pages everything big through the spill dir
+                    # (q134's sf0.1 exact-ANN arm died on all three upper
+                    # rungs in round 6), but ORDERED aggregates (the
+                    # float-determinism `SUM(... ORDER BY i)` oracles,
+                    # e.g. q275) cannot spill at all — those need the
+                    # opposite: one thread and the box's full memory.
+                    try:
+                        odf = run_oracle(1, mem="12GB")
+                    except Exception as e4:
+                        msg4 = str(e4)
+                        if ("Failed to allocate block" not in msg4
+                                and "OutOfMemoryException" not in msg4
+                                and "Out of Memory" not in msg4):
+                            raise
+                        odf = run_oracle(1, mem="100GB")
     except Exception as e:
         return name, rec(err=f"oracle error: {e}"), [f"{name}: ORACLE ERROR {e}"], True
     if retried:
