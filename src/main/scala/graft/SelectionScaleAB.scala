@@ -42,7 +42,7 @@ object SelectionScaleAB {
       val n = facts.count()
       val ranks = ppms.map(p => math.max(1L, (BigInt(p) * n + 999999).toLong / 1000000L))
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-      facts.withColumn("rn", row_number().over(w))
+      facts.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn").isin(ranks: _*))
         .collect().map(r => (r.getLong(1), r.getLong(0))).toSeq.sorted
     }
