@@ -644,10 +644,29 @@ object Graph {
     * degree aggregate and a keyspace-sized left join.
     */
   def localClustering(edges: DataFrame): DataFrame = {
+    // inline [[triangleCounts]]'s wedge census rather than calling it:
+    // sharing ONE materialization of the edge list and ONE degree
+    // aggregate across orientation and normalization halves the edge
+    // work (the co-occurrence build dominates this operator's cost)
     val und = edges.select(col("u"), col("v")).localCheckpoint(true)
-    val tri = triangleCounts(und)
     val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true) // feeds both orientation joins + the output
+    val oriented = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+      .localCheckpoint(true)
+    val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val e3 = oriented.select(col("src").as("a"), col("dst").as("c"))
+    val tri = e1.join(e2, "b").join(broadcast(e3), Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
+      .groupBy("node_id").agg(count(lit(1)).as("triangles"))
     deg.filter(col("d") >= 2)
       .join(tri, col("n") === col("node_id"), "left")
       .select(col("n").as("node_id"), col("d").as("degree"),

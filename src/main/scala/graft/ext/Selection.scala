@@ -14,8 +14,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * values of every still-unresolved (group, quantile) probe into `B`
   * equal-width bins with a map-combined aggregate, and the driver walks
   * the tiny histogram to narrow each probe's range by a factor of `B`.
-  * After at most ⌈log_B(range)⌉ rounds (3 for any 32-bit domain at
-  * B=1024, ≤7 for the full 64-bit domain) every range has width 1 and
+  * After at most ⌈log_B(range)⌉ rounds (2 for a cent-priced domain at
+  * B=4096, ≤6 for the full 64-bit domain) every range has width 1 and
   * the bucket IS the answer — exact, not approximate, and never a
   * row-level sort or a per-group sort.
   *
@@ -54,7 +54,7 @@ object Selection {
     * stays in Long.
     */
   def exactGroupQuantiles(df: DataFrame, grpCol: String, valueCol: Column,
-                          ppms: Seq[Long], buckets: Int = 1024): DataFrame =
+                          ppms: Seq[Long], buckets: Int = 4096): DataFrame =
     exactGroupQuantilesWeighted(df, grpCol, valueCol, lit(1L), ppms, buckets)
 
   /** WEIGHTED [[exactGroupQuantiles]]: the rank for quantile p is
@@ -68,7 +68,7 @@ object Selection {
     */
   def exactGroupQuantilesWeighted(df: DataFrame, grpCol: String,
                                   valueCol: Column, weightCol: Column,
-                                  ppms: Seq[Long], buckets: Int = 1024): DataFrame = {
+                                  ppms: Seq[Long], buckets: Int = 4096): DataFrame = {
     require(ppms.nonEmpty && ppms.forall(p => p >= 1 && p <= 1000000),
       s"quantile ppms must be in [1, 1000000]: $ppms")
     require(buckets >= 2 && buckets <= 65536, s"buckets in [2, 65536]: $buckets")
@@ -157,7 +157,7 @@ object Selection {
     * requested quantile over the whole relation.
     */
   def exactQuantiles(df: DataFrame, valueCol: Column, ppms: Seq[Long],
-                     buckets: Int = 1024): DataFrame =
+                     buckets: Int = 4096): DataFrame =
     exactGroupQuantiles(df.select(lit("_").as("__g"), valueCol.as("__v")),
       "__g", col("__v"), ppms, buckets)
       .drop("key")
