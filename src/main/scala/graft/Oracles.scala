@@ -6825,6 +6825,96 @@ object Oracles {
       |    ELSE det_a * 1000000 // det END AS BIGINT) AS intercept_ppm
       |FROM d""".stripMargin
 
+  /** q314: Tukey fences on exact quartiles (the q310 ceil-rank
+    * convention) + one counting pass; floored fence arithmetic.
+    */
+  def tukeyOutliers(fencePpm: Long): String =
+    s"""WITH v AS (
+       |  SELECT l_returnflag AS key,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS x FROM lineitem),
+       |n AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+       |r AS (SELECT key, x,
+       |  row_number() OVER (PARTITION BY key ORDER BY x) AS rn FROM v),
+       |qq AS (
+       |  SELECT r.key,
+       |    MAX(CASE WHEN rn = GREATEST(1, (250000::HUGEINT * n.n + 999999) // 1000000)
+       |        THEN x END) AS q1,
+       |    MAX(CASE WHEN rn = GREATEST(1, (750000::HUGEINT * n.n + 999999) // 1000000)
+       |        THEN x END) AS q3
+       |  FROM r JOIN n USING (key) GROUP BY 1),
+       |f AS (
+       |  SELECT key, q1, q3,
+       |    q1 - (q3 - q1) * $fencePpm // 1000000 AS lo_fence,
+       |    q3 + (q3 - q1) * $fencePpm // 1000000 AS hi_fence
+       |  FROM qq)
+       |SELECT v.key, MAX(f.q1) AS q1, MAX(f.q3) AS q3,
+       |  MAX(f.lo_fence) AS lo_fence, MAX(f.hi_fence) AS hi_fence,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(CASE WHEN v.x < f.lo_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       |  CAST(SUM(CASE WHEN v.x > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+       |FROM v JOIN f USING (key) GROUP BY 1""".stripMargin
+
+  /** q315: exact two-sample KS — integer cross-products over the
+    * running by-value CDFs; at_value = smallest argmax of the gap.
+    */
+  val ksStatistic: String =
+    """WITH s AS (
+      |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS isA,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+      |bv AS (
+      |  SELECT v, CAST(SUM(isA) AS BIGINT) AS ca,
+      |    CAST(SUM(1 - isA) AS BIGINT) AS cb
+      |  FROM s GROUP BY 1),
+      |cum AS (
+      |  SELECT v,
+      |    CAST(SUM(ca) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+      |    CAST(SUM(cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+      |  FROM bv),
+      |tot AS (SELECT MAX(cum_a) AS n_a, MAX(cum_b) AS n_b FROM cum),
+      |gaps AS (
+      |  SELECT v, tot.n_a, tot.n_b,
+      |    abs(cum_a::HUGEINT * tot.n_b - cum_b::HUGEINT * tot.n_a) AS d
+      |  FROM cum, tot),
+      |dm AS (SELECT MAX(d) AS dmax FROM gaps)
+      |SELECT g.n_a, g.n_b, MIN(g.v) AS at_value,
+      |  CAST(CASE WHEN g.n_a = 0 OR g.n_b = 0 THEN NULL ELSE
+      |    MAX(g.d) * 1000000 // (g.n_a::HUGEINT * g.n_b) END AS BIGINT) AS ks_ppm
+      |FROM gaps g, dm WHERE g.d = dm.dmax
+      |GROUP BY g.n_a, g.n_b""".stripMargin
+
+  /** q316: Pearson χ² independence (event type × day-of-week) with the
+    * engine's milli-unit floor spelling over the full keyspace grid.
+    */
+  val chi2Independence: String =
+    """WITH f AS (
+      |  SELECT event_type AS a,
+      |    CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS VARCHAR) AS b
+      |  FROM events),
+      |obs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM f GROUP BY 1, 2),
+      |rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+      |ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+      |g AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+      |grid AS (
+      |  SELECT rt.r, ct.c, g.n, COALESCE(obs.o, 0) AS o
+      |  FROM rt CROSS JOIN ct CROSS JOIN g
+      |  LEFT JOIN obs ON obs.a = rt.a AND obs.b = ct.b),
+      |cells AS (
+      |  SELECT n, o, r::HUGEINT * c * 1000 // n AS e_milli FROM grid),
+      |m AS (
+      |  SELECT MAX(n) AS n,
+      |    CAST(SUM((o::HUGEINT * 1000 - e_milli) * (o::HUGEINT * 1000 - e_milli)
+      |      // GREATEST(e_milli, 1)) AS HUGEINT) AS chi2_raw
+      |  FROM cells),
+      |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a_cats FROM rt),
+      |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b_cats FROM ct)
+      |SELECT m.n, na.n_a_cats, nb.n_b_cats,
+      |  (na.n_a_cats - 1) * (nb.n_b_cats - 1) AS dof,
+      |  CAST(m.chi2_raw AS BIGINT) AS chi2_milli
+      |FROM m, na, nb""".stripMargin
+
   /** q312: exact Spearman ρ — row_number ranks with the part key as
     * tie-break, ρ = (D − 6Σd²)·10⁶ // D with D = n(n²−1) in HUGEINT.
     */

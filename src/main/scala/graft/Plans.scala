@@ -1332,7 +1332,21 @@ object Plans {
     "q313_rank_auc" ->
       """Rank-sum AUC: by-value collapse (map-combined) then ONE running
         |window over DISTINCT values; pair counts via Σ ca·cum_b — the
-        |nₐ·n_b pair set is never materialized. Empty group → NULL.""".stripMargin)
+        |nₐ·n_b pair set is never materialized. Empty group → NULL.""".stripMargin,
+    "q314_tukey_outliers" ->
+      """Tukey fences: the q310 descent pins EXACT quartiles in bounded
+        |passes (no per-group sort), fences broadcast, one counting pass
+        |over facts — alert counts reproducible to the row.""".stripMargin,
+    "q315_ks_statistic" ->
+      """Exact KS: by-value collapse, one running window over DISTINCT
+        |values, integer cross-products |cumA·n_b − cumB·n_a| — no
+        |division until the final ppm; argmax value via a broadcast max
+        |+ min(v) tie-break.""".stripMargin,
+    "q316_chi2_independence" ->
+      """χ² independence: one (a, b) count aggregate over facts; the
+        |full margin-cross grid (zero cells included) is category-
+        |keyspace-sized; milli-unit floor keeps every product inside
+        |DECIMAL(38,0) at any corpus size.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -3185,6 +3185,35 @@ object SparkEntry {
         graft.ext.Graph.coOccurrenceEdges(
           Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
 
+    // Tukey box-plot outlier report on EXACT quartiles (the q310 descent
+    // feeding a downstream consumer): fences at q1/q3 ± 1.5·IQR, one
+    // counting pass — data-quality alert counts reproducible to the row
+    "q314_tukey_outliers" -> ((s, d) =>
+      graft.ext.Quality.tukeyOutlierReport(
+        Tables.lineitem(s, d), "l_returnflag",
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))),
+
+    // exact two-sample Kolmogorov–Smirnov distance between returned and
+    // accepted price distributions, plus the value where they diverge
+    // most — integer cross-products, one distinct-value window
+    "q315_ks_statistic" -> ((s, d) =>
+      graft.ext.RankStats.ksStatistic(
+        Tables.lineitem(s, d)
+          .filter(col("l_returnflag").isin("R", "A"))
+          .select(col("l_returnflag").as("grp"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")),
+        col("grp"), "R", col("cents"))),
+
+    // Pearson χ² independence of event type × day-of-week — "is the
+    // event mix a function of the weekday" as one exact milli-unit
+    // statistic over the full keyspace grid (zero cells included)
+    "q316_chi2_independence" -> ((s, d) =>
+      graft.ext.Quality.chi2Independence(
+        Tables.events(s, d).select(col("event_type"),
+          expr("CAST((unix_micros(ts) div 86400000000 + 3) % 7 AS STRING)")
+            .as("dow")),
+        "event_type", "dow")),
+
     // exact Spearman ρ between part price and sales frequency — the
     // monotone-invariant "does expensive sell less" readout; ranks via
     // row_number with the part key as tie-break (rank-of-record,
@@ -3636,6 +3665,9 @@ object SparkEntry {
     "q311_weighted_quantiles" ->
       Oracles.weightedGroupQuantiles(Seq(250000L, 500000L, 750000L, 990000L)),
     "q312_spearman" -> Oracles.spearman,
-    "q313_rank_auc" -> Oracles.rankSumAuc
+    "q313_rank_auc" -> Oracles.rankSumAuc,
+    "q314_tukey_outliers" -> Oracles.tukeyOutliers(1500000L),
+    "q315_ks_statistic" -> Oracles.ksStatistic,
+    "q316_chi2_independence" -> Oracles.chi2Independence
   )
 }

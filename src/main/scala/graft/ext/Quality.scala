@@ -418,4 +418,78 @@ object Quality {
           |div ((__m - 1) * cast(class_size as decimal(38,0)) * __n)""".stripMargin))
       .select(qi :+ col("class_size") :+ col("t_ppm"): _*)
   }
+
+  /** Tukey-fence outlier report per group — the box-plot rule on EXACT
+    * quartiles: q1/q3 from [[Selection.exactGroupQuantiles]]'s histogram
+    * descent (bounded passes, no per-group sort), fences at
+    * q1 − f·IQR and q3 + f·IQR (f in ppm, 1.5 by default, floored
+    * integer arithmetic), then one fact pass counts the rows outside.
+    * The quartiles no approximate-percentile sketch can pin down exactly
+    * are exact here, so the fences — and the counts a data-quality page
+    * alerts on — are reproducible to the row.
+    *
+    * Scale shape: the descent's ⌈log_B⌉ passes + ONE counting pass; the
+    * fence table is group-keyspace-sized and broadcast.
+    */
+  def tukeyOutlierReport(df: DataFrame, grpCol: String, valCol: Column,
+                         fencePpm: Long = 1500000L): DataFrame = {
+    require(fencePpm >= 0, s"fencePpm must be >= 0: $fencePpm")
+    val facts = df.select(col(grpCol).cast("string").as("key"), valCol.as("v"))
+    val q = Selection.exactGroupQuantiles(facts, "key", col("v"),
+      Seq(250000L, 750000L))
+    val fences = q.groupBy("key")
+      .agg(max(when(col("q_ppm") === 250000L, col("value"))).as("q1"),
+        max(when(col("q_ppm") === 750000L, col("value"))).as("q3"))
+      .select(col("key"), col("q1"), col("q3"),
+        expr(s"q1 - (q3 - q1) * $fencePpm div 1000000").as("lo_fence"),
+        expr(s"q3 + (q3 - q1) * $fencePpm div 1000000").as("hi_fence"))
+    facts.join(broadcast(fences), Seq("key"))
+      .groupBy("key")
+      .agg(max("q1").as("q1"), max("q3").as("q3"),
+        max("lo_fence").as("lo_fence"), max("hi_fence").as("hi_fence"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v") < col("lo_fence"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("v") > col("hi_fence"), 1L).otherwise(0L)).as("n_high"))
+  }
+
+  /** Pearson χ² test of independence between two categorical columns —
+    * the contingency-table statistic, EXACT under a documented milli-unit
+    * floor: expected cell mass e_milli = r·c·1000 div N (thousandths of a
+    * row), cell contribution (o·1000 − e_milli)² div max(e_milli, 1),
+    * summed over the FULL row×column grid (zero cells included — absent
+    * observed combinations still contribute their expectation). Every
+    * term is a bounded DECIMAL(38,0) product at any corpus size. Emits
+    * (n, n_rows_cats, n_col_cats, dof, chi2_milli) — one row.
+    *
+    * Scale shape: one (a, b) count aggregate over facts; the grid is the
+    * category keyspace crossed (rows × cols cells), all scalar
+    * arithmetic after that.
+    */
+  def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // feeds margins and the grid join
+    val rt = obs.groupBy("a").agg(sum("o").as("r"))
+    val ct = obs.groupBy("b").agg(sum("o").as("c"))
+    val n = obs.agg(sum("o").as("n"))
+    val grid = rt.crossJoin(ct).crossJoin(broadcast(n))
+      .join(obs, Seq("a", "b"), "left")
+      .select(col("r"), col("c"), col("n"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .select(col("n"), col("o"),
+        expr("CAST(r AS DECIMAL(38,0)) * c * 1000 div n").as("e_milli"))
+    grid
+      .agg(max("n").as("n"),
+        expr("count(1)").as("n_cells"),
+        sum(expr("(CAST(o AS DECIMAL(38,0)) * 1000 - e_milli)" +
+          " * (CAST(o AS DECIMAL(38,0)) * 1000 - e_milli)" +
+          " div greatest(e_milli, CAST(1 AS DECIMAL(38,0)))")).as("chi2_raw"))
+      .crossJoin(broadcast(rt.agg(count(lit(1)).as("n_a_cats"))))
+      .crossJoin(broadcast(ct.agg(count(lit(1)).as("n_b_cats"))))
+      .select(col("n"), col("n_a_cats"), col("n_b_cats"),
+        expr("(n_a_cats - 1) * (n_b_cats - 1)").as("dof"),
+        // raw is in (milli)²/milli = milli units of χ²
+        expr("CAST(chi2_raw AS BIGINT)").as("chi2_milli"))
+  }
 }

@@ -52,6 +52,47 @@ object RankStats {
     * Scale shape: facts reduce to the distinct-value keyspace in one
     * map-combined aggregate; the window sorts distinct values only.
     */
+  /** Two-sample Kolmogorov–Smirnov statistic (Kolmogorov 1933 /
+    * Smirnov 1939, public literature), EXACT: D = max over observed
+    * values of |F_a(v) − F_b(v)|, evaluated as the integer cross-product
+    * |cumA·n_b − cumB·n_a| so no division happens before the final ppm
+    * readout. Also emits `at_value` — the smallest value attaining the
+    * maximum gap (deterministic tie-break), which is where the two
+    * distributions diverge most: the natural split point for a drift
+    * investigation.
+    *
+    * Scale shape: one by-value map-combined aggregate, one running-sum
+    * window over DISTINCT values, one max aggregate.
+    */
+  def ksStatistic(df: DataFrame, grpCol: Column, aValue: String,
+                  valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byValue = df
+      .select(when(grpCol === aValue, lit(1L)).otherwise(lit(0L)).as("isA"),
+        valueCol.as("v"))
+      .groupBy("v")
+      .agg(sum("isA").as("ca"), sum(expr("1 - isA")).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byValue
+      .select(col("v"), sum("ca").over(w).as("cum_a"),
+        sum("cb").over(w).as("cum_b"))
+      .localCheckpoint(true) // feeds totals, the max, and the argmax
+    val tot = cum.agg(max("cum_a").as("n_a"), max("cum_b").as("n_b"))
+    val gaps = cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("n_a"), col("n_b"),
+        expr("abs(CAST(cum_a AS DECIMAL(38,0)) * n_b" +
+          " - CAST(cum_b AS DECIMAL(38,0)) * n_a)").as("d"))
+    val dmax = gaps.agg(max("d").as("dmax"))
+    gaps.crossJoin(broadcast(dmax))
+      .filter(col("d") === col("dmax"))
+      .groupBy("n_a", "n_b")
+      .agg(min("v").as("at_value"), max("d").as("d"))
+      .select(col("n_a"), col("n_b"), col("at_value"),
+        expr("CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE" +
+          " d * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b) END").as("ks_ppm"))
+  }
+
   def rankSumAuc(df: DataFrame, grpCol: Column, aValue: String,
                  valueCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

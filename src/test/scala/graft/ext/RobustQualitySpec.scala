@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Specs for the round-7 quality tier: Tukey fences on exact quartiles,
+  * two-sample KS, χ² independence.
+  */
+class RobustQualitySpec extends SparkSpec {
+
+  test("tukeyOutlierReport: hand-computed fences and outlier counts") {
+    // sorted: -10,1,2,3,4,5,6,7,8,100 (n=10): q1 rank 3 → 2, q3 rank 8 → 7
+    // IQR 5 → fences [2-7, 7+7] = [-5, 14]; one low (-10), one high (100)
+    val d1 = df("g STRING, v BIGINT",
+      ((1L to 8L).map(Row("a", _)) :+ Row("a", -10L)) :+ Row("a", 100L))
+    val r = Quality.tukeyOutlierReport(d1, "g", col("v")).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, 7L, -5L, 14L)))
+    assert((r.getLong(5), r.getLong(6), r.getLong(7)) == ((10L, 1L, 1L)))
+  }
+
+  test("tukeyOutlierReport: constant group has zero IQR and zero outliers") {
+    val d1 = df("g STRING, v BIGINT", Seq.fill(5)(Row("c", 42L)))
+    val r = Quality.tukeyOutlierReport(d1, "g", col("v")).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(6), r.getLong(7)) ==
+      ((42L, 42L, 0L, 0L)))
+  }
+
+  test("ksStatistic: disjoint supports read 1e6; interleaved read the hand gap") {
+    val disj = df("grp STRING, v BIGINT",
+      Seq(Row("A", 1L), Row("A", 2L), Row("B", 3L), Row("B", 4L)))
+    val r1 = RankStats.ksStatistic(disj, col("grp"), "A", col("v")).head()
+    assert(r1.getLong(3) == 1000000L && r1.getLong(2) == 2L) // max gap after v=2
+    val inter = df("grp STRING, v BIGINT",
+      Seq(Row("A", 1L), Row("A", 3L), Row("B", 2L), Row("B", 4L)))
+    val r2 = RankStats.ksStatistic(inter, col("grp"), "A", col("v")).head()
+    // gaps: v1→2, v2→0, v3→2, v4→0 (×nA·nB=4): D = 1/2, first argmax v=1
+    assert(r2.getLong(3) == 500000L && r2.getLong(2) == 1L)
+  }
+
+  test("chi2Independence: exact zero on an independent table, N·1000 milli on perfect association") {
+    val indep = df("a STRING, b STRING",
+      Seq.fill(10)(Row("x", "0")) ++ Seq.fill(10)(Row("x", "1")) ++
+        Seq.fill(20)(Row("y", "0")) ++ Seq.fill(20)(Row("y", "1")))
+    val r1 = Quality.chi2Independence(indep, "a", "b").head()
+    assert(r1.getLong(0) == 60L && r1.getLong(3) == 1L && r1.getLong(4) == 0L)
+    val assoc = df("a STRING, b STRING",
+      Seq.fill(10)(Row("x", "0")) ++ Seq.fill(10)(Row("y", "1")))
+    val r2 = Quality.chi2Independence(assoc, "a", "b").head()
+    // perfect association: χ² = N → 20000 in milli units
+    assert(r2.getLong(4) == 20000L)
+  }
+
+  test("chi2Independence: zero cells contribute their expectation (full grid)") {
+    // 2×2 with one absent combination: x only in b=0, y in both
+    val d1 = df("a STRING, b STRING",
+      Seq.fill(6)(Row("x", "0")) ++ Seq.fill(3)(Row("y", "0")) ++
+        Seq.fill(3)(Row("y", "1")))
+    val r = Quality.chi2Independence(d1, "a", "b").head()
+    // margins: rx=6, ry=6, c0=9, c1=3, N=12
+    // e(x,0)=4500, e(x,1)=1500, e(y,0)=4500, e(y,1)=1500 (milli)
+    // cells: (6000-4500)²/4500=500, (0-1500)²/1500=1500,
+    //        (3000-4500)²/4500=500, (3000-1500)²/1500=1500 → 4000
+    assert(r.getLong(4) == 4000L)
+  }
+}
