@@ -6196,6 +6196,58 @@ object Oracles {
        |FROM lf, lpocket""".stripMargin
   }
 
+  /** q317: AUC of the trained margin vs the true gate — the q313
+    * rank-sum readout over the perceptron-scored frame.
+    */
+  def gateAuc(epochs: Int, positiveSql: String = "t.quality >= 0.66"): String = {
+    val margin = "(w0*f0 + w1*f1 + w2*f2 + w3*f3)"
+    s"""WITH ${perceptronCtes(epochs, positiveSql)},
+       |sc AS (SELECT CASE WHEN y = 1 THEN 1 ELSE 0 END AS isA,
+       |       $margin AS v FROM lf, lpocket),
+       |bv AS (
+       |  SELECT v, CAST(SUM(isA) AS BIGINT) AS ca,
+       |    CAST(SUM(1 - isA) AS BIGINT) AS cb
+       |  FROM sc GROUP BY 1),
+       |cum AS (
+       |  SELECT ca, cb,
+       |    CAST(SUM(cb) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+       |      - cb AS cum_b_lt
+       |  FROM bv),
+       |m AS (
+       |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+       |    CAST(SUM(ca::HUGEINT * cum_b_lt) AS HUGEINT) AS gt,
+       |    CAST(SUM(ca::HUGEINT * cb) AS HUGEINT) AS eq
+       |  FROM cum)
+       |SELECT n_a, n_b, CAST(2 * gt + eq AS BIGINT) AS u2,
+       |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+       |    (2 * gt + eq) * 1000000 // (2 * n_a::HUGEINT * n_b) END AS BIGINT)
+       |    AS auc_ppm
+       |FROM m""".stripMargin
+  }
+
+  /** q318: per-type inter-arrival seconds (lag over the per-user keyed
+    * window, event_id tie-break) at the q310 ceil-rank convention.
+    */
+  def interarrivalQuantiles(ppms: Seq[Long]): String =
+    s"""WITH g AS (
+       |  SELECT event_type AS key,
+       |    (epoch_us(ts) - epoch_us(lag(ts) OVER (
+       |      PARTITION BY user_id, event_type ORDER BY ts, event_id)))
+       |      // 1000000 AS x
+       |  FROM events),
+       |v AS (SELECT key, CAST(x AS BIGINT) AS x FROM g WHERE x IS NOT NULL),
+       |n AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+       |r AS (SELECT key, x,
+       |  row_number() OVER (PARTITION BY key ORDER BY x) AS rn FROM v),
+       |q AS (SELECT CAST(unnest([${ppms.mkString(", ")}]) AS BIGINT) AS q_ppm)
+       |SELECT r.key, q.q_ppm,
+       |  CAST(GREATEST(1, (q.q_ppm::HUGEINT * n.n + 999999) // 1000000) AS BIGINT) AS rank,
+       |  r.x AS value
+       |FROM q CROSS JOIN n
+       |JOIN r ON r.key = n.key
+       |  AND r.rn = GREATEST(1, (q.q_ppm::HUGEINT * n.n + 999999) // 1000000)""".stripMargin
+
   /** q251: corpus top-k by |projection| onto the trained component. */
   def pcaProject(iterations: Int, k: Int): String =
     s"""WITH ${pcaCtes(iterations)},

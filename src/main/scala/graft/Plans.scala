@@ -1346,7 +1346,17 @@ object Plans {
       """χ² independence: one (a, b) count aggregate over facts; the
         |full margin-cross grid (zero cells included) is category-
         |keyspace-sized; milli-unit floor keeps every product inside
-        |DECIMAL(38,0) at any corpus size.""".stripMargin)
+        |DECIMAL(38,0) at any corpus size.""".stripMargin,
+    "q317_gate_auc" ->
+      """Gate AUC: perceptron training (one aggregate per epoch), then
+        |q313's by-value collapse + distinct-MARGIN window — the scored
+        |corpus never materializes pairs. Threshold-free model quality
+        |next to q255's confusion and q259's calibration curve.""".stripMargin,
+    "q318_interarrival_quantiles" ->
+      """Inter-arrival: one keyed window (the sessionization exchange,
+        |(user, type)-partitioned with event_id tie-break) derives gaps;
+        |the descent answers p50/p99 per type in bounded passes — no
+        |per-type sort of the gap relation.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -3185,6 +3185,38 @@ object SparkEntry {
         graft.ext.Graph.coOccurrenceEdges(
           Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
 
+    // threshold-free quality readout of the distilled gate: the AUC of
+    // the trained perceptron's margin vs the true gate label — does the
+    // margin ORDER the corpus (route high-|margin| to a fast path), not
+    // just split it at zero (q255). Margin scoring + the q313 machinery
+    "q317_gate_auc" -> { (s, d) =>
+      val scored = graft.ext.LinearModel.marginScores(
+        Tables.documents(s, d),
+        graft.ext.TextAnalysis.qualityScore(col("text")) >= 0.66, epochs = 8)
+      graft.ext.RankStats.rankSumAuc(
+        scored.select(col("y").cast("string").as("grp"), col("margin")),
+        col("grp"), "1", col("margin"))
+    },
+
+    // exact inter-arrival quantiles per event type — p50/p99 seconds
+    // between a user's consecutive same-type events, via one keyed
+    // window (the sessionization exchange) feeding the descent: the
+    // latency-distribution table a capacity model reads, exact at any
+    // skew
+    "q318_interarrival_quantiles" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev", lag("ts", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"),
+          expr("(unix_micros(ts) - unix_micros(prev)) div 1000000").as("gap_s"))
+      graft.ext.Selection.exactGroupQuantiles(gaps, "event_type",
+        col("gap_s"), ppms = Seq(500000L, 990000L))
+    },
+
     // Tukey box-plot outlier report on EXACT quartiles (the q310 descent
     // feeding a downstream consumer): fences at q1/q3 ± 1.5·IQR, one
     // counting pass — data-quality alert counts reproducible to the row
@@ -3668,6 +3700,9 @@ object SparkEntry {
     "q313_rank_auc" -> Oracles.rankSumAuc,
     "q314_tukey_outliers" -> Oracles.tukeyOutliers(1500000L),
     "q315_ks_statistic" -> Oracles.ksStatistic,
-    "q316_chi2_independence" -> Oracles.chi2Independence
+    "q316_chi2_independence" -> Oracles.chi2Independence,
+    "q317_gate_auc" -> Oracles.gateAuc(8),
+    "q318_interarrival_quantiles" ->
+      Oracles.interarrivalQuantiles(Seq(500000L, 990000L))
   )
 }

@@ -161,6 +161,19 @@ object LinearModel {
         sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_gate_pos"))
   }
 
+  /** Train, then emit each document's signed integer margin next to the
+    * true gate label — the scored frame threshold-free evals consume
+    * (q317 feeds it to [[RankStats.rankSumAuc]] for the AUC readout:
+    * "how well does the margin ORDER the corpus", the question q255's
+    * single-threshold confusion can't answer).
+    */
+  def marginScores(docs: DataFrame, positive: Column, epochs: Int = 8,
+                   textCol: String = "text"): DataFrame = {
+    val w = train(docs, positive, epochs, textCol)
+    featureFrame(docs, positive, textCol)
+      .select(col("y"), marginExpr(w).as("margin"))
+  }
+
   /** Train, then score the corpus with the trained weights: one confusion
     * row (tp, fp, tn, fn). Prediction is `w·x > 0` (a zero margin
     * predicts negative — deterministic tie rule, consistent with training

@@ -65,4 +65,21 @@ class LinearModelSpec extends SparkSpec {
     assert(curve.filter(_._1 > 0).map(_._3).sum == tp)
     assert(curve.forall { case (_, n2, pos) => pos >= 0 && pos <= n2 })
   }
+
+  test("marginScores: one row per doc; margin>0 rows tie out to the confusion; AUC readout consistent") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val positive = TextAnalysis.qualityScore(col("text")) >= 0.66
+    val scored = LinearModel.marginScores(docs, positive, epochs = 8)
+    val e = LinearModel.perceptronEval(docs, positive, epochs = 8).head()
+    val (tp, fp, tn, fn) = (e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3))
+    assert(scored.count() == tp + fp + tn + fn)
+    assert(scored.filter(col("margin") > 0 && col("y") === 1).count() == tp)
+    assert(scored.filter(col("margin") > 0 && col("y") === -1).count() == fp)
+    // AUC over the margins is a proper effect size: within (0, 1e6] here,
+    // and above chance for a gate the pocket model beats majority on
+    val auc = RankStats.rankSumAuc(
+      scored.select(col("y").cast("string").as("grp"), col("margin")),
+      col("grp"), "1", col("margin")).head().getLong(3)
+    assert(auc > 500000L && auc <= 1000000L, s"auc_ppm=$auc")
+  }
 }
