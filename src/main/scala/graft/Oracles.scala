@@ -6248,6 +6248,113 @@ object Oracles {
        |JOIN r ON r.key = n.key
        |  AND r.rn = GREATEST(1, (q.q_ppm::HUGEINT * n.n + 999999) // 1000000)""".stripMargin
 
+  /** q319: precision/recall@k curve over the q295 panel — micro
+    * precision, macro (per-query floored) recall, binary label-match
+    * qrels.
+    */
+  def prCurve(mod: Int, kMax: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % $mod = 0),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       |p AS (SELECT query_id, neighbor_id, qv, cv FROM q, c WHERE query_id <> neighbor_id),
+       |$dotsCte,
+       |rk AS (
+       |  SELECT query_id, neighbor_id AS doc_id, rnk FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+       |    FROM scored) WHERE rnk <= $kMax),
+       |ql AS (SELECT vec_id AS query_id, label AS l FROM embeddings WHERE vec_id % $mod = 0),
+       |qr AS (
+       |  SELECT query_id, e.vec_id AS doc_id
+       |  FROM ql JOIN embeddings e ON e.label = ql.l
+       |  WHERE e.vec_id <> query_id),
+       |nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM qr GROUP BY 1),
+       |panel AS (SELECT DISTINCT query_id FROM rk),
+       |pn AS (SELECT panel.query_id, COALESCE(nrel.n_rel, 0) AS n_rel
+       |       FROM panel LEFT JOIN nrel USING (query_id)),
+       |hits AS (
+       |  SELECT rk.query_id, rk.rnk,
+       |    CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+       |  FROM rk LEFT JOIN qr USING (query_id, doc_id)),
+       |ks AS (SELECT CAST(unnest(generate_series(1, $kMax)) AS BIGINT) AS k),
+       |pqk AS (
+       |  SELECT h.query_id, ks.k, CAST(SUM(h.rel) AS BIGINT) AS hits
+       |  FROM hits h JOIN ks ON h.rnk <= ks.k GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT pn.query_id, ks.k, pn.n_rel, COALESCE(pqk.hits, 0) AS hits
+       |  FROM pn CROSS JOIN ks
+       |  LEFT JOIN pqk ON pqk.query_id = pn.query_id AND pqk.k = ks.k)
+       |SELECT k, CAST(SUM(hits) AS BIGINT) AS total_hits,
+       |  CAST(SUM(hits)::HUGEINT * 1000000 // (k * COUNT(*)) AS BIGINT) AS p_at_k_ppm,
+       |  CAST(SUM(CASE WHEN n_rel = 0 THEN 0
+       |    ELSE hits::HUGEINT * 1000000 // n_rel END) // COUNT(*) AS BIGINT) AS r_at_k_ppm
+       |FROM grid GROUP BY 1""".stripMargin
+
+  /** q320: Kaplan–Meier — the engine's scaled-floor recursion replayed
+    * as a recursive CTE over the ordered by-duration table.
+    */
+  val kaplanMeier: String =
+    """WITH RECURSIVE o2 AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey FROM orders),
+      |r AS (SELECT o_custkey, od,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) AS rn
+      |  FROM o2),
+      |fs AS (SELECT o_custkey,
+      |  MAX(CASE WHEN rn = 1 THEN od END) AS first_d,
+      |  MAX(CASE WHEN rn = 2 THEN od END) AS second_d
+      |  FROM r WHERE rn <= 2 GROUP BY 1),
+      |h AS (SELECT MAX(od) AS horizon FROM o2),
+      |dur AS (SELECT
+      |  CAST(CASE WHEN second_d IS NOT NULL THEN date_diff('day', first_d, second_d)
+      |       ELSE date_diff('day', first_d, h.horizon) END AS BIGINT) AS t,
+      |  CASE WHEN second_d IS NOT NULL THEN 1 ELSE 0 END AS event
+      |  FROM fs, h),
+      |bd AS (SELECT t, CAST(SUM(event) AS BIGINT) AS d,
+      |  CAST(SUM(1 - event) AS BIGINT) AS c FROM dur GROUP BY 1),
+      |ord AS (SELECT t, d, c, row_number() OVER (ORDER BY t) AS rn FROM bd),
+      |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n0 FROM bd),
+      |km AS (
+      |  SELECT CAST(0 AS BIGINT) AS rn, tot.n0::HUGEINT AS n,
+      |    CAST(1000000 AS HUGEINT) AS s
+      |  FROM tot
+      |  UNION ALL
+      |  SELECT o.rn, km.n - (o.d + o.c), km.s * (km.n - o.d) // km.n
+      |  FROM km JOIN ord o ON o.rn = km.rn + 1)
+      |SELECT o.t, CAST(p.n AS BIGINT) AS n_risk, o.d AS d_events,
+      |  o.c AS c_censored, CAST(k.s AS BIGINT) AS s_ppm
+      |FROM ord o JOIN km k ON k.rn = o.rn JOIN km p ON p.rn = o.rn - 1""".stripMargin
+
+  /** q321: difference-in-differences — the engine's four-cell spelling
+    * with the q171 arm hash and the corpus-midpoint period boundary.
+    */
+  def diffInDifferences(convType: String): String = {
+    val h = mixSql("user_id", 360)
+    s"""WITH b AS (
+       |  SELECT ($h) % 2 AS arm, epoch_us(ts) // 3600000000 AS h,
+       |    CASE WHEN event_type = '$convType' THEN 1 ELSE 0 END AS is_conv
+       |  FROM events),
+       |m AS (SELECT (MIN(h) + MAX(h) + 1) // 2 AS mid FROM b),
+       |cells AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN arm = 0 AND b.h < m.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+       |    CAST(SUM(CASE WHEN arm = 0 AND b.h < m.mid THEN is_conv ELSE 0 END) AS BIGINT) AS v_c0,
+       |    CAST(SUM(CASE WHEN arm = 0 AND b.h >= m.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_c1,
+       |    CAST(SUM(CASE WHEN arm = 0 AND b.h >= m.mid THEN is_conv ELSE 0 END) AS BIGINT) AS v_c1,
+       |    CAST(SUM(CASE WHEN arm = 1 AND b.h < m.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+       |    CAST(SUM(CASE WHEN arm = 1 AND b.h < m.mid THEN is_conv ELSE 0 END) AS BIGINT) AS v_t0,
+       |    CAST(SUM(CASE WHEN arm = 1 AND b.h >= m.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+       |    CAST(SUM(CASE WHEN arm = 1 AND b.h >= m.mid THEN is_conv ELSE 0 END) AS BIGINT) AS v_t1
+       |  FROM b, m),
+       |rates AS (
+       |  SELECT n_c0, n_c1, n_t0, n_t1,
+       |    CAST(v_c0::HUGEINT * 1000000 // GREATEST(n_c0, 1) AS BIGINT) AS r_c0_ppm,
+       |    CAST(v_c1::HUGEINT * 1000000 // GREATEST(n_c1, 1) AS BIGINT) AS r_c1_ppm,
+       |    CAST(v_t0::HUGEINT * 1000000 // GREATEST(n_t0, 1) AS BIGINT) AS r_t0_ppm,
+       |    CAST(v_t1::HUGEINT * 1000000 // GREATEST(n_t1, 1) AS BIGINT) AS r_t1_ppm
+       |  FROM cells)
+       |SELECT *, (r_t1_ppm - r_t0_ppm) - (r_c1_ppm - r_c0_ppm) AS did_ppm
+       |FROM rates""".stripMargin
+  }
+
   /** q251: corpus top-k by |projection| onto the trained component. */
   def pcaProject(iterations: Int, k: Int): String =
     s"""WITH ${pcaCtes(iterations)},

@@ -1356,7 +1356,21 @@ object Plans {
       """Inter-arrival: one keyed window (the sessionization exchange,
         |(user, type)-partitioned with event_id tie-break) derives gaps;
         |the descent answers p50/p99 per type in bounded passes — no
-        |per-type sort of the gap relation.""".stripMargin)
+        |per-type sort of the gap relation.""".stripMargin,
+    "q319_pr_curve" ->
+      """P/R@k curve: ranking ⋈ qrels is panel-sized; the cutoff grid
+        |multiplies panel×kMax keyspace rows. Micro precision pooled,
+        |macro recall per-query floored ppm — zero-qrel queries still
+        |weigh in via the right panel.""".stripMargin,
+    "q320_kaplan_meier" ->
+      """Kaplan–Meier: facts → one per-customer window (first/second
+        |order) → one by-duration aggregate; the sequential product-limit
+        |recursion runs driver-side on the DURATION KEYSPACE (kmeans
+        |precedent), oracle = recursive CTE with identical floors.""".stripMargin,
+    "q321_diff_in_differences" ->
+      """DiD: ONE map-combined aggregate (eight conditional sums) after
+        |a broadcast 1-row midpoint join; arms by the q171 user hash —
+        |no user-keyed shuffle, no join; all cells exact floored ppm.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

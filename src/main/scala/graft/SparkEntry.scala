@@ -3185,6 +3185,39 @@ object SparkEntry {
         graft.ext.Graph.coOccurrenceEdges(
           Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
 
+    // precision/recall@k operating curve for the exact cosine arm — the
+    // fourth leg of the retrieval eval stack (recall q134, agreement
+    // q261, nDCG q295): micro P@k, macro floored-ppm R@k, one row per
+    // cutoff 1..10; all grids panel-sized
+    "q319_pr_curve" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val ranking = Similarity.bruteForceTopK(queries, emb, k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      val qrels = queries.select(col("vec_id").as("query_id"), col("label").as("ql"))
+        .join(emb.select(col("vec_id").as("doc_id"), col("label")),
+          col("ql") === col("label"))
+        .filter(col("query_id") =!= col("doc_id"))
+        .select(col("query_id"), col("doc_id"))
+      graft.ext.Search.precisionRecallAtK(ranking, qrels, kMax = 10)
+    },
+
+    // Kaplan–Meier repeat-purchase survival: exact scaled-floor
+    // product-limit curve over the duration keyspace (driver recursion,
+    // kmeans precedent; oracle = recursive CTE with the identical
+    // floor) — "how long until a first-time buyer returns", censoring
+    // one-time buyers at the corpus horizon
+    "q320_kaplan_meier" -> ((s, d) =>
+      graft.ext.Survival.kaplanMeier(
+        graft.ext.Survival.repeatPurchaseDurations(Tables.orders(s, d)))),
+
+    // difference-in-differences on conversion rates: treated arm's
+    // before→after change minus control's, arms by the q171 user hash,
+    // period split at the corpus midpoint hour — ONE map-combined
+    // aggregate, exact ppm cells
+    "q321_diff_in_differences" -> ((s, d) =>
+      graft.ext.Funnel.diffInDifferences(Tables.events(s, d))),
+
     // threshold-free quality readout of the distilled gate: the AUC of
     // the trained perceptron's margin vs the true gate label — does the
     // margin ORDER the corpus (route high-|margin| to a fast path), not
@@ -3703,6 +3736,9 @@ object SparkEntry {
     "q316_chi2_independence" -> Oracles.chi2Independence,
     "q317_gate_auc" -> Oracles.gateAuc(8),
     "q318_interarrival_quantiles" ->
-      Oracles.interarrivalQuantiles(Seq(500000L, 990000L))
+      Oracles.interarrivalQuantiles(Seq(500000L, 990000L)),
+    "q319_pr_curve" -> Oracles.prCurve(50, 10),
+    "q320_kaplan_meier" -> Oracles.kaplanMeier,
+    "q321_diff_in_differences" -> Oracles.diffInDifferences("purchase")
   )
 }

@@ -213,6 +213,50 @@ object Funnel {
     * (both partial-agg'd), a 2-row arm aggregate folded to one row — the
     * fact stream is never joined row-to-row.
     */
+  /** Difference-in-differences readout (Card & Krueger's design, public
+    * literature): the treated arm's before→after conversion-rate change
+    * MINUS the control arm's — the causal estimate when both arms share
+    * the time trend. Arms are the q171 deterministic user-hash split;
+    * the period boundary is the corpus's midpoint hour ((min+max+1)
+    * div 2 — data-derived, layout-invariant). Rates are exact floored
+    * ppm of per-cell event counts; `did_ppm` is pure integer arithmetic
+    * over the four cells, so the readout is bit-stable and the oracle
+    * replays it literally.
+    *
+    * Scale shape: ONE map-combined aggregate over facts (eight
+    * conditional sums) after a broadcast 1-row bounds join; nothing
+    * iterates, nothing is user-keyed.
+    */
+  def diffInDifferences(events: DataFrame, convType: String = "purchase",
+                        userCol: String = "user_id",
+                        typeCol: String = "event_type",
+                        tsCol: String = "ts"): DataFrame = {
+    val base = events.select(
+      pmod(Dedup.mixHash(col(userCol), 360), lit(2L)).as("arm"),
+      expr(s"unix_micros($tsCol) div 3600000000").as("h"),
+      when(col(typeCol) === convType, 1L).otherwise(0L).as("is_conv"))
+    val bounds = base.agg(expr("(min(h) + max(h) + 1) div 2").as("mid"))
+    val cells = base.crossJoin(broadcast(bounds))
+      .select(col("arm"), (col("h") >= col("mid")).as("after"), col("is_conv"))
+      .agg(
+        sum(when(col("arm") === 0 && !col("after"), 1L).otherwise(0L)).as("n_c0"),
+        sum(when(col("arm") === 0 && !col("after"), col("is_conv")).otherwise(0L)).as("v_c0"),
+        sum(when(col("arm") === 0 && col("after"), 1L).otherwise(0L)).as("n_c1"),
+        sum(when(col("arm") === 0 && col("after"), col("is_conv")).otherwise(0L)).as("v_c1"),
+        sum(when(col("arm") === 1 && !col("after"), 1L).otherwise(0L)).as("n_t0"),
+        sum(when(col("arm") === 1 && !col("after"), col("is_conv")).otherwise(0L)).as("v_t0"),
+        sum(when(col("arm") === 1 && col("after"), 1L).otherwise(0L)).as("n_t1"),
+        sum(when(col("arm") === 1 && col("after"), col("is_conv")).otherwise(0L)).as("v_t1"))
+    cells.select(
+      col("n_c0"), col("n_c1"), col("n_t0"), col("n_t1"),
+      expr("CAST(v_c0 AS DECIMAL(38,0)) * 1000000 div greatest(n_c0, 1L)").as("r_c0_ppm"),
+      expr("CAST(v_c1 AS DECIMAL(38,0)) * 1000000 div greatest(n_c1, 1L)").as("r_c1_ppm"),
+      expr("CAST(v_t0 AS DECIMAL(38,0)) * 1000000 div greatest(n_t0, 1L)").as("r_t0_ppm"),
+      expr("CAST(v_t1 AS DECIMAL(38,0)) * 1000000 div greatest(n_t1, 1L)").as("r_t1_ppm"))
+      .withColumn("did_ppm",
+        (col("r_t1_ppm") - col("r_t0_ppm")) - (col("r_c1_ppm") - col("r_c0_ppm")))
+  }
+
   def armConversionTest(events: DataFrame, convType: String = "purchase",
                         zNum: Long = 196, zDen: Long = 100,
                         userCol: String = "user_id",

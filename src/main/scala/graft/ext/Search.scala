@@ -237,4 +237,45 @@ object Search {
       .withColumn("ndcg_ppm",
         expr("CAST(dcg AS DECIMAL(38,0)) * 1000000L div greatest(idcg, 1L)"))
   }
+
+  /** Precision@k / recall@k CURVE for a top-k ranking against binary
+    * qrels — one row per cutoff 1..kMax, the operating-point table an
+    * index tuning session reads next to the single-point recall (q134),
+    * order agreement (q261), and graded nDCG (q295). Micro precision
+    * (pooled hits over pooled slots) and MACRO recall (per-query floored
+    * ppm, averaged — queries weigh equally regardless of qrel size),
+    * both exact integer rationals.
+    *
+    * Scale shape: ranking ⋈ qrels (panel-sized) → per-(query, rank) hit
+    * flags; the cutoff grid join multiplies panel×kMax rows — all
+    * keyspace-sized; one aggregate per grain.
+    */
+  def precisionRecallAtK(ranking: DataFrame, qrels: DataFrame,
+                         kMax: Int): DataFrame = {
+    require(kMax >= 1 && kMax <= 100, s"kMax out of [1, 100]: $kMax")
+    val spark = ranking.sparkSession
+    val hits = ranking.filter(col("rank") <= kMax)
+      .join(qrels.select(col("query_id"), col("doc_id"), lit(1L).as("rel")),
+        Seq("query_id", "doc_id"), "left")
+      .na.fill(0L, Seq("rel"))
+    val relSizes = qrels.groupBy("query_id")
+      .agg(count(lit(1)).as("n_rel"))
+    val panel = ranking.select("query_id").distinct()
+      .join(relSizes, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_rel"))
+    val ks = spark.range(1, kMax + 1).select(col("id").as("k"))
+    val perQueryK = hits.join(broadcast(ks), col("rank") <= col("k"))
+      .groupBy("query_id", "k").agg(sum("rel").as("hits"))
+    // right panel × k grid so zero-hit queries still weigh in the macro mean
+    val grid = panel.crossJoin(broadcast(ks))
+      .join(perQueryK, Seq("query_id", "k"), "left")
+      .na.fill(0L, Seq("hits"))
+    grid.groupBy("k")
+      .agg(count(lit(1)).as("n_queries"), sum("hits").as("total_hits"),
+        sum(expr("CASE WHEN n_rel = 0 THEN 0L" +
+          " ELSE hits * 1000000 div n_rel END")).as("recall_sum"))
+      .select(col("k"), col("total_hits"),
+        expr("total_hits * 1000000 div (k * n_queries)").as("p_at_k_ppm"),
+        expr("recall_sum div n_queries").as("r_at_k_ppm"))
+  }
 }

@@ -461,4 +461,26 @@ class FunnelSpec extends SparkSpec {
     assert(out.head.getLong(1) == 1000000L)  // p_base
     assert(out.head.getLong(3) == 1000000L)  // removing view kills it
   }
+
+  test("diffInDifferences: cells partition the facts and did ties out to the rates") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.Row
+    def ts(s: String) = Timestamp.valueOf(s)
+    // two days of events; the midpoint hour splits them before/after
+    val ev = df("user_id BIGINT, event_type STRING, ts TIMESTAMP",
+      (1L to 20L).flatMap { u =>
+        Seq(
+          Row(u, if (u % 4 == 0) "purchase" else "view", ts("2024-01-01 05:00:00")),
+          Row(u, if (u % 3 == 0) "purchase" else "view", ts("2024-01-02 05:00:00")))
+      })
+    val r = Funnel.diffInDifferences(ev).head()
+    val (nC0, nC1, nT0, nT1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nC0 + nC1 + nT0 + nT1 == 40L, "cells must partition the facts")
+    assert(nC0 == nC1 && nT0 == nT1, "every user appears once per period")
+    val did = (r.getLong(7) - r.getLong(6)) - (r.getLong(5) - r.getLong(4))
+    assert(r.getLong(8) == did, "did_ppm must tie out to the four rates")
+    // layout invariance
+    val b = Funnel.diffInDifferences(ev.repartition(7)).head()
+    assert(b.getLong(8) == r.getLong(8))
+  }
 }

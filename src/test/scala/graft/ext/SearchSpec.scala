@@ -141,4 +141,19 @@ class SearchSpec extends SparkSpec {
     assert(out.getLong(2) == 3 * d(0) + 3 * d(1)) // only the top-2 ideal slots
     assert(out.getLong(3) == 1000000L)            // both ranked docs are grade-2 hits
   }
+
+  test("precisionRecallAtK: hand-computed micro P@k and macro floored R@k; no-qrel queries weigh in") {
+    import org.apache.spark.sql.Row
+    val ranking = df("query_id BIGINT, doc_id BIGINT, rank INT", Seq(
+      Row(1L, 100L, 1), Row(1L, 101L, 2), Row(1L, 102L, 3), // rel: 100, 102
+      Row(2L, 200L, 1), Row(2L, 201L, 2), Row(2L, 202L, 3))) // no qrels
+    val qrels = df("query_id BIGINT, doc_id BIGINT",
+      Seq(Row(1L, 100L), Row(1L, 102L)))
+    val out = Search.precisionRecallAtK(ranking, qrels, kMax = 3)
+    assert(out.columns.toSeq == Seq("k", "total_hits", "p_at_k_ppm", "r_at_k_ppm"))
+    assert(rowSet(out) == rows(
+      Seq("1", "1", "500000", "250000"), // P = 1/2; R = (500000 + 0)/2
+      Seq("2", "1", "250000", "250000"), // P = 1/4
+      Seq("3", "2", "333333", "500000"))) // q1 hits both → R = (1e6 + 0)/2
+  }
 }
