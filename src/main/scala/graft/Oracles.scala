@@ -6355,6 +6355,68 @@ object Oracles {
        |FROM rates""".stripMargin
   }
 
+  /** q322: per-key split-conformal band — trendFitByKey's moments on the
+    * common grid, per-key residual rank at ceil-rank (1−α)(n+1), per-key
+    * coverage.
+    */
+  def conformalByKey(alphaPpm: Long): String =
+    s"""WITH c AS (
+       |  SELECT event_type AS key, epoch_us(ts) // 3600000000 AS h,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM c),
+       |kk AS (SELECT DISTINCT key FROM c),
+       |g AS (SELECT kk.key, unnest(generate_series(b.h0, b.h1)) AS h, b.h0 FROM kk, b),
+       |s AS MATERIALIZED (SELECT g.key, g.h - g.h0 AS t, COALESCE(c.c, 0) AS c
+       |      FROM g LEFT JOIN c ON g.key = c.key AND g.h = c.h),
+       |m AS (
+       |  SELECT key, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS st,
+       |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(t * t) AS BIGINT) AS stt,
+       |    CAST(SUM(t * c) AS BIGINT) AS stc
+       |  FROM s GROUP BY 1),
+       |f AS (SELECT key, n AS n_hours,
+       |  CAST((n * stc - st * sc)::HUGEINT * 1000000
+       |    // (n * stt - st * st) AS BIGINT) AS slope_ppm,
+       |  CAST((sc::HUGEINT * stt - st::HUGEINT * stc) * 1000000
+       |    // (n * stt - st * st) AS BIGINT) AS intercept_ppm
+       |  FROM m),
+       |r AS (SELECT s.key, f.n_hours, f.slope_ppm, f.intercept_ppm,
+       |    abs(s.c::HUGEINT * 1000000 - f.slope_ppm::HUGEINT * s.t
+       |      - f.intercept_ppm) AS a
+       |  FROM s JOIN f USING (key)),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY a) AS rn FROM r),
+       |q AS (SELECT key, a AS qhat FROM rk
+       |  WHERE rn = LEAST(GREATEST(1,
+       |    ((1000000 - $alphaPpm) * (n_hours + 1) + 999999) // 1000000), n_hours))
+       |SELECT rk.key, MAX(rk.n_hours) AS n_hours, MAX(rk.slope_ppm) AS slope_ppm,
+       |  MAX(rk.intercept_ppm) AS intercept_ppm,
+       |  CAST(MAX(q.qhat) AS BIGINT) AS qhat_ppm,
+       |  CAST(SUM(CASE WHEN rk.a <= q.qhat THEN 1 ELSE 0 END) * 1000000
+       |    // MAX(rk.n_hours) AS BIGINT) AS cover_ppm
+       |FROM rk JOIN q USING (key) GROUP BY 1""".stripMargin
+
+  /** q323: quantile treatment effects — the q310 rank selection for both
+    * arms, diffed per quantile.
+    */
+  def quantileEffects(ppms: Seq[Long]): String =
+    s"""WITH v AS (
+       |  SELECT l_returnflag AS key,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+       |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+       |n AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+       |r AS (SELECT key, x,
+       |  row_number() OVER (PARTITION BY key ORDER BY x) AS rn FROM v),
+       |q AS (SELECT CAST(unnest([${ppms.mkString(", ")}]) AS BIGINT) AS q_ppm),
+       |sel AS (
+       |  SELECT r.key, q.q_ppm, r.x
+       |  FROM q CROSS JOIN n
+       |  JOIN r ON r.key = n.key
+       |    AND r.rn = GREATEST(1, (q.q_ppm::HUGEINT * n.n + 999999) // 1000000))
+       |SELECT s1.q_ppm, s1.x AS value_r, s2.x AS value_a,
+       |  s1.x - s2.x AS qte_cents
+       |FROM sel s1 JOIN sel s2 ON s1.q_ppm = s2.q_ppm
+       |WHERE s1.key = 'R' AND s2.key = 'A'""".stripMargin
+
   /** q251: corpus top-k by |projection| onto the trained component. */
   def pcaProject(iterations: Int, k: Int): String =
     s"""WITH ${pcaCtes(iterations)},

@@ -1370,7 +1370,16 @@ object Plans {
     "q321_diff_in_differences" ->
       """DiD: ONE map-combined aggregate (eight conditional sums) after
         |a broadcast 1-row midpoint join; arms by the q171 user hash —
-        |no user-keyed shuffle, no join; all cells exact floored ppm.""".stripMargin)
+        |no user-keyed shuffle, no join; all cells exact floored ppm.""".stripMargin,
+    "q322_conformal_by_key" ->
+      """Per-key conformal: q300's keyed moments on the common grid,
+        |residual rank windows PARTITIONED BY KEY (keyspace-sized
+        |sorts), per-key q̂ + coverage in one grouped aggregate.""".stripMargin,
+    "q323_quantile_effects" ->
+      """QTE: ONE shared descent answers both arms' nine deciles
+        |(ranges ride the broadcast side); the diff runs on the 18-row
+        |quantile table. Facts pay ⌈log_B⌉ passes total, not per arm or
+        |per decile.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

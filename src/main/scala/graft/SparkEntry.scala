@@ -3185,6 +3185,30 @@ object SparkEntry {
         graft.ext.Graph.coOccurrenceEdges(
           Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
 
+    // per-segment conformal bands: q302's finite-sample threshold fitted
+    // PER EVENT TYPE on the common grid — each segment gets its own q̂
+    // and coverage readback; every sort keyspace-sized
+    "q322_conformal_by_key" -> ((s, d) =>
+      graft.ext.TimeSeries.conformalTrendIntervalByKey(
+        Tables.events(s, d), "ts", "event_type", alphaPpm = 100000L)),
+
+    // quantile treatment effects: returned-vs-accepted price at every
+    // decile — WHERE in the distribution the two populations differ
+    // (means hide tail effects); both arms answered by one shared
+    // descent, diffed on the tiny quantile table
+    "q323_quantile_effects" -> { (s, d) =>
+      val q = graft.ext.Selection.exactGroupQuantiles(
+        Tables.lineitem(s, d).filter(col("l_returnflag").isin("R", "A")),
+        "l_returnflag",
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+        ppms = (1 to 9).map(_ * 100000L))
+      q.filter(col("key") === "R")
+        .select(col("q_ppm"), col("value").as("value_r"))
+        .join(q.filter(col("key") === "A")
+          .select(col("q_ppm"), col("value").as("value_a")), Seq("q_ppm"))
+        .withColumn("qte_cents", col("value_r") - col("value_a"))
+    },
+
     // precision/recall@k operating curve for the exact cosine arm — the
     // fourth leg of the retrieval eval stack (recall q134, agreement
     // q261, nDCG q295): micro P@k, macro floored-ppm R@k, one row per
@@ -3739,6 +3763,9 @@ object SparkEntry {
       Oracles.interarrivalQuantiles(Seq(500000L, 990000L)),
     "q319_pr_curve" -> Oracles.prCurve(50, 10),
     "q320_kaplan_meier" -> Oracles.kaplanMeier,
-    "q321_diff_in_differences" -> Oracles.diffInDifferences("purchase")
+    "q321_diff_in_differences" -> Oracles.diffInDifferences("purchase"),
+    "q322_conformal_by_key" -> Oracles.conformalByKey(100000L),
+    "q323_quantile_effects" ->
+      Oracles.quantileEffects((1 to 9).map(_ * 100000L))
   )
 }

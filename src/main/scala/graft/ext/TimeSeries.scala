@@ -610,6 +610,62 @@ object TimeSeries {
         expr("n_cover * 1000000 div n_hours").as("cover_ppm"))
   }
 
+  /** Per-key [[conformalTrendInterval]] — a SEPARATE split-conformal
+    * band around each key's [[trendFitByKey]] line on the common grid:
+    * the per-segment "page when this segment's hour strays past q̂"
+    * thresholds, each with its own finite-sample guarantee (exchangeable
+    * hours within a key). Same exact integer residuals; the rank window
+    * partitions by key, so every sort is keyspace-sized.
+    */
+  def conformalTrendIntervalByKey(events: DataFrame, tsCol: String,
+                                  keyCol: String,
+                                  alphaPpm: Long = 100000L): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm <= 999999,
+      s"alphaPpm must be in [1, 999999]: $alphaPpm")
+    import org.apache.spark.sql.expressions.Window
+    val counts = events
+      .select(col(keyCol).as("key"),
+        expr(s"unix_micros($tsCol) div 3600000000").as("h"))
+      .groupBy("key", "h").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val bounds = counts.agg(min("h").as("h0"), max("h").as("h1"))
+    val series = counts.select("key").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("key"), explode(sequence(col("h0"), col("h1"))).as("h"), col("h0"))
+      .join(counts, Seq("key", "h"), "left")
+      .select(col("key"), (col("h") - col("h0")).as("t"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .localCheckpoint(true)
+    val fit = series.groupBy("key")
+      .agg(count(lit(1)).as("n_hours"), sum("t").as("st"), sum("c").as("sc"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("c")).as("stc"))
+      .select(col("key"), col("n_hours"),
+        expr("CAST(n_hours * stc - st * sc AS DECIMAL(38,0)) * 1000000" +
+          " div (n_hours * stt - st * st)").as("slope_ppm"),
+        expr("(CAST(sc AS DECIMAL(38,0)) * stt - CAST(st AS DECIMAL(38,0)) * stc) * 1000000" +
+          " div (n_hours * stt - st * st)").as("intercept_ppm"))
+    val ranked = series.join(fit, Seq("key"))
+      .select(col("key"), col("n_hours"), col("slope_ppm"), col("intercept_ppm"),
+        expr("abs(CAST(c AS DECIMAL(38,0)) * 1000000" +
+          " - CAST(slope_ppm AS DECIMAL(38,0)) * t - intercept_ppm)").as("a"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("key").orderBy(col("a"))))
+    val qhat = ranked
+      .filter(col("rn") === expr(s"least(greatest(CAST(1 AS BIGINT)," +
+        s" ((1000000 - $alphaPpm) * (n_hours + 1) + 999999) div 1000000), n_hours)"))
+      .select(col("key"), col("a").as("qhat"))
+    ranked.join(qhat, Seq("key"))
+      .groupBy("key")
+      .agg(max("n_hours").as("n_hours"), max("slope_ppm").as("slope_ppm"),
+        max("intercept_ppm").as("intercept_ppm"),
+        expr("CAST(max(qhat) AS BIGINT)").as("qhat_ppm"),
+        sum(when(col("a") <= col("qhat"), 1L).otherwise(0L)).as("n_cover"))
+      .select(col("key"), col("n_hours"), col("slope_ppm"), col("intercept_ppm"),
+        col("qhat_ppm"),
+        expr("n_cover * 1000000 div n_hours").as("cover_ppm"))
+  }
+
   /** Theil–Sen robust trend (Theil 1950 / Sen 1968, public literature):
     * the LOW-MEDIAN of pairwise slopes over the hourly grid, immune to
     * the outlier hours that drag the OLS line (a single spike moves

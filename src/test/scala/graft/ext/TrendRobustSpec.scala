@@ -56,6 +56,25 @@ class TrendRobustSpec extends SparkSpec {
     assert(r.getLong(5) == 900000L)
   }
 
+  test("conformalTrendIntervalByKey: per-key bands; a constant key reads qhat 0 beside a spiked one") {
+    // key a: constant 5 over 10 hours → residuals 0 → qhat 0, cover 1e6.
+    // key b: constant 5 with one doubled hour → nonzero qhat at rank 9.
+    val rows10 = (0 until 10).flatMap { h =>
+      val base = Seq.fill(5)(("a", f"2024-01-01 $h%02d:00:00")) ++
+        Seq.fill(if (h == 9) 10 else 5)(("b", f"2024-01-01 $h%02d:00:00"))
+      base
+    }
+    val ev = df("event_type STRING, ts TIMESTAMP",
+      rows10.map { case (k, t) => Row(k, ts(t)) })
+    val out = TimeSeries.conformalTrendIntervalByKey(ev, "ts", "event_type",
+      alphaPpm = 200000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(out("a") == ((0L, 1000000L)))
+    // key b: cal_rank = min(ceil(0.8·11), 10) = 9 of 10 → the spike hour is
+    // outside the band, 9/10 covered
+    assert(out("b")._2 == 900000L && out("b")._1 > 0L)
+  }
+
   test("decayedCountByKey: exact dyadic weights, halfLife buckets, floor shift") {
     val ev = df("k STRING, ts TIMESTAMP", Seq(
       Row("a", ts("2024-01-03 00:00:00")), // age 0 → weight 1
