@@ -6417,6 +6417,82 @@ object Oracles {
        |FROM sel s1 JOIN sel s2 ON s1.q_ppm = s2.q_ppm
        |WHERE s1.key = 'R' AND s2.key = 'A'""".stripMargin
 
+  /** q324: certified KS interval from two log-histograms — exact
+    * boundary KS + the one-sided bucket-mass upper bound, HUGEINT
+    * cross-products mirroring the engine's DECIMAL(38,0).
+    */
+  def logHistKs(subBits: Int): String = {
+    val cap = 1L << (subBits + 1)
+    def hist(flag: String, alias: String, cName: String) =
+      s"""h$alias AS (
+         |  SELECT GREATEST(LENGTH(bin(x)) - ${1 + subBits}, 0) AS s,
+         |    x >> GREATEST(LENGTH(bin(x)) - ${1 + subBits}, 0) AS m,
+         |    COUNT(*) AS cnt
+         |  FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+         |        FROM lineitem WHERE l_returnflag = '$flag') GROUP BY 1, 2),
+         |b$alias AS (
+         |  SELECT s * $cap + m AS bucket_id, CAST(SUM(cnt) AS BIGINT) AS $cName
+         |  FROM h$alias GROUP BY 1)""".stripMargin
+    s"""WITH ${hist("R", "a", "ca")},
+       |${hist("A", "b", "cb")},
+       |j AS (
+       |  SELECT COALESCE(ba.bucket_id, bb.bucket_id) AS bucket_id,
+       |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+       |  FROM ba FULL OUTER JOIN bb ON ba.bucket_id = bb.bucket_id),
+       |cum AS (
+       |  SELECT bucket_id, ca, cb,
+       |    CAST(SUM(ca) OVER (ORDER BY bucket_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum_a,
+       |    CAST(SUM(cb) OVER (ORDER BY bucket_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum_b
+       |  FROM j),
+       |tot AS (SELECT MAX(cum_a) AS n_a, MAX(cum_b) AS n_b FROM cum),
+       |d AS (
+       |  SELECT bucket_id, ca, cb, tot.n_a, tot.n_b,
+       |    cum_a * tot.n_b - cum_b * tot.n_a AS dd
+       |  FROM cum, tot),
+       |d2 AS (
+       |  SELECT n_a, n_b, ca, cb, dd,
+       |    COALESCE(lag(dd) OVER (ORDER BY bucket_id), CAST(0 AS HUGEINT)) AS d_prev
+       |  FROM d),
+       |m AS (
+       |  SELECT n_a, n_b, MAX(abs(dd)) AS lo_s,
+       |    MAX(GREATEST(abs(d_prev + ca::HUGEINT * n_b),
+       |        abs(d_prev - cb::HUGEINT * n_a))) AS hi_s
+       |  FROM d2 GROUP BY 1, 2)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+       |    ELSE lo_s * 1000000 // (n_a::HUGEINT * n_b) END AS BIGINT) AS ks_lo_ppm,
+       |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+       |    ELSE hi_s * 1000000 // (n_a::HUGEINT * n_b) END AS BIGINT) AS ks_hi_ppm
+       |FROM m""".stripMargin
+  }
+
+  /** q325: quality-threshold yield curve — the textStats quality score
+    * milli-rounded, by-score collapse, threshold grid over the collapsed
+    * relation.
+    */
+  def yieldCurve(steps: Int): String =
+    s"""WITH per AS (
+       |  SELECT CAST(round(quality * 1000) AS BIGINT) AS s,
+       |    CAST(n_tokens AS BIGINT) AS tok
+       |  FROM ($textStats)),
+       |bs AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS nd,
+       |  CAST(SUM(tok) AS BIGINT) AS nt FROM per GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS td,
+       |  CAST(SUM(nt) AS BIGINT) AS tt FROM bs),
+       |g AS (SELECT CAST(unnest(generate_series(0, ${steps - 1}))
+       |  * ${1000 / steps} AS BIGINT) AS thr_milli),
+       |r AS (
+       |  SELECT g.thr_milli, COALESCE(SUM(bs.nd), 0) AS n_docs,
+       |    COALESCE(SUM(bs.nt), 0) AS n_tokens
+       |  FROM g LEFT JOIN bs ON bs.s >= g.thr_milli GROUP BY 1)
+       |SELECT thr_milli, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_docs::HUGEINT * 1000000 // tot.td AS BIGINT) AS doc_ppm,
+       |  CAST(n_tokens::HUGEINT * 1000000 // tot.tt AS BIGINT) AS token_ppm
+       |FROM r, tot""".stripMargin
+
   /** q251: corpus top-k by |projection| onto the trained component. */
   def pcaProject(iterations: Int, k: Int): String =
     s"""WITH ${pcaCtes(iterations)},

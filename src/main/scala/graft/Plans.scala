@@ -1379,7 +1379,17 @@ object Plans {
       """QTE: ONE shared descent answers both arms' nine deciles
         |(ranges ride the broadcast side); the diff runs on the 18-row
         |quantile table. Facts pay ⌈log_B⌉ passes total, not per arm or
-        |per decile.""".stripMargin)
+        |per decile.""".stripMargin,
+    "q324_loghist_ks" ->
+      """Certified KS: the readout is two windows + one aggregate over
+        |KB-sized histogram sketches — the corpus is never re-read.
+        |Boundary KS is EXACT (bucketing loses nothing at boundaries);
+        |the upper bound adds the attainable one-sided bucket masses.
+        |True KS provably inside [lo, hi] — certified, not asserted.""".stripMargin,
+    "q325_yield_curve" ->
+      """Yield curve: one text pass → (score_milli, tokens), by-score
+        |collapse to ≤1001 rows, threshold grid joins the COLLAPSED
+        |relation — facts are never multiplied by the grid.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -3185,6 +3185,26 @@ object SparkEntry {
         graft.ext.Graph.coOccurrenceEdges(
           Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
 
+    // certified KS drift from two KB-sized log-histograms — the q269
+    // certification pattern on distribution DISTANCE: exact boundary KS
+    // (lower bound) + the one-sided bucket-mass upper bound; the true
+    // raw-value KS (q315) provably sits inside. Corpus never re-read at
+    // readout time — feed two periods of the streaming hist cells
+    "q324_loghist_ks" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      def hist(flag: String) = graft.ext.Sketch.logHistogram(
+        li.filter(col("l_returnflag") === flag),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"), Seq.empty)
+      graft.ext.Sketch.logHistKs(hist("R"), hist("A"))
+    },
+
+    // quality-threshold yield curve: docs + token mass retained at every
+    // milli-grid cutoff — prices ALL thresholds before q167 commits to
+    // one. One text pass, by-score collapse (≤1001 rows), grid joins
+    // the collapsed relation
+    "q325_yield_curve" -> ((s, d) =>
+      graft.ext.Curation.yieldCurve(Tables.documents(s, d), steps = 20)),
+
     // per-segment conformal bands: q302's finite-sample threshold fitted
     // PER EVENT TYPE on the common grid — each segment gets its own q̂
     // and coverage readback; every sort keyspace-sized
@@ -3766,6 +3786,8 @@ object SparkEntry {
     "q321_diff_in_differences" -> Oracles.diffInDifferences("purchase"),
     "q322_conformal_by_key" -> Oracles.conformalByKey(100000L),
     "q323_quantile_effects" ->
-      Oracles.quantileEffects((1 to 9).map(_ * 100000L))
+      Oracles.quantileEffects((1 to 9).map(_ * 100000L)),
+    "q324_loghist_ks" -> Oracles.logHistKs(4),
+    "q325_yield_curve" -> Oracles.yieldCurve(20)
   )
 }

@@ -263,4 +263,35 @@ object Curation {
       sum(when(col("fail") && col("n_flags") === 1, 1L).otherwise(0L))
         .as("n_exclusive"))
   }
+
+  /** Quality-threshold YIELD CURVE: for every cutoff on a milli-unit
+    * grid, the documents and token mass a `quality ≥ t` gate would
+    * retain — the knob-sweep a curation session reads BEFORE committing
+    * to one threshold (q167 applies one cut; this prices all of them).
+    * One text pass to (score_milli, tokens), a by-score collapse
+    * (≤ 1001 rows), then the threshold grid joins the COLLAPSED relation
+    * — facts are never multiplied by the grid.
+    */
+  def yieldCurve(docs: DataFrame, steps: Int = 20,
+                 textCol: String = "text"): DataFrame = {
+    require(steps >= 2 && steps <= 1000 && 1000 % steps == 0,
+      s"steps must divide 1000: $steps")
+    val perDoc = docs.select(
+      round(TextAnalysis.qualityScore(col(textCol)) * 1000, 0)
+        .cast("long").as("s"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("tok"))
+    val byScore = perDoc.groupBy("s")
+      .agg(count(lit(1)).as("nd"), sum("tok").as("nt"))
+    val tot = byScore.agg(sum("nd").as("td"), sum("nt").as("tt"))
+    val grid = docs.sparkSession.range(0, steps)
+      .select((col("id") * (1000 / steps)).as("thr_milli"))
+    grid.join(byScore, col("s") >= col("thr_milli"), "left")
+      .groupBy("thr_milli")
+      .agg(coalesce(sum("nd"), lit(0L)).as("n_docs"),
+        coalesce(sum("nt"), lit(0L)).as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("thr_milli"), col("n_docs"), col("n_tokens"),
+        expr("CAST(n_docs AS DECIMAL(38,0)) * 1000000 div td").as("doc_ppm"),
+        expr("CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div tt").as("token_ppm"))
+  }
 }

@@ -738,6 +738,58 @@ object Sketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Certified Kolmogorov–Smirnov interval from two [[logHistogram]]s —
+    * the q269 certification pattern applied to distribution DISTANCE:
+    * `ks_lo_ppm` is the exact KS of the bucketed distributions
+    * (CDFs at bucket boundaries are EXACT — bucketing loses nothing
+    * there), and `ks_hi_ppm` bounds the true raw-value KS from above
+    * (within bucket i the two CDFs can diverge past the boundary gap by
+    * at most the one-sided bucket masses: sup ≤ max(|D_{i−1} + aᵢ·n_b|,
+    * |D_{i−1} − bᵢ·n_a|), attainable when one side's bucket mass fully
+    * precedes the other's). True KS ∈ [ks_lo, ks_hi] — certified, not
+    * asserted. All arithmetic integer cross-products in DECIMAL(38,0).
+    *
+    * Scale shape: histograms are KB-sized sketches (mergeable,
+    * re-sliceable); the whole readout is two windows + one aggregate
+    * over bucket rows — corpus never re-read. Feed it two periods of
+    * [[graft.streaming.Streams.logHistHourly]] cells for a continuous
+    * certified drift monitor.
+    */
+  def logHistKs(histA: DataFrame, histB: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = histA.select(col("bucket_id"), col("cnt").as("ca"))
+      .join(histB.select(col("bucket_id"), col("cnt").as("cb")),
+        Seq("bucket_id"), "full_outer")
+      .select(col("bucket_id"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val wRun = Window.orderBy("bucket_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = j.select(col("bucket_id"), col("ca"), col("cb"),
+        sum("ca").over(wRun).as("cum_a"), sum("cb").over(wRun).as("cum_b"))
+      .localCheckpoint(true) // bucket-keyspace rows; feeds totals + gaps
+    val tot = cum.agg(max("cum_a").as("n_a"), max("cum_b").as("n_b"))
+    val wLag = Window.orderBy("bucket_id")
+    cum.crossJoin(broadcast(tot))
+      .select(col("bucket_id"), col("n_a"), col("n_b"), col("ca"), col("cb"),
+        expr("CAST(cum_a AS DECIMAL(38,0)) * n_b" +
+          " - CAST(cum_b AS DECIMAL(38,0)) * n_a").as("dd"))
+      .withColumn("d_prev",
+        coalesce(lag("dd", 1).over(wLag), expr("CAST(0 AS DECIMAL(38,0))")))
+      .withColumn("hi_c",
+        greatest(abs(col("d_prev") + expr("CAST(ca AS DECIMAL(38,0)) * n_b")),
+          abs(col("d_prev") - expr("CAST(cb AS DECIMAL(38,0)) * n_a"))))
+      .groupBy("n_a", "n_b")
+      .agg(max(abs(col("dd"))).as("lo_s"), max("hi_c").as("hi_s"))
+      .select(col("n_a"), col("n_b"),
+        expr("CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE" +
+          " lo_s * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b) END")
+          .as("ks_lo_ppm"),
+        expr("CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE" +
+          " hi_s * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b) END")
+          .as("ks_hi_ppm"))
+  }
+
   /** Merge per-shard/day/tenant histograms: counts add, bucket identity
     * is positional — the same contract as [[mergeRegisters]]. Re-reading
     * raw rows is never needed to combine or re-slice the sketch.

@@ -52,6 +52,43 @@ class RobustQualitySpec extends SparkSpec {
     assert(r2.getLong(4) == 20000L)
   }
 
+  test("logHistKs: certified interval contains the exact KS; lo <= hi") {
+    val d1 = df("grp STRING, v BIGINT",
+      (1L to 400L).map(i => Row(if (i % 2 == 0) "R" else "A",
+        if (i % 2 == 0) (i * 37) % 4000 + 1 else (i * 53) % 900 + 1)))
+    def hist(flag: String) = Sketch.logHistogram(
+      d1.filter(col("grp") === flag), col("v"), Seq.empty)
+    val iv = Sketch.logHistKs(hist("R"), hist("A")).head()
+    val exact = RankStats.ksStatistic(d1, col("grp"), "R", col("v"))
+      .head().getLong(3)
+    val (lo, hi) = (iv.getLong(2), iv.getLong(3))
+    assert(lo <= hi, s"lo=$lo hi=$hi")
+    assert(lo <= exact && exact <= hi,
+      s"exact KS $exact must sit inside the certified [$lo, $hi]")
+  }
+
+  test("logHistKs: identical histograms read a zero lower bound") {
+    val d1 = df("grp STRING, v BIGINT",
+      (1L to 100L).flatMap(i => Seq(Row("R", i), Row("A", i))))
+    def hist(flag: String) = Sketch.logHistogram(
+      d1.filter(col("grp") === flag), col("v"), Seq.empty)
+    val iv = Sketch.logHistKs(hist("R"), hist("A")).head()
+    assert(iv.getLong(2) == 0L)
+  }
+
+  test("yieldCurve: monotone non-increasing, threshold 0 retains everything") {
+    val docs = df("doc_id BIGINT, text STRING",
+      (1L to 30L).map(i => Row(i,
+        if (i % 3 == 0) "the quick brown fox jumps over the lazy dog and runs"
+        else if (i % 3 == 1) "x" else "!!! ??? !!!")))
+    val out = Curation.yieldCurve(docs, steps = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(out(0L) == ((30L, 1000000L))) // threshold 0 keeps all docs
+    val curve = out.toSeq.sortBy(_._1).map(_._2._1)
+    assert(curve.zip(curve.tail).forall { case (a, b) => a >= b },
+      s"retained docs must be non-increasing in the threshold: $curve")
+  }
+
   test("chi2Independence: zero cells contribute their expectation (full grid)") {
     // 2×2 with one absent combination: x only in b=0, y in both
     val d1 = df("a STRING, b STRING",
