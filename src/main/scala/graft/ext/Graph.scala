@@ -642,8 +642,12 @@ object Graph {
     * Scale shape: [[triangleCounts]]'s degree-oriented wedge
     * enumeration (O(Σ min-deg) fan-in, never a wedge DISTINCT) plus one
     * degree aggregate and a keyspace-sized left join.
+    * `broadcastClosingEdges` carries [[triangleCounts]]'s contract: pass
+    * false when the edge list outgrows executor memory and the closing
+    * join becomes a partitioned equi-join on (a, c).
     */
-  def localClustering(edges: DataFrame): DataFrame = {
+  def localClustering(edges: DataFrame,
+                      broadcastClosingEdges: Boolean = true): DataFrame = {
     // inline [[triangleCounts]]'s wedge census rather than calling it:
     // sharing ONE materialization of the edge list and ONE degree
     // aggregate across orientation and normalization halves the edge
@@ -664,7 +668,8 @@ object Graph {
     val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
     val e2 = oriented.select(col("src").as("b"), col("dst").as("c"))
     val e3 = oriented.select(col("src").as("a"), col("dst").as("c"))
-    val tri = e1.join(e2, "b").join(broadcast(e3), Seq("a", "c"))
+    val closing = if (broadcastClosingEdges) broadcast(e3) else e3
+    val tri = e1.join(e2, "b").join(closing, Seq("a", "c"))
       .select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("triangles"))
     deg.filter(col("d") >= 2)

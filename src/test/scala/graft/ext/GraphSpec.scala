@@ -379,4 +379,11 @@ class GraphSpec extends SparkSpec {
     assert(rowSet(Graph.localClustering(e)) == rows(
       Seq("1", "3", "0", "0")))
   }
+
+  test("localClustering: shuffle closing-join arm matches the broadcast arm") {
+    val e = df("u BIGINT, v BIGINT",
+      Seq(Row(1L, 2L), Row(1L, 3L), Row(2L, 3L), Row(3L, 4L), Row(2L, 4L)))
+    assertSameRows(Graph.localClustering(e),
+      Graph.localClustering(e, broadcastClosingEdges = false))
+  }
 }
