@@ -6468,6 +6468,66 @@ object Oracles {
        |FROM m""".stripMargin
   }
 
+  /** q326: hourly certified KS drift series — per hour vs its
+    * predecessor, from the q238 histogram cells; the q324 arithmetic
+    * with every window partitioned by hour.
+    */
+  def logHistKsSeries(subBits: Int): String = {
+    val cap = 1L << (subBits + 1)
+    s"""WITH v AS (
+       |  SELECT epoch_us(ts) // 3600000000 AS g,
+       |    CAST(round(value * 100) AS BIGINT) AS x
+       |  FROM events),
+       |h AS (
+       |  SELECT g, GREATEST(LENGTH(bin(x)) - ${1 + subBits}, 0) AS s,
+       |    x >> GREATEST(LENGTH(bin(x)) - ${1 + subBits}, 0) AS m,
+       |    COUNT(*) AS cnt
+       |  FROM v GROUP BY 1, 2, 3),
+       |b AS (
+       |  SELECT g, s * $cap + m AS bucket_id, CAST(SUM(cnt) AS BIGINT) AS cnt
+       |  FROM h GROUP BY 1, 2),
+       |gs AS (SELECT DISTINCT g FROM b),
+       |mp AS (
+       |  SELECT g, lag(g) OVER (ORDER BY g) AS g_prev FROM gs
+       |  QUALIFY g_prev IS NOT NULL),
+       |cur AS (SELECT mp.g, b.bucket_id, b.cnt AS ca
+       |        FROM mp JOIN b ON b.g = mp.g),
+       |prv AS (SELECT mp.g, b.bucket_id, b.cnt AS cb
+       |        FROM mp JOIN b ON b.g = mp.g_prev),
+       |j AS (
+       |  SELECT COALESCE(cur.g, prv.g) AS g,
+       |    COALESCE(cur.bucket_id, prv.bucket_id) AS bucket_id,
+       |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+       |  FROM cur FULL OUTER JOIN prv
+       |    ON cur.g = prv.g AND cur.bucket_id = prv.bucket_id),
+       |cum AS (
+       |  SELECT g, bucket_id, ca, cb,
+       |    CAST(SUM(ca) OVER (PARTITION BY g ORDER BY bucket_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum_a,
+       |    CAST(SUM(cb) OVER (PARTITION BY g ORDER BY bucket_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum_b
+       |  FROM j),
+       |tot AS (SELECT g, MAX(cum_a) AS n_a, MAX(cum_b) AS n_b FROM cum GROUP BY 1),
+       |d AS (
+       |  SELECT cum.g, bucket_id, ca, cb, tot.n_a, tot.n_b,
+       |    cum_a * tot.n_b - cum_b * tot.n_a AS dd
+       |  FROM cum JOIN tot USING (g)),
+       |d2 AS (
+       |  SELECT g, n_a, n_b, ca, cb, dd,
+       |    COALESCE(lag(dd) OVER (PARTITION BY g ORDER BY bucket_id),
+       |      CAST(0 AS HUGEINT)) AS d_prev
+       |  FROM d)
+       |SELECT g AS h, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+       |    ELSE MAX(abs(dd)) * 1000000 // (n_a::HUGEINT * n_b) END AS BIGINT)
+       |    AS ks_lo_ppm,
+       |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+       |    ELSE MAX(GREATEST(abs(d_prev + ca::HUGEINT * n_b),
+       |      abs(d_prev - cb::HUGEINT * n_a))) * 1000000
+       |      // (n_a::HUGEINT * n_b) END AS BIGINT) AS ks_hi_ppm
+       |FROM d2 GROUP BY g, n_a, n_b""".stripMargin
+  }
+
   /** q325: quality-threshold yield curve — the textStats quality score
     * milli-rounded, by-score collapse, threshold grid over the collapsed
     * relation.

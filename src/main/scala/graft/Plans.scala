@@ -1389,7 +1389,12 @@ object Plans {
     "q325_yield_curve" ->
       """Yield curve: one text pass → (score_milli, tokens), by-score
         |collapse to ≤1001 rows, threshold grid joins the COLLAPSED
-        |relation — facts are never multiplied by the grid.""".stripMargin)
+        |relation — facts are never multiplied by the grid.""".stripMargin,
+    "q326_ks_drift_series" ->
+      """Certified drift series: the streaming histogram's KB-sized
+        |cells are the ONLY input — corpus touched once by the emitter.
+        |Pairing joins + q324's arithmetic, every window partitioned by
+        |hour; all work (hours × buckets) sketch metadata.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

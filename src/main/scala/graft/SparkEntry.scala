@@ -3198,6 +3198,17 @@ object SparkEntry {
       graft.ext.Sketch.logHistKs(hist("R"), hist("A"))
     },
 
+    // hourly certified KS drift series: every hour's value distribution
+    // vs its predecessor, read ENTIRELY from the streaming histogram's
+    // KB-sized cells (q238's mode-adaptive emitter) — the continuous
+    // certified drift monitor; true hour-over-hour KS ∈ [lo, hi]
+    "q326_ks_drift_series" -> { (s, d) =>
+      val hist = graft.streaming.Streams.logHistHourly(Tables.events(s, d))
+        .select(expr("unix_micros(hour) div 3600000000").as("h"),
+          col("bucket_id"), col("cnt"))
+      graft.ext.Sketch.logHistKsSeries(hist, "h")
+    },
+
     // quality-threshold yield curve: docs + token mass retained at every
     // milli-grid cutoff — prices ALL thresholds before q167 commits to
     // one. One text pass, by-score collapse (≤1001 rows), grid joins
@@ -3788,6 +3799,7 @@ object SparkEntry {
     "q323_quantile_effects" ->
       Oracles.quantileEffects((1 to 9).map(_ * 100000L)),
     "q324_loghist_ks" -> Oracles.logHistKs(4),
-    "q325_yield_curve" -> Oracles.yieldCurve(20)
+    "q325_yield_curve" -> Oracles.yieldCurve(20),
+    "q326_ks_drift_series" -> Oracles.logHistKsSeries(4)
   )
 }

@@ -790,6 +790,61 @@ object Sketch {
           .as("ks_hi_ppm"))
   }
 
+  /** [[logHistKs]] as a SERIES: for every group (hour/day/shard) with an
+    * ordered predecessor, the certified KS interval against that
+    * predecessor — the continuous drift monitor
+    * [[graft.streaming.Streams.logHistHourly]]'s cells feed without ever
+    * re-reading the corpus. One lead/lag pass over the distinct groups,
+    * two joins to pair each group with its predecessor's cells, then the
+    * [[logHistKs]] arithmetic with every window PARTITIONED BY group —
+    * all work is (groups × buckets)-sized sketch metadata.
+    */
+  def logHistKsSeries(hist: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = hist.select(col(groupCol).as("g"), col("bucket_id"), col("cnt"))
+    val m = base.select("g").distinct()
+      .withColumn("g_prev", lag("g", 1).over(Window.orderBy("g")))
+      .filter(col("g_prev").isNotNull)
+      .localCheckpoint(true) // group-keyspace; feeds both pairing joins
+    val cur = base.join(m.select("g"), Seq("g"))
+      .select(col("g"), col("bucket_id"), col("cnt").as("ca"))
+    val prv = base.select(col("g").as("g_prev"), col("bucket_id"),
+        col("cnt").as("cb"))
+      .join(m, Seq("g_prev"))
+      .select(col("g"), col("bucket_id"), col("cb"))
+    val j = cur.join(prv, Seq("g", "bucket_id"), "full_outer")
+      .select(col("g"), col("bucket_id"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val wRun = Window.partitionBy("g").orderBy("bucket_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("g")
+    val wLag = Window.partitionBy("g").orderBy("bucket_id")
+    j.select(col("g"), col("bucket_id"), col("ca"), col("cb"),
+        sum("ca").over(wRun).as("cum_a"), sum("cb").over(wRun).as("cum_b"))
+      .select(col("g"), col("bucket_id"), col("ca"), col("cb"),
+        col("cum_a"), col("cum_b"),
+        max("cum_a").over(wAll).as("n_a"), max("cum_b").over(wAll).as("n_b"))
+      .select(col("g"), col("bucket_id"), col("ca"), col("cb"),
+        col("n_a"), col("n_b"),
+        expr("CAST(cum_a AS DECIMAL(38,0)) * n_b" +
+          " - CAST(cum_b AS DECIMAL(38,0)) * n_a").as("dd"))
+      .withColumn("d_prev",
+        coalesce(lag("dd", 1).over(wLag), expr("CAST(0 AS DECIMAL(38,0))")))
+      .withColumn("hi_c",
+        greatest(abs(col("d_prev") + expr("CAST(ca AS DECIMAL(38,0)) * n_b")),
+          abs(col("d_prev") - expr("CAST(cb AS DECIMAL(38,0)) * n_a"))))
+      .groupBy("g", "n_a", "n_b")
+      .agg(max(abs(col("dd"))).as("lo_s"), max("hi_c").as("hi_s"))
+      .select(col("g").as(groupCol), col("n_a"), col("n_b"),
+        expr("CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE" +
+          " lo_s * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b) END")
+          .as("ks_lo_ppm"),
+        expr("CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE" +
+          " hi_s * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b) END")
+          .as("ks_hi_ppm"))
+  }
+
   /** Merge per-shard/day/tenant histograms: counts add, bucket identity
     * is positional — the same contract as [[mergeRegisters]]. Re-reading
     * raw rows is never needed to combine or re-slice the sketch.

@@ -76,6 +76,25 @@ class RobustQualitySpec extends SparkSpec {
     assert(iv.getLong(2) == 0L)
   }
 
+  test("logHistKsSeries: per-pair intervals match pairwise logHistKs; identical adjacent hours read lo 0") {
+    val hist = df("h BIGINT, bucket_id BIGINT, cnt BIGINT",
+      // hour 1 and hour 2 identical; hour 3 shifted mass
+      Seq(Row(1L, 10L, 5L), Row(1L, 12L, 3L),
+        Row(2L, 10L, 5L), Row(2L, 12L, 3L),
+        Row(3L, 14L, 8L)))
+    val out = Sketch.logHistKsSeries(hist, "h")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set(2L, 3L))
+    assert(out(2L)._1 == 0L, "identical adjacent hours must read ks_lo 0")
+    // hour 3 vs 2: disjoint buckets → lo = hi = 1e6
+    assert(out(3L) == ((1000000L, 1000000L)))
+    // per-pair rows equal the two-sided readout
+    val pair = Sketch.logHistKs(
+      df("bucket_id BIGINT, cnt BIGINT", Seq(Row(14L, 8L))),
+      df("bucket_id BIGINT, cnt BIGINT", Seq(Row(10L, 5L), Row(12L, 3L)))).head()
+    assert((pair.getLong(2), pair.getLong(3)) == out(3L))
+  }
+
   test("yieldCurve: monotone non-increasing, threshold 0 retains everything") {
     val docs = df("doc_id BIGINT, text STRING",
       (1L to 30L).map(i => Row(i,
