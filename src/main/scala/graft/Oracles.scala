@@ -6277,14 +6277,17 @@ object Oracles {
        |  FROM rk LEFT JOIN qr USING (query_id, doc_id)),
        |ks AS (SELECT CAST(unnest(generate_series(1, $kMax)) AS BIGINT) AS k),
        |pqk AS (
-       |  SELECT h.query_id, ks.k, CAST(SUM(h.rel) AS BIGINT) AS hits
+       |  SELECT h.query_id, ks.k, CAST(SUM(h.rel) AS BIGINT) AS hits,
+       |    CAST(COUNT(*) AS BIGINT) AS slots
        |  FROM hits h JOIN ks ON h.rnk <= ks.k GROUP BY 1, 2),
        |grid AS (
-       |  SELECT pn.query_id, ks.k, pn.n_rel, COALESCE(pqk.hits, 0) AS hits
+       |  SELECT pn.query_id, ks.k, pn.n_rel, COALESCE(pqk.hits, 0) AS hits,
+       |    COALESCE(pqk.slots, 0) AS slots
        |  FROM pn CROSS JOIN ks
        |  LEFT JOIN pqk ON pqk.query_id = pn.query_id AND pqk.k = ks.k)
        |SELECT k, CAST(SUM(hits) AS BIGINT) AS total_hits,
-       |  CAST(SUM(hits)::HUGEINT * 1000000 // (k * COUNT(*)) AS BIGINT) AS p_at_k_ppm,
+       |  CASE WHEN SUM(slots) = 0 THEN NULL
+       |    ELSE CAST(SUM(hits)::HUGEINT * 1000000 // SUM(slots) AS BIGINT) END AS p_at_k_ppm,
        |  CAST(SUM(CASE WHEN n_rel = 0 THEN 0
        |    ELSE hits::HUGEINT * 1000000 // n_rel END) // COUNT(*) AS BIGINT) AS r_at_k_ppm
        |FROM grid GROUP BY 1""".stripMargin

@@ -1401,17 +1401,35 @@ object Plans {
     val spark = GraftSession.builder("local[8]", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val noteMap = notes.toMap
+    require(noteMap.size == notes.size, {
+      val dup = notes.groupBy(_._1).collect { case (n, vs) if vs.size > 1 => n }
+      s"duplicate plan notes: ${dup.mkString(", ")}"
+    })
+    val stale = noteMap.keySet -- SparkEntry.queries.keySet
+    require(stale.isEmpty, s"notes for unregistered queries: ${stale.mkString(", ")}")
+    // EVERY registered query's physical plan is emitted (the committed
+    // audit artifact); `notes` is the hand-written scale analysis layer on
+    // top — unannotated queries still get their full formatted plan.
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Plans)\n\n")
     sb.append(s"Source: `$sfDir`. Regenerate: `sbt \"runMain graft.Plans $sfDir\"`.\n")
-    notes.foreach { case (name, note) =>
+    sb.append(s"Every registered query is emitted; ${noteMap.size} carry a ")
+    sb.append("hand-written scale note (the rest state the family whose note applies).\n")
+    var annotated = 0
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+      val note = noteMap.get(name) match {
+        case Some(n) => annotated += 1; n
+        case None => "(plan emitted for audit completeness; no dedicated " +
+          "scale note — the operator's family note and Scaladoc carry the analysis)"
+      }
       sb.append(s"\n## $name\n\n$note\n\n```\n$plan```\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"wrote PLANS.md (${notes.size} plans)")
+    println(s"wrote PLANS.md (${SparkEntry.queries.size} plans, $annotated annotated)")
     spark.stop()
   }
 }

@@ -3403,7 +3403,37 @@ object SparkEntry {
     "q306_local_clustering" -> ((s, d) =>
       graft.ext.Graph.localClustering(
         graft.ext.Graph.coOccurrenceEdges(
-          Tables.lineitem(s, d), "l_orderkey", "l_partkey")))
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
+
+    // stream-fed CUSUM: the q274 changepoint screen re-read ENTIRELY from
+    // the hourly-count emitter's closed windows (q309's mode-adaptive
+    // sufficient statistic) — counts gap-fill to the same dense grid, the
+    // IDENTICAL closed-form screen runs on top, so the continuous monitor
+    // equals the batch one bit-for-bit (same oracle as q274)
+    "q327_cusum_stream" -> { (s, d) =>
+      val counts = graft.streaming.Streams.decayedCountsHourly(
+        Tables.events(s, d))
+      graft.ext.TimeSeries.cusumScreen(
+        graft.ext.TimeSeries.gapFillFromCounts(counts)
+          .withColumnRenamed("key", "event_type"))
+    },
+
+    // stream-fed conformal band: q302's finite-sample threshold computed
+    // from the SAME emitter's (hour, key, c) rows — per-key counts
+    // collapse to the global hourly series, then the shared fit +
+    // calibration path runs unchanged (same oracle as q302)
+    "q328_conformal_stream" -> ((s, d) =>
+      graft.ext.TimeSeries.conformalBandFromCounts(
+        graft.streaming.Streams.decayedCountsHourly(Tables.events(s, d)),
+        alphaPpm = 100000L)),
+
+    // stream-fed per-segment conformal bands: q322 re-read from the
+    // emitter's closed windows — per-key gap-fill on the global span,
+    // shared per-key fit/calibration path (same oracle as q322)
+    "q329_conformal_by_key_stream" -> ((s, d) =>
+      graft.ext.TimeSeries.conformalByKeyFromCounts(
+        graft.streaming.Streams.decayedCountsHourly(Tables.events(s, d)),
+        alphaPpm = 100000L))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -3800,6 +3830,12 @@ object SparkEntry {
       Oracles.quantileEffects((1 to 9).map(_ * 100000L)),
     "q324_loghist_ks" -> Oracles.logHistKs(4),
     "q325_yield_curve" -> Oracles.yieldCurve(20),
-    "q326_ks_drift_series" -> Oracles.logHistKsSeries(4)
+    "q326_ks_drift_series" -> Oracles.logHistKsSeries(4),
+    // stream-fed twins: the emitters' closed windows are sufficient
+    // statistics, so each oracle is its batch twin's oracle verbatim —
+    // the hash match proves the stream path loses nothing
+    "q327_cusum_stream" -> Oracles.cusumScreen(96, 20, 8),
+    "q328_conformal_stream" -> Oracles.conformalTrendInterval(100000L),
+    "q329_conformal_by_key_stream" -> Oracles.conformalByKey(100000L)
   )
 }

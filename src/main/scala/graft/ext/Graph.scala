@@ -375,14 +375,18 @@ object Graph {
     * dominated the wall clock 3× over (the q55 iterative-lineage lesson
     * applied to a DAG that merely FANS OUT). Both checkpoints are O(m).
     *
-    * `broadcastClosingEdges`: the wedge stream (the big intermediate,
+    * `broadcastEdgeLimit`: the wedge stream (the big intermediate,
     * O(Σ out-deg²) rows) closes against the edge list; broadcasting that
     * probe means the wedges are never reshuffled. Right whenever the edge
-    * list fits executor memory; at billions of edges pass false and the
-    * closing join becomes a partitioned equi-join on (a, c).
+    * list fits executor memory — so the arm is chosen AUTOMATICALLY by
+    * counting the (already-checkpointed) edge list against the limit,
+    * exactly like [[pageRank]]'s `broadcastNodeLimit`: a billion-edge
+    * graph can never silently pick the O(m) broadcast; above the limit
+    * the closing join becomes a partitioned equi-join on (a, c). Both
+    * arms are the same integer census — identical rows.
     */
   def triangleCounts(edges: DataFrame,
-                     broadcastClosingEdges: Boolean = true): DataFrame = {
+                     broadcastEdgeLimit: Long = 4000000L): DataFrame = {
     val und = edges.select(col("u"), col("v")).localCheckpoint(true)
     val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -401,7 +405,9 @@ object Graph {
     val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
     val e2 = oriented.select(col("src").as("b"), col("dst").as("c"))
     val e3 = oriented.select(col("src").as("a"), col("dst").as("c"))
-    val closing = if (broadcastClosingEdges) broadcast(e3) else e3
+    // automatic arm gate: oriented is checkpointed, so the count reads
+    // cached blocks — O(partitions) driver work, no recompute
+    val closing = if (oriented.count() <= broadcastEdgeLimit) broadcast(e3) else e3
     val tris = e1.join(e2, "b").join(closing, Seq("a", "c"))
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("triangles"))
@@ -642,12 +648,12 @@ object Graph {
     * Scale shape: [[triangleCounts]]'s degree-oriented wedge
     * enumeration (O(Σ min-deg) fan-in, never a wedge DISTINCT) plus one
     * degree aggregate and a keyspace-sized left join.
-    * `broadcastClosingEdges` carries [[triangleCounts]]'s contract: pass
-    * false when the edge list outgrows executor memory and the closing
-    * join becomes a partitioned equi-join on (a, c).
+    * `broadcastEdgeLimit` carries [[triangleCounts]]'s contract: the
+    * closing-join arm is chosen automatically by edge count — above the
+    * limit the closing join becomes a partitioned equi-join on (a, c).
     */
   def localClustering(edges: DataFrame,
-                      broadcastClosingEdges: Boolean = true): DataFrame = {
+                      broadcastEdgeLimit: Long = 4000000L): DataFrame = {
     // inline [[triangleCounts]]'s wedge census rather than calling it:
     // sharing ONE materialization of the edge list and ONE degree
     // aggregate across orientation and normalization halves the edge
@@ -668,7 +674,7 @@ object Graph {
     val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
     val e2 = oriented.select(col("src").as("b"), col("dst").as("c"))
     val e3 = oriented.select(col("src").as("a"), col("dst").as("c"))
-    val closing = if (broadcastClosingEdges) broadcast(e3) else e3
+    val closing = if (oriented.count() <= broadcastEdgeLimit) broadcast(e3) else e3
     val tri = e1.join(e2, "b").join(closing, Seq("a", "c"))
       .select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("triangles"))

@@ -58,9 +58,11 @@ object Layout {
                     probeModA: Int = 97, probeModB: Int = 61): DataFrame = {
     require(nFiles >= 1, s"nFiles must be positive: $nFiles")
     val mask = 1L << bits
+    // pmod, not %: negative keys must still land in [0, mask) or the
+    // z/hilbert coordinates go negative and the curve order is garbage
     val base = df.select(col(idCol).cast("long").as("id"),
-        (col(keyA).cast("long") % mask).as("ka"),
-        (col(keyB).cast("long") % mask).as("kb"))
+        pmod(col(keyA).cast("long"), lit(mask)).as("ka"),
+        pmod(col(keyB).cast("long"), lit(mask)).as("kb"))
       .withColumn("z", graft.load.Sinks.zValue(col("ka"), col("kb"), bits))
       // the keys feed two independent global sorts plus two probe panels:
       // pin them once so the scan/mask runs once
@@ -226,8 +228,8 @@ object Layout {
     require(nFiles >= 1, s"nFiles must be positive: $nFiles")
     val mask = 1L << bits
     val masked = df.select(col(idCol).cast("long").as("id"),
-        (col(keyA).cast("long") % mask).as("ka"),
-        (col(keyB).cast("long") % mask).as("kb"))
+        pmod(col(keyA).cast("long"), lit(mask)).as("ka"),
+        pmod(col(keyB).cast("long"), lit(mask)).as("kb"))
       .withColumn("z", graft.load.Sinks.zValue(col("ka"), col("kb"), bits))
     val base = withHilbert(masked, "ka", "kb", bits).localCheckpoint(true)
     val n = base.count()

@@ -24,7 +24,11 @@ object RankStats {
     */
   def spearman(df: DataFrame, keyCol: String, xCol: Column, yCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // null x/y rows are EXCLUDED (they carry no rank information);
+    // without the filter row_number would rank nulls first and silently
+    // shift every rho
     val base = df.select(col(keyCol).as("k"), xCol.as("x"), yCol.as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
     val ranked = base
       .withColumn("rx", row_number().over(Window.orderBy(col("x"), col("k"))))
       .withColumn("ry", row_number().over(Window.orderBy(col("y"), col("k"))))
@@ -67,9 +71,13 @@ object RankStats {
   def ksStatistic(df: DataFrame, grpCol: Column, aValue: String,
                   valueCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // null values are EXCLUDED: a null bucket in the by-value collapse
+    // would silently shift D; null-group rows count as group B by the
+    // === convention, which the filter below makes irrelevant for v
     val byValue = df
       .select(when(grpCol === aValue, lit(1L)).otherwise(lit(0L)).as("isA"),
         valueCol.as("v"))
+      .filter(col("v").isNotNull)
       .groupBy("v")
       .agg(sum("isA").as("ca"), sum(expr("1 - isA")).as("cb"))
     val w = Window.orderBy(col("v"))
@@ -96,9 +104,11 @@ object RankStats {
   def rankSumAuc(df: DataFrame, grpCol: Column, aValue: String,
                  valueCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // same null convention as [[ksStatistic]]: null values excluded
     val byValue = df
       .select(when(grpCol === aValue, lit(1L)).otherwise(lit(0L)).as("isA"),
         valueCol.as("v"))
+      .filter(col("v").isNotNull)
       .groupBy("v")
       .agg(sum("isA").as("ca"), sum(expr("1 - isA")).as("cb"))
     val w = Window.orderBy(col("v"))

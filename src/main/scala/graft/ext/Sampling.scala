@@ -563,13 +563,16 @@ object Sampling {
     * integer metric column (Chamandy et al., "Estimating Uncertainty for
     * Massive Data Streams", Google 2012 — public): resample r reweights
     * every row by an independent deterministic Poisson(1) count (hash →
-    * inverse CDF above), so `resamples` full bootstrap replicates reduce
-    * to 2·resamples extra SUM columns in a single aggregate — the corpus
-    * is scanned ONCE, nothing fact-sized shuffles (map-side partial
-    * aggregation collapses each partition to one row of sums), and the
-    * percentile step runs over `resamples` summary rows on one partition
-    * (bounded by construction, ≤ 500). The classic resample-loop would
-    * scan 100 TB once per replicate.
+    * inverse CDF above). The corpus is scanned ONCE: each row explodes
+    * into its m+1 (replicate, weight) pairs in-task (slot 0 = the base
+    * weight 1, slots 1..m = replicates, each weight computed from the
+    * replicate index as a column), and ONE (replicate → Σwx, Σw) hash
+    * aggregate collapses them — map-side combine means only m+1 summary
+    * rows per partition cross the shuffle, and both the plan size and the
+    * aggregate width are CONSTANT in m, so whole-stage codegen never
+    * bails (a per-row array of m precomputed weights was an O(m)
+    * expression tree that blew up well below the permitted m=500). The
+    * classic resample-loop would scan 100 TB once per replicate.
     *
     * CI bounds are nearest-rank order statistics of the resample means
     * (`rank = ⌈m·p‰/1000⌉`, the q236 rank rule): means are IEEE
@@ -577,6 +580,37 @@ object Sampling {
     * selection reads the sorted multiset, so ties cannot perturb the
     * selected VALUE — bit-identical in any engine.
     */
+  /** [[bootstrapMeanCI]]'s single scan+aggregate, pre-checkpoint — the
+    * stage whose plan shape the codegen spec pins. Melt FIRST (explode
+    * the replicate index 0..m), then compute ONE weight per
+    * (row, replicate) with the hash-family index as a COLUMN — the plan
+    * is a fixed ~60 expression nodes for any m, where a per-row array of
+    * m pre-computed weights was an O(m) expression tree that blew
+    * codegen (and the optimizer) well below the permitted m = 500.
+    * mixHash's family constants are affine in j (hashA = 37j+11,
+    * hashB = 101j+31), so the dynamic-j spelling is value-identical to
+    * `Dedup.mixHash(id, BootJ + 2r)`. Output: m+1 rows
+    * (pos, sx = Σw·x, nw = Σw); pos 0 is the base (w ≡ 1) stats.
+    */
+  private[ext] def bootstrapSums(df: DataFrame, idCol: String,
+                                 valueCol: Column, m: Int): DataFrame = {
+    def affineHashJ(c: Column, jc: Column): Column =
+      ((lit(37L) * jc + lit(11L)) * pmod(c, lit(Dedup.MinHashP))
+        + (lit(101L) * jc + lit(31L))) % Dedup.MinHashP
+    val melted = df
+      .select(valueCol.cast("long").as("__x"), col(idCol).as("__id"))
+      .select(col("__x"), col("__id"),
+        explode(sequence(lit(0L), lit(m.toLong))).as("pos"))
+    val jc = lit(BootJ.toLong) + col("pos") * 2L - 2L // pos 1..m → j = BootJ+2(pos−1)
+    val u = affineHashJ(Dedup.perm5(affineHashJ(col("__id"), jc)), jc + 1L) % 10000
+    val w = when(col("pos") === 0, lit(1L)) // pos 0 = the base (unweighted) stats
+      .otherwise(PoissonThresholds.map(t => when(u >= t, 1L).otherwise(0L))
+        .reduce(_ + _))
+    melted.select(col("pos"), col("__x"), w.as("w"))
+      .groupBy("pos")
+      .agg(sum(col("w") * col("__x")).as("sx"), sum("w").as("nw"))
+  }
+
   def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: Column,
                       resamples: Int = 100, loPermille: Int = 25,
                       hiPermille: Int = 975): DataFrame = {
@@ -586,23 +620,13 @@ object Sampling {
     require(loPermille >= 1 && loPermille < hiPermille && hiPermille <= 1000,
       s"bad permille bounds: $loPermille, $hiPermille")
     val m = resamples
-    def wCol(r: Int): Column = {
-      val u = Dedup.mixHash(col(idCol), BootJ + 2 * r) % 10000
-      PoissonThresholds.map(t => when(u >= t, 1L).otherwise(0L)).reduce(_ + _)
-    }
-    val withW = df.select(
-      valueCol.cast("long").as("__x") +:
-        (0 until m).map(r => wCol(r).as(s"__w_$r")): _*)
-    val aggs: Seq[Column] =
-      Seq(sum(col("__x")).as("sv"), count(lit(1)).as("n")) ++
-        (0 until m).flatMap(r => Seq(
-          sum(col(s"__w_$r") * col("__x")).as(s"sx_$r"),
-          sum(col(s"__w_$r")).as(s"n_$r")))
-    val one = withW.agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint(true) // 1 row; feeds the melt AND the base stats
-    val means = one.select(explode(array((0 until m).map(r =>
-        round(col(s"sx_$r").cast("double") / greatest(col(s"n_$r"), lit(1L)), 6))
-      : _*)).as("mean"))
+    val sums = bootstrapSums(df, idCol, valueCol, m)
+      .localCheckpoint(true) // m+1 rows; feeds base stats AND the melt
+    val base = sums.filter(col("pos") === 0)
+      .select(col("nw").as("n"),
+        round(col("sx").cast("double") / greatest(col("nw"), lit(1L)), 6).as("mean"))
+    val means = sums.filter(col("pos") >= 1)
+      .select(round(col("sx").cast("double") / greatest(col("nw"), lit(1L)), 6).as("mean"))
     val ranked = means
       .withColumn("rn", row_number().over(Window.orderBy(col("mean"))))
       .localCheckpoint(true) // m rows; read twice (lo and hi bound)
@@ -610,8 +634,7 @@ object Sampling {
       .select(col("mean").as("ci_lo"))
     val hi = ranked.filter(col("rn") === (m * hiPermille + 999) / 1000)
       .select(col("mean").as("ci_hi"))
-    one.select(col("n"),
-        round(col("sv").cast("double") / greatest(col("n"), lit(1L)), 6).as("mean"))
+    base
       .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
       .withColumn("resamples", lit(m.toLong))
   }

@@ -242,7 +242,9 @@ object Search {
     * qrels — one row per cutoff 1..kMax, the operating-point table an
     * index tuning session reads next to the single-point recall (q134),
     * order agreement (q261), and graded nDCG (q295). Micro precision
-    * (pooled hits over pooled slots) and MACRO recall (per-query floored
+    * (pooled hits over pooled FILLED slots — a query whose ranking has
+    * fewer than k rows is charged only the rows it returned, so short
+    * lists don't understate P@k) and MACRO recall (per-query floored
     * ppm, averaged — queries weigh equally regardless of qrel size),
     * both exact integer rationals.
     *
@@ -264,18 +266,23 @@ object Search {
       .join(relSizes, Seq("query_id"), "left")
       .na.fill(0L, Seq("n_rel"))
     val ks = spark.range(1, kMax + 1).select(col("id").as("k"))
+    // slots = min(list length, k) per query — the denominator charges
+    // only rows the ranking actually returned
     val perQueryK = hits.join(broadcast(ks), col("rank") <= col("k"))
-      .groupBy("query_id", "k").agg(sum("rel").as("hits"))
+      .groupBy("query_id", "k")
+      .agg(sum("rel").as("hits"), count(lit(1)).as("slots"))
     // right panel × k grid so zero-hit queries still weigh in the macro mean
     val grid = panel.crossJoin(broadcast(ks))
       .join(perQueryK, Seq("query_id", "k"), "left")
-      .na.fill(0L, Seq("hits"))
+      .na.fill(0L, Seq("hits", "slots"))
     grid.groupBy("k")
       .agg(count(lit(1)).as("n_queries"), sum("hits").as("total_hits"),
+        sum("slots").as("total_slots"),
         sum(expr("CASE WHEN n_rel = 0 THEN 0L" +
           " ELSE hits * 1000000 div n_rel END")).as("recall_sum"))
       .select(col("k"), col("total_hits"),
-        expr("total_hits * 1000000 div (k * n_queries)").as("p_at_k_ppm"),
+        expr("CASE WHEN total_slots = 0 THEN NULL" +
+          " ELSE total_hits * 1000000 div total_slots END").as("p_at_k_ppm"),
         expr("recall_sum div n_queries").as("r_at_k_ppm"))
   }
 }

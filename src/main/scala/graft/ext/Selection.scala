@@ -71,6 +71,10 @@ object Selection {
                                   ppms: Seq[Long], buckets: Int = 4096): DataFrame = {
     require(ppms.nonEmpty && ppms.forall(p => p >= 1 && p <= 1000000),
       s"quantile ppms must be in [1, 1000000]: $ppms")
+    // duplicate ppms would emit duplicate (group, quantile) range rows,
+    // double-counting every fact's histogram mass in the range join —
+    // the descent would silently resolve to ~half the requested rank
+    require(ppms.distinct.size == ppms.size, s"duplicate quantile ppms: $ppms")
     require(buckets >= 2 && buckets <= 65536, s"buckets in [2, 65536]: $buckets")
     val spark = df.sparkSession
     val facts = df

@@ -169,6 +169,30 @@ object TimeSeries {
       .na.fill(0, Seq("n_events"))
   }
 
+  /** [[gapFillHourly]] from PRE-AGGREGATED per-key hourly counts — the
+    * streaming emitters' closed-window (hour, key, c) rows
+    * ([[graft.streaming.Streams.decayedCountsHourly]]) — instead of raw
+    * facts: dense (keyCol, hour, n_events) over the observed global hour
+    * span, gaps explicit as 0, summing duplicate (key, hour) rows. Feeds
+    * any grid consumer ([[cusumScreen]], [[rateAnomalies]], ...) so a
+    * per-window monitor can run stream-fed with results identical to the
+    * batch path over the same events.
+    */
+  def gapFillFromCounts(counts: DataFrame, keyCol: String = "key",
+                        hourCol: String = "hour",
+                        cCol: String = "c"): DataFrame = {
+    val byKH = counts
+      .select(col(keyCol), col(hourCol).as("hour"), col(cCol).cast("long").as("c0"))
+      .groupBy(col(keyCol), col("hour")).agg(sum("c0").as("n_events"))
+      .localCheckpoint(true) // feeds bounds, the key set, and the grid join
+    val bounds = byKH.agg(min("hour").as("h0"), max("hour").as("h1"))
+    val hours = bounds.select(
+      explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    byKH.select(col(keyCol)).distinct().crossJoin(hours)
+      .join(byKH, Seq(keyCol, "hour"), "left")
+      .na.fill(0, Seq("n_events"))
+  }
+
   /** Dense keys × hours frame from two tiny aggregates (distinct keys,
     * exploded global hour spine) — broadcast material, never fact rows.
     */
@@ -436,6 +460,13 @@ object TimeSeries {
     * (the t=0 level, ×10⁶) and the fit's R² (×10⁶, from
     * `num² / (den·Syy)`) ride the same device. One fact aggregate, one
     * grid, one 5-sum moment aggregate — nothing else.
+    *
+    * Exactness envelope: every moment and moment DIFFERENCE is
+    * DECIMAL(38,0) (Σc² alone passes 2⁶³ at ~1e9 events/hour on a
+    * multi-year grid — BIGINT would wrap silently). The one remaining
+    * bound is the R² numerator `num²·10⁶`, which needs |num| < ~10¹⁵·⁵
+    * to stay within 38 digits; past it ANSI mode raises rather than
+    * wrapping. slope/intercept have no such bound.
     */
   def trendFit(events: DataFrame, tsCol: String): DataFrame = {
     val counts = events
@@ -449,13 +480,15 @@ object TimeSeries {
         coalesce(col("c"), lit(0L)).as("c"))
     series
       .agg(count(lit(1)).as("n"), sum("t").as("st"), sum("c").as("sc"),
-        sum(col("t") * col("t")).as("stt"),
-        sum(col("t") * col("c")).as("stc"),
-        sum(col("c") * col("c")).as("scc"))
+        // moments in DECIMAL(38,0): at the envelope (multi-year grid,
+        // ~1e9 events/hour) Σc² alone passes 2^63 — BIGINT would wrap
+        sum(expr("CAST(t AS DECIMAL(38,0)) * t")).as("stt"),
+        sum(expr("CAST(t AS DECIMAL(38,0)) * c")).as("stc"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("scc"))
       .select(col("n").as("n_hours"),
-        expr("n * stc - st * sc").as("num"),
-        expr("n * stt - st * st").as("den"),
-        expr("n * scc - sc * sc").as("syy"),
+        expr("n * stc - CAST(st AS DECIMAL(38,0)) * sc").as("num"),
+        expr("n * stt - CAST(st AS DECIMAL(38,0)) * st").as("den"),
+        expr("n * scc - CAST(sc AS DECIMAL(38,0)) * sc").as("syy"),
         col("st"), col("sc"), col("stt"), col("stc"))
       .select(col("n_hours"),
         expr("CAST(num AS DECIMAL(38,0)) * 1000000 div den").as("slope_ppm"),
@@ -494,13 +527,14 @@ object TimeSeries {
         coalesce(col("c"), lit(0L)).as("c"))
     series.groupBy("k")
       .agg(count(lit(1)).as("n"), sum("t").as("st"), sum("c").as("sc"),
-        sum(col("t") * col("t")).as("stt"),
-        sum(col("t") * col("c")).as("stc"),
-        sum(col("c") * col("c")).as("scc"))
+        // DECIMAL(38,0) moments — same overflow envelope note as trendFit
+        sum(expr("CAST(t AS DECIMAL(38,0)) * t")).as("stt"),
+        sum(expr("CAST(t AS DECIMAL(38,0)) * c")).as("stc"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("scc"))
       .select(col("k").as("key"), col("n").as("n_hours"),
-        expr("n * stc - st * sc").as("num"),
-        expr("n * stt - st * st").as("den"),
-        expr("n * scc - sc * sc").as("syy"),
+        expr("n * stc - CAST(st AS DECIMAL(38,0)) * sc").as("num"),
+        expr("n * stt - CAST(st AS DECIMAL(38,0)) * st").as("den"),
+        expr("n * scc - CAST(sc AS DECIMAL(38,0)) * sc").as("syy"),
         col("st"), col("sc"), col("stt"), col("stc"))
       .select(col("key"), col("n_hours"),
         expr("CAST(num AS DECIMAL(38,0)) * 1000000 div den").as("slope_ppm"),
@@ -548,12 +582,26 @@ object TimeSeries {
     val counts = events
       .select(expr(s"unix_micros($tsCol) div 3600000000").as("h"))
       .groupBy("h").agg(count(lit(1)).as("c"))
+    gridFromHourCounts(counts)
+  }
+
+  /** [[hourlyGrid]] from PRE-AGGREGATED (hour timestamp, c) counts — the
+    * stream emitters' closed-window rows — summing duplicate hours (e.g.
+    * per-key counts collapsing to the global series).
+    */
+  private def hourlyGridFromCounts(counts: DataFrame, hourCol: String,
+                                   cCol: String): DataFrame =
+    gridFromHourCounts(counts
+      .select(expr(s"unix_micros($hourCol) div 3600000000").as("h"),
+        col(cCol).cast("long").as("c0"))
+      .groupBy("h").agg(sum("c0").as("c")))
+
+  private def gridFromHourCounts(counts: DataFrame): DataFrame =
     counts.agg(min("h").as("h0"), max("h").as("h1"))
       .select(explode(sequence(col("h0"), col("h1"))).as("h"), col("h0"))
       .join(counts, Seq("h"), "left")
       .select(col("h"), (col("h") - col("h0")).as("t"),
         coalesce(col("c"), lit(0L)).as("c"))
-  }
 
   /** Split-conformal prediction band around the [[trendFit]] line — the
     * finite-sample-valid "how far can an hour stray before it's an
@@ -571,18 +619,41 @@ object TimeSeries {
     * grid at 10⁹ events/hour.
     */
   def conformalTrendInterval(events: DataFrame, tsCol: String,
-                             alphaPpm: Long = 100000L): DataFrame = {
+                             alphaPpm: Long = 100000L): DataFrame =
+    conformalFromSeries(hourlyGrid(events, tsCol), alphaPpm)
+
+  /** [[conformalTrendInterval]] fed by PRE-AGGREGATED hourly counts —
+    * the streaming emitters' sufficient statistic
+    * ([[graft.streaming.Streams.decayedCountsHourly]] emits exactly this
+    * (hour, key, c) shape per closed window) — instead of raw facts:
+    * counts collapse per hour, gap-fill to the observed [min, max] hour
+    * span, and run the IDENTICAL fit + calibration code path
+    * ([[conformalFromSeries]] is shared, not duplicated), so a stream-fed
+    * band equals the batch band over the same events bit-for-bit.
+    * Batch twin (oracle-verified): q302_conformal_band / q328.
+    */
+  def conformalBandFromCounts(counts: DataFrame, hourCol: String = "hour",
+                              cCol: String = "c",
+                              alphaPpm: Long = 100000L): DataFrame =
+    conformalFromSeries(hourlyGridFromCounts(counts, hourCol, cCol), alphaPpm)
+
+  /** Shared core of the global conformal band: `series` is the dense
+    * (t, c) hourly grid, whichever side (facts or emitted counts) built it.
+    */
+  private def conformalFromSeries(grid: DataFrame,
+                                  alphaPpm: Long): DataFrame = {
     require(alphaPpm >= 1 && alphaPpm <= 999999,
       s"alphaPpm must be in [1, 999999]: $alphaPpm")
-    val series = hourlyGrid(events, tsCol).localCheckpoint(true)
+    val series = grid.localCheckpoint(true)
     val fit = series
       .agg(count(lit(1)).as("n"), sum("t").as("st"), sum("c").as("sc"),
-        sum(col("t") * col("t")).as("stt"),
-        sum(col("t") * col("c")).as("stc"))
+        // DECIMAL(38,0) moments — same overflow envelope note as trendFit
+        sum(expr("CAST(t AS DECIMAL(38,0)) * t")).as("stt"),
+        sum(expr("CAST(t AS DECIMAL(38,0)) * c")).as("stc"))
       .select(col("n").as("n_hours"),
-        expr("n * stc - st * sc").as("num"),
-        expr("n * stt - st * st").as("den"), col("st"), col("sc"),
-        col("stt"), col("stc"))
+        expr("n * stc - CAST(st AS DECIMAL(38,0)) * sc").as("num"),
+        expr("n * stt - CAST(st AS DECIMAL(38,0)) * st").as("den"),
+        col("st"), col("sc"), col("stt"), col("stc"))
       .select(col("n_hours"),
         expr("CAST(num AS DECIMAL(38,0)) * 1000000 div den").as("slope_ppm"),
         expr("(CAST(sc AS DECIMAL(38,0)) * stt - CAST(st AS DECIMAL(38,0)) * stc) * 1000000 div den")
@@ -619,15 +690,39 @@ object TimeSeries {
     */
   def conformalTrendIntervalByKey(events: DataFrame, tsCol: String,
                                   keyCol: String,
-                                  alphaPpm: Long = 100000L): DataFrame = {
+                                  alphaPpm: Long = 100000L): DataFrame =
+    conformalByKeyFromHourCounts(events
+      .select(col(keyCol).as("key"),
+        expr(s"unix_micros($tsCol) div 3600000000").as("h"))
+      .groupBy("key", "h").agg(count(lit(1)).as("c")), alphaPpm)
+
+  /** [[conformalTrendIntervalByKey]] fed by PRE-AGGREGATED per-key hourly
+    * counts (the [[graft.streaming.Streams.decayedCountsHourly]] emitter's
+    * (hour, key, c) closed-window rows) instead of raw facts — the
+    * identical per-key fit + calibration code path
+    * ([[conformalByKeyFromHourCounts]] is shared), so the stream-fed
+    * per-segment bands equal the batch bands bit-for-bit.
+    * Batch twin (oracle-verified): q322_conformal_by_key / q329.
+    */
+  def conformalByKeyFromCounts(counts: DataFrame, keyCol: String = "key",
+                               hourCol: String = "hour", cCol: String = "c",
+                               alphaPpm: Long = 100000L): DataFrame =
+    conformalByKeyFromHourCounts(counts
+      .select(col(keyCol).as("key"),
+        expr(s"unix_micros($hourCol) div 3600000000").as("h"),
+        col(cCol).cast("long").as("c0"))
+      .groupBy("key", "h").agg(sum("c0").as("c")), alphaPpm)
+
+  /** Shared core of the per-key conformal band: input is the SPARSE
+    * (key, h, c) hourly counts, whichever side built them; gap-fill to
+    * the global hour span and calibrate per key.
+    */
+  private def conformalByKeyFromHourCounts(hourCounts: DataFrame,
+                                           alphaPpm: Long): DataFrame = {
     require(alphaPpm >= 1 && alphaPpm <= 999999,
       s"alphaPpm must be in [1, 999999]: $alphaPpm")
     import org.apache.spark.sql.expressions.Window
-    val counts = events
-      .select(col(keyCol).as("key"),
-        expr(s"unix_micros($tsCol) div 3600000000").as("h"))
-      .groupBy("key", "h").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+    val counts = hourCounts.localCheckpoint(true)
     val bounds = counts.agg(min("h").as("h0"), max("h").as("h1"))
     val series = counts.select("key").distinct()
       .crossJoin(broadcast(bounds))
@@ -638,13 +733,14 @@ object TimeSeries {
       .localCheckpoint(true)
     val fit = series.groupBy("key")
       .agg(count(lit(1)).as("n_hours"), sum("t").as("st"), sum("c").as("sc"),
-        sum(col("t") * col("t")).as("stt"),
-        sum(col("t") * col("c")).as("stc"))
+        // DECIMAL(38,0) moments — same overflow envelope note as trendFit
+        sum(expr("CAST(t AS DECIMAL(38,0)) * t")).as("stt"),
+        sum(expr("CAST(t AS DECIMAL(38,0)) * c")).as("stc"))
       .select(col("key"), col("n_hours"),
-        expr("CAST(n_hours * stc - st * sc AS DECIMAL(38,0)) * 1000000" +
-          " div (n_hours * stt - st * st)").as("slope_ppm"),
+        expr("(n_hours * stc - CAST(st AS DECIMAL(38,0)) * sc) * 1000000" +
+          " div (n_hours * stt - CAST(st AS DECIMAL(38,0)) * st)").as("slope_ppm"),
         expr("(CAST(sc AS DECIMAL(38,0)) * stt - CAST(st AS DECIMAL(38,0)) * stc) * 1000000" +
-          " div (n_hours * stt - st * st)").as("intercept_ppm"))
+          " div (n_hours * stt - CAST(st AS DECIMAL(38,0)) * st)").as("intercept_ppm"))
     val ranked = series.join(fit, Seq("key"))
       .select(col("key"), col("n_hours"), col("slope_ppm"), col("intercept_ppm"),
         expr("abs(CAST(c AS DECIMAL(38,0)) * 1000000" +

@@ -230,6 +230,13 @@ object Sinks {
     * aside → in place): at every instant a full copy exists under a
     * deterministic name.
     *
+    * CONTRACT NOTE — schema change for readers: the rewritten table is
+    * `partitionBy("part_bin")`, so scans of `path` after an optimize see
+    * one ADDED column `part_bin: bigint` (the cluster-bin id, exactly the
+    * manifest's key). Consumers that `select(*)` must expect it; readers
+    * that project named columns are unaffected. This is the same contract
+    * a Hive-style clustered rewrite imposes, made explicit here.
+    *
     * Scale shape: one global sort of the table — the cost ANY clustered
     * rewrite pays — plus metadata-sized (nFiles-row) manifest work; the
     * audit table itself is ≤ layouts×dims rows (collected as a decision,
@@ -245,9 +252,11 @@ object Sinks {
       .toSeq.sortBy { case (l, h) => (h, l) }.head._1
     val src = spark.read.parquet(path)
     val mask = 1L << bits
+    // pmod (matching the audits): negative keys must land in [0, mask)
+    // or the curve coordinates go negative
     val masked = src
-      .withColumn("__ka", col(keyA).cast("long") % mask)
-      .withColumn("__kb", col(keyB).cast("long") % mask)
+      .withColumn("__ka", pmod(col(keyA).cast("long"), lit(mask)))
+      .withColumn("__kb", pmod(col(keyB).cast("long"), lit(mask)))
     val keyed = winner match {
       case "linear_a" => masked.withColumn("__lk", col("__ka"))
       case "zorder"   => masked.withColumn("__lk", zValue(col("__ka"), col("__kb"), bits))

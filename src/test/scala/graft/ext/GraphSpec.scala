@@ -380,10 +380,44 @@ class GraphSpec extends SparkSpec {
       Seq("1", "3", "0", "0")))
   }
 
-  test("localClustering: shuffle closing-join arm matches the broadcast arm") {
+  test("localClustering: edge-count gate drives both closing-join arms to the same rows") {
     val e = df("u BIGINT, v BIGINT",
       Seq(Row(1L, 2L), Row(1L, 3L), Row(2L, 3L), Row(3L, 4L), Row(2L, 4L)))
+    // limit 0 forces the shuffle arm (5 edges > 0); the default takes broadcast
     assertSameRows(Graph.localClustering(e),
-      Graph.localClustering(e, broadcastClosingEdges = false))
+      Graph.localClustering(e, broadcastEdgeLimit = 0L))
+  }
+
+  test("triangleCounts: edge-count gate drives both closing-join arms to the same rows") {
+    val e = df("u BIGINT, v BIGINT",
+      Seq(Row(1L, 2L), Row(1L, 3L), Row(2L, 3L), Row(3L, 4L), Row(2L, 4L)))
+    assertSameRows(Graph.triangleCounts(e),
+      Graph.triangleCounts(e, broadcastEdgeLimit = 0L))
+  }
+
+  test("triangleCounts: big-edge arm plans a shuffle join, not a broadcast") {
+    val e = df("u BIGINT, v BIGINT",
+      Seq(Row(1L, 2L), Row(1L, 3L), Row(2L, 3L)))
+    // suppress Spark's size-based auto-broadcast so the plan shows only
+    // what the gate itself chose (on real TB-scale edges size stats would
+    // suppress it anyway; tiny test relations need the override)
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    saved.foreach { case (k, _) => conf.set(k, "-1") }
+    try {
+      val plan = Graph.triangleCounts(e, broadcastEdgeLimit = 0L)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"gate failed to suppress broadcast:\n$plan")
+      val broadcastPlan = Graph.triangleCounts(e, broadcastEdgeLimit = 100L)
+        .queryExecution.executedPlan.toString
+      assert(broadcastPlan.contains("BroadcastHashJoin"),
+        s"small-edge arm should broadcast the closing edges:\n$broadcastPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
   }
 }

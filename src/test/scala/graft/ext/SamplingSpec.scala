@@ -479,4 +479,24 @@ class SamplingSpec extends SparkSpec {
     assert(out.getAs[Double]("ci_lo") == means(0)) // rank ceil(5·0.2)=1
     assert(out.getAs[Double]("ci_hi") == means(3)) // rank ceil(5·0.8)=4
   }
+
+  test("bootstrapMeanCI: the permitted max m=500 stays codegen'd (melt aggregate, not 1002 sum columns)") {
+    import org.apache.spark.sql.functions.col
+    val d = spark.range(200).toDF("id").withColumn("x", col("id") % 50 + 10)
+    // end-to-end at the max bound: this OOM'd outright with the previous
+    // per-row m-wide weight array
+    val r = Sampling.bootstrapMeanCI(d, "id", col("x"), resamples = 500).head()
+    assert(r.getAs[Long]("resamples") == 500L)
+    assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("mean") &&
+      r.getAs[Double]("mean") <= r.getAs[Double]("ci_hi"))
+    // the scan+aggregate stage (pre-checkpoint) is whole-stage codegen'd
+    // with a 2-column aggregate — plan size constant in m
+    val sums = Sampling.bootstrapSums(d, "id", col("x"), 500)
+    assert(sums.collect().length == 501) // executes → AQE finalizes the plan
+    val plan = sums.queryExecution.executedPlan.toString
+    // whole-stage codegen prints as the `*(n)` stage prefix
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
+      s"melt aggregate fell out of whole-stage codegen:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected hash aggregate:\n$plan")
+  }
 }

@@ -156,4 +156,17 @@ class SearchSpec extends SparkSpec {
       Seq("2", "1", "250000", "250000"), // P = 1/4
       Seq("3", "2", "333333", "500000"))) // q1 hits both → R = (1e6 + 0)/2
   }
+
+  test("precisionRecallAtK: short lists charge only filled slots to micro P@k") {
+    import org.apache.spark.sql.Row
+    val ranking = df("query_id BIGINT, doc_id BIGINT, rank INT", Seq(
+      Row(1L, 100L, 1),                  // q1 returns ONE row (a hit)
+      Row(2L, 200L, 1), Row(2L, 201L, 2))) // q2 full 2 rows, no hits
+    val qrels = df("query_id BIGINT, doc_id BIGINT", Seq(Row(1L, 100L)))
+    val out = Search.precisionRecallAtK(ranking, qrels, kMax = 2)
+    // k=2: slots = 1 (q1) + 2 (q2) = 3, hits = 1 → P = 1/3, not 1/4
+    assert(rowSet(out) == rows(
+      Seq("1", "1", "500000", "500000"),
+      Seq("2", "1", "333333", "500000")))
+  }
 }

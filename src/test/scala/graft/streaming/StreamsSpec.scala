@@ -1120,6 +1120,55 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // batch twins: q327_cusum_stream / q328_conformal_stream /
+  // q329_conformal_by_key_stream — the same emitter on a bounded frame,
+  // oracle-verified against q274/q302/q322's oracles verbatim
+  test("decayedCountsHourly closed windows feed cusumScreen and the conformal bands ≡ batch paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.decayedCountsHourly(mem.toDF(), "event_type")
+      .writeStream.format("memory").queryName("monitor_counts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 12 hours of clicks with a level shift at hour 8, plus views
+      val ins = (0 until 12).flatMap { h =>
+        val base = (0 until (if (h >= 8) 9 else 3)).map(i =>
+          Streams.Event(h * 100L + i, ts(f"2024-01-01 $h%02d:15:00"), h.toLong, "click", 1.0))
+        base :+ Streams.Event(h * 100L + 50, ts(f"2024-01-01 $h%02d:45:00"), h.toLong, "view", 1.0)
+      } :+ Streams.Event(9999L, ts("2024-01-02 06:00:00"), 99L, "view", 1.0) // pusher
+      mem.addData(ins: _*); q.processAllAvailable()
+      val streamed = spark.table("monitor_counts")
+      val closed = spark.createDataFrame(
+        java.util.Arrays.asList(streamed.collect(): _*), streamed.schema)
+      // the pusher's window stays open in append mode — compare against
+      // the batch path over the events whose windows DID close
+      val closedEvents = ins.filter(_.ts.getTime < ts("2024-01-02 06:00:00").getTime)
+      // CUSUM: stream-fed grid ≡ batch gapFillHourly grid → identical screen
+      val viaStream = TimeSeries.cusumScreen(
+        TimeSeries.gapFillFromCounts(closed)
+          .withColumnRenamed("key", "event_type"),
+        trainN = 4, slackDiv = 20, hMult = 2)
+      val viaBatch = TimeSeries.cusumScreen(
+        TimeSeries.gapFillHourly(closedEvents.toDF()),
+        trainN = 4, slackDiv = 20, hMult = 2)
+      assertSameRows(viaStream, viaBatch)
+      // the shift-at-hour-8 click series must actually alarm
+      val clicks = viaStream.filter(col("event_type") === "click").head()
+      assert(clicks.getAs[Long]("n_alarms") >= 1L)
+      // conformal bands, global and per-key: shared code path, same rows
+      assertSameRows(
+        TimeSeries.conformalBandFromCounts(closed, alphaPpm = 200000L),
+        TimeSeries.conformalTrendInterval(closedEvents.toDF(), "ts",
+          alphaPpm = 200000L))
+      assertSameRows(
+        TimeSeries.conformalByKeyFromCounts(closed, alphaPpm = 200000L),
+        TimeSeries.conformalTrendIntervalByKey(closedEvents.toDF(), "ts",
+          "event_type", alphaPpm = 200000L))
+    } finally q.stop()
+  }
+
   // batch twin: q294_embedding_moments — same mode-adaptive function on a
   // bounded frame, oracle-verified; the readout is q264's exact spelling
   test("embeddingMomentsHourly: streamed moments feed embeddingDriftFromMoments ≡ batch embeddingDrift") {

@@ -1,0 +1,82 @@
+#!/usr/bin/env bash
+# Round-end evidence gate, one command: compile → FREEZE the classes →
+# two-scale oracle correctness (sf0.01 + sf0.1) → layout-determinism →
+# registry-freshness. Produces CORRECTNESS_TWOSCALE.json and
+# DETERMINISM.json in the repo root and exits nonzero if ANY piece fails,
+# so a round can't ship with stale or partial gate evidence.
+#
+# The gate JVMs run against a frozen copy of target/scala-2.13/classes
+# (sbt compile during a multi-hour run rewrites class files under a
+# lazy-loading JVM — observed NoClassDefFoundError mid-run), so source
+# edits AND compiles are safe while this runs.
+#
+# Usage: tools/gate.sh            # full gate
+#        SKIP_SF01=1 tools/gate.sh  # sf0.01-only (quick pre-commit)
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+ADD_OPENS=(
+  --add-opens=java.base/java.lang=ALL-UNNAMED
+  --add-opens=java.base/java.lang.invoke=ALL-UNNAMED
+  --add-opens=java.base/java.lang.reflect=ALL-UNNAMED
+  --add-opens=java.base/java.io=ALL-UNNAMED
+  --add-opens=java.base/java.net=ALL-UNNAMED
+  --add-opens=java.base/java.nio=ALL-UNNAMED
+  --add-opens=java.base/java.util=ALL-UNNAMED
+  --add-opens=java.base/java.util.concurrent=ALL-UNNAMED
+  --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED
+  --add-opens=java.base/sun.nio.ch=ALL-UNNAMED
+  --add-opens=java.base/sun.nio.cs=ALL-UNNAMED
+  --add-opens=java.base/sun.security.action=ALL-UNNAMED
+  --add-opens=java.base/sun.util.calendar=ALL-UNNAMED
+)
+
+sbt -batch compile || exit 1
+
+frozen=$(mktemp -d)/classes
+cp -r target/scala-2.13/classes "$frozen"
+CP="$frozen:/opt/spark/jars/*"
+JAVA=(java -cp "$CP" "${ADD_OPENS[@]}" -Xmx48g
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC)
+
+tmp=$(mktemp -d)
+fail=0
+
+scales=(0.01)
+[ "${SKIP_SF01:-}" = "" ] && scales=(0.01 0.1)
+
+for sf in "${scales[@]}"; do
+  echo "=== verify sf$sf ==="
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" \
+    "${JAVA[@]}" graft.Verify "/root/testdata/sf$sf" "$tmp/verify_$sf" \
+    > "$tmp/verify_$sf.log" 2>&1 || { echo "Verify sf$sf FAILED"; tail -20 "$tmp/verify_$sf.log"; fail=1; }
+  python3 tools/selfcheck.py "/root/testdata/sf$sf" "$tmp/verify_$sf" \
+    --json="$tmp/report_$sf.json" || { echo "selfcheck sf$sf reported failures"; fail=1; }
+done
+
+if [ ${#scales[@]} -eq 2 ]; then
+  python3 - "$tmp" CORRECTNESS_TWOSCALE.json <<'EOF' || fail=1
+import json, sys
+tmp, out = sys.argv[1], sys.argv[2]
+merged = {f"sf{sf}": json.load(open(f"{tmp}/report_{sf}.json")) for sf in ("0.01", "0.1")}
+json.dump(merged, open(out, "w"), indent=1)
+print(f"wrote {out}")
+EOF
+fi
+
+echo "=== determinism (sf0.01, shuffle-partitions 5 vs 32) ==="
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" \
+  "${JAVA[@]}" graft.Determinism /root/testdata/sf0.01 DETERMINISM.json \
+  2> "$tmp/det.log" | tail -2 || { echo "determinism FAILED"; tail -20 "$tmp/det.log"; fail=1; }
+
+echo "=== registry freshness ==="
+# every registered query must have been dumped by Verify (a query that
+# throws at build time leaves no parquet → the selfcheck above reds it;
+# this guards the complementary staleness: a gate run against old classes)
+n_reg=$(grep -c '"q' "$tmp/verify_0.01/oracle_sql.json" 2>/dev/null || echo 0)
+n_dump=$(ls -d "$tmp"/verify_0.01/q*.parquet 2>/dev/null | wc -l)
+echo "oracles declared: $n_reg, results dumped: $n_dump"
+[ "$n_dump" -ge "$n_reg" ] || { echo "STALE/PARTIAL registry dump"; fail=1; }
+
+[ $fail -eq 0 ] && echo "GATE GREEN" || echo "GATE RED"
+exit $fail
