@@ -7433,4 +7433,101 @@ object Oracles {
       |    // (deg.d::HUGEINT * (deg.d - 1)) AS BIGINT) AS lcc_ppm
       |FROM deg LEFT JOIN tcnt t ON t.node_id = deg.n
       |WHERE deg.d >= 2""".stripMargin
+
+  /** q330: AMS F₂ from the CountSketch cells — the same CsJ hash family
+    * replayed, per-row Σ cell², exact median over depth rows (rank
+    * (depth+1)/2 under (f2r, row) order), next to the exact Σ f(x)².
+    */
+  def csF2Moment(depth: Int, width: Int): String = {
+    val cellRows = (0 until depth).map(r =>
+      s"""SELECT $r AS r, (${mixSql("user_id", ext.Sketch.CsJ + 4 * r)}) % $width AS bucket,
+         |  ((${mixSql("user_id", ext.Sketch.CsJ + 4 * r + 2)}) % 2) * 2 - 1 AS sign
+         |FROM events""".stripMargin).mkString("\n  UNION ALL\n  ")
+    s"""WITH cells AS (
+       |  $cellRows),
+       |sk AS (SELECT r, bucket, CAST(SUM(sign) AS BIGINT) AS cnt
+       |       FROM cells GROUP BY 1, 2),
+       |f2r AS (SELECT r, SUM(cnt::HUGEINT * cnt) AS f2r FROM sk GROUP BY 1),
+       |med AS (SELECT f2r FROM (
+       |    SELECT f2r, ROW_NUMBER() OVER (ORDER BY f2r, r) AS rn FROM f2r)
+       |  WHERE rn = ${(depth + 1) / 2}),
+       |ex AS (SELECT SUM(c::HUGEINT * c) AS f2x FROM (
+       |    SELECT CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id))
+       |SELECT CAST(f2x AS BIGINT) AS f2_exact, CAST(f2r AS BIGINT) AS f2_est,
+       |  CAST(abs(f2r - f2x) * 1000000 // f2x AS BIGINT) AS err_ppm
+       |FROM ex, med""".stripMargin
+  }
+
+  /** q331: reciprocal-rank fusion of the exact cosine ranking and its
+    * Matryoshka-truncated arm — both arms MATERIALIZED (each is a full
+    * brute-force ranking; inlining would re-derive them per reference),
+    * fused score = Σ 10⁶ // (k0 + rank), re-ranked (score desc, doc).
+    */
+  def rrfFusion(mod: Int, k: Int, dims: Int, k0: Int, kOut: Int): String =
+    s"""WITH a0 AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id AS doc_id, "rank" FROM (${cosineTopK(mod, k)}) t),
+       |b0 AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id AS doc_id, "rank" FROM (${cosineTopKDims(mod, k, dims)}) t),
+       |sa AS (SELECT query_id, doc_id,
+       |         CAST(1000000 // ($k0 + "rank") AS BIGINT) AS s_a FROM a0),
+       |sb AS (SELECT query_id, doc_id,
+       |         CAST(1000000 // ($k0 + "rank") AS BIGINT) AS s_b FROM b0),
+       |f AS (SELECT COALESCE(sa.query_id, sb.query_id) AS query_id,
+       |        COALESCE(sa.doc_id, sb.doc_id) AS doc_id,
+       |        COALESCE(s_a, 0) + COALESCE(s_b, 0) AS rrf
+       |      FROM sa FULL JOIN sb
+       |        ON sa.query_id = sb.query_id AND sa.doc_id = sb.doc_id),
+       |r AS (SELECT query_id, doc_id, rrf,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY rrf DESC, doc_id) AS INTEGER) AS "rank"
+       |      FROM f)
+       |SELECT query_id, doc_id, rrf, "rank" FROM r WHERE "rank" <= $kOut""".stripMargin
+
+  /** q332: Pettitt changepoint on the hourly grid — per-value
+    * s = 2·cumleq − m − n, prefix U_t = Σ s, K = max |U| over the n−1
+    * proper splits, argmin-hour tie-break; the engine's spelling replayed.
+    */
+  val pettittTest: String =
+    """WITH c AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM c),
+      |g AS (SELECT unnest(generate_series(b.h0, b.h1)) AS h, b.h0 FROM b),
+      |s AS (SELECT g.h, g.h - g.h0 AS t, COALESCE(c.c, 0) AS c
+      |      FROM g LEFT JOIN c ON g.h = c.h),
+      |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+      |byv AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM s GROUP BY 1),
+      |sv AS (SELECT c,
+      |         2 * SUM(m) OVER (ORDER BY c) - m - (SELECT n FROM n1) AS sval
+      |       FROM byv),
+      |u AS (SELECT s.h, s.t, SUM(sv.sval) OVER (ORDER BY s.t) AS u
+      |      FROM s JOIN sv USING (c)),
+      |uf AS (SELECT h, u FROM u WHERE t < (SELECT n FROM n1) - 1),
+      |km AS (SELECT MAX(abs(u)) AS k_stat FROM uf)
+      |SELECT (SELECT n FROM n1) AS n_hours, CAST(km.k_stat AS BIGINT) AS k_stat,
+      |  CAST(MIN(uf.h) AS BIGINT) AS at_hour, CAST(min_by(uf.u, uf.h) AS BIGINT) AS u_at
+      |FROM uf, km WHERE abs(uf.u) = km.k_stat GROUP BY km.k_stat""".stripMargin
+
+  /** q333: k-core of the co-purchase graph — the engine's peel unrolled
+    * round for round (MATERIALIZED: each round references the previous
+    * twice; DuckDB's default CTE inlining would blow up exponentially).
+    */
+  def kCore(k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT u AS n FROM e${r - 1} GROUP BY u HAVING COUNT(*) >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e${r - 1} e
+         |  JOIN s$r a ON a.n = e.u JOIN s$r b ON b.n = e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH und AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |e0 AS MATERIALIZED (
+       |  SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+       |$roundCtes
+       |SELECT u AS node_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+       |FROM e$rounds GROUP BY 1""".stripMargin
+  }
 }

@@ -3433,7 +3433,56 @@ object SparkEntry {
     "q329_conformal_by_key_stream" -> ((s, d) =>
       graft.ext.TimeSeries.conformalByKeyFromCounts(
         graft.streaming.Streams.decayedCountsHourly(Tables.events(s, d)),
-        alphaPpm = 100000L))
+        alphaPpm = 100000L)),
+
+    // AMS second moment from the CountSketch cells: F2 = Σ f(u)² (the
+    // self-join size / skew mass of the user-activity distribution) read
+    // off KB of sketch — exact integer median over depth rows — next to
+    // the exact corpus answer and the signed-relative error
+    "q330_f2_moment" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val sk = graft.ext.Sketch.countSketchWeighted(
+        ev, col("user_id"), lit(1L), depth = 5, width = 64)
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+        .agg(expr("CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT)")
+          .as("f2_exact"))
+      exact.crossJoin(graft.ext.Sketch.csF2Estimate(sk, depth = 5))
+        .withColumn("err_ppm",
+          expr("abs(f2_est - f2_exact) * 1000000 div f2_exact"))
+    },
+
+    // reciprocal-rank fusion of the exact cosine ranking with its
+    // Matryoshka-truncated arm (q275's two rankers, now COMBINED instead
+    // of compared): rank-only fusion, no score calibration — the standard
+    // hybrid-retrieval combiner; all inputs panel×k rows
+    "q331_rrf_fusion" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val trunc = (f: DataFrame) =>
+        f.withColumn("embedding", slice(col("embedding"), 1, 16))
+      def arm(f: DataFrame => DataFrame) =
+        Similarity.bruteForceTopK(f(q), f(emb), k = 5)
+          .withColumnRenamed("neighbor_id", "doc_id")
+      graft.ext.Search.rrfFusePerQuery(arm(identity), arm(trunc), k0 = 60, k = 5)
+    },
+
+    // Pettitt changepoint: retrospective rank-based "did the hourly load
+    // shift, and when" — K = max |U_t| over every prefix/suffix split,
+    // computed loop-free from one by-value collapse + two keyspace
+    // windows (q274's CUSUM watches live; this answers the post-mortem)
+    "q332_pettitt" -> ((s, d) =>
+      graft.ext.TimeSeries.pettittTest(Tables.events(s, d))),
+
+    // k-core backbone of the co-purchase graph: iterative degree peel,
+    // fixed round count (idempotent at the fixpoint — spec pins the
+    // convergence margin; measured 5 peel rounds at both sf0.01 and
+    // sf0.1 for k=80, cascade removes ~7% of nodes), per-round one
+    // degree agg + two semi-joins on the checkpointed edges
+    "q333_kcore" -> ((s, d) =>
+      graft.ext.Graph.kCore(
+        graft.ext.Graph.coOccurrenceEdges(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey"),
+        k = 80, rounds = 12))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -3836,6 +3885,10 @@ object SparkEntry {
     // the hash match proves the stream path loses nothing
     "q327_cusum_stream" -> Oracles.cusumScreen(96, 20, 8),
     "q328_conformal_stream" -> Oracles.conformalTrendInterval(100000L),
-    "q329_conformal_by_key_stream" -> Oracles.conformalByKey(100000L)
+    "q329_conformal_by_key_stream" -> Oracles.conformalByKey(100000L),
+    "q330_f2_moment" -> Oracles.csF2Moment(5, 64),
+    "q331_rrf_fusion" -> Oracles.rrfFusion(100, 5, 16, 60, 5),
+    "q332_pettitt" -> Oracles.pettittTest,
+    "q333_kcore" -> Oracles.kCore(80, 12)
   )
 }

@@ -413,6 +413,44 @@ object Graph {
       .groupBy("node_id").agg(count(lit(1)).as("triangles"))
   }
 
+  /** k-core (Seidman 1983, public literature): the maximal subgraph in
+    * which every node keeps degree ≥ k — the standard "dense cohesive
+    * backbone" extraction (spam rings, power-user cliques, co-purchase
+    * cores). Computed by the classic peel: drop all nodes of degree < k,
+    * recompute degrees, repeat. The peel is IDEMPOTENT at the fixpoint,
+    * so running exactly `rounds` iterations equals the fixpoint whenever
+    * convergence happens within them — which makes the operator
+    * replayable round-for-round in any engine (the oracle unrolls the
+    * same count) with no driver-side convergence probe in the loop.
+    * `KCoreSpec` pins convergence margins on the test graphs; size
+    * `rounds` ≥ the expected peel depth (peel depth is typically ≤ tens
+    * even on web graphs — each round removes a full degree-layer).
+    *
+    * Output: (node_id, core_degree) — core members with their degree
+    * INSIDE the core (≥ k by definition).
+    *
+    * Scale shape per round: one map-combined degree aggregate + two
+    * semi-joins of the checkpointed symmetric edge list against the
+    * keyspace-sized survivor set — O(m) work, shrinking monotonically;
+    * `localCheckpoint(eager)` keeps lineage O(1) across rounds (the q55
+    * iterative-lineage discipline). Nothing is ever broadcast-sized but
+    * the survivor keys, and those only if Spark's own stats choose to.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 12): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"bad kCore params: k=$k rounds=$rounds")
+    val und = edges.select(col("u"), col("v"))
+    var e = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true) // symmetric, deduped: deg = out-deg
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("u").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("u").as("n"))
+      e = e.join(keep.select(col("n").as("u")), Seq("u"))
+        .join(keep.select(col("n").as("v")), Seq("v"))
+        .select("u", "v").localCheckpoint(true)
+    }
+    e.groupBy(col("u").as("node_id")).agg(count(lit(1)).as("core_degree"))
+  }
+
   /** HyperANF (Boldi, Rosa & Vigna, WWW 2011): the neighborhood function
     * N(t) — how many (source, target) pairs lie within t hops — via ONE
     * integer HLL register set per node, advanced per round by

@@ -238,6 +238,37 @@ object Search {
         expr("CAST(dcg AS DECIMAL(38,0)) * 1000000L div greatest(idcg, 1L)"))
   }
 
+  /** PER-QUERY-PANEL reciprocal-rank fusion — [[rrfFuse]] lifted from one
+    * global list to a whole (query_id, doc_id, rank) panel: each arm
+    * contributes `10⁶ div (k0 + rank)` per (query, doc) (same integerized
+    * 1/(k0+r) kernel), absent docs contribute 0, and the fused top-k
+    * re-ranks per query by (score desc, doc_id) — how an eval harness
+    * fuses a lexical and a vector arm across EVERY query at once rather
+    * than per request.
+    *
+    * Scale shape: both inputs are top-k rankings (panel × k rows —
+    * keyspace-sized by construction); one full-outer equi-join on
+    * (query, doc) plus a per-query rank window over ≤ 2k rows. Facts
+    * never appear — the expensive part (producing the input rankings) is
+    * the upstream operators' problem and already bounded there.
+    */
+  def rrfFusePerQuery(a: DataFrame, b: DataFrame, k0: Int = 60,
+                      k: Int = 10): DataFrame = {
+    require(k0 >= 1 && k >= 1, s"bad rrf params: k0=$k0 k=$k")
+    def arm(r: DataFrame, out: String): DataFrame = r
+      .select(col("query_id"), col("doc_id"),
+        expr(s"1000000 div ($k0 + rank)").cast("long").as(out))
+    val fused = arm(a, "s_a").join(arm(b, "s_b"),
+        Seq("query_id", "doc_id"), "full")
+      .na.fill(0L, Seq("s_a", "s_b"))
+      .withColumn("rrf", col("s_a") + col("s_b"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "rrf", "rank")
+  }
+
   /** Precision@k / recall@k CURVE for a top-k ranking against binary
     * qrels — one row per cutoff 1..kMax, the operating-point table an
     * index tuning session reads next to the single-point recall (q134),

@@ -528,6 +528,33 @@ object Sketch {
       .select(keep.map(col) :+ col("est_r").as("est"): _*)
   }
 
+  /** AMS second frequency moment F₂ = Σ_x f(x)² from a
+    * [[countSketchWeighted]] sketch (Alon, Matias & Szegedy, STOC 1996 —
+    * public literature; CountSketch rows ARE AMS sketches): each row's
+    * Σ_b cell² is an unbiased F₂ estimate (cross terms cancel under the
+    * 4-wise-ish sign hash), and the readout is the exact integer MEDIAN
+    * over the depth rows — the same middle-order-statistic discipline as
+    * [[csEstimate]], so the result is bit-identical in any engine. F₂ is
+    * the self-join size / skew mass: the one-number answer to "how
+    * concentrated is this key distribution" that a join planner or a
+    * skew monitor reads off KB of sketch instead of a corpus pass.
+    *
+    * Scale shape: the sketch is depth·width rows (KB); one per-row sum
+    * in DECIMAL(38,0) (cell² sums can pass 2⁶³ long before the cells
+    * themselves do) and a depth-row median window. Nothing touches facts.
+    */
+  def csF2Estimate(sketch: DataFrame, depth: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(depth >= 1 && depth <= 5 && depth % 2 == 1,
+      s"depth must be odd in [1, 5]: $depth")
+    val perRow = sketch.groupBy("row")
+      .agg(sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).as("f2r"))
+    val w = Window.orderBy(col("f2r"), col("row"))
+    perRow.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === (depth + 1) / 2)
+      .select(expr("CAST(f2r AS BIGINT)").as("f2_est"))
+  }
+
   /** The join-cardinality estimator SHOOTOUT: the textbook System-R
     * uniformity formula `|A|·|B| / max(d_A, d_B)` next to the
     * [[cmJoinSize]] sketch inner product, both against the exact join

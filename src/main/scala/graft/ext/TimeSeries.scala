@@ -762,6 +762,56 @@ object TimeSeries {
         expr("n_cover * 1000000 div n_hours").as("cover_ppm"))
   }
 
+  /** Pettitt changepoint test (Pettitt 1979, public literature) on the
+    * hourly event-count series: the rank-based single-changepoint locator
+    * — K = max_t |U_t| with U_t = Σ_{i≤t} Σ_{j>t} sign(x_i − x_j), the
+    * Mann–Whitney statistic of every prefix/suffix split at once. Where
+    * [[cusumScreen]] watches a LIVE series against a trained reference,
+    * Pettitt asks the retrospective question — "did this series shift,
+    * and when" — with no calibration window and full tie-handling.
+    *
+    * EXACT and loop-free via two identities: per-value
+    * s(v) = (#less) − (#greater) = 2·cumleq − m_v − n (one by-value
+    * collapse + one running-sum window over DISTINCT values, the
+    * [[graft.ext.RankStats.ksStatistic]] device), and by antisymmetry
+    * U_t = Σ_{i≤t} s(x_i) (one prefix-sum window over the grid). All
+    * integer; changepoint = the smallest hour attaining K
+    * (deterministic tie-break).
+    *
+    * Output: one row — n_hours, k_stat, at_hour (epoch-hour of the
+    * split, i.e. the last hour of the pre-change regime), u_at (signed
+    * U there: positive = the earlier regime ran HIGHER).
+    *
+    * Scale shape: one fact aggregate → hour grid; two keyspace-sized
+    * windows (distinct values, grid hours) and two tiny aggregates —
+    * the same posture as [[theilSenTrend]] without the grid² pairs.
+    */
+  def pettittTest(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val series = hourlyGrid(events, tsCol).localCheckpoint(true)
+    val n1 = series.agg(count(lit(1)).as("n"))
+    val byV = series.groupBy("c").agg(count(lit(1)).as("m"))
+    val wv = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sv = byV.withColumn("cumleq", sum("m").over(wv))
+      .crossJoin(broadcast(n1))
+      .select(col("c"),
+        (lit(2L) * col("cumleq") - col("m") - col("n")).as("s"), col("n"))
+    val wt = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = series.join(sv, Seq("c"))
+      .withColumn("u", sum("s").over(wt))
+      .filter(col("t") < col("n") - 1) // splits after hour 1..n−1 only
+      .localCheckpoint(true) // feeds the max AND the argmax
+    val kmax = u.agg(max(abs(col("u"))).as("k_stat"))
+    u.crossJoin(broadcast(kmax))
+      .filter(abs(col("u")) === col("k_stat"))
+      .groupBy("n", "k_stat")
+      .agg(min("h").as("at_hour"), min_by(col("u"), col("h")).as("u_at"))
+      .select(col("n").as("n_hours"), col("k_stat"), col("at_hour"),
+        col("u_at"))
+  }
+
   /** Theil–Sen robust trend (Theil 1950 / Sen 1968, public literature):
     * the LOW-MEDIAN of pairwise slopes over the hourly grid, immune to
     * the outlier hours that drag the OLS line (a single spike moves

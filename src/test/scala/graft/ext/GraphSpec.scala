@@ -380,6 +380,25 @@ class GraphSpec extends SparkSpec {
       Seq("1", "3", "0", "0")))
   }
 
+  test("kCore: pendant chain peels in cascade; the clique core survives with in-core degrees") {
+    // K4 on 1-4 plus chain 4-5-6: k=2 peels 6 (deg 1) then 5 (deg 1 after)
+    val e = df("u BIGINT, v BIGINT", Seq(
+      Row(1L, 2L), Row(1L, 3L), Row(1L, 4L), Row(2L, 3L), Row(2L, 4L),
+      Row(3L, 4L), Row(4L, 5L), Row(5L, 6L)))
+    assert(rowSet(Graph.kCore(e, k = 2, rounds = 3)) == rows(
+      Seq("1", "3"), Seq("2", "3"), Seq("3", "3"), Seq("4", "3")))
+    // k above the max core degree empties the graph
+    assert(Graph.kCore(e, k = 4, rounds = 4).count() == 0)
+  }
+
+  test("kCore: extra rounds past the fixpoint change nothing (peel idempotence)") {
+    val e = df("u BIGINT, v BIGINT", Seq(
+      Row(1L, 2L), Row(1L, 3L), Row(1L, 4L), Row(2L, 3L), Row(2L, 4L),
+      Row(3L, 4L), Row(4L, 5L), Row(5L, 6L)))
+    assertSameRows(Graph.kCore(e, k = 2, rounds = 2),
+      Graph.kCore(e, k = 2, rounds = 8))
+  }
+
   test("localClustering: edge-count gate drives both closing-join arms to the same rows") {
     val e = df("u BIGINT, v BIGINT",
       Seq(Row(1L, 2L), Row(1L, 3L), Row(2L, 3L), Row(3L, 4L), Row(2L, 4L)))

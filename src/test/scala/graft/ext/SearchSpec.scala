@@ -81,6 +81,31 @@ class SearchSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("rrfFusePerQuery: fusion is independent per query; absent docs contribute 0") {
+    def panel(rows: (Long, Long, Int)*) =
+      df("query_id BIGINT, doc_id BIGINT, rank INT",
+        rows.map { case (q, dcc, r) => Row(q, dcc, r) })
+    val a = panel((1L, 10L, 1), (1L, 20L, 2), (2L, 30L, 1))
+    val b = panel((1L, 20L, 1), (2L, 40L, 1))
+    val out = Search.rrfFusePerQuery(a, b, k0 = 60, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    // q1: doc 20 = 16129 + 16393 = 32522 beats doc 10's 16393;
+    // q2: docs 30 and 40 tie at 16393 → doc_id order
+    assert(out == Set(
+      (1L, 20L, 32522L, 1), (1L, 10L, 16393L, 2),
+      (2L, 30L, 16393L, 1), (2L, 40L, 16393L, 2)))
+  }
+
+  test("rrfFusePerQuery: k bounds each query's fused list") {
+    def panel(rows: (Long, Long, Int)*) =
+      df("query_id BIGINT, doc_id BIGINT, rank INT",
+        rows.map { case (q, dcc, r) => Row(q, dcc, r) })
+    val a = panel((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+    val b = panel((1L, 40L, 1))
+    val out = Search.rrfFusePerQuery(a, b, k0 = 60, k = 2)
+    assert(out.count() == 2)
+  }
+
   test("andSearch: every term required; total tf ranks; duplicate query terms collapse") {
     val docs = df("doc_id BIGINT, text STRING", Seq(
       Row(1L, "hash join hash scan"),   // both terms, tf 2+1 = 3 (hash dup'd)

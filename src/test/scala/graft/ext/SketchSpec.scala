@@ -475,4 +475,34 @@ class SketchSpec extends SparkSpec {
     assert(r.getAs[Long]("est_cm") >= 2510L)             // CM: upper bound
     assert(r.getAs[Long]("err_cm_ppm") >= 0L)
   }
+
+  test("csF2Estimate: collision-free sketch reads F2 exactly; estimate tracks under collisions") {
+    import org.apache.spark.sql.functions._
+    // 3 keys with counts 3, 2, 1 → F2 = 9 + 4 + 1 = 14; width 256 over 3
+    // keys is (with these hash constants, verified) collision-free per
+    // row, so every row's sum cell² IS F2 and the median is exact
+    val items = df("k BIGINT", (Seq.fill(3)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L))
+      .map(org.apache.spark.sql.Row(_)))
+    val sk = Sketch.countSketchWeighted(items, col("k"), lit(1L),
+      depth = 5, width = 256)
+    assert(Sketch.csF2Estimate(sk, 5).head().getLong(0) == 14L)
+    // width 2 forces collisions: the estimate stays within the AMS
+    // variance envelope (loose sanity band, deterministic inputs)
+    val sk2 = Sketch.countSketchWeighted(items, col("k"), lit(1L),
+      depth = 5, width = 2)
+    val est = Sketch.csF2Estimate(sk2, 5).head().getLong(0)
+    assert(est >= 0L && est <= 3 * 14L, s"estimate $est out of band")
+  }
+
+  test("csF2Estimate: repartition-invariant (pure function of the multiset)") {
+    import org.apache.spark.sql.functions._
+    val items = spark.range(500).toDF("k")
+      .withColumn("k", col("k") % 37)
+    val a = Sketch.csF2Estimate(
+      Sketch.countSketchWeighted(items, col("k"), lit(1L), 5, 64), 5).head()
+    val b = Sketch.csF2Estimate(
+      Sketch.countSketchWeighted(items.repartition(7), col("k"), lit(1L), 5, 64),
+      5).head()
+    assert(a == b)
+  }
 }

@@ -210,6 +210,47 @@ class TimeSeriesSpec extends SparkSpec {
     assert(b.getAs[Long]("max_stat") == 0L)
   }
 
+  test("pettittTest: hand-computed step change — K, split hour, and sign") {
+    import spark.implicits._
+    // hourly counts [1,1,1,5,5,5]: s(1) = 0−3 = −3, s(5) = 3−0 = 3;
+    // U over proper splits t=0..4: −3,−6,−9,−6,−3 → K=9 at the 3rd hour,
+    // u_at = −9 (earlier regime LOWER)
+    val t0 = java.time.Instant.parse("2024-05-01T00:00:00Z").getEpochSecond
+    val rowsIn = (0 until 6).flatMap { h =>
+      val n = if (h < 3) 1 else 5
+      (0 until n).map(i =>
+        (h * 10L + i, new java.sql.Timestamp((t0 + h * 3600L + 60 * i) * 1000L)))
+    }
+    val events = rowsIn.toDF("event_id", "ts")
+    val r = TimeSeries.pettittTest(events, "ts").head()
+    assert(r.getAs[Long]("n_hours") == 6L)
+    assert(r.getAs[Long]("k_stat") == 9L)
+    assert(r.getAs[Long]("at_hour") == t0 / 3600 + 2)
+    assert(r.getAs[Long]("u_at") == -9L)
+  }
+
+  test("pettittTest: constant series reads K=0; gap hours count as zeros") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-05-02T00:00:00Z").getEpochSecond
+    // hours 0,1,2,5 present (1 event each) → grid has zero-hours 3,4;
+    // values [1,1,1,0,0,1]: s(0)=−4+0... by-value: m(0)=2, m(1)=4;
+    // s(0)=0−4=−4, s(1)=2−0=2; U: 2,4,6,2,−2 → K=6 at hour 2
+    val events = Seq(0, 1, 2, 5).map(h =>
+      (h.toLong, new java.sql.Timestamp((t0 + h * 3600L) * 1000L)))
+      .toDF("event_id", "ts")
+    val r = TimeSeries.pettittTest(events, "ts").head()
+    assert(r.getAs[Long]("n_hours") == 6L)
+    assert(r.getAs[Long]("k_stat") == 6L)
+    assert(r.getAs[Long]("at_hour") == t0 / 3600 + 2)
+    assert(r.getAs[Long]("u_at") == 6L)
+    // constant: every s = 0 → K = 0
+    val const = (0 until 4).map(h =>
+      (h.toLong, new java.sql.Timestamp((t0 + h * 3600L) * 1000L)))
+      .toDF("event_id", "ts")
+    assert(TimeSeries.pettittTest(const, "ts").head()
+      .getAs[Long]("k_stat") == 0L)
+  }
+
   test("cusumScreen: prefix closed form equals the textbook recurrence on a deterministic noisy series") {
     import spark.implicits._
     val t0 = java.time.Instant.parse("2024-03-01T00:00:00Z").getEpochSecond
