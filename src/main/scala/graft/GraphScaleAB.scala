@@ -84,6 +84,34 @@ object GraphScaleAB {
         println(s"round-join plan at big-node stats ($label): $pick")
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+
+    // triangle-census closing-join gate (q101/q306 shape): both arms of
+    // the automatic edge-count gate on the REAL co-occurrence edges —
+    // checksums must be equal; the shuffle arm's pre-AQE plan must not
+    // broadcast the O(m) closing edge list even when stats would allow it
+    val cooc = graft.ext.Graph.coOccurrenceEdges(
+      Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
+      .localCheckpoint(true)
+    for ((label, limit) <- Seq("broadcast-arm" -> 4000000L, "shuffle-arm" -> 0L)) {
+      val (_, cold) = timed(checksum(
+        graft.ext.Graph.triangleCounts(cooc, broadcastEdgeLimit = limit)))
+      val (cs, warm) = timed(checksum(
+        graft.ext.Graph.triangleCounts(cooc, broadcastEdgeLimit = limit)))
+      println(f"triangles $label%-14s checksum=$cs cold=$cold%.2fs warm=$warm%.2fs")
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for ((label, limit) <- Seq("broadcast-arm" -> 4000000L, "shuffle-arm" -> 0L)) {
+        val plan = graft.ext.Graph.triangleCounts(cooc, broadcastEdgeLimit = limit)
+          .queryExecution.sparkPlan.toString
+        val pick =
+          if (plan.contains("BroadcastHashJoin")) "BroadcastHashJoin"
+          else if (plan.contains("SortMergeJoin")) "SortMergeJoin"
+          else if (plan.contains("ShuffledHashJoin")) "ShuffledHashJoin"
+          else "other"
+        println(s"closing-join plan at big-edge stats ($label): $pick")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     spark.stop()
   }
 }

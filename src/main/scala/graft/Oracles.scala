@@ -2819,16 +2819,21 @@ object Oracles {
        |FROM ex GROUP BY 1, 2""".stripMargin
 
   /** q296: one-pass Poisson bootstrap CI over orders price-cents — the
-    * same BootJ hash family, Poisson thresholds, resample sums, and
-    * nearest-rank selection as Sampling.bootstrapMeanCI. u-draws get
-    * their own CTE so each hash is spelled once, not once per threshold.
+    * same construction as Sampling.bootstrapSums: ONE per-row S-box mix
+    * `p5 = perm5(affine(id, BootJ))`, then per replicate one affine map
+    * (hashA/hashB at j = BootJ + 2r) of the mixed value, Poisson
+    * thresholds, resample sums, nearest-rank selection. u-draws get
+    * their own CTE so each affine is spelled once, not once per
+    * threshold.
     */
   def bootstrapMeanCI(resamples: Int, loPermille: Int, hiPermille: Int): String = {
     val m = resamples
     val bootJ = ext.Sampling.BootJ
     val thr = ext.Sampling.PoissonThresholds
-    val uCols = (0 until m).map(r =>
-      s"(${mixSql("id", bootJ + 2 * r)}) % 10000 AS u_$r").mkString(",\n    ")
+    val uCols = (0 until m).map { r =>
+      val j = bootJ + 2 * r
+      s"(((${37L * j + 11L} * p5 + ${101L * j + 31L}) % 2147483647) % 10000) AS u_$r"
+    }.mkString(",\n    ")
     val wCols = (0 until m).map(r =>
       thr.map(t => s"(CASE WHEN u_$r >= $t THEN 1 ELSE 0 END)")
         .mkString(" + ") + s" AS w_$r").mkString(",\n    ")
@@ -2843,9 +2848,11 @@ object Oracles {
     s"""WITH src AS (
        |  SELECT o_orderkey AS id, CAST(round(o_totalprice * 100) AS BIGINT) AS x
        |  FROM orders),
+       |a1 AS (SELECT x, (${affineHashSql("id", bootJ)}) AS a FROM src),
+       |p AS (SELECT x, (${perm5Sql("a")}) AS p5 FROM a1),
        |u AS (SELECT x,
        |    $uCols
-       |  FROM src),
+       |  FROM p),
        |w AS (SELECT x,
        |    $wCols
        |  FROM u),

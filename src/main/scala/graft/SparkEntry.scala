@@ -3482,7 +3482,25 @@ object SparkEntry {
       graft.ext.Graph.kCore(
         graft.ext.Graph.coOccurrenceEdges(
           Tables.lineitem(s, d), "l_orderkey", "l_partkey"),
-        k = 80, rounds = 12))
+        k = 80, rounds = 12)),
+
+    // stream-fed Pettitt: q332's retrospective changepoint asked of the
+    // stored hourly-count stream — per-key closed windows collapse to
+    // the global series, identical rank arithmetic (same oracle as q332)
+    "q334_pettitt_stream" -> ((s, d) =>
+      graft.ext.TimeSeries.pettittFromCounts(
+        graft.streaming.Streams.decayedCountsHourly(Tables.events(s, d)))),
+
+    // stream-fed rate anomalies: q137's integer z-test re-read from the
+    // emitter's closed windows through the shared gap-fill + window path
+    // (same oracle as q137)
+    "q335_rate_anomaly_stream" -> { (s, d) =>
+      val counts = graft.streaming.Streams.decayedCountsHourly(
+        Tables.events(s, d))
+      graft.ext.TimeSeries.rateAnomaliesFromCounts(counts,
+          keyCol = "key")
+        .withColumnRenamed("key", "event_type")
+    }
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -3889,6 +3907,8 @@ object SparkEntry {
     "q330_f2_moment" -> Oracles.csF2Moment(5, 64),
     "q331_rrf_fusion" -> Oracles.rrfFusion(100, 5, 16, 60, 5),
     "q332_pettitt" -> Oracles.pettittTest,
-    "q333_kcore" -> Oracles.kCore(80, 12)
+    "q333_kcore" -> Oracles.kCore(80, 12),
+    "q334_pettitt_stream" -> Oracles.pettittTest,
+    "q335_rate_anomaly_stream" -> Oracles.rateAnomalies(24, 12, 3)
   )
 }

@@ -581,28 +581,34 @@ object Sampling {
     * selected VALUE — bit-identical in any engine.
     */
   /** [[bootstrapMeanCI]]'s single scan+aggregate, pre-checkpoint — the
-    * stage whose plan shape the codegen spec pins. Melt FIRST (explode
-    * the replicate index 0..m), then compute ONE weight per
-    * (row, replicate) with the hash-family index as a COLUMN — the plan
-    * is a fixed ~60 expression nodes for any m, where a per-row array of
-    * m pre-computed weights was an O(m) expression tree that blew
-    * codegen (and the optimizer) well below the permitted m = 500.
-    * mixHash's family constants are affine in j (hashA = 37j+11,
-    * hashB = 101j+31), so the dynamic-j spelling is value-identical to
-    * `Dedup.mixHash(id, BootJ + 2r)`. Output: m+1 rows
-    * (pos, sx = Σw·x, nw = Σw); pos 0 is the base (w ≡ 1) stats.
+    * stage whose plan shape the codegen spec pins. The expensive S-box
+    * mix runs ONCE PER ROW before the melt (`p5 = perm5(affine(id,
+    * BootJ))`, a well-mixed value in [0, P)); the melt explodes the
+    * replicate index 0..m and each (row, replicate) pays only ONE affine
+    * map of the mixed value — `u_r = (hashA(j_r)·p5 + hashB(j_r)) mod P
+    * mod 10⁴` with j_r = BootJ + 2r — plus the 7 threshold compares.
+    * Distinct multipliers per replicate keep the draws decorrelated (an
+    * affine family over one mixed base — the [[Dedup.minHashSig]]
+    * construction); a full per-replicate hash CHAIN (the previous
+    * spelling) added no statistical value and, spelled dynamically, was
+    * a ~1000-node tree that silently fell out of codegen and evaluated
+    * interpreted per exploded row (measured 36× slower than even the
+    * wide-aggregate form). Plan size and aggregate width stay CONSTANT
+    * in m. Output: m+1 rows (pos, sx = Σw·x, nw = Σw); pos 0 is the
+    * base (w ≡ 1) stats.
     */
   private[ext] def bootstrapSums(df: DataFrame, idCol: String,
                                  valueCol: Column, m: Int): DataFrame = {
-    def affineHashJ(c: Column, jc: Column): Column =
-      ((lit(37L) * jc + lit(11L)) * pmod(c, lit(Dedup.MinHashP))
-        + (lit(101L) * jc + lit(31L))) % Dedup.MinHashP
     val melted = df
-      .select(valueCol.cast("long").as("__x"), col(idCol).as("__id"))
-      .select(col("__x"), col("__id"),
+      .select(valueCol.cast("long").as("__x"),
+        Dedup.perm5(Dedup.affineHash(col(idCol), BootJ)).as("__p5"))
+      .select(col("__x"), col("__p5"),
         explode(sequence(lit(0L), lit(m.toLong))).as("pos"))
     val jc = lit(BootJ.toLong) + col("pos") * 2L - 2L // pos 1..m → j = BootJ+2(pos−1)
-    val u = affineHashJ(Dedup.perm5(affineHashJ(col("__id"), jc)), jc + 1L) % 10000
+    // hashA(j)=37j+11, hashB(j)=101j+31 (Dedup.scala:33-34) as columns;
+    // __p5 < P and 37j+11 < 2^16 here, so the product stays within Long
+    val u = ((lit(37L) * jc + lit(11L)) * col("__p5")
+      + (lit(101L) * jc + lit(31L))) % Dedup.MinHashP % 10000
     val w = when(col("pos") === 0, lit(1L)) // pos 0 = the base (unweighted) stats
       .otherwise(PoissonThresholds.map(t => when(u >= t, 1L).otherwise(0L))
         .reduce(_ + _))

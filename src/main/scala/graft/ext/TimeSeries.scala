@@ -248,12 +248,31 @@ object TimeSeries {
 
   def rateAnomalies(events: DataFrame, tsCol: String = "ts",
                     keyCol: String = "event_type", lookback: Int = 24,
-                    minPrior: Int = 12, z: Int = 3): DataFrame = {
+                    minPrior: Int = 12, z: Int = 3): DataFrame =
+    rateAnomaliesFromGrid(gapFillHourly(events, tsCol, keyCol), keyCol,
+      lookback, minPrior, z)
+
+  /** [[rateAnomalies]] fed by PRE-AGGREGATED per-key hourly counts (the
+    * [[graft.streaming.Streams.decayedCountsHourly]] emitter's closed
+    * windows) — [[gapFillFromCounts]] densifies, then the IDENTICAL
+    * integer z-test runs, so the continuous monitor equals the batch one
+    * row for row. Batch twin (oracle-verified): q137 / q335.
+    */
+  def rateAnomaliesFromCounts(counts: DataFrame, keyCol: String = "key",
+                              hourCol: String = "hour", cCol: String = "c",
+                              lookback: Int = 24, minPrior: Int = 12,
+                              z: Int = 3): DataFrame =
+    rateAnomaliesFromGrid(gapFillFromCounts(counts, keyCol, hourCol, cCol),
+      keyCol, lookback, minPrior, z)
+
+  private def rateAnomaliesFromGrid(grid: DataFrame, keyCol: String,
+                                    lookback: Int, minPrior: Int,
+                                    z: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy("hour").rowsBetween(-lookback, -1)
     val x = col("n_events")
     val dev = col("m") * x - col("s")
-    gapFillHourly(events, tsCol, keyCol)
+    grid
       .withColumn("m", count(x).over(w))
       .withColumn("s", sum(x).over(w))
       .withColumn("q", sum(x * x).over(w))
@@ -786,9 +805,23 @@ object TimeSeries {
     * windows (distinct values, grid hours) and two tiny aggregates —
     * the same posture as [[theilSenTrend]] without the grid² pairs.
     */
-  def pettittTest(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+  def pettittTest(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    pettittFromSeries(hourlyGrid(events, tsCol))
+
+  /** [[pettittTest]] fed by PRE-AGGREGATED hourly counts — the
+    * stream emitters' closed-window (hour, key, c) rows collapse to the
+    * global series and run the IDENTICAL rank arithmetic, so the
+    * retrospective changepoint can be asked of a stored monitoring
+    * stream without ever re-reading facts. Batch twin
+    * (oracle-verified): q332 / q334.
+    */
+  def pettittFromCounts(counts: DataFrame, hourCol: String = "hour",
+                        cCol: String = "c"): DataFrame =
+    pettittFromSeries(hourlyGridFromCounts(counts, hourCol, cCol))
+
+  private def pettittFromSeries(grid: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val series = hourlyGrid(events, tsCol).localCheckpoint(true)
+    val series = grid.localCheckpoint(true)
     val n1 = series.agg(count(lit(1)).as("n"))
     val byV = series.groupBy("c").agg(count(lit(1)).as("m"))
     val wv = Window.orderBy(col("c"))

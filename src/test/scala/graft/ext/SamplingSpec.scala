@@ -464,12 +464,17 @@ class SamplingSpec extends SparkSpec {
       resamples = 5, loPermille = 200, hiPermille = 800).head()
     assert(out.getAs[Long]("n") == 3L)
     assert(out.getAs[Double]("mean") == 30.0)
-    // recompute resample 0..4 means directly from the weight definition
+    // recompute resample 0..4 means directly from the weight definition:
+    // one per-row S-box mix, one affine map per replicate
     val means = (0 until 5).map { r =>
+      val j = Sampling.BootJ + 2 * r
       val ws = Seq(1L, 2L, 3L).map { id =>
-        val u = d.sparkSession.range(1).select(
-          (graft.ext.Dedup.mixHash(org.apache.spark.sql.functions.lit(id),
-            Sampling.BootJ + 2 * r) % 10000).as("u")).head().getLong(0)
+        val p5 = d.sparkSession.range(1).select(
+          graft.ext.Dedup.perm5(graft.ext.Dedup.affineHash(
+            org.apache.spark.sql.functions.lit(id), Sampling.BootJ)).as("p"))
+          .head().getLong(0)
+        val u = ((37L * j + 11L) * p5 + (101L * j + 31L)) %
+          graft.ext.Dedup.MinHashP % 10000L
         Sampling.PoissonThresholds.count(t => u >= t).toLong
       }
       val sx = ws(0) * 10 + ws(1) * 20 + ws(2) * 60

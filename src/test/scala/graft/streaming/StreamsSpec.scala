@@ -1166,6 +1166,16 @@ class StreamsSpec extends SparkSpec {
         TimeSeries.conformalByKeyFromCounts(closed, alphaPpm = 200000L),
         TimeSeries.conformalTrendIntervalByKey(closedEvents.toDF(), "ts",
           "event_type", alphaPpm = 200000L))
+      // Pettitt and the rate z-test ride the same emitter
+      assertSameRows(
+        TimeSeries.pettittFromCounts(closed),
+        TimeSeries.pettittTest(closedEvents.toDF(), "ts"))
+      assertSameRows(
+        TimeSeries.rateAnomaliesFromCounts(closed,
+          lookback = 4, minPrior = 2, z = 2),
+        TimeSeries.rateAnomalies(closedEvents.toDF(),
+            lookback = 4, minPrior = 2, z = 2)
+          .withColumnRenamed("event_type", "key"))
     } finally q.stop()
   }
 
