@@ -1394,7 +1394,36 @@ object Plans {
       """Certified drift series: the streaming histogram's KB-sized
         |cells are the ONLY input — corpus touched once by the emitter.
         |Pairing joins + q324's arithmetic, every window partitioned by
-        |hour; all work (hours × buckets) sketch metadata.""".stripMargin)
+        |hour; all work (hours × buckets) sketch metadata.""".stripMargin,
+    "q327_cusum_stream" ->
+      """Stream-fed CUSUM: facts touched ONCE by the hourly-count
+        |emitter's window aggregate; gap-fill and both stacked windows
+        |run over the keyspace-sized (key × hours) grid. Identical rows
+        |to q274 — the emitter's closed windows are a sufficient
+        |statistic, which is the whole point of the twin.""".stripMargin,
+    "q330_f2_moment" ->
+      """F2 readout: the exact arm is one map-combined per-user count +
+        |one 1-row moment agg; the sketch arm groups depth×width cells.
+        |At 100 TB only the exact arm scans facts — the estimate itself
+        |reads KB of stored sketch, which is the operational mode.""".stripMargin,
+    "q331_rrf_fusion" ->
+      """RRF fusion: both arms are panel×k rankings (windows over
+        |broadcast-scored pairs); the fusion adds one full-outer
+        |(query, doc) equi-join and a per-query window over ≤2k rows —
+        |nothing fact-sized enters the combiner.""".stripMargin,
+    "q332_pettitt" ->
+      """Pettitt: one fact aggregate → hour grid; the s-value collapse
+        |groups DISTINCT counts and both running sums window the
+        |keyspace-sized grid (single-partition windows over ≤ grid rows,
+        |the q302 posture). No grid² pair materialization — the
+        |antisymmetry identity does the O(n²) sum in O(n).""".stripMargin,
+    "q333_kcore" ->
+      """k-core peel: each round is one partial-agg degree count + two
+        |semi-joins against the checkpointed (and monotonically
+        |shrinking) edge list — O(m) per round, keyspace-sized survivor
+        |relation, lineage cut per round. Fixed round count keeps the
+        |plan replayable in any engine; idempotence past the fixpoint is
+        |spec-pinned.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
