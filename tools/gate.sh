@@ -73,8 +73,10 @@ echo "=== registry freshness ==="
 # every registered query must have been dumped by Verify (a query that
 # throws at build time leaves no parquet → the selfcheck above reds it;
 # this guards the complementary staleness: a gate run against old classes)
-n_reg=$(grep -c '"q' "$tmp/verify_0.01/oracle_sql.json" 2>/dev/null || echo 0)
-n_dump=$(ls -d "$tmp"/verify_0.01/q*.parquet 2>/dev/null | wc -l)
+# oracle_sql.json is one JSON line → count name matches, not lines;
+# Verify writes each query's parquet as a bare `q<name>` directory
+n_reg=$(grep -o '"q[0-9]' "$tmp/verify_0.01/oracle_sql.json" 2>/dev/null | wc -l)
+n_dump=$(ls -d "$tmp"/verify_0.01/q* 2>/dev/null | wc -l)
 echo "oracles declared: $n_reg, results dumped: $n_dump"
 [ "$n_dump" -ge "$n_reg" ] || { echo "STALE/PARTIAL registry dump"; fail=1; }
 
