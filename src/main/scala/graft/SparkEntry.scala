@@ -3500,7 +3500,23 @@ object SparkEntry {
       graft.ext.TimeSeries.rateAnomaliesFromCounts(counts,
           keyCol = "key")
         .withColumnRenamed("key", "event_type")
-    }
+    },
+
+    // stream-fed seasonal anomalies: q182's same-slot z-test off the
+    // stored hourly counts (same oracle as q182)
+    "q336_seasonal_anomaly_stream" -> ((s, d) =>
+      graft.ext.TimeSeries.seasonalAnomaliesFromCounts(
+        graft.streaming.Streams.decayedCountsHourly(Tables.events(s, d)),
+        keyCol = "key", minPrior = 3, z = 3)
+        .withColumnRenamed("key", "event_type")),
+
+    // stream-fed EWMA: q142's exact finite-lag smoother off the stored
+    // hourly counts (same oracle as q142)
+    "q337_ewma_stream" -> ((s, d) =>
+      graft.ext.TimeSeries.ewmaFromCounts(
+        graft.streaming.Streams.decayedCountsHourly(Tables.events(s, d)),
+        keyCol = "key")
+        .withColumnRenamed("key", "event_type"))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -3909,6 +3925,8 @@ object SparkEntry {
     "q332_pettitt" -> Oracles.pettittTest,
     "q333_kcore" -> Oracles.kCore(80, 12),
     "q334_pettitt_stream" -> Oracles.pettittTest,
-    "q335_rate_anomaly_stream" -> Oracles.rateAnomalies(24, 12, 3)
+    "q335_rate_anomaly_stream" -> Oracles.rateAnomalies(24, 12, 3),
+    "q336_seasonal_anomaly_stream" -> Oracles.seasonalAnomalies(3, 3),
+    "q337_ewma_stream" -> Oracles.ewmaHourly(3, 10, 8)
   )
 }

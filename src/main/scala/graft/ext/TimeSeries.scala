@@ -312,14 +312,32 @@ object TimeSeries {
     */
   def seasonalAnomalies(events: DataFrame, tsCol: String = "ts",
                         keyCol: String = "event_type",
-                        minPrior: Int = 3, z: Int = 3): DataFrame = {
+                        minPrior: Int = 3, z: Int = 3): DataFrame =
+    seasonalAnomaliesFromGrid(gapFillHourly(events, tsCol, keyCol), keyCol,
+      minPrior, z)
+
+  /** [[seasonalAnomalies]] fed by PRE-AGGREGATED per-key hourly counts
+    * (the [[graft.streaming.Streams.decayedCountsHourly]] emitter's
+    * closed windows) — shared gap-fill + same-slot z-test core, so the
+    * weekly-rhythm monitor runs off the stored stream identical to the
+    * batch path. Batch twin (oracle-verified): q182 / q336.
+    */
+  def seasonalAnomaliesFromCounts(counts: DataFrame, keyCol: String = "key",
+                                  hourCol: String = "hour",
+                                  cCol: String = "c",
+                                  minPrior: Int = 3, z: Int = 3): DataFrame =
+    seasonalAnomaliesFromGrid(gapFillFromCounts(counts, keyCol, hourCol, cCol),
+      keyCol, minPrior, z)
+
+  private def seasonalAnomaliesFromGrid(grid: DataFrame, keyCol: String,
+                                        minPrior: Int, z: Int): DataFrame = {
     val how = pmod(expr("unix_micros(hour) div 3600000000"), lit(168L))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol), col("how")).orderBy("hour")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val x = col("n_events")
     val dev = col("m") * x - col("s")
-    gapFillHourly(events, tsCol, keyCol)
+    grid
       .withColumn("how", how)
       .withColumn("m", count(x).over(w))
       .withColumn("s", sum(x).over(w))
@@ -372,7 +390,25 @@ object TimeSeries {
     */
   def ewmaHourly(events: DataFrame, tsCol: String = "ts",
                  keyCol: String = "event_type", alphaNum: Int = 3,
-                 alphaDen: Int = 10, depth: Int = 8): DataFrame = {
+                 alphaDen: Int = 10, depth: Int = 8): DataFrame =
+    ewmaFromGrid(gapFillHourly(events, tsCol, keyCol), keyCol,
+      alphaNum, alphaDen, depth)
+
+  /** [[ewmaHourly]] fed by PRE-AGGREGATED per-key hourly counts (the
+    * [[graft.streaming.Streams.decayedCountsHourly]] emitter's closed
+    * windows) — shared gap-fill + finite-lag weighted-sum core, so the
+    * smoother reads the stored stream with results identical to the
+    * batch path. Batch twin (oracle-verified): q142 / q337.
+    */
+  def ewmaFromCounts(counts: DataFrame, keyCol: String = "key",
+                     hourCol: String = "hour", cCol: String = "c",
+                     alphaNum: Int = 3, alphaDen: Int = 10,
+                     depth: Int = 8): DataFrame =
+    ewmaFromGrid(gapFillFromCounts(counts, keyCol, hourCol, cCol), keyCol,
+      alphaNum, alphaDen, depth)
+
+  private def ewmaFromGrid(grid: DataFrame, keyCol: String, alphaNum: Int,
+                           alphaDen: Int, depth: Int): DataFrame = {
     require(alphaNum > 0 && alphaDen > alphaNum, "need 0 < alpha < 1")
     require(depth >= 1 && math.pow(alphaDen.toDouble, depth) < 1e17,
       "b^depth must stay far below 2^63")
@@ -388,7 +424,7 @@ object TimeSeries {
       case (wi, 0) => lit(wi) * col("n_events")
       case (wi, i) => lit(wi) * lag(col("n_events"), i).over(w)
     }.reduce(_ + _)
-    gapFillHourly(events, tsCol, keyCol)
+    grid
       .withColumn("rn", row_number().over(w))
       .withColumn("num", num)
       .filter(col("rn") >= depth)

@@ -399,6 +399,34 @@ class GraphSpec extends SparkSpec {
       Graph.kCore(e, k = 2, rounds = 8))
   }
 
+  test("kCore: k-core properties hold on a deterministic random graph " +
+      "(every member keeps degree >= k; no peeled node qualifies; maximality)") {
+    // 40-node graph, ~120 hash-deterministic edges
+    val edges = (0 until 200).flatMap { i =>
+      val u = (i * 7919L) % 40
+      val v = (i * 104729L + 13) % 40
+      if (u != v) Some((math.min(u, v), math.max(u, v))) else None
+    }.distinct
+    val e = df("u BIGINT, v BIGINT", edges.map { case (u, v) => Row(u, v) })
+    val k = 5
+    val core = Graph.kCore(e, k = k, rounds = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // membership: every core node keeps >= k neighbors INSIDE the core
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    core.foreach { case (n, d) =>
+      val inCore = adj(n).count(core.contains)
+      assert(d == inCore && d >= k, s"node $n: core_degree $d, in-core $inCore")
+    }
+    // maximality: no peeled node has >= k neighbors inside the core —
+    // otherwise core ∪ {that node} would also satisfy the k-core
+    // property and the reported set would not be maximal
+    (adj.keySet -- core.keySet).foreach { n =>
+      assert(adj(n).count(core.contains) < k,
+        s"peeled node $n has >= $k in-core neighbors — core not maximal")
+    }
+  }
+
   test("localClustering: edge-count gate drives both closing-join arms to the same rows") {
     val e = df("u BIGINT, v BIGINT",
       Seq(Row(1L, 2L), Row(1L, 3L), Row(2L, 3L), Row(3L, 4L), Row(2L, 4L)))
