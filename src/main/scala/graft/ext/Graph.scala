@@ -441,12 +441,24 @@ object Graph {
     val und = edges.select(col("u"), col("v"))
     var e = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint(true) // symmetric, deduped: deg = out-deg
-    for (_ <- 1 to rounds) {
+    // early-exit at the fixpoint: each round's result is eagerly
+    // checkpointed anyway, so the edge count is O(partitions) driver
+    // work; idempotence means stopping early returns the SAME rows the
+    // full `rounds` unroll would (the oracle replays the full unroll) —
+    // the remaining rounds are pure wasted O(m) scans at any scale
+    var n = e.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
       val keep = e.groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("u").as("n"))
       e = e.join(keep.select(col("n").as("u")), Seq("u"))
         .join(keep.select(col("n").as("v")), Seq("v"))
         .select("u", "v").localCheckpoint(true)
+      val n2 = e.count()
+      converged = n2 == n
+      n = n2
+      r += 1
     }
     e.groupBy(col("u").as("node_id")).agg(count(lit(1)).as("core_degree"))
   }
