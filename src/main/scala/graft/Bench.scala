@@ -13,8 +13,14 @@ object Bench {
     * query. This makes BENCH_r04+ a step SLOWER than r01-r03 on queries
     * whose tail was previously pruned — the honest number.
     */
-  private def probe(df: DataFrame): Unit =
+  private[graft] def probe(df: DataFrame): Unit =
     df.select(count(lit(1)), bit_xor(xxhash64(df.columns.map(col): _*))).head()
+
+  /** probe + row count in one action — BenchOne's variant, same plan
+    * semantics as `probe` so its numbers are comparable to the driver's. */
+  private[graft] def probeRows(df: DataFrame): Long =
+    df.select(count(lit(1)), bit_xor(xxhash64(df.columns.map(col): _*)))
+      .head().getLong(0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -32,6 +38,11 @@ object Bench {
       .config("spark.sql.debug.maxToStringFields", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // runtime codegen-bailout detection (the q296 lesson: a silent
+    // interpreted-mode fallback is invisible to plan strings and costs
+    // up to 36×) — any query that executes interpreted is NAMED in the
+    // bench record under "codegen_bailouts" and flips its codegen_ok
+    CodegenWatch.install()
     // absorb session/codegen/parquet-footer/page-cache warmup outside the
     // timings: one scan per base table (the first timed query would
     // otherwise pay the whole corpus's cold IO), then run in stable name
@@ -68,9 +79,11 @@ object Bench {
       s"SPARK_GRAFT_BENCH_ONLY=${only.map(_.mkString(","))} matches no registered query")
     val passes = (1 to reps).map { _ =>
       named.map { case (name, fn) =>
+        CodegenWatch.drain() // discard anything attributed to prior work
         val t0 = System.nanoTime()
         val ok = try { probe(fn(spark, sfDir)); true } catch { case _: Throwable => false }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        val codegenOk = CodegenWatch.drain().isEmpty
+        (name, (System.nanoTime() - t0) / 1e9, ok, codegenOk)
       }
     }
     val results = named.map { case (name, _) =>
@@ -78,8 +91,17 @@ object Bench {
       val good = times.collect { case (t, true) => t }
       (name, (if (good.nonEmpty) good else times.map(_._1)).min, times.forall(_._2))
     }
+    // a query is codegen-clean only if NO rep recorded a fallback WARN
+    val bailed = named.map(_._1).filter { name =>
+      passes.exists(p => !p.find(_._1 == name).get._4)
+    }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query codegen_ok (directive: interpreted execution must be
+    // visible in the bench record, not just wall-clock drift)
+    val cg = results.map { case (k, _, _) =>
+      s"\"" + k + "\":" + (!bailed.contains(k)) }.mkString("{", ",", "}")
+    val bailedJson = bailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
@@ -92,11 +114,11 @@ object Bench {
     // stdout gets a SHORT line — total/failed/config, ~200 bytes, immune
     // to tail truncation at any query count; the full per-query map lands
     // only in BENCH_LOCAL.json on disk.
-    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"probe":"xxhash64-checksum","sf":"$sfDir"}"""
+    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"codegen_ok":$cg,"codegen_bailouts":$bailedJson,"reps":$reps,"probe":"xxhash64-checksum","sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (fileLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    val stdoutLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"reps":$reps,"probe":"xxhash64-checksum","sf":"$sfDir","queries_file":"BENCH_LOCAL.json"}"""
+    val stdoutLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"codegen_bailouts":$bailedJson,"reps":$reps,"probe":"xxhash64-checksum","sf":"$sfDir","queries_file":"BENCH_LOCAL.json"}"""
     // Belt-and-braces for the driver's parser (BENCH_r04/r05 both came
     // back "parsed": null — the stdout line carried sbt's "[info] "
     // prefix): the exact stdout object also lands in a stable file the

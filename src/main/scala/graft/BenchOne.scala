@@ -44,7 +44,11 @@ object BenchOne {
       val prev = last.get(name).map(s => f" (last bench: $s%.2fs)").getOrElse("")
       (1 to reps).foreach { i =>
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        // the driver's probe, NOT count(): under count() ColumnPruning
+        // deletes unreferenced operator tails (the round-4 finding), so
+        // count-based numbers systematically undershoot the driver bench
+        // — the r8 q306 "driver 7.6s vs BenchOne 2.6s" mystery was this
+        val n = Bench.probeRows(fn(spark, sfDir))
         println(f"[$name run $i] ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n$prev")
       }
       if (top.isEmpty) fn(spark, sfDir).explain("formatted")

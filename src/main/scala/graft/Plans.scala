@@ -1423,7 +1423,19 @@ object Plans {
         |shrinking) edge list — O(m) per round, keyspace-sized survivor
         |relation, lineage cut per round. Fixed round count keeps the
         |plan replayable in any engine; idempotence past the fixpoint is
-        |spec-pinned.""".stripMargin)
+        |spec-pinned.""".stripMargin,
+    "q338_rolling_wau_stream" ->
+      """Stream-fed WAU: the daily-window distinct-user aggregate (the
+        |userDaysDaily emitter run batch) replaces q183's dropDuplicates
+        |— same one corpus exchange — then the shared readout fans each
+        |(u, day) row out ×windowDays and count-distincts per day.
+        |Identical rows to q183; the emitter's closed windows are the
+        |sufficient statistic.""".stripMargin,
+    "q339_daily_churn_stream" ->
+      """Stream-fed churn: same emitter, then the shared lead-window
+        |readout over each user's active-day sequence (user-key exchange
+        |over the deduped activity relation, never the fact table).
+        |Identical rows to q204.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -41,6 +41,7 @@ object SelectionScaleAB {
     def sortArm(): Seq[(Long, Long)] = {
       val n = facts.count()
       val ranks = ppms.map(p => math.max(1L, (BigInt(p) * n + 999999).toLong / 1000000L))
+      // keyspace-sized window: input is collapsed/bounded before this sort
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
       facts.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn").isin(ranks: _*))

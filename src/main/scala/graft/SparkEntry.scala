@@ -2059,6 +2059,7 @@ object SparkEntry {
       val per = Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+      // keyspace-sized window: input is collapsed/bounded before this sort
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("cents"), col("o_custkey"))
       per.withColumn("i", row_number().over(w).cast("long"))
@@ -3448,7 +3449,11 @@ object SparkEntry {
           .as("f2_exact"))
       exact.crossJoin(graft.ext.Sketch.csF2Estimate(sk, depth = 5))
         .withColumn("err_ppm",
-          expr("abs(f2_est - f2_exact) * 1000000 div f2_exact"))
+          // F₂ passes 10¹³ at operational scale, so the ×10⁶ must happen
+          // in a DECIMAL(38,0) envelope (BIGINT overflows at ~9.2·10¹⁸);
+          // the oracle's HUGEINT arithmetic shares the same envelope
+          expr("CAST(abs(CAST(f2_est AS DECIMAL(38,0)) - f2_exact)" +
+            " * 1000000 div f2_exact AS BIGINT)"))
     },
 
     // reciprocal-rank fusion of the exact cosine ranking with its
@@ -3516,7 +3521,22 @@ object SparkEntry {
       graft.ext.TimeSeries.ewmaFromCounts(
         graft.streaming.Streams.decayedCountsHourly(Tables.events(s, d)),
         keyCol = "key")
-        .withColumnRenamed("key", "event_type"))
+        .withColumnRenamed("key", "event_type")),
+
+    // stream-fed rolling WAU: q183's exact 7-day distinct-actives series
+    // re-read from the daily active-user emitter's closed windows —
+    // identical fan-out + count readout (same oracle as q183)
+    "q338_rolling_wau_stream" -> ((s, d) =>
+      graft.ext.Funnel.rollingActiveFromUserDays(
+        graft.streaming.Streams.userDaysDaily(Tables.events(s, d)),
+        windowDays = 7)),
+
+    // stream-fed daily churn: q204's active-on-d-silent-on-d+1 series off
+    // the same daily active-user emitter — identical lead-window readout
+    // (same oracle as q204)
+    "q339_daily_churn_stream" -> ((s, d) =>
+      graft.ext.Warehouse.dailyChurnFromUserDays(
+        graft.streaming.Streams.userDaysDaily(Tables.events(s, d))))
   )
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
@@ -3927,6 +3947,8 @@ object SparkEntry {
     "q334_pettitt_stream" -> Oracles.pettittTest,
     "q335_rate_anomaly_stream" -> Oracles.rateAnomalies(24, 12, 3),
     "q336_seasonal_anomaly_stream" -> Oracles.seasonalAnomalies(3, 3),
-    "q337_ewma_stream" -> Oracles.ewmaHourly(3, 10, 8)
+    "q337_ewma_stream" -> Oracles.ewmaHourly(3, 10, 8),
+    "q338_rolling_wau_stream" -> Oracles.rollingActiveUsers(7),
+    "q339_daily_churn_stream" -> Oracles.dailyChurn
   )
 }

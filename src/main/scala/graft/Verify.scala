@@ -45,6 +45,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // name any query whose execution silently fell back to interpreted
+    // mode (codegen bailout) — dumped as codegen_bailouts.json below and
+    // gated red by tools/gate.sh
+    CodegenWatch.install()
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_VERIFY_ONLY=q72,q73 → dump (and list oracles for) only
     // queries with a matching name prefix — local iteration aid, same
@@ -52,8 +56,10 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def selected(name: String) = only.forall(_.exists(name.startsWith))
+    val bailouts = Seq.newBuilder[(String, Seq[String])]
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (selected(name))
+      if (selected(name)) {
+        CodegenWatch.drain() // anything stale belongs to the previous query
         try {
           val out = fn(spark, sfDir)
           // fail THIS query loudly (missing output → red driver row)
@@ -63,6 +69,9 @@ object Verify {
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        val msgs = CodegenWatch.drain()
+        if (msgs.nonEmpty) bailouts += name -> msgs.distinct.take(3)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -85,6 +94,14 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SF_DIR}", sfDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // {} when every query executed compiled — the healthy state gate.sh
+    // asserts; a named entry is a q296-class silent 36× slowdown
+    val bailJson = bailouts.result()
+      .map { case (k, ms) => s"${q(k)}: ${ms.map(q).mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/codegen_bailouts.json"), bailJson)
+    if (bailJson != "{}")
+      System.err.println(s"[verify] CODEGEN BAILOUTS: $bailJson")
     spark.stop()
   }
 }

@@ -420,6 +420,7 @@ object Dedup {
     val bounds = sim.groupBy("bucket").agg(
       min(struct(col("simhash"), col(idCol).as("id"))).as("first"),
       max(struct(col("simhash"), col(idCol).as("id"))).as("last"))
+    // keyspace-sized window: input is collapsed/bounded before this sort
     val bw = org.apache.spark.sql.expressions.Window.orderBy("bucket")
     val boundary = bounds
       .withColumn("nxt", lead(col("first"), 1).over(bw))

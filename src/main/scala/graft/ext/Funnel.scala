@@ -640,12 +640,24 @@ object Funnel {
     */
   def rollingActiveUsers(events: DataFrame, windowDays: Int = 7,
                          tsCol: String = "ts",
-                         userCol: String = "user_id"): DataFrame = {
+                         userCol: String = "user_id"): DataFrame =
+    rollingActiveFromUserDays(
+      events.select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+        .dropDuplicates("u", "day"),
+      windowDays)
+
+  /** The WAU readout over an already-deduped (u, day) activity relation —
+    * the SHARED code path between the batch operator above and the
+    * stream-fed twin ([[graft.streaming.Streams.userDaysDaily]] emits
+    * exactly this relation from its closed daily windows), so both modes
+    * run identical fan-out + count arithmetic against one oracle.
+    * `to_date(max ts)` = `max day`, so deriving the span cap from the
+    * activity relation itself is exact.
+    */
+  def rollingActiveFromUserDays(userDays: DataFrame,
+                                windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")
-    val userDays = events
-      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
-      .dropDuplicates("u", "day")
-    val maxDay = events.agg(to_date(max(col(tsCol))).as("__max_day"))
+    val maxDay = userDays.agg(max(col("day")).as("__max_day"))
     userDays
       .select(col("u"), explode(sequence(col("day"),
         date_add(col("day"), windowDays - 1))).as("wday"))

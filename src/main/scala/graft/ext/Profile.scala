@@ -246,6 +246,7 @@ object Profile {
     val tot = vc.agg(sum(col("cnt")).as("n"), min(col("x")).as("vmin"),
       max(col("x")).as("vmax"))
     val cum = vc
+      // keyspace-sized window: input is collapsed/bounded before this sort
       .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("x"))))
       .crossJoin(broadcast(tot.select(col("n"))))
     // value occupies 0-based ranks [cum−cnt, cum−1] → buckets b0..b1;

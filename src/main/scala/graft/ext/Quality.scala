@@ -254,6 +254,7 @@ object Quality {
     val counts = df.groupBy(col(valCol).as("__v")).agg(count(lit(1)).as("__c"))
     // single-partition window over the BY-VALUE table (distinct values,
     // not rows) — the documented exact-quantile trade (q130/q151)
+    // keyspace-sized window: input is collapsed/bounded before this sort
     val wRun = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = counts.withColumn("__cum", sum("__c").over(wRun))

@@ -30,7 +30,9 @@ object RankStats {
     val base = df.select(col(keyCol).as("k"), xCol.as("x"), yCol.as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
     val ranked = base
+      // keyspace-sized window: input is collapsed/bounded before this sort
       .withColumn("rx", row_number().over(Window.orderBy(col("x"), col("k"))))
+      // keyspace-sized window: input is collapsed/bounded before this sort
       .withColumn("ry", row_number().over(Window.orderBy(col("y"), col("k"))))
     ranked
       .agg(count(lit(1)).as("n"),
@@ -80,6 +82,7 @@ object RankStats {
       .filter(col("v").isNotNull)
       .groupBy("v")
       .agg(sum("isA").as("ca"), sum(expr("1 - isA")).as("cb"))
+    // keyspace-sized window: input is collapsed/bounded before this sort
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = byValue
@@ -111,6 +114,7 @@ object RankStats {
       .filter(col("v").isNotNull)
       .groupBy("v")
       .agg(sum("isA").as("ca"), sum(expr("1 - isA")).as("cb"))
+    // keyspace-sized window: input is collapsed/bounded before this sort
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = byValue

@@ -217,6 +217,7 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val caps = docs.groupBy(col(strataCol).as("stratum"))
       .agg(sum(col(sizeCol).cast("long")).as("cap"))
+    // keyspace-sized window: input is collapsed/bounded before this sort
     val ord = Window.orderBy(col("cap"), col("stratum"))
     val all = Window.partitionBy(lit(1))
     val uncappedOrd = Window.partitionBy(col("capped")).orderBy(col("stratum"))
@@ -634,6 +635,7 @@ object Sampling {
     val means = sums.filter(col("pos") >= 1)
       .select(round(col("sx").cast("double") / greatest(col("nw"), lit(1L)), 6).as("mean"))
     val ranked = means
+      // keyspace-sized window: input is collapsed/bounded before this sort
       .withColumn("rn", row_number().over(Window.orderBy(col("mean"))))
       .localCheckpoint(true) // m rows; read twice (lo and hi bound)
     val lo = ranked.filter(col("rn") === (m * loPermille + 999) / 1000)

@@ -148,6 +148,7 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
     topK.withColumn("rank",
+        // keyspace-sized window: input is collapsed/bounded before this sort
         row_number().over(Window.orderBy(col("score").desc, col(idCol))))
       .select(col(idCol), col("score"), col("rank"))
   }
@@ -181,6 +182,7 @@ object Search {
       .orderBy(col("rrf").desc, col(idCol))
       .limit(k)
     fused.withColumn("rank",
+        // keyspace-sized window: input is collapsed/bounded before this sort
         row_number().over(Window.orderBy(col("rrf").desc, col(idCol))))
       .select(col(idCol), col("rrf"), col("rank"))
   }
@@ -298,7 +300,10 @@ object Search {
       .na.fill(0L, Seq("n_rel"))
     val ks = spark.range(1, kMax + 1).select(col("id").as("k"))
     // slots = min(list length, k) per query — the denominator charges
-    // only rows the ranking actually returned
+    // only rows the ranking actually returned. DELIBERATE deviation from
+    // trec_eval P@k (which divides by k·n_queries and so penalizes short
+    // lists); adopted round 8 — bench/verdict history before r8 used the
+    // k-denominator definition (see SCALING.md "P@k definition change")
     val perQueryK = hits.join(broadcast(ks), col("rank") <= col("k"))
       .groupBy("query_id", "k")
       .agg(sum("rel").as("hits"), count(lit(1)).as("slots"))

@@ -549,6 +549,7 @@ object Sketch {
       s"depth must be odd in [1, 5]: $depth")
     val perRow = sketch.groupBy("row")
       .agg(sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).as("f2r"))
+    // keyspace-sized window: input is collapsed/bounded before this sort
     val w = Window.orderBy(col("f2r"), col("row"))
     perRow.withColumn("rn", row_number().over(w))
       .filter(col("rn") === (depth + 1) / 2)
@@ -790,6 +791,7 @@ object Sketch {
       .select(col("bucket_id"),
         coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
+    // keyspace-sized window: input is collapsed/bounded before this sort
     val wRun = Window.orderBy("bucket_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = j.select(col("bucket_id"), col("ca"), col("cb"),
@@ -830,6 +832,7 @@ object Sketch {
     import org.apache.spark.sql.expressions.Window
     val base = hist.select(col(groupCol).as("g"), col("bucket_id"), col("cnt"))
     val m = base.select("g").distinct()
+      // keyspace-sized window: input is collapsed/bounded before this sort
       .withColumn("g_prev", lag("g", 1).over(Window.orderBy("g")))
       .filter(col("g_prev").isNotNull)
       .localCheckpoint(true) // group-keyspace; feeds both pairing joins

@@ -126,6 +126,7 @@ object TextAnalysis {
           col("n")) - 1).as("octave"))
       .agg(count(lit(1)).as("n_types"), sum("n").as("n_occurrences"))
     val tot = oct.agg(sum("n_occurrences").as("__t"))
+    // keyspace-sized window: input is collapsed/bounded before this sort
     val w = org.apache.spark.sql.expressions.Window.orderBy("octave")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
@@ -292,6 +293,7 @@ object TextAnalysis {
     require(q >= 2 && q <= 1000, s"q out of [2, 1000]: $q")
     val vals = docs.select(tokenCount(col(textCol)).cast("long").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    // keyspace-sized window: input is collapsed/bounded before this sort
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)

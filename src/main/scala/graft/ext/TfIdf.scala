@@ -45,6 +45,7 @@ object TfIdf {
       .agg(count(lit(1)).as("n"), countDistinct(col(idCol)).as("df"))
       .orderBy(col("n").desc, col("token")).limit(vocabSize)
       .withColumn("idx",
+        // keyspace-sized window: input is collapsed/bounded before this sort
         row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("int") - 1)
       .withColumn("idfq", expr(s"(${nDocs + 1L}L * 1000L) div (df + 1L)"))
     val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))

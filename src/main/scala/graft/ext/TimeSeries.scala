@@ -718,6 +718,7 @@ object TimeSeries {
         expr("abs(CAST(c AS DECIMAL(38,0)) * 1000000" +
           " - CAST(slope_ppm AS DECIMAL(38,0)) * t - intercept_ppm)").as("a"))
       .withColumn("rn", row_number().over(
+        // keyspace-sized window: input is collapsed/bounded before this sort
         org.apache.spark.sql.expressions.Window.orderBy(col("a"))))
     val qhat = ranked
       .filter(col("rn") === expr(s"least(greatest(CAST(1 AS BIGINT)," +
@@ -860,12 +861,14 @@ object TimeSeries {
     val series = grid.localCheckpoint(true)
     val n1 = series.agg(count(lit(1)).as("n"))
     val byV = series.groupBy("c").agg(count(lit(1)).as("m"))
+    // keyspace-sized window: input is collapsed/bounded before this sort
     val wv = Window.orderBy(col("c"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sv = byV.withColumn("cumleq", sum("m").over(wv))
       .crossJoin(broadcast(n1))
       .select(col("c"),
         (lit(2L) * col("cumleq") - col("m") - col("n")).as("s"), col("n"))
+    // keyspace-sized window: input is collapsed/bounded before this sort
     val wt = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val u = series.join(sv, Seq("c"))
@@ -905,6 +908,7 @@ object TimeSeries {
     val np = pairs.agg(count(lit(1)).as("n_pairs"))
     val med = pairs
       .withColumn("rn", row_number().over(
+        // keyspace-sized window: input is collapsed/bounded before this sort
         org.apache.spark.sql.expressions.Window.orderBy(col("s"))))
       .crossJoin(broadcast(np))
       .filter(col("rn") === expr("(n_pairs + 1) div 2"))
@@ -915,6 +919,7 @@ object TimeSeries {
         expr("CAST(c AS DECIMAL(38,0)) * 1000000" +
           " - CAST(slope_ppm AS DECIMAL(38,0)) * t").as("i"))
       .withColumn("rn", row_number().over(
+        // keyspace-sized window: input is collapsed/bounded before this sort
         org.apache.spark.sql.expressions.Window.orderBy(col("i"))))
       .crossJoin(broadcast(nh))
       .filter(col("rn") === expr("(n_hours + 1) div 2"))

@@ -100,6 +100,7 @@ object TopK {
       .withColumn("score", col("sa") + col("sb"))
     // kth pool score as an AGGREGATE (min of the top-k slice) so an
     // undersized — even empty — pool still yields the one no-prune row
+    // keyspace-sized window: input is collapsed/bounded before this sort
     val wPool = Window.orderBy(col("score").desc, col("ka"), col("kb"))
     val theta = pool
       .withColumn("rn", row_number().over(wPool))
@@ -113,6 +114,7 @@ object TopK {
     val prunedB = b.crossJoin(bound)
       .filter(col("sb") >= col("theta") - col("max_sa"))
       .select("kb", "sb")
+    // keyspace-sized window: input is collapsed/bounded before this sort
     val w = Window.orderBy(col("score").desc, col("ka"), col("kb"))
     pairs.join(prunedA, Seq("ka")).join(prunedB, Seq("kb"))
       .withColumn("score", col("sa") + col("sb"))

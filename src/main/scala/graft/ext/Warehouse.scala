@@ -34,6 +34,7 @@ object Warehouse {
   def othersRollup(agg: DataFrame, grpCol: String, valCol: String,
                    k: Int, otherLabel: String = "OTHER"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    // keyspace-sized window: input is collapsed/bounded before this sort
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col(valCol).desc, col(grpCol))
     agg
@@ -70,10 +71,19 @@ object Warehouse {
     * — one user-key exchange, no day-pair self-join.
     */
   def dailyChurn(events: DataFrame, tsCol: String = "ts",
-                 userCol: String = "user_id"): DataFrame = {
-    val activity = events
-      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
-      .distinct()
+                 userCol: String = "user_id"): DataFrame =
+    dailyChurnFromUserDays(
+      events.select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+        .distinct())
+
+  /** The churn readout over an already-deduped (u, day) activity relation
+    * — the SHARED code path between the batch operator above and the
+    * stream-fed twin ([[graft.streaming.Streams.userDaysDaily]] emits
+    * exactly this relation from its closed daily windows): lead over each
+    * user's active-day sequence, final (unknowable) day excluded. One
+    * user-key exchange, no day-pair self-join.
+    */
+  def dailyChurnFromUserDays(activity: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("u").orderBy("day")
     activity
@@ -124,6 +134,7 @@ object Warehouse {
     val weekly = lineitem
       .groupBy(date_trunc("week", col("l_shipdate")).cast("date").as("week"))
       .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("rev_cents"))
+    // keyspace-sized window: input is collapsed/bounded before this sort
     val w = org.apache.spark.sql.expressions.Window.orderBy("week")
     weekly
       .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
@@ -263,6 +274,7 @@ object Warehouse {
   def paretoContribution(df: DataFrame, grpCol: String, valueCol: String,
                          headPpm: Long = 800000): DataFrame = {
     require(headPpm >= 0 && headPpm <= 1000000, s"headPpm out of [0, 1e6]: $headPpm")
+    // keyspace-sized window: input is collapsed/bounded before this sort
     val wCum = Window.orderBy(col("total").desc, col(grpCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy()

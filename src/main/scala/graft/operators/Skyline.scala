@@ -54,6 +54,7 @@ object Skyline {
     // bucket ⇒ strictly smaller x)
     val carry = bucketed.groupBy("__b").agg(min(y).as("__bm"))
       .withColumn("__carry",
+        // keyspace-sized window: input is collapsed/bounded before this sort
         min(col("__bm")).over(Window.orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, -1)))
       .select(col("__b"), col("__carry"))

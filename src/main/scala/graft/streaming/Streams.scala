@@ -351,6 +351,26 @@ object Streams {
       .select(col("w.start").as("hour"), col("key"), col("c"))
   }
 
+  /** Streaming daily active-user sets — the emitter feeding the WAU and
+    * churn monitors: per closed DAILY tumbling window, one row per
+    * distinct (day, user) — the activity relation both
+    * [[graft.ext.Funnel.rollingActiveFromUserDays]] (rolling WAU) and
+    * [[graft.ext.Warehouse.dailyChurnFromUserDays]] (daily churn) read.
+    * The distinct (day, user) set is the sufficient statistic of every
+    * presence-based engagement series, so the stream holds O(users
+    * active in the open day) state and the readouts are pure functions
+    * of the closed windows. Mode-adaptive (the same window aggregate
+    * runs batch); batch twins (oracle-verified): q183 / q204.
+    */
+  def userDaysDaily(events: DataFrame, userCol: String = "user_id",
+                    watermark: String = "1 day"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+              else events
+    src.groupBy(window(col("ts"), "1 day").as("w"), col(userCol).as("u"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").cast("date").as("day"), col("u"))
+  }
+
   /** Streaming exact dedup: drops events whose `idCol` was already seen,
     * with state bounded by the watermark — the streaming face of the batch
     * exact-dedup operator (Dedup.exactDedup) for at-least-once sources

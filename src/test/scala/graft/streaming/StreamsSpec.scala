@@ -1216,6 +1216,68 @@ class StreamsSpec extends SparkSpec {
       assertSameRows(fromStream, fromBatch)
     } finally q.stop()
   }
+
+  // batch twins: q338_rolling_wau_stream / q339_daily_churn_stream — the
+  // same emitter on a bounded frame, oracle-verified against q183/q204's
+  // oracles verbatim
+  test("userDaysDaily closed windows feed rolling WAU and daily churn ≡ batch paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.userDaysDaily(mem.toDF())
+      .writeStream.format("memory").queryName("user_days")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 5 days of activity: user 1 every day, user 2 skips day 3 (churns
+      // on day 2, returns day 4), user 3 only days 1-2 (churns on day 2),
+      // user 4 repeats within day 1 (dedup inside the window)
+      val ins = Seq(
+        Streams.Event(1, ts("2024-01-01 09:00:00"), 1, "click", 1.0),
+        Streams.Event(2, ts("2024-01-01 10:00:00"), 4, "click", 1.0),
+        Streams.Event(3, ts("2024-01-01 11:00:00"), 4, "view", 1.0),
+        Streams.Event(4, ts("2024-01-01 12:00:00"), 2, "click", 1.0),
+        Streams.Event(5, ts("2024-01-01 13:00:00"), 3, "click", 1.0),
+        Streams.Event(6, ts("2024-01-02 09:00:00"), 1, "click", 1.0),
+        Streams.Event(7, ts("2024-01-02 10:00:00"), 2, "click", 1.0),
+        Streams.Event(8, ts("2024-01-02 11:00:00"), 3, "click", 1.0),
+        Streams.Event(9, ts("2024-01-03 09:00:00"), 1, "click", 1.0),
+        Streams.Event(10, ts("2024-01-04 09:00:00"), 1, "click", 1.0),
+        Streams.Event(11, ts("2024-01-04 10:00:00"), 2, "click", 1.0),
+        Streams.Event(12, ts("2024-01-05 09:00:00"), 1, "click", 1.0)
+      ) :+ Streams.Event(99, ts("2024-01-07 12:00:00"), 9, "view", 1.0) // pusher
+      mem.addData(ins: _*); q.processAllAvailable()
+      val streamed = spark.table("user_days")
+      val closed = spark.createDataFrame(
+        java.util.Arrays.asList(streamed.collect(): _*), streamed.schema)
+      // the pusher's own day stays open in append mode — compare against
+      // the batch operators over the events whose windows DID close
+      val closedEvents = ins.filter(
+        _.ts.getTime < ts("2024-01-07 00:00:00").getTime)
+      // closed windows ARE the deduped (u, day) activity, bit-for-bit
+      assertSameRows(
+        closed.select(col("u"), col("day")),
+        closedEvents.toDF()
+          .select(col("user_id").as("u"), to_date(col("ts")).as("day"))
+          .distinct())
+      // rolling WAU: stream-fed readout ≡ batch operator (q183 shape)
+      assertSameRows(
+        graft.ext.Funnel.rollingActiveFromUserDays(closed, windowDays = 3),
+        graft.ext.Funnel.rollingActiveUsers(closedEvents.toDF(), windowDays = 3))
+      // daily churn: stream-fed readout ≡ batch operator (q204 shape)
+      val churnStream =
+        graft.ext.Warehouse.dailyChurnFromUserDays(closed)
+      assertSameRows(churnStream,
+        graft.ext.Warehouse.dailyChurn(closedEvents.toDF()))
+      // hand values: day 2 churns users 2 and 3; day 3 churns user 1?
+      // no — user 1 is active day 4; day 4 churns user 2 (absent day 5)
+      val byDay = churnStream.collect()
+        .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(byDay("2024-01-02") == 2L)
+      assert(byDay.getOrElse("2024-01-03", 0L) == 0L)
+      assert(byDay("2024-01-04") == 1L)
+    } finally q.stop()
+  }
 }
 
 /** MemoryStream row for the embedding-moments twin (top-level for the

@@ -33,8 +33,11 @@ def main():
 
     old_q, old_meta = load(args.old)
     new_q, new_meta = load(args.new)
-    print(f"old: {old_meta.get('value', '?'):.1f}s / {len(old_q)} queries"
-          f"   new: {new_meta.get('value', '?'):.1f}s / {len(new_q)} queries")
+    def _sec(meta):
+        v = meta.get("value")
+        return f"{v:.1f}s" if isinstance(v, (int, float)) else "?"
+    print(f"old: {_sec(old_meta)} / {len(old_q)} queries"
+          f"   new: {_sec(new_meta)} / {len(new_q)} queries")
 
     added = sorted(set(new_q) - set(old_q))
     removed = sorted(set(old_q) - set(new_q))

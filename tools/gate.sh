@@ -75,10 +75,44 @@ echo "=== registry freshness ==="
 # this guards the complementary staleness: a gate run against old classes)
 # oracle_sql.json is one JSON line → count name matches, not lines;
 # Verify writes each query's parquet as a bare `q<name>` directory
-n_reg=$(grep -o '"q[0-9]' "$tmp/verify_0.01/oracle_sql.json" 2>/dev/null | wc -l)
+n_reg=$(python3 -c 'import json,sys; print(len(json.load(open(sys.argv[1]))))' \
+  "$tmp/verify_0.01/oracle_sql.json" 2>/dev/null) \
+  || { echo "oracle_sql.json missing/unparseable"; fail=1; n_reg=0; }
 n_dump=$(ls -d "$tmp"/verify_0.01/q* 2>/dev/null | wc -l)
 echo "oracles declared: $n_reg, results dumped: $n_dump"
-[ "$n_dump" -ge "$n_reg" ] || { echo "STALE/PARTIAL registry dump"; fail=1; }
+[ "$n_reg" -gt 0 ] && [ "$n_dump" -ge "$n_reg" ] \
+  || { echo "STALE/PARTIAL registry dump"; fail=1; }
+
+echo "=== codegen bailouts ==="
+# the q296 class of failure: a plan that prints WholeStageCodegen but
+# EXECUTES interpreted (Janino failure / hugeMethodLimit / expression
+# fallback). Verify names every such query in codegen_bailouts.json;
+# the healthy state is {} at every verified scale.
+for sf in "${scales[@]}"; do
+  bj="$tmp/verify_$sf/codegen_bailouts.json"
+  if [ ! -f "$bj" ]; then
+    echo "sf$sf: codegen_bailouts.json missing"; fail=1
+  elif [ "$(cat "$bj")" != "{}" ]; then
+    echo "sf$sf: CODEGEN BAILOUTS: $(cat "$bj")"; fail=1
+  else
+    echo "sf$sf: no bailouts"
+  fi
+done
+
+echo "=== round artifacts committed ==="
+# a round must not end with its evidence sitting untracked/modified in
+# the work tree (round-8 verdict item 7): stage + commit the driver/gate
+# artifacts and the bench_history snapshot if anything changed
+git add -A CORRECTNESS_TWOSCALE.json DETERMINISM.json BENCH_RESULT.json \
+  BENCH_LOCAL.json LEAKCHECK.json bench_history BENCH_r*.json \
+  CORRECTNESS_r*.json 2>/dev/null
+if ! git diff --cached --quiet 2>/dev/null; then
+  git commit -m "Commit round gate/driver artifacts" -q \
+    && echo "committed updated artifacts" \
+    || { echo "artifact commit FAILED"; fail=1; }
+else
+  echo "artifacts already committed"
+fi
 
 [ $fail -eq 0 ] && echo "GATE GREEN" || echo "GATE RED"
 exit $fail

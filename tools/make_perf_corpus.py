@@ -5,11 +5,16 @@ join/graph structure scales (not just row count), documents replicated with
 a per-replica text salt so byte-level operators see distinct payloads.
 Small dims copied as-is. See SCALING.md "Measured 10x scale-up"."""
 import os
+import sys
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sfperf"
-R = 10
+# Defaults build the canonical 10x-of-sf0.1 corpus (~sf1: ~6M lineitem
+# rows — the "one decade past the driver fixtures" scale the heavy-tier
+# SCALING.md rows are measured at). Override positionally:
+#   tools/make_perf_corpus.py [SRC] [DST] [R]
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfperf"
+R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()

@@ -18,7 +18,7 @@ box intermittently EAGAINs thread spawns, killing DuckDB with
 std::system_error) is retried once, then recorded as an error instead of
 wedging the run. ~125 forks cost seconds total.
 """
-import sys, json, glob
+import os, sys, json, glob
 import multiprocessing as mp
 
 args = [a for a in sys.argv[1:] if not a.startswith("--json")]
@@ -220,7 +220,38 @@ def run_isolated(ctx, task):
     return result
 
 
+def lint_unpartitioned_windows(src_root="src/main/scala"):
+    """Source lint (round-9 directive): every unpartitioned Window.orderBy
+    must carry the 'keyspace' doc marker within the 3 lines above it —
+    the established discipline is that such a window only ever sorts a
+    by-value/keyspace-collapsed relation, and the marker forces each new
+    site to SAY so. A fact-sized unpartitioned window single-threads the
+    corpus through one partition, which no oracle or determinism check
+    can see (it is correct, just catastrophically slow at scale).
+    """
+    import re, os, glob as g
+    pat = re.compile(r"Window\s*\.\s*orderBy")
+    bad = []
+    for f in sorted(g.glob(os.path.join(src_root, "**", "*.scala"),
+                           recursive=True)):
+        text = open(f).read()
+        lines = text.split("\n")
+        for m in pat.finditer(text):
+            ln = text[:m.start()].count("\n") + 1
+            ctx = "\n".join(lines[max(0, ln - 4):ln]).lower()
+            if "keyspace" not in ctx:
+                bad.append(f"{f}:{ln}")
+    for b in bad:
+        print(f"LINT: unpartitioned Window.orderBy without a 'keyspace' "
+              f"marker at {b} — annotate why the input is keyspace-sized "
+              f"(or partition the window)", flush=True)
+    return len(bad)
+
+
 def main():
+    lint_fails = lint_unpartitioned_windows(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "src", "main", "scala"))
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     report = {}
     fails = 0
@@ -242,6 +273,7 @@ def main():
             print(ln, flush=True)
         if failed:
             fails += 1
+    fails += lint_fails
     print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
     if json_out:
         with open(json_out, "w") as f:
