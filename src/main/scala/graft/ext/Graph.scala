@@ -724,7 +724,14 @@ object Graph {
     val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
     val e2 = oriented.select(col("src").as("b"), col("dst").as("c"))
     val e3 = oriented.select(col("src").as("a"), col("dst").as("c"))
-    val closing = if (oriented.count() <= broadcastEdgeLimit) broadcast(e3) else e3
+    // automatic arm gate: |oriented| = |und| = Σdeg/2, and deg is already
+    // checkpointed — so the gate reads the NODE-sized cached relation
+    // instead of scanning the edge list (the r8 gate's oriented.count()
+    // was an extra O(m) cached pass per execution; part of the q306
+    // 5.65→7.59 s drift the r8 verdict flagged)
+    val degSum = deg.agg(sum("d")).head()
+    val edgeCount = (if (degSum.isNullAt(0)) 0L else degSum.getLong(0)) / 2
+    val closing = if (edgeCount <= broadcastEdgeLimit) broadcast(e3) else e3
     val tri = e1.join(e2, "b").join(closing, Seq("a", "c"))
       .select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("triangles"))
