@@ -7537,4 +7537,72 @@ object Oracles {
        |SELECT u AS node_id, CAST(COUNT(*) AS BIGINT) AS core_degree
        |FROM e$rounds GROUP BY 1""".stripMargin
   }
+
+  /** The paired 1-NN label relation shared by q340/q341: for every panel
+    * query, the label its exact-cosine nearest neighbor carries, the label
+    * its int8-quantized nearest neighbor carries, and its own true label.
+    * Both arms MATERIALIZED (each is a full brute-force ranking).
+    */
+  private def onennLabelPairs(mod: Int): String =
+    s"""ex AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (${cosineTopK(mod, 1)}) t),
+       |qz AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (${quantizedTopK(mod, 1)}) t),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |pairs AS (
+       |  SELECT e.query_id, la.label AS pred_exact, lb.label AS pred_quant,
+       |         lt.label AS truth
+       |  FROM ex e JOIN qz q USING (query_id)
+       |  JOIN lab la ON la.vec_id = e.neighbor_id
+       |  JOIN lab lb ON lb.vec_id = q.neighbor_id
+       |  JOIN lab lt ON lt.vec_id = e.query_id)""".stripMargin
+
+  /** q340: Cohen's kappa between the exact and quantized 1-NN label arms
+    * — κ = (A·n − P)/(n² − P) as one integer rational in ppm, HUGEINT
+    * envelope, sign-split `//` (toward-zero like Spark's `div`).
+    */
+  def onennKappa(mod: Int): String =
+    s"""WITH ${onennLabelPairs(mod)},
+       |conf AS (SELECT pred_exact AS ca, pred_quant AS cb, COUNT(*) AS m
+       |         FROM pairs GROUP BY 1, 2),
+       |t AS (SELECT CAST(SUM(m) AS BIGINT) AS n,
+       |        CAST(SUM(CASE WHEN ca = cb THEN m ELSE 0 END) AS BIGINT) AS agree
+       |      FROM conf),
+       |pe AS (SELECT SUM(a.ra::HUGEINT * b.cc) AS p FROM
+       |  (SELECT ca AS k, SUM(m) AS ra FROM conf GROUP BY 1) a JOIN
+       |  (SELECT cb AS k, SUM(m) AS cc FROM conf GROUP BY 1) b USING (k))
+       |SELECT n, agree,
+       |  CAST((agree::HUGEINT * 1000000) // n AS BIGINT) AS po_ppm,
+       |  CAST((p * 1000000) // (n::HUGEINT * n) AS BIGINT) AS pe_ppm,
+       |  CASE WHEN n::HUGEINT * n = p THEN NULL
+       |       WHEN agree::HUGEINT * n >= p
+       |       THEN CAST(((agree::HUGEINT * n - p) * 1000000)
+       |              // (n::HUGEINT * n - p) AS BIGINT)
+       |       ELSE -CAST(((p - agree::HUGEINT * n) * 1000000)
+       |              // (n::HUGEINT * n - p) AS BIGINT)
+       |  END AS kappa_ppm
+       |FROM t, pe""".stripMargin
+
+  /** q341: McNemar over the same two arms against the true label —
+    * χ² = (b − c)²·10⁶ div (b + c); discordant-free panels → NULL.
+    */
+  def onennMcnemar(mod: Int): String =
+    s"""WITH ${onennLabelPairs(mod)},
+       |f AS (SELECT
+       |        CASE WHEN pred_exact = truth THEN 1 ELSE 0 END AS oka,
+       |        CASE WHEN pred_quant = truth THEN 1 ELSE 0 END AS okb
+       |      FROM pairs)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN oka = 1 AND okb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+       |  CAST(SUM(CASE WHEN oka = 0 AND okb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+       |  CASE WHEN SUM(CASE WHEN oka <> okb THEN 1 ELSE 0 END) = 0 THEN NULL
+       |       ELSE CAST((SUM(CASE WHEN oka = 1 AND okb = 0 THEN 1 ELSE 0 END)::HUGEINT
+       |                  - SUM(CASE WHEN oka = 0 AND okb = 1 THEN 1 ELSE 0 END))
+       |                 * (SUM(CASE WHEN oka = 1 AND okb = 0 THEN 1 ELSE 0 END)::HUGEINT
+       |                  - SUM(CASE WHEN oka = 0 AND okb = 1 THEN 1 ELSE 0 END))
+       |                 * 1000000
+       |              // (SUM(CASE WHEN oka = 1 AND okb = 0 THEN 1 ELSE 0 END)
+       |                  + SUM(CASE WHEN oka = 0 AND okb = 1 THEN 1 ELSE 0 END)) AS BIGINT)
+       |  END AS chi2_ppm
+       |FROM f""".stripMargin
 }

@@ -1435,7 +1435,19 @@ object Plans {
       """Stream-fed churn: same emitter, then the shared lead-window
         |readout over each user's active-day sequence (user-key exchange
         |over the deduped activity relation, never the fact table).
-        |Identical rows to q204.""".stripMargin)
+        |Identical rows to q204.""".stripMargin,
+    "q340_onenn_kappa" ->
+      """Cohen's kappa between the exact and quantized 1-NN label arms:
+        |both arms are the q18/q76 panel rankings (queries broadcast,
+        |corpus scanned once each); the label joins and the confusion/
+        |marginal aggregates all run on panel- or labels²-sized
+        |relations. κ = (A·n − P)/(n² − P) is ONE integer rational in
+        |DECIMAL(38,0) — nothing pairwise, nothing float.""".stripMargin,
+    "q341_onenn_mcnemar" ->
+      """McNemar over the same paired panel vs true labels: one
+        |map-combined conditional count over the panel relation, 1-row
+        |output — the discordant-pair statistic is (b−c)²·10⁶ div (b+c),
+        |exact integers end to end.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -3536,8 +3536,45 @@ object SparkEntry {
     // (same oracle as q204)
     "q339_daily_churn_stream" -> ((s, d) =>
       graft.ext.Warehouse.dailyChurnFromUserDays(
-        graft.streaming.Streams.userDaysDaily(Tables.events(s, d))))
+        graft.streaming.Streams.userDaysDaily(Tables.events(s, d)))),
+
+    // Cohen's kappa between the exact-cosine and int8-quantized 1-NN
+    // label arms: the chance-corrected agreement number that certifies
+    // the quantized index labels like the exact one (raw agreement
+    // po_ppm overstates it whenever one label dominates)
+    "q340_onenn_kappa" -> ((s, d) =>
+      graft.ext.RankStats.cohenKappa(
+        onennLabelPairs(s, d), "pred_exact", "pred_quant")),
+
+    // McNemar on the same paired panel vs the TRUE labels: do the two
+    // arms err on the same examples, or does quantization change which
+    // queries are wrong — the paired-classifier comparison that a plain
+    // accuracy delta cannot answer
+    "q341_onenn_mcnemar" -> ((s, d) =>
+      graft.ext.RankStats.mcnemar(
+        onennLabelPairs(s, d), "pred_exact", "pred_quant", "truth"))
   )
+
+  /** The paired 1-NN label relation shared by q340/q341: each panel
+    * query's exact-arm predicted label, quantized-arm predicted label,
+    * and own true label. Both arms are panel-sized rankings (queries
+    * broadcast, corpus scanned once each); the label joins put the
+    * panel-sized ranking against the corpus-sized label relation — a
+    * plain equi-join AQE resolves to a broadcast of the small side.
+    */
+  private def onennLabelPairs(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val panel = emb.filter(col("vec_id") % 50 === 0)
+    val lab = emb.select(col("vec_id"), col("label"))
+    def pred(arm: DataFrame, name: String) =
+      arm.join(lab.select(col("vec_id").as("neighbor_id"), col("label").as(name)),
+        "neighbor_id").select("query_id", name)
+    pred(Similarity.bruteForceTopK(panel, emb, k = 1), "pred_exact")
+      .join(pred(Similarity.quantizedTopK(panel, emb, k = 1), "pred_quant"),
+        "query_id")
+      .join(lab.select(col("vec_id").as("query_id"), col("label").as("truth")),
+        "query_id")
+  }
 
   /** q157's weighted variant of [[cooccurrenceEdges]]: w = 1000 div pair
     * support — strong ties are short edges, so shortest paths follow the
@@ -3949,6 +3986,8 @@ object SparkEntry {
     "q336_seasonal_anomaly_stream" -> Oracles.seasonalAnomalies(3, 3),
     "q337_ewma_stream" -> Oracles.ewmaHourly(3, 10, 8),
     "q338_rolling_wau_stream" -> Oracles.rollingActiveUsers(7),
-    "q339_daily_churn_stream" -> Oracles.dailyChurn
+    "q339_daily_churn_stream" -> Oracles.dailyChurn,
+    "q340_onenn_kappa" -> Oracles.onennKappa(50),
+    "q341_onenn_mcnemar" -> Oracles.onennMcnemar(50)
   )
 }

@@ -129,4 +129,69 @@ object RankStats {
           " (2 * gt + eq) * 1000000 div (2 * CAST(n_a AS DECIMAL(38,0)) * n_b)" +
           " END").as("auc_ppm"))
   }
+
+  /** Cohen's kappa (Cohen 1960, public literature): chance-corrected
+    * agreement between two categorical raters/arms over a paired
+    * relation. With A = Σ agreement, n = Σ pairs and P = Σ_c r_c·c_c
+    * (row × column marginal products), κ = (A/n − P/n²)/(1 − P/n²) =
+    * (A·n − P)/(n² − P) — ONE integer rational, emitted in ppm. All
+    * arithmetic in DECIMAL(38,0): n² and the marginal products pass 2⁶³
+    * at n ≳ 3·10⁹ pairs (the q330/trendFit envelope policy). Degenerate
+    * case n² = P (both raters constant) → NULL, the standard convention.
+    * Toward-zero `div` matches the oracle's sign-split form (κ < 0 =
+    * worse-than-chance agreement is a real outcome).
+    *
+    * Scale shape: one (a, b) confusion aggregate over the pair relation
+    * (fact-sized input, labels²-sized output), then marginals and the
+    * final rational over the labels² keyspace. Nothing pairwise.
+    */
+  def cohenKappa(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val conf = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("ca"), col(bCol).as("cb"))
+      .agg(count(lit(1)).as("m"))
+    val totals = conf.agg(sum("m").as("n"),
+      sum(when(col("ca") === col("cb"), col("m")).otherwise(lit(0L))).as("agree"))
+    val pe = conf.groupBy("ca").agg(sum("m").as("ra"))
+      .join(conf.groupBy("cb").agg(sum("m").as("cc")),
+        col("ca") === col("cb"))
+      .agg(expr("sum(CAST(ra AS DECIMAL(38,0)) * cc)").as("p"))
+    totals.crossJoin(pe)
+      .select(col("n"), col("agree"),
+        expr("CAST(agree AS DECIMAL(38,0)) * 1000000 div n").as("po_ppm"),
+        expr("CAST(p * 1000000 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+          .as("pe_ppm"),
+        expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * n = p THEN NULL ELSE" +
+          " CAST((CAST(agree AS DECIMAL(38,0)) * n - p) * 1000000" +
+          " div (CAST(n AS DECIMAL(38,0)) * n - p) AS BIGINT) END")
+          .as("kappa_ppm"))
+      .select(col("n"), col("agree"),
+        expr("CAST(po_ppm AS BIGINT)").as("po_ppm"), col("pe_ppm"),
+        col("kappa_ppm"))
+  }
+
+  /** McNemar's test (McNemar 1947, public literature) for comparing two
+    * classifiers on the SAME examples: only the discordant pairs carry
+    * information — b = A-right/B-wrong, c = A-wrong/B-right — and the
+    * statistic is χ² = (b − c)²/(b + c) (no continuity correction; the
+    * exact-form convention), emitted in ppm. b + c = 0 (the classifiers
+    * never disagree) → NULL. One map-combined 4-way conditional count
+    * over the paired relation — a single fact pass, 1-row output.
+    */
+  def mcnemar(pairs: DataFrame, aCol: String, bCol: String,
+              truthCol: String): DataFrame = {
+    val flagged = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull && col(truthCol).isNotNull)
+      .select(
+        when(col(aCol) === col(truthCol), 1L).otherwise(0L).as("oka"),
+        when(col(bCol) === col(truthCol), 1L).otherwise(0L).as("okb"))
+    flagged.agg(count(lit(1)).as("n"),
+        sum(expr("CASE WHEN oka = 1 AND okb = 0 THEN 1 ELSE 0 END")).as("n_a_only"),
+        sum(expr("CASE WHEN oka = 0 AND okb = 1 THEN 1 ELSE 0 END")).as("n_b_only"))
+      .select(col("n"), col("n_a_only"), col("n_b_only"),
+        expr("CASE WHEN n_a_only + n_b_only = 0 THEN NULL ELSE" +
+          " CAST(CAST(n_a_only - n_b_only AS DECIMAL(38,0))" +
+          " * (n_a_only - n_b_only) * 1000000" +
+          " div (n_a_only + n_b_only) AS BIGINT) END").as("chi2_ppm"))
+  }
 }

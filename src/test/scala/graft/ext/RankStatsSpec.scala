@@ -53,4 +53,47 @@ class RankStatsSpec extends SparkSpec {
     val r = RankStats.rankSumAuc(d1, col("grp"), "A", col("v")).head()
     assert(r.getLong(1) == 0L && r.isNullAt(3))
   }
+
+  test("cohenKappa: the textbook 2x2 hand value") {
+    // Cohen's worked shape: a=20 (yes,yes), b=5 (yes,no), c=10 (no,yes),
+    // d=15 (no,no); n=50, A=35, po=0.70
+    // P = ryes*cyes + rno*cno = 25*30 + 25*20 = 1250; pe = 1250/2500 = 0.50
+    // kappa = (35*50 - 1250)/(2500 - 1250) = 500/1250 = 0.40 → 400000 ppm
+    val rows = Seq.fill(20)(Row("y", "y")) ++ Seq.fill(5)(Row("y", "n")) ++
+      Seq.fill(10)(Row("n", "y")) ++ Seq.fill(15)(Row("n", "n"))
+    val r = RankStats.cohenKappa(df("a STRING, b STRING", rows), "a", "b").head()
+    assert((r.getLong(0), r.getLong(1)) == ((50L, 35L)))
+    assert(r.getLong(2) == 700000L) // po_ppm
+    assert(r.getLong(3) == 500000L) // pe_ppm
+    assert(r.getLong(4) == 400000L) // kappa_ppm
+  }
+
+  test("cohenKappa: perfect agreement reads 1e6; constant raters read NULL; worse-than-chance is negative") {
+    val perfect = df("a STRING, b STRING", Seq(Row("x", "x"), Row("y", "y")))
+    assert(RankStats.cohenKappa(perfect, "a", "b").head().getLong(4) == 1000000L)
+    val constant = df("a STRING, b STRING", Seq(Row("x", "x"), Row("x", "x")))
+    assert(RankStats.cohenKappa(constant, "a", "b").head().isNullAt(4))
+    // systematic disagreement: every y→n, n→y. A=0, P = 1*1 + 1*1 = 2
+    // (n=2): kappa = (0 - 2)/(4 - 2) = -1 → -1000000 (Spark div is
+    // toward-zero; exact here)
+    val inverted = df("a STRING, b STRING", Seq(Row("y", "n"), Row("n", "y")))
+    assert(RankStats.cohenKappa(inverted, "a", "b").head().getLong(4) == -1000000L)
+  }
+
+  test("mcnemar: hand value and the no-discordance guard") {
+    // truth all "t": A right on r1,r2,r3 wrong on r4; B right on r1 only
+    // → b (A-only) = 2, c (B-only) = 0, chi2 = (2-0)²/2 = 2 → 2000000 ppm
+    val rows = Seq(
+      Row("t", "t", "t"), // both right
+      Row("t", "x", "t"), // A only
+      Row("t", "x", "t"), // A only
+      Row("x", "x", "t")) // both wrong
+    val r = RankStats.mcnemar(df("a STRING, b STRING, tr STRING", rows),
+      "a", "b", "tr").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 2L, 0L, 2000000L)))
+    val agree = df("a STRING, b STRING, tr STRING",
+      Seq(Row("t", "t", "t"), Row("x", "x", "t")))
+    assert(RankStats.mcnemar(agree, "a", "b", "tr").head().isNullAt(3))
+  }
 }
