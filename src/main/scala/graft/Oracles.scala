@@ -7605,4 +7605,220 @@ object Oracles {
        |                  + SUM(CASE WHEN oka = 0 AND okb = 1 THEN 1 ELSE 0 END)) AS BIGINT)
        |  END AS chi2_ppm
        |FROM f""".stripMargin
+
+  /** q342/q343: Mann–Kendall over the hourly grid — S from the explicit
+    * pair census, tie-corrected ×18 variance numerator in HUGEINT, and
+    * the continuity-corrected z² in ppm (0 when |S| ≤ 1, NULL when the
+    * series is constant). The stream twin re-uses this verbatim.
+    */
+  val mannKendall: String =
+    """WITH c AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM c),
+      |g AS (SELECT unnest(generate_series(b.h0, b.h1)) AS h, b.h0 FROM b),
+      |s AS MATERIALIZED (SELECT g.h - g.h0 AS t, COALESCE(c.c, 0) AS c
+      |      FROM g LEFT JOIN c ON g.h = c.h),
+      |st AS (SELECT COALESCE(CAST(SUM(CASE WHEN s2.c > s1.c THEN 1
+      |           WHEN s2.c < s1.c THEN -1 ELSE 0 END) AS BIGINT), 0) AS s_stat
+      |       FROM s s1 JOIN s s2 ON s2.t > s1.t),
+      |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+      |tie AS (SELECT COALESCE(SUM(m::HUGEINT * (m - 1) * (2 * m + 5)), 0) AS tie18
+      |        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM s GROUP BY c) t),
+      |v AS (SELECT n1.n,
+      |        n1.n::HUGEINT * (n1.n - 1) * (2 * n1.n + 5) - tie.tie18 AS var18
+      |      FROM n1, tie)
+      |SELECT v.n AS n_hours, st.s_stat, CAST(v.var18 AS BIGINT) AS var18,
+      |  CASE WHEN v.var18 = 0 THEN CAST(NULL AS BIGINT)
+      |       WHEN abs(st.s_stat) <= 1 THEN CAST(0 AS BIGINT)
+      |       ELSE CAST((abs(st.s_stat)::HUGEINT - 1) * (abs(st.s_stat) - 1)
+      |              * 18000000 // v.var18 AS BIGINT)
+      |  END AS z2_ppm
+      |FROM v, st""".stripMargin
+
+  /** q344: Kruskal–Wallis H over price cents by return flag — doubled
+    * midranks keep every rank integer under ties; the per-group
+    * ⌊R2²·10⁶/(4n_g)⌋ floor mirrors the engine exactly (one HUGEINT
+    * division equals the engine's two-term DECIMAL(38,0) expansion).
+    */
+  val kruskalWallis: String =
+    """WITH base AS (
+      |  SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      |  FROM lineitem WHERE l_returnflag IS NOT NULL),
+      |cells AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2),
+      |byv AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS m FROM cells GROUP BY 1),
+      |rk AS (SELECT v, m, 2 * (SUM(m) OVER (ORDER BY v) - m) + m + 1 AS r2 FROM byv),
+      |pg AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n_g,
+      |         CAST(SUM(cnt::HUGEINT * r2) AS HUGEINT) AS rr2
+      |       FROM cells JOIN rk USING (v) GROUP BY 1),
+      |ag AS (SELECT n_g,
+      |         (rr2 * rr2) // (4 * n_g) * 1000000
+      |           + ((rr2 * rr2) % (4 * n_g)) * 1000000 // (4 * n_g) AS a_g
+      |       FROM pg),
+      |tie AS (SELECT COALESCE(SUM(m::HUGEINT * (m - 1) * (m + 1)), 0) AS tie FROM byv),
+      |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+      |          CAST(COUNT(*) AS BIGINT) AS k_groups, SUM(a_g) AS a FROM ag)
+      |SELECT tot.n AS n_rows, tot.k_groups,
+      |  CAST((12 * tot.a) // (tot.n::HUGEINT * (tot.n + 1))
+      |    - 3 * (tot.n::HUGEINT + 1) * 1000000 AS BIGINT) AS h_ppm,
+      |  CASE WHEN tot.n::HUGEINT * tot.n * tot.n - tot.n - tie.tie = 0
+      |       THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(((12 * tot.a) // (tot.n::HUGEINT * (tot.n + 1))
+      |                  - 3 * (tot.n::HUGEINT + 1) * 1000000)
+      |                 * (tot.n::HUGEINT * tot.n * tot.n - tot.n)
+      |              // (tot.n::HUGEINT * tot.n * tot.n - tot.n - tie.tie) AS BIGINT)
+      |  END AS h_tie_ppm
+      |FROM tot, tie""".stripMargin
+
+  /** q345: per-query average precision at k for the exact cosine arm —
+    * the q319 ranking/qrels derivation with the AP readout: each
+    * precision term is the floored ppm ⌊cum·10⁶/rank⌋, the normalizer
+    * min(n_rel, k); zero-relevant queries score 0 and stay in the panel.
+    */
+  def avgPrecision(mod: Int, kMax: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % $mod = 0),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       |p AS (SELECT query_id, neighbor_id, qv, cv FROM q, c WHERE query_id <> neighbor_id),
+       |$dotsCte,
+       |rk AS (
+       |  SELECT query_id, neighbor_id AS doc_id, rnk FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+       |    FROM scored) WHERE rnk <= $kMax),
+       |ql AS (SELECT vec_id AS query_id, label AS l FROM embeddings WHERE vec_id % $mod = 0),
+       |qr AS (
+       |  SELECT query_id, e.vec_id AS doc_id
+       |  FROM ql JOIN embeddings e ON e.label = ql.l
+       |  WHERE e.vec_id <> query_id),
+       |nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM qr GROUP BY 1),
+       |hits AS (
+       |  SELECT rk.query_id, rk.rnk,
+       |    CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+       |  FROM rk LEFT JOIN qr USING (query_id, doc_id)),
+       |cm AS (
+       |  SELECT query_id, rnk, rel,
+       |    SUM(rel) OVER (PARTITION BY query_id ORDER BY rnk) AS cum
+       |  FROM hits),
+       |pq AS (
+       |  SELECT query_id, CAST(SUM(cum::HUGEINT * 1000000 // rnk) AS BIGINT) AS ap_num,
+       |    CAST(MAX(cum) AS BIGINT) AS n_hits
+       |  FROM cm WHERE rel = 1 GROUP BY 1),
+       |panel AS (SELECT DISTINCT query_id FROM rk)
+       |SELECT panel.query_id, COALESCE(nrel.n_rel, 0) AS n_rel,
+       |  COALESCE(pq.n_hits, 0) AS n_hits,
+       |  CASE WHEN COALESCE(nrel.n_rel, 0) = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(COALESCE(pq.ap_num, 0) // LEAST(nrel.n_rel, $kMax) AS BIGINT)
+       |  END AS ap_ppm
+       |FROM panel LEFT JOIN nrel USING (query_id) LEFT JOIN pq USING (query_id)""".stripMargin
+
+  /** q346: per-query Kendall τ-b between the exact-cosine order and the
+    * int8-quantized dot over the exact arm's top-k — exact ranking from
+    * the q18/q319 derivation, quantized dots recomputed only on the
+    * panel×k candidate rows (q340's quantization CTEs), concordance
+    * census with the tie-adjusted sqrt-free τ_b² readout.
+    */
+  def onennTau(mod: Int, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % $mod = 0),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       |p AS (SELECT query_id, neighbor_id, qv, cv FROM q, c WHERE query_id <> neighbor_id),
+       |$dotsCte,
+       |rk AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, rnk FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+       |    FROM scored) WHERE rnk <= $k),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS v FROM embeddings WHERE vec_id % $mod = 0),
+       |c0 AS (SELECT vec_id AS neighbor_id, embedding AS v FROM embeddings),
+       |qn AS (SELECT query_id, sqrt(SUM(CAST(v[CAST(i AS INTEGER)] AS DOUBLE) * CAST(v[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i)) AS n
+       |       FROM q0, generate_series(1, 64) t(i) GROUP BY 1),
+       |cn AS (SELECT neighbor_id, sqrt(SUM(CAST(v[CAST(i AS INTEGER)] AS DOUBLE) * CAST(v[CAST(i AS INTEGER)] AS DOUBLE) ORDER BY i)) AS n
+       |       FROM c0, generate_series(1, 64) t(i) GROUP BY 1),
+       |qq AS (SELECT query_id, i,
+       |         CAST(floor(CASE WHEN n = 0 THEN 0.0 ELSE CAST(v[CAST(i AS INTEGER)] AS DOUBLE) / n * 127.0 END + 0.5) AS BIGINT) AS a
+       |       FROM q0 JOIN qn USING (query_id), generate_series(1, 64) t(i)),
+       |cq AS (SELECT neighbor_id, i,
+       |         CAST(floor(CASE WHEN n = 0 THEN 0.0 ELSE CAST(v[CAST(i AS INTEGER)] AS DOUBLE) / n * 127.0 END + 0.5) AS BIGINT) AS b
+       |       FROM c0 JOIN cn USING (neighbor_id), generate_series(1, 64) t(i)),
+       |qd AS MATERIALIZED (
+       |  SELECT rk.query_id, rk.neighbor_id, -CAST(rk.rnk AS BIGINT) AS x,
+       |    CAST(SUM(qq.a * cq.b) AS BIGINT) AS y
+       |  FROM rk JOIN qq ON qq.query_id = rk.query_id
+       |          JOIN cq ON cq.neighbor_id = rk.neighbor_id AND cq.i = qq.i
+       |  GROUP BY 1, 2, 3),
+       |pr AS (
+       |  SELECT a.query_id AS g,
+       |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS cx,
+       |    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS cy
+       |  FROM qd a JOIN qd b
+       |    ON a.query_id = b.query_id AND a.neighbor_id < b.neighbor_id),
+       |agg AS (
+       |  SELECT g, CAST(COUNT(*) AS BIGINT) AS p,
+       |    CAST(SUM(CASE WHEN cx * cy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(SUM(CASE WHEN cx * cy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(SUM(CASE WHEN cx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+       |    CAST(SUM(CASE WHEN cy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+       |  FROM pr GROUP BY 1)
+       |SELECT g AS query_id, p AS n_pairs, c AS concordant, d AS discordant,
+       |  CASE WHEN p = tx OR p = ty THEN CAST(NULL AS BIGINT)
+       |       ELSE CAST((CASE WHEN c >= d THEN 1 ELSE -1 END)
+       |              * (c - d)::HUGEINT * (c - d) * 1000000
+       |              // ((p - tx)::HUGEINT * (p - ty)) AS BIGINT)
+       |  END AS tau_b2_ppm
+       |FROM agg""".stripMargin
+
+  /** q347: link prediction on the ≥minPairs co-purchase graph — the
+    * engine's capped common-neighbor census replayed exactly: centers
+    * with degree > cap excluded, Jaccard in floored ppm, top-k under the
+    * total order (jaccard, cn, u, v).
+    */
+  def linkPrediction(minPairs: Long, cap: Int, k: Int): String =
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS pn
+       |    FROM lineitem a JOIN lineitem b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |    GROUP BY 1, 2)
+       |  WHERE pn >= $minPairs
+       |), sym AS MATERIALIZED (
+       |  SELECT u AS w, v AS n FROM e0 UNION ALL SELECT v AS w, u AS n FROM e0
+       |), deg AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1
+       |), cent AS MATERIALIZED (
+       |  SELECT s.w, s.n FROM sym s JOIN deg ON deg.w = s.w WHERE deg.d <= $cap
+       |), pairs AS (
+       |  SELECT a.n AS a, b.n AS b, CAST(COUNT(*) AS BIGINT) AS cn
+       |  FROM cent a JOIN cent b ON a.w = b.w AND a.n < b.n GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT p.a, p.b, p.cn FROM pairs p
+       |  LEFT JOIN e0 ON e0.u = p.a AND e0.v = p.b WHERE e0.u IS NULL
+       |)
+       |SELECT cand.a AS u, cand.b AS v, cand.cn,
+       |  CAST(cand.cn * 1000000 // (da.d + db.d - cand.cn) AS BIGINT) AS jaccard_ppm
+       |FROM cand JOIN deg da ON da.w = cand.a JOIN deg db ON db.w = cand.b
+       |ORDER BY jaccard_ppm DESC, cand.cn DESC, u, v LIMIT $k""".stripMargin
+
+  /** q348: Fleiss' kappa among three raters — the exact 1-NN label arm,
+    * the quantized arm, and the true label — over the q340 paired panel;
+    * the multi-rater integer rational replayed in HUGEINT.
+    */
+  def onennFleiss(mod: Int): String =
+    s"""WITH ${onennLabelPairs(mod)},
+       |melt AS (
+       |  SELECT query_id AS s, CAST(pred_exact AS VARCHAR) AS cat FROM pairs
+       |  UNION ALL SELECT query_id, CAST(pred_quant AS VARCHAR) FROM pairs
+       |  UNION ALL SELECT query_id, CAST(truth AS VARCHAR) FROM pairs),
+       |cells AS (SELECT s, cat, CAST(COUNT(*) AS BIGINT) AS m FROM melt GROUP BY 1, 2),
+       |ss AS (SELECT CAST(SUM(m) AS BIGINT) AS t, SUM(m::HUGEINT * m) AS a FROM cells),
+       |cs AS (SELECT COALESCE(SUM(cm * cm), 0) AS c FROM
+       |  (SELECT SUM(m)::HUGEINT AS cm FROM cells GROUP BY cat) x)
+       |SELECT CAST(ss.t // 3 AS BIGINT) AS n_subjects,
+       |  CAST(3 AS BIGINT) AS n_raters,
+       |  CAST((ss.a - ss.t) * 1000000 // (ss.t::HUGEINT * 2) AS BIGINT) AS pbar_ppm,
+       |  CAST(cs.c * 1000000 // (ss.t::HUGEINT * ss.t) AS BIGINT) AS pe_ppm,
+       |  CASE WHEN ss.t::HUGEINT * ss.t = cs.c THEN CAST(NULL AS BIGINT)
+       |       ELSE CAST(((ss.a - ss.t) * ss.t - cs.c * 2) * 1000000
+       |              // (2 * (ss.t::HUGEINT * ss.t - cs.c)) AS BIGINT)
+       |  END AS kappa_ppm
+       |FROM ss, cs""".stripMargin
 }

@@ -1447,7 +1447,48 @@ object Plans {
       """McNemar over the same paired panel vs true labels: one
         |map-combined conditional count over the panel relation, 1-row
         |output — the discordant-pair statistic is (b−c)²·10⁶ div (b+c),
-        |exact integers end to end.""".stripMargin)
+        |exact integers end to end.""".stripMargin,
+    "q342_mann_kendall" ->
+      """Mann–Kendall: one fact aggregate → hour grid (checkpointed, the
+        |q303 posture); the pair census joins GRID² (t2 > t1) into a
+        |1-row sign sum, the tie census is a by-value aggregate of the
+        |grid. Facts are touched exactly once; for multi-year grids thin
+        |to daily first, as with Theil–Sen.""".stripMargin,
+    "q343_mann_kendall_stream" ->
+      """Stream-fed Mann–Kendall: the emitter's closed hourly windows
+        |collapse to the global series, then the identical pair census.
+        |Identical rows to q342 — the stored counts are the sufficient
+        |statistic.""".stripMargin,
+    "q344_kruskal_wallis" ->
+      """Kruskal–Wallis: facts reduce to the distinct-(group, value)
+        |keyspace in one map-combined aggregate; the doubled-midrank
+        |window sorts DISTINCT values only; everything after is
+        |groups-sized. Per-group ⌊R2²·10⁶/4n_g⌋ floors are the documented
+        |exactness contract the oracle mirrors.""".stripMargin,
+    "q345_avg_precision" ->
+      """Average precision: the q319 ranking (corpus scanned once,
+        |queries broadcast) with a per-query running-hit window over ≤ k
+        |rows; qrels join once on (query, doc). All post-ranking work is
+        |panel-sized.""".stripMargin,
+    "q346_onenn_tau" ->
+      """Kendall τ-b rank agreement: the exact arm is the q18 panel
+        |ranking; quantized dots are recomputed ONLY on the panel×20
+        |candidate rows (equi-joins AQE broadcasts). The concordance
+        |census expands per-query 20·19/2 pairs map-side and aggregates
+        |to one row per query — nothing corpus²-sized exists.""".stripMargin,
+    "q347_link_prediction" ->
+      """Link prediction: wedge pairs enumerate per CENTER over the
+        |checkpointed edge list with hub centers (deg > cap) excluded by
+        |contract — the census is bounded at cap·2m rows where the
+        |uncapped expansion is quadratic in hub degree. Candidate pairs
+        |anti-join the edge list, degrees join keyspace-sized, and the
+        |k-boundary is a TakeOrdered under a total order — no global
+        |sort, nothing hub²-sized.""".stripMargin,
+    "q348_onenn_fleiss" ->
+      """Fleiss' kappa: the q340 panel relation melts ×3 (explode — a
+        |narrow map), one (subject, category) aggregate, then category-
+        |and 1-row aggregates; κ is ONE integer rational in
+        |DECIMAL(38,0). All post-panel work is panel-sized.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

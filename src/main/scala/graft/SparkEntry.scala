@@ -3552,8 +3552,97 @@ object SparkEntry {
     // accuracy delta cannot answer
     "q341_onenn_mcnemar" -> ((s, d) =>
       graft.ext.RankStats.mcnemar(
-        onennLabelPairs(s, d), "pred_exact", "pred_quant", "truth"))
+        onennLabelPairs(s, d), "pred_exact", "pred_quant", "truth")),
+
+    // Mann–Kendall monotone-trend test on the hourly series — the
+    // nonparametric "is traffic trending at all" companion to q303's
+    // Theil–Sen slope: S, tie-corrected ×18 variance, continuity-
+    // corrected z² ppm, all integer-exact
+    "q342_mann_kendall" -> ((s, d) =>
+      graft.ext.TimeSeries.mannKendall(Tables.events(s, d), "ts")),
+
+    // stream-fed Mann–Kendall: the same trend question asked of the
+    // stored hourly-count stream — per-key closed windows collapse to
+    // the global series, identical pair census (same oracle as q342)
+    "q343_mann_kendall_stream" -> ((s, d) =>
+      graft.ext.TimeSeries.mannKendallFromCounts(
+        graft.streaming.Streams.decayedCountsHourly(Tables.events(s, d)))),
+
+    // Kruskal–Wallis: do the three return-flag arms share one price
+    // distribution — the k-sample extension of q313's rank-sum, doubled
+    // midranks keep ranks integer under ties, per-group floors mirrored
+    // by the oracle
+    "q344_kruskal_wallis" -> ((s, d) =>
+      graft.ext.RankStats.kruskalWallis(
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("grp"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")),
+        col("grp"), col("cents"))),
+
+    // per-query average precision of the exact cosine arm — the
+    // rank-sensitive single number q319's P/R curve folds into;
+    // zero-relevant queries stay in the panel at 0
+    "q345_avg_precision" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val ranking = Similarity.bruteForceTopK(queries, emb, k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      val qrels = queries.select(col("vec_id").as("query_id"), col("label").as("ql"))
+        .join(emb.select(col("vec_id").as("doc_id"), col("label")),
+          col("ql") === col("label"))
+        .filter(col("query_id") =!= col("doc_id"))
+        .select(col("query_id"), col("doc_id"))
+      graft.ext.Search.averagePrecisionAtK(ranking, qrels, kMax = 10)
+    },
+
+    // Kendall τ-b rank agreement per panel query: does the int8-quantized
+    // score ORDER the exact arm's top-20 the way exact cosine does —
+    // the full-ranking complement of q340's top-1 label kappa. Pairs are
+    // per-query 20·19/2, sqrt-free τ_b² ppm
+    "q346_onenn_tau" -> ((s, d) =>
+      graft.ext.RankStats.kendallTauB(
+        onennRankArms(s, d), "query_id", "neighbor_id",
+        col("x_exact"), col("y_quant"))
+        .withColumnRenamed("g", "query_id")),
+
+    // link prediction on the co-purchase graph: top-50 non-adjacent part
+    // pairs by Jaccard neighborhood overlap — "which co-purchase edge
+    // appears next", the related-item candidate generator; hub centers
+    // capped out of the census by contract
+    "q347_link_prediction" -> ((s, d) =>
+      graft.ext.Graph.linkPrediction(cooccurrenceEdges(s, d), k = 50)),
+
+    // Fleiss' kappa among THREE raters — exact 1-NN labels, quantized
+    // 1-NN labels, and the true labels — on the q340 panel: one number
+    // for "do the two index arms and the ground truth tell one story",
+    // the multi-rater extension of q340's pairwise kappa
+    "q348_onenn_fleiss" -> ((s, d) =>
+      graft.ext.RankStats.fleissKappa(
+        onennLabelPairs(s, d), "query_id",
+        Seq("pred_exact", "pred_quant", "truth")))
   )
+
+  /** The paired ranking relation shared by q346: each panel query's exact
+    * top-20 candidates carrying both arms' order keys — x = −exact rank
+    * (strict, row_number tie-broken), y = the raw int8-quantized dot
+    * (can tie). The quantized score is recomputed ONLY on the panel×20
+    * candidate rows: panel ranking joined against the corpus-sized
+    * quantized-vector relation — plain equi-joins AQE resolves to
+    * broadcasts of the small side.
+    */
+  private def onennRankArms(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val panel = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(panel, emb, k = 20)
+    val q = panel.select(col("vec_id").as("query_id"),
+      Similarity.quantizeInt8(col("embedding")).as("qa"))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      Similarity.quantizeInt8(col("embedding")).as("qb"))
+    exact.join(broadcast(q), Seq("query_id")).join(c, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("rank")).cast("long").as("x_exact"),
+        Similarity.quantizedDot(col("qa"), col("qb")).as("y_quant"))
+  }
 
   /** The paired 1-NN label relation shared by q340/q341: each panel
     * query's exact-arm predicted label, quantized-arm predicted label,
@@ -3988,6 +4077,13 @@ object SparkEntry {
     "q338_rolling_wau_stream" -> Oracles.rollingActiveUsers(7),
     "q339_daily_churn_stream" -> Oracles.dailyChurn,
     "q340_onenn_kappa" -> Oracles.onennKappa(50),
-    "q341_onenn_mcnemar" -> Oracles.onennMcnemar(50)
+    "q341_onenn_mcnemar" -> Oracles.onennMcnemar(50),
+    "q342_mann_kendall" -> Oracles.mannKendall,
+    "q343_mann_kendall_stream" -> Oracles.mannKendall,
+    "q344_kruskal_wallis" -> Oracles.kruskalWallis,
+    "q345_avg_precision" -> Oracles.avgPrecision(50, 10),
+    "q346_onenn_tau" -> Oracles.onennTau(50, 20),
+    "q347_link_prediction" -> Oracles.linkPrediction(2, 64, 50),
+    "q348_onenn_fleiss" -> Oracles.onennFleiss(50)
   )
 }

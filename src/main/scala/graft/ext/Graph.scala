@@ -413,6 +413,53 @@ object Graph {
       .groupBy("node_id").agg(count(lit(1)).as("triangles"))
   }
 
+  /** Link prediction by common-neighbor census (Liben-Nowell & Kleinberg
+    * 2003, public literature): the top-k non-adjacent pairs ranked by
+    * Jaccard neighborhood overlap — `cn` common neighbors,
+    * `jaccard_ppm` = cn·10⁶ div (deg_u + deg_v − cn). The standard
+    * "which edge appears next" / related-item candidate generator.
+    *
+    * Scale design: wedge pairs are enumerated per CENTER node, and
+    * centers with degree > `maxCenterDegree` are EXCLUDED from the
+    * census — hub-centered wedges are inherently quadratic (every
+    * follower pair shares the celebrity) and carry near-zero linking
+    * signal (the same observation Adamic–Adar's 1/log(deg) weight
+    * encodes); the cap bounds the expansion at cap·2m rows, the
+    * [[ext.Similarity]] `maxBucketCandidates` discipline applied to
+    * graphs. Degrees in the SCORE stay the true degrees. The cap is part
+    * of the operator contract and the oracle replays it exactly.
+    *
+    * Output: top-k by (jaccard_ppm, cn, u, v) — a total order, so the
+    * k-boundary is deterministic; TakeOrdered, never a global sort.
+    */
+  def linkPrediction(edges: DataFrame, k: Int,
+                     maxCenterDegree: Int = 64): DataFrame = {
+    require(k >= 1 && maxCenterDegree >= 2,
+      s"bad linkPrediction params: k=$k cap=$maxCenterDegree")
+    val und = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val sym = und.select(col("u").as("w"), col("v").as("n"))
+      .union(und.select(col("v").as("w"), col("u").as("n")))
+    val deg = sym.groupBy("w").agg(count(lit(1)).as("d"))
+    val centered = sym
+      .join(deg.filter(col("d") <= maxCenterDegree), Seq("w"))
+      .select(col("w"), col("n"))
+    val pairs = centered.select(col("w"), col("n").as("a"))
+      .join(centered.select(col("w"), col("n").as("b")), Seq("w"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+    val cand = pairs.join(
+      und.select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b")),
+      Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.select(col("w").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("w").as("b"), col("d").as("db")), Seq("b"))
+      .select(col("a").as("u"), col("b").as("v"), col("cn"),
+        expr("cn * 1000000 div (da + db - cn)").as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("cn").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
   /** k-core (Seidman 1983, public literature): the maximal subgraph in
     * which every node keeps degree ≥ k — the standard "dense cohesive
     * backbone" extraction (spam rings, power-user cliques, co-purchase

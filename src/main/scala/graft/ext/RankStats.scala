@@ -194,4 +194,149 @@ object RankStats {
           " * (n_a_only - n_b_only) * 1000000" +
           " div (n_a_only + n_b_only) AS BIGINT) END").as("chi2_ppm"))
   }
+
+  /** Kruskal–Wallis H (Kruskal & Wallis 1952, public literature) — the
+    * k-sample extension of [[rankSumAuc]]: "do ≥ 3 groups share one
+    * value distribution", rank-based, no normality assumption. EXACT via
+    * the by-value collapse with DOUBLED midranks (2·midrank =
+    * 2·cumBefore + m + 1 is always integer under ties): per group
+    * R2_g = Σ cnt·r2, and H·10⁶ = 12·A div (n(n+1)) − 3(n+1)·10⁶ with
+    * A = Σ_g ⌊R2_g²·10⁶ / (4n_g)⌋ — the per-group floor is DELIBERATE
+    * and mirrored by the oracle (a common denominator Π n_g would
+    * overflow any envelope). `h_tie_ppm` applies the standard tie
+    * correction ×(n³−n)/((n³−n) − Σm(m²−1)); an all-tied column → NULL.
+    *
+    * Envelope: R2_g ≤ 2n·n_g so R2_g² ≤ 4n⁴ — DECIMAL(38,0) holds to
+    * n ≈ 2·10⁹ rows; the ⌊q⌋·10⁶ + ⌊r·10⁶/d⌋ expansion keeps the
+    * ppm-scaled term inside the envelope at that n.
+    *
+    * Scale shape: facts reduce to the distinct-(group, value) keyspace
+    * in one map-combined aggregate; the midrank window sorts distinct
+    * values only; everything after is groups-sized.
+    */
+  def kruskalWallis(df: DataFrame, grpCol: Column, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // same null convention as [[ksStatistic]]: null values excluded;
+    // null GROUPS are excluded too (they are no sample)
+    val cells = df.select(grpCol.as("g"), valueCol.as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val byValue = cells.groupBy("v").agg(sum("cnt").as("m"))
+    // keyspace-sized window: input is collapsed/bounded before this sort
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byValue
+      .select(col("v"), col("m"),
+        (lit(2L) * (sum("m").over(w) - col("m")) + col("m") + 1L).as("r2"))
+    val perGroup = cells.join(ranked, Seq("v"))
+      .groupBy("g")
+      .agg(sum("cnt").as("n_g"),
+        expr("sum(CAST(cnt AS DECIMAL(38,0)) * r2)").as("rr2"))
+      .select(col("n_g"),
+        // exact ⌊R2²·10⁶/(4n_g)⌋ without the 10⁶-widened square:
+        // ⌊q⌋·10⁶ + ⌊(R2² mod 4n_g)·10⁶ / 4n_g⌋ — the quotient is
+        // re-widened to DECIMAL(38,0) before the ×10⁶ because Spark's
+        // div returns BIGINT even on DECIMAL operands
+        expr("CAST(rr2 * rr2 div (4 * n_g) AS DECIMAL(38,0)) * 1000000" +
+          " + (rr2 * rr2 % (4 * n_g)) * 1000000 div (4 * n_g)").as("a_g"))
+    val ties = byValue.agg(coalesce(sum(expr(
+      "CAST(m AS DECIMAL(38,0)) * (m - 1) * (m + 1)")), lit(0)).as("tie"))
+    perGroup
+      .agg(sum("n_g").as("n"), count(lit(1)).as("k_groups"),
+        sum("a_g").as("a"))
+      .crossJoin(broadcast(ties))
+      .select(col("n").as("n_rows"), col("k_groups"),
+        expr("CAST(12 * a div (CAST(n AS DECIMAL(38,0)) * (n + 1))" +
+          " - 3 * (CAST(n AS DECIMAL(38,0)) + 1) * 1000000 AS BIGINT)")
+          .as("h_ppm"),
+        expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * n * n - n - tie = 0" +
+          " THEN NULL ELSE CAST(" +
+          " (12 * a div (CAST(n AS DECIMAL(38,0)) * (n + 1))" +
+          "  - 3 * (CAST(n AS DECIMAL(38,0)) + 1) * 1000000)" +
+          " * (CAST(n AS DECIMAL(38,0)) * n * n - n)" +
+          " div (CAST(n AS DECIMAL(38,0)) * n * n - n - tie) AS BIGINT)" +
+          " END").as("h_tie_ppm"))
+  }
+
+  /** Fleiss' kappa (Fleiss 1971, public literature): chance-corrected
+    * agreement among n ≥ 2 categorical raters per subject — the
+    * multi-rater generalization of [[cohenKappa]]. With T = N·n total
+    * ratings, A = Σ_{subject,category} m², C = Σ_category (Σ m)²:
+    * P̄ = (A−T)/(T(n−1)), P̄e = C/T², and κ = ((A−T)·T − C(n−1)) /
+    * ((n−1)(T² − C)) — ONE integer rational in ppm, DECIMAL(38,0)
+    * envelope (terms reach N²n³·10⁶; 10⁹ subjects × 10 raters stay
+    * inside). All-raters-one-category (T² = C) → NULL, the standard
+    * degenerate convention. Subjects with ANY null rater are excluded
+    * (they have no complete rating vector).
+    *
+    * Scale shape: one melt (explode ×n), one (subject, category)
+    * aggregate, then category- and 1-row aggregates. Nothing pairwise.
+    */
+  def fleissKappa(df: DataFrame, subjectCol: String,
+                  raterCols: Seq[String]): DataFrame = {
+    require(raterCols.size >= 2, s"fleissKappa needs ≥ 2 raters")
+    val n = raterCols.size
+    val melted = df
+      .filter(raterCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(col(subjectCol).as("s"),
+        explode(array(raterCols.map(c => col(c).cast("string")): _*)).as("cat"))
+    val cells = melted.groupBy("s", "cat").agg(count(lit(1)).as("m"))
+    val subjectSide = cells.agg(sum("m").as("t"),
+      expr("sum(CAST(m AS DECIMAL(38,0)) * m)").as("a"))
+    val catSide = cells.groupBy("cat").agg(sum("m").as("cm"))
+      .agg(coalesce(sum(expr("CAST(cm AS DECIMAL(38,0)) * cm")), lit(0))
+        .as("c"))
+    subjectSide.crossJoin(broadcast(catSide))
+      .select(expr(s"CAST(t div $n AS BIGINT)").as("n_subjects"),
+        lit(n.toLong).as("n_raters"),
+        expr(s"CAST((a - t) * 1000000 div (CAST(t AS DECIMAL(38,0)) * ${n - 1})" +
+          " AS BIGINT)").as("pbar_ppm"),
+        expr("CAST(c * 1000000 div (CAST(t AS DECIMAL(38,0)) * t) AS BIGINT)")
+          .as("pe_ppm"),
+        expr(s"CASE WHEN CAST(t AS DECIMAL(38,0)) * t = c THEN NULL" +
+          s" ELSE CAST(((a - t) * t - c * ${n - 1}) * 1000000" +
+          s" div (${n - 1} * (CAST(t AS DECIMAL(38,0)) * t - c)) AS BIGINT)" +
+          " END").as("kappa_ppm"))
+  }
+
+  /** Kendall τ-b rank agreement (Kendall 1938 / 1945 tie form, public
+    * literature) PER GROUP over an item relation: for each group the
+    * concordant/discordant census of all item pairs under the two score
+    * columns, with the tie-adjusted denominator (P−Tx)(P−Ty). Emitted
+    * SQRT-FREE (the [[Graph.degreeAssortativity]] convention): τ_b² with
+    * τ's sign as `tau_b2_ppm` = sign(C−D)·(C−D)²·10⁶ div ((P−Tx)(P−Ty));
+    * a group all-tied on either column → NULL.
+    *
+    * Scale shape: pairs are per-group k(k−1)/2 — meant for bounded
+    * candidate lists (top-k rankings, eval panels), never fact-sized
+    * groups; the census is one map-side pair expansion per group
+    * followed by a groups-sized aggregate.
+    */
+  def kendallTauB(df: DataFrame, groupCol: String, itemCol: String,
+                  xCol: Column, yCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), col(itemCol).as("i"),
+        xCol.as("x"), yCol.as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val pairs = base
+      .join(base.select(col("g"), col("i").as("j"), col("x").as("x2"),
+        col("y").as("y2")), Seq("g"))
+      .filter(col("i") < col("j"))
+      .select(col("g"),
+        signum(col("x2") - col("x")).cast("long").as("cx"),
+        signum(col("y2") - col("y")).cast("long").as("cy"))
+    pairs.groupBy("g")
+      .agg(count(lit(1)).as("p"),
+        sum(expr("CASE WHEN cx * cy > 0 THEN 1L ELSE 0L END")).as("concordant"),
+        sum(expr("CASE WHEN cx * cy < 0 THEN 1L ELSE 0L END")).as("discordant"),
+        sum(expr("CASE WHEN cx = 0 THEN 1L ELSE 0L END")).as("tx"),
+        sum(expr("CASE WHEN cy = 0 THEN 1L ELSE 0L END")).as("ty"))
+      .select(col("g"), col("p").as("n_pairs"), col("concordant"),
+        col("discordant"),
+        expr("CASE WHEN p = tx OR p = ty THEN NULL ELSE CAST(" +
+          " CASE WHEN concordant >= discordant THEN 1 ELSE -1 END" +
+          " * CAST(concordant - discordant AS DECIMAL(38,0))" +
+          " * (concordant - discordant) * 1000000" +
+          " div (CAST(p - tx AS DECIMAL(38,0)) * (p - ty)) AS BIGINT)" +
+          " END").as("tau_b2_ppm"))
+  }
 }

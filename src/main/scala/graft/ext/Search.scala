@@ -321,4 +321,44 @@ object Search {
           " ELSE total_hits * 1000000 div total_slots END").as("p_at_k_ppm"),
         expr("recall_sum div n_queries").as("r_at_k_ppm"))
   }
+
+  /** Average precision at k (the AP of TREC/Buckley & Voorhees, public
+    * literature) per query — the rank-sensitive single number the
+    * [[precisionRecallAtK]] curve folds into: AP@k = Σ_{hit at rank j}
+    * P@j / min(R, k). Each precision term is the exact floored ppm
+    * ⌊hits≤j·10⁶/j⌋ (mirrored by the oracle), the normalizer is
+    * min(n_rel, k) — a query cannot be charged for relevant docs it was
+    * never allowed to return. Queries with no relevant docs score 0 and
+    * STAY IN the panel (the q319 convention — macro means over this
+    * relation keep the full denominator).
+    *
+    * Scale shape: the ranking is panel×k-sized by construction; the
+    * running-hit window is partitioned per query over ≤ k rows; qrels
+    * join once on (query, doc). Nothing fact-sized is sorted.
+    */
+  def averagePrecisionAtK(ranking: DataFrame, qrels: DataFrame,
+                          kMax: Int): DataFrame = {
+    require(kMax >= 1 && kMax <= 100, s"kMax out of [1, 100]: $kMax")
+    import org.apache.spark.sql.expressions.Window
+    val hits = ranking.filter(col("rank") <= kMax)
+      .join(qrels.select(col("query_id"), col("doc_id"), lit(1L).as("rel")),
+        Seq("query_id", "doc_id"), "left")
+      .na.fill(0L, Seq("rel"))
+    val w = Window.partitionBy("query_id").orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perQuery = hits.withColumn("cum", sum("rel").over(w))
+      .filter(col("rel") === 1L)
+      .groupBy("query_id")
+      .agg(sum(expr("cum * 1000000 div rank")).as("ap_num"),
+        max("cum").as("n_hits"))
+    val relSizes = qrels.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    ranking.select("query_id").distinct()
+      .join(relSizes, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_rel"))
+      .join(perQuery, Seq("query_id"), "left")
+      .na.fill(0L, Seq("ap_num", "n_hits"))
+      .select(col("query_id"), col("n_rel"), col("n_hits"),
+        expr("CASE WHEN n_rel = 0 THEN 0L" +
+          s" ELSE ap_num div least(n_rel, $kMax) END").as("ap_ppm"))
+  }
 }

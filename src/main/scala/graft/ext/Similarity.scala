@@ -236,6 +236,12 @@ object Similarity {
       .otherwise(transform(vec, x => floor(x.cast("double") / n * 127.0 + 0.5).cast("long")))
   }
 
+  /** Integer dot product of two [[quantizeInt8]] vectors — overflow-free
+    * (|q| ≤ 127 ⇒ |dot| ≤ dim·127²) and hash-exact in any engine.
+    */
+  def quantizedDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
   /** Int8-quantized brute-force top-k — the memory-compression scale path:
     * corpus vectors ship as 64 small ints instead of 64 floats (4× smaller
     * on the wire and in executor memory at 100 TB; in a real sink the
@@ -253,8 +259,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), quantizeInt8(col(vecCol)).as("qb"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("qdot", aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-        lit(0L), (acc, v) => acc + v))
+      .withColumn("qdot", quantizedDot(col("qa"), col("qb")))
     val w = Window.partitionBy("query_id").orderBy(col("qdot").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -927,6 +927,61 @@ object TimeSeries {
         expr("CAST(i AS BIGINT)").as("intercept_ppm"))
   }
 
+  /** Mann–Kendall trend test (Mann 1945 / Kendall 1975, public
+    * literature) over the hourly grid — the NONPARAMETRIC "is there a
+    * monotone trend at all" companion to [[theilSenTrend]]'s slope:
+    * S = Σ_{i<j} sign(c_j − c_i), the tie-corrected variance numerator
+    * `var18` = n(n−1)(2n+5) − Σ_ties m(m−1)(2m+5) (×18, kept integer —
+    * /18 is not exact), and the continuity-corrected squared z-score
+    * `z2_ppm` = (|S|−1)²·18·10⁶ div var18 (0 when |S| ≤ 1, NULL on a
+    * constant series where var18 = 0). No distributional assumption, no
+    * float: a spike that drags [[trendFit]]'s slope moves S by at most
+    * n−1 sign flips.
+    *
+    * Envelope: S ≤ n²/2, so (|S|−1)²·18·10⁶ ≤ n⁴·10⁷·4.5 — a century of
+    * hours (n ≈ 9·10⁵) stays under 10³⁰, inside DECIMAL(38,0).
+    *
+    * Scale shape: identical to [[theilSenTrend]] — pairs are GRID², not
+    * facts²; facts are touched once by the hourly aggregate, the tie
+    * census is a by-value aggregate of the grid.
+    */
+  def mannKendall(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    mannKendallFromSeries(hourlyGrid(events, tsCol))
+
+  /** [[mannKendall]] fed by PRE-AGGREGATED hourly counts — the stream
+    * emitters' closed-window (hour, key, c) rows collapse to the global
+    * series and run the IDENTICAL pair census, so the trend question can
+    * be asked of a stored monitoring stream without re-reading facts.
+    * Batch twin (oracle-verified): q342 / q343.
+    */
+  def mannKendallFromCounts(counts: DataFrame, hourCol: String = "hour",
+                            cCol: String = "c"): DataFrame =
+    mannKendallFromSeries(hourlyGridFromCounts(counts, hourCol, cCol))
+
+  private def mannKendallFromSeries(grid: DataFrame): DataFrame = {
+    val series = grid.select(col("t"), col("c")).localCheckpoint(true)
+    val sStat = series.select(col("t").as("t1"), col("c").as("c1"))
+      .join(series.select(col("t").as("t2"), col("c").as("c2")),
+        col("t2") > col("t1"))
+      .agg(coalesce(sum(signum(col("c2") - col("c1")).cast("long")), lit(0L))
+        .as("s_stat"))
+    val nTies = series.groupBy("c").agg(count(lit(1)).as("m"))
+      .agg(count(lit(1)).as("n_values"), sum("m").as("n"),
+        coalesce(sum(expr(
+          "CAST(m AS DECIMAL(38,0)) * (m - 1) * (2 * m + 5)")), lit(0))
+          .as("tie18"))
+    nTies.crossJoin(broadcast(sStat))
+      .select(col("n").as("n_hours"), col("s_stat"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5)" +
+          " - tie18 AS BIGINT)").as("var18"),
+        expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5)" +
+          " - tie18 = 0 THEN NULL WHEN abs(s_stat) <= 1 THEN 0L" +
+          " ELSE CAST((CAST(abs(s_stat) AS DECIMAL(38,0)) - 1)" +
+          " * (abs(s_stat) - 1) * 18000000" +
+          " div (CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5) - tie18)" +
+          " AS BIGINT) END").as("z2_ppm"))
+  }
+
   /** Two-regressor OLS — the hourly trend CONDITIONED on a weekend
     * dummy, solved in closed form by Cramer's rule on the 3×3 normal
     * equations with every determinant an exact DECIMAL(38,0) product of

@@ -380,6 +380,35 @@ class GraphSpec extends SparkSpec {
       Seq("1", "3", "0", "0")))
   }
 
+  test("linkPrediction: hand Jaccard on a path; existing edges never surface") {
+    // path 1−2−3: the only wedge pair is (1,3) through center 2;
+    // deg(1)=deg(3)=1 → jaccard = 1e6/(1+1−1) = 1e6
+    val path = df("u BIGINT, v BIGINT", Seq(Row(1L, 2L), Row(2L, 3L)))
+    assert(rowSet(Graph.linkPrediction(path, k = 10)) == rows(
+      Seq("1", "3", "1", "1000000")))
+    // triangle: every wedge pair IS an edge → nothing to predict
+    val tri = df("u BIGINT, v BIGINT",
+      Seq(Row(1L, 2L), Row(2L, 3L), Row(1L, 3L)))
+    assert(Graph.linkPrediction(tri, k = 10).count() == 0)
+  }
+
+  test("linkPrediction: the center cap drops hub wedges from the census by contract") {
+    // star 0−{1..5} plus edge 1−2: center 0 has degree 5
+    val star = df("u BIGINT, v BIGINT",
+      Seq(Row(0L, 1L), Row(0L, 2L), Row(0L, 3L), Row(0L, 4L), Row(0L, 5L),
+        Row(1L, 2L)))
+    // uncapped: 9 leaf pairs (10 minus the existing 1−2); the three
+    // degree-1 pairs score 1e6, the 4th in (jaccard, cn, u, v) order is
+    // (1,3) at 1e6/(2+1−1) = 500000
+    val open = Graph.linkPrediction(star, k = 4, maxCenterDegree = 64)
+    assert(rowSet(open) == rows(
+      Seq("3", "4", "1", "1000000"), Seq("3", "5", "1", "1000000"),
+      Seq("4", "5", "1", "1000000"), Seq("1", "3", "1", "500000")))
+    // capped at 4: hub 0 leaves the census; the surviving wedges (through
+    // centers 1 and 2) only propose existing star edges → empty
+    assert(Graph.linkPrediction(star, k = 10, maxCenterDegree = 4).count() == 0)
+  }
+
   test("kCore: pendant chain peels in cascade; the clique core survives with in-core degrees") {
     // K4 on 1-4 plus chain 4-5-6: k=2 peels 6 (deg 1) then 5 (deg 1 after)
     val e = df("u BIGINT, v BIGINT", Seq(

@@ -96,4 +96,96 @@ class RankStatsSpec extends SparkSpec {
       Seq(Row("t", "t", "t"), Row("x", "x", "t")))
     assert(RankStats.mcnemar(agree, "a", "b", "tr").head().isNullAt(3))
   }
+
+  test("kruskalWallis: untied hand value — A={1,2,3} vs B={4,5,6}") {
+    // doubled ranks 2..12: R2_A = 12, R2_B = 30;
+    // A = ⌊144e6/12⌋ + ⌊900e6/12⌋ = 87e6;
+    // H·1e6 = ⌊12·87e6/42⌋ − 21e6 = 24,857,142 − 21,000,000 = 3,857,142;
+    // no ties → correction is identity
+    val rows = Seq(Row("A", 1L), Row("A", 2L), Row("A", 3L),
+      Row("B", 4L), Row("B", 5L), Row("B", 6L))
+    val r = RankStats.kruskalWallis(df("g STRING, v BIGINT", rows),
+      col("g"), col("v")).head()
+    assert((r.getLong(0), r.getLong(1)) == ((6L, 2L)))
+    assert(r.getLong(2) == 3857142L)
+    assert(r.getLong(3) == 3857142L)
+  }
+
+  test("kruskalWallis: tie correction hand value; all-tied column reads NULL") {
+    // A={1,1}, B={2,2}: doubled midranks 3 and 7 → R2_A=6, R2_B=14;
+    // A = ⌊36e6/8⌋ + ⌊196e6/8⌋ = 29e6; H = ⌊348e6/20⌋ − 15e6 = 2.4;
+    // tie = 2·1·3 + 2·1·3 = 12, n³−n = 60 → H_c = 2.4·60/48 = 3.0
+    val tied = df("g STRING, v BIGINT",
+      Seq(Row("A", 1L), Row("A", 1L), Row("B", 2L), Row("B", 2L)))
+    val r = RankStats.kruskalWallis(tied, col("g"), col("v")).head()
+    assert(r.getLong(2) == 2400000L)
+    assert(r.getLong(3) == 3000000L)
+    val allSame = df("g STRING, v BIGINT",
+      Seq(Row("A", 7L), Row("A", 7L), Row("B", 7L)))
+    assert(RankStats.kruskalWallis(allSame, col("g"), col("v")).head()
+      .isNullAt(3))
+  }
+
+  test("kruskalWallis: layout-invariant under repartition") {
+    val rows = (1L to 90L).map(i => Row(s"g${i % 3}", (i * 37) % 11))
+    val d1 = df("g STRING, v BIGINT", rows)
+    val a = RankStats.kruskalWallis(d1.repartition(1), col("g"), col("v")).head()
+    val b = RankStats.kruskalWallis(d1.repartition(13), col("g"), col("v")).head()
+    assert(a == b)
+  }
+
+  test("fleissKappa: hand values — disagreement below chance, perfect split, degenerate") {
+    // S1 = (x,x,x), S2 = (x,x,y): T=6, A=9+5=14, cats x=5,y=1 → C=26;
+    // P̄ = 8/12 = 666,666; P̄e = 26/36 = 722,222;
+    // κ = (8·6 − 26·2)/(2·(36−26)) = −4/20 = −200,000
+    val d1 = df("s BIGINT, r1 STRING, r2 STRING, r3 STRING",
+      Seq(Row(1L, "x", "x", "x"), Row(2L, "x", "x", "y")))
+    val r = RankStats.fleissKappa(d1, "s", Seq("r1", "r2", "r3")).head()
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 3L)))
+    assert(r.getLong(2) == 666666L)
+    assert(r.getLong(3) == 722222L)
+    assert(r.getLong(4) == -200000L)
+    // perfect agreement over DISTINCT categories reads exactly 1e6
+    val perfect = df("s BIGINT, r1 STRING, r2 STRING, r3 STRING",
+      Seq(Row(1L, "x", "x", "x"), Row(2L, "y", "y", "y")))
+    assert(RankStats.fleissKappa(perfect, "s", Seq("r1", "r2", "r3"))
+      .head().getLong(4) == 1000000L)
+    // every rater one category: T² = C → NULL
+    val flat = df("s BIGINT, r1 STRING, r2 STRING, r3 STRING",
+      Seq(Row(1L, "x", "x", "x"), Row(2L, "x", "x", "x")))
+    assert(RankStats.fleissKappa(flat, "s", Seq("r1", "r2", "r3"))
+      .head().isNullAt(4))
+  }
+
+  test("kendallTauB: perfect agreement/reversal read ±1e6; hand census") {
+    val up = df("g BIGINT, i BIGINT, x BIGINT, y BIGINT",
+      (1L to 3L).map(i => Row(1L, i, i, i)))
+    assert(RankStats.kendallTauB(up, "g", "i", col("x"), col("y"))
+      .head().getLong(4) == 1000000L)
+    val down = df("g BIGINT, i BIGINT, x BIGINT, y BIGINT",
+      (1L to 3L).map(i => Row(1L, i, i, 4L - i)))
+    assert(RankStats.kendallTauB(down, "g", "i", col("x"), col("y"))
+      .head().getLong(4) == -1000000L)
+    // x=(1,2,3,4), y=(1,3,2,4): C=5, D=1 → sign·(C−D)²·1e6/36 = 444,444
+    val mixed = df("g BIGINT, i BIGINT, x BIGINT, y BIGINT",
+      Seq(Row(1L, 1L, 1L, 1L), Row(1L, 2L, 2L, 3L),
+        Row(1L, 3L, 3L, 2L), Row(1L, 4L, 4L, 4L)))
+    val r = RankStats.kendallTauB(mixed, "g", "i", col("x"), col("y")).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((6L, 5L, 1L)))
+    assert(r.getLong(4) == 444444L)
+  }
+
+  test("kendallTauB: tie-adjusted denominator; all-tied side reads NULL") {
+    // x=(1,2,3,4), y=(1,1,2,2): C=4, D=0, ty=2 →
+    // 16e6 / ((6−0)(6−2)) = 666,666
+    val ties = df("g BIGINT, i BIGINT, x BIGINT, y BIGINT",
+      Seq(Row(1L, 1L, 1L, 1L), Row(1L, 2L, 2L, 1L),
+        Row(1L, 3L, 3L, 2L), Row(1L, 4L, 4L, 2L)))
+    assert(RankStats.kendallTauB(ties, "g", "i", col("x"), col("y"))
+      .head().getLong(4) == 666666L)
+    val flat = df("g BIGINT, i BIGINT, x BIGINT, y BIGINT",
+      Seq(Row(1L, 1L, 1L, 5L), Row(1L, 2L, 2L, 5L), Row(1L, 3L, 3L, 5L)))
+    assert(RankStats.kendallTauB(flat, "g", "i", col("x"), col("y"))
+      .head().isNullAt(4))
+  }
 }

@@ -194,4 +194,33 @@ class SearchSpec extends SparkSpec {
       Seq("1", "1", "500000", "500000"),
       Seq("2", "1", "333333", "500000")))
   }
+
+  test("averagePrecisionAtK: hand AP; zero-relevant queries stay at 0") {
+    import org.apache.spark.sql.Row
+    val ranking = df("query_id BIGINT, doc_id BIGINT, rank INT", Seq(
+      Row(1L, 100L, 1), Row(1L, 101L, 2), Row(1L, 102L, 3), Row(1L, 103L, 4),
+      Row(2L, 200L, 1), Row(2L, 201L, 2)))
+    // q1 rel = {100, 102, 900}: hits at ranks 1 and 3 →
+    // AP = (⌊1e6/1⌋ + ⌊2e6/3⌋) div min(3, 10) = 1,666,666 div 3 = 555,555
+    val qrels = df("query_id BIGINT, doc_id BIGINT",
+      Seq(Row(1L, 100L), Row(1L, 102L), Row(1L, 900L)))
+    val out = Search.averagePrecisionAtK(ranking, qrels, kMax = 10)
+    assert(out.columns.toSeq == Seq("query_id", "n_rel", "n_hits", "ap_ppm"))
+    assert(rowSet(out) == rows(
+      Seq("1", "3", "2", "555555"),
+      Seq("2", "0", "0", "0")))
+  }
+
+  test("averagePrecisionAtK: normalizer caps at k — deep qrel sets cannot starve a perfect prefix") {
+    import org.apache.spark.sql.Row
+    val ranking = df("query_id BIGINT, doc_id BIGINT, rank INT",
+      Seq(Row(1L, 100L, 1), Row(1L, 101L, 2)))
+    // 5 relevant docs but k = 2: both returned slots hit →
+    // AP = (1e6 + 1e6) div min(5, 2) = 1e6 (a perfect short list reads 1)
+    val qrels = df("query_id BIGINT, doc_id BIGINT",
+      Seq(Row(1L, 100L), Row(1L, 101L), Row(1L, 102L), Row(1L, 103L),
+        Row(1L, 104L)))
+    val out = Search.averagePrecisionAtK(ranking, qrels, kMax = 2)
+    assert(rowSet(out) == rows(Seq("1", "5", "2", "1000000")))
+  }
 }

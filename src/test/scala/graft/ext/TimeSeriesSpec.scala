@@ -251,6 +251,53 @@ class TimeSeriesSpec extends SparkSpec {
       .getAs[Long]("k_stat") == 0L)
   }
 
+  test("mannKendall: hand pair census — monotone, tied, decreasing, constant") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-06-01T00:00:00Z").getEpochSecond
+    def events(counts: Seq[Int]) = counts.zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map(i =>
+        (h * 100L + i, new java.sql.Timestamp((t0 + h * 3600L + 60 * i) * 1000L)))
+    }.toDF("event_id", "ts")
+    // [1,2,3,4,5]: S = 10, no ties → var18 = 5·4·15 = 300,
+    // z² = (10−1)²·18e6/300 = 4,860,000 ppm
+    val up = TimeSeries.mannKendall(events(Seq(1, 2, 3, 4, 5)), "ts").head()
+    assert(up.getAs[Long]("n_hours") == 5L)
+    assert(up.getAs[Long]("s_stat") == 10L)
+    assert(up.getAs[Long]("var18") == 300L)
+    assert(up.getAs[Long]("z2_ppm") == 4860000L)
+    // [1,2,2,3]: S = 5; tie m=2 → tie18 = 18, var18 = 156 − 18 = 138;
+    // z² = 16·18e6 div 138 = 2,086,956 ppm
+    val tied = TimeSeries.mannKendall(events(Seq(1, 2, 2, 3)), "ts").head()
+    assert(tied.getAs[Long]("s_stat") == 5L)
+    assert(tied.getAs[Long]("var18") == 138L)
+    assert(tied.getAs[Long]("z2_ppm") == 2086956L)
+    // [5,3,1]: S = −3 (sign survives); z² = 4·18e6 div 66 = 1,090,909
+    val down = TimeSeries.mannKendall(events(Seq(5, 3, 1)), "ts").head()
+    assert(down.getAs[Long]("s_stat") == -3L)
+    assert(down.getAs[Long]("z2_ppm") == 1090909L)
+    // constant series: var18 = 0 → NULL (no trend question to answer)
+    val const = TimeSeries.mannKendall(events(Seq(3, 3, 3)), "ts").head()
+    assert(const.getAs[Long]("s_stat") == 0L)
+    assert(const.isNullAt(const.fieldIndex("z2_ppm")))
+  }
+
+  test("mannKendallFromCounts: pre-aggregated per-key counts collapse to the batch answer") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-06-02T00:00:00Z").getEpochSecond
+    val raw = Seq(1, 2, 3, 4, 5).zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map(i =>
+        (h * 100L + i, new java.sql.Timestamp((t0 + h * 3600L + 60 * i) * 1000L)))
+    }.toDF("event_id", "ts")
+    // split each hour's count across two keys — the twin must sum them
+    val counts = Seq(1, 2, 3, 4, 5).zipWithIndex.flatMap { case (n, h) =>
+      val hour = new java.sql.Timestamp((t0 + h * 3600L) * 1000L)
+      Seq(("a", hour, n / 2L), ("b", hour, n - n / 2L))
+    }.toDF("key", "hour", "c").filter($"c" > 0)
+    val batch = TimeSeries.mannKendall(raw, "ts").head()
+    val twin = TimeSeries.mannKendallFromCounts(counts).head()
+    assert(batch == twin)
+  }
+
   test("cusumScreen: prefix closed form equals the textbook recurrence on a deterministic noisy series") {
     import spark.implicits._
     val t0 = java.time.Instant.parse("2024-03-01T00:00:00Z").getEpochSecond
