@@ -7821,4 +7821,54 @@ object Oracles {
        |              // (2 * (ss.t::HUGEINT * ss.t - cs.c)) AS BIGINT)
        |  END AS kappa_ppm
        |FROM ss, cs""".stripMargin
+
+  /** q349: 2-D radius self-join over quantized embedding coordinates —
+    * brute-force exact distance² join (the grid is the ENGINE's scale
+    * device; the oracle is deliberately the naive O(n²) spelling).
+    */
+  def radiusJoin(r: Long): String =
+    s"""WITH pts AS (
+       |  SELECT vec_id AS id,
+       |    CAST(round(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS x,
+       |    CAST(round(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS y
+       |  FROM embeddings)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+       |FROM pts a JOIN pts b ON a.id < b.id
+       |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= ${r * r}""".stripMargin
+
+  /** q350/q351: lead-lag cross-correlation between two event-type hourly
+    * series — n-scaled integer deviations over the shared gap-filled
+    * grid; the signed sqrt-free r² readout replays the engine's TWO-STEP
+    * floored division exactly. The stream twin reuses this verbatim.
+    */
+  def crossCorrelation(keyA: String, keyB: String, maxLag: Int): String =
+    s"""WITH c AS (
+       |  SELECT epoch_us(ts) // 3600000000 AS h,
+       |    CAST(SUM(CASE WHEN event_type = '$keyA' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(SUM(CASE WHEN event_type = '$keyB' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM events WHERE event_type IN ('$keyA', '$keyB') GROUP BY 1),
+       |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1, SUM(ca) AS sa, SUM(cb) AS sb,
+       |        MAX(h) - MIN(h) + 1 AS n FROM c),
+       |g AS (SELECT unnest(generate_series(b.h0, b.h1)) AS h, b.h0, b.sa, b.sb, b.n FROM b),
+       |s AS MATERIALIZED (
+       |  SELECT g.h - g.h0 AS t, g.n,
+       |    g.n * COALESCE(c.ca, 0) - g.sa AS deva,
+       |    g.n * COALESCE(c.cb, 0) - g.sb AS devb
+       |  FROM g LEFT JOIN c ON g.h = c.h),
+       |den AS (SELECT SUM(deva::HUGEINT * deva) AS den_a,
+       |          SUM(devb::HUGEINT * devb) AS den_b,
+       |          CAST(MAX(n) AS BIGINT) AS n_hours FROM s),
+       |l AS (SELECT CAST(unnest(generate_series(-$maxLag, $maxLag)) AS BIGINT) AS lag),
+       |num AS (
+       |  SELECT l.lag, SUM(a.deva::HUGEINT * b2.devb) AS num
+       |  FROM s a JOIN l ON TRUE JOIN s b2 ON b2.t = a.t + l.lag
+       |  GROUP BY 1)
+       |SELECT num.lag, den.n_hours,
+       |  CASE WHEN den.den_a = 0 OR den.den_b = 0 THEN CAST(NULL AS BIGINT)
+       |       ELSE CAST((CASE WHEN num.num >= 0 THEN 1 ELSE -1 END)
+       |              * (abs(num.num) * 1000000 // den.den_a)
+       |              * abs(num.num) // den.den_b AS BIGINT)
+       |  END AS xcf2_ppm
+       |FROM num, den""".stripMargin
 }

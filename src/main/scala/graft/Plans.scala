@@ -1488,7 +1488,25 @@ object Plans {
       """Fleiss' kappa: the q340 panel relation melts ×3 (explode — a
         |narrow map), one (subject, category) aggregate, then category-
         |and 1-row aggregates; κ is ONE integer rational in
-        |DECIMAL(38,0). All post-panel work is panel-sized.""".stripMargin)
+        |DECIMAL(38,0). All post-panel work is panel-sized.""".stripMargin,
+    "q349_radius_join" ->
+      """Radius join: points hash to their own r×r cell (build side); the
+        |probe side explodes ×9 to its neighborhood, so matching is ONE
+        |equi-join on (cx, cy) — a proper shuffle key — plus the exact
+        |integer dist² filter on neighborhood candidates only. Candidate
+        |volume is Σ cell-occupancy × 9-neighborhood occupancy: local
+        |density, never the n² cross product a theta-join would plan.""".stripMargin,
+    "q350_cross_correlation" ->
+      """CCF: facts collapse to ONE two-column hourly aggregate; the
+        |shared grid, both deviation moments, the ×(2L+1) lag fan-out and
+        |the per-lag products are all keyspace-sized. The two-step
+        |floored division is the documented exactness contract (squaring
+        |the numerator first would overflow DECIMAL(38,0) at one year of
+        |10⁹-event hours).""".stripMargin,
+    "q351_cross_correlation_stream" ->
+      """Stream-fed CCF: the emitter's closed hourly windows filter to
+        |the two keys and run the identical grid + lag census. Identical
+        |rows to q350.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

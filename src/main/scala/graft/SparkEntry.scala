@@ -3619,7 +3619,35 @@ object SparkEntry {
     "q348_onenn_fleiss" -> ((s, d) =>
       graft.ext.RankStats.fleissKappa(
         onennLabelPairs(s, d), "query_id",
-        Seq("pred_exact", "pred_quant", "truth")))
+        Seq("pred_exact", "pred_quant", "truth"))),
+
+    // 2-D radius self-join over the embedding plane (dims 1–2 quantized
+    // to integer milli-units): all point pairs within r=100 — the
+    // fixed-grid spatial join, one equi-join on cell keys, exact integer
+    // distance filter, never n² candidates
+    "q349_radius_join" -> { (s, d) =>
+      val pts = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+        expr("CAST(round(CAST(element_at(embedding, 1) AS DOUBLE) * 1000)" +
+          " AS BIGINT)").as("x"),
+        expr("CAST(round(CAST(element_at(embedding, 2) AS DOUBLE) * 1000)" +
+          " AS BIGINT)").as("y"))
+      graft.operators.RangeJoin.radiusSelfJoin2D(pts, r = 100)
+    },
+
+    // lead-lag cross-correlation: does VIEW traffic lead PURCHASE
+    // traffic, and by how many hours — signed sqrt-free r² per lag
+    // −24..24 over the shared hourly grid
+    "q350_cross_correlation" -> ((s, d) =>
+      graft.ext.TimeSeries.crossCorrelation(Tables.events(s, d), "ts",
+        "event_type", keyA = "view", keyB = "purchase", maxLag = 24)),
+
+    // stream-fed lead-lag: the same CCF asked of the stored hourly-count
+    // stream — the emitter's closed windows are the sufficient statistic
+    // (same oracle as q350)
+    "q351_cross_correlation_stream" -> ((s, d) =>
+      graft.ext.TimeSeries.crossCorrelationFromCounts(
+        graft.streaming.Streams.decayedCountsHourly(Tables.events(s, d)),
+        keyA = "view", keyB = "purchase", maxLag = 24))
   )
 
   /** The paired ranking relation shared by q346: each panel query's exact
@@ -4084,6 +4112,10 @@ object SparkEntry {
     "q345_avg_precision" -> Oracles.avgPrecision(50, 10),
     "q346_onenn_tau" -> Oracles.onennTau(50, 20),
     "q347_link_prediction" -> Oracles.linkPrediction(2, 64, 50),
-    "q348_onenn_fleiss" -> Oracles.onennFleiss(50)
+    "q348_onenn_fleiss" -> Oracles.onennFleiss(50),
+    "q349_radius_join" -> Oracles.radiusJoin(100),
+    "q350_cross_correlation" -> Oracles.crossCorrelation("view", "purchase", 24),
+    "q351_cross_correlation_stream" ->
+      Oracles.crossCorrelation("view", "purchase", 24)
   )
 }

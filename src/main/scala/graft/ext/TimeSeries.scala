@@ -958,6 +958,93 @@ object TimeSeries {
                             cCol: String = "c"): DataFrame =
     mannKendallFromSeries(hourlyGridFromCounts(counts, hourCol, cCol))
 
+  /** Lead-lag cross-correlation between two keyed hourly series ("do
+    * views LEAD purchases, and by how many hours") — the sample CCF of
+    * Box & Jenkins (public literature), over the shared zero-gapfilled
+    * grid, for lags −maxLag..maxLag (positive lag = A leads B: a_t
+    * against b_{t+lag}). Deviations are the n-scaled integers n·c − s
+    * (the [[acf]] device — no rational mean), and the readout is
+    * SQRT-FREE (the τ_b²/assortativity convention): `xcf2_ppm` =
+    * sign(num)·(|num|·10⁶ div denA)·|num| div denB — r² with r's sign,
+    * where the TWO-STEP floored division is the documented contract the
+    * oracle mirrors (squaring num first would overflow any envelope:
+    * num ≤ n³c̄², its square passes 10³⁸ at one year of 10⁹-event
+    * hours; the staged form never exceeds ~10³³).
+    *
+    * Scale shape: facts collapse to two hourly aggregates; the grid,
+    * the lag join (grid × (2L+1) rows), and the per-lag aggregate are
+    * all keyspace-sized.
+    */
+  def crossCorrelation(events: DataFrame, tsCol: String, keyCol: String,
+                       keyA: String, keyB: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    crossCorrFromSeries(
+      events.filter(col(keyCol).isin(keyA, keyB))
+        .select((col(keyCol) === keyA).as("isA"),
+          expr(s"unix_micros($tsCol) div 3600000000").as("h")),
+      maxLag)
+  }
+
+  /** [[crossCorrelation]] fed by PRE-AGGREGATED hourly counts (the
+    * stream emitters' closed windows) — identical grid + lag census.
+    * Batch twin (oracle-verified): q350 / q351.
+    */
+  def crossCorrelationFromCounts(counts: DataFrame, keyA: String,
+                                 keyB: String, maxLag: Int,
+                                 keyCol: String = "key",
+                                 hourCol: String = "hour",
+                                 cCol: String = "c"): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    crossCorrFromSeries(
+      counts.filter(col(keyCol).isin(keyA, keyB))
+        .select((col(keyCol) === keyA).as("isA"),
+          expr(s"unix_micros($hourCol) div 3600000000").as("h"),
+          col(cCol).cast("long").as("w")),
+      maxLag)
+  }
+
+  /** Core census over (isA, h[, w]) hour marks: builds the shared
+    * zero-gapfilled grid with both series' n-scaled deviations, then the
+    * per-lag products. `marks` without a `w` column weighs each row 1.
+    */
+  private def crossCorrFromSeries(marks: DataFrame, maxLag: Int): DataFrame = {
+    val weighted =
+      if (marks.columns.contains("w")) marks
+      else marks.withColumn("w", lit(1L))
+    val counts = weighted.groupBy("h")
+      .agg(sum(when(col("isA"), col("w")).otherwise(0L)).as("ca"),
+        sum(when(!col("isA"), col("w")).otherwise(0L)).as("cb"))
+    val series = counts
+      .agg(min("h").as("h0"), max("h").as("h1"),
+        sum("ca").as("sa"), sum("cb").as("sb"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"),
+        col("h0"), col("sa"), col("sb"),
+        (col("h1") - col("h0") + 1L).as("n"))
+      .join(counts, Seq("h"), "left")
+      .select((col("h") - col("h0")).as("t"), col("n"),
+        (col("n") * coalesce(col("ca"), lit(0L)) - col("sa")).as("deva"),
+        (col("n") * coalesce(col("cb"), lit(0L)) - col("sb")).as("devb"))
+      .localCheckpoint(true) // feeds both den aggregates and the lag join
+    val den = series.agg(
+      expr("sum(CAST(deva AS DECIMAL(38,0)) * deva)").as("den_a"),
+      expr("sum(CAST(devb AS DECIMAL(38,0)) * devb)").as("den_b"),
+      max("n").as("n_hours"))
+    val lags = series
+      .crossJoin(broadcast(series.sparkSession
+        .range(-maxLag, maxLag + 1).select(col("id").as("lag"))))
+      .select((col("t") + col("lag")).as("t"), col("lag"),
+        col("deva").as("dev_x"))
+    lags.join(series.select(col("t"), col("devb")), Seq("t"))
+      .groupBy("lag")
+      .agg(expr("sum(CAST(dev_x AS DECIMAL(38,0)) * devb)").as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_hours"),
+        expr("CASE WHEN den_a = 0 OR den_b = 0 THEN NULL ELSE CAST(" +
+          " CASE WHEN num >= 0 THEN 1 ELSE -1 END" +
+          " * CAST(abs(num) * 1000000 div den_a AS DECIMAL(38,0))" +
+          " * abs(num) div den_b AS BIGINT) END").as("xcf2_ppm"))
+  }
+
   private def mannKendallFromSeries(grid: DataFrame): DataFrame = {
     val series = grid.select(col("t"), col("c")).localCheckpoint(true)
     val sStat = series.select(col("t").as("t1"), col("c").as("c1"))

@@ -93,4 +93,41 @@ object RangeJoin {
       .filter(col("__chunk") === floorDiv("__edge", chunkWidth))
       .drop("__chunk", "__edge")
   }
+
+  /** 2-D radius self-join (the spatial-grid join of Bentley's 1975
+    * fixed-grid method, public literature): all point pairs with
+    * (x_a−x_b)² + (y_a−y_b)² ≤ r², without the cross-product trap.
+    *
+    * Each point hashes to its own r×r grid cell; the probe side is
+    * exploded to its 3×3 cell neighborhood, so matching is ONE equi-join
+    * on the cell key (a proper shuffle key) and the exact integer
+    * distance filter runs only on neighborhood candidates — any pair
+    * within r is in adjacent cells, and matches exactly once (the build
+    * point's own cell is one specific member of the probe's
+    * neighborhood). Output is (id_a < id_b, coordinates, dist2), all
+    * integer.
+    *
+    * Scale shape: candidate volume is Σ_cell (occupancy × 9-neighborhood
+    * occupancy) — local density, never n². Integer coordinates are the
+    * caller's contract (quantize floats upstream); dist² stays in BIGINT
+    * for |coords| < ~2·10⁹.
+    */
+  def radiusSelfJoin2D(points: DataFrame, r: Long): DataFrame = {
+    require(r > 0, "radius must be positive")
+    val p = points.select(col("id"), col("x"), col("y"))
+    val build = p.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+      floorDiv("x", r).as("cx"), floorDiv("y", r).as("cy"))
+    val probe = p.select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+      floorDiv("x", r).as("px"), floorDiv("y", r).as("py"))
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("id_b"), col("xb"), col("yb"),
+        (col("px") + col("dx")).as("cx"), (col("py") + col("dy")).as("cy"))
+    build.join(probe, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist2",
+        expr("(xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)"))
+      .filter(col("dist2") <= r * r)
+      .select(col("id_a"), col("id_b"), col("dist2"))
+  }
 }

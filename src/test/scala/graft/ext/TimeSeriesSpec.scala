@@ -298,6 +298,57 @@ class TimeSeriesSpec extends SparkSpec {
     assert(batch == twin)
   }
 
+  test("crossCorrelation: hand lag census — identity, zero, and anti-correlated lags") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-07-01T00:00:00Z").getEpochSecond
+    // A = [1,2,3], B = [1,2,3] on hours 0..2: devs = [−3,0,3] each,
+    // den = 18; lag 0: num = 18 → 1e6; lags ±1: num = 0;
+    // lag 2: num = (−3)(3) = −9 → −(9e6 div 18)·9 div 18 = −250000
+    val rowsIn = (0 until 3).flatMap { h =>
+      (0 until h + 1).flatMap(i => Seq("view", "purchase").map(k =>
+        (k, new java.sql.Timestamp((t0 + h * 3600L + 60 * i) * 1000L))))
+    }
+    val events = rowsIn.toDF("event_type", "ts")
+    val out = TimeSeries.crossCorrelation(events, "ts", "event_type",
+      keyA = "view", keyB = "purchase", maxLag = 2)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some(r.getLong(2)))).toMap
+    assert(out(0L) == Some(1000000L))
+    assert(out(1L) == Some(0L) && out(-1L) == Some(0L))
+    assert(out(2L) == Some(-250000L) && out(-2L) == Some(-250000L))
+  }
+
+  test("crossCorrelation: constant side reads NULL; stream-twin parity off split counts") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-07-02T00:00:00Z").getEpochSecond
+    // B constant → den_b = 0 → NULL at every lag
+    val flat = (0 until 3).flatMap { h =>
+      (0 until h + 1).map(i => ("view",
+        new java.sql.Timestamp((t0 + h * 3600L + 60 * i) * 1000L))) :+
+        ("purchase", new java.sql.Timestamp((t0 + h * 3600L) * 1000L))
+    }.toDF("event_type", "ts")
+    assert(TimeSeries.crossCorrelation(flat, "ts", "event_type",
+      "view", "purchase", maxLag = 1).collect().forall(_.isNullAt(2)))
+    // twin: pre-aggregated (hour, key, c) counts reproduce the batch rows
+    val raw = (0 until 4).flatMap { h =>
+      val nA = Seq(1, 3, 2, 5)(h); val nB = Seq(2, 1, 4, 3)(h)
+      (0 until nA).map(i => ("view",
+        new java.sql.Timestamp((t0 + h * 3600L + 60 * i) * 1000L))) ++
+        (0 until nB).map(i => ("purchase",
+          new java.sql.Timestamp((t0 + h * 3600L + 60 * i) * 1000L)))
+    }.toDF("event_type", "ts")
+    val counts = (0 until 4).flatMap { h =>
+      val hour = new java.sql.Timestamp((t0 + h * 3600L) * 1000L)
+      Seq(("view", hour, Seq(1L, 3L, 2L, 5L)(h)),
+        ("purchase", hour, Seq(2L, 1L, 4L, 3L)(h)))
+    }.toDF("key", "hour", "c")
+    val batch = TimeSeries.crossCorrelation(raw, "ts", "event_type",
+      "view", "purchase", maxLag = 2).collect().toSet
+    val twin = TimeSeries.crossCorrelationFromCounts(counts,
+      "view", "purchase", maxLag = 2).collect().toSet
+    assert(batch == twin && batch.nonEmpty)
+  }
+
   test("cusumScreen: prefix closed form equals the textbook recurrence on a deterministic noisy series") {
     import spark.implicits._
     val t0 = java.time.Instant.parse("2024-03-01T00:00:00Z").getEpochSecond

@@ -62,4 +62,35 @@ class RangeJoinSpec extends SparkSpec {
       .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((1L, 10L)))
   }
+
+  test("radiusSelfJoin2D: exact boundary inclusion, cross-cell and negative-coordinate pairs, each pair once") {
+    import spark.implicits._
+    // (1,2) at exactly r (30-40-50 triangle); (4) one unit left of (1)
+    // across the cell-0/cell-−1 boundary; (3) outside everything
+    val pts = Seq((1L, 0L, 0L), (2L, 30L, 40L), (3L, 100L, 0L),
+      (4L, -1L, 0L)).toDF("id", "x", "y")
+    val out = RangeJoin.radiusSelfJoin2D(pts, r = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L, 2500L), (1L, 4L, 1L)))
+    // uniqueness under density: a 3-point cluster in one cell emits
+    // exactly its 3 pairs (the 3×3 probe explosion never double-counts)
+    val tight = Seq((1L, 10L, 10L), (2L, 12L, 10L), (3L, 10L, 13L))
+      .toDF("id", "x", "y")
+    assert(RangeJoin.radiusSelfJoin2D(tight, r = 50).count() == 3L)
+  }
+
+  test("radiusSelfJoin2D: matches the brute-force census on a deterministic scatter") {
+    import spark.implicits._
+    val pts = (1L to 120L).map(i =>
+      (i, (i * 37) % 211 - 100, (i * 53) % 223 - 111)).toDF("id", "x", "y")
+    val grid = RangeJoin.radiusSelfJoin2D(pts, r = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = pts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= 1600L
+    } yield (a._1, b._1, d2)).toSet
+    assert(grid == brute && brute.nonEmpty)
+  }
 }
