@@ -7871,4 +7871,71 @@ object Oracles {
        |              * abs(num.num) // den.den_b AS BIGINT)
        |  END AS xcf2_ppm
        |FROM num, den""".stripMargin
+
+  /** q352: discrete-time churn hazard — per-user first/last day, the
+    * grace-window censor split, and the reverse running at-risk sum over
+    * the duration keyspace.
+    */
+  def churnHazard(graceDays: Int): String =
+    s"""WITH spans AS (
+       |  SELECT user_id AS u, MIN(CAST(ts AS DATE)) AS fd, MAX(CAST(ts AS DATE)) AS ld
+       |  FROM events GROUP BY 1),
+       |hz AS (SELECT MAX(CAST(ts AS DATE)) AS end_day FROM events),
+       |obs AS (
+       |  SELECT CASE WHEN s.ld < hz.end_day - $graceDays THEN s.ld - s.fd
+       |              ELSE hz.end_day - s.fd END AS t,
+       |         CASE WHEN s.ld < hz.end_day - $graceDays THEN 1 ELSE 0 END AS dead
+       |  FROM spans s, hz),
+       |byt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS ending,
+       |          CAST(SUM(dead) AS BIGINT) AS n_churned
+       |        FROM obs GROUP BY 1)
+       |SELECT CAST(t AS BIGINT) AS lifetime_days,
+       |  CAST(SUM(ending) OVER (ORDER BY t DESC) AS BIGINT) AS at_risk,
+       |  n_churned,
+       |  CAST(n_churned * 1000000 // SUM(ending) OVER (ORDER BY t DESC) AS BIGINT) AS hazard_ppm
+       |FROM byt""".stripMargin
+
+  /** q353: supplier revenue concentration — exact Gini over the
+    * (mass, key)-ranked group relation and HHI, both HUGEINT rationals.
+    */
+  val concentration: String =
+    """WITH mass AS (
+      |  SELECT l_suppkey AS g,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM lineitem GROUP BY 1),
+      |rk AS (SELECT g, x, row_number() OVER (ORDER BY x, g) AS r FROM mass),
+      |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+      |          SUM(r::HUGEINT * x) AS rx, SUM(x::HUGEINT * x) AS xx FROM rk)
+      |SELECT n AS n_groups, s AS total,
+      |  CASE WHEN s = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST((2 * rx - (n::HUGEINT + 1) * s) * 1000000
+      |              // (n::HUGEINT * s) AS BIGINT) END AS gini_ppm,
+      |  CASE WHEN s = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(xx * 1000000 // (s::HUGEINT * s) AS BIGINT)
+      |  END AS hhi_ppm
+      |FROM agg""".stripMargin
+
+  /** q354: Benford first-digit audit of line-amount cents — the law's
+    * ppm constants as a VALUES grid so absent digits still emit.
+    */
+  val benford: String =
+    """WITH c AS (
+      |  SELECT CAST(substring(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |    CAST(COUNT(*) AS BIGINT) AS n_obs
+      |  FROM lineitem WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0
+      |  GROUP BY 1),
+      |t AS (SELECT CAST(COALESCE(SUM(n_obs), 0) AS BIGINT) AS n FROM c)
+      |SELECT CAST(b.digit AS BIGINT) AS digit,
+      |  CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
+      |  CASE WHEN t.n = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(COALESCE(c.n_obs, 0) * 1000000 // t.n AS BIGINT)
+      |  END AS obs_ppm,
+      |  CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+      |  CASE WHEN t.n = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(COALESCE(c.n_obs, 0) * 1000000 // t.n - b.benford_ppm AS BIGINT)
+      |  END AS dev_ppm
+      |FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+      |      (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+      |     b(digit, benford_ppm)
+      |LEFT JOIN c ON c.digit = b.digit CROSS JOIN t""".stripMargin
 }

@@ -1506,7 +1506,21 @@ object Plans {
     "q351_cross_correlation_stream" ->
       """Stream-fed CCF: the emitter's closed hourly windows filter to
         |the two keys and run the identical grid + lag census. Identical
-        |rows to q350.""".stripMargin)
+        |rows to q350.""".stripMargin,
+    "q352_churn_hazard" ->
+      """Churn hazard: one (user → first/last day) aggregate — the only
+        |fact-sized work — then censor split and the reverse running
+        |at-risk sum on the duration keyspace (days, not users). No
+        |user×day expansion anywhere.""".stripMargin,
+    "q353_concentration" ->
+      """Concentration: facts collapse to the supplier keyspace in one
+        |map-combined aggregate; the Lorenz rank window orders groups
+        |only; Gini and HHI come from ONE moment aggregate in
+        |DECIMAL(38,0).""".stripMargin,
+    "q354_benford" ->
+      """Benford: one map-combined 9-bucket aggregate over the scan; the
+        |digit grid (with the law's exact ppm constants) is constant-
+        |sized and broadcast. Scan-bound at any scale.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

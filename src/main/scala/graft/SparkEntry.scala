@@ -3647,7 +3647,30 @@ object SparkEntry {
     "q351_cross_correlation_stream" -> ((s, d) =>
       graft.ext.TimeSeries.crossCorrelationFromCounts(
         graft.streaming.Streams.decayedCountsHourly(Tables.events(s, d)),
-        keyA = "view", keyB = "purchase", maxLag = 24))
+        keyA = "view", keyB = "purchase", maxLag = 24)),
+
+    // discrete-time churn hazard with proper right censoring: per
+    // lifetime-day, at-risk users, exact churns, hazard ppm — the life
+    // table the naive lifetime histogram gets wrong on recent cohorts
+    "q352_churn_hazard" -> ((s, d) =>
+      graft.ext.Warehouse.churnHazard(Tables.events(s, d))),
+
+    // revenue concentration across suppliers: exact Gini + HHI in ppm —
+    // the skew audit behind salting and quota design
+    "q353_concentration" -> ((s, d) =>
+      graft.ext.Quality.concentrationReport(
+        Tables.lineitem(s, d)
+          .select(col("l_suppkey").as("g"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")),
+        "g", col("cents"))),
+
+    // Benford first-digit audit of line amounts: observed vs the law's
+    // ppm constants per digit 1-9 — the fabricated-data / broken-feed
+    // screen
+    "q354_benford" -> ((s, d) =>
+      graft.ext.Quality.benfordAudit(
+        Tables.lineitem(s, d),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)")))
   )
 
   /** The paired ranking relation shared by q346: each panel query's exact
@@ -4116,6 +4139,9 @@ object SparkEntry {
     "q349_radius_join" -> Oracles.radiusJoin(100),
     "q350_cross_correlation" -> Oracles.crossCorrelation("view", "purchase", 24),
     "q351_cross_correlation_stream" ->
-      Oracles.crossCorrelation("view", "purchase", 24)
+      Oracles.crossCorrelation("view", "purchase", 24),
+    "q352_churn_hazard" -> Oracles.churnHazard(7),
+    "q353_concentration" -> Oracles.concentration,
+    "q354_benford" -> Oracles.benford
   )
 }

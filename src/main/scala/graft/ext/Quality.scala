@@ -176,6 +176,79 @@ object Quality {
           .as("gini_ppm"))
   }
 
+  /** Market-concentration report (Gini coefficient, Lorenz 1905 /
+    * Gini 1912, and the Herfindahl–Hirschman index, public literature)
+    * over per-group value mass — "how concentrated is revenue across
+    * suppliers / tokens across documents / traffic across tenants", the
+    * skew audit that decides salting and quota design. EXACT integer
+    * rationals in ppm:
+    * `gini_ppm` = (2·Σ rank·x − (n+1)·S)·10⁶ div (n·S) with groups
+    * ranked ascending by (mass, key) — the rank-of-record convention,
+    * layout-invariant; `hhi_ppm` = Σx²·10⁶ div S² (10⁶ = a monopoly;
+    * the antitrust 0–10,000-point scale ×100).
+    *
+    * Scale shape: facts collapse to the group keyspace in one
+    * map-combined aggregate; the rank window orders groups only; the
+    * moments are one aggregate. Envelope: Σ rank·x ≤ n·S and Σx² ≤ S² —
+    * 10⁹ groups × 10¹⁵ total stay inside DECIMAL(38,0).
+    */
+  def concentrationReport(df: DataFrame, grpCol: String,
+                          valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mass = df.select(col(grpCol).as("g"), valueCol.as("x"))
+      .filter(col("x").isNotNull)
+      .groupBy("g").agg(sum("x").as("x"))
+    val ranked = mass.withColumn("r", row_number().over(
+      // keyspace-sized window: input is collapsed/bounded before this sort
+      Window.orderBy(col("x"), col("g"))))
+    ranked.agg(count(lit(1)).as("n"), sum("x").as("s"),
+        expr("sum(CAST(r AS DECIMAL(38,0)) * x)").as("rx"),
+        expr("sum(CAST(x AS DECIMAL(38,0)) * x)").as("xx"))
+      .select(col("n").as("n_groups"), expr("CAST(s AS BIGINT)").as("total"),
+        expr("CASE WHEN s = 0 THEN NULL ELSE CAST(" +
+          "(2 * rx - (CAST(n AS DECIMAL(38,0)) + 1) * s) * 1000000" +
+          " div (CAST(n AS DECIMAL(38,0)) * s) AS BIGINT) END").as("gini_ppm"),
+        expr("CASE WHEN s = 0 THEN NULL ELSE CAST(" +
+          "xx * 1000000 div (CAST(s AS DECIMAL(38,0)) * s) AS BIGINT) END")
+          .as("hhi_ppm"))
+  }
+
+  /** Benford first-digit audit (Newcomb 1881 / Benford 1938, public
+    * literature): the distribution of leading significant digits of a
+    * positive amount column against Benford's law — the classic
+    * fabricated-data / broken-feed screen. One row per digit 1–9 with
+    * the observed count, observed ppm, the law's expected ppm (the
+    * standard log₁₀(1+1/d) constants rounded to ppm — they sum to
+    * exactly 10⁶), and the signed deviation. Digits absent from the
+    * data still emit (a missing digit is the loudest signal).
+    *
+    * Scale shape: one map-combined 9-bucket aggregate over the fact
+    * scan; the digit grid is constant-sized.
+    */
+  def benfordAudit(df: DataFrame, valueCol: Column): DataFrame = {
+    val benford = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L)
+    val spark = df.sparkSession
+    val counts = df.select(valueCol.cast("long").as("v"))
+      .filter(col("v") > 0)
+      .select(expr("CAST(substring(CAST(v AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val grid = spark.createDataFrame(benford.map { case (d, p) => (d.toLong, p) })
+      .toDF("digit", "benford_ppm")
+    val tot = counts.agg(sum("n_obs").as("n"))
+    broadcast(grid).join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        expr("CASE WHEN n = 0 THEN NULL" +
+          " ELSE n_obs * 1000000 div n END").as("obs_ppm"),
+        col("benford_ppm"),
+        expr("CASE WHEN n = 0 THEN NULL" +
+          " ELSE n_obs * 1000000 div n - benford_ppm END").as("dev_ppm"))
+  }
+
   /** Exact weighted lower median per group: the smallest value whose
     * cumulative weight reaches half the group's total —
     * `min{v : 2·cumw(v) ≥ totw}` — computed entirely in integer weight

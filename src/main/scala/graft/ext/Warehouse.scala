@@ -96,6 +96,50 @@ object Warehouse {
       .agg(count(lit(1)).as("n_churned"))
   }
 
+  /** Discrete-time churn hazard (the life-table method of classical
+    * survival analysis, public literature): per lifetime-day d, how many
+    * users were still observable at d (`at_risk`), how many churned
+    * exactly at d (`n_churned`), and the hazard `hazard_ppm` =
+    * churned·10⁶ div at_risk — the per-day "if you made it this far,
+    * what's the chance you stop today" curve, with RIGHT CENSORING done
+    * properly: a user active within the final `graceDays` of the corpus
+    * is censored at (corpus end − first day), not counted as churned —
+    * the mistake that makes naive lifetime histograms overstate churn
+    * for every recent cohort.
+    *
+    * Scale shape: one (user → first/last day) aggregate, then every
+    * count lives on the lifetime-day keyspace; at_risk is a reverse
+    * running sum over distinct durations — no user×day expansion.
+    */
+  def churnHazard(events: DataFrame, tsCol: String = "ts",
+                  userCol: String = "user_id",
+                  graceDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .groupBy("u").agg(min("day").as("first_day"), max("day").as("last_day"))
+    val horizon = events.agg(max(to_date(col(tsCol))).as("end_day"))
+    // dead users: silent for > graceDays before the corpus end — their
+    // observed time is the true lifetime; live users are censored at the
+    // full span they were observable
+    val obs = spans.crossJoin(broadcast(horizon))
+      .select(
+        when(col("last_day") < date_sub(col("end_day"), graceDays),
+          datediff(col("last_day"), col("first_day")))
+          .otherwise(datediff(col("end_day"), col("first_day"))).as("t"),
+        when(col("last_day") < date_sub(col("end_day"), graceDays), 1L)
+          .otherwise(0L).as("dead"))
+    val byT = obs.groupBy("t")
+      .agg(count(lit(1)).as("ending"), sum("dead").as("n_churned"))
+    // keyspace-sized window: input is collapsed/bounded before this sort
+    val w = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.withColumn("at_risk", sum("ending").over(w))
+      .select(col("t").cast("long").as("lifetime_days"), col("at_risk"),
+        col("n_churned"),
+        expr("n_churned * 1000000 div at_risk").as("hazard_ppm"))
+  }
+
   /** RFM segmentation: per-user Recency (days since last purchase,
     * against a PINNED reference date — never now()), Frequency (purchase
     * count), Monetary (integer cents), each discretized into quartiles

@@ -6,6 +6,45 @@ import graft.SparkSpec
 
 class QualitySpec extends SparkSpec {
 
+  test("concentrationReport: equality reads 0, monopoly reads (n-1)/n; HHI hand values") {
+    import org.apache.spark.sql.Row
+    val equal = df("g BIGINT, v BIGINT",
+      Seq(Row(1L, 50L), Row(2L, 50L), Row(3L, 50L)))
+    val e = Quality.concentrationReport(equal, "g", col("v")).head()
+    assert((e.getLong(0), e.getLong(1)) == ((3L, 150L)))
+    assert(e.getLong(2) == 0L)       // gini
+    assert(e.getLong(3) == 333333L)  // hhi = 1/n
+    val mono = df("g BIGINT, v BIGINT",
+      Seq(Row(1L, 0L), Row(2L, 0L), Row(3L, 90L)))
+    val m = Quality.concentrationReport(mono, "g", col("v")).head()
+    assert(m.getLong(2) == 666666L)  // (n−1)/n
+    assert(m.getLong(3) == 1000000L) // monopoly
+    // facts collapse per group first: two rows of one group ≡ their sum
+    val split = df("g BIGINT, v BIGINT",
+      Seq(Row(1L, 40L), Row(1L, 50L), Row(2L, 90L)))
+    val s = Quality.concentrationReport(split, "g", col("v")).head()
+    assert(s.getLong(0) == 2L && s.getLong(2) == 0L && s.getLong(3) == 500000L)
+  }
+
+  test("benfordAudit: hand counts, absent digits emit, zero/negative amounts excluded") {
+    import org.apache.spark.sql.Row
+    val d1 = df("v BIGINT",
+      Seq(Row(1L), Row(19L), Row(2L), Row(999L), Row(0L), Row(-5L)))
+    val out = Quality.benfordAudit(d1, col("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(4)))).toMap
+    assert(out.size == 9)
+    // digits: 1×2, 2×1, 9×1 of n=4
+    assert(out(1L) == ((2L, 500000L, 500000L - 301030L)))
+    assert(out(2L) == ((1L, 250000L, 250000L - 176091L)))
+    assert(out(9L) == ((1L, 250000L, 250000L - 45757L)))
+    assert(out(3L) == ((0L, 0L, -124939L)))
+    // the law's constants sum to exactly 1e6 (deviations sum to ~0)
+    val ppm = Quality.benfordAudit(d1, col("v"))
+      .agg(org.apache.spark.sql.functions.sum("benford_ppm")).head().getLong(0)
+    assert(ppm == 1000000L)
+  }
+
   test("percentileRankBy: exact cume_dist ppm over collapsed values") {
     // g: [10, 20, 20, 40] → (10,1,250000), (20,2,750000), (40,1,1000000)
     val t = df("g STRING, v BIGINT", Seq(

@@ -8,6 +8,26 @@ class WarehouseSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("churnHazard: censoring splits the life table by hand") {
+    // corpus ends day 30 (grace 7 → censor cut = day 23):
+    //   u1 d0..d10  → dead at t=10      u2 d0..d30  → censored, t=30
+    //   u3 d25..d26 → censored, t=5     u4 d0..d5   → dead at t=5
+    // life table: t=5 ending {u3,u4} churned 1; t=10 ending {u1} churned 1;
+    // t=30 ending {u2} churned 0; at_risk (reverse cum) = 4, 2, 1
+    val ev = df("user_id BIGINT, ts TIMESTAMP", Seq(
+      Row(1L, ts("2024-03-01 09:00:00")), Row(1L, ts("2024-03-11 09:00:00")),
+      Row(2L, ts("2024-03-01 09:00:00")), Row(2L, ts("2024-03-31 09:00:00")),
+      Row(3L, ts("2024-03-26 09:00:00")), Row(3L, ts("2024-03-27 09:00:00")),
+      Row(4L, ts("2024-03-01 09:00:00")), Row(4L, ts("2024-03-06 09:00:00"))))
+    val out = Warehouse.churnHazard(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      5L -> ((4L, 1L, 250000L)),
+      10L -> ((2L, 1L, 500000L)),
+      30L -> ((1L, 0L, 0L))))
+  }
+
   test("paretoContribution: exact ppm shares, ROWS cumulative, head flag") {
     // a=50, b=30, c=20: shares 50/30/20%, cum 50/80/100% — head80 = {a, b}
     val t = df("g STRING, v BIGINT", Seq(
