@@ -1520,7 +1520,12 @@ object Plans {
     "q354_benford" ->
       """Benford: one map-combined 9-bucket aggregate over the scan; the
         |digit grid (with the law's exact ppm constants) is constant-
-        |sized and broadcast. Scan-bound at any scale.""".stripMargin)
+        |sized and broadcast. Scan-bound at any scale.""".stripMargin,
+    "q355_churn_hazard_stream" ->
+      """Stream-fed churn hazard: the daily active-user emitter's closed
+        |(day, user) windows carry exactly the per-user first/last days
+        |the life table needs — shared readout core, identical rows to
+        |q352.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -3670,7 +3670,15 @@ object SparkEntry {
     "q354_benford" -> ((s, d) =>
       graft.ext.Quality.benfordAudit(
         Tables.lineitem(s, d),
-        expr("CAST(round(l_extendedprice * 100) AS BIGINT)")))
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))),
+
+    // stream-fed churn hazard: q352's life table re-read from the daily
+    // active-user emitter's closed windows — per-user first/last days
+    // are a pure function of the stored (day, user) rows (same oracle
+    // as q352)
+    "q355_churn_hazard_stream" -> ((s, d) =>
+      graft.ext.Warehouse.churnHazardFromUserDays(
+        graft.streaming.Streams.userDaysDaily(Tables.events(s, d))))
   )
 
   /** The paired ranking relation shared by q346: each panel query's exact
@@ -4142,6 +4150,7 @@ object SparkEntry {
       Oracles.crossCorrelation("view", "purchase", 24),
     "q352_churn_hazard" -> Oracles.churnHazard(7),
     "q353_concentration" -> Oracles.concentration,
-    "q354_benford" -> Oracles.benford
+    "q354_benford" -> Oracles.benford,
+    "q355_churn_hazard_stream" -> Oracles.churnHazard(7)
   )
 }

@@ -113,12 +113,24 @@ object Warehouse {
     */
   def churnHazard(events: DataFrame, tsCol: String = "ts",
                   userCol: String = "user_id",
-                  graceDays: Int = 7): DataFrame = {
+                  graceDays: Int = 7): DataFrame =
+    churnHazardFromUserDays(
+      events.select(col(userCol).as("u"), to_date(col(tsCol)).as("day")),
+      graceDays)
+
+  /** [[churnHazard]] over an (u, day) activity relation — the SHARED
+    * code path with the stream-fed twin: the daily active-user emitter's
+    * closed windows ([[graft.streaming.Streams.userDaysDaily]]) carry
+    * exactly the per-user first/last days the life table needs, so the
+    * survival readout runs off the stored stream without re-reading
+    * facts. Batch twin (oracle-verified): q352 / q355.
+    */
+  def churnHazardFromUserDays(activity: DataFrame,
+                              graceDays: Int = 7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = events
-      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+    val spans = activity
       .groupBy("u").agg(min("day").as("first_day"), max("day").as("last_day"))
-    val horizon = events.agg(max(to_date(col(tsCol))).as("end_day"))
+    val horizon = activity.agg(max(col("day")).as("end_day"))
     // dead users: silent for > graceDays before the corpus end — their
     // observed time is the true lifetime; live users are censored at the
     // full span they were observable

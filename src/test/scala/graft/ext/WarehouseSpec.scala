@@ -26,6 +26,14 @@ class WarehouseSpec extends SparkSpec {
       5L -> ((4L, 1L, 250000L)),
       10L -> ((2L, 1L, 500000L)),
       30L -> ((1L, 0L, 0L))))
+    // twin core: the deduped (u, day) activity relation (what the daily
+    // emitter's closed windows carry) reproduces the batch life table
+    val activity = ev.select(
+      org.apache.spark.sql.functions.col("user_id").as("u"),
+      org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("day")).distinct()
+    assertSameRows(Warehouse.churnHazard(ev),
+      Warehouse.churnHazardFromUserDays(activity))
   }
 
   test("paretoContribution: exact ppm shares, ROWS cumulative, head flag") {
