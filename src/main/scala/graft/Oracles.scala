@@ -7938,4 +7938,42 @@ object Oracles {
       |      (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
       |     b(digit, benford_ppm)
       |LEFT JOIN c ON c.digit = b.digit CROSS JOIN t""".stripMargin
+
+  /** q356/q357: Wald–Wolfowitz runs test — lower-median dichotomization
+    * of the gap-filled hourly grid, run census by lag, exact z² against
+    * the null moments in HUGEINT. The stream twin reuses this verbatim.
+    */
+  val runsTest: String =
+    """WITH c AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM c),
+      |g AS (SELECT unnest(generate_series(b.h0, b.h1)) AS h, b.h0 FROM b),
+      |s AS MATERIALIZED (SELECT g.h - g.h0 AS t, COALESCE(c.c, 0) AS c
+      |      FROM g LEFT JOIN c ON g.h = c.h),
+      |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+      |byv AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM s GROUP BY 1),
+      |med AS (SELECT MIN(c) AS med FROM (
+      |  SELECT c, SUM(m) OVER (ORDER BY c) AS cum FROM byv), n1
+      |  WHERE cum * 2 >= n1.n),
+      |fl AS (SELECT t, CASE WHEN c > med.med THEN 1 ELSE 0 END AS s2
+      |       FROM s, med),
+      |cen AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(s2) AS BIGINT) AS n_above,
+      |    CAST(COUNT(*) - SUM(s2) AS BIGINT) AS n_below,
+      |    CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL AND prev <> s2
+      |      THEN 1 ELSE 0 END), 0) + 1 AS BIGINT) AS runs
+      |  FROM (SELECT s2, lag(s2) OVER (ORDER BY t) AS prev FROM fl))
+      |SELECT n AS n_hours, n_above, n_below, runs,
+      |  CASE WHEN n_above = 0 OR n_below = 0
+      |         OR 2 * n_above * n_below = n OR n < 2 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(
+      |         (runs::HUGEINT * n - n - 2 * n_above * n_below)
+      |         * (runs::HUGEINT * n - n - 2 * n_above * n_below)
+      |         * (n - 1) * 1000000
+      |         // (2 * n_above::HUGEINT * n_below
+      |            * (2 * n_above::HUGEINT * n_below - n)) AS BIGINT)
+      |  END AS z2_ppm
+      |FROM cen""".stripMargin
 }

@@ -1525,7 +1525,16 @@ object Plans {
       """Stream-fed churn hazard: the daily active-user emitter's closed
         |(day, user) windows carry exactly the per-user first/last days
         |the life table needs — shared readout core, identical rows to
-        |q352.""".stripMargin)
+        |q352.""".stripMargin,
+    "q356_runs_test" ->
+      """Runs test: one fact aggregate → hour grid; the median collapse
+        |is by-value, the run census is one lag window over the grid, the
+        |z² is scalar arithmetic. Grid-bounded — the n⁵ envelope term
+        |never sees a fact-scale n.""".stripMargin,
+    "q357_runs_test_stream" ->
+      """Stream-fed runs test: the emitter's closed hourly windows
+        |collapse to the global series, identical dichotomize + census.
+        |Identical rows to q356.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -3678,7 +3678,19 @@ object SparkEntry {
     // as q352)
     "q355_churn_hazard_stream" -> ((s, d) =>
       graft.ext.Warehouse.churnHazardFromUserDays(
-        graft.streaming.Streams.userDaysDaily(Tables.events(s, d))))
+        graft.streaming.Streams.userDaysDaily(Tables.events(s, d)))),
+
+    // Wald–Wolfowitz runs test: is hourly traffic RANDOM around its
+    // median, or does it clump (regimes) / alternate (retry storms) —
+    // exact z² against the null run-count moments
+    "q356_runs_test" -> ((s, d) =>
+      graft.ext.TimeSeries.runsTest(Tables.events(s, d), "ts")),
+
+    // stream-fed runs test: the same randomness question asked of the
+    // stored hourly-count stream (same oracle as q356)
+    "q357_runs_test_stream" -> ((s, d) =>
+      graft.ext.TimeSeries.runsTestFromCounts(
+        graft.streaming.Streams.decayedCountsHourly(Tables.events(s, d))))
   )
 
   /** The paired ranking relation shared by q346: each panel query's exact
@@ -4151,6 +4163,8 @@ object SparkEntry {
     "q352_churn_hazard" -> Oracles.churnHazard(7),
     "q353_concentration" -> Oracles.concentration,
     "q354_benford" -> Oracles.benford,
-    "q355_churn_hazard_stream" -> Oracles.churnHazard(7)
+    "q355_churn_hazard_stream" -> Oracles.churnHazard(7),
+    "q356_runs_test" -> Oracles.runsTest,
+    "q357_runs_test_stream" -> Oracles.runsTest
   )
 }

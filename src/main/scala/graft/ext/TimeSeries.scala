@@ -1045,6 +1045,72 @@ object TimeSeries {
           " * abs(num) div den_b AS BIGINT) END").as("xcf2_ppm"))
   }
 
+  /** Wald–Wolfowitz runs test (Wald & Wolfowitz 1940, public
+    * literature) on the hourly series — "is the traffic sequence RANDOM
+    * around its median, or does it clump/alternate": hours dichotomize
+    * at the LOWER MEDIAN of the gap-filled counts (the by-value
+    * [[Quality.lowerMedianBy]] convention — a value from the data, no
+    * interpolation; above → 1, at-or-below → 0), `runs` counts the
+    * maximal same-sign blocks, and `z2_ppm` is the exact squared z
+    * against the null moments E[R] = 1 + 2·n₁n₀/n and
+    * Var(R) = 2n₁n₀(2n₁n₀−n)/(n²(n−1)):
+    * z² = (R·n − n − 2n₁n₀)²·(n−1)·10⁶ div (2n₁n₀(2n₁n₀−n)) — NULL when
+    * either side is empty or the variance degenerates. Too FEW runs =
+    * regime clumping (the q332 Pettitt territory); too MANY = oscillation
+    * (retry storms, polling artifacts).
+    *
+    * Envelope: all terms ≤ 4n⁵·10⁶ on the HOUR grid — a century of hours
+    * (n ≈ 10⁶) stays inside DECIMAL(38,0); the grid is invariant in fact
+    * volume, so this never sees a fact-scale n.
+    *
+    * Scale shape: one fact aggregate → grid; the median collapse is
+    * by-value; the run census is one lag window over the grid.
+    */
+  def runsTest(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    runsTestFromSeries(hourlyGrid(events, tsCol))
+
+  /** [[runsTest]] fed by PRE-AGGREGATED hourly counts — the stream
+    * emitters' closed windows collapse to the global series and run the
+    * IDENTICAL dichotomize + run census. Batch twin (oracle-verified):
+    * q356 / q357.
+    */
+  def runsTestFromCounts(counts: DataFrame, hourCol: String = "hour",
+                         cCol: String = "c"): DataFrame =
+    runsTestFromSeries(hourlyGridFromCounts(counts, hourCol, cCol))
+
+  private def runsTestFromSeries(grid: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val series = grid.select(col("t"), col("c")).localCheckpoint(true)
+    val n1 = series.agg(count(lit(1)).as("n"))
+    val byV = series.groupBy("c").agg(count(lit(1)).as("m"))
+    // keyspace-sized window: input is collapsed/bounded before this sort
+    val wv = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = byV.withColumn("cum", sum("m").over(wv))
+      .crossJoin(broadcast(n1))
+      .filter(col("cum") * 2 >= col("n"))
+      .agg(min("c").as("med"))
+    val flagged = series.crossJoin(broadcast(med))
+      .select(col("t"), (col("c") > col("med")).cast("long").as("s"))
+    // keyspace-sized window: input is collapsed/bounded before this sort
+    val wt = Window.orderBy(col("t"))
+    val census = flagged
+      .withColumn("prev", lag(col("s"), 1).over(wt))
+      .agg(count(lit(1)).as("n"), sum("s").as("n_above"),
+        (count(lit(1)) - sum("s")).as("n_below"),
+        (coalesce(sum(when(col("prev").isNotNull && col("prev") =!= col("s"),
+          1L).otherwise(0L)), lit(0L)) + 1L).as("runs"))
+    census.select(col("n").as("n_hours"), col("n_above"), col("n_below"),
+      col("runs"),
+      expr("CASE WHEN n_above = 0 OR n_below = 0" +
+        " OR 2 * n_above * n_below = n OR n < 2 THEN NULL ELSE CAST(" +
+        " CAST(runs * n - n - 2 * n_above * n_below AS DECIMAL(38,0))" +
+        " * (runs * n - n - 2 * n_above * n_below) * (n - 1) * 1000000" +
+        " div (2 * CAST(n_above AS DECIMAL(38,0)) * n_below" +
+        "      * (2 * CAST(n_above AS DECIMAL(38,0)) * n_below - n))" +
+        " AS BIGINT) END").as("z2_ppm"))
+  }
+
   private def mannKendallFromSeries(grid: DataFrame): DataFrame = {
     val series = grid.select(col("t"), col("c")).localCheckpoint(true)
     val sStat = series.select(col("t").as("t1"), col("c").as("c1"))

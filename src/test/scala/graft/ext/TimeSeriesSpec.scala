@@ -298,6 +298,50 @@ class TimeSeriesSpec extends SparkSpec {
     assert(batch == twin)
   }
 
+  test("runsTest: alternating, clumped, monotone, and constant hand censuses") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-08-01T00:00:00Z").getEpochSecond
+    def events(counts: Seq[Int]) = counts.zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map(i =>
+        (h * 100L + i, new java.sql.Timestamp((t0 + h * 3600L + 60 * i) * 1000L)))
+    }.toDF("event_id", "ts")
+    // [1,5,1,5,1,5]: lower median 1 → s = 010101, runs = 6, n₁ = n₀ = 3;
+    // E[R] = 4, num = 6·6−6−18 = 12 → z² = 144·5·1e6/(18·12) = 3,333,333
+    val alt = TimeSeries.runsTest(events(Seq(1, 5, 1, 5, 1, 5)), "ts").head()
+    assert((alt.getAs[Long]("n_hours"), alt.getAs[Long]("n_above"),
+      alt.getAs[Long]("runs")) == ((6L, 3L, 6L)))
+    assert(alt.getAs[Long]("z2_ppm") == 3333333L)
+    // [5,5,5,1,1,1]: two clumps → runs = 2, num = 2·6−6−18 = −12 —
+    // symmetric deviation from E[R] = 4, so the same z² as alternating
+    val clump = TimeSeries.runsTest(events(Seq(5, 5, 5, 1, 1, 1)), "ts").head()
+    assert(clump.getAs[Long]("runs") == 2L)
+    assert(clump.getAs[Long]("z2_ppm") == 3333333L)
+    // [1,2,3,4]: lower median 2 → s = 0011, runs = 2, n₁ = n₀ = 2;
+    // num = 2·4−4−8 = −4 → z² = 16·3·1e6/(8·4) = 1,500,000
+    val mono = TimeSeries.runsTest(events(Seq(1, 2, 3, 4)), "ts").head()
+    assert(mono.getAs[Long]("z2_ppm") == 1500000L)
+    // constant: nothing above the median → NULL
+    val const = TimeSeries.runsTest(events(Seq(3, 3, 3)), "ts").head()
+    assert(const.getAs[Long]("n_above") == 0L)
+    assert(const.isNullAt(const.fieldIndex("z2_ppm")))
+  }
+
+  test("runsTestFromCounts: pre-aggregated per-key counts collapse to the batch answer") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-08-02T00:00:00Z").getEpochSecond
+    val cs = Seq(1, 5, 2, 4, 1, 5)
+    val raw = cs.zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map(i =>
+        (h * 100L + i, new java.sql.Timestamp((t0 + h * 3600L + 60 * i) * 1000L)))
+    }.toDF("event_id", "ts")
+    val counts = cs.zipWithIndex.flatMap { case (n, h) =>
+      val hour = new java.sql.Timestamp((t0 + h * 3600L) * 1000L)
+      Seq(("a", hour, n / 2L), ("b", hour, n - n / 2L))
+    }.toDF("key", "hour", "c").filter($"c" > 0)
+    assert(TimeSeries.runsTest(raw, "ts").head() ==
+      TimeSeries.runsTestFromCounts(counts).head())
+  }
+
   test("crossCorrelation: hand lag census — identity, zero, and anti-correlated lags") {
     import spark.implicits._
     val t0 = java.time.Instant.parse("2024-07-01T00:00:00Z").getEpochSecond
