@@ -7976,4 +7976,70 @@ object Oracles {
       |            * (2 * n_above::HUGEINT * n_below - n)) AS BIGINT)
       |  END AS z2_ppm
       |FROM cen""".stripMargin
+
+  /** q358: weekend×purchase 2×2 effect report — the four conditional
+    * counts, then OR/RR/risk-diff as HUGEINT rationals with the
+    * zero-cell NULL conventions.
+    */
+  val weekendEffect: String =
+    """WITH f AS (
+      |  SELECT CASE WHEN (epoch_us(ts) // 86400000000 + 3) % 7 >= 5
+      |              THEN 1 ELSE 0 END AS ex,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS oc
+      |  FROM events),
+      |t AS (SELECT
+      |  CAST(SUM(CASE WHEN ex = 1 AND oc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |  CAST(SUM(CASE WHEN ex = 1 AND oc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |  CAST(SUM(CASE WHEN ex = 0 AND oc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |  CAST(SUM(CASE WHEN ex = 0 AND oc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      | FROM f)
+      |SELECT a + b AS n_exposed, c + d AS n_unexposed,
+      |  a AS n_exposed_hits, c AS n_unexposed_hits,
+      |  CASE WHEN b * c = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(a::HUGEINT * d * 1000000 // (b::HUGEINT * c) AS BIGINT)
+      |  END AS odds_ratio_ppm,
+      |  CASE WHEN c = 0 OR a + b = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(a::HUGEINT * (c + d) * 1000000
+      |              // (c::HUGEINT * (a + b)) AS BIGINT)
+      |  END AS risk_ratio_ppm,
+      |  CASE WHEN a + b = 0 OR c + d = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(a::HUGEINT * 1000000 // (a + b)
+      |              - c::HUGEINT * 1000000 // (c + d) AS BIGINT)
+      |  END AS risk_diff_ppm
+      |FROM t""".stripMargin
+
+  /** q359: Cramér's V² from the q316 milli-χ² integers — same
+    * contingency CTEs, one extra exact rational.
+    */
+  val cramersV: String =
+    """WITH f AS (
+      |  SELECT event_type AS a,
+      |    CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS VARCHAR) AS b
+      |  FROM events),
+      |obs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM f GROUP BY 1, 2),
+      |rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+      |ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+      |g AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+      |grid AS (
+      |  SELECT rt.r, ct.c, g.n, COALESCE(obs.o, 0) AS o
+      |  FROM rt CROSS JOIN ct CROSS JOIN g
+      |  LEFT JOIN obs ON obs.a = rt.a AND obs.b = ct.b),
+      |cells AS (
+      |  SELECT n, o, r::HUGEINT * c * 1000 // n AS e_milli FROM grid),
+      |m AS (
+      |  SELECT MAX(n) AS n,
+      |    CAST(SUM((o::HUGEINT * 1000 - e_milli) * (o::HUGEINT * 1000 - e_milli)
+      |      // GREATEST(e_milli, 1)) AS HUGEINT) AS chi2_raw
+      |  FROM cells),
+      |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a_cats FROM rt),
+      |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b_cats FROM ct)
+      |SELECT m.n, (na.n_a_cats - 1) * (nb.n_b_cats - 1) AS dof,
+      |  CAST(m.chi2_raw AS BIGINT) AS chi2_milli,
+      |  CASE WHEN m.n = 0 OR LEAST(na.n_a_cats, nb.n_b_cats) < 2
+      |       THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(m.chi2_raw * 1000
+      |              // (m.n::HUGEINT * (LEAST(na.n_a_cats, nb.n_b_cats) - 1))
+      |              AS BIGINT)
+      |  END AS v2_ppm
+      |FROM m, na, nb""".stripMargin
 }

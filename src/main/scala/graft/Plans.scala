@@ -1534,7 +1534,15 @@ object Plans {
     "q357_runs_test_stream" ->
       """Stream-fed runs test: the emitter's closed hourly windows
         |collapse to the global series, identical dichotomize + census.
-        |Identical rows to q356.""".stripMargin)
+        |Identical rows to q356.""".stripMargin,
+    "q358_weekend_effect" ->
+      """2×2 effect report: ONE map-combined 4-way conditional count over
+        |the fact scan, scalar rationals, 1-row output — the q341
+        |posture for the epidemiological readouts.""".stripMargin,
+    "q359_cramers_v" ->
+      """Cramér's V²: the q316 contingency plan verbatim (one aggregate,
+        |categories² grid) plus one scalar rational — effect size costs
+        |nothing over the test statistic.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -3690,7 +3690,26 @@ object SparkEntry {
     // stored hourly-count stream (same oracle as q356)
     "q357_runs_test_stream" -> ((s, d) =>
       graft.ext.TimeSeries.runsTestFromCounts(
-        graft.streaming.Streams.decayedCountsHourly(Tables.events(s, d))))
+        graft.streaming.Streams.decayedCountsHourly(Tables.events(s, d)))),
+
+    // 2×2 effect report: does WEEKEND traffic convert differently —
+    // odds ratio / risk ratio / risk difference of purchase events on
+    // weekend vs weekday hours, exact ppm rationals (the "how big"
+    // companion to q316's "is there an association")
+    "q358_weekend_effect" -> ((s, d) =>
+      graft.ext.RankStats.twoByTwo(
+        Tables.events(s, d),
+        expr("(unix_micros(ts) div 86400000000 + 3) % 7 >= 5"),
+        col("event_type") === "purchase")),
+
+    // Cramér's V² on the q316 contingency: the sample-size-free effect
+    // size — χ² grows with n, V² answers "how strong"
+    "q359_cramers_v" -> ((s, d) =>
+      graft.ext.Quality.cramersV(
+        Tables.events(s, d).select(col("event_type"),
+          expr("CAST((unix_micros(ts) div 86400000000 + 3) % 7 AS STRING)")
+            .as("dow")),
+        "event_type", "dow"))
   )
 
   /** The paired ranking relation shared by q346: each panel query's exact
@@ -4165,6 +4184,8 @@ object SparkEntry {
     "q354_benford" -> Oracles.benford,
     "q355_churn_hazard_stream" -> Oracles.churnHazard(7),
     "q356_runs_test" -> Oracles.runsTest,
-    "q357_runs_test_stream" -> Oracles.runsTest
+    "q357_runs_test_stream" -> Oracles.runsTest,
+    "q358_weekend_effect" -> Oracles.weekendEffect,
+    "q359_cramers_v" -> Oracles.cramersV
   )
 }

@@ -566,4 +566,23 @@ object Quality {
         // raw is in (milli)²/milli = milli units of χ²
         expr("CAST(chi2_raw AS BIGINT)").as("chi2_milli"))
   }
+
+  /** Cramér's V² (Cramér 1946, public literature): the EFFECT SIZE the
+    * [[chi2Independence]] statistic lacks — χ² grows with n, so a huge
+    * corpus makes every trivial association "significant"; V² =
+    * χ²/(n·(min(r,c)−1)) ∈ [0,1] answers "how strong", sample-size-free.
+    * Emitted SQRT-FREE (the τ_b²/assortativity convention) as `v2_ppm`,
+    * derived exactly from the same milli-χ² integers. Degenerate table
+    * (single row or column category) → NULL.
+    *
+    * Scale shape: identical to [[chi2Independence]] — one contingency
+    * aggregate, categories²-sized grid, scalar tail.
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chi2Independence(df, aCol, bCol)
+      .select(col("n"), col("dof"), col("chi2_milli"),
+        expr("CASE WHEN n = 0 OR least(n_a_cats, n_b_cats) < 2 THEN NULL" +
+          " ELSE CAST(CAST(chi2_milli AS DECIMAL(38,0)) * 1000" +
+          " div (CAST(n AS DECIMAL(38,0)) * (least(n_a_cats, n_b_cats) - 1))" +
+          " AS BIGINT) END").as("v2_ppm"))
 }

@@ -258,6 +258,41 @@ object RankStats {
           " END").as("h_tie_ppm"))
   }
 
+  /** 2×2 effect report (the classical epidemiological readouts, public
+    * literature): odds ratio a·d/(b·c), risk ratio, and risk difference
+    * for a boolean exposure × boolean outcome — the effect sizes an A/B
+    * or cohort comparison actually ships (a χ² answers "is there an
+    * association"; these answer "how big, in which direction"). All
+    * three are exact integer rationals in ppm; a zero cell NULLs the
+    * ratio it degenerates (the standard convention — apply a Haldane
+    * correction upstream if a continuous estimate is required).
+    *
+    * Scale shape: ONE map-combined 4-way conditional count over the fact
+    * scan, then scalar arithmetic. 1-row output.
+    */
+  def twoByTwo(df: DataFrame, exposure: Column, outcome: Column): DataFrame =
+    df.select(exposure.cast("boolean").as("ex"),
+        outcome.cast("boolean").as("oc"))
+      .filter(col("ex").isNotNull && col("oc").isNotNull)
+      .agg(sum(when(col("ex") && col("oc"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("ex") && !col("oc"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("ex") && col("oc"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("ex") && !col("oc"), 1L).otherwise(0L)).as("d"))
+      .select((col("a") + col("b")).as("n_exposed"),
+        (col("c") + col("d")).as("n_unexposed"),
+        col("a").as("n_exposed_hits"), col("c").as("n_unexposed_hits"),
+        expr("CASE WHEN b * c = 0 THEN NULL ELSE" +
+          " CAST(CAST(a AS DECIMAL(38,0)) * d * 1000000" +
+          " div (CAST(b AS DECIMAL(38,0)) * c) AS BIGINT) END")
+          .as("odds_ratio_ppm"),
+        expr("CASE WHEN c = 0 OR a + b = 0 THEN NULL ELSE" +
+          " CAST(CAST(a AS DECIMAL(38,0)) * (c + d) * 1000000" +
+          " div (CAST(c AS DECIMAL(38,0)) * (a + b)) AS BIGINT) END")
+          .as("risk_ratio_ppm"),
+        expr("CASE WHEN a + b = 0 OR c + d = 0 THEN NULL ELSE" +
+          " a * 1000000 div (a + b) - c * 1000000 div (c + d) END")
+          .as("risk_diff_ppm"))
+
   /** Fleiss' kappa (Fleiss 1971, public literature): chance-corrected
     * agreement among n ≥ 2 categorical raters per subject — the
     * multi-rater generalization of [[cohenKappa]]. With T = N·n total

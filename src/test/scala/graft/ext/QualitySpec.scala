@@ -6,6 +6,24 @@ import graft.SparkSpec
 
 class QualitySpec extends SparkSpec {
 
+  test("cramersV: perfect association reads 1e6, independence reads 0, degenerate NULL") {
+    import org.apache.spark.sql.Row
+    // x always with 1, y always with 2: χ² = n → V² = 1
+    val perfect = df("a STRING, b STRING",
+      Seq.fill(10)(Row("x", "1")) ++ Seq.fill(10)(Row("y", "2")))
+    val p = Quality.cramersV(perfect, "a", "b").head()
+    assert(p.getLong(2) == 20000L) // χ²·1000 = n·1000
+    assert(p.getLong(3) == 1000000L)
+    // uniform 2×2: every cell at expectation → χ² = 0 → V² = 0
+    val indep = df("a STRING, b STRING",
+      Seq.fill(5)(Row("x", "1")) ++ Seq.fill(5)(Row("x", "2")) ++
+        Seq.fill(5)(Row("y", "1")) ++ Seq.fill(5)(Row("y", "2")))
+    assert(Quality.cramersV(indep, "a", "b").head().getLong(3) == 0L)
+    // one column category: min(r, c) < 2 → NULL
+    val flat = df("a STRING, b STRING", Seq(Row("x", "1"), Row("y", "1")))
+    assert(Quality.cramersV(flat, "a", "b").head().isNullAt(3))
+  }
+
   test("concentrationReport: equality reads 0, monopoly reads (n-1)/n; HHI hand values") {
     import org.apache.spark.sql.Row
     val equal = df("g BIGINT, v BIGINT",

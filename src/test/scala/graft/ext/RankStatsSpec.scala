@@ -134,6 +134,28 @@ class RankStatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("twoByTwo: textbook OR/RR/risk-diff; zero cells NULL the right ratios") {
+    // exposed: 10 hits / 10 misses; unexposed: 5 hits / 15 misses
+    // OR = 10·15/(10·5) = 3.0; RR = (10/20)/(5/20) = 2.0; RD = 0.25
+    val rows = Seq.fill(10)(Row(true, true)) ++ Seq.fill(10)(Row(true, false)) ++
+      Seq.fill(5)(Row(false, true)) ++ Seq.fill(15)(Row(false, false))
+    val r = RankStats.twoByTwo(df("ex BOOLEAN, oc BOOLEAN", rows),
+      col("ex"), col("oc")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((20L, 20L, 10L, 5L)))
+    assert(r.getLong(4) == 3000000L)
+    assert(r.getLong(5) == 2000000L)
+    assert(r.getLong(6) == 250000L)
+    // b = 0 (every exposed hit): OR degenerates, RR and RD survive
+    val noMiss = df("ex BOOLEAN, oc BOOLEAN",
+      Seq.fill(4)(Row(true, true)) ++ Seq.fill(2)(Row(false, true)) ++
+        Seq.fill(2)(Row(false, false)))
+    val nm = RankStats.twoByTwo(noMiss, col("ex"), col("oc")).head()
+    assert(nm.isNullAt(4))
+    assert(nm.getLong(5) == 2000000L) // (4/4)/(2/4)
+    assert(nm.getLong(6) == 500000L)
+  }
+
   test("fleissKappa: hand values — disagreement below chance, perfect split, degenerate") {
     // S1 = (x,x,x), S2 = (x,x,y): T=6, A=9+5=14, cats x=5,y=1 → C=26;
     // P̄ = 8/12 = 666,666; P̄e = 26/36 = 722,222;
