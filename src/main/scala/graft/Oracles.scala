@@ -8042,4 +8042,48 @@ object Oracles {
       |              AS BIGINT)
       |  END AS v2_ppm
       |FROM m, na, nb""".stripMargin
+
+  /** q360: interarrival burstiness — millisecond gaps by lag per type,
+    * CV² as one HUGEINT rational in ppm.
+    */
+  val burstiness: String =
+    """WITH g AS (
+      |  SELECT event_type AS key,
+      |    epoch_us(ts) // 1000
+      |      - lag(epoch_us(ts) // 1000) OVER (PARTITION BY event_type
+      |          ORDER BY epoch_us(ts) // 1000) AS d
+      |  FROM events),
+      |m AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |        CAST(SUM(d) AS BIGINT) AS s, SUM(d::HUGEINT * d) AS s2
+      |      FROM g WHERE d IS NOT NULL GROUP BY 1)
+      |SELECT key, n_gaps,
+      |  CASE WHEN n_gaps = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(s // n_gaps AS BIGINT) END AS mean_gap_ms,
+      |  CASE WHEN n_gaps < 2 OR s = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST((n_gaps * s2 - s::HUGEINT * s) * 1000000
+      |              // (s::HUGEINT * s) AS BIGINT)
+      |  END AS cv2_ppm
+      |FROM m""".stripMargin
+
+  /** q361: hourly peak-to-mean per type over the gap-filled grid —
+    * zero-hours count toward the mean, peak·H·10⁶ // total.
+    */
+  val peakToMean: String =
+    """WITH c AS (
+      |  SELECT event_type AS key, date_trunc('hour', ts) AS hour,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM c),
+      |hrs AS (SELECT unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour FROM b),
+      |keys AS (SELECT DISTINCT key FROM c),
+      |grid AS (
+      |  SELECT keys.key, hrs.hour, COALESCE(c.n, 0) AS n
+      |  FROM keys CROSS JOIN hrs
+      |  LEFT JOIN c ON c.key = keys.key AND c.hour = hrs.hour)
+      |SELECT key, CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |  CAST(MAX(n) AS BIGINT) AS peak, CAST(SUM(n) AS BIGINT) AS total,
+      |  CASE WHEN SUM(n) = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(MAX(n)::HUGEINT * COUNT(*) * 1000000 // SUM(n) AS BIGINT)
+      |  END AS peak_to_mean_ppm
+      |FROM grid GROUP BY 1""".stripMargin
 }

@@ -1542,7 +1542,17 @@ object Plans {
     "q359_cramers_v" ->
       """Cramér's V²: the q316 contingency plan verbatim (one aggregate,
         |categories² grid) plus one scalar rational — effect size costs
-        |nothing over the test statistic.""".stripMargin)
+        |nothing over the test statistic.""".stripMargin,
+    "q360_burstiness" ->
+      """Burstiness: one per-key lag window over the fact scan (the q318
+        |interarrival posture — key-partitioned, never global) feeding a
+        |map-combined 3-moment aggregate; output is keys-sized. The
+        |millisecond gap contract is what keeps n·Σd² − S² inside
+        |DECIMAL(38,0) at 10⁹ gaps per key.""".stripMargin,
+    "q361_peak_to_mean" ->
+      """Peak-to-mean: the q73 gap-filled grid (two tiny broadcast
+        |aggregates + one left join) collapsed per key — zero-hours in
+        |the mean are the point. Scan-bound.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

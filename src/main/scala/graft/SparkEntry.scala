@@ -3709,7 +3709,17 @@ object SparkEntry {
         Tables.events(s, d).select(col("event_type"),
           expr("CAST((unix_micros(ts) div 86400000000 + 3) % 7 AS STRING)")
             .as("dow")),
-        "event_type", "dow"))
+        "event_type", "dow")),
+
+    // interarrival burstiness per event type: CV² of consecutive-event
+    // gaps in exact ppm — Poisson-like ≈ 1e6, clocklike ≈ 0, bursty ≫ 1e6
+    "q360_burstiness" -> ((s, d) =>
+      graft.ext.TimeSeries.burstiness(Tables.events(s, d))),
+
+    // hourly peak-to-mean load factor per event type over the gap-filled
+    // grid — the provisioning headroom ratio
+    "q361_peak_to_mean" -> ((s, d) =>
+      graft.ext.TimeSeries.peakToMean(Tables.events(s, d)))
   )
 
   /** The paired ranking relation shared by q346: each panel query's exact
@@ -4186,6 +4196,8 @@ object SparkEntry {
     "q356_runs_test" -> Oracles.runsTest,
     "q357_runs_test_stream" -> Oracles.runsTest,
     "q358_weekend_effect" -> Oracles.weekendEffect,
-    "q359_cramers_v" -> Oracles.cramersV
+    "q359_cramers_v" -> Oracles.cramersV,
+    "q360_burstiness" -> Oracles.burstiness,
+    "q361_peak_to_mean" -> Oracles.peakToMean
   )
 }

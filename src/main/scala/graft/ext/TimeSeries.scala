@@ -1045,6 +1045,60 @@ object TimeSeries {
           " * abs(num) div den_b AS BIGINT) END").as("xcf2_ppm"))
   }
 
+  /** Interarrival burstiness per key — the squared coefficient of
+    * variation CV² = Var(d)/E[d]² of consecutive-event gaps, the
+    * standard "is this stream Poisson-like (CV² ≈ 1), clocklike (≈ 0)
+    * or bursty (≫ 1)" readout behind capacity planning and bot
+    * screening. EXACT: gaps in integer MILLISECONDS (the resolution is
+    * part of the contract — the ms envelope keeps n·Σd² − S² within
+    * DECIMAL(38,0) to a billion gaps per key, where microseconds would
+    * overflow at ~10⁷), CV² as the one integer rational
+    * (n·Σd² − S²)·10⁶ div S²; keys with < 2 gaps or an all-zero span →
+    * NULL. Duplicate timestamps contribute zero gaps regardless of
+    * intra-tie order, so the lag window is layout-invariant.
+    *
+    * Scale shape: one per-key window over the fact scan (the q318
+    * interarrival posture) feeding a 3-moment map-combined aggregate;
+    * output is keys-sized.
+    */
+  def burstiness(events: DataFrame, tsCol: String = "ts",
+                 keyCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events
+      .select(col(keyCol).as("key"),
+        expr(s"unix_micros($tsCol) div 1000").as("tms"))
+      .withColumn("d", col("tms") -
+        lag(col("tms"), 1).over(
+          Window.partitionBy("key").orderBy(col("tms"))))
+      .filter(col("d").isNotNull)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_gaps"), sum("d").as("s"),
+        expr("sum(CAST(d AS DECIMAL(38,0)) * d)").as("s2"))
+      .select(col("key"), col("n_gaps"),
+        expr("CASE WHEN n_gaps = 0 THEN NULL" +
+          " ELSE s div n_gaps END").as("mean_gap_ms"),
+        expr("CASE WHEN n_gaps < 2 OR s = 0 THEN NULL ELSE" +
+          " CAST((n_gaps * s2 - CAST(s AS DECIMAL(38,0)) * s) * 1000000" +
+          " div (CAST(s AS DECIMAL(38,0)) * s) AS BIGINT) END").as("cv2_ppm"))
+  }
+
+  /** Hourly peak-to-mean load factor per key over the gap-filled grid —
+    * "how much headroom does the peak hour demand over steady state",
+    * the provisioning ratio: peak·H·10⁶ div total (zero-hours count
+    * toward the mean — that is the point of the gap fill). One grid
+    * aggregate per key.
+    */
+  def peakToMean(events: DataFrame, tsCol: String = "ts",
+                 keyCol: String = "event_type"): DataFrame =
+    gapFillHourly(events, tsCol, keyCol)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_hours"), max("n_events").as("peak"),
+        sum("n_events").as("total"))
+      .select(col("key"), col("n_hours"), col("peak"), col("total"),
+        expr("CASE WHEN total = 0 THEN NULL ELSE" +
+          " CAST(CAST(peak AS DECIMAL(38,0)) * n_hours * 1000000" +
+          " div total AS BIGINT) END").as("peak_to_mean_ppm"))
+
   /** Wald–Wolfowitz runs test (Wald & Wolfowitz 1940, public
     * literature) on the hourly series — "is the traffic sequence RANDOM
     * around its median, or does it clump/alternate": hours dichotomize

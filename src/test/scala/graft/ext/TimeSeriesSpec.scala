@@ -298,6 +298,43 @@ class TimeSeriesSpec extends SparkSpec {
     assert(batch == twin)
   }
 
+  test("burstiness: clocklike reads 0, hand CV², singleton/degenerate NULL") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-09-01T00:00:00Z").getEpochSecond
+    def ev(rows: Seq[(String, Long)]) = rows.map { case (k, ms) =>
+      (k, new java.sql.Timestamp(t0 * 1000L + ms))
+    }.toDF("event_type", "ts")
+    // a: gaps [1000, 1000, 1000] ms → CV² = 0
+    // b: gaps [1000, 3000] ms: n=2, S=4000, Σd² = 10e6 →
+    //    (2·10e6 − 16e6)·1e6/16e6 = 250000
+    // c: a single event → no gaps → no row survives the lag filter
+    val out = TimeSeries.burstiness(ev(Seq(
+      ("a", 0L), ("a", 1000L), ("a", 2000L), ("a", 3000L),
+      ("b", 0L), ("b", 1000L), ("b", 4000L),
+      ("c", 500L)))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out("a") == ((3L, 0L)))
+    assert(out("b") == ((2L, 250000L)))
+    assert(!out.contains("c"))
+  }
+
+  test("peakToMean: gap-filled zero hours count toward the mean") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-09-02T00:00:00Z").getEpochSecond
+    // key a: hours 0,1,2 with counts [3,0,1] on the global span (hour 2
+    // comes from key b) → H = 3, peak 3, total 4 → 3·3·1e6/4 = 2,250,000
+    val ev = (Seq.fill(3)(("a", 0)) ++ Seq(("a", 2)) ++ Seq(("b", 2))).zipWithIndex
+      .map { case ((k, h), i) =>
+        (k, new java.sql.Timestamp((t0 + h * 3600L + i) * 1000L))
+      }.toDF("event_type", "ts")
+    val out = TimeSeries.peakToMean(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out("a") == ((3L, 3L, 4L, 2250000L)))
+    assert(out("b") == ((3L, 1L, 1L, 3000000L)))
+  }
+
   test("runsTest: alternating, clumped, monotone, and constant hand censuses") {
     import spark.implicits._
     val t0 = java.time.Instant.parse("2024-08-01T00:00:00Z").getEpochSecond
