@@ -222,6 +222,18 @@ object Quality {
     * exactly 10⁶), and the signed deviation. Digits absent from the
     * data still emit (a missing digit is the loudest signal).
     *
+    * INPUT CONTRACT (mirrors the burstiness ms-resolution contract):
+    * `valueCol` must be in INTEGER UNITS — counts, cents, micro-units —
+    * because the column is floor-cast to BIGINT before the leading digit
+    * is read. Consequences a caller must own: amounts in (0,1) truncate
+    * to 0 and are EXCLUDED, and a fractional amount is bucketed by the
+    * leading digit of its integer part (12.9 → digit 1), which is only
+    * the leading SIGNIFICANT digit when the value is ≥ 1 and pre-scaled.
+    * Pre-multiply sub-unit amounts into their smallest integer unit
+    * (dollars → cents, seconds → ms) before calling; the integer path is
+    * what keeps engine and oracle bit-identical — float→string leading
+    * digits diverge across engines on scientific-notation thresholds.
+    *
     * Scale shape: one map-combined 9-bucket aggregate over the fact
     * scan; the digit grid is constant-sized.
     */

@@ -208,7 +208,10 @@ object RankStats {
     *
     * Envelope: R2_g ≤ 2n·n_g so R2_g² ≤ 4n⁴ — DECIMAL(38,0) holds to
     * n ≈ 2·10⁹ rows; the ⌊q⌋·10⁶ + ⌊r·10⁶/d⌋ expansion keeps the
-    * ppm-scaled term inside the envelope at that n.
+    * ppm-scaled term inside the envelope at that n, and the main
+    * quotient ⌊q⌋ (≤ n²·n_g) stays in DECIMAL end-to-end — it never
+    * passes through a BIGINT, so the binding constraint really is the
+    * R2_g² square, not a hidden Long.Max at n ≈ 3·10⁶.
     *
     * Scale shape: facts reduce to the distinct-(group, value) keyspace
     * in one map-combined aggregate; the midrank window sorts distinct
@@ -234,10 +237,15 @@ object RankStats {
         expr("sum(CAST(cnt AS DECIMAL(38,0)) * r2)").as("rr2"))
       .select(col("n_g"),
         // exact ⌊R2²·10⁶/(4n_g)⌋ without the 10⁶-widened square:
-        // ⌊q⌋·10⁶ + ⌊(R2² mod 4n_g)·10⁶ / 4n_g⌋ — the quotient is
-        // re-widened to DECIMAL(38,0) before the ×10⁶ because Spark's
-        // div returns BIGINT even on DECIMAL operands
-        expr("CAST(rr2 * rr2 div (4 * n_g) AS DECIMAL(38,0)) * 1000000" +
+        // ⌊q⌋·10⁶ + ⌊(R2² mod 4n_g)·10⁶ / 4n_g⌋. The main quotient ⌊q⌋
+        // is bounded by n²·n_g (past Long.Max at n ≈ 3·10⁶), so it must
+        // NOT ride Spark's `div` (IntegralDivide returns BIGINT): compute
+        // it as an exact DECIMAL division of the remainder-subtracted
+        // numerator — (R2² − R2² mod 4n_g) is divisible by 4n_g, so the
+        // `/` is exact and the DECIMAL(38,0) cast loses nothing. Only the
+        // remainder term (< 10⁶) uses BIGINT `div`.
+        expr("CAST((rr2 * rr2 - rr2 * rr2 % (4 * n_g)) / (4 * n_g)" +
+          " AS DECIMAL(38,0)) * 1000000" +
           " + (rr2 * rr2 % (4 * n_g)) * 1000000 div (4 * n_g)").as("a_g"))
     val ties = byValue.agg(coalesce(sum(expr(
       "CAST(m AS DECIMAL(38,0)) * (m - 1) * (m + 1)")), lit(0)).as("tie"))

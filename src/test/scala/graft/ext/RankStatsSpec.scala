@@ -126,6 +126,31 @@ class RankStatsSpec extends SparkSpec {
       .isNullAt(3))
   }
 
+  test("kruskalWallis: 6M-row quotient past Long.Max stays DECIMAL-exact (r9 ADVICE)") {
+    // n = 6e6 distinct values, two alternating groups: R2_g ≈ 1.8e13, so
+    // the per-group quotient R2_g²/(4n_g) ≈ 2.7e19 EXCEEDS Long.Max —
+    // the pre-fix BIGINT `div` wrapped here. Mirror the documented
+    // formula in BigInt and require bit-identical h_ppm/h_tie_ppm.
+    val n = 6000000L
+    val d1 = spark.range(n).selectExpr("id % 2 AS g", "id AS v")
+    val r = RankStats.kruskalWallis(d1, col("g"), col("v")).head()
+    // exact mirror: r2(id) = 2·id + 2 (all values distinct, m = 1)
+    val (bn, b1e6) = (BigInt(n), BigInt(1000000))
+    def r2sum(parity: Long): BigInt = {
+      // Σ_{k=0}^{n/2-1} (2·(2k+parity) + 2) = 4·Σk + (2·parity+2)·n/2
+      val half = bn / 2
+      BigInt(4) * (half * (half - 1) / 2) + BigInt(2 * parity + 2) * half
+    }
+    val a = Seq(0L, 1L).map { p =>
+      val rr2 = r2sum(p); val d4 = BigInt(4) * (bn / 2)
+      (rr2 * rr2 / d4) * b1e6 + (rr2 * rr2 % d4) * b1e6 / d4
+    }.sum
+    val h = BigInt(12) * a / (bn * (bn + 1)) - BigInt(3) * (bn + 1) * b1e6
+    assert(a / b1e6 > BigInt(Long.MaxValue), "construction must exceed Long.Max")
+    assert(BigInt(r.getLong(2)) == h)
+    assert(BigInt(r.getLong(3)) == h) // no ties → correction is identity
+  }
+
   test("kruskalWallis: layout-invariant under repartition") {
     val rows = (1L to 90L).map(i => Row(s"g${i % 3}", (i * 37) % 11))
     val d1 = df("g STRING, v BIGINT", rows)

@@ -83,6 +83,26 @@ echo "oracles declared: $n_reg, results dumped: $n_dump"
 [ "$n_reg" -gt 0 ] && [ "$n_dump" -ge "$n_reg" ] \
   || { echo "STALE/PARTIAL registry dump"; fail=1; }
 
+echo "=== two-scale coverage vs registry ==="
+# round-9 verdict gate hole: queries registered after the last full gate
+# run ship with a TWOSCALE artifact that silently trails the registry
+# (q360/q361 precedent). Red when the artifact ABOUT TO BE COMMITTED —
+# the fresh one in full mode, the previously-committed one in SKIP_SF01
+# mode — covers fewer queries at ANY scale than the registry declares.
+python3 - "$n_reg" <<'EOF' || { echo "TWOSCALE artifact trails registry"; fail=1; }
+import json, sys
+n_reg = int(sys.argv[1])
+ts = json.load(open("CORRECTNESS_TWOSCALE.json"))
+ok = True
+for sf, rep in ts.items():
+    qs = rep["queries"] if isinstance(rep, dict) and "queries" in rep else rep
+    n = len(qs)
+    print(f"{sf}: {n} queries in artifact vs {n_reg} registered")
+    if n < n_reg:
+        ok = False
+sys.exit(0 if ok and len(ts) == 2 else 1)
+EOF
+
 echo "=== codegen bailouts ==="
 # the q296 class of failure: a plan that prints WholeStageCodegen but
 # EXECUTES interpreted (Janino failure / hugeMethodLimit / expression
