@@ -5901,19 +5901,43 @@ object Oracles {
        |JOIN documents d ON d.doc_id = s.doc_id
        |WHERE s.quality >= 0.3""".stripMargin
 
-  /** q244: PNG probe. Mirrors Multimodal.probePng analytically (16×16
-    * truecolor, one 64-byte IDAT whose byte k is `(id·17 + k·11) mod
-    * 251`) — the oracle never parses a byte, so a hash match proves the
-    * Spark side's signature check, IHDR extraction, CRC32 verification,
-    * and chunk walk.
+  /** q244: PNG probe — now a FULL-DECODE check. Mirrors
+    * Multimodal.probePng analytically: the engine filter-encodes,
+    * deflates, re-inflates and unfilters a 16×16 truecolor PNG whose
+    * RECONSTRUCTED pixel byte k is `(id·17 + k·11) mod 251`; the oracle
+    * computes the same 768 pixel bytes in closed form without touching
+    * zlib. A hash match proves signature/IHDR/CRC validation, the
+    * two-chunk IDAT concatenation, the inflate, and all five scanline
+    * filter reconstructions reproduce the original pixels exactly.
     */
   val pngProbe: String =
     """SELECT doc_id AS media_id, 'png' AS fmt,
       |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
       |  CAST(0 AS INTEGER) AS sample_rate, CAST(0 AS INTEGER) AS channels,
-      |  CAST(64 AS INTEGER) AS n_content_bytes,
-      |  CAST(list_sum(list_transform(range(0, 64),
+      |  CAST(768 AS INTEGER) AS n_content_bytes,
+      |  CAST(list_sum(list_transform(range(0, 768),
       |    k -> (doc_id * 17 + k * 11) % 251)) AS BIGINT) AS content_sum
+      |FROM documents""".stripMargin
+
+  /** q365: decoded-pixel statistics — closed-form total / position-
+    * weighted / per-channel sums over the same 768 reconstructed pixel
+    * bytes (px_wsum is order-sensitive, so a scanline or filter mix-up
+    * that preserves the byte multiset still mismatches).
+    */
+  val pngPixelStats: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+      |  CAST(768 AS INTEGER) AS n_px_bytes,
+      |  CAST(list_sum(list_transform(range(0, 768),
+      |    k -> (doc_id * 17 + k * 11) % 251)) AS BIGINT) AS px_sum,
+      |  CAST(list_sum(list_transform(range(0, 768),
+      |    k -> k * ((doc_id * 17 + k * 11) % 251))) AS BIGINT) AS px_wsum,
+      |  CAST(list_sum(list_transform(list_filter(range(0, 768), k -> k % 3 = 0),
+      |    k -> (doc_id * 17 + k * 11) % 251)) AS BIGINT) AS r_sum,
+      |  CAST(list_sum(list_transform(list_filter(range(0, 768), k -> k % 3 = 1),
+      |    k -> (doc_id * 17 + k * 11) % 251)) AS BIGINT) AS g_sum,
+      |  CAST(list_sum(list_transform(list_filter(range(0, 768), k -> k % 3 = 2),
+      |    k -> (doc_id * 17 + k * 11) % 251)) AS BIGINT) AS b_sum
       |FROM documents""".stripMargin
 
   /** q245: per-eval-doc n-gram containment (q54's dual). Same gram
@@ -8086,4 +8110,91 @@ object Oracles {
       |       ELSE CAST(MAX(n)::HUGEINT * COUNT(*) * 1000000 // SUM(n) AS BIGINT)
       |  END AS peak_to_mean_ppm
       |FROM grid GROUP BY 1""".stripMargin
+
+  /** Shared CTE block for the q362–q364 exact-substring oracles: every
+    * position's `minLen`-token window MATERIALIZED as a string and grouped
+    * directly — the O(n·minLen) spelling DuckDB can afford at oracle
+    * scale, which the engine's representative-doubling
+    * ([[graft.ext.SuffixDedup]]) must agree with exactly: two windows
+    * compare equal as space-joined strings iff they are token-for-token
+    * equal (tokens are whitespace-free and non-empty by construction).
+    */
+  private def substrCtes(minLen: Int): String =
+    s"""docs AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
+       |  FROM documents
+       |), base AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws FROM docs
+       |), wins AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+       |    array_to_string(list_slice(ws, CAST(p AS INTEGER), CAST(p AS INTEGER) + ${minLen - 1}), ' ') AS win
+       |  FROM (
+       |    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${minLen - 1})) AS p
+       |    FROM base WHERE n_tokens >= $minLen)
+       |), sup AS (
+       |  SELECT win, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+       |  FROM wins GROUP BY 1
+       |), pos AS (
+       |  SELECT w.doc_id, w.p FROM wins w
+       |  JOIN sup s ON s.win = w.win AND s.n_occ >= 2
+       |)""".stripMargin
+
+  /** q362: maximal duplicated spans — gaps-and-islands over each doc's
+    * duplicated window starts; a span of consecutive starts [a, b] covers
+    * tokens [a, b + minLen − 1].
+    */
+  def substrDupSpans(minLen: Int): String =
+    s"""WITH ${substrCtes(minLen)}, isl AS (
+       |  SELECT doc_id, p,
+       |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS g
+       |  FROM pos
+       |)
+       |SELECT doc_id, CAST(MIN(p) AS BIGINT) AS start,
+       |  CAST(MAX(p) - MIN(p) + $minLen AS BIGINT) AS span_tokens
+       |FROM isl GROUP BY doc_id, g""".stripMargin
+
+  /** q363: per-doc duplication rollup over every doc — span count,
+    * duplicated-start count, DISTINCT covered token positions, ppm.
+    */
+  def substrDocStats(minLen: Int): String =
+    s"""WITH ${substrCtes(minLen)}, isl AS (
+       |  SELECT doc_id, p,
+       |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS g
+       |  FROM pos
+       |), sp AS (
+       |  SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_spans,
+       |    CAST(COUNT(*) AS BIGINT) AS dup_starts
+       |  FROM isl GROUP BY 1
+       |), cov AS (
+       |  SELECT doc_id, CAST(COUNT(DISTINCT cp) AS BIGINT) AS covered_tokens
+       |  FROM (SELECT doc_id, unnest(generate_series(p, p + ${minLen - 1})) AS cp
+       |        FROM pos) GROUP BY 1
+       |)
+       |SELECT b.doc_id, b.n_tokens,
+       |  COALESCE(sp.n_spans, 0) AS n_spans,
+       |  COALESCE(sp.dup_starts, 0) AS dup_starts,
+       |  COALESCE(cov.covered_tokens, 0) AS covered_tokens,
+       |  CAST(COALESCE(cov.covered_tokens, 0) * 1000000
+       |    // (CASE WHEN b.n_tokens = 0 THEN 1 ELSE b.n_tokens END) AS BIGINT) AS dup_ppm
+       |FROM base b
+       |LEFT JOIN sp USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin
+
+  /** q364: the topK most-repeated exact windows; representative =
+    * minimal (doc, start) of each class; order by support desc then text
+    * (text is unique per class — a total order).
+    */
+  def substrTopRepeats(minLen: Int, topK: Int): String =
+    s"""WITH ${substrCtes(minLen)}, rep AS (
+       |  SELECT win, doc_id AS rep_doc, p AS rep_start FROM (
+       |    SELECT win, doc_id, p,
+       |      ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, p) AS rn
+       |    FROM wins) WHERE rn = 1
+       |)
+       |SELECT r.rep_doc, r.rep_start, s.win AS repeat_text,
+       |  CAST(s.n_occ AS BIGINT) AS n_occ, CAST(s.n_docs AS BIGINT) AS n_docs
+       |FROM sup s JOIN rep r USING (win)
+       |WHERE s.n_occ >= 2
+       |ORDER BY s.n_occ DESC, s.win
+       |LIMIT $topK""".stripMargin
 }

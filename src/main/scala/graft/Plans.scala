@@ -1552,7 +1552,31 @@ object Plans {
     "q361_peak_to_mean" ->
       """Peak-to-mean: the q73 gap-filled grid (two tiny broadcast
         |aggregates + one left join) collapsed per key — zero-hours in
-        |the mean are the point. Scan-bound.""".stripMargin)
+        |the mean are the point. Scan-bound.""".stripMargin,
+    "q362_substr_dup_spans" ->
+      """Exact substring dedup: ⌈log₂ L⌉ representative-doubling rounds,
+        |each two equi-shuffles + one map-combined min() on 4-BIGINT
+        |position state, localCheckpoint per round (the q55 CC lineage
+        |discipline) — never a global suffix sort, never all-pairs, no
+        |hash collisions to adjudicate. Islands window is partitioned BY
+        |DOCUMENT. Skewed frequent-token classes split combinatorially
+        |from depth 2 (pair keys).""".stripMargin,
+    "q363_substr_doc_stats" ->
+      """Same class relation as q362; the dup-position stream is
+        |checkpoint-pinned and consumed twice (spans + distinct-coverage
+        |explode) — one derivation, two keyspace-bounded aggregates,
+        |left-joined onto the full doc scan.""".stripMargin,
+    "q364_substr_top_repeats" ->
+      """Class-support aggregate over the q362 relation; window TEXT is
+        |materialized only for the ≥2-support survivors by slicing the
+        |representative document (text never rides the doubling rounds);
+        |TakeOrdered(50) — no global sort materializes.""".stripMargin,
+    "q365_png_pixels" ->
+      """Real PNG decode: one narrow mapPartitions — synth, two-chunk
+        |IDAT concat, JDK Inflater, 5-filter scanline reconstruction —
+        |payloads never leave the task; output is 9 scalars/row. The
+        |position-weighted sum pins scanline order in the exact-hash
+        |oracle.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -3719,7 +3719,32 @@ object SparkEntry {
     // hourly peak-to-mean load factor per event type over the gap-filled
     // grid — the provisioning headroom ratio
     "q361_peak_to_mean" -> ((s, d) =>
-      graft.ext.TimeSeries.peakToMean(Tables.events(s, d)))
+      graft.ext.TimeSeries.peakToMean(Tables.events(s, d))),
+
+    // EXACT substring dedup (Lee et al. 2022 ExactSubstr) via distributed
+    // suffix indexing — representative prefix-doubling, no hashing, no
+    // global sort: every maximal ≥8-token span occurring ≥2× in the corpus
+    "q362_substr_dup_spans" -> ((s, d) =>
+      graft.ext.SuffixDedup.dupSpans(Tables.documents(s, d), minLen = 8)),
+
+    // per-doc exact-duplication rollup: span count, dup window starts,
+    // distinct covered positions, coverage ppm — the trim-vs-drop signal
+    "q363_substr_doc_stats" -> ((s, d) =>
+      graft.ext.SuffixDedup.dupSpanDocStats(Tables.documents(s, d), minLen = 8)),
+
+    // the 50 most-repeated exact 8-token windows with their text and
+    // support — the "what exactly is boilerplate" readout
+    "q364_substr_top_repeats" -> ((s, d) =>
+      graft.ext.SuffixDedup.topRepeats(Tables.documents(s, d), minLen = 8,
+        topK = 50)),
+
+    // REAL PNG pixel decode (JDK Inflater + full filter reconstruction):
+    // per-image total / position-weighted / per-channel pixel sums —
+    // order-sensitive, so the exact-hash oracle pins scanline order too
+    "q365_png_pixels" -> { (s, d) =>
+      implicit val sp: SparkSession = s
+      graft.ext.Multimodal.pngPixelStats(Tables.documents(s, d))
+    }
   )
 
   /** The paired ranking relation shared by q346: each panel query's exact
@@ -4198,6 +4223,10 @@ object SparkEntry {
     "q358_weekend_effect" -> Oracles.weekendEffect,
     "q359_cramers_v" -> Oracles.cramersV,
     "q360_burstiness" -> Oracles.burstiness,
-    "q361_peak_to_mean" -> Oracles.peakToMean
+    "q361_peak_to_mean" -> Oracles.peakToMean,
+    "q362_substr_dup_spans" -> Oracles.substrDupSpans(8),
+    "q363_substr_doc_stats" -> Oracles.substrDocStats(8),
+    "q364_substr_top_repeats" -> Oracles.substrTopRepeats(8, 50),
+    "q365_png_pixels" -> Oracles.pngPixelStats
   )
 }

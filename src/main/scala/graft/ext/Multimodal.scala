@@ -68,12 +68,14 @@ object Multimodal {
     * IHDR). Genuine format logic — magic validation, endian-correct field
     * extraction, chunk walking, bounds checks, checksum verification —
     * with features computed over the CONTENT bytes the header locates
-    * (the pixel array / the data chunk / the first IDAT span), not the
-    * whole file. Anything that fails validation falls back to
-    * [[StubCodec]]'s whole-payload features, the production posture for
-    * an unknown container. (Inflating IDAT's zlib stream is the decoder-
-    * library boundary, same stance as the decode stub — the parser stops
-    * at locating and checksumming the compressed span.)
+    * (the pixel array / the data chunk), not the whole file. PNG goes
+    * further: [[decodePng]] is a FULL pure-JVM decode — zlib inflate via
+    * the JDK's `Inflater` plus complete scanline filter reconstruction —
+    * so PNG features are computed over REAL reconstructed pixels.
+    * Anything that fails validation falls back to [[StubCodec]]'s
+    * whole-payload features, the production posture for an unknown
+    * container; a PNG whose header parses but whose pixels don't decode
+    * (palette, 16-bit, interlaced) gets the located-span features.
     *
     * frames: BMP/PNG → 1 (stills); WAV → ceil(samples / frameEvery) where
     * a sample is one blockAlign-sized PCM frame — frameEvery plays the
@@ -193,27 +195,166 @@ object Multimodal {
       } else None
     }
 
+    final case class PngImage(width: Int, height: Int, bpp: Int,
+                              pixels: Array[Byte])
+
+    /** FULL PNG decode in pure JVM — the "decoder-library boundary"
+      * excuse does not hold for PNG because zlib ships in the JDK
+      * (`java.util.zip.Inflater`): signature + IHDR validation (CRC32-
+      * verified), whole-chunk walk with per-IDAT CRC verification, IDAT
+      * concatenation (a spec requirement — the zlib stream may span any
+      * number of chunks), inflate to EXACTLY height·(1+width·bpp) raw
+      * bytes, and per-scanline filter reconstruction for the whole
+      * non-interlaced 8-bit repertoire (None / Sub / Up / Average /
+      * Paeth; color types gray, gray+alpha, truecolor, RGBA). Returns
+      * the reconstructed pixel bytes (filter bytes stripped) or None for
+      * anything malformed / unsupported (palette, 16-bit, interlaced,
+      * truncated or over-long zlib stream, CRC mismatch, dimensions past
+      * the 1 GiB raw-size guard) — the caller falls back to
+      * [[StubCodec]], the unknown-container posture.
+      */
+    private[ext] def decodePng(b: Array[Byte]): Option[PngImage] = {
+      val sigOk = b.length >= 45 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a &&
+        b(6) == 0x1a && b(7) == 0x0a && be32(b, 8) == 13L &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'
+      if (!sigOk) None
+      else {
+        val ihdrCrc = new java.util.zip.CRC32()
+        ihdrCrc.update(b, 12, 17)
+        val w = be32(b, 16); val h = be32(b, 20)
+        val bitDepth = b(24) & 0xff; val colorType = b(25) & 0xff
+        val bpp = colorType match {
+          case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => -1
+        }
+        val rawLen = if (w <= 0 || h <= 0) -1L else h * (1L + w * bpp)
+        if (ihdrCrc.getValue != be32(b, 29) || bpp < 0 || bitDepth != 8 ||
+            (b(26) & 0xff) != 0 || (b(27) & 0xff) != 0 ||
+            (b(28) & 0xff) != 0 || rawLen <= 0 || rawLen > (1L << 30)) None
+        else {
+          // chunk walk: concatenate every CRC-valid IDAT. Untrusted
+          // lengths stay Long (same posture as the WAV walk).
+          val idat = new java.io.ByteArrayOutputStream()
+          var off = 33L
+          var bad = false; var sawEnd = false
+          while (!bad && !sawEnd && off + 8 <= b.length) {
+            val io = off.toInt
+            val len = be32(b, io)
+            if (off + 12 + len > b.length) bad = true // truncated chunk
+            else {
+              if (b(io + 4) == 'I' && b(io + 5) == 'D' &&
+                  b(io + 6) == 'A' && b(io + 7) == 'T') {
+                val c = new java.util.zip.CRC32()
+                c.update(b, io + 4, 4 + len.toInt)
+                if (c.getValue != be32(b, io + 8 + len.toInt)) bad = true
+                else idat.write(b, io + 8, len.toInt)
+              } else if (b(io + 4) == 'I' && b(io + 5) == 'E' &&
+                         b(io + 6) == 'N' && b(io + 7) == 'D') sawEnd = true
+              off += 12 + len
+            }
+          }
+          if (bad || idat.size() == 0) None
+          else {
+            // inflate to exactly rawLen bytes — shorter or longer is
+            // malformed (the declared dims fix the stream size)
+            val raw = new Array[Byte](rawLen.toInt)
+            val inf = new java.util.zip.Inflater()
+            inf.setInput(idat.toByteArray)
+            var got = 0; var stalled = false
+            try {
+              while (got < raw.length && !inf.finished() && !stalled) {
+                val m = inf.inflate(raw, got, raw.length - got)
+                if (m == 0 && (inf.needsInput() || inf.needsDictionary()))
+                  stalled = true
+                got += m
+              }
+              if (!stalled && got == raw.length && !inf.finished() &&
+                  inf.inflate(new Array[Byte](1)) > 0) stalled = true // over-long
+            } catch { case _: java.util.zip.DataFormatException => stalled = true }
+            finally inf.end()
+            if (stalled || got != raw.length) None
+            else {
+              // filter reconstruction, scanline by scanline
+              val wi = w.toInt; val hi = h.toInt
+              val stride = wi * bpp
+              val px = new Array[Byte](hi * stride)
+              var r = 0; var badFilter = false
+              while (!badFilter && r < hi) {
+                val f = raw(r * (1 + stride)) & 0xff
+                if (f > 4) badFilter = true
+                else {
+                  var i = 0
+                  while (i < stride) {
+                    val x = raw(r * (1 + stride) + 1 + i) & 0xff
+                    val a = if (i >= bpp) px(r * stride + i - bpp) & 0xff else 0
+                    val up = if (r > 0) px((r - 1) * stride + i) & 0xff else 0
+                    val c = if (r > 0 && i >= bpp) px((r - 1) * stride + i - bpp) & 0xff else 0
+                    val pred = f match {
+                      case 0 => 0
+                      case 1 => a
+                      case 2 => up
+                      case 3 => (a + up) / 2
+                      case 4 =>
+                        val p = a + up - c
+                        val pa = math.abs(p - a); val pb = math.abs(p - up)
+                        val pc = math.abs(p - c)
+                        if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+                    }
+                    px(r * stride + i) = ((x + pred) & 0xff).toByte
+                    i += 1
+                  }
+                  r += 1
+                }
+              }
+              if (badFilter) None else Some(PngImage(wi, hi, bpp, px))
+            }
+          }
+        }
+      }
+    }
+
     def decodeAndFeaturize(r: MediaRow, frameEvery: Int): MediaFeatures =
       probe(r.payload) match {
-        case Some(h) =>
-          val bytes = r.payload
-          var sum = 0L; var checksum = 1469598103934665603L
-          var i = h.contentOff
-          while (i < h.contentOff + h.contentLen) {
-            sum += bytes(i) & 0xff
-            checksum = (checksum ^ (bytes(i) & 0xff)) * 1099511628211L
-            i += 1
+        case Some(h) if h.fmt == "png" =>
+          // real decode first; header-span features only if the pixel
+          // decode fails (palette/16-bit/interlaced/foreign)
+          decodePng(r.payload) match {
+            case Some(img) =>
+              var sum = 0L; var checksum = 1469598103934665603L
+              var i = 0
+              while (i < img.pixels.length) {
+                sum += img.pixels(i) & 0xff
+                checksum = (checksum ^ (img.pixels(i) & 0xff)) * 1099511628211L
+                i += 1
+              }
+              MediaFeatures(r.media_id, "png", img.pixels.length, checksum,
+                if (img.pixels.isEmpty) 0.0
+                else sum.toDouble / img.pixels.length, 1)
+            case None => spanFeatures(r, h, frameEvery)
           }
-          val frames =
-            if (h.fmt != "wav") 1 // stills: bmp, png
-            else {
-              val samples = h.contentLen / h.blockAlign
-              if (frameEvery <= 0) 0 else (samples + frameEvery - 1) / frameEvery
-            }
-          MediaFeatures(r.media_id, h.fmt, h.contentLen, checksum,
-            if (h.contentLen == 0) 0.0 else sum.toDouble / h.contentLen, frames)
+        case Some(h) => spanFeatures(r, h, frameEvery)
         case None => StubCodec.decodeAndFeaturize(r, frameEvery)
       }
+
+    private def spanFeatures(r: MediaRow, h: ProbedHeader,
+                             frameEvery: Int): MediaFeatures = {
+      val bytes = r.payload
+      var sum = 0L; var checksum = 1469598103934665603L
+      var i = h.contentOff
+      while (i < h.contentOff + h.contentLen) {
+        sum += bytes(i) & 0xff
+        checksum = (checksum ^ (bytes(i) & 0xff)) * 1099511628211L
+        i += 1
+      }
+      val frames =
+        if (h.fmt != "wav") 1 // stills: bmp, undecodable png
+        else {
+          val samples = h.contentLen / h.blockAlign
+          if (frameEvery <= 0) 0 else (samples + frameEvery - 1) / frameEvery
+        }
+      MediaFeatures(r.media_id, h.fmt, h.contentLen, checksum,
+        if (h.contentLen == 0) 0.0 else sum.toDouble / h.contentLen, frames)
+    }
   }
 
   /** Per-partition decode + feature extraction. mapPartitions (not map) so
@@ -450,17 +591,69 @@ object Multimodal {
     }
   }
 
-  /** A REAL single-IDAT PNG: signature, CRC32-correct IHDR (16×16,
-    * 8-bit truecolor), one 64-byte IDAT whose bytes are the closed form
-    * `(id·17 + k·11) mod 251` (NOT a zlib stream — the parser stops at
-    * locating/checksumming the compressed span; inflating is the
-    * decoder-library boundary, and a closed-form span is what lets an
-    * external oracle verify the whole parse analytically), and IEND.
-    * All three chunk CRCs are genuine CRC32s.
+  /** The closed-form pixel byte grid behind [[synthPngPayload]]: byte k
+    * (row-major over w·h·bpp reconstructed scanline bytes) is
+    * `(id·17 + k·11) mod 251` — what an external oracle computes
+    * analytically, and what [[HeaderCodec.decodePng]] must reproduce
+    * through the full deflate→filter→inflate→unfilter round trip.
+    */
+  private[ext] def synthPngPixel(mediaId: Long, k: Int): Int =
+    ((mediaId * 17 + k * 11) % 251).toInt
+
+  /** A REAL decodable PNG: signature, CRC32-correct IHDR (16×16, 8-bit
+    * truecolor), a GENUINE zlib IDAT stream — scanlines are filtered with
+    * the full filter repertoire (row r uses filter r mod 5, so None / Sub
+    * / Up / Average / Paeth are ALL exercised) and deflated with the
+    * JDK's Deflater — split across TWO IDAT chunks (decoders must
+    * concatenate before inflating, per spec), and IEND. Every chunk CRC
+    * is a genuine CRC32. The reconstructed pixel bytes are the closed
+    * form [[synthPngPixel]], so the oracle never touches zlib: decode ∘
+    * encode = identity is exactly what the exact-hash check proves.
     */
   private[ext] def synthPngPayload(mediaId: Long): Array[Byte] = {
-    val idatLen = 64
-    val b = new Array[Byte](8 + 25 + (12 + idatLen) + 12)
+    val w = 16; val h = 16; val bpp = 3
+    val stride = w * bpp
+    val px = new Array[Int](h * stride)
+    var k = 0
+    while (k < px.length) { px(k) = synthPngPixel(mediaId, k); k += 1 }
+    // filter scanlines (the encode side of the PNG filter spec)
+    val raw = new Array[Byte](h * (1 + stride))
+    var r = 0
+    while (r < h) {
+      val f = r % 5
+      raw(r * (1 + stride)) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val x = px(r * stride + i)
+        val a = if (i >= bpp) px(r * stride + i - bpp) else 0
+        val b0 = if (r > 0) px((r - 1) * stride + i) else 0
+        val c = if (r > 0 && i >= bpp) px((r - 1) * stride + i - bpp) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b0
+          case 3 => (a + b0) / 2
+          case 4 =>
+            val p = a + b0 - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b0)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b0 else c
+        }
+        raw(r * (1 + stride) + 1 + i) = ((x - pred) & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    // deflate (deterministic for fixed input + default settings)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    var zlen = 0
+    while (!defl.finished()) zlen += defl.deflate(zbuf, zlen, zbuf.length - zlen)
+    defl.end()
+    // assemble: sig + IHDR + two IDATs (split mid-stream) + IEND
+    val n1 = zlen / 2; val n2 = zlen - n1
+    val b = new Array[Byte](8 + 25 + (12 + n1) + (12 + n2) + 12)
     def pbe32(o: Int, v: Long): Unit = {
       var i = 0
       while (i < 4) { b(o + i) = ((v >> (8 * (3 - i))) & 0xff).toByte; i += 1 }
@@ -477,43 +670,82 @@ object Multimodal {
     Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
       .zipWithIndex.foreach { case (v, i) => b(i) = v.toByte }
     pbe32(8, 13L); ptype(12, "IHDR")
-    pbe32(16, 16L); pbe32(20, 16L) // width, height
-    b(24) = 8; b(25) = 2           // bit depth, truecolor
+    pbe32(16, w.toLong); pbe32(20, h.toLong)
+    b(24) = 8; b(25) = 2            // bit depth, truecolor
     b(26) = 0; b(27) = 0; b(28) = 0 // compression, filter, interlace
     crcAt(29, 12, 17)
-    pbe32(33, idatLen.toLong); ptype(37, "IDAT")
-    var k = 0
-    while (k < idatLen) {
-      b(41 + k) = ((mediaId * 17 + k * 11) % 251).toByte
-      k += 1
-    }
-    crcAt(41 + idatLen, 37, 4 + idatLen)
-    pbe32(45 + idatLen, 0L); ptype(49 + idatLen, "IEND")
-    crcAt(53 + idatLen, 49 + idatLen, 4)
+    var o = 33
+    pbe32(o, n1.toLong); ptype(o + 4, "IDAT")
+    System.arraycopy(zbuf, 0, b, o + 8, n1)
+    crcAt(o + 8 + n1, o + 4, 4 + n1)
+    o += 12 + n1
+    pbe32(o, n2.toLong); ptype(o + 4, "IDAT")
+    System.arraycopy(zbuf, n1, b, o + 8, n2)
+    crcAt(o + 8 + n2, o + 4, 4 + n2)
+    o += 12 + n2
+    pbe32(o, 0L); ptype(o + 4, "IEND")
+    crcAt(o + 8, o + 4, 4)
     b
   }
 
-  /** The PNG face of [[probeMedia]] (q244): build a real PNG per doc,
-    * parse it back with [[HeaderCodec]], emit the decoded metadata and
-    * located-content checksum — the oracle recomputes every field from
-    * the closed-form corpus definition without parsing anything, so a
-    * hash match proves signature check, IHDR field extraction, CRC
-    * verification, and the chunk walk all at once. Narrow mapPartitions,
-    * payloads consumed in-task.
+  /** The PNG face of [[probeMedia]] (q244): build a real PNG per doc and
+    * FULLY DECODE it back with [[HeaderCodec.decodePng]] — inflate the
+    * two-chunk zlib stream, reconstruct every scanline through all five
+    * filters — emitting the decoded dimensions and PIXEL statistics. The
+    * oracle recomputes every field from the closed-form pixel definition
+    * ([[synthPngPixel]]) without touching zlib, so a hash match proves
+    * the encode(filter→deflate) → decode(inflate→unfilter) round trip is
+    * the identity on real pixel data. Narrow mapPartitions, payloads
+    * consumed in-task.
     */
   def probePng(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { id =>
         val p = synthPngPayload(id)
-        HeaderCodec.probe(p) match {
-          case Some(h) =>
+        HeaderCodec.decodePng(p) match {
+          case Some(img) =>
             var sum = 0L
-            var i = h.contentOff
-            while (i < h.contentOff + h.contentLen) { sum += p(i) & 0xff; i += 1 }
-            ProbedMedia(id, h.fmt, h.width, h.height, h.sampleRate,
-              h.channels, h.contentLen, sum)
+            var i = 0
+            while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
+            ProbedMedia(id, "png", img.width, img.height, 0, 0,
+              img.pixels.length, sum)
           case None => ProbedMedia(id, "unknown", 0, 0, 0, 0, p.length, 0L)
+        }
+      }
+    }.toDF()
+  }
+
+  final case class PngPixelStats(media_id: Long, width: Int, height: Int,
+                                 n_px_bytes: Int, px_sum: Long, px_wsum: Long,
+                                 r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** Decoded-pixel statistics per synthetic PNG (q365): total byte sum,
+    * the POSITION-WEIGHTED sum Σ k·px[k] (order-sensitive — any scanline
+    * or filter-reconstruction mix-up that happens to preserve the
+    * multiset of bytes still breaks this), and per-channel sums (byte k
+    * belongs to channel k mod 3 in truecolor scanline order). All fields
+    * have closed forms over [[synthPngPixel]], so the oracle stays
+    * analytic while the engine exercises the full real decode.
+    */
+  def pngPixelStats(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val p = synthPngPayload(id)
+        HeaderCodec.decodePng(p) match {
+          case Some(img) =>
+            var sum = 0L; var wsum = 0L
+            val ch = new Array[Long](3)
+            var i = 0
+            while (i < img.pixels.length) {
+              val v = img.pixels(i) & 0xff
+              sum += v; wsum += i.toLong * v; ch(i % 3) += v
+              i += 1
+            }
+            PngPixelStats(id, img.width, img.height, img.pixels.length,
+              sum, wsum, ch(0), ch(1), ch(2))
+          case None => PngPixelStats(id, 0, 0, 0, 0L, 0L, 0L, 0L, 0L)
         }
       }
     }.toDF()

@@ -170,33 +170,138 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.frames_sampled >= 0 && feats.n_bytes >= 0)
   }
 
-  test("HeaderCodec.probe: parses the synthetic PNG (IHDR fields, first IDAT span)") {
+  test("HeaderCodec.probe: parses the synthetic PNG IHDR; decodeAndFeaturize uses real pixels") {
     val p = Multimodal.synthPngPayload(12L)
     val h = Multimodal.HeaderCodec.probe(p).get
-    assert((h.fmt, h.width, h.height, h.contentOff, h.contentLen) ==
-      ("png", 16, 16, 41, 64))
-    // content bytes are the closed form the oracle recomputes
-    assert((0 until 64).forall(k => (p(41 + k) & 0xff) == (12L * 17 + k * 11) % 251))
-    // featurize path: a still → 1 frame, content-only bytes
+    assert((h.fmt, h.width, h.height) == (("png", 16, 16)))
+    // featurize path: real decode → 768 reconstructed pixel bytes, FNV
+    // over the closed-form pixel grid
     val f = Multimodal.HeaderCodec.decodeAndFeaturize(
       Multimodal.MediaRow(12L, "image", p, 16, 16, 0), 16)
-    assert(f.n_bytes == 64 && f.frames_sampled == 1)
+    assert(f.n_bytes == 768 && f.frames_sampled == 1)
+    var expFnv = 1469598103934665603L
+    var expSum = 0L
+    for (k <- 0 until 768) {
+      val v = Multimodal.synthPngPixel(12L, k)
+      expSum += v
+      expFnv = (expFnv ^ v) * 1099511628211L
+    }
+    assert(f.checksum == expFnv)
+    assert(math.abs(f.mean_byte - expSum.toDouble / 768) < 1e-12)
   }
 
-  test("HeaderCodec.probe: PNG with corrupted IHDR CRC or huge chunk length is rejected") {
+  test("decodePng: inflate + all-five-filter reconstruction reproduces the closed-form pixels") {
+    for (id <- Seq(0L, 3L, 12L, 251L)) {
+      val img = Multimodal.HeaderCodec.decodePng(Multimodal.synthPngPayload(id)).get
+      assert((img.width, img.height, img.bpp) == ((16, 16, 3)))
+      assert((0 until 768).forall(k =>
+        (img.pixels(k) & 0xff) == Multimodal.synthPngPixel(id, k)))
+    }
+  }
+
+  test("decodePng: agrees with the JDK's own ImageIO decoder pixel-for-pixel") {
+    val p = Multimodal.synthPngPayload(77L)
+    val ours = Multimodal.HeaderCodec.decodePng(p).get
+    val theirs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    assert(theirs.getWidth == 16 && theirs.getHeight == 16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val rgb = theirs.getRGB(x, y)
+      val o = (y * 16 + x) * 3
+      assert(((rgb >> 16) & 0xff) == (ours.pixels(o) & 0xff))
+      assert(((rgb >> 8) & 0xff) == (ours.pixels(o + 1) & 0xff))
+      assert((rgb & 0xff) == (ours.pixels(o + 2) & 0xff))
+    }
+  }
+
+  test("decodePng: known-pixel grayscale fixture exercising one filter per row") {
+    // 3×5 gray-8: row r uses filter r (None/Sub/Up/Average/Paeth), pixels
+    // chosen to include wrap-around deltas (mod-256 arithmetic)
+    val w = 3; val h = 5
+    val px = Array(
+      10, 250, 7,
+      9, 200, 3,
+      0, 255, 128,
+      77, 78, 80,
+      5, 4, 200)
+    val raw = new Array[Byte](h * (1 + w))
+    for (r <- 0 until h) {
+      raw(r * (1 + w)) = r.toByte
+      for (i <- 0 until w) {
+        val x = px(r * w + i)
+        val a = if (i >= 1) px(r * w + i - 1) else 0
+        val b = if (r > 0) px((r - 1) * w + i) else 0
+        val c = if (r > 0 && i >= 1) px((r - 1) * w + i - 1) else 0
+        val pred = r match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+            val pc = math.abs(pp - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw(r * (1 + w) + 1 + i) = ((x - pred) & 0xff).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val z = new Array[Byte](raw.length + 64)
+    var zn = 0
+    while (!defl.finished()) zn += defl.deflate(z, zn, z.length - zn)
+    defl.end()
+    val b = new Array[Byte](8 + 25 + 12 + zn + 12)
+    def pbe32(o: Int, v: Long): Unit =
+      for (i <- 0 until 4) b(o + i) = ((v >> (8 * (3 - i))) & 0xff).toByte
+    def ptype(o: Int, t: String): Unit =
+      for (i <- 0 until 4) b(o + i) = t.charAt(i).toByte
+    def crcAt(o: Int, from: Int, len: Int): Unit = {
+      val c = new java.util.zip.CRC32(); c.update(b, from, len)
+      pbe32(o, c.getValue)
+    }
+    Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+      .zipWithIndex.foreach { case (v, i) => b(i) = v.toByte }
+    pbe32(8, 13L); ptype(12, "IHDR")
+    pbe32(16, w.toLong); pbe32(20, h.toLong)
+    b(24) = 8; b(25) = 0 // gray-8
+    crcAt(29, 12, 17)
+    pbe32(33, zn.toLong); ptype(37, "IDAT")
+    System.arraycopy(z, 0, b, 41, zn)
+    crcAt(41 + zn, 37, 4 + zn)
+    pbe32(45 + zn, 0L); ptype(49 + zn, "IEND")
+    crcAt(53 + zn, 49 + zn, 4)
+    val img = Multimodal.HeaderCodec.decodePng(b).get
+    assert((img.width, img.height, img.bpp) == ((w, h, 1)))
+    assert(img.pixels.map(_ & 0xff).toSeq == px.toSeq)
+  }
+
+  test("decodePng/probe: corrupted CRC, huge dims, forged chunk length all rejected safely") {
     val good = Multimodal.synthPngPayload(3L)
     val badCrc = good.clone()
-    badCrc(30) = (badCrc(30) ^ 0xff).toByte // flip a CRC byte
+    badCrc(30) = (badCrc(30) ^ 0xff).toByte // flip an IHDR CRC byte
     assert(Multimodal.HeaderCodec.probe(badCrc).isEmpty)
+    assert(Multimodal.HeaderCodec.decodePng(badCrc).isEmpty)
     val badDim = good.clone()
     badDim(16) = 0x80.toByte // width bit 31 set -> > Int.MaxValue
     assert(Multimodal.HeaderCodec.probe(badDim).isEmpty)
+    assert(Multimodal.HeaderCodec.decodePng(badDim).isEmpty)
     // IDAT length forged to 2^32-1: the Long walk must terminate (clamp,
-    // not wrap) — before the hardening this class of field hung the walk
+    // not wrap) and the decoder must reject the truncated chunk
     val badLen = good.clone()
     for (i <- 0 until 4) badLen(33 + i) = 0xff.toByte
     val h = Multimodal.HeaderCodec.probe(badLen)
     assert(h.isDefined && h.get.contentLen == badLen.length - 41)
+    assert(Multimodal.HeaderCodec.decodePng(badLen).isEmpty)
+    // truncated zlib stream (first IDAT only, second dropped) → reject;
+    // the featurize path then falls back to located-span features
+    val h1 = Multimodal.HeaderCodec.probe(good).get
+    val truncated = java.util.Arrays.copyOfRange(good, 0,
+      41 + h1.contentLen + 4) // sig+IHDR+IDAT1+its CRC, no IDAT2/IEND
+    assert(Multimodal.HeaderCodec.decodePng(truncated).isEmpty)
+    val f = Multimodal.HeaderCodec.decodeAndFeaturize(
+      Multimodal.MediaRow(3L, "image", truncated, 16, 16, 0), 16)
+    assert(f.kind == "png" && f.n_bytes == h1.contentLen)
   }
 
   test("HeaderCodec falls back to StubCodec whole-payload features on unknown bytes") {

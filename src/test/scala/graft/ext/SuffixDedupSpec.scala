@@ -1,0 +1,149 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SuffixDedupSpec extends SparkSpec {
+
+  private def docs(texts: (Long, String)*): DataFrame =
+    df("doc_id BIGINT, text STRING", texts.map { case (i, t) => Row(i, t) })
+
+  /** Brute-force reference: maximal duplicated spans via direct window
+    * counting in driver-side Scala — the O(n·L) spelling the distributed
+    * doubling must agree with exactly.
+    */
+  private def bruteSpans(texts: Seq[(Long, String)], minLen: Int): Set[(Long, Long, Long)] = {
+    val toks = texts.map { case (i, t) =>
+      i -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    val counts = scala.collection.mutable.Map.empty[Seq[String], Int]
+    for ((_, ws) <- toks; p <- 0 to ws.length - minLen)
+      counts.updateWith(ws.slice(p, p + minLen))(c => Some(c.getOrElse(0) + 1))
+    toks.flatMap { case (id, ws) =>
+      val dupStarts = (0 to ws.length - minLen)
+        .filter(p => counts(ws.slice(p, p + minLen)) >= 2)
+      // islands over consecutive starts
+      val spans = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+      var i = 0
+      while (i < dupStarts.length) {
+        var j = i
+        while (j + 1 < dupStarts.length && dupStarts(j + 1) == dupStarts(j) + 1) j += 1
+        spans += ((id, dupStarts(i) + 1L, (dupStarts(j) - dupStarts(i) + minLen).toLong))
+        i = j + 1
+      }
+      spans
+    }.toSet
+  }
+
+  private def spanSet(d: DataFrame): Set[(Long, Long, Long)] =
+    d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("dupSpans: hand corpus — shared 8-token block found, maximal, 1-based") {
+    val shared = "a b c d e f g h"
+    val corpus = Seq(
+      1L -> s"x1 x2 $shared y1 y2",
+      2L -> s"z1 $shared z2 z3 z4")
+    val spans = spanSet(SuffixDedup.dupSpans(docs(corpus: _*), minLen = 8))
+    assert(spans == Set((1L, 3L, 8L), (2L, 2L, 8L)))
+  }
+
+  test("dupSpans: longer shared block merges into one maximal span, not window-many") {
+    // 10 shared tokens at L=8 → 3 consecutive dup starts → ONE span of 10
+    val shared = "a b c d e f g h i j"
+    val corpus = Seq(1L -> s"u1 u2 u3 $shared", 2L -> s"$shared v1")
+    val spans = spanSet(SuffixDedup.dupSpans(docs(corpus: _*), minLen = 8))
+    assert(spans == Set((1L, 4L, 10L), (2L, 1L, 10L)))
+  }
+
+  test("dupSpans: self-repetition within ONE doc is duplication (Lee et al. semantics)") {
+    val block = "p q r s t u v w"
+    val corpus = Seq(1L -> s"$block mid1 mid2 $block", 2L -> "unrelated words only here nothing shared at all")
+    val spans = spanSet(SuffixDedup.dupSpans(docs(corpus: _*), minLen = 8))
+    assert(spans == Set((1L, 1L, 8L), (1L, 11L, 8L)))
+  }
+
+  test("dupSpans: non-power-of-two minLen exercises the overlapped final combine") {
+    // L = 6: doubling reaches 4, final shift = 2. A 6-token shared block
+    // must be found; a 5-token shared block must NOT.
+    val six = "a b c d e f"
+    val five = "k l m n o"
+    val corpus = Seq(
+      1L -> s"$six x $five",
+      2L -> s"y $six z $five w")
+    val spans = spanSet(SuffixDedup.dupSpans(docs(corpus: _*), minLen = 6))
+    assert(spans == Set((1L, 1L, 6L), (2L, 2L, 6L)))
+  }
+
+  test("dupSpans: matches brute force on a deterministic random corpus (both L=8 and L=6)") {
+    val rnd = new scala.util.Random(42)
+    // small vocab forces accidental repeats; planted block forces real ones
+    val planted = (1 to 9).map(i => s"P$i").mkString(" ")
+    val corpus = (1L to 12L).map { id =>
+      val words = Seq.fill(30)(s"w${rnd.nextInt(12)}").mkString(" ")
+      id -> (if (id % 3 == 0) s"$words $planted" else words)
+    }
+    for (l <- Seq(6, 8)) {
+      val got = spanSet(SuffixDedup.dupSpans(docs(corpus: _*), minLen = l))
+      assert(got == bruteSpans(corpus, l), s"mismatch at minLen=$l")
+    }
+  }
+
+  test("dupSpans: editing a token OUTSIDE every dup span changes no verdict") {
+    val shared = "a b c d e f g h"
+    val base = Seq(1L -> s"x1 x2 $shared y1 y2", 2L -> s"z1 $shared z2 z3 z4")
+    val before = spanSet(SuffixDedup.dupSpans(docs(base: _*), minLen = 8))
+    // doc 1 span covers tokens 3..10; token 12 (y2) is off-span
+    val edited = Seq(1L -> s"x1 x2 $shared y1 EDITED", 2L -> s"z1 $shared z2 z3 z4")
+    val after = spanSet(SuffixDedup.dupSpans(docs(edited: _*), minLen = 8))
+    assert(before == after)
+  }
+
+  test("dupSpanDocStats: every doc reported; coverage distinct-counts overlaps; ppm exact") {
+    val shared = "a b c d e f g h i j" // 10 tokens, L=8 → 3 starts, 10 covered
+    val corpus = Seq(
+      1L -> s"u1 u2 $shared",          // 12 tokens, covered 10
+      2L -> s"$shared v1 v2 v3",       // 13 tokens, covered 10
+      3L -> "no duplication here at all just unique words")
+    val r = SuffixDedup.dupSpanDocStats(docs(corpus: _*), minLen = 8)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    assert(r(1L) == ((12L, 1L, 3L, 10L, 10L * 1000000 / 12)))
+    assert(r(2L) == ((13L, 1L, 3L, 10L, 10L * 1000000 / 13)))
+    assert(r(3L) == ((8L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("topRepeats: representative is min (doc,pos); support counted over positions") {
+    val block = "a b c d e f g h"
+    val corpus = Seq(
+      3L -> s"$block t1",
+      1L -> s"t2 $block",   // min rep: doc 1, start 2
+      2L -> s"$block t3")
+    val r = SuffixDedup.topRepeats(docs(corpus: _*), minLen = 8, topK = 10).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 1L && r(0).getLong(1) == 2L)
+    assert(r(0).getString(2) == block)
+    assert(r(0).getLong(3) == 3L && r(0).getLong(4) == 3L)
+  }
+
+  test("dupSpans: layout-invariant under repartition") {
+    val rnd = new scala.util.Random(7)
+    val planted = (1 to 7).map(i => s"B$i").mkString(" ")
+    val corpus = (1L to 10L).map { id =>
+      val words = Seq.fill(40)(s"t${rnd.nextInt(9)}").mkString(" ")
+      id -> (if (id % 2 == 0) s"$words $planted" else words)
+    }
+    val d1 = docs(corpus: _*)
+    val a = spanSet(SuffixDedup.dupSpans(d1.repartition(1), minLen = 6))
+    val b = spanSet(SuffixDedup.dupSpans(d1.repartition(13), minLen = 6))
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("dupSpans: docs shorter than minLen and null text are silently excluded") {
+    val corpus = Seq(1L -> "a b c", 2L -> "a b c d e f g h", 3L -> "a b c d e f g h")
+    val withNull = docs(corpus: _*).unionByName(
+      df("doc_id BIGINT, text STRING", Seq(Row(4L, null))))
+    val spans = spanSet(SuffixDedup.dupSpans(withNull, minLen = 8))
+    assert(spans == Set((2L, 1L, 8L), (3L, 1L, 8L)))
+  }
+}
