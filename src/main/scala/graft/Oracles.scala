@@ -7963,6 +7963,53 @@ object Oracles {
       |     b(digit, benford_ppm)
       |LEFT JOIN c ON c.digit = b.digit CROSS JOIN t""".stripMargin
 
+  /** q366: stream-fed user-value concentration — the q353 readout over
+    * per-user event-value cents; the engine reads the daily closed-window
+    * mass emitter and merges by addition, which this single-pass grouping
+    * is exactly equal to (masses are additive across windows).
+    */
+  val concentrationStream: String =
+    """WITH mass AS (
+      |  SELECT user_id AS g,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+      |rk AS (SELECT g, x, row_number() OVER (ORDER BY x, g) AS r FROM mass),
+      |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+      |          SUM(r::HUGEINT * x) AS rx, SUM(x::HUGEINT * x) AS xx FROM rk)
+      |SELECT n AS n_groups, s AS total,
+      |  CASE WHEN s = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST((2 * rx - (n::HUGEINT + 1) * s) * 1000000
+      |              // (n::HUGEINT * s) AS BIGINT) END AS gini_ppm,
+      |  CASE WHEN s = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(xx * 1000000 // (s::HUGEINT * s) AS BIGINT)
+      |  END AS hhi_ppm
+      |FROM agg""".stripMargin
+
+  /** q367: stream-fed Benford audit — the q354 readout over event-value
+    * cents; the engine merges the daily digit-count windows by addition,
+    * equal to this single-pass census.
+    */
+  val benfordStream: String =
+    """WITH c AS (
+      |  SELECT CAST(substring(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |    CAST(COUNT(*) AS BIGINT) AS n_obs
+      |  FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0
+      |  GROUP BY 1),
+      |t AS (SELECT CAST(COALESCE(SUM(n_obs), 0) AS BIGINT) AS n FROM c)
+      |SELECT CAST(b.digit AS BIGINT) AS digit,
+      |  CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
+      |  CASE WHEN t.n = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(COALESCE(c.n_obs, 0) * 1000000 // t.n AS BIGINT)
+      |  END AS obs_ppm,
+      |  CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+      |  CASE WHEN t.n = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(COALESCE(c.n_obs, 0) * 1000000 // t.n - b.benford_ppm AS BIGINT)
+      |  END AS dev_ppm
+      |FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+      |      (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+      |     b(digit, benford_ppm)
+      |LEFT JOIN c ON c.digit = b.digit CROSS JOIN t""".stripMargin
+
   /** q356/q357: Wald–Wolfowitz runs test — lower-median dichotomization
     * of the gap-filled hourly grid, run census by lag, exact z² against
     * the null moments in HUGEINT. The stream twin reuses this verbatim.
@@ -8179,6 +8226,143 @@ object Oracles {
        |    // (CASE WHEN b.n_tokens = 0 THEN 1 ELSE b.n_tokens END) AS BIGINT) AS dup_ppm
        |FROM base b
        |LEFT JOIN sp USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin
+
+  /** q368: longest exactly-duplicated token span — the oracle computes
+    * λ* by the suffix-array theorem (max pairwise LCP = max LCP of
+    * ADJACENT suffixes in lexicographic order): sort every doc-bounded
+    * token suffix, LCP each neighbor pair with a lambda scan, take the
+    * max; then re-derives the winning class (support, distinct docs,
+    * minimal (doc, start) representative, text) by direct λ*-gram
+    * grouping. A completely different algorithm from the engine's
+    * rank-doubling + binary search — agreement is the proof.
+    */
+  val longestRepeat: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+      |  FROM documents
+      |), base AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws FROM docs
+      |), sfx AS MATERIALIZED (
+      |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+      |    list_slice(ws, CAST(p AS INTEGER), CAST(len(ws) AS INTEGER)) AS s
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p
+      |        FROM base WHERE n_tokens > 0)
+      |), ord AS (
+      |  SELECT s, lag(s) OVER (ORDER BY s) AS prev FROM sfx
+      |), lcps AS (
+      |  -- list_position returns 0 (not NULL) when absent in this DuckDB:
+      |  -- NULLIF maps all-equal prefixes to the full shared length
+      |  SELECT CASE WHEN prev IS NULL THEN 0
+      |    ELSE COALESCE(NULLIF(list_position(list_transform(
+      |        range(1, least(len(s), len(prev)) + 1),
+      |        i -> s[i] = prev[i]), false), 0) - 1,
+      |      least(len(s), len(prev))) END AS lcp
+      |  FROM ord
+      |), mx AS (
+      |  SELECT CAST(COALESCE(MAX(lcp), 0) AS BIGINT) AS lstar FROM lcps
+      |), win AS (
+      |  SELECT f.doc_id, f.p,
+      |    array_to_string(list_slice(f.s, 1, CAST(m.lstar AS INTEGER)), ' ') AS w
+      |  FROM sfx f, mx m WHERE m.lstar > 0 AND len(f.s) >= m.lstar
+      |), sup AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occ,
+      |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |  FROM win GROUP BY 1 HAVING COUNT(*) >= 2
+      |), winner AS (
+      |  SELECT v.doc_id, v.p, v.w, s.n_occ, s.n_docs
+      |  FROM win v JOIN sup s USING (w)
+      |  ORDER BY v.doc_id, v.p LIMIT 1
+      |)
+      |SELECT m.lstar AS max_dup_tokens, w.doc_id AS rep_doc,
+      |  w.p AS rep_start, w.n_occ, w.n_docs, w.w AS repeat_text
+      |FROM mx m LEFT JOIN winner w ON true""".stripMargin
+
+  /** q369: exact-substring trimming — the q60 rebuild spelling over the
+    * q362 duplicated-window positions (n_occ ≥ 2 over ALL occurrences,
+    * same-doc repeats included — NOT q60's distinct-doc-frequency rule).
+    */
+  def substrTrim(minLen: Int): String =
+    s"""WITH ${substrCtes(minLen)}, cov AS (
+       |  SELECT DISTINCT doc_id, cp FROM (
+       |    SELECT doc_id, unnest(generate_series(p, p + ${minLen - 1})) AS cp
+       |    FROM pos)
+       |), toks AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS p, ws[CAST(p AS INTEGER)] AS token FROM (
+       |    SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p
+       |    FROM base WHERE n_tokens > 0)
+       |), kept AS (
+       |  SELECT t.doc_id, t.p, t.token FROM toks t
+       |  ANTI JOIN cov c ON c.doc_id = t.doc_id AND c.cp = t.p
+       |)
+       |SELECT b.doc_id,
+       |  COALESCE(k.clean_text, '') AS clean_text,
+       |  COALESCE(k.n_kept, 0) AS n_kept
+       |FROM base b LEFT JOIN (
+       |  SELECT doc_id, string_agg(token, ' ' ORDER BY p) AS clean_text,
+       |    CAST(COUNT(*) AS BIGINT) AS n_kept
+       |  FROM kept GROUP BY 1) k USING (doc_id)""".stripMargin
+
+  /** q370: Friedman test over the (day × event-type) count panel —
+    * grid-filled blocks, doubled midranks via RANK + tie-count windows,
+    * HUGEINT moments, the same floor-division spelling as the engine's
+    * DECIMAL path.
+    */
+  val friedman: String =
+    """WITH cells AS (
+      |  SELECT CAST(ts AS DATE) AS b, event_type AS j,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT bb.b, jj.j, COALESCE(c.x, 0) AS x
+      |  FROM (SELECT DISTINCT b FROM cells) bb
+      |  CROSS JOIN (SELECT DISTINCT j FROM cells) jj
+      |  LEFT JOIN cells c ON c.b = bb.b AND c.j = jj.j),
+      |ranked AS (
+      |  SELECT b, j, x,
+      |    2 * RANK() OVER (PARTITION BY b ORDER BY x)
+      |      + COUNT(*) OVER (PARTITION BY b, x) - 1 AS r2
+      |  FROM grid),
+      |pt AS (SELECT j, SUM(r2::HUGEINT) AS rr2 FROM ranked GROUP BY 1),
+      |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(rr2 * rr2) AS a FROM pt),
+      |shp AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM ranked),
+      |tie AS (SELECT COALESCE(SUM(m::HUGEINT * (m - 1) * (m + 1)), 0) AS tie
+      |        FROM (SELECT b, x, COUNT(*) AS m FROM grid GROUP BY 1, 2))
+      |SELECT shp.n AS n_blocks, agg.k AS k_treatments,
+      |  CAST(3 * agg.a * 1000000 // (shp.n::HUGEINT * agg.k * (agg.k + 1))
+      |    - 3 * shp.n::HUGEINT * (agg.k + 1) * 1000000 AS BIGINT) AS fr_ppm,
+      |  CASE WHEN shp.n::HUGEINT * agg.k * (agg.k * agg.k - 1) - tie.tie = 0
+      |       THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST((3 * agg.a * 1000000
+      |              // (shp.n::HUGEINT * agg.k * (agg.k + 1))
+      |              - 3 * shp.n::HUGEINT * (agg.k + 1) * 1000000)
+      |            * (shp.n::HUGEINT * agg.k * (agg.k * agg.k - 1))
+      |            // (shp.n::HUGEINT * agg.k * (agg.k * agg.k - 1) - tie.tie)
+      |            AS BIGINT)
+      |  END AS fr_tie_ppm
+      |FROM agg, shp, tie""".stripMargin
+
+  /** q371: Cochran's Q over the (user × event-type) heavy-usage panel
+    * (success = ≥ 15 events of the type) — pure integer moments.
+    */
+  val cochranQ: String =
+    """WITH cells AS (
+      |  SELECT user_id AS b, event_type AS j,
+      |    CASE WHEN COUNT(*) >= 15 THEN 1 ELSE 0 END AS x
+      |  FROM events GROUP BY 1, 2),
+      |ct AS (SELECT j, SUM(x)::HUGEINT AS cj FROM cells GROUP BY 1),
+      |ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(cj) AS n,
+      |         SUM(cj * cj) AS c2 FROM ct),
+      |bt AS (SELECT b, SUM(x)::HUGEINT AS rb FROM cells GROUP BY 1),
+      |ba AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |         SUM(rb * rb) AS r2 FROM bt)
+      |SELECT ba.n_blocks, ta.k AS k_treatments,
+      |  CAST(ta.n AS BIGINT) AS n_success,
+      |  CASE WHEN ta.k * ta.n - ba.r2 = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST((ta.k - 1) * (ta.k * ta.c2 - ta.n * ta.n) * 1000000
+      |              // (ta.k * ta.n - ba.r2) AS BIGINT)
+      |  END AS q_ppm
+      |FROM ta, ba""".stripMargin
 
   /** q364: the topK most-repeated exact windows; representative =
     * minimal (doc, start) of each class; order by support desc then text

@@ -1576,7 +1576,40 @@ object Plans {
         |IDAT concat, JDK Inflater, 5-filter scanline reconstruction —
         |payloads never leave the task; output is 9 scalars/row. The
         |position-weighted sum pins scanline order in the exact-hash
-        |oracle.""".stripMargin)
+        |oracle.""".stripMargin,
+    "q366_concentration_stream" ->
+      """Stream-fed concentration: the daily closed-window mass emitter
+        |(one mode-adaptive window aggregate) re-aggregated per user —
+        |masses add across windows — into the q353 readout core
+        |(keyspace-ranked window + one moment aggregate). Users-sized
+        |state, 1-row output.""".stripMargin,
+    "q367_benford_stream" ->
+      """Stream-fed Benford: 9 digit counters per closed day, additive
+        |merge, then the q354 grid readout (broadcast 9-row grid +
+        |broadcast 1-row total). Constant-sized everything after the fact
+        |scan.""".stripMargin,
+    "q368_longest_repeat" ->
+      """Longest repeat: O(log λ*) doubling levels (each the q362 round
+        |shape, checkpointed), then a binary search whose probes bit-fold
+        |the PRECOMPUTED levels by exact concatenation — never a fresh
+        |doubling chain per probe. Driver actions are one empty/dup
+        |boolean per level/probe (q55 fixpoint posture). 1-row output.""".stripMargin,
+    "q369_substr_trim" ->
+      """Exact-substring trim: q362's dup-position stream exploded
+        |×minLen to covered positions, (id,pos)-keyed anti-join against
+        |the positional token stream, per-doc ordered rebuild (each doc
+        |sorts only its own kept tokens) — the q60 rebuild shape at
+        |suffix-index precision.""".stripMargin,
+    "q370_friedman" ->
+      """Friedman: one map-combined (block,treatment) aggregate, a
+        |blocks×k grid fill (broadcast nested-loop on the k-sized side),
+        |per-BLOCK rank windows (k rows per partition — never a global
+        |sort), one treatments-sized moment aggregate. The main quotient
+        |stays DECIMAL end-to-end (q344 overflow lesson).""".stripMargin,
+    "q371_cochran_q" ->
+      """Cochran's Q: one map-combined (block,treatment) max-aggregate,
+        |then one blocks-sized and one treatments-sized moment aggregate
+        |cross-joined broadcast — no windows at all. 1-row output.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -3744,7 +3744,50 @@ object SparkEntry {
     "q365_png_pixels" -> { (s, d) =>
       implicit val sp: SparkSession = s
       graft.ext.Multimodal.pngPixelStats(Tables.documents(s, d))
-    }
+    },
+
+    // stream-fed user-value concentration: the q353 Gini/HHI readout
+    // re-read from the daily closed-window per-user mass emitter (masses
+    // merge by addition across windows — the FromCounts discipline)
+    "q366_concentration_stream" -> ((s, d) =>
+      graft.ext.Quality.concentrationFromMass(
+        graft.streaming.Streams.userValueDaily(Tables.events(s, d))
+          .groupBy(col("u").as("g")).agg(sum("cents").as("x")))),
+
+    // stream-fed Benford audit: the q354 digit screen re-read from the
+    // daily digit-count emitter's closed windows (9 counters per day)
+    "q367_benford_stream" -> ((s, d) =>
+      graft.ext.Quality.benfordFromDigitCounts(
+        graft.streaming.Streams.digitCountsDaily(Tables.events(s, d))
+          .groupBy("digit").agg(sum("n").as("n_obs")))),
+
+    // the LONGEST exactly-duplicated token span in the corpus — suffix
+    // indexing's "longest repeated substring" at corpus scale: climb
+    // power-of-two rank depths, binary-search the gap, bit-fold levels
+    "q368_longest_repeat" -> ((s, d) =>
+      graft.ext.SuffixDedup.longestRepeat(Tables.documents(s, d))),
+
+    // exact-substring TRIMMING at suffix-index precision: rebuild every
+    // doc without tokens covered by any duplicated 8-window (no hashing,
+    // same-doc repeats count — the no-collision sibling of q60)
+    "q369_substr_trim" -> ((s, d) =>
+      graft.ext.SuffixDedup.trimDupSpans(Tables.documents(s, d), minLen = 8)),
+
+    // Friedman test: do the k event types differ in daily volume, judged
+    // WITHIN each day (blocks = days, doubled midranks, grid-filled) —
+    // the repeated-measures companion of q344
+    "q370_friedman" -> ((s, d) =>
+      graft.ext.RankStats.friedman(Tables.events(s, d),
+        to_date(col("ts")), col("event_type"), lit(1L))),
+
+    // Cochran's Q: do the k event types differ in heavy-usage adoption
+    // (≥15 events) across users — the binary-outcome member of the
+    // blocked family (McNemar's k-sample generalization)
+    "q371_cochran_q" -> ((s, d) =>
+      graft.ext.RankStats.cochranQ(
+        Tables.events(s, d).groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n")),
+        col("user_id"), col("event_type"), col("n") >= 15))
   )
 
   /** The paired ranking relation shared by q346: each panel query's exact
@@ -4227,6 +4270,12 @@ object SparkEntry {
     "q362_substr_dup_spans" -> Oracles.substrDupSpans(8),
     "q363_substr_doc_stats" -> Oracles.substrDocStats(8),
     "q364_substr_top_repeats" -> Oracles.substrTopRepeats(8, 50),
-    "q365_png_pixels" -> Oracles.pngPixelStats
+    "q365_png_pixels" -> Oracles.pngPixelStats,
+    "q366_concentration_stream" -> Oracles.concentrationStream,
+    "q367_benford_stream" -> Oracles.benfordStream,
+    "q368_longest_repeat" -> Oracles.longestRepeat,
+    "q369_substr_trim" -> Oracles.substrTrim(8),
+    "q370_friedman" -> Oracles.friedman,
+    "q371_cochran_q" -> Oracles.cochranQ
   )
 }

@@ -193,11 +193,20 @@ object Quality {
     * 10⁹ groups × 10¹⁵ total stay inside DECIMAL(38,0).
     */
   def concentrationReport(df: DataFrame, grpCol: String,
-                          valueCol: Column): DataFrame = {
+                          valueCol: Column): DataFrame =
+    concentrationFromMass(
+      df.select(col(grpCol).as("g"), valueCol.as("x"))
+        .filter(col("x").isNotNull)
+        .groupBy("g").agg(sum("x").as("x")))
+
+  /** The readout core of [[concentrationReport]], shared with the stream
+    * twin (q366): takes the PRE-AGGREGATED per-group mass relation
+    * (g, x) — exactly what a closed-window emitter stores, since group
+    * masses merge by addition across windows. NULL masses must already
+    * be excluded by the caller.
+    */
+  def concentrationFromMass(mass: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val mass = df.select(col(grpCol).as("g"), valueCol.as("x"))
-      .filter(col("x").isNotNull)
-      .groupBy("g").agg(sum("x").as("x"))
     val ranked = mass.withColumn("r", row_number().over(
       // keyspace-sized window: input is collapsed/bounded before this sort
       Window.orderBy(col("x"), col("g"))))
@@ -237,16 +246,24 @@ object Quality {
     * Scale shape: one map-combined 9-bucket aggregate over the fact
     * scan; the digit grid is constant-sized.
     */
-  def benfordAudit(df: DataFrame, valueCol: Column): DataFrame = {
+  def benfordAudit(df: DataFrame, valueCol: Column): DataFrame =
+    benfordFromDigitCounts(
+      df.select(valueCol.cast("long").as("v"))
+        .filter(col("v") > 0)
+        .select(expr("CAST(substring(CAST(v AS STRING), 1, 1) AS BIGINT)")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs")))
+
+  /** The readout core of [[benfordAudit]], shared with the stream twin
+    * (q367): takes a PRE-AGGREGATED (digit, n_obs) relation — the
+    * mergeable sufficient statistic a closed-window emitter stores
+    * (digit counts add across windows). Emits all 9 digits regardless.
+    */
+  def benfordFromDigitCounts(counts: DataFrame): DataFrame = {
     val benford = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
       4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
       9 -> 45757L)
-    val spark = df.sparkSession
-    val counts = df.select(valueCol.cast("long").as("v"))
-      .filter(col("v") > 0)
-      .select(expr("CAST(substring(CAST(v AS STRING), 1, 1) AS BIGINT)")
-        .as("digit"))
-      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val spark = counts.sparkSession
     val grid = spark.createDataFrame(benford.map { case (d, p) => (d.toLong, p) })
       .toDF("digit", "benford_ppm")
     val tot = counts.agg(sum("n_obs").as("n"))

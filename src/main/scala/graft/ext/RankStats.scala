@@ -382,4 +382,110 @@ object RankStats {
           " div (CAST(p - tx AS DECIMAL(38,0)) * (p - ty)) AS BIGINT)" +
           " END").as("tau_b2_ppm"))
   }
+
+  /** Friedman test (Friedman 1937, public literature) — the
+    * repeated-measures companion of [[kruskalWallis]]: "do k treatments
+    * differ, judged WITHIN each of n blocks" (k model variants × n eval
+    * slices, k pipelines × n days). Ranks are doubled midranks within
+    * each block (integer under ties, the q344 device); missing (block,
+    * treatment) cells are grid-filled with `fillValue` so every block is
+    * complete (the balanced-design requirement — zero is the natural
+    * fill for count panels). With R2_j = Σ_b 2·rank, A = Σ_j R2_j²:
+    * Fr·10⁶ = 3·A·10⁶ div (n·k·(k+1)) − 3·n·(k+1)·10⁶ (exact — the
+    * doubled ranks absorb the usual /4). `fr_tie_ppm` applies the
+    * standard correction ×D div (D − T), D = n·k·(k²−1),
+    * T = Σ_b Σ_v m(m²−1); an every-block-all-tied panel reads NULL.
+    *
+    * Envelope: R2_j ≤ 2nk ⇒ A ≤ 4n²k³; 3·A·10⁶ stays in DECIMAL(38,0)
+    * to n ≈ 10⁹ blocks × k = 10³ treatments, and no term rides a BIGINT
+    * quotient (the q344 overflow lesson, applied from day one).
+    *
+    * Scale shape: one map-combined (block, treatment) aggregate, a
+    * treatments-sized × blocks-sized grid fill, per-BLOCK rank windows
+    * (k rows each — never a global sort), then a treatments-sized
+    * aggregate. 1-row output.
+    */
+  def friedman(df: DataFrame, blockCol: Column, treatCol: Column,
+               valueCol: Column, fillValue: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(blockCol.as("b"), treatCol.as("j"),
+        valueCol.as("v"))
+      .filter(col("b").isNotNull && col("j").isNotNull && col("v").isNotNull)
+      .groupBy("b", "j").agg(sum("v").as("x"))
+    val grid = cells.select("b").distinct()
+      .crossJoin(cells.select("j").distinct())
+      .join(cells, Seq("b", "j"), "left")
+      .na.fill(fillValue, Seq("x"))
+    // per-block doubled midrank: 2·rank + m − 1 (rank = min rank of the
+    // tie group, m = tie multiplicity) — block-partitioned windows only
+    val wr = Window.partitionBy("b").orderBy("x")
+    val wm = Window.partitionBy("b", "x")
+    val ranked = grid
+      .withColumn("r2", lit(2L) * rank().over(wr) + count(lit(1)).over(wm) - 1L)
+    val perTreat = ranked.groupBy("j")
+      .agg(expr("sum(CAST(r2 AS DECIMAL(38,0)))").as("rr2"))
+      .agg(count(lit(1)).as("k"),
+        expr("sum(rr2 * rr2)").as("a"))
+    val shape = ranked.agg(count_distinct(col("b")).as("n"))
+    val ties = ranked.groupBy("b", "x").agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(expr(
+        "CAST(m AS DECIMAL(38,0)) * (m - 1) * (m + 1)")), lit(0)).as("tie"))
+    // the main quotient ⌊3A·10⁶ / D⌋ can pass Long.Max (≈ 12nk·10⁶), so
+    // it stays DECIMAL via the remainder-subtracted exact division — the
+    // q344 overflow lesson, applied from day one; only the final
+    // statistic (≤ n(k−1)·10⁶) lands in BIGINT
+    val frExpr = "(CAST((3 * a * 1000000" +
+      " - 3 * a * 1000000 % (CAST(n AS DECIMAL(38,0)) * k * (k + 1)))" +
+      " / (CAST(n AS DECIMAL(38,0)) * k * (k + 1)) AS DECIMAL(38,0))" +
+      " - 3 * CAST(n AS DECIMAL(38,0)) * (k + 1) * 1000000)"
+    perTreat.crossJoin(broadcast(shape)).crossJoin(broadcast(ties))
+      .select(col("n").as("n_blocks"), col("k").as("k_treatments"),
+        expr(s"CAST($frExpr AS BIGINT)").as("fr_ppm"),
+        expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * k * (k * k - 1) - tie = 0" +
+          " THEN NULL ELSE CAST(" +
+          s" $frExpr" +
+          " * (CAST(n AS DECIMAL(38,0)) * k * (k * k - 1))" +
+          " div (CAST(n AS DECIMAL(38,0)) * k * (k * k - 1) - tie)" +
+          " AS BIGINT) END").as("fr_tie_ppm"))
+  }
+
+  /** Cochran's Q (Cochran 1950, public literature) — the binary-outcome
+    * member of the blocked-comparison family ([[friedman]] for ranks,
+    * [[mcnemar]] is its k = 2 special case): "do k binary treatments
+    * succeed at different rates across n blocks" (k feature flags × n
+    * users, k retrieval arms × n queries with hit/miss outcomes). The
+    * per-(block, treatment) outcome is OR-aggregated (`max`) and missing
+    * cells read 0. With column totals C_j, block totals R_b, N = ΣC_j:
+    * Q·10⁶ = (k−1)·(k·ΣC_j² − N²)·10⁶ div (k·N − ΣR_b²) — an exact
+    * integer rational; a degenerate panel (every block all-0 or all-1)
+    * NULLs out.
+    *
+    * Scale shape: one map-combined (block, treatment) max-aggregate,
+    * then one blocks-sized and one treatments-sized moment aggregate —
+    * no window at all. 1-row output. Envelope: k·ΣC_j² ≤ k²n² —
+    * DECIMAL(38,0) holds far past any real panel.
+    */
+  def cochranQ(df: DataFrame, blockCol: Column, treatCol: Column,
+               successCol: Column): DataFrame = {
+    val cells = df.select(blockCol.as("b"), treatCol.as("j"),
+        successCol.cast("boolean").as("s"))
+      .filter(col("b").isNotNull && col("j").isNotNull && col("s").isNotNull)
+      .groupBy("b", "j")
+      .agg(max(when(col("s"), 1L).otherwise(0L)).as("x"))
+    // missing cells are exactly 0 — no grid fill needed for the sums
+    // (C_j, R_b, N ignore absent zeros identically)
+    val byTreat = cells.groupBy("j").agg(sum("x").as("cj"))
+      .agg(count(lit(1)).as("k"),
+        expr("sum(CAST(cj AS DECIMAL(38,0)))").as("nTot"),
+        expr("sum(CAST(cj AS DECIMAL(38,0)) * cj)").as("c2"))
+    val byBlock = cells.groupBy("b").agg(sum("x").as("rb"))
+      .agg(count(lit(1)).as("n_blocks"),
+        expr("sum(CAST(rb AS DECIMAL(38,0)) * rb)").as("r2"))
+    byTreat.crossJoin(broadcast(byBlock))
+      .select(col("n_blocks"), col("k").as("k_treatments"),
+        expr("CAST(nTot AS BIGINT)").as("n_success"),
+        expr("CASE WHEN k * nTot - r2 = 0 THEN NULL ELSE CAST(" +
+          "(k - 1) * (k * c2 - nTot * nTot) * 1000000" +
+          " div (k * nTot - r2) AS BIGINT) END").as("q_ppm"))
+  }
 }

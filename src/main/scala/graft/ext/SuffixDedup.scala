@@ -90,10 +90,20 @@ object SuffixDedup {
     * pair. Inner join drops positions whose extended window no longer
     * fits the document — exactly the doc-bounded-suffix rule.
     */
-  private def refine(r: DataFrame, shift: Int): DataFrame = {
-    val right = r.select(col("d"), (col("p") - shift).as("p"),
+  private def refine(r: DataFrame, shift: Int): DataFrame =
+    combine(r, r, shift)
+
+  /** Heterogeneous-depth combine: pair depth-a relation `a` at p with
+    * depth-b relation `b` at p+shift. With shift = a this is exact
+    * CONCATENATION — window(p, a+b) = window(p, a) ++ window(p+a, b), so
+    * pair equality ⟺ (a+b)-window equality with NO overlap requirement;
+    * with a = b and shift < a it is the overlapped combine (equality at
+    * depth a+shift). Both reduce to the same relational step.
+    */
+  private def combine(a: DataFrame, b: DataFrame, shift: Int): DataFrame = {
+    val right = b.select(col("d"), (col("p") - shift).as("p"),
       col("rd").as("rd2"), col("rp").as("rp2"))
-    val paired = r.join(right, Seq("d", "p"))
+    val paired = a.join(right, Seq("d", "p"))
     val reps = paired.groupBy("rd", "rp", "rd2", "rp2")
       .agg(min(struct(col("d"), col("p"))).as("__rep"))
     paired.join(reps, Seq("rd", "rp", "rd2", "rp2"))
@@ -165,6 +175,141 @@ object SuffixDedup {
         expr("coalesce(covered_tokens, 0) * 1000000" +
           " div (CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END)")
           .as("dup_ppm"))
+  }
+
+  /** Exact-substring TRIMMING at suffix-index precision — the
+    * transformation half of ExactSubstr dedup (the [[dupSpans]] signal
+    * decides, this edits): every token position covered by ANY duplicated
+    * `minLen`-window (≥ 2 occurrences anywhere, same-doc repeats
+    * included) is removed, and each doc's text is rebuilt from the
+    * surviving tokens in order. The no-hashing sibling of
+    * [[Dedup.trimDuplicatedSpans]] (which keys on materialized gram
+    * strings and cross-document frequency only).
+    *
+    * Output: (idCol, clean_text, n_kept) for EVERY doc.
+    * Scale: covered positions explode ×minLen off the dup-start stream,
+    * the anti-join and per-doc ordered rebuild are (id, pos)-keyed — the
+    * q60 rebuild shape.
+    */
+  def trimDupSpans(docs: DataFrame, minLen: Int = 8, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val covered = dupWindowPositions(docs, minLen, idCol, textCol)
+      .select(col("d"), explode(sequence(col("p"),
+        col("p") + (minLen - 1))).as("p"))
+      .distinct()
+    val toksPos = docs
+      .select(col(idCol).cast("long").as("d"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__p0", "token")))
+      .select(col("d"), (col("__p0") + 1).cast("long").as("p"), col("token"))
+    val kept = toksPos.join(covered, Seq("d", "p"), "left_anti")
+    val rebuilt = kept.groupBy("d")
+      .agg(collect_list(struct(col("p"), col("token"))).as("__kt"))
+      .select(col("d"),
+        concat_ws(" ", transform(array_sort(col("__kt")), s => s("token")))
+          .as("clean_text"),
+        size(col("__kt")).cast("long").as("n_kept"))
+    docs.select(col(idCol).cast("long").as("d"))
+      .join(rebuilt, Seq("d"), "left")
+      .select(col("d").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** The LONGEST exactly-duplicated token span in the corpus — the
+    * suffix-array "longest repeated substring" readout, at token
+    * granularity and corpus scale: λ* = max λ such that some λ-token
+    * window occurs ≥ 2 times (any document, any position), plus the
+    * winning window's representative, support, and text. 1-row output.
+    *
+    * HOW: climb power-of-two depths (each level a [[refine]] of the
+    * previous — levels stop when the relation empties or loses its last
+    * duplicated class), then binary-search λ between the last-duplicated
+    * and first-clean depths; each probe assembles rank-at-λ by exact
+    * CONCATENATION of the precomputed levels along λ's set bits (O(log λ)
+    * combines — never a fresh doubling chain per probe). Driver-side
+    * actions are one boolean per level/probe (the q55 fixpoint-check
+    * posture); everything data-sized stays distributed.
+    *
+    * `capLog2` bounds the climb (2^capLog2 tokens); a corpus whose
+    * longest repeat exceeds the cap reports λ* = 2^capLog2 (documented
+    * saturation — raise the cap for pathological corpora).
+    */
+  def longestRepeat(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", capLog2: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val emptyRow = spark.range(1).select(
+      lit(0L).as("max_dup_tokens"),
+      lit(null).cast("long").as("rep_doc"),
+      lit(null).cast("long").as("rep_start"),
+      lit(null).cast("long").as("n_occ"),
+      lit(null).cast("long").as("n_docs"),
+      lit(null).cast("string").as("repeat_text"))
+
+    val toks = docs.select(col(idCol).cast("long").as("d"),
+      TextAnalysis.tokens(col(textCol)).as("__ws"))
+    val tokPos = toks
+      .select(col("d"), posexplode(col("__ws")).as(Seq("__p0", "tok")))
+      .select(col("d"), (col("__p0") + 1).cast("long").as("p"), col("tok"))
+    val r1 = tokPos
+      .join(tokPos.groupBy("tok")
+        .agg(min(struct(col("d"), col("p"))).as("__rep")), Seq("tok"))
+      .select(col("d"), col("p"),
+        col("__rep.d").as("rd"), col("__rep.p").as("rp"))
+      .localCheckpoint(true)
+
+    def hasDup(r: DataFrame): Boolean =
+      !r.groupBy("rd", "rp").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).isEmpty
+
+    if (!hasDup(r1)) emptyRow
+    else {
+      // climb: levels(i) holds the depth-2^i relation
+      val levels = scala.collection.mutable.Map(0 -> r1)
+      var lo = 1 // largest depth KNOWN duplicated
+      var hi = -1 // smallest depth KNOWN clean (-1 = not yet found)
+      var i = 0
+      while (hi < 0 && i < capLog2) {
+        val next = refine(levels(i), 1 << i)
+        if (next.isEmpty || !hasDup(next)) hi = 1 << (i + 1)
+        else { levels(i + 1) = next; lo = 1 << (i + 1); i += 1 }
+      }
+      // rank at arbitrary depth λ: concatenate precomputed levels along
+      // λ's set bits, most-significant first (shift = accumulated depth
+      // each step — exact concatenation, no overlap requirement)
+      def rankAt(lambda: Int): DataFrame =
+        if ((lambda & (lambda - 1)) == 0)
+          levels(java.lang.Integer.numberOfTrailingZeros(lambda))
+        else {
+          val bits = (capLog2 to 0 by -1).filter(b => (lambda & (1 << b)) != 0)
+          var cur = levels(bits.head)
+          var depth = 1 << bits.head
+          bits.tail.foreach { b =>
+            cur = combine(cur, levels(b), depth)
+            depth += 1 << b
+          }
+          cur
+        }
+      if (hi > 0) {
+        while (hi - lo > 1) {
+          val mid = (lo + hi) / 2
+          if (hasDup(rankAt(mid))) lo = mid else hi = mid
+        }
+      }
+      // else: saturated at the cap with duplication still present —
+      // report λ* = lo = 2^capLog2 (documented saturation)
+      val rStar = rankAt(lo)
+      val classes = rStar.groupBy("rd", "rp")
+        .agg(count(lit(1)).as("n_occ"), count_distinct(col("d")).as("n_docs"))
+        .filter(col("n_occ") >= 2)
+      val winner = rStar.join(classes, Seq("rd", "rp"))
+        .orderBy(col("d"), col("p")).limit(1)
+      winner.join(toks, winner("d") === toks("d"))
+        .select(lit(lo.toLong).as("max_dup_tokens"),
+          winner("d").as("rep_doc"), col("p").as("rep_start"),
+          col("n_occ"), col("n_docs"),
+          array_join(slice(col("__ws"), col("p").cast("int"), lit(lo)), " ")
+            .as("repeat_text"))
+    }
   }
 
   /** The `topK` most-repeated exact `minLen`-token windows: the window's

@@ -371,6 +371,46 @@ object Streams {
       .select(col("w.start").cast("date").as("day"), col("u"))
   }
 
+  /** Streaming daily per-user value mass — the emitter feeding the
+    * concentration monitor (q366): per closed DAILY tumbling window, one
+    * row per (day, user) with the user's summed integer-cent value.
+    * Group masses MERGE BY ADDITION across windows, so the per-user
+    * totals (and from them Gini/HHI) are a pure function of the stored
+    * closed windows — the mergeable-sufficient-statistic discipline every
+    * FromCounts readout relies on. Mode-adaptive (the same window
+    * aggregate runs batch); the q353-family oracle pins the readout.
+    * Null values drop here exactly as the batch operator drops them.
+    */
+  def userValueDaily(events: DataFrame, userCol: String = "user_id",
+                     watermark: String = "1 day"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+              else events
+    src.filter(col("value").isNotNull)
+      .groupBy(window(col("ts"), "1 day").as("w"), col(userCol).as("u"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .select(col("w.start").cast("date").as("day"), col("u"), col("cents"))
+  }
+
+  /** Streaming daily Benford digit census — the emitter feeding the
+    * fabricated-data screen (q367): per closed DAILY window, one row per
+    * leading digit with its count over positive integer-cent values
+    * (same cents convention and same digit rule as the batch
+    * [[graft.ext.Quality.benfordAudit]]). Digit counts add across
+    * windows — 9 counters per window of state, nothing else.
+    */
+  def digitCountsDaily(events: DataFrame,
+                       watermark: String = "1 day"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+              else events
+    src.select(col("ts"), expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .filter(col("v") > 0)
+      .select(col("ts"),
+        expr("CAST(substring(CAST(v AS STRING), 1, 1) AS BIGINT)").as("digit"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("date").as("day"), col("digit"), col("n"))
+  }
+
   /** Streaming exact dedup: drops events whose `idCol` was already seen,
     * with state bounded by the watermark — the streaming face of the batch
     * exact-dedup operator (Dedup.exactDedup) for at-least-once sources

@@ -159,6 +159,73 @@ class RankStatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("friedman: perfect consistency reads n(k-1); hand tie value; all-tied reads NULL") {
+    // 2 blocks × 3 treatments, A<B<C in both blocks → Fr = n(k−1) = 4
+    val perfect = df("b STRING, j STRING, v BIGINT", Seq(
+      Row("b1", "A", 1L), Row("b1", "B", 2L), Row("b1", "C", 3L),
+      Row("b2", "A", 4L), Row("b2", "B", 5L), Row("b2", "C", 6L)))
+    val p = RankStats.friedman(perfect, col("b"), col("j"), col("v")).head()
+    assert((p.getLong(0), p.getLong(1)) == ((2L, 3L)))
+    assert(p.getLong(2) == 4000000L && p.getLong(3) == 4000000L)
+    // block2 fully tied: R2 = (6,8,10), A = 200 → Fr = 1.0; T = 24,
+    // D = 48 → Fr_tie = 1e6·48 div 24 ... = 2.0
+    val tied = df("b STRING, j STRING, v BIGINT", Seq(
+      Row("b1", "A", 1L), Row("b1", "B", 2L), Row("b1", "C", 3L),
+      Row("b2", "A", 5L), Row("b2", "B", 5L), Row("b2", "C", 5L)))
+    val t = RankStats.friedman(tied, col("b"), col("j"), col("v")).head()
+    assert(t.getLong(2) == 1000000L && t.getLong(3) == 2000000L)
+    val allTied = df("b STRING, j STRING, v BIGINT", Seq(
+      Row("b1", "A", 7L), Row("b1", "B", 7L), Row("b1", "C", 7L),
+      Row("b2", "A", 9L), Row("b2", "B", 9L), Row("b2", "C", 9L)))
+    val a = RankStats.friedman(allTied, col("b"), col("j"), col("v")).head()
+    assert(a.getLong(2) == 0L && a.isNullAt(3))
+  }
+
+  test("friedman: missing cells grid-fill with fillValue; repeated rows sum first") {
+    // block b2 has no C row → filled 0, ranking (0, 5, 6) → C lowest...
+    // wait: filled C = 0 ranks FIRST in b2. Mirror by hand:
+    // b1 ranks: A=1,B=2,C=3 (r2 = 2,4,6); b2: C=0→r2=2, A=5→4, B=6→6
+    // R2: A=6, B=10, C=8 → A=36+100+64=200 → Fr = 1.0, no ties
+    val sparse = df("b STRING, j STRING, v BIGINT", Seq(
+      Row("b1", "A", 1L), Row("b1", "B", 2L), Row("b1", "C", 3L),
+      Row("b2", "A", 5L), Row("b2", "B", 6L)))
+    val s = RankStats.friedman(sparse, col("b"), col("j"), col("v")).head()
+    assert(s.getLong(2) == 1000000L && s.getLong(3) == 1000000L)
+    // two rows for the same cell SUM before ranking (count-panel input)
+    val dup = df("b STRING, j STRING, v BIGINT", Seq(
+      Row("b1", "A", 1L), Row("b1", "A", 2L), Row("b1", "B", 4L),
+      Row("b2", "A", 1L), Row("b2", "B", 2L)))
+    // b1: A=3 < B=4; b2: A=1 < B=2 → perfect consistency, Fr = n(k−1) = 2
+    val d2 = RankStats.friedman(dup, col("b"), col("j"), col("v")).head()
+    assert(d2.getLong(2) == 2000000L)
+  }
+
+  test("cochranQ: hand panel; degenerate all-success reads NULL") {
+    // C = (4,2,1), N = 7, ΣR² = 15, k = 3 →
+    // Q = 2·(3·21 − 49)/(3·7 − 15) = 28/6 → 4666666 ppm
+    val rows = Seq(
+      Row("u1", "A", true), Row("u1", "B", true), Row("u1", "C", false),
+      Row("u2", "A", true), Row("u2", "B", false), Row("u2", "C", false),
+      Row("u3", "A", true), Row("u3", "B", true), Row("u3", "C", true),
+      Row("u4", "A", true), Row("u4", "B", false), Row("u4", "C", false))
+    val r = RankStats.cochranQ(df("b STRING, j STRING, s BOOLEAN", rows),
+      col("b"), col("j"), col("s")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 3L, 7L)))
+    assert(r.getLong(3) == 4666666L)
+    // every block all-success → denominator 0 → NULL
+    val allOn = df("b STRING, j STRING, s BOOLEAN", Seq(
+      Row("u1", "A", true), Row("u1", "B", true),
+      Row("u2", "A", true), Row("u2", "B", true)))
+    assert(RankStats.cochranQ(allOn, col("b"), col("j"), col("s"))
+      .head().isNullAt(3))
+    // multiple rows per cell OR together (any success counts)
+    val ored = df("b STRING, j STRING, s BOOLEAN", Seq(
+      Row("u1", "A", false), Row("u1", "A", true), Row("u1", "B", false),
+      Row("u2", "A", false), Row("u2", "B", false)))
+    val o = RankStats.cochranQ(ored, col("b"), col("j"), col("s")).head()
+    assert(o.getLong(2) == 1L) // exactly one success after the OR
+  }
+
   test("twoByTwo: textbook OR/RR/risk-diff; zero cells NULL the right ratios") {
     // exposed: 10 hits / 10 misses; unexposed: 5 hits / 15 misses
     // OR = 10·15/(10·5) = 3.0; RR = (10/20)/(5/20) = 2.0; RD = 0.25

@@ -139,6 +139,69 @@ class SuffixDedupSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("longestRepeat: exact max dup length, representative, support, text") {
+    val ten = (1 to 10).map(i => s"L$i").mkString(" ")
+    val seven = (1 to 7).map(i => s"S$i").mkString(" ")
+    val corpus = Seq(
+      2L -> s"pre1 $ten post1 $seven",
+      1L -> s"$seven x1 x2",
+      3L -> s"y1 $ten")
+    val r = SuffixDedup.longestRepeat(docs(corpus: _*)).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    // λ* = 10; winner class rep = min (doc,pos) among dup positions at
+    // depth 10 — doc 2 pos 2 (doc 1's seven-block is only depth 7)
+    assert(row.getLong(0) == 10L)
+    assert((row.getLong(1), row.getLong(2)) == ((2L, 2L)))
+    assert(row.getLong(3) == 2L && row.getLong(4) == 2L)
+    assert(row.getString(5) == ten)
+  }
+
+  test("longestRepeat: no duplication at all reads 0/NULLs; equal docs read full length") {
+    val uniq = docs(1L -> "a b c", 2L -> "d e f")
+    val r0 = SuffixDedup.longestRepeat(uniq).collect()(0)
+    assert(r0.getLong(0) == 0L && r0.isNullAt(1) && r0.isNullAt(5))
+    // two identical 9-token docs: λ* = 9 (power-of-two + combine path)
+    val nine = (1 to 9).map(i => s"t$i").mkString(" ")
+    val eq = docs(1L -> nine, 2L -> nine)
+    val r9 = SuffixDedup.longestRepeat(eq).collect()(0)
+    assert(r9.getLong(0) == 9L && r9.getLong(1) == 1L && r9.getLong(2) == 1L)
+    assert(r9.getLong(3) == 2L && r9.getLong(4) == 2L)
+  }
+
+  test("longestRepeat: matches brute force on a deterministic random corpus") {
+    val rnd = new scala.util.Random(11)
+    val planted = (1 to 13).map(i => s"P$i").mkString(" ")
+    val corpus = (1L to 10L).map { id =>
+      val words = Seq.fill(25)(s"w${rnd.nextInt(6)}").mkString(" ")
+      id -> (if (id % 4 == 0) s"$words $planted" else words)
+    }
+    val toks = corpus.map { case (_, t) => t.split(" ").toSeq }
+    def dupAt(l: Int): Boolean = {
+      val seen = scala.collection.mutable.Set.empty[Seq[String]]
+      var dup = false
+      for (ws <- toks; p <- 0 to ws.length - l if !dup)
+        if (!seen.add(ws.slice(p, p + l))) dup = true
+      dup
+    }
+    val expected = (1 to 30).filter(dupAt).maxOption.getOrElse(0)
+    val got = SuffixDedup.longestRepeat(docs(corpus: _*)).collect()(0).getLong(0)
+    assert(got == expected.toLong && expected >= 13)
+  }
+
+  test("trimDupSpans: duplicated-window tokens removed, order preserved, all docs emitted") {
+    val shared = "a b c d e f g h"
+    val corpus = Seq(
+      1L -> s"k1 k2 $shared k3",
+      2L -> s"$shared k4 k5",
+      3L -> "nothing shared in this doc at all here")
+    val r = SuffixDedup.trimDupSpans(docs(corpus: _*), minLen = 8)
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2)))).toMap
+    assert(r(1L) == (("k1 k2 k3", 3L)))
+    assert(r(2L) == (("k4 k5", 2L)))
+    assert(r(3L) == (("nothing shared in this doc at all here", 8L)))
+  }
+
   test("dupSpans: docs shorter than minLen and null text are silently excluded") {
     val corpus = Seq(1L -> "a b c", 2L -> "a b c d e f g h", 3L -> "a b c d e f g h")
     val withNull = docs(corpus: _*).unionByName(

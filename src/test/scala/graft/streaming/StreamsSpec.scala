@@ -1278,6 +1278,67 @@ class StreamsSpec extends SparkSpec {
       assert(byDay("2024-01-04") == 1L)
     } finally q.stop()
   }
+
+  // batch twins: q366_concentration_stream / q367_benford_stream — the
+  // same emitters on a bounded frame, oracle-verified against the
+  // q353/q354-family readouts
+  test("userValueDaily / digitCountsDaily closed windows feed concentration + Benford ≡ batch paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val memV = MemoryStream[Streams.Event]
+    val memD = MemoryStream[Streams.Event]
+    val qv = Streams.userValueDaily(memV.toDF())
+      .writeStream.format("memory").queryName("user_value_daily")
+      .outputMode(OutputMode.Append).start()
+    val qd = Streams.digitCountsDaily(memD.toDF())
+      .writeStream.format("memory").queryName("digit_counts_daily")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 spans two days (mass must ADD across windows), digit 1
+      // recurs on both days (digit counts must ADD), value 0.004 rounds
+      // to 0 cents (excluded from Benford, a 0-mass contribution to
+      // concentration), user 3 carries a sub-cent-only day
+      val ins = Seq(
+        Streams.Event(1, ts("2024-01-01 09:00:00"), 1, "click", 1.23),
+        Streams.Event(2, ts("2024-01-01 10:00:00"), 1, "click", 17.50),
+        Streams.Event(3, ts("2024-01-01 11:00:00"), 2, "view", 9.99),
+        Streams.Event(4, ts("2024-01-01 12:00:00"), 3, "view", 0.004),
+        Streams.Event(5, ts("2024-01-02 09:00:00"), 1, "click", 102.00),
+        Streams.Event(6, ts("2024-01-02 10:00:00"), 2, "click", 1.05),
+        Streams.Event(7, ts("2024-01-02 11:00:00"), 3, "click", 55.00)
+      ) :+ Streams.Event(99, ts("2024-01-04 12:00:00"), 9, "view", 1.0) // pusher
+      memV.addData(ins: _*); qv.processAllAvailable()
+      memD.addData(ins: _*); qd.processAllAvailable()
+      val closedEvents = ins.filter(
+        _.ts.getTime < ts("2024-01-04 00:00:00").getTime)
+      // concentration: stream-fed mass merge ≡ batch operator (q353 shape)
+      val massStream = spark.table("user_value_daily")
+        .groupBy(col("u").as("g")).agg(sum("cents").as("x"))
+      assertSameRows(
+        graft.ext.Quality.concentrationFromMass(massStream),
+        graft.ext.Quality.concentrationReport(closedEvents.toDF(), "user_id",
+          expr("CAST(round(value * 100) AS BIGINT)")))
+      // hand value: masses are {1: 12073, 2: 1104, 3: 5500} cents... plus
+      // user 3's day-1 row contributes 0 — check the totals line up
+      val m = massStream.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m == Map(1L -> 12073L, 2L -> 1104L, 3L -> 5500L))
+      // Benford: stream-fed digit merge ≡ batch operator (q354 shape);
+      // the 0-cent row must be excluded on both sides
+      assertSameRows(
+        graft.ext.Quality.benfordFromDigitCounts(
+          spark.table("digit_counts_daily")
+            .groupBy("digit").agg(sum("n").as("n_obs"))),
+        graft.ext.Quality.benfordAudit(closedEvents.toDF(),
+          expr("CAST(round(value * 100) AS BIGINT)")))
+      // digit 1 must have accumulated across BOTH days (123, 1750, 10200,
+      // 105 → 4 observations)
+      val d1 = spark.table("digit_counts_daily")
+        .groupBy("digit").agg(sum("n").as("n_obs")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(d1(1L) == 4L && d1(9L) == 1L && d1(5L) == 1L)
+    } finally { qv.stop(); qd.stop() }
+  }
 }
 
 /** MemoryStream row for the embedding-moments twin (top-level for the
