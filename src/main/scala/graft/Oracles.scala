@@ -4067,6 +4067,43 @@ object Oracles {
        |FROM common JOIN sizes na ON na.id = ia JOIN sizes nb ON nb.id = ib
        |WHERE 1000 * c >= $tPermille * (na.n + nb.n - c)""".stripMargin
 
+  /** q372: setsim pruning audit — the q113 shingle/df/prefix derivation
+    * with three moment aggregates instead of the join; `//` floor matches
+    * the engine's integral div (all operands non-negative).
+    */
+  def setSimAudit(tPermille: Int, mod: Int): String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents
+       |  WHERE length(text) >= 3 AND doc_id % $mod = 0),
+       |sh AS (SELECT DISTINCT doc_id AS id, unnest(list_transform(
+       |  generate_series(1, length(text) - 2),
+       |  i -> substring(text, CAST(i AS INTEGER), 3))) AS tok FROM d),
+       |sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY 1),
+       |ranked AS (
+       |  SELECT s.id, s.tok, nn.n,
+       |    ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY f.df, s.tok) AS pos
+       |  FROM sh s JOIN df f USING (tok) JOIN sizes nn ON nn.id = s.id),
+       |pfx AS (SELECT id, tok FROM ranked
+       |  WHERE pos <= n - ($tPermille * n + 999) // 1000 + 1),
+       |pc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM pfx GROUP BY 1),
+       |a1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sizes),
+       |a2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  COALESCE(SUM(df::HUGEINT * (df - 1)), 0) // 2 AS naive_pairs FROM df),
+       |a3 AS (SELECT COALESCE(SUM(c::HUGEINT * (c - 1)), 0) // 2 AS prefix_pairs FROM pc)
+       |SELECT a1.n_docs, a2.n_tokens,
+       |  CAST(a2.naive_pairs AS BIGINT) AS naive_pairs,
+       |  CAST(a3.prefix_pairs AS BIGINT) AS prefix_pairs,
+       |  CAST(a1.n_docs::HUGEINT * (a1.n_docs - 1) // 2 AS BIGINT) AS all_pairs,
+       |  CASE WHEN a1.n_docs < 2 THEN CAST(NULL AS BIGINT)
+       |       ELSE CAST(a2.naive_pairs * 2000000
+       |              // (a1.n_docs::HUGEINT * (a1.n_docs - 1)) AS BIGINT)
+       |  END AS naive_ppm,
+       |  CASE WHEN a1.n_docs < 2 THEN CAST(NULL AS BIGINT)
+       |       ELSE CAST(a3.prefix_pairs * 2000000
+       |              // (a1.n_docs::HUGEINT * (a1.n_docs - 1)) AS BIGINT)
+       |  END AS prefix_ppm
+       |FROM a1, a2, a3""".stripMargin
+
   /** Mirrors Funnel.transitionCounts: per-user lead() with the event_id
     * tie-break, |types|²-bounded count aggregate, 6-decimal conditional
     * probability.

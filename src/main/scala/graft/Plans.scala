@@ -1609,7 +1609,13 @@ object Plans {
     "q371_cochran_q" ->
       """Cochran's Q: one map-combined (block,treatment) max-aggregate,
         |then one blocks-sized and one treatments-sized moment aggregate
-        |cross-joined broadcast — no windows at all. 1-row output.""".stripMargin)
+        |cross-joined broadcast — no windows at all. 1-row output.""".stripMargin,
+    "q372_setsim_audit" ->
+      """Setsim pruning audit: the q113 token/df/prefix derivation (df
+        |aggregate + per-doc rank window) capped by THREE scalar moment
+        |aggregates — candidate masses from df moments, never a pair
+        |generated. The audit that decides whether q113's join is safe
+        |to run on a given corpus.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

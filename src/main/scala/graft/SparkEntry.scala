@@ -3787,7 +3787,17 @@ object SparkEntry {
       graft.ext.RankStats.cochranQ(
         Tables.events(s, d).groupBy(col("user_id"), col("event_type"))
           .agg(count(lit(1)).as("n")),
-        col("user_id"), col("event_type"), col("n") >= 15))
+        col("user_id"), col("event_type"), col("n") >= 15)),
+
+    // setsim pre-flight pruning audit on q113's exact input: candidate
+    // mass of naive vs prefix-filtered token joins vs the n² floor,
+    // WITHOUT running any join — the "is this corpus Zipfian enough for
+    // PPJoin" check (motivated by the measured sf1 anti-Zipfian blowup)
+    "q372_setsim_audit" -> ((s, d) =>
+      graft.ext.SetSim.pruningAudit(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+        tPermille = 600,
+        tokens = graft.functions.ShingleFunctions.shingleStrings))
   )
 
   /** The paired ranking relation shared by q346: each panel query's exact
@@ -4276,6 +4286,7 @@ object SparkEntry {
     "q368_longest_repeat" -> Oracles.longestRepeat,
     "q369_substr_trim" -> Oracles.substrTrim(8),
     "q370_friedman" -> Oracles.friedman,
-    "q371_cochran_q" -> Oracles.cochranQ
+    "q371_cochran_q" -> Oracles.cochranQ,
+    "q372_setsim_audit" -> Oracles.setSimAudit(600, 10)
   )
 }

@@ -55,22 +55,8 @@ object SetSim {
                   textCol: String = "text",
                   tokens: Column => Column =
                     c => array_distinct(TextAnalysis.tokens(c))): DataFrame = {
-    require(tPermille >= 1 && tPermille <= 1000,
-      s"tPermille out of [1, 1000]: $tPermille")
-    // distinct tokens per doc — SET semantics, repeats collapse
-    val toks = docs
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-    val tokDf = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
-    // rank tokens inside each doc rarest-first; prefix length
-    // n − ⌈t·n⌉ + 1 (integer ceiling: (t·n + 999) div 1000)
-    val ranked = toks.join(tokDf, "tok")
-      .withColumn("pos",
-        row_number().over(Window.partitionBy("id").orderBy(col("df"), col("tok"))))
-      .join(sizes, "id")
-    val prefix = ranked
-      .filter(col("pos") <= col("n") - expr(s"($tPermille * n + 999) div 1000") + 1)
-      .select(col("id"), col("tok"), col("pos"), col("n"))
+    val (toks, _, sizes, prefix) =
+      tokenPrefix(docs, tPermille, idCol, textCol, tokens)
     // PPJoin positional refinement: a meet at prefix positions (pa, pb)
     // bounds the overlap by 1 + min(n_a − pa, n_b − pb); the pair can
     // reach Jaccard ≥ t only if that bound clears the threshold's
@@ -105,5 +91,83 @@ object SetSim {
       .select(col("id_a"), col("id_b"),
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6)
           .as("jaccard"))
+  }
+
+  /** The shared token/df/prefix derivation: (toks, tokDf, sizes, prefix).
+    * Tokens are SET elements per doc; the prefix is rarest-first with the
+    * (df, token) total order both engines reproduce.
+    */
+  private def tokenPrefix(docs: DataFrame, tPermille: Int, idCol: String,
+                          textCol: String, tokens: Column => Column)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(tPermille >= 1 && tPermille <= 1000,
+      s"tPermille out of [1, 1000]: $tPermille")
+    // distinct tokens per doc — SET semantics, repeats collapse
+    val toks = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+    val tokDf = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    // rank tokens inside each doc rarest-first; prefix length
+    // n − ⌈t·n⌉ + 1 (integer ceiling: (t·n + 999) div 1000)
+    val ranked = toks.join(tokDf, "tok")
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("id").orderBy(col("df"), col("tok"))))
+      .join(sizes, "id")
+    val prefix = ranked
+      .filter(col("pos") <= col("n") - expr(s"($tPermille * n + 999) div 1000") + 1)
+      .select(col("id"), col("tok"), col("pos"), col("n"))
+    (toks, tokDf, sizes, prefix)
+  }
+
+  /** Pre-flight pruning-effectiveness audit — the diagnostic a pipeline
+    * runs BEFORE unleashing [[jaccardJoin]] on a corpus (motivated by a
+    * measured blow-up: a synthetic anti-Zipfian corpus whose ~400-shingle
+    * universe put every token in every prefix, driving candidate mass to
+    * ~n², where Zipfian natural text prunes it to a vanishing fraction).
+    * Reports, WITHOUT running any join:
+    *
+    *   - `naive_pairs`  = Σ_tok df·(df−1)/2 — the candidate mass of a
+    *     plain token-keyed self-join (what a non-prefix-filtered plan
+    *     would generate; multiplicity-counted, so it can exceed
+    *     all_pairs many-fold);
+    *   - `prefix_pairs` = the same mass restricted to PREFIX tokens —
+    *     the candidate mass [[jaccardJoin]]'s equi-join actually feeds
+    *     its pair aggregate;
+    *   - `all_pairs`    = n_docs·(n_docs−1)/2, the quadratic floor;
+    *   - the two ppm ratios vs all_pairs. prefix_ppm near or above 10⁶
+    *     says "this corpus defeats prefix filtering — sample, shard, or
+    *     LSH instead"; the Zipfian-corpus healthy range is ≪ 10⁶.
+    *
+    * Scale shape: the [[tokenPrefix]] derivation (token-df aggregate +
+    * per-doc rank window) followed by THREE scalar aggregates — the
+    * audit costs one pass over the token stream, never a pair.
+    */
+  def pruningAudit(docs: DataFrame, tPermille: Int,
+                   idCol: String = "doc_id",
+                   textCol: String = "text",
+                   tokens: Column => Column =
+                     c => array_distinct(TextAnalysis.tokens(c))): DataFrame = {
+    val (_, tokDf, sizes, prefix) =
+      tokenPrefix(docs, tPermille, idCol, textCol, tokens)
+    val dAgg = tokDf.agg(count(lit(1)).as("n_tokens"),
+      expr("coalesce(CAST(sum(CAST(df AS DECIMAL(38,0)) * (df - 1)) / 2" +
+        " AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0)))").as("naive_pairs"))
+    val pAgg = prefix.groupBy("tok").agg(count(lit(1)).as("c"))
+      .agg(expr("coalesce(CAST(sum(CAST(c AS DECIMAL(38,0)) * (c - 1)) / 2" +
+        " AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0)))").as("prefix_pairs"))
+    val nAgg = sizes.agg(count(lit(1)).as("n_docs"))
+    nAgg.crossJoin(broadcast(dAgg)).crossJoin(broadcast(pAgg))
+      .select(col("n_docs"), col("n_tokens"),
+        expr("CAST(naive_pairs AS BIGINT)").as("naive_pairs"),
+        expr("CAST(prefix_pairs AS BIGINT)").as("prefix_pairs"),
+        expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) div 2" +
+          " AS BIGINT)").as("all_pairs"),
+        // ×2·10⁶ over the un-halved n(n−1) keeps every divisor integral
+        expr("CASE WHEN n_docs < 2 THEN NULL ELSE CAST(" +
+          "naive_pairs * 2000000 div (CAST(n_docs AS DECIMAL(38,0))" +
+          " * (n_docs - 1)) AS BIGINT) END").as("naive_ppm"),
+        expr("CASE WHEN n_docs < 2 THEN NULL ELSE CAST(" +
+          "prefix_pairs * 2000000 div (CAST(n_docs AS DECIMAL(38,0))" +
+          " * (n_docs - 1)) AS BIGINT) END").as("prefix_ppm"))
   }
 }

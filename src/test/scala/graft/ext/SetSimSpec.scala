@@ -64,4 +64,35 @@ class SetSimSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
       s"quadratic join in plan:\n$plan")
   }
+
+  test("pruningAudit: hand-computed candidate masses; degenerate 1-doc corpus NULLs the ppms") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b x y"), (3L, "z w"))
+      .toDF("doc_id", "text")
+    // df: a=2 b=2, others 1. Prefixes at t=500 (len n − ⌈n/2⌉ + 1):
+    // d1 → {c,d,a}, d2 → {x,y,a}, d3 → {w,z} (full). Prefix mass: only
+    // 'a' meets twice → 1 pair. Naive mass: a and b → 2 pairs.
+    val r = SetSim.pruningAudit(df, tPermille = 500).head()
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 8L)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((2L, 1L, 3L)))
+    assert(r.getLong(5) == 666666L && r.getLong(6) == 333333L)
+    val one = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val r1 = SetSim.pruningAudit(one, 500).head()
+    assert(r1.getLong(0) == 1L && r1.isNullAt(5) && r1.isNullAt(6))
+  }
+
+  test("pruningAudit: the audit predicts the anti-Zipfian blowup the join would hit") {
+    import spark.implicits._
+    // 40 docs over a 4-token universe: every prefix token is corpus-wide
+    // → prefix mass ≈ all-pairs scale (the q113-at-sf1 signature)
+    val bad = (1L to 40L).map(i => (i, "aa bb cc dd")).toDF("doc_id", "text")
+    val rb = SetSim.pruningAudit(bad, 600).head()
+    assert(rb.getLong(6) >= 1000000L, s"expected saturated prefix_ppm, got $rb")
+    // 40 docs with unique-ish rare tokens → prefix mass collapses
+    val good = (1L to 40L).map(i =>
+      (i, s"u$i v$i w$i of and")).toDF("doc_id", "text")
+    val rg = SetSim.pruningAudit(good, 600).head()
+    assert(rg.getLong(6) < rb.getLong(6) / 10,
+      s"expected pruned prefix_ppm, got good=$rg vs bad=$rb")
+  }
 }
