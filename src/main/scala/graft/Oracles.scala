@@ -4104,6 +4104,39 @@ object Oracles {
        |  END AS prefix_ppm
        |FROM a1, a2, a3""".stripMargin
 
+  /** q373: Brown–Forsythe — exact lower medians via the by-value running
+    * window, integer deviations, HUGEINT moments; the per-group floor
+    * ⌊S_g²·10⁶/n_g⌋ mirrors the engine's deliberate common-denominator
+    * device.
+    */
+  val brownForsythe: String =
+    """WITH cells AS (
+      |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |byv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      |        FROM cells GROUP BY 1, 2),
+      |cum AS (SELECT g, v, cnt,
+      |          SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+      |          SUM(cnt) OVER (PARTITION BY g) AS n
+      |        FROM byv),
+      |med AS (SELECT g, v AS med FROM cum
+      |        WHERE cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum),
+      |dev AS (SELECT c.g, abs(c.v - m.med) AS d
+      |        FROM cells c JOIN med m USING (g)),
+      |pg AS (SELECT g, COUNT(*)::HUGEINT AS n_g, SUM(d::HUGEINT) AS s,
+      |         SUM(d::HUGEINT * d) AS s2
+      |       FROM dev GROUP BY 1),
+      |agg AS (SELECT COUNT(*)::HUGEINT AS k, SUM(n_g) AS n, SUM(s) AS stot,
+      |          SUM(s2) AS s2tot, SUM(s * s * 1000000 // n_g) AS a
+      |        FROM pg)
+      |SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_rows,
+      |  CASE WHEN k < 2 OR n <= k OR s2tot * 1000000 - a = 0
+      |       THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST((a - stot * stot * 1000000 // n) * (n - k) * 1000000
+      |              // ((s2tot * 1000000 - a) * (k - 1)) AS BIGINT)
+      |  END AS f_ppm
+      |FROM agg""".stripMargin
+
   /** Mirrors Funnel.transitionCounts: per-user lead() with the event_id
     * tie-break, |types|²-bounded count aggregate, 6-decimal conditional
     * probability.

@@ -1615,7 +1615,13 @@ object Plans {
         |aggregate + per-doc rank window) capped by THREE scalar moment
         |aggregates — candidate masses from df moments, never a pair
         |generated. The audit that decides whether q113's join is safe
-        |to run on a given corpus.""".stripMargin)
+        |to run on a given corpus.""".stripMargin,
+    "q373_brown_forsythe" ->
+      """Brown–Forsythe: exact per-group lower median (by-value collapse
+        |+ group-partitioned running window — distinct values only),
+        |deviation join (narrow), one map-combined 3-moment aggregate
+        |per group, k-sized reduce. 1-row output; no BIGINT quotient
+        |anywhere.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -3797,7 +3797,14 @@ object SparkEntry {
       graft.ext.SetSim.pruningAudit(
         Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
         tPermille = 600,
-        tokens = graft.functions.ShingleFunctions.shingleStrings))
+        tokens = graft.functions.ShingleFunctions.shingleStrings)),
+
+    // Brown–Forsythe: do the event types differ in value SPREAD (median-
+    // centered robust Levene) — the scale-difference companion to q344's
+    // location question, exact rational F in ppm
+    "q373_brown_forsythe" -> ((s, d) =>
+      graft.ext.RankStats.brownForsythe(Tables.events(s, d),
+        col("event_type"), expr("CAST(round(value * 100) AS BIGINT)")))
   )
 
   /** The paired ranking relation shared by q346: each panel query's exact
@@ -4287,6 +4294,7 @@ object SparkEntry {
     "q369_substr_trim" -> Oracles.substrTrim(8),
     "q370_friedman" -> Oracles.friedman,
     "q371_cochran_q" -> Oracles.cochranQ,
-    "q372_setsim_audit" -> Oracles.setSimAudit(600, 10)
+    "q372_setsim_audit" -> Oracles.setSimAudit(600, 10),
+    "q373_brown_forsythe" -> Oracles.brownForsythe
   )
 }

@@ -449,6 +449,58 @@ object RankStats {
           " AS BIGINT) END").as("fr_tie_ppm"))
   }
 
+  /** Brown–Forsythe test (Brown & Forsythe 1974, public literature) —
+    * variance-homogeneity across k groups, the robust Levene variant
+    * centered on MEDIANS: "do these groups differ in SPREAD" (is one
+    * pipeline's latency wider, one source's price dispersion larger) —
+    * the scale-difference companion to [[kruskalWallis]]'s location
+    * question. Centers are the exact lower medians ([[Quality
+    * .lowerMedianBy]] — a value FROM the data, integer for integer
+    * inputs), deviations d = |x − med_g| stay integer, and the one-way
+    * F on deviations is an exact rational: with per-group floors
+    * a_g = ⌊S_g²·10⁶/n_g⌋ (DELIBERATE, mirrored by the oracle — the
+    * q344 common-denominator device), SSB·10⁶ = Σa_g − ⌊S²·10⁶/N⌋,
+    * SSW·10⁶ = Σd²·10⁶ − Σa_g, and
+    * F·10⁶ = SSB·(N−k)·10⁶ div (SSW·(k−1)). Degenerate spread (SSW = 0)
+    * or shape (k < 2, N ≤ k) reads NULL.
+    *
+    * Envelope: every quotient rides DECIMAL(38,0) (remainder-subtracted
+    * divisions — no BIGINT div anywhere); the binding term is
+    * SSB·(N−k)·10⁶ ≤ N²·maxdev²·10⁶ — holds to N·maxdev ≈ 10¹⁶
+    * (10⁹ rows of 10⁷-cent deviations).
+    *
+    * Scale shape: the median is the by-value-collapsed window device
+    * (distinct values per group, never a global sort); deviations are
+    * one join + narrow map; then ONE map-combined 3-moment aggregate
+    * per group and a k-sized final reduce. 1-row output.
+    */
+  def brownForsythe(df: DataFrame, grpCol: Column, valueCol: Column): DataFrame = {
+    val cells = df.select(grpCol.as("g"), valueCol.as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val med = Quality.lowerMedianBy(cells, "g", "v", "med")
+    val dev = cells.join(med, Seq("g"))
+      .select(col("g"), abs(col("v") - col("med")).as("d"))
+    val perG = dev.groupBy("g").agg(count(lit(1)).as("n_g"),
+      expr("sum(CAST(d AS DECIMAL(38,0)))").as("s"),
+      expr("sum(CAST(d AS DECIMAL(38,0)) * d)").as("s2"))
+      .select(col("n_g"), col("s"), col("s2"),
+        expr("CAST((s * s * 1000000 - s * s * 1000000 % n_g) / n_g" +
+          " AS DECIMAL(38,0))").as("a_g"))
+    perG.agg(count(lit(1)).as("k"), sum("n_g").as("n"),
+        expr("sum(CAST(s AS DECIMAL(38,0)))").as("stot"),
+        expr("sum(CAST(s2 AS DECIMAL(38,0)))").as("s2tot"),
+        sum("a_g").as("a"))
+      .select(expr("CAST(k AS BIGINT)").as("k_groups"),
+        expr("CAST(n AS BIGINT)").as("n_rows"),
+        expr("CASE WHEN k < 2 OR n <= k" +
+          " OR s2tot * 1000000 - a = 0 THEN NULL ELSE CAST(" +
+          " (a - CAST((stot * stot * 1000000" +
+          "        - stot * stot * 1000000 % n) / n AS DECIMAL(38,0)))" +
+          " * (n - k) * 1000000" +
+          " div ((s2tot * 1000000 - a) * (k - 1)) AS BIGINT) END")
+          .as("f_ppm"))
+  }
+
   /** Cochran's Q (Cochran 1950, public literature) — the binary-outcome
     * member of the blocked-comparison family ([[friedman]] for ranks,
     * [[mcnemar]] is its k = 2 special case): "do k binary treatments

@@ -200,6 +200,32 @@ class RankStatsSpec extends SparkSpec {
     assert(d2.getLong(2) == 2000000L)
   }
 
+  test("brownForsythe: hand value; degenerate spread and single group read NULL") {
+    // A = {0, 10} (med 0, d = {0,10}), B = {5,5,5} (med 5, d = {0,0,0})
+    // SSB = 30, SSW = 50, F = (30/1)/(50/3) = 1.8 → 1800000 ppm
+    val rows = Seq(Row("A", 0L), Row("A", 10L),
+      Row("B", 5L), Row("B", 5L), Row("B", 5L))
+    val r = RankStats.brownForsythe(df("g STRING, v BIGINT", rows),
+      col("g"), col("v")).head()
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 5L)))
+    assert(r.getLong(2) == 1800000L)
+    // every group constant → SSW = 0 → NULL
+    val flat = df("g STRING, v BIGINT",
+      Seq(Row("A", 5L), Row("A", 5L), Row("B", 7L), Row("B", 7L)))
+    assert(RankStats.brownForsythe(flat, col("g"), col("v")).head().isNullAt(2))
+    // single group → NULL
+    val one = df("g STRING, v BIGINT", Seq(Row("A", 1L), Row("A", 9L)))
+    assert(RankStats.brownForsythe(one, col("g"), col("v")).head().isNullAt(2))
+  }
+
+  test("brownForsythe: layout-invariant under repartition") {
+    val rows = (1L to 200L).map(i => Row(s"g${i % 4}", (i * 37) % 23))
+    val d1 = df("g STRING, v BIGINT", rows)
+    val a = RankStats.brownForsythe(d1.repartition(1), col("g"), col("v")).head()
+    val b = RankStats.brownForsythe(d1.repartition(13), col("g"), col("v")).head()
+    assert(a == b && !a.isNullAt(2))
+  }
+
   test("cochranQ: hand panel; degenerate all-success reads NULL") {
     // C = (4,2,1), N = 7, ΣR² = 15, k = 3 →
     // Q = 2·(3·21 − 49)/(3·7 − 15) = 28/6 → 4666666 ppm
