@@ -1621,7 +1621,12 @@ object Plans {
         |+ group-partitioned running window — distinct values only),
         |deviation join (narrow), one map-combined 3-moment aggregate
         |per group, k-sized reduce. 1-row output; no BIGINT quotient
-        |anywhere.""".stripMargin)
+        |anywhere.""".stripMargin,
+    "q374_friedman_stream" ->
+      """Stream-fed Friedman: the q357 hourly-count emitter's closed
+        |windows re-aggregated into daily blocks (one tiny aggregate over
+        |keys×hours state), then the q370 readout. Grid/window costs are
+        |days×k-sized.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -3804,7 +3804,16 @@ object SparkEntry {
     // location question, exact rational F in ppm
     "q373_brown_forsythe" -> ((s, d) =>
       graft.ext.RankStats.brownForsythe(Tables.events(s, d),
-        col("event_type"), expr("CAST(round(value * 100) AS BIGINT)")))
+        col("event_type"), expr("CAST(round(value * 100) AS BIGINT)"))),
+
+    // stream-fed Friedman: the q370 panel re-read from the q357 hourly
+    // count emitter's closed windows — counts merge by addition into
+    // daily blocks, so the readout is a pure function of stored windows
+    // (same oracle as q370)
+    "q374_friedman_stream" -> ((s, d) =>
+      graft.ext.RankStats.friedman(
+        graft.streaming.Streams.decayedCountsHourly(Tables.events(s, d)),
+        to_date(col("hour")), col("key"), col("c")))
   )
 
   /** The paired ranking relation shared by q346: each panel query's exact
@@ -4295,6 +4304,7 @@ object SparkEntry {
     "q370_friedman" -> Oracles.friedman,
     "q371_cochran_q" -> Oracles.cochranQ,
     "q372_setsim_audit" -> Oracles.setSimAudit(600, 10),
-    "q373_brown_forsythe" -> Oracles.brownForsythe
+    "q373_brown_forsythe" -> Oracles.brownForsythe,
+    "q374_friedman_stream" -> Oracles.friedman
   )
 }

@@ -1339,6 +1339,36 @@ class StreamsSpec extends SparkSpec {
       assert(d1(1L) == 4L && d1(9L) == 1L && d1(5L) == 1L)
     } finally { qv.stop(); qd.stop() }
   }
+
+  // batch twin: q374_friedman_stream — the q370 readout re-blocked by day
+  // over the q357 hourly-count emitter (counts add into daily cells)
+  test("decayedCountsHourly closed windows feed the Friedman panel ≡ batch path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.decayedCountsHourly(mem.toDF(), "event_type")
+      .writeStream.format("memory").queryName("friedman_counts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val ins = (for {
+        day <- 1 to 3; h <- Seq(9, 15)
+        (tp, m) <- Seq("click" -> (day + 1), "view" -> 1, "buy" -> (4 - day))
+        k <- 1 to m
+      } yield Streams.Event(day * 1000 + h * 10 + k,
+        ts(f"2024-01-0$day $h%02d:00:00"), 1, tp, 1.0)) :+
+        Streams.Event(9999, ts("2024-01-06 12:00:00"), 9, "view", 1.0) // pusher
+      mem.addData(ins: _*); q.processAllAvailable()
+      val closedEvents = ins.filter(
+        _.ts.getTime < ts("2024-01-06 00:00:00").getTime)
+      val fromStream = graft.ext.RankStats.friedman(
+        spark.table("friedman_counts"),
+        to_date(col("hour")), col("key"), col("c"))
+      val fromBatch = graft.ext.RankStats.friedman(closedEvents.toDF(),
+        to_date(col("ts")), col("event_type"), lit(1L))
+      assertSameRows(fromStream, fromBatch)
+    } finally q.stop()
+  }
 }
 
 /** MemoryStream row for the embedding-moments twin (top-level for the
