@@ -276,6 +276,90 @@ class MultimodalSpec extends SparkSpec {
     assert(img.pixels.map(_ & 0xff).toSeq == px.toSeq)
   }
 
+  test("decodePng: RGBA and gray+alpha color types reconstruct exactly (ImageIO cross-check)") {
+    // hand-encode a 2×3 image in each remaining supported color type,
+    // one filter per row, and require both our decoder and the JDK's to
+    // read back the exact channel bytes
+    def encode(w: Int, h: Int, colorType: Int, bpp: Int, px: Array[Int],
+               filters: Seq[Int]): Array[Byte] = {
+      val stride = w * bpp
+      val raw = new Array[Byte](h * (1 + stride))
+      for (r <- 0 until h) {
+        val f = filters(r)
+        raw(r * (1 + stride)) = f.toByte
+        for (i <- 0 until stride) {
+          val x = px(r * stride + i)
+          val a = if (i >= bpp) px(r * stride + i - bpp) else 0
+          val b = if (r > 0) px((r - 1) * stride + i) else 0
+          val c = if (r > 0 && i >= bpp) px((r - 1) * stride + i - bpp) else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 =>
+              val pp = a + b - c
+              val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+              val pc = math.abs(pp - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          raw(r * (1 + stride) + 1 + i) = ((x - pred) & 0xff).toByte
+        }
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val z = new Array[Byte](raw.length + 64)
+      var zn = 0
+      while (!defl.finished()) zn += defl.deflate(z, zn, z.length - zn)
+      defl.end()
+      val out = new Array[Byte](8 + 25 + 12 + zn + 12)
+      def pbe32(o: Int, v: Long): Unit =
+        for (i <- 0 until 4) out(o + i) = ((v >> (8 * (3 - i))) & 0xff).toByte
+      def ptype(o: Int, t: String): Unit =
+        for (i <- 0 until 4) out(o + i) = t.charAt(i).toByte
+      def crcAt(o: Int, from: Int, len: Int): Unit = {
+        val cc = new java.util.zip.CRC32(); cc.update(out, from, len)
+        pbe32(o, cc.getValue)
+      }
+      Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+        .zipWithIndex.foreach { case (v, i) => out(i) = v.toByte }
+      pbe32(8, 13L); ptype(12, "IHDR")
+      pbe32(16, w.toLong); pbe32(20, h.toLong)
+      out(24) = 8; out(25) = colorType.toByte
+      crcAt(29, 12, 17)
+      pbe32(33, zn.toLong); ptype(37, "IDAT")
+      System.arraycopy(z, 0, out, 41, zn)
+      crcAt(41 + zn, 37, 4 + zn)
+      pbe32(45 + zn, 0L); ptype(49 + zn, "IEND")
+      crcAt(53 + zn, 49 + zn, 4)
+      out
+    }
+    val rnd = new scala.util.Random(5)
+    // RGBA (color type 6, bpp 4): alpha varies to catch channel swaps
+    val rgba = Array.fill(2 * 3 * 4)(rnd.nextInt(256))
+    val pRgba = encode(2, 3, 6, 4, rgba, Seq(4, 1, 2))
+    val dRgba = Multimodal.HeaderCodec.decodePng(pRgba).get
+    assert((dRgba.width, dRgba.height, dRgba.bpp) == ((2, 3, 4)))
+    assert(dRgba.pixels.map(_ & 0xff).toSeq == rgba.toSeq)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pRgba))
+    for (y <- 0 until 3; x <- 0 until 2) {
+      val argb = img.getRGB(x, y) // NOT premultiplied for TYPE_INT_ARGB reads
+      val o = (y * 2 + x) * 4
+      assert(((argb >> 24) & 0xff) == rgba(o + 3), "alpha")
+      assert(((argb >> 16) & 0xff) == rgba(o), "red")
+      assert(((argb >> 8) & 0xff) == rgba(o + 1), "green")
+      assert((argb & 0xff) == rgba(o + 2), "blue")
+    }
+    // gray+alpha (color type 4, bpp 2)
+    val ga = Array.fill(2 * 3 * 2)(rnd.nextInt(256))
+    val dGa = Multimodal.HeaderCodec.decodePng(encode(2, 3, 4, 2, ga, Seq(0, 3, 4))).get
+    assert((dGa.width, dGa.height, dGa.bpp) == ((2, 3, 2)))
+    assert(dGa.pixels.map(_ & 0xff).toSeq == ga.toSeq)
+    // unsupported: palette (type 3) must decline, not mis-decode
+    assert(Multimodal.HeaderCodec.decodePng(
+      encode(2, 3, 3, 1, Array.fill(6)(1), Seq(0, 0, 0))).isEmpty)
+  }
+
   test("decodePng/probe: corrupted CRC, huge dims, forged chunk length all rejected safely") {
     val good = Multimodal.synthPngPayload(3L)
     val badCrc = good.clone()

@@ -189,6 +189,31 @@ class SuffixDedupSpec extends SparkSpec {
     assert(got == expected.toLong && expected >= 13)
   }
 
+  test("longestRepeat: cap saturation reports 2^capLog2 (documented behavior)") {
+    val six = (1 to 6).map(i => s"c$i").mkString(" ")
+    val r = SuffixDedup.longestRepeat(docs(1L -> six, 2L -> six), capLog2 = 2)
+      .collect()(0)
+    // true λ* = 6 exceeds the cap 4 → saturate at 4, winner still exact
+    assert(r.getLong(0) == 4L)
+    assert((r.getLong(1), r.getLong(2)) == ((1L, 1L)))
+    assert(r.getString(5) == "c1 c2 c3 c4")
+  }
+
+  test("topRepeats: layout-invariant under repartition") {
+    val block = (1 to 9).map(i => s"B$i").mkString(" ")
+    val rnd = new scala.util.Random(3)
+    val corpus = (1L to 12L).map { id =>
+      val words = Seq.fill(20)(s"t${rnd.nextInt(8)}").mkString(" ")
+      id -> (if (id % 3 == 0) s"$words $block" else words)
+    }
+    val d1 = docs(corpus: _*)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSeq
+    val a = rows(SuffixDedup.topRepeats(d1.repartition(1), minLen = 6, topK = 20))
+    val b = rows(SuffixDedup.topRepeats(d1.repartition(13), minLen = 6, topK = 20))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("trimDupSpans: duplicated-window tokens removed, order preserved, all docs emitted") {
     val shared = "a b c d e f g h"
     val corpus = Seq(
