@@ -4107,7 +4107,10 @@ object Oracles {
   /** q373: Brown–Forsythe — exact lower medians via the by-value running
     * window, integer deviations, HUGEINT moments; the per-group floor
     * ⌊S_g²·10⁶/n_g⌋ mirrors the engine's deliberate common-denominator
-    * device.
+    * device, and the GREATEST(0, SSB·10⁶) clamp mirrors the engine's:
+    * per-group floors can undershoot the total's floor by a few ppm,
+    * and on a negative numerator DuckDB's flooring `//` and Spark's
+    * truncating `div` would diverge.
     */
   val brownForsythe: String =
     """WITH cells AS (
@@ -4132,7 +4135,8 @@ object Oracles {
       |SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_rows,
       |  CASE WHEN k < 2 OR n <= k OR s2tot * 1000000 - a = 0
       |       THEN CAST(NULL AS BIGINT)
-      |       ELSE CAST((a - stot * stot * 1000000 // n) * (n - k) * 1000000
+      |       ELSE CAST(GREATEST(0::HUGEINT, a - stot * stot * 1000000 // n)
+      |              * (n - k) * 1000000
       |              // ((s2tot * 1000000 - a) * (k - 1)) AS BIGINT)
       |  END AS f_ppm
       |FROM agg""".stripMargin

@@ -210,7 +210,9 @@ object Multimodal {
       * the reconstructed pixel bytes (filter bytes stripped) or None for
       * anything malformed / unsupported (palette, 16-bit, interlaced,
       * truncated or over-long zlib stream, CRC mismatch, dimensions past
-      * the 1 GiB raw-size guard) — the caller falls back to
+      * the 2^24 per-axis bound or the 1 GiB raw-size guard — the axis
+      * bound is checked FIRST so the raw-size product cannot wrap
+      * 64-bit on adversarial u32 dims) — the caller falls back to
       * [[StubCodec]], the unknown-container posture.
       */
     private[ext] def decodePng(b: Array[Byte]): Option[PngImage] = {
@@ -227,7 +229,12 @@ object Multimodal {
         val bpp = colorType match {
           case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => -1
         }
-        val rawLen = if (w <= 0 || h <= 0) -1L else h * (1L + w * bpp)
+        // dimension bound BEFORE the product: w,h are untrusted u32 —
+        // at 2^32−1 the h·(1+w·bpp) product wraps 64-bit and could slip
+        // past the 1 GiB guard below (then hi·stride overflows Int at
+        // allocation). w,h ≤ 2^24 keeps the product ≤ 2^50: no wrap.
+        val dimsOk = w > 0 && h > 0 && w <= (1L << 24) && h <= (1L << 24)
+        val rawLen = if (!dimsOk) -1L else h * (1L + w * bpp)
         if (ihdrCrc.getValue != be32(b, 29) || bpp < 0 || bitDepth != 8 ||
             (b(26) & 0xff) != 0 || (b(27) & 0xff) != 0 ||
             (b(28) & 0xff) != 0 || rawLen <= 0 || rawLen > (1L << 30)) None

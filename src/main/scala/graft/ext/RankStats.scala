@@ -459,13 +459,21 @@ object RankStats {
     * inputs), deviations d = |x − med_g| stay integer, and the one-way
     * F on deviations is an exact rational: with per-group floors
     * a_g = ⌊S_g²·10⁶/n_g⌋ (DELIBERATE, mirrored by the oracle — the
-    * q344 common-denominator device), SSB·10⁶ = Σa_g − ⌊S²·10⁶/N⌋,
+    * q344 common-denominator device),
+    * SSB·10⁶ = max(0, Σa_g − ⌊S²·10⁶/N⌋) — the clamp is load-bearing:
+    * the per-group floors can undershoot the total's floor (3 groups
+    * with deviations {0,0,1}: 999999 − 1000000 = −1), and on a negative
+    * numerator Spark's truncating `div` and DuckDB's flooring `//`
+    * disagree by 1 ppm; SSB is mathematically ≥ 0, so clamping restores
+    * the exact value AND makes both divisions agree —
     * SSW·10⁶ = Σd²·10⁶ − Σa_g, and
     * F·10⁶ = SSB·(N−k)·10⁶ div (SSW·(k−1)). Degenerate spread (SSW = 0)
     * or shape (k < 2, N ≤ k) reads NULL.
     *
-    * Envelope: every quotient rides DECIMAL(38,0) (remainder-subtracted
-    * divisions — no BIGINT div anywhere); the binding term is
+    * Envelope: the intermediate quotients (a_g, ⌊S²·10⁶/N⌋) ride
+    * DECIMAL(38,0) remainder-subtracted divisions; the FINAL F is one
+    * BIGINT `div` whose operands are both ≥ 0 after the clamp, where
+    * truncation ≡ floor. The binding term is
     * SSB·(N−k)·10⁶ ≤ N²·maxdev²·10⁶ — holds to N·maxdev ≈ 10¹⁶
     * (10⁹ rows of 10⁷-cent deviations).
     *
@@ -494,7 +502,8 @@ object RankStats {
         expr("CAST(n AS BIGINT)").as("n_rows"),
         expr("CASE WHEN k < 2 OR n <= k" +
           " OR s2tot * 1000000 - a = 0 THEN NULL ELSE CAST(" +
-          " (a - CAST((stot * stot * 1000000" +
+          " greatest(CAST(0 AS DECIMAL(38,0))," +
+          "   a - CAST((stot * stot * 1000000" +
           "        - stot * stot * 1000000 % n) / n AS DECIMAL(38,0)))" +
           " * (n - k) * 1000000" +
           " div ((s2tot * 1000000 - a) * (k - 1)) AS BIGINT) END")

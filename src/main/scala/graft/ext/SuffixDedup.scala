@@ -230,12 +230,19 @@ object SuffixDedup {
     * actions are one boolean per level/probe (the q55 fixpoint-check
     * posture); everything data-sized stays distributed.
     *
-    * `capLog2` bounds the climb (2^capLog2 tokens); a corpus whose
-    * longest repeat exceeds the cap reports λ* = 2^capLog2 (documented
-    * saturation — raise the cap for pathological corpora).
+    * The climb terminates NATURALLY: once the depth exceeds the true
+    * λ*, the refined relation loses its last duplicated class (or
+    * empties — doc-bounded suffixes shorter than the depth drop out), so
+    * no cap is needed for correctness. `capLog2` is a pure safety
+    * ceiling (default 2^30 tokens ≈ beyond any single-window scope, and
+    * the largest Int-safe shift headroom); an EXPLICIT small cap keeps
+    * the documented saturation semantics — a corpus whose longest repeat
+    * exceeds it reports λ* = 2^capLog2. The q368 oracle computes the
+    * true unbounded longest repeat, so the default must never saturate
+    * on a real corpus — hence ceiling-not-cap.
     */
   def longestRepeat(docs: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text", capLog2: Int = 8): DataFrame = {
+                    textCol: String = "text", capLog2: Int = 30): DataFrame = {
     val spark = docs.sparkSession
     val emptyRow = spark.range(1).select(
       lit(0L).as("max_dup_tokens"),
@@ -275,17 +282,28 @@ object SuffixDedup {
       }
       // rank at arbitrary depth λ: concatenate precomputed levels along
       // λ's set bits, most-significant first (shift = accumulated depth
-      // each step — exact concatenation, no overlap requirement)
+      // each step — exact concatenation, no overlap requirement).
+      // Successive probes of the MONOTONE binary search share their
+      // most-significant set bits, and the accumulated depth uniquely
+      // identifies a prefix (a sum of distinct powers of two combined in
+      // fixed MSB-first order), so prefix relations are memoized by
+      // depth: each combine — already eager-checkpointed inside
+      // [[combine]] — is computed ONCE across the whole search instead
+      // of once per probe that reaches it.
+      val prefixByDepth = scala.collection.mutable.Map[Int, DataFrame]()
       def rankAt(lambda: Int): DataFrame =
         if ((lambda & (lambda - 1)) == 0)
           levels(java.lang.Integer.numberOfTrailingZeros(lambda))
         else {
-          val bits = (capLog2 to 0 by -1).filter(b => (lambda & (1 << b)) != 0)
+          val bits =
+            (levels.keys.max to 0 by -1).filter(b => (lambda & (1 << b)) != 0)
           var cur = levels(bits.head)
           var depth = 1 << bits.head
           bits.tail.foreach { b =>
-            cur = combine(cur, levels(b), depth)
-            depth += 1 << b
+            val nextDepth = depth + (1 << b)
+            cur = prefixByDepth.getOrElseUpdate(nextDepth,
+              combine(cur, levels(b), depth))
+            depth = nextDepth
           }
           cur
         }

@@ -218,6 +218,22 @@ class RankStatsSpec extends SparkSpec {
     assert(RankStats.brownForsythe(one, col("g"), col("v")).head().isNullAt(2))
   }
 
+  test("brownForsythe: floor-artifact panel clamps SSB at 0 (never negative)") {
+    // 3 groups, each with deviations {0,0,1} from its lower median:
+    // a = 3·⌊10⁶/3⌋ = 999999 but ⌊stot²·10⁶/n⌋ = ⌊9·10⁶/9⌋ = 1000000 —
+    // the raw SSB·10⁶ numerator is −1 (pure floor artifact; true SSB = 0).
+    // Unclamped, Spark div reads −1 and DuckDB // reads −2; the clamp
+    // makes both read the mathematically-correct 0.
+    val rows = Seq(
+      Row("A", 5L), Row("A", 5L), Row("A", 6L),
+      Row("B", 7L), Row("B", 7L), Row("B", 8L),
+      Row("C", 9L), Row("C", 9L), Row("C", 10L))
+    val r = RankStats.brownForsythe(df("g STRING, v BIGINT", rows),
+      col("g"), col("v")).head()
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 9L)))
+    assert(!r.isNullAt(2) && r.getLong(2) == 0L)
+  }
+
   test("brownForsythe: layout-invariant under repartition") {
     val rows = (1L to 200L).map(i => Row(s"g${i % 4}", (i * 37) % 23))
     val d1 = df("g STRING, v BIGINT", rows)

@@ -189,6 +189,20 @@ class SuffixDedupSpec extends SparkSpec {
     assert(got == expected.toLong && expected >= 13)
   }
 
+  test("longestRepeat: repeats past 256 tokens report exactly (default is a ceiling, not a cap)") {
+    // two identical 300-token docs: the old default capLog2 = 8 saturated
+    // at 256 while the unbounded oracle read 300 — the climb must keep
+    // going until a level comes back clean, then binary-search 256..512
+    // (this also exercises the probe-prefix memoization: successive
+    // monotone probes share their most-significant combine prefixes)
+    val long300 = (1 to 300).map(i => s"z$i").mkString(" ")
+    val r = SuffixDedup.longestRepeat(docs(1L -> long300, 2L -> long300))
+      .collect()(0)
+    assert(r.getLong(0) == 300L)
+    assert((r.getLong(1), r.getLong(2)) == ((1L, 1L)))
+    assert(r.getLong(3) == 2L && r.getLong(4) == 2L)
+  }
+
   test("longestRepeat: cap saturation reports 2^capLog2 (documented behavior)") {
     val six = (1 to 6).map(i => s"c$i").mkString(" ")
     val r = SuffixDedup.longestRepeat(docs(1L -> six, 2L -> six), capLog2 = 2)
