@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ext.Pin.PinOps
 
 /** Distributed BPE merge training (tokenizer induction) over the document
   * corpus — the vocabulary-learning stage of a training-data pipeline
@@ -67,7 +68,7 @@ object Bpe {
     var dict = wordDict(docs, textCol)
       .withColumn("syms",
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-      .localCheckpoint(true)
+      .pin()
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
@@ -118,7 +119,7 @@ object Bpe {
           .groupBy("word", "freq")
           .agg(transform(array_sort(collect_list(struct(col("i"), col("out")))),
             x => x.getField("out")).as("syms"))
-          .localCheckpoint(true)
+          .pin()
         rank += 1
       }
     }

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ext.Pin.PinOps
 import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.functions.VectorFunctions
 
@@ -98,7 +99,7 @@ object Clustering {
     val q = embeddings.select(
       col(idCol).cast(LongType).as("vec_id"),
       quantize(col(vecCol)).as("qv"))
-      .localCheckpoint(true)
+      .pin()
 
     val mod: Long = if (seedMod > 0) seedMod.toLong else adaptiveSeedMod(q.count())
 
@@ -274,7 +275,7 @@ object Clustering {
   def labelCohesion(embeddings: DataFrame, labelCol: String = "label",
                     vecCol: String = "embedding"): DataFrame = {
     val q = embeddings.select(col(labelCol).as("label"), quantize(col(vecCol)).as("qv"))
-      .localCheckpoint(true)
+      .pin()
     val cent = q.select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
       .groupBy("label", "pos").agg(expr("sum(v) div count(1)").as("m"))
       .groupBy("label")
@@ -464,7 +465,7 @@ object Clustering {
     val spark = embeddings.sparkSession
     val q = embeddings.select(col(idCol).cast(LongType).as("vec_id"),
       quantize(col(vecCol)).as("qv"))
-      .localCheckpoint(true)
+      .pin()
     val seed = q.orderBy(col("vec_id")).limit(1).collect()
     require(seed.nonEmpty, "kCenterGreedy on an empty corpus")
     val seedVec = seed.head.getSeq[Long](1)
@@ -472,7 +473,7 @@ object Clustering {
       (seed.head.getLong(0), 0L))
     // running min-L2² to the chosen set, materialized with the corpus
     var cur = q.withColumn("min_d", l2sq(col("qv"), typedLit(seedVec)))
-      .localCheckpoint(true)
+      .pin()
     var exhausted = false
     while (chosen.size < k && !exhausted) {
       val next = cur
@@ -495,7 +496,7 @@ object Clustering {
           val prev = cur
           cur = cur.withColumn("min_d",
             least(col("min_d"), l2sq(col("qv"), typedLit(v))))
-            .localCheckpoint(true)
+            .pin()
           unpersistCheckpoint(prev)
         }
       }

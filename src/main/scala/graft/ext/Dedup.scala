@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ext.Pin.PinOps
 
 /** Deduplication operators for training-data pipelines (SURVEY.md §7.5):
   * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
@@ -291,9 +292,9 @@ object Dedup {
     // dominant cost of the iterative loop, not the loop itself
     val sym = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .union(edges.select(col(dstCol).as("s"), col(srcCol).as("d")))
-      .localCheckpoint(true)
+      .pin()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint(true)
+      .pin()
     // sum over zero rows is NULL — map it to 0 so an empty node set
     // converges to an empty result instead of NPE-ing the compare
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -311,7 +312,7 @@ object Dedup {
       val l2 = propagated.select(col("id").as("rep_id"), col("label").as("rep_label"))
       val jumped = propagated.join(l2, propagated("label") === l2("rep_id"))
         .select(col("id"), col("rep_label").as("label"))
-        .localCheckpoint(true)
+        .pin()
       val s = labelSum(jumped)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -1048,7 +1049,7 @@ object Dedup {
                     textCol: String = "text"): DataFrame = {
     val ch = cdcChunks(docs, chunkMod, idCol, textCol)
       .select(col(idCol), col("chunk_chars"), col("chunk_fp"))
-      .localCheckpoint(true)
+      .pin()
     val byFp = ch.filter(col("chunk_chars") >= 3)
       .groupBy("chunk_fp", "chunk_chars")
       .agg(count_distinct(col(idCol)).as("n_docs"))

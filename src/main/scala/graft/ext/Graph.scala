@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ext.Pin.PinOps
 
 /** Iterative graph analytics on edge lists — the second graph operator
   * family next to [[Dedup.connectedComponents]]. Same engine shape: the
@@ -57,12 +58,12 @@ object Graph {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = e0.select(col("src").as("id"))
       .union(e0.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+      .pin()
     val small = nodes.count() <= broadcastNodeLimit
     val e = e0.repartition(col(if (small) "dst" else "src"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val withDeg = e.join(if (small) broadcast(deg) else deg, "src")
-      .localCheckpoint(true)
+      .pin()
     var pr = nodes.withColumn("pr", lit(scale))
     for (_ <- 1 to iterations) {
       val prSide = if (small) broadcast(pr) else pr
@@ -73,7 +74,7 @@ object Graph {
         .na.fill(0L, Seq("s"))
         .select(col("id"),
           (lit(15L * scale / 100L) + expr("(85 * s) div 100")).as("pr"))
-        .localCheckpoint(true)
+        .pin()
     }
     pr.select(col("id").as("node_id"), col("pr"))
   }
@@ -103,12 +104,12 @@ object Graph {
       .join(seeds.select(col("id")).distinct().withColumn("__seed", lit(1L)),
         Seq("id"), "left")
       .na.fill(0L, Seq("__seed"))
-      .localCheckpoint(true)
+      .pin()
     val small = nodes.count() <= broadcastNodeLimit
     val e = e0.repartition(col(if (small) "dst" else "src"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val withDeg = e.join(if (small) broadcast(deg) else deg, "src")
-      .localCheckpoint(true)
+      .pin()
     var pr = nodes.select(col("id"), (col("__seed") * scale).as("pr"), col("__seed"))
     for (_ <- 1 to iterations) {
       val prSide = if (small) broadcast(pr) else pr
@@ -120,7 +121,7 @@ object Graph {
         .select(col("id"),
           (col("__seed") * lit(15L * scale / 100L) + expr("(85 * s) div 100")).as("pr"),
           col("__seed"))
-        .localCheckpoint(true)
+        .pin()
     }
     pr.select(col("id").as("node_id"), col("pr"))
   }
@@ -215,7 +216,7 @@ object Graph {
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1, "rounds must be >= 1")
-    var e = edges.select(col("u"), col("v")).localCheckpoint(true)
+    var e = edges.select(col("u"), col("v")).pin()
     for (_ <- 1 to rounds) {
       val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
@@ -223,7 +224,7 @@ object Graph {
       e = e.join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
         .select("u", "v")
-        .localCheckpoint(true)
+        .pin()
     }
     e.select(col("u").as("node_id")).union(e.select(col("v").as("node_id")))
       .groupBy("node_id").agg(count(lit(1)).as("degree"))
@@ -256,10 +257,10 @@ object Graph {
     // it twice (union of both orientations) — un-cut, one checkpoint job
     // would run the upstream edge derivation (for q146, the co-occurrence
     // pair-support join) twice
-    val und = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val und = edges.select(col("u"), col("v")).pin()
     val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
-    val nodes = sym.select(col("u").as("id")).distinct().localCheckpoint(true)
+      .pin()
+    val nodes = sym.select(col("u").as("id")).distinct().pin()
     var labels = nodes.withColumn("lbl", col("id"))
     for (_ <- 1 to rounds) {
       labels = sym
@@ -270,7 +271,7 @@ object Graph {
         .groupBy("id")
         .agg(max(struct(col("c"), (-col("nl")).as("neg"))).as("best"))
         .select(col("id"), (-col("best")("neg")).as("lbl"))
-        .localCheckpoint(true)
+        .pin()
     }
     labels.select(col("id").as("node_id"), col("lbl").as("community"))
   }
@@ -297,19 +298,19 @@ object Graph {
     */
   def bfsDistances(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val und = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val und = edges.select(col("u"), col("v")).pin()
     val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
+      .pin()
     var settled = sources.select(col("id")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
+      .withColumn("dist", lit(0L)).pin()
     var frontier = settled.select("id")
     for (i <- 1 to rounds) {
       val newf = sym.join(frontier.select(col("id").as("u")), "u")
         .select(col("v").as("id")).distinct()
         .join(settled.select("id"), Seq("id"), "left_anti")
-        .localCheckpoint(true)
+        .pin()
       settled = settled.unionAll(newf.withColumn("dist", lit(i.toLong)))
-        .localCheckpoint(true)
+        .pin()
       frontier = newf.select("id")
     }
     settled.select(col("id").as("node_id"), col("dist"))
@@ -335,11 +336,11 @@ object Graph {
     */
   def shortestPaths(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val und = edges.select(col("u"), col("v"), col("w")).localCheckpoint(true)
+    val und = edges.select(col("u"), col("v"), col("w")).pin()
     val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v"), col("w")))
-      .localCheckpoint(true)
+      .pin()
     var dist = sources.select(col("id")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
+      .withColumn("dist", lit(0L)).pin()
     var frontier = dist
     for (_ <- 1 to rounds) {
       val cand = sym.join(frontier.select(col("id").as("u"), col("dist").as("du")), "u")
@@ -348,10 +349,10 @@ object Graph {
       val improved = cand
         .join(dist.select(col("id"), col("dist").as("old")), Seq("id"), "left")
         .filter(col("old").isNull || col("dist") < col("old"))
-        .select("id", "dist").localCheckpoint(true)
+        .select("id", "dist").pin()
       dist = dist.join(improved.select(col("id").as("iid")),
           dist("id") === col("iid"), "left_anti")
-        .unionAll(improved).localCheckpoint(true)
+        .unionAll(improved).pin()
       frontier = improved
     }
     dist.select(col("id").as("node_id"), col("dist"))
@@ -387,7 +388,7 @@ object Graph {
     */
   def triangleCounts(edges: DataFrame,
                      broadcastEdgeLimit: Long = 4000000L): DataFrame = {
-    val und = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val und = edges.select(col("u"), col("v")).pin()
     val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient: src = smaller (deg, id), dst = larger — a total order, so
@@ -401,7 +402,7 @@ object Graph {
           .otherwise(col("v")).as("src"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
           .otherwise(col("u")).as("dst"))
-      .localCheckpoint(true)
+      .pin()
     val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
     val e2 = oriented.select(col("src").as("b"), col("dst").as("c"))
     val e3 = oriented.select(col("src").as("a"), col("dst").as("c"))
@@ -436,7 +437,7 @@ object Graph {
                      maxCenterDegree: Int = 64): DataFrame = {
     require(k >= 1 && maxCenterDegree >= 2,
       s"bad linkPrediction params: k=$k cap=$maxCenterDegree")
-    val und = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val und = edges.select(col("u"), col("v")).pin()
     val sym = und.select(col("u").as("w"), col("v").as("n"))
       .union(und.select(col("v").as("w"), col("u").as("n")))
     val deg = sym.groupBy("w").agg(count(lit(1)).as("d"))
@@ -487,7 +488,7 @@ object Graph {
     require(k >= 1 && rounds >= 1, s"bad kCore params: k=$k rounds=$rounds")
     val und = edges.select(col("u"), col("v"))
     var e = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(true) // symmetric, deduped: deg = out-deg
+      .distinct().pin() // symmetric, deduped: deg = out-deg
     // early-exit at the fixpoint: each round's result is eagerly
     // checkpointed anyway, so the edge count is O(partitions) driver
     // work; idempotence means stopping early returns the SAME rows the
@@ -501,7 +502,7 @@ object Graph {
         .filter(col("d") >= k).select(col("u").as("n"))
       e = e.join(keep.select(col("n").as("u")), Seq("u"))
         .join(keep.select(col("n").as("v")), Seq("v"))
-        .select("u", "v").localCheckpoint(true)
+        .select("u", "v").pin()
       val n2 = e.count()
       converged = n2 == n
       n = n2
@@ -543,7 +544,7 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
     val (bucket, rank) = Sketch.hllBucketRank(col("node"), log2m)
     var regs = nodes.select(col("node"), bucket.as("bucket"), rank.as("reg"))
-      .localCheckpoint(true)
+      .pin()
     // each round's histogram is EAGERLY checkpointed (≤ rank-range rows)
     // before the round's register blocks are freed — a lazy histogram
     // would still reference blocks a localCheckpoint cannot recompute
@@ -551,14 +552,14 @@ object Graph {
       r.groupBy(col("reg")).agg(count(lit(1)).as("n_buckets"))
         .select(lit(t).as("round"), col("reg").cast("int").as("reg"),
           col("n_buckets"))
-        .localCheckpoint(true)
+        .pin()
     var out = hist(0, regs)
     for (t <- 1 to rounds) {
       val fromNbrs = e.join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("bucket"), col("reg"))
       val next = regs.unionByName(fromNbrs)
         .groupBy(col("node"), col("bucket")).agg(max(col("reg")).as("reg"))
-        .localCheckpoint(true)
+        .pin()
       Clustering.unpersistCheckpoint(regs)
       regs = next
       out = out.unionByName(hist(t, regs))
@@ -596,17 +597,17 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
       .repartition(col("dst"))
-      .localCheckpoint(true)
+      .pin()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+      .pin()
     val small = nodes.count() <= broadcastNodeLimit
     // big-node arm: a second edge copy partitioned on SRC so the hub
     // half-step's score join is co-located too (the dst copy already
     // co-locates the authority half-step)
     val eBy: Map[String, DataFrame] =
       if (small) Map("src" -> e, "dst" -> e)
-      else Map("dst" -> e, "src" -> e.repartition(col("src")).localCheckpoint(true))
+      else Map("dst" -> e, "src" -> e.repartition(col("src")).pin())
 
     // sum scores over one edge direction, renormalize to [0, scale],
     // keep every node (dangling side → 0); eager checkpoint so the
@@ -623,10 +624,10 @@ object Graph {
         .crossJoin(broadcast(m))
         .select(col("id"),
           expr(s"coalesce(s, 0L) * $scale div m").as(out))
-        .localCheckpoint(true)
+        .pin()
     }
 
-    var h = nodes.withColumn("h", lit(scale)).localCheckpoint(true)
+    var h = nodes.withColumn("h", lit(scale)).pin()
     var a: DataFrame = null
     for (_ <- 1 to iterations) {
       val aNext = halfStep(h, "h", "src", "dst", "a")
@@ -668,11 +669,11 @@ object Graph {
     */
   def modularityReport(edges: DataFrame, labels: DataFrame,
                        scale: Long = 1000000L): DataFrame = {
-    val und = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val und = edges.select(col("u"), col("v")).pin()
     val m = und.count()
     require(m > 0, "modularityReport needs at least one edge")
     val lab = labels.select(col("node_id"), col("community"))
-      .localCheckpoint(true)
+      .pin()
     val eIn = und
       .join(lab.select(col("node_id").as("u"), col("community").as("cu")), "u")
       .join(lab.select(col("node_id").as("v"), col("community").as("cv")), "v")
@@ -711,10 +712,10 @@ object Graph {
     * degree-relation joins; nothing iterates, nothing collects.
     */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val und = edges.select(col("u"), col("v")).pin()
     val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-      .localCheckpoint(true) // feeds both endpoint joins and the node count
+      .pin() // feeds both endpoint joins and the node count
     val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
     val pts = sym
       .join(deg.select(col("n").as("u"), col("d").as("dx")), "u")
@@ -755,10 +756,10 @@ object Graph {
     // sharing ONE materialization of the edge list and ONE degree
     // aggregate across orientation and normalization halves the edge
     // work (the co-occurrence build dominates this operator's cost)
-    val und = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val und = edges.select(col("u"), col("v")).pin()
     val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-      .localCheckpoint(true) // feeds both orientation joins + the output
+      .pin() // feeds both orientation joins + the output
     val oriented = und
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
@@ -767,7 +768,7 @@ object Graph {
           .otherwise(col("v")).as("src"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
           .otherwise(col("u")).as("dst"))
-      .localCheckpoint(true)
+      .pin()
     val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
     val e2 = oriented.select(col("src").as("b"), col("dst").as("c"))
     val e3 = oriented.select(col("src").as("a"), col("dst").as("c"))

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ext.Pin.PinOps
 
 /** Similarity search over embedding columns (`array<float>`), extension
   * surface SURVEY.md §7.5.
@@ -388,7 +389,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(cosine(col("qv"), col("nv")), 6))
       .select("query_id", "neighbor_id", "score", "prank")
-      .localCheckpoint(true)
+      .pin()
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     val arms = probes.map { p =>
       s"probe_$p" -> cand.filter(col("prank") <= p)
@@ -495,7 +496,7 @@ object Similarity {
     require(lambdaPpm >= 0 && lambdaPpm <= 1000000, s"lambdaPpm out of [0, 1e6]")
     val lam = lambdaPpm.toDouble / 1000000.0
     val oneMl = (1000000L - lambdaPpm).toDouble / 1000000.0
-    val cand = cand0.localCheckpoint(true)
+    val cand = cand0.pin()
     // pair similarity is query-independent: compute once per distinct
     // candidate id pair, reuse in every round
     val abPairs = cand.select(col("query_id"), col("neighbor_id").as("a"))
@@ -505,11 +506,11 @@ object Similarity {
       .join(vectors.select(col("vid").as("a"), col("vv").as("av")), Seq("a"))
       .join(vectors.select(col("vid").as("b"), col("vv").as("bv")), Seq("b"))
       .select(col("a"), col("b"), round(cosine(col("av"), col("bv")), 6).as("sim"))
-      .localCheckpoint(true)
+      .pin()
     val w1 = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     var sel = cand.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
       .select(col("query_id"), col("neighbor_id"), col("score"), lit(1).as("pick_rank"))
-      .localCheckpoint(true)
+      .pin()
     for (r <- 2 to k) {
       val remaining = cand
         .join(sel.select(col("query_id"), col("neighbor_id")),
@@ -525,7 +526,7 @@ object Similarity {
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("query_id"), col("a").as("neighbor_id"), col("score"),
           lit(r).as("pick_rank"))
-      sel = sel.unionAll(pick).localCheckpoint(true)
+      sel = sel.unionAll(pick).pin()
     }
     sel
   }

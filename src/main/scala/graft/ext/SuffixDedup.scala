@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ext.Pin.PinOps
 
 /** EXACT substring (duplicated-span) detection via distributed suffix
   * indexing — the operator behind "ExactSubstr" deduplication (Lee et al.
@@ -77,7 +78,7 @@ object SuffixDedup {
         .agg(min(struct(col("d"), col("p"))).as("__rep")), Seq("tok"))
       .select(col("d"), col("p"),
         col("__rep.d").as("rd"), col("__rep.p").as("rp"))
-      .localCheckpoint(true)
+      .pin()
     var k = 1
     while (k * 2 <= minLen) { r = refine(r, k); k *= 2 }
     if (k < minLen) r = refine(r, minLen - k) // overlapped final combine
@@ -109,7 +110,7 @@ object SuffixDedup {
     paired.join(reps, Seq("rd", "rp", "rd2", "rp2"))
       .select(col("d"), col("p"),
         col("__rep.d").as("rd"), col("__rep.p").as("rp"))
-      .localCheckpoint(true)
+      .pin()
   }
 
   /** Positions (doc, p) whose `minLen`-window text occurs ≥ 2 times in
@@ -153,7 +154,7 @@ object SuffixDedup {
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val pos = dupWindowPositions(docs, minLen, idCol, textCol)
-      .localCheckpoint(true) // consumed twice below: spans + coverage
+      .pin() // consumed twice below: spans + coverage
     val w = Window.partitionBy("d").orderBy("p")
     val spans = pos.withColumn("__g", col("p") - row_number().over(w))
       .groupBy("d", "__g").agg(count(lit(1)).as("__starts"))
@@ -262,7 +263,7 @@ object SuffixDedup {
         .agg(min(struct(col("d"), col("p"))).as("__rep")), Seq("tok"))
       .select(col("d"), col("p"),
         col("__rep.d").as("rd"), col("__rep.p").as("rp"))
-      .localCheckpoint(true)
+      .pin()
 
     def hasDup(r: DataFrame): Boolean =
       !r.groupBy("rd", "rp").agg(count(lit(1)).as("c"))
