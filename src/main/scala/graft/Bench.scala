@@ -1,7 +1,39 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
+import org.apache.spark.sql.functions.{bit_xor, col, count, expr, lit, xxhash64}
 object Bench {
+
+  /** Machine-state calibration: three FIXED synthetic probes — never
+    * engine queries, so the numbers are CODE-INVARIANT across rounds
+    * (an engine query's plan changes as the library evolves; a
+    * calibration that moves with the code cannot separate "the box was
+    * loaded" from "the code got slower"). Timed first/mid/last per bench
+    * run and recorded under "calibration" in BENCH_LOCAL.json;
+    * tools/bench_drift.py divides per-query ratios by the run-state
+    * ratio before flagging, so a uniformly-loaded box no longer paints
+    * 8 untouched queries as regressions (the r9→r10 lesson: two
+    * same-code full runs disagreed 10% whole-run and flipped individual
+    * flags in both directions).
+    *   - cpu_hash: one long codegen'd hash scan — CPU/memory-bandwidth
+    *   - shuffle_agg: a 4096-key aggregate — exchange + combine path
+    *   - task_sched: 320 tiny tasks — scheduler/dispatch overhead
+    */
+  private val calibrationProbes: Seq[(String, SparkSession => Unit)] = Seq(
+    "cpu_hash" -> ((s: SparkSession) => {
+      s.range(600000000L).select(bit_xor(xxhash64(col("id")))).head(); () }),
+    "shuffle_agg" -> ((s: SparkSession) => {
+      s.range(40000000L).groupBy(expr("id % 4096").as("k"))
+        .agg(count(lit(1)).as("c"))
+        .select(bit_xor(xxhash64(col("k"), col("c")))).head(); () }),
+    "task_sched" -> ((s: SparkSession) => {
+      s.range(3200L).repartition(320).count(); () }))
+
+  private def calibrate(spark: SparkSession): Seq[(String, Double)] =
+    calibrationProbes.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      fn(spark)
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
 
   /** Timed probe: whole-row xxhash64 checksum folded with bit_xor, NOT
     * `count()`. Under `count()` ColumnPruning deletes any operator whose
@@ -77,14 +109,23 @@ object Bench {
     // zero-query run would print total=0 with failed=[] and read as healthy
     require(named.nonEmpty,
       s"SPARK_GRAFT_BENCH_ONLY=${only.map(_.mkString(","))} matches no registered query")
-    val passes = (1 to reps).map { _ =>
-      named.map { case (name, fn) =>
+    // calibration warmup (JIT/codegen for the probes themselves), then
+    // the FIRST sample; MID lands after the middle pass, LAST after the
+    // final pass — three spaced snapshots of machine state per run
+    calibrationProbes.foreach { case (_, fn) =>
+      try fn(spark) catch { case _: Throwable => () } }
+    val calSamples = scala.collection.mutable.ArrayBuffer(calibrate(spark))
+    val midAfterPass = math.max(1, (reps + 1) / 2)
+    val passes = (1 to reps).map { rep =>
+      val pass = named.map { case (name, fn) =>
         CodegenWatch.drain() // discard anything attributed to prior work
         val t0 = System.nanoTime()
         val ok = try { probe(fn(spark, sfDir)); true } catch { case _: Throwable => false }
         val codegenOk = CodegenWatch.drain().isEmpty
         (name, (System.nanoTime() - t0) / 1e9, ok, codegenOk)
       }
+      if (rep == midAfterPass || rep == reps) calSamples += calibrate(spark)
+      pass
     }
     val results = named.map { case (name, _) =>
       val times = passes.map(p => p.find(_._1 == name).get).map(t => (t._2, t._3))
@@ -114,11 +155,17 @@ object Bench {
     // stdout gets a SHORT line — total/failed/config, ~200 bytes, immune
     // to tail truncation at any query count; the full per-query map lands
     // only in BENCH_LOCAL.json on disk.
-    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"codegen_ok":$cg,"codegen_bailouts":$bailedJson,"reps":$reps,"probe":"xxhash64-checksum","sf":"$sfDir"}"""
+    // calibration object: probe name -> [first, mid, last] seconds (one
+    // array entry per snapshot; drift tooling takes the median of all)
+    val calJson = calibrationProbes.map { case (name, _) =>
+      val samples = calSamples.map(_.find(_._1 == name).get._2)
+      "\"" + name + "\":" + samples.map(s => f"$s%.4f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"codegen_ok":$cg,"codegen_bailouts":$bailedJson,"reps":$reps,"probe":"xxhash64-checksum","calibration":$calJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (fileLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    val stdoutLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"codegen_bailouts":$bailedJson,"reps":$reps,"probe":"xxhash64-checksum","sf":"$sfDir","queries_file":"BENCH_LOCAL.json"}"""
+    val stdoutLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"codegen_bailouts":$bailedJson,"reps":$reps,"probe":"xxhash64-checksum","calibration":$calJson,"sf":"$sfDir","queries_file":"BENCH_LOCAL.json"}"""
     // Belt-and-braces for the driver's parser (BENCH_r04/r05 both came
     // back "parsed": null — the stdout line carried sbt's "[info] "
     // prefix): the exact stdout object also lands in a stable file the
