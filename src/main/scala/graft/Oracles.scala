@@ -6014,6 +6014,46 @@ object Oracles {
       |    k -> (doc_id * 17 + k * 11) % 251)) AS BIGINT) AS b_sum
       |FROM documents""".stripMargin
 
+  /** q375: decoded-JPEG pixel statistics — closed form over the DC-only
+    * synthetic corpus (constant 8×8 blocks round-trip losslessly through
+    * huffman/DPCM/IDCT with all-1s quant tables; see ext/Jpeg.scala).
+    * Color ids convert YCbCr→RGB with the decoder's fixed-point formula;
+    * `>> 16` is a FLOOR shift, mirrored here by biasing the operand
+    * +2^24 before truncating `//` (non-negative ⇒ truncate ≡ floor).
+    */
+  val jpegPixelStats: String = {
+    def grayV(k: String) =
+      s"(doc_id * 23 + ((($k) // 128) * 2 + ((($k) % 16) // 8)) * 53) % 256"
+    def colorV(k: String) = {
+      val bi = s"(((($k) // 3) // 128) * 2 + (((($k) // 3) % 16) // 8))"
+      val yv = s"((doc_id * 29 + $bi * 37) % 256)"
+      val cb = s"((doc_id * 31 + $bi * 41) % 256)"
+      val cr = s"((doc_id * 37 + $bi * 43) % 256)"
+      val r = s"LEAST(255, GREATEST(0, $yv + (91881 * ($cr - 128) + 32768 + 16777216) // 65536 - 256))"
+      val g = s"LEAST(255, GREATEST(0, $yv - ((22554 * ($cb - 128) + 46802 * ($cr - 128) + 32768 + 16777216) // 65536 - 256)))"
+      val b = s"LEAST(255, GREATEST(0, $yv + (116130 * ($cb - 128) + 32768 + 16777216) // 65536 - 256))"
+      s"(CASE ($k) % 3 WHEN 0 THEN $r WHEN 1 THEN $g ELSE $b END)"
+    }
+    def v(k: String) =
+      s"(CASE WHEN doc_id % 2 = 1 THEN ${grayV(k)} ELSE ${colorV(k)} END)"
+    val n = "(CASE WHEN doc_id % 2 = 1 THEN 256 ELSE 768 END)"
+    s"""SELECT doc_id AS media_id,
+       |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       |  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS INTEGER) AS n_comp,
+       |  CAST($n AS INTEGER) AS n_px_bytes,
+       |  CAST(list_sum(list_transform(range(0, $n),
+       |    k -> ${v("k")})) AS BIGINT) AS px_sum,
+       |  CAST(list_sum(list_transform(range(0, $n),
+       |    k -> k * ${v("k")})) AS BIGINT) AS px_wsum,
+       |  CAST(list_sum(list_transform(list_filter(range(0, $n), k -> k % 3 = 0),
+       |    k -> ${v("k")})) AS BIGINT) AS c0_sum,
+       |  CAST(list_sum(list_transform(list_filter(range(0, $n), k -> k % 3 = 1),
+       |    k -> ${v("k")})) AS BIGINT) AS c1_sum,
+       |  CAST(list_sum(list_transform(list_filter(range(0, $n), k -> k % 3 = 2),
+       |    k -> ${v("k")})) AS BIGINT) AS c2_sum
+       |FROM documents""".stripMargin
+  }
+
   /** q245: per-eval-doc n-gram containment (q54's dual). Same gram
     * derivation as the q54 oracle; the train side deduplicates to a
     * corpus-wide gram set (the oracle can afford the full distinct the

@@ -1626,7 +1626,13 @@ object Plans {
       """Stream-fed Friedman: the q357 hourly-count emitter's closed
         |windows re-aggregated into daily blocks (one tiny aggregate over
         |keys×hours state), then the q370 readout. Grid/window costs are
-        |days×k-sized.""".stripMargin)
+        |days×k-sized.""".stripMargin,
+    "q375_jpeg_pixels" ->
+      """Real baseline-JPEG decode: one narrow mapPartitions — synth
+        |JFIF, marker walk, DHT canonical reconstruction, huffman+DPCM,
+        |dequantize, IDCT, fixed-point color convert — payloads never
+        |leave the task; output is 10 scalars/row. The position-weighted
+        |sum pins raster order in the exact-hash oracle.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -3813,7 +3813,16 @@ object SparkEntry {
     "q374_friedman_stream" -> ((s, d) =>
       graft.ext.RankStats.friedman(
         graft.streaming.Streams.decayedCountsHourly(Tables.events(s, d)),
-        to_date(col("hour")), col("key"), col("c")))
+        to_date(col("hour")), col("key"), col("c"))),
+
+    // REAL baseline JPEG decode (marker walk, DHT reconstruction,
+    // huffman + DPCM, dequantize, IDCT, fixed-point YCbCr→RGB): per-image
+    // pixel statistics over the DC-exact synthetic JFIF corpus — the
+    // q365 posture for the next container (grayscale odd ids, color even)
+    "q375_jpeg_pixels" -> { (s, d) =>
+      implicit val sp: SparkSession = s
+      graft.ext.Jpeg.jpegPixelStats(Tables.documents(s, d))
+    }
   )
 
   /** The paired ranking relation shared by q346: each panel query's exact
@@ -4305,6 +4314,7 @@ object SparkEntry {
     "q371_cochran_q" -> Oracles.cochranQ,
     "q372_setsim_audit" -> Oracles.setSimAudit(600, 10),
     "q373_brown_forsythe" -> Oracles.brownForsythe,
-    "q374_friedman_stream" -> Oracles.friedman
+    "q374_friedman_stream" -> Oracles.friedman,
+    "q375_jpeg_pixels" -> Oracles.jpegPixelStats
   )
 }

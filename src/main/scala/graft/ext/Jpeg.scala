@@ -1,0 +1,618 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Baseline JPEG (ITU-T T.81 / ISO 10918-1 sequential DCT, public spec)
+  * decode in pure JVM — closing the next-most-common container after the
+  * round-10 PNG decoder (reference: juliusmeinl4/Portfolio1-ETL has no
+  * media path at all; this is extension surface for the 100 TB training-
+  * data pipeline tier, where JPEG is the dominant image payload).
+  *
+  * Decoder scope (honest): baseline sequential SOF0, 8-bit samples, 1 or
+  * 3 components, sampling factors all 1 (4:4:4 — Java's own ImageIO
+  * writer emits exactly this at quality ≥ 0.95, giving the spec a
+  * foreign-encoder corpus), 8- or 16-bit DQT entries, arbitrary DHT
+  * tables (nothing hardcoded — canonical code reconstruction per spec
+  * Annex C), restart markers (DRI/RSTn with predictor + bit-alignment
+  * reset), 0xFF00 byte unstuffing, run-length AC with EOB/ZRL, double-
+  * precision IDCT, libjpeg-style fixed-point YCbCr→RGB. Progressive
+  * (SOF2), arithmetic coding, 12-bit, and subsampled chroma return None
+  * — the documented remaining seam (the caller's StubCodec posture,
+  * same as [[Multimodal.HeaderCodec]] for foreign containers).
+  *
+  * Encoder scope ([[synthJpegPayload]]): a REAL JFIF stream whose blocks
+  * are per-block constants — the one family whose decoded pixels have a
+  * CLOSED FORM (a constant block's DCT is DC-only and exactly rational:
+  * F(0,0) = 8·(v−128); with an all-1s quant table the huffman-coded
+  * DPCM round trip is lossless), so the q375 oracle recomputes every
+  * decoded pixel analytically in SQL while the engine runs the full
+  * marker-walk → huffman → dequantize → IDCT → color-convert pipeline.
+  * AC coefficients, foreign optimized tables, and byte stuffing beyond
+  * the synthetic corpus are exercised in the spec against ImageIO-
+  * written files (JPEG IDCTs may legally differ by ±1 per sample, so
+  * the foreign cross-check is tolerance-based; the closed-form oracle
+  * is exact because both sides of it are DC-only).
+  */
+object Jpeg {
+
+  final case class JpegImage(width: Int, height: Int, nComp: Int,
+                             pixels: Array[Byte])
+
+  // zigzag scan order: zigzag(k) = raster index of the k-th coefficient
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  private val CosTab: Array[Double] = {
+    val t = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) {
+        t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        u += 1
+      }
+      x += 1
+    }
+    t
+  }
+  private val InvSqrt2 = 1.0 / math.sqrt(2.0)
+
+  /** Canonical Huffman decode tables per T.81 Annex C/F: for each code
+    * length, the smallest/largest code and the HUFFVAL offset.
+    */
+  private final class HuffTable(bits: Array[Int], vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes at this length
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l) == 0) { maxCode(l) = -1 }
+        else {
+          valPtr(l) = k; minCode(l) = code
+          code += bits(l); k += bits(l); maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def value(len: Int, code: Int): Int =
+      vals(valPtr(len) + code - minCode(len)) & 0xff
+  }
+
+  /** Entropy-coded-segment bit reader: MSB-first, 0xFF00 unstuffed; a
+    * bare 0xFF marker inside the scan stops the stream (RSTn handled by
+    * the caller via [[atMarker]]/[[resync]]).
+    */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    var hitMarker = false
+    var marker = 0
+
+    def readBit(): Int = {
+      if (nbits == 0) {
+        if (hitMarker || pos >= b.length) { hitMarker = true; return -1 }
+        var v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          val nxt = if (pos < b.length) b(pos) & 0xff else -1
+          if (nxt == 0x00) pos += 1 // stuffed data byte
+          else { hitMarker = true; marker = nxt; pos -= 1; return -1 }
+          v = 0xff
+        }
+        acc = v; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        val bit = readBit()
+        if (bit < 0) return Int.MinValue
+        v = (v << 1) | bit
+        i += 1
+      }
+      v
+    }
+
+    def decodeHuff(t: HuffTable): Int = {
+      var code = readBit()
+      if (code < 0) return -1
+      var l = 1
+      while (l <= 16) {
+        if (t.maxCode(l) >= 0 && code <= t.maxCode(l) && code >= t.minCode(l))
+          return t.value(l, code)
+        val bit = readBit()
+        if (bit < 0) return -1
+        code = (code << 1) | bit
+        l += 1
+      }
+      -1
+    }
+
+    /** At a restart boundary: discard padding bits still buffered from
+      * the previous entropy segment (the encoder pads with 1s to a byte
+      * boundary before RSTn), expect FF D0-D7 next, consume it, and
+      * realign. Predictor reset is the caller's job. */
+    def resyncRst(): Boolean = {
+      if (!hitMarker) {
+        nbits = 0 // drop pad bits; the marker must be next in the stream
+        if (pos + 1 < b.length && (b(pos) & 0xff) == 0xff) {
+          marker = b(pos + 1) & 0xff; hitMarker = true
+        } else return false
+      }
+      if (marker < 0xd0 || marker > 0xd7) return false
+      pos += 2 // consume FF Dx
+      hitMarker = false; marker = 0; acc = 0; nbits = 0
+      true
+    }
+  }
+
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  private def idctBlock(coef: Array[Int], out: Array[Int]): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            val c = coef(v * 8 + u)
+            if (c != 0) {
+              val cu = if (u == 0) InvSqrt2 else 1.0
+              val cv = if (v == 0) InvSqrt2 else 1.0
+              s += cu * cv * c * CosTab(x * 8 + u) * CosTab(y * 8 + v)
+            }
+            v += 1
+          }
+          u += 1
+        }
+        val px = math.round(s / 4.0).toInt + 128
+        out(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** libjpeg-style fixed-point YCbCr→RGB; `>> 16` is an arithmetic
+    * (floor) shift — the oracle mirrors it with the +2^24 bias trick so
+    * truncating SQL division agrees (operands made non-negative).
+    */
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+  private[ext] def ycc2r(y: Int, cr: Int): Int =
+    clamp255(y + ((91881 * (cr - 128) + 32768) >> 16))
+  private[ext] def ycc2g(y: Int, cb: Int, cr: Int): Int =
+    clamp255(y - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) >> 16))
+  private[ext] def ycc2b(y: Int, cb: Int): Int =
+    clamp255(y + ((116130 * (cb - 128) + 32768) >> 16))
+
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+  /** Full baseline decode. None for anything outside the documented
+    * scope or structurally malformed — the StubCodec fallback posture.
+    */
+  def decode(b: Array[Byte]): Option[JpegImage] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    val qt = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffTable](4)
+    val acTabs = new Array[HuffTable](4)
+    var width = 0; var height = 0; var nComp = 0
+    // per component: id, qtable idx, dc tab, ac tab
+    var compQ: Array[Int] = null
+    var compId: Array[Int] = null
+    var compDc: Array[Int] = null
+    var compAc: Array[Int] = null
+    var restartInterval = 0
+    var p = 2
+    var sofSeen = false
+    while (p + 4 <= b.length) {
+      if ((b(p) & 0xff) != 0xff) return None
+      val m = b(p + 1) & 0xff
+      if (m == 0xff) { p += 1 } // legal fill byte before a marker
+      else {
+      if (m == 0xd9) return None // EOI before SOS
+      val len = be16(b, p + 2)
+      if (len < 2 || p + 2 + len > b.length) return None
+      val seg = p + 4
+      m match {
+        case 0xdb => // DQT: one or more tables
+          var o = seg
+          while (o < p + 2 + len) {
+            val pq = (b(o) & 0xff) >> 4
+            val tq = b(o) & 0x0f
+            if (tq > 3 || pq > 1) return None
+            val n = if (pq == 0) 64 else 128
+            if (o + 1 + n > p + 2 + len) return None
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) {
+              t(Zigzag(k)) =
+                if (pq == 0) b(o + 1 + k) & 0xff else be16(b, o + 1 + 2 * k)
+              k += 1
+            }
+            qt(tq) = t
+            o += 1 + n
+          }
+        case 0xc4 => // DHT: one or more tables
+          var o = seg
+          while (o < p + 2 + len) {
+            val tc = (b(o) & 0xff) >> 4
+            val th = b(o) & 0x0f
+            if (tc > 1 || th > 3) return None
+            val bits = new Array[Int](17)
+            var total = 0
+            var l = 1
+            while (l <= 16) { bits(l) = b(o + l) & 0xff; total += bits(l); l += 1 }
+            if (total > 256 || o + 17 + total > p + 2 + len) return None
+            val vals = new Array[Byte](total)
+            System.arraycopy(b, o + 17, vals, 0, total)
+            val tab = new HuffTable(bits, vals)
+            if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+            o += 17 + total
+          }
+        case 0xc0 => // SOF0 baseline
+          if ((b(seg) & 0xff) != 8) return None // precision
+          height = be16(b, seg + 1); width = be16(b, seg + 3)
+          nComp = b(seg + 5) & 0xff
+          if (width <= 0 || height <= 0 || (nComp != 1 && nComp != 3))
+            return None
+          if (width > (1 << 16) || height > (1 << 16)) return None
+          compId = new Array[Int](nComp); compQ = new Array[Int](nComp)
+          var c = 0
+          while (c < nComp) {
+            compId(c) = b(seg + 6 + 3 * c) & 0xff
+            val hv = b(seg + 7 + 3 * c) & 0xff
+            if (hv != 0x11) return None // 4:4:4 only — documented seam
+            compQ(c) = b(seg + 8 + 3 * c) & 0x0f
+            c += 1
+          }
+          sofSeen = true
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+             0xcd | 0xce | 0xcf =>
+          return None // non-baseline SOF — out of scope
+        case 0xdd => // DRI
+          restartInterval = be16(b, seg)
+        case 0xda => // SOS — decode the scan and finish
+          if (!sofSeen) return None
+          val ns = b(seg) & 0xff
+          if (ns != nComp) return None
+          compDc = new Array[Int](nComp); compAc = new Array[Int](nComp)
+          var c = 0
+          while (c < ns) {
+            val cs = b(seg + 1 + 2 * c) & 0xff
+            val ci = compId.indexOf(cs)
+            if (ci < 0) return None
+            compDc(ci) = (b(seg + 2 + 2 * c) & 0xff) >> 4
+            compAc(ci) = b(seg + 2 + 2 * c) & 0x0f
+            c += 1
+          }
+          return decodeScan(b, p + 2 + len, width, height, nComp,
+            compQ, compDc, compAc, qt, dcTabs, acTabs, restartInterval)
+        case _ => () // APPn / COM / others: skip
+      }
+      p += 2 + len
+      }
+    }
+    None
+  }
+
+  private def decodeScan(b: Array[Byte], start: Int, width: Int, height: Int,
+                         nComp: Int, compQ: Array[Int], compDc: Array[Int],
+                         compAc: Array[Int], qt: Array[Array[Int]],
+                         dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
+                         restartInterval: Int): Option[JpegImage] = {
+    val bw = (width + 7) / 8; val bh = (height + 7) / 8
+    // component planes at block resolution (4:4:4: one block per MCU each)
+    val planes = Array.fill(nComp)(new Array[Int](bw * 8 * bh * 8))
+    var c = 0
+    while (c < nComp) {
+      if (qt(compQ(c)) == null || dcTabs(compDc(c)) == null ||
+          acTabs(compAc(c)) == null) return None
+      c += 1
+    }
+    val rd = new BitReader(b, start)
+    val pred = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    val blk = new Array[Int](64)
+    var mcu = 0
+    val nMcu = bw * bh
+    while (mcu < nMcu) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // the encoder must have emitted RSTn here; realign + reset DPCM
+        if (!rd.resyncRst()) return None
+        java.util.Arrays.fill(pred, 0)
+      }
+      val by = mcu / bw; val bx = mcu % bw
+      var ci = 0
+      while (ci < nComp) {
+        java.util.Arrays.fill(coef, 0)
+        val t = rd.decodeHuff(dcTabs(compDc(ci)))
+        if (t < 0 || t > 11) return None
+        val diff = if (t == 0) 0 else {
+          val v = rd.receive(t)
+          if (v == Int.MinValue) return None
+          extend(v, t)
+        }
+        pred(ci) += diff
+        val q = qt(compQ(ci))
+        coef(0) = pred(ci) * q(0)
+        var k = 1
+        while (k < 64) {
+          val rs = rd.decodeHuff(acTabs(compAc(ci)))
+          if (rs < 0) return None
+          val r = rs >> 4; val s = rs & 0x0f
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else k = 64 // EOB
+          } else {
+            k += r
+            if (k > 63) return None
+            val v = rd.receive(s)
+            if (v == Int.MinValue) return None
+            coef(Zigzag(k)) = extend(v, s) * q(Zigzag(k))
+            k += 1
+          }
+        }
+        idctBlock(coef, blk)
+        // place block into the plane
+        val plane = planes(ci)
+        var yy = 0
+        while (yy < 8) {
+          System.arraycopy(blk, yy * 8, plane,
+            (by * 8 + yy) * (bw * 8) + bx * 8, 8)
+          yy += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    // interleave to output, cropping block padding to (width, height)
+    val stride = bw * 8
+    if (nComp == 1) {
+      val out = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          out(y * width + x) = planes(0)(y * stride + x).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(JpegImage(width, height, 1, out))
+    } else {
+      val out = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val yv = planes(0)(y * stride + x)
+          val cb = planes(1)(y * stride + x)
+          val cr = planes(2)(y * stride + x)
+          val o = (y * width + x) * 3
+          out(o) = ycc2r(yv, cr).toByte
+          out(o + 1) = ycc2g(yv, cb, cr).toByte
+          out(o + 2) = ycc2b(yv, cb).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(JpegImage(width, height, 3, out))
+    }
+  }
+
+  // ---------------------------------------------------------------- synth
+
+  /** Closed-form per-block plane constants behind [[synthJpegPayload]]:
+    * 16×16 images, 2×2 blocks, block index bi = (y/8)*2 + (x/8). Odd ids
+    * are grayscale (1 component), even ids color (3 components). The
+    * oracle recomputes decoded pixels from these (DC-only blocks round-
+    * trip exactly; YCbCr→RGB is the fixed-point formula above).
+    */
+  private[ext] def synthY(id: Long, bi: Int): Int =
+    (((id * 29 + bi * 37) % 256 + 256) % 256).toInt
+  private[ext] def synthCb(id: Long, bi: Int): Int =
+    (((id * 31 + bi * 41) % 256 + 256) % 256).toInt
+  private[ext] def synthCr(id: Long, bi: Int): Int =
+    (((id * 37 + bi * 43) % 256 + 256) % 256).toInt
+  private[ext] def synthGray(id: Long, bi: Int): Int =
+    (((id * 23 + bi * 53) % 256 + 256) % 256).toInt
+
+  // Annex K DC Huffman specs (public spec tables)
+  private val DcLumBits =
+    Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumVals: Array[Byte] =
+    Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11).map(_.toByte)
+  private val DcChrBits =
+    Array(0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChrVals: Array[Byte] = DcLumVals
+  // minimal AC table: the single code needed by a DC-only scan (EOB),
+  // one 1-bit code '0' — legal per Annex C, decoder rebuilds it from DHT
+  private val AcEobBits =
+    Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcEobVals: Array[Byte] = Array(0x00)
+
+  /** Canonical codes for an encoder-side table: value -> (code, len). */
+  private def encTable(bits: Array[Int], vals: Array[Byte]): Array[(Int, Int)] = {
+    val m = new Array[(Int, Int)](256)
+    var code = 0; var k = 0; var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l)) {
+        m(vals(k) & 0xff) = (code, l)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    m
+  }
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flushOnes(): Unit = if (n > 0) put(0xff, 8 - n) // pad with 1s
+  }
+
+  private def category(v: Int): Int = {
+    var t = 0; var a = math.abs(v)
+    while (a != 0) { a >>= 1; t += 1 }
+    t
+  }
+
+  /** A REAL baseline JFIF stream: SOI, APP0, all-1s DQT(s), SOF0
+    * (16×16, 4:4:4), Annex-K DC + minimal-EOB AC DHTs, SOS, a genuinely
+    * huffman/DPCM-coded DC-only scan (with 0xFF byte stuffing live),
+    * EOI. Odd ids grayscale, even ids 3-component color.
+    */
+  private[ext] def synthJpegPayload(id: Long, restartInterval: Int = 0): Array[Byte] = {
+    val gray = id % 2 != 0
+    val nComp = if (gray) 1 else 3
+    val out = new java.io.ByteArrayOutputStream()
+    def w(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    w(0xff, 0xd8) // SOI
+    // APP0 JFIF
+    w(0xff, 0xe0); w16(16)
+    w('J', 'F', 'I', 'F', 0, 1, 1, 0); w16(1); w16(1); w(0, 0)
+    // DQT: table 0 (and 1 for color), all ones, 8-bit
+    val nq = if (gray) 1 else 2
+    w(0xff, 0xdb); w16(2 + nq * 65)
+    var t = 0
+    while (t < nq) { out.write(t); (0 until 64).foreach(_ => out.write(1)); t += 1 }
+    // SOF0
+    w(0xff, 0xc0); w16(8 + 3 * nComp)
+    w(8); w16(16); w16(16); w(nComp)
+    var c = 0
+    while (c < nComp) { w(c + 1, 0x11, if (c == 0) 0 else 1); c += 1 }
+    // DHT: DC lum (0), AC eob (0); for color also DC chr (1), AC eob (1)
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      w(0xff, 0xc4); w16(2 + 17 + vals.length)
+      w((tc << 4) | th)
+      (1 to 16).foreach(l => out.write(bits(l)))
+      vals.foreach(v => out.write(v & 0xff))
+    }
+    dht(0, 0, DcLumBits, DcLumVals)
+    dht(1, 0, AcEobBits, AcEobVals)
+    if (!gray) {
+      dht(0, 1, DcChrBits, DcChrVals)
+      dht(1, 1, AcEobBits, AcEobVals)
+    }
+    if (restartInterval > 0) { w(0xff, 0xdd); w16(4); w16(restartInterval) }
+    // SOS
+    w(0xff, 0xda); w16(6 + 2 * nComp)
+    w(nComp)
+    c = 0
+    while (c < nComp) {
+      w(c + 1, if (c == 0) 0x00 else 0x11)
+      c += 1
+    }
+    w(0, 63, 0)
+    // entropy-coded DC-only scan: 4 MCUs (2×2 blocks), DPCM per component
+    val dcLum = encTable(DcLumBits, DcLumVals)
+    val dcChr = encTable(DcChrBits, DcChrVals)
+    val acEob = encTable(AcEobBits, AcEobVals)
+    val bwRiter = new BitWriter(out)
+    val pred = new Array[Int](nComp)
+    var bi = 0
+    var rstN = 0
+    while (bi < 4) {
+      if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+        bwRiter.flushOnes() // leaves the writer byte-aligned and empty
+        w(0xff, 0xd0 + rstN) // RSTn: realign + DPCM reset
+        rstN = (rstN + 1) % 8
+        java.util.Arrays.fill(pred, 0)
+      }
+      c = 0
+      while (c < nComp) {
+        val v =
+          if (gray) synthGray(id, bi)
+          else if (c == 0) synthY(id, bi)
+          else if (c == 1) synthCb(id, bi)
+          else synthCr(id, bi)
+        val dc = 8 * (v - 128)
+        val diff = dc - pred(c)
+        pred(c) = dc
+        val cat = category(diff)
+        val (hc, hl) = if (c == 0) dcLum(cat) else dcChr(cat)
+        bwRiter.put(hc, hl)
+        if (cat > 0) {
+          val bitsV = if (diff < 0) diff - 1 else diff
+          bwRiter.put(bitsV & ((1 << cat) - 1), cat)
+        }
+        val (ec, el) = acEob(0)
+        bwRiter.put(ec, el) // EOB: all 63 ACs zero
+        c += 1
+      }
+      bi += 1
+    }
+    bwRiter.flushOnes()
+    w(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
+  final case class JpegPixelStats(media_id: Long, width: Int, height: Int,
+                                  n_comp: Int, n_px_bytes: Int, px_sum: Long,
+                                  px_wsum: Long, c0_sum: Long, c1_sum: Long,
+                                  c2_sum: Long)
+
+  /** q375: build a real JFIF per doc and FULLY DECODE it — marker walk,
+    * DHT reconstruction, huffman + DPCM, dequantize, IDCT, fixed-point
+    * color convert — emitting order-sensitive pixel statistics (total,
+    * position-weighted, and byte-position-class sums; classes are RGB
+    * channels for color ids, positional thirds for grayscale ids). All
+    * fields have closed forms over the per-block constants, so the
+    * oracle is analytic while the engine exercises the full decoder.
+    * Narrow mapPartitions; payloads never shuffle.
+    */
+  def jpegPixelStats(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val p = synthJpegPayload(id)
+        decode(p) match {
+          case Some(img) =>
+            var sum = 0L; var wsum = 0L
+            val ch = new Array[Long](3)
+            var i = 0
+            while (i < img.pixels.length) {
+              val v = img.pixels(i) & 0xff
+              sum += v; wsum += i.toLong * v; ch(i % 3) += v
+              i += 1
+            }
+            JpegPixelStats(id, img.width, img.height, img.nComp,
+              img.pixels.length, sum, wsum, ch(0), ch(1), ch(2))
+          case None =>
+            JpegPixelStats(id, 0, 0, 0, 0, 0L, 0L, 0L, 0L, 0L)
+        }
+      }
+    }.toDF()
+  }
+}

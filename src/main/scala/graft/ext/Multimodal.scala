@@ -38,12 +38,15 @@ object Multimodal {
     def decodeAndFeaturize(r: MediaRow, frameEvery: Int): MediaFeatures
   }
 
-  /** Deterministic stand-in for the image/audio decode libraries that are
-    * not installed here. Real implementation would decode `payload` with a
+  /** Deterministic stand-in for the decode libraries that are not
+    * installed here. Real implementation would decode `payload` with a
     * codec; the stub derives stable pseudo-features from the raw bytes so
     * the pipeline is testable end-to-end. [[HeaderCodec]] is the real
     * pure-JVM sibling for container formats whose headers parse without a
-    * decoder library (BMP, RIFF/WAV).
+    * decoder library (BMP, RIFF/WAV), [[HeaderCodec.decodePng]] the full
+    * PNG pixel decode, and [[Jpeg.decode]] the full baseline-JPEG pixel
+    * decode (q375) — the stub's remaining honest scope is progressive
+    * JPEG, subsampled chroma, and video/audio codecs.
     */
   object StubCodec extends MediaCodec {
     /** ??? in spirit: replace with a real decode when codecs exist. */

@@ -1,0 +1,207 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.awt.image.BufferedImage
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+/** The baseline JPEG decoder: exact round trip on the DC-only synthetic
+  * corpus (closed-form pixels), tolerance cross-check against files
+  * written AND read by ImageIO (a foreign encoder with optimized
+  * huffman tables and a foreign IDCT — the spec-sanctioned ±slop),
+  * restart-marker handling, and malformed-input rejection.
+  */
+class JpegSpec extends AnyFunSuite {
+
+  private def expectedPixels(id: Long): Array[Int] = {
+    val gray = id % 2 != 0
+    if (gray) {
+      val out = new Array[Int](256)
+      var k = 0
+      while (k < 256) {
+        val x = k % 16; val y = k / 16
+        out(k) = Jpeg.synthGray(id, (y / 8) * 2 + (x / 8))
+        k += 1
+      }
+      out
+    } else {
+      val out = new Array[Int](768)
+      var px = 0
+      while (px < 256) {
+        val x = px % 16; val y = px / 16
+        val bi = (y / 8) * 2 + (x / 8)
+        val yv = Jpeg.synthY(id, bi)
+        val cb = Jpeg.synthCb(id, bi)
+        val cr = Jpeg.synthCr(id, bi)
+        out(px * 3) = Jpeg.ycc2r(yv, cr)
+        out(px * 3 + 1) = Jpeg.ycc2g(yv, cb, cr)
+        out(px * 3 + 2) = Jpeg.ycc2b(yv, cb)
+        px += 1
+      }
+      out
+    }
+  }
+
+  test("synthetic DC-only corpus decodes to the closed form exactly (gray + color)") {
+    for (id <- 0L to 25L) {
+      val img = Jpeg.decode(Jpeg.synthJpegPayload(id))
+        .getOrElse(fail(s"decode failed for id=$id"))
+      assert(img.width == 16 && img.height == 16)
+      assert(img.nComp == (if (id % 2 != 0) 1 else 3))
+      val exp = expectedPixels(id)
+      assert(img.pixels.length == exp.length)
+      var k = 0
+      while (k < exp.length) {
+        assert((img.pixels(k) & 0xff) == exp(k),
+          s"id=$id byte $k: got ${img.pixels(k) & 0xff}, want ${exp(k)}")
+        k += 1
+      }
+    }
+  }
+
+  test("restart markers: RSTn every MCU realigns and resets DPCM, same pixels") {
+    for (id <- Seq(2L, 3L, 6L, 9L); ri <- Seq(1, 2, 3)) {
+      val img = Jpeg.decode(Jpeg.synthJpegPayload(id, restartInterval = ri))
+        .getOrElse(fail(s"RST decode failed for id=$id ri=$ri"))
+      val exp = expectedPixels(id)
+      assert(img.pixels.map(_ & 0xff).toSeq == exp.toSeq, s"id=$id ri=$ri")
+    }
+  }
+
+  /** ImageIO-write; force444 rewrites the writer metadata's sampling
+    * factors to 1 (Java's JPEG writer emits 4:2:0 for color at EVERY
+    * quality, measured — subsampled chroma is outside the decoder's
+    * documented scope, and its fancy upsampler wouldn't be comparable
+    * anyway). */
+  private def writeJpeg(img: BufferedImage, quality: Float,
+                        force444: Boolean = false): Array[Byte] = {
+    val w = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val meta =
+      if (!force444) null
+      else {
+        val m = w.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), p)
+        val fmt = "javax_imageio_jpeg_image_1.0"
+        val tree = m.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+        val sofs = tree.getElementsByTagName("sof")
+        var i = 0
+        while (i < sofs.getLength) {
+          val comps = sofs.item(i).getChildNodes
+          var j = 0
+          while (j < comps.getLength) {
+            comps.item(j) match {
+              case e: org.w3c.dom.Element if e.getTagName == "componentSpec" =>
+                e.setAttribute("HsamplingFactor", "1")
+                e.setAttribute("VsamplingFactor", "1")
+              case _ => ()
+            }
+            j += 1
+          }
+          i += 1
+        }
+        m.setFromTree(fmt, tree)
+        m
+      }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new IIOImage(img, null, meta), p)
+    ios.close(); w.dispose()
+    bos.toByteArray
+  }
+
+  test("foreign encoder: ImageIO-written color JPEG (quality .98, 4:4:4, optimized tables) decodes within IDCT slop of ImageIO's own read") {
+    val rnd = new scala.util.Random(42)
+    val src = new BufferedImage(24, 17, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 17; x <- 0 until 24)
+      src.setRGB(x, y, rnd.nextInt(1 << 24))
+    val bytes = writeJpeg(src, 0.98f, force444 = true)
+    val mine = Jpeg.decode(bytes)
+      .getOrElse(fail("decoder rejected an ImageIO baseline 4:4:4 file"))
+    assert(mine.width == 24 && mine.height == 17 && mine.nComp == 3)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until 17; x <- 0 until 24) {
+      val rgb = ref.getRGB(x, y)
+      val o = (y * 24 + x) * 3
+      val dr = math.abs(((rgb >> 16) & 0xff) - (mine.pixels(o) & 0xff))
+      val dg = math.abs(((rgb >> 8) & 0xff) - (mine.pixels(o + 1) & 0xff))
+      val db = math.abs((rgb & 0xff) - (mine.pixels(o + 2) & 0xff))
+      maxDiff = math.max(maxDiff, math.max(dr, math.max(dg, db)))
+    }
+    // two independent IDCT + color-convert implementations: T.81 allows
+    // ±1 per IDCT sample; color convert adds at most ±1 more
+    assert(maxDiff <= 2, s"max per-sample diff $maxDiff")
+  }
+
+  test("foreign encoder: ImageIO-written grayscale JPEG decodes within slop") {
+    val rnd = new scala.util.Random(7)
+    val src = new BufferedImage(19, 21, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 21; x <- 0 until 19) {
+      val v = rnd.nextInt(256)
+      src.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bytes = writeJpeg(src, 0.98f)
+    val mine = Jpeg.decode(bytes)
+      .getOrElse(fail("decoder rejected an ImageIO grayscale file"))
+    assert(mine.width == 19 && mine.height == 21 && mine.nComp == 1)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // raster samples, NOT getRGB: on TYPE_BYTE_GRAY getRGB applies a
+    // linear-gray -> sRGB gamma transform (128 reads as 188)
+    var maxDiff = 0
+    for (y <- 0 until 21; x <- 0 until 19) {
+      val d = math.abs(ref.getRaster.getSample(x, y, 0) -
+        (mine.pixels(y * 19 + x) & 0xff))
+      maxDiff = math.max(maxDiff, d)
+    }
+    assert(maxDiff <= 1, s"max per-sample diff $maxDiff")
+  }
+
+  test("malformed and out-of-scope inputs return None (StubCodec posture)") {
+    val good = Jpeg.synthJpegPayload(4L)
+    assert(Jpeg.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Jpeg.decode(good.take(good.length / 2)).isEmpty) // truncated scan
+    assert(Jpeg.decode(good.take(20)).isEmpty) // truncated header
+    // flip SOF0 -> SOF2 (progressive): structurally present, out of scope
+    val prog = good.clone()
+    val sof = {
+      var i = 2
+      while (!((prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0)) i += 1
+      i
+    }
+    prog(sof + 1) = 0xc2.toByte
+    assert(Jpeg.decode(prog).isEmpty)
+    // corrupt a huffman-coded scan byte far enough to break a code
+    val bad = good.clone()
+    bad(bad.length - 4) = 0x55
+    // either cleanly None or a decode that differs — must not throw
+    Jpeg.decode(bad)
+  }
+
+  test("jpegPixelStats: engine stats equal closed-form recomputation") {
+    val spark = graft.SparkTestSession.spark
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val docs = (0L to 19L).toDF("doc_id")
+    val got = Jpeg.jpegPixelStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- 0L to 19L) {
+      val exp = expectedPixels(id)
+      var sum = 0L; var wsum = 0L
+      val ch = new Array[Long](3)
+      var k = 0
+      while (k < exp.length) {
+        sum += exp(k); wsum += k.toLong * exp(k); ch(k % 3) += exp(k)
+        k += 1
+      }
+      val r = got(id)
+      assert(r.getInt(1) == 16 && r.getInt(2) == 16)
+      assert(r.getInt(4) == exp.length)
+      assert(r.getLong(5) == sum && r.getLong(6) == wsum)
+      assert(r.getLong(7) == ch(0) && r.getLong(8) == ch(1) &&
+        r.getLong(9) == ch(2))
+    }
+  }
+}
