@@ -8392,6 +8392,61 @@ object Oracles {
       |  w.p AS rep_start, w.n_occ, w.n_docs, w.w AS repeat_text
       |FROM mx m LEFT JOIN winner w ON true""".stripMargin
 
+  /** q376: longest CROSS-CORPUS token span (train = doc_id %% 20 ≠ 0,
+    * eval = %% 20 = 0) — the sorted-suffix construction of q368 with a
+    * corpus tag: the longest common substring across two corpora is
+    * attained at some ADJACENT different-tag pair of the sorted suffix
+    * relation (between any cross pair, every adjacent LCP ≥ the pair's
+    * LCP and some adjacent pair changes tag). Ties in the suffix sort
+    * are safe: any ordering of an equal-suffix group containing both
+    * tags has an adjacent cross pair with full-length LCP. A completely
+    * different algorithm from the engine's tagged rank-doubling.
+    */
+  val crossCorpusRepeat: String =
+    """WITH docs AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END AS tag,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+      |  FROM documents
+      |), base AS (
+      |  SELECT doc_id, tag, CAST(len(ws) AS BIGINT) AS n_tokens, ws FROM docs
+      |), sfx AS MATERIALIZED (
+      |  SELECT doc_id, tag, CAST(p AS BIGINT) AS p,
+      |    list_slice(ws, CAST(p AS INTEGER), CAST(len(ws) AS INTEGER)) AS s
+      |  FROM (SELECT doc_id, tag, ws, unnest(generate_series(1, len(ws))) AS p
+      |        FROM base WHERE n_tokens > 0)
+      |), ord AS (
+      |  SELECT s, tag, lag(s) OVER (ORDER BY s) AS prev,
+      |    lag(tag) OVER (ORDER BY s) AS ptag
+      |  FROM sfx
+      |), lcps AS (
+      |  SELECT CASE WHEN prev IS NULL OR tag = ptag THEN 0
+      |    ELSE COALESCE(NULLIF(list_position(list_transform(
+      |        range(1, least(len(s), len(prev)) + 1),
+      |        i -> s[i] = prev[i]), false), 0) - 1,
+      |      least(len(s), len(prev))) END AS lcp
+      |  FROM ord
+      |), mx AS (
+      |  SELECT CAST(COALESCE(MAX(lcp), 0) AS BIGINT) AS lstar FROM lcps
+      |), win AS (
+      |  SELECT f.doc_id, f.tag, f.p,
+      |    array_to_string(list_slice(f.s, 1, CAST(m.lstar AS INTEGER)), ' ') AS w
+      |  FROM sfx f, mx m WHERE m.lstar > 0 AND len(f.s) >= m.lstar
+      |), sup AS (
+      |  SELECT w,
+      |    CAST(SUM(CASE WHEN tag = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_occ_a,
+      |    CAST(SUM(CASE WHEN tag = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_occ_b
+      |  FROM win GROUP BY 1
+      |  HAVING SUM(CASE WHEN tag = 0 THEN 1 ELSE 0 END) >= 1
+      |     AND SUM(CASE WHEN tag = 1 THEN 1 ELSE 0 END) >= 1
+      |), winner AS (
+      |  SELECT v.doc_id, v.p, s.n_occ_a, s.n_occ_b, v.w
+      |  FROM win v JOIN sup s USING (w)
+      |  ORDER BY v.doc_id, v.p, v.tag LIMIT 1
+      |)
+      |SELECT m.lstar AS max_common_tokens, w.doc_id AS rep_doc,
+      |  w.p AS rep_start, w.n_occ_a, w.n_occ_b, w.w AS common_text
+      |FROM mx m LEFT JOIN winner w ON true""".stripMargin
+
   /** q369: exact-substring trimming — the q60 rebuild spelling over the
     * q362 duplicated-window positions (n_occ ≥ 2 over ALL occurrences,
     * same-doc repeats included — NOT q60's distinct-doc-frequency rule).

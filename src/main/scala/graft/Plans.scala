@@ -1632,7 +1632,14 @@ object Plans {
         |JFIF, marker walk, DHT canonical reconstruction, huffman+DPCM,
         |dequantize, IDCT, fixed-point color convert — payloads never
         |leave the task; output is 10 scalars/row. The position-weighted
-        |sum pins raster order in the exact-hash oracle.""".stripMargin)
+        |sum pins raster order in the exact-hash oracle.""".stripMargin,
+    "q376_cross_corpus_repeat" ->
+      """Cross-corpus longest span: the q368 climb/search core (shared
+        |climbSearch — levels checkpointed, probe prefixes memoized by
+        |accumulated depth) with the corpus tag embedded in the position
+        |id and the predicate "some class spans both tags" (one min/max
+        |aggregate per probe). Driver actions stay one boolean per
+        |level/probe; 1-row output.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -3822,7 +3822,15 @@ object SparkEntry {
     "q375_jpeg_pixels" -> { (s, d) =>
       implicit val sp: SparkSession = s
       graft.ext.Jpeg.jpegPixelStats(Tables.documents(s, d))
-    }
+    },
+
+    // longest TRAIN↔EVAL common token span — exact-substring
+    // contamination depth between corpora (q54's question at suffix-array
+    // precision): tagged rank-doubling, cross-tag class predicate
+    "q376_cross_corpus_repeat" -> ((s, d) =>
+      graft.ext.SuffixDedup.crossLongestRepeat(
+        Tables.documents(s, d).filter(col("doc_id") % 20 =!= 0),
+        Tables.documents(s, d).filter(col("doc_id") % 20 === 0)))
   )
 
   /** The paired ranking relation shared by q346: each panel query's exact
@@ -4315,6 +4323,7 @@ object SparkEntry {
     "q372_setsim_audit" -> Oracles.setSimAudit(600, 10),
     "q373_brown_forsythe" -> Oracles.brownForsythe,
     "q374_friedman_stream" -> Oracles.friedman,
-    "q375_jpeg_pixels" -> Oracles.jpegPixelStats
+    "q375_jpeg_pixels" -> Oracles.jpegPixelStats,
+    "q376_cross_corpus_repeat" -> Oracles.crossCorpusRepeat
   )
 }

@@ -113,6 +113,63 @@ object SuffixDedup {
       .pin()
   }
 
+  /** The shared climb-and-binary-search core behind [[longestRepeat]]
+    * and [[crossLongestRepeat]]: climb power-of-two depths while `pred`
+    * holds (each level one [[refine]] of the previous, eager-pinned),
+    * then binary-search λ between the last-holding and first-clean
+    * depths, assembling rank-at-λ by exact CONCATENATION of the
+    * precomputed levels along λ's set bits. Successive probes of the
+    * MONOTONE search share their most-significant set bits, and the
+    * accumulated depth uniquely identifies a prefix (a sum of distinct
+    * powers of two combined in fixed MSB-first order), so prefix
+    * relations are memoized by depth — each combine runs ONCE across the
+    * whole search. Driver-side actions are one boolean per level/probe.
+    * Returns None when `pred` fails already at depth 1, else
+    * (λ*, the rank relation at λ*).
+    */
+  private def climbSearch(r1: DataFrame, pred: DataFrame => Boolean,
+                          capLog2: Int): Option[(Int, DataFrame)] = {
+    if (!pred(r1)) None
+    else {
+      // climb: levels(i) holds the depth-2^i relation
+      val levels = scala.collection.mutable.Map(0 -> r1)
+      var lo = 1 // largest depth KNOWN to satisfy pred
+      var hi = -1 // smallest depth KNOWN clean (-1 = not yet found)
+      var i = 0
+      while (hi < 0 && i < capLog2) {
+        val next = refine(levels(i), 1 << i)
+        if (next.isEmpty || !pred(next)) hi = 1 << (i + 1)
+        else { levels(i + 1) = next; lo = 1 << (i + 1); i += 1 }
+      }
+      val prefixByDepth = scala.collection.mutable.Map[Int, DataFrame]()
+      def rankAt(lambda: Int): DataFrame =
+        if ((lambda & (lambda - 1)) == 0)
+          levels(java.lang.Integer.numberOfTrailingZeros(lambda))
+        else {
+          val bits =
+            (levels.keys.max to 0 by -1).filter(b => (lambda & (1 << b)) != 0)
+          var cur = levels(bits.head)
+          var depth = 1 << bits.head
+          bits.tail.foreach { b =>
+            val nextDepth = depth + (1 << b)
+            cur = prefixByDepth.getOrElseUpdate(nextDepth,
+              combine(cur, levels(b), depth))
+            depth = nextDepth
+          }
+          cur
+        }
+      if (hi > 0) {
+        while (hi - lo > 1) {
+          val mid = (lo + hi) / 2
+          if (pred(rankAt(mid))) lo = mid else hi = mid
+        }
+      }
+      // else: saturated at an EXPLICIT cap with pred still holding —
+      // report λ* = 2^capLog2 (documented saturation semantics)
+      Some((lo, rankAt(lo)))
+    }
+  }
+
   /** Positions (doc, p) whose `minLen`-window text occurs ≥ 2 times in
     * the corpus (any document, any position). One aggregate over the
     * class relation + a semi join back.
@@ -269,54 +326,9 @@ object SuffixDedup {
       !r.groupBy("rd", "rp").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).isEmpty
 
-    if (!hasDup(r1)) emptyRow
-    else {
-      // climb: levels(i) holds the depth-2^i relation
-      val levels = scala.collection.mutable.Map(0 -> r1)
-      var lo = 1 // largest depth KNOWN duplicated
-      var hi = -1 // smallest depth KNOWN clean (-1 = not yet found)
-      var i = 0
-      while (hi < 0 && i < capLog2) {
-        val next = refine(levels(i), 1 << i)
-        if (next.isEmpty || !hasDup(next)) hi = 1 << (i + 1)
-        else { levels(i + 1) = next; lo = 1 << (i + 1); i += 1 }
-      }
-      // rank at arbitrary depth λ: concatenate precomputed levels along
-      // λ's set bits, most-significant first (shift = accumulated depth
-      // each step — exact concatenation, no overlap requirement).
-      // Successive probes of the MONOTONE binary search share their
-      // most-significant set bits, and the accumulated depth uniquely
-      // identifies a prefix (a sum of distinct powers of two combined in
-      // fixed MSB-first order), so prefix relations are memoized by
-      // depth: each combine — already eager-checkpointed inside
-      // [[combine]] — is computed ONCE across the whole search instead
-      // of once per probe that reaches it.
-      val prefixByDepth = scala.collection.mutable.Map[Int, DataFrame]()
-      def rankAt(lambda: Int): DataFrame =
-        if ((lambda & (lambda - 1)) == 0)
-          levels(java.lang.Integer.numberOfTrailingZeros(lambda))
-        else {
-          val bits =
-            (levels.keys.max to 0 by -1).filter(b => (lambda & (1 << b)) != 0)
-          var cur = levels(bits.head)
-          var depth = 1 << bits.head
-          bits.tail.foreach { b =>
-            val nextDepth = depth + (1 << b)
-            cur = prefixByDepth.getOrElseUpdate(nextDepth,
-              combine(cur, levels(b), depth))
-            depth = nextDepth
-          }
-          cur
-        }
-      if (hi > 0) {
-        while (hi - lo > 1) {
-          val mid = (lo + hi) / 2
-          if (hasDup(rankAt(mid))) lo = mid else hi = mid
-        }
-      }
-      // else: saturated at the cap with duplication still present —
-      // report λ* = lo = 2^capLog2 (documented saturation)
-      val rStar = rankAt(lo)
+    climbSearch(r1, hasDup, capLog2) match {
+      case None => emptyRow
+      case Some((lo, rStar)) =>
       val classes = rStar.groupBy("rd", "rp")
         .agg(count(lit(1)).as("n_occ"), count_distinct(col("d")).as("n_docs"))
         .filter(col("n_occ") >= 2)
@@ -328,6 +340,80 @@ object SuffixDedup {
           col("n_occ"), col("n_docs"),
           array_join(slice(col("__ws"), col("p").cast("int"), lit(lo)), " ")
             .as("repeat_text"))
+    }
+  }
+
+  /** The LONGEST token span occurring in BOTH corpora — exact-substring
+    * contamination DEPTH between a training corpus and an evaluation
+    * corpus (the Lee et al. 2022 decontamination question asked at
+    * suffix-array precision instead of fixed-n grams: q54 answers "how
+    * many 13-grams leak", this answers "how LONG is the longest leaked
+    * span, where is it, and how often does each side carry it").
+    *
+    * HOW: both corpora enter one doubling relation with the corpus tag
+    * embedded in the position key (id' = 2·id + tag — ids stay unique,
+    * originals recoverable by halving), and the [[climbSearch]] predicate
+    * asks not "does any class have ≥ 2 members" but "does any class span
+    * BOTH tags" — a min/max aggregate over the same class key, so every
+    * scale property of [[longestRepeat]] carries over unchanged.
+    * 1-row output: (max_common_tokens, rep_doc, rep_start, n_occ_a,
+    * n_occ_b, common_text); no cross-corpus span at all reads 0/NULLs.
+    * Requires the two corpora's idCol spaces to be disjoint only for
+    * REPORTING clarity (rep_doc is the original id) — correctness never
+    * compares ids across tags.
+    */
+  def crossLongestRepeat(docsA: DataFrame, docsB: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         capLog2: Int = 30): DataFrame = {
+    val spark = docsA.sparkSession
+    val emptyRow = spark.range(1).select(
+      lit(0L).as("max_common_tokens"),
+      lit(null).cast("long").as("rep_doc"),
+      lit(null).cast("long").as("rep_start"),
+      lit(null).cast("long").as("n_occ_a"),
+      lit(null).cast("long").as("n_occ_b"),
+      lit(null).cast("string").as("common_text"))
+
+    def tagged(docs: DataFrame, tag: Int): DataFrame =
+      docs.select((col(idCol).cast("long") * 2 + tag).as("d"),
+        TextAnalysis.tokens(col(textCol)).as("__ws"))
+    val toks = tagged(docsA, 0).unionAll(tagged(docsB, 1))
+    val tokPos = toks
+      .select(col("d"), posexplode(col("__ws")).as(Seq("__p0", "tok")))
+      .select(col("d"), (col("__p0") + 1).cast("long").as("p"), col("tok"))
+    val r1 = tokPos
+      .join(tokPos.groupBy("tok")
+        .agg(min(struct(col("d"), col("p"))).as("__rep")), Seq("tok"))
+      .select(col("d"), col("p"),
+        col("__rep.d").as("rd"), col("__rep.p").as("rp"))
+      .pin()
+
+    // "some class spans both corpora": tag = d % 2 (ids are 2·id + tag)
+    def hasCross(r: DataFrame): Boolean =
+      !r.groupBy("rd", "rp")
+        .agg(min(col("d") % 2).as("t0"), max(col("d") % 2).as("t1"))
+        .filter(col("t0") === 0 && col("t1") === 1).isEmpty
+
+    climbSearch(r1, hasCross, capLog2) match {
+      case None => emptyRow
+      case Some((lo, rStar)) =>
+        val classes = rStar.groupBy("rd", "rp")
+          .agg(sum(when(col("d") % 2 === 0, 1L).otherwise(0L)).as("n_occ_a"),
+            sum(when(col("d") % 2 === 1, 1L).otherwise(0L)).as("n_occ_b"))
+          .filter(col("n_occ_a") >= 1 && col("n_occ_b") >= 1)
+        // deterministic winner: minimal (ORIGINAL id, position) over all
+        // members of cross-corpus classes — matches the oracle's order
+        val winner = rStar.join(classes, Seq("rd", "rp"))
+          .select(col("d"), expr("d div 2").as("__orig"), col("p"),
+            col("n_occ_a"), col("n_occ_b"))
+          .orderBy(col("__orig"), col("p"), expr("d % 2")).limit(1)
+        winner.join(toks, winner("d") === toks("d"))
+          .select(lit(lo.toLong).as("max_common_tokens"),
+            col("__orig").as("rep_doc"),
+            col("p").as("rep_start"),
+            col("n_occ_a"), col("n_occ_b"),
+            array_join(slice(col("__ws"), col("p").cast("int"), lit(lo)), " ")
+              .as("common_text"))
     }
   }
 

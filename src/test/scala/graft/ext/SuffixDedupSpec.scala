@@ -203,6 +203,61 @@ class SuffixDedupSpec extends SparkSpec {
     assert(r.getLong(3) == 2L && r.getLong(4) == 2L)
   }
 
+  test("crossLongestRepeat: cross span only — within-corpus repeats don't count") {
+    val planted = (1 to 5).map(i => s"X$i").mkString(" ")
+    val longA = (1 to 12).map(i => s"A$i").mkString(" ")
+    // corpus A repeats a 12-token span INTERNALLY (docs 2 and 4) and
+    // carries the 5-token planted span; corpus B carries only the
+    // planted span — the cross answer must be 5, not 12
+    val a = docs(
+      2L -> s"$longA $planted",
+      4L -> s"pre $longA post")
+    val b = docs(
+      1L -> s"q1 q2 $planted tail",
+      3L -> "unrelated words only here")
+    val r = SuffixDedup.crossLongestRepeat(a, b).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(0) == 5L)
+    // winner: minimal (original id, pos) among members of the winning
+    // class — doc 1 (corpus B) pos 3 beats doc 2 pos 13
+    assert((row.getLong(1), row.getLong(2)) == ((1L, 3L)))
+    assert(row.getLong(3) == 1L && row.getLong(4) == 1L)
+    assert(row.getString(5) == planted)
+  }
+
+  test("crossLongestRepeat: no shared token reads 0/NULLs; identical docs read full length") {
+    val a = docs(1L -> "a b c")
+    val b = docs(2L -> "d e f")
+    val r0 = SuffixDedup.crossLongestRepeat(a, b).collect()(0)
+    assert(r0.getLong(0) == 0L && r0.isNullAt(1) && r0.isNullAt(5))
+    val nine = (1 to 9).map(i => s"t$i").mkString(" ")
+    val r9 = SuffixDedup
+      .crossLongestRepeat(docs(5L -> nine), docs(6L -> nine)).collect()(0)
+    assert(r9.getLong(0) == 9L)
+    assert((r9.getLong(1), r9.getLong(2)) == ((5L, 1L)))
+    assert(r9.getLong(3) == 1L && r9.getLong(4) == 1L)
+  }
+
+  test("crossLongestRepeat: matches brute force on a deterministic random split") {
+    val rnd = new scala.util.Random(23)
+    val corpus = (1L to 12L).map { id =>
+      id -> Seq.fill(30)(s"w${rnd.nextInt(5)}").mkString(" ")
+    }
+    val a = corpus.filter(_._1 % 3 != 0)
+    val b = corpus.filter(_._1 % 3 == 0)
+    def grams(c: Seq[(Long, String)], l: Int): Set[Seq[String]] =
+      c.flatMap { case (_, t) =>
+        val ws = t.split(" ").toSeq
+        (0 to ws.length - l).map(p => ws.slice(p, p + l))
+      }.toSet
+    val expected = (1 to 30)
+      .filter(l => (grams(a, l) & grams(b, l)).nonEmpty).maxOption.getOrElse(0)
+    val got = SuffixDedup.crossLongestRepeat(docs(a: _*), docs(b: _*))
+      .collect()(0).getLong(0)
+    assert(got == expected.toLong && expected >= 1)
+  }
+
   test("longestRepeat: cap saturation reports 2^capLog2 (documented behavior)") {
     val six = (1 to 6).map(i => s"c$i").mkString(" ")
     val r = SuffixDedup.longestRepeat(docs(1L -> six, 2L -> six), capLog2 = 2)
