@@ -8447,6 +8447,31 @@ object Oracles {
       |  w.p AS rep_start, w.n_occ_a, w.n_occ_b, w.w AS common_text
       |FROM mx m LEFT JOIN winner w ON true""".stripMargin
 
+  /** q377: dictionary phrase scan — the naive positional-slice
+    * formulation (every doc × every phrase × every start position),
+    * fine at oracle scale and entirely independent of the engine's
+    * rarest-token-anchor candidate generation.
+    */
+  val phraseScan: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+      |  FROM documents
+      |), ph AS (
+      |  SELECT doc_id AS phrase_id,
+      |    list_slice(ws, 3, CAST(4 + (doc_id // 250) % 2 AS INTEGER)) AS pt
+      |  FROM docs WHERE doc_id % 250 = 7 AND len(ws) >= 4 + (doc_id // 250) % 2
+      |), pos AS (
+      |  SELECT d.doc_id, ph.phrase_id,
+      |    unnest(list_filter(range(1, len(d.ws) - len(ph.pt) + 2),
+      |      p -> list_slice(d.ws, CAST(p AS INTEGER),
+      |             CAST(p + len(ph.pt) - 1 AS INTEGER)) = ph.pt)) AS p
+      |  FROM docs d, ph
+      |)
+      |SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+      |  CAST(MIN(p) AS BIGINT) AS first_pos
+      |FROM pos GROUP BY 1, 2""".stripMargin
+
   /** q369: exact-substring trimming — the q60 rebuild spelling over the
     * q362 duplicated-window positions (n_occ ≥ 2 over ALL occurrences,
     * same-doc repeats included — NOT q60's distinct-doc-frequency rule).

@@ -1639,7 +1639,15 @@ object Plans {
         |accumulated depth) with the corpus tag embedded in the position
         |id and the predicate "some class spans both tags" (one min/max
         |aggregate per probe). Driver actions stay one boolean per
-        |level/probe; 1-row output.""".stripMargin)
+        |level/probe; 1-row output.""".stripMargin,
+    "q377_phrase_scan" ->
+      """Phrase scan: one corpus token-df aggregate, per-phrase rarest-
+        |token anchor (dictionary-sized, broadcast), candidates = one
+        |equi-join of the positional token stream against the anchors
+        |(mass = Σ df(anchor)), verification = one positional equi-join
+        |× plen with a count==plen gate, then the (doc, phrase) rollup.
+        |No automaton state, nothing quadratic, dictionary always
+        |broadcast.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

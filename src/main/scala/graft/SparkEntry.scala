@@ -3830,7 +3830,23 @@ object SparkEntry {
     "q376_cross_corpus_repeat" -> ((s, d) =>
       graft.ext.SuffixDedup.crossLongestRepeat(
         Tables.documents(s, d).filter(col("doc_id") % 20 =!= 0),
-        Tables.documents(s, d).filter(col("doc_id") % 20 === 0)))
+        Tables.documents(s, d).filter(col("doc_id") % 20 === 0))),
+
+    // dictionary phrase scan: every occurrence of every blocklist phrase
+    // (variable 2-3 token sequences sampled from the corpus), per-(doc,
+    // phrase) hit count + first position — rarest-token anchor joins,
+    // positional verification, no automaton, no UDF
+    "q377_phrase_scan" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val phrases = docs
+        .select(col("doc_id"), graft.ext.TextAnalysis.tokens(col("text")).as("__ws"))
+        .filter(col("doc_id") % 250 === 7)
+        .withColumn("__L", ((col("doc_id") / 250).cast("long") % 2 + 2).cast("int"))
+        .filter(size(col("__ws")) >= col("__L") + 2)
+        .select(col("doc_id").as("phrase_id"),
+          array_join(slice(col("__ws"), lit(3), col("__L")), " ").as("phrase"))
+      graft.ext.TextAnalysis.phraseScan(docs, phrases)
+    })
   )
 
   /** The paired ranking relation shared by q346: each panel query's exact
@@ -4324,6 +4340,7 @@ object SparkEntry {
     "q373_brown_forsythe" -> Oracles.brownForsythe,
     "q374_friedman_stream" -> Oracles.friedman,
     "q375_jpeg_pixels" -> Oracles.jpegPixelStats,
-    "q376_cross_corpus_repeat" -> Oracles.crossCorpusRepeat
+    "q376_cross_corpus_repeat" -> Oracles.crossCorpusRepeat,
+    "q377_phrase_scan" -> Oracles.phraseScan
   )
 }

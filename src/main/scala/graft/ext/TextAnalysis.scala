@@ -598,4 +598,79 @@ object TextAnalysis {
     vrow.crossJoin(drow)
       .select(expr(s"stack(${sortedP.size}, $stacked) AS (permille, n_docs, vocab)"))
   }
+
+  /** Dictionary PHRASE scan — every exact occurrence of every blocklist
+    * phrase (a variable-length token sequence) in the corpus, rolled up
+    * per (doc, phrase): hit count and first position. The multi-pattern
+    * matching a contamination/blocklist audit runs at intake — q54's
+    * fixed-n decontamination generalized to arbitrary-length phrases
+    * with POSITIONS (where exactly, how often, which phrase).
+    *
+    * Spark-first (no automaton, no per-row UDF — the Aho-Corasick role
+    * is played by candidate-generation joins the optimizer can see):
+    *   1. one corpus pass computes token document frequencies;
+    *   2. each phrase picks its RAREST token as the ANCHOR (min df,
+    *      offset tiebreak — deterministic): candidate mass is
+    *      Σ_phrases df(anchor), the PPJoin prefix-filter idea applied to
+    *      sequence matching; a phrase containing an unseen token costs
+    *      ZERO candidates;
+    *   3. candidates = one equi-join of the positional token stream
+    *      against the broadcast anchor relation (start = p − offset);
+    *   4. verification = one positional equi-join: candidate × phrase
+    *      tokens on (doc, start+k, token), a match iff all plen
+    *      positions survive — exact, no hashing, order enforced.
+    * Phrase relations are dictionary-sized (broadcast); the only
+    * corpus-sized relations are the token stream and the df aggregate.
+    *
+    * @param phrases (phraseIdCol, phraseCol) — phraseCol is raw text,
+    *                tokenized with the same [[tokens]] rule as docs
+    * @return (idCol, phraseIdCol, n_hits, first_pos) for pairs with ≥ 1 hit
+    */
+  def phraseScan(docs: DataFrame, phrases: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 phraseIdCol: String = "phrase_id",
+                 phraseCol: String = "phrase"): DataFrame = {
+    val docPos = docs
+      .select(col(idCol).cast("long").as("d"), tokens(col(textCol)).as("__ws"))
+      .select(col("d"), posexplode(col("__ws")).as(Seq("__p0", "tok")))
+      .select(col("d"), (col("__p0") + 1).cast("long").as("p"), col("tok"))
+    val ptok = phrases
+      .select(col(phraseIdCol).cast("long").as("pid"),
+        tokens(col(phraseCol)).as("__pt"))
+      .filter(size(col("__pt")) >= 1)
+      .select(col("pid"), size(col("__pt")).cast("long").as("plen"),
+        posexplode(col("__pt")).as(Seq("__k0", "tok")))
+      .select(col("pid"), col("plen"), col("__k0").cast("long").as("k"),
+        col("tok"))
+    val dfs = docPos.groupBy("tok").agg(count(lit(1)).as("df"))
+    // anchor: rarest token per phrase (absent-from-corpus token ⇒ df 0 ⇒
+    // zero candidates — the cheapest possible "cannot match" proof)
+    val anchors = ptok.join(dfs, Seq("tok"), "left")
+      .select(col("pid"), col("plen"), col("k"), col("tok"),
+        coalesce(col("df"), lit(0L)).as("df"))
+      .groupBy("pid", "plen")
+      .agg(min(struct(col("df"), col("k"), col("tok"))).as("__a"))
+      .select(col("pid"), col("plen"), col("__a.k").as("ak"),
+        col("__a.tok").as("tok"))
+    val cand = docPos.join(broadcast(anchors), Seq("tok"))
+      .select(col("d"), (col("p") - col("ak")).as("start"), col("pid"),
+        col("plen"))
+      .filter(col("start") >= 1)
+    // positional verification: all plen tokens must line up (renamed
+    // sides — cand already derives from docPos, so the raw self-join
+    // would be ambiguous)
+    val pv = ptok.select(col("pid"), col("k"), col("tok").as("__ptok"))
+    val dp2 = docPos.select(col("d").as("__d2"), col("p").as("__p2"),
+      col("tok").as("__tok2"))
+    val verified = cand
+      .join(broadcast(pv), Seq("pid"))
+      .join(dp2, col("d") === col("__d2") &&
+        (col("start") + col("k")) === col("__p2") &&
+        col("__ptok") === col("__tok2"))
+      .groupBy("d", "start", "pid", "plen")
+      .agg(count(lit(1)).as("__ok"))
+      .filter(col("__ok") === col("plen"))
+    verified.groupBy(col("d").as(idCol), col("pid").as(phraseIdCol))
+      .agg(count(lit(1)).as("n_hits"), min("start").as("first_pos"))
+  }
 }

@@ -386,4 +386,38 @@ class TextAnalysisSpec extends SparkSpec {
       .toMap
     assert(again == out)
   }
+
+  test("phraseScan: exact hits, overlapping matches, absent-token phrases, determinism") {
+    val docs = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "a b c a b c a"),
+      Row(2L, "x a b y a b"),
+      Row(3L, "a a a a")))
+    val phrases = df("phrase_id BIGINT, phrase STRING", Seq(
+      Row(10L, "a b"),      // doc1 x2 (pos 1,4), doc2 x2 (pos 2,5)
+      Row(11L, "a a"),      // doc3 x3 (overlapping: pos 1,2,3)
+      Row(12L, "b c a"),    // doc1 x2 (pos 2,5)
+      Row(13L, "a q")))     // q absent from corpus: zero candidates
+    val got = TextAnalysis.phraseScan(docs, phrases).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      (1L, 10L) -> (2L, 1L),
+      (2L, 10L) -> (2L, 2L),
+      (3L, 11L) -> (3L, 1L),
+      (1L, 12L) -> (2L, 2L)))
+    val again = TextAnalysis.phraseScan(docs.repartition(7), phrases.repartition(3))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(again == got)
+  }
+
+  test("phraseScan: single-token phrases and empty phrase set") {
+    val docs = df("doc_id BIGINT, text STRING", Seq(Row(1L, "p q p")))
+    val one = df("phrase_id BIGINT, phrase STRING", Seq(Row(5L, "p")))
+    val got = TextAnalysis.phraseScan(docs, one).collect()
+    assert(got.length == 1 && got(0).getLong(2) == 2L && got(0).getLong(3) == 1L)
+    val none = df("phrase_id BIGINT, phrase STRING", Seq.empty[Row])
+    assert(TextAnalysis.phraseScan(docs, none).isEmpty)
+  }
 }
