@@ -2632,27 +2632,33 @@ object Oracles {
     * max-normalized HITS recursion, bit-identical to the engine.
     */
   def hits(iters: Int, scale: Long): String = {
+    // every per-round CTE is MATERIALIZED: a$i reads ar$i TWICE (join +
+    // MAX scalar subquery) and h$i reads hr$i twice, so DuckDB's default
+    // CTE inlining doubles the expanded plan per half-step — 2^(2·iters)
+    // copies of the edge join (the q250 exponential-inlining lesson; this
+    // exact spelling exhausted >67 GB of spill at sf1 and >79 GB at
+    // sf0.3 before materialization pinned each round once)
     val steps = (1 to iters).map { i =>
-      s"""ar$i AS (
+      s"""ar$i AS MATERIALIZED (
          |  SELECT e.dst AS id, CAST(SUM(h.h) AS BIGINT) AS s
          |  FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY 1),
-         |a$i AS (
+         |a$i AS MATERIALIZED (
          |  SELECT n.id,
          |    CAST(COALESCE(r.s, 0) * ${scale}::BIGINT // (SELECT MAX(s) FROM ar$i) AS BIGINT) AS a
          |  FROM nodes n LEFT JOIN ar$i r ON n.id = r.id),
-         |hr$i AS (
+         |hr$i AS MATERIALIZED (
          |  SELECT e.src AS id, CAST(SUM(a.a) AS BIGINT) AS s
          |  FROM e JOIN a$i a ON e.dst = a.id GROUP BY 1),
-         |h$i AS (
+         |h$i AS MATERIALIZED (
          |  SELECT n.id,
          |    CAST(COALESCE(r.s, 0) * ${scale}::BIGINT // (SELECT MAX(s) FROM hr$i) AS BIGINT) AS h
          |  FROM nodes n LEFT JOIN hr$i r ON n.id = r.id)""".stripMargin
     }
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT DISTINCT CAST(l_suppkey * 2 + 1 AS BIGINT) AS src,
        |                  CAST(l_partkey * 2 AS BIGINT) AS dst
        |  FROM lineitem),
-       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
        |h0 AS (SELECT id, CAST($scale AS BIGINT) AS h FROM nodes),
        |${steps.mkString(",\n")}
        |SELECT n.id AS node_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS hub,
