@@ -3319,6 +3319,48 @@ object Oracles {
        |SELECT doc_id, CAST(SUM(len(syms)) AS BIGINT) AS n_tokens
        |FROM wc JOIN bs$nMerges USING (word) GROUP BY doc_id""".stripMargin
 
+  /** q378: per-language tokenizer fertility under the trained BPE vocab —
+    * the q104 token counts rolled up by lang against the table's n_chars.
+    */
+  def bpeFertility(nMerges: Int): String =
+    s"""WITH ${bpeCtes(nMerges)},
+       |wc AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |    x -> x <> '')) AS word
+       |  FROM documents),
+       |tc AS (
+       |  SELECT doc_id, CAST(SUM(len(syms)) AS BIGINT) AS n_tokens
+       |  FROM wc JOIN bs$nMerges USING (word) GROUP BY doc_id)
+       |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(COALESCE(t.n_tokens, 0)) AS BIGINT) AS bpe_tokens,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(COALESCE(t.n_tokens, 0)) * 1000000
+       |    // (CASE WHEN SUM(d.n_chars) = 0 THEN 1 ELSE SUM(d.n_chars) END)
+       |    AS BIGINT) AS fertility_ppm
+       |FROM documents d LEFT JOIN tc t USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
+  /** q379: rendezvous-shard balance audit — per-doc argmax over shards of
+    * the S-independent affine weight, ROW_NUMBER argmax spelling (weight
+    * desc, shard asc — the engine's max(struct) tiebreak).
+    */
+  def rendezvousShards(nShards: Int): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, s,
+       |    ${mixSql(s"doc_id * 1000003 + s", 11)} AS w
+       |  FROM documents, unnest(range(0, $nShards)) t(s)),
+       |sh AS (SELECT doc_id, s FROM (
+       |    SELECT doc_id, s,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, s) AS rn
+       |    FROM w) WHERE rn = 1),
+       |c AS (SELECT CAST(s AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |      FROM sh GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot FROM c)
+       |SELECT shard, n_docs,
+       |  CAST(n_docs * 1000000 // (CASE WHEN tot = 0 THEN 1 ELSE tot END)
+       |    AS BIGINT) AS share_ppm
+       |FROM c, t""".stripMargin
+
   private def bpeCtes(nMerges: Int): String = {
     val head =
       """bs0 AS MATERIALIZED (

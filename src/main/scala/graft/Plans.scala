@@ -1647,7 +1647,17 @@ object Plans {
         |(mass = Σ df(anchor)), verification = one positional equi-join
         |× plen with a count==plen gate, then the (doc, phrase) rollup.
         |No automaton state, nothing quadratic, dictionary always
-        |broadcast.""".stripMargin)
+        |broadcast.""".stripMargin,
+    "q378_bpe_fertility" ->
+      """BPE fertility: the q104 encode join (broadcast word→len dict)
+        |rolled up by language against the table's n_chars — one
+        |map-combined aggregate after the q104 core; langs-sized
+        |output.""".stripMargin,
+    "q379_rendezvous_shards" ->
+      """Rendezvous shards: doc×S weight map (S a constant), one
+        |max(struct) argmax aggregate keyed by doc, one S-sized count
+        |aggregate, 1-row total broadcast back. Nothing data-dependent
+        |shuffles twice.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -3846,7 +3846,31 @@ object SparkEntry {
         .select(col("doc_id").as("phrase_id"),
           array_join(slice(col("__ws"), lit(3), col("__L")), " ").as("phrase"))
       graft.ext.TextAnalysis.phraseScan(docs, phrases)
-    })
+    }),
+
+    // per-language tokenizer fertility (BPE tokens per character, ppm)
+    // under the same 6-merge vocabulary as q104 — the compression-rate
+    // readout a multilingual data pipeline balances sampling against
+    "q378_bpe_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ext.Bpe.tokenCounts(docs, nMerges = 6)
+        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
+          Seq("doc_id"), "right")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("n_tokens"), lit(0L))).as("bpe_tokens"),
+          sum("n_chars").as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("bpe_tokens"), col("n_chars"),
+          expr("bpe_tokens * 1000000" +
+            " div (CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END)")
+            .as("fertility_ppm"))
+    }),
+
+    // rendezvous (highest-random-weight) shard balance audit: per-shard
+    // doc counts + share ppm; growing the shard count relocates only
+    // docs landing on the NEW shard (LayoutSpec proves the property)
+    "q379_rendezvous_shards" -> ((s, d) =>
+      graft.ext.Layout.rendezvousShards(Tables.documents(s, d), nShards = 16))
   )
 
   /** The paired ranking relation shared by q346: each panel query's exact
@@ -4341,6 +4365,8 @@ object SparkEntry {
     "q374_friedman_stream" -> Oracles.friedman,
     "q375_jpeg_pixels" -> Oracles.jpegPixelStats,
     "q376_cross_corpus_repeat" -> Oracles.crossCorpusRepeat,
-    "q377_phrase_scan" -> Oracles.phraseScan
+    "q377_phrase_scan" -> Oracles.phraseScan,
+    "q378_bpe_fertility" -> Oracles.bpeFertility(6),
+    "q379_rendezvous_shards" -> Oracles.rendezvousShards(16)
   )
 }

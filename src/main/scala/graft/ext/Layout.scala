@@ -263,4 +263,57 @@ object Layout {
     hits("a", probesA, "min_a", "max_a")
       .unionByName(hits("b", probesB, "min_b", "max_b"))
   }
+
+  /** Rendezvous (highest-random-weight) sharding audit — the shard
+    * assignment a 100 TB ingest uses when the shard count must be able
+    * to CHANGE without reshuffling the world: doc → argmax over shards
+    * of h(doc, shard). Growing S → S+1 relocates ONLY the docs whose
+    * new argmax is the new shard (≈ 1/(S+1) of them) — consistent
+    * hashing's property without the ring (Thaler & Ravishankar 1996,
+    * public literature; [[LayoutSpec]] proves the property). Weights are
+    * [[Dedup.affineHash]] over the combined (doc·S + shard) key —
+    * overflow-safe, identical in SQL. Output: one row per shard with its
+    * doc count and share (ppm of total) — the balance audit.
+    *
+    * Scale shape: the doc×S weight relation is a narrow map (S is a
+    * constant, not data), the argmax is one map-combined max(struct)
+    * aggregate keyed by doc, counts are one S-sized aggregate; the
+    * 1-row total broadcasts back (share-of-total device).
+    */
+  /** Per-doc rendezvous assignment: (idCol, shard). Weights are one
+    * narrow map over doc×S; argmax is one max(struct) aggregate with a
+    * deterministic tiebreak (largest weight, then smallest shard).
+    */
+  private[ext] def rendezvousAssign(docs: DataFrame, nShards: Int,
+                                    idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    docs.select(col(idCol).cast("long").as("d"))
+      .select(col("d"),
+        explode(sequence(lit(0L), lit(nShards - 1L))).as("s"))
+      // the pairing constant is FIXED (not nShards): h(d, s) must not
+      // change when the shard count grows, or the relocation-only-to-
+      // the-new-shard property dies (1000003 is prime and far above any
+      // realistic shard count, so (d, s) pairs stay collision-free).
+      // mixHash (affine ∘ x⁵ ∘ affine), NOT plain affineHash: an affine
+      // weight is an arithmetic progression in s, whose argmax is the
+      // same shard for almost every doc (measured: all 500 sf0.01 docs
+      // on one shard) — the round-4b "affine family needs an S-box"
+      // lesson, third appearance
+      .withColumn("w", Dedup.mixHash(col("d") * 1000003L + col("s"), 11))
+      .groupBy("d")
+      .agg(max(struct(col("w"), (-col("s")).as("ns"), col("s"))).as("__m"))
+      .select(col("d").as(idCol), col("__m.s").as("shard"))
+  }
+
+  def rendezvousShards(docs: DataFrame, nShards: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    val counts = rendezvousAssign(docs, nShards, idCol)
+      .select(col("shard")).groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum("n_docs").as("__tot")) // 1 row — broadcast
+    counts.crossJoin(broadcast(total))
+      .select(col("shard"), col("n_docs"),
+        expr("n_docs * 1000000 div (CASE WHEN __tot = 0 THEN 1 ELSE __tot END)")
+          .as("share_ppm"))
+  }
 }

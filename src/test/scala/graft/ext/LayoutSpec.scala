@@ -107,4 +107,34 @@ class LayoutSpec extends SparkSpec {
     assert(s.getAs[Long]("false_open")
       == s.getAs[Long]("bloom_open") - s.getAs[Long]("exact_open"))
   }
+
+  test("rendezvousShards: consistent-hashing property — growing S relocates only to the new shard") {
+    val docs = df("doc_id BIGINT", (0L until 400L).map(Row(_)))
+    def assign(nS: Int): Map[Long, Long] =
+      Layout.rendezvousAssign(docs, nS).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val at8 = assign(8)
+    val at9 = assign(9)
+    assert(at8.keySet == at9.keySet && at8.size == 400)
+    // every doc either keeps its shard or moves to the NEW shard (8)
+    val moved = at8.keys.filter(d => at9(d) != at8(d))
+    assert(moved.forall(d => at9(d) == 8L))
+    // and a nonzero but roughly 1/9 fraction moves
+    assert(moved.nonEmpty && moved.size < 120)
+    // balance: every shard occupied at S=8, shares within a loose band
+    val counts = at8.values.groupBy(identity).view.mapValues(_.size)
+    assert(counts.size == 8 && counts.values.forall(c => c > 20 && c < 80))
+  }
+
+  test("rendezvousShards: shares sum to ~1e6 and the audit is layout-invariant") {
+    val docs = df("doc_id BIGINT", (0L until 300L).map(Row(_)))
+    val a = Layout.rendezvousShards(docs.repartition(1), 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b = Layout.rendezvousShards(docs.repartition(13), 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b)
+    assert(a.map(_._2).sum == 300L)
+    val ppm = a.map(_._3).sum
+    assert(ppm > 980000L && ppm <= 1000000L) // floor rounding only loses
+  }
 }
