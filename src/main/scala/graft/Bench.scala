@@ -112,9 +112,15 @@ object Bench {
     // calibration warmup (JIT/codegen for the probes themselves), then
     // the FIRST sample; MID lands after the middle pass, LAST after the
     // final pass — three spaced snapshots of machine state per run
-    calibrationProbes.foreach { case (_, fn) =>
+    // (reps=1 collapses mid and last into one: two samples total).
+    // Skipped entirely for SPARK_GRAFT_BENCH_ONLY runs: drift correction
+    // only compares full-suite snapshots, and the probes would add tens
+    // of seconds of fixed cost to the one-query iteration loop.
+    val calibrated = only.isEmpty
+    if (calibrated) calibrationProbes.foreach { case (_, fn) =>
       try fn(spark) catch { case _: Throwable => () } }
-    val calSamples = scala.collection.mutable.ArrayBuffer(calibrate(spark))
+    val calSamples = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    if (calibrated) calSamples += calibrate(spark)
     val midAfterPass = math.max(1, (reps + 1) / 2)
     val passes = (1 to reps).map { rep =>
       val pass = named.map { case (name, fn) =>
@@ -124,7 +130,8 @@ object Bench {
         val codegenOk = CodegenWatch.drain().isEmpty
         (name, (System.nanoTime() - t0) / 1e9, ok, codegenOk)
       }
-      if (rep == midAfterPass || rep == reps) calSamples += calibrate(spark)
+      if (calibrated && (rep == midAfterPass || rep == reps))
+        calSamples += calibrate(spark)
       pass
     }
     val results = named.map { case (name, _) =>
@@ -156,10 +163,17 @@ object Bench {
     // to tail truncation at any query count; the full per-query map lands
     // only in BENCH_LOCAL.json on disk.
     // calibration object: probe name -> [first, mid, last] seconds (one
-    // array entry per snapshot; drift tooling takes the median of all)
+    // array entry per snapshot; drift tooling takes the median of all;
+    // empty arrays on SPARK_GRAFT_BENCH_ONLY runs — drift never compares
+    // partial snapshots, and bench_drift falls back to the proxy factor)
     val calJson = calibrationProbes.map { case (name, _) =>
       val samples = calSamples.map(_.find(_._1 == name).get._2)
-      "\"" + name + "\":" + samples.map(s => f"$s%.4f").mkString("[", ",", "]")
+      // Locale.ROOT: the f-interpolator is locale-dependent and a
+      // decimal-comma locale would corrupt the JSON line
+      "\"" + name + "\":" + samples
+        .map(s => String.format(java.util.Locale.ROOT, "%.4f",
+          Double.box(s)))
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"codegen_ok":$cg,"codegen_bailouts":$bailedJson,"reps":$reps,"probe":"xxhash64-checksum","calibration":$calJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),

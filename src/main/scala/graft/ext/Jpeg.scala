@@ -203,8 +203,20 @@ object Jpeg {
 
   /** Full baseline decode. None for anything outside the documented
     * scope or structurally malformed — the StubCodec fallback posture.
+    * The marker walk bounds-checks each segment's declared length, and a
+    * defensive catch converts any residual out-of-bounds read on a
+    * truncated/adversarial stream into None instead of crashing the
+    * task (payloads are untrusted input; the contract is degrade, not
+    * throw).
     */
-  def decode(b: Array[Byte]): Option[JpegImage] = {
+  def decode(b: Array[Byte]): Option[JpegImage] =
+    try decodeImpl(b)
+    catch {
+      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException =>
+        None
+    }
+
+  private def decodeImpl(b: Array[Byte]): Option[JpegImage] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
       return None
     val qt = new Array[Array[Int]](4)
@@ -250,6 +262,7 @@ object Jpeg {
         case 0xc4 => // DHT: one or more tables
           var o = seg
           while (o < p + 2 + len) {
+            if (o + 17 > p + 2 + len) return None // BITS must fit the segment
             val tc = (b(o) & 0xff) >> 4
             val th = b(o) & 0x0f
             if (tc > 1 || th > 3) return None
@@ -265,9 +278,11 @@ object Jpeg {
             o += 17 + total
           }
         case 0xc0 => // SOF0 baseline
+          if (len < 8) return None // fixed fields must fit the segment
           if ((b(seg) & 0xff) != 8) return None // precision
           height = be16(b, seg + 1); width = be16(b, seg + 3)
           nComp = b(seg + 5) & 0xff
+          if (len < 8 + 3 * nComp) return None // component specs must fit
           if (width <= 0 || height <= 0 || (nComp != 1 && nComp != 3))
             return None
           if (width > (1 << 16) || height > (1 << 16)) return None
@@ -287,9 +302,9 @@ object Jpeg {
         case 0xdd => // DRI
           restartInterval = be16(b, seg)
         case 0xda => // SOS — decode the scan and finish
-          if (!sofSeen) return None
+          if (!sofSeen || len < 3) return None
           val ns = b(seg) & 0xff
-          if (ns != nComp) return None
+          if (ns != nComp || len < 6 + 2 * ns) return None
           compDc = new Array[Int](nComp); compAc = new Array[Int](nComp)
           var c = 0
           while (c < ns) {

@@ -37,7 +37,13 @@ object Pin {
     spark.conf.getOption(ConfKey).map(_.trim).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        // setCheckpointDir stores (and mkdirs) a `<dir>/<UUID>` CHILD —
+        // equality against `dir` never matches, which would re-invoke it
+        // on every per-round pin and scatter one UUID directory per
+        // round across the distributed FS; prefix-match instead so the
+        // checkpoint dir is set once per configured root
+        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+          sc.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }

@@ -15,6 +15,10 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfperf"
 R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# the documents Caesar shift is r % 26: past 26 replicas the trigram
+# universes would silently collide again (replica 26 == replica 0 text),
+# reintroducing the anti-Zipfian saturation this generator exists to fix
+assert 1 <= R <= 26, f"R={R}: documents replica salting supports at most 26 replicas"
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
