@@ -37,12 +37,15 @@ object Pin {
     spark.conf.getOption(ConfKey).map(_.trim).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        // setCheckpointDir stores (and mkdirs) a `<dir>/<UUID>` CHILD —
-        // equality against `dir` never matches, which would re-invoke it
-        // on every per-round pin and scatter one UUID directory per
-        // round across the distributed FS; prefix-match instead so the
-        // checkpoint dir is set once per configured root
-        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+        // setCheckpointDir stores (and mkdirs) a SCHEME-QUALIFIED
+        // `<fs>:<dir>/<UUID>` CHILD — neither equality nor a plain
+        // prefix match against the configured `dir` ever holds
+        // (PinSpec caught both: `file:` + UUID), and a failed match
+        // would re-invoke it on every per-round pin, scattering one
+        // UUID directory per round across the distributed FS.
+        // Containment of the configured root is the scheme-tolerant
+        // "already set to this root" check.
+        if (!sc.getCheckpointDir.exists(_.contains(dir)))
           sc.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)

@@ -33,6 +33,23 @@ class PinSpec extends SparkSpec {
     assert(spark.sparkContext.getCheckpointDir.isDefined)
   }
 
+  test("pin: reliable mode sets the checkpoint root ONCE across rounds") {
+    val base = df("id BIGINT", (1L to 20L).map(Row(_)))
+    withReliable {
+      Pin.pin(base)
+      val first = spark.sparkContext.getCheckpointDir
+      Pin.pin(base.filter(col("id") > 5))
+      Pin.pin(base.filter(col("id") > 10))
+      val after = spark.sparkContext.getCheckpointDir
+      // setCheckpointDir stores a <dir>/<UUID> child; re-invoking it per
+      // pin would rotate the UUID — the per-round helper must reuse it
+      assert(first.isDefined && first == after)
+      // stored path is scheme-qualified (file:<dir>/<UUID>) — contains,
+      // not startsWith, is the invariant the helper relies on
+      assert(first.get.contains(spark.conf.get(Pin.ConfKey)))
+    }
+  }
+
   test("pin: an iterative operator (connected components) agrees across the switch") {
     val edges = df("src BIGINT, dst BIGINT", Seq(
       Row(1L, 2L), Row(2L, 3L), Row(10L, 11L), Row(11L, 12L),
