@@ -286,6 +286,15 @@ object Jpeg {
           if (width <= 0 || height <= 0 || (nComp != 1 && nComp != 3))
             return None
           if (width > (1 << 16) || height > (1 << 16)) return None
+          // Adversarial-dims guard (decodePng's 1 GiB posture): the scan
+          // allocates per-plane Int arrays at padded-MCU resolution, so a
+          // crafted 32768x32768x3 SOF0 would demand ~12 GiB and kill the
+          // task with OutOfMemoryError instead of degrading to None.
+          // Compute in Long — 65536x65536 wraps Int. Pad by 16 (the
+          // widest MCU this decoder accepts) so the bound covers every
+          // sampling layout's padding.
+          if (((width + 15L) / 16 * 16) * ((height + 15L) / 16 * 16) *
+              nComp * 4L > (1L << 30)) return None
           compId = new Array[Int](nComp); compQ = new Array[Int](nComp)
           var c = 0
           while (c < nComp) {

@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.SparkContext
 import org.apache.spark.sql.DataFrame
 
 /** Per-round state pinning for the iterative tier (SuffixDedup's
@@ -24,29 +25,53 @@ import org.apache.spark.sql.DataFrame
   * match across the switch. The config is read per call: it is a runtime
   * conf (settable mid-session), and iterative operators already
   * re-enter this helper once per round.
+  *
+  * ==Checkpoint retention==
+  * In reliable mode every round's `checkpoint()` writes a NEW file set
+  * under the configured root, and Spark never deletes a superseded
+  * round's files on its own: `unpersist` is a storage-level no-op for a
+  * `ReliableCheckpointRDD`, and the ContextCleaner only removes
+  * checkpoint data when the (non-default)
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` is set AND
+  * the checkpointed RDD is garbage-collected on the driver. A long
+  * prefix-doubling climb therefore accumulates one superseded directory
+  * per round for the job's lifetime — bounded by rounds (⌈log₂ λ*⌉ for
+  * the suffix tier, tens not thousands), but real distributed-FS space.
+  * For multi-hour jobs set `cleanCheckpoints=true` (rounds drop their
+  * upstream references, so GC reclaims superseded rounds while the climb
+  * runs), or point [[ConfKey]] at a job-scoped directory and delete it
+  * after the job — the checkpoint data has no value once the job ends.
   */
 object Pin {
   val ConfKey = "spark.graft.checkpointDir"
 
+  /** The exact (context, root) this helper last passed to
+    * `setCheckpointDir` — `getCheckpointDir` returns a scheme-qualified
+    * `<fs>:<root>/<UUID>` child, so no string test against it can
+    * reliably recover which ROOT was configured (a substring test
+    * false-positives when the new root is a prefix of the old one, e.g.
+    * `/data/ckpt` after `/data/ckpt2`, silently landing checkpoints
+    * under the stale root). Tracking the root we set is exact.
+    */
+  @volatile private var lastSet: (SparkContext, String) = null
+
   /** Eagerly materializes `df` and cuts its lineage, local or reliable
     * per [[ConfKey]]. The SparkContext checkpoint dir is set lazily on
-    * first reliable use (setCheckpointDir creates the directory).
+    * first reliable use (setCheckpointDir creates the directory) and
+    * re-set only when the configured root actually changes — re-invoking
+    * it per pin would scatter one UUID directory per round.
     */
   def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey).map(_.trim).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        // setCheckpointDir stores (and mkdirs) a SCHEME-QUALIFIED
-        // `<fs>:<dir>/<UUID>` CHILD — neither equality nor a plain
-        // prefix match against the configured `dir` ever holds
-        // (PinSpec caught both: `file:` + UUID), and a failed match
-        // would re-invoke it on every per-round pin, scattering one
-        // UUID directory per round across the distributed FS.
-        // Containment of the configured root is the scheme-tolerant
-        // "already set to this root" check.
-        if (!sc.getCheckpointDir.exists(_.contains(dir)))
+        val cached = lastSet
+        if (cached == null || (cached._1 ne sc) || cached._2 != dir ||
+            sc.getCheckpointDir.isEmpty) {
           sc.setCheckpointDir(dir)
+          lastSet = (sc, dir)
+        }
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }

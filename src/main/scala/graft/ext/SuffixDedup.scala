@@ -388,25 +388,33 @@ object SuffixDedup {
         col("__rep.d").as("rd"), col("__rep.p").as("rp"))
       .pin()
 
-    // "some class spans both corpora": tag = d % 2 (ids are 2·id + tag)
+    // "some class spans both corpora": tag = pmod(d, 2) (ids are
+    // 2·id + tag). pmod, NOT `%`: Spark's `%` truncates toward zero, so a
+    // negative doc_id in corpus B gives (2·id+1) % 2 = -1 and the doc
+    // silently vanishes from hasCross/n_occ_b.
     def hasCross(r: DataFrame): Boolean =
       !r.groupBy("rd", "rp")
-        .agg(min(col("d") % 2).as("t0"), max(col("d") % 2).as("t1"))
+        .agg(min(pmod(col("d"), lit(2))).as("t0"),
+          max(pmod(col("d"), lit(2))).as("t1"))
         .filter(col("t0") === 0 && col("t1") === 1).isEmpty
 
     climbSearch(r1, hasCross, capLog2) match {
       case None => emptyRow
       case Some((lo, rStar)) =>
         val classes = rStar.groupBy("rd", "rp")
-          .agg(sum(when(col("d") % 2 === 0, 1L).otherwise(0L)).as("n_occ_a"),
-            sum(when(col("d") % 2 === 1, 1L).otherwise(0L)).as("n_occ_b"))
+          .agg(sum(when(pmod(col("d"), lit(2)) === 0, 1L).otherwise(0L))
+            .as("n_occ_a"),
+            sum(when(pmod(col("d"), lit(2)) === 1, 1L).otherwise(0L))
+              .as("n_occ_b"))
           .filter(col("n_occ_a") >= 1 && col("n_occ_b") >= 1)
         // deterministic winner: minimal (ORIGINAL id, position) over all
-        // members of cross-corpus classes — matches the oracle's order
+        // members of cross-corpus classes — matches the oracle's order.
+        // shiftright = FLOOR division by 2 (`div` truncates toward zero,
+        // mis-deriving the original id for negative tagged ids).
         val winner = rStar.join(classes, Seq("rd", "rp"))
-          .select(col("d"), expr("d div 2").as("__orig"), col("p"),
+          .select(col("d"), shiftright(col("d"), 1).as("__orig"), col("p"),
             col("n_occ_a"), col("n_occ_b"))
-          .orderBy(col("__orig"), col("p"), expr("d % 2")).limit(1)
+          .orderBy(col("__orig"), col("p"), pmod(col("d"), lit(2))).limit(1)
         winner.join(toks, winner("d") === toks("d"))
           .select(lit(lo.toLong).as("max_common_tokens"),
             col("__orig").as("rep_doc"),

@@ -178,6 +178,18 @@ class JpegSpec extends AnyFunSuite {
     bad(bad.length - 4) = 0x55
     // either cleanly None or a decode that differs — must not throw
     Jpeg.decode(bad)
+    // adversarial dims: a 32768x32768 3-component SOF0 would demand
+    // ~12 GiB of plane storage — must degrade to None at the header,
+    // not OutOfMemoryError in the scan
+    val huge = good.clone()
+    val sof2 = {
+      var i = 2
+      while (!((huge(i) & 0xff) == 0xff && (huge(i + 1) & 0xff) == 0xc0)) i += 1
+      i
+    }
+    huge(sof2 + 5) = 0x80.toByte; huge(sof2 + 6) = 0x00 // height = 32768
+    huge(sof2 + 7) = 0x80.toByte; huge(sof2 + 8) = 0x00 // width  = 32768
+    assert(Jpeg.decode(huge).isEmpty)
   }
 
   test("jpegPixelStats: engine stats equal closed-form recomputation") {

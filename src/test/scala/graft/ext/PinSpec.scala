@@ -50,6 +50,24 @@ class PinSpec extends SparkSpec {
     }
   }
 
+  test("pin: switching to a root that is a substring of the old one re-points") {
+    val base = df("id BIGINT", (1L to 10L).map(Row(_)))
+    val parent = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val oldRoot = s"$parent/ckpt2" // new root below is its strict prefix
+    val newRoot = s"$parent/ckpt"
+    spark.conf.set(Pin.ConfKey, oldRoot)
+    try {
+      Pin.pin(base)
+      assert(spark.sparkContext.getCheckpointDir.exists(_.contains(oldRoot)))
+      spark.conf.set(Pin.ConfKey, newRoot)
+      Pin.pin(base)
+      // a substring containment check would false-positive here (oldRoot
+      // contains newRoot) and keep writing under the stale root
+      val dir = spark.sparkContext.getCheckpointDir
+      assert(dir.exists(_.contains(newRoot)) && !dir.exists(_.contains(oldRoot)))
+    } finally spark.conf.unset(Pin.ConfKey)
+  }
+
   test("pin: an iterative operator (connected components) agrees across the switch") {
     val edges = df("src BIGINT, dst BIGINT", Seq(
       Row(1L, 2L), Row(2L, 3L), Row(10L, 11L), Row(11L, 12L),

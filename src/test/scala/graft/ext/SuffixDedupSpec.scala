@@ -239,6 +239,21 @@ class SuffixDedupSpec extends SparkSpec {
     assert(r9.getLong(3) == 1L && r9.getLong(4) == 1L)
   }
 
+  test("crossLongestRepeat: negative doc ids keep their corpus tag (pmod, not %)") {
+    val planted = (1 to 6).map(i => s"N$i").mkString(" ")
+    // corpus B's doc id is NEGATIVE: with `%`-truncation its tagged id
+    // (2·id+1) would read tag -1, dropping it from hasCross/n_occ_b and
+    // reporting 0 despite the shared 6-token span
+    val a = docs(3L -> s"pre $planted")
+    val b = docs(-7L -> s"$planted tail")
+    val r = SuffixDedup.crossLongestRepeat(a, b).collect()(0)
+    assert(r.getLong(0) == 6L)
+    // winner: minimal original id is -7 (corpus B), span starts at pos 1
+    assert((r.getLong(1), r.getLong(2)) == ((-7L, 1L)))
+    assert(r.getLong(3) == 1L && r.getLong(4) == 1L)
+    assert(r.getString(5) == planted)
+  }
+
   test("crossLongestRepeat: matches brute force on a deterministic random split") {
     val rnd = new scala.util.Random(23)
     val corpus = (1L to 12L).map { id =>
