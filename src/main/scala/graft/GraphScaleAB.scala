@@ -64,9 +64,9 @@ object GraphScaleAB {
     // the desired small-regime behavior.)
     val eD = e.repartition(col("src"))
     val deg = eD.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = eD.join(deg, "src").localCheckpoint(true)
+    val withDeg = eD.join(deg, "src").localCheckpoint(true) // one-shot: reused across both A/B arms
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true) // one-shot: both arms seed from it
     val pr = nodes.withColumn("pr", lit(1000000L))
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -91,7 +91,7 @@ object GraphScaleAB {
     // broadcast the O(m) closing edge list even when stats would allow it
     val cooc = graft.ext.Graph.coOccurrenceEdges(
       Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
-      .localCheckpoint(true)
+      .localCheckpoint(true) // one-shot: four timed census runs share the edges
     for ((label, limit) <- Seq("broadcast-arm" -> 4000000L, "shuffle-arm" -> 0L)) {
       val (_, cold) = timed(checksum(
         graft.ext.Graph.triangleCounts(cooc, broadcastEdgeLimit = limit)))

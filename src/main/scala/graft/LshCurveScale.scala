@@ -25,7 +25,7 @@ object LshCurveScale {
     dirs.foreach { d =>
       val docs = Tables.documents(spark, d)
         .filter(Dedup.affineHash(col("doc_id"), 7) % 1000 < permille)
-        .localCheckpoint(true)
+        .localCheckpoint(true) // one-shot: time the operator, not the sample scan
       val nDocs = docs.count()
       val sigs = Dedup.minHashSignatures(docs, 16)
       val t0 = System.nanoTime()

@@ -25,7 +25,7 @@ object SetSimScale {
       val docs = spark.range(n.toLong).select(col("id").as("doc_id"),
         concat_ws(" ", (0 until 12).map(j =>
           concat(lit("t"), pmod(col("id") * 3 + j * 7, lit(vocab)))): _*).as("text"))
-        .localCheckpoint(true) // time the operator, not the generator
+        .localCheckpoint(true) // one-shot: time the operator, not the generator
       for (r <- 1 to reps) {
         val t0 = System.nanoTime()
         val rows = ext.SetSim.jaccardJoin(docs, tPermille = 500).count()

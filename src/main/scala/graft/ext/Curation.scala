@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ext.Pin.PinOps
 
 /** End-to-end corpus curation — the flagship composition of the
   * training-data extension surface, the pipeline a 100 TB pretraining
@@ -113,14 +114,18 @@ object Curation {
     * aggregates crossed in broadcast and exploded to the stage grain.
     */
   def dedupCascadeReport(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    // Pin.pin, not a bare localCheckpoint: each stage's survivor set
+    // feeds the NEXT (pricier) stage plus the report aggregates, and on a
+    // multi-hour 100 TB cascade the stage boundaries are exactly the
+    // round state a reliable checkpoint root should make durable.
     val exact = Dedup.exactDedup(docs)
-      .select(col("keep_id").as("doc_id")).localCheckpoint(true)
+      .select(col("keep_id").as("doc_id")).pin()
     val mh = Dedup.minHashClusters(
       Dedup.minHashSignatures(docs.join(exact, Seq("doc_id"), "left_semi"), k = 16),
-      k = 16, rowsPerBand = 4).localCheckpoint(true)
+      k = 16, rowsPerBand = 4).pin()
     val s2 = exact.join(mh, Seq("doc_id"), "left")
       .filter(col("cluster_rep").isNull || col("doc_id") === col("cluster_rep"))
-      .select("doc_id").localCheckpoint(true)
+      .select("doc_id").pin()
     val embS2 = embeddings.join(s2.withColumnRenamed("doc_id", "vec_id"),
       Seq("vec_id"), "left_semi")
     val sem = Clustering.semanticDedup(embS2)

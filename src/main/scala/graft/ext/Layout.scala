@@ -64,8 +64,8 @@ object Layout {
         pmod(col(keyA).cast("long"), lit(mask)).as("ka"),
         pmod(col(keyB).cast("long"), lit(mask)).as("kb"))
       .withColumn("z", graft.load.Sinks.zValue(col("ka"), col("kb"), bits))
-      // the keys feed two independent global sorts plus two probe panels:
-      // pin them once so the scan/mask runs once
+      // one-shot: the keys feed two independent global sorts plus two
+      // probe panels — pin them once so the scan/mask runs once
       .localCheckpoint(true)
     val n = base.count()
     require(n > 0, "skippingAudit needs a non-empty table")
@@ -80,7 +80,7 @@ object Layout {
 
     val env = envelopes("linear_a", Seq("ka", "id"))
       .unionByName(envelopes("zorder", Seq("z", "id")))
-      .localCheckpoint(true) // 2 layouts × 2 dims of range joins below
+      .localCheckpoint(true) // one-shot: 2 layouts × 2 dims of range joins below
 
     def hits(dim: String, probes: DataFrame, lo: String, hi: String): DataFrame =
       probes.join(env, col("p") >= col(lo) && col("p") <= col(hi))
@@ -126,19 +126,19 @@ object Layout {
     val files = base.crossJoin(broadcast(b))
       .select(col("key"),
         expr(s"(ord - o0) * ${nFiles}L div (o1 - o0 + 1)").as("file"))
-      .localCheckpoint(true) // reused: envelopes, bits, probes, exact
+      .localCheckpoint(true) // one-shot: reused: envelopes, bits, probes, exact
     def blooms(c: Column) = array((0 until k).map(i =>
       Dedup.mixHash(c, Sketch.BloomJ + 2 * i) % mBits): _*)
     val env = files.groupBy("file")
       .agg(min("key").as("kmin"), max("key").as("kmax"))
-    val fk = files.distinct().localCheckpoint(true)
+    val fk = files.distinct().localCheckpoint(true) // one-shot: bloom bits AND envelopes read it
     val bits = fk.select(col("file"), explode(blooms(col("key"))).as("pos"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true) // one-shot: probe join AND fill-rate stats share it
     val probes = files.select("key").distinct()
       .filter(col("key") % probeMod === probeResidue)
       .select(col("key").as("p"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // one-shot: bloom probe AND exact arm share it
     val pPos = probes.select(col("p"), explode(blooms(col("p"))).as("pos"))
     val bloomOpen = pPos.join(bits, "pos")
       .groupBy("p", "file").agg(count(lit(1)).as("nh"))
@@ -231,7 +231,7 @@ object Layout {
         pmod(col(keyA).cast("long"), lit(mask)).as("ka"),
         pmod(col(keyB).cast("long"), lit(mask)).as("kb"))
       .withColumn("z", graft.load.Sinks.zValue(col("ka"), col("kb"), bits))
-    val base = withHilbert(masked, "ka", "kb", bits).localCheckpoint(true)
+    val base = withHilbert(masked, "ka", "kb", bits).localCheckpoint(true) // one-shot: three layout sorts share it
     val n = base.count()
     require(n > 0, "curveAudit needs a non-empty table")
 
@@ -246,7 +246,7 @@ object Layout {
     val env = envelopes("linear_a", Seq("ka", "id"))
       .unionByName(envelopes("zorder", Seq("z", "id")))
       .unionByName(envelopes("hilbert", Seq("h", "id")))
-      .localCheckpoint(true) // 3 layouts × 2 dims of range joins below
+      .localCheckpoint(true) // one-shot: 3 layouts × 2 dims of range joins below
 
     def hits(dim: String, probes: DataFrame, lo: String, hi: String): DataFrame =
       probes.join(env, col("p") >= col(lo) && col("p") <= col(hi))

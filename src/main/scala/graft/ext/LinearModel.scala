@@ -84,7 +84,7 @@ object LinearModel {
   private[ext] def train(docs: DataFrame, positive: Column, epochs: Int,
                          textCol: String): Array[Long] = {
     require(epochs >= 1, "epochs must be >= 1")
-    val f = featureFrame(docs, positive, textCol).localCheckpoint(true)
+    val f = featureFrame(docs, positive, textCol).localCheckpoint(true) // one-shot: every epoch rescans fixed features
     var w = Array.fill(NumFeatures)(0L)
     // POCKET (Gallant 1990): the mean step oscillates on non-separable
     // data and the endpoint can land on a bad phase (observed: the

@@ -519,7 +519,7 @@ object Multimodal {
     */
   def frameDupStats(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
     val f = mediaFrames(docs).select(col("media_id"), col("checksum"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // one-shot: fp totals AND per-media rollup share it
     val byFp = f.groupBy("checksum")
       .agg(count_distinct(col("media_id")).as("n_media"))
     f.join(byFp, "checksum")

@@ -572,7 +572,7 @@ object Quality {
     val obs = df.select(col(aCol).cast("string").as("a"),
         col(bCol).cast("string").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("o"))
-      .localCheckpoint(true) // feeds margins and the grid join
+      .localCheckpoint(true) // one-shot: feeds margins and the grid join
     val rt = obs.groupBy("a").agg(sum("o").as("r"))
     val ct = obs.groupBy("b").agg(sum("o").as("c"))
     val n = obs.agg(sum("o").as("n"))

@@ -88,7 +88,7 @@ object RankStats {
     val cum = byValue
       .select(col("v"), sum("ca").over(w).as("cum_a"),
         sum("cb").over(w).as("cum_b"))
-      .localCheckpoint(true) // feeds totals, the max, and the argmax
+      .localCheckpoint(true) // one-shot: feeds totals, the max, and the argmax
     val tot = cum.agg(max("cum_a").as("n_a"), max("cum_b").as("n_b"))
     val gaps = cum.crossJoin(broadcast(tot))
       .select(col("v"), col("n_a"), col("n_b"),

@@ -372,7 +372,7 @@ object Sampling {
         pmod(Dedup.mixHash(Dedup.encodeToken(col("__token")), DsirJ), lit(buckets.toLong)))
       .groupBy(col(idCol), col("__tgt"), col("__b"))
       .agg(count(lit(1)).as("__cnt"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // one-shot: bucket totals AND per-doc arms share it
     val bucketCounts = docBuckets.groupBy(col("__b"))
       .agg(sum("__cnt").as("__raw_n"),
         sum(when(col("__tgt"), col("__cnt")).otherwise(0L)).as("__tgt_n"))
@@ -628,7 +628,7 @@ object Sampling {
       s"bad permille bounds: $loPermille, $hiPermille")
     val m = resamples
     val sums = bootstrapSums(df, idCol, valueCol, m)
-      .localCheckpoint(true) // m+1 rows; feeds base stats AND the melt
+      .localCheckpoint(true) // one-shot: m+1 rows; feeds base stats AND the melt
     val base = sums.filter(col("pos") === 0)
       .select(col("nw").as("n"),
         round(col("sx").cast("double") / greatest(col("nw"), lit(1L)), 6).as("mean"))
@@ -637,7 +637,7 @@ object Sampling {
     val ranked = means
       // keyspace-sized window: input is collapsed/bounded before this sort
       .withColumn("rn", row_number().over(Window.orderBy(col("mean"))))
-      .localCheckpoint(true) // m rows; read twice (lo and hi bound)
+      .localCheckpoint(true) // one-shot: m rows; read twice (lo and hi bound)
     val lo = ranked.filter(col("rn") === (m * loPermille + 999) / 1000)
       .select(col("mean").as("ci_lo"))
     val hi = ranked.filter(col("rn") === (m * hiPermille + 999) / 1000)

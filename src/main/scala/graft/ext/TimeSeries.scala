@@ -184,7 +184,7 @@ object TimeSeries {
     val byKH = counts
       .select(col(keyCol), col(hourCol).as("hour"), col(cCol).cast("long").as("c0"))
       .groupBy(col(keyCol), col("hour")).agg(sum("c0").as("n_events"))
-      .localCheckpoint(true) // feeds bounds, the key set, and the grid join
+      .localCheckpoint(true) // one-shot: feeds bounds, the key set, and the grid join
     val bounds = byKH.agg(min("hour").as("h0"), max("hour").as("h1"))
     val hours = bounds.select(
       explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
@@ -572,7 +572,7 @@ object TimeSeries {
       .select(col(keyCol).as("k"),
         expr(s"unix_micros($tsCol) div 3600000000").as("h"))
       .groupBy("k", "h").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // feeds bounds, the key set, and the grid join
+      .localCheckpoint(true) // one-shot: feeds bounds, the key set, and the grid join
     val bounds = counts.agg(min("h").as("h0"), max("h").as("h1"))
     val series = counts.select("k").distinct()
       .crossJoin(broadcast(bounds))
@@ -614,7 +614,7 @@ object TimeSeries {
       .select((col("h") - col("h0")).as("t"),
         (col("n") * coalesce(col("c"), lit(0L)) - col("s")).as("dev"),
         col("n"))
-      .localCheckpoint(true) // referenced by den and both lag-join sides
+      .localCheckpoint(true) // one-shot: referenced by den and both lag-join sides
     val den = series.agg(sum(col("dev") * col("dev")).as("den"),
       max(col("n")).as("n_hours"))
     val lags = series
@@ -699,7 +699,7 @@ object TimeSeries {
                                   alphaPpm: Long): DataFrame = {
     require(alphaPpm >= 1 && alphaPpm <= 999999,
       s"alphaPpm must be in [1, 999999]: $alphaPpm")
-    val series = grid.localCheckpoint(true)
+    val series = grid.localCheckpoint(true) // one-shot: fit AND residual pass share the grid
     val fit = series
       .agg(count(lit(1)).as("n"), sum("t").as("st"), sum("c").as("sc"),
         // DECIMAL(38,0) moments — same overflow envelope note as trendFit
@@ -778,7 +778,7 @@ object TimeSeries {
     require(alphaPpm >= 1 && alphaPpm <= 999999,
       s"alphaPpm must be in [1, 999999]: $alphaPpm")
     import org.apache.spark.sql.expressions.Window
-    val counts = hourCounts.localCheckpoint(true)
+    val counts = hourCounts.localCheckpoint(true) // one-shot: bounds AND the grid join read it
     val bounds = counts.agg(min("h").as("h0"), max("h").as("h1"))
     val series = counts.select("key").distinct()
       .crossJoin(broadcast(bounds))
@@ -786,7 +786,7 @@ object TimeSeries {
       .join(counts, Seq("key", "h"), "left")
       .select(col("key"), (col("h") - col("h0")).as("t"),
         coalesce(col("c"), lit(0L)).as("c"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // one-shot: fit AND scoring pass share the series
     val fit = series.groupBy("key")
       .agg(count(lit(1)).as("n_hours"), sum("t").as("st"), sum("c").as("sc"),
         // DECIMAL(38,0) moments — same overflow envelope note as trendFit
@@ -858,7 +858,7 @@ object TimeSeries {
 
   private def pettittFromSeries(grid: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val series = grid.localCheckpoint(true)
+    val series = grid.localCheckpoint(true) // one-shot: n, ranks, and the U-scan share it
     val n1 = series.agg(count(lit(1)).as("n"))
     val byV = series.groupBy("c").agg(count(lit(1)).as("m"))
     // keyspace-sized window: input is collapsed/bounded before this sort
@@ -874,7 +874,7 @@ object TimeSeries {
     val u = series.join(sv, Seq("c"))
       .withColumn("u", sum("s").over(wt))
       .filter(col("t") < col("n") - 1) // splits after hour 1..n−1 only
-      .localCheckpoint(true) // feeds the max AND the argmax
+      .localCheckpoint(true) // one-shot: feeds the max AND the argmax
     val kmax = u.agg(max(abs(col("u"))).as("k_stat"))
     u.crossJoin(broadcast(kmax))
       .filter(abs(col("u")) === col("k_stat"))
@@ -900,7 +900,7 @@ object TimeSeries {
     */
   def theilSenTrend(events: DataFrame, tsCol: String): DataFrame = {
     val series = hourlyGrid(events, tsCol)
-      .select(col("t"), col("c")).localCheckpoint(true)
+      .select(col("t"), col("c")).localCheckpoint(true) // one-shot: both sides of the pair join
     val pairs = series.select(col("t").as("t1"), col("c").as("c1"))
       .join(series.select(col("t").as("t2"), col("c").as("c2")),
         col("t2") > col("t1"))
@@ -1024,7 +1024,7 @@ object TimeSeries {
       .select((col("h") - col("h0")).as("t"), col("n"),
         (col("n") * coalesce(col("ca"), lit(0L)) - col("sa")).as("deva"),
         (col("n") * coalesce(col("cb"), lit(0L)) - col("sb")).as("devb"))
-      .localCheckpoint(true) // feeds both den aggregates and the lag join
+      .localCheckpoint(true) // one-shot: feeds both den aggregates and the lag join
     val den = series.agg(
       expr("sum(CAST(deva AS DECIMAL(38,0)) * deva)").as("den_a"),
       expr("sum(CAST(devb AS DECIMAL(38,0)) * devb)").as("den_b"),
@@ -1134,7 +1134,7 @@ object TimeSeries {
 
   private def runsTestFromSeries(grid: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val series = grid.select(col("t"), col("c")).localCheckpoint(true)
+    val series = grid.select(col("t"), col("c")).localCheckpoint(true) // one-shot: median AND run-scan share it
     val n1 = series.agg(count(lit(1)).as("n"))
     val byV = series.groupBy("c").agg(count(lit(1)).as("m"))
     // keyspace-sized window: input is collapsed/bounded before this sort
@@ -1166,7 +1166,7 @@ object TimeSeries {
   }
 
   private def mannKendallFromSeries(grid: DataFrame): DataFrame = {
-    val series = grid.select(col("t"), col("c")).localCheckpoint(true)
+    val series = grid.select(col("t"), col("c")).localCheckpoint(true) // one-shot: both sides of the S-statistic join
     val sStat = series.select(col("t").as("t1"), col("c").as("c1"))
       .join(series.select(col("t").as("t2"), col("c").as("c2")),
         col("t2") > col("t1"))

@@ -264,7 +264,7 @@ object Sinks {
       case other => throw new IllegalArgumentException(s"unknown layout in audit: $other")
     }
     val ranked = graft.ext.Layout.withGlobalRank(keyed, Seq("__lk", idCol))
-      .localCheckpoint(true) // feeds the bin manifest AND the rewrite
+      .localCheckpoint(true) // one-shot: feeds the bin manifest AND the rewrite
     val n = ranked.count()
     require(n > 0, "optimize needs a non-empty table")
     val binned = ranked.withColumn("part_bin", expr(s"rnk * ${nFiles}L div ${n}L"))
@@ -274,7 +274,7 @@ object Sinks {
         min("__kb").as("min_b"), max("__kb").as("max_b"))
       .withColumn("layout", lit(winner))
       .select("layout", "part_bin", "n_rows", "min_a", "max_a", "min_b", "max_b")
-      .localCheckpoint(true)
+      .localCheckpoint(true) // one-shot: manifest rows written AND returned
     val tmp = path + ".__optimize_tmp__"
     binned.drop("__ka", "__kb", "__lk", "rnk")
       .repartition(nFiles, col("part_bin"))

@@ -108,7 +108,7 @@ object SkewJoin {
     require(Set("inner", "left_outer", "left").contains(joinType),
       s"plannedSaltedJoin supports inner/left_outer, not $joinType")
     val p = broadcast(plan.select(col("key").as("__sp_key"),
-      col("salt").as("__sp_salt")).localCheckpoint(true))
+      col("salt").as("__sp_salt")).localCheckpoint(true)) // one-shot: hot-key-sized; joined into BOTH sides
     val saltedLeft = left
       .join(p, left(leftKey) === p("__sp_key"), "left")
       .withColumn("__sn", coalesce(col("__sp_salt"), lit(1)).cast("long"))
