@@ -6102,6 +6102,44 @@ object Oracles {
        |FROM documents""".stripMargin
   }
 
+  /** q380: the 4:2:0 corpus's closed form. 32×32 color, Y blocks on the
+    * 8-px grid (4 per row), chroma blocks on the 16-px grid (2 per row —
+    * half-resolution planes upsampled by replication, so pixel (x,y)
+    * reads chroma block (y//16)*2 + (x//16)). Same fixed-point YCbCr→RGB
+    * with the +2^24 bias trick for floor-shift semantics; every id is
+    * color, ids divisible by 3 carry restart markers (pixel-invariant).
+    */
+  val jpeg420PixelStats: String = {
+    def v(k: String) = {
+      val pi = s"(($k) // 3)"
+      val xq = s"($pi % 32)"; val yq = s"($pi // 32)"
+      val biY = s"(($yq // 8) * 4 + ($xq // 8))"
+      val biC = s"(($yq // 16) * 2 + ($xq // 16))"
+      val yv = s"((doc_id * 29 + $biY * 37) % 256)"
+      val cb = s"((doc_id * 31 + $biC * 41) % 256)"
+      val cr = s"((doc_id * 37 + $biC * 43) % 256)"
+      val r = s"LEAST(255, GREATEST(0, $yv + (91881 * ($cr - 128) + 32768 + 16777216) // 65536 - 256))"
+      val g = s"LEAST(255, GREATEST(0, $yv - ((22554 * ($cb - 128) + 46802 * ($cr - 128) + 32768 + 16777216) // 65536 - 256)))"
+      val b = s"LEAST(255, GREATEST(0, $yv + (116130 * ($cb - 128) + 32768 + 16777216) // 65536 - 256))"
+      s"(CASE ($k) % 3 WHEN 0 THEN $r WHEN 1 THEN $g ELSE $b END)"
+    }
+    s"""SELECT doc_id AS media_id,
+       |  CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+       |  CAST(3 AS INTEGER) AS n_comp,
+       |  CAST(3072 AS INTEGER) AS n_px_bytes,
+       |  CAST(list_sum(list_transform(range(0, 3072),
+       |    k -> ${v("k")})) AS BIGINT) AS px_sum,
+       |  CAST(list_sum(list_transform(range(0, 3072),
+       |    k -> k * ${v("k")})) AS BIGINT) AS px_wsum,
+       |  CAST(list_sum(list_transform(list_filter(range(0, 3072), k -> k % 3 = 0),
+       |    k -> ${v("k")})) AS BIGINT) AS c0_sum,
+       |  CAST(list_sum(list_transform(list_filter(range(0, 3072), k -> k % 3 = 1),
+       |    k -> ${v("k")})) AS BIGINT) AS c1_sum,
+       |  CAST(list_sum(list_transform(list_filter(range(0, 3072), k -> k % 3 = 2),
+       |    k -> ${v("k")})) AS BIGINT) AS c2_sum
+       |FROM documents""".stripMargin
+  }
+
   /** q245: per-eval-doc n-gram containment (q54's dual). Same gram
     * derivation as the q54 oracle; the train side deduplicates to a
     * corpus-wide gram set (the oracle can afford the full distinct the

@@ -1633,6 +1633,12 @@ object Plans {
         |dequantize, IDCT, fixed-point color convert — payloads never
         |leave the task; output is 10 scalars/row. The position-weighted
         |sum pins raster order in the exact-hash oracle.""".stripMargin,
+    "q380_jpeg420_pixels" ->
+      """4:2:0 JPEG decode: the q375 shape (one narrow mapPartitions,
+        |payloads in-task, 10 scalars/row) over interleaved 6-block MCUs
+        |with half-resolution chroma planes and replication upsampling.
+        |Per-task work is 4× q375's (32×32 vs 16×16); the plan is
+        |identical — scan → mapPartitions → dump, no exchange.""".stripMargin,
     "q376_cross_corpus_repeat" ->
       """Cross-corpus longest span: the q368 climb/search core (shared
         |climbSearch — levels checkpointed, probe prefixes memoized by

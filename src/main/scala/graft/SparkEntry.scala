@@ -3870,7 +3870,16 @@ object SparkEntry {
     // doc counts + share ppm; growing the shard count relocates only
     // docs landing on the NEW shard (LayoutSpec proves the property)
     "q379_rendezvous_shards" -> ((s, d) =>
-      graft.ext.Layout.rendezvousShards(Tables.documents(s, d), nShards = 16))
+      graft.ext.Layout.rendezvousShards(Tables.documents(s, d), nShards = 16)),
+
+    // 4:2:0 subsampled JPEG decode — the dominant real-world form:
+    // interleaved 6-block MCUs (Y 2×2 + Cb + Cr), half-resolution chroma
+    // planes, replication upsampling, restart markers for ids % 3 == 0;
+    // pixels stay closed-form (constant blocks survive subsampling)
+    "q380_jpeg420_pixels" -> { (s, d) =>
+      implicit val sp: SparkSession = s
+      graft.ext.Jpeg.jpeg420PixelStats(Tables.documents(s, d))
+    }
   )
 
   /** The paired ranking relation shared by q346: each panel query's exact
@@ -4367,6 +4376,7 @@ object SparkEntry {
     "q376_cross_corpus_repeat" -> Oracles.crossCorpusRepeat,
     "q377_phrase_scan" -> Oracles.phraseScan,
     "q378_bpe_fertility" -> Oracles.bpeFertility(6),
-    "q379_rendezvous_shards" -> Oracles.rendezvousShards(16)
+    "q379_rendezvous_shards" -> Oracles.rendezvousShards(16),
+    "q380_jpeg420_pixels" -> Oracles.jpeg420PixelStats
   )
 }

@@ -10,16 +10,21 @@ import org.apache.spark.sql.functions._
   * data pipeline tier, where JPEG is the dominant image payload).
   *
   * Decoder scope (honest): baseline sequential SOF0, 8-bit samples, 1 or
-  * 3 components, sampling factors all 1 (4:4:4 — Java's own ImageIO
-  * writer emits exactly this at quality ≥ 0.95, giving the spec a
-  * foreign-encoder corpus), 8- or 16-bit DQT entries, arbitrary DHT
-  * tables (nothing hardcoded — canonical code reconstruction per spec
-  * Annex C), restart markers (DRI/RSTn with predictor + bit-alignment
-  * reset), 0xFF00 byte unstuffing, run-length AC with EOB/ZRL, double-
-  * precision IDCT, libjpeg-style fixed-point YCbCr→RGB. Progressive
-  * (SOF2), arithmetic coding, 12-bit, and subsampled chroma return None
-  * — the documented remaining seam (the caller's StubCodec posture,
-  * same as [[Multimodal.HeaderCodec]] for foreign containers).
+  * 3 components, per-component sampling factors h,v ∈ {1,2} — which
+  * covers 4:4:4 (all 1×1), 4:2:0 (Y 2×2, the dominant real-world form:
+  * Java's own ImageIO writer emits it at EVERY quality unless forced),
+  * 4:2:2 (Y 2×1) and 4:4:0 (Y 1×2) — with interleaved multi-block MCUs
+  * per T.81 A.2.3 and pixel-replication chroma upsampling (sample
+  * (x·h/hMax, y·v/vMax); a constant chroma block upsamples to the same
+  * constant, which is what keeps the synthetic oracle closed-form).
+  * 8- or 16-bit DQT entries, arbitrary DHT tables (nothing hardcoded —
+  * canonical code reconstruction per spec Annex C), restart markers
+  * (DRI/RSTn with predictor + bit-alignment reset), 0xFF00 byte
+  * unstuffing, run-length AC with EOB/ZRL, double-precision IDCT,
+  * libjpeg-style fixed-point YCbCr→RGB. Progressive (SOF2), arithmetic
+  * coding, 12-bit, and sampling factors > 2 (4:1:1) return None — the
+  * documented remaining seam (the caller's StubCodec posture, same as
+  * [[Multimodal.HeaderCodec]] for foreign containers).
   *
   * Encoder scope ([[synthJpegPayload]]): a REAL JFIF stream whose blocks
   * are per-block constants — the one family whose decoded pixels have a
@@ -223,11 +228,13 @@ object Jpeg {
     val dcTabs = new Array[HuffTable](4)
     val acTabs = new Array[HuffTable](4)
     var width = 0; var height = 0; var nComp = 0
-    // per component: id, qtable idx, dc tab, ac tab
+    // per component: id, qtable idx, dc tab, ac tab, sampling factors
     var compQ: Array[Int] = null
     var compId: Array[Int] = null
     var compDc: Array[Int] = null
     var compAc: Array[Int] = null
+    var sampH: Array[Int] = null
+    var sampV: Array[Int] = null
     var restartInterval = 0
     var p = 2
     var sofSeen = false
@@ -296,14 +303,24 @@ object Jpeg {
           if (((width + 15L) / 16 * 16) * ((height + 15L) / 16 * 16) *
               nComp * 4L > (1L << 30)) return None
           compId = new Array[Int](nComp); compQ = new Array[Int](nComp)
+          sampH = new Array[Int](nComp); sampV = new Array[Int](nComp)
           var c = 0
+          var blocksPerMcu = 0
           while (c < nComp) {
             compId(c) = b(seg + 6 + 3 * c) & 0xff
             val hv = b(seg + 7 + 3 * c) & 0xff
-            if (hv != 0x11) return None // 4:4:4 only — documented seam
+            sampH(c) = hv >> 4; sampV(c) = hv & 0x0f
+            // h,v ∈ {1,2}: 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0. Factors of 4
+            // (4:1:1) are the documented remaining seam.
+            if (sampH(c) < 1 || sampH(c) > 2 || sampV(c) < 1 || sampV(c) > 2)
+              return None
+            blocksPerMcu += sampH(c) * sampV(c)
             compQ(c) = b(seg + 8 + 3 * c) & 0x0f
             c += 1
           }
+          // T.81 B.2.2: Σ Hi·Vi ≤ 10 for interleaved scans (also bounds
+          // the per-MCU decode work on adversarial streams)
+          if (nComp > 1 && blocksPerMcu > 10) return None
           sofSeen = true
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
              0xcd | 0xce | 0xcf =>
@@ -325,7 +342,8 @@ object Jpeg {
             c += 1
           }
           return decodeScan(b, p + 2 + len, width, height, nComp,
-            compQ, compDc, compAc, qt, dcTabs, acTabs, restartInterval)
+            compQ, compDc, compAc, sampH, sampV, qt, dcTabs, acTabs,
+            restartInterval)
         case _ => () // APPn / COM / others: skip
       }
       p += 2 + len
@@ -336,77 +354,104 @@ object Jpeg {
 
   private def decodeScan(b: Array[Byte], start: Int, width: Int, height: Int,
                          nComp: Int, compQ: Array[Int], compDc: Array[Int],
-                         compAc: Array[Int], qt: Array[Array[Int]],
+                         compAc: Array[Int], sampH: Array[Int],
+                         sampV: Array[Int], qt: Array[Array[Int]],
                          dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
                          restartInterval: Int): Option[JpegImage] = {
-    val bw = (width + 7) / 8; val bh = (height + 7) / 8
-    // component planes at block resolution (4:4:4: one block per MCU each)
-    val planes = Array.fill(nComp)(new Array[Int](bw * 8 * bh * 8))
+    // a single-component scan is non-interleaved (T.81 A.2.2): the MCU is
+    // ONE data unit regardless of declared factors, so decode it as 1×1
+    val hS = if (nComp == 1) Array(1) else sampH
+    val vS = if (nComp == 1) Array(1) else sampV
+    var hMax = 1; var vMax = 1
     var c = 0
     while (c < nComp) {
+      if (hS(c) > hMax) hMax = hS(c)
+      if (vS(c) > vMax) vMax = vS(c)
       if (qt(compQ(c)) == null || dcTabs(compDc(c)) == null ||
           acTabs(compAc(c)) == null) return None
       c += 1
     }
+    // MCU grid covers the image at full resolution (hMax·8 × vMax·8 px
+    // per MCU); each component's plane holds its OWN sampling grid,
+    // padded to whole MCUs (T.81 A.2.3)
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val planeW = Array.tabulate(nComp)(ci => mcusX * hS(ci) * 8)
+    val planes = Array.tabulate(nComp)(ci =>
+      new Array[Int](planeW(ci) * mcusY * vS(ci) * 8))
     val rd = new BitReader(b, start)
     val pred = new Array[Int](nComp)
     val coef = new Array[Int](64)
     val blk = new Array[Int](64)
     var mcu = 0
-    val nMcu = bw * bh
+    val nMcu = mcusX * mcusY
     while (mcu < nMcu) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         // the encoder must have emitted RSTn here; realign + reset DPCM
         if (!rd.resyncRst()) return None
         java.util.Arrays.fill(pred, 0)
       }
-      val by = mcu / bw; val bx = mcu % bw
+      val my = mcu / mcusX; val mx = mcu % mcusX
       var ci = 0
       while (ci < nComp) {
-        java.util.Arrays.fill(coef, 0)
-        val t = rd.decodeHuff(dcTabs(compDc(ci)))
-        if (t < 0 || t > 11) return None
-        val diff = if (t == 0) 0 else {
-          val v = rd.receive(t)
-          if (v == Int.MinValue) return None
-          extend(v, t)
-        }
-        pred(ci) += diff
-        val q = qt(compQ(ci))
-        coef(0) = pred(ci) * q(0)
-        var k = 1
-        while (k < 64) {
-          val rs = rd.decodeHuff(acTabs(compAc(ci)))
-          if (rs < 0) return None
-          val r = rs >> 4; val s = rs & 0x0f
-          if (s == 0) {
-            if (r == 15) k += 16 // ZRL
-            else k = 64 // EOB
-          } else {
-            k += r
-            if (k > 63) return None
-            val v = rd.receive(s)
-            if (v == Int.MinValue) return None
-            coef(Zigzag(k)) = extend(v, s) * q(Zigzag(k))
-            k += 1
+        // in-MCU block order per T.81 A.2.3: left-to-right, top-to-bottom
+        // within the component's sampling grid
+        var vb = 0
+        while (vb < vS(ci)) {
+          var hb = 0
+          while (hb < hS(ci)) {
+            java.util.Arrays.fill(coef, 0)
+            val t = rd.decodeHuff(dcTabs(compDc(ci)))
+            if (t < 0 || t > 11) return None
+            val diff = if (t == 0) 0 else {
+              val v = rd.receive(t)
+              if (v == Int.MinValue) return None
+              extend(v, t)
+            }
+            pred(ci) += diff
+            val q = qt(compQ(ci))
+            coef(0) = pred(ci) * q(0)
+            var k = 1
+            while (k < 64) {
+              val rs = rd.decodeHuff(acTabs(compAc(ci)))
+              if (rs < 0) return None
+              val r = rs >> 4; val s = rs & 0x0f
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else k = 64 // EOB
+              } else {
+                k += r
+                if (k > 63) return None
+                val v = rd.receive(s)
+                if (v == Int.MinValue) return None
+                coef(Zigzag(k)) = extend(v, s) * q(Zigzag(k))
+                k += 1
+              }
+            }
+            idctBlock(coef, blk)
+            // place block into the component plane
+            val plane = planes(ci)
+            val row0 = (my * vS(ci) + vb) * 8
+            val col0 = (mx * hS(ci) + hb) * 8
+            var yy = 0
+            while (yy < 8) {
+              System.arraycopy(blk, yy * 8, plane,
+                (row0 + yy) * planeW(ci) + col0, 8)
+              yy += 1
+            }
+            hb += 1
           }
-        }
-        idctBlock(coef, blk)
-        // place block into the plane
-        val plane = planes(ci)
-        var yy = 0
-        while (yy < 8) {
-          System.arraycopy(blk, yy * 8, plane,
-            (by * 8 + yy) * (bw * 8) + bx * 8, 8)
-          yy += 1
+          vb += 1
         }
         ci += 1
       }
       mcu += 1
     }
-    // interleave to output, cropping block padding to (width, height)
-    val stride = bw * 8
+    // interleave to output, cropping MCU padding to (width, height);
+    // subsampled components upsample by replication: sample (x·h/hMax,
+    // y·v/vMax) — exact on constant blocks, which is the closed-form seam
     if (nComp == 1) {
+      val stride = planeW(0)
       val out = new Array[Byte](width * height)
       var y = 0
       while (y < height) {
@@ -420,13 +465,16 @@ object Jpeg {
       Some(JpegImage(width, height, 1, out))
     } else {
       val out = new Array[Byte](width * height * 3)
+      val w0 = planeW(0); val w1 = planeW(1); val w2 = planeW(2)
       var y = 0
       while (y < height) {
+        val y0 = y * vS(0) / vMax; val y1 = y * vS(1) / vMax
+        val y2 = y * vS(2) / vMax
         var x = 0
         while (x < width) {
-          val yv = planes(0)(y * stride + x)
-          val cb = planes(1)(y * stride + x)
-          val cr = planes(2)(y * stride + x)
+          val yv = planes(0)(y0 * w0 + x * hS(0) / hMax)
+          val cb = planes(1)(y1 * w1 + x * hS(1) / hMax)
+          val cr = planes(2)(y2 * w2 + x * hS(2) / hMax)
           val o = (y * width + x) * 3
           out(o) = ycc2r(yv, cr).toByte
           out(o + 1) = ycc2g(yv, cb, cr).toByte
@@ -602,6 +650,95 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** A REAL 4:2:0 JFIF stream: 32×32, Y sampled 2×2 (table 0), Cb/Cr
+    * 1×1 (table 1) — FOUR interleaved MCUs (2×2 grid of 16×16-pixel
+    * MCUs), each carrying 4 Y blocks + 1 Cb + 1 Cr in T.81 A.2.3 order,
+    * genuinely huffman/DPCM-coded with live byte stuffing. All blocks
+    * are per-block constants, so the DC-exact closed form extends: a
+    * constant chroma block upsamples (by replication) to the same
+    * constant over its 16×16 pixel footprint, and the q380 oracle
+    * recomputes every decoded pixel analytically — Y from block
+    * (y div 8)·4 + (x div 8), chroma from block (y div 16)·2 + (x div 16).
+    */
+  private[ext] def synthJpeg420Payload(id: Long,
+                                       restartInterval: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    w(0xff, 0xd8) // SOI
+    w(0xff, 0xe0); w16(16) // APP0 JFIF
+    w('J', 'F', 'I', 'F', 0, 1, 1, 0); w16(1); w16(1); w(0, 0)
+    // DQT: tables 0 and 1, all ones, 8-bit (DC-only exactness)
+    w(0xff, 0xdb); w16(2 + 2 * 65)
+    var t = 0
+    while (t < 2) { out.write(t); (0 until 64).foreach(_ => out.write(1)); t += 1 }
+    // SOF0: 32×32, Y 2×2 / Cb 1×1 / Cr 1×1
+    w(0xff, 0xc0); w16(8 + 3 * 3)
+    w(8); w16(32); w16(32); w(3)
+    w(1, 0x22, 0); w(2, 0x11, 1); w(3, 0x11, 1)
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      w(0xff, 0xc4); w16(2 + 17 + vals.length)
+      w((tc << 4) | th)
+      (1 to 16).foreach(l => out.write(bits(l)))
+      vals.foreach(v => out.write(v & 0xff))
+    }
+    dht(0, 0, DcLumBits, DcLumVals)
+    dht(1, 0, AcEobBits, AcEobVals)
+    dht(0, 1, DcChrBits, DcChrVals)
+    dht(1, 1, AcEobBits, AcEobVals)
+    if (restartInterval > 0) { w(0xff, 0xdd); w16(4); w16(restartInterval) }
+    // SOS
+    w(0xff, 0xda); w16(6 + 2 * 3)
+    w(3); w(1, 0x00); w(2, 0x11); w(3, 0x11)
+    w(0, 63, 0)
+    val dcLum = encTable(DcLumBits, DcLumVals)
+    val dcChr = encTable(DcChrBits, DcChrVals)
+    val acEob = encTable(AcEobBits, AcEobVals)
+    val bwRiter = new BitWriter(out)
+    val pred = new Array[Int](3)
+    var mcu = 0
+    var rstN = 0
+    while (mcu < 4) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bwRiter.flushOnes()
+        w(0xff, 0xd0 + rstN)
+        rstN = (rstN + 1) % 8
+        java.util.Arrays.fill(pred, 0)
+      }
+      val my = mcu / 2; val mx = mcu % 2
+      def putDc(comp: Int, v: Int): Unit = {
+        val dc = 8 * (v - 128)
+        val diff = dc - pred(comp)
+        pred(comp) = dc
+        val cat = category(diff)
+        val (hc, hl) = if (comp == 0) dcLum(cat) else dcChr(cat)
+        bwRiter.put(hc, hl)
+        if (cat > 0) {
+          val bitsV = if (diff < 0) diff - 1 else diff
+          bwRiter.put(bitsV & ((1 << cat) - 1), cat)
+        }
+        val (ec, el) = acEob(0)
+        bwRiter.put(ec, el)
+      }
+      // 4 Y blocks (raster within the MCU), then Cb, then Cr
+      var vb = 0
+      while (vb < 2) {
+        var hb = 0
+        while (hb < 2) {
+          putDc(0, synthY(id, (my * 2 + vb) * 4 + (mx * 2 + hb)))
+          hb += 1
+        }
+        vb += 1
+      }
+      putDc(1, synthCb(id, my * 2 + mx))
+      putDc(2, synthCr(id, my * 2 + mx))
+      mcu += 1
+    }
+    bwRiter.flushOnes()
+    w(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
   final case class JpegPixelStats(media_id: Long, width: Int, height: Int,
                                   n_comp: Int, n_px_bytes: Int, px_sum: Long,
                                   px_wsum: Long, c0_sum: Long, c1_sum: Long,
@@ -621,6 +758,39 @@ object Jpeg {
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { id =>
         val p = synthJpegPayload(id)
+        decode(p) match {
+          case Some(img) =>
+            var sum = 0L; var wsum = 0L
+            val ch = new Array[Long](3)
+            var i = 0
+            while (i < img.pixels.length) {
+              val v = img.pixels(i) & 0xff
+              sum += v; wsum += i.toLong * v; ch(i % 3) += v
+              i += 1
+            }
+            JpegPixelStats(id, img.width, img.height, img.nComp,
+              img.pixels.length, sum, wsum, ch(0), ch(1), ch(2))
+          case None =>
+            JpegPixelStats(id, 0, 0, 0, 0, 0L, 0L, 0L, 0L, 0L)
+        }
+      }
+    }.toDF()
+  }
+
+  /** q380: [[jpegPixelStats]] over the 4:2:0 corpus — every doc gets a
+    * real subsampled stream ([[synthJpeg420Payload]]) and rides the FULL
+    * interleaved-MCU decode: 6 blocks per MCU, per-component DPCM chains,
+    * chroma planes at half resolution, replication upsampling, then the
+    * same fixed-point color convert. Restart markers every other MCU for
+    * ids divisible by 3 (the DRI/RSTn path under subsampling). Stats are
+    * the q375 shape; c0/c1/c2 are the RGB channel sums. Narrow
+    * mapPartitions; payloads never shuffle.
+    */
+  def jpeg420PixelStats(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val p = synthJpeg420Payload(id, restartInterval = if (id % 3 == 0) 2 else 0)
         decode(p) match {
           case Some(img) =>
             var sum = 0L; var wsum = 0L

@@ -67,11 +67,42 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  private def expected420Pixels(id: Long): Array[Int] = {
+    val out = new Array[Int](3072)
+    var px = 0
+    while (px < 1024) {
+      val x = px % 32; val y = px / 32
+      val yv = Jpeg.synthY(id, (y / 8) * 4 + (x / 8))
+      val cb = Jpeg.synthCb(id, (y / 16) * 2 + (x / 16))
+      val cr = Jpeg.synthCr(id, (y / 16) * 2 + (x / 16))
+      out(px * 3) = Jpeg.ycc2r(yv, cr)
+      out(px * 3 + 1) = Jpeg.ycc2g(yv, cb, cr)
+      out(px * 3 + 2) = Jpeg.ycc2b(yv, cb)
+      px += 1
+    }
+    out
+  }
+
+  test("synthetic 4:2:0 corpus decodes to the closed form exactly (± restart markers)") {
+    for (id <- 0L to 20L; ri <- Seq(0, 1, 2, 3)) {
+      val img = Jpeg.decode(Jpeg.synthJpeg420Payload(id, restartInterval = ri))
+        .getOrElse(fail(s"4:2:0 decode failed for id=$id ri=$ri"))
+      assert(img.width == 32 && img.height == 32 && img.nComp == 3)
+      val exp = expected420Pixels(id)
+      assert(img.pixels.length == exp.length)
+      var k = 0
+      while (k < exp.length) {
+        assert((img.pixels(k) & 0xff) == exp(k),
+          s"id=$id ri=$ri byte $k: got ${img.pixels(k) & 0xff}, want ${exp(k)}")
+        k += 1
+      }
+    }
+  }
+
   /** ImageIO-write; force444 rewrites the writer metadata's sampling
     * factors to 1 (Java's JPEG writer emits 4:2:0 for color at EVERY
-    * quality, measured — subsampled chroma is outside the decoder's
-    * documented scope, and its fancy upsampler wouldn't be comparable
-    * anyway). */
+    * quality, measured — the DEFAULT writer output is therefore the
+    * foreign 4:2:0 corpus for the subsampled path's cross-check). */
   private def writeJpeg(img: BufferedImage, quality: Float,
                         force444: Boolean = false): Array[Byte] = {
     val w = ImageIO.getImageWritersByFormatName("jpeg").next()
@@ -134,6 +165,63 @@ class JpegSpec extends AnyFunSuite {
     // two independent IDCT + color-convert implementations: T.81 allows
     // ±1 per IDCT sample; color convert adds at most ±1 more
     assert(maxDiff <= 2, s"max per-sample diff $maxDiff")
+  }
+
+  test("foreign encoder: ImageIO's DEFAULT color output IS 4:2:0 and decodes within slop (constant chroma)") {
+    // R=G=B input ⇒ Cb=Cr=128 exactly, so chroma blocks are constant and
+    // the upsampler choice (our replication vs libjpeg's triangle filter)
+    // cannot matter — what's exercised is the interleaved 6-block MCU
+    // walk, the per-component DPCM chains, and the half-res planes.
+    // 48×33: non-multiple-of-16 height exercises MCU cropping.
+    val src = new BufferedImage(48, 33, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 33; x <- 0 until 48) {
+      val v = 40 + x * 2 + y * 3 // smooth, no wraparound
+      src.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bytes = writeJpeg(src, 0.95f) // default metadata = subsampled
+    val mine = Jpeg.decode(bytes)
+      .getOrElse(fail("decoder rejected ImageIO's default (4:2:0) output"))
+    assert(mine.width == 48 && mine.height == 33 && mine.nComp == 3)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until 33; x <- 0 until 48) {
+      val rgb = ref.getRGB(x, y)
+      val o = (y * 48 + x) * 3
+      val dr = math.abs(((rgb >> 16) & 0xff) - (mine.pixels(o) & 0xff))
+      val dg = math.abs(((rgb >> 8) & 0xff) - (mine.pixels(o + 1) & 0xff))
+      val db = math.abs((rgb & 0xff) - (mine.pixels(o + 2) & 0xff))
+      maxDiff = math.max(maxDiff, math.max(dr, math.max(dg, db)))
+    }
+    assert(maxDiff <= 2, s"max per-sample diff $maxDiff")
+  }
+
+  test("foreign encoder: 4:2:0 with VARYING chroma agrees away from tile edges") {
+    // piecewise-constant 16×16 tiles: inside a tile every chroma sample
+    // is equal, so replication and libjpeg's triangle upsampler agree on
+    // the interior; only boundary pixels may differ between upsamplers —
+    // excluded from the comparison (4-px margin).
+    val colors = Array(0x3060a0, 0xa03060, 0x60a030, 0x806040,
+      0x2080a0, 0xa08020, 0x5050b0, 0xb05050, 0x408060, 0x604080,
+      0x907030, 0x309070)
+    val src = new BufferedImage(64, 48, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 48; x <- 0 until 64)
+      src.setRGB(x, y, colors((y / 16) * 4 + (x / 16)))
+    val bytes = writeJpeg(src, 0.95f)
+    val mine = Jpeg.decode(bytes)
+      .getOrElse(fail("decoder rejected ImageIO's default (4:2:0) output"))
+    assert(mine.width == 64 && mine.height == 48 && mine.nComp == 3)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until 48; x <- 0 until 64
+         if x % 16 >= 4 && x % 16 < 12 && y % 16 >= 4 && y % 16 < 12) {
+      val rgb = ref.getRGB(x, y)
+      val o = (y * 64 + x) * 3
+      val dr = math.abs(((rgb >> 16) & 0xff) - (mine.pixels(o) & 0xff))
+      val dg = math.abs(((rgb >> 8) & 0xff) - (mine.pixels(o + 1) & 0xff))
+      val db = math.abs((rgb & 0xff) - (mine.pixels(o + 2) & 0xff))
+      maxDiff = math.max(maxDiff, math.max(dr, math.max(dg, db)))
+    }
+    assert(maxDiff <= 2, s"max interior per-sample diff $maxDiff")
   }
 
   test("foreign encoder: ImageIO-written grayscale JPEG decodes within slop") {
