@@ -24,9 +24,12 @@ import graft.ext.Pin.PinOps
   * map-combined groupBy + equi-join, per-round lineage cuts), never a
   * global suffix sort and never an all-pairs compare:
   *
-  *   - rank_1(d,p) = representative of "same token": every position is
-  *     keyed by the MINIMUM (doc,pos) holding the same token — one
-  *     vocabulary-keyed aggregate + one join-back.
+  *   - rank_4(d,p) = representative of "same 4-token window": every
+  *     position is keyed by the MINIMUM (doc,pos) holding the same
+  *     window text — one gram-keyed aggregate + one join-back
+  *     ([[gramSeed]]; depth 1/2 seeds exist for sub-4 answers). Entering
+  *     at depth 4 directly skips the two WIDEST doubling rounds — the
+  *     full-position-set rounds that dominate every climb.
   *   - rank_2k(d,p) = representative of the pair (rank_k(d,p),
   *     rank_k(d,p+k)) — the classic prefix-doubling step (Manber & Myers
   *     1993; Larsson & Sadakane 2007; public literature), except classes
@@ -57,6 +60,37 @@ import graft.ext.Pin.PinOps
   */
 object SuffixDedup {
 
+  /** Direct depth-`depth` class assignment straight from the token
+    * stream: every position whose `depth`-token window fits its document,
+    * keyed by the EXACT window text (space-joined — tokens are
+    * whitespace-split, so the join is injective; no fingerprints, the
+    * module's no-hashing contract holds) with the minimal (d, p) as
+    * representative. One map-side-combined aggregate + one join-back —
+    * the same relational step as the depth-1 assignment, landing
+    * ⌈log₂ depth⌉ doubling rounds deep in ONE exchange. The payoff is at
+    * the climb's WIDEST point: rounds 1-2 run on the full position set
+    * (class splitting hasn't thinned anything yet), so replacing them
+    * with a direct depth-4 partition removes the two most expensive
+    * pinned rounds of every suffix-family query at once. Beyond depth 4
+    * the gram keys grow linearly while pair-refinement stays
+    * constant-width — doubling wins again, so the seam stays at 4.
+    *
+    * `toks` is (d, __ws); output (d, p, rd, rp), positions 1-based.
+    */
+  private def gramSeed(toks: DataFrame, depth: Int): DataFrame = {
+    val grams = toks.filter(size(col("__ws")) >= depth)
+      .select(col("d"), posexplode(
+        expr(s"transform(sequence(1, size(__ws) - ${depth - 1}), " +
+          s"i -> array_join(slice(__ws, i, $depth), ' '))"))
+        .as(Seq("__p0", "__g")))
+      .select(col("d"), (col("__p0") + 1).cast("long").as("p"), col("__g"))
+    grams.join(grams.groupBy("__g")
+        .agg(min(struct(col("d"), col("p"))).as("__rep")), Seq("__g"))
+      .select(col("d"), col("p"),
+        col("__rep.d").as("rd"), col("__rep.p").as("rp"))
+      .pin()
+  }
+
   /** (d, p, rd, rp) for every position whose `minLen`-token window fits
     * its document: (rd, rp) is the class representative — the minimal
     * (doc, pos) whose window is token-for-token equal. Positions are
@@ -69,17 +103,12 @@ object SuffixDedup {
       .withColumn("__ws", TextAnalysis.tokens(col(textCol)))
       .select(col(idCol).cast("long").as("d"), col("__ws"),
         size(col("__ws")).cast("long").as("n"))
-    val tokPos = base.filter(col("n") >= minLen)
-      .select(col("d"), posexplode(col("__ws")).as(Seq("__p0", "tok")))
-      .select(col("d"), (col("__p0") + 1).cast("long").as("p"), col("tok"))
-    // depth 1: vocabulary-keyed representative assignment
-    var r = tokPos
-      .join(tokPos.groupBy("tok")
-        .agg(min(struct(col("d"), col("p"))).as("__rep")), Seq("tok"))
-      .select(col("d"), col("p"),
-        col("__rep.d").as("rd"), col("__rep.p").as("rp"))
-      .pin()
-    var k = 1
+      .filter(col("n") >= minLen)
+      .select(col("d"), col("__ws"))
+    // direct seed at depth min(4, largest power of two ≤ minLen) — the
+    // first two doubling rounds collapse into one exchange
+    var k = if (minLen >= 4) 4 else 2
+    var r = gramSeed(base, k)
     while (k * 2 <= minLen) { r = refine(r, k); k *= 2 }
     if (k < minLen) r = refine(r, minLen - k) // overlapped final combine
     r
@@ -114,60 +143,73 @@ object SuffixDedup {
   }
 
   /** The shared climb-and-binary-search core behind [[longestRepeat]]
-    * and [[crossLongestRepeat]]: climb power-of-two depths while `pred`
+    * and [[crossLongestRepeat]]: enter DIRECTLY at depth 4 (one
+    * [[gramSeed]] exchange replaces the two widest doubling rounds —
+    * `seedLevel(i)` builds the depth-2^i relation straight from the
+    * token stream for i ≤ 2), climb power-of-two depths while `pred`
     * holds (each level one [[refine]] of the previous, eager-pinned),
     * then binary-search λ between the last-holding and first-clean
     * depths, assembling rank-at-λ by exact CONCATENATION of the
-    * precomputed levels along λ's set bits. Successive probes of the
-    * MONOTONE search share their most-significant set bits, and the
-    * accumulated depth uniquely identifies a prefix (a sum of distinct
-    * powers of two combined in fixed MSB-first order), so prefix
-    * relations are memoized by depth — each combine runs ONCE across the
-    * whole search. Driver-side actions are one boolean per level/probe.
-    * Returns None when `pred` fails already at depth 1, else
-    * (λ*, the rank relation at λ*).
+    * precomputed levels along λ's set bits. Levels 0-1 are only
+    * materialized (direct-seeded, never refined) if the search needs
+    * those bits. Successive probes of the MONOTONE search share their
+    * most-significant set bits, and the accumulated depth uniquely
+    * identifies a prefix (a sum of distinct powers of two combined in
+    * fixed MSB-first order), so prefix relations are memoized by depth —
+    * each combine runs ONCE across the whole search. Driver-side actions
+    * are one boolean per level/probe. Returns None when `pred` fails
+    * already at depth 1, else (λ*, the rank relation at λ*).
     */
-  private def climbSearch(r1: DataFrame, pred: DataFrame => Boolean,
+  private def climbSearch(seedLevel: Int => DataFrame,
+                          pred: DataFrame => Boolean,
                           capLog2: Int): Option[(Int, DataFrame)] = {
-    if (!pred(r1)) None
-    else {
-      // climb: levels(i) holds the depth-2^i relation
-      val levels = scala.collection.mutable.Map(0 -> r1)
-      var lo = 1 // largest depth KNOWN to satisfy pred
-      var hi = -1 // smallest depth KNOWN clean (-1 = not yet found)
-      var i = 0
+    val directLog2 = math.min(2, capLog2) // direct-seed entry level
+    // levels(i) holds the depth-2^i relation, built on demand
+    val levels = scala.collection.mutable.Map[Int, DataFrame]()
+    def level(i: Int): DataFrame = levels.getOrElseUpdate(i,
+      if (i <= directLog2) seedLevel(i)
+      else refine(level(i - 1), 1 << (i - 1)))
+    val prefixByDepth = scala.collection.mutable.Map[Int, DataFrame]()
+    def rankAt(lambda: Int): DataFrame =
+      if ((lambda & (lambda - 1)) == 0)
+        level(java.lang.Integer.numberOfTrailingZeros(lambda))
+      else {
+        val bits = (30 to 0 by -1).filter(b => (lambda & (1 << b)) != 0)
+        var cur = level(bits.head)
+        var depth = 1 << bits.head
+        bits.tail.foreach { b =>
+          val nextDepth = depth + (1 << b)
+          cur = prefixByDepth.getOrElseUpdate(nextDepth,
+            combine(cur, level(b), depth))
+          depth = nextDepth
+        }
+        cur
+      }
+    var lo = 0 // largest depth KNOWN to satisfy pred
+    var hi = -1 // smallest depth KNOWN clean (-1 = not yet found)
+    val entry = level(directLog2)
+    if (!entry.isEmpty && pred(entry)) {
+      lo = 1 << directLog2
+      var i = directLog2
       while (hi < 0 && i < capLog2) {
-        val next = refine(levels(i), 1 << i)
+        val next = level(i + 1)
         if (next.isEmpty || !pred(next)) hi = 1 << (i + 1)
-        else { levels(i + 1) = next; lo = 1 << (i + 1); i += 1 }
+        else { lo = 1 << (i + 1); i += 1 }
       }
-      val prefixByDepth = scala.collection.mutable.Map[Int, DataFrame]()
-      def rankAt(lambda: Int): DataFrame =
-        if ((lambda & (lambda - 1)) == 0)
-          levels(java.lang.Integer.numberOfTrailingZeros(lambda))
-        else {
-          val bits =
-            (levels.keys.max to 0 by -1).filter(b => (lambda & (1 << b)) != 0)
-          var cur = levels(bits.head)
-          var depth = 1 << bits.head
-          bits.tail.foreach { b =>
-            val nextDepth = depth + (1 << b)
-            cur = prefixByDepth.getOrElseUpdate(nextDepth,
-              combine(cur, levels(b), depth))
-            depth = nextDepth
-          }
-          cur
-        }
-      if (hi > 0) {
-        while (hi - lo > 1) {
-          val mid = (lo + hi) / 2
-          if (pred(rankAt(mid))) lo = mid else hi = mid
-        }
-      }
-      // else: saturated at an EXPLICIT cap with pred still holding —
-      // report λ* = 2^capLog2 (documented saturation semantics)
-      Some((lo, rankAt(lo)))
+    } else {
+      // the entry depth is already clean: the answer (if any) is below 4
+      if (!pred(level(0))) return None
+      lo = 1; hi = 1 << directLog2
     }
+    if (hi > 0) {
+      while (hi - lo > 1) {
+        val mid = (lo + hi) / 2
+        if (pred(rankAt(mid))) lo = mid else hi = mid
+      }
+    }
+    // hi < 0: saturated at an EXPLICIT cap with pred still holding —
+    // report λ* = 2^capLog2 (documented saturation semantics)
+    Some((lo, rankAt(lo)))
   }
 
   /** Positions (doc, p) whose `minLen`-window text occurs ≥ 2 times in
@@ -312,21 +354,12 @@ object SuffixDedup {
 
     val toks = docs.select(col(idCol).cast("long").as("d"),
       TextAnalysis.tokens(col(textCol)).as("__ws"))
-    val tokPos = toks
-      .select(col("d"), posexplode(col("__ws")).as(Seq("__p0", "tok")))
-      .select(col("d"), (col("__p0") + 1).cast("long").as("p"), col("tok"))
-    val r1 = tokPos
-      .join(tokPos.groupBy("tok")
-        .agg(min(struct(col("d"), col("p"))).as("__rep")), Seq("tok"))
-      .select(col("d"), col("p"),
-        col("__rep.d").as("rd"), col("__rep.p").as("rp"))
-      .pin()
 
     def hasDup(r: DataFrame): Boolean =
       !r.groupBy("rd", "rp").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).isEmpty
 
-    climbSearch(r1, hasDup, capLog2) match {
+    climbSearch(i => gramSeed(toks, 1 << i), hasDup, capLog2) match {
       case None => emptyRow
       case Some((lo, rStar)) =>
       val classes = rStar.groupBy("rd", "rp")
@@ -378,15 +411,6 @@ object SuffixDedup {
       docs.select((col(idCol).cast("long") * 2 + tag).as("d"),
         TextAnalysis.tokens(col(textCol)).as("__ws"))
     val toks = tagged(docsA, 0).unionAll(tagged(docsB, 1))
-    val tokPos = toks
-      .select(col("d"), posexplode(col("__ws")).as(Seq("__p0", "tok")))
-      .select(col("d"), (col("__p0") + 1).cast("long").as("p"), col("tok"))
-    val r1 = tokPos
-      .join(tokPos.groupBy("tok")
-        .agg(min(struct(col("d"), col("p"))).as("__rep")), Seq("tok"))
-      .select(col("d"), col("p"),
-        col("__rep.d").as("rd"), col("__rep.p").as("rp"))
-      .pin()
 
     // "some class spans both corpora": tag = pmod(d, 2) (ids are
     // 2·id + tag). pmod, NOT `%`: Spark's `%` truncates toward zero, so a
@@ -398,7 +422,7 @@ object SuffixDedup {
           max(pmod(col("d"), lit(2))).as("t1"))
         .filter(col("t0") === 0 && col("t1") === 1).isEmpty
 
-    climbSearch(r1, hasCross, capLog2) match {
+    climbSearch(i => gramSeed(toks, 1 << i), hasCross, capLog2) match {
       case None => emptyRow
       case Some((lo, rStar)) =>
         val classes = rStar.groupBy("rd", "rp")

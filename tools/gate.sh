@@ -50,6 +50,7 @@ for sf in "${scales[@]}"; do
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" \
     "${JAVA[@]}" graft.Verify "/root/testdata/sf$sf" "$tmp/verify_$sf" \
     > "$tmp/verify_$sf.log" 2>&1 || { echo "Verify sf$sf FAILED"; tail -20 "$tmp/verify_$sf.log"; fail=1; }
+  GRAFT_ENFORCE_TEST_COUNTS=1 \
   python3 tools/selfcheck.py "/root/testdata/sf$sf" "$tmp/verify_$sf" \
     --json="$tmp/report_$sf.json" || { echo "selfcheck sf$sf reported failures"; fail=1; }
 done
