@@ -227,6 +227,44 @@ object Oracles {
        |SELECT a.doc_id, MIN(bucket_rep) AS cluster_rep
        |FROM b2 a JOIN bucket USING (band, bkey) GROUP BY 1""".stripMargin
 
+  /** q384: pair-level agreement between the MinHash-LSH clustering (q22's
+    * oracle) and the SimHash-bucket clustering (q49's oracle) — the two
+    * full cluster oracles as nested-WITH derived tables, then the Rand
+    * pair-counting identity on three contingency sums (never the
+    * quadratic pair set). HUGEINT for the ×10⁶; `//` on non-negative
+    * operands matches Spark's `div`.
+    */
+  def clusteringAgreement(k: Int = 16, rowsPerBand: Int = 4,
+                          bits: Int = 64, maxHamming: Int = 3): String =
+    s"""WITH mh AS MATERIALIZED (
+       |  SELECT * FROM (${minhashClusters(k, rowsPerBand)}) x
+       |), sh AS MATERIALIZED (
+       |  SELECT * FROM (${simhashClusters(bits, maxHamming)}) y
+       |), j AS MATERIALIZED (
+       |  SELECT m.doc_id, m.cluster_rep AS ca, s.cluster_rep AS cb
+       |  FROM mh m JOIN sh s USING (doc_id)
+       |), sb AS (
+       |  SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS same_both
+       |  FROM (SELECT COUNT(*) AS n FROM j GROUP BY ca, cb)
+       |), sa AS (
+       |  SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS pa
+       |  FROM (SELECT COUNT(*) AS n FROM j GROUP BY ca)
+       |), sbb AS (
+       |  SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS pb
+       |  FROM (SELECT COUNT(*) AS n FROM j GROUP BY cb)
+       |), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM j)
+       |SELECT n_docs,
+       |  CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS pairs_total,
+       |  same_both,
+       |  CAST(pa - same_both AS BIGINT) AS same_a_only,
+       |  CAST(pb - same_both AS BIGINT) AS same_b_only,
+       |  CAST(n_docs * (n_docs - 1) // 2 - pa - pb + same_both AS BIGINT)
+       |    AS same_neither,
+       |  CAST(CAST(same_both + n_docs * (n_docs - 1) // 2 - pa - pb
+       |      + same_both AS HUGEINT) * 1000000
+       |    // GREATEST(n_docs * (n_docs - 1) // 2, 1) AS BIGINT) AS rand_ppm
+       |FROM nn, sb, sa, sbb""".stripMargin
+
   /** Mirrors Dedup.lshTuningCurve on an affine-hash doc sample: universe
     * pairs from the loosest config's banding (DISTINCT — same set as the
     * Spark side's first-band emit), stricter configs as signature-equality
@@ -6140,6 +6178,56 @@ object Oracles {
        |FROM documents""".stripMargin
   }
 
+  /** q383: the quality-scaled DQT closed form. Annex-K base tables as
+    * literals, the IJG integer scaling ((k·scale + 50) // 100 clamped to
+    * [1, 255], scale = 5000 // q below 50 else 200 − 2q), and the same
+    * deterministic argmin-L1 estimator the engine runs: first index of
+    * the minimal candidate distance (list_position finds the FIRST hit,
+    * ties to the lowest quality — the engine's `d < bestD` rule).
+    * Position-weighted sums are over NATURAL order, pinning the engine's
+    * zigzag undo.
+    */
+  val jpegQualityStats: String = {
+    val kl = "[16,11,10,16,24,40,51,61,12,12,14,19,26,58,60,55," +
+      "14,13,16,24,40,57,69,56,14,17,22,29,51,87,80,62," +
+      "18,22,37,56,68,109,103,77,24,35,55,64,81,104,113,92," +
+      "49,64,78,87,103,121,120,101,72,92,95,98,112,100,103,99]"
+    val kc = "[17,18,24,47,99,99,99,99,18,21,26,66,99,99,99,99," +
+      "24,26,56,99,99,99,99,99,47,66,99,99,99,99,99,99," +
+      "99,99,99,99,99,99,99,99,99,99,99,99,99,99,99,99," +
+      "99,99,99,99,99,99,99,99,99,99,99,99,99,99,99,99]"
+    def scaled(base: String, q: String) =
+      s"list_transform($base, x -> LEAST(255, GREATEST(1, (x * " +
+        s"(CASE WHEN $q < 50 THEN 5000 // $q ELSE 200 - 2 * $q END)" +
+        s" + 50) // 100)))"
+    def dists(obs: String, base: String) =
+      s"""list_transform(range(1, 101), c -> list_sum(
+         |    list_transform(range(1, 65),
+         |      i -> abs(${scaled(base, "c")}[CAST(i AS INTEGER)]
+         |             - $obs[CAST(i AS INTEGER)]))))""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, 5 + ((doc_id % 94) * 7) % 94 AS q FROM documents
+       |), obs AS MATERIALIZED (
+       |  SELECT doc_id, ${scaled(kl, "q")} AS lt, ${scaled(kc, "q")} AS ct
+       |  FROM d
+       |), dl AS MATERIALIZED (
+       |  SELECT doc_id, lt, ct,
+       |    ${dists("lt", kl)} AS ld,
+       |    ${dists("ct", kc)} AS cd
+       |  FROM obs
+       |)
+       |SELECT doc_id AS media_id,
+       |  CAST(list_position(ld, list_min(ld)) AS INTEGER) AS q_lum,
+       |  CAST(list_position(cd, list_min(cd)) AS INTEGER) AS q_chr,
+       |  CAST(list_sum(lt) AS BIGINT) AS lum_sum,
+       |  CAST(list_sum(list_transform(range(1, 65),
+       |    i -> (i - 1) * lt[CAST(i AS INTEGER)])) AS BIGINT) AS lum_wsum,
+       |  CAST(list_sum(ct) AS BIGINT) AS chr_sum,
+       |  CAST(list_sum(list_transform(range(1, 65),
+       |    i -> (i - 1) * ct[CAST(i AS INTEGER)])) AS BIGINT) AS chr_wsum
+       |FROM dl""".stripMargin
+  }
+
   /** q245: per-eval-doc n-gram containment (q54's dual). Same gram
     * derivation as the q54 oracle; the train side deduplicates to a
     * corpus-wide gram set (the oracle can afford the full distinct the
@@ -8532,6 +8620,74 @@ object Oracles {
       |SELECT m.lstar AS max_common_tokens, w.doc_id AS rep_doc,
       |  w.p AS rep_start, w.n_occ_a, w.n_occ_b, w.w AS common_text
       |FROM mx m LEFT JOIN winner w ON true""".stripMargin
+
+  /** Shared CTE block for the q381/q382 cross-corpus decontamination
+    * oracles (train = doc_id %% 20 ≠ 0, eval = %% 20 = 0): eval window
+    * positions whose materialized `minLen`-gram string also appears in
+    * the train corpus's distinct gram set — the O(n·minLen) spelling,
+    * entirely independent of the engine's tagged class-doubling.
+    */
+  private def crossSubstrCtes(minLen: Int): String =
+    s"""docs AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
+       |  FROM documents
+       |), evd AS (
+       |  SELECT doc_id, ws FROM docs WHERE doc_id % 20 = 0
+       |), trg AS MATERIALIZED (
+       |  SELECT DISTINCT array_to_string(list_slice(ws, CAST(p AS INTEGER),
+       |      CAST(p AS INTEGER) + ${minLen - 1}), ' ') AS win
+       |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - ${minLen - 1})) AS p
+       |        FROM docs WHERE doc_id % 20 <> 0 AND len(ws) >= $minLen)
+       |), evw AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+       |    array_to_string(list_slice(ws, CAST(p AS INTEGER),
+       |      CAST(p AS INTEGER) + ${minLen - 1}), ' ') AS win
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${minLen - 1})) AS p
+       |        FROM evd WHERE len(ws) >= $minLen)
+       |), pos AS (
+       |  SELECT w.doc_id, w.p FROM evw w JOIN trg t USING (win)
+       |)""".stripMargin
+
+  /** q381: maximal contaminated spans per eval doc — gaps-and-islands
+    * over the cross positions; a run of starts [a, b] covers tokens
+    * [a, b + minLen − 1].
+    */
+  def crossDupSpans(minLen: Int): String =
+    s"""WITH ${crossSubstrCtes(minLen)}, isl AS (
+       |  SELECT doc_id, p,
+       |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS g
+       |  FROM pos
+       |)
+       |SELECT doc_id, CAST(MIN(p) AS BIGINT) AS start,
+       |  CAST(MAX(p) - MIN(p) + $minLen AS BIGINT) AS span_tokens
+       |FROM isl GROUP BY doc_id, g""".stripMargin
+
+  /** q382: eval decontamination trim — every eval token position covered
+    * by a train-shared window removed, text rebuilt in order, every eval
+    * doc reported.
+    */
+  def trimCrossDupSpans(minLen: Int): String =
+    s"""WITH ${crossSubstrCtes(minLen)}, cov AS (
+       |  SELECT DISTINCT doc_id, p FROM (
+       |    SELECT doc_id, unnest(generate_series(p, p + ${minLen - 1})) AS p
+       |    FROM pos)
+       |), toks AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS p, ws[CAST(p AS INTEGER)] AS token
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p
+       |        FROM evd WHERE len(ws) > 0)
+       |), kept AS (
+       |  SELECT t.doc_id, t.p, t.token FROM toks t
+       |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+       |  WHERE c.doc_id IS NULL
+       |), rebuilt AS (
+       |  SELECT doc_id, string_agg(token, ' ' ORDER BY p) AS clean_text,
+       |    CAST(COUNT(*) AS BIGINT) AS n_kept
+       |  FROM kept GROUP BY 1
+       |)
+       |SELECT e.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+       |  COALESCE(r.n_kept, 0) AS n_kept
+       |FROM evd e LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
 
   /** q377: dictionary phrase scan — the naive positional-slice
     * formulation (every doc × every phrase × every start position),

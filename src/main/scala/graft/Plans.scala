@@ -1633,6 +1633,29 @@ object Plans {
         |dequantize, IDCT, fixed-point color convert — payloads never
         |leave the task; output is 10 scalars/row. The position-weighted
         |sum pins raster order in the exact-hash oracle.""".stripMargin,
+    "q383_jpeg_quality" ->
+      """Quality estimation: one narrow mapPartitions — payload synth,
+        |marker walk to the DQTs, zigzag undo, argmin-L1 over 100
+        |candidate scalings (pure in-task integer work) — no pixel
+        |decode, no exchange; 7 scalars/row.""".stripMargin,
+    "q384_cluster_agreement" ->
+      """Clustering agreement: both cluster relations (each its own
+        |oracle-green pipeline) equi-joined on id, pinned once, then
+        |three map-combined contingency aggregates and a broadcast cross
+        |of four 1-row frames. The C(n,2) sums mean the quadratic pair
+        |set never exists anywhere.""".stripMargin,
+    "q381_cross_dup_spans" ->
+      """Cross-corpus spans: one tagged fixed-depth class relation over
+        |train∪eval (direct depth-4 gram seed + one doubling round for
+        |minLen=8), a class-keyed tag min/max aggregate, a semi join, and
+        |a per-doc island window. Everything past the seed is
+        |constant-width class ids.""".stripMargin,
+    "q382_cross_trim" ->
+      """Decontamination trim: q381's position stream exploded ×minLen
+        |(dup-start-sized, not corpus-sized), distinct, anti-joined
+        |against the eval token stream, per-doc ordered rebuild via
+        |collect_list + array_sort — the q369 rebuild with the cross
+        |predicate.""".stripMargin,
     "q380_jpeg420_pixels" ->
       """4:2:0 JPEG decode: the q375 shape (one narrow mapPartitions,
         |payloads in-task, 10 scalars/row) over interleaved 6-block MCUs

@@ -3879,7 +3879,42 @@ object SparkEntry {
     "q380_jpeg420_pixels" -> { (s, d) =>
       implicit val sp: SparkSession = s
       graft.ext.Jpeg.jpeg420PixelStats(Tables.documents(s, d))
-    }
+    },
+
+    // span-level eval decontamination (the q376 readout at span grain):
+    // maximal eval-doc runs whose 8-token windows also occur in train —
+    // tagged fixed-depth classes, cross-tag aggregate, per-doc islands
+    "q381_cross_dup_spans" -> ((s, d) =>
+      graft.ext.SuffixDedup.crossDupSpans(
+        Tables.documents(s, d).filter(col("doc_id") % 20 =!= 0),
+        Tables.documents(s, d).filter(col("doc_id") % 20 === 0))),
+
+    // eval decontamination TRIM: train-shared window positions removed
+    // from eval docs, text rebuilt in order, every eval doc reported
+    "q382_cross_trim" -> ((s, d) =>
+      graft.ext.SuffixDedup.trimCrossDupSpans(
+        Tables.documents(s, d).filter(col("doc_id") % 20 =!= 0),
+        Tables.documents(s, d).filter(col("doc_id") % 20 === 0))),
+
+    // corpus-profiling JPEG quality estimation: DQT parsed (marker walk +
+    // zigzag undo, no pixel decode), IJG argmin-L1 inversion against the
+    // Annex-K bases; 8- AND 16-bit DQT precisions exercised (id % 5)
+    "q383_jpeg_quality" -> { (s, d) =>
+      implicit val sp: SparkSession = s
+      graft.ext.Jpeg.jpegQualityStats(Tables.documents(s, d))
+    },
+
+    // dual-detector dedup audit: Rand pair-counting agreement between
+    // MinHash-LSH clusters (q22) and SimHash buckets (q49) — three
+    // contingency aggregates, never the quadratic pair set
+    "q384_cluster_agreement" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ext.Dedup.clusteringAgreement(
+        graft.ext.Dedup.minHashClusters(
+          graft.ext.Dedup.minHashSignatures(docs, k = 16),
+          k = 16, rowsPerBand = 4),
+        graft.ext.Dedup.simHashClusters(docs, bits = 64, maxHamming = 3))
+    })
   )
 
   /** The paired ranking relation shared by q346: each panel query's exact
@@ -4377,6 +4412,10 @@ object SparkEntry {
     "q377_phrase_scan" -> Oracles.phraseScan,
     "q378_bpe_fertility" -> Oracles.bpeFertility(6),
     "q379_rendezvous_shards" -> Oracles.rendezvousShards(16),
-    "q380_jpeg420_pixels" -> Oracles.jpeg420PixelStats
+    "q380_jpeg420_pixels" -> Oracles.jpeg420PixelStats,
+    "q381_cross_dup_spans" -> Oracles.crossDupSpans(8),
+    "q382_cross_trim" -> Oracles.trimCrossDupSpans(8),
+    "q383_jpeg_quality" -> Oracles.jpegQualityStats,
+    "q384_cluster_agreement" -> Oracles.clusteringAgreement(16, 4, 64, 3)
   )
 }

@@ -631,6 +631,54 @@ object Dedup {
 
   // ---------------------------------------------------------- n-gram Jaccard
 
+  /** Pair-level agreement between two clusterings of the same corpus —
+    * the Rand-index decomposition a dedup pipeline publishes when it runs
+    * two near-dup detectors (MinHash-LSH vs SimHash buckets) side by
+    * side: over all C(n,2) doc pairs of the JOINED id set, how many are
+    * co-clustered by both, by exactly one, by neither, and the Rand
+    * index in ppm. Everything derives from three contingency aggregates
+    * (Σ C(n_ij,2), Σ C(n_i·,2), Σ C(n_·j,2)) — never the quadratic pair
+    * set itself (Rand 1971; the pair-counting identity is public
+    * statistics). 1-row output: (n_docs, pairs_total, same_both,
+    * same_a_only, same_b_only, same_neither, rand_ppm).
+    *
+    * Scale shape: one id equi-join, three map-combined aggregates over
+    * cluster-keyspace relations, a broadcast cross of four 1-row frames.
+    * Counts are BIGINT: exact to n_docs ≈ 4·10⁹ and pair counts to
+    * C(n,2) < 2⁶³ (n ≲ 4.3·10⁹) — beyond that, move the three sums to
+    * DECIMAL(38,0); the aggregates themselves never widen.
+    */
+  def clusteringAgreement(a: DataFrame, b: DataFrame,
+                          idCol: String = "doc_id",
+                          clusterCol: String = "cluster_rep"): DataFrame = {
+    val j = a.select(col(idCol).as("__id"), col(clusterCol).as("__ca"))
+      .join(b.select(col(idCol).as("__id"), col(clusterCol).as("__cb")),
+        Seq("__id"))
+      .localCheckpoint(true) // one-shot: four independent aggregates read it
+    def pairSum(groups: Seq[String], out: String) =
+      j.groupBy(groups.map(col): _*).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as(out))
+    val both = pairSum(Seq("__ca", "__cb"), "same_both")
+    val pa = pairSum(Seq("__ca"), "__pa")
+    val pb = pairSum(Seq("__cb"), "__pb")
+    val nn = j.agg(count(lit(1)).as("n_docs"))
+    nn.crossJoin(broadcast(both)).crossJoin(broadcast(pa))
+      .crossJoin(broadcast(pb))
+      .select(col("n_docs"),
+        expr("n_docs * (n_docs - 1) div 2").as("pairs_total"),
+        col("same_both"),
+        (col("__pa") - col("same_both")).as("same_a_only"),
+        (col("__pb") - col("same_both")).as("same_b_only"),
+        expr("n_docs * (n_docs - 1) div 2 - __pa - __pb + same_both")
+          .as("same_neither"),
+        // DECIMAL(38,0) for the ×10⁶ (it would wrap BIGINT past ~9·10¹²
+        // agreeing pairs, i.e. n ≈ 4·10⁶ docs); Spark `div` lands back
+        // on BIGINT, so the output column stays harness-safe
+        expr("CAST((same_both + n_docs * (n_docs - 1) div 2 - __pa - __pb" +
+          " + same_both) AS DECIMAL(38,0)) * 1000000" +
+          " div greatest(n_docs * (n_docs - 1) div 2, 1)").as("rand_ppm"))
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs within `docs` (apply to a
     * pre-filtered candidate set or sampled subset — this is the quadratic
     * verifier that LSH banding feeds at scale, not a whole-corpus op).

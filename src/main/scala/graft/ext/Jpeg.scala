@@ -777,6 +777,212 @@ object Jpeg {
     }.toDF()
   }
 
+  // ------------------------------------------------- quality estimation
+
+  /** T.81 Annex K.1 example luminance/chrominance quantization tables
+    * (natural raster order) — the base every IJG-lineage encoder scales
+    * by its quality knob, making them the reference for estimating what
+    * quality a foreign JPEG was written at.
+    */
+  private[ext] val AnnexKLum: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+  private[ext] val AnnexKChr: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** The IJG quality→table scaling (jcparam.c, public source): integer
+    * scale = 5000/q below 50 else 200−2q; entry = (K·scale + 50)/100
+    * clamped to [1, 255]. Integer division throughout — the oracle
+    * mirrors it with `//` on non-negative operands.
+    */
+  private[ext] def scaledTable(base: Array[Int], quality: Int): Array[Int] = {
+    val q = math.max(1, math.min(100, quality))
+    val scale = if (q < 50) 5000 / q else 200 - 2 * q
+    base.map(k => math.max(1, math.min(255, (k * scale + 50) / 100)))
+  }
+
+  /** Lightweight marker walk extracting the quantization tables (slot →
+    * 64 NATURAL-order entries) without decoding any scan — the profiling
+    * path for quality estimation over corpora too large to pixel-decode.
+    * Same bounds discipline as [[decodeImpl]]; None on malformed input.
+    */
+  private[ext] def quantTables(b: Array[Byte]): Option[Array[Array[Int]]] =
+    try {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      val qt = new Array[Array[Int]](4)
+      var any = false
+      var p = 2
+      while (p + 4 <= b.length) {
+        if ((b(p) & 0xff) != 0xff) return None
+        val m = b(p + 1) & 0xff
+        if (m == 0xff) { p += 1 }
+        else if (m == 0xd9 || m == 0xda) { // EOI or SOS: tables are final
+          return if (any) Some(qt) else None
+        } else {
+          val len = be16(b, p + 2)
+          if (len < 2 || p + 2 + len > b.length) return None
+          if (m == 0xdb) {
+            var o = p + 4
+            while (o < p + 2 + len) {
+              val pq = (b(o) & 0xff) >> 4
+              val tq = b(o) & 0x0f
+              if (tq > 3 || pq > 1) return None
+              val n = if (pq == 0) 64 else 128
+              if (o + 1 + n > p + 2 + len) return None
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                t(Zigzag(k)) =
+                  if (pq == 0) b(o + 1 + k) & 0xff else be16(b, o + 1 + 2 * k)
+                k += 1
+              }
+              qt(tq) = t; any = true
+              o += 1 + n
+            }
+          }
+          p += 2 + len
+        }
+      }
+      None
+    } catch {
+      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException =>
+        None
+    }
+
+  /** Estimated IJG quality for an observed table against a scaled Annex-K
+    * base: argmin over q ∈ [1, 100] of the L1 distance to
+    * [[scaledTable]](base, q), ties to the LOWEST q (a deterministic
+    * total rule both engines replay). Exact-match inputs recover their
+    * quality; foreign tables get the nearest IJG rung.
+    */
+  private[ext] def estimateQuality(obs: Array[Int], base: Array[Int]): Int = {
+    var bestQ = 1; var bestD = Long.MaxValue
+    var q = 1
+    while (q <= 100) {
+      val t = scaledTable(base, q)
+      var d = 0L; var i = 0
+      while (i < 64) { d += math.abs(t(i) - obs(i)); i += 1 }
+      if (d < bestD) { bestD = d; bestQ = q }
+      q += 1
+    }
+    bestQ
+  }
+
+  /** A real JFIF whose DQTs are Annex-K tables scaled to quality
+    * q(id) = 5 + (id·7 mod 94) — 16-bit (Pq=1) entries when id % 5 == 0
+    * to exercise both DQT precisions. The scan is a genuine DC-only
+    * huffman stream in the QUANTIZED domain (values arbitrary — q383
+    * audits table parsing, not pixels).
+    */
+  private[ext] def synthJpegQualityPayload(id: Long): Array[Byte] = {
+    val q = (5 + ((id % 94) + 94) % 94 * 7 % 94).toInt
+    val lum = scaledTable(AnnexKLum, q)
+    val chr = scaledTable(AnnexKChr, q)
+    val wide = id % 5 == 0
+    val out = new java.io.ByteArrayOutputStream()
+    def w(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    w(0xff, 0xd8)
+    w(0xff, 0xe0); w16(16)
+    w('J', 'F', 'I', 'F', 0, 1, 1, 0); w16(1); w16(1); w(0, 0)
+    // DQT in zigzag order (the wire format [[quantTables]] must undo)
+    val esz = if (wide) 2 else 1
+    w(0xff, 0xdb); w16(2 + 2 * (1 + 64 * esz))
+    for ((t, slot) <- Seq(lum -> 0, chr -> 1)) {
+      w(((if (wide) 1 else 0) << 4) | slot)
+      (0 until 64).foreach { k =>
+        if (wide) w16(t(Zigzag(k))) else out.write(t(Zigzag(k)))
+      }
+    }
+    w(0xff, 0xc0); w16(8 + 9)
+    w(8); w16(16); w16(16); w(3)
+    w(1, 0x11, 0); w(2, 0x11, 1); w(3, 0x11, 1)
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      w(0xff, 0xc4); w16(2 + 17 + vals.length)
+      w((tc << 4) | th)
+      (1 to 16).foreach(l => out.write(bits(l)))
+      vals.foreach(v => out.write(v & 0xff))
+    }
+    dht(0, 0, DcLumBits, DcLumVals); dht(1, 0, AcEobBits, AcEobVals)
+    dht(0, 1, DcChrBits, DcChrVals); dht(1, 1, AcEobBits, AcEobVals)
+    w(0xff, 0xda); w16(12)
+    w(3); w(1, 0x00); w(2, 0x11); w(3, 0x11); w(0, 63, 0)
+    val dcLum = encTable(DcLumBits, DcLumVals)
+    val dcChr = encTable(DcChrBits, DcChrVals)
+    val acEob = encTable(AcEobBits, AcEobVals)
+    val bw = new BitWriter(out)
+    val pred = new Array[Int](3)
+    var bi = 0
+    while (bi < 4) {
+      var c = 0
+      while (c < 3) {
+        val dcq = ((id * 13 + c * 5 + bi * 3) % 21).toInt - 10
+        val diff = dcq - pred(c)
+        pred(c) = dcq
+        val cat = category(diff)
+        val (hc, hl) = if (c == 0) dcLum(cat) else dcChr(cat)
+        bw.put(hc, hl)
+        if (cat > 0) {
+          val bitsV = if (diff < 0) diff - 1 else diff
+          bw.put(bitsV & ((1 << cat) - 1), cat)
+        }
+        val (ec, el) = acEob(0)
+        bw.put(ec, el)
+        c += 1
+      }
+      bi += 1
+    }
+    bw.flushOnes()
+    w(0xff, 0xd9)
+    out.toByteArray
+  }
+
+  final case class JpegQualityStats(media_id: Long, q_lum: Int, q_chr: Int,
+                                    lum_sum: Long, lum_wsum: Long,
+                                    chr_sum: Long, chr_wsum: Long)
+
+  /** q383: corpus-profiling quality estimation — each doc's quality-
+    * scaled JFIF is PARSED (marker walk + zigzag undo, no pixel decode)
+    * and its luma/chroma qualities recovered by the deterministic
+    * argmin-L1 rule; position-weighted table sums pin the de-zigzag in
+    * the exact-hash oracle. Narrow mapPartitions; payloads in-task.
+    */
+  def jpegQualityStats(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        quantTables(synthJpegQualityPayload(id)) match {
+          case Some(qt) if qt(0) != null && qt(1) != null =>
+            val lum = qt(0); val chr = qt(1)
+            var ls = 0L; var lw = 0L; var cs = 0L; var cw = 0L
+            var i = 0
+            while (i < 64) {
+              ls += lum(i); lw += i.toLong * lum(i)
+              cs += chr(i); cw += i.toLong * chr(i)
+              i += 1
+            }
+            JpegQualityStats(id, estimateQuality(lum, AnnexKLum),
+              estimateQuality(chr, AnnexKChr), ls, lw, cs, cw)
+          case _ => JpegQualityStats(id, 0, 0, 0L, 0L, 0L, 0L)
+        }
+      }
+    }.toDF()
+  }
+
   /** q380: [[jpegPixelStats]] over the 4:2:0 corpus — every doc gets a
     * real subsampled stream ([[synthJpeg420Payload]]) and rides the FULL
     * interleaved-MCU decode: 6 blocks per MCU, per-component DPCM chains,

@@ -60,30 +60,38 @@ import graft.ext.Pin.PinOps
   */
 object SuffixDedup {
 
-  /** Direct depth-`depth` class assignment straight from the token
-    * stream: every position whose `depth`-token window fits its document,
-    * keyed by the EXACT window text (space-joined — tokens are
-    * whitespace-split, so the join is injective; no fingerprints, the
-    * module's no-hashing contract holds) with the minimal (d, p) as
-    * representative. One map-side-combined aggregate + one join-back —
-    * the same relational step as the depth-1 assignment, landing
-    * ⌈log₂ depth⌉ doubling rounds deep in ONE exchange. The payoff is at
-    * the climb's WIDEST point: rounds 1-2 run on the full position set
-    * (class splitting hasn't thinned anything yet), so replacing them
-    * with a direct depth-4 partition removes the two most expensive
-    * pinned rounds of every suffix-family query at once. Beyond depth 4
-    * the gram keys grow linearly while pair-refinement stays
-    * constant-width — doubling wins again, so the seam stays at 4.
-    *
-    * `toks` is (d, __ws); output (d, p, rd, rp), positions 1-based.
+  /** (d, p, __g): every position whose `depth`-token window fits its
+    * document, carrying the window TEXT — an exact class key with no
+    * representative assignment, no aggregate, no pin. One narrow explode
+    * off the token arrays; the relational steps that consume it key on
+    * `__g` directly.
     */
-  private def gramSeed(toks: DataFrame, depth: Int): DataFrame = {
-    val grams = toks.filter(size(col("__ws")) >= depth)
+  private def rawGrams(toks: DataFrame, depth: Int): DataFrame =
+    toks.filter(size(col("__ws")) >= depth)
       .select(col("d"), posexplode(
         expr(s"transform(sequence(1, size(__ws) - ${depth - 1}), " +
           s"i -> array_join(slice(__ws, i, $depth), ' '))"))
         .as(Seq("__p0", "__g")))
       .select(col("d"), (col("__p0") + 1).cast("long").as("p"), col("__g"))
+
+  /** Direct depth-`depth` class assignment straight from the token
+    * stream: [[rawGrams]] keyed by the EXACT window text (space-joined —
+    * tokens are whitespace-split, so the join is injective; no
+    * fingerprints, the module's no-hashing contract holds) with the
+    * minimal (d, p) as representative. One map-side-combined aggregate +
+    * one join-back — the same relational step as the depth-1 assignment,
+    * landing ⌈log₂ depth⌉ doubling rounds deep in ONE exchange. The
+    * payoff is at the climb's WIDEST point: rounds 1-2 run on the full
+    * position set (class splitting hasn't thinned anything yet), so
+    * replacing them with a direct depth-4 partition removes the two most
+    * expensive pinned rounds of every suffix-family query at once.
+    * Beyond depth 4 the gram keys grow linearly while pair-refinement
+    * stays constant-width — doubling wins again, so the seam stays at 4.
+    *
+    * `toks` is (d, __ws); output (d, p, rd, rp), positions 1-based.
+    */
+  private def gramSeed(toks: DataFrame, depth: Int): DataFrame = {
+    val grams = rawGrams(toks, depth)
     grams.join(grams.groupBy("__g")
         .agg(min(struct(col("d"), col("p"))).as("__rep")), Seq("__g"))
       .select(col("d"), col("p"),
@@ -142,6 +150,28 @@ object SuffixDedup {
       .pin()
   }
 
+  /** [[combine]] with the right side keyed by raw window TEXT
+    * ([[rawGrams]]) instead of a representative pair — the search
+    * phase's depth-1/2 bits ride this, so those levels NEVER materialize
+    * (no aggregate, no join-back, no pin; the old climb built them as a
+    * side effect, and building them on demand just to serve as combine
+    * inputs would hand back the rounds the depth-4 entry saved). Text
+    * equality is the same exact equality — just a wider grouping column
+    * for one aggregate.
+    */
+  private def combineRaw(a: DataFrame, rawRight: DataFrame,
+                         shift: Int): DataFrame = {
+    val right = rawRight.select(col("d"), (col("p") - shift).as("p"),
+      col("__g"))
+    val paired = a.join(right, Seq("d", "p"))
+    val reps = paired.groupBy("rd", "rp", "__g")
+      .agg(min(struct(col("d"), col("p"))).as("__rep"))
+    paired.join(reps, Seq("rd", "rp", "__g"))
+      .select(col("d"), col("p"),
+        col("__rep.d").as("rd"), col("__rep.p").as("rp"))
+      .pin()
+  }
+
   /** The shared climb-and-binary-search core behind [[longestRepeat]]
     * and [[crossLongestRepeat]]: enter DIRECTLY at depth 4 (one
     * [[gramSeed]] exchange replaces the two widest doubling rounds —
@@ -160,14 +190,14 @@ object SuffixDedup {
     * are one boolean per level/probe. Returns None when `pred` fails
     * already at depth 1, else (λ*, the rank relation at λ*).
     */
-  private def climbSearch(seedLevel: Int => DataFrame,
+  private def climbSearch(toks: DataFrame,
                           pred: DataFrame => Boolean,
                           capLog2: Int): Option[(Int, DataFrame)] = {
     val directLog2 = math.min(2, capLog2) // direct-seed entry level
     // levels(i) holds the depth-2^i relation, built on demand
     val levels = scala.collection.mutable.Map[Int, DataFrame]()
     def level(i: Int): DataFrame = levels.getOrElseUpdate(i,
-      if (i <= directLog2) seedLevel(i)
+      if (i <= directLog2) gramSeed(toks, 1 << i)
       else refine(level(i - 1), 1 << (i - 1)))
     val prefixByDepth = scala.collection.mutable.Map[Int, DataFrame]()
     def rankAt(lambda: Int): DataFrame =
@@ -179,8 +209,12 @@ object SuffixDedup {
         var depth = 1 << bits.head
         bits.tail.foreach { b =>
           val nextDepth = depth + (1 << b)
+          // sub-4 bits combine against the zero-materialization raw-gram
+          // relation unless the slow path already built that level
           cur = prefixByDepth.getOrElseUpdate(nextDepth,
-            combine(cur, level(b), depth))
+            if (b <= 1 && !levels.contains(b))
+              combineRaw(cur, rawGrams(toks, 1 << b), depth)
+            else combine(cur, level(b), depth))
           depth = nextDepth
         }
         cur
@@ -315,6 +349,90 @@ object SuffixDedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Eval-side positions whose `minLen`-token window ALSO occurs in the
+    * training corpus: both corpora enter ONE fixed-depth class relation
+    * with the corpus tag embedded in the position key (id' = 2·id + tag,
+    * the q376 trick), the cross predicate is a min/max-of-tag aggregate
+    * per class, and only tag-1 (eval) members of cross classes survive.
+    * Exact token-sequence equality end to end — no fingerprints.
+    */
+  private def crossDupPositions(train: DataFrame, eval: DataFrame,
+                                minLen: Int, idCol: String,
+                                textCol: String): DataFrame = {
+    val tagged = train
+      .select((col(idCol).cast("long") * 2).as("__td"),
+        col(textCol).as("__tx"))
+      .unionAll(eval.select((col(idCol).cast("long") * 2 + 1).as("__td"),
+        col(textCol).as("__tx")))
+    val r = windowClasses(tagged, minLen, "__td", "__tx")
+    // classes spanning both corpora (pmod: negative ids keep their tag)
+    val crossCls = r.groupBy("rd", "rp")
+      .agg(min(pmod(col("d"), lit(2))).as("t0"),
+        max(pmod(col("d"), lit(2))).as("t1"))
+      .filter(col("t0") === 0 && col("t1") === 1)
+      .select("rd", "rp")
+    r.join(crossCls, Seq("rd", "rp"))
+      .filter(pmod(col("d"), lit(2)) === 1)
+      .select(shiftright(col("d"), 1).as("d"), col("p"))
+  }
+
+  /** Span-level decontamination signal (the readout [[crossLongestRepeat]]
+    * gives only the MAXIMUM of): every maximal run of eval-document
+    * positions whose `minLen`-token window also occurs ANYWHERE in the
+    * training corpus — (idCol, start, span_tokens) rows per eval doc,
+    * the Lee et al. 2022 eval-decontamination unit. Gaps-and-islands per
+    * eval document (window partitioned BY DOCUMENT — never global).
+    *
+    * Scale shape: [[windowClasses]]' fixed-depth cost over the UNION
+    * (direct depth-4 seed + ⌈log₂ minLen⌉−2 doubling rounds), one
+    * class-keyed tag aggregate, one semi join, one doc-keyed window —
+    * nothing quadratic, nothing text-keyed past the seed.
+    */
+  def crossDupSpans(train: DataFrame, eval: DataFrame, minLen: Int = 8,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val pos = crossDupPositions(train, eval, minLen, idCol, textCol)
+    val w = Window.partitionBy("d").orderBy("p")
+    pos.withColumn("__g", col("p") - row_number().over(w))
+      .groupBy("d", "__g")
+      .agg(min("p").as("start"),
+        (max("p") - min("p") + minLen).as("span_tokens"))
+      .select(col("d").as(idCol), col("start"), col("span_tokens"))
+  }
+
+  /** Eval-corpus decontamination TRIM at suffix precision — the editing
+    * half of [[crossDupSpans]]: every eval token position covered by ANY
+    * train-shared `minLen`-window is removed and each eval doc's text is
+    * rebuilt from the surviving tokens in order ([[trimDupSpans]]' rule
+    * with the cross-corpus predicate). The training corpus is never
+    * edited — it defines the contamination set. Output: (idCol,
+    * clean_text, n_kept) for EVERY eval doc.
+    */
+  def trimCrossDupSpans(train: DataFrame, eval: DataFrame, minLen: Int = 8,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val covered = crossDupPositions(train, eval, minLen, idCol, textCol)
+      .select(col("d"), explode(sequence(col("p"),
+        col("p") + (minLen - 1))).as("p"))
+      .distinct()
+    val toksPos = eval
+      .select(col(idCol).cast("long").as("d"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__p0", "token")))
+      .select(col("d"), (col("__p0") + 1).cast("long").as("p"), col("token"))
+    val kept = toksPos.join(covered, Seq("d", "p"), "left_anti")
+    val rebuilt = kept.groupBy("d")
+      .agg(collect_list(struct(col("p"), col("token"))).as("__kt"))
+      .select(col("d"),
+        concat_ws(" ", transform(array_sort(col("__kt")), s => s("token")))
+          .as("clean_text"),
+        size(col("__kt")).cast("long").as("n_kept"))
+    eval.select(col(idCol).cast("long").as("d"))
+      .join(rebuilt, Seq("d"), "left")
+      .select(col("d").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** The LONGEST exactly-duplicated token span in the corpus — the
     * suffix-array "longest repeated substring" readout, at token
     * granularity and corpus scale: λ* = max λ such that some λ-token
@@ -359,7 +477,7 @@ object SuffixDedup {
       !r.groupBy("rd", "rp").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).isEmpty
 
-    climbSearch(i => gramSeed(toks, 1 << i), hasDup, capLog2) match {
+    climbSearch(toks, hasDup, capLog2) match {
       case None => emptyRow
       case Some((lo, rStar)) =>
       val classes = rStar.groupBy("rd", "rp")
@@ -422,7 +540,7 @@ object SuffixDedup {
           max(pmod(col("d"), lit(2))).as("t1"))
         .filter(col("t0") === 0 && col("t1") === 1).isEmpty
 
-    climbSearch(i => gramSeed(toks, 1 << i), hasCross, capLog2) match {
+    climbSearch(toks, hasCross, capLog2) match {
       case None => emptyRow
       case Some((lo, rStar)) =>
         val classes = rStar.groupBy("rd", "rp")

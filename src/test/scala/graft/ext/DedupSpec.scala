@@ -466,4 +466,30 @@ class DedupSpec extends SparkSpec {
       assert(ten.nonEmpty && ten.head.getAs[Long]("n_pairs") >= 1L, s"config $r")
     }
   }
+
+  test("clusteringAgreement: hand-computed Rand decomposition on the joined id set") {
+    // A: {1,2,3} {4} {5} ; B: {1,2} {3,4} {5} ; id 6 only in A -> dropped
+    val a = df("doc_id BIGINT, cluster_rep BIGINT", Seq(
+      Row(1L, 1L), Row(2L, 1L), Row(3L, 1L), Row(4L, 4L), Row(5L, 5L),
+      Row(6L, 6L)))
+    val b = df("doc_id BIGINT, cluster_rep BIGINT", Seq(
+      Row(1L, 1L), Row(2L, 1L), Row(3L, 3L), Row(4L, 3L), Row(5L, 5L)))
+    val r = Dedup.clusteringAgreement(a, b).collect()(0)
+    // n=5, pairs=10; both: {1,2}=1; A-only: {1,3},{2,3}=2; B-only: {3,4}=1
+    assert(r.getLong(0) == 5L && r.getLong(1) == 10L)
+    assert(r.getLong(2) == 1L) // same_both
+    assert(r.getLong(3) == 2L) // same_a_only
+    assert(r.getLong(4) == 1L) // same_b_only
+    assert(r.getLong(5) == 6L) // same_neither
+    assert(r.getLong(6) == 700000L) // (1 + 6) / 10 in ppm
+  }
+
+  test("clusteringAgreement: identical clusterings read rand = 1; singleton docs safe") {
+    val a = df("doc_id BIGINT, cluster_rep BIGINT", Seq(Row(1L, 1L), Row(2L, 1L)))
+    val r = Dedup.clusteringAgreement(a, a).collect()(0)
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L && r.getLong(6) == 1000000L)
+    val one = df("doc_id BIGINT, cluster_rep BIGINT", Seq(Row(9L, 9L)))
+    val r1 = Dedup.clusteringAgreement(one, one).collect()(0)
+    assert(r1.getLong(0) == 1L && r1.getLong(1) == 0L && r1.getLong(6) == 0L)
+  }
 }

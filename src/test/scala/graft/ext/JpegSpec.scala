@@ -280,6 +280,40 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decode(huge).isEmpty)
   }
 
+  test("quality estimation: scaled Annex-K DQTs round-trip through the byte stream (8- and 16-bit)") {
+    for (id <- 0L to 30L) {
+      val q = (5 + (id % 94) * 7 % 94).toInt
+      val qt = Jpeg.quantTables(Jpeg.synthJpegQualityPayload(id))
+        .getOrElse(fail(s"DQT parse failed for id=$id"))
+      assert(qt(0).toSeq == Jpeg.scaledTable(Jpeg.AnnexKLum, q).toSeq, s"id=$id lum")
+      assert(qt(1).toSeq == Jpeg.scaledTable(Jpeg.AnnexKChr, q).toSeq, s"id=$id chr")
+      assert(Jpeg.estimateQuality(qt(0), Jpeg.AnnexKLum) ==
+        Jpeg.estimateQuality(Jpeg.scaledTable(Jpeg.AnnexKLum, q), Jpeg.AnnexKLum))
+    }
+    // exact-match inputs recover their quality across the whole knob
+    for (q <- Seq(1, 10, 49, 50, 51, 75, 90, 99, 100)) {
+      val got = Jpeg.estimateQuality(Jpeg.scaledTable(Jpeg.AnnexKLum, q), Jpeg.AnnexKLum)
+      // distinct qualities can share a table at the clamped extremes; the
+      // estimate must reproduce the observed table exactly either way
+      assert(Jpeg.scaledTable(Jpeg.AnnexKLum, got).toSeq ==
+        Jpeg.scaledTable(Jpeg.AnnexKLum, q).toSeq, s"q=$q got=$got")
+    }
+  }
+
+  test("quality estimation: ImageIO-written files rank by their requested quality") {
+    val src = new BufferedImage(32, 32, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 32; x <- 0 until 32)
+      src.setRGB(x, y, ((x * 8) << 16) | ((y * 8) << 8) | ((x + y) * 4))
+    val est = Seq(0.2f, 0.5f, 0.9f).map { qf =>
+      val qt = Jpeg.quantTables(writeJpeg(src, qf))
+        .getOrElse(fail(s"DQT parse failed for foreign quality $qf"))
+      Jpeg.estimateQuality(qt(0), Jpeg.AnnexKLum)
+    }
+    // a foreign encoder need not sit exactly on the IJG rungs, but the
+    // recovered qualities must order with the requested knob
+    assert(est(0) < est(1) && est(1) < est(2), s"est=$est")
+  }
+
   test("jpegPixelStats: engine stats equal closed-form recomputation") {
     val spark = graft.SparkTestSession.spark
     implicit val sp: org.apache.spark.sql.SparkSession = spark

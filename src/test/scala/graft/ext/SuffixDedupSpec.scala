@@ -273,6 +273,33 @@ class SuffixDedupSpec extends SparkSpec {
     assert(got == expected.toLong && expected >= 1)
   }
 
+  test("crossDupSpans: maximal eval spans sharing an 8-window with train; train repeats alone don't count") {
+    val planted = (1 to 10).map(i => s"P$i").mkString(" ") // 10 tokens
+    val trainOnly = (1 to 12).map(i => s"T$i").mkString(" ")
+    val train = docs(
+      1L -> s"lead $planted tail1 tail2",
+      3L -> s"$trainOnly again $trainOnly") // internal train dup: irrelevant
+    val eval = docs(
+      2L -> s"e1 e2 $planted e3",
+      4L -> s"$trainOnly x y z") // shares the 12-token train-only block
+    val r = SuffixDedup.crossDupSpans(train, eval, minLen = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    // doc 2: planted at positions 3..12 → starts 3..5, span = 5-3+8 = 10
+    // doc 4: trainOnly at 1..12 → starts 1..5, span = 5-1+8 = 12
+    assert(r == Set((2L, 3L, 10L), (4L, 1L, 12L)))
+  }
+
+  test("trimCrossDupSpans: shared windows removed from eval only, order kept, all eval docs out") {
+    val planted = (1 to 8).map(i => s"Q$i").mkString(" ") // exactly one 8-window
+    val train = docs(1L -> s"pre $planted post")
+    val eval = docs(
+      2L -> s"a $planted b",
+      6L -> "untouched words here")
+    val r = SuffixDedup.trimCrossDupSpans(train, eval, minLen = 8)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSet
+    assert(r == Set((2L, "a b", 2L), (6L, "untouched words here", 3L)))
+  }
+
   test("longestRepeat: cap saturation reports 2^capLog2 (documented behavior)") {
     val six = (1 to 6).map(i => s"c$i").mkString(" ")
     val r = SuffixDedup.longestRepeat(docs(1L -> six, 2L -> six), capLog2 = 2)
