@@ -6205,27 +6205,36 @@ object Oracles {
          |    list_transform(range(1, 65),
          |      i -> abs(${scaled(base, "c")}[CAST(i AS INTEGER)]
          |             - $obs[CAST(i AS INTEGER)]))))""".stripMargin
+    // everything downstream of doc_id depends ONLY on q = q_true (≤ 94
+    // distinct values), so the argmin/sums run per distinct q and join
+    // back — 94×100×64 lambda evals total instead of 51k×100×64 at sf1
+    // (the per-doc spelling ground DuckDB for half an hour there)
     s"""WITH d AS (
        |  SELECT doc_id, 5 + ((doc_id % 94) * 7) % 94 AS q FROM documents
+       |), qv AS MATERIALIZED (
+       |  SELECT DISTINCT q FROM d
        |), obs AS MATERIALIZED (
-       |  SELECT doc_id, ${scaled(kl, "q")} AS lt, ${scaled(kc, "q")} AS ct
-       |  FROM d
+       |  SELECT q, ${scaled(kl, "q")} AS lt, ${scaled(kc, "q")} AS ct
+       |  FROM qv
        |), dl AS MATERIALIZED (
-       |  SELECT doc_id, lt, ct,
-       |    ${dists("lt", kl)} AS ld,
-       |    ${dists("ct", kc)} AS cd
-       |  FROM obs
+       |  SELECT q,
+       |    CAST(list_position(ld, list_min(ld)) AS INTEGER) AS q_lum,
+       |    CAST(list_position(cd, list_min(cd)) AS INTEGER) AS q_chr,
+       |    CAST(list_sum(lt) AS BIGINT) AS lum_sum,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> (i - 1) * lt[CAST(i AS INTEGER)])) AS BIGINT) AS lum_wsum,
+       |    CAST(list_sum(ct) AS BIGINT) AS chr_sum,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> (i - 1) * ct[CAST(i AS INTEGER)])) AS BIGINT) AS chr_wsum
+       |  FROM (
+       |    SELECT q, lt, ct,
+       |      ${dists("lt", kl)} AS ld,
+       |      ${dists("ct", kc)} AS cd
+       |    FROM obs)
        |)
-       |SELECT doc_id AS media_id,
-       |  CAST(list_position(ld, list_min(ld)) AS INTEGER) AS q_lum,
-       |  CAST(list_position(cd, list_min(cd)) AS INTEGER) AS q_chr,
-       |  CAST(list_sum(lt) AS BIGINT) AS lum_sum,
-       |  CAST(list_sum(list_transform(range(1, 65),
-       |    i -> (i - 1) * lt[CAST(i AS INTEGER)])) AS BIGINT) AS lum_wsum,
-       |  CAST(list_sum(ct) AS BIGINT) AS chr_sum,
-       |  CAST(list_sum(list_transform(range(1, 65),
-       |    i -> (i - 1) * ct[CAST(i AS INTEGER)])) AS BIGINT) AS chr_wsum
-       |FROM dl""".stripMargin
+       |SELECT d.doc_id AS media_id, dl.q_lum, dl.q_chr,
+       |  dl.lum_sum, dl.lum_wsum, dl.chr_sum, dl.chr_wsum
+       |FROM d JOIN dl USING (q)""".stripMargin
   }
 
   /** q245: per-eval-doc n-gram containment (q54's dual). Same gram

@@ -644,9 +644,12 @@ object Dedup {
     *
     * Scale shape: one id equi-join, three map-combined aggregates over
     * cluster-keyspace relations, a broadcast cross of four 1-row frames.
-    * Counts are BIGINT: exact to n_docs ≈ 4·10⁹ and pair counts to
-    * C(n,2) < 2⁶³ (n ≲ 4.3·10⁹) — beyond that, move the three sums to
-    * DECIMAL(38,0); the aggregates themselves never widen.
+    * Counts are BIGINT: the binding bound is the INTERMEDIATE product
+    * n·(n−1) before the `div 2`, which wraps past n ≈ 3.0·10⁹ members in
+    * one cluster (or joined docs total) — Spark wraps silently under
+    * non-ANSI eval. Past that, move the pair arithmetic to
+    * DECIMAL(38,0) (`CAST(n AS DECIMAL(38,0)) * (n - 1) div 2`); the
+    * aggregates themselves never widen.
     */
   def clusteringAgreement(a: DataFrame, b: DataFrame,
                           idCol: String = "doc_id",

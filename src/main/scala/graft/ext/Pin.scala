@@ -67,8 +67,14 @@ object Pin {
       case Some(dir) =>
         val sc = spark.sparkContext
         val cached = lastSet
+        // re-point when the configured root changed (exact field compare —
+        // a substring test false-positives on prefix roots) OR when the
+        // context's dir no longer sits under the root (someone ELSE called
+        // setCheckpointDir on the shared context; containment is the only
+        // visibility we have into that, since the stored value is a
+        // scheme-qualified UUID child)
         if (cached == null || (cached._1 ne sc) || cached._2 != dir ||
-            sc.getCheckpointDir.isEmpty) {
+            !sc.getCheckpointDir.exists(_.contains(dir))) {
           sc.setCheckpointDir(dir)
           lastSet = (sc, dir)
         }

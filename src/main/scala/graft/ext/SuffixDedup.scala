@@ -16,8 +16,10 @@ import graft.ext.Pin.PinOps
   * adjudicate, unlike the MinHash/SimHash/winnowing family
   * ([[Dedup.minHashCandidatePairs]], [[Dedup.winnowFingerprints]]) and
   * unlike the fixed-n inverted-gram pass ([[Dedup.dupNgramCoverage]]) this
-  * complements (that one keys on materialized n-gram STRINGS; this one
-  * never ships a window's text — only constant-width class ids).
+  * complements (that one keys on materialized n-gram strings at ITS fixed
+  * n; here window text rides exactly ONE exchange — the depth-4 seed's
+  * ≤ 4-token keys — and every deeper round ships only constant-width
+  * class ids, so shuffle width is bounded regardless of span length).
   *
   * HOW, Spark-first — doubling over equivalence-class REPRESENTATIVES
   * (the [[Dedup.connectedComponents]] posture: O(log minLen) rounds of
@@ -50,7 +52,10 @@ import graft.ext.Pin.PinOps
   * Scale shape (the reason this survives 100 TB where a monolithic suffix
   * array does not): state is always one row per surviving token position —
   * (doc, pos, repDoc, repPos), four BIGINTs — and every round is two
-  * equi-shuffles + one map-combined aggregate on that relation.
+  * equi-shuffles + one map-combined aggregate on that relation. The ONE
+  * exception is the depth-4 seed exchange, whose keys are materialized
+  * ≤ 4-token window strings (provision it at ~4× the token bytes);
+  * everything after is constant-width.
   * Skew: a frequent token's depth-1 class is huge, but the aggregate that
   * touches it is a map-side-combined min(), and from depth 2 on the class
   * key is the PAIR of representatives, which splits frequent-token classes

@@ -99,19 +99,22 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
-  /** ImageIO-write; force444 rewrites the writer metadata's sampling
-    * factors to 1 (Java's JPEG writer emits 4:2:0 for color at EVERY
-    * quality, measured — the DEFAULT writer output is therefore the
-    * foreign 4:2:0 corpus for the subsampled path's cross-check). */
+  /** ImageIO-write; `lumaSampling` rewrites the writer metadata's
+    * component-0 sampling factors (chroma pinned 1×1): None keeps the
+    * writer default — 4:2:0 for color at EVERY quality, measured, so the
+    * DEFAULT output is the foreign 4:2:0 corpus; Some((1,1)) forces
+    * 4:4:4; Some((2,1))/Some((1,2)) force 4:2:2/4:4:0 — the asymmetric
+    * layouts (hMax ≠ vMax) that pin the generalized plane/upsample
+    * indexing. */
   private def writeJpeg(img: BufferedImage, quality: Float,
-                        force444: Boolean = false): Array[Byte] = {
+                        lumaSampling: Option[(Int, Int)] = None): Array[Byte] = {
     val w = ImageIO.getImageWritersByFormatName("jpeg").next()
     val p = w.getDefaultWriteParam
     p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(quality)
-    val meta =
-      if (!force444) null
-      else {
+    val meta = lumaSampling match {
+      case None => null
+      case Some((lh, lv)) =>
         val m = w.getDefaultImageMetadata(
           new javax.imageio.ImageTypeSpecifier(img), p)
         val fmt = "javax_imageio_jpeg_image_1.0"
@@ -121,11 +124,14 @@ class JpegSpec extends AnyFunSuite {
         while (i < sofs.getLength) {
           val comps = sofs.item(i).getChildNodes
           var j = 0
+          var ci = 0
           while (j < comps.getLength) {
             comps.item(j) match {
               case e: org.w3c.dom.Element if e.getTagName == "componentSpec" =>
-                e.setAttribute("HsamplingFactor", "1")
-                e.setAttribute("VsamplingFactor", "1")
+                val (h, v) = if (ci == 0) (lh, lv) else (1, 1)
+                e.setAttribute("HsamplingFactor", h.toString)
+                e.setAttribute("VsamplingFactor", v.toString)
+                ci += 1
               case _ => ()
             }
             j += 1
@@ -134,7 +140,7 @@ class JpegSpec extends AnyFunSuite {
         }
         m.setFromTree(fmt, tree)
         m
-      }
+    }
     val bos = new java.io.ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(bos)
     w.setOutput(ios)
@@ -148,7 +154,7 @@ class JpegSpec extends AnyFunSuite {
     val src = new BufferedImage(24, 17, BufferedImage.TYPE_3BYTE_BGR)
     for (y <- 0 until 17; x <- 0 until 24)
       src.setRGB(x, y, rnd.nextInt(1 << 24))
-    val bytes = writeJpeg(src, 0.98f, force444 = true)
+    val bytes = writeJpeg(src, 0.98f, lumaSampling = Some((1, 1)))
     val mine = Jpeg.decode(bytes)
       .getOrElse(fail("decoder rejected an ImageIO baseline 4:4:4 file"))
     assert(mine.width == 24 && mine.height == 17 && mine.nComp == 3)
@@ -222,6 +228,36 @@ class JpegSpec extends AnyFunSuite {
       maxDiff = math.max(maxDiff, math.max(dr, math.max(dg, db)))
     }
     assert(maxDiff <= 2, s"max interior per-sample diff $maxDiff")
+  }
+
+  test("foreign encoder: asymmetric 4:2:2 and 4:4:0 layouts (hMax ≠ vMax) decode within slop") {
+    // constant chroma (R=G=B) keeps the upsampler choice irrelevant; what
+    // these layouts uniquely pin is the generalized plane geometry — a
+    // swapped h/v index in planeW or the y-scaling would scramble exactly
+    // one of the two (and never show under 4:4:4 or symmetric 4:2:0).
+    // 40×26: non-multiple of both MCU dims (16×8 and 8×16).
+    for ((lh, lv) <- Seq((2, 1), (1, 2))) {
+      val src = new BufferedImage(40, 26, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 26; x <- 0 until 40) {
+        val v = 30 + x * 3 + y * 2
+        src.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bytes = writeJpeg(src, 0.95f, lumaSampling = Some((lh, lv)))
+      val mine = Jpeg.decode(bytes)
+        .getOrElse(fail(s"decoder rejected an ImageIO ${lh}x$lv file"))
+      assert(mine.width == 40 && mine.height == 26 && mine.nComp == 3)
+      val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var maxDiff = 0
+      for (y <- 0 until 26; x <- 0 until 40) {
+        val rgb = ref.getRGB(x, y)
+        val o = (y * 40 + x) * 3
+        val dr = math.abs(((rgb >> 16) & 0xff) - (mine.pixels(o) & 0xff))
+        val dg = math.abs(((rgb >> 8) & 0xff) - (mine.pixels(o + 1) & 0xff))
+        val db = math.abs((rgb & 0xff) - (mine.pixels(o + 2) & 0xff))
+        maxDiff = math.max(maxDiff, math.max(dr, math.max(dg, db)))
+      }
+      assert(maxDiff <= 2, s"${lh}x$lv max per-sample diff $maxDiff")
+    }
   }
 
   test("foreign encoder: ImageIO-written grayscale JPEG decodes within slop") {

@@ -68,6 +68,21 @@ class PinSpec extends SparkSpec {
     } finally spark.conf.unset(Pin.ConfKey)
   }
 
+  test("pin: an externally re-pointed context checkpoint dir is restored to the root") {
+    val base = df("id BIGINT", (1L to 10L).map(Row(_)))
+    withReliable {
+      Pin.pin(base)
+      val root = spark.conf.get(Pin.ConfKey)
+      assert(spark.sparkContext.getCheckpointDir.exists(_.contains(root)))
+      // another library steals the shared context's checkpoint dir
+      val foreign = java.nio.file.Files.createTempDirectory("graft-foreign").toString
+      spark.sparkContext.setCheckpointDir(foreign)
+      Pin.pin(base)
+      // the helper must notice (containment check) and re-point to ITS root
+      assert(spark.sparkContext.getCheckpointDir.exists(_.contains(root)))
+    }
+  }
+
   test("pin: an iterative operator (connected components) agrees across the switch") {
     val edges = df("src BIGINT, dst BIGINT", Seq(
       Row(1L, 2L), Row(2L, 3L), Row(10L, 11L), Row(11L, 12L),

@@ -314,7 +314,11 @@ def lint_doc_counts(repo_root):
     # this half of the check is gate-opt-in (tools/gate.sh sets the var)
     reports = g.glob(os.path.join(repo_root, "target", "test-reports",
                                   "*.xml"))
-    if reports and os.environ.get("GRAFT_ENFORCE_TEST_COUNTS"):
+    # len >= 50: only a FULL `sbt test` leaves that many suite files — a
+    # scoped testOnly (or a clean + testOnly) leaves a handful of partial
+    # reports that must not red the gate (same guard as the fixer tool)
+    if (reports and len(reports) >= 50
+            and os.environ.get("GRAFT_ENFORCE_TEST_COUNTS")):
         suites = len(reports)
         tests = sum(int(ET.parse(r).getroot().get("tests", "0"))
                     for r in reports)
