@@ -6178,6 +6178,52 @@ object Oracles {
        |FROM documents""".stripMargin
   }
 
+  /** q385: the progressive corpus's closed form. Progressive coding is a
+    * transmission ORDER, not a different transform — the multi-scan
+    * successive-approximation round trip reconstructs the exact same
+    * quantized coefficients (DC split as ((dc >> 4) << 4) | (bit << 3);
+    * dc = 8·(v−128) keeps bits 2..0 zero), so decoded pixels equal the
+    * sequential closed form: odd ids 32×32 grayscale on the 8-px block
+    * grid, even ids the q380 4:2:0 color form (Y on the 8-px grid,
+    * chroma on the 16-px grid, fixed-point YCbCr→RGB with the +2^24
+    * floor-shift bias).
+    */
+  val jpegProgressivePixelStats: String = {
+    def grayV(k: String) =
+      s"(doc_id * 23 + (((($k) // 256) * 4) + ((($k) % 32) // 8)) * 53) % 256"
+    def colorV(k: String) = {
+      val pi = s"(($k) // 3)"
+      val xq = s"($pi % 32)"; val yq = s"($pi // 32)"
+      val biY = s"(($yq // 8) * 4 + ($xq // 8))"
+      val biC = s"(($yq // 16) * 2 + ($xq // 16))"
+      val yv = s"((doc_id * 29 + $biY * 37) % 256)"
+      val cb = s"((doc_id * 31 + $biC * 41) % 256)"
+      val cr = s"((doc_id * 37 + $biC * 43) % 256)"
+      val r = s"LEAST(255, GREATEST(0, $yv + (91881 * ($cr - 128) + 32768 + 16777216) // 65536 - 256))"
+      val g = s"LEAST(255, GREATEST(0, $yv - ((22554 * ($cb - 128) + 46802 * ($cr - 128) + 32768 + 16777216) // 65536 - 256)))"
+      val b = s"LEAST(255, GREATEST(0, $yv + (116130 * ($cb - 128) + 32768 + 16777216) // 65536 - 256))"
+      s"(CASE ($k) % 3 WHEN 0 THEN $r WHEN 1 THEN $g ELSE $b END)"
+    }
+    def v(k: String) =
+      s"(CASE WHEN doc_id % 2 = 1 THEN ${grayV(k)} ELSE ${colorV(k)} END)"
+    val n = "(CASE WHEN doc_id % 2 = 1 THEN 1024 ELSE 3072 END)"
+    s"""SELECT doc_id AS media_id,
+       |  CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+       |  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS INTEGER) AS n_comp,
+       |  CAST($n AS INTEGER) AS n_px_bytes,
+       |  CAST(list_sum(list_transform(range(0, $n),
+       |    k -> ${v("k")})) AS BIGINT) AS px_sum,
+       |  CAST(list_sum(list_transform(range(0, $n),
+       |    k -> k * ${v("k")})) AS BIGINT) AS px_wsum,
+       |  CAST(list_sum(list_transform(list_filter(range(0, $n), k -> k % 3 = 0),
+       |    k -> ${v("k")})) AS BIGINT) AS c0_sum,
+       |  CAST(list_sum(list_transform(list_filter(range(0, $n), k -> k % 3 = 1),
+       |    k -> ${v("k")})) AS BIGINT) AS c1_sum,
+       |  CAST(list_sum(list_transform(list_filter(range(0, $n), k -> k % 3 = 2),
+       |    k -> ${v("k")})) AS BIGINT) AS c2_sum
+       |FROM documents""".stripMargin
+  }
+
   /** q383: the quality-scaled DQT closed form. Annex-K base tables as
     * literals, the IJG integer scaling ((k·scale + 50) // 100 clamped to
     * [1, 255], scale = 5000 // q below 50 else 200 − 2q), and the same

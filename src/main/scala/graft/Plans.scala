@@ -1633,6 +1633,14 @@ object Plans {
         |dequantize, IDCT, fixed-point color convert — payloads never
         |leave the task; output is 10 scalars/row. The position-weighted
         |sum pins raster order in the exact-hash oracle.""".stripMargin,
+    "q385_jpeg_progressive" ->
+      """Progressive JPEG decode: the q375 shape — one narrow
+        |mapPartitions (synth SOF2 stream, multi-scan coefficient
+        |accumulation, one IDCT at EOI), payloads never leave the task,
+        |10 scalars/row. Decode cost is per-byte-of-payload exactly like
+        |the sequential path (each entropy bit is read once across all
+        |scans), so the 100 TB argument is unchanged: scale = partitions,
+        |no exchange, no skew coupling.""".stripMargin,
     "q383_jpeg_quality" ->
       """Quality estimation: one narrow mapPartitions — payload synth,
         |marker walk to the DQTs, zigzag undo, argmin-L1 over 100

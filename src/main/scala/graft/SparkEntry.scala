@@ -3904,6 +3904,16 @@ object SparkEntry {
       graft.ext.Jpeg.jpegQualityStats(Tables.documents(s, d))
     },
 
+    // progressive (SOF2) JPEG decode — multi-scan coefficient
+    // accumulation: interleaved DC-first at Al=4, per-component spectral
+    // AC scans, a raw-bit DC refinement with genuinely varying bits,
+    // dequantize+IDCT once at EOI; odd ids grayscale non-interleaved,
+    // even ids 4:2:0 color, ids % 5 == 0 restart-marked in every scan
+    "q385_jpeg_progressive" -> { (s, d) =>
+      implicit val sp: SparkSession = s
+      graft.ext.Jpeg.jpegProgressivePixelStats(Tables.documents(s, d))
+    },
+
     // dual-detector dedup audit: Rand pair-counting agreement between
     // MinHash-LSH clusters (q22) and SimHash buckets (q49) — three
     // contingency aggregates, never the quadratic pair set
@@ -4416,6 +4426,7 @@ object SparkEntry {
     "q381_cross_dup_spans" -> Oracles.crossDupSpans(8),
     "q382_cross_trim" -> Oracles.trimCrossDupSpans(8),
     "q383_jpeg_quality" -> Oracles.jpegQualityStats,
-    "q384_cluster_agreement" -> Oracles.clusteringAgreement(16, 4, 64, 3)
+    "q384_cluster_agreement" -> Oracles.clusteringAgreement(16, 4, 64, 3),
+    "q385_jpeg_progressive" -> Oracles.jpegProgressivePixelStats
   )
 }

@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   * canonical code reconstruction per spec Annex C), restart markers
   * (DRI/RSTn with predictor + bit-alignment reset), 0xFF00 byte
   * unstuffing, run-length AC with EOB/ZRL, double-precision IDCT,
-  * libjpeg-style fixed-point YCbCr→RGB. Progressive (SOF2), arithmetic
-  * coding, 12-bit, and sampling factors > 2 (4:1:1) return None — the
-  * documented remaining seam (the caller's StubCodec posture, same as
+  * libjpeg-style fixed-point YCbCr→RGB. PROGRESSIVE (SOF2) is decoded
+  * too: multi-scan coefficient accumulation with spectral selection
+  * (Ss/Se bands, EOBRUN band-end runs) and successive approximation
+  * (Ah/Al point transforms, DC/AC first+refine scans), per-scan DHT/DRI
+  * updates, one dequantize+IDCT at EOI. Arithmetic coding, 12-bit, and
+  * sampling factors > 2 (4:1:1) return None — the documented remaining
+  * seam (the caller's StubCodec posture, same as
   * [[Multimodal.HeaderCodec]] for foreign containers).
   *
   * Encoder scope ([[synthJpegPayload]]): a REAL JFIF stream whose blocks
@@ -238,12 +242,29 @@ object Jpeg {
     var restartInterval = 0
     var p = 2
     var sofSeen = false
-    while (p + 4 <= b.length) {
+    var progressive = false
+    // progressive state, allocated at the first SOS: per-component
+    // coefficient arrays in the QUANTIZED domain (successive-approximation
+    // refinement operates on quantized values; dequantize+IDCT happen once
+    // at EOI), one 64-entry slot per block over the padded MCU grid
+    var pCoef: Array[Array[Int]] = null
+    var pBlocksW: Array[Int] = null
+    var pMcusX = 0; var pMcusY = 0
+    var pHMax = 1; var pVMax = 1
+    var pHs: Array[Int] = null; var pVs: Array[Int] = null
+    var pScans = 0
+    while (p + 2 <= b.length) { // EOI is a bare 2-byte marker at the end
       if ((b(p) & 0xff) != 0xff) return None
       val m = b(p + 1) & 0xff
       if (m == 0xff) { p += 1 } // legal fill byte before a marker
       else {
-      if (m == 0xd9) return None // EOI before SOS
+      if (m == 0xd9) { // EOI: ends a progressive stream; premature otherwise
+        return if (progressive && pScans > 0)
+          finishProgressive(width, height, nComp, compQ, pHs, pVs, pHMax,
+            pVMax, pMcusX, pMcusY, pBlocksW, pCoef, qt)
+        else None
+      }
+      if (p + 4 > b.length) return None // all other markers carry a length
       val len = be16(b, p + 2)
       if (len < 2 || p + 2 + len > b.length) return None
       val seg = p + 4
@@ -284,7 +305,9 @@ object Jpeg {
             if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
             o += 17 + total
           }
-        case 0xc0 => // SOF0 baseline
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+          if (sofSeen) return None // one frame per stream
+          progressive = m == 0xc2
           if (len < 8) return None // fixed fields must fit the segment
           if ((b(seg) & 0xff) != 8) return None // precision
           height = be16(b, seg + 1); width = be16(b, seg + 3)
@@ -301,7 +324,8 @@ object Jpeg {
           // widest MCU this decoder accepts) so the bound covers every
           // sampling layout's padding.
           if (((width + 15L) / 16 * 16) * ((height + 15L) / 16 * 16) *
-              nComp * 4L > (1L << 30)) return None
+              nComp * 4L > (if (progressive) 1L << 29 else 1L << 30))
+            return None // progressive holds coef grids AND planes at EOI
           compId = new Array[Int](nComp); compQ = new Array[Int](nComp)
           sampH = new Array[Int](nComp); sampV = new Array[Int](nComp)
           var c = 0
@@ -322,12 +346,12 @@ object Jpeg {
           // the per-MCU decode work on adversarial streams)
           if (nComp > 1 && blocksPerMcu > 10) return None
           sofSeen = true
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
              0xcd | 0xce | 0xcf =>
-          return None // non-baseline SOF — out of scope
+          return None // extended/lossless/arithmetic SOF — out of scope
         case 0xdd => // DRI
           restartInterval = be16(b, seg)
-        case 0xda => // SOS — decode the scan and finish
+        case 0xda if !progressive => // SOS — decode the scan and finish
           if (!sofSeen || len < 3) return None
           val ns = b(seg) & 0xff
           if (ns != nComp || len < 6 + 2 * ns) return None
@@ -344,9 +368,60 @@ object Jpeg {
           return decodeScan(b, p + 2 + len, width, height, nComp,
             compQ, compDc, compAc, sampH, sampV, qt, dcTabs, acTabs,
             restartInterval)
+        case 0xda => // progressive SOS: accumulate coefficients, keep walking
+          if (!sofSeen || len < 3) return None
+          val ns = b(seg) & 0xff
+          if (ns < 1 || ns > nComp || len < 6 + 2 * ns) return None
+          if (pCoef == null) { // first scan: size the coefficient grids
+            // single-component frames are non-interleaved throughout:
+            // declared factors don't shape the grid (T.81 A.2.2)
+            pHs = if (nComp == 1) Array(1) else sampH
+            pVs = if (nComp == 1) Array(1) else sampV
+            var ci = 0
+            while (ci < nComp) {
+              if (pHs(ci) > pHMax) pHMax = pHs(ci)
+              if (pVs(ci) > pVMax) pVMax = pVs(ci)
+              ci += 1
+            }
+            pMcusX = (width + 8 * pHMax - 1) / (8 * pHMax)
+            pMcusY = (height + 8 * pVMax - 1) / (8 * pVMax)
+            pBlocksW = Array.tabulate(nComp)(i => pMcusX * pHs(i))
+            pCoef = Array.tabulate(nComp)(i =>
+              new Array[Int](pBlocksW(i) * pMcusY * pVs(i) * 64))
+          }
+          val scomp = new Array[Int](ns)
+          val sdc = new Array[Int](ns); val sac = new Array[Int](ns)
+          var c = 0
+          while (c < ns) {
+            val cs = b(seg + 1 + 2 * c) & 0xff
+            val ci = compId.indexOf(cs)
+            if (ci < 0) return None
+            var j = 0
+            while (j < c) { if (scomp(j) == ci) return None; j += 1 }
+            scomp(c) = ci
+            sdc(c) = (b(seg + 2 + 2 * c) & 0xff) >> 4
+            sac(c) = b(seg + 2 + 2 * c) & 0x0f
+            c += 1
+          }
+          val ss = b(seg + 1 + 2 * ns) & 0xff
+          val se = b(seg + 2 + 2 * ns) & 0xff
+          val ah = (b(seg + 3 + 2 * ns) & 0xff) >> 4
+          val al = b(seg + 3 + 2 * ns) & 0x0f
+          // spec bounds (G.1.1.1.1): DC scans are the only interleaved
+          // kind; AC scans are single-component with 1 <= Ss <= Se <= 63
+          if (al > 13 || ah > 13) return None
+          if (ss == 0) { if (se != 0) return None }
+          else if (ns != 1 || ss > se || se > 63) return None
+          val end = decodeProgScan(b, p + 2 + len, width, height,
+            ns, scomp, sdc, sac, ss, se, ah, al,
+            pHs, pVs, pHMax, pVMax, pMcusX, pMcusY, pBlocksW, pCoef,
+            dcTabs, acTabs, restartInterval)
+          if (end < 0) return None
+          pScans += 1
+          p = end
         case _ => () // APPn / COM / others: skip
       }
-      p += 2 + len
+      if (m != 0xda || !progressive) p += 2 + len
       }
     }
     None
@@ -447,9 +522,18 @@ object Jpeg {
       }
       mcu += 1
     }
-    // interleave to output, cropping MCU padding to (width, height);
-    // subsampled components upsample by replication: sample (x·h/hMax,
-    // y·v/vMax) — exact on constant blocks, which is the closed-form seam
+    assemble(width, height, nComp, hS, vS, hMax, vMax, planeW, planes)
+  }
+
+  /** Planes → output image: crop MCU padding to (width, height);
+    * subsampled components upsample by replication: sample (x·h/hMax,
+    * y·v/vMax) — exact on constant blocks, which is the closed-form seam.
+    * Shared by the sequential scan and the progressive finisher.
+    */
+  private def assemble(width: Int, height: Int, nComp: Int,
+                       hS: Array[Int], vS: Array[Int], hMax: Int, vMax: Int,
+                       planeW: Array[Int],
+                       planes: Array[Array[Int]]): Option[JpegImage] = {
     if (nComp == 1) {
       val stride = planeW(0)
       val out = new Array[Byte](width * height)
@@ -485,6 +569,273 @@ object Jpeg {
       }
       Some(JpegImage(width, height, 3, out))
     }
+  }
+
+  /** One progressive scan (T.81 G.1.2, the IJG-lineage control flow):
+    * DC first/refine (interleaved over the scan's components or
+    * single-component non-interleaved), AC first/refine
+    * (single-component only, with EOBRUN band-end runs). Coefficients
+    * accumulate in the QUANTIZED domain under the successive-
+    * approximation point transform: first scans store values `<< Al`,
+    * refine scans append one magnitude bit at position Al (two's-
+    * complement OR for DC, the sign-directed `±1 << Al` nudge for AC —
+    * exact because partial values are multiples of `1 << Ah`). Restart
+    * markers reset DPCM predictors, EOBRUN, and bit alignment. Returns
+    * the position of the marker terminating the scan's entropy data, or
+    * -1 on any structural/entropy failure (the caller degrades to None).
+    */
+  private def decodeProgScan(b: Array[Byte], start: Int,
+      width: Int, height: Int, ns: Int, scomp: Array[Int],
+      sdc: Array[Int], sac: Array[Int], ss: Int, se: Int, ah: Int, al: Int,
+      hS: Array[Int], vS: Array[Int], hMax: Int, vMax: Int,
+      mcusX: Int, mcusY: Int, blocksW: Array[Int],
+      coefs: Array[Array[Int]], dcTabs: Array[HuffTable],
+      acTabs: Array[HuffTable], restartInterval: Int): Int = {
+    val rd = new BitReader(b, start)
+    val pred = new Array[Int](ns)
+    var eobrun = 0
+    val p1 = 1 << al
+    val m1 = -1 << al
+    // table availability per scan kind (DC refine scans read raw bits
+    // only — no table requirement at all)
+    if (ss == 0 && ah == 0) {
+      var c = 0
+      while (c < ns) { if (dcTabs(sdc(c)) == null) return -1; c += 1 }
+    }
+    if (ss > 0 && acTabs(sac(0)) == null) return -1
+
+    def dcFirst(ci: Int, c: Int, off: Int): Boolean = {
+      val t = rd.decodeHuff(dcTabs(sdc(c)))
+      if (t < 0 || t > 11) return false
+      val diff =
+        if (t == 0) 0
+        else {
+          val v = rd.receive(t)
+          if (v == Int.MinValue) return false
+          extend(v, t)
+        }
+      pred(c) += diff
+      coefs(ci)(off) = pred(c) << al
+      true
+    }
+    def dcRefine(ci: Int, off: Int): Boolean = {
+      val bit = rd.readBit()
+      if (bit < 0) return false
+      if (bit == 1) coefs(ci)(off) |= p1
+      true
+    }
+    def acFirst(coef: Array[Int], off: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      val ac = acTabs(sac(0))
+      var k = ss
+      while (k <= se) {
+        val rs = rd.decodeHuff(ac)
+        if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 0x0f
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else { // EOBn: run of (1 << r) + extra band-ends incl. this block
+            val extra =
+              if (r == 0) 0
+              else {
+                val v = rd.receive(r)
+                if (v == Int.MinValue) return false
+                v
+              }
+            eobrun = (1 << r) + extra - 1
+            return true
+          }
+        } else {
+          k += r
+          if (k > 63) return false
+          val v = rd.receive(s)
+          if (v == Int.MinValue) return false
+          coef(off + Zigzag(k)) = extend(v, s) << al
+          k += 1
+        }
+      }
+      true
+    }
+    // refinement correction bit for an already-nonzero coefficient:
+    // a 1-bit nudges the magnitude by 1<<Al toward its sign, skipped if
+    // that bit is already set (two's-complement AND is exact here
+    // because partial magnitudes are multiples of 1<<(Al+1) or carry
+    // the Al bit itself)
+    def correct(coef: Array[Int], idx: Int): Boolean = {
+      val bit = rd.readBit()
+      if (bit < 0) return false
+      if (bit == 1 && (coef(idx) & p1) == 0) {
+        if (coef(idx) >= 0) coef(idx) += p1 else coef(idx) += m1
+      }
+      true
+    }
+    def acRefine(coef: Array[Int], off: Int): Boolean = {
+      val ac = acTabs(sac(0))
+      var k = ss
+      if (eobrun == 0) {
+        var done = false
+        while (k <= se && !done) {
+          val rs = rd.decodeHuff(ac)
+          if (rs < 0) return false
+          var r = rs >> 4; val s = rs & 0x0f
+          var newVal = 0
+          if (s == 0) {
+            if (r != 15) { // EOBn: rest of band gets corrections only
+              val extra =
+                if (r == 0) 0
+                else {
+                  val v = rd.receive(r)
+                  if (v == Int.MinValue) return false
+                  v
+                }
+              eobrun = (1 << r) + extra
+              done = true
+            }
+            // r == 15 (ZRL): skip 16 zero-history slots, correcting
+            // nonzero-history coefficients passed over
+          } else {
+            if (s != 1) return false // refine codes only ±1 magnitudes
+            val bit = rd.readBit()
+            if (bit < 0) return false
+            newVal = if (bit == 1) p1 else m1
+          }
+          if (!done) {
+            var placed = false
+            while (k <= se && !placed) {
+              val idx = off + Zigzag(k)
+              if (coef(idx) != 0) { if (!correct(coef, idx)) return false }
+              else if (r == 0) { if (s != 0) coef(idx) = newVal; placed = true }
+              else r -= 1
+              k += 1
+            }
+          }
+        }
+      }
+      if (eobrun > 0) { // band end: corrections for the remaining positions
+        while (k <= se) {
+          val idx = off + Zigzag(k)
+          if (coef(idx) != 0) { if (!correct(coef, idx)) return false }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    if (ns == 1) {
+      // non-interleaved: the component's own (un-padded) block grid,
+      // ceil(ceil(dim·f/fMax)/8) per axis (T.81 A.2.2); restart interval
+      // counts single-block MCUs
+      val ci = scomp(0)
+      val bw = (width * hS(ci) + 8 * hMax - 1) / (8 * hMax)
+      val bh = (height * vS(ci) + 8 * vMax - 1) / (8 * vMax)
+      val stride = blocksW(ci)
+      val total = bw * bh
+      var mcu = 0
+      while (mcu < total) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!rd.resyncRst()) return -1
+          java.util.Arrays.fill(pred, 0); eobrun = 0
+        }
+        val off = ((mcu / bw) * stride + mcu % bw) * 64
+        val ok =
+          if (ss == 0 && ah == 0) dcFirst(ci, 0, off)
+          else if (ss == 0) dcRefine(ci, off)
+          else if (ah == 0) acFirst(coefs(ci), off)
+          else acRefine(coefs(ci), off)
+        if (!ok) return -1
+        mcu += 1
+      }
+    } else {
+      // interleaved DC scan over the frame MCU grid (AC scans were
+      // rejected above when ns > 1)
+      val nMcu = mcusX * mcusY
+      var mcu = 0
+      while (mcu < nMcu) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!rd.resyncRst()) return -1
+          java.util.Arrays.fill(pred, 0); eobrun = 0
+        }
+        val my = mcu / mcusX; val mx = mcu % mcusX
+        var c = 0
+        while (c < ns) {
+          val ci = scomp(c)
+          var vb = 0
+          while (vb < vS(ci)) {
+            var hb = 0
+            while (hb < hS(ci)) {
+              val off =
+                ((my * vS(ci) + vb) * blocksW(ci) + mx * hS(ci) + hb) * 64
+              val ok = if (ah == 0) dcFirst(ci, c, off) else dcRefine(ci, off)
+              if (!ok) return -1
+              hb += 1
+            }
+            vb += 1
+          }
+          c += 1
+        }
+        mcu += 1
+      }
+    }
+    // entropy data ends at the next real marker: skip residual entropy
+    // bytes, stuffed 0xFF00 pairs, stray RSTn, and fill bytes
+    var q = rd.pos
+    while (q + 1 < b.length) {
+      if ((b(q) & 0xff) == 0xff) {
+        val nx = b(q + 1) & 0xff
+        if (nx == 0x00) q += 2
+        else if (nx >= 0xd0 && nx <= 0xd7) q += 2
+        else if (nx == 0xff) q += 1
+        else return q
+      } else q += 1
+    }
+    -1 // ran off the stream without a terminating marker
+  }
+
+  /** EOI in a progressive stream: dequantize every accumulated block,
+    * IDCT, and assemble planes exactly like the sequential path.
+    */
+  private def finishProgressive(width: Int, height: Int, nComp: Int,
+      compQ: Array[Int], hS: Array[Int], vS: Array[Int],
+      hMax: Int, vMax: Int, mcusX: Int, mcusY: Int, blocksW: Array[Int],
+      coefs: Array[Array[Int]],
+      qt: Array[Array[Int]]): Option[JpegImage] = {
+    if (coefs == null) return None
+    var ci = 0
+    while (ci < nComp) {
+      if (qt(compQ(ci)) == null) return None
+      ci += 1
+    }
+    val planeW = Array.tabulate(nComp)(i => blocksW(i) * 8)
+    val planes = Array.tabulate(nComp)(i =>
+      new Array[Int](planeW(i) * mcusY * vS(i) * 8))
+    val dq = new Array[Int](64)
+    val blk = new Array[Int](64)
+    ci = 0
+    while (ci < nComp) {
+      val q = qt(compQ(ci))
+      val coef = coefs(ci)
+      val bw = blocksW(ci)
+      val plane = planes(ci)
+      val nb = bw * mcusY * vS(ci)
+      var bi = 0
+      while (bi < nb) {
+        val off = bi * 64
+        var k = 0
+        while (k < 64) { dq(k) = coef(off + k) * q(k); k += 1 }
+        idctBlock(dq, blk)
+        val by = bi / bw; val bx = bi % bw
+        var yy = 0
+        while (yy < 8) {
+          System.arraycopy(blk, yy * 8, plane,
+            (by * 8 + yy) * planeW(ci) + bx * 8, 8)
+          yy += 1
+        }
+        bi += 1
+      }
+      ci += 1
+    }
+    assemble(width, height, nComp, hS, vS, hMax, vMax, planeW, planes)
   }
 
   // ---------------------------------------------------------------- synth
@@ -739,6 +1090,188 @@ object Jpeg {
     out.toByteArray
   }
 
+  // minimal AC table for progressive EOB-run scans: the four EOBn
+  // symbols an all-zero-AC corpus needs (EOB1/EOB2/EOB4/EOB16), all
+  // 2-bit codes — legal per Annex C, decoder rebuilds from DHT
+  private val AcEobRunBits =
+    Array(0, 0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcEobRunVals: Array[Byte] =
+    Array(0x00, 0x10, 0x20, 0x40).map(_.toByte)
+
+  /** A REAL progressive (SOF2) JFIF stream with spectral selection AND
+    * successive approximation, all blocks per-block constants so the
+    * DC-exact closed form carries over. Odd ids: grayscale 32×32, three
+    * non-interleaved scans. Even ids: color 4:2:0 32×32 (Y 2×2, Cb/Cr
+    * 1×1 — the dominant real-world JPEG shape), five scans with an
+    * interleaved DC pass. Scan script (G.1.1.1.1-legal):
+    *   1. DC first, Al=4 — DPCM of (dc >> 4), codes all but dc's bit 3
+    *   2. AC first per component, Ss=1..63, Al=0 — pure EOBn runs
+    *      (every AC is zero in this corpus)
+    *   3. DC refine, Ah=4 Al=3 — ONE raw bit per block = (v−128) & 1,
+    *      which genuinely varies across blocks (dc = 8·(v−128) keeps
+    *      bits 2..0 zero, so the value is EXACT after this single
+    *      refinement: dc = ((dc>>4)<<4) | (((v−128)&1)<<3))
+    * ids % 5 == 0 add DRI=2: every scan restarts each 2 MCUs (EOB runs
+    * split at the boundary, DPCM/EOBRUN/alignment reset — the
+    * progressive restart path the decoder must replay).
+    */
+  private[ext] def synthJpegProgressivePayload(id: Long): Array[Byte] = {
+    val gray = id % 2 != 0
+    val nComp = if (gray) 1 else 3
+    val ri = if (((id % 5) + 5) % 5 == 0) 2 else 0
+    val out = new java.io.ByteArrayOutputStream()
+    def w(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    w(0xff, 0xd8) // SOI
+    w(0xff, 0xe0); w16(16) // APP0 JFIF
+    w('J', 'F', 'I', 'F', 0, 1, 1, 0); w16(1); w16(1); w(0, 0)
+    val nq = if (gray) 1 else 2
+    w(0xff, 0xdb); w16(2 + nq * 65) // DQT: all ones (DC-only exactness)
+    var t = 0
+    while (t < nq) { out.write(t); (0 until 64).foreach(_ => out.write(1)); t += 1 }
+    // SOF2: 32×32; gray 1×1, color Y 2×2 / Cb 1×1 / Cr 1×1
+    w(0xff, 0xc2); w16(8 + 3 * nComp)
+    w(8); w16(32); w16(32); w(nComp)
+    if (gray) w(1, 0x11, 0)
+    else { w(1, 0x22, 0); w(2, 0x11, 1); w(3, 0x11, 1) }
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      w(0xff, 0xc4); w16(2 + 17 + vals.length)
+      w((tc << 4) | th)
+      (1 to 16).foreach(l => out.write(bits(l)))
+      vals.foreach(v => out.write(v & 0xff))
+    }
+    dht(0, 0, DcLumBits, DcLumVals)
+    if (!gray) dht(0, 1, DcChrBits, DcChrVals)
+    dht(1, 0, AcEobRunBits, AcEobRunVals)
+    if (ri > 0) { w(0xff, 0xdd); w16(4); w16(ri) }
+    val dcLum = encTable(DcLumBits, DcLumVals)
+    val dcChr = encTable(DcChrBits, DcChrVals)
+    val acRun = encTable(AcEobRunBits, AcEobRunVals)
+    // per-block plane constants: gray 16 blocks; color 16 Y + 4 Cb + 4 Cr
+    def blockVal(comp: Int, bi: Int): Int =
+      if (gray) synthGray(id, bi)
+      else if (comp == 0) synthY(id, bi)
+      else if (comp == 1) synthCb(id, bi)
+      else synthCr(id, bi)
+
+    var rstN = 0
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      w(0xff, 0xda); w16(6 + 2 * comps.length)
+      w(comps.length)
+      comps.foreach { c =>
+        val td = if (c == 0) 0 else 1 // DC slot; AC always slot 0
+        w(c + 1, (td << 4) | 0)
+      }
+      w(ss, se, (ah << 4) | al)
+      rstN = 0 // RST index restarts at RST0 in each scan (B.2.1.2)
+    }
+    def rst(bw: BitWriter): Unit = {
+      bw.flushOnes()
+      w(0xff, 0xd0 + rstN)
+      rstN = (rstN + 1) % 8
+    }
+    def putCat(bw: BitWriter, comp: Int, diff: Int): Unit = {
+      val cat = category(diff)
+      val (hc, hl) = if (comp == 0) dcLum(cat) else dcChr(cat)
+      bw.put(hc, hl)
+      if (cat > 0) {
+        val bitsV = if (diff < 0) diff - 1 else diff
+        bw.put(bitsV & ((1 << cat) - 1), cat)
+      }
+    }
+    def putEobRun(bw: BitWriter, n: Int): Unit = { // n = (1<<r) + extra
+      var r = 0
+      while ((2 << r) <= n) r += 1
+      val (hc, hl) = acRun(r << 4)
+      bw.put(hc, hl)
+      if (r > 0) bw.put(n - (1 << r), r)
+    }
+
+    // scan 1: DC first, Al=4 — interleaved for color, single-comp for gray
+    sos((0 until nComp), 0, 0, 0, 4)
+    locally {
+      val bw = new BitWriter(out)
+      val pred = new Array[Int](nComp)
+      var mcu = 0
+      val nMcu = if (gray) 16 else 4
+      while (mcu < nMcu) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          rst(bw); java.util.Arrays.fill(pred, 0)
+        }
+        if (gray) {
+          val vq = (8 * (blockVal(0, mcu) - 128)) >> 4
+          putCat(bw, 0, vq - pred(0)); pred(0) = vq
+        } else {
+          val my = mcu / 2; val mx = mcu % 2
+          var vb = 0
+          while (vb < 2) {
+            var hb = 0
+            while (hb < 2) {
+              val vq = (8 * (blockVal(0, (my * 2 + vb) * 4 + mx * 2 + hb) - 128)) >> 4
+              putCat(bw, 0, vq - pred(0)); pred(0) = vq
+              hb += 1
+            }
+            vb += 1
+          }
+          var c = 1
+          while (c < 3) {
+            val vq = (8 * (blockVal(c, my * 2 + mx) - 128)) >> 4
+            putCat(bw, c, vq - pred(c)); pred(c) = vq
+            c += 1
+          }
+        }
+        mcu += 1
+      }
+      bw.flushOnes()
+    }
+    // scans 2..: AC first per component — EOB runs only (restart-split)
+    var comp = 0
+    while (comp < nComp) {
+      sos(Seq(comp), 1, 63, 0, 0)
+      val bw = new BitWriter(out)
+      val nBlocks = if (gray || comp == 0) 16 else 4
+      if (ri > 0) {
+        var bdone = 0
+        while (bdone < nBlocks) {
+          if (bdone > 0) rst(bw)
+          putEobRun(bw, math.min(ri, nBlocks - bdone))
+          bdone += ri
+        }
+      } else putEobRun(bw, nBlocks)
+      bw.flushOnes()
+      comp += 1
+    }
+    // final scan: DC refine, Ah=4 Al=3 — one raw bit per block
+    sos((0 until nComp), 0, 0, 4, 3)
+    locally {
+      val bw = new BitWriter(out)
+      var mcu = 0
+      val nMcu = if (gray) 16 else 4
+      while (mcu < nMcu) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) rst(bw)
+        if (gray) bw.put((blockVal(0, mcu) - 128) & 1, 1)
+        else {
+          val my = mcu / 2; val mx = mcu % 2
+          var vb = 0
+          while (vb < 2) {
+            var hb = 0
+            while (hb < 2) {
+              bw.put((blockVal(0, (my * 2 + vb) * 4 + mx * 2 + hb) - 128) & 1, 1)
+              hb += 1
+            }
+            vb += 1
+          }
+          bw.put((blockVal(1, my * 2 + mx) - 128) & 1, 1)
+          bw.put((blockVal(2, my * 2 + mx) - 128) & 1, 1)
+        }
+        mcu += 1
+      }
+      bw.flushOnes()
+    }
+    w(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
   final case class JpegPixelStats(media_id: Long, width: Int, height: Int,
                                   n_comp: Int, n_px_bytes: Int, px_sum: Long,
                                   px_wsum: Long, c0_sum: Long, c1_sum: Long,
@@ -759,6 +1292,41 @@ object Jpeg {
       ids.map { id =>
         val p = synthJpegPayload(id)
         decode(p) match {
+          case Some(img) =>
+            var sum = 0L; var wsum = 0L
+            val ch = new Array[Long](3)
+            var i = 0
+            while (i < img.pixels.length) {
+              val v = img.pixels(i) & 0xff
+              sum += v; wsum += i.toLong * v; ch(i % 3) += v
+              i += 1
+            }
+            JpegPixelStats(id, img.width, img.height, img.nComp,
+              img.pixels.length, sum, wsum, ch(0), ch(1), ch(2))
+          case None =>
+            JpegPixelStats(id, 0, 0, 0, 0, 0L, 0L, 0L, 0L, 0L)
+        }
+      }
+    }.toDF()
+  }
+
+  /** q385: [[jpegPixelStats]] over the PROGRESSIVE corpus — every doc
+    * gets a real SOF2 stream ([[synthJpegProgressivePayload]]) and rides
+    * the full multi-scan decode: interleaved DC-first pass at Al=4,
+    * per-component spectral-selection AC scans (EOBn runs), a raw-bit
+    * DC refinement whose bits genuinely vary per block, coefficient
+    * accumulation across scans, one dequantize+IDCT at EOI. Odd ids are
+    * 32×32 grayscale (non-interleaved scans), even ids 32×32 color at
+    * 4:2:0 (the dominant real-world progressive shape); ids % 5 == 0
+    * thread restart markers through every scan. Stats are the q375
+    * shape. Narrow mapPartitions; payloads never shuffle.
+    */
+  def jpegProgressivePixelStats(docs: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        decode(synthJpegProgressivePayload(id)) match {
           case Some(img) =>
             var sum = 0L; var wsum = 0L
             val ch = new Array[Long](3)

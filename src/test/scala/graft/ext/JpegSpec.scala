@@ -107,11 +107,13 @@ class JpegSpec extends AnyFunSuite {
     * layouts (hMax ≠ vMax) that pin the generalized plane/upsample
     * indexing. */
   private def writeJpeg(img: BufferedImage, quality: Float,
-                        lumaSampling: Option[(Int, Int)] = None): Array[Byte] = {
+                        lumaSampling: Option[(Int, Int)] = None,
+                        progressive: Boolean = false): Array[Byte] = {
     val w = ImageIO.getImageWritersByFormatName("jpeg").next()
     val p = w.getDefaultWriteParam
     p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(quality)
+    if (progressive) p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
     val meta = lumaSampling match {
       case None => null
       case Some((lh, lv)) =>
@@ -260,6 +262,112 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  private def expectedProgressivePixels(id: Long): Array[Int] = {
+    if (id % 2 != 0) {
+      val out = new Array[Int](1024)
+      var k = 0
+      while (k < 1024) {
+        val x = k % 32; val y = k / 32
+        out(k) = Jpeg.synthGray(id, (y / 8) * 4 + (x / 8))
+        k += 1
+      }
+      out
+    } else expected420Pixels(id) // same plane constants as the 4:2:0 corpus
+  }
+
+  test("synthetic progressive corpus decodes to the closed form exactly (gray non-interleaved + 4:2:0 interleaved, ± restarts)") {
+    // ids 0..40 cover both parities and the % 5 == 0 restart-marker
+    // variants (DRI=2 threaded through every scan)
+    for (id <- 0L to 40L) {
+      val img = Jpeg.decode(Jpeg.synthJpegProgressivePayload(id))
+        .getOrElse(fail(s"progressive decode failed for id=$id"))
+      assert(img.width == 32 && img.height == 32)
+      assert(img.nComp == (if (id % 2 != 0) 1 else 3))
+      val exp = expectedProgressivePixels(id)
+      assert(img.pixels.length == exp.length)
+      var k = 0
+      while (k < exp.length) {
+        assert((img.pixels(k) & 0xff) == exp(k),
+          s"id=$id byte $k: got ${img.pixels(k) & 0xff}, want ${exp(k)}")
+        k += 1
+      }
+    }
+  }
+
+  test("foreign encoder: ImageIO progressive color (default 4:2:0 script with AC refinement) decodes within slop") {
+    // ImageIO's MODE_DEFAULT progressive script uses spectral selection
+    // AND successive approximation — the AC-refine correction-bit path
+    // no synthetic stream reaches. Constant chroma (R=G=B) keeps the
+    // upsampler choice irrelevant; 48×33 exercises MCU cropping.
+    val src = new BufferedImage(48, 33, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 33; x <- 0 until 48) {
+      val v = 40 + x * 2 + y * 3
+      src.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bytes = writeJpeg(src, 0.95f, progressive = true)
+    // really progressive: the stream must carry SOF2
+    assert(bytes.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2), "writer emitted no SOF2")
+    val mine = Jpeg.decode(bytes)
+      .getOrElse(fail("decoder rejected ImageIO's progressive output"))
+    assert(mine.width == 48 && mine.height == 33 && mine.nComp == 3)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until 33; x <- 0 until 48) {
+      val rgb = ref.getRGB(x, y)
+      val o = (y * 48 + x) * 3
+      val dr = math.abs(((rgb >> 16) & 0xff) - (mine.pixels(o) & 0xff))
+      val dg = math.abs(((rgb >> 8) & 0xff) - (mine.pixels(o + 1) & 0xff))
+      val db = math.abs((rgb & 0xff) - (mine.pixels(o + 2) & 0xff))
+      maxDiff = math.max(maxDiff, math.max(dr, math.max(dg, db)))
+    }
+    assert(maxDiff <= 2, s"max per-sample diff $maxDiff")
+  }
+
+  test("foreign encoder: ImageIO progressive 4:4:4 with random content decodes within slop") {
+    val rnd = new scala.util.Random(1234)
+    val src = new BufferedImage(24, 17, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 17; x <- 0 until 24)
+      src.setRGB(x, y, rnd.nextInt(1 << 24))
+    val bytes = writeJpeg(src, 0.98f, lumaSampling = Some((1, 1)),
+      progressive = true)
+    val mine = Jpeg.decode(bytes)
+      .getOrElse(fail("decoder rejected an ImageIO progressive 4:4:4 file"))
+    assert(mine.width == 24 && mine.height == 17 && mine.nComp == 3)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until 17; x <- 0 until 24) {
+      val rgb = ref.getRGB(x, y)
+      val o = (y * 24 + x) * 3
+      val dr = math.abs(((rgb >> 16) & 0xff) - (mine.pixels(o) & 0xff))
+      val dg = math.abs(((rgb >> 8) & 0xff) - (mine.pixels(o + 1) & 0xff))
+      val db = math.abs((rgb & 0xff) - (mine.pixels(o + 2) & 0xff))
+      maxDiff = math.max(maxDiff, math.max(dr, math.max(dg, db)))
+    }
+    assert(maxDiff <= 2, s"max per-sample diff $maxDiff")
+  }
+
+  test("foreign encoder: ImageIO progressive grayscale decodes within slop") {
+    val rnd = new scala.util.Random(99)
+    val src = new BufferedImage(19, 21, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 21; x <- 0 until 19) {
+      val v = rnd.nextInt(256)
+      src.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bytes = writeJpeg(src, 0.98f, progressive = true)
+    val mine = Jpeg.decode(bytes)
+      .getOrElse(fail("decoder rejected an ImageIO progressive grayscale file"))
+    assert(mine.width == 19 && mine.height == 21 && mine.nComp == 1)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until 21; x <- 0 until 19) {
+      val d = math.abs(ref.getRaster.getSample(x, y, 0) -
+        (mine.pixels(y * 19 + x) & 0xff))
+      maxDiff = math.max(maxDiff, d)
+    }
+    assert(maxDiff <= 1, s"max per-sample diff $maxDiff")
+  }
+
   test("foreign encoder: ImageIO-written grayscale JPEG decodes within slop") {
     val rnd = new scala.util.Random(7)
     val src = new BufferedImage(19, 21, BufferedImage.TYPE_BYTE_GRAY)
@@ -288,7 +396,9 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decode(Array[Byte](1, 2, 3)).isEmpty)
     assert(Jpeg.decode(good.take(good.length / 2)).isEmpty) // truncated scan
     assert(Jpeg.decode(good.take(20)).isEmpty) // truncated header
-    // flip SOF0 -> SOF2 (progressive): structurally present, out of scope
+    // flip SOF0 -> SOF2: the frame becomes progressive but the baseline
+    // SOS header (Ss=0, Se=63) is illegal for ANY progressive scan kind
+    // (a DC scan needs Se=0, an AC scan Ss>=1) — must reject, not decode
     val prog = good.clone()
     val sof = {
       var i = 2
@@ -368,6 +478,32 @@ class JpegSpec extends AnyFunSuite {
       }
       val r = got(id)
       assert(r.getInt(1) == 16 && r.getInt(2) == 16)
+      assert(r.getInt(4) == exp.length)
+      assert(r.getLong(5) == sum && r.getLong(6) == wsum)
+      assert(r.getLong(7) == ch(0) && r.getLong(8) == ch(1) &&
+        r.getLong(9) == ch(2))
+    }
+  }
+
+  test("jpegProgressivePixelStats: engine stats equal closed-form recomputation") {
+    val spark = graft.SparkTestSession.spark
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val docs = (0L to 19L).toDF("doc_id")
+    val got = Jpeg.jpegProgressivePixelStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- 0L to 19L) {
+      val exp = expectedProgressivePixels(id)
+      var sum = 0L; var wsum = 0L
+      val ch = new Array[Long](3)
+      var k = 0
+      while (k < exp.length) {
+        sum += exp(k); wsum += k.toLong * exp(k); ch(k % 3) += exp(k)
+        k += 1
+      }
+      val r = got(id)
+      assert(r.getInt(1) == 32 && r.getInt(2) == 32)
+      assert(r.getInt(3) == (if (id % 2 != 0) 1 else 3))
       assert(r.getInt(4) == exp.length)
       assert(r.getLong(5) == sum && r.getLong(6) == wsum)
       assert(r.getLong(7) == ch(0) && r.getLong(8) == ch(1) &&
