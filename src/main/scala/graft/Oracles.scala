@@ -6224,6 +6224,90 @@ object Oracles {
        |FROM documents""".stripMargin
   }
 
+  /** q386: G.711 companding closed form — stateless per byte, so each
+    * sample expands analytically: µ-law (even ids) complements the byte
+    * then ((mant·8 + 132) << exp) − 132 with the sign from the top bit;
+    * A-law (odd ids) XORs 0x55 then the per-segment affine expansion.
+    * d(k) = (doc_id·7 + k·13) mod 256 replays the synth corpus.
+    */
+  val g711Stats: String = {
+    val d = "((doc_id * 7 + k * 13) % 256)"
+    val ux = s"(255 - $d)"
+    val uT = s"((($ux % 16) * 8 + 132) << (($ux // 16) % 8))"
+    val uPcm = s"(CASE WHEN $ux >= 128 THEN 132 - $uT ELSE $uT - 132 END)"
+    val ax = s"xor($d, 85)"
+    val aT = s"""(CASE ($ax // 16) % 8
+       |      WHEN 0 THEN ($ax % 16) * 16 + 8
+       |      WHEN 1 THEN ($ax % 16) * 16 + 264
+       |      ELSE (($ax % 16) * 16 + 264) << ((($ax // 16) % 8) - 1) END)""".stripMargin
+    val aPcm = s"(CASE WHEN $ax >= 128 THEN $aT ELSE -$aT END)"
+    val v = s"(CASE WHEN doc_id % 2 = 0 THEN $uPcm ELSE $aPcm END)"
+    s"""SELECT doc_id AS media_id,
+       |  CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+       |  CAST(64 AS INTEGER) AS n_samples,
+       |  CAST(list_sum(list_transform(range(0, 64), k -> $v)) AS BIGINT) AS pcm_sum,
+       |  CAST(list_sum(list_transform(range(0, 64), k -> k * $v)) AS BIGINT) AS pcm_wsum,
+       |  CAST(list_min(list_transform(range(0, 64), k -> $v)) AS INTEGER) AS pcm_min,
+       |  CAST(list_max(list_transform(range(0, 64), k -> $v)) AS INTEGER) AS pcm_max
+       |FROM documents""".stripMargin
+  }
+
+  /** q387: IMA ADPCM is a genuine per-sample state machine (predictor +
+    * step index), so the oracle REPLAYS it — a recursive CTE stepping
+    * k = 0..64 per doc through the public 89-entry step table, the
+    * shift-add diff expansion (step//8 ± conditional step, step//2,
+    * step//4 — exact: step ≥ 0 makes // a floor shift), int16 predictor
+    * clamp, and [0,88] index clamp. Initial state and nibbles replay
+    * the synth corpus: p0 = (id·31 mod 4096) − 2048, i0 = id mod 89,
+    * n(k) = (id·11 + k·5) mod 16. The final (pred, index) pair is part
+    * of the output — one wrong transition anywhere shifts every
+    * downstream sample AND the end state.
+    */
+  val adpcmStats: String = {
+    val stepTable = "[7,8,9,10,11,12,13,14,16,17," +
+      "19,21,23,25,28,31,34,37,41,45," +
+      "50,55,60,66,73,80,88,97,107,118," +
+      "130,143,157,173,190,209,230,253,279,307," +
+      "337,371,408,449,494,544,598,658,724,796," +
+      "876,963,1060,1166,1282,1411,1552,1707,1878,2066," +
+      "2272,2499,2749,3024,3327,3660,4026,4428,4871,5358," +
+      "5894,6484,7132,7845,8630,9493,10442,11487,12635,13899," +
+      "15289,16818,18500,20350,22385,24623,27086,29794,32767]"
+    val newPred = "GREATEST(-32768, LEAST(32767, " +
+      "pred + CASE WHEN nib >= 8 THEN -df ELSE df END))"
+    s"""WITH RECURSIVE steps AS (
+       |  SELECT doc_id, 0 AS k,
+       |    CAST((doc_id * 31) % 4096 - 2048 AS INTEGER) AS pred,
+       |    CAST(doc_id % 89 AS INTEGER) AS idx,
+       |    CAST((doc_id * 31) % 4096 - 2048 AS BIGINT) AS psum,
+       |    CAST(0 AS BIGINT) AS pwsum
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, k + 1,
+       |    CAST($newPred AS INTEGER),
+       |    CAST(GREATEST(0, LEAST(88, idx +
+       |      CASE (nib & 7) WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+       |                     WHEN 7 THEN 8 ELSE -1 END)) AS INTEGER),
+       |    psum + $newPred,
+       |    pwsum + CAST(k + 1 AS BIGINT) * $newPred
+       |  FROM (
+       |    SELECT doc_id, k, pred, idx, psum, pwsum, nib,
+       |      (st // 8) + CASE WHEN (nib & 4) > 0 THEN st ELSE 0 END
+       |                + CASE WHEN (nib & 2) > 0 THEN st // 2 ELSE 0 END
+       |                + CASE WHEN (nib & 1) > 0 THEN st // 4 ELSE 0 END AS df
+       |    FROM (
+       |      SELECT s.*, CAST((doc_id * 11 + k * 5) % 16 AS INTEGER) AS nib,
+       |        $stepTable[idx + 1] AS st
+       |      FROM steps s
+       |    )
+       |  ) WHERE k < 64
+       |)
+       |SELECT doc_id AS media_id, CAST(65 AS INTEGER) AS n_samples,
+       |  psum AS pcm_sum, pwsum AS pcm_wsum,
+       |  pred AS end_pred, idx AS end_index
+       |FROM steps WHERE k = 64""".stripMargin
+  }
+
   /** q383: the quality-scaled DQT closed form. Annex-K base tables as
     * literals, the IJG integer scaling ((k·scale + 50) // 100 clamped to
     * [1, 255], scale = 5000 // q below 50 else 200 − 2q), and the same

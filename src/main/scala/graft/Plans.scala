@@ -1641,6 +1641,17 @@ object Plans {
         |the sequential path (each entropy bit is read once across all
         |scans), so the 100 TB argument is unchanged: scale = partitions,
         |no exchange, no skew coupling.""".stripMargin,
+    "q386_g711_audio" ->
+      """G.711 decode: the q375 media shape — one narrow mapPartitions
+        |(synth WAV, RIFF walk, stateless per-byte companding
+        |expansion), payloads never leave the task, 7 scalars/row.
+        |Scale = partitions; no exchange, no state across rows.""".stripMargin,
+    "q387_adpcm_audio" ->
+      """IMA ADPCM decode: same narrow media shape; the per-sample
+        |state machine lives entirely INSIDE one payload (per-block
+        |reset is the format's own seek contract), so parallelism is
+        |per-document exactly like every other codec — state never
+        |crosses row boundaries, no exchange.""".stripMargin,
     "q383_jpeg_quality" ->
       """Quality estimation: one narrow mapPartitions — payload synth,
         |marker walk to the DQTs, zigzag undo, argmin-L1 over 100

@@ -3914,6 +3914,23 @@ object SparkEntry {
       graft.ext.Jpeg.jpegProgressivePixelStats(Tables.documents(s, d))
     },
 
+    // G.711 µ-law/A-law audio decode (WAVE tags 7/6): real RIFF chunk
+    // walk + the stateless CCITT companding expansion per byte → PCM16
+    // stats; position-weighted sums pin sample order
+    "q386_g711_audio" -> { (s, d) =>
+      implicit val sp: SparkSession = s
+      graft.ext.Audio.g711Stats(Tables.documents(s, d))
+    },
+
+    // IMA ADPCM audio decode (WAVE tag 0x11): extended-fmt parse, fact
+    // chunk skipped, per-nibble predictor/step-index state machine over
+    // the public tables; output carries the FINAL state — one wrong
+    // transition anywhere shifts everything downstream
+    "q387_adpcm_audio" -> { (s, d) =>
+      implicit val sp: SparkSession = s
+      graft.ext.Audio.adpcmStats(Tables.documents(s, d))
+    },
+
     // dual-detector dedup audit: Rand pair-counting agreement between
     // MinHash-LSH clusters (q22) and SimHash buckets (q49) — three
     // contingency aggregates, never the quadratic pair set
@@ -4427,6 +4444,8 @@ object SparkEntry {
     "q382_cross_trim" -> Oracles.trimCrossDupSpans(8),
     "q383_jpeg_quality" -> Oracles.jpegQualityStats,
     "q384_cluster_agreement" -> Oracles.clusteringAgreement(16, 4, 64, 3),
-    "q385_jpeg_progressive" -> Oracles.jpegProgressivePixelStats
+    "q385_jpeg_progressive" -> Oracles.jpegProgressivePixelStats,
+    "q386_g711_audio" -> Oracles.g711Stats,
+    "q387_adpcm_audio" -> Oracles.adpcmStats
   )
 }
