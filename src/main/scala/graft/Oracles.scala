@@ -6308,6 +6308,75 @@ object Oracles {
        |FROM steps WHERE k = 64""".stripMargin
   }
 
+  /** q388: MJPEG-in-AVI closed form. The container adds no pixel math —
+    * each frame f of video id is exactly the q375 synthetic JPEG with
+    * frame id 4·id + f, so per-frame sums reuse that closed form with
+    * the id expression substituted. Frames 0/2 are color (even ids,
+    * 768 bytes), frames 1/3 grayscale (256 bytes) — the per-frame
+    * columns pin each frame's independent decode.
+    */
+  val mjpegStats: String = {
+    def graySum(idE: String) =
+      s"list_sum(list_transform(range(0, 256), k -> " +
+        s"(($idE) * 23 + ((k // 128) * 2 + ((k % 16) // 8)) * 53) % 256))"
+    def colorSum(idE: String) = {
+      val bi = "(((k // 3) // 128) * 2 + (((k // 3) % 16) // 8))"
+      val yv = s"((($idE) * 29 + $bi * 37) % 256)"
+      val cb = s"((($idE) * 31 + $bi * 41) % 256)"
+      val cr = s"((($idE) * 37 + $bi * 43) % 256)"
+      val r = s"LEAST(255, GREATEST(0, $yv + (91881 * ($cr - 128) + 32768 + 16777216) // 65536 - 256))"
+      val g = s"LEAST(255, GREATEST(0, $yv - ((22554 * ($cb - 128) + 46802 * ($cr - 128) + 32768 + 16777216) // 65536 - 256)))"
+      val b = s"LEAST(255, GREATEST(0, $yv + (116130 * ($cb - 128) + 32768 + 16777216) // 65536 - 256))"
+      s"list_sum(list_transform(range(0, 768), k -> " +
+        s"(CASE k % 3 WHEN 0 THEN $r WHEN 1 THEN $g ELSE $b END)))"
+    }
+    s"""SELECT media_id, n_frames, n_frames_declared, width, height,
+       |  f0_sum, f1_sum, f2_sum, f3_sum,
+       |  f0_sum + f1_sum + f2_sum + f3_sum AS px_sum
+       |FROM (
+       |  SELECT doc_id AS media_id,
+       |    CAST(4 AS INTEGER) AS n_frames,
+       |    CAST(4 AS INTEGER) AS n_frames_declared,
+       |    CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       |    CAST(${colorSum("doc_id * 4")} AS BIGINT) AS f0_sum,
+       |    CAST(${graySum("doc_id * 4 + 1")} AS BIGINT) AS f1_sum,
+       |    CAST(${colorSum("doc_id * 4 + 2")} AS BIGINT) AS f2_sum,
+       |    CAST(${graySum("doc_id * 4 + 3")} AS BIGINT) AS f3_sum
+       |  FROM documents
+       |)""".stripMargin
+  }
+
+  /** q389: audio features over the decoded G.711 PCM — energy (Σv²),
+    * zero crossings (sign flips between consecutive samples, negative
+    * vs non-negative), and peak magnitude. Same per-byte companding
+    * closed form as q386, evaluated pointwise and pairwise.
+    */
+  val audioFeatures: String = {
+    def pcm(kE: String): String = {
+      val d = s"((doc_id * 7 + ($kE) * 13) % 256)"
+      val ux = s"(255 - $d)"
+      val uT = s"((($ux % 16) * 8 + 132) << (($ux // 16) % 8))"
+      val uPcm = s"(CASE WHEN $ux >= 128 THEN 132 - $uT ELSE $uT - 132 END)"
+      val ax = s"xor($d, 85)"
+      val aT = s"(CASE ($ax // 16) % 8" +
+        s" WHEN 0 THEN ($ax % 16) * 16 + 8" +
+        s" WHEN 1 THEN ($ax % 16) * 16 + 264" +
+        s" ELSE (($ax % 16) * 16 + 264) << ((($ax // 16) % 8) - 1) END)"
+      val aPcm = s"(CASE WHEN $ax >= 128 THEN $aT ELSE -$aT END)"
+      s"(CASE WHEN doc_id % 2 = 0 THEN $uPcm ELSE $aPcm END)"
+    }
+    s"""SELECT doc_id AS media_id,
+       |  CAST(64 AS INTEGER) AS n_samples,
+       |  CAST(list_sum(list_transform(range(0, 64),
+       |    k -> CAST(${pcm("k")} AS BIGINT) * ${pcm("k")})) AS BIGINT) AS energy,
+       |  CAST(list_sum(list_transform(range(1, 64), k ->
+       |    CASE WHEN (${pcm("k")} < 0) != (${pcm("k - 1")} < 0)
+       |         THEN 1 ELSE 0 END)) AS INTEGER) AS zero_crossings,
+       |  CAST(list_max(list_transform(range(0, 64),
+       |    k -> abs(${pcm("k")}))) AS INTEGER) AS peak_abs
+       |FROM documents""".stripMargin
+  }
+
   /** q383: the quality-scaled DQT closed form. Annex-K base tables as
     * literals, the IJG integer scaling ((k·scale + 50) // 100 clamped to
     * [1, 255], scale = 5000 // q below 50 else 200 − 2q), and the same

@@ -1641,6 +1641,18 @@ object Plans {
         |the sequential path (each entropy bit is read once across all
         |scans), so the 100 TB argument is unchanged: scale = partitions,
         |no exchange, no skew coupling.""".stripMargin,
+    "q388_mjpeg_video" ->
+      """MJPEG video decode: the media shape with an in-task frame
+        |loop — one narrow mapPartitions walks the AVI container and
+        |runs the full JPEG pipeline per frame; 10 scalars/row. Frame
+        |count scales work per row but never crosses rows: a 10k-frame
+        |video is one task's loop, and row-level parallelism is
+        |unchanged (for giant videos the natural split is frame-range
+        |pre-chunking at ingest, the same contract as CDC chunking).""".stripMargin,
+    "q389_audio_features" ->
+      """Audio featurization: decode + feature pass fused in one
+        |mapPartitions — energy/ZCR/peak are a single scan over the
+        |in-task PCM buffer; 5 scalars/row, no exchange.""".stripMargin,
     "q386_g711_audio" ->
       """G.711 decode: the q375 media shape — one narrow mapPartitions
         |(synth WAV, RIFF walk, stateless per-byte companding

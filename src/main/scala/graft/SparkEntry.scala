@@ -3931,6 +3931,21 @@ object SparkEntry {
       graft.ext.Audio.adpcmStats(Tables.documents(s, d))
     },
 
+    // MJPEG-in-AVI video decode: nested-LIST RIFF walk (hdrl/avih dims,
+    // movi frame chunks, idx1 skipped) + the FULL JPEG pipeline per
+    // frame; per-frame pixel sums pin each frame's independent decode
+    "q388_mjpeg_video" -> { (s, d) =>
+      implicit val sp: SparkSession = s
+      graft.ext.Video.mjpegStats(Tables.documents(s, d))
+    },
+
+    // audio featurization on decoded PCM: exact integer energy, zero
+    // crossings, peak magnitude — decode + featurize in one task pass
+    "q389_audio_features" -> { (s, d) =>
+      implicit val sp: SparkSession = s
+      graft.ext.Audio.audioFeatures(Tables.documents(s, d))
+    },
+
     // dual-detector dedup audit: Rand pair-counting agreement between
     // MinHash-LSH clusters (q22) and SimHash buckets (q49) — three
     // contingency aggregates, never the quadratic pair set
@@ -4446,6 +4461,8 @@ object SparkEntry {
     "q384_cluster_agreement" -> Oracles.clusteringAgreement(16, 4, 64, 3),
     "q385_jpeg_progressive" -> Oracles.jpegProgressivePixelStats,
     "q386_g711_audio" -> Oracles.g711Stats,
-    "q387_adpcm_audio" -> Oracles.adpcmStats
+    "q387_adpcm_audio" -> Oracles.adpcmStats,
+    "q388_mjpeg_video" -> Oracles.mjpegStats,
+    "q389_audio_features" -> Oracles.audioFeatures
   )
 }

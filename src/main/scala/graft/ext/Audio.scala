@@ -317,6 +317,42 @@ object Audio {
     }.toDF()
   }
 
+  final case class AudioFeatures(media_id: Long, n_samples: Int,
+                                 energy: Long, zero_crossings: Int,
+                                 peak_abs: Int)
+
+  /** q389: classic audio featurization over decoded PCM — energy
+    * (Σ v², the RMS numerator kept exact in the integer domain), zero
+    * crossings (negative ↔ non-negative flips between consecutive
+    * samples — the standard voiced/unvoiced and noisiness signal), and
+    * peak magnitude. Runs on the G.711 corpus, so decode + featurize is
+    * one in-task pass per payload. Same narrow media shape as q386.
+    */
+  def audioFeatures(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        decodeG711(synthG711Payload(id)) match {
+          case Some((_, pcm)) =>
+            var energy = 0L
+            var zc = 0
+            var peak = 0
+            var i = 0
+            while (i < pcm.length) {
+              val v: Int = pcm(i)
+              energy += v.toLong * v
+              if (i > 0 && ((v < 0) != (pcm(i - 1) < 0))) zc += 1
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              i += 1
+            }
+            AudioFeatures(id, pcm.length, energy, zc, peak)
+          case None => AudioFeatures(id, 0, 0L, 0, 0)
+        }
+      }
+    }.toDF()
+  }
+
   final case class AdpcmStats(media_id: Long, n_samples: Int, pcm_sum: Long,
                               pcm_wsum: Long, end_pred: Int, end_index: Int)
 

@@ -123,6 +123,27 @@ class AudioSpec extends AnyFunSuite {
     assert(Audio.decodeImaAdpcm(badIdx).isEmpty)
   }
 
+  test("audioFeatures: energy / zero crossings / peak equal direct recomputation") {
+    val spark = graft.SparkTestSession.spark
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val docs = (0L to 19L).toDF("doc_id")
+    val got = Audio.audioFeatures(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- 0L to 19L) {
+      val pcm = (0 until 64).map { k =>
+        val d = ((((id * 7 + k * 13) % 256) + 256) % 256).toInt
+        if (id % 2 == 0) Audio.ulawToPcm(d) else Audio.alawToPcm(d)
+      }
+      val r = got(id)
+      assert(r.getInt(1) == 64)
+      assert(r.getLong(2) == pcm.map(v => v.toLong * v).sum, s"id=$id energy")
+      assert(r.getInt(3) == pcm.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)),
+        s"id=$id zcr")
+      assert(r.getInt(4) == pcm.map(math.abs).max, s"id=$id peak")
+    }
+  }
+
   test("g711Stats / adpcmStats: engine stats equal closed-form recomputation") {
     val spark = graft.SparkTestSession.spark
     implicit val sp: org.apache.spark.sql.SparkSession = spark
