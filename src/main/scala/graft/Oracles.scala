@@ -6377,6 +6377,42 @@ object Oracles {
        |FROM documents""".stripMargin
   }
 
+  /** q390: generalized-PNG closed form. PNG is lossless, and
+    * deinterlacing only changes TRANSMISSION order — the final raster
+    * equals the per-pixel formula regardless of Adam7, filters, or IDAT
+    * splits, so each variant is analytic: 0 = 21×13 RGB8
+    * (sample = (id·5 + pix·3 + c·17) mod 256), 1 = 16×16 palette→RGB
+    * (index (id·13 + pix) mod 32 through the formula palette),
+    * 2 = 12×9 gray16 (big-endian byte pairs of (id·257 + s·101) mod
+    * 65536), 3 = 3×3 interlaced palette.
+    */
+  val pngFullStats: String = {
+    val v0 = "((doc_id * 5 + (k // 3) * 3 + (k % 3) * 17) % 256)"
+    def pal(idxE: String) =
+      s"(CASE k % 3 WHEN 0 THEN (doc_id * 29 + $idxE * 31) % 256" +
+        s" WHEN 1 THEN (doc_id * 31 + $idxE * 37) % 256" +
+        s" ELSE (doc_id * 37 + $idxE * 41) % 256 END)"
+    val v1 = pal("((doc_id * 13 + (k // 3)) % 32)")
+    val v2 = "(CASE k % 2 WHEN 0 THEN ((doc_id * 257 + (k // 2) * 101) % 65536) // 256" +
+      " ELSE ((doc_id * 257 + (k // 2) * 101) % 65536) % 256 END)"
+    val v3 = v1 // same palette construction, smaller raster
+    val v = s"(CASE doc_id % 4 WHEN 0 THEN $v0 WHEN 1 THEN $v1" +
+      s" WHEN 2 THEN $v2 ELSE $v3 END)"
+    val n = "(CASE doc_id % 4 WHEN 0 THEN 819 WHEN 1 THEN 768 WHEN 2 THEN 216 ELSE 27 END)"
+    s"""SELECT doc_id AS media_id,
+       |  CAST(doc_id % 4 AS INTEGER) AS variant,
+       |  CAST(CASE doc_id % 4 WHEN 0 THEN 21 WHEN 1 THEN 16 WHEN 2 THEN 12 ELSE 3 END AS INTEGER) AS width,
+       |  CAST(CASE doc_id % 4 WHEN 0 THEN 13 WHEN 1 THEN 16 WHEN 2 THEN 9 ELSE 3 END AS INTEGER) AS height,
+       |  CAST(CASE doc_id % 4 WHEN 2 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+       |  CAST(CASE doc_id % 4 WHEN 2 THEN 16 ELSE 8 END AS INTEGER) AS bit_depth,
+       |  CAST($n AS INTEGER) AS n_px_bytes,
+       |  CAST(list_sum(list_transform(range(0, $n),
+       |    k -> $v)) AS BIGINT) AS px_sum,
+       |  CAST(list_sum(list_transform(range(0, $n),
+       |    k -> k * $v)) AS BIGINT) AS px_wsum
+       |FROM documents""".stripMargin
+  }
+
   /** q383: the quality-scaled DQT closed form. Annex-K base tables as
     * literals, the IJG integer scaling ((k·scale + 50) // 100 clamped to
     * [1, 255], scale = 5000 // q below 50 else 200 − 2q), and the same

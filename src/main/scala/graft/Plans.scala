@@ -1641,6 +1641,12 @@ object Plans {
         |the sequential path (each entropy bit is read once across all
         |scans), so the 100 TB argument is unchanged: scale = partitions,
         |no exchange, no skew coupling.""".stripMargin,
+    "q390_png_full" ->
+      """Generalized PNG decode: the q375 media shape — one narrow
+        |mapPartitions (synth, chunk walk, inflate, five-filter
+        |reconstruction, per-variant deinterlace/palette/16-bit),
+        |payloads in-task, 9 scalars/row. Adam7 adds no cross-row
+        |coupling: passes are sub-regions of ONE payload.""".stripMargin,
     "q388_mjpeg_video" ->
       """MJPEG video decode: the media shape with an in-task frame
         |loop — one narrow mapPartitions walks the AVI container and

@@ -3946,6 +3946,14 @@ object SparkEntry {
       graft.ext.Audio.audioFeatures(Tables.documents(s, d))
     },
 
+    // generalized PNG decode: Adam7 interlacing (incl. empty passes),
+    // indexed color through a CRC-verified PLTE, 16-bit samples, all
+    // five filters cycling per scanline, split IDAT streams
+    "q390_png_full" -> { (s, d) =>
+      implicit val sp: SparkSession = s
+      graft.ext.Png.pngFullStats(Tables.documents(s, d))
+    },
+
     // dual-detector dedup audit: Rand pair-counting agreement between
     // MinHash-LSH clusters (q22) and SimHash buckets (q49) — three
     // contingency aggregates, never the quadratic pair set
@@ -4463,6 +4471,7 @@ object SparkEntry {
     "q386_g711_audio" -> Oracles.g711Stats,
     "q387_adpcm_audio" -> Oracles.adpcmStats,
     "q388_mjpeg_video" -> Oracles.mjpegStats,
-    "q389_audio_features" -> Oracles.audioFeatures
+    "q389_audio_features" -> Oracles.audioFeatures,
+    "q390_png_full" -> Oracles.pngFullStats
   )
 }
