@@ -6413,6 +6413,22 @@ object Oracles {
        |FROM documents""".stripMargin
   }
 
+  /** q391: EXIF closed form — every field is an affine/doubling
+    * function of id (the engine walks SOI → APP1 → TIFF header → IFD0 →
+    * Exif sub-IFD to recover them; the oracle recomputes directly).
+    * Both byte orders appear (II even ids, MM odd), so a parser that
+    * got one endianness wrong diverges on half the corpus.
+    */
+  val exifStats: String =
+    s"""SELECT doc_id AS media_id,
+       |  CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS endian,
+       |  CAST((doc_id % 8) + 1 AS INTEGER) AS orientation,
+       |  CAST(640 + (doc_id * 7) % 3200 AS INTEGER) AS width,
+       |  CAST(480 + (doc_id * 11) % 2400 AS INTEGER) AS height,
+       |  CAST(640 + (doc_id * 7) % 3200 - (doc_id % 16) AS INTEGER) AS pixel_x,
+       |  CAST(100 * (1 << (doc_id % 7)) AS INTEGER) AS iso
+       |FROM documents""".stripMargin
+
   /** q383: the quality-scaled DQT closed form. Annex-K base tables as
     * literals, the IJG integer scaling ((k·scale + 50) // 100 clamped to
     * [1, 255], scale = 5000 // q below 50 else 200 − 2q), and the same

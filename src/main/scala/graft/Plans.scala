@@ -1641,6 +1641,11 @@ object Plans {
         |the sequential path (each entropy bit is read once across all
         |scans), so the 100 TB argument is unchanged: scale = partitions,
         |no exchange, no skew coupling.""".stripMargin,
+    "q391_exif_metadata" ->
+      """EXIF profiling: the cheapest media shape on the board — one
+        |narrow mapPartitions, header-only walk (stops at APP1, no
+        |entropy/pixel work), 7 scalars/row. The 100 TB profiling pass
+        |that gates which payloads ever reach a pixel decoder.""".stripMargin,
     "q390_png_full" ->
       """Generalized PNG decode: the q375 media shape — one narrow
         |mapPartitions (synth, chunk walk, inflate, five-filter

@@ -3954,6 +3954,15 @@ object SparkEntry {
       graft.ext.Png.pngFullStats(Tables.documents(s, d))
     },
 
+    // EXIF metadata extraction: APP1 locate, TIFF byte-order dispatch
+    // (II and MM both exercised), IFD0 + 0x8769 sub-IFD walk — the
+    // pre-decode profiling pass (orientation/dims/ISO) image pipelines
+    // run over whole corpora without touching pixels
+    "q391_exif_metadata" -> { (s, d) =>
+      implicit val sp: SparkSession = s
+      graft.ext.Exif.exifStats(Tables.documents(s, d))
+    },
+
     // dual-detector dedup audit: Rand pair-counting agreement between
     // MinHash-LSH clusters (q22) and SimHash buckets (q49) — three
     // contingency aggregates, never the quadratic pair set
@@ -4472,6 +4481,7 @@ object SparkEntry {
     "q387_adpcm_audio" -> Oracles.adpcmStats,
     "q388_mjpeg_video" -> Oracles.mjpegStats,
     "q389_audio_features" -> Oracles.audioFeatures,
-    "q390_png_full" -> Oracles.pngFullStats
+    "q390_png_full" -> Oracles.pngFullStats,
+    "q391_exif_metadata" -> Oracles.exifStats
   )
 }
