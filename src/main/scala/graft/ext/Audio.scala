@@ -96,14 +96,7 @@ object Audio {
 
   // ------------------------------------------------------- RIFF parse
 
-  private def u16le(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-  private def u32le(b: Array[Byte], o: Int): Long =
-    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
-      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
-  private def fourcc(b: Array[Byte], o: Int, s: String): Boolean =
-    (b(o) & 0xff) == s.charAt(0) && (b(o + 1) & 0xff) == s.charAt(1) &&
-      (b(o + 2) & 0xff) == s.charAt(2) && (b(o + 3) & 0xff) == s.charAt(3)
+  import Riff.{u16le, u32le, fourcc}
 
   final case class WavInfo(formatTag: Int, channels: Int, sampleRate: Int,
                            blockAlign: Int, bitsPerSample: Int,
@@ -179,6 +172,10 @@ object Audio {
           w.dataLen % w.blockAlign == 0 =>
         val nBlocks = w.dataLen / w.blockAlign
         val perBlock = 1 + (w.blockAlign - 4) * 2
+        // adversarial-size guard: nBlocks·perBlock can wrap Int for a
+        // GB-scale data chunk — compute in Long and degrade to None
+        // (2^26 samples = 128 MiB of PCM, far past any sane payload)
+        if (nBlocks.toLong * perBlock > (1L << 26)) return None
         val out = new Array[Short](nBlocks * perBlock)
         var pred = 0; var idx = 0
         var blk = 0

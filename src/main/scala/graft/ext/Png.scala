@@ -74,9 +74,19 @@ object Png {
   /** Decode the full supported repertoire: bit depths 8/16, color types
     * 0/2/3/4/6, interlace 0/1. Palette images resolve to RGB8 (3
     * channels, depth 8 in the result); 16-bit output keeps big-endian
-    * byte pairs. None on anything malformed or out of scope.
+    * byte pairs. None on anything malformed or out of scope — with the
+    * same defensive catch as [[Jpeg.decode]] so a residual
+    * out-of-bounds read on an adversarial stream degrades instead of
+    * crashing the task.
     */
-  private[ext] def decodeFull(b: Array[Byte]): Option[PngFull] = {
+  private[ext] def decodeFull(b: Array[Byte]): Option[PngFull] =
+    try decodeFullImpl(b)
+    catch {
+      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException =>
+        None
+    }
+
+  private def decodeFullImpl(b: Array[Byte]): Option[PngFull] = {
     val sigOk = b.length >= 45 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
       b(2) == 'N' && b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a &&
       b(6) == 0x1a && b(7) == 0x0a && be32(b, 8) == 13L &&
@@ -157,12 +167,16 @@ object Png {
     while (p < passes.length) {
       val (pw, ph) = passes(p)
       if (pw > 0 && ph > 0) {
-        val dst = new Array[Byte](pw * ph * bpp)
-        val used = unfilterPass(raw, rawOff, dst, pw, ph, bpp)
-        if (used < 0) return None
-        rawOff += used
-        if (interlace == 0) System.arraycopy(dst, 0, px, 0, dst.length)
-        else {
+        if (interlace == 0) {
+          // the single pass IS the raster — unfilter straight into px
+          val used = unfilterPass(raw, rawOff, px, pw, ph, bpp)
+          if (used < 0) return None
+          rawOff += used
+        } else {
+          val dst = new Array[Byte](pw * ph * bpp)
+          val used = unfilterPass(raw, rawOff, dst, pw, ph, bpp)
+          if (used < 0) return None
+          rawOff += used
           val (x0, y0, dx, dy) = Adam7(p)
           var j = 0
           while (j < ph) {
@@ -180,6 +194,9 @@ object Png {
     }
     if (colorType != 3) Some(PngFull(wi, hi, channels, bitDepth, px))
     else { // resolve indices through the palette to RGB8
+      // the rawLen guard bounds INDEX bytes (1/px); expansion is 3x and
+      // can wrap Int on dims that passed it — compute in Long, degrade
+      if (wi.toLong * hi * 3 > (1L << 30)) return None
       val n = palette.length / 3
       val out = new Array[Byte](wi * hi * 3)
       var k = 0

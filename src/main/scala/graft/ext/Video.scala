@@ -21,12 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object Video {
 
-  private def u32le(b: Array[Byte], o: Int): Long =
-    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
-      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
-  private def fourcc(b: Array[Byte], o: Int, s: String): Boolean =
-    (b(o) & 0xff) == s.charAt(0) && (b(o + 1) & 0xff) == s.charAt(1) &&
-      (b(o + 2) & 0xff) == s.charAt(2) && (b(o + 3) & 0xff) == s.charAt(3)
+  import Riff.{u32le, fourcc}
 
   final case class AviInfo(declaredFrames: Int, width: Int, height: Int,
                            frames: Seq[Array[Byte]])
@@ -42,7 +37,10 @@ object Video {
       return None
     var declared = -1; var w = 0; var h = 0
     val frames = Seq.newBuilder[Array[Byte]]
-    def walk(from: Int, to: Int, inMovi: Boolean): Boolean = {
+    def walk(from: Int, to: Int, inMovi: Boolean, depth: Int): Boolean = {
+      // real AVIs nest at most hdrl→strl (+odml); a crafted stream of
+      // back-to-back LIST headers must not blow the JVM stack
+      if (depth > 16) return false
       var p = from
       while (p + 8 <= to) {
         val sz = u32le(b, p + 4)
@@ -52,7 +50,7 @@ object Video {
           if (sz < 4) return false
           val isMovi = fourcc(b, body, "movi")
           // hdrl/strl/movi all nest plain chunks — recurse past the type
-          if (!walk(body + 4, body + sz.toInt, inMovi || isMovi))
+          if (!walk(body + 4, body + sz.toInt, inMovi || isMovi, depth + 1))
             return false
         } else if (fourcc(b, p, "avih")) {
           if (sz < 40) return false
@@ -70,7 +68,7 @@ object Video {
       }
       true
     }
-    if (!walk(12, b.length, inMovi = false) || declared < 0) None
+    if (!walk(12, b.length, inMovi = false, depth = 0) || declared < 0) None
     else Some(AviInfo(declared, w, h, frames.result()))
   }
 
