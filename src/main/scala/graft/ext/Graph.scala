@@ -70,7 +70,10 @@ object Graph {
       val sums = withDeg.join(prSide, withDeg("src") === prSide("id"))
         .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
         .groupBy("id").agg(sum("c").as("s"))
-      pr = nodes.join(sums, Seq("id"), "left")
+      // small arm: sums is keyspace-sized too — broadcast it into the
+      // node fold-back (build side of the LEFT join), so the pinned node
+      // relation (unknown stats) is never re-shuffled per round
+      pr = nodes.join(if (small) broadcast(sums) else sums, Seq("id"), "left")
         .na.fill(0L, Seq("s"))
         .select(col("id"),
           (lit(15L * scale / 100L) + expr("(85 * s) div 100")).as("pr"))
@@ -116,7 +119,9 @@ object Graph {
       val sums = withDeg.join(prSide, withDeg("src") === prSide("id"))
         .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
         .groupBy("id").agg(sum("c").as("s"))
-      pr = nodes.join(sums, Seq("id"), "left")
+      // small arm: broadcast the keyspace-sized sums into the node
+      // fold-back — the [[pageRank]] rationale
+      pr = nodes.join(if (small) broadcast(sums) else sums, Seq("id"), "left")
         .na.fill(0L, Seq("s"))
         .select(col("id"),
           (col("__seed") * lit(15L * scale / 100L) + expr("(85 * s) div 100")).as("pr"),
@@ -131,11 +136,23 @@ object Graph {
     * together). Pair expansion is quadratic in GROUP size, not corpus
     * size — bounded by the natural basket width; the projection of a
     * bipartite relation into its item side.
+    *
+    * ONE corpus exchange: facts repartition on the group key, the
+    * (g, item) dedup reuses that partitioning (hash on `g` clusters
+    * `(g, item)` — the subset rule), and the per-group self-join is
+    * CO-LOCATED (both legs hang off the same exchange, reused). The
+    * first cut ran two full distinct exchanges plus two more to align
+    * the join — 4 corpus-sized exchanges where this shape pays 1
+    * (the [[associationRules]] layout, which always had it).
     */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
-    val a = df.select(col(groupCol).as("g"), col(itemCol).as("u")).distinct()
-    val b = df.select(col(groupCol).as("g"), col(itemCol).as("v")).distinct()
-    a.join(b, "g").filter(col("u") < col("v")).select("u", "v").distinct()
+    val items = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .repartition(col("g"))
+      .dropDuplicates("g", "item")
+    items.select(col("g"), col("item").as("u"))
+      .join(items.select(col("g"), col("item").as("v")), "g")
+      .filter(col("u") < col("v"))
+      .select("u", "v").distinct()
   }
 
   /** Market-basket association rules (Agrawal et al., SIGMOD 1993) over
@@ -251,7 +268,8 @@ object Graph {
     * fact rows. `localCheckpoint(eager)` per round keeps lineage O(1),
     * the same discipline as [[pageRank]] / [[kCorePeel]].
     */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       broadcastNodeLimit: Long = 4000000L): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     // checkpoint the UNDIRECTED list first: the symmetric view references
     // it twice (union of both orientations) — un-cut, one checkpoint job
@@ -261,10 +279,19 @@ object Graph {
     val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
       .pin()
     val nodes = sym.select(col("u").as("id")).distinct().pin()
+    // two-arm gate, the [[pageRank]] pattern: labels are EXACTLY one row
+    // per node, but a pinned relation reports unknown stats (LogicalRDD),
+    // so the planner sort-merge-joins it against the edge list and pays
+    // an edge-sized exchange EVERY round. Below the limit, broadcast the
+    // keyspace-sized side explicitly — the edge relation then never
+    // re-shuffles for the join; past it (billion-node graphs) the
+    // shuffle join is the only correct posture. Identical rows either way.
+    val small = nodes.count() <= broadcastNodeLimit
     var labels = nodes.withColumn("lbl", col("id"))
     for (_ <- 1 to rounds) {
+      val lblSide = labels.select(col("id").as("u"), col("lbl").as("nl"))
       labels = sym
-        .join(labels.select(col("id").as("u"), col("lbl").as("nl")), "u")
+        .join(if (small) broadcast(lblSide) else lblSide, "u")
         .select(col("v").as("id"), col("nl"))
         .groupBy("id", "nl")
         .agg(count(lit(1)).as("c"))
@@ -296,18 +323,25 @@ object Graph {
     * settled relation grows monotonically but is only ever probed by
     * key (anti-join), never expanded.
     */
-  def bfsDistances(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+  def bfsDistances(edges: DataFrame, sources: DataFrame, rounds: Int,
+                   broadcastNodeLimit: Long = 4000000L): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val und = edges.select(col("u"), col("v")).pin()
     val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
       .pin()
+    // two-arm gate on the (conservative) edge count: frontier and settled
+    // are keyspace-sized, but pinned relations report unknown stats, so
+    // the planner would shuffle the symmetric edge list against them
+    // every round. Identical rows either way.
+    val small = und.count() <= broadcastNodeLimit
+    def gate(d: DataFrame): DataFrame = if (small) broadcast(d) else d
     var settled = sources.select(col("id")).distinct()
       .withColumn("dist", lit(0L)).pin()
     var frontier = settled.select("id")
     for (i <- 1 to rounds) {
-      val newf = sym.join(frontier.select(col("id").as("u")), "u")
+      val newf = sym.join(gate(frontier.select(col("id").as("u"))), "u")
         .select(col("v").as("id")).distinct()
-        .join(settled.select("id"), Seq("id"), "left_anti")
+        .join(gate(settled.select("id")), Seq("id"), "left_anti")
         .pin()
       settled = settled.unionAll(newf.withColumn("dist", lit(i.toLong)))
         .pin()
@@ -334,16 +368,21 @@ object Graph {
     * keeps lineage O(1). On graphs where distances stabilize early the
     * frontier empties and later rounds are no-ops.
     */
-  def shortestPaths(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+  def shortestPaths(edges: DataFrame, sources: DataFrame, rounds: Int,
+                    broadcastNodeLimit: Long = 4000000L): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val und = edges.select(col("u"), col("v"), col("w")).pin()
     val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v"), col("w")))
       .pin()
+    // two-arm frontier-broadcast gate on the (conservative) edge count —
+    // the [[bfsDistances]] rationale; identical rows either way
+    val small = und.count() <= broadcastNodeLimit
     var dist = sources.select(col("id")).distinct()
       .withColumn("dist", lit(0L)).pin()
     var frontier = dist
     for (_ <- 1 to rounds) {
-      val cand = sym.join(frontier.select(col("id").as("u"), col("dist").as("du")), "u")
+      val fSide = frontier.select(col("id").as("u"), col("dist").as("du"))
+      val cand = sym.join(if (small) broadcast(fSide) else fSide, "u")
         .select(col("v").as("id"), (col("du") + col("w")).as("dist"))
         .groupBy("id").agg(min("dist").as("dist"))
       val improved = cand
@@ -391,12 +430,25 @@ object Graph {
     val und = edges.select(col("u"), col("v")).pin()
     val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      .pin() // feeds BOTH orientation joins + the arm gate: unpinned, each
+             // join re-aggregated the edge list and the gate paid its own
+             // O(m) pass over `oriented`
+    // |oriented| = |und| = Σd/2 — read the gate count off the NODE-sized
+    // pinned degree relation instead of scanning the edge list again
+    val degSum = deg.agg(sum("d")).head()
+    val edgeCount = (if (degSum.isNullAt(0)) 0L else degSum.getLong(0)) / 2
+    val small = edgeCount <= broadcastEdgeLimit
+    // below the limit the keyspace-sized degree relation broadcasts into
+    // the orientation joins (pinned stats are unknown, so the planner
+    // alone would shuffle the edge list twice); same arm as the closing
+    // join — identical rows either way
+    def gate(d: DataFrame): DataFrame = if (small) broadcast(d) else d
     // orient: src = smaller (deg, id), dst = larger — a total order, so
     // the oriented graph is acyclic and every triangle has ONE wedge
     // (a→b, a→c, b→c) with a < b < c in orientation order
     val oriented = und
-      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .join(gate(deg.select(col("n").as("u"), col("d").as("du"))), "u")
+      .join(gate(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
       .select(
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
           .otherwise(col("v")).as("src"),
@@ -406,9 +458,7 @@ object Graph {
     val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
     val e2 = oriented.select(col("src").as("b"), col("dst").as("c"))
     val e3 = oriented.select(col("src").as("a"), col("dst").as("c"))
-    // automatic arm gate: oriented is checkpointed, so the count reads
-    // cached blocks — O(partitions) driver work, no recompute
-    val closing = if (oriented.count() <= broadcastEdgeLimit) broadcast(e3) else e3
+    val closing = if (small) broadcast(e3) else e3
     val tris = e1.join(e2, "b").join(closing, Seq("a", "c"))
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("triangles"))
@@ -484,24 +534,41 @@ object Graph {
     * iterative-lineage discipline). Nothing is ever broadcast-sized but
     * the survivor keys, and those only if Spark's own stats choose to.
     */
-  def kCore(edges: DataFrame, k: Int, rounds: Int = 12): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 12,
+            broadcastNodeLimit: Long = 4000000L): DataFrame = {
     require(k >= 1 && rounds >= 1, s"bad kCore params: k=$k rounds=$rounds")
     val und = edges.select(col("u"), col("v"))
+    // symmetric, deduped (deg = out-deg), HASH-PARTITIONED ON u: the
+    // dedup aggregate reuses the explicit u-exchange (subset rule), the
+    // pin preserves the partitioning, and every round's degree aggregate
+    // — groupBy(u) over a u-partitioned relation — then needs NO
+    // exchange; when the survivor set broadcasts, whole rounds run
+    // exchange-free. The first cut deduped with distinct() (an exchange
+    // on the FULL (u,v) key) whose partitioning no later step could use,
+    // so each round re-shuffled the surviving edge list for its degrees.
     var e = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
-      .distinct().pin() // symmetric, deduped: deg = out-deg
+      .repartition(col("u")).dropDuplicates("u", "v").pin()
     // early-exit at the fixpoint: each round's result is eagerly
     // checkpointed anyway, so the edge count is O(partitions) driver
     // work; idempotence means stopping early returns the SAME rows the
     // full `rounds` unroll would (the oracle replays the full unroll) —
     // the remaining rounds are pure wasted O(m) scans at any scale
     var n = e.count()
+    // two-arm gate (the [[pageRank]] pattern): the survivor set is
+    // keyspace-sized but pinned relations report unknown stats, so the
+    // planner would shuffle the full edge list against it twice per
+    // round; below the limit broadcast the survivors — rounds then never
+    // re-shuffle the edge relation. Gated on the EDGE count (≥ node
+    // count — conservative); identical rows either way.
+    val small = n <= broadcastNodeLimit
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
       val keep = e.groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("u").as("n"))
-      e = e.join(keep.select(col("n").as("u")), Seq("u"))
-        .join(keep.select(col("n").as("v")), Seq("v"))
+      val keepSide = if (small) broadcast(keep) else keep
+      e = e.join(keepSide.select(col("n").as("u")), Seq("u"))
+        .join(keepSide.select(col("n").as("v")), Seq("v"))
         .select("u", "v").pin()
       val n2 = e.count()
       converged = n2 == n
@@ -539,26 +606,42 @@ object Graph {
   def neighborhoodFunction(edges: DataFrame, rounds: Int,
                            log2m: Int = 4): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    val m = 1 << log2m
     val e = edges.select(col("src"), col("dst"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val (bucket, rank) = Sketch.hllBucketRank(col("node"), log2m)
-    var regs = nodes.select(col("node"), bucket.as("bucket"), rank.as("reg"))
+    // DENSE register layout: ONE row per node with m register columns
+    // (0 = empty bucket — true ranks are ≥ 1 by construction). The first
+    // cut carried one (node, bucket, reg) row per TOUCHED register, so
+    // the per-round neighbor join fanned out m× the edge count and the
+    // max-merge aggregate keyed m× the node count; dense rows ship the
+    // same register bytes with 1/m of the row overhead and an m-column
+    // max() merge that stays map-side combined per NODE. Register values
+    // are identical bucket-for-bucket, so the histogram is unchanged.
+    val rCols = (0 until m).map(i => s"__r$i")
+    var regs = nodes.select(col("node") +:
+      (0 until m).map(i =>
+        when(bucket === i, rank).otherwise(lit(0)).cast("int").as(rCols(i))): _*)
       .pin()
     // each round's histogram is EAGERLY checkpointed (≤ rank-range rows)
     // before the round's register blocks are freed — a lazy histogram
     // would still reference blocks a localCheckpoint cannot recompute
     def hist(t: Int, r: DataFrame): DataFrame =
-      r.groupBy(col("reg")).agg(count(lit(1)).as("n_buckets"))
+      r.select(explode(array(rCols.map(col): _*)).as("reg"))
+        .filter(col("reg") > 0) // 0 = empty bucket, absent in sparse form
+        .groupBy(col("reg")).agg(count(lit(1)).as("n_buckets"))
         .select(lit(t).as("round"), col("reg").cast("int").as("reg"),
           col("n_buckets"))
         .pin()
     var out = hist(0, regs)
     for (t <- 1 to rounds) {
       val fromNbrs = e.join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
-        .select(col("src").as("node"), col("bucket"), col("reg"))
+        .select(col("src").as("node") +: rCols.map(col): _*)
       val next = regs.unionByName(fromNbrs)
-        .groupBy(col("node"), col("bucket")).agg(max(col("reg")).as("reg"))
+        .groupBy(col("node"))
+        .agg(max(col(rCols.head)).as(rCols.head),
+          rCols.tail.map(c => max(col(c)).as(c)): _*)
         .pin()
       Clustering.unpersistCheckpoint(regs)
       regs = next
@@ -620,7 +703,10 @@ object Graph {
         .groupBy(col(groupKey).as("id"))
         .agg(sum(col(scoreCol)).as("s"))
       val m = raw.agg(max(col("s")).as("m"))
-      nodes.join(raw, Seq("id"), "left")
+      // small arm: the keyspace-sized half-step sums broadcast into the
+      // node fold-back (the [[pageRank]] rationale) — the pinned node
+      // relation is never re-shuffled per half-step
+      nodes.join(if (small) broadcast(raw) else raw, Seq("id"), "left")
         .crossJoin(broadcast(m))
         .select(col("id"),
           expr(s"coalesce(s, 0L) * $scale div m").as(out))
@@ -674,9 +760,14 @@ object Graph {
     require(m > 0, "modularityReport needs at least one edge")
     val lab = labels.select(col("node_id"), col("community"))
       .pin()
+    // keyspace-sized labels vs unknown pinned stats: same two-arm gate as
+    // [[labelPropagation]] — broadcast below the limit (edge count ≥ node
+    // count, conservative), shuffle join above it. Identical rows.
+    def labSide(d: DataFrame): DataFrame =
+      if (m <= 4000000L) broadcast(d) else d
     val eIn = und
-      .join(lab.select(col("node_id").as("u"), col("community").as("cu")), "u")
-      .join(lab.select(col("node_id").as("v"), col("community").as("cv")), "v")
+      .join(labSide(lab.select(col("node_id").as("u"), col("community").as("cu"))), "u")
+      .join(labSide(lab.select(col("node_id").as("v"), col("community").as("cv"))), "v")
       .filter(col("cu") === col("cv"))
       .groupBy(col("cu").as("community"))
       .agg(count(lit(1)).as("e_in"))
@@ -716,10 +807,15 @@ object Graph {
     val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
       .pin() // feeds both endpoint joins and the node count
+    // keyspace-sized degrees vs unknown pinned stats: broadcast below the
+    // (conservative, edge-count) limit so the symmetric edge stream never
+    // shuffles for its decoration joins; identical rows either way
+    val small = und.count() <= 4000000L
+    def gate(d: DataFrame): DataFrame = if (small) broadcast(d) else d
     val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
     val pts = sym
-      .join(deg.select(col("n").as("u"), col("d").as("dx")), "u")
-      .join(deg.select(col("n").as("v"), col("d").as("dy")), "v")
+      .join(gate(deg.select(col("n").as("u"), col("d").as("dx"))), "u")
+      .join(gate(deg.select(col("n").as("v"), col("d").as("dy"))), "v")
     val nn = deg.agg(count(lit(1)).as("n_nodes"))
     pts
       .agg(count(lit(1)).as("mm"), sum("dx").as("sx"),
@@ -760,9 +856,21 @@ object Graph {
     val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
       .pin() // feeds both orientation joins + the output
+    // automatic arm gate: |oriented| = |und| = Σdeg/2, and deg is already
+    // checkpointed — so the gate reads the NODE-sized cached relation
+    // instead of scanning the edge list (the r8 gate's oriented.count()
+    // was an extra O(m) cached pass per execution; part of the q306
+    // 5.65→7.59 s drift the r8 verdict flagged)
+    val degSum = deg.agg(sum("d")).head()
+    val edgeCount = (if (degSum.isNullAt(0)) 0L else degSum.getLong(0)) / 2
+    val small = edgeCount <= broadcastEdgeLimit
+    // below the limit the keyspace-sized degree relation broadcasts into
+    // the orientation joins (pinned stats are unknown, so the planner
+    // alone would shuffle the edge list twice); identical rows either way
+    def gate(d: DataFrame): DataFrame = if (small) broadcast(d) else d
     val oriented = und
-      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .join(gate(deg.select(col("n").as("u"), col("d").as("du"))), "u")
+      .join(gate(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
       .select(
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
           .otherwise(col("v")).as("src"),
@@ -772,14 +880,7 @@ object Graph {
     val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
     val e2 = oriented.select(col("src").as("b"), col("dst").as("c"))
     val e3 = oriented.select(col("src").as("a"), col("dst").as("c"))
-    // automatic arm gate: |oriented| = |und| = Σdeg/2, and deg is already
-    // checkpointed — so the gate reads the NODE-sized cached relation
-    // instead of scanning the edge list (the r8 gate's oriented.count()
-    // was an extra O(m) cached pass per execution; part of the q306
-    // 5.65→7.59 s drift the r8 verdict flagged)
-    val degSum = deg.agg(sum("d")).head()
-    val edgeCount = (if (degSum.isNullAt(0)) 0L else degSum.getLong(0)) / 2
-    val closing = if (edgeCount <= broadcastEdgeLimit) broadcast(e3) else e3
+    val closing = if (small) broadcast(e3) else e3
     val tri = e1.join(e2, "b").join(closing, Seq("a", "c"))
       .select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("triangles"))

@@ -98,16 +98,21 @@ object SuffixDedup {
   private def gramSeed(toks: DataFrame, depth: Int): DataFrame = {
     val grams = rawGrams(toks, depth)
     grams.join(grams.groupBy("__g")
-        .agg(min(struct(col("d"), col("p"))).as("__rep")), Seq("__g"))
+        .agg(min(struct(col("d"), col("p"))).as("__rep"),
+          count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2) // ACTIVE positions only (see [[combine]])
+        .select(col("__g"), col("__rep")), Seq("__g"))
       .select(col("d"), col("p"),
         col("__rep.d").as("rd"), col("__rep.p").as("rp"))
       .pin()
   }
 
-  /** (d, p, rd, rp) for every position whose `minLen`-token window fits
-    * its document: (rd, rp) is the class representative — the minimal
-    * (doc, pos) whose window is token-for-token equal. Positions are
-    * 1-based (the repo's gram-position convention).
+  /** (d, p, rd, rp) for every position in a DUPLICATED (≥ 2 member)
+    * `minLen`-window class ([[combine]]'s active-position invariant;
+    * duplicated classes carry their exact full membership): (rd, rp) is
+    * the class representative — the minimal (doc, pos) whose window is
+    * token-for-token equal. Positions are 1-based (the repo's
+    * gram-position convention).
     */
   private[ext] def windowClasses(docs: DataFrame, minLen: Int,
                                  idCol: String, textCol: String): DataFrame = {
@@ -142,13 +147,36 @@ object SuffixDedup {
     * pair equality ⟺ (a+b)-window equality with NO overlap requirement;
     * with a = b and shift < a it is the overlapped combine (equality at
     * depth a+shift). Both reduce to the same relational step.
+    *
+    * ==Active-position pruning (the classic prefix-doubling work-list)==
+    * Every class relation in this module is pruned to members of
+    * DUPLICATED (≥ 2 member) classes — fused into the join-back for free
+    * (the rep aggregate already passes over every class; keeping its
+    * count and filtering the build side adds no exchange). Sound by
+    * induction: if position p belongs to a duplicated class at depth
+    * a+shift, some p' ≠ p shares the whole window, so p and p' share
+    * the depth-a class (both survive `a`'s pruning) AND p+shift ≠
+    * p'+shift share the right-side class (both survive `b`'s pruning) —
+    * every member of every duplicated class survives every level, with
+    * its exact membership and min-member representative. Only singleton
+    * classes drop out, and no consumer reads those: the climb predicates
+    * ask for ≥ 2 members (or both corpus tags — which implies ≥ 2), the
+    * span/trim/top-repeat readouts filter to duplicated classes, and
+    * [[dupWindowPositions]] IS the duplicated-member set. The payoff is
+    * the scale shape: each level's state is the (rapidly shrinking)
+    * duplicated-position set instead of every in-bounds position — on a
+    * corpus with sparse duplication the deep rounds run on near-empty
+    * relations instead of the full position set.
     */
   private def combine(a: DataFrame, b: DataFrame, shift: Int): DataFrame = {
     val right = b.select(col("d"), (col("p") - shift).as("p"),
       col("rd").as("rd2"), col("rp").as("rp2"))
     val paired = a.join(right, Seq("d", "p"))
     val reps = paired.groupBy("rd", "rp", "rd2", "rp2")
-      .agg(min(struct(col("d"), col("p"))).as("__rep"))
+      .agg(min(struct(col("d"), col("p"))).as("__rep"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2) // active positions only
+      .select(col("rd"), col("rp"), col("rd2"), col("rp2"), col("__rep"))
     paired.join(reps, Seq("rd", "rp", "rd2", "rp2"))
       .select(col("d"), col("p"),
         col("__rep.d").as("rd"), col("__rep.p").as("rp"))
@@ -170,7 +198,10 @@ object SuffixDedup {
       col("__g"))
     val paired = a.join(right, Seq("d", "p"))
     val reps = paired.groupBy("rd", "rp", "__g")
-      .agg(min(struct(col("d"), col("p"))).as("__rep"))
+      .agg(min(struct(col("d"), col("p"))).as("__rep"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2) // active positions only (see [[combine]])
+      .select(col("rd"), col("rp"), col("__g"), col("__rep"))
     paired.join(reps, Seq("rd", "rp", "__g"))
       .select(col("d"), col("p"),
         col("__rep.d").as("rd"), col("__rep.p").as("rp"))
@@ -252,17 +283,15 @@ object SuffixDedup {
   }
 
   /** Positions (doc, p) whose `minLen`-window text occurs ≥ 2 times in
-    * the corpus (any document, any position). One aggregate over the
-    * class relation + a semi join back.
+    * the corpus (any document, any position). The class relation is
+    * pruned to duplicated-class members ([[combine]]'s active-position
+    * invariant), so its position set IS the answer — the first cut paid
+    * a whole-relation aggregate plus a semi join here to filter what the
+    * construction now never materializes.
     */
   private[ext] def dupWindowPositions(docs: DataFrame, minLen: Int,
-                                      idCol: String, textCol: String): DataFrame = {
-    val r = windowClasses(docs, minLen, idCol, textCol)
-    val dupClasses = r.groupBy("rd", "rp").agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") >= 2)
-    r.join(dupClasses.select("rd", "rp"), Seq("rd", "rp"))
-      .select(col("d"), col("p"))
-  }
+                                      idCol: String, textCol: String): DataFrame =
+    windowClasses(docs, minLen, idCol, textCol).select(col("d"), col("p"))
 
   /** Maximal duplicated spans, the paper's output unit: one row per
     * maximal run of consecutive duplicated window starts — (doc_id,
