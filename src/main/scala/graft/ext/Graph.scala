@@ -55,7 +55,10 @@ object Graph {
                srcCol: String = "src", dstCol: String = "dst",
                broadcastNodeLimit: Long = 4000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // pin the edge projection once: it feeds the node derivation (twice)
+    // AND the degree/partition setup — unpinned, each consumer re-ran the
+    // caller's whole edge construction (for q95 a corpus distinct + union)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).pin()
     val nodes = e0.select(col("src").as("id"))
       .union(e0.select(col("dst").as("id"))).distinct()
       .pin()
@@ -101,7 +104,9 @@ object Graph {
                            srcCol: String = "src", dstCol: String = "dst",
                            broadcastNodeLimit: Long = 4000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // pinned once — the [[pageRank]] rationale (node derivation + setup
+    // each re-ran the caller's edge construction otherwise)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).pin()
     val nodes = e0.select(col("src").as("id"))
       .union(e0.select(col("dst").as("id"))).distinct()
       .join(seeds.select(col("id")).distinct().withColumn("__seed", lit(1L)),
@@ -607,9 +612,17 @@ object Graph {
                            log2m: Int = 4): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val m = 1 << log2m
-    val e = edges.select(col("src"), col("dst"))
+    // pin the edge list once: unpinned, every round's neighbor join (and
+    // the node derivation) re-ran the caller's whole edge construction —
+    // for q273 a corpus scan + distinct + symmetric union PER ROUND
+    val e = edges.select(col("src"), col("dst")).pin()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+    // two-arm gate (the [[pageRank]] pattern): the register relation is
+    // one row per node, but pinned stats are unknown, so the planner
+    // would shuffle the edge list against it every round; broadcast it
+    // below the (conservative, edge-count) limit. Identical rows.
+    val small = e.count() <= 4000000L
     val (bucket, rank) = Sketch.hllBucketRank(col("node"), log2m)
     // DENSE register layout: ONE row per node with m register columns
     // (0 = empty bucket — true ranks are ≥ 1 by construction). The first
@@ -636,7 +649,9 @@ object Graph {
         .pin()
     var out = hist(0, regs)
     for (t <- 1 to rounds) {
-      val fromNbrs = e.join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
+      val regsAsDst = regs.withColumnRenamed("node", "dst")
+      val fromNbrs = e.join(if (small) broadcast(regsAsDst) else regsAsDst,
+          Seq("dst"))
         .select(col("src").as("node") +: rCols.map(col): _*)
       val next = regs.unionByName(fromNbrs)
         .groupBy(col("node"))

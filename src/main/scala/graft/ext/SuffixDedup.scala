@@ -95,13 +95,27 @@ object SuffixDedup {
     *
     * `toks` is (d, __ws); output (d, p, rd, rp), positions 1-based.
     */
+  /** Callers pin `toks` (see [[windowClasses]] / the climb entry points),
+    * so both gram evaluations below are cheap cached scans — the window
+    * STRINGS are never pinned, only streamed. Below the limit the
+    * (already dup-pruned) rep table broadcasts, so the position stream
+    * never shuffles at all — the seed's one wide string-keyed exchange
+    * collapses to the small aggregate side; past it the exchange join is
+    * the correct posture (reps is corpus-scale there). The gate reads a
+    * POSITION-COUNT UPPER BOUND (Σ tokens) off the pinned token relation
+    * — a narrow aggregate that materializes no window text.
+    */
   private def gramSeed(toks: DataFrame, depth: Int): DataFrame = {
     val grams = rawGrams(toks, depth)
-    grams.join(grams.groupBy("__g")
-        .agg(min(struct(col("d"), col("p"))).as("__rep"),
-          count(lit(1)).as("__n"))
-        .filter(col("__n") >= 2) // ACTIVE positions only (see [[combine]])
-        .select(col("__g"), col("__rep")), Seq("__g"))
+    val reps = grams.groupBy("__g")
+      .agg(min(struct(col("d"), col("p"))).as("__rep"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2) // ACTIVE positions only (see [[combine]])
+      .select(col("__g"), col("__rep"))
+    val nTok = toks.agg(sum(size(col("__ws")))).head()
+    val nPos = if (nTok.isNullAt(0)) 0L else nTok.getLong(0)
+    val repSide = if (nPos <= 4000000L) broadcast(reps) else reps
+    grams.join(repSide, Seq("__g"))
       .select(col("d"), col("p"),
         col("__rep.d").as("rd"), col("__rep.p").as("rp"))
       .pin()
@@ -117,12 +131,16 @@ object SuffixDedup {
   private[ext] def windowClasses(docs: DataFrame, minLen: Int,
                                  idCol: String, textCol: String): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2 (1 would class single tokens)")
+    // pinned: tokenization runs ONCE — the seed reads the token relation
+    // three times (class aggregate, join-back probe, gate bound) and each
+    // unpinned read re-tokenized the whole corpus
     val base = docs
       .withColumn("__ws", TextAnalysis.tokens(col(textCol)))
       .select(col(idCol).cast("long").as("d"), col("__ws"),
         size(col("__ws")).cast("long").as("n"))
       .filter(col("n") >= minLen)
       .select(col("d"), col("__ws"))
+      .pin()
     // direct seed at depth min(4, largest power of two ≤ minLen) — the
     // first two doubling rounds collapse into one exchange
     var k = if (minLen >= 4) 4 else 2
@@ -504,8 +522,12 @@ object SuffixDedup {
       lit(null).cast("long").as("n_docs"),
       lit(null).cast("string").as("repeat_text"))
 
+    // pinned: the climb's direct-seeded levels, raw-gram combine bits,
+    // gate bounds, and the winner's text slice all read this relation —
+    // unpinned, each read re-tokenized the corpus
     val toks = docs.select(col(idCol).cast("long").as("d"),
       TextAnalysis.tokens(col(textCol)).as("__ws"))
+      .pin()
 
     def hasDup(r: DataFrame): Boolean =
       !r.groupBy("rd", "rp").agg(count(lit(1)).as("c"))
@@ -562,7 +584,8 @@ object SuffixDedup {
     def tagged(docs: DataFrame, tag: Int): DataFrame =
       docs.select((col(idCol).cast("long") * 2 + tag).as("d"),
         TextAnalysis.tokens(col(textCol)).as("__ws"))
-    val toks = tagged(docsA, 0).unionAll(tagged(docsB, 1))
+    // pinned — the [[longestRepeat]] rationale (tokenize once)
+    val toks = tagged(docsA, 0).unionAll(tagged(docsB, 1)).pin()
 
     // "some class spans both corpora": tag = pmod(d, 2) (ids are
     // 2·id + tag). pmod, NOT `%`: Spark's `%` truncates toward zero, so a
