@@ -119,7 +119,9 @@ object Bpe {
           .groupBy("word", "freq")
           .agg(transform(array_sort(collect_list(struct(col("i"), col("out")))),
             x => x.getField("out")).as("syms"))
-          .pin()
+          .pin() // per merge — the dict fans into pos/matches/sel ×3 next
+                 // round, so a sparser cadence multiplies recompute
+                 // (measured 1.6-2.1× WORSE with pin-every-other)
         rank += 1
       }
     }

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ext.Pin.PinOps
 
 /** TF-IDF document vectors over a capped vocabulary — the text-side
   * counterpart of the embedding similarity family: once a document is a
@@ -39,8 +40,12 @@ object TfIdf {
   def tfidfVectors(docs: DataFrame, vocabSize: Int = 64,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val nDocs = docs.count()
+    // pinned: the token stream feeds BOTH the vocabulary aggregate and
+    // the per-doc tf aggregate — unpinned, each consumer re-tokenized
+    // and re-exploded the whole corpus
     val toks = docs.select(col(idCol),
       explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+      .pin()
     val vocab = toks.groupBy("token")
       .agg(count(lit(1)).as("n"), countDistinct(col(idCol)).as("df"))
       .orderBy(col("n").desc, col("token")).limit(vocabSize)
