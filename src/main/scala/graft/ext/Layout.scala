@@ -27,6 +27,12 @@ object Layout {
     * the result is layout-invariant (the Determinism gate's property).
     */
   private[graft] def withGlobalRank(df: DataFrame, sortCols: Seq[String]): DataFrame = {
+    // NOTE (optimization round): a DataFrame-native variant (checkpoint
+    // the sorted frame, tiny partition-offset table, partition-local
+    // row_number window) measured consistently ~1.3× SLOWER here than
+    // zipWithIndex's double compute — the checkpoint write of the full
+    // frame plus the window's re-sort cost more than re-running one
+    // narrow range-exchange. Keep the classic device.
     val sorted = df.repartitionByRange(sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
     val schema = StructType(sorted.schema.fields :+
