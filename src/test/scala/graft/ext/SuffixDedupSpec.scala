@@ -39,6 +39,35 @@ class SuffixDedupSpec extends SparkSpec {
   private def spanSet(d: DataFrame): Set[(Long, Long, Long)] =
     d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
+  test("windowClasses: active-position pruning keeps EXACTLY the duplicated-class members") {
+    // The optimization-round invariant behind dupWindowPositions: the
+    // class relation is pruned to members of ≥ 2-member classes, with
+    // full membership — assert both directions against brute force on a
+    // corpus with singleton, cross-doc, and same-doc-repeat windows.
+    val corpus = Seq(
+      1L -> "a b c d e u1 u2 u3 u4 u5 a b c d e",       // self-repeat
+      2L -> "z1 a b c d e z2 z3 z4 z5 z6",              // cross-doc copy
+      3L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")           // all singleton
+    val minLen = 5
+    val got = SuffixDedup.dupWindowPositions(docs(corpus: _*), minLen,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: every 1-based position whose minLen-window text occurs
+    // ≥ 2 times anywhere in the corpus
+    val toks = corpus.map { case (i, t) =>
+      i -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq }
+    val counts = scala.collection.mutable.Map.empty[Seq[String], Int]
+    for ((_, ws) <- toks; p <- 0 to ws.length - minLen)
+      counts.updateWith(ws.slice(p, p + minLen))(c => Some(c.getOrElse(0) + 1))
+    val expected = toks.flatMap { case (id, ws) =>
+      (0 to ws.length - minLen)
+        .filter(p => counts(ws.slice(p, p + minLen)) >= 2)
+        .map(p => (id, p + 1L))
+    }.toSet
+    assert(got == expected)
+    assert(expected.nonEmpty && !got.exists(_._1 == 3L)) // singletons pruned
+  }
+
   test("dupSpans: hand corpus — shared 8-token block found, maximal, 1-based") {
     val shared = "a b c d e f g h"
     val corpus = Seq(
