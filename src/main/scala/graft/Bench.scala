@@ -179,7 +179,15 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (fileLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    val stdoutLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"codegen_bailouts":$bailedJson,"reps":$reps,"probe":"xxhash64-checksum","calibration":$calJson,"sf":"$sfDir","queries_file":"BENCH_LOCAL.json"}"""
+    // r13 (additions-only, VERDICT #2): the per-query map ALSO rides the
+    // stable result FILE so the driver's PERF comparison can read
+    // per-query seconds without depending on the gitignore state of
+    // BENCH_LOCAL.json. stdout stays the SHORT line — a 391-entry map
+    // (~14 KB) would overflow the driver's 2000-char stdout tail window
+    // and truncate the leading "metric" field off the front (the exact
+    // round-4 "parsed": null failure), losing the suite total.
+    val stdoutLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"codegen_bailouts":$bailedJson,"reps":$reps,"probe":"xxhash64-checksum","calibration":$calJson,"sf":"$sfDir","queries_file":"BENCH_LOCAL.json","queries":$qs}"""
+    val stdoutShort = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"codegen_bailouts":$bailedJson,"reps":$reps,"probe":"xxhash64-checksum","calibration":$calJson,"sf":"$sfDir","queries_file":"BENCH_LOCAL.json"}"""
     // Belt-and-braces for the driver's parser (BENCH_r04/r05 both came
     // back "parsed": null — the stdout line carried sbt's "[info] "
     // prefix): the exact stdout object also lands in a stable file the
@@ -188,7 +196,7 @@ object Bench {
       (stdoutLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     System.out.flush(); System.err.flush()
-    println(stdoutLine)
+    println(stdoutShort)
     System.out.flush()
   }
 }

@@ -45,9 +45,21 @@ object PlanTrace {
       }
       spark.listenerManager.register(listener)
       Bench.probe(SparkEntry.queries(name)(spark, sfDir))
-      // listener events post asynchronously; give the bus time to drain
-      // (dev tool — a fixed grace beats depending on private bus APIs)
-      Thread.sleep(3000)
+      // listener events post asynchronously; poll until the output file
+      // size is stable for a full second (bounded at 30 s) instead of a
+      // fixed sleep — a loaded box could outlast any constant grace and
+      // silently truncate the trace (ADVICE r12). Single-query-at-a-time
+      // by design: the listener is session-global, so a concurrent job in
+      // this session would interleave into the current query's file.
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 10 && waited < 300) {
+        Thread.sleep(100)
+        waited += 1
+        val sz = if (Files.exists(out)) Files.size(out) else 0L
+        if (sz == last) stable += 1 else { stable = 0; last = sz }
+      }
       spark.listenerManager.unregister(listener)
       println(s"$name: ${Files.size(out)} bytes -> $out")
     }
