@@ -118,6 +118,15 @@ object Clustering {
     // map-side combine collapses the n·k candidate stream to n rows
     // before the single vec_id shuffle. Struct ordering is field-order
     // lexicographic ⇒ (min dist, min cid) tie-break.
+    // NOTE (r13): the struct buffer forces SortAggregate; the
+    // DECIMAL(38,0) `dist·2⁶⁴ + (cid + 2⁶³)` packing (HashAggregate-
+    // eligible, identical argmin — the SuffixDedup packDP device)
+    // measured FLAT to ~8% WORSE here in interleaved A/B (q99 1.27→1.18
+    // but q106 4.2→4.4, q181 4.8→5.2): groups are only k ≈ √n rows, so
+    // the saved sort is small while the 16-byte decimal arithmetic taxes
+    // every one of the n·k candidate rows. Reverted — the packing pays
+    // where the aggregate input is the dominant stream (the suffix
+    // gram/position relations), not here.
     def assigned: DataFrame = {
       val centDf = {
         import scala.jdk.CollectionConverters._

@@ -293,6 +293,15 @@ object Graph {
     // shuffle join is the only correct posture. Identical rows either way.
     val small = nodes.count() <= broadcastNodeLimit
     var labels = nodes.withColumn("lbl", col("id"))
+    // arg-max packing: (c, −lbl) rides ONE DECIMAL(38,0) `c·2⁶⁴ +
+    // (−lbl + 2⁶³)` — a struct-typed max buffer is not
+    // HashAggregate-eligible, so the per-round arg-max ran as
+    // SortAggregate (full sort of the (node, label) count relation every
+    // round). c ≥ 1 and the offset keeps −lbl in [0, 2⁶⁴) for any long
+    // label, so the packing is injective and order-isomorphic to
+    // struct(c, −lbl) — identical (max count, min label) tie-break.
+    val shift = lit(new java.math.BigDecimal("18446744073709551616")) // 2^64
+    val offset = lit(new java.math.BigDecimal("9223372036854775808")) // 2^63
     for (_ <- 1 to rounds) {
       val lblSide = labels.select(col("id").as("u"), col("lbl").as("nl"))
       labels = sym
@@ -301,8 +310,9 @@ object Graph {
         .groupBy("id", "nl")
         .agg(count(lit(1)).as("c"))
         .groupBy("id")
-        .agg(max(struct(col("c"), (-col("nl")).as("neg"))).as("best"))
-        .select(col("id"), (-col("best")("neg")).as("lbl"))
+        .agg(max(col("c").cast("decimal(38,0)") * shift +
+          ((-col("nl")).cast("decimal(38,0)") + offset)).as("m"))
+        .select(col("id"), (offset - pmod(col("m"), shift)).cast("long").as("lbl"))
         .pin()
     }
     labels.select(col("id").as("node_id"), col("lbl").as("community"))

@@ -65,6 +65,27 @@ import graft.ext.Pin.PinOps
   */
 object SuffixDedup {
 
+  /** (d, p) packed into ONE DECIMAL(38,0): `d·2⁴⁰ + p`. Positions are
+    * 1-based and document-bounded, so `0 < p < 2⁴⁰` at any conceivable
+    * document length and the packing is injective and ORDER-ISOMORPHIC
+    * to the `struct(d, p)` lexicographic order (negative tagged doc ids
+    * included — the offset p stays in [1, 2⁴⁰), so d strictly dominates).
+    * WHY: `min(struct(…))` carries a struct-typed aggregation buffer,
+    * which is not HashAggregate-eligible — every representative
+    * aggregate in this module ran as SortAggregate, paying TWO full
+    * sorts of the gram/position stream around its exchange (seen in the
+    * r13 seed plan). A DECIMAL buffer is hash-aggregable; the decoded
+    * (rd, rp) is bit-identical to the struct min.
+    */
+  private val PosShift = 1099511627776L // 2^40
+  private def packDP(d: Column, p: Column): Column =
+    (d.cast("decimal(38,0)") * PosShift + p).cast("decimal(38,0)")
+  /** pmod (not div): negative tagged doc ids must floor, not truncate. */
+  private def unpackP(m: Column): Column =
+    pmod(m, lit(PosShift)).cast("long")
+  private def unpackD(m: Column): Column =
+    ((m - pmod(m, lit(PosShift))) / PosShift).cast("long")
+
   /** (d, p, __g): every position whose `depth`-token window fits its
     * document, carrying the window TEXT — an exact class key with no
     * representative assignment, no aggregate, no pin. One narrow explode
@@ -108,16 +129,15 @@ object SuffixDedup {
   private def gramSeed(toks: DataFrame, depth: Int): DataFrame = {
     val grams = rawGrams(toks, depth)
     val reps = grams.groupBy("__g")
-      .agg(min(struct(col("d"), col("p"))).as("__rep"),
+      .agg(min(packDP(col("d"), col("p"))).as("__m"), // HashAggregate (see [[packDP]])
         count(lit(1)).as("__n"))
       .filter(col("__n") >= 2) // ACTIVE positions only (see [[combine]])
-      .select(col("__g"), col("__rep"))
+      .select(col("__g"), unpackD(col("__m")).as("rd"), unpackP(col("__m")).as("rp"))
     val nTok = toks.agg(sum(size(col("__ws")))).head()
     val nPos = if (nTok.isNullAt(0)) 0L else nTok.getLong(0)
     val repSide = if (nPos <= 4000000L) broadcast(reps) else reps
     grams.join(repSide, Seq("__g"))
-      .select(col("d"), col("p"),
-        col("__rep.d").as("rd"), col("__rep.p").as("rp"))
+      .select(col("d"), col("p"), col("rd"), col("rp"))
       .pin()
   }
 
@@ -191,13 +211,14 @@ object SuffixDedup {
       col("rd").as("rd2"), col("rp").as("rp2"))
     val paired = a.join(right, Seq("d", "p"))
     val reps = paired.groupBy("rd", "rp", "rd2", "rp2")
-      .agg(min(struct(col("d"), col("p"))).as("__rep"),
+      .agg(min(packDP(col("d"), col("p"))).as("__m"), // HashAggregate (see [[packDP]])
         count(lit(1)).as("__n"))
       .filter(col("__n") >= 2) // active positions only
-      .select(col("rd"), col("rp"), col("rd2"), col("rp2"), col("__rep"))
+      .select(col("rd"), col("rp"), col("rd2"), col("rp2"),
+        unpackD(col("__m")).as("__nrd"), unpackP(col("__m")).as("__nrp"))
     paired.join(reps, Seq("rd", "rp", "rd2", "rp2"))
       .select(col("d"), col("p"),
-        col("__rep.d").as("rd"), col("__rep.p").as("rp"))
+        col("__nrd").as("rd"), col("__nrp").as("rp"))
       .pin()
   }
 
@@ -216,13 +237,14 @@ object SuffixDedup {
       col("__g"))
     val paired = a.join(right, Seq("d", "p"))
     val reps = paired.groupBy("rd", "rp", "__g")
-      .agg(min(struct(col("d"), col("p"))).as("__rep"),
+      .agg(min(packDP(col("d"), col("p"))).as("__m"), // HashAggregate (see [[packDP]])
         count(lit(1)).as("__n"))
       .filter(col("__n") >= 2) // active positions only (see [[combine]])
-      .select(col("rd"), col("rp"), col("__g"), col("__rep"))
+      .select(col("rd"), col("rp"), col("__g"),
+        unpackD(col("__m")).as("__nrd"), unpackP(col("__m")).as("__nrp"))
     paired.join(reps, Seq("rd", "rp", "__g"))
       .select(col("d"), col("p"),
-        col("__rep.d").as("rd"), col("__rep.p").as("rp"))
+        col("__nrd").as("rd"), col("__nrp").as("rp"))
       .pin()
   }
 
@@ -417,12 +439,16 @@ object SuffixDedup {
       .unionAll(eval.select((col(idCol).cast("long") * 2 + 1).as("__td"),
         col(textCol).as("__tx")))
     val r = windowClasses(tagged, minLen, "__td", "__tx")
-    // classes spanning both corpora (pmod: negative ids keep their tag)
-    val crossCls = r.groupBy("rd", "rp")
-      .agg(min(pmod(col("d"), lit(2))).as("t0"),
-        max(pmod(col("d"), lit(2))).as("t1"))
-      .filter(col("t0") === 0 && col("t1") === 1)
-      .select("rd", "rp")
+    // classes spanning both corpora (pmod: negative ids keep their tag).
+    // Rep-parity witness: the representative (rd, rp) is itself a member,
+    // so a class holds both tags ⟺ some member's tag differs from the
+    // rep's — filter those WITNESS rows first (narrow scan, no exchange),
+    // then dedup the witnessed class keys. The first cut aggregated
+    // min/max tag over EVERY position; the distinct now runs on the
+    // (usually far smaller) witness subset only. Identical class set.
+    val crossCls = r
+      .filter(pmod(col("d"), lit(2)) =!= pmod(col("rd"), lit(2)))
+      .select("rd", "rp").distinct()
     r.join(crossCls, Seq("rd", "rp"))
       .filter(pmod(col("d"), lit(2)) === 1)
       .select(shiftright(col("d"), 1).as("d"), col("p"))
@@ -529,9 +555,14 @@ object SuffixDedup {
       TextAnalysis.tokens(col(textCol)).as("__ws"))
       .pin()
 
-    def hasDup(r: DataFrame): Boolean =
-      !r.groupBy("rd", "rp").agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2).isEmpty
+    // Active-position invariant ([[combine]]): every relation the climb
+    // hands this predicate is already pruned to members of ≥ 2-member
+    // classes, so "some class is duplicated" ⟺ "the relation is
+    // nonempty". The per-level/per-probe class aggregate the first cut
+    // paid here (one full exchange of the position relation each call)
+    // was redundant — isEmpty on the eager-pinned relation reads one
+    // partition.
+    def hasDup(r: DataFrame): Boolean = !r.isEmpty
 
     climbSearch(toks, hasDup, capLog2) match {
       case None => emptyRow
@@ -591,11 +622,12 @@ object SuffixDedup {
     // 2·id + tag). pmod, NOT `%`: Spark's `%` truncates toward zero, so a
     // negative doc_id in corpus B gives (2·id+1) % 2 = -1 and the doc
     // silently vanishes from hasCross/n_occ_b.
+    // Rep-parity witness (the [[crossDupPositions]] argument): the rep is
+    // a member, so "some class holds both tags" ⟺ "some row's tag differs
+    // from its rep's" — one narrow filtered scan of the pinned relation
+    // per probe instead of the class aggregate's full exchange.
     def hasCross(r: DataFrame): Boolean =
-      !r.groupBy("rd", "rp")
-        .agg(min(pmod(col("d"), lit(2))).as("t0"),
-          max(pmod(col("d"), lit(2))).as("t1"))
-        .filter(col("t0") === 0 && col("t1") === 1).isEmpty
+      !r.filter(pmod(col("d"), lit(2)) =!= pmod(col("rd"), lit(2))).isEmpty
 
     climbSearch(toks, hasCross, capLog2) match {
       case None => emptyRow
