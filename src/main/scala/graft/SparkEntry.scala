@@ -3483,10 +3483,14 @@ object SparkEntry {
     // convergence margin; measured 5 peel rounds at both sf0.01 and
     // sf0.1 for k=80, cascade removes ~7% of nodes), per-round one
     // degree agg + two semi-joins on the checkpointed edges
+    // dedup = false: kCore's own first step is a (u, v)-keyed
+    // dropDuplicates over the symmetrized list, so the co-occurrence
+    // distinct was a redundant full pair-stream exchange — result rows
+    // identical (oracle replays the deduped peel either way)
     "q333_kcore" -> ((s, d) =>
       graft.ext.Graph.kCore(
         graft.ext.Graph.coOccurrenceEdges(
-          Tables.lineitem(s, d), "l_orderkey", "l_partkey"),
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey", dedup = false),
         k = 80, rounds = 12)),
 
     // stream-fed Pettitt: q332's retrospective changepoint asked of the

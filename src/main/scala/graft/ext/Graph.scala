@@ -150,14 +150,24 @@ object Graph {
     * the join — 4 corpus-sized exchanges where this shape pays 1
     * (the [[associationRules]] layout, which always had it).
     */
-  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+  /** `dedup = false` skips the final (u, v) distinct — ONLY for consumers
+    * that re-dedup the pair stream themselves before any counting (e.g.
+    * [[kCore]], whose first step is a (u, v)-keyed dropDuplicates over
+    * the symmetrized list): the downstream result is bit-identical and
+    * the full pair-stream exchange the distinct paid is deleted (§2.4
+    * "a distinct on data a later step dedups anyway"). Consumers that
+    * COUNT pairs (degree aggregates, triangle census) need the default.
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+                        dedup: Boolean = true): DataFrame = {
     val items = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
       .repartition(col("g"))
       .dropDuplicates("g", "item")
-    items.select(col("g"), col("item").as("u"))
+    val pairs = items.select(col("g"), col("item").as("u"))
       .join(items.select(col("g"), col("item").as("v")), "g")
       .filter(col("u") < col("v"))
-      .select("u", "v").distinct()
+      .select("u", "v")
+    if (dedup) pairs.distinct() else pairs
   }
 
   /** Market-basket association rules (Agrawal et al., SIGMOD 1993) over

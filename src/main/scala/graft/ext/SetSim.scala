@@ -70,6 +70,15 @@ object SetSim {
       .join(prefix.select(col("id").as("id_b"), col("tok"),
         col("pos").as("pb"), col("n").as("nb")), "tok")
       .filter(col("id_a") < col("id_b"))
+      // LENGTH filter (PPJoin §: J ≤ min(n_a,n_b)/max(n_a,n_b) when one
+      // set is contained in the other, so J ≥ t needs 1000·min ≥ t·max)
+      // applied AT THE JOIN, before the pair aggregate — prunes candidate
+      // rows regardless of df skew (the anti-Zipfian corpus defeats
+      // df-based prefix pruning by design, this bound does not care),
+      // shrinking the aggregate's hash state and exchange. Never drops a
+      // qualifying pair — pure integer pigeonhole.
+      .filter(lit(1000L) * least(col("na"), col("nb")) >=
+        lit(tPermille.toLong) * greatest(col("na"), col("nb")))
       .groupBy("id_a", "id_b")
       .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"),
         first(col("na")).as("na"), first(col("nb")).as("nb"))
