@@ -41,6 +41,38 @@ object Layout {
     sorted.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** ONE ranked pass over every candidate layout at once: each input row
+    * explodes into one row per (layId, that layout's sort key), the union
+    * is globally ranked by (layId, key, id) — a single range exchange +
+    * sort + zipWithIndex where the per-layout formulation paid one of
+    * each PER LAYOUT — and, because every layout holds exactly `n` rows
+    * and layIds are the leading sort key, the within-layout rank is
+    * `rnk − layId·n` exactly. File envelopes then aggregate by
+    * (layId, file). Bit-identical to ranking each layout separately
+    * (restricting the (layId, key, id) order to one layId IS that
+    * layout's (key, id) order); §2.4 — three exchanges share one.
+    *
+    * `layouts` = (name, sortKey column); `n` = exact row count of `base`.
+    */
+  private def layoutEnvelopes(base: DataFrame, layouts: Seq[(String, Column)],
+                              nFiles: Int, n: Long): DataFrame = {
+    val expanded = base.select(
+      posexplode(array(layouts.map(_._2): _*)).as(Seq("layId", "k1")),
+      col("id"), col("ka"), col("kb"))
+    val ranked = withGlobalRank(
+      expanded.select(col("layId"), col("k1"), col("id"), col("ka"), col("kb")),
+      Seq("layId", "k1", "id"))
+    ranked
+      .withColumn("file",
+        expr(s"(rnk - layId * ${n}L) * ${nFiles}L div ${n}L"))
+      .groupBy("layId", "file")
+      .agg(min("ka").as("min_a"), max("ka").as("max_a"),
+        min("kb").as("min_b"), max("kb").as("max_b"))
+      .withColumn("layout",
+        element_at(array(layouts.map(l => lit(l._1)): _*), col("layId") + 1))
+      .drop("layId")
+  }
+
   /** File-skipping audit comparing `linear_a` (sort by keyA — the default
     * "cluster by the leading filter column" layout) against `zorder`
     * (bit-interleaved keyA×keyB). Both keys are masked to `bits` low bits
@@ -53,8 +85,9 @@ object Layout {
     * files_hit = Σ over probes of files whose [min, max] envelope
     * contains the probe (the files a point query on that dim must open).
     *
-    * Scale shape: the two global sorts are exactly the sorts the layout
-    * WRITES would perform — auditing costs what one rewrite costs, and in
+    * Scale shape: the global sorts are exactly the sorts the layout
+    * WRITES would perform — auditing costs what one rewrite costs (the
+    * layouts share one fused rank pass, [[layoutEnvelopes]]), and in
     * production runs on a cluster-sample (ext.Sampling) instead of the
     * full table. Envelopes are file-keyspace-sized (nFiles rows), probes
     * are keyspace-sized; the audit joins touch only those, never facts.
@@ -76,16 +109,8 @@ object Layout {
     val n = base.count()
     require(n > 0, "skippingAudit needs a non-empty table")
 
-    def envelopes(layout: String, sortCols: Seq[String]): DataFrame =
-      withGlobalRank(base, sortCols)
-        .withColumn("file", expr(s"rnk * ${nFiles}L div ${n}L"))
-        .groupBy("file")
-        .agg(min("ka").as("min_a"), max("ka").as("max_a"),
-          min("kb").as("min_b"), max("kb").as("max_b"))
-        .withColumn("layout", lit(layout))
-
-    val env = envelopes("linear_a", Seq("ka", "id"))
-      .unionByName(envelopes("zorder", Seq("z", "id")))
+    val env = layoutEnvelopes(base,
+      Seq("linear_a" -> col("ka"), "zorder" -> col("z")), nFiles, n)
       .localCheckpoint(true) // one-shot: 2 layouts × 2 dims of range joins below
 
     def hits(dim: String, probes: DataFrame, lo: String, hi: String): DataFrame =
@@ -241,17 +266,9 @@ object Layout {
     val n = base.count()
     require(n > 0, "curveAudit needs a non-empty table")
 
-    def envelopes(layout: String, sortCols: Seq[String]): DataFrame =
-      withGlobalRank(base, sortCols)
-        .withColumn("file", expr(s"rnk * ${nFiles}L div ${n}L"))
-        .groupBy("file")
-        .agg(min("ka").as("min_a"), max("ka").as("max_a"),
-          min("kb").as("min_b"), max("kb").as("max_b"))
-        .withColumn("layout", lit(layout))
-
-    val env = envelopes("linear_a", Seq("ka", "id"))
-      .unionByName(envelopes("zorder", Seq("z", "id")))
-      .unionByName(envelopes("hilbert", Seq("h", "id")))
+    val env = layoutEnvelopes(base,
+      Seq("linear_a" -> col("ka"), "zorder" -> col("z"), "hilbert" -> col("h")),
+      nFiles, n)
       .localCheckpoint(true) // one-shot: 3 layouts × 2 dims of range joins below
 
     def hits(dim: String, probes: DataFrame, lo: String, hi: String): DataFrame =
