@@ -30,7 +30,14 @@ object Graph {
     * defaults so the A/B harnesses (limit = 0 forces the shuffle arm)
     * and every sf0.1 arm choice are unchanged.
     */
-  private[ext] val BroadcastBytes: Long = 128L << 20
+  private[ext] def BroadcastBytes: Long =
+    org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.broadcastBytes").map(_.trim.toLong)
+      .getOrElse(128L << 20)
+  // ^ conf-overridable (default 128 MiB) so a scale A/B can force every
+  // byte-gated operator onto its shuffle arm on ONE box (set 0) without
+  // a billion-row corpus — the same testability contract as the
+  // limit = 0 row parameters (r12 ADVICE #3).
 
   /** `min(rowLimit, BroadcastBytes / rowBytes)` — the effective row gate. */
   private def gateLimit(rowLimit: Long, rowBytes: Long): Long =

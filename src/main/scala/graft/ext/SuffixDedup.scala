@@ -82,9 +82,11 @@ object SuffixDedup {
   /** Broadcast byte budget for the seed's dup-pruned rep table — the
     * [[Graph.BroadcastBytes]] posture applied to the one text-carrying
     * broadcast in this module (the former 4M-POSITION bound priced a
-    * string row like a 2-long row; r12 VERDICT #5).
+    * string row like a 2-long row; r12 VERDICT #5). Shares the
+    * `spark.graft.broadcastBytes` override so the ArmScaleAB harness can
+    * force the string-keyed exchange arm on one box.
     */
-  private val BroadcastRepBytes: Long = 128L << 20
+  private def BroadcastRepBytes: Long = Graph.BroadcastBytes
   private def packDP(d: Column, p: Column): Column =
     (d.cast("decimal(38,0)") * PosShift + p).cast("decimal(38,0)")
   /** pmod (not div): negative tagged doc ids must floor, not truncate. */
