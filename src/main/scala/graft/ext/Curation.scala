@@ -79,7 +79,14 @@ object Curation {
     */
   def curateClean(docs: DataFrame, chunkWords: Int, minDf: Int,
                   minLogprob: Double): DataFrame = {
-    val cleaned = Dedup.segmentDedup(docs, Dedup.wordChunkSegments(docs, chunkWords), minDf)
+    // pinned: the dedup stage's output feeds the LM scorer (which reads
+    // its corpus several times — bigram training + scoring) AND the
+    // final join-back. Unpinned, the whole segmentDedup subtree (chunk
+    // explode, df aggregate, rebuild) re-evaluated once per reference —
+    // the r13 trace showed 23 scans of the raw docs table in one plan.
+    val cleaned = Dedup.segmentDedup(docs,
+      Dedup.wordChunkSegments(docs, chunkWords), minDf)
+      .pin()
     val corpus = cleaned.filter(col("n_kept") > 0)
       .select(col("doc_id"), col("clean_text").as("text"))
     LangModel.scoreDocuments(corpus)
