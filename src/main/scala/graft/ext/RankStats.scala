@@ -10,6 +10,63 @@ import org.apache.spark.sql.functions._
   */
 object RankStats {
 
+  /** Cumulative sums of `valueCols` over the TOTAL order of `ordCols`
+    * (rows unbounded-preceding..current), appended as `__cum_<col>` —
+    * the shared running-sum step behind the midrank family (KS, rank-sum
+    * AUC, Kruskal–Wallis ranks).
+    *
+    * TWO ARMS, picked by `spark.graft.midrankPartitions` (default 1):
+    *  - 1: the classic single-partition window — right while the
+    *    collapsed distinct-value relation is keyspace-small (every
+    *    registered parameterization at the bench SFs);
+    *  - N > 1: DISTRIBUTED prefix sum — range-exchange on the order
+    *    columns, per-partition running sums, per-partition totals
+    *    cumulated on an N-row relation and broadcast back as offsets.
+    *    Identical values for any partitioning (a running sum over a
+    *    total order does not depend on where the cuts fall; range cuts
+    *    only make partitions contiguous in the order). MidrankScaleAB
+    *    measured the crossover: flat at 1M distinct values, distributed
+    *    1.8× faster at 4M, 2.3× at 16M — set N ≈ 2-3× total cores once
+    *    value keyspaces pass ~2M (the 100 TB posture; r12 VERDICT #8).
+    * `ordCols` must be a total order (callers pass collapsed DISTINCT
+    * values), or the cumulative sum itself is ill-defined.
+    */
+  private[ext] def cumSums(df: DataFrame, ordCols: Seq[Column],
+                           valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.midrankPartitions").map(_.trim.toInt).getOrElse(1)
+    if (parts <= 1) {
+      // callers pass the collapsed distinct-value relation (bounded by
+      // the VALUE DOMAIN, not the corpus); the distributed arm above the
+      // conf threshold covers the regime where that stops being small —
+      // keyspace-sized window: input is collapsed/bounded before this sort
+      val w = Window.orderBy(ordCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      valueCols.foldLeft(df)((d, c) =>
+        d.withColumn(s"__cum_$c", sum(col(c)).over(w)))
+    } else {
+      val rp = df.repartitionByRange(parts, ordCols: _*)
+        .withColumn("__pid", spark_partition_id())
+      val wLoc = Window.partitionBy("__pid").orderBy(ordCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = valueCols.foldLeft(rp)((d, c) =>
+        d.withColumn(s"__cum_$c", sum(col(c)).over(wLoc)))
+      // keyspace-sized window: one row per range PARTITION (≤ parts) —
+      // the tiny offset table of the distributed prefix sum
+      val wOff = Window.orderBy(col("__pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = rp.groupBy("__pid")
+        .agg(valueCols.map(c => sum(col(c)).as(s"__t_$c")).head,
+          valueCols.drop(1).map(c => sum(col(c)).as(s"__t_$c")): _*)
+        .select(col("__pid") +: valueCols.map(c =>
+          coalesce(sum(col(s"__t_$c")).over(wOff), lit(0L)).as(s"__off_$c")): _*)
+      valueCols.foldLeft(local.join(broadcast(offs), "__pid"))((d, c) =>
+          d.withColumn(s"__cum_$c", col(s"__cum_$c") + col(s"__off_$c")))
+        .drop("__pid" +: valueCols.map(c => s"__off_$c"): _*)
+    }
+  }
+
   /** Spearman rank correlation (Spearman 1904, public literature) of two
     * columns over a keyed relation, EXACT: both columns are ranked by
     * `row_number` with the key as the deterministic tie-break (the
@@ -82,12 +139,11 @@ object RankStats {
       .filter(col("v").isNotNull)
       .groupBy("v")
       .agg(sum("isA").as("ca"), sum(expr("1 - isA")).as("cb"))
-    // keyspace-sized window: input is collapsed/bounded before this sort
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = byValue
-      .select(col("v"), sum("ca").over(w).as("cum_a"),
-        sum("cb").over(w).as("cum_b"))
+    // two-arm running sum over the collapsed distinct-value relation
+    // ([[cumSums]] — single-partition window by default, distributed
+    // prefix sum past the conf threshold)
+    val cum = cumSums(byValue, Seq(col("v")), Seq("ca", "cb"))
+      .select(col("v"), col("__cum_ca").as("cum_a"), col("__cum_cb").as("cum_b"))
       .localCheckpoint(true) // one-shot: feeds totals, the max, and the argmax
     val tot = cum.agg(max("cum_a").as("n_a"), max("cum_b").as("n_b"))
     val gaps = cum.crossJoin(broadcast(tot))
@@ -114,11 +170,10 @@ object RankStats {
       .filter(col("v").isNotNull)
       .groupBy("v")
       .agg(sum("isA").as("ca"), sum(expr("1 - isA")).as("cb"))
-    // keyspace-sized window: input is collapsed/bounded before this sort
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = byValue
-      .withColumn("cum_b_lt", sum("cb").over(w) - col("cb"))
+    // two-arm running sum ([[cumSums]]) over the collapsed relation
+    val cum = cumSums(byValue, Seq(col("v")), Seq("cb"))
+      .withColumn("cum_b_lt", col("__cum_cb") - col("cb"))
+      .drop("__cum_cb")
     cum
       .agg(sum("ca").as("n_a"), sum("cb").as("n_b"),
         expr("sum(CAST(ca AS DECIMAL(38,0)) * cum_b_lt)").as("gt"),
@@ -225,12 +280,10 @@ object RankStats {
       .filter(col("g").isNotNull && col("v").isNotNull)
       .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
     val byValue = cells.groupBy("v").agg(sum("cnt").as("m"))
-    // keyspace-sized window: input is collapsed/bounded before this sort
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = byValue
+    // two-arm running sum ([[cumSums]]) over the collapsed relation
+    val ranked = cumSums(byValue, Seq(col("v")), Seq("m"))
       .select(col("v"), col("m"),
-        (lit(2L) * (sum("m").over(w) - col("m")) + col("m") + 1L).as("r2"))
+        (lit(2L) * (col("__cum_m") - col("m")) + col("m") + 1L).as("r2"))
     val perGroup = cells.join(ranked, Seq("v"))
       .groupBy("g")
       .agg(sum("cnt").as("n_g"),

@@ -344,4 +344,22 @@ class RankStatsSpec extends SparkSpec {
     assert(RankStats.kendallTauB(flat, "g", "i", col("x"), col("y"))
       .head().isNullAt(4))
   }
+
+  test("midrank two-arm: distributed prefix sum is bit-identical to the single-partition window") {
+    // 60 facts over 3 groups with repeated values — exercises ties,
+    // multi-column cums (KS) and the Kruskal rank arithmetic through
+    // BOTH cumSums arms; the distributed arm must not depend on where
+    // the range cuts fall
+    val rows = (1 to 60).map(i =>
+      Row(s"g${i % 3}", ((i * 7919) % 13).toLong))
+    val d = df("g STRING, v BIGINT", rows)
+    def all() = Seq(
+      rowSet(RankStats.kruskalWallis(d, col("g"), col("v"))),
+      rowSet(RankStats.ksStatistic(d, col("g"), "g0", col("v"))),
+      rowSet(RankStats.rankSumAuc(d, col("g"), "g0", col("v"))))
+    val single = all()
+    spark.conf.set("spark.graft.midrankPartitions", "4")
+    try assert(all() == single)
+    finally spark.conf.unset("spark.graft.midrankPartitions")
+  }
 }
